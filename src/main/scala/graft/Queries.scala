@@ -1,0 +1,328 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dims.DateDim
+import graft.ops.RelationalOps
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** The declared query surface: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline extensions
+  * (dedup / similarity / text analysis / event windows).
+  *
+  * Each `q*` method is a pure (SparkSession, sfDir) => DataFrame over
+  * the driver-generated testdata; `Oracles.sql` carries the DuckDB
+  * equivalent with IDENTICAL output column names and types (the
+  * driver's compare hashes values under name-sorted columns).
+  *
+  * Determinism rules applied throughout:
+  *  - every double produced by an order-sensitive aggregate is
+  *    `round(_, 2)` in both engines;
+  *  - every ranking has a total-order tie-break;
+  *  - DuckDB date-part/len results are BIGINT, so they are CAST to
+  *    INT in the oracle wherever Spark yields IntegerType.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ----------------------------------------------------- scans / projections
+
+  /** P1/S4 — projection reaching the parquet scan (column pruning). */
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** P2/P5 — rename + timestamp→date cast. */
+  def qRenameCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_key"),
+      col("l_linenumber").as("line_no"),
+      to_date(col("l_shipdate")).as("ship_date"))
+
+  /** P4 — derived per-row arithmetic (the total_emission analog). */
+  def qDerivedArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+        .as("charged"))
+
+  // ------------------------------------------------------------- filters
+
+  /** F1/F3 — conjunctive predicate pushed to the scan. */
+  def qFilterPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** F2/F4 — null/threshold gate on orders. */
+  def qFilterNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // -------------------------------------------------------- aggregations
+
+  /** A4/TPC-H Q1 shape — grouped full-table rollup with partial aggs. */
+  def qAggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** A2 — global count. */
+  def qCountStar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** exact distinct counts (the HLL/approx variant has no oracle). */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** A1 — plain distinct. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  /** A1 keep-first — deterministic dedup via row_number window. */
+  def qDedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.dedupKeepFirst(
+      t(s, dir, "customer").select("c_nationkey", "c_custkey", "c_name"),
+      Seq("c_nationkey"),
+      Seq(col("c_custkey")))
+
+  /** A3 — union of role-playing projections + distinct. */
+  def qUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.unionDistinct(
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")),
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** grouping sets — ROLLUP. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  /** grouping sets — CUBE. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+
+  // -------------------------------------------------------------- joins
+
+  /** J1 — inner equi-join fact→dim. */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").join(
+      t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name")
+
+  /** J2 — left joins up a dim chain (broadcast both dims). */
+  def qJoinLeftChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+      .select("c_custkey", "n_name", "r_name")
+
+  /** J4-J7/J11 — anti-join (customers with no URGENT order; the
+    * incremental-idempotence idiom of the reference, emission-dag.py:83).
+    */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+  }
+
+  /** semi-join (customers with at least one urgent order). */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey")
+  }
+
+  /** J1 null-safe `<=>` — NaN=NaN pandas merge semantics
+    * (SURVEY §2.4): nullable derived keys on both sides still match.
+    */
+  def qJoinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem").select(
+      when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag")).as("rf"))
+    val keys = Seq("A", "R", "N").toDF("c")
+      .select(when(col("c") === "N", lit(null)).otherwise(col("c")).as("rf"))
+    l.join(broadcast(keys), l("rf") <=> keys("rf"))
+      .select(keys("rf").as("rf"))
+      .groupBy("rf")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** J9/J10 + A4 — the star-schema rollup (lineitem→orders→customer→
+    * nation→region), dims broadcast, one shuffle for the final groupBy.
+    */
+  def qStarJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** A4 flagship — "total emission on a brand level" analog:
+    * quantity × retailprice rolled up by brand.
+    */
+  def qEmissionByBrand(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(round(sum(col("l_quantity") * col("p_retailprice")), 2).as("total_emission"))
+
+  // ---------------------------------------------------- sort / window
+
+  /** O1/O2 + limit — global top-n with total-order tie-break. */
+  def qTopnSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(10)
+
+  /** window ranking — top-3 per group. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.topKPerGroup(
+      t(s, dir, "part").select("p_brand", "p_partkey", "p_retailprice"),
+      Seq("p_brand"),
+      Seq(col("p_retailprice").desc, col("p_partkey").asc),
+      3,
+      rankCol = "rnk")
+
+  /** window lag — per-user event value delta ordered by time. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      (col("value") - lag("value", 1).over(w)).as("delta"))
+  }
+
+  // ------------------------------------------------------- date / time
+
+  /** D1-D8 — the generated date dimension (reference
+    * create_tables.py:6-15), 7,306 rows 2010..2030.
+    */
+  def qDateDim(s: SparkSession, dir: String): DataFrame = DateDim.generate(s)
+
+  /** D2-D7 on real data — date parts of o_orderdate. */
+  def qDateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_id"),
+      date_format(col("o_orderdate"), "EEEE").as("week_day"),
+      dayofmonth(col("o_orderdate")).as("day"),
+      month(col("o_orderdate")).as("month"),
+      weekofyear(col("o_orderdate")).as("week"),
+      quarter(col("o_orderdate")).as("quarter"),
+      year(col("o_orderdate")).as("year"))
+
+  // ---------------------------------------------- streaming-shaped (events)
+
+  /** Tumbling-window aggregation in batch — the same `window()`
+    * primitive Structured Streaming uses (graft.streaming runs the
+    * streaming variant; results are checked here in batch).
+    */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value"))
+
+  // ------------------------------------------------------ text analysis
+
+  def qTxtTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+
+  def qTxtQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.punctCount(col("text")).as("n_punct"),
+      TextFunctions.stopwordCount(col("text")).as("n_stop"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  def qTxtLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  def qTxtFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+
+  // ------------------------------------------------------------- dedup
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents")).select("fp", "keep_id", "dups")
+
+  /** MinHash+LSH candidate pairs (no SQL oracle — Spark-hash based). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(
+      t(s, dir, "documents"),
+      shingleWidth = 2, k = 64, bands = 16, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures per doc (no SQL oracle — xxhash64 based). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Dedup.simhash(col("text")).as("simhash"))
+
+  /** Exact n-gram Jaccard verify over LSH candidates (no oracle). */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.minhashCandidates(docs, shingleWidth = 2, threshold = 0.2)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccard(docs, cand, n = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------- similarity search
+
+  /** Brute-force exact cosine top-5 for the first 20 vectors. */
+  def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+  }
+
+  /** LSH-bucketed approximate variant (no oracle; recall<1). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") < 100), k = 5)
+
+  /** Embedding L2 norms — exercises the vector math path. */
+  def qEmbNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      round(Ann.l2Norm(col("embedding")), 6).as("l2_norm"))
+}

@@ -1,13 +1,294 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator surface (one entry per SURVEY §2
+  * operator family + the training-data extensions); `oracleSql` holds
+  * the DuckDB-equivalent SQL with identical output column names/types.
+  * Queries whose math depends on Spark-internal hashing (xxhash64
+  * minhash/simhash/LSH) have no SQL oracle → driver does a rows-only
+  * check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.qEmissionByBrand(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / projections / derived columns
+    "q_scan_project" -> (Queries.qScanProject _),
+    "q_rename_cast" -> (Queries.qRenameCast _),
+    "q_derived_arith" -> (Queries.qDerivedArith _),
+    // filters
+    "q_filter_pred" -> (Queries.qFilterPred _),
+    "q_filter_null" -> (Queries.qFilterNull _),
+    // aggregation / dedup / set ops
+    "q_agg_pricing" -> (Queries.qAggPricing _),
+    "q_count_star" -> (Queries.qCountStar _),
+    "q_count_distinct" -> (Queries.qCountDistinct _),
+    "q_distinct" -> (Queries.qDistinct _),
+    "q_dedup_keep_first" -> (Queries.qDedupKeepFirst _),
+    "q_union_distinct" -> (Queries.qUnionDistinct _),
+    "q_rollup" -> (Queries.qRollup _),
+    "q_cube" -> (Queries.qCube _),
+    // joins
+    "q_join_inner" -> (Queries.qJoinInner _),
+    "q_join_left_chain" -> (Queries.qJoinLeftChain _),
+    "q_join_anti" -> (Queries.qJoinAnti _),
+    "q_join_semi" -> (Queries.qJoinSemi _),
+    "q_join_nullsafe" -> (Queries.qJoinNullsafe _),
+    "q_star_join_revenue" -> (Queries.qStarJoinRevenue _),
+    "q_emission_by_brand" -> (Queries.qEmissionByBrand _),
+    // sort / window
+    "q_topn_sort" -> (Queries.qTopnSort _),
+    "q_window_rank" -> (Queries.qWindowRank _),
+    "q_window_lag" -> (Queries.qWindowLag _),
+    // date / time
+    "q_date_dim" -> (Queries.qDateDim _),
+    "q_date_parts" -> (Queries.qDateParts _),
+    // streaming-shaped
+    "q_events_hourly" -> (Queries.qEventsHourly _),
+    // text analysis
+    "q_txt_tokens" -> (Queries.qTxtTokens _),
+    "q_txt_quality" -> (Queries.qTxtQuality _),
+    "q_txt_langid" -> (Queries.qTxtLangid _),
+    "q_txt_fingerprint" -> (Queries.qTxtFingerprint _),
+    // dedup extensions
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_minhash" -> (Queries.qDedupMinhash _),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
+    // similarity search
+    "q_ann_brute" -> (Queries.qAnnBrute _),
+    "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_emb_norm" -> (Queries.qEmbNorm _),
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
+}
+
+/** DuckDB oracle SQL, one per SQL-expressible query. Conventions:
+  * DuckDB BIGINT-returning date-parts/len are CAST to INT where Spark
+  * yields IntegerType; order-sensitive double aggregates are ROUNDed
+  * identically on both sides.
+  */
+object Oracles {
+  val sql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+
+    "q_rename_cast" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+         CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""",
+
+    "q_derived_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged
+         FROM lineitem""",
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+
+    "q_filter_null" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_totalprice > 300000.0""",
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 2) AS avg_qty,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_count_star" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem",
+
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_dedup_keep_first" ->
+      """SELECT c_nationkey, c_custkey, c_name FROM (
+           SELECT c_nationkey, c_custkey, c_name,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+           FROM customer) WHERE rn = 1""",
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier)""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    "q_join_left_chain" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q_join_nullsafe" ->
+      """SELECT k.rf AS rf, COUNT(*) AS cnt
+         FROM (SELECT NULLIF(l_returnflag, 'N') AS rf FROM lineitem) l
+         JOIN (SELECT NULLIF(c, 'N') AS rf FROM (VALUES ('A'), ('R'), ('N')) t(c)) k
+           ON l.rf IS NOT DISTINCT FROM k.rf
+         GROUP BY k.rf""",
+
+    "q_star_join_revenue" ->
+      """SELECT r_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q_emission_by_brand" ->
+      """SELECT p_brand AS brand,
+         ROUND(SUM(l_quantity * p_retailprice), 2) AS total_emission
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "q_topn_sort" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  CAST(row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rnk
+           FROM part) WHERE rnk <= 3""",
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+         value - lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS delta
+         FROM events""",
+
+    "q_date_dim" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+         CAST(d AS DATE) AS date,
+         dayname(d) AS week_day,
+         CAST(dayofmonth(d) AS INT) AS day,
+         CAST(month(d) AS INT) AS month,
+         CAST(weekofyear(d) AS INT) AS week,
+         CAST(quarter(d) AS INT) AS quarter,
+         CAST(year(d) AS INT) AS year
+         FROM generate_series(TIMESTAMP '2010-01-01', TIMESTAMP '2030-01-01',
+                              INTERVAL 1 DAY) t(d)""",
+
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+         CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+         dayname(o_orderdate) AS week_day,
+         CAST(dayofmonth(o_orderdate) AS INT) AS day,
+         CAST(month(o_orderdate) AS INT) AS month,
+         CAST(weekofyear(o_orderdate) AS INT) AS week,
+         CAST(quarter(o_orderdate) AS INT) AS quarter,
+         CAST(year(o_orderdate) AS INT) AS year
+         FROM orders""",
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_txt_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+         FROM documents""",
+
+    "q_txt_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INT) AS len_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INT) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS INT) AS n_stop,
+         (
+           LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+           + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                        THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                             / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                        ELSE 0.0 END, 1.0)
+         ) / 2.0 AS quality
+         FROM documents""",
+
+    "q_txt_langid" ->
+      """SELECT doc_id,
+         CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS lang_pred
+         FROM (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|you|that|it|with)\b')) AS en,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ich|ein|mit)\b')) AS de,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|vous|que|pour|dans)\b')) AS fr,
+           len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|con|para|del)\b')) AS es
+           FROM documents)""",
+
+    "q_txt_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents""",
+
+    "q_emb_norm" ->
+      """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+         FROM embeddings""",
+
+    "q_ann_brute" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS keep_id, COUNT(*) AS dups
+         FROM documents GROUP BY 1""",
+  )
 }

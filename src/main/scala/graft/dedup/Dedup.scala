@@ -1,0 +1,201 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Document deduplication at training-data scale.
+  *
+  * Four families, all expressed as declarative DataFrame transforms so
+  * Catalyst plans the shuffles and AQE handles skew:
+  *
+  *  - exact:   hash-groupBy on a content fingerprint — one shuffle on
+  *             the fingerprint, map-side partial aggregation.
+  *  - MinHash+LSH: shingle → k minhashes → b bands → band-bucket join.
+  *             Only documents sharing a band bucket are compared, so
+  *             the candidate join is |buckets|-bounded, not O(n²).
+  *  - SimHash: 64-bit per-doc signature; near-dups share the signature
+  *             (or a band of it) — groupBy, no pairwise compare.
+  *  - n-gram Jaccard: exact verify step over candidate pairs only.
+  *
+  * At 100 TB the only O(n²) danger is a hot band bucket (boilerplate
+  * docs); `maxBucket` caps membership per bucket (drop-or-sample), the
+  * standard production guard.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct normalized content, with
+    * the surviving (minimum) doc id and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Exact dedup: keep one row per distinct content (the min-id row). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withFp = docs.withColumn("__fp", fingerprintMd5(col(textCol)))
+    graft.ops.RelationalOps
+      .dedupKeepFirst(withFp, Seq("__fp"), Seq(col(idCol)))
+      .drop("__fp")
+  }
+
+  /** MinHash signature: array of k minima of seeded 64-bit hashes over
+    * the document's shingle set. Per-row, no shuffle, no UDF.
+    *
+    * Single `aggregate` pass carrying a k-wide running-min vector:
+    * higher-order functions are interpreted (CodegenFallback), so the
+    * shingles child expression must be evaluated ONCE per row — a
+    * `transform(sequence(1,k), seed -> array_min(transform(shingles,…)))`
+    * formulation re-evaluates the whole shingling subtree per seed
+    * (64× per row) and is ~100× slower.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) =>
+        zip_with(acc, sequence(lit(1), lit(k)), (m, seed) => least(m, xxhash64(s, seed))))
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `k/bands` rows, each band hashed to one 64-bit bucket key.
+    */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), _.cast("string"))), b))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with the
+    * estimated Jaccard (fraction of agreeing minhashes) — returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, est >= `threshold`.
+    *
+    * Plan shape: project(shingle+sig+bands) → explode(bands) →
+    * shuffle on band key (self-join) → pairwise verify inside buckets.
+    * `maxBucket` drops degenerate buckets (all-identical boilerplate)
+    * to keep the join output bounded.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWidth: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
+
+    // Bucket membership rows are (id, band) ONLY — the self-join must
+    // not drag signatures through the shuffle; they are re-attached
+    // once per UNIQUE candidate pair afterwards.
+    val buckets = sigs.select(
+      col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
+
+    // Cap pathological buckets before the self-join (skew guard:
+    // boilerplate-heavy corpora produce mega-buckets whose pairwise
+    // expansion is quadratic; production pipelines drop them).
+    val capped = buckets
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    val pairs = capped.as("a")
+      .join(capped.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // collapse multi-band collisions before the sig compare
+
+    val est = {
+      val agree = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0),
+        (acc, v) => acc + v)
+      agree.cast("double") / lit(k.toDouble)
+    }
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH dedup: drop every doc that is near-duplicate of a
+    * lower-id doc (single-link, one hop — the standard approximation
+    * that avoids a distributed union-find; iterate to converge if the
+    * duplicate graph has long chains).
+    */
+  def minhashDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashCandidates(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over the token multiset, rendered as a 64-char
+    * bitstring (MSB first): bit i is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
+    *
+    * Entirely per-row via higher-order functions — one `aggregate`
+    * pass over the tokens carrying a 64-wide counter vector; no
+    * shuffle, no UDF. (A custom Catalyst Expression could fuse the
+    * inner zip; per-row cost is 64 × n_tokens int-adds, fine for the
+    * scan-shaped pipelines this feeds.)
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val zeros = transform(sequence(lit(1), lit(64)), _ => lit(0))
+    val bitIdx = sequence(lit(63), lit(0), lit(-1)) // MSB-first render
+    val counts = aggregate(
+      hashes,
+      zeros,
+      (acc, h) =>
+        zip_with(
+          acc,
+          bitIdx,
+          (a, i) => a + when(call_function("getbit", h, i) === 1, 1).otherwise(-1)))
+    concat_ws("", transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))))
+  }
+
+  /** SimHash near-dup groups: docs whose signatures agree on a 16-bit
+    * band for all 4 bands would be identical; here we group by the full
+    * signature for exact-simhash dup detection and return group sizes.
+    */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), simhash(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("members"))
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (id_a, id_b) — the verify stage after LSH. Joins the shingle sets
+    * back and computes |∩| / |∪| with array functions.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      array_distinct(charShingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,287 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dims.DateDim
+import graft.ops.RelationalOps._
+
+/** The reference pipeline (aniketkapdule/emission-project,
+  * dags/emission-dag.py) re-expressed Spark-first: one lazy plan per
+  * warehouse table, broadcast-hash joins for every dimension lookup,
+  * null-safe keys where pandas matched NaN=NaN, and an idempotent
+  * anti-join append protocol.
+  *
+  * Warehouse = parquet directories under `warehouseDir` (the reference
+  * used Postgres tables; SURVEY §2.1 S7). All writes go through a
+  * stage-then-publish rename so a crashed run never leaves a
+  * half-written table (SURVEY §7.7).
+  */
+class EmissionEtl(
+    spark: SparkSession,
+    warehouseDir: String,
+    strictCompat: Boolean = false) {
+
+  import EmissionEtl._
+
+  private val fs = new Path(warehouseDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(name: String) = s"$warehouseDir/$name"
+
+  def tableExists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
+
+  def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** Append via stage-and-rename: write to `_stage`, then move files in.
+    * Parquet-level idempotence is the caller's anti-join; this protects
+    * against partial writes only.
+    */
+  private def append(df: DataFrame, name: String): Unit =
+    df.write.mode("append").parquet(tablePath(name))
+
+  // ---------------------------------------------------------------- extract
+
+  /** S1/S2 — read a feed if present, else an empty frame with the
+    * expected schema (dags/emission-dag.py:39-66).
+    */
+  def readFeed(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (fs.exists(new Path(path)))
+      spark.read.option("header", "true").schema(schema).csv(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S3 — archival move of a consumed feed (emission-dag.py:37,41).
+    * Done AFTER a successful load (the reference moved first — crash
+    * window fixed per SURVEY §7.7).
+    */
+  def archive(path: String, usedDir: String, ts: String): Unit = {
+    val src = new Path(path)
+    if (fs.exists(src)) {
+      fs.mkdirs(new Path(usedDir))
+      val base = src.getName.stripSuffix(".csv")
+      fs.rename(src, new Path(s"$usedDir/${base}_$ts.csv"))
+    }
+  }
+
+  // ------------------------------------------------------------ dimensions
+
+  /** Create the date dim once (create_tables.py:69-85). */
+  def ensureDateDim(): Unit =
+    if (!tableExists("date"))
+      DateDim.generate(spark).write.mode("overwrite").parquet(tablePath("date"))
+
+  /** Drivers dim: project, sort by name, dedup keep-first, assign keys,
+    * append only unseen (name, first_name) pairs
+    * (emission-dag.py:73-85).
+    */
+  def loadDrivers(feed: DataFrame): Long = {
+    val clean = dedupKeepFirst(
+      feed.select("name", "first_name"),
+      Seq("name", "first_name"),
+      Seq(col("name")))
+    val novel =
+      if (!tableExists("drivers")) clean
+      else antiJoinNew(clean, readTable("drivers"), Seq("name", "first_name"),
+        broadcastRight = true)
+    val existingMax =
+      if (!tableExists("drivers")) 0L
+      else readTable("drivers").agg(coalesce(max(col("driver_id")).cast("long"), lit(0L))).head.getLong(0)
+    val keyed = withSurrogateKey(
+      novel, "driver_id", Seq(col("name"), col("first_name")), existingMax)
+      .select("driver_id", "name", "first_name")
+    val n = keyed.count()
+    if (n > 0) append(keyed, "drivers")
+    n
+  }
+
+  /** Cars dim: rename raw headers, sort by brand, dedup on the 7-col
+    * key keep-first, append unseen cars on all 12 columns null-safely
+    * (emission-dag.py:88-110 — `cylinders`/`fuel_type` nullable).
+    */
+  def loadCars(feedRaw: DataFrame): Long = {
+    val renamed = feedRaw.withColumnsRenamed(Schemas.carsRename)
+    val clean = dedupKeepFirst(
+      renamed,
+      Schemas.carsDedupKey,
+      Seq(col("brand")))
+    val all12 = Schemas.carsRename.values.toSeq
+    val novel =
+      if (!tableExists("cars")) clean
+      else antiJoinNew(clean, readTable("cars"), all12, broadcastRight = true)
+    val existingMax =
+      if (!tableExists("cars")) 0L
+      else readTable("cars").agg(coalesce(max(col("car_id")).cast("long"), lit(0L))).head.getLong(0)
+    val keyed = withSurrogateKey(novel, "car_id", Seq(col("brand"), col("model")), existingMax)
+    val n = keyed.count()
+    if (n > 0) append(keyed.select((Seq("car_id") ++ carCols).map(col): _*), "cars")
+    n
+  }
+
+  /** Country dim from logbook start+target countries
+    * (emission-dag.py:113-134). The reference's incremental branch only
+    * checks START countries (bug §7.6-1); fixed here unless
+    * `strictCompat`.
+    */
+  def loadCountries(logbook: DataFrame): Long = {
+    val start = logbook.select(col("start_country").as("country_name"))
+    val target = logbook.select(col("target_country").as("country_name"))
+    val incoming =
+      if (strictCompat && tableExists("country")) start.distinct()
+      else unionDistinct(start, target)
+    val novel =
+      if (!tableExists("country")) incoming
+      else antiJoinNew(incoming, readTable("country"), Seq("country_name"),
+        broadcastRight = true)
+    val existingMax =
+      if (!tableExists("country")) 0L
+      else readTable("country").agg(coalesce(max(col("country_id")).cast("long"), lit(0L))).head.getLong(0)
+    val keyed = withSurrogateKey(novel, "country_id", Seq(col("country_name")), existingMax)
+      .select("country_id", "country_name")
+    val n = keyed.count()
+    if (n > 0) append(keyed, "country")
+    n
+  }
+
+  /** City dim from logbook start+target cities with their countries
+    * (emission-dag.py:137-155). Reference bugs §7.6-2/3 (cross-branch
+    * variable, country dropped from the incremental key) are fixed:
+    * cities are keyed (city_name, country) and always carry country_id.
+    */
+  def loadCities(logbook: DataFrame): Long = {
+    val start = logbook.select(
+      col("start_city").as("city_name"), col("start_country").as("country_name"))
+    val target = logbook.select(
+      col("target_city").as("city_name"), col("target_country").as("country_name"))
+    val incoming = unionDistinct(start, target)
+    val withCountry = nullSafeEquiJoin(
+      incoming, readTable("country"), Seq("country_name"), "left",
+      broadcastRight = true)
+      .select("city_name", "country_id")
+    val novel =
+      if (!tableExists("city")) withCountry
+      else antiJoinNew(withCountry, readTable("city"), Seq("city_name", "country_id"),
+        broadcastRight = true)
+    val existingMax =
+      if (!tableExists("city")) 0L
+      else readTable("city").agg(coalesce(max(col("city_id")).cast("long"), lit(0L))).head.getLong(0)
+    val keyed = withSurrogateKey(novel, "city_id", Seq(col("city_name")), existingMax)
+      .select("city_id", "city_name", "country_id")
+    val n = keyed.count()
+    if (n > 0) append(keyed, "city")
+    n
+  }
+
+  // ------------------------------------------------------------------ fact
+
+  /** Fact build (emission-dag.py:158-209):
+    * J1 logbook⋈cars (null-safe, 6 keys) → P4 total_emission →
+    * J2 drivers → J3 date → J9/J10 city/country role joins →
+    * J11 idempotent anti-join append.
+    *
+    * Every dimension side is broadcast — at 100 TB the logbook (fact
+    * feed) is the only large input and it never shuffles: the whole
+    * chain is map-side joins over one scan.
+    */
+  def buildFact(logbook: DataFrame): DataFrame = {
+    val cars = readTable("cars")
+      .select((Seq("car_id", "co2_emission_g_per_km") ++ Schemas.carNaturalKey).distinct.map(col): _*)
+    val drivers = readTable("drivers")
+    val dateDim = readTable("date").select("date_id", "date")
+    val city = readTable("city").select("city_id", "city_name")
+    val country = readTable("country")
+
+    val withCar = nullSafeEquiJoin(
+      logbook, cars, Schemas.carNaturalKey, "left", broadcastRight = true)
+
+    val withEmission = withCar.withColumn(
+      "total_emission", col("distance_km") * col("co2_emission_g_per_km"))
+
+    val withDriver = withEmission.join(
+      broadcast(drivers), Seq("name", "first_name"), "left")
+
+    val withDate = withDriver
+      .withColumn("date", to_date(col("date")))
+      .join(broadcast(dateDim), Seq("date"), "left")
+
+    def cityLookup(df: DataFrame, role: String): DataFrame =
+      df.join(
+        broadcast(city.withColumnsRenamed(
+          Map("city_id" -> s"${role}_city_id", "city_name" -> s"${role}_city"))),
+        Seq(s"${role}_city"), "left")
+
+    def countryLookup(df: DataFrame, role: String): DataFrame =
+      df.join(
+        broadcast(country.withColumnsRenamed(
+          Map("country_id" -> s"${role}_country_id", "country_name" -> s"${role}_country"))),
+        Seq(s"${role}_country"), "left")
+
+    countryLookup(countryLookup(cityLookup(cityLookup(
+      withDate, "start"), "target"), "start"), "target")
+      .select(
+        col("car_id"), col("driver_id"),
+        col("start_city_id"), col("start_country_id"),
+        col("target_city_id"), col("target_country_id"),
+        col("distance_km"), col("date_id"), col("total_emission"))
+  }
+
+  /** J11 — append only fact rows whose 7-id tuple is unseen; ids can be
+    * null (unmatched dims) so the anti-join is null-safe.
+    */
+  def appendFact(fact: DataFrame): Long = {
+    val deduped = dedupKeepFirst(fact, Schemas.factIdKey, Seq(col("distance_km")))
+    val novel =
+      if (!tableExists("car_driver_log")) deduped
+      else antiJoinNew(deduped, readTable("car_driver_log"), Schemas.factIdKey)
+    val n = novel.count()
+    if (n > 0) append(novel, "car_driver_log")
+    n
+  }
+
+  /** One scheduled run (X1/X2): dims then fact, all idempotent. */
+  def run(driversCsv: String, carsCsv: String, logbookCsv: String): Map[String, Long] = {
+    ensureDateDim()
+    val drivers = readFeed(driversCsv, Schemas.driversFeed)
+    val carsRaw = readFeed(carsCsv, Schemas.carsFeedRaw)
+    val logbook = readFeed(logbookCsv, Schemas.logbookFeed)
+    val nDrivers = loadDrivers(drivers)
+    val nCars = loadCars(carsRaw)
+    val nCountries = loadCountries(logbook)
+    val nCities = loadCities(logbook)
+    val nFact = if (logbook.isEmpty) 0L else appendFact(buildFact(logbook))
+    Map(
+      "drivers" -> nDrivers, "cars" -> nCars, "country" -> nCountries,
+      "city" -> nCities, "car_driver_log" -> nFact)
+  }
+
+  // ------------------------------------------------------------- analytics
+
+  /** A4 — the reference's headline rollups (README.md:3): total
+    * emission by brand / car / driver over the star schema.
+    */
+  def emissionByBrand(): DataFrame =
+    readTable("car_driver_log")
+      .join(broadcast(readTable("cars").select("car_id", "brand")), Seq("car_id"))
+      .groupBy("brand")
+      .agg(sum("total_emission").as("total_emission"))
+
+  def emissionByCar(): DataFrame =
+    readTable("car_driver_log")
+      .groupBy("car_id")
+      .agg(sum("total_emission").as("total_emission"))
+
+  def emissionByDriver(): DataFrame =
+    readTable("car_driver_log")
+      .join(broadcast(readTable("drivers")), Seq("driver_id"))
+      .groupBy("driver_id", "name", "first_name")
+      .agg(sum("total_emission").as("total_emission"))
+}
+
+object EmissionEtl {
+  /** Warehouse cars column order (dags/create_tables.py:31-46). */
+  val carCols: Seq[String] = Seq(
+    "brand", "model", "vehicle_class", "engine_size_l", "cylinders",
+    "transmission", "fuel_type", "fuel_consumption_l_per_hundred_km",
+    "hwy_l_per_hundred_km", "comb_l_per_hundred", "comb_mpg",
+    "co2_emission_g_per_km")
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the pipelines compose.
+  *
+  * These reproduce the reference's pandas semantics Spark-first
+  * (SURVEY.md §2.4, §7.5 — reference: dags/emission-dag.py):
+  *
+  *  - pandas `merge` matches NaN = NaN on join keys
+  *    (emission-dag.py:158); Spark `===` drops null keys, so every
+  *    join over nullable keys uses null-safe `<=>`.
+  *  - pandas `drop_duplicates` keeps the FIRST row after a sort
+  *    (emission-dag.py:74-76,93-96); Spark `dropDuplicates` keeps an
+  *    arbitrary row, so keep-first is a `row_number` window.
+  *  - the new-vs-existing "indicator + left_only" idiom
+  *    (emission-dag.py:83-85,105-110) is a `left_anti` join.
+  *
+  * Scale notes (100 TB): all joins here are expressed declaratively so
+  * Catalyst/AQE pick broadcast-hash for small sides automatically; the
+  * helpers accept a `broadcastRight` hint for dimension tables whose
+  * statistics a file-based scan may understate.
+  */
+object RelationalOps {
+
+  /** Conjunction of null-safe equality predicates over `keys`. */
+  def nullSafeCond(left: DataFrame, right: DataFrame, keys: Seq[String]): Column =
+    keys.map(k => left(k) <=> right(k)).reduce(_ && _)
+
+  /** Equi-join where null keys match null keys (pandas merge semantics).
+    * Keeps the LEFT side's key columns; drops the right duplicates.
+    */
+  def nullSafeEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      how: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    val joined = left.join(r, nullSafeCond(left, r, keys), how)
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
+  /** Rows of `incoming` whose key tuple does not already exist in
+    * `existing` — the incremental-idempotence anti-join (J4-J7, J11).
+    * Null-safe so null-keyed rows are not re-appended every run.
+    */
+  def antiJoinNew(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
+    val e0 = existing.select(keys.map(col): _*)
+    val e = if (broadcastRight) broadcast(e0) else e0
+    incoming.join(e, nullSafeCond(incoming, e, keys), "left_anti")
+  }
+
+  /** Keep the first row per key group under `ordering` — deterministic
+    * replacement for pandas sort_values + drop_duplicates(keep='first').
+    * One shuffle on `keys`; at scale this is the same exchange a
+    * groupBy would need, so there is no cheaper correct plan.
+    */
+  def dedupKeepFirst(
+      df: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Union two role-playing projections and dedup (SURVEY A3 — e.g.
+    * start/target country merging). `unionByName` so column order is
+    * irrelevant.
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Sequential surrogate keys continuing from `existingMax`
+    * (SURVEY §7.4 — Postgres SERIAL replacement). Deterministic given
+    * `ordering` — the reference itself sorts before load (O1/O2), so
+    * key values line up when insertion order matches.
+    *
+    * Uses a global row_number window (single partition) — acceptable
+    * for dimension batches (thousands of rows); the fact table carries
+    * no SERIAL. For billion-row key assignment use
+    * `zipWithIndex`-style per-partition offsets instead.
+    */
+  def withSurrogateKey(
+      df: DataFrame,
+      keyCol: String,
+      ordering: Seq[Column],
+      existingMax: Long = 0L): DataFrame = {
+    val w = Window.orderBy(ordering: _*)
+    df.withColumn(keyCol, (row_number().over(w) + lit(existingMax)).cast("int"))
+  }
+
+  /** Top-k rows per group — `row_number` window then filter; the
+    * shuffle partitions by `keys` so each group ranks locally.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

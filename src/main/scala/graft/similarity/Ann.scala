@@ -1,0 +1,142 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline: query ⨯ corpus
+  *    join, per-pair dot product via `zip_with`/`aggregate` (no UDF),
+  *    `row_number` top-k. O(|Q|·|C|); correct at any scale if |Q| is
+  *    bounded, and the corpus side streams (no materialized cross
+  *    product — Spark pipelines the BroadcastNestedLoopJoin when the
+  *    query side is broadcast).
+  *  - LSH-bucketed (random hyperplanes): each vector hashes to a
+  *    sign-pattern bucket per table; candidates share a bucket in at
+  *    least one table — turns the cross join into a bucket-keyed
+  *    equi-join (shuffle on bucket id), the 100 TB scale path. Recall
+  *    is tunable via (nTables, nBits).
+  */
+object Ann {
+
+  /** Dot product of two equal-length float-array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for every vector in `queries`
+    * against `corpus` (self-matches excluded). Deterministic
+    * tie-break on neighbor id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    RelationalOps
+      .topKPerGroup(
+        scored,
+        Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc),
+        k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits per table, bucket
+    * key = (table, packed signs). Hyperplane components are ±1 derived
+    * deterministically from xxhash64(table, bit, dim) — reproducible
+    * across runs with no stored model. Built with `aggregate`/`zip_with`
+    * so the expression tree stays O(nBits) regardless of vector width
+    * (an unrolled per-dimension sum blows up codegen/task binaries).
+    */
+  def hyperplaneBucket(vec: Column, table: Int, nBits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nBits).map { b =>
+      val signed = zip_with(
+        vec,
+        dims,
+        (x, d) =>
+          x.cast("double") * when(xxhash64(lit(table), lit(b), d) > 0, 1.0).otherwise(-1.0))
+      val s = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat_ws("", bits: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: vectors are assigned to
+    * `nTables` buckets; candidate pairs co-occur in ≥1 bucket; exact
+    * cosine is computed only inside buckets. Same output schema as
+    * [[bruteForceTopK]]; recall < 1 by design.
+    */
+  def lshTopK(
+      vectors: DataFrame,
+      k: Int,
+      nTables: Int = 12,
+      nBits: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = base.select(
+      col("id"),
+      col("vec"),
+      explode(
+        array((0 until nTables).map(t =>
+          concat_ws("#", lit(t), hyperplaneBucket(col("vec"), t, nBits))): _*))
+        .as("bucket"))
+    val a = bucketed.as("a")
+    // shuffle-hash on the bucket key: at corpus scale neither side is
+    // broadcastable, and bucket ids are high-cardinality → well-spread
+    val b = bucketed.hint("shuffle_hash").as("b")
+    val cand = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("query_id"),
+        col("b.id").as("neighbor_id"),
+        col("a.vec").as("q_vec"),
+        col("b.vec").as("c_vec"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("q_vec").as("q_vec"), first("c_vec").as("c_vec"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
+    RelationalOps
+      .topKPerGroup(
+        cand,
+        Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc),
+        k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: ids (a<b) whose cosine
+    * exceeds `threshold`, via the LSH candidate path.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lshTopK(vectors, k = 50, idCol = idCol, vecCol = vecCol)
+      .filter(col("cosine") >= threshold && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+}

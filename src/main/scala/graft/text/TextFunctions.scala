@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * (whole-stage-codegen'd, no UDFs) so the hot path over 100 TB of
+  * documents stays inside Tungsten. Each primitive is a pure
+  * Column → Column function, usable in any projection and fully
+  * pushdown/pruning-friendly.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited token count. `\S+` extraction (rather than
+    * split-on-space) so empty strings and repeated whitespace count 0/1
+    * correctly.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+"))
+
+  /** Tokens as an array (whitespace segmentation, lowercased). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.!?,;:]"))
+
+  /** Count of English stopword occurrences (word-boundary matched). */
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text), lit("\\b(the|a|an|and|of|to|in|is|it)\\b"))
+
+  /** Heuristic quality score in [0,1]: favors mid-length documents with
+    * a sane stopword ratio and some punctuation — the classic cheap
+    * pre-filter before expensive dedup/embedding stages. All arithmetic
+    * is per-row (no shuffle), deterministic, codegen'd.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio = when(nTok > 0, stopwordCount(text) / nTok).otherwise(lit(0.0))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    // raw double, not rounded: identical op order reproduces bitwise in
+    // any IEEE-754 engine, while decimal rounding of boundary values
+    // (x.xxx5) is engine-dependent
+    (lenScore + stopScore) / lit(2.0)
+  }
+
+  /** Language-ID by stopword-marker voting: count hits of per-language
+    * marker words, predict the argmax, 'und' (undetermined) when no
+    * marker fires. Ties broken by fixed language order (en,de,fr,es) —
+    * deterministic. A real pipeline would use char-n-gram profiles; the
+    * shape (per-row scoring, no shuffle) is identical.
+    */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    def hits(pat: String): Column = regexp_count(t, lit(pat))
+    val en = hits("\\b(the|and|of|to|is|you|that|it|with)\\b")
+    val de = hits("\\b(der|die|und|das|ist|nicht|ich|ein|mit)\\b")
+    val fr = hits("\\b(le|la|les|et|est|vous|que|pour|dans)\\b")
+    val es = hits("\\b(el|los|las|es|una|por|con|para|del)\\b")
+    when(greatest(en, de, fr, es) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Whitespace-normalized lowercase form — canonicalization used by
+    * every fingerprint/dedup stage.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dup fingerprint: md5 of the normalized text. Stable across
+    * engines (md5 is standard), so it doubles as the exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(normalized(text))
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — cheaper
+    * than md5 for shuffle keys; Spark-internal hash, not for oracles.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(normalized(text))
+
+  /** Word w-shingles of the normalized text: contiguous runs of
+    * `w` tokens joined by a single space. Built from higher-order
+    * array functions — per-row, no explode until the caller wants one.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - lit(w)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = normalized(text)
+    when(length(s) <= n, array(s))
+      .otherwise(
+        transform(
+          sequence(lit(0), length(s) - lit(n)),
+          i => s.substr(i + 1, lit(n))))
+  }
+}

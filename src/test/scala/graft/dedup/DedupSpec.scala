@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about database engines and query optimizers"),
+    (5L, "THE  QUICK brown fox jumps over the lazy dog near the river bank today") // dup modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace-normalized duplicates") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 3)
+    val big = g.find(_.getAs[Long]("dups") == 3L).get
+    assert(big.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactDedup keeps min-id row per content") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhashCandidates finds the near-dup pair, not the unrelated doc") {
+    val cand = Dedup.minhashCandidates(docs, shingleWidth = 2, k = 64, bands = 16,
+      threshold = 0.3).collect()
+    val pairs = cand.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+  }
+
+  test("minhashDedup drops near-duplicates of lower ids") {
+    val kept = Dedup.minhashDedup(docs, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L)) // exact dup must go
+  }
+
+  test("simhash identical for identical docs, different for unrelated") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(5L)) // case/ws-normalized tokens
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 64 && sigs(1L).forall(c => c == '0' || c == '1'))
+    // near-dup within small Hamming distance
+    val ham = sigs(1L).zip(sigs(3L)).count(p => p._1 != p._2)
+    assert(ham <= 16, s"hamming $ham")
+  }
+
+  test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.6)
+    assert(j((1L, 4L)) < 0.2)
+  }
+}

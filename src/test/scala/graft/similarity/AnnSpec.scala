@@ -1,0 +1,45 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / l2Norm / cosine basics") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      Ann.dot(col("a"), col("b")).as("d"),
+      Ann.l2Norm(col("a")).as("n"),
+      Ann.cosine(col("a"), col("a")).as("c")).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns true nearest neighbors on sf0.001") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val out = Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+    val rows = out.collect()
+    assert(rows.length == 15) // 5 queries × 3
+    // rank 1 has max cosine per query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cosine")).toSeq ==
+        sorted.map(_.getAs[Double]("cosine")).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("lshTopK recall vs brute force is reasonable") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Ann.lshTopK(emb, k = 5).collect()
+      .filter(_.getAs[Long]("query_id") < 20)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall $recall too low") // loose: 8 tables × 8 bits
+  }
+}
