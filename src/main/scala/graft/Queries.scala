@@ -255,6 +255,45 @@ object Queries {
         col("cnt"),
         col("sum_value"))
 
+  /** Gap-based sessionization in batch (30-min inactivity gap): the
+    * classic event-pipeline operator — boundary detection via lag,
+    * session ids via running sum, then per-session rollup. The
+    * streaming variant lives in graft.streaming (state timeouts);
+    * semantics here are checked against the SQL oracle.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
+    val boundary = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs, 1L)
+      .otherwise(lit(0L))
+    t(s, dir, "events")
+      .withColumn("sid", sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** TPC-H Q3 shape — selective star join + grouped top-k by revenue. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
   // ------------------------------------------------------ text analysis
 
   def qTxtTokens(s: SparkSession, dir: String): DataFrame =

@@ -51,6 +51,8 @@ object SparkEntry {
     "q_date_parts" -> (Queries.qDateParts _),
     // streaming-shaped
     "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_sessionize" -> (Queries.qSessionize _),
+    "q_tpch_q3" -> (Queries.qTpchQ3 _),
     // text analysis
     "q_txt_tokens" -> (Queries.qTxtTokens _),
     "q_txt_quality" -> (Queries.qTxtQuality _),
@@ -225,6 +227,34 @@ object Oracles {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_sessionize" ->
+      """WITH b AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS boundary
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM b)
+         SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid""",
+
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 
     "q_txt_tokens" ->
       """SELECT doc_id,

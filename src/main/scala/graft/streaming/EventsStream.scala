@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the `events` feed.
+  *
+  * The reference is daily batch (SURVEY §1.1 — "near real-time" is
+  * aspirational, dags/emission-dag.py:26); this module is the
+  * engine's genuine streaming surface: file-source ingestion,
+  * watermarked tumbling-window aggregation, streaming dedup, and
+  * stateful gap sessionization. The batch counterparts
+  * (Queries.qEventsHourly / qSessionize) share the same column logic,
+  * so correctness of the shared semantics is oracle-checked in batch
+  * while the streaming-only mechanics (watermark, state timeout) are
+  * tested with streaming tests.
+  */
+object EventsStream {
+
+  /** Event schema as produced by `Tables.events` (micros timestamps). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files —
+    * the S1/S3 "incoming directory" pattern done the Spark way
+    * (new files are discovered incrementally; `cleanSource`/archiving
+    * replaces the reference's shutil.move checkpointing).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+
+  /** Watermarked tumbling-window counts — streaming counterpart of
+    * Queries.qEventsHourly. Late events beyond 2h are dropped; state
+    * for closed windows is evicted automatically.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * at-least-once upstream → effectively-once downstream with
+    * bounded state.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------ sessionization
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  case class SessState(startUs: Long, endUs: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with event-time state timeout — the
+    * streaming counterpart of Queries.qSessionize (30-min inactivity
+    * gap). State per user is one small struct; a session is emitted
+    * when a gap is observed in-stream or when the watermark passes
+    * `gap` past its last event (timeout).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def toTs(us: Long) = new Timestamp(us / 1000)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, toTs(s.startUs), toTs(s.endUs), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, us), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
+                  cur = Some(SessState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes.toLong * 60 * 1000)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** Run the hourly-count stream over `inDir` to completion
+    * (AvailableNow) writing a memory sink; returns the collected
+    * result — used by tests and as a library utility for backfills.
+    */
+  def runHourlyCountsOnce(spark: SparkSession, inDir: String, name: String): DataFrame = {
+    val q = hourlyCounts(readEventStream(spark, inDir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

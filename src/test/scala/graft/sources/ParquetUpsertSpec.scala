@@ -1,0 +1,30 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParquetUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeByKey: replaces matched keys, appends new, idempotent") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    assert(ParquetUpsert.mergeByKey(spark, dir, v1, Seq("id")) == 2L)
+
+    // update id=2, insert id=3
+    val v2 = Seq((2L, "b2", 21.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    assert(ParquetUpsert.mergeByKey(spark, dir, v2, Seq("id")) == 3L)
+    val out = spark.read.parquet(dir).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(1).getString(1) == "b2" && out(1).getDouble(2) == 21.0)
+
+    // re-applying the same updates changes nothing
+    assert(ParquetUpsert.mergeByKey(spark, dir, v2, Seq("id")) == 3L)
+    assert(spark.read.parquet(dir).count() == 3L)
+    // no stage/old leftovers
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("t"), s"leftovers: $parent")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class EventsStreamSpec extends SparkSpec {
+  import EventsStream._
+
+  test("streaming hourly counts equal the batch result over the same files") {
+    // stage events (nanos→micros) into a stream-source directory
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    graft.Tables.events(spark, sf("events")).write.mode("overwrite").parquet(dir)
+
+    val streamed = runHourlyCountsOnce(spark, dir, "hourly_test")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+      .toMap
+
+    val batch = graft.Queries.qEventsHourly(spark, sf("events"))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, (cnt, sum)) =>
+      assert(streamed(k)._1 == cnt, s"count mismatch at $k")
+      assert(math.abs(streamed(k)._2 - sum) < 0.02, s"sum mismatch at $k")
+    }
+  }
+
+  test("sessionize: gap closes sessions in-stream, watermark timeout flushes open ones") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L // fixed epoch millis
+    def ev(id: Long, user: Long, offsetMin: Long, v: Double) =
+      Event(id, new Timestamp(t0 + offsetMin * 60000), user, "click", v)
+
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: user 1 — two events 10min apart, then a 60-min gap event
+    input.addData(ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 70, 4.0))
+    q.processAllAvailable()
+    // batch 2: far-future event advances the watermark → open session times out
+    input.addData(ev(4, 2, 600, 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess_test")
+      .filter(col("user_id") === 1).orderBy("session_start").collect()
+    assert(sessions.length == 2, s"got ${sessions.length} sessions")
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(0).getAs[Double]("sum_value") == 3.0)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(1).getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("streaming dedup drops duplicate event_ids within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, new Timestamp(t0), 1, "a", 1.0),
+      Event(1, new Timestamp(t0), 1, "a", 1.0),
+      Event(2, new Timestamp(t0 + 1000), 1, "b", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_test").count() == 2)
+  }
+}
