@@ -294,6 +294,29 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** §3.3 — the ad-hoc SQL surface: register views, run `spark.sql`
+    * (parse → analyze → optimize → execute through Catalyst).
+    */
+  def qSqlView(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders_v GROUP BY 1, 2""")
+  }
+
+  /** Sketch aggregates — HLL distinct + approximate quantiles (no SQL
+    * oracle: approximation algorithms are engine-specific).
+    */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+
   // ------------------------------------------------------ text analysis
 
   def qTxtTokens(s: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,9 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
+    // SQL surface + sketches
+    "q_sql_view" -> (Queries.qSqlView _),
+    "q_approx_sketch" -> (Queries.qApproxSketch _),
     // text analysis
     "q_txt_tokens" -> (Queries.qTxtTokens _),
     "q_txt_quality" -> (Queries.qTxtQuality _),
@@ -227,6 +230,13 @@ object Oracles {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_sql_view" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1, 2""",
 
     "q_sessionize" ->
       """WITH b AS (

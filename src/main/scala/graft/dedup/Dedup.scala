@@ -42,21 +42,18 @@ object Dedup {
   }
 
   /** MinHash signature: array of k minima of seeded 64-bit hashes over
-    * the document's shingle set. Per-row, no shuffle, no UDF.
+    * the document's shingle set. Per-row, no shuffle, no UDF — fused
+    * native expression (graft.functions.MinHashSig), one compiled
+    * double loop per row.
     *
-    * Single `aggregate` pass carrying a k-wide running-min vector:
-    * higher-order functions are interpreted (CodegenFallback), so the
-    * shingles child expression must be evaluated ONCE per row — a
-    * `transform(sequence(1,k), seed -> array_min(transform(shingles,…)))`
-    * formulation re-evaluates the whole shingling subtree per seed
-    * (64× per row) and is ~100× slower.
+    * (History: a `transform(sequence(1,k), seed -> array_min(...))`
+    * HOF formulation re-evaluated the shingling subtree per seed and
+    * was ~100× slower; a single-`aggregate` HOF pass fixed that but
+    * still paid interpreted lambda dispatch per hash — the native
+    * expression removes both.)
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) =>
-        zip_with(acc, sequence(lit(1), lit(k)), (m, seed) => least(m, xxhash64(s, seed))))
+    graft.functions.MinHashFunctions.minhashSig(shingles, k)
 
   /** LSH band keys: the signature split into `bands` bands of
     * `k/bands` rows, each band hashed to one 64-bit bucket key.

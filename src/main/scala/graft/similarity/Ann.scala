@@ -21,8 +21,17 @@ import graft.ops.RelationalOps
   */
 object Ann {
 
-  /** Dot product of two equal-length float-array columns (as double). */
+  /** Dot product of two equal-length float-array columns (as double) —
+    * fused native Catalyst expression (codegen'd single loop; see
+    * graft.functions.FloatVecDot).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** Reference HOF formulation — interpreted; kept for cross-checking
+    * the native expression (bitwise-identical accumulation order).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

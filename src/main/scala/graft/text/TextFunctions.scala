@@ -87,25 +87,16 @@ object TextFunctions {
     xxhash64(normalized(text))
 
   /** Word w-shingles of the normalized text: contiguous runs of
-    * `w` tokens joined by a single space. Built from higher-order
-    * array functions — per-row, no explode until the caller wants one.
+    * `w` tokens joined by a single space. Native expression — the HOF
+    * formulation re-evaluated the tokenize subtree per shingle
+    * position (O(n²) per row, interpreted).
     */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < w, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - lit(w)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-  }
+  def wordShingles(text: Column, w: Int): Column =
+    graft.functions.ShingleFunctions.wordShingles(tokens(text), w)
 
-  /** Character n-grams of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val s = normalized(text)
-    when(length(s) <= n, array(s))
-      .otherwise(
-        transform(
-          sequence(lit(0), length(s) - lit(n)),
-          i => s.substr(i + 1, lit(n))))
-  }
+  /** Character n-grams of the normalized text (native expression —
+    * same O(n²) HOF pitfall as wordShingles).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.charNGrams(normalized(text), n)
 }

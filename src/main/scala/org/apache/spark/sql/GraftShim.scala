@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils) so graft can expose
+  * custom Catalyst expressions as ordinary `Column`s. Lives in the
+  * org.apache.spark.sql package solely for access; no Spark internals
+  * are modified.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

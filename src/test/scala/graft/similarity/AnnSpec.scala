@@ -17,6 +17,23 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("native FloatVecDot is bitwise-identical to the HOF formulation") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val diff = emb.select(
+      Ann.dot(col("embedding"), col("embedding")).as("native"),
+      Ann.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty)
+  }
+
+  test("FloatVecDot participates in whole-stage codegen") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val plan = emb.select(Ann.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(1)" marks a WholeStageCodegen stage in the compact plan string
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("bruteForceTopK returns true nearest neighbors on sf0.001") {
     val emb = graft.Tables.embeddings(spark, sf("embeddings"))
     val out = Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
