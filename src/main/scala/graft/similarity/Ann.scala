@@ -70,27 +70,6 @@ object Ann {
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane signature: `nBits` sign bits per table, bucket
-    * key = (table, packed signs). Hyperplane components are ±1 derived
-    * deterministically from xxhash64(table, bit, dim) — reproducible
-    * across runs with no stored model. Built with `aggregate`/`zip_with`
-    * so the expression tree stays O(nBits) regardless of vector width
-    * (an unrolled per-dimension sum blows up codegen/task binaries).
-    */
-  def hyperplaneBucket(vec: Column, table: Int, nBits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until nBits).map { b =>
-      val signed = zip_with(
-        vec,
-        dims,
-        (x, d) =>
-          x.cast("double") * when(xxhash64(lit(table), lit(b), d) > 0, 1.0).otherwise(-1.0))
-      val s = aggregate(signed, lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat_ws("", bits: _*)
-  }
-
   /** LSH-bucketed approximate top-k: vectors are assigned to
     * `nTables` buckets; candidate pairs co-occur in ≥1 bucket; exact
     * cosine is computed only inside buckets. Same output schema as
@@ -107,9 +86,7 @@ object Ann {
     val bucketed = base.select(
       col("id"),
       col("vec"),
-      explode(
-        array((0 until nTables).map(t =>
-          concat_ws("#", lit(t), hyperplaneBucket(col("vec"), t, nBits))): _*))
+      explode(graft.functions.HyperplaneFunctions.hyperplaneSig(col("vec"), nTables, nBits))
         .as("bucket"))
     val a = bucketed.as("a")
     // shuffle-hash on the bucket key: at corpus scale neither side is
