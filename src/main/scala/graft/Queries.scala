@@ -317,6 +317,25 @@ object Queries {
       percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
 
+  /** Semi-structured extraction: parse the events `props` JSON column
+    * with a schema'd `from_json` and aggregate on the extracted field.
+    * (The oracle mirrors the extraction with a regexp so it does not
+    * depend on DuckDB's JSON extension being loadable offline.)
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    t(s, dir, "events")
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   def qTxtTokens(s: SparkSession, dir: String): DataFrame =

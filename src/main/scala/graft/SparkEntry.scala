@@ -55,6 +55,7 @@ object SparkEntry {
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
     // SQL surface + sketches
     "q_sql_view" -> (Queries.qSqlView _),
+    "q_json_extract" -> (Queries.qJsonExtract _),
     "q_approx_sketch" -> (Queries.qApproxSketch _),
     // text analysis
     "q_txt_tokens" -> (Queries.qTxtTokens _),
@@ -230,6 +231,15 @@ object Oracles {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_json_extract" ->
+      """SELECT event_type,
+         COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+         MIN(k) AS min_k, MAX(k) AS max_k
+         FROM (SELECT event_type,
+                 TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS INT) AS k
+               FROM events)
+         GROUP BY event_type""",
 
     "q_sql_view" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,

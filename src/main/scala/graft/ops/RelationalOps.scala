@@ -98,6 +98,27 @@ object RelationalOps {
     df.withColumn(keyCol, (row_number().over(w) + lit(existingMax)).cast("int"))
   }
 
+  /** Skew-mitigating equi-join: the left (large, skewed) side gets a
+    * deterministic salt in [0, saltFactor); the right side is
+    * replicated once per salt value; the join keys on (keys, salt).
+    * Splits a hot key's rows across `saltFactor` reducers at the cost
+    * of replicating the right side — the classic fallback when AQE's
+    * skew-join split isn't available (e.g. the skewed side feeds a
+    * windowed op). Semantics are identical to the plain equi-join.
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      how: String = "inner",
+      saltFactor: Int = 8): DataFrame = {
+    val salt = pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int")
+    val l = left.withColumn("__salt", salt)
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Top-k rows per group — `row_number` window then filter; the
     * shuffle partitions by `keys` so each group ranks locally.
     */

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-path mechanics: salted skew joins are semantics-preserving,
+  * and bucketed tables co-locate joins (no shuffle on either side).
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedEquiJoin equals the plain join on skewed data") {
+    // heavily skewed: 90% of left rows share one key
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "lv")
+    val right = Seq(("hot", 1.0), ("k950", 2.0), ("miss", 3.0)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).collect().map(_.toString).sorted.toSeq
+    val salted = RelationalOps.saltedEquiJoin(left, right, Seq("k"), saltFactor = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // left join too (unmatched rows keep null right side)
+    val plainL = left.join(right, Seq("k"), "left").count()
+    val saltedL = RelationalOps.saltedEquiJoin(left, right, Seq("k"), "left", 4).count()
+    assert(saltedL == plainL)
+  }
+
+  test("bucketed tables join without exchanges on either side") {
+    val li = graft.Tables.lineitem(spark, sf("lineitem"))
+      .select("l_orderkey", "l_quantity")
+    val o = graft.Tables.orders(spark, sf("orders"))
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("o_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // and it still computes the right thing
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
