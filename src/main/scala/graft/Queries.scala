@@ -389,6 +389,12 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The composed cleaning pipeline's funnel (rows-only check —
+    * near-dedup stage is Spark-hash based).
+    */
+  def qPipelineFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.funnel(t(s, dir, "documents"))
+
   // ------------------------------------------------- similarity search
 
   /** Brute-force exact cosine top-5 for the first 20 vectors. */

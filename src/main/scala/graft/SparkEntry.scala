@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
+    "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),

@@ -41,6 +41,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("no query plans a cartesian product (ann_brute's broadcast NLJ excepted)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf("")).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("q_agg_pricing uses partial aggregation (map-side combine)") {
     val p = plan("q_agg_pricing")
     assert(p.contains("HashAggregate"), p)

@@ -24,6 +24,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedL == plainL)
   }
 
+  test("partitioned writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_p"
+    graft.Tables.events(spark, sf("events"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // only the click partition's rows are read
+    val expected = graft.Tables.events(spark, sf("events"))
+      .filter(col("event_type") === "click").count()
+    assert(read.count() == expected)
+  }
+
   test("bucketed tables join without exchanges on either side") {
     val li = graft.Tables.lineitem(spark, sf("lineitem"))
       .select("l_orderkey", "l_quantity")
