@@ -72,35 +72,47 @@ object Ann {
 
   /** LSH-bucketed approximate top-k: vectors are assigned to
     * `nTables` buckets; candidate pairs co-occur in ≥1 bucket; exact
-    * cosine is computed only inside buckets. Same output schema as
-    * [[bruteForceTopK]]; recall < 1 by design.
+    * cosine is computed only for unique candidate pairs. Same output
+    * schema as [[bruteForceTopK]]; recall < 1 by design.
+    *
+    * Scale discipline (learned from a 40k-vector probe that produced
+    * an ~80 GB shuffle from the naive formulation):
+    *  - the bucket self-join carries ONLY (id, bucket) rows; vectors
+    *    re-attach per unique pair afterwards;
+    *  - `maxBucket` drops degenerate buckets before the join — the
+    *    pair expansion of a bucket is quadratic in its size;
+    *  - size `nBits` to the corpus: buckets/table = 2^nBits; keep
+    *    expected bucket size ≲ maxBucket or recall silently drops to
+    *    whatever survives the cap.
     */
   def lshTopK(
       vectors: DataFrame,
       k: Int,
       nTables: Int = 12,
       nBits: Int = 6,
+      maxBucket: Int = 1000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed = base.select(
       col("id"),
-      col("vec"),
       explode(graft.functions.HyperplaneFunctions.hyperplaneSig(col("vec"), nTables, nBits))
         .as("bucket"))
-    val a = bucketed.as("a")
+    val capped = bucketed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     // shuffle-hash on the bucket key: at corpus scale neither side is
     // broadcastable, and bucket ids are high-cardinality → well-spread
-    val b = bucketed.hint("shuffle_hash").as("b")
-    val cand = a
-      .join(b, col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(
-        col("a.id").as("query_id"),
-        col("b.id").as("neighbor_id"),
-        col("a.vec").as("q_vec"),
-        col("b.vec").as("c_vec"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(first("q_vec").as("q_vec"), first("c_vec").as("c_vec"))
+    val pairs = capped.as("a")
+      .join(capped.hint("shuffle_hash").as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+    val cand = pairs
+      .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), Seq("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
