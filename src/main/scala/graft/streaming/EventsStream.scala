@@ -125,6 +125,28 @@ object EventsStream {
       }
   }
 
+  /** Incremental warehouse maintenance from a stream: each micro-batch
+    * MERGEs into a parquet table by key via foreachBatch +
+    * ParquetUpsert — the streaming version of the reference's
+    * idempotent append protocol (exactly-once per key: replays of a
+    * batch re-merge the same rows).
+    */
+  def upsertSink(
+      events: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ParquetUpsert.mergeByKey(
+          batch.sparkSession, tablePath, batch.toDF(), keys)
+        ()
+      }
+      .start()
+
   /** Run the hourly-count stream over `inDir` to completion
     * (AvailableNow) writing a memory sink; returns the collected
     * result — used by tests and as a library utility for backfills.

@@ -64,6 +64,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(sessions(1).getAs[Double]("sum_value") == 4.0)
   }
 
+  test("upsertSink: checkpointed restart picks up new files, no duplicates") {
+    val in = Files.createTempDirectory("graft_upsert_in").toString
+    val table = Files.createTempDirectory("graft_upsert_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ck").toString
+
+    val events = graft.Tables.events(spark, sf("events"))
+    // first 2 files of events
+    events.filter(col("event_id") < 500).write.parquet(s"$in/batch1")
+    val src1 = spark.readStream.schema(eventSchema).parquet(s"$in/*")
+    upsertSink(src1, table, Seq("event_id"), ckpt).awaitTermination()
+    val n1 = spark.read.parquet(table).count()
+    assert(n1 == 500L)
+
+    // restart with one more file (overlapping ids 400-599: replays merge)
+    events.filter(col("event_id") >= 400 && col("event_id") < 600)
+      .write.parquet(s"$in/batch2")
+    val src2 = spark.readStream.schema(eventSchema).parquet(s"$in/*")
+    upsertSink(src2, table, Seq("event_id"), ckpt).awaitTermination()
+    val out = spark.read.parquet(table)
+    assert(out.count() == 600L) // no duplicates from the overlap
+    assert(out.select("event_id").distinct().count() == 600L)
+  }
+
   test("streaming dedup drops duplicate event_ids within watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
