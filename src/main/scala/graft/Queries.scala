@@ -389,6 +389,22 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Multimodal asset metadata (binary content + typed meta): the
+    * oracle-checkable slice of the multimodal path — ids, kinds, byte
+    * lengths, declared dimensions. Feature extraction (stub decode)
+    * is exercised in MultimodalSpec.
+    */
+  def qMmMeta(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.synthesizeAssets(t(s, dir, "documents"))
+      .toDF()
+      .select(
+        col("asset_id"),
+        col("kind"),
+        length(col("content")).as("n_bytes"),
+        col("width"),
+        col("height"),
+        col("sample_rate"))
+
   /** The composed cleaning pipeline's funnel (rows-only check —
     * near-dedup stage is Spark-hash based).
     */

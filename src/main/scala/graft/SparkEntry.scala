@@ -68,6 +68,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
+    // multimodal
+    "q_mm_meta" -> (Queries.qMmMeta _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
@@ -314,6 +316,16 @@ object Oracles {
     "q_txt_fingerprint" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents""",
+
+    "q_mm_meta" ->
+      """SELECT doc_id AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+         CAST((doc_id % 64) * 16 + 64 AS INT) AS width,
+         CAST((doc_id % 48) * 16 + 64 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate
          FROM documents""",
 
     "q_emb_norm" ->

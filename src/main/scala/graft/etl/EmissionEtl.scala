@@ -188,7 +188,7 @@ class EmissionEtl(
       .select((Seq("car_id", "co2_emission_g_per_km") ++ Schemas.carNaturalKey).distinct.map(col): _*)
     val drivers = readTable("drivers")
     val dateDim = readTable("date").select("date_id", "date")
-    val city = readTable("city").select("city_id", "city_name")
+    val city = readTable("city").select("city_id", "city_name", "country_id")
     val country = readTable("country")
 
     val withCar = nullSafeEquiJoin(
@@ -204,19 +204,24 @@ class EmissionEtl(
       .withColumn("date", to_date(col("date")))
       .join(broadcast(dateDim), Seq("date"), "left")
 
-    def cityLookup(df: DataFrame, role: String): DataFrame =
-      df.join(
-        broadcast(city.withColumnsRenamed(
-          Map("city_id" -> s"${role}_city_id", "city_name" -> s"${role}_city"))),
-        Seq(s"${role}_city"), "left")
-
     def countryLookup(df: DataFrame, role: String): DataFrame =
       df.join(
         broadcast(country.withColumnsRenamed(
           Map("country_id" -> s"${role}_country_id", "country_name" -> s"${role}_country"))),
         Seq(s"${role}_country"), "left")
 
-    countryLookup(countryLookup(cityLookup(cityLookup(
+    // city keyed on (name, country) — the reference joins on name only
+    // (§7.6 bug 4: ambiguous if one city name exists in two countries);
+    // countries therefore resolve first
+    def cityLookup(df: DataFrame, role: String): DataFrame =
+      df.join(
+        broadcast(city.withColumnsRenamed(Map(
+          "city_id" -> s"${role}_city_id",
+          "city_name" -> s"${role}_city",
+          "country_id" -> s"${role}_country_id"))),
+        Seq(s"${role}_city", s"${role}_country_id"), "left")
+
+    cityLookup(cityLookup(countryLookup(countryLookup(
       withDate, "start"), "target"), "start"), "target")
       .select(
         col("car_id"), col("driver_id"),

@@ -44,6 +44,15 @@ class EmissionEtlSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("fact build plan is all-broadcast (no sort-merge, no extra shuffle)") {
+    firstRun
+    val logbook = etl.readFeed(
+      s"$refData/logbook_incoming_data/drivers_logbook.csv", Schemas.logbookFeed)
+    val plan = etl.buildFact(logbook).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 7, plan)
+  }
+
   test("second run appends nothing (idempotence via anti-joins)") {
     firstRun
     val second = etl.run(
