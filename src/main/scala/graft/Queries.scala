@@ -405,6 +405,10 @@ object Queries {
         col("height"),
         col("sample_rate"))
 
+  /** Banded SimHash near-dup pairs (rows-only — Spark-hash based). */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 16)
+
   /** The composed cleaning pipeline's funnel (rows-only check —
     * near-dedup stage is Spark-hash based).
     */

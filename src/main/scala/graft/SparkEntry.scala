@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     // multimodal

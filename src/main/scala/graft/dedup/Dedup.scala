@@ -139,28 +139,50 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset, rendered as a 64-char
     * bitstring (MSB first): bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
-    *
-    * Entirely per-row via higher-order functions — one `aggregate`
-    * pass over the tokens carrying a 64-wide counter vector; no
-    * shuffle, no UDF. (A custom Catalyst Expression could fuse the
-    * inner zip; per-row cost is 64 × n_tokens int-adds, fine for the
-    * scan-shaped pipelines this feeds.)
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Fused native
+    * expression (graft.functions.SimHash64) — one hash per token, one
+    * compiled pass, no shuffle, no UDF.
     */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val zeros = transform(sequence(lit(1), lit(64)), _ => lit(0))
-    val bitIdx = sequence(lit(63), lit(0), lit(-1)) // MSB-first render
-    val counts = aggregate(
-      hashes,
-      zeros,
-      (acc, h) =>
-        zip_with(
-          acc,
-          bitIdx,
-          (a, i) => a + when(call_function("getbit", h, i) === 1, 1).otherwise(-1)))
-    concat_ws("", transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))))
+  def simhash(text: Column): Column =
+    graft.functions.SimHashFunctions.simhash64(tokens(text))
+
+  /** Banded SimHash near-dup candidate pairs: the 64-bit signature
+    * splits into 4 × 16-bit bands; docs sharing any band become a
+    * candidate pair (the pigeonhole guarantee: Hamming distance ≤ 3
+    * ⇒ at least one identical band); exact Hamming distance filters
+    * to `maxHamming`. Same light-pairs/skew-cap shape as MinHash LSH.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col("id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws("#", lit(b), substring(col("sig"), b * 16 + 1, 16))): _*)).as("band"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val pairs = capped.as("a")
+      .join(capped.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val hamming = aggregate(
+      zip_with(split(col("sig_a"), ""), split(col("sig_b"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0),
+      (acc, v) => acc + v)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup groups: docs whose signatures agree on a 16-bit

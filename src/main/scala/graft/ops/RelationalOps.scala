@@ -98,6 +98,46 @@ object RelationalOps {
     df.withColumn(keyCol, (row_number().over(w) + lit(existingMax)).cast("int"))
   }
 
+  /** Anti-join with a Bloom pre-filter — the 100 TB path for
+    * incremental idempotence. The exact anti-join must shuffle the
+    * incoming batch against the (huge) warehouse key set; a Bloom
+    * filter over the existing keys (one scan, compact, broadcast via
+    * closure) splits incoming rows into definitely-novel (bypass the
+    * join entirely) and possibly-seen (exact null-safe anti-join on
+    * just that slice). With a mostly-novel feed the expensive join
+    * sees only the false-positive fraction.
+    *
+    * Multi-column keys are folded through xxhash64; null key values
+    * hash like any other (the exact join stage is still null-safe).
+    */
+  def bloomAntiJoinNew(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String],
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    val keyHash = xxhash64(keys.map(col): _*)
+    val bf = existing
+      .select(keyHash.as("__kh"))
+      .stat.bloomFilter("__kh", math.max(expectedItems, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // codegen'd native probe (the expression AQE's runtime row-level
+    // filters use) instead of a Scala UDF
+    val mightContain = org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftShim.expression(keyHash)))
+    val tagged = incoming.withColumn("__maybe", mightContain)
+    val definitelyNovel = tagged.filter(!col("__maybe")).drop("__maybe")
+    val candidates = tagged.filter(col("__maybe")).drop("__maybe")
+    definitelyNovel.unionByName(antiJoinNew(candidates, existing, keys))
+  }
+
   /** Skew-mitigating equi-join: the left (large, skewed) side gets a
     * deterministic salt in [0, saltFactor); the right side is
     * replicated once per salt value; the join keys on (keys, salt).

@@ -54,6 +54,14 @@ class DedupSpec extends SparkSpec {
     assert(ham <= 16, s"hamming $ham")
   }
 
+  test("simhashNearDupPairs pairs exact/near dups, skips unrelated") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → hamming 0
+    assert(pairs.contains((1L, 5L))) // normalized-identical
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()

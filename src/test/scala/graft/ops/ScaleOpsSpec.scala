@@ -24,6 +24,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedL == plainL)
   }
 
+  test("bloomAntiJoinNew equals plain antiJoinNew (nulls included)") {
+    val incoming = Seq(("a", Some(1.0)), ("b", None), ("c", Some(2.0)), ("d", Some(9.0)))
+      .toDF("k1", "k2")
+    val existing = Seq(("a", Some(1.0)), ("b", Option.empty[Double])).toDF("k1", "k2")
+    val plain = RelationalOps.antiJoinNew(incoming, existing, Seq("k1", "k2"))
+      .collect().map(_.toString).sorted.toSeq
+    val bloom = RelationalOps.bloomAntiJoinNew(incoming, existing, Seq("k1", "k2"),
+      expectedItems = 100)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloom == plain)
+    // larger randomized check against the testdata
+    val inc = graft.Tables.customer(spark, sf("")).select("c_custkey", "c_name")
+    val ex = inc.filter(col("c_custkey") % 3 === 0)
+    val a = RelationalOps.antiJoinNew(inc, ex, Seq("c_custkey", "c_name")).count()
+    val b = RelationalOps.bloomAntiJoinNew(inc, ex, Seq("c_custkey", "c_name"),
+      expectedItems = 1000).count()
+    assert(a == b)
+  }
+
   test("partitioned writes prune partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_p"
     graft.Tables.events(spark, sf("events"))
