@@ -8,7 +8,7 @@ import graft.dims.DateDim
 import graft.ops.RelationalOps
 import graft.text.TextFunctions
 import graft.dedup.Dedup
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 
 /** The declared query surface: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions
@@ -426,6 +426,15 @@ object Queries {
   /** LSH-bucketed approximate variant (no oracle; recall<1). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") < 100), k = 5)
+
+  /** IVF ANN: k-means coarse quantizer + probed-cell exact scoring
+    * (rows-only — k-means cells are engine-specific).
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Ivf.build(emb, nLists = 16)
+    Ivf.topK(index, emb.filter(col("vec_id") < 100), k = 5, nProbe = 4)
+  }
 
   /** Embedding L2 norms — exercises the vector math path. */
   def qEmbNorm(s: SparkSession, dir: String): DataFrame =

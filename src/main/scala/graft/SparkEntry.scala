@@ -74,6 +74,7 @@ object SparkEntry {
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
   )
 
