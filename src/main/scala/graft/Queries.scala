@@ -294,6 +294,24 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** As-of join (backward): for each error event, the user's most
+    * recent purchase at-or-before it — the time-series join composed
+    * as union + window carry-forward (one shuffle; see
+    * RelationalOps.asofJoinBackward). Oracle: DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    RelationalOps.asofJoinBackward(
+      errors, purchases, Seq("user_id"), "ts",
+      Seq("purchase_value", "purchase_ts"))
+  }
+
   /** §3.3 — the ad-hoc SQL surface: register views, run `spark.sql`
     * (parse → analyze → optimize → execute through Catalyst).
     */

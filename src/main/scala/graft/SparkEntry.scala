@@ -53,6 +53,7 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
     // SQL surface + sketches
     "q_sql_view" -> (Queries.qSqlView _),
     "q_json_extract" -> (Queries.qJsonExtract _),
@@ -245,6 +246,13 @@ object Oracles {
                  TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS INT) AS k
                FROM events)
          GROUP BY event_type""",
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+         p.value AS purchase_value, p.ts AS purchase_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts""",
 
     "q_sql_view" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -98,6 +98,51 @@ object RelationalOps {
     df.withColumn(keyCol, (row_number().over(w) + lit(existingMax)).cast("int"))
   }
 
+  /** Backward as-of join — for each left row, the most recent right
+    * row with `right.ts <= left.ts` within the same key (the
+    * time-series operator Spark lacks natively).
+    *
+    * Composed Spark-first (preference (a) — no custom plan needed):
+    * union both sides with a marker, one window over (keys, ts) with
+    * `last(_, ignoreNulls)` carrying the right payload forward, keep
+    * left rows. ONE shuffle on the keys and no range-explosion — at
+    * any scale this is the same exchange a groupBy on the keys costs,
+    * vs. the naive range-join which is quadratic per key.
+    *
+    * Right rows sort BEFORE left rows at equal timestamps, so the
+    * match is inclusive (`<=`). `rightPayload` columns are returned
+    * nullable (left-join semantics: no prior right row → nulls).
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__lrow", struct(leftCols.map(col): _*))
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)))
+      .select((keys :+ tsCol).map(col) ++ Seq(col("__lrow"), col("__rv"), lit(1).as("__side")): _*)
+    val rTagged = right
+      .withColumn("__lrow", lit(null).cast(
+        org.apache.spark.sql.types.StructType(left.schema.fields)))
+      .withColumn("__rv", struct(rightPayload.map(col): _*))
+      .select((keys :+ tsCol).map(col) ++ Seq(col("__lrow"), col("__rv"), lit(0).as("__side")): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc) // right first at equal ts
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      rightPayload.map(c => col(s"__last_rv.$c").as(c))
+    carried.select(out: _*)
+  }
+
   /** Anti-join with a Bloom pre-filter — the 100 TB path for
     * incremental idempotence. The exact anti-join must shuffle the
     * incoming batch against the (huge) warehouse key set; a Bloom
