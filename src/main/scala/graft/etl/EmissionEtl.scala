@@ -232,14 +232,32 @@ class EmissionEtl(
 
   /** J11 — append only fact rows whose 7-id tuple is unseen; ids can be
     * null (unmatched dims) so the anti-join is null-safe.
+    *
+    * The fact table is partitioned by month (`p_month` = date_id/100);
+    * the idempotence anti-join reads ONLY the partitions the incoming
+    * batch touches (plus the null partition for unmatched-date rows) —
+    * at warehouse scale the rewrite/read cost is bounded by the
+    * batch's date spread, not the table size (SURVEY §7.7).
     */
   def appendFact(fact: DataFrame): Long = {
     val deduped = dedupKeepFirst(fact, Schemas.factIdKey, Seq(col("distance_km")))
+      .withColumn("p_month", (col("date_id") / lit(100)).cast("int"))
     val novel =
       if (!tableExists("car_driver_log")) deduped
-      else antiJoinNew(deduped, readTable("car_driver_log"), Schemas.factIdKey)
+      else {
+        val months = deduped.select("p_month").distinct()
+          .collect().map(r => Option(r.get(0)).map(_.toString.toInt))
+        val monthVals = months.flatten.toSeq
+        val existing = readTable("car_driver_log")
+          .filter(
+            col("p_month").isin(monthVals: _*) ||
+              (if (months.contains(None)) col("p_month").isNull else lit(false)))
+        antiJoinNew(deduped, existing, Schemas.factIdKey)
+      }
     val n = novel.count()
-    if (n > 0) append(novel, "car_driver_log")
+    if (n > 0)
+      novel.write.mode("append").partitionBy("p_month")
+        .parquet(tablePath("car_driver_log"))
     n
   }
 

@@ -53,6 +53,17 @@ class EmissionEtlSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 7, plan)
   }
 
+  test("fact table is month-partitioned and the anti-join prunes partitions") {
+    firstRun
+    val dirs = new java.io.File(s"$wh/car_driver_log").list().toSeq
+      .filter(_.startsWith("p_month="))
+    assert(dirs.nonEmpty, "expected p_month= partition directories")
+    // a pruned read only touches the requested partitions
+    val pruned = etl.readTable("car_driver_log").filter(col("p_month") === 201405)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_month"), plan)
+  }
+
   test("second run appends nothing (idempotence via anti-joins)") {
     firstRun
     val second = etl.run(
