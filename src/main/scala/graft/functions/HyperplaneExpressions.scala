@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOF formulation paid interpreted lambda dispatch per element and
   * dominated the ANN bench.
   */
-case class HyperplaneSig(child: Expression, nTables: Int, nBits: Int)
+case class HyperplaneSig(
+    child: Expression, nTables: Int, nBits: Int,
+    includeHamming1: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -56,21 +58,35 @@ case class HyperplaneSig(child: Expression, nTables: Int, nBits: Int)
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
-    val out = new Array[Any](nTables)
+    val perTable = if (includeHamming1) 1 + nBits else 1
+    val out = new Array[Any](nTables * perTable)
     var t = 0
     while (t < nTables) {
-      val sb = new java.lang.StringBuilder(nBits + 4)
-      sb.append(t).append('#')
+      val bits = new Array[Char](nBits)
       var b = 0
       while (b < nBits) {
         val row = m(t * nBits + b)
         var s = 0.0
         d = 0
         while (d < dim) { s += v(d) * row(d); d += 1 }
-        sb.append(if (s > 0) '1' else '0')
+        bits(b) = if (s > 0) '1' else '0'
         b += 1
       }
-      out(t) = UTF8String.fromString(sb.toString)
+      val base = t + "#" + new String(bits)
+      out(t * perTable) = UTF8String.fromString(base)
+      if (includeHamming1) {
+        // multiprobe: the nBits sign patterns at Hamming distance 1 —
+        // query-side probing of adjacent buckets lifts recall without
+        // extra tables
+        var f = 0
+        while (f < nBits) {
+          val flipped = bits.clone()
+          flipped(f) = if (bits(f) == '1') '0' else '1'
+          out(t * perTable + 1 + f) =
+            UTF8String.fromString(t + "#" + new String(flipped))
+          f += 1
+        }
+      }
       t += 1
     }
     new GenericArrayData(out)
@@ -81,7 +97,10 @@ case class HyperplaneSig(child: Expression, nTables: Int, nBits: Int)
 }
 
 object HyperplaneFunctions {
-  /** All LSH bucket keys (one per table) for an `array<float>` vector. */
-  def hyperplaneSig(vec: Column, nTables: Int, nBits: Int): Column =
-    GraftShim.column(HyperplaneSig(GraftShim.expression(vec), nTables, nBits))
+  /** All LSH bucket keys (one per table) for an `array<float>` vector;
+    * `multiProbe` adds the Hamming-1 neighbor buckets per table.
+    */
+  def hyperplaneSig(vec: Column, nTables: Int, nBits: Int,
+      multiProbe: Boolean = false): Column =
+    GraftShim.column(HyperplaneSig(GraftShim.expression(vec), nTables, nBits, multiProbe))
 }

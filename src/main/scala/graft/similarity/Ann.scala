@@ -91,21 +91,27 @@ object Ann {
       nTables: Int = 12,
       nBits: Int = 6,
       maxBucket: Int = 1000,
+      multiProbe: Boolean = false,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = base.select(
+    def bucketize(probe: Boolean) = base.select(
       col("id"),
-      explode(graft.functions.HyperplaneFunctions.hyperplaneSig(col("vec"), nTables, nBits))
+      explode(graft.functions.HyperplaneFunctions
+        .hyperplaneSig(col("vec"), nTables, nBits, multiProbe = probe))
         .as("bucket"))
+    val bucketed = bucketize(false)
     val capped = bucketed
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+    // multiprobe: query side also probes Hamming-1 buckets; the
+    // indexed side stays at base buckets so state doesn't grow
+    val probeSide = if (multiProbe) bucketize(true) else capped
     // shuffle-hash on the bucket key: at corpus scale neither side is
     // broadcastable, and bucket ids are high-cardinality → well-spread
-    val pairs = capped.as("a")
+    val pairs = probeSide.as("a")
       .join(capped.hint("shuffle_hash").as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))

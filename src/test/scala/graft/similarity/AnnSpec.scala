@@ -57,6 +57,13 @@ class AnnSpec extends SparkSpec {
       .filter(_.getAs[Long]("query_id") < 20)
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    assert(recall > 0.2, s"LSH recall $recall too low") // loose: 8 tables × 8 bits
+    assert(recall > 0.2, s"LSH recall $recall too low")
+
+    // multiprobe (Hamming-1 query-side probing) must not lose recall
+    val mp = Ann.lshTopK(emb, k = 5, multiProbe = true).collect()
+      .filter(_.getAs[Long]("query_id") < 20)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mpRecall = (brute intersect mp).size.toDouble / brute.size
+    assert(mpRecall >= recall, s"multiprobe recall $mpRecall < base $recall")
   }
 }
