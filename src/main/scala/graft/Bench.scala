@@ -23,12 +23,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: scheduler + parquet footers/codegen paths
+    // warmup: scheduler + codegen paths, plus one full scan per input so
+    // cold parquet IO / OS page cache is not charged to whichever query
+    // happens to sort first (round-1 numbers charged lineitem's cold read
+    // to q_agg_pricing).
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach { t =>
-      try Tables.table(spark, sfDir, t).limit(1).count()
+      try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // representative shapes so Janino/codegen compile cost is not
+    // charged to whichever query of each shape happens to run first
+    // (sf0.001 profiling: first agg query paid ~1.2 s of pure codegen)
+    val w = spark.range(2000).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+    w.groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).collect()
+    w.as("a").join(w.as("b"), "k").count()
+    w.selectExpr("k", "v - lag(v) OVER (PARTITION BY k ORDER BY id) AS d").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

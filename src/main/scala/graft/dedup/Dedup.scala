@@ -65,14 +65,32 @@ object Dedup {
       b => xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), _.cast("string"))), b))
   }
 
+  /** All unordered id pairs (least, greatest) from buckets of
+    * bounded size: groupBy the bucket key, collect member ids, drop
+    * singleton and over-`maxBucket` buckets (skew guard: the pair
+    * expansion of a bucket is quadratic in its size — degenerate
+    * boilerplate buckets would dominate the output), then explode the
+    * in-bucket combinations. ONE shuffle total — cheaper than the
+    * window-cap + bucket self-join formulation, which shuffled the
+    * membership rows twice more.
+    */
+  private def bucketPairs(membership: DataFrame, maxBucket: Int): DataFrame =
+    membership
+      .groupBy("band")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(posexplode(col("ids")).as(Seq("i", "x")), col("ids"))
+      .select(col("x"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"), greatest(col("x"), col("y")).as("id_b"))
+      .distinct() // collapse multi-band collisions before the sig compare
+
   /** Candidate near-duplicate pairs via MinHash LSH, verified with the
     * estimated Jaccard (fraction of agreeing minhashes) — returns
     * (id_a, id_b, est_jaccard) with id_a < id_b, est >= `threshold`.
     *
     * Plan shape: project(shingle+sig+bands) → explode(bands) →
-    * shuffle on band key (self-join) → pairwise verify inside buckets.
-    * `maxBucket` drops degenerate buckets (all-identical boilerplate)
-    * to keep the join output bounded.
+    * groupBy band (one shuffle) → explode bounded in-bucket pairs →
+    * distinct → re-attach signatures per unique pair → verify.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -87,26 +105,12 @@ object Dedup {
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
 
-    // Bucket membership rows are (id, band) ONLY — the self-join must
-    // not drag signatures through the shuffle; they are re-attached
-    // once per UNIQUE candidate pair afterwards.
+    // Bucket membership rows are (id, band) ONLY — signatures are
+    // re-attached once per UNIQUE candidate pair afterwards.
     val buckets = sigs.select(
       col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
 
-    // Cap pathological buckets before the self-join (skew guard:
-    // boilerplate-heavy corpora produce mega-buckets whose pairwise
-    // expansion is quadratic; production pipelines drop them).
-    val capped = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-
-    val pairs = capped.as("a")
-      .join(capped.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // collapse multi-band collisions before the sig compare
+    val pairs = bucketPairs(buckets, maxBucket)
 
     val est = {
       val agree = aggregate(
@@ -137,11 +141,11 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over the token multiset, rendered as a 64-char
-    * bitstring (MSB first): bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Fused native
-    * expression (graft.functions.SimHash64) — one hash per token, one
-    * compiled pass, no shuffle, no UDF.
+  /** 64-bit SimHash over the token multiset as a LONG: bit b is the
+    * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Fused
+    * native expression (graft.functions.SimHash64) — one hash per
+    * token, one compiled pass, no shuffle, no UDF; downstream band
+    * extraction and Hamming distance stay in codegen as bit ops.
     */
   def simhash(text: Column): Column =
     graft.functions.SimHashFunctions.simhash64(tokens(text))
@@ -149,8 +153,10 @@ object Dedup {
   /** Banded SimHash near-dup candidate pairs: the 64-bit signature
     * splits into 4 × 16-bit bands; docs sharing any band become a
     * candidate pair (the pigeonhole guarantee: Hamming distance ≤ 3
-    * ⇒ at least one identical band); exact Hamming distance filters
-    * to `maxHamming`. Same light-pairs/skew-cap shape as MinHash LSH.
+    * ⇒ at least one identical band); exact Hamming distance
+    * (`bit_count(a ^ b)`, pure codegen) filters to `maxHamming`.
+    * Same light-pairs/skew-cap shape as MinHash LSH. Band key packs
+    * (band index, 16 signature bits) into one long — no strings.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -162,26 +168,14 @@ object Dedup {
     val banded = sigs.select(
       col("id"),
       explode(array((0 until 4).map(b =>
-        concat_ws("#", lit(b), substring(col("sig"), b * 16 + 1, 16))): _*)).as("band"))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val pairs = capped.as("a")
-      .join(capped.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val hamming = aggregate(
-      zip_with(split(col("sig_a"), ""), split(col("sig_b"), ""),
-        (x, y) => when(x === y, 0).otherwise(1)),
-      lit(0),
-      (acc, v) => acc + v)
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)) + lit(b * 0x10000L)): _*))
+        .as("band"))
+    val pairs = bucketPairs(banded, maxBucket)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

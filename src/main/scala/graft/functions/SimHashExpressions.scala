@@ -5,21 +5,21 @@ import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
-/** 64-bit SimHash over an `array<string>` token column, rendered as a
-  * 64-char bitstring (MSB first): bit i is the sign of
-  * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
+/** 64-bit SimHash over an `array<string>` token column, returned as a
+  * LONG: bit b is set iff Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
+  * is positive.
   *
-  * Values are identical to the earlier HOF formulation (same xxhash64
-  * seed 42, same MSB-first rendering) but computed in one compiled
-  * pass — one hash per token, 64 adds, no per-bit lambda dispatch.
+  * A long signature (vs the earlier 64-char bitstring) keeps every
+  * downstream operation inside whole-stage codegen: band extraction is
+  * `shiftrightunsigned`+`&`, Hamming distance is `bit_count(a ^ b)` —
+  * no string splitting, no per-character lambdas.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = StringType
+  override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
 
@@ -40,10 +40,10 @@ case class SimHash64(child: Expression)
       }
       i += 1
     }
-    val sb = new java.lang.StringBuilder(64)
-    var b = 63
-    while (b >= 0) { sb.append(if (counts(b) > 0) '1' else '0'); b -= 1 }
-    UTF8String.fromString(sb.toString)
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -40,22 +40,32 @@ object TrainingDataPipeline {
     Dedup.minhashDedup(exact, conf.idCol, conf.textCol, conf.minhashThreshold)
   }
 
-  /** Per-stage survival counts — the pipeline's observability story. */
+  /** Per-stage survival counts — the pipeline's observability story.
+    *
+    * The two per-row gates are counted in ONE scan with conditional
+    * aggregation (a naive count-per-stage would rescan the input once
+    * per stage), and the gated/deduped frames are persisted so the
+    * shuffle stages (exact dedup, minhash LSH) each read their input
+    * exactly once.
+    */
   def funnel(docs: DataFrame, conf: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n0 = docs.count()
-    val q = qualityGate(docs, conf)
-    val n1 = q.count()
-    val l = languageGate(q, conf)
-    val n2 = l.count()
-    val e = Dedup.exactDedup(l, conf.idCol, conf.textCol)
+    val qPass = TextFunctions.qualityScore(col(conf.textCol)) >= conf.minQuality
+    val lPass = TextFunctions.langId(col(conf.textCol)).isin(conf.keepLangs.toSeq: _*)
+    val Array(n0, n1, n2) = docs
+      .agg(count(lit(1)), count_if(qPass), count_if(qPass && lPass))
+      .first().toSeq.map(_.asInstanceOf[Long]).toArray
+    val gated = docs.filter(qPass && lPass).persist()
+    val e = Dedup.exactDedup(gated, conf.idCol, conf.textCol).persist()
     val n3 = e.count()
-    val m = Dedup.minhashDedup(e, conf.idCol, conf.textCol, conf.minhashThreshold)
-    val n4 = m.count()
-    Seq(
+    val n4 = Dedup.minhashDedup(e, conf.idCol, conf.textCol, conf.minhashThreshold).count()
+    val out = Seq(
       ("0_input", n0), ("1_quality", n1), ("2_language", n2),
       ("3_exact_dedup", n3), ("4_near_dedup", n4))
       .toDF("stage", "docs")
+    gated.unpersist()
+    e.unpersist()
+    out
   }
 }

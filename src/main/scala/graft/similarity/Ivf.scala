@@ -1,9 +1,8 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.ops.RelationalOps
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
@@ -11,47 +10,94 @@ import graft.ops.RelationalOps
   * probes its `nProbe` nearest cells and scores exactly only inside
   * them — candidate count ≈ corpus × nProbe / nLists.
   *
-  * Scale shape: training samples the corpus (k-means on a bounded
-  * sample); assignment is one scan; the probe join shuffles on
-  * cell id (high cardinality, bounded cells). Unlike hyperplane LSH
-  * the cells adapt to the data distribution, so recall is typically
-  * higher at equal candidate budgets on clustered embeddings.
+  * Scale shape: the quantizer trains on a BOUNDED sample solved
+  * locally on the driver (the standard IVF recipe — e.g. FAISS trains
+  * coarse quantizers on ~10⁵-10⁶ sampled vectors regardless of corpus
+  * size); `nLists` centroids then become plan literals, so cell
+  * assignment is a single codegen'd scan — no iterative cluster jobs,
+  * no shuffle. The probe join shuffles once on cell id
+  * (high-cardinality, bounded cells). Unlike hyperplane LSH the cells
+  * adapt to the data distribution, so recall is typically higher at
+  * equal candidate budgets on clustered embeddings.
   */
 object Ivf {
 
-  case class Index(centroids: DataFrame, assigned: DataFrame)
+  case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  /** Build the index: fit k-means (fixed seed — deterministic) on a
-    * sample, assign every vector to its nearest centroid.
+  /** Nearest-centroid cell id: argmin over dist²(v, c) computed as
+    * |c|² − 2·v·c (the |v|² term is constant per row), each dot a
+    * fused codegen loop; ties break to the lower cell id via struct
+    * ordering.
+    */
+  private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x.toDouble * x.toDouble).sum
+      struct(
+        (VectorFunctions.vecDot(vec, typedLit(c)) * -2.0 + normSq).as("d"),
+        lit(i).as("cell"))
+    }
+    least(scored: _*).getField("cell")
+  }
+
+  /** Build the index: deterministic local Lloyd's k-means on a bounded
+    * sample, then assign every vector to its nearest centroid (lazy,
+    * one scan).
     */
   def build(
       vectors: DataFrame,
       nLists: Int = 16,
-      sampleFraction: Double = 1.0,
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Index = {
-    val spark = vectors.sparkSession
-    val asVec = vectors.select(
+    val sample = vectors.select(col(vecCol))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val dim = sample.head.length
+    val k = math.min(nLists, sample.length)
+
+    // deterministic init: evenly-spaced sample vectors
+    var centroids = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+
+    var iter = 0
+    while (iter < lloydIters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          val cen = centroids(c)
+          while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell: keep old centroid
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+
+    val assigned = vectors.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val train =
-      if (sampleFraction >= 1.0) asVec
-      else asVec.sample(withReplacement = false, sampleFraction, seed = 42L)
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(20)
-      .fit(train.select("features"))
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }.toSeq).toDF("cell", "centroid")
-    val assigned = model.transform(asVec)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
+      nearestCell(col(vecCol), centroids).as("cell"))
     Index(centroids, assigned)
   }
 
-  /** Query the index: for each query vector, find its `nProbe`
-    * nearest cells (broadcast centroids — nLists is small by design),
-    * then exact cosine against only those cells' members.
+  /** Query the index: each query ranks all centroids in one codegen'd
+    * expression (sort an nLists-element array of (−cos, cell) structs,
+    * keep `nProbe`) — no per-query shuffle — then scores exactly
+    * against only those cells' members (one shuffle on cell id).
     * Output schema matches Ann.bruteForceTopK.
     */
   def topK(
@@ -62,15 +108,16 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    // rank cells per query by centroid distance; keep nProbe
-    val scoredCells = q.join(broadcast(index.centroids))
-      .select(
-        col("query_id"), col("q_vec"), col("cell"),
-        Ann.cosine(col("q_vec"), col("centroid")).as("ccos"))
-    val probed = RelationalOps.topKPerGroup(
-      scoredCells, Seq("query_id"),
-      Seq(col("ccos").desc, col("cell").asc), nProbe)
-      .select("query_id", "q_vec", "cell")
+    val nP = math.min(nProbe, index.centroids.length)
+    val ranked = array(index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (VectorFunctions.vecCosine(col("q_vec"), typedLit(c)) * -1.0).as("negcos"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = q.select(
+      col("query_id"), col("q_vec"),
+      explode(slice(array_sort(ranked), 1, nP)).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("probe.cell").as("cell"))
     // exact scoring inside probed cells only (shuffle on cell id)
     val cand = probed.join(index.assigned.hint("shuffle_hash"), Seq("cell"))
       .filter(col("query_id") =!= col("id"))

@@ -44,13 +44,12 @@ class DedupSpec extends SparkSpec {
 
   test("simhash identical for identical docs, different for unrelated") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s")).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) == sigs(5L)) // case/ws-normalized tokens
     assert(sigs(1L) != sigs(4L))
-    assert(sigs(1L).length == 64 && sigs(1L).forall(c => c == '0' || c == '1'))
     // near-dup within small Hamming distance
-    val ham = sigs(1L).zip(sigs(3L)).count(p => p._1 != p._2)
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
     assert(ham <= 16, s"hamming $ham")
   }
 
