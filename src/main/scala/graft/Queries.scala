@@ -398,13 +398,73 @@ object Queries {
       col("doc_id"),
       Dedup.simhash(col("text")).as("simhash"))
 
-  /** Exact n-gram Jaccard verify over LSH candidates (no oracle). */
+  /** Exact char-3-gram Jaccard over a bounded all-pairs subset —
+    * oracle-checked (DuckDB substr n-grams agree with the native
+    * CharNGrams expression on ASCII text). The LSH-candidates variant
+    * of the same verify stage runs inside the cleaning pipeline and
+    * DedupSpec; this query pins the *math* against a second engine.
+    */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val cand = Dedup.minhashCandidates(docs, shingleWidth = 2, threshold = 0.2)
-      .select("id_a", "id_b")
-    Dedup.ngramJaccard(docs, cand, n = 3)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id").as("id"),
+        array_distinct(TextFunctions.charShingles(col("text"), 3)).as("sh"))
+    d.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(d.select(col("id").as("id_b"), col("sh").as("sh_b"))),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Portable-hash MinHash (md5-seeded, k=16, char-4-gram shingles)
+    * over a bounded doc subset: per-seed signature minima, then pairs
+    * by count of agreeing minhash rows — the whole MinHash pipeline
+    * reproduced in DuckDB SQL, so the LSH math itself is
+    * oracle-checked (the production path keeps the faster xxhash64
+    * native expression).
+    */
+  def qDedupMinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
+    val sig = grams
+      .select(col("id"), explode(sequence(lit(0), lit(15))).as("s"), col("gram"))
+      .groupBy("id", "s")
+      .agg(min(md5(concat(col("s").cast("string"), lit("#"), col("gram")))).as("mh"))
+    sig.select(col("s"), col("mh"), col("id").as("id_a"))
+      .join(sig.select(col("s"), col("mh"), col("id").as("id_b")), Seq("s", "mh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_agree"))
+      .filter(col("n_agree") >= 4)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact over a bounded
+    * subset (the oracle-checkable baseline; Ann.cosineNearDupPairs is
+    * the LSH-bucketed scale path for the same operator).
+    */
+  def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .join(broadcast(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Ann.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The deterministic prefix of the cleaning pipeline (quality gate →
+    * language gate → exact dedup) — oracle-checked end-to-end; the
+    * near-dedup tail is covered rows-only by q_pipeline_funnel.
+    */
+  def qPipelineClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.TrainingDataPipeline._
+    val conf = Config()
+    Dedup.exactDedup(languageGate(qualityGate(t(s, dir, "documents"), conf), conf))
+      .select("doc_id")
   }
 
   /** Multimodal asset metadata (binary content + typed meta): the
@@ -454,9 +514,162 @@ object Queries {
     Ivf.topK(index, emb.filter(col("vec_id") < 100), k = 5, nProbe = 4)
   }
 
+  /** IVF at full probe (nProbe = nLists): every cell is scored, so the
+    * result must equal exact brute force — which makes the whole IVF
+    * machinery (assignment, probing, per-cell scoring, ranking)
+    * oracle-checkable against the brute-force SQL.
+    */
+  def qAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Ivf.build(emb, nLists = 16)
+    Ivf.topK(index, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
+  }
+
   /** Embedding L2 norms — exercises the vector math path. */
   def qEmbNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id"),
       round(Ann.l2Norm(col("embedding")), 6).as("l2_norm"))
+
+  // ------------------------------------------------------------- set ops
+
+  /** EXCEPT (set difference, distinct semantics). */
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** INTERSECT (distinct semantics). */
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  // ------------------------------------------------- pivot / conditional agg
+
+  /** Pivot on l_linestatus (map-side conditional aggregation — no
+    * extra shuffle vs the plain groupBy).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+
+  // ---------------------------------------------------- scalar functions
+
+  /** String-function surface: case, substring, length, concat,
+    * regexp_replace, padding — all codegen'd builtins.
+    */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 8).as("prefix"),
+      length(col("p_name")).as("len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+      lpad(col("p_brand"), 12, ".").as("padded"))
+
+  /** Array-function surface over the token array: distinct count,
+    * lexicographic sort + slice + join.
+    */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_distinct"),
+        concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("first3"))
+
+  /** Generator surface: explode the token array, global word
+    * frequency top-20 with a total-order tie-break.
+    */
+  def qExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  // ---------------------------------------------------------- subqueries
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + join — no per-row re-execution).
+    */
+  def qSubqueryCorr(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders_sq o
+      WHERE o_totalprice > 2.0 * (
+        SELECT AVG(o2.o_totalprice) FROM orders_sq o2
+        WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
+  /** Nested IN subqueries (semi-join chain region→nation→customer). */
+  def qInSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    t(s, dir, "nation").createOrReplaceTempView("nation_sq")
+    t(s, dir, "region").createOrReplaceTempView("region_sq")
+    s.sql("""
+      SELECT c_custkey, c_name FROM customer_sq
+      WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation_sq
+        WHERE n_regionkey IN (
+          SELECT r_regionkey FROM region_sq WHERE r_name = 'EUROPE'))""")
+  }
+
+  // ------------------------------------------------- more window shapes
+
+  /** Window frames: 3-row moving average + running sum per user.
+    * Rounded at 6 decimals, not 2: avg-of-2 of 2-decimal values lands
+    * exactly on .xx5 midpoints where decimal-HALF_UP (Spark) and
+    * binary-value rounding (DuckDB) disagree; at the 6th decimal the
+    * ≤3-decimal exact values pass through unchanged while engine fp
+    * noise (~1e-13) is still absorbed.
+    */
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      round(avg("value").over(w.rowsBetween(-2, Window.currentRow)), 6).as("mavg"),
+      round(sum("value").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6).as("csum"))
+  }
+
+  /** max_by with a composite (value, tie-break) ordering — per brand,
+    * the priciest part's key.
+    */
+  def qArgMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        max_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey")))
+          .as("top_part"),
+        round(max("p_retailprice"), 2).as("top_price"))
+
+  // --------------------------------------------------- stats / percentiles
+
+  /** Exact percentiles (linear interpolation) + sample stddev +
+    * correlation — the order-statistics surface.
+    */
+  def qPercentileStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+      round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+      round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+
+  // ----------------------------------------------------------- range join
+
+  /** Range self-join: per user, how many ordered event pairs lie
+    * within a 5-minute gap — bucketed into an equi-join
+    * (RelationalOps.rangeSelfJoinPairs) instead of a quadratic
+    * theta-join.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.rangeSelfJoinPairs(
+      t(s, dir, "events"), Seq("user_id"), "ts", 300000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
 }

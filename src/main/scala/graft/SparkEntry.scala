@@ -66,17 +66,37 @@ object SparkEntry {
     // dedup extensions
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
+    "q_dedup_minhash_md5" -> (Queries.qDedupMinhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
+    "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
+    "q_pipeline_clean" -> (Queries.qPipelineClean _),
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
+    "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
+    // set ops / pivot / scalar-function surface
+    "q_except" -> (Queries.qExcept _),
+    "q_intersect" -> (Queries.qIntersect _),
+    "q_pivot" -> (Queries.qPivot _),
+    "q_string_funcs" -> (Queries.qStringFuncs _),
+    "q_array_funcs" -> (Queries.qArrayFuncs _),
+    "q_explode_tokens" -> (Queries.qExplodeTokens _),
+    // subqueries
+    "q_subquery_corr" -> (Queries.qSubqueryCorr _),
+    "q_in_subquery" -> (Queries.qInSubquery _),
+    // window frames / arg-max / stats
+    "q_window_frames" -> (Queries.qWindowFrames _),
+    "q_arg_max" -> (Queries.qArgMax _),
+    "q_percentile_stats" -> (Queries.qPercentileStats _),
+    // range join
+    "q_range_join" -> (Queries.qRangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -363,5 +383,158 @@ object Oracles {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
          MIN(doc_id) AS keep_id, COUNT(*) AS dups
          FROM documents GROUP BY 1""",
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 60),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+               FROM d, UNNEST(generate_series(1, greatest(length(t)-2, 0))) AS u(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE)/(sa.n + sb.n - ni), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.3""",
+
+    "q_dedup_minhash_md5" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_agree
+         FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 4""",
+
+    "q_dedup_embcos" ->
+      """WITH p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
+         SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.35""",
+
+    "q_pipeline_clean" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+              + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                           THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                                / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                           ELSE 0.0 END, 1.0)) / 2.0 AS quality,
+             CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                  WHEN de >= fr AND de >= es THEN 'de'
+                  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM (SELECT doc_id, text,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|you|that|it|with)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ich|ein|mit)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|vous|que|pour|dans)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|con|para|del)\b')) AS es
+             FROM documents))
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+           FROM scored WHERE quality >= 0.3 AND lang_pred = 'en')
+         WHERE rn = 1""",
+
+    "q_ann_ivf_full" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier""",
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+         ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 8) AS prefix,
+         CAST(length(p_name) AS INT) AS len, concat_ws('|', p_brand, p_type) AS bt,
+         regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+         lpad(p_brand, 12, '.') AS padded
+         FROM part""",
+
+    "q_array_funcs" ->
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_distinct,
+         array_to_string(list_sort(toks)[1:3], ' ') AS first3
+         FROM (SELECT doc_id,
+                 list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+               FROM documents)""",
+
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+
+    "q_subquery_corr" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > 2.0 * (
+           SELECT AVG(o2.o_totalprice) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)""",
+
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_nationkey IN (
+           SELECT n_nationkey FROM nation
+           WHERE n_regionkey IN (
+             SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))""",
+
+    "q_window_frames" ->
+      """SELECT event_id, user_id,
+         ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS csum
+         FROM events""",
+
+    "q_arg_max" ->
+      """SELECT p_brand, p_partkey AS top_part, ROUND(p_retailprice, 2) AS top_price
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+               FROM part)
+         WHERE rn = 1""",
+
+    "q_percentile_stats" ->
+      """SELECT ROUND(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+         ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+         ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+         FROM lineitem""",
+
+    "q_range_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts > a.ts
+          AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+         GROUP BY a.user_id""",
   )
 }

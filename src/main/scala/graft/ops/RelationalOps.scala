@@ -204,6 +204,50 @@ object RelationalOps {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Bucketed range self-join: ordered pairs of rows sharing `keys`
+    * whose timestamps are within `(0, maxGapMicros]` of each other.
+    *
+    * A naive theta-join (`b.ts BETWEEN a.ts AND a.ts + gap`) is a
+    * per-key nested loop — quadratic in key group size. Bucketing
+    * `ts` into `maxGapMicros`-wide bins turns it into an EQUI-join:
+    * a pair within the gap spans at most two adjacent bins, so the
+    * probe side joins on its own bin and the next one (probe rows
+    * ×2, build rows ×1), then the exact predicate filters inside the
+    * bounded buckets. Shuffles on (keys, bin) — well-spread, skew
+    * governed by events-per-key-per-gap, not key cardinality.
+    *
+    * Returns the `keys` plus left/right timestamp columns
+    * (`tsCol`, `tsCol + "_b"`) and `payload` columns suffixed
+    * `_a`/`_b`.
+    */
+  def rangeSelfJoinPairs(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      maxGapMicros: Long,
+      payload: Seq[String] = Nil): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val base = df.select(
+      (keys.map(col) :+ us.as("__us")) ++ payload.map(col): _*)
+    val bin = expr(s"__us div ${maxGapMicros}L") // integer division — exact
+    val probe = base.withColumn("__bin", explode(array(bin, bin + 1)))
+    val build = base.withColumn("__bin", bin)
+    val aSide = probe.select(
+      (keys.map(col) :+ col("__bin") :+ col("__us").as("__us_a")) ++
+        payload.map(c => col(c).as(s"${c}_a")): _*)
+    val bSide = build.select(
+      (keys.map(col) :+ col("__bin") :+ col("__us").as("__us_b")) ++
+        payload.map(c => col(c).as(s"${c}_b")): _*)
+    aSide.join(bSide, keys :+ "__bin")
+      .filter(col("__us_b") > col("__us_a") &&
+        col("__us_b") - col("__us_a") <= maxGapMicros)
+      .select(
+        (keys.map(col) :+
+          timestamp_micros(col("__us_a")).as(tsCol) :+
+          timestamp_micros(col("__us_b")).as(tsCol + "_b")) ++
+          payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+  }
+
   /** Top-k rows per group — `row_number` window then filter; the
     * shuffle partitions by `keys` so each group ranks locally.
     */
