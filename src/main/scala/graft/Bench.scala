@@ -41,11 +41,22 @@ object Bench {
     w.as("a").join(w.as("b"), "k").count()
     w.selectExpr("k", "v - lag(v) OVER (PARTITION BY k ORDER BY id) AS d").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_ONLY=q_a,q_b — subset filter; SPARK_GRAFT_REPS=n —
+    // repeat each query n times and keep the MINIMUM (noise floor),
+    // for controlled A/B timing on a shared machine. Defaults
+    // (all queries, 1 rep) preserve the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

