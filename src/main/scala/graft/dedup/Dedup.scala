@@ -82,22 +82,47 @@ object Dedup {
     * two more shuffle joins and a second scan of the corpus — the
     * right trade only when signatures are enormous.
     */
-  private def bucketMemberPairs(member: DataFrame, maxBucket: Int): DataFrame =
+  private def bucketMemberPairs(member: DataFrame, maxBucket: Int): DataFrame = {
+    // Hot buckets are dropped BEFORE the collect: a size filter after
+    // collect_list would still materialize the degenerate bucket's
+    // full member array in one aggregation buffer (unbounded on
+    // boilerplate-heavy corpora). The count pre-pass is cheap —
+    // map-side partial aggregation reduces it to distinct bands per
+    // partition — and AQE turns the (typically tiny) hot-band side
+    // into a broadcast anti-join at runtime.
+    val hot = member.groupBy("band")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("band")
     member
+      .join(hot, Seq("band"), "left_anti")
       .groupBy("band")
       .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
+      .filter(size(col("ms")) >= 2)
       .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
       .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+  }
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with the
     * estimated Jaccard (fraction of agreeing minhashes) — returns
     * (id_a, id_b, est_jaccard) with id_a < id_b, est >= `threshold`.
     *
     * Plan shape: project(shingle+sig+bands) → explode(bands) →
-    * groupBy band (the ONLY shuffle of corpus data) → explode bounded
-    * in-bucket pairs carrying both signatures → verify inline →
-    * distinct. One scan of the documents, one wide shuffle, no joins.
+    * groupBy band → explode bounded in-bucket ID pairs → distinct →
+    * re-attach signatures per UNIQUE pair → codegen'd agree-count.
+    *
+    * Membership rows and pair rows carry IDS ONLY. With a k-long
+    * signature (512 B) the sig-carry variant (inline verify, no
+    * joins) multiplies the band shuffle AND the pre-distinct pair
+    * rows by the signature width — measured 10× slower at a ×20
+    * duplicate-heavy probe, since an exact-dup pair collides in all
+    * `bands` buckets and each collision row would haul 1 KB of sigs
+    * into the distinct. SimHash (8 B sig) takes the opposite trade —
+    * see simhashNearDupPairs. Signatures here are recomputed by the
+    * two re-attach joins rather than persisted: the single-base-hash
+    * MinHashSig makes signature computation scan-cheap, and keeping
+    * the operator lazy/cache-free composes better than implicit
+    * persist side effects.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -112,20 +137,20 @@ object Dedup {
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
     val member = sigs.select(
-      struct(col("id"), col("sig")).as("m"),
+      col("id").as("m"),
       explode(bandKeys(col("sig"), k, bands)).as("band"))
-    val lo = when(col("a.id") < col("b.id"), col("a")).otherwise(col("b"))
-    val hi = when(col("a.id") < col("b.id"), col("b")).otherwise(col("a"))
-    val agree = aggregate(
-      zip_with(col("pa.sig"), col("pb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v)
-    bucketMemberPairs(member, maxBucket)
-      .select(lo.as("pa"), hi.as("pb"))
-      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+    val pairs = bucketMemberPairs(member, maxBucket)
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+    val agree = graft.functions.VectorFunctions
+      .longArrayAgree(col("sig_a"), col("sig_b"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (agree.cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct() // multi-band collisions yield identical rows
   }
 
   /** MinHash-LSH dedup: drop every doc that is near-duplicate of a
@@ -176,10 +201,10 @@ object Dedup {
     val hi = when(col("a.id") < col("b.id"), col("b")).otherwise(col("a"))
     bucketMemberPairs(member, maxBucket)
       .select(lo.as("pa"), hi.as("pb"))
+      .distinct() // collapse multi-band collisions before the compare
       .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
         bit_count(col("pa.sig").bitwiseXOR(col("pb.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // multi-band collisions yield identical rows
   }
 
   /** SimHash near-dup groups: docs whose signatures agree on a 16-bit

@@ -60,6 +60,52 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two `array<long>` columns hold equal
+  * values — the MinHash signature-agreement kernel. The HOF
+  * formulation (`aggregate(zip_with(a,b,=), 0, +)`) is interpreted
+  * and costs a lambda dispatch per slot per pair; this is one fused
+  * codegen loop.
+  */
+case class LongArrayAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "long_array_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -69,4 +115,8 @@ object VectorFunctions {
 
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Column API for [[LongArrayAgree]]. */
+  def longArrayAgree(a: Column, b: Column): Column =
+    GraftShim.column(LongArrayAgree(GraftShim.expression(a), GraftShim.expression(b)))
 }
