@@ -660,6 +660,83 @@ object Queries {
       round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
       round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
 
+  // ------------------------------------------- grouping sets / more windows
+
+  /** Explicit GROUPING SETS with grouping() indicator columns
+    * (disambiguates real nulls from subtotal rows).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS cnt
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  }
+
+  /** Rank-family window functions: ntile, percent_rank, cume_dist,
+    * dense_rank under one total order. percent_rank/cume_dist are
+    * exact rationals of the same integers in any engine — no rounding
+    * needed.
+    */
+  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("p_retailprice"), col("p_partkey"))
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      dense_rank().over(w).as("dr"))
+  }
+
+  // ------------------------------------------------- histogram / regex
+
+  /** Fixed-width histogram via floor arithmetic (portable across
+    * engines; 2-decimal prices divide the power-of-ten width exactly,
+    * so bucket boundaries are binary-exact in both).
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 10000.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** regexp_extract group capture + aggregation over the raw
+    * semi-structured props string.
+    */
+  def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(regexp_extract(col("props"), "\"k\": (-?\\d+)", 1).as("k_str"))
+      .groupBy("k_str")
+      .agg(count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------ date arithmetic
+
+  /** Date arithmetic surface: day offset, day difference, last day of
+    * month, month truncation.
+    */
+  def qDateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
+      last_day(col("o_orderdate").cast("date")).as("ld"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+
+  /** Conditional/null-handling functions: CASE, coalesce over nullif,
+    * least/greatest.
+    */
+  def qConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000.0, "high")
+        .when(col("o_totalprice") > 100000.0, "mid")
+        .otherwise("low").as("band"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+      least(col("o_totalprice"), lit(150000.0)).as("lo"),
+      greatest(col("o_totalprice"), lit(150000.0)).as("hi"))
+
   // ----------------------------------------------------------- range join
 
   /** Range self-join: per user, how many ordered event pairs lie

@@ -97,6 +97,13 @@ object SparkEntry {
     "q_percentile_stats" -> (Queries.qPercentileStats _),
     // range join
     "q_range_join" -> (Queries.qRangeJoin _),
+    // grouping sets / rank windows / histogram / regex / dates / conditionals
+    "q_grouping_sets" -> (Queries.qGroupingSets _),
+    "q_window_ranks" -> (Queries.qWindowRanks _),
+    "q_histogram" -> (Queries.qHistogram _),
+    "q_regex_extract" -> (Queries.qRegexExtract _),
+    "q_date_arith" -> (Queries.qDateArith _),
+    "q_conditional" -> (Queries.qConditional _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -536,5 +543,48 @@ object Oracles {
            ON a.user_id = b.user_id AND b.ts > a.ts
           AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
          GROUP BY a.user_id""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         COUNT(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+
+    "q_window_ranks" ->
+      """SELECT p_partkey,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         CAST(dense_rank() OVER w AS INT) AS dr
+         FROM part WINDOW w AS (ORDER BY p_retailprice, p_partkey)""",
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS INT) AS bucket,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY 1""",
+
+    "q_regex_extract" ->
+      """SELECT regexp_extract(props, '"k": (-?\d+)', 1) AS k_str, COUNT(*) AS cnt
+         FROM events GROUP BY 1""",
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) + 30 AS plus30,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd,
+         last_day(CAST(o_orderdate AS DATE)) AS ld,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+         FROM orders""",
+
+    "q_conditional" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000.0 THEN 'high'
+              WHEN o_totalprice > 100000.0 THEN 'mid'
+              ELSE 'low' END AS band,
+         COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_x,
+         LEAST(o_totalprice, 150000.0) AS lo,
+         GREATEST(o_totalprice, 150000.0) AS hi
+         FROM orders""",
   )
 }

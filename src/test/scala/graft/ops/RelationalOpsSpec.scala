@@ -58,4 +58,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(unionDistinct(a, b).collect().map(_.getString(0)).sorted.toSeq ==
       Seq("x", "y", "z"))
   }
+
+  test("rangeSelfJoinPairs finds pairs within gap, including across bins") {
+    // gap = 100 µs; bins are 100 µs wide, so (150, 220) spans two bins
+    val df = Seq(
+      (1L, "u", 100L), (2L, "u", 150L), (3L, "u", 220L),
+      (4L, "u", 500L),                    // isolated: > gap from all
+      (5L, "v", 160L),                    // other key: never pairs with u
+      (6L, "w", 300L), (7L, "w", 400L))   // exactly gap apart: inclusive
+      .toDF("event_id", "k", "us")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val pairs = rangeSelfJoinPairs(df, Seq("k"), "ts", 100L, Seq("event_id"))
+      .select("event_id_a", "event_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (6L, 7L)))
+  }
+
+  test("rangeSelfJoinPairs excludes simultaneous and reversed pairs") {
+    val df = Seq((1L, "u", 100L), (2L, "u", 100L), (3L, "u", 90L))
+      .toDF("event_id", "k", "us")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val pairs = rangeSelfJoinPairs(df, Seq("k"), "ts", 50L, Seq("event_id"))
+      .select("event_id_a", "event_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // strict ts ordering: equal-ts rows never pair; 90→100 pairs once each
+    assert(pairs == Set((3L, 1L), (3L, 2L)))
+  }
 }
