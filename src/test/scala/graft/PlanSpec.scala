@@ -53,4 +53,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
   }
+
+  test("q_subquery_corr is decorrelated into an aggregate + join") {
+    val p = plan("q_subquery_corr")
+    assert(p.contains("HashAggregate"), p) // the per-customer AVG
+    assert(p.contains("Join"), p)          // joined back, not re-executed per row
+  }
+
+  test("q_range_join is a bucketed equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pivot stays a single-shuffle aggregate (conditional agg)") {
+    val p = plan("q_pivot")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_histogram prunes the scan to the bucketed column") {
+    val p = plan("q_histogram")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p)
+  }
 }
