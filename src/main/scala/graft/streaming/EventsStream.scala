@@ -125,6 +125,89 @@ object EventsStream {
       }
   }
 
+  /** Gap sessionization on the Spark 4 `transformWithState` API —
+    * the successor of flatMapGroupsWithState: explicit typed state
+    * handles (`ValueState`), first-class event-time timers, RocksDB
+    * state store. Semantics match [[sessionize]]; kept side by side
+    * so either engine generation can run the operator.
+    *
+    * Timer discipline: each batch re-registers a timer at
+    * (session end + gap); earlier timers from extended sessions still
+    * fire but are ignored unless the session really has been idle for
+    * the full gap at expiry (the stale-timer guard) — the standard
+    * pattern, avoiding per-key timer bookkeeping.
+    */
+  class SessionizeProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    private val gapUs = gapMinutes.toLong * 60 * 1000000
+    private val gapMs = gapMinutes.toLong * 60 * 1000
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    private def toTs(us: Long) = new Timestamp(us / 1000)
+    private def emit(userId: Long, s: SessState) =
+      Session(userId, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[SessState] = Encoders.product[SessState]
+      sess = getHandle.getValueState[SessState]("sess", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[Session]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            cur = Some(SessState(s.startUs, math.max(s.endUs, us), s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed ::= emit(userId, s)
+            cur = Some(SessState(us, us, 1, e.value))
+          case None =>
+            cur = Some(SessState(us, us, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(s.endUs / 1000 + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Session] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        if (info.getExpiryTimeInMs >= s.endUs / 1000 + gapMs) {
+          sess.clear()
+          Iterator.single(emit(userId, s))
+        } else Iterator.empty // stale timer: the session was extended
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] on the transformWithState engine. Requires the
+    * RocksDB state store provider (set in the session conf).
+    */
+  def sessionizeTws(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionizeProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Incremental warehouse maintenance from a stream: each micro-batch
     * MERGEs into a parquet table by key via foreachBatch +
     * ParquetUpsert — the streaming version of the reference's

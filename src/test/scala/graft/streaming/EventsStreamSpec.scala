@@ -64,6 +64,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(sessions(1).getAs[Double]("sum_value") == 4.0)
   }
 
+  test("sessionizeTws (transformWithState) matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L
+      def ev(id: Long, user: Long, offsetMin: Long, v: Double) =
+        Event(id, new Timestamp(t0 + offsetMin * 60000), user, "click", v)
+
+      val input = MemoryStream[Event]
+      val q = sessionizeTws(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_tws_test")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+      input.addData(ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 70, 4.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 2, 600, 8.0)) // advances watermark → timer flush
+      q.processAllAvailable()
+      q.stop()
+
+      val sessions = spark.table("sess_tws_test")
+        .filter(col("user_id") === 1).orderBy("session_start").collect()
+      assert(sessions.length == 2, s"got ${sessions.length} sessions")
+      assert(sessions(0).getAs[Long]("n_events") == 2)
+      assert(sessions(0).getAs[Double]("sum_value") == 3.0)
+      assert(sessions(1).getAs[Long]("n_events") == 1)
+      assert(sessions(1).getAs[Double]("sum_value") == 4.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsertSink: checkpointed restart picks up new files, no duplicates") {
     val in = Files.createTempDirectory("graft_upsert_in").toString
     val table = Files.createTempDirectory("graft_upsert_tbl").toString + "/t"
