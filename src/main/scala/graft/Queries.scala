@@ -483,6 +483,25 @@ object Queries {
         col("height"),
         col("sample_rate"))
 
+  /** Multimodal feature extraction through the batched mapPartitions
+    * decode stage — oracle-checked: the stub decode's features
+    * (entropy over 16 byte-bins, mean byte value) are deterministic
+    * byte arithmetic that DuckDB reproduces via ascii()/log2, so the
+    * typed codec-boundary path itself is pinned, not just the
+    * metadata projection.
+    */
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(
+        graft.multimodal.Multimodal.synthesizeAssets(t(s, dir, "documents")))
+      .toDF()
+      .select(
+        col("asset_id"),
+        col("kind"),
+        col("n_bytes"),
+        round(col("entropy"), 6).as("entropy"),
+        round(col("mean_byte"), 6).as("mean_byte"))
+
   /** Banded SimHash near-dup pairs (rows-only — Spark-hash based). */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 16)

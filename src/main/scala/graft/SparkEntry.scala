@@ -75,6 +75,7 @@ object SparkEntry {
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
+    "q_mm_features" -> (Queries.qMmFeatures _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
@@ -364,6 +365,28 @@ object Oracles {
          CAST((doc_id % 48) * 16 + 64 AS INT) AS height,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate
          FROM documents""",
+
+    "q_mm_features" ->
+      """WITH chars AS (
+           SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code
+           FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)),
+         bins AS (SELECT doc_id, code // 16 AS bin, count(*) AS c
+                  FROM chars GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents),
+         ent AS (
+           SELECT b.doc_id,
+             -SUM((b.c / l.n) * log2(b.c / l.n)) AS entropy
+           FROM bins b JOIN lens l USING (doc_id) GROUP BY b.doc_id),
+         mb AS (SELECT doc_id, AVG(code) AS mean_byte FROM chars GROUP BY doc_id)
+         SELECT d.doc_id AS asset_id,
+           CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(length(d.text) AS INT) AS n_bytes,
+           ROUND(e.entropy, 6) AS entropy,
+           ROUND(m.mean_byte, 6) AS mean_byte
+         FROM documents d
+         JOIN ent e ON e.doc_id = d.doc_id
+         JOIN mb m ON m.doc_id = d.doc_id""",
 
     "q_emb_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
