@@ -380,6 +380,22 @@ object Queries {
       col("doc_id"),
       TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
 
+  /** BPE-ish subword token counts next to whitespace tokens. */
+  def qTxtBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** Karp-Rabin rolling fingerprint (portable polynomial hash —
+    * DuckDB reproduces it with list_reduce, so the native codegen
+    * expression is oracle-checked byte for byte).
+    */
+  def qTxtRollhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("rh"))
+
   // ------------------------------------------------------------- dedup
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

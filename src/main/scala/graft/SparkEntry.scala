@@ -63,6 +63,8 @@ object SparkEntry {
     "q_txt_quality" -> (Queries.qTxtQuality _),
     "q_txt_langid" -> (Queries.qTxtLangid _),
     "q_txt_fingerprint" -> (Queries.qTxtFingerprint _),
+    "q_txt_bpe_tokens" -> (Queries.qTxtBpeTokens _),
+    "q_txt_rollhash" -> (Queries.qTxtRollhash _),
     // dedup extensions
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
@@ -354,6 +356,20 @@ object Oracles {
     "q_txt_fingerprint" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents""",
+
+    "q_txt_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws,
+         CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS INT) AS n_bpe
+         FROM documents""",
+
+    "q_txt_rollhash" ->
+      """SELECT doc_id, list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(text)),
+               i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
          FROM documents""",
 
     "q_mm_meta" ->

@@ -68,6 +68,21 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
+  /** BPE-ish subword token count: letter runs, digit runs, and
+    * punctuation runs (each with an optional leading space) — the
+    * GPT-2 pre-tokenizer shape, minus lookahead so the pattern runs
+    * identically on RE2-based engines (DuckDB) and Java regex.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"))
+
+  /** Karp-Rabin rolling fingerprint (portable integer polynomial —
+    * oracle-reproducible, unlike engine-library hashes). Native
+    * codegen expression.
+    */
+  def rollingHash(text: Column): Column =
+    graft.functions.RollingHashFunctions.rollingHash31(text)
+
   /** Whitespace-normalized lowercase form — canonicalization used by
     * every fingerprint/dedup stage.
     */

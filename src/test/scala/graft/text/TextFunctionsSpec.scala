@@ -49,4 +49,18 @@ class TextFunctionsSpec extends SparkSpec {
     val sh = one(charShingles(col("t"), 3), "abcd").getSeq[String](0)
     assert(sh == Seq("abc", "bcd"))
   }
+
+  test("bpeTokenCount splits letter/digit/punct runs") {
+    // "don't stop 123!!" → " don"|"'"|"t"|" stop"|" 123"|"!!" = 6
+    assert(one(bpeTokenCount(col("t")), "don't stop 123!!").getInt(0) == 6)
+    assert(one(bpeTokenCount(col("t")), "").getInt(0) == 0)
+  }
+
+  test("rollingHash is the byte polynomial mod 1e9+7") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    for (s <- Seq("abc", "hello world", "", "aab", "aba")) {
+      assert(one(rollingHash(col("t")), s).getLong(0) == ref(s), s"for '$s'")
+    }
+  }
 }
