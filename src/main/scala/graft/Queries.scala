@@ -335,6 +335,16 @@ object Queries {
       percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
 
+  /** Custom KMV bottom-k distinct sketch (TypedImperativeAggregate —
+    * partial buffers, binary merge across the shuffle). Rows-only:
+    * the estimate is xxhash64-order-statistics based; accuracy is
+    * asserted against exact counts in SketchAggregatesSpec.
+    */
+  def qSketchKmv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      graft.functions.SketchFunctions.kmvDistinct(col("l_partkey")).as("kmv_parts"),
+      graft.functions.SketchFunctions.kmvDistinct(col("l_orderkey")).as("kmv_orders"))
+
   /** Semi-structured extraction: parse the events `props` JSON column
     * with a schema'd `from_json` and aggregate on the extracted field.
     * (The oracle mirrors the extraction with a regexp so it does not

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_sql_view" -> (Queries.qSqlView _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_approx_sketch" -> (Queries.qApproxSketch _),
+    "q_sketch_kmv" -> (Queries.qSketchKmv _),
     // text analysis
     "q_txt_tokens" -> (Queries.qTxtTokens _),
     "q_txt_quality" -> (Queries.qTxtQuality _),

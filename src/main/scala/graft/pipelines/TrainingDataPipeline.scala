@@ -59,7 +59,11 @@ object TrainingDataPipeline {
     val gated = docs.filter(qPass && lPass).persist()
     val e = Dedup.exactDedup(gated, conf.idCol, conf.textCol).persist()
     val n3 = e.count()
-    val n4 = Dedup.minhashDedup(e, conf.idCol, conf.textCol, conf.minhashThreshold).count()
+    // survivors = input minus docs with a lower-id near-dup; counting the
+    // (small) drop set avoids materializing the anti-join over all docs
+    val n4 = n3 - Dedup
+      .minhashCandidates(e, conf.idCol, conf.textCol, threshold = conf.minhashThreshold)
+      .select("id_b").distinct().count()
     val out = Seq(
       ("0_input", n0), ("1_quality", n1), ("2_language", n2),
       ("3_exact_dedup", n3), ("4_near_dedup", n4))
