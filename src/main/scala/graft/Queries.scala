@@ -406,6 +406,13 @@ object Queries {
       col("doc_id"),
       TextFunctions.rollingHash(col("text")).as("rh"))
 
+  /** Winnowing fingerprint selection (k=8-gram Karp-Rabin hashes,
+    * w=4 window minima) — oracle-checked via the closed polynomial
+    * form (stepwise mod ≡ mod of the full polynomial).
+    */
+  def qTxtWinnow(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.winnowStats(t(s, dir, "documents"), k = 8, w = 4)
+
   // ------------------------------------------------------------- dedup
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

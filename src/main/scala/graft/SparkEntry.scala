@@ -66,6 +66,7 @@ object SparkEntry {
     "q_txt_fingerprint" -> (Queries.qTxtFingerprint _),
     "q_txt_bpe_tokens" -> (Queries.qTxtBpeTokens _),
     "q_txt_rollhash" -> (Queries.qTxtRollhash _),
+    "q_txt_winnow" -> (Queries.qTxtWinnow _),
     // dedup extensions
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
@@ -372,6 +373,29 @@ object Oracles {
                i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
          FROM documents""",
+
+    "q_txt_winnow" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 (CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT) * 27512614111
+                + CAST(ascii(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT) * 887503681
+                + CAST(ascii(substr(t, CAST(i+2 AS INT), 1)) AS BIGINT) * 28629151
+                + CAST(ascii(substr(t, CAST(i+3 AS INT), 1)) AS BIGINT) * 923521
+                + CAST(ascii(substr(t, CAST(i+4 AS INT), 1)) AS BIGINT) * 29791
+                + CAST(ascii(substr(t, CAST(i+5 AS INT), 1)) AS BIGINT) * 961
+                + CAST(ascii(substr(t, CAST(i+6 AS INT), 1)) AS BIGINT) * 31
+                + CAST(ascii(substr(t, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007 AS h
+               FROM d, UNNEST(generate_series(1, length(t) - 7)) AS u(i)),
+         m AS (SELECT doc_id, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+               FROM g)
+         SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+           MIN(wmin) AS fp_min, MAX(wmin) AS fp_max,
+           CAST(SUM(DISTINCT wmin) AS BIGINT) AS fp_sum
+         FROM m WHERE pos <= n - 4 GROUP BY doc_id""",
 
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id,

@@ -114,4 +114,45 @@ object TextFunctions {
     */
   def charShingles(text: Column, n: Int): Column =
     graft.functions.ShingleFunctions.charNGrams(normalized(text), n)
+
+  /** Winnowing fingerprint statistics (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every k-gram with the Karp-Rabin polynomial,
+    * take the minimum in each sliding window of `w` consecutive
+    * k-gram hashes (full windows only), and summarize the selected
+    * fingerprint SET per document. The guarantee: any shared
+    * substring of length ≥ k+w−1 yields at least one shared selected
+    * fingerprint, so the per-doc fingerprint sets drive
+    * copy-detection joins at a w-fold reduced index size.
+    *
+    * Per-doc shape: explode k-grams (pos, hash) → one window pass
+    * partitioned by doc → distinct-min aggregation. One shuffle on
+    * the doc id; the window is per-document and bounded by doc
+    * length. Output: n_fp, fp_min, fp_max, fp_sum (deterministic
+    * integer arithmetic — oracle-reproducible).
+    */
+  def winnowStats(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(
+      col(idCol),
+      posexplode(charShingles(col(textCol), k)).as(Seq("pos", "gram")))
+    val hashed = grams.select(
+      col(idCol), col("pos"), rollingHash(col("gram")).as("h"))
+    val winMin = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    val all = Window.partitionBy(idCol)
+    hashed
+      .withColumn("wmin", min("h").over(winMin))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("pos") <= col("n") - w) // full windows only
+      .groupBy(idCol)
+      .agg(
+        countDistinct(col("wmin")).as("n_fp"),
+        min("wmin").as("fp_min"),
+        max("wmin").as("fp_max"),
+        sum_distinct(col("wmin")).as("fp_sum"))
+  }
 }
