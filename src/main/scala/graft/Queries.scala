@@ -413,6 +413,17 @@ object Queries {
   def qTxtWinnow(s: SparkSession, dir: String): DataFrame =
     TextFunctions.winnowStats(t(s, dir, "documents"), k = 8, w = 4)
 
+  /** Deterministic content-hash sampling (md5-prefix bucket — the
+    * reproducible, engine-portable alternative to rand()-based
+    * sample()): keep the ~25% of docs whose first fingerprint nibble
+    * is 0-3, report per-language survivor counts.
+    */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+
   // ------------------------------------------------------------- dedup
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_txt_bpe_tokens" -> (Queries.qTxtBpeTokens _),
     "q_txt_rollhash" -> (Queries.qTxtRollhash _),
     "q_txt_winnow" -> (Queries.qTxtWinnow _),
+    "q_sample_hash" -> (Queries.qSampleHash _),
     // dedup extensions
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
@@ -373,6 +374,11 @@ object Oracles {
                i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
          FROM documents""",
+
+    "q_sample_hash" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+         WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+         GROUP BY lang""",
 
     "q_txt_winnow" ->
       """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
