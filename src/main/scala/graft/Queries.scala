@@ -170,6 +170,32 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Salted skew join — semantics must be identical to the plain
+    * equi-join (the oracle is the unsalted SQL), while the hot keys
+    * spread over saltFactor reducers.
+    */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.saltedEquiJoin(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      Seq("l_orderkey"),
+      saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  /** Bloom-gated incremental anti-join — must equal the exact
+    * NOT EXISTS (false positives fall through to the exact join;
+    * negatives are definitely novel).
+    */
+  def qBloomAntijoin(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.bloomAntiJoinNew(
+      t(s, dir, "customer").select("c_custkey", "c_name"),
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"))
+      .select("c_custkey", "c_name")
+
   /** J9/J10 + A4 — the star-schema rollup (lineitem→orders→customer→
     * nation→region), dims broadcast, one shuffle for the final groupBy.
     */

@@ -40,6 +40,8 @@ object SparkEntry {
     "q_join_anti" -> (Queries.qJoinAnti _),
     "q_join_semi" -> (Queries.qJoinSemi _),
     "q_join_nullsafe" -> (Queries.qJoinNullsafe _),
+    "q_join_salted" -> (Queries.qJoinSalted _),
+    "q_bloom_antijoin" -> (Queries.qBloomAntijoin _),
     "q_star_join_revenue" -> (Queries.qStarJoinRevenue _),
     "q_emission_by_brand" -> (Queries.qEmissionByBrand _),
     // sort / window
@@ -207,6 +209,17 @@ object Oracles {
          JOIN (SELECT NULLIF(c, 'N') AS rf FROM (VALUES ('A'), ('R'), ('N')) t(c)) k
            ON l.rf IS NOT DISTINCT FROM k.rf
          GROUP BY k.rf""",
+
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+         ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "q_bloom_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
 
     "q_star_join_revenue" ->
       """SELECT r_name,
