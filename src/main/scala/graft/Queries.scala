@@ -338,6 +338,22 @@ object Queries {
       Seq("purchase_value", "purchase_ts"))
   }
 
+  /** Forward as-of join: for each error event, the user's NEXT
+    * purchase at-or-after it. Oracle: DuckDB ASOF LEFT JOIN with the
+    * inequality reversed.
+    */
+  def qAsofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("next_value"), col("ts").as("next_ts"))
+    RelationalOps.asofJoinForward(
+      errors, purchases, Seq("user_id"), "ts",
+      Seq("next_value", "next_ts"))
+  }
+
   /** §3.3 — the ad-hoc SQL surface: register views, run `spark.sql`
     * (parse → analyze → optimize → execute through Catalyst).
     */

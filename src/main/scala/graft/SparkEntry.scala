@@ -56,6 +56,7 @@ object SparkEntry {
     "q_sessionize" -> (Queries.qSessionize _),
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
     "q_sql_view" -> (Queries.qSqlView _),
     "q_json_extract" -> (Queries.qJsonExtract _),
@@ -299,6 +300,13 @@ object Oracles {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts""",
+
+    "q_asof_join_fwd" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+         p.value AS next_value, p.ts AS next_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts <= p.ts""",
 
     "q_sql_view" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -118,7 +118,29 @@ object RelationalOps {
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    asofJoin(left, right, keys, tsCol, rightPayload, backward = true)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row
+    * with `right.ts >= left.ts` within the same key (the "next
+    * event" lookup). Same one-shuffle carry construction as
+    * [[asofJoinBackward]], with the scan order reversed.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPayload: Seq[String]): DataFrame =
+    asofJoin(left, right, keys, tsCol, rightPayload, backward = false)
+
+  private def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightPayload: Seq[String],
+      backward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__lrow", struct(leftCols.map(col): _*))
@@ -131,9 +153,10 @@ object RelationalOps {
         org.apache.spark.sql.types.StructType(left.schema.fields)))
       .withColumn("__rv", struct(rightPayload.map(col): _*))
       .select((keys :+ tsCol).map(col) ++ Seq(col("__lrow"), col("__rv"), lit(0).as("__side")): _*)
+    val tsOrder = if (backward) col(tsCol).asc else col(tsCol).desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc) // right first at equal ts
+      .orderBy(tsOrder, col("__side").asc) // right first at equal ts → inclusive match
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))

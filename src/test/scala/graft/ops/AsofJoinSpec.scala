@@ -27,6 +27,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == None)        // B's only quote is after the trade
   }
 
+  test("asofJoinForward: earliest right row at-or-after each left ts") {
+    val trades = Seq(
+      (1L, "A", ts(5)), (2L, "A", ts(10)), (3L, "A", ts(0)), (4L, "B", ts(9)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(1), 100.0), ("A", ts(5), 101.0), ("A", ts(9), 102.0),
+      ("B", ts(8), 50.0))
+      .toDF("sym", "ts", "px")
+    val out = RelationalOps.asofJoinForward(
+      trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(out(1L) == Some(101.0)) // equal ts matches (inclusive)
+    assert(out(2L) == None)        // nothing at-or-after 10
+    assert(out(3L) == Some(100.0)) // earliest overall
+    assert(out(4L) == None)        // B's only quote is before the trade
+  }
+
   test("asofJoinBackward plan: one shuffle on the key, no join node") {
     val trades = Seq((1L, "A", ts(5))).toDF("trade_id", "sym", "ts")
     val quotes = Seq(("A", ts(1), 100.0)).toDF("sym", "ts", "px")
