@@ -61,24 +61,53 @@ object Ivf {
     // deterministic init: evenly-spaced sample vectors
     var centroids = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
 
+    // Lloyd assignment is embarrassingly parallel: chunk the sample
+    // across cores, accumulate per-chunk partial sums, merge in chunk
+    // order (fixed fp addition order → deterministic across runs).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val nThreads = math.min(Runtime.getRuntime.availableProcessors(), 16).max(1)
+    val chunkSize = math.max(1, (sample.length + nThreads - 1) / nThreads)
+    val chunks = sample.grouped(chunkSize).toArray
+
     var iter = 0
     while (iter < lloydIters) {
+      val cens = centroids
+      val partials = Await.result(
+        Future.sequence(chunks.toSeq.map { chunk =>
+          Future {
+            val sums = Array.fill(k)(new Array[Double](dim))
+            val counts = new Array[Long](k)
+            chunk.foreach { v =>
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < k) {
+                var d = 0.0; var j = 0
+                val cen = cens(c)
+                while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              counts(best) += 1
+              val s = sums(best)
+              var j = 0
+              while (j < dim) { s(j) += v(j); j += 1 }
+            }
+            (sums, counts)
+          }
+        }), Duration.Inf)
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
+      partials.foreach { case (ps, pc) =>
         var c = 0
         while (c < k) {
-          var d = 0.0; var j = 0
-          val cen = centroids(c)
-          while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
+          counts(c) += pc(c)
+          val s = sums(c); val p = ps(c)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
           c += 1
         }
-        counts(best) += 1
-        val s = sums(best)
-        var j = 0
-        while (j < dim) { s(j) += v(j); j += 1 }
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c) // empty cell: keep old centroid
