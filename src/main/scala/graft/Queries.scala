@@ -842,6 +842,17 @@ object Queries {
       least(col("o_totalprice"), lit(150000.0)).as("lo"),
       greatest(col("o_totalprice"), lit(150000.0)).as("hi"))
 
+  /** Grouped exact percentiles — order statistics per group (one
+    * shuffle; the sort is per-group inside the aggregate).
+    */
+  def qPercentileGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("cnt"))
+
   // ----------------------------------------------------------- range join
 
   /** Range self-join: per user, how many ordered event pairs lie

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_window_frames" -> (Queries.qWindowFrames _),
     "q_arg_max" -> (Queries.qArgMax _),
     "q_percentile_stats" -> (Queries.qPercentileStats _),
+    "q_percentile_group" -> (Queries.qPercentileGroup _),
     // range join
     "q_range_join" -> (Queries.qRangeJoin _),
     // grouping sets / rank windows / histogram / regex / dates / conditionals
@@ -627,6 +628,13 @@ object Oracles {
          ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
          ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
          FROM lineitem""",
+
+    "q_percentile_group" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_range_join" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs

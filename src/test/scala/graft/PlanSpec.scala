@@ -77,4 +77,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_histogram")
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p)
   }
+
+  test("q_txt_winnow: no join, windows partitioned by doc") {
+    val p = plan("q_txt_winnow")
+    assert(!p.contains("Join"), p) // explode + window + agg only
+    assert(p.contains("Window"), p)
+  }
 }
