@@ -132,6 +132,26 @@ object Ann {
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Recall@k of an approximate neighbor result against exact truth
+    * (both in the [[bruteForceTopK]] output schema: query_id, rank,
+    * neighbor_id, cosine). One output row — (n_queries, truth_pairs,
+    * hits, recall_at_k) — so a CI gate is a single scalar assert and
+    * the driver can track the value round-over-round. Truth rows drive
+    * the join, so extra approximate queries are ignored and missing
+    * ones count as misses (no silent denominator shrink).
+    */
+  def recallAgainst(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val truth = exact.select(col("query_id"), col("neighbor_id"))
+    val marked = truth.join(
+      approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")).distinct(),
+      Seq("query_id", "neighbor_id"), "left")
+    marked.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("truth_pairs"),
+      sum(coalesce(col("hit"), lit(0))).as("hits"),
+      round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4).as("recall_at_k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: ids (a<b) whose cosine
     * exceeds `threshold`, via the LSH candidate path.
     */

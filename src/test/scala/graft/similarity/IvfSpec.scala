@@ -18,6 +18,46 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall")
   }
 
+  // Gate levels: the synthetic embeddings are uniform random on the
+  // 64-sphere — IVF's worst case (no cluster structure; a 1/4 probe
+  // fraction can't beat ~0.6 recall). Measured on this corpus:
+  // nProbe=4 → 0.616, nProbe=6 → 0.772, nProbe=8 → 0.872. The gates
+  // sit just under those floors so any regression in sampling,
+  // assignment or probing trips CI, while clustered real data would
+  // clear them with margin.
+  test("IVF recall@5 gates: q_ann_ivf_recall shape (nProbe=4) and budget curve") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 100)
+    val index = Ivf.build(emb, nLists = 16)
+    val exact = Ann.bruteForceTopK(queries, emb, k = 5).cache()
+    def recall(nProbe: Int): Double = Ann.recallAgainst(
+      Ivf.topK(index, queries, k = 5, nProbe = nProbe), exact)
+      .head().getAs[Double]("recall_at_k")
+    val r4 = recall(4)
+    val r8 = recall(8)
+    exact.unpersist()
+    assert(r4 >= 0.5, s"IVF recall@5 gate (nProbe=4) $r4 < 0.5")
+    assert(r8 >= 0.75, s"IVF recall@5 gate (nProbe=8) $r8 < 0.75")
+    assert(r8 >= r4, s"recall not monotone in probe budget: $r8 < $r4")
+  }
+
+  test("degenerate one-cell index (nLists=1) assigns and queries without error") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val index = Ivf.build(emb, nLists = 1)
+    assert(index.centroids.length == 1)
+    assert(index.assigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    val out = Ivf.topK(index, emb.filter(col("vec_id") < 3), k = 2, nProbe = 1)
+    assert(out.count() == 6) // 3 queries x k=2, full probe of the single cell
+  }
+
+  test("training sample is a function of the data, not scan order") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val shuffled = emb.repartition(7, col("vec_id"))
+    val i1 = Ivf.build(emb, nLists = 8)
+    val i2 = Ivf.build(shuffled, nLists = 8)
+    assert(i1.centroids.map(_.toSeq).toSeq == i2.centroids.map(_.toSeq).toSeq)
+  }
+
   test("IVF index is deterministic (fixed seed) and covers the corpus") {
     val emb = graft.Tables.embeddings(spark, sf("embeddings"))
     val i1 = Ivf.build(emb, nLists = 8)
