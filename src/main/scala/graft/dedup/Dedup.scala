@@ -168,6 +168,85 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Connected-component near-dup dedup — the fixpoint variant of
+    * [[minhashDedup]] for duplicate graphs with chains. One-hop keeps
+    * any doc that is only ever the LOWER id of its candidate pairs
+    * even when it is transitively linked to a smaller doc (ids 1,2,3
+    * with edges (1,3),(2,3): one-hop drops only 3; the component rule
+    * keeps exactly the min id, 1). Here: one LSH candidate pass, then
+    * iterative min-label propagation over the candidate graph until no
+    * label changes (or `maxIters`) — each doc ends labeled with the
+    * smallest id reachable through near-dup edges, and every non-label
+    * doc is dropped.
+    *
+    * Scale shape: the edge set is the (bounded) LSH candidate output,
+    * localCheckpoint'd once so each of the O(diameter) iterations is a
+    * join + min-groupBy over (node,label) pairs — no re-run of the LSH
+    * pass, no lineage growth. Duplicate-graph diameters are tiny in
+    * practice (dup clusters are dense); `maxIters` bounds the
+    * pathological chain. On a real cluster swap localCheckpoint for
+    * reliable checkpointing; the alternating large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce")
+    * is the drop-in upgrade if diameters ever matter.
+    */
+  def minhashDedupFixpoint(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      maxIters: Int = 20,
+      shingleWidth: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 200): DataFrame =
+    componentDedup(
+      docs,
+      minhashCandidates(docs, idCol, textCol, shingleWidth, k, bands, threshold, maxBucket),
+      idCol, maxIters)
+
+  /** Drop every doc that is NOT the minimum id of its connected
+    * component in the candidate-pair graph (`pairs`: id_a, id_b).
+    * Min-label propagation to fixpoint; see [[minhashDedupFixpoint]]
+    * for the scale discussion. Exposed separately so any candidate
+    * generator (MinHash, SimHash, embedding-cosine) composes with the
+    * same component rule — and so the component logic itself is
+    * oracle-checkable against a recursive-CTE second engine on
+    * portable-hash pairs.
+    */
+  def componentDedup(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p
+      .union(p.select(col("id_b"), col("id_a")))
+      .toDF("node", "nbr")
+      .localCheckpoint()
+    var labels = edges.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+        .groupBy("node")
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    val drops = labels.filter(col("label") =!= col("node")).select(col("node").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over the token multiset as a LONG: bit b is the
     * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Fused
     * native expression (graft.functions.SimHash64) — one hash per

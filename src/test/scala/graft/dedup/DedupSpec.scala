@@ -42,6 +42,28 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(2L)) // exact dup must go
   }
 
+  test("minhashDedupFixpoint collapses transitive chains to the component min id") {
+    // chain through the HIGHEST id: 13 = A++B overlaps both halves,
+    // but A (11) and B (12) share no shingles. Candidate edges are
+    // (11,13) and (12,13) only. One-hop drops just 13 (12 is never an
+    // id_b of a surviving-pair); the component rule keeps exactly the
+    // min id 11.
+    val a = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val b = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val chain = Seq(
+      (11L, a), (12L, b), (13L, s"$a $b"),
+      (14L, "totally unrelated standalone document about graph algorithms")
+    ).toDF("doc_id", "text")
+    // r=2 bands so the ~0.49-jaccard half/whole pairs reliably collide
+    val kept = Dedup.minhashDedupFixpoint(chain, threshold = 0.3, bands = 32)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 14L), s"kept ${kept.toSeq}")
+    // the one-hop approximation keeps 12 on the same input (chain case)
+    val oneHop = Dedup.minhashDedup(chain, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(oneHop.contains(11L) && oneHop.contains(14L))
+  }
+
   test("simhash identical for identical docs, different for unrelated") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
