@@ -7,8 +7,34 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal, XxHash64}
 import org.apache.spark.sql.types.{DataType, LongType}
+
+/** KMV aggregation buffer: max-heap (unsigned order) of the k smallest
+  * hashes plus a membership HashSet so duplicate detection is O(1)
+  * instead of an O(k) `PriorityQueue.contains` scan per accepted
+  * candidate. Deduplication is not optional bookkeeping: in the exact
+  * regime (fewer than k distinct hashes) the heap size IS the answer,
+  * and in the estimating regime a duplicated value among the k minima
+  * would shift the k-th order statistic.
+  */
+final class KmvBuffer(val k: Int) {
+  val heap: PriorityQueue[java.lang.Long] =
+    new PriorityQueue[java.lang.Long](
+      k, (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(b, a))
+  val seen: java.util.HashSet[java.lang.Long] = new java.util.HashSet[java.lang.Long](2 * k)
+
+  def insert(h: Long): Unit = {
+    if (!seen.contains(h)) {
+      if (heap.size < k) {
+        heap.add(h); seen.add(h)
+      } else if (java.lang.Long.compareUnsigned(h, heap.peek()) < 0) {
+        seen.remove(heap.poll())
+        heap.add(h); seen.add(h)
+      }
+    }
+  }
+}
 
 /** KMV (k-minimum-values) distinct-count sketch as a real
   * `TypedImperativeAggregate` — the custom-sketch extension point:
@@ -22,15 +48,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * estimator (RSE ≈ 1/√(k−2)). Deterministic for a fixed input set:
   * no sampling, just order statistics of xxhash64.
   *
-  * `child` must be a LONG hash column; the public API
-  * [[SketchFunctions.kmvDistinct]] wraps any column in `xxhash64`.
+  * `child` must be a nullable LONG hash column; NULL children are
+  * skipped, matching COUNT(DISTINCT) semantics (which ignores nulls).
+  * The public API [[SketchFunctions.kmvDistinct]] wraps any column as
+  * `IF(ISNULL(x), NULL, xxhash64(x))` — the null test must happen on
+  * the RAW value because XxHash64 itself never returns null (a null
+  * input hashes to the seed, which would count as one phantom
+  * distinct value).
   */
 case class KmvDistinct(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[PriorityQueue[java.lang.Long]] {
+    extends TypedImperativeAggregate[KmvBuffer] {
 
   require(k >= 2, "KMV needs k >= 2")
 
@@ -39,61 +70,44 @@ case class KmvDistinct(
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_distinct"
 
-  // max-heap on unsigned order: head is the LARGEST of the k kept
-  // minima, so a better (smaller) candidate evicts it in O(log k)
-  private def newHeap(): PriorityQueue[java.lang.Long] =
-    new PriorityQueue[java.lang.Long](
-      k, (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(b, a))
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  override def createAggregationBuffer(): PriorityQueue[java.lang.Long] = newHeap()
-
-  private def insert(heap: PriorityQueue[java.lang.Long], h: Long): Unit = {
-    if (heap.size < k) {
-      if (!heap.contains(h)) heap.add(h)
-    } else if (java.lang.Long.compareUnsigned(h, heap.peek()) < 0 && !heap.contains(h)) {
-      heap.poll()
-      heap.add(h)
-    }
-  }
-
-  override def update(
-      heap: PriorityQueue[java.lang.Long], input: InternalRow): PriorityQueue[java.lang.Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(heap, v.asInstanceOf[Long])
-    heap
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
   }
 
-  override def merge(
-      a: PriorityQueue[java.lang.Long], b: PriorityQueue[java.lang.Long]): PriorityQueue[java.lang.Long] = {
-    b.forEach(h => insert(a, h))
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    b.heap.forEach(h => a.insert(h))
     a
   }
 
-  override def eval(heap: PriorityQueue[java.lang.Long]): Any = {
-    val n = heap.size
+  override def eval(buf: KmvBuffer): Any = {
+    val n = buf.heap.size
     if (n < k) n.toLong
     else {
       // k-th minimum = heap head (largest kept); scale unsigned to [0,1)
-      val kth = heap.peek().longValue()
+      val kth = buf.heap.peek().longValue()
       val fraction = (kth >>> 11).toDouble / (1L << 53).toDouble
       math.round((k - 1) / fraction)
     }
   }
 
-  override def serialize(heap: PriorityQueue[java.lang.Long]): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + heap.size * 8)
-    buf.putInt(heap.size)
-    heap.forEach(h => buf.putLong(h))
-    buf.array()
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val out = ByteBuffer.allocate(4 + buf.heap.size * 8)
+    out.putInt(buf.heap.size)
+    buf.heap.forEach(h => out.putLong(h))
+    out.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): PriorityQueue[java.lang.Long] = {
-    val buf = ByteBuffer.wrap(bytes)
-    val n = buf.getInt
-    val heap = newHeap()
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new KmvBuffer(k)
     var i = 0
-    while (i < n) { heap.add(buf.getLong); i += 1 }
-    heap
+    while (i < n) { buf.insert(in.getLong); i += 1 }
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
@@ -106,9 +120,13 @@ case class KmvDistinct(
 }
 
 object SketchFunctions {
-  /** Approximate COUNT(DISTINCT col) via the KMV bottom-k sketch. */
-  def kmvDistinct(col: Column, k: Int = 256): Column =
-    GraftShim.column(
-      KmvDistinct(XxHash64(Seq(GraftShim.expression(col)), 42L), k)
-        .toAggregateExpression())
+  /** Approximate COUNT(DISTINCT col) via the KMV bottom-k sketch.
+    * NULLs are ignored (COUNT(DISTINCT) semantics) — see the null
+    * discussion on [[KmvDistinct]].
+    */
+  def kmvDistinct(col: Column, k: Int = 256): Column = {
+    val raw = GraftShim.expression(col)
+    val hashed = If(IsNull(raw), Literal(null, LongType), XxHash64(Seq(raw), 42L))
+    GraftShim.column(KmvDistinct(hashed, k).toAggregateExpression())
+  }
 }

@@ -249,6 +249,13 @@ object RelationalOps {
       tsCol: String,
       maxGapMicros: Long,
       payload: Seq[String] = Nil): DataFrame = {
+    // output naming is suffix-based — reject silent collisions up front
+    require(!payload.contains(tsCol), s"payload must not include tsCol '$tsCol'")
+    require(!payload.exists(keys.contains), s"payload must not overlap keys $keys")
+    val outNames = keys ++ Seq(tsCol, tsCol + "_b") ++
+      payload.flatMap(c => Seq(s"${c}_a", s"${c}_b"))
+    require(outNames.distinct.size == outNames.size,
+      s"rangeSelfJoinPairs output columns collide: ${outNames.mkString(", ")}")
     val us = unix_micros(col(tsCol))
     val base = df.select(
       (keys.map(col) :+ us.as("__us")) ++ payload.map(col): _*)

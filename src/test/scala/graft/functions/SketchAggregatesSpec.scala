@@ -27,6 +27,18 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(est1 == est2)
   }
 
+  test("KMV ignores NULLs (COUNT DISTINCT semantics)") {
+    import spark.implicits._
+    val mixed = Seq[Option[Int]](Some(1), Some(2), None, Some(2), None, Some(3))
+      .toDF("v")
+    val row = mixed.agg(
+      countDistinct(col("v")).as("exact"),
+      SketchFunctions.kmvDistinct(col("v"), k = 256).as("kmv")).collect()(0)
+    assert(row.getLong(1) == row.getLong(0)) // 3, not 4: null is no value
+    val allNull = Seq[Option[Int]](None, None).toDF("v")
+    assert(allNull.agg(SketchFunctions.kmvDistinct(col("v"))).collect()(0).getLong(0) == 0L)
+  }
+
   test("KMV merges partial buffers across partitions consistently") {
     import spark.implicits._
     val wide = spark.range(0, 100000).select((col("id") % 5000).as("v"))
