@@ -35,6 +35,26 @@ class EmissionEtlSpec extends SparkSpec {
     assert(fact.filter(col("total_emission").isNull).count() == 0L)
   }
 
+  test("FK validation: the loaded warehouse has zero orphans on all 7 reference FKs") {
+    firstRun
+    val report = WarehouseQa.emissionOrphanReport(etl).collect()
+    assert(report.length == 8, report.mkString(", ")) // city→country + 7 fact FKs
+    val bad = report.filter(_.getAs[Long]("orphan_rows") != 0L)
+    assert(bad.isEmpty, s"orphan rows: ${bad.mkString(", ")}")
+  }
+
+  test("FK validation counts orphans and ignores NULL keys (SQL FK semantics)") {
+    import spark.implicits._
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None), (4L, Some(11L)))
+      .toDF("id", "ref")
+    val parent = Seq(10L, 11L).toDF("k")
+    val out = WarehouseQa.orphanCounts(child,
+      Seq(WarehouseQa.Fk("child.ref->parent", "ref", parent, "k"))).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("fk") == "child.ref->parent")
+    assert(out(0).getAs[Long]("orphan_rows") == 1L) // only the 99; NULL not an orphan
+  }
+
   test("total_emission = distance_km * co2 (spot check)") {
     firstRun
     val bad = etl.readTable("car_driver_log")
