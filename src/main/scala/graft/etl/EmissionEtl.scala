@@ -20,25 +20,35 @@ import graft.ops.RelationalOps._
 class EmissionEtl(
     spark: SparkSession,
     warehouseDir: String,
-    strictCompat: Boolean = false) {
+    strictCompat: Boolean = false,
+    storeOpt: Option[graft.sources.TableStore] = None) {
 
   import EmissionEtl._
 
+  /** Warehouse backend — parquet directories by default, or any
+    * [[graft.sources.TableStore]] (e.g. [[graft.sources.JdbcStore]],
+    * the reference's literal Postgres shape, utils.py:31-40).
+    */
+  val store: graft.sources.TableStore =
+    storeOpt.getOrElse(new graft.sources.ParquetStore(spark, warehouseDir))
+
+  // feed/archive file ops are independent of the warehouse backend
   private val fs = new Path(warehouseDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tablePath(name: String) = s"$warehouseDir/$name"
+  def tableExists(name: String): Boolean = store.exists(name)
 
-  def tableExists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
+  def readTable(name: String): DataFrame = store.read(name)
 
-  def readTable(name: String): DataFrame = spark.read.parquet(tablePath(name))
-
-  /** Append via stage-and-rename: write to `_stage`, then move files in.
-    * Parquet-level idempotence is the caller's anti-join; this protects
-    * against partial writes only.
+  /** Dim append of pre-filtered novel rows, keyed by the surrogate
+    * key. ParquetStore stages + swaps (a crash leaves the old or the
+    * new table, never a mix); JdbcStore appends transactionally.
+    * Affordable because dims are small; the fact table takes the
+    * partitioned append path in [[appendFact]] instead (rewriting a
+    * fact table per append does not survive scale).
     */
-  private def append(df: DataFrame, name: String): Unit =
-    df.write.mode("append").parquet(tablePath(name))
+  private def append(df: DataFrame, name: String, key: String): Unit =
+    store.appendKeyed(df, name, key)
 
   // ---------------------------------------------------------------- extract
 
@@ -69,7 +79,7 @@ class EmissionEtl(
   /** Create the date dim once (create_tables.py:69-85). */
   def ensureDateDim(): Unit =
     if (!tableExists("date"))
-      DateDim.generate(spark).write.mode("overwrite").parquet(tablePath("date"))
+      store.overwrite(DateDim.generate(spark), "date")
 
   /** Drivers dim: project, sort by name, dedup keep-first, assign keys,
     * append only unseen (name, first_name) pairs
@@ -91,7 +101,7 @@ class EmissionEtl(
       novel, "driver_id", Seq(col("name"), col("first_name")), existingMax)
       .select("driver_id", "name", "first_name")
     val n = keyed.count()
-    if (n > 0) append(keyed, "drivers")
+    if (n > 0) append(keyed, "drivers", "driver_id")
     n
   }
 
@@ -114,7 +124,7 @@ class EmissionEtl(
       else readTable("cars").agg(coalesce(max(col("car_id")).cast("long"), lit(0L))).head.getLong(0)
     val keyed = withSurrogateKey(novel, "car_id", Seq(col("brand"), col("model")), existingMax)
     val n = keyed.count()
-    if (n > 0) append(keyed.select((Seq("car_id") ++ carCols).map(col): _*), "cars")
+    if (n > 0) append(keyed.select((Seq("car_id") ++ carCols).map(col): _*), "cars", "car_id")
     n
   }
 
@@ -139,7 +149,7 @@ class EmissionEtl(
     val keyed = withSurrogateKey(novel, "country_id", Seq(col("country_name")), existingMax)
       .select("country_id", "country_name")
     val n = keyed.count()
-    if (n > 0) append(keyed, "country")
+    if (n > 0) append(keyed, "country", "country_id")
     n
   }
 
@@ -168,7 +178,7 @@ class EmissionEtl(
     val keyed = withSurrogateKey(novel, "city_id", Seq(col("city_name")), existingMax)
       .select("city_id", "city_name", "country_id")
     val n = keyed.count()
-    if (n > 0) append(keyed, "city")
+    if (n > 0) append(keyed, "city", "city_id")
     n
   }
 
@@ -255,9 +265,7 @@ class EmissionEtl(
         antiJoinNew(deduped, existing, Schemas.factIdKey)
       }
     val n = novel.count()
-    if (n > 0)
-      novel.write.mode("append").partitionBy("p_month")
-        .parquet(tablePath("car_driver_log"))
+    if (n > 0) store.appendPartitioned(novel, "car_driver_log", "p_month")
     n
   }
 

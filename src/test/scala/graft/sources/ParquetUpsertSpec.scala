@@ -27,4 +27,25 @@ class ParquetUpsertSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("t"), s"leftovers: $parent")
   }
+
+  test("crash recovery: stale __stage/__old dirs from a killed run are ignored and cleaned") {
+    val dir = Files.createTempDirectory("graft_upsert_crash").toString + "/t"
+    val v1 = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
+    ParquetUpsert.mergeByKey(spark, dir, v1, Seq("id"))
+
+    // simulate a run killed mid-stage-write / mid-publish
+    val stage = new java.io.File(dir + "__stage"); stage.mkdirs()
+    Files.writeString(java.nio.file.Path.of(stage.toString, "part-00000.parquet"), "garbage")
+    val old = new java.io.File(dir + "__old"); old.mkdirs()
+    Files.writeString(java.nio.file.Path.of(old.toString, "leftover.parquet"), "stale")
+
+    // table reads are unaffected by the stale dirs (readers point at `t` only)
+    assert(spark.read.parquet(dir).count() == 1L)
+    // the next merge clobbers both stale dirs and publishes cleanly
+    val v2 = Seq((2L, "b", 20.0)).toDF("id", "name", "v")
+    assert(ParquetUpsert.mergeByKey(spark, dir, v2, Seq("id")) == 2L)
+    assert(spark.read.parquet(dir).orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("t"), s"leftovers: $parent")
+  }
 }
