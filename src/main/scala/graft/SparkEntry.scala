@@ -42,6 +42,7 @@ object SparkEntry {
     "q_join_nullsafe" -> (Queries.qJoinNullsafe _),
     "q_join_salted" -> (Queries.qJoinSalted _),
     "q_bloom_antijoin" -> (Queries.qBloomAntijoin _),
+    "q_fk_orphans" -> (Queries.qFkOrphans _),
     "q_star_join_revenue" -> (Queries.qStarJoinRevenue _),
     "q_emission_by_brand" -> (Queries.qEmissionByBrand _),
     // sort / window
@@ -75,6 +76,8 @@ object SparkEntry {
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_minhash_md5" -> (Queries.qDedupMinhashMd5 _),
+    "q_dedup_fixpoint_md5" -> (Queries.qDedupFixpointMd5 _),
+    "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
@@ -89,6 +92,8 @@ object SparkEntry {
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
+    "q_ann_ivf_recall" -> (Queries.qAnnIvfRecall _),
+    "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
     // set ops / pivot / scalar-function surface
     "q_except" -> (Queries.qExcept _),
@@ -222,6 +227,32 @@ object Oracles {
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q_fk_orphans" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)) AS orphan_rows
+         UNION ALL SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem c WHERE c.l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+         UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem c WHERE c.l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+         UNION ALL SELECT 'probe:lineitem.l_orderkey->nation',
+           (SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.l_orderkey))
+         UNION ALL SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+         UNION ALL SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey))
+         UNION ALL SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation c WHERE c.n_regionkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey))
+         UNION ALL SELECT 'events.user_id->customer',
+           (SELECT count(*) FROM events c WHERE c.user_id IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))""",
 
     "q_star_join_revenue" ->
       """SELECT r_name,
@@ -506,6 +537,37 @@ object Oracles {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_agree
          FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 4""",
+
+    "q_dedup_fixpoint_md5" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         e AS (SELECT id_a AS node, id_b AS nbr FROM pr
+               UNION ALL SELECT id_b, id_a FROM pr),
+         reach(node, r) AS (
+           SELECT node, node FROM e
+           UNION
+           SELECT e.node, reach.r FROM e JOIN reach ON e.nbr = reach.node),
+         lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+         SELECT doc_id FROM d
+         WHERE doc_id NOT IN (SELECT node FROM lab WHERE label <> node)""",
+
+    "q_dedup_simhash_md5" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+                     FROM documents WHERE doc_id < 200),
+         v AS (SELECT doc_id, j,
+                 SUM(ascii(substr(md5(tok), CAST(j AS INT), 1)) % 2 * 2 - 1) AS v
+               FROM tk, UNNEST(generate_series(1, 16)) AS u(j) GROUP BY doc_id, j)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN v >= 0 THEN CAST(POWER(2, j-1) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash16
+         FROM v GROUP BY doc_id""",
 
     "q_dedup_embcos" ->
       """WITH p AS (
