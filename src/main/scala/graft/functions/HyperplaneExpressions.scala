@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class HyperplaneSig(
     child: Expression, nTables: Int, nBits: Int,
-    includeHamming1: Boolean = false)
+    probeBits: Int = 0)
     extends UnaryExpression with CodegenFallback {
+
+  require(probeBits >= 0 && probeBits <= nBits,
+    s"probeBits $probeBits out of [0, $nBits]")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -58,8 +61,10 @@ case class HyperplaneSig(
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
-    val perTable = if (includeHamming1) 1 + nBits else 1
+    val perTable = 1 + probeBits
     val out = new Array[Any](nTables * perTable)
+    val margins = new Array[Double](nBits)
+    val order = new Array[Int](nBits)
     var t = 0
     while (t < nTables) {
       val bits = new Array[Char](nBits)
@@ -70,18 +75,32 @@ case class HyperplaneSig(
         d = 0
         while (d < dim) { s += v(d) * row(d); d += 1 }
         bits(b) = if (s > 0) '1' else '0'
+        margins(b) = math.abs(s)
         b += 1
       }
       val base = t + "#" + new String(bits)
       out(t * perTable) = UTF8String.fromString(base)
-      if (includeHamming1) {
-        // multiprobe: the nBits sign patterns at Hamming distance 1 —
-        // query-side probing of adjacent buckets lifts recall without
-        // extra tables
+      if (probeBits > 0) {
+        // margin-ordered multiprobe (Lv et al., "Multi-Probe LSH",
+        // VLDB'07): flip the probeBits bits with the SMALLEST
+        // hyperplane margin |s| — the signs most likely to disagree
+        // with a near neighbor's — instead of all Hamming-1 buckets.
+        // Candidate volume scales (1+probeBits)×, not (1+nBits)×.
+        b = 0
+        while (b < nBits) { order(b) = b; b += 1 }
+        // partial selection sort of the probeBits smallest margins
         var f = 0
-        while (f < nBits) {
+        while (f < probeBits) {
+          var minI = f
+          var j = f + 1
+          while (j < nBits) {
+            if (margins(order(j)) < margins(order(minI))) minI = j
+            j += 1
+          }
+          val tmp = order(f); order(f) = order(minI); order(minI) = tmp
+          val flipBit = order(f)
           val flipped = bits.clone()
-          flipped(f) = if (bits(f) == '1') '0' else '1'
+          flipped(flipBit) = if (bits(flipBit) == '1') '0' else '1'
           out(t * perTable + 1 + f) =
             UTF8String.fromString(t + "#" + new String(flipped))
           f += 1
@@ -98,9 +117,10 @@ case class HyperplaneSig(
 
 object HyperplaneFunctions {
   /** All LSH bucket keys (one per table) for an `array<float>` vector;
-    * `multiProbe` adds the Hamming-1 neighbor buckets per table.
+    * `probeBits > 0` adds that many margin-ordered Hamming-1 neighbor
+    * buckets per table (query-side multiprobe).
     */
   def hyperplaneSig(vec: Column, nTables: Int, nBits: Int,
-      multiProbe: Boolean = false): Column =
-    GraftShim.column(HyperplaneSig(GraftShim.expression(vec), nTables, nBits, multiProbe))
+      probeBits: Int = 0): Column =
+    GraftShim.column(HyperplaneSig(GraftShim.expression(vec), nTables, nBits, probeBits))
 }

@@ -92,13 +92,22 @@ object Ann {
       nBits: Int = 6,
       maxBucket: Int = 1000,
       multiProbe: Boolean = false,
+      probeBits: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // multiprobe cost model: the probe side carries (1 + probeBits)×
+    // the rows of the base side, and candidate volume scales with it —
+    // measured on a ×20 dup-heavy 40k corpus at nBits=12: 34 s single
+    // probe, 302 s flipping all 12 bits. Margin-ordered probing keeps
+    // most of the recall at probeBits ≪ nBits; size nBits to the
+    // corpus FIRST (2^nBits ≳ corpus/maxBucket) — multiprobe amplifies
+    // a mis-sized table's degenerate buckets by the same factor.
     def bucketize(probe: Boolean) = base.select(
       col("id"),
       explode(graft.functions.HyperplaneFunctions
-        .hyperplaneSig(col("vec"), nTables, nBits, multiProbe = probe))
+        .hyperplaneSig(col("vec"), nTables, nBits,
+          probeBits = if (probe) math.min(probeBits, nBits) else 0))
         .as("bucket"))
     val bucketed = bucketize(false)
     val capped = bucketed
