@@ -155,8 +155,18 @@ class EmissionEtl(
 
   /** City dim from logbook start+target cities with their countries
     * (emission-dag.py:137-155). Reference bugs §7.6-2/3 (cross-branch
-    * variable, country dropped from the incremental key) are fixed:
-    * cities are keyed (city_name, country) and always carry country_id.
+    * variable, country dropped from the incremental key) are fixed by
+    * default: cities are keyed (city_name, country) and always carry
+    * country_id. Under `strictCompat` the incremental branch replicates
+    * bug 3 byte-for-byte (emission-dag.py:153-154): the anti-join keys
+    * on `city_name` ALONE — a known city name in a brand-new country is
+    * never loaded — and the surviving rows have dropped `country_name`
+    * without ever joining ids, so novel cities load with NULL
+    * country_id. (Bug 2, the cross-branch `df_country_clean` reference
+    * in the initial branch, emission-dag.py:146-147, is a NameError /
+    * duplicate-column crash hazard with no defined output semantics —
+    * there is nothing to replicate but an exception, so both modes take
+    * the fixed initial path.)
     */
   def loadCities(logbook: DataFrame): Long = {
     val start = logbook.select(
@@ -164,12 +174,18 @@ class EmissionEtl(
     val target = logbook.select(
       col("target_city").as("city_name"), col("target_country").as("country_name"))
     val incoming = unionDistinct(start, target)
-    val withCountry = nullSafeEquiJoin(
+    lazy val withCountry = nullSafeEquiJoin(
       incoming, readTable("country"), Seq("country_name"), "left",
       broadcastRight = true)
       .select("city_name", "country_id")
     val novel =
       if (!tableExists("city")) withCountry
+      else if (strictCompat) {
+        val countryIdType = readTable("country").schema("country_id").dataType
+        antiJoinNew(incoming, readTable("city"), Seq("city_name"),
+          broadcastRight = true)
+          .select(col("city_name"), lit(null).cast(countryIdType).as("country_id"))
+      }
       else antiJoinNew(withCountry, readTable("city"), Seq("city_name", "country_id"),
         broadcastRight = true)
     val existingMax =
@@ -221,10 +237,18 @@ class EmissionEtl(
         Seq(s"${role}_country"), "left")
 
     // city keyed on (name, country) — the reference joins on name only
-    // (§7.6 bug 4: ambiguous if one city name exists in two countries);
-    // countries therefore resolve first
+    // (§7.6 bug 4: ambiguous if one city name exists in two countries;
+    // emission-dag.py:177-184 and a duplicated name would multiply fact
+    // rows, pandas-merge style); countries therefore resolve first.
+    // strictCompat replicates the name-only key.
     def cityLookup(df: DataFrame, role: String): DataFrame =
-      df.join(
+      if (strictCompat)
+        df.join(
+          broadcast(city.drop("country_id").withColumnsRenamed(Map(
+            "city_id" -> s"${role}_city_id",
+            "city_name" -> s"${role}_city"))),
+          Seq(s"${role}_city"), "left")
+      else df.join(
         broadcast(city.withColumnsRenamed(Map(
           "city_id" -> s"${role}_city_id",
           "city_name" -> s"${role}_city",
