@@ -549,10 +549,16 @@ object Queries {
     val grams = t(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id").as("id"),
         explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
-    val sig = grams
-      .select(col("id"), explode(sequence(lit(0), lit(15))).as("s"), col("gram"))
-      .groupBy("id", "s")
-      .agg(min(md5(concat(col("s").cast("string"), lit("#"), col("gram")))).as("mh"))
+    // all 16 per-seed minima in ONE wide aggregation over the gram rows
+    // (map-side partial min per seed) instead of exploding a 16× row
+    // copy per gram — same seeded md5 values, so the DuckDB oracle is
+    // unchanged; the tiny (id × 16) unpivot happens after the agg.
+    val seedMins = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i#"), col("gram")))).as(s"mh_$i"))
+    val sig = grams.groupBy("id").agg(seedMins.head, seedMins.tail: _*)
+      .select(col("id"), explode(array((0 until 16).map(i =>
+        struct(lit(i).as("s"), col(s"mh_$i").as("mh"))): _*)).as("r"))
+      .select(col("id"), col("r.s").as("s"), col("r.mh").as("mh"))
     sig.select(col("s"), col("mh"), col("id").as("id_a"))
       .join(sig.select(col("s"), col("mh"), col("id").as("id_b")), Seq("s", "mh"))
       .filter(col("id_a") < col("id_b"))
