@@ -50,6 +50,16 @@ class EmissionEtl(
   private def append(df: DataFrame, name: String, key: String): Unit =
     store.appendKeyed(df, name, key)
 
+  /** Materialize a small dim batch once (persist → use → unpersist):
+    * the count probe and the staged merge's two references to the
+    * updates plan would otherwise re-run the full anti-join + max-key
+    * lineage once per action.
+    */
+  private def withCached[T](df: DataFrame)(f: DataFrame => T): T = {
+    val cached = df.persist()
+    try f(cached) finally cached.unpersist()
+  }
+
   // ---------------------------------------------------------------- extract
 
   /** S1/S2 — read a feed if present, else an empty frame with the
@@ -100,8 +110,11 @@ class EmissionEtl(
     val keyed = withSurrogateKey(
       novel, "driver_id", Seq(col("name"), col("first_name")), existingMax)
       .select("driver_id", "name", "first_name")
-    val n = keyed.count()
-    if (n > 0) append(keyed, "drivers", "driver_id")
+    val n = withCached(keyed) { k =>
+      val n = k.count()
+      if (n > 0) append(k, "drivers", "driver_id")
+      n
+    }
     n
   }
 
@@ -123,8 +136,11 @@ class EmissionEtl(
       if (!tableExists("cars")) 0L
       else readTable("cars").agg(coalesce(max(col("car_id")).cast("long"), lit(0L))).head.getLong(0)
     val keyed = withSurrogateKey(novel, "car_id", Seq(col("brand"), col("model")), existingMax)
-    val n = keyed.count()
-    if (n > 0) append(keyed.select((Seq("car_id") ++ carCols).map(col): _*), "cars", "car_id")
+    val n = withCached(keyed.select((Seq("car_id") ++ carCols).map(col): _*)) { k =>
+      val n = k.count()
+      if (n > 0) append(k, "cars", "car_id")
+      n
+    }
     n
   }
 
@@ -148,8 +164,11 @@ class EmissionEtl(
       else readTable("country").agg(coalesce(max(col("country_id")).cast("long"), lit(0L))).head.getLong(0)
     val keyed = withSurrogateKey(novel, "country_id", Seq(col("country_name")), existingMax)
       .select("country_id", "country_name")
-    val n = keyed.count()
-    if (n > 0) append(keyed, "country", "country_id")
+    val n = withCached(keyed) { k =>
+      val n = k.count()
+      if (n > 0) append(k, "country", "country_id")
+      n
+    }
     n
   }
 
@@ -193,8 +212,11 @@ class EmissionEtl(
       else readTable("city").agg(coalesce(max(col("city_id")).cast("long"), lit(0L))).head.getLong(0)
     val keyed = withSurrogateKey(novel, "city_id", Seq(col("city_name")), existingMax)
       .select("city_id", "city_name", "country_id")
-    val n = keyed.count()
-    if (n > 0) append(keyed, "city", "city_id")
+    val n = withCached(keyed) { k =>
+      val n = k.count()
+      if (n > 0) append(k, "city", "city_id")
+      n
+    }
     n
   }
 

@@ -78,6 +78,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p)
   }
 
+  test("q_fk_orphans: every FK check is a broadcast join, no sort-merge") {
+    val p = plan("q_fk_orphans")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 8, p) // one per FK
+  }
+
+  test("q_dedup_minhash_md5: per-seed minima aggregate before any join") {
+    val p = plan("q_dedup_minhash_md5")
+    // the 16-seed explode must NOT be a pre-aggregation row blowup:
+    // partial HashAggregates run on the gram rows, then the tiny unpivot
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_txt_winnow: no join, windows partitioned by doc") {
     val p = plan("q_txt_winnow")
     assert(!p.contains("Join"), p) // explode + window + agg only
