@@ -567,6 +567,35 @@ object Queries {
       .filter(col("n_agree") >= minAgree)
   }
 
+  /** Recall of the production MinHash-LSH candidate pass against
+    * EXACT word-3-shingle Jaccard truth on a bounded subset: true
+    * pairs are all pairs with exact J >= 0.7 (all-pairs over 200
+    * docs); a true pair is recalled if the banded candidate pass
+    * (est-jaccard threshold 0.5 — margin for the k=64 estimator's
+    * noise) surfaced it. One row (truth_pairs, hits, recall);
+    * DedupSpec gates recall >= 0.9. Rows-only for the driver — the
+    * estimate depends on Spark-internal xxhash64.
+    */
+  def qDedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val sh = docs.select(col("doc_id").as("id"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+    val truth = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.7)
+    val cand = Dedup.minhashCandidates(docs, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("truth_pairs"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"),
+        round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4).as("recall"))
+  }
+
   /** Connected-component dedup (Dedup.componentDedup — the fixpoint
     * variant's core) over the portable md5-minhash candidate graph,
     * so the min-label-propagation logic itself is pinned against a

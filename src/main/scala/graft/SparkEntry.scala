@@ -77,6 +77,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
     "q_dedup_minhash_md5" -> (Queries.qDedupMinhashMd5 _),
     "q_dedup_fixpoint_md5" -> (Queries.qDedupFixpointMd5 _),
+    "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),

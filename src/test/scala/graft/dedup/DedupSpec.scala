@@ -64,6 +64,34 @@ class DedupSpec extends SparkSpec {
     assert(oneHop.contains(11L) && oneHop.contains(14L))
   }
 
+  test("minhash candidate recall gate: >= 0.9 of exact-Jaccard-0.7 pairs surface") {
+    val r = graft.Queries.qDedupMinhashRecall(spark, sf("")).head()
+    val truthPairs = r.getAs[Long]("truth_pairs")
+    assert(truthPairs > 0, "corpus has no high-Jaccard pairs; gate is vacuous")
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.9, s"minhash candidate recall $recall < 0.9 over $truthPairs true pairs")
+  }
+
+  test("simhash pigeonhole invariant: banded pairs == exact Hamming<=3 pairs") {
+    val corpus = graft.Tables.documents(spark, sf("documents"))
+      .filter(col("doc_id") < 200)
+    val sigs = corpus.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+    val exact = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))),
+        col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDupPairs(corpus, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hamming<=3 over 4 16-bit bands GUARANTEES a shared band (pigeonhole),
+    // and the post-filter re-checks Hamming — so with no hot-bucket drops
+    // the two sets must be IDENTICAL, not merely overlapping
+    assert(banded == exact,
+      s"banded missing ${exact -- banded}, extra ${banded -- exact}")
+  }
+
   test("simhash identical for identical docs, different for unrelated") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
