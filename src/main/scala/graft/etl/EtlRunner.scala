@@ -35,6 +35,22 @@ object EtlRunner {
     val appended = etl.run(driversCsv, carsCsv, logbookCsv)
     val secs = (System.nanoTime() - t0) / 1e9
 
+    // referential-integrity gate (the engine-level stand-in for the
+    // reference's Postgres FOREIGN KEYs): report orphan counts per FK
+    // after every load; SPARK_GRAFT_FK_STRICT=1 fails the run on any
+    // orphan so a malformed feed stops the pipeline instead of
+    // silently loading dangling ids. Default is report-only — the
+    // archive step still runs, matching RESTRICT-at-load semantics
+    // only when explicitly requested.
+    val orphans = WarehouseQa.emissionOrphanReport(etl).collect()
+      .map(r => r.getAs[String]("fk") -> r.getAs[Long]("orphan_rows"))
+    orphans.filter(_._2 > 0).foreach { case (fk, n) =>
+      System.err.println(s"[etl-qa] FK violation: $fk has $n orphan rows")
+    }
+    if (sys.env.get("SPARK_GRAFT_FK_STRICT").contains("1") && orphans.exists(_._2 > 0))
+      throw new IllegalStateException(
+        "FK validation failed: " + orphans.filter(_._2 > 0).mkString(", "))
+
     // archive AFTER a successful load (fixes the reference's
     // move-before-load crash window, SURVEY §7.7)
     archiveRoot.foreach { root =>
@@ -49,7 +65,7 @@ object EtlRunner {
 
     val counts = appended.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"etl":"emission","appended":$counts,"secs":$secs}""")
+    println(s"""{"etl":"emission","appended":$counts,"fk_orphans":${orphans.map(_._2).sum},"secs":$secs}""")
     spark.stop()
   }
 }
