@@ -223,8 +223,11 @@ object Dedup {
       .union(p.select(col("id_b"), col("id_a")))
       .toDF("node", "nbr")
       .localCheckpoint()
-    var labels = edges.select(col("node")).distinct()
-      .withColumn("label", col("node"))
+    // init folds the first propagation in: label0 = min(node, min nbr).
+    // Dup clusters are usually cliques, which converge right here —
+    // the loop then runs a single confirming iteration.
+    var labels = edges.groupBy("node")
+      .agg(least(col("node"), min(col("nbr"))).as("label"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
