@@ -644,6 +644,16 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Token-budget selection (TrainingDataPipeline.tokenBudgetSelect):
+    * highest-quality docs until a 20k-token budget fills, via the
+    * bucket-histogram plan (whole quality levels kept by filter, one
+    * bounded window on the boundary level only — no global ordering).
+    * Fully deterministic and reproduced in DuckDB SQL.
+    */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline
+      .tokenBudgetSelect(t(s, dir, "documents"), budgetTokens = 20000L)
+
   /** The deterministic prefix of the cleaning pipeline (quality gate →
     * language gate → exact dedup) — oracle-checked end-to-end; the
     * near-dedup tail is covered rows-only by q_pipeline_funnel.

@@ -85,6 +85,7 @@ object SparkEntry {
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
+    "q_token_budget" -> (Queries.qTokenBudget _),
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
     "q_mm_features" -> (Queries.qMmFeatures _),
@@ -580,6 +581,28 @@ object Oracles {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.35""",
+
+    "q_token_budget" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+             CAST(FLOOR((
+               (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+                + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                             THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                                  / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                             ELSE 0.0 END, 1.0)) / 2.0) * 1000) AS INT) AS lvl
+           FROM documents),
+         ls AS (SELECT lvl, SUM(tokens) AS t FROM s GROUP BY lvl),
+         cum AS (SELECT lvl, t, SUM(t) OVER (ORDER BY lvl DESC) AS c FROM ls),
+         b AS (SELECT COALESCE(MAX(lvl), -2147483648) AS boundary FROM cum WHERE c > 20000),
+         bb AS (SELECT COALESCE((SELECT 20000 - (c - t) FROM cum, b WHERE lvl = boundary), 0) AS bud)
+         SELECT doc_id, tokens, lvl FROM s, b WHERE lvl > boundary
+         UNION ALL
+         SELECT doc_id, tokens, lvl FROM (
+           SELECT s.doc_id, s.tokens, s.lvl,
+             SUM(s.tokens) OVER (ORDER BY s.doc_id) AS rc
+           FROM s, b WHERE s.lvl = boundary) x, bb WHERE rc <= bud""",
 
     "q_pipeline_clean" ->
       """WITH scored AS (

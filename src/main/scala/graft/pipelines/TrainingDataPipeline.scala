@@ -40,6 +40,54 @@ object TrainingDataPipeline {
     Dedup.minhashDedup(exact, conf.idCol, conf.textCol, conf.minhashThreshold)
   }
 
+  /** Select the highest-quality documents until a token budget fills —
+    * the data-mixing primitive for training-set assembly ("take the
+    * best N tokens"). A naive global quality-ordered running sum is a
+    * single-partition window — the classic scale killer — so instead:
+    * quality quantizes into `buckets` integer levels; the per-level
+    * token histogram (≤ buckets+1 rows, one aggregation) finds the
+    * boundary level on the driver; whole levels above the boundary are
+    * kept with a plain filter (no ordering at all), and ONLY the
+    * boundary level is ordered (by doc id) for the partial take — its
+    * window is bounded by that one level's population. Deterministic:
+    * (level desc, doc_id asc) is a total order. If the quality
+    * distribution collapses into one level, raise `buckets`.
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame,
+      budgetTokens: Long,
+      buckets: Int = 1000,
+      conf: Config = Config()): DataFrame = {
+    val scored = docs.select(
+      col(conf.idCol),
+      TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"),
+      floor(TextFunctions.qualityScore(col(conf.textCol)) * buckets)
+        .cast("int").as("lvl"))
+    val hist = scored.groupBy("lvl").agg(sum("tokens").as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    var boundary = Int.MinValue // level needing a partial take; all above fit whole
+    var boundaryBudget = 0L
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (lvl, t) = it.next()
+      if (acc + t <= budgetTokens) acc += t
+      else { boundary = lvl; boundaryBudget = budgetTokens - acc; done = true }
+    }
+    val full = scored.filter(col("lvl") > boundary)
+    if (!done) full // everything fit
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lvl").orderBy(col(conf.idCol))
+      val partial = scored.filter(col("lvl") === boundary)
+        .withColumn("__run", sum(col("tokens")).over(w))
+        .filter(col("__run") <= boundaryBudget)
+        .drop("__run")
+      full.unionByName(partial)
+    }
+  }
+
   /** Per-stage survival counts — the pipeline's observability story.
     *
     * The two per-row gates are counted in ONE scan with conditional

@@ -1,0 +1,63 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TrainingDataPipelineSpec extends SparkSpec {
+
+  private def scored = graft.Tables.documents(spark, sf("documents"))
+    .select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tokens"),
+      floor(TextFunctions.qualityScore(col("text")) * 1000).cast("int").as("lvl"))
+
+  test("tokenBudgetSelect matches the greedy (level desc, doc_id asc) reference") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val budget = 20000L
+    val rows = scored.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tokens"), r.getAs[Int]("lvl")))
+    // local greedy reference: fill whole levels from the top; order the
+    // boundary level by doc id and take while the running sum fits
+    val expected = scala.collection.mutable.Set.empty[Long]
+    var acc = 0L
+    var stop = false
+    for (lvlGroup <- rows.groupBy(_._3).toSeq.sortBy(-_._1) if !stop) {
+      val (lvl, members) = lvlGroup
+      val levelTotal = members.map(_._2).sum
+      if (acc + levelTotal <= budget) {
+        expected ++= members.map(_._1); acc += levelTotal
+      } else {
+        var run = 0L
+        members.sortBy(_._1).foreach { case (id, t, _) =>
+          run += t
+          if (run <= budget - acc) expected += id
+        }
+        stop = true
+      }
+    }
+    val got = TrainingDataPipeline.tokenBudgetSelect(docs, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected.toSet,
+      s"missing ${expected.toSet -- got}, extra ${got -- expected}")
+    // and the budget is respected but not wastefully underfilled
+    val spent = rows.filter(r => got.contains(r._1)).map(_._2).sum
+    assert(spent <= budget, s"budget exceeded: $spent")
+  }
+
+  test("tokenBudgetSelect returns everything when the budget covers the corpus") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val total = scored.agg(sum("tokens")).head().getLong(0)
+    val got = TrainingDataPipeline.tokenBudgetSelect(docs, total + 1)
+    assert(got.count() == docs.count())
+  }
+
+  test("tokenBudgetSelect plans no global-order window (only the boundary level sorts)") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val plan = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L)
+      .queryExecution.executedPlan.toString
+    // a Window with an empty partition spec would show as a single-partition
+    // exchange feeding the window — the bucket-histogram plan never does that
+    assert(!plan.contains("Window [sum") || plan.contains("windowspecdefinition(lvl"),
+      plan)
+  }
+}
