@@ -644,6 +644,18 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Benchmark decontamination (TrainingDataPipeline
+    * .contaminationReport): corpus docs (id >= 50) sharing any 8-token
+    * shingle with the eval set (id < 50), with the shared-gram count.
+    * Eval grams broadcast; the corpus never shuffles before the final
+    * per-doc count. Reproduced gram-for-gram in DuckDB.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipelines.TrainingDataPipeline.contaminationReport(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+  }
+
   /** Token-budget selection (TrainingDataPipeline.tokenBudgetSelect):
     * highest-quality docs until a 20k-token budget fills, via the
     * bucket-histogram plan (whole quality levels kept by filter, one

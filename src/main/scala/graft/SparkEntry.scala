@@ -86,6 +86,7 @@ object SparkEntry {
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
     "q_token_budget" -> (Queries.qTokenBudget _),
+    "q_decontaminate" -> (Queries.qDecontaminate _),
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
     "q_mm_features" -> (Queries.qMmFeatures _),
@@ -581,6 +582,17 @@ object Oracles {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.35""",
+
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ts) < 8 THEN array_to_string(ts, ' ')
+                      ELSE array_to_string(ts[CAST(i AS INT):CAST(i+7 AS INT)], ' ') END AS gram
+               FROM tk, UNNEST(generate_series(1, greatest(len(ts)-7, 1))) AS u(i)),
+         eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+         cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 50)
+         SELECT doc_id, count(*) AS shared_grams
+         FROM cg JOIN eg USING (gram) GROUP BY doc_id""",
 
     "q_token_budget" ->
       """WITH s AS (

@@ -88,6 +88,31 @@ object TrainingDataPipeline {
     }
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * `n`-token shingle with the evaluation set — the standard guard
+    * against test-set leakage into training data. Scale shape: the
+    * eval side is small by definition, so its distinct gram set
+    * BROADCASTS; the corpus side is one scan + per-row shingling +
+    * broadcast hash join — the 100 TB corpus never shuffles. Returns
+    * (idCol, shared_grams) for contaminated docs only; compose with a
+    * left_anti join to drop them.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      conf: Config = Config()): DataFrame = {
+    val evalGrams = evalSet.select(
+      explode(array_distinct(TextFunctions.wordShingles(col(conf.textCol), n)))
+        .as("gram")).distinct()
+    corpus.select(col(conf.idCol),
+      explode(array_distinct(TextFunctions.wordShingles(col(conf.textCol), n)))
+        .as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(conf.idCol)
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Per-stage survival counts — the pipeline's observability story.
     *
     * The two per-row gates are counted in ONE scan with conditional

@@ -44,6 +44,25 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(spent <= budget, s"budget exceeded: $spent")
   }
 
+  test("contaminationReport flags 8-token overlap, ignores 7-token overlap") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains eval tokens 1..8 verbatim -> contaminated
+      (10L, "noise alpha beta gamma delta epsilon zeta eta theta more noise"),
+      // only a 7-token run (beta..theta minus one) -> clean
+      (11L, "beta gamma delta epsilon zeta eta theta"),
+      (12L, "completely unrelated words about query planners and shuffles")
+    ).toDF("doc_id", "text")
+    val flagged = TrainingDataPipeline.contaminationReport(corpus, evalSet)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shared_grams")).toMap
+    assert(flagged.contains(10L) && flagged(10L) >= 1, flagged.toString)
+    assert(!flagged.contains(11L), flagged.toString) // 7 < n=8: below the guarantee
+    assert(!flagged.contains(12L))
+  }
+
   test("tokenBudgetSelect returns everything when the budget covers the corpus") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     val total = scored.agg(sum("tokens")).head().getLong(0)
