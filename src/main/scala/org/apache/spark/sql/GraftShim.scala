@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Function registry of an existing session (`sessionState` is
+    * private[sql]) — lets GraftExtensions install into a session that
+    * was built without `spark.sql.extensions` (tests, REPLs).
+    */
+  def functionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL surface: every custom Catalyst expression is reachable from
+  * `spark.sql(...)` via GraftExtensions (spark.sql.extensions config
+  * on a fresh session, or installInto on an existing one) and agrees
+  * with its Scala-API twin.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  // shared session: install once before the suite's tests touch SQL
+  GraftExtensions.installInto(spark)
+  graft.Tables.embeddings(spark, sf("embeddings")).createOrReplaceTempView("emb")
+  graft.Tables.documents(spark, sf("documents")).createOrReplaceTempView("docs")
+
+  test("vec_dot from SQL equals the Scala column API") {
+    val sql = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM emb ORDER BY vec_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val api = graft.Tables.embeddings(spark, sf("embeddings"))
+      .select(col("vec_id"), graft.similarity.Ann.dot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("minhash_sig / simhash64 / word_shingles / char_ngrams / rolling_hash31 from SQL") {
+    val row = spark.sql(
+      """SELECT
+           minhash_sig(word_shingles(split(lower(text), '\\s+'), 3), 16) AS mh,
+           simhash64(split(lower(text), '\\s+')) AS sh,
+           char_ngrams(text, 4)[0] AS cg,
+           rolling_hash31(text) AS rh
+         FROM docs WHERE doc_id = 0""").head()
+    assert(row.getSeq[Long](0).length == 16)
+    assert(row.getLong(1) != 0L)
+    assert(row.getString(2).length == 4)
+
+    val apiSimhash = graft.Tables.documents(spark, sf("documents"))
+      .filter(col("doc_id") === 0)
+      .select(graft.dedup.Dedup.simhash(col("text"))).head().getLong(0)
+    // SQL twin used the same tokenization (lower + whitespace split)
+    assert(row.getLong(1) == apiSimhash)
+  }
+
+  test("kmv_distinct aggregate from SQL matches the Scala API") {
+    graft.Tables.lineitem(spark, sf("lineitem")).createOrReplaceTempView("li")
+    val sql = spark.sql("SELECT kmv_distinct(l_partkey, 256) FROM li").head().getLong(0)
+    val api = graft.Tables.lineitem(spark, sf("lineitem"))
+      .agg(graft.functions.SketchFunctions.kmvDistinct(col("l_partkey"), 256))
+      .head().getLong(0)
+    assert(sql == api)
+  }
+
+  test("hyperplane_sig from SQL produces nTables bucket keys") {
+    val keys = spark.sql(
+      "SELECT hyperplane_sig(embedding, 4, 6) FROM emb WHERE vec_id = 0")
+      .head().getSeq[String](0)
+    assert(keys.length == 4)
+    assert(keys.forall(_.matches("\\d+#[01]{6}")))
+  }
+}
