@@ -656,6 +656,17 @@ object Queries {
       docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
   }
 
+  /** Mixture-weight token budgets (TrainingDataPipeline
+    * .tokenBudgetByGroup): three synthetic sources (doc_id % 3) fill
+    * 8k/5k/2k token budgets with their own best-quality docs — the
+    * grouped form of q_token_budget, reproduced in DuckDB SQL.
+    */
+  def qTokenBudgetGroup(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.tokenBudgetByGroup(
+      t(s, dir, "documents"),
+      col("doc_id") % 3,
+      Map("0" -> 8000L, "1" -> 5000L, "2" -> 2000L))
+
   /** Token-budget selection (TrainingDataPipeline.tokenBudgetSelect):
     * highest-quality docs until a 20k-token budget fills, via the
     * bucket-histogram plan (whole quality levels kept by filter, one

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
     "q_token_budget" -> (Queries.qTokenBudget _),
     "q_decontaminate" -> (Queries.qDecontaminate _),
+    "q_token_budget_group" -> (Queries.qTokenBudgetGroup _),
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
     "q_mm_features" -> (Queries.qMmFeatures _),
@@ -593,6 +594,36 @@ object Oracles {
          cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 50)
          SELECT doc_id, count(*) AS shared_grams
          FROM cg JOIN eg USING (gram) GROUP BY doc_id""",
+
+    "q_token_budget_group" ->
+      """WITH s AS (
+           SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS grp,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+             CAST(FLOOR((
+               (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+                + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                             THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                                  / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                             ELSE 0.0 END, 1.0)) / 2.0) * 1000) AS INT) AS lvl
+           FROM documents),
+         ls AS (SELECT grp, lvl, SUM(tokens) AS t FROM s GROUP BY 1, 2),
+         cum AS (SELECT grp, lvl, t, SUM(t) OVER (PARTITION BY grp ORDER BY lvl DESC) AS c FROM ls),
+         bud AS (SELECT * FROM (VALUES ('0', 8000), ('1', 5000), ('2', 2000)) v(grp, b)),
+         bnd AS (SELECT bud.grp, bud.b,
+                   COALESCE(MAX(CASE WHEN c > b THEN lvl END), -2147483648) AS boundary
+                 FROM bud JOIN cum ON cum.grp = bud.grp GROUP BY 1, 2),
+         bb AS (SELECT bnd.grp, bnd.boundary,
+                  COALESCE((SELECT bnd.b - (c - t) FROM cum
+                            WHERE cum.grp = bnd.grp AND cum.lvl = bnd.boundary), bnd.b) AS bbud
+                FROM bnd)
+         SELECT doc_id, s.grp, tokens, lvl FROM s JOIN bb ON s.grp = bb.grp
+         WHERE lvl > boundary
+         UNION ALL
+         SELECT doc_id, grp, tokens, lvl FROM (
+           SELECT s.doc_id, s.grp, s.tokens, s.lvl, bb.bbud,
+             SUM(s.tokens) OVER (PARTITION BY s.grp ORDER BY s.doc_id) AS rc
+           FROM s JOIN bb ON s.grp = bb.grp AND s.lvl = bb.boundary) x
+         WHERE rc <= bbud""",
 
     "q_token_budget" ->
       """WITH s AS (

@@ -57,35 +57,60 @@ object TrainingDataPipeline {
       docs: DataFrame,
       budgetTokens: Long,
       buckets: Int = 1000,
+      conf: Config = Config()): DataFrame =
+    tokenBudgetByGroup(docs, lit("all"), Map("all" -> budgetTokens), buckets, conf)
+      .select(col(conf.idCol), col("tokens"), col("lvl"))
+
+  /** Per-group token budgets — the mixture-weights form of
+    * [[tokenBudgetSelect]] ("30% source A, 70% source B" training-set
+    * assembly): each group listed in `budgets` fills its own token
+    * budget with its highest-quality documents; unlisted groups are
+    * dropped. Same bucket-histogram plan, per group: the (group ×
+    * level) token histogram (≤ |groups|·(buckets+1) rows) resolves
+    * each group's boundary level on the driver, boundaries broadcast
+    * back, whole levels keep by filter, and only each group's single
+    * boundary level sorts for the partial take.
+    */
+  def tokenBudgetByGroup(
+      docs: DataFrame,
+      groupExpr: org.apache.spark.sql.Column,
+      budgets: Map[String, Long],
+      buckets: Int = 1000,
       conf: Config = Config()): DataFrame = {
+    require(budgets.nonEmpty, "no group budgets given")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val scored = docs.select(
       col(conf.idCol),
+      groupExpr.cast("string").as("grp"),
       TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"),
       floor(TextFunctions.qualityScore(col(conf.textCol)) * buckets)
         .cast("int").as("lvl"))
-    val hist = scored.groupBy("lvl").agg(sum("tokens").as("t")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
-    var acc = 0L
-    var boundary = Int.MinValue // level needing a partial take; all above fit whole
-    var boundaryBudget = 0L
-    val it = hist.iterator
-    var done = false
-    while (it.hasNext && !done) {
-      val (lvl, t) = it.next()
-      if (acc + t <= budgetTokens) acc += t
-      else { boundary = lvl; boundaryBudget = budgetTokens - acc; done = true }
+    val hist = scored.groupBy("grp", "lvl").agg(sum("tokens").as("t")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val boundaries = budgets.toSeq.map { case (g, budget) =>
+      val levels = hist.filter(_._1 == g).map(h => (h._2, h._3)).sortBy(-_._1)
+      var acc = 0L
+      var boundary = Int.MinValue // sentinel: everything fits, no partial level
+      var boundaryBudget = 0L
+      var done = false
+      for ((lvl, t) <- levels if !done) {
+        if (acc + t <= budget) acc += t
+        else { boundary = lvl; boundaryBudget = budget - acc; done = true }
+      }
+      (g, boundary, boundaryBudget)
     }
-    val full = scored.filter(col("lvl") > boundary)
-    if (!done) full // everything fit
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lvl").orderBy(col(conf.idCol))
-      val partial = scored.filter(col("lvl") === boundary)
-        .withColumn("__run", sum(col("tokens")).over(w))
-        .filter(col("__run") <= boundaryBudget)
-        .drop("__run")
-      full.unionByName(partial)
-    }
+    val bdf = broadcast(boundaries.toDF("grp", "boundary", "bbud"))
+    val joined = scored.join(bdf, Seq("grp"))
+    val full = joined.filter(col("lvl") > col("boundary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "lvl").orderBy(col(conf.idCol))
+    val partial = joined.filter(col("lvl") === col("boundary"))
+      .withColumn("__run", sum(col("tokens")).over(w))
+      .filter(col("__run") <= col("bbud"))
+      .drop("__run")
+    full.unionByName(partial)
+      .select(col(conf.idCol), col("grp"), col("tokens"), col("lvl"))
   }
 
   /** Benchmark decontamination: flag corpus documents that share any

@@ -70,6 +70,24 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(got.count() == docs.count())
   }
 
+  test("tokenBudgetByGroup respects each group's budget independently") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val budgets = Map("0" -> 8000L, "1" -> 5000L, "2" -> 2000L)
+    val out = TrainingDataPipeline
+      .tokenBudgetByGroup(docs, col("doc_id") % 3, budgets)
+      .groupBy("grp").agg(sum("tokens").as("spent")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (g, b) =>
+      assert(out.getOrElse(g, 0L) <= b, s"group $g overspent: ${out.get(g)} > $b")
+      assert(out.getOrElse(g, 0L) > 0L, s"group $g selected nothing")
+    }
+    // an unlisted group is dropped entirely
+    val dropped = TrainingDataPipeline
+      .tokenBudgetByGroup(docs, col("doc_id") % 3, Map("0" -> 8000L))
+      .select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(dropped == Set("0"))
+  }
+
   test("tokenBudgetSelect plans no global-order window (only the boundary level sorts)") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     val plan = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L)
