@@ -38,19 +38,53 @@ trait TableStore {
   * upgrade path there).
   */
 final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
-  private val fs = new org.apache.hadoop.fs.Path(dir)
+  import org.apache.hadoop.fs.Path
+  private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def path(name: String) = s"$dir/$name"
 
-  def exists(name: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(path(name)))
+  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
   def read(name: String): DataFrame = spark.read.parquet(path(name))
   def overwrite(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").parquet(path(name))
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
     ParquetUpsert.mergeByKey(spark, path(name), df, Seq(key))
-  def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
-    df.write.mode("append").partitionBy(partitionCol).parquet(path(name))
+
+  /** Fact append via a partition-level stage: the batch writes
+    * (partitioned) to a `__fact_stage` dir first, then its data files
+    * rename into the matching table partition dirs under unique names.
+    * A crash during the WRITE (the long phase — the whole Spark job,
+    * including its commit) leaves the table completely untouched; the
+    * exposed window shrinks to the same-filesystem rename loop, and a
+    * crash there is recoverable: moved rows are visible and excluded by
+    * the caller's idempotence anti-join on re-run, unmoved rows are
+    * recomputed after the stale stage is clobbered. (Whole-table swap —
+    * the dims' appendKeyed path — would make even that window
+    * all-or-nothing, but rewriting a fact table per append does not
+    * survive scale.)
+    */
+  def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit = {
+    val stage = new Path(path(name) + "__fact_stage")
+    fs.delete(stage, true)
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+    val target = new Path(path(name))
+    fs.mkdirs(target)
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(stage).foreach { part =>
+      if (part.isDirectory && part.getPath.getName.startsWith(s"$partitionCol=")) {
+        val destDir = new Path(target, part.getPath.getName)
+        fs.mkdirs(destDir)
+        fs.listStatus(part.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val dest = new Path(destDir, s"b$batchId-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(s"cannot publish ${f.getPath} -> $dest")
+          }
+      }
+    }
+    fs.delete(stage, true)
+  }
 }
 
 /** JDBC warehouse — the literal shape of the reference's Postgres

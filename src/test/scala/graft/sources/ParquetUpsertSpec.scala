@@ -28,6 +28,25 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftovers: $parent")
   }
 
+  test("staged partitioned append: accumulates batches, partition layout, no leftovers") {
+    val wh = Files.createTempDirectory("graft_store").toString
+    val store = new ParquetStore(spark, wh)
+    val b1 = Seq((1L, 202001, 1.0), (2L, 202002, 2.0)).toDF("id", "p_month", "v")
+    store.appendPartitioned(b1, "fact", "p_month")
+    val b2 = Seq((3L, 202001, 3.0)).toDF("id", "p_month", "v")
+    // simulate a stale stage from a killed run — must be clobbered
+    val stale = new java.io.File(s"$wh/fact__fact_stage"); stale.mkdirs()
+    Files.writeString(java.nio.file.Path.of(stale.toString, "junk"), "x")
+    store.appendPartitioned(b2, "fact", "p_month")
+    val back = store.read("fact")
+    assert(back.count() == 3)
+    assert(back.filter(col("p_month") === 202001).count() == 2)
+    // physical layout: hive-style partition dirs, no stage dir left
+    val top = new java.io.File(s"$wh/fact").list().toSeq.filterNot(_.startsWith("_"))
+    assert(top.toSet == Set("p_month=202001", "p_month=202002"), top.toString)
+    assert(new java.io.File(wh).list().toSeq.filterNot(_.startsWith("_")) == Seq("fact"))
+  }
+
   test("crash recovery: stale __stage/__old dirs from a killed run are ignored and cleaned") {
     val dir = Files.createTempDirectory("graft_upsert_crash").toString + "/t"
     val v1 = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
