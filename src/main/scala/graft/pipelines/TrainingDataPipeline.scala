@@ -80,12 +80,17 @@ object TrainingDataPipeline {
     require(budgets.nonEmpty, "no group budgets given")
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = docs.select(
-      col(conf.idCol),
-      groupExpr.cast("string").as("grp"),
-      TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"),
-      floor(TextFunctions.qualityScore(col(conf.textCol)) * buckets)
-        .cast("int").as("lvl"))
+    // scope to budgeted groups FIRST: bounds the collected histogram to
+    // |budgets|·(buckets+1) rows no matter the group column's
+    // cardinality, and the filter pushes into the scan
+    val scored = docs
+      .filter(groupExpr.cast("string").isin(budgets.keys.toSeq: _*))
+      .select(
+        col(conf.idCol),
+        groupExpr.cast("string").as("grp"),
+        TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"),
+        floor(TextFunctions.qualityScore(col(conf.textCol)) * buckets)
+          .cast("int").as("lvl"))
     val hist = scored.groupBy("grp", "lvl").agg(sum("tokens").as("t")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val boundaries = budgets.toSeq.map { case (g, budget) =>
