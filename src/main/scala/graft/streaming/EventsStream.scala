@@ -65,6 +65,37 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (click-through attribution shape):
+    * each left event pairs with same-user right events landing within
+    * `maxGapSecs` AFTER it. Both sides are watermarked and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what Spark needs to prove state is discardable — each side's
+    * buffered rows are dropped once the other side's watermark passes
+    * the interval, so state stays proportional to (rate × gap), not to
+    * stream history. Left events with no match within the gap expire
+    * silently (inner join); use the left_outer variant of the same
+    * condition when unmatched lefts must emit.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxGapSecs: Long = 600): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", s"$maxGapSecs seconds")
+    val r = right
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("event_id").as("r_id"))
+      .withWatermark("r_ts", s"$maxGapSecs seconds")
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapSecs SECONDS"))
+      .select(col("user_id"), col("l_id"), col("l_ts"), col("l_type"),
+        col("r_id"), col("r_ts"), col("r_type"))
+  }
+
   // ------------------------------------------------------ sessionization
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -35,6 +35,37 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs same-user events within the gap, state bounded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offsetSec: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetSec * 1000), user, typ, 1.0)
+
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = intervalJoin(impressions.toDF(), clicks.toDF(), maxGapSecs = 60)
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    impressions.addData(ev(1, 1, 0, "imp"), ev(2, 2, 0, "imp"))
+    clicks.addData(
+      ev(101, 1, 30, "click"),  // within 60s of imp 1 -> joins
+      ev(102, 2, 120, "click"), // 120s after imp 2 -> outside the gap
+      ev(103, 3, 30, "click"))  // no matching impression user
+    q.processAllAvailable()
+    // advance both watermarks far past the interval: expired state flushes
+    impressions.addData(ev(9, 9, 10000, "imp"))
+    clicks.addData(ev(109, 9, 20000, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("ij_test")
+      .select("user_id", "l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 101L)), s"got $out")
+  }
+
   test("sessionize: gap closes sessions in-stream, watermark timeout flushes open ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
