@@ -610,6 +610,19 @@ object Queries {
     Dedup.componentDedup(docs, md5MinhashAgree(s, dir, minAgree = 10)).select("doc_id")
   }
 
+  /** [[qDedupFixpointMd5]] on the alternating large-star/small-star
+    * algorithm (Dedup.componentDedupStar — the O(log n)-round opt-in
+    * for chain-shaped duplicate graphs). Same candidate graph, same
+    * recursive-closure oracle: both component algorithms must keep
+    * exactly each component's minimum id, so a divergence between the
+    * two is caught twice (here vs DuckDB, and star vs label in
+    * DedupSpec).
+    */
+  def qDedupFixpointStar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    Dedup.componentDedupStar(docs, md5MinhashAgree(s, dir, minAgree = 10)).select("doc_id")
+  }
+
   /** Portable-hash SimHash twin (16-bit, md5-derived bit votes over
     * the token multiset) — the SimHash math (hash → ±1 votes → sign →
     * bit pack) reproduced in DuckDB SQL; the production path keeps the

@@ -27,6 +27,24 @@ object TrainingDataPipeline {
       idCol: String = "doc_id",
       textCol: String = "text")
 
+  // Caches created by library functions (tokenBudget's scored frame).
+  // The cached plan must outlive the function call — the returned
+  // DataFrame reads it — so release is explicit and caller-driven.
+  private val liveCaches =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private def registerCache(df: DataFrame): Unit = liveCaches.add(df)
+
+  /** Unpersist every cache a pipeline function registered. Call after
+    * the returned plans are fully consumed (non-blocking; a plan acted
+    * on afterwards recomputes — correct, just slower).
+    */
+  def releaseCaches(): Unit = {
+    liveCaches.synchronized {
+      liveCaches.forEach(df => { df.unpersist(false); () })
+      liveCaches.clear()
+    }
+  }
+
   def qualityGate(docs: DataFrame, conf: Config): DataFrame =
     docs.filter(TextFunctions.qualityScore(col(conf.textCol)) >= conf.minQuality)
 
@@ -57,8 +75,10 @@ object TrainingDataPipeline {
       docs: DataFrame,
       budgetTokens: Long,
       buckets: Int = 1000,
-      conf: Config = Config()): DataFrame =
-    tokenBudgetByGroup(docs, lit("all"), Map("all" -> budgetTokens), buckets, conf)
+      conf: Config = Config(),
+      persistScored: Boolean = true): DataFrame =
+    tokenBudgetByGroup(docs, lit("all"), Map("all" -> budgetTokens), buckets, conf,
+      persistScored)
       .select(col(conf.idCol), col("tokens"), col("lvl"))
 
   /** Per-group token budgets — the mixture-weights form of
@@ -70,20 +90,31 @@ object TrainingDataPipeline {
     * each group's boundary level on the driver, boundaries broadcast
     * back, whole levels keep by filter, and only each group's single
     * boundary level sorts for the partial take.
+    *
+    * Single-scan: the scored projection feeds TWO consumers — the
+    * histogram action and the returned plan — so by default it
+    * persists (MEMORY_AND_DISK; four narrow columns, a small fraction
+    * of the corpus) and `documents` is scanned and regex-scored
+    * exactly once. The cache is an explicit library side effect, so
+    * the lifecycle is caller-controlled: it is registered under
+    * [[releaseCaches]] for bulk release, and `persistScored = false`
+    * opts out entirely (second scan instead of cache — the right
+    * trade when the output is consumed once and memory is tight).
     */
   def tokenBudgetByGroup(
       docs: DataFrame,
       groupExpr: org.apache.spark.sql.Column,
       budgets: Map[String, Long],
       buckets: Int = 1000,
-      conf: Config = Config()): DataFrame = {
+      conf: Config = Config(),
+      persistScored: Boolean = true): DataFrame = {
     require(budgets.nonEmpty, "no group budgets given")
     val spark = docs.sparkSession
     import spark.implicits._
     // scope to budgeted groups FIRST: bounds the collected histogram to
     // |budgets|·(buckets+1) rows no matter the group column's
     // cardinality, and the filter pushes into the scan
-    val scored = docs
+    val scored0 = docs
       .filter(groupExpr.cast("string").isin(budgets.keys.toSeq: _*))
       .select(
         col(conf.idCol),
@@ -91,6 +122,12 @@ object TrainingDataPipeline {
         TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"),
         floor(TextFunctions.qualityScore(col(conf.textCol)) * buckets)
           .cast("int").as("lvl"))
+    val scored =
+      if (persistScored) {
+        val p = scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        registerCache(p)
+        p
+      } else scored0
     val hist = scored.groupBy("grp", "lvl").agg(sum("tokens").as("t")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val boundaries = budgets.toSeq.map { case (g, budget) =>

@@ -110,11 +110,19 @@ object Ann {
           probeBits = if (probe) math.min(probeBits, nBits) else 0))
         .as("bucket"))
     val bucketed = bucketize(false)
-    val capped = bucketed
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Hot-bucket cap via count-prepass + anti-join (same shape as
+    // Dedup.bucketMemberPairs): a window count over the raw bucket
+    // stream would materialize every bucket — including the degenerate
+    // boilerplate bucket the cap exists to kill — in one task's window
+    // buffer before dropping it (a 10⁸-member bucket = one straggler/
+    // spill task at corpus scale). The count aggregate reduces
+    // map-side to distinct buckets per partition, the hot set is tiny
+    // by construction, and AQE broadcasts the anti-join at runtime.
+    val hot = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("bucket")
+    val capped = bucketed.join(hot, Seq("bucket"), "left_anti")
     // multiprobe: query side also probes Hamming-1 buckets; the
     // indexed side stays at base buckets so state doesn't grow
     val probeSide = if (multiProbe) bucketize(true) else capped

@@ -13,9 +13,12 @@ import graft.ops.RelationalOps
   * Scale shape: the quantizer trains on a BOUNDED sample solved
   * locally on the driver (the standard IVF recipe — e.g. FAISS trains
   * coarse quantizers on ~10⁵-10⁶ sampled vectors regardless of corpus
-  * size); `nLists` centroids then become plan literals, so cell
-  * assignment is a single codegen'd scan — no iterative cluster jobs,
-  * no shuffle. The probe join shuffles once on cell id
+  * size); the centroids then ride into the plan — as literal subtrees
+  * for small `nLists`, as one broadcast matrix object above
+  * [[Ivf.literalPathMaxLists]] (large indexes would break Janino
+  * limits as literals) — so cell assignment is a single codegen'd
+  * scan either way: no iterative cluster jobs, no shuffle. The probe
+  * join shuffles once on cell id
   * (high-cardinality, bounded cells). Unlike hyperplane LSH the cells
   * adapt to the data distribution, so recall is typically higher at
   * equal candidate budgets on clustered embeddings.
@@ -24,14 +27,31 @@ object Ivf {
 
   case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
 
+  /** Above this many centroids, cell assignment and probe ranking
+    * switch from per-centroid literal subtrees to the broadcast
+    * centroid-matrix expression ([[graft.functions.CentroidTopCells]]).
+    * The literal formulation is fully inlined whole-stage codegen —
+    * the fastest shape — but its expression tree grows linearly in
+    * `nLists` and breaks Janino method-size/constant-pool limits in
+    * the thousands; 64 is comfortably inside every JVM limit while
+    * covering the small-index regime. Both paths produce identical
+    * results (same arithmetic, same lower-cell tie-break; IvfSpec
+    * asserts equality), so the switch is invisible to callers.
+    */
+  val literalPathMaxLists = 64
+
   /** Nearest-centroid cell id: argmin over dist²(v, c) computed as
     * |c|² − 2·v·c (the |v|² term is constant per row), each dot a
     * fused codegen loop; ties break to the lower cell id via struct
-    * ordering.
+    * ordering. Large indexes take the matrix path — see
+    * [[literalPathMaxLists]].
     */
   private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
     // least() requires >=2 args; a degenerate one-cell index assigns all rows to 0
     if (centroids.length == 1) lit(0)
+    else if (centroids.length > literalPathMaxLists)
+      graft.functions.CentroidFunctions
+        .centroidTopCells(vec, centroids, 1, "l2").getItem(0)
     else {
       val scored = centroids.zipWithIndex.map { case (c, i) =>
         val normSq = c.map(x => x.toDouble * x.toDouble).sum
@@ -152,15 +172,21 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val nP = math.min(nProbe, index.centroids.length)
-    val ranked = array(index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        (VectorFunctions.vecCosine(col("q_vec"), typedLit(c)) * -1.0).as("negcos"),
-        lit(i).as("cell"))
-    }: _*)
+    val probeCells =
+      if (index.centroids.length > literalPathMaxLists)
+        // matrix path: one referenced object, sorted top-nP in the kernel
+        graft.functions.CentroidFunctions
+          .centroidTopCells(col("q_vec"), index.centroids, nP, "cosine")
+      else {
+        val ranked = array(index.centroids.zipWithIndex.map { case (c, i) =>
+          struct(
+            (VectorFunctions.vecCosine(col("q_vec"), typedLit(c)) * -1.0).as("negcos"),
+            lit(i).as("cell"))
+        }: _*)
+        transform(slice(array_sort(ranked), 1, nP), p => p.getField("cell"))
+      }
     val probed = q.select(
-      col("query_id"), col("q_vec"),
-      explode(slice(array_sort(ranked), 1, nP)).as("probe"))
-      .select(col("query_id"), col("q_vec"), col("probe.cell").as("cell"))
+      col("query_id"), col("q_vec"), explode(probeCells).as("cell"))
     // exact scoring inside probed cells only (shuffle on cell id)
     val cand = probed.join(index.assigned.hint("shuffle_hash"), Seq("cell"))
       .filter(col("query_id") =!= col("id"))

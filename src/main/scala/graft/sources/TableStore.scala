@@ -18,8 +18,8 @@ trait TableStore {
   def overwrite(df: DataFrame, name: String): Unit
 
   /** Append pre-deduplicated dim rows carrying unique `key` values —
-    * atomic/staged where the backend needs it (files), transactional
-    * where the backend provides it (JDBC).
+    * staged whole-table swap for files; plain batched append for JDBC
+    * (per-partition commits — see [[JdbcStore]] on atomicity).
     */
   def appendKeyed(df: DataFrame, name: String, key: String): Unit
 
@@ -85,6 +85,88 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     }
     fs.delete(stage, true)
   }
+
+  /** Compact a fact table's per-batch small files: each
+    * [[appendPartitioned]] call leaves one file set per batch per
+    * partition, so N daily appends grow to N files per partition
+    * forever — at 100× scale, unbounded read amplification (open/seek
+    * cost per file, tiny row groups, starved vectorized reads). This
+    * rewrites every partition whose file count exceeds what
+    * `targetFileBytes` calls for into ceil(bytes/target) files.
+    *
+    * Crash-safe via dir-level renames, same discipline as the append
+    * path, with stage/backup dirs OUTSIDE the table dir so partition
+    * discovery never sees them:
+    *   1. rewrite the partition into `<table>__compact_stage/<part>`;
+    *   2. rename `<table>/<part>` → `<table>__compact_old/<part>`;
+    *   3. rename stage → `<table>/<part>`;
+    *   4. delete the backup.
+    * A crash before (2) leaves the table untouched; between (2) and
+    * (3) the backup holds the data and the next call's recovery sweep
+    * restores it; after (3) the rewrite is live and the sweep merely
+    * deletes the stale backup. Contents are preserved as a multiset —
+    * only file boundaries change.
+    *
+    * Run OUTSIDE the append window (compaction and append both rename
+    * into the partition dir). Returns the number of partitions
+    * rewritten.
+    */
+  def compactPartitions(
+      name: String,
+      partitionCol: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val target = new Path(path(name))
+    val stageRoot = new Path(path(name) + "__compact_stage")
+    val oldRoot = new Path(path(name) + "__compact_old")
+
+    // recovery sweep: a partition missing from the table but present in
+    // the backup means a crash landed between renames (2) and (3)
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { p =>
+        val live = new Path(target, p.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(p.getPath, live))
+          throw new java.io.IOException(s"cannot restore ${p.getPath} -> $live")
+      }
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(stageRoot, true)
+    if (!fs.exists(target)) return 0
+
+    var compacted = 0
+    fs.listStatus(target).foreach { part =>
+      if (part.isDirectory && part.getPath.getName.startsWith(s"$partitionCol=")) {
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        val wantFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (files.length > wantFiles) {
+          val stage = new Path(stageRoot, part.getPath.getName)
+          // leaf-dir read: no partition inference, files carry the data
+          // columns only — exactly what the rewritten files must hold
+          spark.read.parquet(part.getPath.toString)
+            .repartition(wantFiles)
+            .write.mode("overwrite").parquet(stage.toString)
+          // drop Spark's _SUCCESS marker so the partition dir holds data
+          // files only (hidden .crc siblings are managed — and moved —
+          // by the checksum filesystem itself)
+          fs.listStatus(stage)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("_"))
+            .foreach(f => fs.delete(f.getPath, false))
+          val backup = new Path(oldRoot, part.getPath.getName)
+          fs.mkdirs(oldRoot)
+          if (!fs.rename(part.getPath, backup))
+            throw new java.io.IOException(s"cannot back up ${part.getPath} -> $backup")
+          if (!fs.rename(stage, part.getPath))
+            throw new java.io.IOException(s"cannot publish $stage -> ${part.getPath}")
+          fs.delete(backup, true)
+          compacted += 1
+        }
+      }
+    }
+    fs.delete(stageRoot, true)
+    fs.delete(oldRoot, true)
+    compacted
+  }
 }
 
 /** JDBC warehouse — the literal shape of the reference's Postgres
@@ -92,9 +174,16 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   * connection URL). Reads go through Spark's JDBC source, so Catalyst
   * pushes filters down as SQL WHERE clauses (the month-pruned fact
   * anti-join becomes an indexed range scan server-side); writes use
-  * the batched JDBC writer, and appends are transactional per batch —
-  * no staging needed, the database's atomicity replaces the parquet
-  * rename dance.
+  * the batched JDBC writer.
+  *
+  * Atomicity, precisely: Spark's JDBC writer commits PER PARTITION
+  * (one transaction per write task), not per job — a mid-job crash
+  * leaves the partitions that already committed visible. The ETL
+  * protocol stays correct because every append is preceded by the
+  * idempotence anti-join: a re-run after a partial append re-appends
+  * only the rows that never committed. Callers needing all-or-nothing
+  * visibility should write to a staging table and publish with a
+  * server-side transactional rename/INSERT..SELECT.
   *
   * Tested against embedded Derby (FormatsSpec); any server a Spark
   * JDBC dialect exists for (Postgres included) takes the same URL.

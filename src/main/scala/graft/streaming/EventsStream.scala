@@ -72,14 +72,26 @@ object EventsStream {
     * what Spark needs to prove state is discardable — each side's
     * buffered rows are dropped once the other side's watermark passes
     * the interval, so state stays proportional to (rate × gap), not to
-    * stream history. Left events with no match within the gap expire
-    * silently (inner join); use the left_outer variant of the same
-    * condition when unmatched lefts must emit.
+    * stream history.
+    *
+    * `joinType`:
+    *  - "inner" (default): left events with no match within the gap
+    *    expire silently;
+    *  - "left_outer": an unmatched left emits once, null-padded on the
+    *    right columns, when the watermark passes the end of its
+    *    interval (click-through attribution usually needs the
+    *    unmatched impression row — that IS the no-click signal). Same
+    *    bounded state: the outer row is produced at state-eviction
+    *    time, so nothing is retained longer than the inner join would
+    *    retain it.
     */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
-      maxGapSecs: Long = 600): DataFrame = {
+      maxGapSecs: Long = 600,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got '$joinType'")
     val l = left
       .select(col("user_id"), col("ts").as("l_ts"),
         col("event_type").as("l_type"), col("event_id").as("l_id"))
@@ -91,7 +103,8 @@ object EventsStream {
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapSecs SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapSecs SECONDS"),
+      joinType)
       .select(col("user_id"), col("l_id"), col("l_ts"), col("l_type"),
         col("r_id"), col("r_ts"), col("r_type"))
   }

@@ -64,6 +64,32 @@ class DedupSpec extends SparkSpec {
     assert(oneHop.contains(11L) && oneHop.contains(14L))
   }
 
+  test("componentDedupStar: 64-node path graph converges within the O(log n) bound") {
+    // the chain is label propagation's worst case (diameter 63 > the
+    // default 20-iteration bound); the star alternation must collapse
+    // it to the single component min well inside maxIters = 10
+    val nodes = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val kept = Dedup.componentDedupStar(nodes, chain, maxIters = 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L), s"kept ${kept.toSeq}")
+  }
+
+  test("componentDedupStar agrees with componentDedup on a mixed clique+chain graph") {
+    val nodes = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (
+      Seq((2L, 5L), (5L, 7L), (2L, 7L)) ++   // clique {2,5,7}
+      Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++ // chain 10-13
+      Seq((16L, 19L))                        // pair
+    ).toDF("id_a", "id_b")
+    val star = Dedup.componentDedupStar(nodes, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val label = Dedup.componentDedup(nodes, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(star == label, s"star $star != label $label")
+    assert(star == (0L until 20L).filterNot(Set(5L, 7L, 11L, 12L, 13L, 19L)).toSeq)
+  }
+
   test("minhash candidate recall gate: >= 0.9 of exact-Jaccard-0.7 pairs surface") {
     val r = graft.Queries.qDedupMinhashRecall(spark, sf("")).head()
     val truthPairs = r.getAs[Long]("truth_pairs")

@@ -88,13 +88,43 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(dropped == Set("0"))
   }
 
+  test("tokenBudget scans documents once: output reads the persisted scored frame") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val out = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L)
+    // the histogram action already materialized the cache, so the
+    // returned plan must read InMemoryRelation, not re-scan parquet
+    val optimized = out.queryExecution.optimizedPlan
+    val cached = optimized.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    val scans = optimized.collect {
+      case l: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => l
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(cached.nonEmpty, s"expected InMemoryRelation in:\n$optimized")
+    assert(scans.isEmpty, s"documents re-scanned despite cache:\n$optimized")
+    assert(out.count() > 0)
+    TrainingDataPipeline.releaseCaches()
+    // opt-out path still computes the same rows (second scan, no cache)
+    val plain = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L, persistScored = false)
+    assert(plain.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isEmpty)
+    assert(plain.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("tokenBudgetSelect plans no global-order window (only the boundary level sorts)") {
     val docs = graft.Tables.documents(spark, sf("documents"))
-    val plan = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L)
-      .queryExecution.executedPlan.toString
-    // a Window with an empty partition spec would show as a single-partition
-    // exchange feeding the window — the bucket-histogram plan never does that
-    assert(!plan.contains("Window [sum") || plan.contains("windowspecdefinition(lvl"),
-      plan)
+    // a Window with an EMPTY partition spec = a single-partition global
+    // sort — the scale killer the bucket-histogram plan exists to avoid;
+    // the one allowed window partitions by the boundary (grp, lvl)
+    val windows = TrainingDataPipeline.tokenBudgetSelect(docs, 20000L)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"global-order window in plan: $w")
+    }
   }
 }

@@ -48,6 +48,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("lshTopK hot-bucket cap is a count-prepass anti-join, not a Window") {
+    // VERDICT r3 item 1: a Window.partitionBy(bucket) count materializes
+    // the degenerate bucket in one task before dropping it. The only
+    // Window in the plan must be the final top-k row_number.
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val windows = Ann.lshTopK(emb, k = 5).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected exactly the top-k Window, got ${windows.size}")
+  }
+
   test("lshTopK recall vs brute force is reasonable") {
     val emb = graft.Tables.embeddings(spark, sf("embeddings"))
     val queries = emb.filter(col("vec_id") < 20)

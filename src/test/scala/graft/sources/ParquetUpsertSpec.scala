@@ -47,6 +47,61 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(new java.io.File(wh).list().toSeq.filterNot(_.startsWith("_")) == Seq("fact"))
   }
 
+  test("compactPartitions: N appends collapse to target file count, contents identical") {
+    val wh = Files.createTempDirectory("graft_compact").toString
+    val store = new ParquetStore(spark, wh)
+    // 4 appends -> >=4 files per partition
+    (0 until 4).foreach { b =>
+      val batch = Seq(
+        (b * 10 + 1L, 202001, b * 1.0),
+        (b * 10 + 2L, 202002, b * 2.0)).toDF("id", "p_month", "v")
+      store.appendPartitioned(batch, "fact", "p_month")
+    }
+    // visible data files only: "_" markers and hidden ".crc" checksums
+    // are metadata every parquet reader skips
+    def partFiles(p: String) =
+      new java.io.File(s"$wh/fact/p_month=$p").list().toSeq
+        .filterNot(f => f.startsWith("_") || f.startsWith("."))
+    assert(partFiles("202001").size >= 4, partFiles("202001").toString)
+    def snapshot() = store.read("fact").select("id", "p_month", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    val before = snapshot()
+
+    val n = store.compactPartitions("fact", "p_month", targetFileBytes = 1L << 30)
+    assert(n == 2, s"expected both partitions compacted, got $n")
+    assert(partFiles("202001").size == 1, partFiles("202001").toString)
+    assert(partFiles("202002").size == 1, partFiles("202002").toString)
+    val after = snapshot()
+    assert(after == before, "compaction changed table contents")
+    // no stage/backup leftovers; second compact is a no-op
+    assert(new java.io.File(wh).list().toSeq.filterNot(_.startsWith("_")) == Seq("fact"))
+    assert(store.compactPartitions("fact", "p_month", targetFileBytes = 1L << 30) == 0)
+    // appends still work after compaction (rename machinery unaffected)
+    store.appendPartitioned(Seq((99L, 202001, 9.9)).toDF("id", "p_month", "v"),
+      "fact", "p_month")
+    assert(store.read("fact").count() == 9)
+  }
+
+  test("compactPartitions recovery: a partition stranded in __compact_old is restored") {
+    val wh = Files.createTempDirectory("graft_compact_rec").toString
+    val store = new ParquetStore(spark, wh)
+    store.appendPartitioned(
+      Seq((1L, 202001, 1.0), (2L, 202002, 2.0)).toDF("id", "p_month", "v"),
+      "fact", "p_month")
+    // simulate a crash between backup-rename and publish-rename:
+    // partition dir moved to __compact_old, nothing published yet
+    val live = new java.io.File(s"$wh/fact/p_month=202001")
+    val oldRoot = new java.io.File(s"$wh/fact__compact_old")
+    oldRoot.mkdirs()
+    assert(live.renameTo(new java.io.File(oldRoot, "p_month=202001")))
+    assert(!live.exists())
+    // next compact call restores it before doing any work
+    store.compactPartitions("fact", "p_month", targetFileBytes = 1L << 30)
+    assert(live.exists(), "stranded partition not restored")
+    assert(store.read("fact").count() == 2)
+    assert(new java.io.File(wh).list().toSeq.filterNot(_.startsWith("_")) == Seq("fact"))
+  }
+
   test("crash recovery: stale __stage/__old dirs from a killed run are ignored and cleaned") {
     val dir = Files.createTempDirectory("graft_upsert_crash").toString + "/t"
     val v1 = Seq((1L, "a", 10.0)).toDF("id", "name", "v")

@@ -66,6 +66,45 @@ class EventsStreamSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 101L)), s"got $out")
   }
 
+  test("left_outer interval join emits null-padded unmatched lefts after the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offsetSec: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetSec * 1000), user, typ, 1.0)
+
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = intervalJoin(impressions.toDF(), clicks.toDF(),
+      maxGapSecs = 60, joinType = "left_outer")
+      .writeStream.format("memory").queryName("ij_outer_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    impressions.addData(ev(1, 1, 0, "imp"), ev(2, 2, 0, "imp"))
+    clicks.addData(
+      ev(101, 1, 30, "click"),  // within 60s of imp 1 -> joins
+      ev(102, 2, 120, "click")) // 120s after imp 2 -> outside the gap
+    q.processAllAvailable()
+    // advance both watermarks past imp 2's interval; the unmatched-left
+    // row is emitted at state eviction, which lands in the NEXT batch
+    impressions.addData(ev(9, 9, 10000, "imp"))
+    clicks.addData(ev(109, 9, 20000, "click"))
+    q.processAllAvailable()
+    impressions.addData(ev(10, 9, 30000, "imp"))
+    clicks.addData(ev(110, 9, 40000, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("ij_outer_test")
+      .select("user_id", "l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(out.contains((1L, 1L, 101L)), s"matched pair missing: $out")
+    assert(out.contains((2L, 2L, -1L)), s"null-padded unmatched left missing: $out")
+    // the out-of-gap click must never attach to imp 2
+    assert(!out.exists(o => o._2 == 2L && o._3 > 0), s"false match: $out")
+  }
+
   test("sessionize: gap closes sessions in-stream, watermark timeout flushes open ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
