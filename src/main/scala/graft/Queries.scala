@@ -483,6 +483,26 @@ object Queries {
   def qTxtWinnow(s: SparkSession, dir: String): DataFrame =
     TextFunctions.winnowStats(t(s, dir, "documents"), k = 8, w = 4)
 
+  /** Repetition quality stats (C4/Gopher-style): per-doc unigram and
+    * bigram term-frequency summaries from the one-pass native
+    * expression — callers gate on 1 − uniq/n (duplicate fraction) and
+    * top/n (top-term occupancy). Counts as BIGINT so the oracle
+    * compares exactly.
+    */
+  def qTxtRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.repetitionStats(col("text")).as("u"),
+        TextFunctions.repetitionStats(col("text"), 2).as("b"))
+      .select(
+        col("doc_id"),
+        col("u.n_terms").cast("long").as("n_tokens"),
+        col("u.n_distinct").cast("long").as("uniq_tokens"),
+        col("u.top_count").cast("long").as("top_token_n"),
+        col("b.n_distinct").cast("long").as("uniq_bigrams"),
+        col("b.top_count").cast("long").as("top_bigram_n"))
+
   /** Deterministic content-hash sampling (md5-prefix bucket — the
     * reproducible, engine-portable alternative to rand()-based
     * sample()): keep the ~25% of docs whose first fingerprint nibble
@@ -689,6 +709,36 @@ object Queries {
   def qTokenBudget(s: SparkSession, dir: String): DataFrame =
     graft.pipelines.TrainingDataPipeline
       .tokenBudgetSelect(t(s, dir, "documents"), budgetTokens = 20000L)
+
+  /** Greedy next-fit sequence packing (TrainingDataPipeline
+    * .packSequences): 512-token context windows, 8 portable buckets
+    * (doc_id mod 8 so the oracle reproduces the bucketing; production
+    * defaults to xxhash64). The per-bucket greedy scan is reproduced
+    * in DuckDB with a recursive CTE walking each bucket in id order.
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.packSequences(
+      t(s, dir, "documents"),
+      maxSeqTokens = 512L,
+      bucketExpr = Some(pmod(col("doc_id"), lit(8))))
+
+  /** Deterministic stratified sample (RelationalOps.stratifiedSample,
+    * portable-hash mode): exactly 20 lineitem rows per l_returnflag,
+    * chosen by md5 order over (orderkey, linenumber, partkey, suppkey)
+    * — a true row key in this corpus, so the order is total and the
+    * sample identical in any engine with md5. (orderkey, linenumber)
+    * alone is NOT unique here; a tied boundary would make the k-th
+    * pick engine-dependent.
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.stratifiedSample(
+      t(s, dir, "lineitem"),
+      strataCols = Seq("l_returnflag"),
+      k = 20,
+      seedCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      portableHash = true)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
 
   /** The deterministic prefix of the cleaning pipeline (quality gate →
     * language gate → exact dedup) — oracle-checked end-to-end; the

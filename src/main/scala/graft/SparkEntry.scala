@@ -72,6 +72,9 @@ object SparkEntry {
     "q_txt_rollhash" -> (Queries.qTxtRollhash _),
     "q_txt_winnow" -> (Queries.qTxtWinnow _),
     "q_sample_hash" -> (Queries.qSampleHash _),
+    "q_txt_repetition" -> (Queries.qTxtRepetition _),
+    "q_pack_sequences" -> (Queries.qPackSequences _),
+    "q_sample_stratified" -> (Queries.qSampleStratified _),
     // dedup extensions
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_minhash" -> (Queries.qDedupMinhash _),
@@ -437,6 +440,68 @@ object Oracles {
       """SELECT lang, COUNT(*) AS n_sampled FROM documents
          WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
          GROUP BY lang""",
+
+    "q_txt_repetition" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                     FROM documents),
+         uc AS (SELECT doc_id, tok, count(*) AS n
+                FROM (SELECT doc_id, UNNEST(toks) AS tok FROM tk) GROUP BY 1, 2),
+         us AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS uniq_tokens,
+                       CAST(max(n) AS BIGINT) AS top_token_n
+                FROM uc GROUP BY 1),
+         bg AS (SELECT doc_id,
+                  toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS gram
+                FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+                UNION ALL
+                -- wordShingles contract: sub-w docs yield one whole-doc shingle
+                SELECT doc_id, coalesce(toks[1], '') AS gram FROM tk
+                WHERE len(toks) <= 1),
+         bc AS (SELECT doc_id, gram, count(*) AS n FROM bg GROUP BY 1, 2),
+         bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS uniq_bigrams,
+                       CAST(max(n) AS BIGINT) AS top_bigram_n
+                FROM bc GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(us.n_tokens, 0) AS n_tokens,
+           coalesce(us.uniq_tokens, 0) AS uniq_tokens,
+           coalesce(us.top_token_n, 0) AS top_token_n,
+           coalesce(bs.uniq_bigrams, 0) AS uniq_bigrams,
+           coalesce(bs.top_bigram_n, 0) AS top_bigram_n
+         FROM documents d
+         LEFT JOIN us ON d.doc_id = us.doc_id
+         LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+
+    "q_pack_sequences" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+                  row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+           FROM documents
+           WHERE len(regexp_extract_all(text, '\S+')) <= 512),
+         p AS (
+           SELECT doc_id, bucket, rn, tokens,
+                  CAST(0 AS BIGINT) AS pack, tokens AS acc
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.doc_id, b.bucket, b.rn, b.tokens,
+                  CASE WHEN p.acc + b.tokens > 512 THEN p.pack + 1 ELSE p.pack END,
+                  CASE WHEN p.acc + b.tokens > 512 THEN b.tokens ELSE p.acc + b.tokens END
+           FROM base b JOIN p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
+         SELECT doc_id, bucket, pack AS pack_in_bucket,
+                CAST(bucket AS BIGINT) * 4294967296 + pack AS pack_id, tokens
+         FROM p""",
+
+    "q_sample_stratified" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+                              || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
+                             l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+           FROM lineitem) s
+         WHERE rn <= 20""",
 
     "q_txt_winnow" ->
       """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

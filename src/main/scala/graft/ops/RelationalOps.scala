@@ -278,6 +278,35 @@ object RelationalOps {
           payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows
+    * per stratum, chosen by hash order over `seedCols` — unbiased
+    * (hash order is independent of storage order), reproducible (a
+    * pure function of the data, so re-runs and engine changes pick the
+    * same rows — unlike `TABLESAMPLE`/`df.sample`, which depend on
+    * partition layout), and one shuffle on the strata keys (the same
+    * exchange any per-group op pays; each stratum ranks locally, no
+    * global sort).
+    *
+    * `portableHash = true` orders by md5 of the seed values joined
+    * with '|' (a visible separator so ("1","23") and ("12","3") never
+    * hash alike — and reproducible in any engine); default xxhash64 is
+    * cheaper on the 100 TB path. Ties (identical seed tuples) break by
+    * the seed columns themselves, keeping the order total.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      k: Int,
+      seedCols: Seq[String],
+      portableHash: Boolean = false): DataFrame = {
+    require(seedCols.nonEmpty, "seedCols must be non-empty")
+    val ord =
+      if (portableHash) md5(concat_ws("|", seedCols.map(c => col(c).cast("string")): _*))
+      else xxhash64(seedCols.map(col): _*)
+    topKPerGroup(df, strataCols, ord.asc +: seedCols.map(col(_).asc), k)
+      .drop("rn")
+  }
+
   /** Top-k rows per group — `row_number` window then filter; the
     * shuffle partitions by `keys` so each group ranks locally.
     */

@@ -155,6 +155,62 @@ object TrainingDataPipeline {
       .select(col(conf.idCol), col("grp"), col("tokens"), col("lvl"))
   }
 
+  /** Greedy next-fit sequence packing — assign documents to
+    * fixed-token-budget packs (pretraining context windows): scan each
+    * bucket's documents in id order, accumulate until adding the next
+    * doc would exceed `maxSeqTokens`, then open a new pack. Documents
+    * longer than the window are dropped (they cannot pack whole;
+    * truncation is a caller policy, not a packing concern).
+    *
+    * Scale shape: docs hash into `nBuckets` independent packing
+    * streams (packing is embarrassingly parallel across buckets — the
+    * only cross-doc dependency is within a bucket), then ONE shuffle:
+    * `repartition(bucket)` + `sortWithinPartitions(bucket, id)` +
+    * a streaming `mapPartitions` scan. The sort is Spark's external
+    * (spilling) sort and the scan holds O(1) state — no bucket is ever
+    * materialized in memory, so bucket sizing affects parallelism, not
+    * correctness. Deterministic: (bucket, id) is a total order.
+    *
+    * Output: (idCol, bucket, pack_in_bucket, pack_id, tokens) where
+    * `pack_id = bucket · 2³² + pack_in_bucket` is globally unique.
+    * `bucketExpr` defaults to xxhash64(id) mod nBuckets; pass any
+    * grouping column (e.g. a portable hash, or a source/domain key) to
+    * control which documents may share a pack.
+    */
+  def packSequences(
+      docs: DataFrame,
+      maxSeqTokens: Long,
+      nBuckets: Int = 1024,
+      bucketExpr: Option[org.apache.spark.sql.Column] = None,
+      conf: Config = Config()): DataFrame = {
+    require(maxSeqTokens >= 1, "maxSeqTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(conf.idCol)), lit(nBuckets)))
+    val base = docs.select(
+      col(conf.idCol).cast("long").as("id"),
+      bucket.cast("int").as("bucket"),
+      TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"))
+      .filter(col("tokens") <= maxSeqTokens)
+    base
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .as[(Long, Int, Long)]
+      .mapPartitions { iter =>
+        // several buckets per partition; state resets on bucket change
+        var curBucket = Integer.MIN_VALUE
+        var acc = 0L
+        var pack = 0L
+        iter.map { case (id, b, tok) =>
+          if (b != curBucket) { curBucket = b; acc = 0L; pack = 0L }
+          if (acc + tok > maxSeqTokens) { pack += 1; acc = 0L }
+          acc += tok
+          (id, b, pack, (b.toLong << 32) | pack, tok)
+        }
+      }
+      .toDF(conf.idCol, "bucket", "pack_in_bucket", "pack_id", "tokens")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * `n`-token shingle with the evaluation set — the standard guard
     * against test-set leakage into training data. Scale shape: the

@@ -115,6 +115,19 @@ object TextFunctions {
   def charShingles(text: Column, n: Int): Column =
     graft.functions.ShingleFunctions.charNGrams(normalized(text), n)
 
+  /** Repetition statistics over word n-grams — the C4/Gopher-style
+    * quality signals: returns struct(n_terms, n_distinct, top_count)
+    * for the document's `n`-gram multiset. Callers derive the filter
+    * ratios (duplicate-term fraction `1 − n_distinct/n_terms`,
+    * top-term occupancy `top_count/n_terms`) and gate on them — the
+    * standard guards against boilerplate and template spam. One
+    * hash-counting pass per row (native expression), no shuffle.
+    */
+  def repetitionStats(text: Column, n: Int = 1): Column = {
+    val terms = if (n == 1) tokens(text) else wordShingles(text, n)
+    graft.functions.TokenStatsFunctions.termStats(terms)
+  }
+
   /** Winnowing fingerprint statistics (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): hash every k-gram with the Karp-Rabin polynomial,
     * take the minimum in each sliding window of `w` consecutive

@@ -84,4 +84,27 @@ class RelationalOpsSpec extends SparkSpec {
     // strict ts ordering: equal-ts rows never pair; 90→100 pairs once each
     assert(pairs == Set((3L, 1L), (3L, 2L)))
   }
+
+  test("stratifiedSample: exact k per stratum, deterministic, layout-independent") {
+    val li = graft.Tables.table(spark, sf(""), "lineitem")
+    // seed must be a TRUE key: (orderkey, linenumber) is not unique in
+    // this corpus, and tied seed tuples make the k-th pick arbitrary
+    val seed = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      stratifiedSample(df, Seq("l_returnflag"), 20, seed, portableHash = true)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val s1 = run(li)
+    // exactly k per stratum (every stratum has >= k rows at this sf)
+    s1.groupBy(_._1).foreach { case (f, rows) =>
+      assert(rows.length == 20, s"stratum $f: ${rows.length} rows")
+    }
+    // same rows regardless of physical layout (hash order, not scan order)
+    assert(run(li.repartition(17)).toSet == s1.toSet)
+    // the cheap xxhash64 mode keeps the same contract
+    val fast = stratifiedSample(li, Seq("l_returnflag"), 20, seed)
+    assert(fast.count() == 60)
+    assert(fast.groupBy("l_returnflag").count()
+      .collect().forall(_.getLong(1) == 20))
+  }
 }

@@ -114,6 +114,53 @@ class TrainingDataPipelineSpec extends SparkSpec {
       out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("packSequences: greedy next-fit per bucket, budget respected, matches local reference") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val maxSeq = 512L
+    val out = TrainingDataPipeline.packSequences(
+      docs, maxSeq, bucketExpr = Some(col("doc_id") % 8))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("pack_in_bucket"), r.getAs[Long]("pack_id"), r.getAs[Long]("tokens")))
+    // every pack fits the budget
+    out.groupBy(r => (r._2, r._3)).foreach { case (pack, members) =>
+      val s = members.map(_._5).sum
+      assert(s <= maxSeq, s"pack $pack holds $s > $maxSeq tokens")
+    }
+    // greedy property: the first doc of pack p+1 would NOT have fit in pack p
+    out.groupBy(_._2).foreach { case (b, members) =>
+      val byPack = members.groupBy(_._3).toSeq.sortBy(_._1)
+      byPack.sliding(2).foreach {
+        case Seq((_, cur), (_, next)) =>
+          val firstNext = next.minBy(_._1)
+          assert(cur.map(_._5).sum + firstNext._5 > maxSeq,
+            s"bucket $b: pack split though doc ${firstNext._1} would have fit")
+        case _ =>
+      }
+    }
+    // local greedy reference over the same (bucket, id-order) streams
+    val toks = scored.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tokens"))).toMap
+    val expected = toks.filter(_._2 <= maxSeq).toSeq
+      .map { case (id, t) => (id, id % 8, t) }
+      .groupBy(_._2).flatMap { case (b, members) =>
+        var acc = 0L; var pack = 0L
+        members.sortBy(_._1).map { case (id, _, t) =>
+          if (acc + t > maxSeq) { pack += 1; acc = 0L }
+          acc += t
+          (id, b, pack)
+        }
+      }.toSet
+    assert(out.map(r => (r._1, r._2.toLong, r._3)).toSet == expected)
+    // pack_id is globally unique per (bucket, pack)
+    assert(out.map(r => (r._2, r._3)).distinct.length == out.map(_._4).distinct.length)
+    // deterministic under physical layout changes
+    val re = TrainingDataPipeline.packSequences(
+      docs.repartition(13), maxSeq, bucketExpr = Some(col("doc_id") % 8))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).toSet
+    assert(re == out.map(r => (r._1, r._4)).toSet)
+  }
+
   test("tokenBudgetSelect plans no global-order window (only the boundary level sorts)") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     // a Window with an EMPTY partition spec = a single-partition global

@@ -63,4 +63,39 @@ class TextFunctionsSpec extends SparkSpec {
       assert(one(rollingHash(col("t")), s).getLong(0) == ref(s), s"for '$s'")
     }
   }
+
+  test("repetitionStats counts terms, distinct terms, and the top count") {
+    def stats(s: String, n: Int = 1): (Int, Int, Int) = {
+      val r = one(repetitionStats(col("t"), n), s).getStruct(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    // lowercased tokens: a b a c a b → a:3 b:2 c:1
+    assert(stats("a b a c a B") == (6, 3, 3))
+    assert(stats("") == (0, 0, 0))
+    assert(stats("same same same") == (3, 1, 3))
+    // bigrams of "x y x y x": [x y, y x, x y, y x] → 4 terms, 2 distinct, top 2
+    assert(stats("x y x y x", n = 2) == (4, 2, 2))
+    // wordShingles contract: a doc shorter than w yields ONE shingle
+    // (the whole doc — empty string for an empty doc)
+    assert(stats("one", n = 2) == (1, 1, 1))
+    assert(stats("", n = 2) == (1, 1, 1))
+  }
+
+  test("repetitionStats (native) matches the explode-groupBy formulation on real docs") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val native = docs.select(
+      col("doc_id"), repetitionStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_terms"), col("s.n_distinct"), col("s.top_count"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("int").as("t"), count(lit(1)).cast("int").as("d"),
+        max("n").cast("int").as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    viaShuffle.foreach { case (id, expected) =>
+      assert(native(id) == expected, s"doc $id: ${native(id)} vs $expected")
+    }
+  }
 }
