@@ -29,6 +29,7 @@ import graft.functions._
   *  - char_ngrams(s, n)           character n-grams of a string
   *  - rolling_hash31(s)           Karp-Rabin base-31 rolling hash
   *  - kmv_distinct(col, k)        KMV bottom-k distinct-count sketch (aggregate)
+  *  - term_stats(terms)           (n_terms, n_distinct, top_count) of a string array
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -99,6 +100,11 @@ object GraftExtensions {
             If(IsNull(c), Literal(null, LongType), XxHash64(Seq(c), 42L)),
             intArg(k, "kmv_distinct", 1)).toAggregateExpression()
         case args => throw new IllegalArgumentException(s"kmv_distinct takes 2 args, got ${args.length}")
+      }),
+    fn("term_stats",
+      "term_stats(terms) - struct(n_terms, n_distinct, top_count) of a string array", {
+        case Seq(t) => TokenTermStats(t)
+        case args => throw new IllegalArgumentException(s"term_stats takes 1 arg, got ${args.length}")
       }))
 
   /** Install into an already-built session (tests, REPLs) — same

@@ -273,10 +273,14 @@ object Dedup {
     * `maxIters` bounds the pathological case.
     *
     * Dense dup clusters (the common corpus shape) converge in 1-2
-    * rounds under BOTH algorithms; prefer [[componentDedup]]'s
-    * simpler plan there, and this variant when chain-shaped duplicate
-    * graphs (rolling boilerplate, near-identical page series) are
-    * expected.
+    * rounds under BOTH algorithms — but measured on a 100k ×20-dup
+    * corpus the star alternation ran ~4× faster even there (16.8 s vs
+    * 73.8 s: fewer and cheaper rounds), and it is the only
+    * O(log n)-bounded choice when chain-shaped duplicate graphs
+    * (rolling boilerplate, near-identical page series) can appear.
+    * [[componentDedup]] remains the simpler plan to read and the one
+    * the DuckDB closure oracle checks directly; both are oracle-pinned
+    * to identical output.
     */
   def componentDedupStar(
       docs: DataFrame,

@@ -44,6 +44,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) == apiSimhash)
   }
 
+  test("term_stats from SQL equals the Scala column API") {
+    val sql = spark.sql(
+      """SELECT doc_id, term_stats(regexp_extract_all(lower(text), '\\S+', 0)) AS s
+         FROM docs ORDER BY doc_id LIMIT 5""")
+      .select(col("doc_id"), col("s.n_terms"), col("s.n_distinct"), col("s.top_count"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val api = graft.Tables.documents(spark, sf("documents"))
+      .select(col("doc_id"),
+        graft.text.TextFunctions.repetitionStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_terms"), col("s.n_distinct"), col("s.top_count"))
+      .orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(sql.toSeq == api.toSeq)
+  }
+
   test("kmv_distinct aggregate from SQL matches the Scala API") {
     graft.Tables.lineitem(spark, sf("lineitem")).createOrReplaceTempView("li")
     val sql = spark.sql("SELECT kmv_distinct(l_partkey, 256) FROM li").head().getLong(0)
