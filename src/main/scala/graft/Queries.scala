@@ -503,6 +503,31 @@ object Queries {
         col("b.n_distinct").cast("long").as("uniq_bigrams"),
         col("b.top_count").cast("long").as("top_bigram_n"))
 
+  /** Sliding-window chunking (TextFunctions.chunkDocuments): 32-token
+    * windows, 8-token overlap — every doc contributes ≥1 chunk,
+    * adjacent chunks share the overlap. Reproduced in DuckDB with
+    * list slicing.
+    */
+  def qTxtChunks(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.chunkDocuments(
+      t(s, dir, "documents"), chunkTokens = 32, overlapTokens = 8)
+
+  /** PII redaction (TextFunctions.redactPii). The synthetic corpus
+    * carries no PII, so the query SYNTHESIZES it deterministically
+    * from doc_id (an email, a URL, a long id number prefixed to the
+    * text) — both engines build the identical dirty string, so the
+    * oracle hash checks the actual replacement behavior, not an
+    * identity transform.
+    */
+  def qTxtRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.redactPii(concat(
+        lit("contact u"), col("doc_id").cast("string"),
+        lit("@mail-example.org or https://ex.example/"), col("doc_id").cast("string"),
+        lit("/x id "), (col("doc_id") * 1234567).cast("string"),
+        lit(" :: "), col("text"))).as("clean"))
+
   /** Deterministic content-hash sampling (md5-prefix bucket — the
     * reproducible, engine-portable alternative to rand()-based
     * sample()): keep the ~25% of docs whose first fingerprint nibble

@@ -73,6 +73,8 @@ object SparkEntry {
     "q_txt_winnow" -> (Queries.qTxtWinnow _),
     "q_sample_hash" -> (Queries.qSampleHash _),
     "q_txt_repetition" -> (Queries.qTxtRepetition _),
+    "q_txt_chunks" -> (Queries.qTxtChunks _),
+    "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     // dedup extensions
@@ -471,6 +473,32 @@ object Oracles {
          FROM documents d
          LEFT JOIN us ON d.doc_id = us.doc_id
          LEFT JOIN bs ON d.doc_id = bs.doc_id""",
+
+    "q_txt_chunks" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                     FROM documents),
+         b AS (SELECT doc_id, toks, len(toks) AS n,
+                      (greatest(len(toks) - 32, 0) + 23) // 24 AS m
+               FROM tk)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                array_to_string(toks[CAST(i*24+1 AS INT):CAST(least(i*24+32, n) AS INT)], ' ')
+                  AS chunk_text,
+                CAST(len(toks[CAST(i*24+1 AS INT):CAST(least(i*24+32, n) AS INT)]) AS BIGINT)
+                  AS chunk_tokens
+         FROM b, UNNEST(generate_series(0, m)) AS g(i)""",
+
+    "q_txt_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 'contact u' || CAST(doc_id AS VARCHAR) || '@mail-example.org or https://ex.example/'
+                   || CAST(doc_id AS VARCHAR) || '/x id ' || CAST(doc_id * 1234567 AS VARCHAR)
+                   || ' :: ' || text,
+                 'https?://\S+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS clean
+         FROM documents""",
 
     "q_pack_sequences" ->
       """WITH RECURSIVE base AS (

@@ -128,6 +128,61 @@ object TextFunctions {
     graft.functions.TokenStatsFunctions.termStats(terms)
   }
 
+  /** PII redaction: URLs, emails, then long digit runs (7+) replaced
+    * with typed placeholder tokens — the standard scrub before
+    * training-data release. Order matters (URLs first, or an email
+    * inside a URL leaves a dangling scheme) and is part of the
+    * contract. Pure per-row `regexp_replace` chain: codegen'd, no
+    * shuffle, and the patterns avoid lookaround so RE2-based engines
+    * (the DuckDB oracle included) execute them identically.
+    */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text, "https?://\\S+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9]{7,}", "<NUM>")
+  }
+
+  /** Sliding-window document chunking: split each document's token
+    * stream into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlapTokens` — the context-window preparation
+    * step between cleaning and packing. One row per (doc, window):
+    * (idCol, chunk_idx, chunk_text, chunk_tokens). A document shorter
+    * than one window yields exactly one (possibly empty) chunk, so no
+    * document silently disappears.
+    *
+    * Per-row shape: tokenize once, `sequence` + `posexplode` the
+    * window starts, `slice`/`concat_ws` per window — all codegen'd
+    * builtins (no interpreted lambdas), no shuffle; output size is
+    * input tokens × chunk/(chunk−overlap).
+    */
+  def chunkDocuments(
+      docs: org.apache.spark.sql.DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlapTokens vs $chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // last window start index: ceil(max(n - chunk, 0) / stride)
+      .withColumn("__m",
+        expr(s"CAST((greatest(__n - $chunkTokens, 0) + ${stride - 1}) div $stride AS INT)"))
+    base
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__m"))).as(Seq("__p", "__i")))
+      .select(
+        col(idCol),
+        col("__i").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__i") * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__toks"), col("__i") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** Winnowing fingerprint statistics (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): hash every k-gram with the Karp-Rabin polynomial,
     * take the minimum in each sliding window of `w` consecutive

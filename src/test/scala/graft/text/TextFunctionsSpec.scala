@@ -64,6 +64,44 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii scrubs urls, emails, long digit runs — in that order") {
+    def red(s: String) = one(redactPii(col("t")), s).getString(0)
+    assert(red("mail me at bob.smith+x@corp.example.org today") ==
+      "mail me at <EMAIL> today")
+    assert(red("see https://a.example/path?q=1 now") == "see <URL> now")
+    assert(red("id 12345678 ok 123456 ok") == "id <NUM> ok 123456 ok") // 6 digits survive
+    // a URL containing an email-like part is consumed as a URL first
+    assert(red("http://x.example/a@b.example/c d") == "<URL> d")
+    assert(red("clean text stays clean") == "clean text stays clean")
+  }
+
+  test("chunkDocuments: windows, overlap, short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val out = chunkDocuments(docs, chunkTokens = 32, overlapTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // 80 tokens, stride 24: starts 0,24,48 -> ceil((80-32)/24)=2 -> 3 chunks
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.length == 3, d1.mkString(","))
+    assert(d1(0)._3.startsWith("w1 w2 ") && d1(0)._4 == 32L)
+    assert(d1(1)._3.startsWith("w25 ") && d1(1)._4 == 32L) // overlap of 8
+    assert(d1(2)._3.startsWith("w49 ") && d1(2)._4 == 32L)
+    assert(d1(2)._3.endsWith(" w80"))
+    // short doc: one chunk, all tokens
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "a b c", 3L)))
+    // empty doc: one empty chunk — the doc does not disappear
+    assert(byDoc(3L).toSeq == Seq((3L, 0, "", 0L)))
+    // every token of doc 1 appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 80).forall(i => covered.contains(s"w$i")))
+  }
+
   test("repetitionStats counts terms, distinct terms, and the top count") {
     def stats(s: String, n: Int = 1): (Int, Int, Int) = {
       val r = one(repetitionStats(col("t"), n), s).getStruct(0)
