@@ -295,6 +295,23 @@ object Queries {
 
   // ---------------------------------------------- streaming-shaped (events)
 
+  /** Retention cohort analysis: users grouped by first-activity date,
+    * counted on each later active day offset — the classic product-
+    * analytics rollup. Two key-partitioned aggregations and one
+    * equi-join on user_id (no broadcast assumption: the first-day side
+    * is |users|-sized and co-shuffles); day_offset arithmetic stays
+    * per-row.
+    */
+  def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val firstDay = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Tumbling-window aggregation in batch — the same `window()`
     * primitive Structured Streaming uses (graft.streaming runs the
     * streaming variant; results are checked here in batch).

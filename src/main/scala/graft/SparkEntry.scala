@@ -75,6 +75,7 @@ object SparkEntry {
     "q_txt_repetition" -> (Queries.qTxtRepetition _),
     "q_txt_chunks" -> (Queries.qTxtChunks _),
     "q_txt_redact" -> (Queries.qTxtRedact _),
+    "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     // dedup extensions
@@ -326,6 +327,15 @@ object Oracles {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         SELECT f.cohort, CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+                count(DISTINCT a.user_id) AS active_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2""",
 
     "q_json_extract" ->
       """SELECT event_type,
