@@ -184,31 +184,43 @@ object TrainingDataPipeline {
       bucketExpr: Option[org.apache.spark.sql.Column] = None,
       conf: Config = Config()): DataFrame = {
     require(maxSeqTokens >= 1, "maxSeqTokens must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val bucket = bucketExpr.getOrElse(pmod(xxhash64(col(conf.idCol)), lit(nBuckets)))
     val base = docs.select(
-      col(conf.idCol).cast("long").as("id"),
+      col(conf.idCol).as("id"),
       bucket.cast("int").as("bucket"),
       TextFunctions.tokenCount(col(conf.textCol)).cast("long").as("tokens"))
       .filter(col("tokens") <= maxSeqTokens)
+    // Row-generic scan (no cast of the id column): ids keep their own
+    // type and ordering — string doc ids are as common as numeric ones
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        conf.idCol, base.schema("id").dataType, base.schema("id").nullable),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack_in_bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     base
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
-      .as[(Long, Int, Long)]
       .mapPartitions { iter =>
         // several buckets per partition; state resets on bucket change
         var curBucket = Integer.MIN_VALUE
         var acc = 0L
         var pack = 0L
-        iter.map { case (id, b, tok) =>
+        iter.map { r =>
+          val b = r.getInt(1)
+          val tok = r.getLong(2)
           if (b != curBucket) { curBucket = b; acc = 0L; pack = 0L }
           if (acc + tok > maxSeqTokens) { pack += 1; acc = 0L }
           acc += tok
-          (id, b, pack, (b.toLong << 32) | pack, tok)
+          org.apache.spark.sql.Row(r.get(0), b, pack, (b.toLong << 32) | pack, tok)
         }
-      }
-      .toDF(conf.idCol, "bucket", "pack_in_bucket", "pack_id", "tokens")
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 
   /** Benchmark decontamination: flag corpus documents that share any

@@ -161,6 +161,21 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(re == out.map(r => (r._1, r._4)).toSet)
   }
 
+  test("packSequences keeps non-numeric doc ids (string ids pack in lexical order)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("doc-a", "one two three"), ("doc-b", "four five"),
+      ("doc-c", "six"), ("doc-d", "seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = TrainingDataPipeline.packSequences(
+      docs, maxSeqTokens = 5, bucketExpr = Some(lit(0)),
+      conf = TrainingDataPipeline.Config())
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("pack_in_bucket")))
+      .toMap
+    // lexical id order: a(3) b(2) -> pack 0 full at 5; c(1) d(4) -> pack 1
+    assert(out == Map("doc-a" -> 0L, "doc-b" -> 0L, "doc-c" -> 1L, "doc-d" -> 1L), out.toString)
+  }
+
   test("tokenBudgetSelect plans no global-order window (only the boundary level sorts)") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     // a Window with an EMPTY partition spec = a single-partition global
