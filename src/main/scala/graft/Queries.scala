@@ -8,7 +8,7 @@ import graft.dims.DateDim
 import graft.ops.RelationalOps
 import graft.text.TextFunctions
 import graft.dedup.Dedup
-import graft.similarity.{Ann, Ivf}
+import graft.similarity.{Ann, Ivf, Pq}
 
 /** The declared query surface: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions
@@ -905,6 +905,31 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 100)
     Ann.recallAgainst(
       Ann.lshTopK(emb, k = 5, multiProbe = true).filter(col("query_id") < 100),
+      Ann.bruteForceTopK(queries, emb, k = 5))
+  }
+
+  /** PQ ANN, refined (similarity.Pq): 16×16 product-quantized corpus
+    * (16 code bytes per 64-dim vector — the compressed-scan 100 TB
+    * path), ADC candidates, exact cosine re-rank. Deterministic but
+    * Spark-hash-sampled training → rows-only; quality is CI-gated via
+    * [[qAnnPqRecall]] and PqSpec.
+    */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.train(emb, m = 16, k = 16)
+    Pq.topK(cb, emb, emb.filter(col("vec_id") < 100), kNeighbors = 5)
+  }
+
+  /** Recall@5 of refined PQ against brute-force truth — PqSpec gates
+    * the refined value at >= 0.6 (uniform random embeddings are PQ's
+    * worst case; clustered real data scores far higher).
+    */
+  def qAnnPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val cb = Pq.train(emb, m = 16, k = 16)
+    Ann.recallAgainst(
+      Pq.topK(cb, emb, queries, kNeighbors = 5),
       Ann.bruteForceTopK(queries, emb, k = 5))
   }
 

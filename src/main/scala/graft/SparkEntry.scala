@@ -105,6 +105,8 @@ object SparkEntry {
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
     "q_ann_ivf_recall" -> (Queries.qAnnIvfRecall _),
     "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
+    "q_ann_pq" -> (Queries.qAnnPq _),
+    "q_ann_pq_recall" -> (Queries.qAnnPqRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
     // set ops / pivot / scalar-function surface
     "q_except" -> (Queries.qExcept _),
