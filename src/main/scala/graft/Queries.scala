@@ -8,7 +8,7 @@ import graft.dims.DateDim
 import graft.ops.RelationalOps
 import graft.text.TextFunctions
 import graft.dedup.Dedup
-import graft.similarity.{Ann, Ivf, Pq}
+import graft.similarity.{Ann, Ivf, IvfPq, Pq}
 
 /** The declared query surface: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions
@@ -930,6 +930,30 @@ object Queries {
     val cb = Pq.train(emb, m = 16, k = 16)
     Ann.recallAgainst(
       Pq.topK(cb, emb, queries, kNeighbors = 5),
+      Ann.bruteForceTopK(queries, emb, k = 5))
+  }
+
+  /** IVF-PQ composed index (similarity.IvfPq — the FAISS `IVFx,PQy`
+    * production shape): coarse cells prune the search, residual PQ
+    * codes compress the stored corpus, ADC scores probed cells, exact
+    * cosine refines. Rows-only (Spark-hash-sampled training); quality
+    * CI-gated via [[qAnnIvfPqRecall]] and IvfPqSpec.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IvfPq.build(emb, nLists = 16, m = 16, k = 16)
+    IvfPq.topK(index, emb, emb.filter(col("vec_id") < 100), kNeighbors = 5, nProbe = 4)
+  }
+
+  /** Recall@5 of IVF-PQ (nProbe 4/16) against brute-force truth —
+    * IvfPqSpec gates the probing and full-probe floors.
+    */
+  def qAnnIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val index = IvfPq.build(emb, nLists = 16, m = 16, k = 16)
+    Ann.recallAgainst(
+      IvfPq.topK(index, emb, queries, kNeighbors = 5, nProbe = 4),
       Ann.bruteForceTopK(queries, emb, k = 5))
   }
 

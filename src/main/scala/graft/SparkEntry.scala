@@ -107,6 +107,8 @@ object SparkEntry {
     "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
     "q_ann_pq" -> (Queries.qAnnPq _),
     "q_ann_pq_recall" -> (Queries.qAnnPqRecall _),
+    "q_ann_ivfpq" -> (Queries.qAnnIvfPq _),
+    "q_ann_ivfpq_recall" -> (Queries.qAnnIvfPqRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
     // set ops / pivot / scalar-function surface
     "q_except" -> (Queries.qExcept _),

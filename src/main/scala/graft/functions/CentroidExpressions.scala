@@ -115,6 +115,49 @@ case class CentroidTopCells(
     copy(child = newChild)
 }
 
+/** Residual of a vector against its assigned coarse centroid:
+  * `vec − centroids[cell]`, elementwise as floats — the IVF-PQ
+  * composition step (PQ codebooks quantize residuals, which are far
+  * more concentrated than raw vectors, so equal code budgets buy more
+  * precision). Same broadcast-matrix shape as [[CentroidTopCells]].
+  */
+case class CentroidResidual(
+    left: Expression,
+    right: Expression,
+    centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(centroids.nonEmpty, "empty centroid matrix")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_residual"
+
+  def compute(a: ArrayData, cell: Int): ArrayData = {
+    val cen = centroids(cell)
+    val n = math.min(a.numElements(), cen.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getFloat(i) - cen(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidResidual", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, c) => s"${ev.value} = $ref.compute($a, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CentroidFunctions {
   /** Column API for [[CentroidTopCells]]: the `n` nearest cell ids for
     * each vector, nearest first. `metric` is "l2" (assignment) or
@@ -133,4 +176,12 @@ object CentroidFunctions {
     GraftShim.column(
       CentroidTopCells(GraftShim.expression(vec), centroids, n, useCosine))
   }
+
+  /** Column API for [[CentroidResidual]]: vec − centroids[cell]. */
+  def centroidResidual(
+      vec: Column,
+      cell: Column,
+      centroids: Array[Array[Float]]): Column =
+    GraftShim.column(CentroidResidual(
+      GraftShim.expression(vec), GraftShim.expression(cell), centroids))
 }

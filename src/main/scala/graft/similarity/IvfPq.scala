@@ -1,0 +1,146 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{CentroidFunctions, PqFunctions}
+import graft.ops.RelationalOps
+
+/** IVF-PQ — the composed production index (the FAISS `IVFx,PQy`
+  * shape): an IVF coarse quantizer prunes the search to `nProbe`
+  * cells, and within cells vectors are stored as PQ codes of their
+  * RESIDUAL against the cell centroid. Residuals are far more
+  * concentrated than raw vectors, so the same code budget quantizes
+  * finer; the index holds (cell id + m code bytes) per vector and a
+  * query touches only probed cells, by ADC table lookups.
+  *
+  * Plan shape at scale: the per-query probe set (queries × nProbe
+  * rows, each with one m·k LUT) BROADCASTS; the encoded corpus joins
+  * on cell id (each corpus vector lives in exactly one cell, so no
+  * candidate dedup is needed), scores with m table reads per row, and
+  * only the ADC top k×refineFactor re-attach full vectors for the
+  * exact re-rank. One shuffle total (the candidate top-k), zero
+  * full-precision reads outside the refine set.
+  */
+object IvfPq {
+
+  case class Index(
+      centroids: Array[Array[Float]],
+      cb: Pq.Codebook,
+      encoded: DataFrame)
+
+  /** Build: IVF coarse centroids (hash-ordered sample, deterministic
+    * Lloyd's — [[Ivf.build]]), then per-subspace residual codebooks on
+    * the same sample, then one scan encoding every vector as
+    * (cell, residual codes).
+    */
+  def build(
+      vectors: DataFrame,
+      nLists: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Index = {
+    val ivf = Ivf.build(vectors, nLists, maxTrain, lloydIters, idCol, vecCol)
+    val cens = ivf.centroids
+
+    // residual training set: the same hash-ordered sample, assigned to
+    // its nearest coarse centroid on the driver
+    val sample = vectors
+      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(maxTrain)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cens.length) {
+        var d = 0.0; var j = 0
+        val cen = cens(c)
+        while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val r = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { r(j) = v(j) - cens(best)(j); j += 1 }
+      r
+    }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val books = Await.result(
+      Future.sequence((0 until m).map { s =>
+        Future {
+          val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+          Pq.lloyd(sub, math.min(k, sub.length), lloydIters)
+        }
+      }), Duration.Inf)
+    val cb = Pq.Codebook(books.toArray)
+
+    val encoded = ivf.assigned.select(
+      col("id"),
+      col("cell"),
+      PqFunctions.pqEncode(
+        CentroidFunctions.centroidResidual(col("vec"), col("cell"), cens),
+        cb.codebooks).as("codes"))
+    Index(cens, cb, encoded)
+  }
+
+  /** Query: probe `nProbe` nearest cells per query (L2, matching the
+    * assignment metric), one residual LUT per (query, cell), ADC over
+    * the probed cells' codes, exact cosine refine of the ADC top
+    * k×refineFactor. Output schema matches [[Ann.bruteForceTopK]].
+    */
+  def topK(
+      index: Index,
+      vectors: DataFrame,
+      queries: DataFrame,
+      kNeighbors: Int,
+      nProbe: Int = 4,
+      refineFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nP = math.min(nProbe, index.centroids.length)
+    val probed = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(CentroidFunctions.centroidTopCells(
+        col(vecCol), index.centroids, nP, "l2")).as("cell"))
+    val withLut = probed.select(
+      col("query_id"), col("cell"),
+      PqFunctions.pqLut(
+        CentroidFunctions.centroidResidual(col("q_vec"), col("cell"), index.centroids),
+        index.cb.codebooks).as("__lut"))
+    // each corpus vector lives in exactly one cell → no pair dedup
+    val cand = broadcast(withLut)
+      .join(index.encoded, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        PqFunctions.pqAdcDist(col("__lut"), col("codes"), index.cb.k).as("adc"))
+    val adcTop = RelationalOps.topKPerGroup(
+      cand, Seq("query_id"),
+      Seq(col("adc").asc, col("neighbor_id").asc), kNeighbors * refineFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = adcTop
+      .join(qv, Seq("query_id"))
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    RelationalOps.topKPerGroup(
+      scored, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), kNeighbors)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -79,7 +79,7 @@ object Pq {
   /** Sequential Lloyd's over one subspace — deterministic: evenly-
     * spaced init, fixed scan order, empty cells keep their centroid.
     */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  private[similarity] def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     val dim = points.head.length
     var cens = Array.tabulate(k)(i => points((i.toLong * points.length / k).toInt).clone())
     var iter = 0
