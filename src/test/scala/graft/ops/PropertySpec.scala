@@ -71,4 +71,65 @@ class PropertySpec extends SparkSpec {
       assert(df.filter(col("total_emission") < 0).isEmpty)
     }
   }
+
+  test("property: componentDedupStar == componentDedup on random graphs") {
+    // both component algorithms must keep exactly the min id of every
+    // connected component, whatever the edge shape
+    val edgeGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    samples(edgeGen, 10).foreach { edges =>
+      val nodes = (0L until 20L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = graft.dedup.Dedup.componentDedupStar(nodes, pairs)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val label = graft.dedup.Dedup.componentDedup(nodes, pairs)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(star == label, s"edges=$edges star=$star label=$label")
+      // local union-find reference
+      val parent = scala.collection.mutable.Map((0L until 20L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until 20L).filter(i => find(i) == i).sorted
+      assert(star == expected, s"edges=$edges star=$star unionfind=$expected")
+    }
+  }
+
+  test("property: packSequences packs within budget and never drops a packable doc") {
+    val docGen = Gen.listOfN(25, Gen.choose(0, 12)).map(_.zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(_ => "w").mkString(" "))
+    })
+    samples(docGen, 6).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.pipelines.TrainingDataPipeline
+        .packSequences(df, maxSeqTokens = 10, bucketExpr = Some(col("doc_id") % 3))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"), r.getAs[Long]("tokens")))
+      // every pack within budget
+      out.groupBy(_._2).foreach { case (p, members) =>
+        assert(members.map(_._3).sum <= 10, s"pack $p over budget")
+      }
+      // every doc that fits the window appears exactly once
+      val packable = docs.count(_._2.split(" ").count(_.nonEmpty) <= 10)
+      assert(out.length == packable, s"${out.length} packed vs $packable packable")
+      assert(out.map(_._1).distinct.length == out.length)
+    }
+  }
+
+  test("property: stratifiedSample returns min(k, stratum size) rows per stratum") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(0L, 1000000L)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((s, v), i) => (s, v, i.toLong) }.toDF("stratum", "v", "uid")
+      val out = stratifiedSample(df, Seq("stratum"), 5, Seq("uid"))
+        .collect().map(r => (r.getString(0), r.getLong(2)))
+      val sizes = rows.zipWithIndex.groupBy(_._1._1).view.mapValues(_.size).toMap
+      out.groupBy(_._1).foreach { case (s, picked) =>
+        assert(picked.length == math.min(5, sizes(s)), s"stratum $s")
+        assert(picked.map(_._2).distinct.length == picked.length)
+      }
+      assert(out.groupBy(_._1).keySet == sizes.keySet)
+    }
+  }
 }
