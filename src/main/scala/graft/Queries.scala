@@ -128,6 +128,22 @@ object Queries {
       col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "c_custkey", "c_name")
 
+  /** Full-outer join with unmatched rows on BOTH sides (customers
+    * below 1000 vs order rollups above 500 — the overlap matches,
+    * each tail survives null-padded). Completes the join-type surface
+    * (inner/left/semi/anti/null-safe/salted/full).
+    */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 1000)
+      .select("c_custkey", "c_name")
+    val o = t(s, dir, "orders").filter(col("o_custkey") > 500)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+        col("n_orders"), col("total"))
+  }
+
   /** J2 — left joins up a dim chain (broadcast both dims). */
   def qJoinLeftChain(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")

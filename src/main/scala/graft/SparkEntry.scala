@@ -76,6 +76,7 @@ object SparkEntry {
     "q_txt_chunks" -> (Queries.qTxtChunks _),
     "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
+    "q_join_full" -> (Queries.qJoinFull _),
     "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     // dedup extensions
@@ -224,6 +225,15 @@ object Oracles {
       """SELECT c_custkey FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q_join_full" ->
+      """SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_orders, o.total
+         FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 1000) c
+         FULL OUTER JOIN
+              (SELECT o_custkey, COUNT(*) AS n_orders,
+                      ROUND(SUM(o_totalprice), 2) AS total
+               FROM orders WHERE o_custkey > 500 GROUP BY 1) o
+           ON c.c_custkey = o.o_custkey""",
 
     "q_join_nullsafe" ->
       """SELECT k.rf AS rf, COUNT(*) AS cnt
