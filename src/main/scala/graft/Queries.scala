@@ -536,6 +536,21 @@ object Queries {
         col("b.n_distinct").cast("long").as("uniq_bigrams"),
         col("b.top_count").cast("long").as("top_bigram_n"))
 
+  /** Deterministic 80/10/10 train/val/test split
+    * (RelationalOps.hashSplit, portable rolling-hash mode): membership
+    * is a pure function of doc_id, so re-runs, engines and incremental
+    * batches all agree. Integer weights (8/1/1) keep the cumulative
+    * boundaries exact doubles, so the oracle's comparisons are
+    * bitwise identical.
+    */
+  def qSplitHash(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.hashSplit(
+      t(s, dir, "documents"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0),
+      Seq("doc_id"),
+      portableHash = true)
+      .select(col("doc_id"), col("split"))
+
   /** Sliding-window chunking (TextFunctions.chunkDocuments): 32-token
     * windows, 8-token overlap — every doc contributes ≥1 chunk,
     * adjacent chunks share the overlap. Reproduced in DuckDB with

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_join_full" -> (Queries.qJoinFull _),
+    "q_split_hash" -> (Queries.qSplitHash _),
     "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_sample_stratified" -> (Queries.qSampleStratified _),
     // dedup extensions
@@ -466,6 +467,21 @@ object Oracles {
       """SELECT lang, COUNT(*) AS n_sampled FROM documents
          WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
          GROUP BY lang""",
+
+    "q_split_hash" ->
+      """WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS s FROM documents),
+         h AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(s)),
+                   i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) / 1000000007.0 AS bucket
+           FROM m)
+         SELECT doc_id,
+           CASE WHEN bucket < 0.8 THEN 'train'
+                WHEN bucket < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h""",
 
     "q_txt_repetition" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -307,6 +307,43 @@ object RelationalOps {
       .drop("rn")
   }
 
+  /** Deterministic dataset split ("train"/"val"/"test" and friends):
+    * each row gets the label whose cumulative weight bucket its
+    * seed-key hash falls into. Pure per-row projection — no shuffle,
+    * no sampling state; membership is a function of the data, so the
+    * split is reproducible across runs, engines (md5 mode) and
+    * repartitions, and a later incremental batch lands in consistent
+    * splits (the property rand()-based splits lack).
+    */
+  def hashSplit(
+      df: DataFrame,
+      splits: Seq[(String, Double)],
+      seedCols: Seq[String],
+      labelCol: String = "split",
+      portableHash: Boolean = false): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad split weights: $splits")
+    require(seedCols.nonEmpty, "seedCols must be non-empty")
+    val total = splits.map(_._2).sum
+    // bucket in [0, 1): the portable mode runs the Karp-Rabin rolling
+    // hash (exact integer arithmetic both engines reproduce — the same
+    // kernel q_txt_rollhash oracle-checks) over the md5 HEX of the key
+    // — 32 chars, so the polynomial wraps the modulus many times and
+    // the bucket is uniform even for short keys (the raw hash of "42"
+    // is ~10³, i.e. bucket ≈ 0). Production mode: xxhash64.
+    val bucket =
+      if (portableHash)
+        graft.functions.RollingHashFunctions
+          .rollingHash31(md5(concat_ws("|", seedCols.map(c => col(c).cast("string")): _*)))
+          .cast("double") / lit(1000000007.0)
+      else
+        (pmod(xxhash64(seedCols.map(col): _*), lit(1000000000L)).cast("double") / lit(1e9))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val label = splits.zip(cum).reverse.foldLeft(lit(splits.last._1): Column) {
+      case (acc, ((name, _), upper)) => when(bucket < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Top-k rows per group — `row_number` window then filter; the
     * shuffle partitions by `keys` so each group ranks locally.
     */

@@ -85,6 +85,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(pairs == Set((3L, 1L), (3L, 2L)))
   }
 
+  test("hashSplit: deterministic, layout-independent, and consistent on subsets") {
+    val docs = graft.Tables.documents(spark, sf(""))
+    val splits = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      hashSplit(df, splits, Seq("doc_id"), portableHash = true)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = labels(docs)
+    assert(full.size == docs.count())
+    // roughly the requested proportions (hash is uniform-ish)
+    val frac = full.values.groupBy(identity).view.mapValues(_.size.toDouble / full.size).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.25 && frac.getOrElse("test", 0.0) < 0.25, frac.toString)
+    // physical layout does not move rows between splits
+    assert(labels(docs.repartition(9)) == full)
+    // an incremental subset keeps every doc's original label
+    val subset = labels(docs.filter(col("doc_id") % 2 === 0))
+    subset.foreach { case (id, l) => assert(full(id) == l, s"doc $id moved splits") }
+    // production xxhash64 mode labels every row too
+    val fast = hashSplit(docs, splits, Seq("doc_id"))
+    assert(fast.filter(col("split").isNull).isEmpty)
+    assert(fast.select("split").distinct().count() == 3)
+  }
+
   test("stratifiedSample: exact k per stratum, deterministic, layout-independent") {
     val li = graft.Tables.table(spark, sf(""), "lineitem")
     // seed must be a TRUE key: (orderkey, linenumber) is not unique in
