@@ -90,26 +90,30 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     * [[appendPartitioned]] call leaves one file set per batch per
     * partition, so N daily appends grow to N files per partition
     * forever — at 100× scale, unbounded read amplification (open/seek
-    * cost per file, tiny row groups, starved vectorized reads). This
-    * rewrites every partition whose file count exceeds what
-    * `targetFileBytes` calls for into ceil(bytes/target) files.
+    * cost per file, tiny row groups, starved vectorized reads). Every
+    * partition whose file count exceeds what `targetFileBytes` calls
+    * for is rewritten into ceil(bytes/target) files.
     *
-    * Crash-safe via dir-level renames, same discipline as the append
-    * path, with stage/backup dirs OUTSIDE the table dir so partition
+    * ONE Spark job regardless of partition count: the target
+    * partitions are selected by file-listing on the driver, read
+    * together with partition pruning, salted so each partition lands
+    * in its own ceil(bytes/target) write tasks, and written
+    * `partitionBy` into a single stage tree — a serial
+    * job-per-partition loop would make compaction O(partitions) driver
+    * round-trips at warehouse scale. Publishing is per-partition
+    * dir renames, stage/backup OUTSIDE the table dir so partition
     * discovery never sees them:
-    *   1. rewrite the partition into `<table>__compact_stage/<part>`;
-    *   2. rename `<table>/<part>` → `<table>__compact_old/<part>`;
-    *   3. rename stage → `<table>/<part>`;
-    *   4. delete the backup.
-    * A crash before (2) leaves the table untouched; between (2) and
-    * (3) the backup holds the data and the next call's recovery sweep
-    * restores it; after (3) the rewrite is live and the sweep merely
-    * deletes the stale backup. Contents are preserved as a multiset —
-    * only file boundaries change.
+    *   1. write all rewritten partitions under `<table>__compact_stage`;
+    *   2. per partition: rename `<table>/<part>` →
+    *      `<table>__compact_old/<part>`, then stage → `<table>/<part>`;
+    *   3. delete the backup.
+    * A crash before (2) leaves the table untouched; inside (2) the
+    * backup holds any partition whose swap was interrupted and the
+    * next call's recovery sweep restores it; contents are preserved as
+    * a multiset — only file boundaries change.
     *
     * Run OUTSIDE the append window (compaction and append both rename
-    * into the partition dir). Returns the number of partitions
-    * rewritten.
+    * into partition dirs). Returns the number of partitions rewritten.
     */
   def compactPartitions(
       name: String,
@@ -120,7 +124,7 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     val oldRoot = new Path(path(name) + "__compact_old")
 
     // recovery sweep: a partition missing from the table but present in
-    // the backup means a crash landed between renames (2) and (3)
+    // the backup means a crash landed mid-swap
     if (fs.exists(oldRoot)) {
       fs.listStatus(oldRoot).foreach { p =>
         val live = new Path(target, p.getPath.getName)
@@ -132,39 +136,57 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     fs.delete(stageRoot, true)
     if (!fs.exists(target)) return 0
 
-    var compacted = 0
-    fs.listStatus(target).foreach { part =>
-      if (part.isDirectory && part.getPath.getName.startsWith(s"$partitionCol=")) {
+    // plan on the driver: which partitions need rewriting, into how many files
+    val plans = fs.listStatus(target).toSeq
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap { part =>
         val files = fs.listStatus(part.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         val bytes = files.map(_.getLen).sum
         val wantFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (files.length > wantFiles) {
-          val stage = new Path(stageRoot, part.getPath.getName)
-          // leaf-dir read: no partition inference, files carry the data
-          // columns only — exactly what the rewritten files must hold
-          spark.read.parquet(part.getPath.toString)
-            .repartition(wantFiles)
-            .write.mode("overwrite").parquet(stage.toString)
-          // drop Spark's _SUCCESS marker so the partition dir holds data
-          // files only (hidden .crc siblings are managed — and moved —
-          // by the checksum filesystem itself)
-          fs.listStatus(stage)
-            .filter(f => f.isFile && f.getPath.getName.startsWith("_"))
-            .foreach(f => fs.delete(f.getPath, false))
-          val backup = new Path(oldRoot, part.getPath.getName)
-          fs.mkdirs(oldRoot)
-          if (!fs.rename(part.getPath, backup))
-            throw new java.io.IOException(s"cannot back up ${part.getPath} -> $backup")
-          if (!fs.rename(stage, part.getPath))
-            throw new java.io.IOException(s"cannot publish $stage -> ${part.getPath}")
-          fs.delete(backup, true)
-          compacted += 1
-        }
+        if (files.length > wantFiles)
+          Some(part.getPath.getName.substring(partitionCol.length + 1) -> wantFiles)
+        else None
+      }
+    if (plans.isEmpty) return 0
+
+    import org.apache.spark.sql.functions._
+    val wantByValue = plans.toMap
+    val wants = {
+      import spark.implicits._
+      spark.createDataset(plans).toDF("__pv", "__want")
+    }
+    val table = spark.read.parquet(target.toString)
+    val dataCols = table.columns.filterNot(_ == partitionCol)
+    // partition pruning reaches the scan (isin on the partition column),
+    // the salt splits each partition across exactly `want` write tasks
+    val staged = table
+      .filter(col(partitionCol).cast("string").isin(plans.map(_._1): _*))
+      .join(broadcast(wants), col(partitionCol).cast("string") === col("__pv"))
+      .withColumn("__salt",
+        pmod(xxhash64(dataCols.map(col): _*), col("__want").cast("long")).cast("int"))
+      .repartition(col(partitionCol), col("__salt"))
+      .drop("__pv", "__want", "__salt")
+    staged.write.mode("overwrite").partitionBy(partitionCol).parquet(stageRoot.toString)
+
+    // publish: per-partition dir swap through the backup
+    fs.mkdirs(oldRoot)
+    var compacted = 0
+    fs.listStatus(stageRoot).foreach { part =>
+      if (part.isDirectory && part.getPath.getName.startsWith(s"$partitionCol=")) {
+        val live = new Path(target, part.getPath.getName)
+        val backup = new Path(oldRoot, part.getPath.getName)
+        if (fs.exists(live) && !fs.rename(live, backup))
+          throw new java.io.IOException(s"cannot back up $live -> $backup")
+        if (!fs.rename(part.getPath, live))
+          throw new java.io.IOException(s"cannot publish ${part.getPath} -> $live")
+        compacted += 1
       }
     }
     fs.delete(stageRoot, true)
     fs.delete(oldRoot, true)
+    require(compacted == wantByValue.size,
+      s"staged ${compacted} partitions, planned ${wantByValue.size}")
     compacted
   }
 }

@@ -82,6 +82,32 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(store.read("fact").count() == 9)
   }
 
+  test("compactPartitions: byte target above one file splits partitions by salt") {
+    val wh = Files.createTempDirectory("graft_compact_multi").toString
+    val store = new ParquetStore(spark, wh)
+    (0 until 6).foreach { b =>
+      store.appendPartitioned(
+        (1 to 20).map(i => (b * 100 + i.toLong, 202001, i * 1.0))
+          .toDF("id", "p_month", "v").coalesce(1),
+        "fact", "p_month")
+    }
+    def files() = new java.io.File(s"$wh/fact/p_month=202001").list().toSeq
+      .filterNot(f => f.startsWith("_") || f.startsWith("."))
+    assert(files().size == 6)
+    val bytes = new java.io.File(s"$wh/fact/p_month=202001").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    val before = store.read("fact").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // target half the bytes -> want 2 files
+    val n = store.compactPartitions("fact", "p_month", targetFileBytes = bytes / 2 + 1)
+    assert(n == 1)
+    assert(files().size <= 2 && files().nonEmpty, files().toString)
+    val after = store.read("fact").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(after == before)
+  }
+
   test("compactPartitions recovery: a partition stranded in __compact_old is restored") {
     val wh = Files.createTempDirectory("graft_compact_rec").toString
     val store = new ParquetStore(spark, wh)
