@@ -131,10 +131,11 @@ object IvfPq {
       Seq(col("adc").asc, col("neighbor_id").asc), kNeighbors * refineFactor)
       .select(col("query_id"), col("neighbor_id"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = adcTop
-      .join(qv, Seq("query_id"))
-      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-        Seq("neighbor_id"))
+    // bounded candidate set broadcasts; the full-precision corpus is
+    // probed in place and never shuffles (same shape as Pq.topK)
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(adcTop.join(qv, Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Ann.cosine(col("q_vec"), col("c_vec")).as("cos"))
     RelationalOps.topKPerGroup(

@@ -163,10 +163,12 @@ object Pq {
     val cand = adcTopK(cb, vectors, queries, kNeighbors * refineFactor, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = cand
-      .join(qv, Seq("query_id"))
-      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-        Seq("neighbor_id"))
+    // the candidate set is bounded (queries × k × refineFactor) — it
+    // BROADCASTS against the corpus, so the full-precision vectors are
+    // probed in place and never shuffle
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Ann.cosine(col("q_vec"), col("c_vec")).as("cos"))
     RelationalOps.topKPerGroup(
