@@ -97,4 +97,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // explode + window + agg only
     assert(p.contains("Window"), p)
   }
+
+  test("q_split_hash is a pure projection: no exchange, no join, no aggregate") {
+    val p = plan("q_split_hash")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q_txt_chunks / q_txt_repetition / q_txt_redact stay shuffle-free scans") {
+    Seq("q_txt_chunks", "q_txt_repetition", "q_txt_redact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
+  test("q_pack_sequences: partition-local sort only, no global ordering") {
+    // SortExec prints "Sort [cols...], <global>, 0" — the pack sort
+    // must be the non-global (within-partition) variant
+    val p = plan("q_pack_sequences")
+    val sortLines = p.linesIterator.filter(_.contains("Sort [")).toSeq
+    assert(sortLines.nonEmpty, s"expected the within-partition pack sort:\n$p")
+    sortLines.foreach(l =>
+      assert(l.contains("], false, 0"), s"global sort in packSequences plan: $l"))
+    // exactly one exchange: the bucket repartition
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
 }
