@@ -716,6 +716,16 @@ object Queries {
     Dedup.componentDedupStar(docs, md5MinhashAgree(s, dir, minAgree = 10)).select("doc_id")
   }
 
+  /** Duplicate-cluster statistics (Dedup.componentLabels): one row per
+    * connected component of the candidate graph with its size and id
+    * range — the dedup observability rollup (what got merged, how
+    * big). Oracle: the recursive closure's per-node labels aggregated.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.componentLabels(md5MinhashAgree(s, dir, minAgree = 10))
+      .groupBy("label")
+      .agg(count(lit(1)).as("members"), min("node").as("min_id"), max("node").as("max_id"))
+
   /** Portable-hash SimHash twin (16-bit, md5-derived bit votes over
     * the token multiset) — the SimHash math (hash → ±1 votes → sign →
     * bit pack) reproduced in DuckDB SQL; the production path keeps the

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_minhash_md5" -> (Queries.qDedupMinhashMd5 _),
     "q_dedup_fixpoint_md5" -> (Queries.qDedupFixpointMd5 _),
     "q_dedup_fixpoint_star" -> (Queries.qDedupFixpointStar _),
+    "q_dedup_clusters" -> (Queries.qDedupClusters _),
     "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
@@ -695,6 +696,28 @@ object Oracles {
          lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
          SELECT doc_id FROM d
          WHERE doc_id NOT IN (SELECT node FROM lab WHERE label <> node)""",
+
+    // per-node component labels aggregated to cluster stats — the same
+    // reachability closure, grouped by its min-label
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         e AS (SELECT id_a AS node, id_b AS nbr FROM pr
+               UNION ALL SELECT id_b, id_a FROM pr),
+         reach(node, r) AS (
+           SELECT node, node FROM e
+           UNION
+           SELECT e.node, reach.r FROM e JOIN reach ON e.nbr = reach.node),
+         lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+         SELECT label, count(*) AS members, min(node) AS min_id, max(node) AS max_id
+         FROM lab GROUP BY label""",
 
     // identical closure oracle: large-star/small-star must keep exactly
     // the same per-component minimum ids as label propagation

@@ -287,6 +287,23 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
+    val drops = componentLabels(pairs, maxIters)
+      .filter(col("label") =!= col("node"))
+      .select(col("node").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Connected-component label for every node of the candidate-pair
+    * graph: (node, label) where label = the component's minimum id —
+    * the observability companion of the dedup drops (cluster sizes,
+    * representative selection, per-cluster stats all group on the
+    * label). Same large-star/small-star machinery and guarantees as
+    * [[componentDedupStar]]; nodes with no edges are not in the graph
+    * and so not in the output (they are their own singleton clusters).
+    */
+  def componentLabels(
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
@@ -328,10 +345,13 @@ object Dedup {
       edges = ss
       iter += 1
     }
-    // star forest: every non-minimum node is the left endpoint of its
-    // (node → component-min) edge
-    val drops = edges.select(col("u").as(idCol)).distinct()
-    docs.join(drops, Seq(idCol), "left_anti")
+    // star forest: every non-minimum node points straight at its
+    // component minimum; the minima label themselves
+    val nonRoots = edges.select(col("u").as("node"), col("v").as("label")).distinct()
+    val roots = edges.select(col("v").as("node")).distinct()
+      .join(nonRoots.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    nonRoots.unionByName(roots)
   }
 
   /** 64-bit SimHash over the token multiset as a LONG: bit b is the

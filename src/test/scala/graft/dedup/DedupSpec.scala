@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L), s"kept ${kept.toSeq}")
   }
 
+  test("componentLabels: every node labeled with its component min, roots label themselves") {
+    val pairs = Seq((2L, 5L), (5L, 7L), (10L, 11L), (11L, 12L), (16L, 19L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      2L -> 2L, 5L -> 2L, 7L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      16L -> 16L, 19L -> 16L), labels.toString)
+    // no duplicate nodes (one label each)
+    assert(Dedup.componentLabels(pairs).count() == labels.size)
+  }
+
   test("componentDedupStar agrees with componentDedup on a mixed clique+chain graph") {
     val nodes = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = (
