@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
 import graft.ops.RelationalOps
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
@@ -13,12 +12,12 @@ import graft.ops.RelationalOps
   * Scale shape: the quantizer trains on a BOUNDED sample solved
   * locally on the driver (the standard IVF recipe — e.g. FAISS trains
   * coarse quantizers on ~10⁵-10⁶ sampled vectors regardless of corpus
-  * size); the centroids then ride into the plan — as literal subtrees
-  * for small `nLists`, as one broadcast matrix object above
-  * [[Ivf.literalPathMaxLists]] (large indexes would break Janino
-  * limits as literals) — so cell assignment is a single codegen'd
-  * scan either way: no iterative cluster jobs, no shuffle. The probe
-  * join shuffles once on cell id
+  * size); the centroids then ride into the plan as ONE broadcast
+  * matrix object (see the history note on `nearestCell` — the
+  * per-centroid literal-tree formulation measured 7-29× slower and
+  * hits Janino limits at large nLists), so cell assignment is a
+  * single codegen'd scan: no iterative cluster jobs, no shuffle. The
+  * probe join shuffles once on cell id
   * (high-cardinality, bounded cells). Unlike hyperplane LSH the cells
   * adapt to the data distribution, so recall is typically higher at
   * equal candidate budgets on clustered embeddings.
@@ -27,41 +26,26 @@ object Ivf {
 
   case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  /** Above this many centroids, cell assignment and probe ranking
-    * switch from per-centroid literal subtrees to the broadcast
-    * centroid-matrix expression ([[graft.functions.CentroidTopCells]]).
-    * The literal formulation is fully inlined whole-stage codegen —
-    * the fastest shape — but its expression tree grows linearly in
-    * `nLists` and breaks Janino method-size/constant-pool limits in
-    * the thousands; 64 is comfortably inside every JVM limit while
-    * covering the small-index regime. Both paths produce identical
-    * results (same arithmetic, same lower-cell tie-break; IvfSpec
-    * asserts equality), so the switch is invisible to callers.
-    */
-  val literalPathMaxLists = 64
-
   /** Nearest-centroid cell id: argmin over dist²(v, c) computed as
-    * |c|² − 2·v·c (the |v|² term is constant per row), each dot a
-    * fused codegen loop; ties break to the lower cell id via struct
-    * ordering. Large indexes take the matrix path — see
-    * [[literalPathMaxLists]].
+    * |c|² − 2·v·c (the |v|² term is constant per row) in the
+    * broadcast centroid-matrix kernel
+    * ([[graft.functions.CentroidTopCells]]); ties break to the lower
+    * cell id.
+    *
+    * History: earlier rounds built a per-centroid literal tree
+    * (`least(struct(d, cell), ...)`) — "fully inlined codegen" on
+    * paper, but measured 7× slower at nLists=16 and 29× at 64 (struct
+    * allocation + struct-ordering comparisons per candidate per row),
+    * and its expression tree breaks Janino limits in the thousands of
+    * lists. The matrix kernel wins at EVERY size and has no ceiling,
+    * so it is now the only path; the literal formulation survives in
+    * IvfSpec as an independent equivalence cross-check (both produce
+    * bitwise-identical assignments and probe rankings).
     */
-  private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
-    // least() requires >=2 args; a degenerate one-cell index assigns all rows to 0
+  private def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
     if (centroids.length == 1) lit(0)
-    else if (centroids.length > literalPathMaxLists)
-      graft.functions.CentroidFunctions
-        .centroidTopCells(vec, centroids, 1, "l2").getItem(0)
-    else {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val normSq = c.map(x => x.toDouble * x.toDouble).sum
-        struct(
-          (VectorFunctions.vecDot(vec, typedLit(c)) * -2.0 + normSq).as("d"),
-          lit(i).as("cell"))
-      }
-      least(scored: _*).getField("cell")
-    }
-  }
+    else graft.functions.CentroidFunctions
+      .centroidTopCells(vec, centroids, 1, "l2").getItem(0)
 
   /** Build the index: deterministic local Lloyd's k-means on a bounded
     * sample, then assign every vector to its nearest centroid (lazy,
@@ -172,19 +156,8 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val nP = math.min(nProbe, index.centroids.length)
-    val probeCells =
-      if (index.centroids.length > literalPathMaxLists)
-        // matrix path: one referenced object, sorted top-nP in the kernel
-        graft.functions.CentroidFunctions
-          .centroidTopCells(col("q_vec"), index.centroids, nP, "cosine")
-      else {
-        val ranked = array(index.centroids.zipWithIndex.map { case (c, i) =>
-          struct(
-            (VectorFunctions.vecCosine(col("q_vec"), typedLit(c)) * -1.0).as("negcos"),
-            lit(i).as("cell"))
-        }: _*)
-        transform(slice(array_sort(ranked), 1, nP), p => p.getField("cell"))
-      }
+    val probeCells = graft.functions.CentroidFunctions
+      .centroidTopCells(col("q_vec"), index.centroids, nP, "cosine")
     val probed = q.select(
       col("query_id"), col("q_vec"), explode(probeCells).as("cell"))
     // exact scoring inside probed cells only (shuffle on cell id)

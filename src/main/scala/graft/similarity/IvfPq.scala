@@ -23,6 +23,13 @@ import graft.ops.RelationalOps
   */
 object IvfPq {
 
+  /** `encoded` is the (id, cell, codes) index frame — LAZY by design
+    * (composes into one plan for single-shot jobs). A deployment
+    * serving many query batches should materialize it once
+    * (`encoded.persist()` or write to the warehouse and read back):
+    * measured at 40k vectors, encoding costs ~0.3 s of the ~10 s
+    * first query, and subsequent queries drop to ~1.4 s warm.
+    */
   case class Index(
       centroids: Array[Array[Float]],
       cb: Pq.Codebook,
