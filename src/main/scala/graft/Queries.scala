@@ -638,8 +638,13 @@ object Queries {
   /** Shared portable-hash MinHash pair builder (docs with id < 200):
     * (id_a, id_b, n_agree) by count of agreeing md5 minhash rows.
     */
-  private def md5MinhashAgree(s: SparkSession, dir: String, minAgree: Int): DataFrame = {
-    val grams = t(s, dir, "documents").filter(col("doc_id") < 200)
+  private def md5MinhashAgree(s: SparkSession, dir: String, minAgree: Int): DataFrame =
+    md5MinhashAgreeOver(
+      t(s, dir, "documents").filter(col("doc_id") < 200), minAgree)
+
+  /** [[md5MinhashAgree]] over an arbitrary documents frame. */
+  private def md5MinhashAgreeOver(docs: DataFrame, minAgree: Int): DataFrame = {
+    val grams = docs
       .select(col("doc_id").as("id"),
         explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
     // all 16 per-seed minima in ONE wide aggregation over the gram rows
@@ -714,6 +719,34 @@ object Queries {
   def qDedupFixpointStar(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
     Dedup.componentDedupStar(docs, md5MinhashAgree(s, dir, minAgree = 10)).select("doc_id")
+  }
+
+  /** Incremental dedup rule on the portable md5 pipeline: existing
+    * corpus = docs 0-99 (kept as-is), incoming batch = docs 100-199;
+    * an incoming doc survives unless a smaller-id doc (existing or
+    * already-kept batch) shares its fingerprint, or the md5-minhash
+    * candidate graph over the exact survivors pairs it with any
+    * smaller id. Pins the SEMANTICS of Dedup.minhashDedupIncremental
+    * (whose production path — asymmetric bucket pruning, xxhash sigs —
+    * is spec-tested) against the DuckDB oracle.
+    */
+  def qDedupIncrementalMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val fps = docs.select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    val exactDrop = fps.as("f")
+      .join(fps.as("g"),
+        col("f.fp") === col("g.fp") && col("g.doc_id") < col("f.doc_id"),
+        "left_semi")
+      .filter(col("doc_id") >= 100)
+      .select("doc_id")
+    val survivors = docs.join(exactDrop, Seq("doc_id"), "left_anti")
+    val nearDrop = md5MinhashAgreeOver(survivors, minAgree = 10)
+      .filter(col("id_b") >= 100)
+      .select(col("id_b").as("doc_id")).distinct()
+    survivors.filter(col("doc_id") >= 100)
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** Duplicate-cluster statistics (Dedup.componentLabels): one row per

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_fixpoint_md5" -> (Queries.qDedupFixpointMd5 _),
     "q_dedup_fixpoint_star" -> (Queries.qDedupFixpointStar _),
     "q_dedup_clusters" -> (Queries.qDedupClusters _),
+    "q_dedup_incremental_md5" -> (Queries.qDedupIncrementalMd5 _),
     "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
@@ -696,6 +697,26 @@ object Oracles {
          lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
          SELECT doc_id FROM d
          WHERE doc_id NOT IN (SELECT node FROM lab WHERE label <> node)""",
+
+    "q_dedup_incremental_md5" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         f AS (SELECT doc_id, md5(t) AS fp FROM d),
+         ed AS (SELECT f.doc_id FROM f
+                WHERE f.doc_id >= 100 AND EXISTS (
+                  SELECT 1 FROM f g WHERE g.fp = f.fp AND g.doc_id < f.doc_id)),
+         s0 AS (SELECT doc_id, t FROM d
+                WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM s0, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         nd AS (SELECT DISTINCT id_b FROM pr WHERE id_b >= 100)
+         SELECT doc_id FROM s0
+         WHERE doc_id >= 100 AND doc_id NOT IN (SELECT id_b FROM nd)""",
 
     // per-node component labels aggregated to cluster stats — the same
     // reachability closure, grouped by its min-label

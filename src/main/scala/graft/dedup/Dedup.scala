@@ -153,6 +153,100 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Candidate near-duplicate pairs BETWEEN a (small) incoming batch
+    * and a (huge) existing corpus, plus pairs within the batch — the
+    * incremental-ingestion shape. The asymmetry is the scale lever:
+    * the corpus side is semi-joined to the BATCH'S band-bucket keys
+    * before any pair explosion, so the full corpus contributes only
+    * members of buckets the batch actually touches — at 100 TB the
+    * corpus scan reduces map-side to (band, membership) probes of a
+    * broadcast key set, and no corpus×corpus pair is ever formed.
+    *
+    * Ids must be distinct across the two inputs (they share the id
+    * space in the output). Returns (id_new, id_other, est_jaccard,
+    * other_is_new): `id_new` is always from `incoming`; when both
+    * sides are incoming the pair appears once with id_new > id_other.
+    */
+  def minhashCandidatesAgainst(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWidth: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
+    def sigs(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
+    val incSigs = sigs(incoming)
+    val exSigs = sigs(existing)
+    def members(s: DataFrame, isNew: Boolean) = s.select(
+      struct(col("id"), lit(isNew).as("is_new")).as("m"),
+      explode(bandKeys(col("sig"), k, bands)).as("band"))
+    val incMember = members(incSigs, isNew = true)
+    // the batch's bucket keys are bounded → broadcast semi-join prunes
+    // the corpus membership BEFORE the (quadratic-per-bucket) explosion
+    val touched = incMember.select("band").distinct()
+    val exMember = members(exSigs, isNew = false)
+      .join(broadcast(touched), Seq("band"), "left_semi")
+    val pairs = bucketMemberPairs(incMember.unionByName(exMember), maxBucket)
+      .select(col("a.id").as("ida"), col("a.is_new").as("na"),
+        col("b.id").as("idb"), col("b.is_new").as("nb"))
+      .filter(col("na") || col("nb")) // at least one incoming side
+      .select(
+        when(col("na") && col("nb"), greatest(col("ida"), col("idb")))
+          .when(col("na"), col("ida")).otherwise(col("idb")).as("id_new"),
+        when(col("na") && col("nb"), least(col("ida"), col("idb")))
+          .when(col("na"), col("idb")).otherwise(col("ida")).as("id_other"),
+        (col("na") && col("nb")).as("other_is_new"))
+      .filter(col("id_new") =!= col("id_other"))
+      .distinct()
+    val allSigs = incSigs.unionByName(exSigs)
+    val agree = graft.functions.VectorFunctions
+      .longArrayAgree(col("sig_a"), col("sig_b"))
+    pairs
+      .join(allSigs.select(col("id").as("id_new"), col("sig").as("sig_a")), Seq("id_new"))
+      .join(allSigs.select(col("id").as("id_other"), col("sig").as("sig_b")), Seq("id_other"))
+      .select(col("id_new"), col("id_other"),
+        (agree.cast("double") / lit(k.toDouble)).as("est_jaccard"),
+        col("other_is_new"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental dedup of a batch against an existing (already-deduped)
+    * corpus: an incoming doc survives unless it is an exact or
+    * near-duplicate of ANY existing doc (regardless of id order), or
+    * of a SMALLER-id doc within its own batch (the same one-hop rule
+    * as [[minhashDedup]]). Exact dups are dropped by fingerprint
+    * first — cheap, and immune to the near path's hot-bucket caps —
+    * then the asymmetric candidate pass handles near-dups. Returns
+    * the surviving incoming rows.
+    */
+  def minhashDedupIncremental(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    // exact: drop fingerprints the corpus already holds; keep min id per
+    // fingerprint within the batch
+    val exFps = existing.select(fingerprintMd5(col(textCol)).as("__fp")).distinct()
+    val fresh = incoming
+      .withColumn("__fp", fingerprintMd5(col(textCol)))
+      .join(exFps, Seq("__fp"), "left_anti")
+    val batchExact = graft.ops.RelationalOps
+      .dedupKeepFirst(fresh, Seq("__fp"), Seq(col(idCol)))
+      .drop("__fp")
+    // near: any surviving incoming doc paired with an existing doc or a
+    // smaller batch doc goes
+    val drops = minhashCandidatesAgainst(
+      batchExact, existing, idCol, textCol, threshold = threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    batchExact.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-LSH dedup: drop every doc that is near-duplicate of a
     * lower-id doc (single-link, one hop — the standard approximation
     * that avoids a distributed union-find; iterate to converge if the

@@ -75,6 +75,32 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L), s"kept ${kept.toSeq}")
   }
 
+  test("minhashDedupIncremental: corpus dups drop regardless of id order, batch keeps min") {
+    val a = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val c = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    // existing corpus deliberately has LARGER ids than the batch: the
+    // "near-dup of ANY existing" rule must not depend on id order
+    val existing = Seq(
+      (100L, a),
+      (101L, "standalone corpus text about physical plans and shuffles")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, a + " tail"),          // near-dup of existing 100 -> drop
+      (2L, c),                    // novel -> keep
+      (3L, c + " tail"),          // near-dup of smaller batch doc 2 -> drop
+      (4L, a.toUpperCase),        // exact dup (normalized) of existing -> drop
+      (5L, "fresh unrelated words entirely about streaming watermarks")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashDedupIncremental(incoming, existing, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 5L), s"kept ${kept.toSeq}")
+    // an empty corpus degrades to plain batch dedup
+    val selfOnly = Dedup.minhashDedupIncremental(
+      incoming, existing.limit(0), threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(selfOnly.toSeq == Seq(1L, 2L, 5L), s"kept ${selfOnly.toSeq}")
+  }
+
   test("componentLabels: every node labeled with its component min, roots label themselves") {
     val pairs = Seq((2L, 5L), (5L, 7L), (10L, 11L), (11L, 12L), (16L, 19L))
       .toDF("id_a", "id_b")
