@@ -160,7 +160,13 @@ object Dedup {
     * before any pair explosion, so the full corpus contributes only
     * members of buckets the batch actually touches — at 100 TB the
     * corpus scan reduces map-side to (band, membership) probes of a
-    * broadcast key set, and no corpus×corpus pair is ever formed.
+    * broadcast key set. Within a touched bucket the explosion still
+    * forms corpus×corpus combinations before the one-incoming-side
+    * filter drops them — bounded at maxBucket²/2 rows per touched
+    * bucket (pre-shuffle, pre-distinct), the price of reusing the
+    * single-shuffle [[bucketMemberPairs]] shape; no corpus pair ever
+    * survives past that filter, and buckets the batch does not touch
+    * contribute nothing at all.
     *
     * Ids must be distinct across the two inputs (they share the id
     * space in the output). Returns (id_new, id_other, est_jaccard,

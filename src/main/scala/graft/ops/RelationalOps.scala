@@ -290,8 +290,16 @@ object RelationalOps {
     * `portableHash = true` orders by md5 of the seed values joined
     * with '|' (a visible separator so ("1","23") and ("12","3") never
     * hash alike — and reproducible in any engine); default xxhash64 is
-    * cheaper on the 100 TB path. Ties (identical seed tuples) break by
-    * the seed columns themselves, keeping the order total.
+    * cheaper on the 100 TB path.
+    *
+    * Determinism contract: `seedCols` must be a ROW KEY. Hash
+    * collisions between distinct seed tuples are tie-broken by the
+    * seed columns themselves, but two rows with an IDENTICAL seed
+    * tuple have identical sort keys, and when the k-th boundary falls
+    * inside such a group the picks follow scan order — exactly the
+    * irreproducibility this operator exists to avoid (see
+    * q_sample_stratified: (l_orderkey, l_linenumber) alone is not
+    * unique in the synthetic lineitem and needed two more columns).
     */
   def stratifiedSample(
       df: DataFrame,

@@ -47,6 +47,29 @@ object Ivf {
     else graft.functions.CentroidFunctions
       .centroidTopCells(vec, centroids, 1, "l2").getItem(0)
 
+  /** Deterministic, unbiased training sample: order by a seeded hash of
+    * the vector id, not scan order. `limit(n)` alone returns whichever
+    * rows arrive first (first parquet files), which on time- or
+    * source-ordered corpora trains the quantizer on one slice of the
+    * distribution. Hash-ordering makes the sample a uniform function of
+    * the data (TakeOrderedAndProject: per-partition top-k heap, no full
+    * sort, no extra shuffle beyond the single-partition gather).
+    * Shared by [[Ivf.build]], [[Pq.train]] and [[IvfPq.build]] — the
+    * composed builders collect it ONCE and pass it down.
+    */
+  private[similarity] def hashOrderedSample(
+      vectors: DataFrame,
+      maxTrain: Int,
+      idCol: String,
+      vecCol: String): Array[Array[Float]] =
+    vectors
+      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(maxTrain)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** Build the index: deterministic local Lloyd's k-means on a bounded
     * sample, then assign every vector to its nearest centroid (lazy,
     * one scan).
@@ -57,21 +80,18 @@ object Ivf {
       maxTrain: Int = 100000,
       lloydIters: Int = 10,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Index = {
-    // Deterministic, unbiased training sample: order by a seeded hash of
-    // the vector id, not scan order. `limit(n)` alone returns whichever
-    // rows arrive first (first parquet files), which on time- or
-    // source-ordered corpora trains the quantizer on one slice of the
-    // distribution. Hash-ordering makes the sample a uniform function of
-    // the data (TakeOrderedAndProject: per-partition top-k heap, no full
-    // sort, no extra shuffle beyond the single-partition gather).
-    val sample = vectors
-      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(maxTrain)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+      vecCol: String = "embedding"): Index =
+    buildWithSample(
+      hashOrderedSample(vectors, maxTrain, idCol, vecCol),
+      vectors, nLists, lloydIters, idCol, vecCol)
+
+  private[similarity] def buildWithSample(
+      sample: Array[Array[Float]],
+      vectors: DataFrame,
+      nLists: Int,
+      lloydIters: Int,
+      idCol: String,
+      vecCol: String): Index = {
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length
     val k = math.min(nLists, sample.length)

@@ -49,31 +49,28 @@ object IvfPq {
       lloydIters: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Index = {
-    val ivf = Ivf.build(vectors, nLists, maxTrain, lloydIters, idCol, vecCol)
+    // ONE sample collect feeds both the coarse quantizer and the
+    // residual codebooks (a second orderBy+limit+collect would repeat
+    // the corpus-side gather — the expensive part of build at scale)
+    val sample = Ivf.hashOrderedSample(vectors, maxTrain, idCol, vecCol)
+    val ivf = Ivf.buildWithSample(sample, vectors, nLists, lloydIters, idCol, vecCol)
     val cens = ivf.centroids
 
-    // residual training set: the same hash-ordered sample, assigned to
-    // its nearest coarse centroid on the driver
-    val sample = vectors
-      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(maxTrain)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
+    // residuals assigned by the SAME kernel (and the same |c|² − 2·v·c
+    // evaluation order) the corpus-side encoding uses — a hand-rolled
+    // Σ(v−c)² loop can disagree on Voronoi boundaries and train the
+    // codebook against a different cell than encoding subtracts
+    val assigner = graft.functions.CentroidTopCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      cens, 1, useCosine = false)
     val residuals = sample.map { v =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cens.length) {
-        var d = 0.0; var j = 0
-        val cen = cens(c)
-        while (j < dim) { val t = v(j) - cen(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
+      val best = assigner.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.map(x => x: Any)))
+        .getInt(0)
       val r = new Array[Float](dim)
       var j = 0
       while (j < dim) { r(j) = v(j) - cens(best)(j); j += 1 }

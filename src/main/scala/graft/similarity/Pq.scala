@@ -51,13 +51,7 @@ object Pq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Codebook = {
     require(k >= 1 && k <= 256, "PQ codes are bytes: k must be in [1, 256]")
-    val sample = vectors
-      .select(col(vecCol), xxhash64(col(idCol), lit(0x9e3779b9L)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(maxTrain)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = Ivf.hashOrderedSample(vectors, maxTrain, idCol, vecCol)
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")

@@ -136,7 +136,11 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     fs.delete(stageRoot, true)
     if (!fs.exists(target)) return 0
 
-    // plan on the driver: which partitions need rewriting, into how many files
+    // plan on the driver: which partitions need rewriting, into how many
+    // files. Dir names are Hive-ESCAPED forms of the value ('%3A' for
+    // ':', __HIVE_DEFAULT_PARTITION__ for NULL) — unescape for the row
+    // filter, keep the dir name for matching staged output.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val plans = fs.listStatus(target).toSeq
       .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
       .flatMap { part =>
@@ -144,30 +148,50 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         val bytes = files.map(_.getLen).sum
         val wantFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (files.length > wantFiles)
-          Some(part.getPath.getName.substring(partitionCol.length + 1) -> wantFiles)
-        else None
+        if (files.length > wantFiles) {
+          val dirName = part.getPath.getName
+          val value = ExternalCatalogUtils.unescapePathName(
+            dirName.substring(partitionCol.length + 1))
+          Some((dirName, value, wantFiles))
+        } else None
       }
     if (plans.isEmpty) return 0
 
     import org.apache.spark.sql.functions._
-    val wantByValue = plans.toMap
     val wants = {
       import spark.implicits._
-      spark.createDataset(plans).toDF("__pv", "__want")
+      spark.createDataset(plans.map(p => (p._2, p._3))).toDF("__pv", "__want")
     }
     val table = spark.read.parquet(target.toString)
     val dataCols = table.columns.filterNot(_ == partitionCol)
+    // NULL partitions surface as the Hive default-partition sentinel in
+    // dir names; coalesce makes the row-side key match it
+    val keyExpr = coalesce(col(partitionCol).cast("string"),
+      lit(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
     // partition pruning reaches the scan (isin on the partition column),
     // the salt splits each partition across exactly `want` write tasks
     val staged = table
-      .filter(col(partitionCol).cast("string").isin(plans.map(_._1): _*))
-      .join(broadcast(wants), col(partitionCol).cast("string") === col("__pv"))
+      .filter(keyExpr.isin(plans.map(_._2): _*))
+      .join(broadcast(wants), keyExpr === col("__pv"))
       .withColumn("__salt",
         pmod(xxhash64(dataCols.map(col): _*), col("__want").cast("long")).cast("int"))
       .repartition(col(partitionCol), col("__salt"))
       .drop("__pv", "__want", "__salt")
     staged.write.mode("overwrite").partitionBy(partitionCol).parquet(stageRoot.toString)
+
+    // validate BEFORE touching the table: every planned partition must
+    // have staged output (dir names compare in escaped form), so a
+    // planning/filter mismatch aborts with the table untouched
+    val stagedDirs = fs.listStatus(stageRoot)
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName).toSet
+    val planned = plans.map(_._1).toSet
+    if (stagedDirs != planned) {
+      fs.delete(stageRoot, true)
+      throw new IllegalStateException(
+        s"compaction staged ${stagedDirs.size} of ${planned.size} planned partitions " +
+          s"(missing: ${(planned -- stagedDirs).take(5).mkString(", ")}) — table untouched")
+    }
 
     // publish: per-partition dir swap through the backup
     fs.mkdirs(oldRoot)
@@ -185,8 +209,6 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     }
     fs.delete(stageRoot, true)
     fs.delete(oldRoot, true)
-    require(compacted == wantByValue.size,
-      s"staged ${compacted} partitions, planned ${wantByValue.size}")
     compacted
   }
 }
