@@ -8,7 +8,7 @@ import graft.dims.DateDim
 import graft.ops.RelationalOps
 import graft.text.TextFunctions
 import graft.dedup.Dedup
-import graft.similarity.{Ann, Ivf, IvfPq, Pq}
+import graft.similarity.{Ann, IndexStore, Ivf, IvfPq, Pq}
 
 /** The declared query surface: one entry per operator family from
   * SURVEY.md §2 plus the training-data-pipeline extensions
@@ -948,6 +948,21 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val index = Ivf.build(emb, nLists = 16)
     Ivf.topK(index, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
+  }
+
+  /** IVF index persisted to a warehouse store, loaded back, and
+    * queried at FULL probe — must equal exact brute force, so the
+    * whole index lifecycle (centroid round-trip through parquet,
+    * querying off the materialized assigned table instead of
+    * re-assigning) is hash-gated against the brute-force oracle.
+    */
+  def qAnnIvfSaved(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s,
+      java.nio.file.Files.createTempDirectory("graft_annidx_q").toString)
+    IndexStore.saveIvf(store, "ivf_q", Ivf.build(emb, nLists = 16))
+    val loaded = IndexStore.loadIvf(store, "ivf_q")
+    Ivf.topK(loaded, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
   }
 
   /** Recall@5 of the probed IVF path (nProbe=4 of 16 cells — a 4×

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
+    "q_ann_ivf_saved" -> (Queries.qAnnIvfSaved _),
     "q_ann_ivf_recall" -> (Queries.qAnnIvfRecall _),
     "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
     "q_ann_pq" -> (Queries.qAnnPq _),
@@ -873,6 +874,24 @@ object Oracles {
          WHERE rn = 1""",
 
     "q_ann_ivf_full" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+
+    // the save/load lifecycle must reproduce exact brute force at
+    // full probe — same oracle as q_ann_ivf_full
+    "q_ann_ivf_saved" ->
       """WITH pairs AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(q.embedding, c.embedding),

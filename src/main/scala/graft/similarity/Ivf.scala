@@ -154,12 +154,25 @@ object Ivf {
       iter += 1
     }
 
-    val assigned = vectors.select(
+    Index(centroids, assign(centroids, vectors, idCol, vecCol))
+  }
+
+  /** Assign vectors to their nearest stored centroid — (id, vec, cell)
+    * rows. This is the incremental-ingest path: a NEW batch encodes
+    * against an EXISTING quantizer (same broadcast-matrix kernel and
+    * evaluation order as [[build]], so batch assignments agree with
+    * the corpus's Voronoi boundaries) without retraining or touching
+    * already-assigned rows. See [[IndexStore.appendIvfBatch]].
+    */
+  def assign(
+      centroids: Array[Array[Float]],
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vectors.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       nearestCell(col(vecCol), centroids).as("cell"))
-    Index(centroids, assigned)
-  }
 
   /** Query the index: each query ranks all centroids in one codegen'd
     * expression (sort an nLists-element array of (−cos, cell) structs,

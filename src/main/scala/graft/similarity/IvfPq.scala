@@ -89,14 +89,27 @@ object IvfPq {
       }), Duration.Inf)
     val cb = Pq.Codebook(books.toArray)
 
-    val encoded = ivf.assigned.select(
+    Index(cens, cb, encode(cens, cb, vectors, idCol, vecCol))
+  }
+
+  /** Encode vectors against EXISTING quantizers — (id, cell, codes)
+    * rows: nearest-cell assignment (same kernel and evaluation order
+    * as training), residual against the cell centroid, PQ codes. The
+    * incremental-ingest path: a new batch encodes without retraining
+    * or re-encoding the corpus (see [[IndexStore.appendIvfPqBatch]]).
+    */
+  def encode(
+      centroids: Array[Array[Float]],
+      cb: Pq.Codebook,
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Ivf.assign(centroids, vectors, idCol, vecCol).select(
       col("id"),
       col("cell"),
       PqFunctions.pqEncode(
-        CentroidFunctions.centroidResidual(col("vec"), col("cell"), cens),
+        CentroidFunctions.centroidResidual(col("vec"), col("cell"), centroids),
         cb.codebooks).as("codes"))
-    Index(cens, cb, encoded)
-  }
 
   /** Query: probe `nProbe` nearest cells per query (L2, matching the
     * assignment metric), one residual LUT per (query, cell), ADC over

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.ParquetStore
+import org.apache.spark.sql.functions._
+
+class IndexStoreSpec extends SparkSpec {
+
+  private def emb = graft.Tables.embeddings(spark, sf("embeddings"))
+  private def newStore() =
+    new ParquetStore(spark, Files.createTempDirectory("graft_annidx").toString)
+
+  test("IVF index round-trips through the store bit-exact") {
+    val fresh = Ivf.build(emb, nLists = 8)
+    val store = newStore()
+    IndexStore.saveIvf(store, "ivf", fresh)
+    val loaded = IndexStore.loadIvf(store, "ivf")
+
+    assert(loaded.centroids.map(_.toSeq).toSeq == fresh.centroids.map(_.toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Ivf.topK(loaded, q, k = 5, nProbe = 8).collect().toSet
+    val b = Ivf.topK(fresh, q, k = 5, nProbe = 8).collect().toSet
+    assert(a == b && a.size == 50)
+  }
+
+  test("PQ codebook round-trips: ADC ranking identical") {
+    val cb = Pq.train(emb, m = 16, k = 16, maxTrain = 500)
+    val store = newStore()
+    IndexStore.savePqCodebook(spark, store, "pq", cb)
+    val loaded = IndexStore.loadPqCodebook(store, "pq")
+
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 10)
+    assert(Pq.adcTopK(loaded, emb, q, 5).collect().toSet ==
+      Pq.adcTopK(cb, emb, q, 5).collect().toSet)
+  }
+
+  test("IVF-PQ: held-out batch appends against stored quantizers identically to a one-shot encode") {
+    // quantizers train on the initial corpus; the batch arrives later
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val initial = IvfPq.build(corpus, nLists = 8, m = 16, k = 16)
+    val store = newStore()
+    IndexStore.saveIvfPq(store, "ivfpq", initial)
+
+    val grown = IndexStore.appendIvfPqBatch(store, "ivfpq", batch)
+
+    // the incremental index must equal encoding everything in one shot
+    // with the SAME quantizers (per-row deterministic encode)
+    val oneShot = initial.copy(encoded = IvfPq.encode(initial.centroids, initial.cb, emb))
+    val q = emb.filter(col("vec_id") < 10)
+    val a = IvfPq.topK(grown, emb, q, kNeighbors = 5, nProbe = 8).collect().toSet
+    val b = IvfPq.topK(oneShot, emb, q, kNeighbors = 5, nProbe = 8).collect().toSet
+    assert(a == b && a.size == 50)
+    // and the batch's neighbors are findable through the stored index
+    val batchHits = IvfPq.topK(grown, emb, emb.filter(col("vec_id") >= 490),
+      kNeighbors = 3, nProbe = 8)
+    assert(batchHits.count() == 30)
+  }
+
+  test("re-appending the same batch is a no-op (idempotent ingest)") {
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val store = newStore()
+    IndexStore.saveIvfPq(store, "idem", IvfPq.build(corpus, nLists = 8, m = 16, k = 16))
+
+    // codes is BINARY — compare by value, not Array[Byte] reference
+    def rows(ix: IvfPq.Index) = ix.encoded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val once = IndexStore.appendIvfPqBatch(store, "idem", batch)
+    val rows1 = rows(once)
+    val twice = IndexStore.appendIvfPqBatch(store, "idem", batch)
+    assert(rows(twice) == rows1)
+    assert(rows1.size == 500)
+  }
+
+  test("IVF incremental append covers the batch without touching existing assignments") {
+    val corpus = emb.filter(col("vec_id") < 450)
+    val batch = emb.filter(col("vec_id") >= 450)
+    val store = newStore()
+    val initial = Ivf.build(corpus, nLists = 8)
+    IndexStore.saveIvf(store, "ivf_inc", initial)
+    val before = IndexStore.loadIvf(store, "ivf_inc").assigned.collect().toSet
+
+    val grown = IndexStore.appendIvfBatch(store, "ivf_inc", batch)
+    val after = grown.assigned.collect().toSet
+    assert(after.size == 500)
+    assert(before.subsetOf(after)) // existing rows byte-identical
+    // batch rows got the same cells a fresh assignment would give
+    val freshBatch = Ivf.assign(initial.centroids, batch).collect().toSet
+    assert(freshBatch.subsetOf(after))
+  }
+}
