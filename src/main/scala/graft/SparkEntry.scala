@@ -472,7 +472,8 @@ object Oracles {
          GROUP BY lang""",
 
     "q_split_hash" ->
-      """WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS s FROM documents),
+      """WITH m AS (SELECT doc_id,
+             md5(coalesce(CAST(doc_id AS VARCHAR), '<NULL>')) AS s FROM documents),
          h AS (SELECT doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
@@ -568,8 +569,10 @@ object Oracles {
          FROM (
            SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
                   row_number() OVER (PARTITION BY l_returnflag
-                    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-                              || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)),
+                    ORDER BY md5(coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>')
+                              || '|' || coalesce(CAST(l_linenumber AS VARCHAR), '<NULL>')
+                              || '|' || coalesce(CAST(l_partkey AS VARCHAR), '<NULL>')
+                              || '|' || coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>')),
                              l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
            FROM lineitem) s
          WHERE rn <= 20""",

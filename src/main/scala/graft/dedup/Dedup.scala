@@ -346,6 +346,15 @@ object Dedup {
       labels = next.select("node", "label")
       iter += 1
     }
+    // Exiting with labels still moving means some nodes have not reached
+    // their component minimum — silent use would drop the wrong docs.
+    // Label propagation is O(diameter): a long duplicate chain can
+    // legitimately exceed maxIters; the error names the O(log n)
+    // alternative rather than returning wrong output.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentDedup did not converge in $maxIters rounds ($changed labels " +
+          s"still moving) — raise maxIters or use componentDedupStar (O(log n) rounds)")
     val drops = labels.filter(col("label") =!= col("node")).select(col("node").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
   }
@@ -445,6 +454,15 @@ object Dedup {
       edges = ss
       iter += 1
     }
+    // A non-fixpoint edge set yields plausible-but-WRONG labels (nodes
+    // not yet pointing at their component minimum), and downstream dedup
+    // would keep/drop the wrong docs with no signal — abort instead.
+    // The alternation contracts in O(log n) rounds, so hitting this
+    // means maxIters was set far below log2(|nodes|).
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabels did not converge in $maxIters rounds; " +
+          s"labels would be incorrect — raise maxIters (O(log n) rounds suffice)")
     // star forest: every non-minimum node points straight at its
     // component minimum; the minima label themselves
     val nonRoots = edges.select(col("u").as("node"), col("v").as("label")).distinct()

@@ -290,7 +290,10 @@ object RelationalOps {
     * `portableHash = true` orders by md5 of the seed values joined
     * with '|' (a visible separator so ("1","23") and ("12","3") never
     * hash alike — and reproducible in any engine); default xxhash64 is
-    * cheaper on the 100 TB path.
+    * cheaper on the 100 TB path. NULL seed values hash as the sentinel
+    * '<NULL>' — concat_ws would silently SKIP them (("a", NULL) and
+    * ("a") colliding), and an engine reproducing the key with `||`
+    * would get NULL for the whole row.
     *
     * Determinism contract: `seedCols` must be a ROW KEY. Hash
     * collisions between distinct seed tuples are tie-broken by the
@@ -301,6 +304,14 @@ object RelationalOps {
     * q_sample_stratified: (l_orderkey, l_linenumber) alone is not
     * unique in the synthetic lineitem and needed two more columns).
     */
+  /** One seed column rendered for a portable hash key: NULL becomes the
+    * sentinel '<NULL>' so it contributes to the key (concat_ws silently
+    * skips NULL arguments) and any second engine reproduces the key
+    * with coalesce(CAST(c AS VARCHAR), '<NULL>').
+    */
+  private def portableKeyPart(c: String): Column =
+    coalesce(col(c).cast("string"), lit("<NULL>"))
+
   def stratifiedSample(
       df: DataFrame,
       strataCols: Seq[String],
@@ -309,7 +320,7 @@ object RelationalOps {
       portableHash: Boolean = false): DataFrame = {
     require(seedCols.nonEmpty, "seedCols must be non-empty")
     val ord =
-      if (portableHash) md5(concat_ws("|", seedCols.map(c => col(c).cast("string")): _*))
+      if (portableHash) md5(concat_ws("|", seedCols.map(portableKeyPart): _*))
       else xxhash64(seedCols.map(col): _*)
     topKPerGroup(df, strataCols, ord.asc +: seedCols.map(col(_).asc), k)
       .drop("rn")
@@ -341,7 +352,7 @@ object RelationalOps {
     val bucket =
       if (portableHash)
         graft.functions.RollingHashFunctions
-          .rollingHash31(md5(concat_ws("|", seedCols.map(c => col(c).cast("string")): _*)))
+          .rollingHash31(md5(concat_ws("|", seedCols.map(portableKeyPart): _*)))
           .cast("double") / lit(1000000007.0)
       else
         (pmod(xxhash64(seedCols.map(col): _*), lit(1000000000L)).cast("double") / lit(1e9))

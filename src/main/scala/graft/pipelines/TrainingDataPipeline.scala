@@ -37,6 +37,14 @@ object TrainingDataPipeline {
   /** Unpersist every cache a pipeline function registered. Call after
     * the returned plans are fully consumed (non-blocking; a plan acted
     * on afterwards recomputes — correct, just slower).
+    *
+    * Scope contract: the registry is PROCESS-GLOBAL, so this releases
+    * caches registered by EVERY in-flight pipeline call, not just the
+    * caller's — under concurrent drivers one caller's release evicts
+    * another's scored frame (results stay correct; that pipeline
+    * silently loses its single-scan guarantee and recomputes). Serialize
+    * release with pipeline use, or pass `persistScored = false` to the
+    * concurrent callers instead.
     */
   def releaseCaches(): Unit = {
     liveCaches.synchronized {

@@ -131,4 +131,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(fast.groupBy("l_returnflag").count()
       .collect().forall(_.getLong(1) == 20))
   }
+
+  test("portable hash keys: NULL seed values do not collide with their absence") {
+    import spark.implicits._
+    // ("a", NULL) vs ("a") shaped collision: concat_ws alone would hash
+    // 'a' for both rows; the '<NULL>' sentinel keeps them distinct and
+    // matches what an oracle computes with coalesce(CAST(c AS VARCHAR),
+    // '<NULL>') — so a nullable seed column stays deterministic.
+    val df = Seq(("a", Option("x")), ("a", None), ("a|<NULL>", Option("y")))
+      .toDF("k1", "k2").withColumn("stratum", lit(1))
+    val s = stratifiedSample(df, Seq("stratum"), 3, Seq("k1", "k2"), portableHash = true)
+    assert(s.count() == 3)
+    // split labels: the NULL row gets a stable label equal to hashing the
+    // sentinel string explicitly
+    val splits = Seq("train" -> 1.0, "test" -> 1.0)
+    val lbl = hashSplit(df, splits, Seq("k1", "k2"), portableHash = true)
+      .select("k1", "k2", "split").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2)))
+    val nullRow = lbl.find(r => r._1 == "a" && r._2.isEmpty).get
+    val explicitRow = hashSplit(
+      Seq(("a", "<NULL>")).toDF("k1", "k2"), splits, Seq("k1", "k2"),
+      portableHash = true).select("split").as[String].head()
+    assert(nullRow._3 == explicitRow)
+  }
 }
