@@ -18,8 +18,8 @@ trait TableStore {
   def overwrite(df: DataFrame, name: String): Unit
 
   /** Append pre-deduplicated dim rows carrying unique `key` values —
-    * staged whole-table swap for files; plain batched append for JDBC
-    * (per-partition commits — see [[JdbcStore]] on atomicity).
+    * staged whole-table swap for files; staged table + one-transaction
+    * `INSERT..SELECT` publish for JDBC (see [[JdbcStore]]).
     */
   def appendKeyed(df: DataFrame, name: String, key: String): Unit
 
@@ -220,17 +220,22 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   * anti-join becomes an indexed range scan server-side); writes use
   * the batched JDBC writer.
   *
-  * Atomicity, precisely: Spark's JDBC writer commits PER PARTITION
-  * (one transaction per write task), not per job — a mid-job crash
-  * leaves the partitions that already committed visible. The ETL
-  * protocol stays correct because every append is preceded by the
-  * idempotence anti-join: a re-run after a partial append re-appends
-  * only the rows that never committed. Callers needing all-or-nothing
-  * visibility should write to a staging table and publish with a
-  * server-side transactional rename/INSERT..SELECT.
+  * Atomicity: Spark's JDBC writer commits PER PARTITION (one
+  * transaction per write task), not per job — so appends never target
+  * the live table directly. Both append shapes go through
+  * [[stagedAppend]]: the batch lands in a `<name>__stage` table (where
+  * partial visibility is harmless), then publishes into the target
+  * with ONE server-side `INSERT INTO .. SELECT` transaction. A crash
+  * during the Spark write leaves the target untouched (only a stale
+  * stage, clobbered on retry); a crash during the publish rolls the
+  * single transaction back — the target is all-or-nothing either way.
+  * The idempotence anti-join upstream remains the cross-RUN guard.
+  * Single writer per table (the stage name is fixed), matching the
+  * reference's serial scheduler.
   *
-  * Tested against embedded Derby (FormatsSpec); any server a Spark
-  * JDBC dialect exists for (Postgres included) takes the same URL.
+  * Tested against embedded Derby (FormatsSpec, including a mid-write
+  * crash simulation); any server a Spark JDBC dialect exists for
+  * (Postgres included) takes the same URL.
   */
 final class JdbcStore(
     spark: SparkSession,
@@ -251,7 +256,43 @@ final class JdbcStore(
   def overwrite(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").jdbc(url, name, props)
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
-    df.write.mode("append").jdbc(url, name, props)
+    stagedAppend(df, name)
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
-    df.write.mode("append").jdbc(url, name, props)
+    stagedAppend(df, name)
+
+  /** All-or-nothing append via a staging table. Steps:
+    *  1. Spark-write the batch to `<name>__stage` (mode overwrite, so a
+    *     stale stage from a crashed run is clobbered, not re-published);
+    *  2. if the target is missing, create it EMPTY from the frame's
+    *     schema (portable across dialects, unlike RENAME TABLE);
+    *  3. publish server-side: `INSERT INTO target (cols) SELECT cols
+    *     FROM stage` in a single transaction — no data moves through
+    *     Spark, and readers see none or all of the batch;
+    *  4. drop the stage (cleanup only — a leftover stage is inert).
+    * Columns are matched BY NAME (quoted — Spark's JDBC writer creates
+    * case-sensitive identifiers), so target column order need not match
+    * the frame's.
+    */
+  private def stagedAppend(df: DataFrame, name: String): Unit = {
+    val stage = name + "__stage"
+    df.write.mode("overwrite").jdbc(url, stage, props)
+    if (!exists(name))
+      df.limit(0).write.jdbc(url, name, props)
+    val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => }
+          throw e
+      }
+      conn.setAutoCommit(true)
+      st.execute(s"DROP TABLE $stage")
+    } finally conn.close()
+  }
 }

@@ -39,6 +39,37 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"), plan)
   }
 
+  test("JDBC staged append is all-or-nothing when the batch write crashes mid-job") {
+    val db = Files.createTempDirectory("graft_derby_atomic").toString + "/wh"
+    val store = new JdbcStore(spark, s"jdbc:derby:$db;create=true")
+    val base = orders.limit(500)
+    store.appendKeyed(base, "orders_atomic", "o_orderkey")
+    val baseSum = checksum(store.read("orders_atomic").select(base.columns.map(col): _*))
+    assert(store.read("orders_atomic").count() == 500)
+
+    // poison batch: several partitions, one row throws during the Spark
+    // write — under a direct per-partition-commit append the tasks that
+    // finished first would leave partial rows visible in the target
+    val poison = base
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .repartition(8)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 =!= 0, col("o_totalprice"))
+          .otherwise(raise_error(lit("simulated mid-write crash"))))
+    intercept[Exception] { store.appendKeyed(poison, "orders_atomic", "o_orderkey") }
+    // target untouched: same rows, same contents
+    assert(store.read("orders_atomic").count() == 500)
+    assert(checksum(store.read("orders_atomic")
+      .select(base.columns.map(col): _*)) == baseSum)
+
+    // retry with the clean batch succeeds (stale stage clobbered) and the
+    // stage does not linger after publish
+    store.appendKeyed(base.withColumn("o_orderkey", col("o_orderkey") + 1000000L),
+      "orders_atomic", "o_orderkey")
+    assert(store.read("orders_atomic").count() == 1000)
+    assert(!store.exists("orders_atomic__stage"))
+  }
+
   test("EmissionEtl runs end-to-end on a JDBC (Derby) warehouse with golden counts") {
     val refData = "/root/reference/data"
     val db = Files.createTempDirectory("graft_derby_etl").toString + "/wh"
