@@ -765,7 +765,11 @@ object Queries {
     * 64-bit xxhash64 native expression. Bit j's vote for a token is
     * the parity of hex digit j of md5(token).
     */
-  def qDedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
+  def qDedupSimhashMd5(s: SparkSession, dir: String): DataFrame =
+    md5Simhash16(s, dir)
+
+  /** Shared 16-bit md5 SimHash signatures for docs with id < 200. */
+  private def md5Simhash16(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
     val votes = toks
@@ -777,6 +781,24 @@ object Queries {
       .agg(sum(when(col("v") >= 0, pow(lit(2), col("j") - 1).cast("long"))
         .otherwise(lit(0L))).as("simhash16"))
   }
+
+  /** The banded SimHash candidate path (Dedup.simhashBandedPairs — the
+    * same band-explode / bucket-pair / Hamming-filter code the 64-bit
+    * production query runs) driven by the 16-bit md5 signatures, 4
+    * bands × 4 bits, maxHamming 3. The pigeonhole bound makes the
+    * banded output CLOSED-FORM at this setting — exactly the all-pairs
+    * Hamming-≤3 ball — so the whole band machinery is hash-checked
+    * against a trivially-correct DuckDB oracle (xor + bit_count over
+    * the same signatures): the bands may not DROP a ≤3 pair (every such
+    * pair shares a band) and may not ADD one past the filter.
+    * maxBucket 1000 > the 200-doc population, so the hot-bucket guard
+    * provably never fires here.
+    */
+  def qDedupSimhashPairsMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandedPairs(
+      md5Simhash16(s, dir).select(col("doc_id").as("id"), col("simhash16").as("sig")),
+      sigBits = 16, nBands = 4, maxHamming = 3, maxBucket = 1000)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
 
   /** Embedding-cosine near-duplicate pairs, exact over a bounded
     * subset (the oracle-checkable baseline; Ann.cosineNearDupPairs is
@@ -858,7 +880,8 @@ object Queries {
 
   /** The deterministic prefix of the cleaning pipeline (quality gate →
     * language gate → exact dedup) — oracle-checked end-to-end; the
-    * near-dedup tail is covered rows-only by q_pipeline_funnel.
+    * near-dedup tail is oracle-checked through the funnel's md5 twin
+    * (q_pipeline_funnel).
     */
   def qPipelineClean(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.TrainingDataPipeline._
@@ -906,11 +929,19 @@ object Queries {
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 16)
 
-  /** The composed cleaning pipeline's funnel (rows-only check —
-    * near-dedup stage is Spark-hash based).
+  /** The composed cleaning pipeline's funnel, oracle-checked
+    * end-to-end: the same funnel code path (one-scan gate counts,
+    * persisted exact dedup, drop-set near-dedup counting) with the
+    * engine-portable md5-minhash candidate generator injected for the
+    * near-dedup stage, so every stage count — including the near-dedup
+    * tail that used to be rows-only — hash-matches the DuckDB
+    * reproduction. The production xxhash generator keeps its own
+    * recall gate (q_dedup_minhash_recall) and spec coverage.
     */
   def qPipelineFunnel(s: SparkSession, dir: String): DataFrame =
-    graft.pipelines.TrainingDataPipeline.funnel(t(s, dir, "documents"))
+    graft.pipelines.TrainingDataPipeline.funnel(
+      t(s, dir, "documents"),
+      nearDupPairs = Some(survivors => md5MinhashAgreeOver(survivors, minAgree = 10)))
 
   // ------------------------------------------------- similarity search
 

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
+    "q_dedup_simhash_pairs_md5" -> (Queries.qDedupSimhashPairsMd5 _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -777,6 +778,24 @@ object Oracles {
              AS simhash16
          FROM v GROUP BY doc_id""",
 
+    // the banded-pair path at maxHamming 3 with 4 bands is closed-form
+    // by the pigeonhole bound: exactly the all-pairs Hamming-<=3 ball
+    // over the same 16-bit md5 signatures
+    "q_dedup_simhash_pairs_md5" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+                     FROM documents WHERE doc_id < 200),
+         v AS (SELECT doc_id, j,
+                 SUM(ascii(substr(md5(tok), CAST(j AS INT), 1)) % 2 * 2 - 1) AS v
+               FROM tk, UNNEST(generate_series(1, 16)) AS u(j) GROUP BY doc_id, j),
+         s AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN v >= 0 THEN CAST(POWER(2, j-1) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS sig
+               FROM v GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
     "q_dedup_embcos" ->
       """WITH p AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -875,6 +894,49 @@ object Oracles {
              ORDER BY doc_id) AS rn
            FROM scored WHERE quality >= 0.3 AND lang_pred = 'en')
          WHERE rn = 1""",
+
+    // the funnel end-to-end: gate counts reuse the q_pipeline_clean
+    // scoring, the near-dedup stage counts the distinct higher-id
+    // members of the md5-minhash candidate graph over the exact-dedup
+    // survivors (the same graph q_dedup_*_md5 queries pin)
+    "q_pipeline_funnel" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+              + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                           THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                                / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                           ELSE 0.0 END, 1.0)) / 2.0 AS quality,
+             CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                  WHEN de >= fr AND de >= es THEN 'de'
+                  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+           FROM (SELECT doc_id, text,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|you|that|it|with)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ich|ein|mit)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|vous|que|pour|dans)\b')) AS fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|con|para|del)\b')) AS es
+             FROM documents)),
+         gated AS (SELECT doc_id, text FROM scored
+                   WHERE quality >= 0.3 AND lang_pred = 'en'),
+         ex AS (SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn FROM gated),
+         surv AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM ex WHERE rn = 1),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM surv, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         nd AS (SELECT count(DISTINCT id_b) AS c FROM pr)
+         SELECT '0_input' AS stage, (SELECT count(*) FROM documents) AS docs
+         UNION ALL SELECT '1_quality', (SELECT count(*) FROM scored WHERE quality >= 0.3)
+         UNION ALL SELECT '2_language', (SELECT count(*) FROM gated)
+         UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM surv)
+         UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv) - (SELECT c FROM nd)""",
 
     "q_ann_ivf_full" ->
       """WITH pairs AS (

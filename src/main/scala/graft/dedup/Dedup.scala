@@ -494,12 +494,36 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      maxBucket: Int = 1000): DataFrame =
+    simhashBandedPairs(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      sigBits = 64, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** The band/pair/Hamming stage of [[simhashNearDupPairs]] over an
+    * arbitrary pre-computed signature frame (`id`, `sig` LONG holding
+    * `sigBits` significant bits): the signature splits into `nBands`
+    * equal bands, docs sharing any band become a candidate pair, exact
+    * Hamming distance filters to `maxHamming`. Pigeonhole: distance
+    * ≤ nBands-1 GUARANTEES a shared band, so for maxHamming < nBands
+    * the output is exactly the all-pairs Hamming ball — which is what
+    * lets the md5-twin query (q_dedup_simhash_pairs_md5) pin this
+    * exact code path against a closed-form second-engine oracle while
+    * the production 64-bit path keeps its native xxhash signature.
+    */
+  def simhashBandedPairs(
+      sigs: DataFrame,
+      sigBits: Int,
+      nBands: Int,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(sigBits % nBands == 0, s"sigBits $sigBits not divisible into $nBands bands")
+    val bandBits = sigBits / nBands
+    val mask = (1L << bandBits) - 1
     val member = sigs.select(
       struct(col("id"), col("sig")).as("m"),
-      explode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)) + lit(b * 0x10000L)): _*))
+      explode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))
+          + lit(b.toLong * (mask + 1))): _*))
         .as("band"))
     val lo = when(col("a.id") < col("b.id"), col("a")).otherwise(col("b"))
     val hi = when(col("a.id") < col("b.id"), col("b")).otherwise(col("a"))

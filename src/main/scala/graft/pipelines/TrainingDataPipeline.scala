@@ -263,8 +263,17 @@ object TrainingDataPipeline {
     * per stage), and the gated/deduped frames are persisted so the
     * shuffle stages (exact dedup, minhash LSH) each read their input
     * exactly once.
+    *
+    * `nearDupPairs` swaps the near-dedup candidate generator: given the
+    * exact-dedup survivors it returns candidate pairs whose `id_b` is
+    * the higher-id (dropped) member. Default is the production MinHash
+    * LSH pass; the oracle twin injects the engine-portable md5 variant
+    * so the funnel composition itself is hash-checkable end-to-end.
     */
-  def funnel(docs: DataFrame, conf: Config = Config()): DataFrame = {
+  def funnel(
+      docs: DataFrame,
+      conf: Config = Config(),
+      nearDupPairs: Option[DataFrame => DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val qPass = TextFunctions.qualityScore(col(conf.textCol)) >= conf.minQuality
@@ -277,9 +286,10 @@ object TrainingDataPipeline {
     val n3 = e.count()
     // survivors = input minus docs with a lower-id near-dup; counting the
     // (small) drop set avoids materializing the anti-join over all docs
-    val n4 = n3 - Dedup
-      .minhashCandidates(e, conf.idCol, conf.textCol, threshold = conf.minhashThreshold)
-      .select("id_b").distinct().count()
+    val candidates = nearDupPairs.getOrElse((survivors: DataFrame) =>
+      Dedup.minhashCandidates(survivors, conf.idCol, conf.textCol,
+        threshold = conf.minhashThreshold))
+    val n4 = n3 - candidates(e).select("id_b").distinct().count()
     val out = Seq(
       ("0_input", n0), ("1_quality", n1), ("2_language", n2),
       ("3_exact_dedup", n3), ("4_near_dedup", n4))
