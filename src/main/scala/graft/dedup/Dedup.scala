@@ -155,18 +155,23 @@ object Dedup {
 
   /** Candidate near-duplicate pairs BETWEEN a (small) incoming batch
     * and a (huge) existing corpus, plus pairs within the batch — the
-    * incremental-ingestion shape. The asymmetry is the scale lever:
-    * the corpus side is semi-joined to the BATCH'S band-bucket keys
-    * before any pair explosion, so the full corpus contributes only
-    * members of buckets the batch actually touches — at 100 TB the
-    * corpus scan reduces map-side to (band, membership) probes of a
-    * broadcast key set. Within a touched bucket the explosion still
-    * forms corpus×corpus combinations before the one-incoming-side
-    * filter drops them — bounded at maxBucket²/2 rows per touched
-    * bucket (pre-shuffle, pre-distinct), the price of reusing the
-    * single-shuffle [[bucketMemberPairs]] shape; no corpus pair ever
-    * survives past that filter, and buckets the batch does not touch
-    * contribute nothing at all.
+    * incremental-ingestion shape. The asymmetry is the scale lever,
+    * and the CORPUS SIDE NEVER SHUFFLES: pairs come from a broadcast
+    * hash join of the (bounded) incoming membership against the
+    * corpus membership stream, so every formed pair has an incoming
+    * member by construction (no corpus×corpus combinations ever
+    * exist), and buckets the batch does not touch are pruned map-side
+    * by a broadcast semi-join before that.
+    *
+    * Hot buckets (boilerplate-heavy band keys) are handled by
+    * SAMPLING, not dropping: a bucket whose corpus membership exceeds
+    * `maxBucket` keeps a deterministic ~maxBucket-member hash sample,
+    * so an incoming doc whose only collisions fall in hot buckets is
+    * still compared against representatives of them rather than
+    * silently bypassing near-dedup (boilerplate members are near-dups
+    * of each other, so representatives carry the signal). Incoming
+    * membership is never capped — the batch bounds it. The per-bucket
+    * join fan-out is ≤ |incoming members| · maxBucket.
     *
     * Ids must be distinct across the two inputs (they share the id
     * space in the output). Returns (id_new, id_other, est_jaccard,
@@ -193,14 +198,30 @@ object Dedup {
       explode(bandKeys(col("sig"), k, bands)).as("band"))
     val incMember = members(incSigs, isNew = true)
     // the batch's bucket keys are bounded → broadcast semi-join prunes
-    // the corpus membership BEFORE the (quadratic-per-bucket) explosion
+    // the corpus membership map-side
     val touched = incMember.select("band").distinct()
     val exMember = members(exSigs, isNew = false)
       .join(broadcast(touched), Seq("band"), "left_semi")
-    val pairs = bucketMemberPairs(incMember.unionByName(exMember), maxBucket)
+    // per-touched-bucket corpus counts are ≤ |batch|·bands rows →
+    // broadcastable; hot buckets thin to a ~maxBucket hash sample
+    // (deterministic in the data, no sort, no per-bucket materialization)
+    val hotCounts = exMember.groupBy("band")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+    val exCapped = exMember
+      .join(broadcast(hotCounts), Seq("band"), "left")
+      .filter(col("__n").isNull ||
+        pmod(xxhash64(col("band"), col("m.id")), lit(1000000L)) * col("__n")
+          < lit(maxBucket.toLong * 1000000L))
+      .drop("__n")
+    // broadcast-join pair formation: incoming side is the build side,
+    // the corpus stream probes it — every pair has ≥1 incoming member
+    val allMember = incMember.unionByName(exCapped)
+    val pairs = allMember.select(col("m").as("b"), col("band"))
+      .join(broadcast(incMember.select(col("m").as("a"), col("band"))), Seq("band"))
+      .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("ida"), col("a.is_new").as("na"),
         col("b.id").as("idb"), col("b.is_new").as("nb"))
-      .filter(col("na") || col("nb")) // at least one incoming side
       .select(
         when(col("na") && col("nb"), greatest(col("ida"), col("idb")))
           .when(col("na"), col("ida")).otherwise(col("idb")).as("id_new"),
@@ -226,9 +247,9 @@ object Dedup {
     * near-duplicate of ANY existing doc (regardless of id order), or
     * of a SMALLER-id doc within its own batch (the same one-hop rule
     * as [[minhashDedup]]). Exact dups are dropped by fingerprint
-    * first — cheap, and immune to the near path's hot-bucket caps —
-    * then the asymmetric candidate pass handles near-dups. Returns
-    * the surviving incoming rows.
+    * first — cheap, and independent of the near path's hot-bucket
+    * sampling — then the asymmetric candidate pass handles near-dups.
+    * Returns the surviving incoming rows.
     */
   def minhashDedupIncremental(
       incoming: DataFrame,

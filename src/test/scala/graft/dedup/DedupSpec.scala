@@ -101,6 +101,29 @@ class DedupSpec extends SparkSpec {
     assert(selfOnly.toSeq == Seq(1L, 2L, 5L), s"kept ${selfOnly.toSeq}")
   }
 
+  test("incremental hot buckets sample the corpus instead of bypassing near-dedup") {
+    // 300 near-identical boilerplate corpus docs: every band bucket the
+    // incoming dup touches is hot (corpus membership >> maxBucket = 20).
+    // The old whole-bucket drop would let the incoming copy through;
+    // sampling must still pair it with boilerplate representatives.
+    val boiler = (0 until 60).map(i => s"boiler$i").mkString(" ")
+    val existing = (100L until 400L).map(i => (i, s"$boiler v$i"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, boiler + " incoming"),  // near-dup of the hot boilerplate -> drop
+      (2L, "completely novel text about watermark state eviction")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatesAgainst(
+      incoming, existing, threshold = 0.6, maxBucket = 20)
+    val flagged = pairs.select("id_new").as[Long].collect().toSet
+    assert(flagged.contains(1L), s"hot-bucket incoming doc not flagged: $flagged")
+    assert(!flagged.contains(2L))
+    // the sample bounds the pair fan-out: doc 1 pairs with a subset of
+    // the corpus, not all 300 members
+    val doc1Pairs = pairs.filter($"id_new" === 1L).count()
+    assert(doc1Pairs > 0 && doc1Pairs < 300, s"doc1 pairs: $doc1Pairs")
+  }
+
   test("componentLabels: every node labeled with its component min, roots label themselves") {
     val pairs = Seq((2L, 5L), (5L, 7L), (10L, 11L), (11L, 12L), (16L, 19L))
       .toDF("id_a", "id_b")
