@@ -30,6 +30,26 @@ trait TableStore {
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit
 }
 
+/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+  * ships it to executor tasks via its own Writable encoding (Spark's
+  * internal equivalent is `private[spark]`). Needed so distributed
+  * file-listing tasks open the filesystem with the session's conf —
+  * credentials and fs implementations included — not a default one.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** Parquet-directory warehouse: one directory per table under `dir`.
   * Dim appends go through the staged whole-table swap
   * ([[ParquetUpsert.mergeByKey]]) so readers never observe a partial
@@ -94,13 +114,14 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     * partition whose file count exceeds what `targetFileBytes` calls
     * for is rewritten into ceil(bytes/target) files.
     *
-    * ONE Spark job regardless of partition count: the target
-    * partitions are selected by file-listing on the driver, read
+    * ONE rewrite job regardless of partition count: the target
+    * partitions are selected by file listing (driver-side for small
+    * tables, a distributed listing job past `distributedPlanAbove`
+    * partition dirs — so neither the listing round-trips nor the plan
+    * rows are O(partitions) on the driver at warehouse scale), read
     * together with partition pruning, salted so each partition lands
     * in its own ceil(bytes/target) write tasks, and written
-    * `partitionBy` into a single stage tree — a serial
-    * job-per-partition loop would make compaction O(partitions) driver
-    * round-trips at warehouse scale. Publishing is per-partition
+    * `partitionBy` into a single stage tree. Publishing is per-partition
     * dir renames, stage/backup OUTSIDE the table dir so partition
     * discovery never sees them:
     *   1. write all rewritten partitions under `<table>__compact_stage`;
@@ -118,7 +139,8 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   def compactPartitions(
       name: String,
       partitionCol: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      distributedPlanAbove: Int = 64): Int = {
     val target = new Path(path(name))
     val stageRoot = new Path(path(name) + "__compact_stage")
     val oldRoot = new Path(path(name) + "__compact_old")
@@ -136,25 +158,52 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     fs.delete(stageRoot, true)
     if (!fs.exists(target)) return 0
 
-    // plan on the driver: which partitions need rewriting, into how many
-    // files. Dir names are Hive-ESCAPED forms of the value ('%3A' for
-    // ':', __HIVE_DEFAULT_PARTITION__ for NULL) — unescape for the row
-    // filter, keep the dir name for matching staged output.
+    // plan: which partitions need rewriting, into how many files. Dir
+    // names are Hive-ESCAPED forms of the value ('%3A' for ':',
+    // __HIVE_DEFAULT_PARTITION__ for NULL) — unescape for the row
+    // filter, keep the dir name for matching staged output. The
+    // partition-dir listing is ONE filesystem call; the per-partition
+    // FILE listings (one round-trip each) run on the driver only for
+    // small tables — past `distributedPlanAbove` dirs they fan out as a
+    // Spark job (executors hold the hadoop conf via the broadcast-able
+    // SerializableConfiguration), and only partitions that NEED
+    // compaction come back, so driver memory is O(rewrites), not
+    // O(partitions).
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val plans = fs.listStatus(target).toSeq
+    val partDirNames = fs.listStatus(target).toSeq
       .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
-      .flatMap { part =>
-        val files = fs.listStatus(part.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        val bytes = files.map(_.getLen).sum
-        val wantFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (files.length > wantFiles) {
-          val dirName = part.getPath.getName
-          val value = ExternalCatalogUtils.unescapePathName(
-            dirName.substring(partitionCol.length + 1))
-          Some((dirName, value, wantFiles))
-        } else None
+      .map(_.getPath.getName)
+    def planOf(dirName: String, files: Seq[Long]): Option[(String, Int)] = {
+      val bytes = files.sum
+      val wantFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (files.length > wantFiles) Some((dirName, wantFiles)) else None
+    }
+    def dataFiles(dirFs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
+      dirFs.listStatus(dir).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen)
+    val needed: Seq[(String, Int)] =
+      if (partDirNames.length <= distributedPlanAbove)
+        partDirNames.flatMap(d => planOf(d, dataFiles(fs, new Path(target, d))))
+      else {
+        val sc = spark.sparkContext
+        val confB = sc.broadcast(
+          new SerializableHadoopConf(sc.hadoopConfiguration))
+        val targetStr = target.toString
+        sc.parallelize(partDirNames, math.min(partDirNames.length, 256))
+          .mapPartitions { dirs =>
+            val conf = confB.value.value
+            val root = new Path(targetStr)
+            val taskFs = root.getFileSystem(conf)
+            dirs.flatMap(d => planOf(d, dataFiles(taskFs, new Path(root, d))))
+          }
+          .collect().toSeq
       }
+    val plans = needed.map { case (dirName, wantFiles) =>
+      val value = ExternalCatalogUtils.unescapePathName(
+        dirName.substring(partitionCol.length + 1))
+      (dirName, value, wantFiles)
+    }
     if (plans.isEmpty) return 0
 
     import org.apache.spark.sql.functions._

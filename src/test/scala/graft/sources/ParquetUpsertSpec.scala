@@ -108,6 +108,33 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compactPartitions: many partitions take the distributed planning path") {
+    val wh = Files.createTempDirectory("graft_compact_many").toString
+    val store = new ParquetStore(spark, wh)
+    // 80 partitions (> the 64-dir driver-planning cutoff), 2 file sets
+    // each — the plan job must find exactly the fragmented ones
+    (0 until 2).foreach { b =>
+      store.appendPartitioned(
+        (0 until 80).map(p => (b * 100 + p.toLong, 202000 + p, b * 1.0))
+          .toDF("id", "p_month", "v").repartition(4),
+        "fact", "p_month")
+    }
+    def files(p: Int) = new java.io.File(s"$wh/fact/p_month=$p").list().toSeq
+      .filterNot(f => f.startsWith("_") || f.startsWith("."))
+    assert(files(202000).size >= 2)
+    def snapshot() = store.read("fact").select("id", "p_month", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    val before = snapshot()
+    val n = store.compactPartitions("fact", "p_month",
+      targetFileBytes = 1L << 30, distributedPlanAbove = 64)
+    assert(n == 80, s"expected all 80 partitions compacted, got $n")
+    assert((0 until 80).forall(p => files(202000 + p).size == 1))
+    assert(snapshot() == before, "distributed-plan compaction changed contents")
+    // already-compact partitions are not re-planned
+    assert(store.compactPartitions("fact", "p_month",
+      targetFileBytes = 1L << 30, distributedPlanAbove = 64) == 0)
+  }
+
   test("compactPartitions recovery: a partition stranded in __compact_old is restored") {
     val wh = Files.createTempDirectory("graft_compact_rec").toString
     val store = new ParquetStore(spark, wh)
