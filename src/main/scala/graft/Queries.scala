@@ -932,16 +932,70 @@ object Queries {
   /** The composed cleaning pipeline's funnel, oracle-checked
     * end-to-end: the same funnel code path (one-scan gate counts,
     * persisted exact dedup, drop-set near-dedup counting) with the
-    * engine-portable md5-minhash candidate generator injected for the
-    * near-dedup stage, so every stage count — including the near-dedup
-    * tail that used to be rows-only — hash-matches the DuckDB
-    * reproduction. The production xxhash generator keeps its own
-    * recall gate (q_dedup_minhash_recall) and spec coverage.
+    * engine-portable BANDED md5-minhash candidate generator injected
+    * for the near-dedup stage, so every stage count — including the
+    * near-dedup tail that used to be rows-only — hash-matches the
+    * DuckDB reproduction. The production xxhash generator keeps its
+    * own recall gate (q_dedup_minhash_recall) and spec coverage.
     */
   def qPipelineFunnel(s: SparkSession, dir: String): DataFrame =
     graft.pipelines.TrainingDataPipeline.funnel(
       t(s, dir, "documents"),
-      nearDupPairs = Some(survivors => md5MinhashAgreeOver(survivors, minAgree = 10)))
+      nearDupPairs = Some(survivors =>
+        md5MinhashBandedPairs(survivors, minAgree = 10, maxBucket = 200)))
+
+  /** Banded md5-minhash near-dup pairs — the production LSH shape
+    * (band-bucket join, hot-bucket drop, agree-count verify)
+    * reproduced on the portable md5 pipeline. The unbanded
+    * [[md5MinhashAgreeOver]] joins on EVERY per-seed collision, which
+    * is quadratic in the count of docs sharing one boilerplate minimum
+    * — measured 34 s at sf0.1's 5,000 template-heavy docs, where the
+    * 4-seed band keys plus the >maxBucket drop run in ~5 s. The
+    * bounded (<200-doc) twin queries keep the unbanded form (their
+    * collision groups cannot exceed 200); this one serves full-corpus
+    * twins (the funnel). The wide signature frame feeds three
+    * consumers (bands, both verify sides), so it persists for the
+    * duration of the consuming action — registered with the pipeline
+    * cache registry; Verify and Bench release after every query.
+    */
+  private def md5MinhashBandedPairs(
+      docs: DataFrame,
+      minAgree: Int,
+      maxBucket: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
+    val seedMins = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i#"), col("gram")))).as(s"mh_$i"))
+    val sigWide = grams.groupBy("id").agg(seedMins.head, seedMins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipelines.TrainingDataPipeline.registerCache(sigWide)
+    val bands = sigWide
+      .select(col("id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"mh_$i")): _*).as("bk"))): _*))
+        .as("r"))
+      .select(col("id"), col("r.b").as("b"), col("r.bk").as("bk"))
+    val hot = bands.groupBy("b", "bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("b", "bk")
+    val kept = bands.join(hot, Seq("b", "bk"), "left_anti")
+    val cand = kept.select(col("b"), col("bk"), col("id").as("id_a"))
+      .join(kept.select(col("b"), col("bk"), col("id").as("id_b")), Seq("b", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify against the WIDE frame: one row per pair and a 16-term
+    // agree sum in projection — no 16× explode through the joins
+    val aSide = sigWide.select(
+      col("id").as("id_a") +: (0 until 16).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val bSide = sigWide.select(
+      col("id").as("id_b") +: (0 until 16).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val nAgree = (0 until 16)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(aSide, Seq("id_a")).join(bSide, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+  }
 
   // ------------------------------------------------- similarity search
 

@@ -896,9 +896,11 @@ object Oracles {
          WHERE rn = 1""",
 
     // the funnel end-to-end: gate counts reuse the q_pipeline_clean
-    // scoring, the near-dedup stage counts the distinct higher-id
-    // members of the md5-minhash candidate graph over the exact-dedup
-    // survivors (the same graph q_dedup_*_md5 queries pin)
+    // scoring; the near-dedup stage counts the distinct higher-id
+    // members of the BANDED md5-minhash candidate graph (4 bands x 4
+    // seeds, >200-member band buckets dropped, >=10-seed agree verify
+    // — the production LSH shape on the portable hash) over the
+    // exact-dedup survivors
     "q_pipeline_funnel" ->
       """WITH scored AS (
            SELECT doc_id, text,
@@ -928,10 +930,19 @@ object Oracles {
                FROM surv, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
          sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
                  FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2 HAVING count(*) >= 10),
-         nd AS (SELECT count(DISTINCT id_b) AS c FROM pr)
+         bands AS (SELECT doc_id, CAST(s // 4 AS INT) AS b,
+                     string_agg(mh, '|' ORDER BY s) AS bk
+                   FROM sig GROUP BY doc_id, s // 4),
+         hot AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) > 200),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (b, bk)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                  FROM kept a JOIN kept c ON a.b = c.b AND a.bk = c.bk
+                   AND a.doc_id < c.doc_id),
+         ver AS (SELECT cand.id_a, cand.id_b FROM cand
+                 JOIN sig x ON x.doc_id = cand.id_a
+                 JOIN sig y ON y.doc_id = cand.id_b AND y.s = x.s AND y.mh = x.mh
+                 GROUP BY 1, 2 HAVING count(*) >= 10),
+         nd AS (SELECT count(DISTINCT id_b) AS c FROM ver)
          SELECT '0_input' AS stage, (SELECT count(*) FROM documents) AS docs
          UNION ALL SELECT '1_quality', (SELECT count(*) FROM scored WHERE quality >= 0.3)
          UNION ALL SELECT '2_language', (SELECT count(*) FROM gated)

@@ -32,7 +32,7 @@ object TrainingDataPipeline {
   // DataFrame reads it — so release is explicit and caller-driven.
   private val liveCaches =
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-  private def registerCache(df: DataFrame): Unit = liveCaches.add(df)
+  private[graft] def registerCache(df: DataFrame): Unit = liveCaches.add(df)
 
   /** Unpersist every cache a pipeline function registered. Call after
     * the returned plans are fully consumed (non-blocking; a plan acted
