@@ -30,6 +30,7 @@ import graft.functions._
   *  - rolling_hash31(s)           Karp-Rabin base-31 rolling hash
   *  - kmv_distinct(col, k)        KMV bottom-k distinct-count sketch (aggregate)
   *  - term_stats(terms)           (n_terms, n_distinct, top_count) of a string array
+  *  - topk_neighbors(s, id, k, asc)  map-side partial top-k per group (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -42,6 +43,12 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, fn: String, pos: Int): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a boolean literal, got $other")
   }
 
   private def fn(
@@ -105,6 +112,14 @@ object GraftExtensions {
       "term_stats(terms) - struct(n_terms, n_distinct, top_count) of a string array", {
         case Seq(t) => TokenTermStats(t)
         case args => throw new IllegalArgumentException(s"term_stats takes 1 arg, got ${args.length}")
+      }),
+    fn("topk_neighbors",
+      "topk_neighbors(score, id, k, ascending) - map-side partial top-k per group; " +
+        "array<struct<id, score>> in rank order (aggregate; score must be DOUBLE)", {
+        case Seq(s, i, k, asc) =>
+          TopKNeighbors(s, i, intArg(k, "topk_neighbors", 2),
+            boolArg(asc, "topk_neighbors", 3)).toAggregateExpression()
+        case args => throw new IllegalArgumentException(s"topk_neighbors takes 4 args, got ${args.length}")
       }))
 
   /** Install into an already-built session (tests, REPLs) — same

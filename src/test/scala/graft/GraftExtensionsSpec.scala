@@ -75,4 +75,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(keys.length == 4)
     assert(keys.forall(_.matches("\\d+#[01]{6}")))
   }
+
+  test("topk_neighbors aggregate from SQL matches topKPerGroupPartial") {
+    graft.Tables.lineitem(spark, sf("lineitem")).createOrReplaceTempView("li2")
+    val sql = spark.sql(
+      """SELECT l_returnflag, e.id, e.score
+         FROM (SELECT l_returnflag,
+                 topk_neighbors(CAST(l_quantity AS DOUBLE), l_orderkey, 3, false) AS tk
+               FROM li2 GROUP BY l_returnflag)
+         LATERAL VIEW posexplode(tk) t AS pos, e""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val api = graft.ops.RelationalOps.topKPerGroupPartial(
+      graft.Tables.lineitem(spark, sf("lineitem")),
+      keys = Seq("l_returnflag"),
+      score = col("l_quantity").cast("double"),
+      id = col("l_orderkey"),
+      k = 3, scoreAscending = false,
+      idName = "id", scoreName = "score")
+      .select("l_returnflag", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sql == api && sql.nonEmpty)
+  }
 }
