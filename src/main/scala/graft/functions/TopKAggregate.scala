@@ -69,18 +69,28 @@ final class TopKHeap(val k: Int, val scoreAscending: Boolean, idOrd: Ordering[An
 /** Map-side partial top-k — the scale-correct reduction for ANN
   * scoring plans.
   *
-  * The problem it replaces: `row_number() OVER (PARTITION BY query
-  * ORDER BY score)` ranks AFTER the shuffle, so every scored
-  * (query, candidate) row — |Q|·|C| of them in a brute-force or
-  * PQ-ADC scan — crosses the wire, and each query's entire
-  * corpus-worth of candidates sorts in a single task (at 10⁹ corpus
-  * rows: one task externally sorting 10⁹ rows). This aggregate is the
-  * classic TakeOrderedAndProject shape applied per group: each
-  * partition reduces its slice to a k-entry heap per query
-  * (`update`), the shuffle carries only |Q| · k · partitions entries
+  * The shape it replaces: `row_number() OVER (PARTITION BY query
+  * ORDER BY score)` + rank filter. This aggregate is the classic
+  * TakeOrderedAndProject shape applied per group: each partition
+  * reduces its slice to a k-entry heap per query (`update`), the
+  * shuffle carries only |Q| · k · partitions entries
   * (`serialize`/`merge`), and the final sort is over k elements
-  * (`eval`). Same rows out, shuffle shrunk by |C| / (k · partitions)
-  * — at 10⁹ corpus rows and k=50 that is ~10⁷× less data moved.
+  * (`eval`).
+  *
+  * Honest scale accounting (measured, 400k-vector ADC scan, 50
+  * queries, Spark 4.1): Catalyst's rank-limit pushdown (SPARK-37099,
+  * `WindowGroupLimit` with a Partial node below the exchange) already
+  * bounds the naive window shape map-side — the full |Q|·|C| scored
+  * stream does NOT cross the wire on modern Spark, and the
+  * single-task-per-query sort is bounded to k·partitions rows. The
+  * aggregate's remaining, measured edge: ~3× fewer shuffle records
+  * (merged heap buffers vs k rows per partition per group — 3,201 vs
+  * 9,601 records in the probe), no per-partition sort of the scored
+  * slice (heap insert is O(log k) per row; WindowGroupLimit's partial
+  * pass sits above a per-partition sort), and wall time at parity
+  * (27.3 s vs 28.1 s, scan-dominated). On engines without rank-limit
+  * pushdown the window shape degrades to the full-stream shuffle +
+  * one-task-per-group sort this aggregate exists to avoid.
   *
   * Determinism contract: ordering is (score asc|desc, id asc) with
   * `java.lang.Double.compare` semantics (NaN sorts as the largest
