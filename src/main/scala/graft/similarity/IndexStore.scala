@@ -69,6 +69,12 @@ object IndexStore {
     store.overwrite(index.assigned, s"${name}__assigned")
   }
 
+  /** The stored coarse centroids of index `name` — tiny, driver-sized;
+    * the piece a long-lived ingest sink loads once up front.
+    */
+  def loadIvfCentroids(store: TableStore, name: String): Array[Array[Float]] =
+    loadCentroids(store, s"${name}__centroids")
+
   /** Load an IVF index; `assigned` reads lazily from the store, so
     * queries scan the materialized table instead of re-assigning.
     */
