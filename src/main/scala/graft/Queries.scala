@@ -1050,6 +1050,25 @@ object Queries {
     Ivf.topK(loaded, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
   }
 
+  /** Quantizer drift report (IndexStore.driftReport): per-cell
+    * quantization error of a held-out batch (vec_id >= 400) under
+    * quantizers trained and baselined on the initial corpus — the
+    * retrain signal for the incremental-ingest lifecycle. Rows-only:
+    * k-means cells and error magnitudes are engine-specific;
+    * IndexStoreSpec gates the semantics (in-distribution ≈ 1,
+    * shifted ≫ 1, error exactly the query-side ADC distortion).
+    */
+  def qAnnDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val store = new graft.sources.ParquetStore(s,
+      java.nio.file.Files.createTempDirectory("graft_drift_q").toString)
+    val index = IvfPq.build(corpus, nLists = 8, m = 16, k = 16)
+    IndexStore.saveIvfPq(store, "drift_q", index)
+    IndexStore.saveCellStats(store, "drift_q", index, corpus)
+    IndexStore.driftReport(store, "drift_q", emb.filter(col("vec_id") >= 400))
+  }
+
   /** Recall@5 of the probed IVF path (nProbe=4 of 16 cells — a 4×
     * candidate-budget cut) against oracle-pinned brute-force truth.
     * One row; IvfSpec gates the value (rows-only for the driver — the

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_mm_features" -> (Queries.qMmFeatures _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
+    "q_ann_drift" -> (Queries.qAnnDrift _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),

@@ -143,4 +143,48 @@ object IndexStore {
       IvfPq.encode(cens, cb, batch, idCol, vecCol), s"${name}__encoded", "id")
     loadIvfPq(store, name)
   }
+
+  /** Snapshot the per-cell quantization-error baseline of index `name`
+    * over `vectors` (normally the training corpus, at save time) into
+    * `<name>__cellstats` — the reference [[driftReport]] diffs against.
+    */
+  def saveCellStats(
+      store: TableStore,
+      name: String,
+      index: IvfPq.Index,
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    store.overwrite(
+      IvfPq.cellErrorStats(index.centroids, index.cb, vectors, idCol, vecCol),
+      s"${name}__cellstats")
+
+  /** Quantizer drift report: per-cell average quantization error of
+    * `batch` under the STORED quantizers, against the stored baseline
+    * — (cell, n_base, avg_base, n_batch, avg_batch, drift_ratio).
+    * The retrain signal for the incremental-ingest lifecycle:
+    * drift_ratio near 1 means the frozen quantizers still fit the
+    * incoming distribution; cells trending well above 1 (or batch
+    * cells with a NULL baseline — regions the training corpus never
+    * populated) mean new data is being coded coarsely and the index
+    * name should be rotated through a retrain. Pure observability —
+    * nothing here mutates the index.
+    */
+  def driftReport(
+      store: TableStore,
+      name: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cens = loadCentroids(store, s"${name}__centroids")
+    val cb = loadCodebooks(store, s"${name}__codebooks")
+    val cur = IvfPq.cellErrorStats(cens, cb, batch, idCol, vecCol)
+      .select(col("cell"), col("n").as("n_batch"), col("avg_qerr").as("avg_batch"))
+    val base = store.read(s"${name}__cellstats")
+      .select(col("cell"), col("n").as("n_base"), col("avg_qerr").as("avg_base"))
+    cur.join(base, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"), col("avg_base"),
+        col("n_batch"), col("avg_batch"),
+        (col("avg_batch") / col("avg_base")).as("drift_ratio"))
+  }
 }

@@ -111,6 +111,45 @@ object IvfPq {
         CentroidFunctions.centroidResidual(col("vec"), col("cell"), centroids),
         cb.codebooks).as("codes"))
 
+  /** Per-vector quantization error against EXISTING quantizers: the
+    * exact squared L2 between a vector's residual and its PQ
+    * reconstruction, computed as the ADC distance of the residual to
+    * its OWN codes — the same LUT kernel queries run, so the reported
+    * error is exactly the distortion those queries see. One scan, all
+    * codegen'd expressions. Output: (id, cell, qerr).
+    */
+  def quantizationError(
+      centroids: Array[Array[Float]],
+      cb: Pq.Codebook,
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Ivf.assign(centroids, vectors, idCol, vecCol)
+      .select(col("id"), col("cell"),
+        CentroidFunctions.centroidResidual(col("vec"), col("cell"), centroids).as("__r"))
+      .select(col("id"), col("cell"),
+        PqFunctions.pqAdcDist(
+          PqFunctions.pqLut(col("__r"), cb.codebooks),
+          PqFunctions.pqEncode(col("__r"), cb.codebooks),
+          cb.k).as("qerr"))
+
+  /** Per-cell quantization-error rollup — (cell, n, avg_qerr,
+    * max_qerr): the distribution-fit observability for a stored index.
+    * Snapshot it at build time as the baseline; rising per-cell error
+    * on later batches (see [[IndexStore.driftReport]]) means the
+    * frozen quantizers no longer fit the incoming data — the retrain
+    * signal the incremental ingest path otherwise lacks.
+    */
+  def cellErrorStats(
+      centroids: Array[Array[Float]],
+      cb: Pq.Codebook,
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    quantizationError(centroids, cb, vectors, idCol, vecCol)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("qerr").as("avg_qerr"), max("qerr").as("max_qerr"))
+
   /** Query: probe `nProbe` nearest cells per query (L2, matching the
     * assignment metric), one residual LUT per (query, cell), ADC over
     * the probed cells' codes, exact cosine refine of the ADC top

@@ -77,6 +77,32 @@ class IndexStoreSpec extends SparkSpec {
     assert(rows1.size == 500)
   }
 
+  test("drift report: in-distribution batches sit near ratio 1, shifted batches well above") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 400)
+    val store = newStore()
+    val index = IvfPq.build(corpus, nLists = 8, m = 16, k = 16)
+    IndexStore.saveIvfPq(store, "drift", index)
+    IndexStore.saveCellStats(store, "drift", index, corpus)
+
+    def meanRatio(batch: org.apache.spark.sql.DataFrame): Double =
+      IndexStore.driftReport(store, "drift", batch)
+        .agg(avg("drift_ratio")).head().getDouble(0)
+    // held-out same-distribution batch: quantizers still fit
+    val inDist = meanRatio(emb.filter(col("vec_id") >= 400))
+    // distribution shift: every component displaced by a constant the
+    // residual codebooks never saw → coarse coding, error blows up
+    val shifted = meanRatio(
+      emb.filter(col("vec_id") >= 400)
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(3.0f)).cast("float"))))
+    assert(inDist < 5.0, s"in-distribution drift ratio $inDist")
+    assert(shifted > 4 * inDist, s"shifted $shifted vs in-dist $inDist")
+    // per-vector error is the exact distortion (non-negative everywhere)
+    assert(IvfPq.quantizationError(index.centroids, index.cb, corpus)
+      .filter(col("qerr") < -1e-6).isEmpty)
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
