@@ -1041,10 +1041,16 @@ object Queries {
     * querying off the materialized assigned table instead of
     * re-assigning) is hash-gated against the brute-force oracle.
     */
+  // ONE warehouse dir per process for the index-lifecycle queries:
+  // Bench/Verify invoke each query several times, and a fresh
+  // never-deleted temp dir per rep would accumulate full index copies
+  // under /tmp; the stores overwrite their tables, so reps reuse it.
+  private lazy val indexQueryDir =
+    java.nio.file.Files.createTempDirectory("graft_idx_queries").toString
+
   def qAnnIvfSaved(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val store = new graft.sources.ParquetStore(s,
-      java.nio.file.Files.createTempDirectory("graft_annidx_q").toString)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/ivf_saved")
     IndexStore.saveIvf(store, "ivf_q", Ivf.build(emb, nLists = 16))
     val loaded = IndexStore.loadIvf(store, "ivf_q")
     Ivf.topK(loaded, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
@@ -1061,8 +1067,7 @@ object Queries {
   def qAnnDrift(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") < 400)
-    val store = new graft.sources.ParquetStore(s,
-      java.nio.file.Files.createTempDirectory("graft_drift_q").toString)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/drift")
     val index = IvfPq.build(corpus, nLists = 8, m = 16, k = 16)
     IndexStore.saveIvfPq(store, "drift_q", index)
     IndexStore.saveCellStats(store, "drift_q", index, corpus)

@@ -164,14 +164,18 @@ object Dedup {
     * by a broadcast semi-join before that.
     *
     * Hot buckets (boilerplate-heavy band keys) are handled by
-    * SAMPLING, not dropping: a bucket whose corpus membership exceeds
-    * `maxBucket` keeps a deterministic ~maxBucket-member hash sample,
-    * so an incoming doc whose only collisions fall in hot buckets is
+    * SAMPLING, not dropping: a bucket whose membership exceeds
+    * `maxBucket` on the corpus side — or on the incoming BUILD side of
+    * the pair join — keeps a deterministic ~maxBucket-member hash
+    * sample, so a doc whose only collisions fall in hot buckets is
     * still compared against representatives of them rather than
     * silently bypassing near-dedup (boilerplate members are near-dups
-    * of each other, so representatives carry the signal). Incoming
-    * membership is never capped — the batch bounds it. The per-bucket
-    * join fan-out is ≤ |incoming members| · maxBucket.
+    * of each other, so representatives carry the signal). The PROBE
+    * side keeps every incoming member — each incoming doc always
+    * pairs against its bucket's representatives — so the per-bucket
+    * join fan-out is ≤ |bucket members| · maxBucket even for a
+    * boilerplate-heavy batch (the old whole-bucket drop was bounded
+    * too, but silently skipped those docs entirely).
     *
     * Ids must be distinct across the two inputs (they share the id
     * space in the output). Returns (id_new, id_other, est_jaccard,
@@ -202,23 +206,28 @@ object Dedup {
     val touched = incMember.select("band").distinct()
     val exMember = members(exSigs, isNew = false)
       .join(broadcast(touched), Seq("band"), "left_semi")
-    // per-touched-bucket corpus counts are ≤ |batch|·bands rows →
+    // per-touched-bucket counts are ≤ |batch|·bands rows →
     // broadcastable; hot buckets thin to a ~maxBucket hash sample
     // (deterministic in the data, no sort, no per-bucket materialization)
-    val hotCounts = exMember.groupBy("band")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-    val exCapped = exMember
-      .join(broadcast(hotCounts), Seq("band"), "left")
-      .filter(col("__n").isNull ||
-        pmod(xxhash64(col("band"), col("m.id")), lit(1000000L)) * col("__n")
-          < lit(maxBucket.toLong * 1000000L))
-      .drop("__n")
-    // broadcast-join pair formation: incoming side is the build side,
-    // the corpus stream probes it — every pair has ≥1 incoming member
+    def capHot(member: DataFrame): DataFrame = {
+      val hotCounts = member.groupBy("band")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+      member
+        .join(broadcast(hotCounts), Seq("band"), "left")
+        .filter(col("__n").isNull ||
+          pmod(xxhash64(col("band"), col("m.id")), lit(1000000L)) * col("__n")
+            < lit(maxBucket.toLong * 1000000L))
+        .drop("__n")
+    }
+    val exCapped = capHot(exMember)
+    // broadcast-join pair formation: the (capped) incoming side is the
+    // build side, the full membership streams as the probe — every
+    // pair has ≥1 incoming member, and a boilerplate-heavy batch
+    // cannot blow the per-bucket fan-out past members·maxBucket
     val allMember = incMember.unionByName(exCapped)
     val pairs = allMember.select(col("m").as("b"), col("band"))
-      .join(broadcast(incMember.select(col("m").as("a"), col("band"))), Seq("band"))
+      .join(broadcast(capHot(incMember).select(col("m").as("a"), col("band"))), Seq("band"))
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("ida"), col("a.is_new").as("na"),
         col("b.id").as("idb"), col("b.is_new").as("nb"))

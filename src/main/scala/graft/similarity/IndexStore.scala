@@ -17,11 +17,15 @@ import graft.sources.TableStore
   *    re-order by their index columns, so a loaded index reproduces a
   *    fresh build's assignments and probe rankings EXACTLY);
   *  - **encoded corpus state is corpus-sized** — (id, vec, cell) /
-  *    (id, cell, codes) frames persist as regular tables via
-  *    [[TableStore.appendKeyed]], which anti-joins on id, so
-  *    re-ingesting an already-seen batch is a no-op (idempotent
-  *    retries) and ingesting a new batch touches NOTHING already
-  *    encoded: no retrain, no corpus re-encode, no index rebuild.
+  *    (id, cell, codes) frames persist PARTITIONED BY CELL. A batch
+  *    append anti-joins the batch's ids against a column-pruned id
+  *    scan of the table (cheap — ids only, no vectors/codes read) and
+  *    appends the survivors via the partition-staged
+  *    [[TableStore.appendPartitioned]], touching only the partitions
+  *    the batch lands in: re-ingesting an already-seen batch is a
+  *    no-op (idempotent retries), existing bytes are never rewritten
+  *    (a keyed whole-table merge here would re-write the 100 TB table
+  *    per micro-batch), and nothing retrains or re-encodes.
   *
   * Without this, every job retrains and re-encodes the full corpus —
   * the round-4 verdict's top "missing" item.
@@ -60,13 +64,24 @@ object IndexStore {
 
   // ------------------------------------------------------------- IVF
 
+  /** Append `batch` rows whose ids the table does not already hold —
+    * the shared ingest kernel: the anti-join reads the table's id
+    * column only (column pruning reaches the scan), and the append
+    * stages into just the cell partitions the batch touches.
+    */
+  private[graft] def appendNewById(store: TableStore, table: String, batch: DataFrame): Unit = {
+    val fresh = batch.join(store.read(table).select("id"), Seq("id"), "left_anti")
+    store.appendPartitioned(fresh, table, "cell")
+  }
+
   /** Persist an IVF index: `<name>__centroids` (tiny) and, the
-    * corpus-sized part, `<name>__assigned` (id, vec, cell).
+    * corpus-sized part, `<name>__assigned` (id, vec, cell) partitioned
+    * by cell.
     */
   def saveIvf(store: TableStore, name: String, index: Ivf.Index): Unit = {
     val spark = index.assigned.sparkSession
     store.overwrite(centroidsDf(spark, index.centroids), s"${name}__centroids")
-    store.overwrite(index.assigned, s"${name}__assigned")
+    store.overwritePartitioned(index.assigned, s"${name}__assigned", "cell")
   }
 
   /** The stored coarse centroids of index `name` — tiny, driver-sized;
@@ -77,16 +92,20 @@ object IndexStore {
 
   /** Load an IVF index; `assigned` reads lazily from the store, so
     * queries scan the materialized table instead of re-assigning.
+    * (`cell` comes back through partition discovery — cast pins the
+    * dtype regardless of inference settings.)
     */
   def loadIvf(store: TableStore, name: String): Ivf.Index =
     Ivf.Index(
       loadCentroids(store, s"${name}__centroids"),
-      store.read(s"${name}__assigned").select("id", "vec", "cell"))
+      store.read(s"${name}__assigned")
+        .select(col("id"), col("vec"), col("cell").cast("int").as("cell")))
 
   /** Ingest a batch into a stored IVF index: assign with the STORED
-    * quantizer (no retrain), merge by id (idempotent — re-sending a
-    * batch changes nothing, and existing rows are never re-encoded).
-    * Returns the refreshed index.
+    * quantizer (no retrain), append only unseen ids into only the
+    * touched cell partitions (idempotent — re-sending a batch changes
+    * nothing, and existing rows are never read beyond their id column
+    * or rewritten). Returns the refreshed index.
     */
   def appendIvfBatch(
       store: TableStore,
@@ -95,7 +114,7 @@ object IndexStore {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Ivf.Index = {
     val cens = loadCentroids(store, s"${name}__centroids")
-    store.appendKeyed(Ivf.assign(cens, batch, idCol, vecCol), s"${name}__assigned", "id")
+    appendNewById(store, s"${name}__assigned", Ivf.assign(cens, batch, idCol, vecCol))
     loadIvf(store, name)
   }
 
@@ -111,25 +130,29 @@ object IndexStore {
 
   /** Persist an IVF-PQ index: `<name>__centroids`, `<name>__codebooks`
     * (both tiny) and `<name>__encoded` (id, cell, codes) — 16 B/vector
-    * codes, the table a deployment serves queries from.
+    * codes partitioned by cell, the table a deployment serves queries
+    * from (probed cells prune to their partitions at scan time).
     */
   def saveIvfPq(store: TableStore, name: String, index: IvfPq.Index): Unit = {
     val spark = index.encoded.sparkSession
     store.overwrite(centroidsDf(spark, index.centroids), s"${name}__centroids")
     store.overwrite(codebooksDf(spark, index.cb), s"${name}__codebooks")
-    store.overwrite(index.encoded, s"${name}__encoded")
+    store.overwritePartitioned(index.encoded, s"${name}__encoded", "cell")
   }
 
   def loadIvfPq(store: TableStore, name: String): IvfPq.Index =
     IvfPq.Index(
       loadCentroids(store, s"${name}__centroids"),
       loadCodebooks(store, s"${name}__codebooks"),
-      store.read(s"${name}__encoded").select("id", "cell", "codes"))
+      store.read(s"${name}__encoded")
+        .select(col("id"), col("cell").cast("int").as("cell"), col("codes")))
 
   /** Ingest a batch into a stored IVF-PQ index: encode with the STORED
     * quantizers (same assignment kernel as training, so batch cells
-    * agree with corpus Voronoi boundaries), merge by id. Existing
-    * codes are untouched; re-sending a batch is a no-op.
+    * agree with corpus Voronoi boundaries), append only unseen ids
+    * into only the touched cell partitions. Existing codes are never
+    * read beyond their id column or rewritten; re-sending a batch is
+    * a no-op.
     */
   def appendIvfPqBatch(
       store: TableStore,
@@ -139,8 +162,7 @@ object IndexStore {
       vecCol: String = "embedding"): IvfPq.Index = {
     val cens = loadCentroids(store, s"${name}__centroids")
     val cb = loadCodebooks(store, s"${name}__codebooks")
-    store.appendKeyed(
-      IvfPq.encode(cens, cb, batch, idCol, vecCol), s"${name}__encoded", "id")
+    appendNewById(store, s"${name}__encoded", IvfPq.encode(cens, cb, batch, idCol, vecCol))
     loadIvfPq(store, name)
   }
 

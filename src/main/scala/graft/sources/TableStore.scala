@@ -17,6 +17,13 @@ trait TableStore {
   def read(name: String): DataFrame
   def overwrite(df: DataFrame, name: String): Unit
 
+  /** Overwrite with physical layout by `partitionCol` where the
+    * backend has one (parquet partition dirs), so later
+    * [[appendPartitioned]] calls touch only the partitions a batch
+    * lands in; relational backends keep it an ordinary column.
+    */
+  def overwritePartitioned(df: DataFrame, name: String, partitionCol: String): Unit
+
   /** Append pre-deduplicated dim rows carrying unique `key` values —
     * staged whole-table swap for files; staged table + one-transaction
     * `INSERT..SELECT` publish for JDBC (see [[JdbcStore]]).
@@ -28,26 +35,6 @@ trait TableStore {
     * an ordinary indexed column.
     */
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit
-}
-
-/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
-  * ships it to executor tasks via its own Writable encoding (Spark's
-  * internal equivalent is `private[spark]`). Needed so distributed
-  * file-listing tasks open the filesystem with the session's conf —
-  * credentials and fs implementations included — not a default one.
-  */
-private[sources] class SerializableHadoopConf(
-    @transient var value: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new org.apache.hadoop.conf.Configuration(false)
-    value.readFields(in)
-  }
 }
 
 /** Parquet-directory warehouse: one directory per table under `dir`.
@@ -67,6 +54,8 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   def read(name: String): DataFrame = spark.read.parquet(path(name))
   def overwrite(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").parquet(path(name))
+  def overwritePartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path(name))
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
     ParquetUpsert.mergeByKey(spark, path(name), df, Seq(key))
 
@@ -187,12 +176,22 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
         partDirNames.flatMap(d => planOf(d, dataFiles(fs, new Path(target, d))))
       else {
         val sc = spark.sparkContext
-        val confB = sc.broadcast(
-          new SerializableHadoopConf(sc.hadoopConfiguration))
+        // ship the session hadoop conf (credentials, fs implementations)
+        // as PLAIN entries: a Configuration is not serializable, and a
+        // writeObject/readObject wrapper silently breaks under
+        // spark.serializer=KryoSerializer, which ignores Java
+        // serialization hooks — plain tuples survive any serializer
+        val confEntries: Array[(String, String)] = {
+          val it = sc.hadoopConfiguration.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+          buf.toArray
+        }
         val targetStr = target.toString
         sc.parallelize(partDirNames, math.min(partDirNames.length, 256))
           .mapPartitions { dirs =>
-            val conf = confB.value.value
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
             val root = new Path(targetStr)
             val taskFs = root.getFileSystem(conf)
             dirs.flatMap(d => planOf(d, dataFiles(taskFs, new Path(root, d))))
@@ -304,25 +303,32 @@ final class JdbcStore(
   def read(name: String): DataFrame = spark.read.jdbc(url, name, props)
   def overwrite(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").jdbc(url, name, props)
+  def overwritePartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
+    overwrite(df, name)
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
-    stagedAppend(df, name)
+    stagedAppend(df, name, Some(key))
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
-    stagedAppend(df, name)
+    stagedAppend(df, name, None)
 
   /** All-or-nothing append via a staging table. Steps:
     *  1. Spark-write the batch to `<name>__stage` (mode overwrite, so a
     *     stale stage from a crashed run is clobbered, not re-published);
     *  2. if the target is missing, create it EMPTY from the frame's
     *     schema (portable across dialects, unlike RENAME TABLE);
-    *  3. publish server-side: `INSERT INTO target (cols) SELECT cols
-    *     FROM stage` in a single transaction — no data moves through
+    *  3. publish server-side in ONE transaction — for a keyed append,
+    *     `DELETE` the target rows whose key the stage carries, then
+    *     `INSERT .. SELECT` the stage: the same updates-win merge
+    *     [[ParquetUpsert.mergeByKey]] gives the file backend, so
+    *     re-sending a batch is a no-op at the row level and the
+    *     idempotent-sink contracts built on appendKeyed (ETL dims,
+    *     ANN index ingest) hold on JDBC too. No data moves through
     *     Spark, and readers see none or all of the batch;
     *  4. drop the stage (cleanup only — a leftover stage is inert).
     * Columns are matched BY NAME (quoted — Spark's JDBC writer creates
     * case-sensitive identifiers), so target column order need not match
     * the frame's.
     */
-  private def stagedAppend(df: DataFrame, name: String): Unit = {
+  private def stagedAppend(df: DataFrame, name: String, key: Option[String]): Unit = {
     val stage = name + "__stage"
     df.write.mode("overwrite").jdbc(url, stage, props)
     if (!exists(name))
@@ -333,6 +339,10 @@ final class JdbcStore(
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        key.foreach { k =>
+          st.executeUpdate(
+            s"""DELETE FROM $name WHERE "$k" IN (SELECT "$k" FROM $stage)""")
+        }
         st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
         conn.commit()
       } catch {

@@ -11,14 +11,17 @@ import graft.sources.TableStore
   * and merged into the corpus-sized table by id.
   *
   * Exactly-once without a transactional sink: Structured Streaming
-  * replays a micro-batch after a failure, and `appendKeyed`'s id
-  * anti-join makes the replay a no-op — the standard idempotent-sink
-  * contract, the same one the ETL's fact append relies on.
+  * replays a micro-batch after a failure, and the append's id
+  * anti-join (against a column-pruned id scan) makes the replay a
+  * no-op — the standard idempotent-sink contract, the same one the
+  * ETL's fact append relies on.
   *
   * Quantizer state loads ONCE at sink construction (it is immutable by
   * design — a retrain is a new index name), so per-batch work is one
-  * assignment/encode scan of the batch plus the keyed merge; nothing
-  * touches rows already encoded.
+  * assignment/encode scan of the batch, the id anti-join, and a
+  * partition-staged append into only the cell partitions the batch
+  * touches; bytes already encoded are never rewritten (a keyed
+  * whole-table merge would rewrite the corpus per micro-batch).
   *
   * {{{
   * val sink = IndexIngest.ivfSink(store, "prod_index")
@@ -37,8 +40,8 @@ object IndexIngest {
       vecCol: String = "embedding"): (Dataset[Row], Long) => Unit = {
     val cens = IndexStore.loadIvfCentroids(store, name)
     (batch: Dataset[Row], _: Long) =>
-      store.appendKeyed(
-        Ivf.assign(cens, batch.toDF(), idCol, vecCol), s"${name}__assigned", "id")
+      IndexStore.appendNewById(store, s"${name}__assigned",
+        Ivf.assign(cens, batch.toDF(), idCol, vecCol))
   }
 
   /** foreachBatch function encoding each micro-batch into a stored
@@ -52,7 +55,7 @@ object IndexIngest {
     val cens = IndexStore.loadIvfCentroids(store, name)
     val cb = IndexStore.loadPqCodebook(store, name)
     (batch: Dataset[Row], _: Long) =>
-      store.appendKeyed(
-        IvfPq.encode(cens, cb, batch.toDF(), idCol, vecCol), s"${name}__encoded", "id")
+      IndexStore.appendNewById(store, s"${name}__encoded",
+        IvfPq.encode(cens, cb, batch.toDF(), idCol, vecCol))
   }
 }

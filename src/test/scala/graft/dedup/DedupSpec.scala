@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     // the corpus, not all 300 members
     val doc1Pairs = pairs.filter($"id_new" === 1L).count()
     assert(doc1Pairs > 0 && doc1Pairs < 300, s"doc1 pairs: $doc1Pairs")
+
+    // a boilerplate-heavy BATCH is bounded too: the build side of the
+    // pair join thins to ~maxBucket representatives per bucket, so
+    // total pairs are ≤ members·maxBucket·bands (640k here) instead
+    // of the members²/2 ≈ 2M an uncapped all-pairs bucket would form,
+    // while every doc still probes and the non-minimum dups all drop
+    val bigBatch = (1L to 2000L).map(i => (i, s"$boiler batch$i"))
+      .toDF("doc_id", "text")
+    val batchPairs = Dedup.minhashCandidatesAgainst(
+      bigBatch, existing.limit(0), threshold = 0.6, maxBucket = 20)
+    val nPairs = batchPairs.count()
+    assert(nPairs <= 2000L * 20 * 16, s"batch fan-out not bounded: $nPairs pairs")
+    val kept = Dedup.minhashDedupIncremental(
+      bigBatch, existing.limit(0), threshold = 0.6)
+    assert(kept.count() < 10, s"boilerplate batch not deduped: ${kept.count()} kept")
   }
 
   test("componentLabels: every node labeled with its component min, roots label themselves") {

@@ -68,6 +68,14 @@ class FormatsSpec extends SparkSpec {
       "orders_atomic", "o_orderkey")
     assert(store.read("orders_atomic").count() == 1000)
     assert(!store.exists("orders_atomic__stage"))
+
+    // keyed merge honors the key (mergeByKey parity): re-sending rows
+    // with existing keys replaces them instead of duplicating
+    store.appendKeyed(base.withColumn("o_totalprice", lit(1.25)),
+      "orders_atomic", "o_orderkey")
+    assert(store.read("orders_atomic").count() == 1000)
+    assert(store.read("orders_atomic")
+      .filter(col("o_totalprice") === 1.25).count() == 500)
   }
 
   test("EmissionEtl runs end-to-end on a JDBC (Derby) warehouse with golden counts") {
