@@ -759,6 +759,37 @@ object Queries {
       .groupBy("label")
       .agg(count(lit(1)).as("members"), min("node").as("min_id"), max("node").as("max_id"))
 
+  /** Canonical-document selection (Dedup.componentRepresentatives):
+    * one surviving doc per near-dup cluster of the portable md5
+    * candidate graph, chosen by QUALITY (ties to min id) instead of
+    * min id — the curation-grade variant of component dedup. Oracle:
+    * the recursive closure's labels + a quality-ordered row_number,
+    * both formulas already pinned by q_dedup_fixpoint_md5 and
+    * q_txt_quality.
+    */
+  def qDedupRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    Dedup.componentRepresentatives(
+      docs, md5MinhashAgree(s, dir, minAgree = 10),
+      scoreExpr = TextFunctions.qualityScore(col("text")))
+      .select(col("cluster"), col("doc_id"))
+  }
+
+  /** Deterministic weighted interleave (TrainingDataPipeline
+    * .interleaveByWeight): three synthetic sources (doc_id % 3) with
+    * weights 1/2/4 — ordering by interleave_key yields the 1:2:4
+    * proportional mixing order. The key arithmetic ((pos-0.5)/w with
+    * exactly-representable weights) reproduces bit-identically in
+    * DuckDB.
+    */
+  def qInterleave(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.interleaveByWeight(
+      t(s, dir, "documents"),
+      col("doc_id") % 3,
+      Map("0" -> 1.0, "1" -> 2.0, "2" -> 4.0),
+      orderCols = Seq(col("doc_id")))
+      .select("doc_id", "grp", "pos", "interleave_key")
+
   /** Portable-hash SimHash twin (16-bit, md5-derived bit votes over
     * the token multiset) — the SimHash math (hash → ±1 votes → sign →
     * bit pack) reproduced in DuckDB SQL; the production path keeps the

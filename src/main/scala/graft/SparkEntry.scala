@@ -88,6 +88,8 @@ object SparkEntry {
     "q_dedup_fixpoint_star" -> (Queries.qDedupFixpointStar _),
     "q_dedup_clusters" -> (Queries.qDedupClusters _),
     "q_dedup_incremental_md5" -> (Queries.qDedupIncrementalMd5 _),
+    "q_dedup_representatives" -> (Queries.qDedupRepresentatives _),
+    "q_interleave" -> (Queries.qInterleave _),
     "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
@@ -767,6 +769,51 @@ object Oracles {
          lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
          SELECT doc_id FROM d
          WHERE doc_id NOT IN (SELECT node FROM lab WHERE label <> node)""",
+
+    // cluster labels from the same recursive closure as the fixpoint
+    // oracles; representative = quality-argmax per cluster (quality
+    // formula identical to q_txt_quality / q_pipeline_clean)
+    "q_dedup_representatives" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
+                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         e AS (SELECT id_a AS node, id_b AS nbr FROM pr
+               UNION ALL SELECT id_b, id_a FROM pr),
+         reach(node, r) AS (
+           SELECT node, node FROM e
+           UNION
+           SELECT e.node, reach.r FROM e JOIN reach ON e.nbr = reach.node),
+         lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         q AS (SELECT doc_id,
+             (LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0)
+              + LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                           THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+                                / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 4.0
+                           ELSE 0.0 END, 1.0)) / 2.0 AS quality
+           FROM documents WHERE doc_id < 200),
+         lbl AS (SELECT q.doc_id, coalesce(lab.label, q.doc_id) AS cluster, q.quality
+                 FROM q LEFT JOIN lab ON q.doc_id = lab.node)
+         SELECT cluster, doc_id FROM (
+           SELECT cluster, doc_id,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY quality DESC, doc_id) AS rn
+           FROM lbl) WHERE rn = 1""",
+
+    "q_interleave" ->
+      """WITH w AS (SELECT grp, CAST(wt AS DOUBLE) AS wt
+                    FROM (VALUES ('0', 1.0), ('1', 2.0), ('2', 4.0)) v(grp, wt)),
+         d AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS grp FROM documents)
+         SELECT doc_id, grp, CAST(rn AS INT) AS pos,
+                (CAST(rn AS DOUBLE) - 0.5) / wt AS interleave_key
+         FROM (SELECT d.doc_id, d.grp, w.wt,
+                 row_number() OVER (PARTITION BY d.grp ORDER BY d.doc_id) AS rn
+               FROM d JOIN w USING (grp))""",
 
     "q_dedup_simhash_md5" ->
       """WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -502,6 +502,33 @@ object Dedup {
     nonRoots.unionByName(roots)
   }
 
+  /** Canonical-document selection: one surviving row per connected
+    * component of the candidate graph, chosen by `scoreExpr` (highest
+    * wins; ties to the smallest id) instead of [[componentDedup]]'s
+    * min-id rule — "keep the BEST copy of each near-dup cluster, not
+    * the first-crawled one", the curation-quality upgrade of component
+    * dedup. Docs with no edges are their own singleton clusters and
+    * always survive. Same O(log n) large-star/small-star labeling,
+    * then one bounded per-cluster top-1 window; adds a `cluster`
+    * column (the component's min id) to the surviving rows.
+    */
+  def componentRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      scoreExpr: Column,
+      maxIters: Int = 20): DataFrame = {
+    val labels = componentLabels(pairs, maxIters)
+      .withColumnsRenamed(Map("node" -> idCol, "label" -> "__label"))
+    val labeled = docs
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__label"), col(idCol)))
+      .drop("__label")
+    graft.ops.RelationalOps
+      .topKPerGroup(labeled, Seq("cluster"), Seq(scoreExpr.desc, col(idCol).asc), 1)
+      .drop("rn")
+  }
+
   /** 64-bit SimHash over the token multiset as a LONG: bit b is the
     * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). Fused
     * native expression (graft.functions.SimHash64) — one hash per

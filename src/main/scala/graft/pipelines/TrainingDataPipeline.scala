@@ -231,6 +231,46 @@ object TrainingDataPipeline {
       .toDF()
   }
 
+  /** Deterministic weighted source interleaving — the training-ORDER
+    * side of data mixing ([[tokenBudgetByGroup]] decides WHAT to
+    * include; this decides WHEN it appears): row p (1-based, ordered
+    * by `orderCols` within its group) of a weight-w source gets
+    * `interleave_key = (p - 0.5) / w`, so ordering by the key yields
+    * the proportional interleave — any prefix of the stream holds the
+    * sources in ≈ weight ratio (a weight-2 source appears twice as
+    * often as a weight-1 source from the very start, rather than
+    * block-concatenated). Groups not listed in `weights` are dropped.
+    *
+    * Scale shape: one shuffle on the group key (each group ranks
+    * locally — the same exchange any per-group op pays), then a pure
+    * projection; the GLOBAL order is never materialized here —
+    * consumers sort or range-partition by `interleave_key` when
+    * writing the final stream, which is Spark's distributed sample-
+    * based range sort, not a single-task window. Deterministic:
+    * `orderCols` must be a row key within each group.
+    */
+  def interleaveByWeight(
+      docs: DataFrame,
+      groupExpr: org.apache.spark.sql.Column,
+      weights: Map[String, Double],
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"bad interleave weights: $weights")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("grp", "__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(orderCols: _*)
+    docs
+      .withColumn("grp", groupExpr.cast("string"))
+      .join(wdf, Seq("grp"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("interleave_key",
+        (col("pos").cast("double") - lit(0.5)) / col("__w"))
+      .drop("__w")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * `n`-token shingle with the evaluation set — the standard guard
     * against test-set leakage into training data. Scale shape: the

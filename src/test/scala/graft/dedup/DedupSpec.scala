@@ -139,6 +139,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() < 10, s"boilerplate batch not deduped: ${kept.count()} kept")
   }
 
+  test("componentRepresentatives keeps the best-scored doc per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5),  // cluster {1,2,3} -> 2 wins
+      (4L, "d", 0.4), (5L, "e", 0.4),                  // cluster {4,5} -> tie, min id 4
+      (9L, "z", 0.1)                                   // singleton -> survives
+    ).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val reps = Dedup.componentRepresentatives(docs, pairs, scoreExpr = col("q"))
+      .select("cluster", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 2L, 4L -> 4L, 9L -> 9L), reps.toString)
+  }
+
   test("componentLabels: every node labeled with its component min, roots label themselves") {
     val pairs = Seq((2L, 5L), (5L, 7L), (10L, 11L), (11L, 12L), (16L, 19L))
       .toDF("id_a", "id_b")

@@ -11,6 +11,30 @@ class TrainingDataPipelineSpec extends SparkSpec {
       TextFunctions.tokenCount(col("text")).cast("long").as("tokens"),
       floor(TextFunctions.qualityScore(col("text")) * 1000).cast("int").as("lvl"))
 
+  test("interleaveByWeight: prefixes hold sources in weight ratio, layout-independent") {
+    import spark.implicits._
+    val docs = (0L until 700L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val weights = Map("0" -> 1.0, "1" -> 2.0, "2" -> 4.0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainingDataPipeline.interleaveByWeight(
+        df, col("doc_id") % 3, weights, Seq(col("doc_id")))
+        .select("doc_id", "grp", "interleave_key").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rows = run(docs)
+    assert(rows.length > 600) // every doc of a listed group labeled
+    // the first 70 positions of the interleaved order hold ~1:2:4
+    val prefix = rows.sortBy(_._3).take(70).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(prefix("0") >= 7 && prefix("0") <= 13, prefix.toString)
+    assert(prefix("1") >= 16 && prefix("1") <= 24, prefix.toString)
+    assert(prefix("2") >= 35 && prefix("2") <= 45, prefix.toString)
+    // deterministic under physical layout changes
+    assert(run(docs.repartition(13)).sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // unlisted groups are dropped
+    val partial = TrainingDataPipeline.interleaveByWeight(
+      docs, col("doc_id") % 3, Map("0" -> 1.0), Seq(col("doc_id")))
+    assert(partial.select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("0"))
+  }
+
   test("tokenBudgetSelect matches the greedy (level desc, doc_id asc) reference") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     val budget = 20000L
