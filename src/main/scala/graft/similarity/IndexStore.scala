@@ -166,6 +166,25 @@ object IndexStore {
     loadIvfPq(store, name)
   }
 
+  /** Compact the fragmented cell partitions of index `name`'s
+    * corpus-sized tables: every batch/micro-batch append leaves one
+    * file set per touched cell, so a long-running ingest grows to one
+    * file per batch per cell — at scale, unbounded open/seek cost and
+    * starved vectorized reads on the query path. Rewrites whichever of
+    * `__assigned`/`__encoded` the index has (contents preserved as a
+    * multiset — only file boundaries change), returning partitions
+    * rewritten. Run OUTSIDE the ingest window, like the fact table's
+    * compaction.
+    */
+  def compactIndexTables(
+      store: TableStore,
+      name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    Seq(s"${name}__assigned", s"${name}__encoded")
+      .filter(store.exists)
+      .map(t => store.compact(t, "cell", targetFileBytes))
+      .sum
+
   /** Snapshot the per-cell quantization-error baseline of index `name`
     * over `vectors` (normally the training corpus, at save time) into
     * `<name>__cellstats` — the reference [[driftReport]] diffs against.

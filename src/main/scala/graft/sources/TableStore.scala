@@ -35,6 +35,17 @@ trait TableStore {
     * an ordinary indexed column.
     */
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit
+
+  /** Rewrite fragmented partitions of a partitioned table toward
+    * `targetFileBytes` files, returning the number of partitions
+    * rewritten. File-layout maintenance for backends that HAVE a file
+    * layout ([[ParquetStore.compactPartitions]]); relational backends
+    * manage physical storage server-side and no-op.
+    */
+  def compact(
+      name: String,
+      partitionCol: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = 0
 }
 
 /** Parquet-directory warehouse: one directory per table under `dir`.
@@ -58,6 +69,12 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path(name))
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
     ParquetUpsert.mergeByKey(spark, path(name), df, Seq(key))
+
+  override def compact(
+      name: String,
+      partitionCol: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactPartitions(name, partitionCol, targetFileBytes)
 
   /** Fact append via a partition-level stage: the batch writes
     * (partitioned) to a `__fact_stage` dir first, then its data files

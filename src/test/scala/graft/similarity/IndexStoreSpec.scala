@@ -103,6 +103,37 @@ class IndexStoreSpec extends SparkSpec {
       .filter(col("qerr") < -1e-6).isEmpty)
   }
 
+  test("compactIndexTables collapses per-batch files per cell, contents identical") {
+    val wh = Files.createTempDirectory("graft_idx_compact").toString
+    val store = new ParquetStore(spark, wh)
+    IndexStore.saveIvf(store, "ci",
+      Ivf.build(emb.filter(col("vec_id") < 200), nLists = 4))
+    // three batch appends -> several file sets per touched cell
+    (0 until 3).foreach { b =>
+      IndexStore.appendIvfBatch(store, "ci",
+        emb.filter(col("vec_id") >= 200 + b * 100 && col("vec_id") < 300 + b * 100))
+    }
+    def cellFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$wh/ci__assigned")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.list().count(f =>
+          !f.startsWith("_") && !f.startsWith("."))).toMap
+    }
+    assert(cellFiles().values.max >= 2, cellFiles().toString)
+    def snapshot() = store.read("ci__assigned")
+      .select(col("id"), col("cell").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = snapshot()
+    val n = IndexStore.compactIndexTables(store, "ci", targetFileBytes = 1L << 30)
+    assert(n > 0, "nothing compacted")
+    assert(cellFiles().values.max == 1, cellFiles().toString)
+    assert(snapshot() == before)
+    // queries off the compacted index still work
+    val loaded = IndexStore.loadIvf(store, "ci")
+    assert(Ivf.topK(loaded, emb.filter(col("vec_id") < 5), k = 5, nProbe = 4)
+      .count() == 25)
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
