@@ -1087,6 +1087,21 @@ object Queries {
     Ivf.topK(loaded, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16)
   }
 
+  /** Hot-cell split (IndexStore.splitIvfCell) queried at FULL probe:
+    * build, split cell 0 into 3, query every cell — must still equal
+    * exact brute force (ANY partition of the corpus into cells is
+    * exact at full probe), so the whole rebalance path — sub-training,
+    * row movement through the partition-surgery rewrite, centroid
+    * append, reload — is hash-gated against the brute-force oracle.
+    */
+  def qAnnIvfSplit(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/ivf_split")
+    IndexStore.saveIvf(store, "ivfs", Ivf.build(emb, nLists = 8))
+    val grown = IndexStore.splitIvfCell(store, "ivfs", cell = 0, nSub = 3)
+    Ivf.topK(grown, emb.filter(col("vec_id") < 20), k = 5, nProbe = 10)
+  }
+
   /** Quantizer drift report (IndexStore.driftReport): per-cell
     * quantization error of a held-out batch (vec_id >= 400) under
     * quantizers trained and baselined on the initial corpus — the

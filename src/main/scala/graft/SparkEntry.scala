@@ -112,6 +112,7 @@ object SparkEntry {
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
     "q_ann_ivf_saved" -> (Queries.qAnnIvfSaved _),
+    "q_ann_ivf_split" -> (Queries.qAnnIvfSplit _),
     "q_ann_ivf_recall" -> (Queries.qAnnIvfRecall _),
     "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
     "q_ann_pq" -> (Queries.qAnnPq _),
@@ -1016,6 +1017,24 @@ object Oracles {
     // the save/load lifecycle must reproduce exact brute force at
     // full probe — same oracle as q_ann_ivf_full
     "q_ann_ivf_saved" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+
+    // the hot-cell split must also reproduce exact brute force at full
+    // probe — any partition of the corpus into cells is exact there
+    "q_ann_ivf_split" ->
       """WITH pairs AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(q.embedding, c.embedding),

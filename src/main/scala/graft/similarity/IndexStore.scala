@@ -166,6 +166,54 @@ object IndexStore {
     loadIvfPq(store, name)
   }
 
+  /** Split ONE oversized IVF cell into `nSub` cells — the targeted
+    * rebalance between "ingest forever" and "retrain everything": the
+    * drift monitor (or cell-size stats) names a hot cell, and only
+    * THAT cell's vectors re-assign; every other cell's bytes are
+    * untouched, and the corpus never re-encodes. Sub-centroids train
+    * on the cell's own vectors (hash-ordered sample, the deterministic
+    * local Lloyd's); sub 0 keeps the original cell id, the rest append
+    * as new ids, and the cell's rows move via the store's
+    * partition-surgery rewrite.
+    *
+    * Crash ordering: centroids publish FIRST. Between the centroid
+    * write and the row rewrite, queries stay CORRECT (full probe still
+    * scans every row; partial probe ranks against the refined
+    * centroids while the rows sit in the old cell — recall dips until
+    * the rewrite lands) and re-running the split completes it: the
+    * cell's rows are still in place, the deterministic trainer
+    * reproduces the same sub-centroids, and the rewrite publishes.
+    * IVF only — an IVF-PQ cell split would also need residual
+    * re-encoding against the new centroid, which requires the full
+    * vectors the encoded table deliberately does not keep.
+    */
+  def splitIvfCell(
+      store: TableStore,
+      name: String,
+      cell: Int,
+      nSub: Int,
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10): Ivf.Index = {
+    require(nSub >= 2, s"splitting into $nSub cells is not a split")
+    val cens = loadIvfCentroids(store, name)
+    require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
+    val table = s"${name}__assigned"
+    val cellRows = store.read(table)
+      .filter(col("cell") === cell).select("id", "vec")
+    val sample = Ivf.hashOrderedSample(cellRows, maxTrain, "id", "vec")
+    require(sample.nonEmpty, s"cell $cell of $name holds no vectors")
+    val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
+    val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
+    val spark = cellRows.sparkSession
+    store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
+    val moved = Ivf.assign(subs, cellRows, idCol = "id", vecCol = "vec")
+      .select(col("id"), col("vec"),
+        when(col("cell") === 0, lit(cell))
+          .otherwise(col("cell") + lit(cens.length - 1)).as("cell"))
+    store.rewritePartitioned(moved, table, "cell", Seq(cell.toString))
+    loadIvf(store, name)
+  }
+
   /** Compact the fragmented cell partitions of index `name`'s
     * corpus-sized tables: every batch/micro-batch append leaves one
     * file set per touched cell, so a long-running ingest grows to one

@@ -46,6 +46,20 @@ trait TableStore {
       name: String,
       partitionCol: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = 0
+
+  /** Partition surgery: replace the rows of the partitions holding
+    * `sourceValues` with `df`'s rows — which may land back in those
+    * partitions AND in partitions that do not exist yet (splitting one
+    * hot partition into several); every other partition is untouched.
+    * Aborts without touching the table if `df` would clobber a live
+    * partition not listed in `sourceValues`. Run OUTSIDE the
+    * append/query window, like compaction.
+    */
+  def rewritePartitioned(
+      df: DataFrame,
+      name: String,
+      partitionCol: String,
+      sourceValues: Seq[String]): Unit
 }
 
 /** Parquet-directory warehouse: one directory per table under `dir`.
@@ -110,6 +124,91 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
       }
     }
     fs.delete(stage, true)
+  }
+
+  /** [[TableStore.rewritePartitioned]] on partition dirs. Protocol:
+    *   1. stage `df` (partitionBy) under `<table>__rewrite_stage`,
+    *      plus a manifest file naming the source partition dirs;
+    *   2. validate BEFORE any destructive step: every staged dir is
+    *      either a source dir or does not exist live (else abort with
+    *      the table untouched — `df` would clobber rows it never read);
+    *   3. publish: per staged dir, delete the live dir and rename the
+    *      staged one in; per manifest source with NO staged dir,
+    *      delete the live dir (all its rows moved elsewhere); drop the
+    *      stage last.
+    * The staged tree holds the COMPLETE new contents of every affected
+    * partition, so a crash mid-publish is finished by the recovery
+    * sweep on the next rewrite call: a stage with Spark's _SUCCESS
+    * marker and a manifest resumes its publish (deletes and renames
+    * are idempotent); anything less is a crashed stage write and is
+    * discarded.
+    */
+  def rewritePartitioned(
+      df: DataFrame,
+      name: String,
+      partitionCol: String,
+      sourceValues: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    recoverRewrite(name, partitionCol)
+    val target = new Path(path(name))
+    val stageRoot = new Path(path(name) + "__rewrite_stage")
+    fs.delete(stageRoot, true)
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(stageRoot.toString)
+    val srcDirs = sourceValues
+      .map(v => partitionCol + "=" + ExternalCatalogUtils.escapePathName(v))
+    val out = fs.create(new Path(stageRoot, RewriteManifest), true)
+    try out.write(srcDirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val stagedDirs = fs.listStatus(stageRoot)
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName).toSet
+    val clobbered = (stagedDirs -- srcDirs)
+      .filter(d => fs.exists(new Path(target, d)))
+    if (clobbered.nonEmpty) {
+      fs.delete(stageRoot, true)
+      throw new IllegalStateException(
+        s"rewrite would clobber live partitions not listed as sources: " +
+          s"${clobbered.take(5).mkString(", ")} — table untouched")
+    }
+    publishRewrite(target, stageRoot, partitionCol)
+  }
+
+  private val RewriteManifest = "_GRAFT_REWRITE_SOURCES"
+
+  private def publishRewrite(target: Path, stageRoot: Path, partitionCol: String): Unit = {
+    val manifest = {
+      val in = fs.open(new Path(stageRoot, RewriteManifest))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+    fs.mkdirs(target)
+    val staged = fs.listStatus(stageRoot)
+      .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
+    staged.foreach { part =>
+      val live = new Path(target, part.getPath.getName)
+      fs.delete(live, true)
+      if (!fs.rename(part.getPath, live))
+        throw new java.io.IOException(s"cannot publish ${part.getPath} -> $live")
+    }
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    manifest.filterNot(stagedNames).foreach { d =>
+      fs.delete(new Path(target, d), true)
+    }
+    fs.delete(stageRoot, true)
+  }
+
+  /** Finish (or discard) a crashed [[rewritePartitioned]]: a staged
+    * tree with both Spark's _SUCCESS marker and the manifest is
+    * complete and its publish resumes; anything else died mid-write
+    * and is dropped.
+    */
+  private def recoverRewrite(name: String, partitionCol: String): Unit = {
+    val stageRoot = new Path(path(name) + "__rewrite_stage")
+    if (fs.exists(stageRoot)) {
+      if (fs.exists(new Path(stageRoot, "_SUCCESS")) &&
+          fs.exists(new Path(stageRoot, RewriteManifest)))
+        publishRewrite(new Path(path(name)), stageRoot, partitionCol)
+      else fs.delete(stageRoot, true)
+    }
   }
 
   /** Compact a fact table's per-batch small files: each
@@ -326,6 +425,40 @@ final class JdbcStore(
     stagedAppend(df, name, Some(key))
   def appendPartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
     stagedAppend(df, name, None)
+
+  /** Partition surgery, relationally: stage the replacement rows, then
+    * in ONE transaction DELETE the source partitions' rows and INSERT
+    * the stage — all-or-nothing, no clobber risk (row deletion is
+    * value-scoped, not directory-scoped). Values compare as strings
+    * (CAST) so the call is type-agnostic like the dir-name form.
+    */
+  def rewritePartitioned(
+      df: DataFrame,
+      name: String,
+      partitionCol: String,
+      sourceValues: Seq[String]): Unit = {
+    val stage = name + "__stage"
+    df.write.mode("overwrite").jdbc(url, stage, props)
+    val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
+    val in = sourceValues.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"""DELETE FROM $name WHERE CAST("$partitionCol" AS VARCHAR(128)) IN ($in)""")
+        st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => }
+          throw e
+      }
+      conn.setAutoCommit(true)
+      st.execute(s"DROP TABLE $stage")
+    } finally conn.close()
+  }
 
   /** All-or-nothing append via a staging table. Steps:
     *  1. Spark-write the batch to `<name>__stage` (mode overwrite, so a

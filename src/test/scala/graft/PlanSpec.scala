@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("q_interleave: per-group window only, no single-partition exchange") {
+    val p = plan("q_interleave")
+    assert(p.contains("hashpartitioning(grp"), p) // window partitioned by source
+    assert(!p.contains("SinglePartition"), p)     // never a global window
+  }
+
   test("q_txt_chunks / q_txt_repetition / q_txt_redact stay shuffle-free scans") {
     Seq("q_txt_chunks", "q_txt_repetition", "q_txt_redact").foreach { q =>
       val p = plan(q)

@@ -134,6 +134,41 @@ class IndexStoreSpec extends SparkSpec {
       .count() == 25)
   }
 
+  test("splitIvfCell: only the hot cell's rows move, full probe stays exact") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "split", Ivf.build(emb, nLists = 4))
+    val before = IndexStore.loadIvf(store, "split")
+    val hot = before.assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    val others = before.assigned.filter(col("cell") =!= hot)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val hotIds = before.assigned.filter(col("cell") === hot)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    val grown = IndexStore.splitIvfCell(store, "split", hot, nSub = 3)
+    assert(grown.centroids.length == 6) // 4 - 1 + 3
+    val after = grown.assigned.collect().map(r => (r.getLong(0), r.getInt(2)))
+    // untouched cells identical; hot rows land only in {hot, 4, 5}
+    assert(after.filterNot(r => r._2 == hot || r._2 >= 4).toSet == others)
+    val movedIds = after.filter(r => r._2 == hot || r._2 >= 4).map(_._1).toSet
+    assert(movedIds == hotIds)
+    assert(after.length == emb.count())
+    // the oracle invariant: ANY partition of the corpus into cells is
+    // exact at full probe
+    val q = emb.filter(col("vec_id") < 10)
+    val split = Ivf.topK(grown, q, k = 5, nProbe = 6).collect().toSet
+    val brute = graft.similarity.Ann.bruteForceTopK(q, emb, k = 5).collect().toSet
+    assert(split == brute)
+    // a clobber attempt (rows targeting a live unlisted partition) aborts
+    // with the table untouched
+    val bogus = grown.assigned.filter(col("cell") === hot)
+      .withColumn("cell", lit(if (hot == 0) 1 else 0))
+    intercept[IllegalStateException] {
+      store.rewritePartitioned(bogus, "split__assigned", "cell", Seq(hot.toString))
+    }
+    assert(store.read("split__assigned").count() == emb.count())
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
