@@ -214,6 +214,63 @@ object IndexStore {
     loadIvf(store, name)
   }
 
+  /** [[splitIvfCell]] for an IVF-PQ index. The encoded table
+    * deliberately keeps no full vectors, so the caller supplies the
+    * source corpus (`vectors` — the table the index was encoded from);
+    * only the split cell's vectors are read (id semi-join → the
+    * corpus scan prunes to the cell's ids), sub-centroids train on
+    * them, and the cell's rows re-encode their residuals against
+    * their new sub-centroid with the EXISTING codebooks — codebooks
+    * are shared across cells in residual IVF-PQ (the standard FAISS
+    * arrangement), so a coarse-cell refinement does not retrain them.
+    * Every vector of the split cell must be present in `vectors`
+    * (checked — a missing vector would silently vanish from the
+    * index). Same crash ordering and re-runnability as
+    * [[splitIvfCell]].
+    */
+  def splitIvfPqCell(
+      store: TableStore,
+      name: String,
+      cell: Int,
+      nSub: Int,
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10): IvfPq.Index = {
+    require(nSub >= 2, s"splitting into $nSub cells is not a split")
+    val cens = loadIvfCentroids(store, name)
+    require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
+    val cb = loadCodebooks(store, s"${name}__codebooks")
+    val table = s"${name}__encoded"
+    val cellIds = store.read(table).filter(col("cell") === cell).select("id")
+    val nCell = cellIds.count()
+    require(nCell > 0, s"cell $cell of $name holds no vectors")
+    val cellVecs = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(cellIds, Seq("id"))
+    require(cellVecs.count() == nCell,
+      s"cell $cell holds $nCell ids but `vectors` covers only some of them — " +
+        "rows missing a vector would vanish from the index")
+    val sample = Ivf.hashOrderedSample(cellVecs, maxTrain, "id", "vec")
+    val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
+    val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
+    val spark = vectors.sparkSession
+    store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
+    // residual + codes against the assigned SUB centroid (the same
+    // expression chain IvfPq.encode runs), then the sub index maps to
+    // its global cell id
+    val moved = Ivf.assign(subs, cellVecs, idCol = "id", vecCol = "vec")
+      .select(col("id"),
+        when(col("cell") === 0, lit(cell))
+          .otherwise(col("cell") + lit(cens.length - 1)).as("cell"),
+        graft.functions.PqFunctions.pqEncode(
+          graft.functions.CentroidFunctions.centroidResidual(col("vec"), col("cell"), subs),
+          cb.codebooks).as("codes"))
+    store.rewritePartitioned(moved, table, "cell", Seq(cell.toString))
+    loadIvfPq(store, name)
+  }
+
   /** Compact the fragmented cell partitions of index `name`'s
     * corpus-sized tables: every batch/micro-batch append leaves one
     * file set per touched cell, so a long-running ingest grows to one

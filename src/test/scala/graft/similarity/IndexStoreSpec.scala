@@ -169,6 +169,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(store.read("split__assigned").count() == emb.count())
   }
 
+  test("splitIvfPqCell: untouched cells keep their codes, recall preserved") {
+    val store = newStore()
+    IndexStore.saveIvfPq(store, "psplit", IvfPq.build(emb, nLists = 4, m = 16, k = 16))
+    val before = IndexStore.loadIvfPq(store, "psplit")
+    val hot = before.encoded.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    def rows(ix: IvfPq.Index) = ix.encoded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    val others = rows(before).filterNot(_._2 == hot).toSet
+    val hotIds = rows(before).filter(_._2 == hot).map(_._1).toSet
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = graft.similarity.Ann.bruteForceTopK(q, emb, k = 5)
+    def recall(ix: IvfPq.Index, nProbe: Int) = graft.similarity.Ann
+      .recallAgainst(IvfPq.topK(ix, emb, q, kNeighbors = 5, nProbe = nProbe), brute)
+      .select("recall_at_k").head().getDouble(0)
+    val recallBefore = recall(before, 4)
+
+    val grown = IndexStore.splitIvfPqCell(store, "psplit", hot, nSub = 3, emb)
+    assert(grown.centroids.length == 6)
+    val after = rows(grown)
+    // untouched cells byte-identical (codes included); split rows conserved
+    assert(after.filterNot(r => r._2 == hot || r._2 >= 4).toSet == others)
+    assert(after.filter(r => r._2 == hot || r._2 >= 4).map(_._1).toSet == hotIds)
+    assert(after.length == emb.count())
+    // full probe after the split must not lose recall
+    assert(recall(grown, 6) >= recallBefore - 0.05,
+      s"split degraded recall: ${recall(grown, 6)} vs $recallBefore")
+    // a corpus frame missing the cell's vectors aborts before any write
+    intercept[IllegalArgumentException] {
+      IndexStore.splitIvfPqCell(store, "psplit", hot, 2,
+        emb.filter(col("vec_id") < 3))
+    }
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
