@@ -65,13 +65,42 @@ object IndexStore {
   // ------------------------------------------------------------- IVF
 
   /** Append `batch` rows whose ids the table does not already hold —
-    * the shared ingest kernel: the anti-join reads the table's id
-    * column only (column pruning reaches the scan), and the append
-    * stages into just the cell partitions the batch touches.
+    * the shared ingest kernel. The anti-join's corpus side prunes to
+    * the batch's own cell partitions before reading ids: id→cell is
+    * deterministic under the frozen quantizer, so **as long as ids are
+    * content-stable** (an id never changes its vector between sends —
+    * the contract every idempotent-replay sink already assumes), any
+    * previously-ingested copy of a batch id can only sit in one of the
+    * batch's own cells. The read side is therefore O(touched cells),
+    * not O(corpus): the 100 TB table contributes only the id columns
+    * of the partitions the batch lands in, the same partition pruning
+    * the query path gets. Falls back to the full (column-pruned) id
+    * scan when either side lacks a `cell` column.
     */
   private[graft] def appendNewById(store: TableStore, table: String, batch: DataFrame): Unit = {
-    val fresh = batch.join(store.read(table).select("id"), Seq("id"), "left_anti")
-    store.appendPartitioned(fresh, table, "cell")
+    // persist so the assignment/encode projection is not recomputed by
+    // the touched-cells pass AND the anti-join (micro-batch-sized)
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try store.appendPartitioned(newById(store, table, batch), table, "cell")
+    finally batch.unpersist()
+  }
+
+  /** The anti-joined frame behind [[appendNewById]], exposed so specs
+    * can assert the corpus scan's partition pruning.
+    */
+  private[graft] def newById(store: TableStore, table: String, batch: DataFrame): DataFrame = {
+    val existing = store.read(table)
+    val seen =
+      if (batch.columns.contains("cell") && existing.columns.contains("cell")) {
+        val cells = batch.select("cell").distinct().collect()
+          .map(r => String.valueOf(r.get(0)))
+        // string-compared like rewritePartitioned's values, so the
+        // filter is type-agnostic across partition-discovery inference
+        // settings; a cast of the partition attribute is still a
+        // partition filter, so pruning reaches the scan
+        existing.filter(col("cell").cast("string").isin(cells.toSeq: _*)).select("id")
+      } else existing.select("id")
+    batch.join(seen, Seq("id"), "left_anti")
   }
 
   /** Persist an IVF index: `<name>__centroids` (tiny) and, the

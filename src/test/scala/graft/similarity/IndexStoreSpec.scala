@@ -203,6 +203,24 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ingest anti-join prunes the corpus id scan to the batch's cells") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "prune", Ivf.build(emb, nLists = 8))
+    val cens = IndexStore.loadIvfCentroids(store, "prune")
+    // a one-vector batch touches exactly one cell; the anti-join's
+    // corpus side must scan only that cell's partition
+    val batch = Ivf.assign(cens, emb.filter(col("vec_id") === 0))
+    val fresh = IndexStore.newById(store, "prune__assigned", batch)
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    // the whole batch is already present -> nothing fresh, even though
+    // the corpus side read one partition
+    assert(fresh.isEmpty)
+    // and a genuinely new id in the same cell still comes through
+    val newRow = batch.withColumn("id", col("id") + lit(100000L))
+    assert(IndexStore.newById(store, "prune__assigned", newRow).count() == 1)
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
