@@ -166,12 +166,15 @@ object Ann {
         col("neighbor_id"),
         cosinePreNormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
           .as("cos"))
+    // same map-side k-heap reduction as the brute/PQ paths — one
+    // reduction idiom across all four ANN families; identical rows by
+    // the TopKNeighbors (cos desc, id asc) determinism contract
     RelationalOps
-      .topKPerGroup(
-        cand,
-        Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id").asc),
-        k)
+      .topKPerGroupPartial(
+        cand, Seq("query_id"),
+        score = col("cos"), id = col("neighbor_id"),
+        k = k, scoreAscending = false,
+        idName = "neighbor_id", scoreName = "cos")
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 

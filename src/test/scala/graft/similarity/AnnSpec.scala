@@ -48,15 +48,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("lshTopK hot-bucket cap is a count-prepass anti-join, not a Window") {
+  test("lshTopK plan carries no Window at all") {
     // VERDICT r3 item 1: a Window.partitionBy(bucket) count materializes
-    // the degenerate bucket in one task before dropping it. The only
-    // Window in the plan must be the final top-k row_number.
+    // the degenerate bucket in one task before dropping it (count-prepass
+    // anti-join instead); VERDICT r5 item 2: the final top-k reduction is
+    // the map-side partial heap aggregate, not a row_number Window — so
+    // the whole plan is Window-free.
     val emb = graft.Tables.embeddings(spark, sf("embeddings"))
     val windows = Ann.lshTopK(emb, k = 5).queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.size == 1, s"expected exactly the top-k Window, got ${windows.size}")
+    assert(windows.isEmpty, s"expected a Window-free plan, got ${windows.size}")
   }
 
   test("lshTopK recall vs brute force is reasonable") {
