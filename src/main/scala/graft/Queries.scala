@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -642,6 +642,23 @@ object Queries {
     md5MinhashAgreeOver(
       t(s, dir, "documents").filter(col("doc_id") < 200), minAgree)
 
+  /** Per-seed minhash minima from ONE md5 digest per gram: the digest
+    * splits into two 32-bit halves (h1, h2) and seed i's hash is the
+    * Carter-Wegman combine h1 + i·h2 — a pairwise-independent family,
+    * the textbook minhash seeding — instead of 16 separate seeded
+    * digests (~8× cheaper; the funnel twin spent most of its time in
+    * md5). Values stay ≤ 2^36 so 64-bit signed arithmetic is exact and
+    * overflow-free in BOTH engines (DuckDB BIGINT traps on overflow —
+    * wrap semantics would not be portable). The DuckDB twin computes
+    * the identical expression via CAST('0x'||substr(md5(gram),..) AS
+    * BIGINT), so the oracle still matches hash-for-hash.
+    */
+  private def cwSeedMins: Seq[Column] = {
+    val h1 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long")
+    (0 until 16).map(i => min(h1 + lit(i.toLong) * h2).as(s"mh_$i"))
+  }
+
   /** [[md5MinhashAgree]] over an arbitrary documents frame. */
   private def md5MinhashAgreeOver(docs: DataFrame, minAgree: Int): DataFrame = {
     val grams = docs
@@ -649,10 +666,8 @@ object Queries {
         explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
     // all 16 per-seed minima in ONE wide aggregation over the gram rows
     // (map-side partial min per seed) instead of exploding a 16× row
-    // copy per gram — same seeded md5 values, so the DuckDB oracle is
-    // unchanged; the tiny (id × 16) unpivot happens after the agg.
-    val seedMins = (0 until 16).map(i =>
-      min(md5(concat(lit(s"$i#"), col("gram")))).as(s"mh_$i"))
+    // copy per gram; the tiny (id × 16) unpivot happens after the agg.
+    val seedMins = cwSeedMins
     val sig = grams.groupBy("id").agg(seedMins.head, seedMins.tail: _*)
       .select(col("id"), explode(array((0 until 16).map(i =>
         struct(lit(i).as("s"), col(s"mh_$i").as("mh"))): _*)).as("r"))
@@ -996,8 +1011,7 @@ object Queries {
     val grams = docs
       .select(col("doc_id").as("id"),
         explode(array_distinct(TextFunctions.charShingles(col("text"), 4))).as("gram"))
-    val seedMins = (0 until 16).map(i =>
-      min(md5(concat(lit(s"$i#"), col("gram")))).as(s"mh_$i"))
+    val seedMins = cwSeedMins
     val sigWide = grams.groupBy("id").agg(seedMins.head, seedMins.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipelines.TrainingDataPipeline.registerCache(sigWide)

@@ -681,8 +681,11 @@ object Oracles {
                     FROM documents WHERE doc_id < 200),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s)
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_agree
          FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 4""",
@@ -692,8 +695,11 @@ object Oracles {
                     FROM documents WHERE doc_id < 200),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
@@ -718,8 +724,11 @@ object Oracles {
                 WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM s0, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
@@ -734,8 +743,11 @@ object Oracles {
                     FROM documents WHERE doc_id < 200),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
@@ -756,8 +768,11 @@ object Oracles {
                     FROM documents WHERE doc_id < 200),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
@@ -779,8 +794,11 @@ object Oracles {
                     FROM documents WHERE doc_id < 200),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM d, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
@@ -977,8 +995,11 @@ object Oracles {
                   FROM ex WHERE rn = 1),
          g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
                FROM surv, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || gram)) AS mh
-                 FROM g, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
          bands AS (SELECT doc_id, CAST(s // 4 AS INT) AS b,
                      string_agg(mh, '|' ORDER BY s) AS bk
                    FROM sig GROUP BY doc_id, s // 4),
