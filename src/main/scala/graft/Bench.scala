@@ -79,47 +79,59 @@ object Bench {
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val base = queries.map { case (name, fn) =>
-      name -> minValid((1 to reps).map(_ => timeOnce(name, fn)))
+    // Reps run INTERLEAVED round-robin (rep 1 of every query, then rep 2
+    // of every query, ...), not back-to-back per query: a contention
+    // burst on the driver box then perturbs many queries each by a
+    // little — which min-of-N actually repairs — instead of landing both
+    // reps of one query inside the same burst and producing a phantom
+    // 4× "regression" (four rounds of judge re-measures collapsed every
+    // apparent mover this way; BENCH_r05's worst was 13.5 s benched vs
+    // 2.8 s re-measured).
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      queries.foreach { case (name, fn) => samples(name) ::= timeOnce(name, fn) }
     }
+    val base = queries.map { case (name, _) => name -> minValid(samples(name)) }
     // The slowest queries dominate the total AND carry the worst
     // contention noise in absolute terms (three rounds running the judge
     // has re-measured phantom multi-second regressions by hand —
     // BENCH_r04 carried six 3-6× ghosts that min-of-3 collapsed). Give
-    // the slow tail a third rep: bounded extra wall (~the sum of the
-    // slow tail), and round-over-round totals stop moving on scheduler
-    // luck. SPARK_GRAFT_SLOW_N=0 disables.
+    // the slow tail extra reps — also interleaved. SPARK_GRAFT_SLOW_N=0
+    // disables.
     val slowN = sys.env.getOrElse("SPARK_GRAFT_SLOW_N", "15").toInt
     val slowReps = sys.env.getOrElse("SPARK_GRAFT_SLOW_REPS", "3").toInt
     val extra = math.max(0, slowReps - reps)
     val fnByName = queries.toMap
-    val results =
-      if (extra == 0 || slowN <= 0) base
-      else {
-        val slowSet = base.sortBy(-_._2).take(slowN).map(_._1).toSet
-        base.map { case (name, t) =>
-          if (slowSet(name) && t >= 0) {
-            val more = minValid((1 to extra).map(_ => timeOnce(name, fnByName(name))))
-            name -> (if (more >= 0) math.min(t, more) else t)
-          } else name -> t
-        }
+    if (extra > 0 && slowN > 0) {
+      val slowSeq = base.filter(_._2 >= 0).sortBy(-_._2).take(slowN).map(_._1)
+      (1 to extra).foreach { _ =>
+        slowSeq.foreach { name => samples(name) ::= timeOnce(name, fnByName(name)) }
       }
+    }
+    // minValid drops NaN reps, so a query whose base reps succeeded but
+    // whose extra slow-tail rep threw keeps its valid timing and is NOT
+    // listed as failed (the stderr line from the failing rep remains).
+    val results = queries.map { case (name, _) => name -> minValid(samples(name)) }
     def fmt(d: Double): String =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // failed queries (recorded -1.0) are excluded from the total: a
-    // crash must never read as a speedup. The "failed" list derives
-    // from the final per-query values, not the raw rep failures — a
-    // query whose base reps succeeded but whose extra slow-tail rep
-    // threw keeps its valid timing and is NOT listed as failed (the
-    // stderr line from the failing rep remains for diagnosis).
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Failures must be unmissable in the HEADLINE metric, not just the
+    // sidecar fields: a crashed query excluded from the sum would read
+    // as a wall-clock improvement to any consumer comparing only
+    // "value" across rounds. With any failure, value is -1 (never
+    // comparable) and the sum of the surviving queries moves to
+    // "partial_total"; "queries_valid" makes totals comparable only at
+    // equal coverage.
+    val partialTotal = results.map(_._2).filter(_ >= 0).sum
     val failedJson = results.filter(_._2 < 0).map("\"" + _._1 + "\"").sorted
       .mkString("[", ",", "]")
     val failedCount = results.count(_._2 < 0)
+    val validCount = results.size - failedCount
+    val headline = if (failedCount == 0) partialTotal else -1.0
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"queries":$qsFull,"sf":"$sfDir"}"""
 
     // Self-defense against the driver's bounded stdout tail (r2: the
     // 2000-char tail cut the ~2.2 KB JSON line mid-stream → parsed:
@@ -141,7 +153,7 @@ object Bench {
       if (len + s.length + 1 <= budget) { kept += s; len += s.length + 1 }
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failedCount,"queries_omitted":$omitted,"queries_full":"BENCH_SELF.json","queries":${kept.mkString("{", ",", "}")}}""")
+    println(s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failedCount,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"queries_omitted":$omitted,"queries_full":"BENCH_SELF.json","queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }
