@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by batch-shaped partition
   * functions.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — the asset schema, the per-partition
-  * batched iteration (the Scala analog of `mapInPandas` batches), the
-  * partitioning for parallel decode, the feature schema — is real and
-  * tested, so swapping in a JNI/library decoder changes one function.
+  * Two codecs behind the same mapPartitions boundary:
+  *  - [[decodeImage]] is REAL — `javax.imageio` (public JDK; PNG/JPEG/
+  *    BMP/GIF readers ship with the JRE) decodes pixels and emits
+  *    dimensions + channel statistics; undecodable bytes yield no row
+  *    instead of a task failure.
+  *  - [[decodeStub]] remains the deterministic test double for the
+  *    formats this container has no codec for (audio/video): it
+  *    derives fake features from the raw bytes so the surrounding
+  *    plumbing — asset schema, batched per-partition iteration (the
+  *    Scala analog of `mapInPandas` batches), partitioning for
+  *    parallel decode, feature schema — stays testable; swapping in a
+  *    JNI/library decoder changes one function.
   *
   * Scale notes: assets are repartitioned by id before decode so a
   * 1000-executor cluster decodes in parallel regardless of input file
@@ -80,6 +86,59 @@ object Multimodal {
         val (entropy, mean, hist) = decodeStub(a.content)
         AssetFeatures(a.asset_id, a.kind, a.content.length, entropy, mean, hist)
       }
+    }
+  }
+
+  case class ImageStats(asset_id: Long, px_width: Int, px_height: Int,
+      n_pixels: Long, mean_luma: Double, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** The REAL codec: decode `content` with `javax.imageio` and reduce
+    * to fixed-width pixel statistics (dimensions, per-channel means,
+    * Rec.709 mean luminance). Returns None when no installed reader
+    * accepts the bytes — corrupt or non-image content produces no row,
+    * never a task failure (at 10⁹ assets some WILL be corrupt).
+    */
+  private[multimodal] def decodeImage(content: Array[Byte]): Option[ImageStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0.0; var g = 0.0; var b = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(ImageStats(0L, w, h, n,
+        (0.2126 * r + 0.7152 * g + 0.0722 * b) / n, r / n, g / n, b / n))
+    }
+  }
+
+  /** Image decode/stats stage on the real codec — same batched
+    * mapPartitions shape (and the same explicit repartition for
+    * layout-independent decode parallelism) as [[extractFeatures]];
+    * only `image` assets are read, and `content` is dropped at this
+    * stage ("shrink early" — fixed-width stats rows travel onward, the
+    * bytes never do).
+    */
+  def extractImageStats(assets: Dataset[Asset], parallelism: Int = 0): Dataset[ImageStats] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val imgs = assets.filter(col("kind") === "image").as[Asset]
+    val repart =
+      if (parallelism > 0) imgs.repartition(parallelism, col("asset_id"))
+      else imgs
+    repart.mapPartitions { batch =>
+      batch.flatMap(a => decodeImage(a.content).map(_.copy(asset_id = a.asset_id)))
     }
   }
 
