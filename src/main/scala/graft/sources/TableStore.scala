@@ -408,17 +408,53 @@ final class JdbcStore(
 
   def exists(name: String): Boolean = {
     val conn = DriverManager.getConnection(url, props)
-    try {
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
-      found
-    } finally conn.close()
+    try storedName(conn, name).isDefined finally conn.close()
   }
-  def read(name: String): DataFrame = spark.read.jdbc(url, name, props)
+
+  /** The table's name as the database stores it (metadata lookup,
+    * case-insensitive) — Spark's JDBC writer interpolates the
+    * `dbtable` option UNQUOTED, so the server case-folds it on CREATE
+    * (Derby up, Postgres down) and our hand-built SQL must target that
+    * stored spelling, not the caller's.
+    */
+  private def storedName(conn: java.sql.Connection, name: String): Option[String] = {
+    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    var found: Option[String] = None
+    while (found.isEmpty && rs.next()) {
+      val t = rs.getString("TABLE_NAME")
+      if (t.equalsIgnoreCase(name)) found = Some(t)
+    }
+    found
+  }
+
+  /** `name` as a safely quoted SQL identifier for this connection:
+    * resolved to its stored spelling (so a Spark-created, case-folded
+    * table still matches), wrapped in the driver's quote string with
+    * embedded quotes doubled — reserved words and mixed-case names
+    * stop breaking the interpolated statements.
+    */
+  private def quotedTable(conn: java.sql.Connection, name: String): String = {
+    val q = conn.getMetaData.getIdentifierQuoteString match {
+      case null | " " | "" => "\""
+      case s => s
+    }
+    val n = storedName(conn, name).getOrElse(name)
+    q + n.replace(q, q + q) + q
+  }
+  /** [[quotedTable]] on a fresh connection — for the Spark read/write
+    * paths, whose `dbtable` option is interpolated raw into SQL: passing
+    * the resolved, quoted spelling makes a mixed-case or externally
+    * quoted table reachable (unquoted, the server would case-fold the
+    * name and miss it).
+    */
+  private def quoted(name: String): String = {
+    val conn = DriverManager.getConnection(url, props)
+    try quotedTable(conn, name) finally conn.close()
+  }
+
+  def read(name: String): DataFrame = spark.read.jdbc(url, quoted(name), props)
   def overwrite(df: DataFrame, name: String): Unit =
-    df.write.mode("overwrite").jdbc(url, name, props)
+    df.write.mode("overwrite").jdbc(url, quoted(name), props)
   def overwritePartitioned(df: DataFrame, name: String, partitionCol: String): Unit =
     overwrite(df, name)
   def appendKeyed(df: DataFrame, name: String, key: String): Unit =
@@ -438,17 +474,19 @@ final class JdbcStore(
       partitionCol: String,
       sourceValues: Seq[String]): Unit = {
     val stage = name + "__stage"
-    df.write.mode("overwrite").jdbc(url, stage, props)
+    df.write.mode("overwrite").jdbc(url, quoted(stage), props)
     val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
     val in = sourceValues.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
     val conn = DriverManager.getConnection(url, props)
     try {
+      val qName = quotedTable(conn, name)
+      val qStage = quotedTable(conn, stage)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         st.executeUpdate(
-          s"""DELETE FROM $name WHERE CAST("$partitionCol" AS VARCHAR(128)) IN ($in)""")
-        st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
+          s"""DELETE FROM $qName WHERE CAST("$partitionCol" AS VARCHAR(128)) IN ($in)""")
+        st.executeUpdate(s"INSERT INTO $qName ($cols) SELECT $cols FROM $qStage")
         conn.commit()
       } catch {
         case e: Throwable =>
@@ -456,7 +494,7 @@ final class JdbcStore(
           throw e
       }
       conn.setAutoCommit(true)
-      st.execute(s"DROP TABLE $stage")
+      st.execute(s"DROP TABLE $qStage")
     } finally conn.close()
   }
 
@@ -480,20 +518,22 @@ final class JdbcStore(
     */
   private def stagedAppend(df: DataFrame, name: String, key: Option[String]): Unit = {
     val stage = name + "__stage"
-    df.write.mode("overwrite").jdbc(url, stage, props)
+    df.write.mode("overwrite").jdbc(url, quoted(stage), props)
     if (!exists(name))
-      df.limit(0).write.jdbc(url, name, props)
+      df.limit(0).write.jdbc(url, quoted(name), props)
     val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
     val conn = DriverManager.getConnection(url, props)
     try {
+      val qName = quotedTable(conn, name)
+      val qStage = quotedTable(conn, stage)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         key.foreach { k =>
           st.executeUpdate(
-            s"""DELETE FROM $name WHERE "$k" IN (SELECT "$k" FROM $stage)""")
+            s"""DELETE FROM $qName WHERE "$k" IN (SELECT "$k" FROM $qStage)""")
         }
-        st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
+        st.executeUpdate(s"INSERT INTO $qName ($cols) SELECT $cols FROM $qStage")
         conn.commit()
       } catch {
         case e: Throwable =>
@@ -501,7 +541,7 @@ final class JdbcStore(
           throw e
       }
       conn.setAutoCommit(true)
-      st.execute(s"DROP TABLE $stage")
+      st.execute(s"DROP TABLE $qStage")
     } finally conn.close()
   }
 }

@@ -78,6 +78,38 @@ class FormatsSpec extends SparkSpec {
       .filter(col("o_totalprice") === 1.25).count() == 500)
   }
 
+  test("JDBC store reaches a mixed-case, externally quoted table (identifier quoting)") {
+    val db = Files.createTempDirectory("graft_derby_case").toString + "/wh"
+    val url = s"jdbc:derby:$db;create=true"
+    val store = new JdbcStore(spark, url)
+    // created OUTSIDE the store with an exact-case quoted identifier —
+    // unquoted SQL would case-fold to ORDERSCASE and miss it
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE "OrdersCase" ("o_orderkey" BIGINT, "p" VARCHAR(16))""")
+    finally conn.close()
+    assert(store.exists("OrdersCase"))
+    assert(store.read("OrdersCase").count() == 0)
+
+    import spark.implicits._
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("o_orderkey", "p")
+    store.appendKeyed(batch, "OrdersCase", "o_orderkey") // staged publish
+    assert(store.read("OrdersCase").count() == 2)
+    // keyed merge still replaces by key through the quoted path
+    store.appendKeyed(Seq((2L, "B"), (3L, "c")).toDF("o_orderkey", "p"),
+      "OrdersCase", "o_orderkey")
+    val rows = store.read("OrdersCase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // partition surgery on the same mixed-case table
+    store.rewritePartitioned(Seq((9L, "a")).toDF("o_orderkey", "p"),
+      "OrdersCase", "p", Seq("a"))
+    val after = store.read("OrdersCase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(9L -> "a", 2L -> "B", 3L -> "c"))
+    assert(!store.exists("OrdersCase__stage"))
+  }
+
   test("EmissionEtl runs end-to-end on a JDBC (Derby) warehouse with golden counts") {
     val refData = "/root/reference/data"
     val db = Files.createTempDirectory("graft_derby_etl").toString + "/wh"
