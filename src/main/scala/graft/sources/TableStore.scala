@@ -463,10 +463,15 @@ final class JdbcStore(
     stagedAppend(df, name, None)
 
   /** Partition surgery, relationally: stage the replacement rows, then
-    * in ONE transaction DELETE the source partitions' rows and INSERT
-    * the stage — all-or-nothing, no clobber risk (row deletion is
-    * value-scoped, not directory-scoped). Values compare as strings
-    * (CAST) so the call is type-agnostic like the dir-name form.
+    * in ONE transaction validate, DELETE the source partitions' rows
+    * and INSERT the stage — all-or-nothing. The validation enforces the
+    * trait contract the directory backend gets structurally: stage rows
+    * whose partition value is live in the target but NOT listed in
+    * `sourceValues` would silently duplicate alongside the existing
+    * rows (only sourceValues rows are DELETEd), so their presence rolls
+    * back with the same IllegalStateException the Parquet backend
+    * throws. Values compare as strings (CAST) so the call is
+    * type-agnostic like the dir-name form.
     */
   def rewritePartitioned(
       df: DataFrame,
@@ -484,6 +489,18 @@ final class JdbcStore(
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        val rs = st.executeQuery(
+          s"""SELECT DISTINCT CAST(s."$partitionCol" AS VARCHAR(128)) FROM $qStage s
+              WHERE CAST(s."$partitionCol" AS VARCHAR(128)) NOT IN ($in)
+                AND EXISTS (SELECT 1 FROM $qName t
+                  WHERE CAST(t."$partitionCol" AS VARCHAR(128)) =
+                        CAST(s."$partitionCol" AS VARCHAR(128)))""")
+        val clobbered = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (clobbered.size < 5 && rs.next()) clobbered += rs.getString(1)
+        if (clobbered.nonEmpty)
+          throw new IllegalStateException(
+            s"rewrite would clobber live partitions not listed as sources: " +
+              s"${clobbered.mkString(", ")} — table untouched")
         st.executeUpdate(
           s"""DELETE FROM $qName WHERE CAST("$partitionCol" AS VARCHAR(128)) IN ($in)""")
         st.executeUpdate(s"INSERT INTO $qName ($cols) SELECT $cols FROM $qStage")

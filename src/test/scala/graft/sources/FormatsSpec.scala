@@ -108,6 +108,15 @@ class FormatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after == Map(9L -> "a", 2L -> "B", 3L -> "c"))
     assert(!store.exists("OrdersCase__stage"))
+    // clobber contract (trait doc): stage rows landing in a live
+    // partition NOT listed as a source must roll back — unlisted-live
+    // rows would silently duplicate alongside the existing ones
+    intercept[IllegalStateException] {
+      store.rewritePartitioned(Seq((7L, "c"), (8L, "a")).toDF("o_orderkey", "p"),
+        "OrdersCase", "p", Seq("a"))
+    }
+    assert(store.read("OrdersCase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == after)
   }
 
   test("EmissionEtl runs end-to-end on a JDBC (Derby) warehouse with golden counts") {
