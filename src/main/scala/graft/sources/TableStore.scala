@@ -127,12 +127,17 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   }
 
   /** [[TableStore.rewritePartitioned]] on partition dirs. Protocol:
-    *   1. stage `df` (partitionBy) under `<table>__rewrite_stage`,
-    *      plus a manifest file naming the source partition dirs;
+    *   1. stage `df` (partitionBy) under `<table>__rewrite_stage`;
     *   2. validate BEFORE any destructive step: every staged dir is
     *      either a source dir or does not exist live (else abort with
     *      the table untouched — `df` would clobber rows it never read);
-    *   3. publish: per staged dir, delete the live dir and rename the
+    *   3. only AFTER validation passes, write the manifest file naming
+    *      the source partition dirs — the manifest is the publish
+    *      token, so a stage that never validated can never be
+    *      published, even by the recovery sweep (a crash between
+    *      manifest write and abort would otherwise leave a
+    *      "complete"-looking stage that recovery publishes blindly);
+    *   4. publish: per staged dir, delete the live dir and rename the
     *      staged one in; per manifest source with NO staged dir,
     *      delete the live dir (all its rows moved elsewhere); drop the
     *      stage last.
@@ -140,8 +145,8 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     * partition, so a crash mid-publish is finished by the recovery
     * sweep on the next rewrite call: a stage with Spark's _SUCCESS
     * marker and a manifest resumes its publish (deletes and renames
-    * are idempotent); anything less is a crashed stage write and is
-    * discarded.
+    * are idempotent); anything less is a crashed or unvalidated stage
+    * write and is discarded.
     */
   def rewritePartitioned(
       df: DataFrame,
@@ -156,8 +161,6 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(stageRoot.toString)
     val srcDirs = sourceValues
       .map(v => partitionCol + "=" + ExternalCatalogUtils.escapePathName(v))
-    val out = fs.create(new Path(stageRoot, RewriteManifest), true)
-    try out.write(srcDirs.mkString("\n").getBytes("UTF-8")) finally out.close()
     val stagedDirs = fs.listStatus(stageRoot)
       .filter(p => p.isDirectory && p.getPath.getName.startsWith(s"$partitionCol="))
       .map(_.getPath.getName).toSet
@@ -169,6 +172,8 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
         s"rewrite would clobber live partitions not listed as sources: " +
           s"${clobbered.take(5).mkString(", ")} — table untouched")
     }
+    val out = fs.create(new Path(stageRoot, RewriteManifest), true)
+    try out.write(srcDirs.mkString("\n").getBytes("UTF-8")) finally out.close()
     publishRewrite(target, stageRoot, partitionCol)
   }
 

@@ -155,6 +155,30 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(new java.io.File(wh).list().toSeq.filterNot(_.startsWith("_")) == Seq("fact"))
   }
 
+  test("rewrite recovery discards an unvalidated stage (no manifest), never publishes it") {
+    val wh = Files.createTempDirectory("graft_rw_rec").toString
+    val store = new ParquetStore(spark, wh)
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
+    store.overwritePartitioned(base, "t", "p")
+    def rows() = store.read("t").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("p"))).toSet
+    val before = rows()
+    // simulate a crash AFTER the stage write completed (_SUCCESS present)
+    // but BEFORE validation passed: the manifest is the publish token, so
+    // this stage must be discarded, not published over partition b
+    val stageRoot = new java.io.File(s"$wh/t__rewrite_stage")
+    Seq((9L, "b", 9.0)).toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(stageRoot.toString)
+    assert(new java.io.File(stageRoot, "_SUCCESS").exists())
+    // next rewrite call runs the recovery sweep first; the valid rewrite
+    // of partition a proceeds, partition b keeps its original rows
+    store.rewritePartitioned(Seq((7L, "a", 7.0)).toDF("id", "p", "v"),
+      "t", "p", Seq("a"))
+    val after = rows()
+    assert(after == Set((7L, "a"), (2L, "b")), s"got $after vs before $before")
+    assert(!stageRoot.exists())
+  }
+
   test("crash recovery: stale __stage/__old dirs from a killed run are ignored and cleaned") {
     val dir = Files.createTempDirectory("graft_upsert_crash").toString + "/t"
     val v1 = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
