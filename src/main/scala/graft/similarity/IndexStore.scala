@@ -195,6 +195,81 @@ object IndexStore {
     loadIvfPq(store, name)
   }
 
+  // ------------------------------------------- split crash recovery
+
+  private def splitStateTable(name: String) = s"${name}__split_state"
+
+  /** The in-flight-split marker of index `name`: one (cell, pre_count,
+    * n_sub) row, written just before the centroid publish and cleared
+    * just after the row rewrite. Present and non-empty = a split
+    * crashed mid-flight.
+    */
+  private def splitState(store: TableStore, name: String): Option[(Int, Int, Int)] = {
+    val t = splitStateTable(name)
+    if (!store.exists(t)) None
+    else store.read(t).collect().headOption.map(r =>
+      (r.getAs[Int]("cell"), r.getAs[Int]("pre_count"), r.getAs[Int]("n_sub")))
+  }
+
+  private def writeSplitState(
+      spark: SparkSession, store: TableStore, name: String,
+      cell: Int, pre: Int, nSub: Int): Unit = {
+    import spark.implicits._
+    store.overwrite(
+      Seq((cell, pre, nSub)).toDF("cell", "pre_count", "n_sub"),
+      splitStateTable(name))
+  }
+
+  private def clearSplitState(spark: SparkSession, store: TableStore, name: String): Unit = {
+    import spark.implicits._
+    store.overwrite(
+      Seq.empty[(Int, Int, Int)].toDF("cell", "pre_count", "n_sub"),
+      splitStateTable(name))
+  }
+
+  /** Shared split-recovery skeleton: if `name` carries an in-flight
+    * split marker, either discard it (crash BEFORE the centroid
+    * publish — nothing is visible, the caller restarts cleanly) or
+    * complete the row rewrite from the STORED sub-centroids and return
+    * the completed cell. Recomputing sub-centroids on a re-run would
+    * append them AGAIN — duplicate centroids at new cell ids, rows in
+    * the second set, the first set left as empty phantom cells that
+    * partial-probe queries rank into (ADVICE r5 #1); reusing the
+    * published centroids makes recovery idempotent, and the row
+    * rewrite itself is safe to repeat (assignment against the same
+    * sub-centroids is deterministic, so re-moving already-moved rows
+    * is a no-op).
+    */
+  private def resumeSplit(
+      store: TableStore,
+      name: String)(
+      finish: (Int, Int, Array[Array[Float]]) => Unit): Option[Int] =
+    splitState(store, name) match {
+      case None => None
+      case Some((cell, pre, nSub)) =>
+        val cens = loadIvfCentroids(store, name)
+        val spark = store.read(s"${name}__centroids").sparkSession
+        if (cens.length == pre) {
+          clearSplitState(spark, store, name)
+          None
+        } else {
+          require(cens.length == pre + nSub - 1,
+            s"split state of $name records ${pre + nSub - 1} centroids but " +
+              s"${cens.length} exist — centroid table mutated outside the split protocol")
+          val subs: Array[Array[Float]] = cens(cell) +: cens.slice(pre, pre + nSub - 1)
+          finish(cell, pre, subs)
+          clearSplitState(spark, store, name)
+          Some(cell)
+        }
+    }
+
+  /** sub j of a split of `cell` maps to global cell id: j=0 keeps the
+    * original id, the rest landed at the end of the pre-split array.
+    */
+  private def subCellId(cell: Int, pre: Int) =
+    when(col("cell") === 0, lit(cell))
+      .otherwise(col("cell") + lit(pre - 1)).as("cell")
+
   /** Split ONE oversized IVF cell into `nSub` cells — the targeted
     * rebalance between "ingest forever" and "retrain everything": the
     * drift monitor (or cell-size stats) names a hot cell, and only
@@ -205,16 +280,15 @@ object IndexStore {
     * as new ids, and the cell's rows move via the store's
     * partition-surgery rewrite.
     *
-    * Crash ordering: centroids publish FIRST. Between the centroid
-    * write and the row rewrite, queries stay CORRECT (full probe still
-    * scans every row; partial probe ranks against the refined
-    * centroids while the rows sit in the old cell — recall dips until
-    * the rewrite lands) and re-running the split completes it: the
-    * cell's rows are still in place, the deterministic trainer
-    * reproduces the same sub-centroids, and the rewrite publishes.
-    * IVF only — an IVF-PQ cell split would also need residual
-    * re-encoding against the new centroid, which requires the full
-    * vectors the encoded table deliberately does not keep.
+    * Crash ordering: the split-state marker writes first, then
+    * centroids publish, then rows rewrite, then the marker clears.
+    * Between the centroid write and the row rewrite, queries stay
+    * CORRECT (full probe still scans every row; partial probe ranks
+    * against the refined centroids while the rows sit in the old cell
+    * — recall dips until the rewrite lands), and the next split call
+    * on the index completes the crashed one from the STORED
+    * sub-centroids ([[resumeSplit]]) — never by retraining, which
+    * would append duplicate centroids.
     */
   def splitIvfCell(
       store: TableStore,
@@ -224,9 +298,17 @@ object IndexStore {
       maxTrain: Int = 100000,
       lloydIters: Int = 10): Ivf.Index = {
     require(nSub >= 2, s"splitting into $nSub cells is not a split")
+    val table = s"${name}__assigned"
+    def finishIvf(c: Int, pre: Int, subs: Array[Array[Float]]): Unit = {
+      val rows = store.read(table).filter(col("cell") === c).select("id", "vec")
+      val moved = Ivf.assign(subs, rows, idCol = "id", vecCol = "vec")
+        .select(col("id"), col("vec"), subCellId(c, pre))
+      store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
+    }
+    if (resumeSplit(store, name)(finishIvf).contains(cell))
+      return loadIvf(store, name) // the requested split had crashed; now complete
     val cens = loadIvfCentroids(store, name)
     require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
-    val table = s"${name}__assigned"
     val cellRows = store.read(table)
       .filter(col("cell") === cell).select("id", "vec")
     val sample = Ivf.hashOrderedSample(cellRows, maxTrain, "id", "vec")
@@ -234,12 +316,10 @@ object IndexStore {
     val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
     val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
     val spark = cellRows.sparkSession
+    writeSplitState(spark, store, name, cell, cens.length, subs.length)
     store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
-    val moved = Ivf.assign(subs, cellRows, idCol = "id", vecCol = "vec")
-      .select(col("id"), col("vec"),
-        when(col("cell") === 0, lit(cell))
-          .otherwise(col("cell") + lit(cens.length - 1)).as("cell"))
-    store.rewritePartitioned(moved, table, "cell", Seq(cell.toString))
+    finishIvf(cell, cens.length, subs)
+    clearSplitState(spark, store, name)
     loadIvf(store, name)
   }
 
@@ -253,9 +333,9 @@ object IndexStore {
     * are shared across cells in residual IVF-PQ (the standard FAISS
     * arrangement), so a coarse-cell refinement does not retrain them.
     * Every vector of the split cell must be present in `vectors`
-    * (checked — a missing vector would silently vanish from the
-    * index). Same crash ordering and re-runnability as
-    * [[splitIvfCell]].
+    * (checked in ONE aggregate pass over the cell-pruned left join —
+    * a missing vector would silently vanish from the index). Same
+    * crash ordering and [[resumeSplit]] recovery as [[splitIvfCell]].
     */
   def splitIvfPqCell(
       store: TableStore,
@@ -268,35 +348,50 @@ object IndexStore {
       maxTrain: Int = 100000,
       lloydIters: Int = 10): IvfPq.Index = {
     require(nSub >= 2, s"splitting into $nSub cells is not a split")
+    val table = s"${name}__encoded"
+    lazy val cb = loadCodebooks(store, s"${name}__codebooks")
+    // the split cell's vectors: id semi-shaped LEFT join so the same
+    // frame serves the coverage check (count vs non-null vec count in
+    // one aggregate) and the re-encode input
+    def cellVecsOf(c: Int): (DataFrame, Long, Long) = {
+      val joined = store.read(table).filter(col("cell") === c).select("id")
+        .join(vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
+          Seq("id"), "left")
+      val cov = joined.agg(count(lit(1)).as("n"), count(col("vec")).as("n_vec")).head()
+      (joined, cov.getLong(0), cov.getLong(1))
+    }
+    def requireCovered(c: Int, n: Long, nVec: Long): Unit =
+      require(nVec == n,
+        s"cell $c holds $n ids but `vectors` covers only $nVec of them — " +
+          "rows missing a vector would vanish from the index")
+    def finishPq(c: Int, pre: Int, subs: Array[Array[Float]]): Unit = {
+      val (cellVecs, n, nVec) = cellVecsOf(c)
+      requireCovered(c, n, nVec)
+      // residual + codes against the assigned SUB centroid (the same
+      // expression chain IvfPq.encode runs), then the sub index maps
+      // to its global cell id
+      val moved = Ivf.assign(subs, cellVecs, idCol = "id", vecCol = "vec")
+        .select(col("id"), subCellId(c, pre),
+          graft.functions.PqFunctions.pqEncode(
+            graft.functions.CentroidFunctions.centroidResidual(col("vec"), col("cell"), subs),
+            cb.codebooks).as("codes"))
+      store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
+    }
+    if (resumeSplit(store, name)(finishPq).contains(cell))
+      return loadIvfPq(store, name) // the requested split had crashed; now complete
     val cens = loadIvfCentroids(store, name)
     require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
-    val cb = loadCodebooks(store, s"${name}__codebooks")
-    val table = s"${name}__encoded"
-    val cellIds = store.read(table).filter(col("cell") === cell).select("id")
-    val nCell = cellIds.count()
+    val (cellVecs, nCell, nVec) = cellVecsOf(cell)
     require(nCell > 0, s"cell $cell of $name holds no vectors")
-    val cellVecs = vectors
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(cellIds, Seq("id"))
-    require(cellVecs.count() == nCell,
-      s"cell $cell holds $nCell ids but `vectors` covers only some of them — " +
-        "rows missing a vector would vanish from the index")
+    requireCovered(cell, nCell, nVec)
     val sample = Ivf.hashOrderedSample(cellVecs, maxTrain, "id", "vec")
     val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
     val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
     val spark = vectors.sparkSession
+    writeSplitState(spark, store, name, cell, cens.length, subs.length)
     store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
-    // residual + codes against the assigned SUB centroid (the same
-    // expression chain IvfPq.encode runs), then the sub index maps to
-    // its global cell id
-    val moved = Ivf.assign(subs, cellVecs, idCol = "id", vecCol = "vec")
-      .select(col("id"),
-        when(col("cell") === 0, lit(cell))
-          .otherwise(col("cell") + lit(cens.length - 1)).as("cell"),
-        graft.functions.PqFunctions.pqEncode(
-          graft.functions.CentroidFunctions.centroidResidual(col("vec"), col("cell"), subs),
-          cb.codebooks).as("codes"))
-    store.rewritePartitioned(moved, table, "cell", Seq(cell.toString))
+    finishPq(cell, cens.length, subs)
+    clearSplitState(spark, store, name)
     loadIvfPq(store, name)
   }
 

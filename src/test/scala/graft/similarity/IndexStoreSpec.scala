@@ -203,6 +203,87 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  /** Delegating store with a crash injected into one operation — the
+    * split-recovery specs' harness.
+    */
+  private class CrashOn(inner: graft.sources.TableStore)(
+      crashWhen: (String, String) => Boolean) extends graft.sources.TableStore {
+    import org.apache.spark.sql.DataFrame
+    private def maybeCrash(op: String, n: String): Unit =
+      if (crashWhen(op, n)) throw new RuntimeException(s"simulated crash in $op($n)")
+    def exists(n: String): Boolean = inner.exists(n)
+    def read(n: String): DataFrame = inner.read(n)
+    def overwrite(df: DataFrame, n: String): Unit = {
+      maybeCrash("overwrite", n); inner.overwrite(df, n)
+    }
+    def overwritePartitioned(df: DataFrame, n: String, p: String): Unit =
+      inner.overwritePartitioned(df, n, p)
+    def appendKeyed(df: DataFrame, n: String, k: String): Unit =
+      inner.appendKeyed(df, n, k)
+    def appendPartitioned(df: DataFrame, n: String, p: String): Unit =
+      inner.appendPartitioned(df, n, p)
+    def rewritePartitioned(df: DataFrame, n: String, p: String, sv: Seq[String]): Unit = {
+      maybeCrash("rewrite", n); inner.rewritePartitioned(df, n, p, sv)
+    }
+  }
+
+  test("split recovery: crash between centroid publish and row rewrite completes, no duplicate centroids") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "crash", Ivf.build(emb, nLists = 4))
+    val hot = IndexStore.loadIvf(store, "crash").assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    // the row rewrite dies AFTER the centroid publish
+    intercept[RuntimeException] {
+      IndexStore.splitIvfCell(new CrashOn(store)((op, _) => op == "rewrite"),
+        "crash", hot, nSub = 3)
+    }
+    // centroids grown, rows still in the old cell — the ADVICE r5 #1
+    // window: a naive re-run would append 2 MORE centroids (8 total)
+    assert(IndexStore.loadIvfCentroids(store, "crash").length == 6)
+    val grown = IndexStore.splitIvfCell(store, "crash", hot, nSub = 3)
+    assert(grown.centroids.length == 6, "re-run appended duplicate centroids")
+    assert(grown.assigned.count() == emb.count())
+    // no phantom empty duplicate cells: full probe stays exact
+    val q = emb.filter(col("vec_id") < 10)
+    assert(Ivf.topK(grown, q, k = 5, nProbe = 6).collect().toSet ==
+      graft.similarity.Ann.bruteForceTopK(q, emb, k = 5).collect().toSet)
+    // state cleared: a further split proceeds normally
+    assert(IndexStore.splitIvfCell(store, "crash", hot, nSub = 2)
+      .centroids.length == 7)
+  }
+
+  test("split recovery: crash before the centroid publish discards the marker, clean restart") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "crash2", Ivf.build(emb, nLists = 4))
+    val hot = IndexStore.loadIvf(store, "crash2").assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    // the centroid publish dies (split state already written)
+    intercept[RuntimeException] {
+      IndexStore.splitIvfCell(
+        new CrashOn(store)((op, n) => op == "overwrite" && n.endsWith("__centroids")),
+        "crash2", hot, nSub = 3)
+    }
+    assert(IndexStore.loadIvfCentroids(store, "crash2").length == 4) // nothing visible
+    val grown = IndexStore.splitIvfCell(store, "crash2", hot, nSub = 3)
+    assert(grown.centroids.length == 6)
+    assert(grown.assigned.count() == emb.count())
+  }
+
+  test("split recovery: IVF-PQ crash mid-split resumes with stored sub-centroids and codebooks") {
+    val store = newStore()
+    IndexStore.saveIvfPq(store, "pcrash", IvfPq.build(emb, nLists = 4, m = 16, k = 16))
+    val hot = IndexStore.loadIvfPq(store, "pcrash").encoded.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    intercept[RuntimeException] {
+      IndexStore.splitIvfPqCell(new CrashOn(store)((op, _) => op == "rewrite"),
+        "pcrash", hot, nSub = 3, emb)
+    }
+    assert(IndexStore.loadIvfCentroids(store, "pcrash").length == 6)
+    val grown = IndexStore.splitIvfPqCell(store, "pcrash", hot, nSub = 3, emb)
+    assert(grown.centroids.length == 6, "re-run appended duplicate centroids")
+    assert(grown.encoded.count() == emb.count())
+  }
+
   test("ingest anti-join prunes the corpus id scan to the batch's cells") {
     val store = newStore()
     IndexStore.saveIvf(store, "prune", Ivf.build(emb, nLists = 8))
