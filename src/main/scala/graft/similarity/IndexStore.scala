@@ -457,4 +457,56 @@ object IndexStore {
         col("n_batch"), col("avg_batch"),
         (col("avg_batch") / col("avg_base")).as("drift_ratio"))
   }
+
+  /** The policy bridge from monitor to actuator: one row per cell —
+    * (cell, n_rows, mean_rows, n_batch, drift_ratio, action) — joining
+    * the corpus table's per-cell row counts with the [[driftReport]]
+    * (when a `batch` is supplied; requires saved [[saveCellStats]]
+    * baselines). Actions:
+    *  - `split`: the cell holds > `sizeFactor`× the mean cell size —
+    *    the probe-cost imbalance [[splitIvfCell]]/[[splitIvfPqCell]]
+    *    exist to fix; feed the cell id straight into them;
+    *  - `retrain`: the batch drifts > `driftThreshold`× above the
+    *    build-time quantization error, or lands in a cell the baseline
+    *    never saw — coarse coding no cell surgery repairs; rotate the
+    *    index name through a retrain;
+    *  - `ok` otherwise.
+    * One count aggregate over the (column-pruned) cell column plus the
+    * drift scan of the batch — observability-priced, like the monitor.
+    */
+  def rebalanceReport(
+      store: TableStore,
+      name: String,
+      batch: Option[DataFrame] = None,
+      sizeFactor: Double = 2.0,
+      driftThreshold: Double = 2.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val table = Seq(s"${name}__assigned", s"${name}__encoded").find(store.exists)
+      .getOrElse(throw new IllegalArgumentException(s"no corpus table for index $name"))
+    val counts = store.read(table)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+    val withMean = counts
+      .crossJoin(broadcast(counts.agg(avg(col("n_rows")).as("mean_rows"))))
+    val joined = batch match {
+      case Some(b) =>
+        withMean.join(
+          driftReport(store, name, b, idCol, vecCol)
+            .select(col("cell"), col("n_base"), col("n_batch"), col("drift_ratio")),
+          Seq("cell"), "left")
+      case None =>
+        withMean
+          .withColumn("n_base", lit(null).cast("long"))
+          .withColumn("n_batch", lit(null).cast("long"))
+          .withColumn("drift_ratio", lit(null).cast("double"))
+    }
+    joined.select(
+      col("cell"), col("n_rows"), col("mean_rows"), col("n_batch"), col("drift_ratio"),
+      when(col("n_rows") > col("mean_rows") * sizeFactor, lit("split"))
+        .when(col("drift_ratio") > driftThreshold, lit("retrain"))
+        .when(col("n_batch").isNotNull && col("n_base").isNull, lit("retrain"))
+        .otherwise(lit("ok")).as("action"))
+      .orderBy(col("n_rows").desc, col("cell"))
+  }
 }

@@ -98,6 +98,15 @@ class IndexStoreSpec extends SparkSpec {
           transform(col("embedding"), x => (x + lit(3.0f)).cast("float"))))
     assert(inDist < 5.0, s"in-distribution drift ratio $inDist")
     assert(shifted > 4 * inDist, s"shifted $shifted vs in-dist $inDist")
+    // the policy report turns the same shifted batch into a retrain
+    // suggestion (drift_ratio above threshold)
+    val shiftedBatch = emb.filter(col("vec_id") >= 400)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(3.0f)).cast("float")))
+    val rb = IndexStore.rebalanceReport(store, "drift", Some(shiftedBatch))
+      .collect()
+    assert(rb.exists(_.getAs[String]("action") == "retrain"),
+      rb.map(r => (r.getAs[Int]("cell"), r.getAs[String]("action"))).mkString(", "))
     // per-vector error is the exact distortion (non-negative everywhere)
     assert(IvfPq.quantizationError(index.centroids, index.cb, corpus)
       .filter(col("qerr") < -1e-6).isEmpty)
@@ -282,6 +291,46 @@ class IndexStoreSpec extends SparkSpec {
     val grown = IndexStore.splitIvfPqCell(store, "pcrash", hot, nSub = 3, emb)
     assert(grown.centroids.length == 6, "re-run appended duplicate centroids")
     assert(grown.encoded.count() == emb.count())
+  }
+
+  test("rebalanceReport flags the hot cell for split; the post-split report clears it") {
+    import spark.implicits._
+    // synthetic corpus with a KNOWN hot cell: blob A is 3 tight,
+    // well-separated sub-blobs of 200 near the origin; B/C/D are 100
+    // points each, far away. Coarse centroids are pinned (no training),
+    // so cell 0 deterministically holds 600 of 900 rows.
+    def blob(start: Long, n: Int, cx: Float, cy: Float) =
+      (0 until n).map { i =>
+        val jit = (i % 100) * 0.001f
+        (start + i, Array(cx + jit, cy - jit, 0f, 0f, jit, 0f, 0f, 0f).toSeq)
+      }
+    val vecs = (blob(0, 200, 10f, 0f) ++ blob(200, 200, -10f, 0f) ++
+      blob(400, 200, 0f, -10f) ++ blob(1000, 100, 100f, 0f) ++
+      blob(2000, 100, -100f, 0f) ++ blob(3000, 100, 0f, 100f))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cens: Array[Array[Float]] = Array(
+      Array.fill(8)(0f),
+      Array(100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(-100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 100f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val store = newStore()
+    IndexStore.saveIvf(store, "rb", Ivf.Index(cens, Ivf.assign(cens, vecs)))
+
+    val rep = IndexStore.rebalanceReport(store, "rb").collect()
+    val flagged = rep.filter(_.getAs[String]("action") == "split")
+      .map(_.getAs[Int]("cell")).toSeq
+    assert(flagged == Seq(0), s"expected only the hot cell flagged, got $flagged")
+    // severity order: the hot cell leads the report
+    assert(rep.head.getAs[Int]("cell") == 0)
+
+    // act on the suggestion, then the report clears
+    val grown = IndexStore.splitIvfCell(store, "rb", 0, nSub = 3)
+    assert(grown.centroids.length == 6)
+    val rep2 = IndexStore.rebalanceReport(store, "rb").collect()
+    assert(!rep2.exists(_.getAs[String]("action") == "split"),
+      rep2.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("action"))).mkString(", "))
   }
 
   test("ingest anti-join prunes the corpus id scan to the batch's cells") {
