@@ -1134,6 +1134,65 @@ object Queries {
     IndexStore.driftReport(store, "drift_q", emb.filter(col("vec_id") >= 400))
   }
 
+  /** Rebalance policy report (IndexStore.rebalanceReport) over a
+    * deterministic skewed assignment, so the count→mean→action
+    * arithmetic is fully oracle-checked: cells derive from vec_id
+    * (cell 0 holds ~70% of rows), the table round-trips through a real
+    * store, and the DuckDB twin reproduces counts, mean, and the split
+    * threshold exactly. The k-means-assigned production path is
+    * spec-gated end-to-end (IndexStoreSpec: hot cell flagged → split →
+    * report clears).
+    */
+  def qAnnRebalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/rebalance")
+    val assigned = emb.select(
+      col("vec_id").as("id"), col("embedding").as("vec"),
+      when(pmod(col("vec_id"), lit(10)) < 7, lit(0))
+        .otherwise(pmod(col("vec_id"), lit(10)) - 6).cast("int").as("cell"))
+    store.overwritePartitioned(assigned, "rb__assigned", "cell")
+    IndexStore.rebalanceReport(store, "rb")
+  }
+
+  /** Multimodal image decode through the REAL javax.imageio codec,
+    * oracle-checked end to end: per doc a solid-color PNG (dimensions
+    * and RGB channels derived from doc_id) is ENCODED on the
+    * executors, decoded back by Multimodal.extractImageStats (ImageIO
+    * read + pixel scan), and the resulting stats are pure doc_id
+    * arithmetic the DuckDB twin reproduces (PNG is lossless and
+    * TYPE_INT_RGB preserves the channel bytes bit-for-bit, so the
+    * decode returns exactly the encoded constants). round(…,6) guards
+    * the one non-integer value (mean luminance) against
+    * association-order ulp drift between engines.
+    */
+  def qMmImageStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 2 + (id % 7).toInt; val h = 2 + (id % 5).toInt
+        val r = ((id * 37) % 256).toInt
+        val g = ((id * 59) % 256).toInt
+        val b = ((id * 83) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        graft.multimodal.Multimodal.Asset(id, "image", out.toByteArray, w, h, 0)
+      }
+    }
+    graft.multimodal.Multimodal.extractImageStats(assets).toDF()
+      .select(col("asset_id"), col("px_width"), col("px_height"), col("n_pixels"),
+        round(col("mean_luma"), 6).as("mean_luma"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+  }
+
   /** Recall@5 of the probed IVF path (nProbe=4 of 16 cells — a 4×
     * candidate-budget cut) against oracle-pinned brute-force truth.
     * One row; IvfSpec gates the value (rows-only for the driver — the

@@ -105,9 +105,11 @@ object SparkEntry {
     // multimodal
     "q_mm_meta" -> (Queries.qMmMeta _),
     "q_mm_features" -> (Queries.qMmFeatures _),
+    "q_mm_image_stats" -> (Queries.qMmImageStats _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_drift" -> (Queries.qAnnDrift _),
+    "q_ann_rebalance" -> (Queries.qAnnRebalance _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
@@ -636,6 +638,33 @@ object Oracles {
          FROM documents d
          JOIN ent e ON e.doc_id = d.doc_id
          JOIN mb m ON m.doc_id = d.doc_id""",
+
+    // real-codec decode round trip: solid-color PNGs encoded and
+    // decoded executor-side; stats are pure doc_id arithmetic
+    "q_mm_image_stats" ->
+      """SELECT doc_id AS asset_id,
+         CAST(2 + doc_id % 7 AS INT) AS px_width,
+         CAST(2 + doc_id % 5 AS INT) AS px_height,
+         CAST((2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS n_pixels,
+         ROUND(0.2126 * ((doc_id * 37) % 256) + 0.7152 * ((doc_id * 59) % 256)
+               + 0.0722 * ((doc_id * 83) % 256), 6) AS mean_luma,
+         ROUND(CAST((doc_id * 37) % 256 AS DOUBLE), 6) AS mean_r,
+         ROUND(CAST((doc_id * 59) % 256 AS DOUBLE), 6) AS mean_g,
+         ROUND(CAST((doc_id * 83) % 256 AS DOUBLE), 6) AS mean_b
+         FROM documents WHERE doc_id < 300""",
+
+    // the rebalance policy arithmetic over a deterministic skewed
+    // assignment: counts, mean, and the 2x-mean split threshold
+    "q_ann_rebalance" ->
+      """WITH a AS (SELECT CASE WHEN vec_id % 10 < 7 THEN 0
+                               ELSE CAST(vec_id % 10 AS INT) - 6 END AS cell
+                    FROM embeddings),
+         c AS (SELECT cell, count(*) AS n_rows FROM a GROUP BY cell),
+         m AS (SELECT avg(n_rows) AS mean_rows FROM c)
+         SELECT cell, n_rows, mean_rows,
+           CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS DOUBLE) AS drift_ratio,
+           CASE WHEN n_rows > mean_rows * 2.0 THEN 'split' ELSE 'ok' END AS action
+         FROM c, m""",
 
     "q_emb_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
