@@ -646,12 +646,17 @@ object Queries {
     * splits into two 32-bit halves (h1, h2) and seed i's hash is the
     * Carter-Wegman combine h1 + i·h2 — a pairwise-independent family,
     * the textbook minhash seeding — instead of 16 separate seeded
-    * digests (~8× cheaper; the funnel twin spent most of its time in
-    * md5). Values stay ≤ 2^36 so 64-bit signed arithmetic is exact and
-    * overflow-free in BOTH engines (DuckDB BIGINT traps on overflow —
-    * wrap semantics would not be portable). The DuckDB twin computes
-    * the identical expression via CAST('0x'||substr(md5(gram),..) AS
-    * BIGINT), so the oracle still matches hash-for-hash.
+    * digests. Measured honestly at sf0.1: the sig aggregation drops
+    * only ~10% (0.62 → 0.55 s steady-state) — the wide 16-min
+    * hash-aggregate over the gram stream dominates, not the digests —
+    * but the hash values shrink from 32-char strings to longs, which
+    * also thins every downstream band key, shuffle row and agree
+    * compare. Values stay ≤ 2^36 so 64-bit signed arithmetic is exact
+    * and overflow-free in BOTH engines (DuckDB BIGINT traps on
+    * overflow — wrap semantics would not be portable). The DuckDB twin
+    * computes the identical expression via
+    * CAST('0x'||substr(md5(gram),..) AS BIGINT), so the oracle still
+    * matches hash-for-hash.
     */
   private def cwSeedMins: Seq[Column] = {
     val h1 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
