@@ -81,26 +81,190 @@ object IndexStore {
     // persist so the assignment/encode projection is not recomputed by
     // the touched-cells pass AND the anti-join (micro-batch-sized)
     batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try store.appendPartitioned(newById(store, table, batch), table, "cell")
-    finally batch.unpersist()
+    try {
+      val fresh = newById(store, table, batch)
+      // all-novel fast path returns `batch` itself — already persisted
+      if (!(fresh eq batch))
+        fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // sidecar BEFORE rows: a bloom that over-approximates (ids
+        // recorded but rows not yet landed) only makes the next batch
+        // exact-check them; one that under-approximates would let a
+        // later batch re-append landed ids. Replay after a crash in
+        // between stays a no-op either way (suspects exact-check
+        // against the table).
+        updateIdBloom(store, table, fresh)
+        store.appendPartitioned(fresh, table, "cell")
+      } finally if (!(fresh eq batch)) fresh.unpersist()
+    } finally batch.unpersist()
   }
 
   /** The anti-joined frame behind [[appendNewById]], exposed so specs
-    * can assert the corpus scan's partition pruning.
+    * can assert the corpus scan's partition pruning. With an id-bloom
+    * sidecar present ([[buildIdBloom]]), the batch first splits
+    * against the touched cells' blooms: bloom-negative rows are
+    * definitely new (no corpus read at all — an all-novel batch's plan
+    * contains NO scan of the corpus table), and only bloom-positive
+    * suspects exact-check via the anti-join, pruned to the SUSPECTS'
+    * cells rather than the whole batch's.
     */
   private[graft] def newById(store: TableStore, table: String, batch: DataFrame): DataFrame = {
     val existing = store.read(table)
-    val seen =
-      if (batch.columns.contains("cell") && existing.columns.contains("cell")) {
-        val cells = batch.select("cell").distinct().collect()
-          .map(r => String.valueOf(r.get(0)))
-        // string-compared like rewritePartitioned's values, so the
-        // filter is type-agnostic across partition-discovery inference
-        // settings; a cast of the partition attribute is still a
-        // partition filter, so pruning reaches the scan
-        existing.filter(col("cell").cast("string").isin(cells.toSeq: _*)).select("id")
-      } else existing.select("id")
-    batch.join(seen, Seq("id"), "left_anti")
+    if (!(batch.columns.contains("cell") && existing.columns.contains("cell")))
+      return batch.join(existing.select("id"), Seq("id"), "left_anti")
+    def prunedIds(cells: Seq[String]) =
+      // string-compared like rewritePartitioned's values, so the
+      // filter is type-agnostic across partition-discovery inference
+      // settings; a cast of the partition attribute is still a
+      // partition filter, so pruning reaches the scan
+      existing.filter(col("cell").cast("string").isin(cells: _*)).select("id")
+    def cellsOf(df: DataFrame): Seq[String] =
+      df.select("cell").distinct().collect().map(r => String.valueOf(r.get(0))).toSeq
+    loadMergedBloom(store, table, cellsOf(batch)) match {
+      case None =>
+        batch.join(prunedIds(cellsOf(batch)), Seq("id"), "left_anti")
+      case Some(bloomBytes) =>
+        val mightContain = org.apache.spark.sql.GraftShim.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              bloomBytes, org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.GraftShim.expression(xxhash64(col("id")))))
+        val tagged = batch.withColumn("__maybe", mightContain)
+        val suspects = tagged.filter(col("__maybe")).drop("__maybe")
+        val suspectCells = cellsOf(suspects)
+        if (suspectCells.isEmpty) batch // all definitely new: zero corpus reads
+        else tagged.filter(!col("__maybe")).drop("__maybe")
+          .unionByName(suspects.join(prunedIds(suspectCells), Seq("id"), "left_anti"))
+    }
+  }
+
+  // ------------------------------------------------ id-bloom sidecar
+
+  private def bloomTable(table: String) = s"${table}__idbloom"
+
+  /** Per-cell id blooms for `rows` (cell, id) in ONE distributed pass:
+    * Spark's native BloomFilterAggregate over xxhash64(id), the same
+    * codegen'd sketch the runtime row-level filters use — no UDFs, no
+    * per-cell jobs. All cells share (capacity, numBits) so any two
+    * sidecar blooms merge compatibly.
+    */
+  private def bloomPerCell(rows: DataFrame, capacity: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftShim.expression(xxhash64(col("id"))),
+        Literal(capacity), Literal(numBits), 0, 0).toAggregateExpression())
+    rows.groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_ids"), agg.as("bloom"))
+      .withColumn("capacity", lit(capacity))
+      .withColumn("num_bits", lit(numBits))
+  }
+
+  /** Build (or rebuild, e.g. after out-of-band writes or once n_ids
+    * approaches capacity) the id-bloom sidecar of a cell-partitioned
+    * index table: `<table>__idbloom`, one row per cell — (cell, n_ids,
+    * capacity, num_bits, bloom) — partitioned by cell so the per-batch
+    * update rewrites only touched partitions.
+    *
+    * With a sidecar present, [[appendNewById]] reads corpus ids only
+    * for bloom-POSITIVE suspects: a mostly-novel ingest stream's
+    * per-batch corpus read drops from O(touched cells' ids) to
+    * ~O(fpp·batch). False positives cost only suspect reads; false
+    * negatives cannot happen (the sidecar updates BEFORE rows land,
+    * and ingest is the single writer — rebuild after any out-of-band
+    * write). Sidecar size: numBits/8 bytes per cell (~1.2 MB at the
+    * 2^20/1% default) — tiny next to the corpus, and updates touch
+    * only the batch's cells.
+    */
+  def buildIdBloom(
+      store: TableStore,
+      table: String,
+      expectedIdsPerCell: Long = 1L << 20,
+      fpp: Double = 0.01): Unit = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedIdsPerCell, fpp).bitSize()
+    val rows = store.read(table).select(col("cell"), col("id"))
+    store.overwritePartitioned(
+      bloomPerCell(rows, expectedIdsPerCell, numBits), bloomTable(table), "cell")
+  }
+
+  /** Merge the stored blooms of `cells` into one filter for the batch
+    * probe (None = no sidecar). Cells without a row have no prior ids
+    * — nothing to merge, bloom-negative is correct for them. A
+    * parameter-incompatible merge (mid-rebuild sidecar) falls back to
+    * None: every row becomes a suspect, which is correct, just slower.
+    */
+  private def loadMergedBloom(
+      store: TableStore, table: String, cells: Seq[String]): Option[Array[Byte]] = {
+    if (!store.exists(bloomTable(table))) return None
+    val rows = store.read(bloomTable(table))
+      .filter(col("cell").cast("string").isin(cells: _*))
+      .select("bloom").collect()
+    if (rows.isEmpty) {
+      // sidecar exists but none of the touched cells have prior ids:
+      // an always-false bloom (empty filter) — no corpus read needed
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      return Some(bos.toByteArray)
+    }
+    try {
+      val merged = rows.map { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+      }.reduce { (a, b) => a.mergeInPlace(b); a }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      Some(bos.toByteArray)
+    } catch {
+      case _: org.apache.spark.util.sketch.IncompatibleMergeException => None
+    }
+  }
+
+  /** Fold a batch's fresh rows into the sidecar (no-op without one):
+    * per-cell add-blooms build with the STORED (capacity, num_bits) so
+    * they merge into the stored filters, and only the touched cell
+    * partitions rewrite (new cells append as new partitions).
+    */
+  private def updateIdBloom(store: TableStore, table: String, fresh: DataFrame): Unit = {
+    val bt = bloomTable(table)
+    if (!store.exists(bt)) return
+    val sidecar = store.read(bt)
+    val params = sidecar.select("capacity", "num_bits").head(1)
+    val (capacity, numBits) =
+      if (params.isEmpty)
+        (1L << 20,
+          org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01).bitSize())
+      else (params(0).getLong(0), params(0).getLong(1))
+    val adds = bloomPerCell(fresh.select(col("cell"), col("id")), capacity, numBits)
+      .select("cell", "n_ids", "bloom").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+    if (adds.isEmpty) return
+    val touched = adds.map(_._1.toString).toSeq
+    val stored = sidecar
+      .filter(col("cell").cast("string").isin(touched: _*))
+      .select("cell", "n_ids", "bloom").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    def readBf(b: Array[Byte]) = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    val merged = adds.map { case (cell, nAdd, bAdd) =>
+      stored.get(cell) match {
+        case Some((n0, b0)) =>
+          val f = readBf(b0)
+          f.mergeInPlace(readBf(bAdd))
+          val bos = new java.io.ByteArrayOutputStream()
+          f.writeTo(bos)
+          (cell, n0 + nAdd, bos.toByteArray)
+        case None => (cell, nAdd, bAdd)
+      }
+    }
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    store.rewritePartitioned(
+      merged.toSeq.toDF("cell", "n_ids", "bloom")
+        .withColumn("capacity", lit(capacity))
+        .withColumn("num_bits", lit(numBits)),
+      bt, "cell", stored.keys.map(_.toString).toSeq)
   }
 
   /** Persist an IVF index: `<name>__centroids` (tiny) and, the

@@ -351,6 +351,52 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.newById(store, "prune__assigned", newRow).count() == 1)
   }
 
+  test("id-bloom sidecar: all-novel batches skip the corpus id scan entirely; dedup still exact") {
+    val store = newStore()
+    val corpus = emb.filter(col("vec_id") < 400)
+    IndexStore.saveIvf(store, "bl", Ivf.build(corpus, nLists = 8))
+    IndexStore.buildIdBloom(store, "bl__assigned",
+      expectedIdsPerCell = 4096, fpp = 0.01)
+    val cens = IndexStore.loadIvfCentroids(store, "bl")
+
+    // batch of 50 new + 50 already-ingested ids: suspects exact-check,
+    // novels pass — table must equal a fresh one-shot assignment
+    val mixed = Ivf.assign(cens,
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 450))
+    val plan1 = IndexStore.newById(store, "bl__assigned", mixed)
+      .queryExecution.executedPlan.toString
+    assert(plan1.contains("bl__assigned"), plan1) // suspects do read the corpus
+    IndexStore.appendIvfBatch(store, "bl",
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 450))
+    def ids() = store.read("bl__assigned").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids() == (0L until 450L))
+
+    // replay is still a no-op (blooms mark all ids suspect -> anti-join)
+    IndexStore.appendIvfBatch(store, "bl",
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 450))
+    assert(ids() == (0L until 450L))
+
+    // an ALL-NOVEL batch: the returned plan contains NO scan of the
+    // corpus table at all — zero corpus id reads for novel streams
+    val novel = Ivf.assign(cens, emb.filter(col("vec_id") >= 450))
+    val fresh = IndexStore.newById(store, "bl__assigned", novel)
+    val plan2 = fresh.queryExecution.executedPlan.toString
+    assert(!plan2.contains("bl__assigned"), plan2)
+    assert(fresh.count() == 50)
+    IndexStore.appendIvfBatch(store, "bl", emb.filter(col("vec_id") >= 450))
+    assert(ids() == (0L until 500L))
+
+    // sidecar bookkeeping followed the appends
+    val n = store.read("bl__assigned__idbloom")
+      .agg(sum(col("n_ids"))).head().getLong(0)
+    assert(n == 500L, s"sidecar counts $n")
+    // and queries through the grown index still see everything
+    val loaded = IndexStore.loadIvf(store, "bl")
+    assert(Ivf.topK(loaded, emb.filter(col("vec_id") < 5), k = 5, nProbe = 8)
+      .count() == 25)
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)
