@@ -18,10 +18,13 @@ import graft.sources.TableStore
   *
   * Quantizer state loads ONCE at sink construction (it is immutable by
   * design — a retrain is a new index name), so per-batch work is one
-  * assignment/encode scan of the batch, the id anti-join, and a
-  * partition-staged append into only the cell partitions the batch
-  * touches; bytes already encoded are never rewritten (a keyed
-  * whole-table merge would rewrite the corpus per micro-batch).
+  * assignment/encode scan of the batch, the id anti-join (pruned to
+  * the batch's own cell partitions; with an id-bloom sidecar —
+  * [[IndexStore.buildIdBloom]] — mostly-novel batches skip corpus id
+  * reads entirely), and a partition-staged append into only the cell
+  * partitions the batch touches; bytes already encoded are never
+  * rewritten (a keyed whole-table merge would rewrite the corpus per
+  * micro-batch).
   *
   * {{{
   * val sink = IndexIngest.ivfSink(store, "prod_index")
