@@ -175,6 +175,12 @@ object IndexStore {
     * write). Sidecar size: numBits/8 bytes per cell (~1.2 MB at the
     * 2^20/1% default) — tiny next to the corpus, and updates touch
     * only the batch's cells.
+    *
+    * Driver bound: probe and update hold the TOUCHED cells' blooms in
+    * driver memory (touched × numBits/8 bytes — ~120 MB for a batch
+    * spraying 100 cells at defaults). Micro-batches are temporally
+    * clustered and touch few cells; for wide batches size
+    * expectedIdsPerCell down or split the batch.
     */
   def buildIdBloom(
       store: TableStore,
