@@ -476,7 +476,11 @@ final class JdbcStore(
     * rows (only sourceValues rows are DELETEd), so their presence rolls
     * back with the same IllegalStateException the Parquet backend
     * throws. Values compare as strings (CAST) so the call is
-    * type-agnostic like the dir-name form.
+    * type-agnostic like the dir-name form, and NULL partition values
+    * compare as the Hive default-partition sentinel — the same
+    * spelling the directory backend's partition dirs use — so a NULL
+    * partition is addressable (and clobber-protected) on both
+    * backends alike.
     */
   def rewritePartitioned(
       df: DataFrame,
@@ -487,6 +491,10 @@ final class JdbcStore(
     df.write.mode("overwrite").jdbc(url, quoted(stage), props)
     val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
     val in = sourceValues.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
+    val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    def keyOf(qualifier: String) =
+      s"""COALESCE(CAST($qualifier."$partitionCol" AS VARCHAR(128)), '$sentinel')"""
     val conn = DriverManager.getConnection(url, props)
     try {
       val qName = quotedTable(conn, name)
@@ -495,11 +503,10 @@ final class JdbcStore(
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(
-          s"""SELECT DISTINCT CAST(s."$partitionCol" AS VARCHAR(128)) FROM $qStage s
-              WHERE CAST(s."$partitionCol" AS VARCHAR(128)) NOT IN ($in)
+          s"""SELECT DISTINCT ${keyOf("s")} FROM $qStage s
+              WHERE ${keyOf("s")} NOT IN ($in)
                 AND EXISTS (SELECT 1 FROM $qName t
-                  WHERE CAST(t."$partitionCol" AS VARCHAR(128)) =
-                        CAST(s."$partitionCol" AS VARCHAR(128)))""")
+                  WHERE ${keyOf("t")} = ${keyOf("s")})""")
         val clobbered = scala.collection.mutable.ArrayBuffer.empty[String]
         while (clobbered.size < 5 && rs.next()) clobbered += rs.getString(1)
         if (clobbered.nonEmpty)
@@ -507,7 +514,7 @@ final class JdbcStore(
             s"rewrite would clobber live partitions not listed as sources: " +
               s"${clobbered.mkString(", ")} — table untouched")
         st.executeUpdate(
-          s"""DELETE FROM $qName WHERE CAST("$partitionCol" AS VARCHAR(128)) IN ($in)""")
+          s"""DELETE FROM $qName t WHERE ${keyOf("t")} IN ($in)""")
         st.executeUpdate(s"INSERT INTO $qName ($cols) SELECT $cols FROM $qStage")
         conn.commit()
       } catch {

@@ -119,6 +119,32 @@ class FormatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == after)
   }
 
+  test("JDBC rewrite addresses NULL partitions via the Hive default sentinel") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_null").toString + "/wh"
+    val store = new JdbcStore(spark, s"jdbc:derby:$db;create=true")
+    val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    val base = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("id", "p")
+    store.overwrite(base, "nulls_rw")
+    def rows() = store.read("nulls_rw").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // the NULL partition is addressable by the same sentinel the
+    // directory backend's partition dirs use
+    store.rewritePartitioned(
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "p"),
+      "nulls_rw", "p", Seq(sentinel))
+    assert(rows() == Map(1L -> Some("a"), 9L -> None))
+    // staging NULL rows without listing the sentinel = clobber, aborts
+    intercept[IllegalStateException] {
+      store.rewritePartitioned(
+        Seq((7L, "a"), (8L, null.asInstanceOf[String])).toDF("id", "p"),
+        "nulls_rw", "p", Seq("a"))
+    }
+    assert(rows() == Map(1L -> Some("a"), 9L -> None))
+  }
+
   test("EmissionEtl runs end-to-end on a JDBC (Derby) warehouse with golden counts") {
     val refData = "/root/reference/data"
     val db = Files.createTempDirectory("graft_derby_etl").toString + "/wh"
