@@ -1139,6 +1139,27 @@ object Queries {
     IndexStore.driftReport(store, "drift_q", emb.filter(col("vec_id") >= 400))
   }
 
+  /** The full incremental-ingest path as a driver-gated behavioral
+    * oracle: quantizers train on vec_id < 400, an id-bloom sidecar
+    * builds, an OVERLAPPING batch (vec_id ≥ 350 — 50 already-ingested
+    * ids, 150 new) appends through the bloom + cell-pruned anti-join,
+    * and the same batch REPLAYS (must be a no-op). The resulting id
+    * set must be exactly the distinct corpus ids — any duplicate
+    * append, dropped row, or bloom false-negative breaks the hash.
+    * Cell assignments are engine-specific but deliberately excluded
+    * from the output; the spec layer covers them.
+    */
+  def qAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/ingest")
+    IndexStore.saveIvf(store, "ing", Ivf.build(emb.filter(col("vec_id") < 400), nLists = 8))
+    IndexStore.buildIdBloom(store, "ing__assigned",
+      expectedIdsPerCell = 1 << 16, fpp = 0.01)
+    IndexStore.appendIvfBatch(store, "ing", emb.filter(col("vec_id") >= 350))
+    IndexStore.appendIvfBatch(store, "ing", emb.filter(col("vec_id") >= 350)) // replay
+    store.read("ing__assigned").select(col("id"))
+  }
+
   /** Rebalance policy report (IndexStore.rebalanceReport) over a
     * deterministic skewed assignment, so the count→mean→action
     * arithmetic is fully oracle-checked: cells derive from vec_id

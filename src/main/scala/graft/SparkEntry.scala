@@ -109,6 +109,7 @@ object SparkEntry {
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_drift" -> (Queries.qAnnDrift _),
+    "q_ann_ingest" -> (Queries.qAnnIngest _),
     "q_ann_rebalance" -> (Queries.qAnnRebalance _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
@@ -652,6 +653,12 @@ object Oracles {
          ROUND(CAST((doc_id * 59) % 256 AS DOUBLE), 6) AS mean_g,
          ROUND(CAST((doc_id * 83) % 256 AS DOUBLE), 6) AS mean_b
          FROM documents WHERE doc_id < 300""",
+
+    // ingest behavioral gate: after an overlapping batch append plus a
+    // replay through the bloom + pruned anti-join, the table ids must
+    // be exactly the distinct corpus ids
+    "q_ann_ingest" ->
+      """SELECT vec_id AS id FROM embeddings""",
 
     // the rebalance policy arithmetic over a deterministic skewed
     // assignment: counts, mean, and the 2x-mean split threshold

@@ -58,6 +58,39 @@ class IndexIngestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streamed ingest with an id-bloom sidecar: replay still a no-op, sidecar tracks the stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") < 300)
+    val store = newStore()
+    IndexStore.saveIvf(store, "ivfb", Ivf.build(corpus, nLists = 8))
+    IndexStore.buildIdBloom(store, "ivfb__assigned",
+      expectedIdsPerCell = 4096, fpp = 0.01)
+
+    val src = MemoryStream[Vec]
+    val q = src.toDF().writeStream
+      .foreachBatch(IndexIngest.ivfSink(store, "ivfb"))
+      .start()
+    val late = vecsOf(emb.filter(col("vec_id") >= 300))
+    val (b1, b2) = late.splitAt(late.length / 2)
+    src.addData(b1)
+    q.processAllAvailable()
+    src.addData(b2)
+    q.processAllAvailable()
+    src.addData(b1) // replay: bloom marks all suspects -> exact no-op
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = IndexStore.loadIvf(store, "ivfb")
+    assert(streamed.assigned.count() == emb.count())
+    assert(streamed.assigned.select("id").distinct().count() == emb.count())
+    // sidecar counted each id exactly once (replays excluded by the
+    // anti-join BEFORE the sidecar update sees them)
+    val n = store.read("ivfb__assigned__idbloom")
+      .agg(sum(col("n_ids"))).head().getLong(0)
+    assert(n == emb.count(), s"sidecar counts $n")
+  }
+
   test("streamed IVF-PQ ingest encodes with stored quantizers; queries see the union") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
