@@ -271,6 +271,23 @@ object TrainingDataPipeline {
       .drop("__w")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-corpus
+    * sampling rule (p_i ∝ n_i^α, exponentiated-size normalization as
+    * in the mBERT/XLM-R/mT5 recipes): source sizes in,
+    * [[interleaveByWeight]]-ready weights out. α = 1 keeps natural
+    * proportions (big sources dominate); α → 0 flattens toward
+    * uniform (small sources upsample); the papers' usual range is
+    * 0.2-0.7. Pure driver-side arithmetic over the per-source counts
+    * the caller already has (one groupBy if not).
+    */
+  def temperatureWeights(sizes: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(sizes.nonEmpty && sizes.values.forall(_ > 0), s"bad sizes: $sizes")
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    val scaled = sizes.map { case (k, n) => k -> math.pow(n.toDouble, alpha) }
+    val total = scaled.values.sum
+    scaled.map { case (k, v) => k -> v / total }
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * `n`-token shingle with the evaluation set — the standard guard
     * against test-set leakage into training data. Scale shape: the

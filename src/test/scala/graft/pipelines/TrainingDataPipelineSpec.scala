@@ -35,6 +35,35 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(partial.select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("0"))
   }
 
+  test("temperatureWeights: alpha=1 natural, alpha=0 uniform, low alpha upsamples small sources") {
+    import spark.implicits._
+    val sizes = Map("big" -> 900L, "mid" -> 90L, "small" -> 10L)
+    def w(alpha: Double) = TrainingDataPipeline.temperatureWeights(sizes, alpha)
+    // alpha=1: natural proportions
+    val nat = w(1.0)
+    assert(math.abs(nat("big") - 0.9) < 1e-12 && math.abs(nat("small") - 0.01) < 1e-12)
+    // alpha=0: uniform
+    val uni = w(0.0)
+    assert(uni.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    // the standard 0.3 temperature: small source's share grows, big shrinks
+    val t = w(0.3)
+    assert(t("small") > nat("small") && t("big") < nat("big"))
+    assert(math.abs(t.values.sum - 1.0) < 1e-12)
+    // composes with the interleave: a temperature-weighted prefix holds
+    // more of the small source than the natural mix would
+    val docs = ((0L until 180L).map(i => (i, "big")) ++
+      (1000L until 1018L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val tw = TrainingDataPipeline.temperatureWeights(
+      Map("big" -> 180L, "small" -> 18L), 0.3)
+    val prefix = TrainingDataPipeline.interleaveByWeight(
+      docs, col("src"), tw, Seq(col("doc_id")))
+      .orderBy("interleave_key").limit(40)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // natural mix would give ~3-4 small docs in 40; temperature 0.3
+    // roughly doubles the small share
+    assert(prefix.getOrElse("small", 0L) >= 7, prefix.toString)
+  }
+
   test("tokenBudgetSelect matches the greedy (level desc, doc_id asc) reference") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     val budget = 20000L
