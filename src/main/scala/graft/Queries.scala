@@ -599,6 +599,21 @@ object Queries {
       shingleWidth = 2, k = 64, bands = 16, threshold = 0.2)
       .orderBy("id_a", "id_b")
 
+  /** Span-level exact substring dedup (Dedup.duplicateSpans — the
+    * Lee et al. relational shape): duplicated 8-token spans over a
+    * bounded doc subset, keep-first, overlaps merged. Fully
+    * oracle-checked — grams, first-occurrence minima, and the
+    * gaps-and-islands merge reproduce in DuckDB SQL.
+    */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8)
+
+  /** [[qDedupSpans]] applied: the cleaned text after excising every
+    * non-first duplicated span occurrence.
+    */
+  def qDedupSpansClean(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8)
+
   /** SimHash signatures per doc (no SQL oracle — xxhash64 based). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

@@ -93,6 +93,8 @@ object SparkEntry {
     "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_spans" -> (Queries.qDedupSpans _),
+    "q_dedup_spans_clean" -> (Queries.qDedupSpansClean _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_simhash_pairs_md5" -> (Queries.qDedupSimhashPairsMd5 _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
@@ -698,6 +700,67 @@ object Oracles {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
          MIN(doc_id) AS keep_id, COUNT(*) AS dups
          FROM documents GROUP BY 1""",
+
+    // span-level exact substring dedup: duplicated 8-token grams,
+    // keep-first (min doc then min pos), gaps-and-islands span merge
+    "q_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+               FROM d, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+         bg AS (SELECT gram, min(doc_id) AS fid FROM g
+                GROUP BY gram HAVING count(*) >= 2),
+         fp AS (SELECT g.gram, min(g.pos) AS fpos FROM g
+                JOIN bg ON g.gram = bg.gram AND g.doc_id = bg.fid GROUP BY g.gram),
+         rem AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+                 FROM g JOIN bg ON g.gram = bg.gram JOIN fp ON fp.gram = g.gram
+                 WHERE NOT (g.doc_id = bg.fid AND g.pos = fp.fpos)),
+         isl AS (SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                        THEN 1 ELSE 0 END AS ns
+                 FROM rem
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         sp AS (SELECT doc_id, s, e, sum(ns) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(s) AS INT) AS start_tok, CAST(max(e) AS INT) AS end_tok
+         FROM sp GROUP BY doc_id, sid""",
+
+    "q_dedup_spans_clean" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+               FROM d, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+         bg AS (SELECT gram, min(doc_id) AS fid FROM g
+                GROUP BY gram HAVING count(*) >= 2),
+         fp AS (SELECT g.gram, min(g.pos) AS fpos FROM g
+                JOIN bg ON g.gram = bg.gram AND g.doc_id = bg.fid GROUP BY g.gram),
+         rem AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+                 FROM g JOIN bg ON g.gram = bg.gram JOIN fp ON fp.gram = g.gram
+                 WHERE NOT (g.doc_id = bg.fid AND g.pos = fp.fpos)),
+         isl AS (SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                        THEN 1 ELSE 0 END AS ns
+                 FROM rem
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         sp AS (SELECT doc_id, s, e, sum(ns) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM isl),
+         spans AS (SELECT doc_id, min(s) AS st, max(e) AS en
+                   FROM sp GROUP BY doc_id, sid),
+         tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+                 FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+                  WHERE NOT EXISTS (SELECT 1 FROM spans x
+                    WHERE x.doc_id = t.doc_id AND t.pos >= x.st AND t.pos < x.en))
+         SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text
+         FROM d LEFT JOIN (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id) k USING (doc_id)""",
 
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -6,7 +6,7 @@ import graft.text.TextFunctions._
 
 /** Document deduplication at training-data scale.
   *
-  * Four families, all expressed as declarative DataFrame transforms so
+  * Five families, all expressed as declarative DataFrame transforms so
   * Catalyst plans the shuffles and AQE handles skew:
   *
   *  - exact:   hash-groupBy on a content fingerprint — one shuffle on
@@ -17,6 +17,9 @@ import graft.text.TextFunctions._
   *  - SimHash: 64-bit per-doc signature; near-dups share the signature
   *             (or a band of it) — groupBy, no pairwise compare.
   *  - n-gram Jaccard: exact verify step over candidate pairs only.
+  *  - exact substring spans: duplicated n-token runs excised
+  *             keep-first (the Lee et al. 2022 shape) — aggregations
+  *             only on the gram key, windows only per doc.
   *
   * At 100 TB the only O(n²) danger is a hot band bucket (boilerplate
   * docs); `maxBucket` caps membership per bucket (drop-or-sample), the
@@ -623,5 +626,95 @@ object Dedup {
         col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Span-level exact substring dedup — the fifth family, the Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") shape re-expressed relationally: any `n`-token gram
+    * occurring at ≥ 2 (doc, pos) sites corpus-wide marks every
+    * occurrence EXCEPT the globally first (min doc id, then min
+    * position within it) for removal; overlapping or adjacent marked
+    * grams merge into spans [start_tok, end_tok).
+    *
+    * Scale shape: the gram stream shuffles once on the gram key and
+    * reduces through AGGREGATIONS only — count + a two-stage
+    * first-occurrence min (min doc per gram, then min pos within that
+    * doc) — so a boilerplate gram occurring 10⁸ times costs a
+    * map-side-combined counter, never a single-task per-gram sort
+    * (the same hot-key discipline as the LSH bucket cap). The only
+    * window partitions by DOC for the span merge — bounded by doc
+    * length. A suffix array finds duplicated spans of ANY length in
+    * O(total); fixed-n gram matching is the standard relational
+    * approximation — duplicated runs ≥ n tokens are found exactly
+    * (as merged runs of overlapping duplicated grams), shorter ones
+    * not at all.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val grams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
+    val byGram = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("fid"))
+      .filter(col("cnt") >= 2)
+      .select("gram", "fid")
+    val firstPos = grams.join(byGram, Seq("gram"))
+      .filter(col("id") === col("fid"))
+      .groupBy("gram").agg(min(col("pos")).as("fpos"))
+    val removals = grams
+      .join(byGram, Seq("gram"))
+      .join(firstPos, Seq("gram"))
+      .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
+      .select(col("id"), col("pos").as("start"), (col("pos") + n).as("end"))
+    // gaps-and-islands merge of [start, end) ranges, windowed per doc
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("start")
+    val runMax = max(col("end"))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = removals
+      .withColumn("ns", when(runMax.isNull || col("start") > runMax, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("sid"))
+      .agg(min(col("start")).as("start_tok"), max(col("end")).as("end_tok"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"))
+  }
+
+  /** [[duplicateSpans]] applied: every marked token range is excised
+    * and the survivors re-join (single-space, lowercase-normalized —
+    * the same token stream the spans were computed over). Docs shorter
+    * than `n` tokens or without duplicated spans pass through
+    * normalized. The excision is a broadcast range anti-join of the
+    * token stream against the (tiny relative to the corpus) span set,
+    * then a per-doc ordered re-assembly — no text ever moves through
+    * a window.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, n, idCol, textCol)
+      .select(col(idCol).as("__sid"), col("start_tok"), col("end_tok"))
+    val toksPos = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toksPos.join(broadcast(spans),
+      col(idCol) === col("__sid") &&
+        col("pos") >= col("start_tok") && col("pos") < col("end_tok"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e("tok")), " ").as("clean_text"))
+    // empty docs (or docs whose every token was excised) survive as ''
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

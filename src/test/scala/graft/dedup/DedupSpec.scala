@@ -227,6 +227,53 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicateSpans: keep-first, overlap merge, sub-n runs invisible") {
+    import spark.implicits._
+    // doc 1 carries the canonical 5-token run "p q r s t" at pos 2;
+    // doc 2 repeats it at pos 0 AND extends it by one shared token u
+    // (pos 0..5 → grams at 0 and 1 both duplicated vs docs 1/3: the
+    // two marked [0,5) and [1,6) ranges must MERGE to one [0,6) span);
+    // doc 3 repeats "q r s t u" (pos 3); doc 4 shares only a 3-token
+    // run (< n) — invisible at n=5
+    val docs = Seq(
+      (1L, "a b p q r s t z"),
+      (2L, "p q r s t u m m2 m3"),
+      (3L, "c d e q r s t u"),
+      (4L, "r s t only three here")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // first occurrence of "p q r s t" = (doc 1, pos 2): doc 1 keeps it;
+    // first occurrence of "q r s t u" = (doc 2, pos 1) — but doc 2's
+    // [0,5) and [1,6) CANNOT both survive: gram "p q r s t" at (2,0) is
+    // a duplicate (first is doc 1), gram "q r s t u" at (2,1) is the
+    // FIRST of its kind, so doc 2 only removes [0,5); doc 3 removes
+    // its "q r s t u" occurrence [3,8)
+    assert(spans == Set((2L, 0, 5), (3L, 3, 8)), spans.toString)
+
+    val clean = Dedup.removeDuplicateSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "a b p q r s t z") // keeper untouched (normalized)
+    assert(clean(2L) == "u m m2 m3")
+    assert(clean(3L) == "c d e")
+    assert(clean(4L) == "r s t only three here")
+  }
+
+  test("duplicateSpans merges overlapping marked grams into one span") {
+    import spark.implicits._
+    // doc 11 repeats doc 10's 7-token run: at n=5 that is three
+    // overlapping duplicated grams (pos 0,1,2) which must merge into
+    // ONE [0,7) span, not three
+    val docs = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7"),
+      (11L, "t1 t2 t3 t4 t5 t6 t7 tail x y")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((11L, 0, 7)), spans.mkString(", "))
+    val clean = Dedup.removeDuplicateSpans(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(11L) == "tail x y")
+  }
+
   test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()
