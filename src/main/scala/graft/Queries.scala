@@ -606,13 +606,15 @@ object Queries {
     * gaps-and-islands merge reproduce in DuckDB SQL.
     */
   def qDedupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8)
+    Dedup.duplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8,
+      hashGrams = false)
 
   /** [[qDedupSpans]] applied: the cleaned text after excising every
     * non-first duplicated span occurrence.
     */
   def qDedupSpansClean(s: SparkSession, dir: String): DataFrame =
-    Dedup.removeDuplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8)
+    Dedup.removeDuplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8,
+      hashGrams = false)
 
   /** SimHash signatures per doc (no SQL oracle — xxhash64 based). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

@@ -648,19 +648,33 @@ object Dedup {
     * approximation — duplicated runs ≥ n tokens are found exactly
     * (as merged runs of overlapping duplicated grams), shorter ones
     * not at all.
+    *
+    * `hashGrams` (the production default) keys the shuffle on
+    * xxhash64(gram) — 8 bytes instead of the ~n·wordlen gram string,
+    * an ~8× lighter shuffle since the gram stream is one row per
+    * corpus token position. A 64-bit collision can mark a
+    * non-duplicate span (lost text, never corruption) at ~|grams|²/2⁶⁴
+    * odds; the string mode is the engine-portable twin the DuckDB
+    * oracle checks, and the spec pins hashed ≡ string on the test
+    * corpus.
     */
   def duplicateSpans(
       docs: DataFrame,
       n: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
+    val gramStr = (i: Column) => array_join(slice(col("toks"), i + 1, lit(n)), " ")
+    val gramExpr =
+      if (hashGrams) (i: Column) => xxhash64(gramStr(i))
+      else gramStr
     val grams = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("toks")) - n),
-        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
+        i => gramExpr(i))).as(Seq("pos", "gram")))
     val byGram = grams.groupBy("gram")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("fid"))
       .filter(col("cnt") >= 2)
@@ -699,8 +713,9 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, n, idCol, textCol)
+      textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(docs, n, idCol, textCol, hashGrams)
       .select(col(idCol).as("__sid"), col("start_tok"), col("end_tok"))
     val toksPos = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))

@@ -274,6 +274,15 @@ class DedupSpec extends SparkSpec {
     assert(clean(11L) == "tail x y")
   }
 
+  test("duplicateSpans hashed production mode equals the portable string mode") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    def spans(hash: Boolean) = Dedup.duplicateSpans(docs, n = 8, hashGrams = hash)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val hashed = spans(true)
+    assert(hashed == spans(false))
+    assert(hashed.nonEmpty) // the corpus does carry duplicated runs
+  }
+
   test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()
