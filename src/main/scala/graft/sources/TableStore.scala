@@ -421,15 +421,39 @@ final class JdbcStore(
     * `dbtable` option UNQUOTED, so the server case-folds it on CREATE
     * (Derby up, Postgres down) and our hand-built SQL must target that
     * stored spelling, not the caller's.
+    *
+    * Cost shape: three EXACT metadata probes (as-is / upper / lower —
+    * every standard folding) with pattern wildcards escaped, falling
+    * back to the full-catalog scan only for exotic foldings — a
+    * warehouse with 10⁴ tables pays O(1) metadata rows per call, not
+    * an enumeration.
     */
   private def storedName(conn: java.sql.Connection, name: String): Option[String] = {
-    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-    var found: Option[String] = None
-    while (found.isEmpty && rs.next()) {
-      val t = rs.getString("TABLE_NAME")
-      if (t.equalsIgnoreCase(name)) found = Some(t)
+    val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+    def exactPattern(s: String): String = {
+      val escaped = esc.fold(s)(e => s.replace(e, e + e))
+      esc.fold(escaped)(e =>
+        escaped.replace("_", e + "_").replace("%", e + "%"))
     }
-    found
+    def probe(candidate: String): Option[String] = {
+      val rs = md.getTables(null, null, exactPattern(candidate), Array("TABLE"))
+      try if (rs.next()) Some(rs.getString("TABLE_NAME")) else None
+      finally rs.close()
+    }
+    Seq(name, name.toUpperCase, name.toLowerCase).distinct
+      .iterator.map(probe).collectFirst { case Some(t) => t }
+      .orElse {
+        val rs = md.getTables(null, null, null, Array("TABLE"))
+        try {
+          var found: Option[String] = None
+          while (found.isEmpty && rs.next()) {
+            val t = rs.getString("TABLE_NAME")
+            if (t.equalsIgnoreCase(name)) found = Some(t)
+          }
+          found
+        } finally rs.close()
+      }
   }
 
   /** `name` as a safely quoted SQL identifier for this connection:
