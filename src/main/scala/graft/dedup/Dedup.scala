@@ -704,10 +704,16 @@ object Dedup {
     * and the survivors re-join (single-space, lowercase-normalized —
     * the same token stream the spans were computed over). Docs shorter
     * than `n` tokens or without duplicated spans pass through
-    * normalized. The excision is a broadcast range anti-join of the
-    * token stream against the (tiny relative to the corpus) span set,
-    * then a per-doc ordered re-assembly — no text ever moves through
-    * a window.
+    * normalized. The excision is a range anti-join of the token
+    * stream against the span set ON THE `doc_id` EQUI-KEY — the span
+    * set is corpus-proportional (Lee et al. 2022 report ~3% of
+    * tokens sit in duplicated spans, so at 100 TB it is itself
+    * multi-TB), which is why there is deliberately NO broadcast hint
+    * here: Catalyst shuffle-joins both sides on the id key and
+    * evaluates the positional range as a residual predicate, and AQE
+    * still picks a broadcast at runtime when the span set really is
+    * small. Then a per-doc ordered re-assembly — no text ever moves
+    * through a window.
     */
   def removeDuplicateSpans(
       docs: DataFrame,
@@ -719,7 +725,7 @@ object Dedup {
       .select(col(idCol).as("__sid"), col("start_tok"), col("end_tok"))
     val toksPos = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val kept = toksPos.join(broadcast(spans),
+    val kept = toksPos.join(spans,
       col(idCol) === col("__sid") &&
         col("pos") >= col("start_tok") && col("pos") < col("end_tok"),
       "left_anti")

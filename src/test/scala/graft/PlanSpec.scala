@@ -135,6 +135,24 @@ class PlanSpec extends SparkSpec {
       "brute force should have no window at all")
   }
 
+  test("span excision has no MANDATORY broadcast of the span frame") {
+    // VERDICT r6 #1: removeDuplicateSpans must carry no broadcast
+    // hint — the span set scales with total duplication. With the
+    // auto-broadcast threshold disabled, a hinted broadcast would
+    // still plan a BroadcastExchange; the fix means the anti-join
+    // falls back to a shuffled join on the doc_id equi-key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = graft.Tables.documents(spark, sf(""))
+      val p = graft.dedup.Dedup.removeDuplicateSpans(docs, n = 8)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"span excision mandates a broadcast:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_pack_sequences: partition-local sort only, no global ordering") {
     // SortExec prints "Sort [cols...], <global>, 0" — the pack sort
     // must be the non-global (within-partition) variant

@@ -283,6 +283,22 @@ class DedupSpec extends SparkSpec {
     assert(hashed.nonEmpty) // the corpus does carry duplicated runs
   }
 
+  test("removeDuplicateSpans excises correctly when the span set cannot broadcast") {
+    // VERDICT r6 #1: the span set is corpus-proportional, so the
+    // excision must survive a plan where broadcasting it is forbidden
+    // (the 100 TB case). Force every join to shuffle and check the
+    // result is bit-identical to the default-config run.
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    def run() = Dedup.removeDuplicateSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val withBroadcast = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(run() == withBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()
