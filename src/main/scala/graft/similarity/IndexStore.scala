@@ -102,11 +102,12 @@ object IndexStore {
   /** The anti-joined frame behind [[appendNewById]], exposed so specs
     * can assert the corpus scan's partition pruning. With an id-bloom
     * sidecar present ([[buildIdBloom]]), the batch first splits
-    * against the touched cells' blooms: bloom-negative rows are
-    * definitely new (no corpus read at all — an all-novel batch's plan
-    * contains NO scan of the corpus table), and only bloom-positive
-    * suspects exact-check via the anti-join, pruned to the SUSPECTS'
-    * cells rather than the whole batch's.
+    * against its cells' blooms — probed EXECUTOR-side via a per-cell
+    * join, so no bloom bytes aggregate on the driver: bloom-negative
+    * rows are definitely new (no corpus read at all — an all-novel
+    * batch's plan contains NO scan of the corpus table), and only
+    * bloom-positive suspects exact-check via the anti-join, pruned to
+    * the SUSPECTS' cells rather than the whole batch's.
     */
   private[graft] def newById(store: TableStore, table: String, batch: DataFrame): DataFrame = {
     val existing = store.read(table)
@@ -120,23 +121,48 @@ object IndexStore {
       existing.filter(col("cell").cast("string").isin(cells: _*)).select("id")
     def cellsOf(df: DataFrame): Seq[String] =
       df.select("cell").distinct().collect().map(r => String.valueOf(r.get(0))).toSeq
-    loadMergedBloom(store, table, cellsOf(batch)) match {
-      case None =>
-        batch.join(prunedIds(cellsOf(batch)), Seq("id"), "left_anti")
-      case Some(bloomBytes) =>
-        val mightContain = org.apache.spark.sql.GraftShim.column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.catalyst.expressions.Literal.create(
-              bloomBytes, org.apache.spark.sql.types.BinaryType),
-            org.apache.spark.sql.GraftShim.expression(xxhash64(col("id")))))
-        val tagged = batch.withColumn("__maybe", mightContain)
-        val suspects = tagged.filter(col("__maybe")).drop("__maybe")
-        val suspectCells = cellsOf(suspects)
-        if (suspectCells.isEmpty) batch // all definitely new: zero corpus reads
-        else tagged.filter(!col("__maybe")).drop("__maybe")
-          .unionByName(suspects.join(prunedIds(suspectCells), Seq("id"), "left_anti"))
-    }
+    val bt = bloomTable(table)
+    if (!store.exists(bt))
+      return batch.join(prunedIds(cellsOf(batch)), Seq("id"), "left_anti")
+    // Executor-side probe (r6 item #2): each batch row joins its OWN
+    // cell's sidecar bloom (partition-pruned to the batch's cells) and
+    // evaluates might_contain where the row already is — no bloom
+    // bytes ever collect on the driver, so a bulk backfill spraying
+    // thousands of cells carries no driver bound. Rows whose cell has
+    // no sidecar row join NULL → definitely new (a cell without a
+    // sidecar row has no prior ids — ingest is the single writer and
+    // the sidecar updates before rows land). The bloom column drops
+    // before anything shuffles, so the wide bytes never travel.
+    val sidecar = store.read(bt)
+      .filter(col("cell").cast("string").isin(cellsOf(batch): _*))
+      .select(col("cell").cast("int").as("cell"), col("bloom").as("__bloom"))
+    val tagged = batch.join(sidecar, Seq("cell"), "left")
+      .withColumn("__maybe", graft.functions.BloomProbeFunctions.cellBloomMightContain(
+        col("cell"), col("__bloom"), xxhash64(col("id"))))
+      .select(batch.columns.map(col) :+ col("__maybe"): _*)
+    val suspects = tagged.filter(col("__maybe")).drop("__maybe")
+    val suspectCells = cellsOf(suspects)
+    if (suspectCells.isEmpty) batch // all definitely new: zero corpus reads
+    else tagged.filter(!col("__maybe")).drop("__maybe")
+      .unionByName(suspects.join(prunedIds(suspectCells), Seq("id"), "left_anti"))
   }
+
+  /** Audit the id-uniqueness invariant [[appendNewById]]'s cell-pruned
+    * anti-join relies on: the prune narrows "no duplicate ids ever" to
+    * "no duplicate ids PROVIDED ids are content-stable" (an id re-sent
+    * with a mutated vector can quantize into a different cell and land
+    * twice). Nothing in the ingest path can see such a violation, so
+    * this one aggregate — (id, n_copies, cells) for every id appearing
+    * more than once — is the cheap periodic check that turns a broken
+    * producer contract into a loud signal instead of silently skewed
+    * query results. Empty = invariant holds.
+    */
+  def duplicateIdAudit(store: TableStore, table: String): DataFrame =
+    store.read(table)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_copies"),
+        sort_array(collect_set(col("cell").cast("int"))).as("cells"))
+      .filter(col("n_copies") > 1)
 
   // ------------------------------------------------ id-bloom sidecar
 
@@ -176,11 +202,13 @@ object IndexStore {
     * 2^20/1% default) — tiny next to the corpus, and updates touch
     * only the batch's cells.
     *
-    * Driver bound: probe and update hold the TOUCHED cells' blooms in
-    * driver memory (touched × numBits/8 bytes — ~120 MB for a batch
-    * spraying 100 cells at defaults). Micro-batches are temporally
-    * clustered and touch few cells; for wide batches size
-    * expectedIdsPerCell down or split the batch.
+    * The PROBE is fully executor-side (per-cell join — no driver
+    * bound, however many cells a bulk backfill sprays). The UPDATE
+    * still folds the touched cells' add-blooms through the driver
+    * (touched × numBits/8 bytes), but only for cells the batch
+    * actually landed fresh rows in — bounded by the batch, not the
+    * corpus, and the per-cell rewrite is a partition-surgery write
+    * either way.
     */
   def buildIdBloom(
       store: TableStore,
@@ -194,43 +222,21 @@ object IndexStore {
       bloomPerCell(rows, expectedIdsPerCell, numBits), bloomTable(table), "cell")
   }
 
-  /** Merge the stored blooms of `cells` into one filter for the batch
-    * probe (None = no sidecar). Cells without a row have no prior ids
-    * — nothing to merge, bloom-negative is correct for them. A
-    * parameter-incompatible merge (mid-rebuild sidecar) falls back to
-    * None: every row becomes a suspect, which is correct, just slower.
-    */
-  private def loadMergedBloom(
-      store: TableStore, table: String, cells: Seq[String]): Option[Array[Byte]] = {
-    if (!store.exists(bloomTable(table))) return None
-    val rows = store.read(bloomTable(table))
-      .filter(col("cell").cast("string").isin(cells: _*))
-      .select("bloom").collect()
-    if (rows.isEmpty) {
-      // sidecar exists but none of the touched cells have prior ids:
-      // an always-false bloom (empty filter) — no corpus read needed
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
-      val bos = new java.io.ByteArrayOutputStream()
-      empty.writeTo(bos)
-      return Some(bos.toByteArray)
-    }
-    try {
-      val merged = rows.map { r =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
-      }.reduce { (a, b) => a.mergeInPlace(b); a }
-      val bos = new java.io.ByteArrayOutputStream()
-      merged.writeTo(bos)
-      Some(bos.toByteArray)
-    } catch {
-      case _: org.apache.spark.util.sketch.IncompatibleMergeException => None
-    }
-  }
-
   /** Fold a batch's fresh rows into the sidecar (no-op without one):
     * per-cell add-blooms build with the STORED (capacity, num_bits) so
-    * they merge into the stored filters, and only the touched cell
-    * partitions rewrite (new cells append as new partitions).
+    * they merge into the stored filters — EXECUTOR-side, via a
+    * per-cell join + [[graft.functions.BloomMerge]], so like the probe
+    * the update never holds bloom bytes in driver memory — and only
+    * the touched cell partitions rewrite (new cells append as new
+    * partitions).
+    *
+    * A touched cell whose stored row declares DIFFERENT (capacity,
+    * num_bits) — a concurrent/partial sidecar rebuild — cannot merge;
+    * its bloom REBUILDS from the authoritative corpus table plus the
+    * batch under the head parameters. Never skip the add (an
+    * under-approximating bloom lets later batches re-append landed
+    * ids) and never delete the row (a missing row reads as "no prior
+    * ids" — the same unsafe direction).
     */
   private def updateIdBloom(store: TableStore, table: String, fresh: DataFrame): Unit = {
     val bt = bloomTable(table)
@@ -242,35 +248,42 @@ object IndexStore {
         (1L << 20,
           org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01).bitSize())
       else (params(0).getLong(0), params(0).getLong(1))
+    val freshCells = fresh.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (freshCells.isEmpty) return
     val adds = bloomPerCell(fresh.select(col("cell"), col("id")), capacity, numBits)
-      .select("cell", "n_ids", "bloom").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Array[Byte]](2)))
-    if (adds.isEmpty) return
-    val touched = adds.map(_._1.toString).toSeq
+      .select(col("cell"), col("n_ids").as("n_add"), col("bloom").as("add_bloom"))
     val stored = sidecar
-      .filter(col("cell").cast("string").isin(touched: _*))
-      .select("cell", "n_ids", "bloom").collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
-    def readBf(b: Array[Byte]) = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(b))
-    val merged = adds.map { case (cell, nAdd, bAdd) =>
-      stored.get(cell) match {
-        case Some((n0, b0)) =>
-          val f = readBf(b0)
-          f.mergeInPlace(readBf(bAdd))
-          val bos = new java.io.ByteArrayOutputStream()
-          f.writeTo(bos)
-          (cell, n0 + nAdd, bos.toByteArray)
-        case None => (cell, nAdd, bAdd)
+      .filter(col("cell").cast("string").isin(freshCells: _*))
+      .select(col("cell").cast("int").as("cell"), col("n_ids").as("n0"),
+        col("bloom").as("bloom0"), col("capacity").as("cap0"), col("num_bits").as("bits0"))
+    val joined = adds.join(stored, Seq("cell"), "left")
+    val compatible = col("cap0") === capacity && col("bits0") === numBits
+    val mergeable = joined.filter(col("bloom0").isNull || compatible)
+      .select(col("cell"),
+        (coalesce(col("n0"), lit(0L)) + col("n_add")).as("n_ids"),
+        when(col("bloom0").isNull, col("add_bloom"))
+          .otherwise(graft.functions.BloomProbeFunctions
+            .bloomMerge(col("bloom0"), col("add_bloom"))).as("bloom"))
+    val incompatCells = joined.filter(col("bloom0").isNotNull && !compatible)
+      .select("cell").collect().map(r => String.valueOf(r.get(0))).toSeq
+    val merged =
+      if (incompatCells.isEmpty) mergeable
+      else {
+        val authoritative = store.read(table).select(col("cell"), col("id"))
+          .filter(col("cell").cast("string").isin(incompatCells: _*))
+          .unionByName(fresh.select(col("cell"), col("id"))
+            .filter(col("cell").cast("string").isin(incompatCells: _*)))
+        mergeable.unionByName(
+          bloomPerCell(authoritative, capacity, numBits)
+            .select("cell", "n_ids", "bloom"))
       }
-    }
-    val spark = fresh.sparkSession
-    import spark.implicits._
+    val replaced = stored.select("cell").collect().map(r => String.valueOf(r.get(0))).toSeq
     store.rewritePartitioned(
-      merged.toSeq.toDF("cell", "n_ids", "bloom")
+      merged
         .withColumn("capacity", lit(capacity))
         .withColumn("num_bits", lit(numBits)),
-      bt, "cell", stored.keys.map(_.toString).toSeq)
+      bt, "cell", replaced)
   }
 
   /** Persist an IVF index: `<name>__centroids` (tiny) and, the

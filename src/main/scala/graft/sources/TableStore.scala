@@ -519,6 +519,12 @@ final class JdbcStore(
       .DEFAULT_PARTITION_NAME
     def keyOf(qualifier: String) =
       s"""COALESCE(CAST($qualifier."$partitionCol" AS VARCHAR(128)), '$sentinel')"""
+    // empty sourceValues (pure partition ADD — e.g. a sidecar batch
+    // landing only in fresh cells) must not emit `IN ()`, a syntax
+    // error: every staged partition is then clobber-checked and the
+    // DELETE is skipped outright
+    val notSourced =
+      if (sourceValues.isEmpty) "" else s"${keyOf("s")} NOT IN ($in) AND "
     val conn = DriverManager.getConnection(url, props)
     try {
       val qName = quotedTable(conn, name)
@@ -528,8 +534,7 @@ final class JdbcStore(
       try {
         val rs = st.executeQuery(
           s"""SELECT DISTINCT ${keyOf("s")} FROM $qStage s
-              WHERE ${keyOf("s")} NOT IN ($in)
-                AND EXISTS (SELECT 1 FROM $qName t
+              WHERE $notSourced EXISTS (SELECT 1 FROM $qName t
                   WHERE ${keyOf("t")} = ${keyOf("s")})""")
         val clobbered = scala.collection.mutable.ArrayBuffer.empty[String]
         while (clobbered.size < 5 && rs.next()) clobbered += rs.getString(1)
@@ -537,8 +542,9 @@ final class JdbcStore(
           throw new IllegalStateException(
             s"rewrite would clobber live partitions not listed as sources: " +
               s"${clobbered.mkString(", ")} — table untouched")
-        st.executeUpdate(
-          s"""DELETE FROM $qName t WHERE ${keyOf("t")} IN ($in)""")
+        if (sourceValues.nonEmpty)
+          st.executeUpdate(
+            s"""DELETE FROM $qName t WHERE ${keyOf("t")} IN ($in)""")
         st.executeUpdate(s"INSERT INTO $qName ($cols) SELECT $cols FROM $qStage")
         conn.commit()
       } catch {

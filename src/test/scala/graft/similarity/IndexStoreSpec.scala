@@ -397,6 +397,80 @@ class IndexStoreSpec extends SparkSpec {
       .count() == 25)
   }
 
+  test("wide batch across 600 cells: probe stays executor-side, dedup exact, audit clean") {
+    // VERDICT r6 item #2: a bulk backfill spraying hundreds of cells
+    // must not aggregate bloom bytes on the driver — the probe joins
+    // each row against ITS cell's sidecar bloom where the row sits.
+    import spark.implicits._
+    val nCells = 600
+    def rows(ids: Range) = ids
+      .map(i => (i.toLong, Seq(i.toFloat, 1f), i % nCells))
+      .toDF("id", "vec", "cell")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"), col("cell"))
+    val store = newStore()
+    store.overwritePartitioned(rows(0 until 1200), "wide__assigned", "cell")
+    IndexStore.buildIdBloom(store, "wide__assigned", expectedIdsPerCell = 64, fpp = 0.03)
+
+    // 600 already-ingested ids (all suspects) + 600 novel, one per cell
+    val batch = rows(600 until 1800)
+    val plan = IndexStore.newById(store, "wide__assigned", batch)
+      .queryExecution.executedPlan.toString
+    // the sidecar is SCANNED in the plan (probed via join where the
+    // rows are) instead of collapsing into a driver-built literal
+    assert(plan.contains("idbloom"), plan)
+
+    IndexStore.appendNewById(store, "wide__assigned", batch)
+    def ids() = store.read("wide__assigned").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids() == (0L until 1800L))
+    // replay of the wide batch is a no-op
+    IndexStore.appendNewById(store, "wide__assigned", batch)
+    assert(ids() == (0L until 1800L))
+    assert(IndexStore.duplicateIdAudit(store, "wide__assigned").isEmpty)
+  }
+
+  test("sidecar update heals a parameter-incompatible (mid-rebuild) cell by rebuilding it") {
+    // ADVICE r6: a cell whose stored bloom params differ (concurrent /
+    // partial rebuild) cannot merge — the add must never be dropped
+    // (under-approximation re-appends landed ids) and the row must
+    // never be deleted (missing row reads as "no prior ids"); the
+    // cell's bloom rebuilds from the corpus table + batch instead.
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i => (i.toLong, Seq(i.toFloat), i % 4))
+      .toDF("id", "vec", "cell")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"), col("cell"))
+    val store = newStore()
+    store.overwritePartitioned(rows(0 until 100), "mix__assigned", "cell")
+    IndexStore.buildIdBloom(store, "mix__assigned", expectedIdsPerCell = 256, fpp = 0.01)
+
+    // sabotage cell 0's sidecar row with foreign (capacity, num_bits):
+    // a bloom that still holds cell 0's ids, but cannot merge
+    val foreign = org.apache.spark.util.sketch.BloomFilter.create(32, 0.1)
+    (0 until 100 by 4).foreach(i => foreign.putLong(
+      spark.sql(s"SELECT xxhash64(CAST($i AS BIGINT))").head().getLong(0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    foreign.writeTo(bos)
+    store.rewritePartitioned(
+      Seq((0, 25L, bos.toByteArray, 32L, foreign.bitSize()))
+        .toDF("cell", "n_ids", "bloom", "capacity", "num_bits"),
+      "mix__assigned__idbloom", "cell", Seq("0"))
+
+    // a batch landing fresh rows in ALL cells (incl. the foreign one)
+    val batch = rows(80 until 140) // 20 replayed + 40 novel
+    IndexStore.appendNewById(store, "mix__assigned", batch)
+    def ids() = store.read("mix__assigned").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids() == (0L until 140L))
+    // the healed cell is back on the sidecar-wide parameters
+    val healed = store.read("mix__assigned__idbloom")
+      .filter(col("cell").cast("int") === 0)
+      .select("capacity").head().getLong(0)
+    assert(healed != 32L, "cell 0 should have been rebuilt under the head params")
+    // and the healed bloom still dedups: replay is a no-op
+    IndexStore.appendNewById(store, "mix__assigned", batch)
+    assert(ids() == (0L until 140L))
+  }
+
   test("IVF incremental append covers the batch without touching existing assignments") {
     val corpus = emb.filter(col("vec_id") < 450)
     val batch = emb.filter(col("vec_id") >= 450)

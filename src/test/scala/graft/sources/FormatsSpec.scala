@@ -119,6 +119,26 @@ class FormatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == after)
   }
 
+  test("JDBC rewrite with NO source partitions is a pure add (no IN () syntax error)") {
+    // ADVICE r6: a sidecar batch landing only in fresh cells calls
+    // rewritePartitioned with empty sourceValues — the JDBC backend
+    // used to emit `IN ()`/`NOT IN ()`, a SQL syntax error
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_add").toString + "/wh"
+    val store = new JdbcStore(spark, s"jdbc:derby:$db;create=true")
+    store.overwrite(Seq((1L, "a")).toDF("id", "p"), "adds_rw")
+    store.rewritePartitioned(Seq((2L, "b")).toDF("id", "p"), "adds_rw", "p", Seq.empty)
+    def rows() = store.read("adds_rw").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows() == Map(1L -> "a", 2L -> "b"))
+    // with no sources listed, EVERY staged row landing in a live
+    // partition is a clobber and must roll back
+    intercept[IllegalStateException] {
+      store.rewritePartitioned(Seq((9L, "a")).toDF("id", "p"), "adds_rw", "p", Seq.empty)
+    }
+    assert(rows() == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("JDBC rewrite addresses NULL partitions via the Hive default sentinel") {
     import spark.implicits._
     val db = Files.createTempDirectory("graft_derby_null").toString + "/wh"
