@@ -62,6 +62,115 @@ object IndexStore {
         .map { case (_, codes) => codes.sortBy(_._2).map(_._3) })
   }
 
+  // ------------------------------------------- retrain name rotation
+
+  private def aliasTable(name: String) = s"${name}__alias"
+
+  /** The PHYSICAL table prefix of index `name`: a rotated index
+    * ([[rotateIvf]]/[[rotateIvfPq]]) reads through the one-row
+    * `<name>__alias` pointer; an un-rotated index is its own prefix.
+    * Every public entry point resolves through here, so callers keep
+    * one logical name across retrains. Public because table-level
+    * helpers ([[buildIdBloom]], raw store reads) need the generation
+    * prefix to address e.g. `<physical>__assigned`.
+    */
+  def resolveIndex(store: TableStore, name: String): String = {
+    val at = aliasTable(name)
+    if (!store.exists(at)) name
+    else {
+      val rows = store.read(at).select("physical").head(1)
+      if (rows.isEmpty) name else rows(0).getString(0)
+    }
+  }
+
+  private def nextGeneration(store: TableStore, name: String): String = {
+    val cur = resolveIndex(store, name)
+    val gen = "__gen_(\\d+)$".r.findFirstMatchIn(cur).map(_.group(1).toInt).getOrElse(0)
+    s"${name}__gen_${gen + 1}"
+  }
+
+  /** Publish a rotation: one tiny-table overwrite (the same staged
+    * publish discipline as the split marker) — readers resolve the old
+    * generation until the flip lands, the new one after; there is no
+    * in-between state.
+    */
+  private def flipAlias(
+      spark: SparkSession, store: TableStore, name: String, phys: String): Unit = {
+    import spark.implicits._
+    store.overwrite(Seq(phys).toDF("physical"), aliasTable(name))
+  }
+
+  /** Rebuild the new generation's id-bloom sidecar under the OLD
+    * generation's parameters (no-op if the old corpus table had no
+    * sidecar) — a rotation must not silently drop the ingest-dedup
+    * acceleration a deployment relies on.
+    */
+  private def carryBloom(store: TableStore, oldTable: String, newTable: String): Unit = {
+    val obt = bloomTable(oldTable)
+    if (!store.exists(obt)) return
+    val params = store.read(obt).select("capacity", "num_bits").head(1)
+    if (params.isEmpty) return
+    store.overwritePartitioned(
+      bloomPerCell(store.read(newTable).select(col("cell"), col("id")),
+        params(0).getLong(0), params(0).getLong(1)),
+      bloomTable(newTable), "cell")
+  }
+
+  /** The `retrain` actuator [[rebalanceReport]]'s action column points
+    * at: retrain the coarse quantizer AND residual codebooks on
+    * `vectors` (normally the full current corpus — the distribution
+    * that drifted away from the frozen quantizers), re-encode, snapshot
+    * a fresh [[saveCellStats]] drift baseline, rebuild the id-bloom
+    * sidecar if the old generation carried one, and atomically swap the
+    * logical name onto the new generation ([[flipAlias]]). The old
+    * generation's tables stay on disk (in-flight readers resolve them
+    * until the flip; drop them out-of-band once drained). After
+    * rotation a [[driftReport]] of the batch that triggered the retrain
+    * reads near ratio 1 — the lifecycle loop the split path already
+    * closes for size skew, closed for distribution drift.
+    */
+  def rotateIvfPq(
+      store: TableStore,
+      name: String,
+      vectors: DataFrame,
+      nLists: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPq.Index = {
+    val cur = resolveIndex(store, name)
+    val next = nextGeneration(store, name)
+    val idx = IvfPq.build(vectors, nLists, m, k, maxTrain, lloydIters, idCol, vecCol)
+    saveIvfPq(store, next, idx)
+    saveCellStats(store, next, idx, vectors, idCol, vecCol)
+    carryBloom(store, s"${cur}__encoded", s"${next}__encoded")
+    flipAlias(vectors.sparkSession, store, name, next)
+    loadIvfPq(store, name)
+  }
+
+  /** [[rotateIvfPq]] for a plain IVF index (no codebooks/cellstats —
+    * the drift monitor is IVF-PQ's; size-skew retrains still apply).
+    */
+  def rotateIvf(
+      store: TableStore,
+      name: String,
+      vectors: DataFrame,
+      nLists: Int = 16,
+      maxTrain: Int = 100000,
+      lloydIters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Ivf.Index = {
+    val cur = resolveIndex(store, name)
+    val next = nextGeneration(store, name)
+    val idx = Ivf.build(vectors, nLists, maxTrain, lloydIters, idCol, vecCol)
+    saveIvf(store, next, idx)
+    carryBloom(store, s"${cur}__assigned", s"${next}__assigned")
+    flipAlias(vectors.sparkSession, store, name, next)
+    loadIvf(store, name)
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Append `batch` rows whose ids the table does not already hold —
@@ -291,27 +400,30 @@ object IndexStore {
     * by cell.
     */
   def saveIvf(store: TableStore, name: String, index: Ivf.Index): Unit = {
+    val p = resolveIndex(store, name)
     val spark = index.assigned.sparkSession
-    store.overwrite(centroidsDf(spark, index.centroids), s"${name}__centroids")
-    store.overwritePartitioned(index.assigned, s"${name}__assigned", "cell")
+    store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
+    store.overwritePartitioned(index.assigned, s"${p}__assigned", "cell")
   }
 
   /** The stored coarse centroids of index `name` — tiny, driver-sized;
     * the piece a long-lived ingest sink loads once up front.
     */
   def loadIvfCentroids(store: TableStore, name: String): Array[Array[Float]] =
-    loadCentroids(store, s"${name}__centroids")
+    loadCentroids(store, s"${resolveIndex(store, name)}__centroids")
 
   /** Load an IVF index; `assigned` reads lazily from the store, so
     * queries scan the materialized table instead of re-assigning.
     * (`cell` comes back through partition discovery — cast pins the
     * dtype regardless of inference settings.)
     */
-  def loadIvf(store: TableStore, name: String): Ivf.Index =
+  def loadIvf(store: TableStore, name: String): Ivf.Index = {
+    val p = resolveIndex(store, name)
     Ivf.Index(
-      loadCentroids(store, s"${name}__centroids"),
-      store.read(s"${name}__assigned")
+      loadCentroids(store, s"${p}__centroids"),
+      store.read(s"${p}__assigned")
         .select(col("id"), col("vec"), col("cell").cast("int").as("cell")))
+  }
 
   /** Ingest a batch into a stored IVF index: assign with the STORED
     * quantizer (no retrain), append only unseen ids into only the
@@ -325,18 +437,19 @@ object IndexStore {
       batch: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Ivf.Index = {
-    val cens = loadCentroids(store, s"${name}__centroids")
-    appendNewById(store, s"${name}__assigned", Ivf.assign(cens, batch, idCol, vecCol))
+    val p = resolveIndex(store, name)
+    val cens = loadCentroids(store, s"${p}__centroids")
+    appendNewById(store, s"${p}__assigned", Ivf.assign(cens, batch, idCol, vecCol))
     loadIvf(store, name)
   }
 
   // -------------------------------------------------------------- PQ
 
   def savePqCodebook(spark: SparkSession, store: TableStore, name: String, cb: Pq.Codebook): Unit =
-    store.overwrite(codebooksDf(spark, cb), s"${name}__codebooks")
+    store.overwrite(codebooksDf(spark, cb), s"${resolveIndex(store, name)}__codebooks")
 
   def loadPqCodebook(store: TableStore, name: String): Pq.Codebook =
-    loadCodebooks(store, s"${name}__codebooks")
+    loadCodebooks(store, s"${resolveIndex(store, name)}__codebooks")
 
   // ---------------------------------------------------------- IVF-PQ
 
@@ -346,18 +459,21 @@ object IndexStore {
     * from (probed cells prune to their partitions at scan time).
     */
   def saveIvfPq(store: TableStore, name: String, index: IvfPq.Index): Unit = {
+    val p = resolveIndex(store, name)
     val spark = index.encoded.sparkSession
-    store.overwrite(centroidsDf(spark, index.centroids), s"${name}__centroids")
-    store.overwrite(codebooksDf(spark, index.cb), s"${name}__codebooks")
-    store.overwritePartitioned(index.encoded, s"${name}__encoded", "cell")
+    store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
+    store.overwrite(codebooksDf(spark, index.cb), s"${p}__codebooks")
+    store.overwritePartitioned(index.encoded, s"${p}__encoded", "cell")
   }
 
-  def loadIvfPq(store: TableStore, name: String): IvfPq.Index =
+  def loadIvfPq(store: TableStore, name: String): IvfPq.Index = {
+    val p = resolveIndex(store, name)
     IvfPq.Index(
-      loadCentroids(store, s"${name}__centroids"),
-      loadCodebooks(store, s"${name}__codebooks"),
-      store.read(s"${name}__encoded")
+      loadCentroids(store, s"${p}__centroids"),
+      loadCodebooks(store, s"${p}__codebooks"),
+      store.read(s"${p}__encoded")
         .select(col("id"), col("cell").cast("int").as("cell"), col("codes")))
+  }
 
   /** Ingest a batch into a stored IVF-PQ index: encode with the STORED
     * quantizers (same assignment kernel as training, so batch cells
@@ -372,9 +488,10 @@ object IndexStore {
       batch: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): IvfPq.Index = {
-    val cens = loadCentroids(store, s"${name}__centroids")
-    val cb = loadCodebooks(store, s"${name}__codebooks")
-    appendNewById(store, s"${name}__encoded", IvfPq.encode(cens, cb, batch, idCol, vecCol))
+    val p = resolveIndex(store, name)
+    val cens = loadCentroids(store, s"${p}__centroids")
+    val cb = loadCodebooks(store, s"${p}__codebooks")
+    appendNewById(store, s"${p}__encoded", IvfPq.encode(cens, cb, batch, idCol, vecCol))
     loadIvfPq(store, name)
   }
 
@@ -481,16 +598,17 @@ object IndexStore {
       maxTrain: Int = 100000,
       lloydIters: Int = 10): Ivf.Index = {
     require(nSub >= 2, s"splitting into $nSub cells is not a split")
-    val table = s"${name}__assigned"
+    val phys = resolveIndex(store, name)
+    val table = s"${phys}__assigned"
     def finishIvf(c: Int, pre: Int, subs: Array[Array[Float]]): Unit = {
       val rows = store.read(table).filter(col("cell") === c).select("id", "vec")
       val moved = Ivf.assign(subs, rows, idCol = "id", vecCol = "vec")
         .select(col("id"), col("vec"), subCellId(c, pre))
       store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
     }
-    if (resumeSplit(store, name)(finishIvf).contains(cell))
+    if (resumeSplit(store, phys)(finishIvf).contains(cell))
       return loadIvf(store, name) // the requested split had crashed; now complete
-    val cens = loadIvfCentroids(store, name)
+    val cens = loadIvfCentroids(store, phys)
     require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
     val cellRows = store.read(table)
       .filter(col("cell") === cell).select("id", "vec")
@@ -499,10 +617,10 @@ object IndexStore {
     val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
     val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
     val spark = cellRows.sparkSession
-    writeSplitState(spark, store, name, cell, cens.length, subs.length)
-    store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
+    writeSplitState(spark, store, phys, cell, cens.length, subs.length)
+    store.overwrite(centroidsDf(spark, newCens), s"${phys}__centroids")
     finishIvf(cell, cens.length, subs)
-    clearSplitState(spark, store, name)
+    clearSplitState(spark, store, phys)
     loadIvf(store, name)
   }
 
@@ -531,8 +649,9 @@ object IndexStore {
       maxTrain: Int = 100000,
       lloydIters: Int = 10): IvfPq.Index = {
     require(nSub >= 2, s"splitting into $nSub cells is not a split")
-    val table = s"${name}__encoded"
-    lazy val cb = loadCodebooks(store, s"${name}__codebooks")
+    val phys = resolveIndex(store, name)
+    val table = s"${phys}__encoded"
+    lazy val cb = loadCodebooks(store, s"${phys}__codebooks")
     // the split cell's vectors: id semi-shaped LEFT join so the same
     // frame serves the coverage check (count vs non-null vec count in
     // one aggregate) and the re-encode input
@@ -560,9 +679,9 @@ object IndexStore {
             cb.codebooks).as("codes"))
       store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
     }
-    if (resumeSplit(store, name)(finishPq).contains(cell))
+    if (resumeSplit(store, phys)(finishPq).contains(cell))
       return loadIvfPq(store, name) // the requested split had crashed; now complete
-    val cens = loadIvfCentroids(store, name)
+    val cens = loadIvfCentroids(store, phys)
     require(cell >= 0 && cell < cens.length, s"no cell $cell in $name")
     val (cellVecs, nCell, nVec) = cellVecsOf(cell)
     require(nCell > 0, s"cell $cell of $name holds no vectors")
@@ -571,10 +690,10 @@ object IndexStore {
     val subs = Pq.lloyd(sample, math.min(nSub, sample.length), lloydIters)
     val newCens = cens.updated(cell, subs(0)) ++ subs.drop(1)
     val spark = vectors.sparkSession
-    writeSplitState(spark, store, name, cell, cens.length, subs.length)
-    store.overwrite(centroidsDf(spark, newCens), s"${name}__centroids")
+    writeSplitState(spark, store, phys, cell, cens.length, subs.length)
+    store.overwrite(centroidsDf(spark, newCens), s"${phys}__centroids")
     finishPq(cell, cens.length, subs)
-    clearSplitState(spark, store, name)
+    clearSplitState(spark, store, phys)
     loadIvfPq(store, name)
   }
 
@@ -592,7 +711,7 @@ object IndexStore {
       store: TableStore,
       name: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int =
-    Seq(s"${name}__assigned", s"${name}__encoded")
+    Seq(resolveIndex(store, name)).flatMap(p => Seq(s"${p}__assigned", s"${p}__encoded"))
       .filter(store.exists)
       .map(t => store.compact(t, "cell", targetFileBytes))
       .sum
@@ -610,7 +729,7 @@ object IndexStore {
       vecCol: String = "embedding"): Unit =
     store.overwrite(
       IvfPq.cellErrorStats(index.centroids, index.cb, vectors, idCol, vecCol),
-      s"${name}__cellstats")
+      s"${resolveIndex(store, name)}__cellstats")
 
   /** Quantizer drift report: per-cell average quantization error of
     * `batch` under the STORED quantizers, against the stored baseline
@@ -629,11 +748,12 @@ object IndexStore {
       batch: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cens = loadCentroids(store, s"${name}__centroids")
-    val cb = loadCodebooks(store, s"${name}__codebooks")
+    val p = resolveIndex(store, name)
+    val cens = loadCentroids(store, s"${p}__centroids")
+    val cb = loadCodebooks(store, s"${p}__codebooks")
     val cur = IvfPq.cellErrorStats(cens, cb, batch, idCol, vecCol)
       .select(col("cell"), col("n").as("n_batch"), col("avg_qerr").as("avg_batch"))
-    val base = store.read(s"${name}__cellstats")
+    val base = store.read(s"${p}__cellstats")
       .select(col("cell"), col("n").as("n_base"), col("avg_qerr").as("avg_base"))
     cur.join(base, Seq("cell"), "left")
       .select(col("cell"), col("n_base"), col("avg_base"),
@@ -665,7 +785,8 @@ object IndexStore {
       driftThreshold: Double = 2.0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val table = Seq(s"${name}__assigned", s"${name}__encoded").find(store.exists)
+    val p = resolveIndex(store, name)
+    val table = Seq(s"${p}__assigned", s"${p}__encoded").find(store.exists)
       .getOrElse(throw new IllegalArgumentException(s"no corpus table for index $name"))
     val counts = store.read(table)
       .groupBy(col("cell").cast("int").as("cell"))

@@ -112,6 +112,52 @@ class IndexStoreSpec extends SparkSpec {
       .filter(col("qerr") < -1e-6).isEmpty)
   }
 
+  test("rotateIvfPq: retrain-flagged drift clears after rotation; logical name survives") {
+    // VERDICT r6 item #3: rebalanceReport emitted `retrain` with no
+    // actuator. The rotation retrains quantizers on the current
+    // distribution under a new generation and atomically swaps the
+    // logical name, so the SAME name serves queries before and after.
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 400)
+    val store = newStore()
+    val index = IvfPq.build(corpus, nLists = 8, m = 16, k = 16)
+    IndexStore.saveIvfPq(store, "rot", index)
+    IndexStore.saveCellStats(store, "rot", index, corpus)
+
+    // the incoming distribution shifts: flagged retrain
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(3.0f)).cast("float")))
+    assert(IndexStore.rebalanceReport(store, "rot", Some(shifted)).collect()
+      .exists(_.getAs[String]("action") == "retrain"))
+
+    // act: retrain on the world as it now is (old corpus + shifted data)
+    val world = corpus.unionByName(shifted)
+    val rotated = IndexStore.rotateIvfPq(store, "rot", world, nLists = 8, m = 16, k = 16)
+    assert(rotated.encoded.count() == 500)
+
+    // the drift that triggered the retrain reads in-distribution now,
+    // and the policy report carries no retrain action
+    val after = IndexStore.driftReport(store, "rot", shifted)
+      .agg(avg("drift_ratio")).head().getDouble(0)
+    assert(after < 2.0, s"post-rotation drift ratio $after")
+    assert(!IndexStore.rebalanceReport(store, "rot", Some(shifted)).collect()
+      .exists(_.getAs[String]("action") == "retrain"))
+
+    // the logical name still serves loads, appends and queries
+    val loaded = IndexStore.loadIvfPq(store, "rot")
+    assert(loaded.encoded.count() == 500)
+    IndexStore.appendIvfPqBatch(store, "rot",
+      shifted.withColumn("vec_id", col("vec_id") + lit(1000L)))
+    assert(IndexStore.loadIvfPq(store, "rot").encoded.count() == 600)
+    // a second rotation moves to generation 2 through the same flip
+    IndexStore.rotateIvfPq(store, "rot",
+      world.unionByName(shifted.withColumn("vec_id", col("vec_id") + lit(1000L))),
+      nLists = 8, m = 16, k = 16)
+    assert(IndexStore.resolveIndex(store, "rot").endsWith("__gen_2"))
+    assert(IndexStore.loadIvfPq(store, "rot").encoded.count() == 600)
+  }
+
   test("compactIndexTables collapses per-batch files per cell, contents identical") {
     val wh = Files.createTempDirectory("graft_idx_compact").toString
     val store = new ParquetStore(spark, wh)
