@@ -609,6 +609,21 @@ object Queries {
     Dedup.duplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8,
       hashGrams = false)
 
+  /** [[qDedupSpans]] on the PRODUCTION shuffle shape — grams key the
+    * shuffle as 8-byte longs instead of strings — with the xxhash64
+    * digest swapped for the engine-portable md5-halves combine
+    * (h1·2³⁰ + h2 ≤ 2⁶² — exact, overflow-free BIGINT arithmetic in
+    * both engines, the cwSeedMins discipline), so the hashed path the
+    * default runs is itself oracle-checked, not only spec-pinned
+    * against the string mode.
+    */
+  def qDedupSpansMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpansKeyed(
+      t(s, dir, "documents").filter(col("doc_id") < 300), n = 8,
+      idCol = "doc_id", textCol = "text",
+      keyOf = g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") * lit(1073741824L) +
+        conv(substring(md5(g), 9, 8), 16, 10).cast("long"))
+
   /** [[qDedupSpans]] applied: the cleaned text after excising every
     * non-first duplicated span occurrence.
     */
@@ -1234,6 +1249,48 @@ object Queries {
         round(col("mean_r"), 6).as("mean_r"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_b"), 6).as("mean_b"))
+  }
+
+  /** Multimodal audio decode through the REAL javax.sound.sampled
+    * codec, oracle-checked end to end (the q_mm_image_stats recipe on
+    * the audio axis): per doc a constant-amplitude mono 16-bit PCM WAV
+    * (rate, length and amplitude derived from doc_id) is ENCODED on
+    * the executors, decoded back by Multimodal.extractAudioStats
+    * (AudioSystem read + sample scan), and the stats are pure doc_id
+    * arithmetic the DuckDB twin reproduces: a constant signal's RMS
+    * and peak are EXACTLY |amplitude| in raw sample units (sum of n
+    * identical squares ≤ 1.5e10 is exact in double, n·A²/n = A² is an
+    * exact division, sqrt of a perfect square is exact), and
+    * duration = frames/rate is the same IEEE division in both engines.
+    */
+  def qMmAudioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val n = 100 + (id % 50).toInt
+        val amp = ((id * 131) % 20001).toInt - 10000
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          bytes(2 * i) = (amp & 0xff).toByte
+          bytes(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        graft.multimodal.Multimodal.Asset(id, "audio", out.toByteArray, 0, 0, rate)
+      }
+    }
+    graft.multimodal.Multimodal.extractAudioStats(assets).toDF()
+      .select(col("asset_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_s"), col("rms"), col("peak"))
   }
 
   /** Recall@5 of the probed IVF path (nProbe=4 of 16 cells — a 4×

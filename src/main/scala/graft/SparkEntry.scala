@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_simhash_md5" -> (Queries.qDedupSimhashMd5 _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_dedup_spans" -> (Queries.qDedupSpans _),
+    "q_dedup_spans_md5" -> (Queries.qDedupSpansMd5 _),
     "q_dedup_spans_clean" -> (Queries.qDedupSpansClean _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_simhash_pairs_md5" -> (Queries.qDedupSimhashPairsMd5 _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_mm_meta" -> (Queries.qMmMeta _),
     "q_mm_features" -> (Queries.qMmFeatures _),
     "q_mm_image_stats" -> (Queries.qMmImageStats _),
+    "q_mm_audio_stats" -> (Queries.qMmAudioStats _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_drift" -> (Queries.qAnnDrift _),
@@ -656,6 +658,20 @@ object Oracles {
          ROUND(CAST((doc_id * 83) % 256 AS DOUBLE), 6) AS mean_b
          FROM documents WHERE doc_id < 300""",
 
+    // real-codec audio round trip: constant-amplitude PCM WAVs encoded
+    // and decoded executor-side; a constant signal's RMS/peak are
+    // exactly |amplitude| and duration is the same IEEE division
+    "q_mm_audio_stats" ->
+      """SELECT doc_id AS asset_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+         CAST(1 AS INT) AS channels,
+         CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+         CAST(100 + doc_id % 50 AS DOUBLE)
+           / CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE) AS duration_s,
+         CAST(abs((doc_id * 131) % 20001 - 10000) AS DOUBLE) AS rms,
+         CAST(abs((doc_id * 131) % 20001 - 10000) AS DOUBLE) AS peak
+         FROM documents WHERE doc_id < 300""",
+
     // ingest behavioral gate: after an overlapping batch append plus a
     // replay through the bloom + pruned anti-join, the table ids must
     // be exactly the distinct corpus ids
@@ -709,6 +725,38 @@ object Oracles {
          g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
                  array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
                FROM d, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+         bg AS (SELECT gram, min(doc_id) AS fid FROM g
+                GROUP BY gram HAVING count(*) >= 2),
+         fp AS (SELECT g.gram, min(g.pos) AS fpos FROM g
+                JOIN bg ON g.gram = bg.gram AND g.doc_id = bg.fid GROUP BY g.gram),
+         rem AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+                 FROM g JOIN bg ON g.gram = bg.gram JOIN fp ON fp.gram = g.gram
+                 WHERE NOT (g.doc_id = bg.fid AND g.pos = fp.fpos)),
+         isl AS (SELECT doc_id, s, e,
+                   CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                        THEN 1 ELSE 0 END AS ns
+                 FROM rem
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         sp AS (SELECT doc_id, s, e, sum(ns) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM isl)
+         SELECT doc_id, CAST(min(s) AS INT) AS start_tok, CAST(max(e) AS INT) AS end_tok
+         FROM sp GROUP BY doc_id, sid""",
+
+    // the PRODUCTION (hashed-gram) span shuffle shape, md5-halves key:
+    // same pipeline as q_dedup_spans with the gram string replaced by
+    // h1*2^30 + h2 (exact BIGINT arithmetic in both engines)
+    "q_dedup_spans_md5" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents WHERE doc_id < 300),
+         g0 AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                  array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gs
+                FROM d, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+         g AS (SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5(gs), 1, 8)) AS BIGINT) * 1073741824
+                 + CAST(('0x' || substr(md5(gs), 9, 8)) AS BIGINT) AS gram
+               FROM g0),
          bg AS (SELECT gram, min(doc_id) AS fid FROM g
                 GROUP BY gram HAVING count(*) >= 2),
          fp AS (SELECT g.gram, min(g.pos) AS fpos FROM g

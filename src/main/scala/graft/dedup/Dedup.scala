@@ -663,12 +663,25 @@ object Dedup {
       n: Int,
       idCol: String = "doc_id",
       textCol: String = "text",
-      hashGrams: Boolean = true): DataFrame = {
+      hashGrams: Boolean = true): DataFrame =
+    duplicateSpansKeyed(docs, n, idCol, textCol,
+      if (hashGrams) (g: Column) => xxhash64(g) else (g: Column) => g)
+
+  /** [[duplicateSpans]] with a caller-supplied gram→shuffle-key
+    * transform — the twin hook that lets an engine-portable digest
+    * (md5 halves, the cwSeedMins recipe) stand in for xxhash64 so the
+    * HASHED production shuffle shape is oracle-checkable, not only
+    * spec-pinned against the string mode.
+    */
+  private[graft] def duplicateSpansKeyed(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String,
+      keyOf: Column => Column): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val gramStr = (i: Column) => array_join(slice(col("toks"), i + 1, lit(n)), " ")
-    val gramExpr =
-      if (hashGrams) (i: Column) => xxhash64(gramStr(i))
-      else gramStr
+    val gramExpr = (i: Column) => keyOf(gramStr(i))
     val grams = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by batch-shaped partition
   * functions.
   *
-  * Two codecs behind the same mapPartitions boundary:
+  * Three codecs behind the same mapPartitions boundary:
   *  - [[decodeImage]] is REAL — `javax.imageio` (public JDK; PNG/JPEG/
   *    BMP/GIF readers ship with the JRE) decodes pixels and emits
   *    dimensions + channel statistics; undecodable bytes yield no row
   *    instead of a task failure.
-  *  - [[decodeStub]] remains the deterministic test double for the
-  *    formats this container has no codec for (audio/video): it
+  *  - [[decodeAudio]] is REAL — `javax.sound.sampled` (public JDK; the
+  *    WAV/AIFF/AU readers ship with the JRE) decodes PCM samples and
+  *    emits duration/rate/RMS/peak; non-PCM payloads convert through
+  *    `AudioSystem` where a converter exists, or yield no row.
+  *  - [[decodeStub]] remains the deterministic test double for the one
+  *    format family this container has no codec for (video): it
   *    derives fake features from the raw bytes so the surrounding
   *    plumbing — asset schema, batched per-partition iteration (the
   *    Scala analog of `mapInPandas` batches), partitioning for
@@ -54,10 +58,11 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** ??? in spirit — the codec boundary. Deterministic fake "decode":
-    * byte histogram (16 bins), Shannon entropy over the bins, mean
-    * byte value. A real implementation decodes pixels/samples here;
-    * the signature (bytes → fixed-width features) is the contract.
+  /** ??? in spirit — the codec boundary (video-only now; image and
+    * audio decode are real). Deterministic fake "decode": byte
+    * histogram (16 bins), Shannon entropy over the bins, mean byte
+    * value. A real implementation decodes frames here; the signature
+    * (bytes → fixed-width features) is the contract.
     */
   private[multimodal] def decodeStub(content: Array[Byte]): (Double, Double, Array[Long]) = {
     val hist = new Array[Long](16)
@@ -92,16 +97,40 @@ object Multimodal {
   case class ImageStats(asset_id: Long, px_width: Int, px_height: Int,
       n_pixels: Long, mean_luma: Double, mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** Images above this pixel count are rejected before the pixel scan
+    * — a decompression bomb (a few KB of PNG inflating to gigapixels)
+    * must not OOM the executor; 64 Mpx is far above real training
+    * assets and costs ~256 MB of int buffer at the default scan.
+    */
+  private val MaxPixels = 64L * 1024 * 1024
+
   /** The REAL codec: decode `content` with `javax.imageio` and reduce
     * to fixed-width pixel statistics (dimensions, per-channel means,
     * Rec.709 mean luminance). Returns None when no installed reader
     * accepts the bytes — corrupt or non-image content produces no row,
-    * never a task failure (at 10⁹ assets some WILL be corrupt).
+    * never a task failure (at 10⁹ assets some WILL be corrupt). Only
+    * NonFatal decode errors are swallowed: an OutOfMemoryError or
+    * LinkageError must fail the task, not be misfiled as "undecodable
+    * bytes" and silently shrink stats coverage.
     */
   private[multimodal] def decodeImage(content: Array[Byte]): Option[ImageStats] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: Throwable => null }
+    // header-first: dimensions come from the ImageReader BEFORE any
+    // pixel buffer allocates, so the bomb never inflates
+    val img: java.awt.image.BufferedImage =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth
@@ -139,6 +168,72 @@ object Multimodal {
       else imgs
     repart.mapPartitions { batch =>
       batch.flatMap(a => decodeImage(a.content).map(_.copy(asset_id = a.asset_id)))
+    }
+  }
+
+  case class AudioStats(asset_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_s: Double, rms: Double, peak: Double)
+
+  /** The REAL audio codec: decode `content` with `javax.sound.sampled`
+    * (WAV/AIFF/AU readers ship with the JRE) and reduce to fixed-width
+    * sample statistics — rate, channels, frame count, duration, RMS
+    * and peak in RAW 16-bit sample units (integer-exact for integer
+    * signals, which is what makes the end-to-end oracle possible).
+    * Non-16-bit-PCM payloads convert through `AudioSystem` when a
+    * converter exists. Same failure contract as [[decodeImage]]:
+    * undecodable bytes yield no row via NonFatal only — fatal JVM
+    * errors still fail the task.
+    */
+  private[multimodal] def decodeAudio(content: Array[Byte]): Option[AudioStats] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = raw.getFormat
+      val pcm16 = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16,
+        fmt.getChannels, 2 * fmt.getChannels, fmt.getSampleRate, false)
+      val in =
+        if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) raw
+        else AudioSystem.getAudioInputStream(pcm16, raw)
+      try {
+        val bytes = in.readAllBytes()
+        val nSamples = bytes.length / 2
+        var i = 0
+        var sumSq = 0.0
+        var peak = 0L
+        while (i < nSamples) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          sumSq += (s * s).toDouble
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        val ch = in.getFormat.getChannels
+        val frames = if (ch == 0) 0L else nSamples.toLong / ch
+        val rate = in.getFormat.getSampleRate.toDouble
+        Some(AudioStats(0L, rate.toInt, ch, frames,
+          if (rate == 0) 0.0 else frames / rate,
+          if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+          peak.toDouble))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio decode/stats stage on the real codec — the same batched
+    * mapPartitions shape and "shrink early" discipline as
+    * [[extractImageStats]]: only `audio` assets are read and the bytes
+    * never travel past the decode.
+    */
+  def extractAudioStats(assets: Dataset[Asset], parallelism: Int = 0): Dataset[AudioStats] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val auds = assets.filter(col("kind") === "audio").as[Asset]
+    val repart =
+      if (parallelism > 0) auds.repartition(parallelism, col("asset_id"))
+      else auds
+    repart.mapPartitions { batch =>
+      batch.flatMap(a => decodeAudio(a.content).map(_.copy(asset_id = a.asset_id)))
     }
   }
 

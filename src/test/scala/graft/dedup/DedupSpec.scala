@@ -274,6 +274,26 @@ class DedupSpec extends SparkSpec {
     assert(clean(11L) == "tail x y")
   }
 
+  test("a 2n-token duplicated run excises as ONE span at gram width n AND 2n") {
+    import spark.implicits._
+    // the fixed-n approximation finds duplicated runs >= n exactly (as
+    // merged runs of overlapping duplicated grams): a 10-token run
+    // must come out as one [pos, pos+10) span whether matched with
+    // 5-grams or 10-grams
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run alpha beta"),
+      (2L, s"x y z $run tail")).toDF("doc_id", "text")
+    for (n <- Seq(5, 10)) {
+      val spans = Dedup.duplicateSpans(docs, n = n).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(spans == Seq((2L, 3, 13)), s"n=$n: ${spans.mkString(", ")}")
+      val clean = Dedup.removeDuplicateSpans(docs, n = n).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(clean(2L) == "x y z tail", s"n=$n: ${clean(2L)}")
+    }
+  }
+
   test("duplicateSpans hashed production mode equals the portable string mode") {
     val docs = graft.Tables.documents(spark, sf("documents"))
     def spans(hash: Boolean) = Dedup.duplicateSpans(docs, n = 8, hashGrams = hash)

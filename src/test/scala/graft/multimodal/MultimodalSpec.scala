@@ -64,6 +64,46 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m.mean_luma - 127.5) < 1e-9)
   }
 
+  test("extractAudioStats decodes real WAVs via javax.sound.sampled; junk bytes drop, not crash") {
+    import spark.implicits._
+    // in-memory WAVs with known sample content: a constant +1000 mono
+    // signal (rms = peak = 1000 exactly) and a stereo ±2000 square
+    def wav(samples: Array[Short], channels: Int, rate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val mono = wav(Array.fill[Short](160)(1000), channels = 1, rate = 16000)
+    val stereo = wav(
+      Array.tabulate[Short](200)(i => if (i % 2 == 0) 2000 else -2000),
+      channels = 2, rate = 8000)
+    val in = Seq(
+      Asset(1L, "audio", mono, 0, 0, 16000),
+      Asset(2L, "audio", stereo, 0, 0, 8000),
+      Asset(3L, "audio", "not a wav".getBytes("UTF-8"), 0, 0, 0),
+      Asset(4L, "image", mono, 0, 0, 16000)) // wrong kind: filtered
+      .toDS()
+    val stats = extractAudioStats(in, parallelism = 2).collect()
+      .map(s => s.asset_id -> s).toMap
+    assert(stats.keySet == Set(1L, 2L)) // junk dropped, image filtered
+    val m = stats(1L)
+    assert(m.sample_rate == 16000 && m.channels == 1 && m.n_frames == 160)
+    assert(m.duration_s == 160.0 / 16000.0)
+    assert(m.rms == 1000.0 && m.peak == 1000.0)
+    val st = stats(2L)
+    assert(st.channels == 2 && st.n_frames == 100)
+    assert(st.rms == 2000.0 && st.peak == 2000.0)
+  }
+
   test("resizeMeta rewrites dimensions without touching content") {
     val r = resizeMeta(assets, 224, 224).head()
     assert(r.width == 224 && r.height == 224 && r.content.nonEmpty)
