@@ -77,6 +77,18 @@ object Bench {
       val valid = samples.filterNot(_.isNaN)
       if (valid.isEmpty) -1.0 else valid.min
     }
+    // Median alongside min (VERDICT r6 #8): min-of-interleaved repairs
+    // burst contention but HIDES uniform whole-window inflation — when
+    // the box is busy for the entire run every rep inflates ~equally
+    // and the min still reads high. Reporting the median per query
+    // lets a consumer see whether min is an outlier (ghost) or typical
+    // (real) without hand re-measuring. Totals stay min-based.
+    def medValid(samples: Seq[Double]): Double = {
+      val valid = samples.filterNot(_.isNaN).sorted
+      if (valid.isEmpty) -1.0
+      else if (valid.length % 2 == 1) valid(valid.length / 2)
+      else (valid(valid.length / 2 - 1) + valid(valid.length / 2)) / 2
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Reps run INTERLEAVED round-robin (rep 1 of every query, then rep 2
@@ -130,8 +142,12 @@ object Bench {
     val headline = if (failedCount == 0) partialTotal else -1.0
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val medians = queries.map { case (name, _) => name -> medValid(samples(name)) }
+    val medianTotal = medians.map(_._2).filter(_ >= 0).sum
+    val medsFull = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries":$qsFull,"medians":$medsFull,"sf":"$sfDir"}"""
 
     // Self-defense against the driver's bounded stdout tail (r2: the
     // 2000-char tail cut the ~2.2 KB JSON line mid-stream → parsed:
@@ -153,7 +169,7 @@ object Bench {
       if (len + s.length + 1 <= budget) { kept += s; len += s.length + 1 }
     }
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failedCount,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"queries_omitted":$omitted,"queries_full":"BENCH_SELF.json","queries":${kept.mkString("{", ",", "}")}}""")
+    println(s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failedCount,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries_omitted":$omitted,"queries_full":"BENCH_SELF.json","queries":${kept.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

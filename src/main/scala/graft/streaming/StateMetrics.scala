@@ -70,6 +70,43 @@ object StateMetrics {
       import spark.implicits._
       latest.values().asScala.toSeq.toDF()
     }
+
+    /** Persist the snapshot through the ordinary warehouse path —
+      * monitoring that survives the session, diffable across runs by
+      * the same tooling as every other table. Upserts by
+      * (query_id, operator): re-persisting replaces each operator's
+      * row (the staged keyed merge), so the table holds one CURRENT
+      * row per operator per query, not an unbounded progress log.
+      * No-op on an empty snapshot (nothing reported yet) — never
+      * clobbers previously persisted state with emptiness.
+      */
+    def persist(
+        spark: SparkSession,
+        store: graft.sources.TableStore,
+        table: String = "stream_state_metrics"): Unit = {
+      val snap = snapshot(spark)
+      if (!snap.isEmpty)
+        store.appendKeyed(
+          snap.withColumn("state_key",
+            org.apache.spark.sql.functions.concat_ws(
+              "/", org.apache.spark.sql.functions.col("query_id"),
+              org.apache.spark.sql.functions.col("operator"))),
+          table, "state_key")
+    }
+
+    /** Rows breaching state-size thresholds — the page-someone filter
+      * over [[snapshot]]: unbounded `num_rows_total` growth (missing
+      * watermark / eviction bug) or state memory past what an executor
+      * can hold.
+      */
+    def alerts(
+        spark: SparkSession,
+        maxRows: Long = 100000000L,
+        maxBytes: Long = 4L * 1024 * 1024 * 1024): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      snapshot(spark)
+        .filter(col("num_rows_total") > maxRows || col("memory_used_bytes") > maxBytes)
+    }
   }
 
   /** Register a listener on the session and return it. Detach with

@@ -48,6 +48,24 @@ class StateMetricsSpec extends SparkSpec {
       assert(row.getAs[String]("operator").nonEmpty)
       assert(row.getAs[Long]("memory_used_bytes") >= 0)
       assert(row.getAs[String]("query_id").nonEmpty)
+
+      // persisted monitoring survives the session: snapshot lands in a
+      // warehouse table, and re-persisting UPSERTS by
+      // (query_id, operator) — one current row per operator, not a log
+      val store = new graft.sources.ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_statemetrics").toString)
+      monitor.persist(spark, store)
+      val once = store.read("stream_state_metrics").collect()
+      assert(once.length == end.length)
+      monitor.persist(spark, store)
+      val twice = store.read("stream_state_metrics")
+      assert(twice.count() == once.length, "re-persist must replace, not append")
+      assert(twice.select("state_key").distinct().count() == once.length)
+
+      // threshold alerts: this tiny stream breaches nothing at real
+      // thresholds, everything at absurd ones
+      assert(monitor.alerts(spark).isEmpty)
+      assert(monitor.alerts(spark, maxRows = -1, maxBytes = -1).count() == end.length)
     } finally spark.streams.removeListener(monitor)
   }
 }
