@@ -1212,6 +1212,30 @@ object Queries {
     IndexStore.rebalanceReport(store, "rb")
   }
 
+  /** Sidecar bloom-health policy (IndexStore.bloomHealthReport) over
+    * the same deterministic skewed assignment as q_ann_rebalance, with
+    * a deliberately undersized sidecar (capacity 64 per cell) so the
+    * hot cell saturates: per-cell n_ids, load factor, the estimated
+    * false-positive rate (1−e^(−k·n/m))^k and the grow/ok action are
+    * all plain arithmetic the DuckDB twin reproduces — k and num_bits
+    * re-derive from Spark's own BloomFilter sizing rules (num_bits 512
+    * is create(64, 0.03).bitSize(), pinned by IndexStoreSpec so the
+    * twin's literal cannot drift). est_fpp rounds to 6 places against
+    * libm ulp skew; load_factor is n/64, exact in binary.
+    */
+  def qAnnBloomHealth(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/bloomhealth")
+    val assigned = emb.select(
+      col("vec_id").as("id"), col("embedding").as("vec"),
+      when(pmod(col("vec_id"), lit(10)) < 7, lit(0))
+        .otherwise(pmod(col("vec_id"), lit(10)) - 6).cast("int").as("cell"))
+    store.overwritePartitioned(assigned, "bh__assigned", "cell")
+    IndexStore.buildIdBloom(store, "bh__assigned", expectedIdsPerCell = 64, fpp = 0.03)
+    IndexStore.bloomHealthReport(store, "bh__assigned", fppThreshold = 0.05)
+      .withColumn("est_fpp", round(col("est_fpp"), 6))
+  }
+
   /** Multimodal image decode through the REAL javax.imageio codec,
     * oracle-checked end to end: per doc a solid-color PNG (dimensions
     * and RGB channels derived from doc_id) is ENCODED on the

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_ann_drift" -> (Queries.qAnnDrift _),
     "q_ann_ingest" -> (Queries.qAnnIngest _),
     "q_ann_rebalance" -> (Queries.qAnnRebalance _),
+    "q_ann_bloom_health" -> (Queries.qAnnBloomHealth _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
@@ -690,6 +691,29 @@ object Oracles {
            CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS DOUBLE) AS drift_ratio,
            CASE WHEN n_rows > mean_rows * 2.0 THEN 'split' ELSE 'ok' END AS action
          FROM c, m""",
+
+    // the sidecar bloom-health arithmetic over the same deterministic
+    // assignment: capacity 64 is the query's literal; num_bits 512 is
+    // Spark's BloomFilter.create(64, 0.03).bitSize() (pinned by
+    // IndexStoreSpec); k = max(1, round(m/n·ln2)) is its hash count
+    // rule, written floor(x+0.5) to match Java Math.round exactly
+    "q_ann_bloom_health" ->
+      """WITH a AS (SELECT CASE WHEN vec_id % 10 < 7 THEN 0
+                               ELSE CAST(vec_id % 10 AS INT) - 6 END AS cell
+                    FROM embeddings),
+         c AS (SELECT cell, count(*) AS n_ids FROM a GROUP BY cell),
+         p AS (SELECT cell, n_ids, CAST(64 AS BIGINT) AS capacity,
+                      CAST(512 AS BIGINT) AS num_bits,
+                      GREATEST(1, CAST(FLOOR(512 / 64.0 * LN(2) + 0.5) AS BIGINT)) AS k
+               FROM c),
+         r AS (SELECT cell, n_ids, capacity, num_bits,
+                      CAST(n_ids AS DOUBLE) / capacity AS load_factor,
+                      POWER(1 - EXP(-CAST(k * n_ids AS DOUBLE) / num_bits), k) AS fpp0
+               FROM p)
+         SELECT cell, n_ids, capacity, num_bits, load_factor,
+                ROUND(fpp0, 6) AS est_fpp,
+                CASE WHEN fpp0 > 0.05 THEN 'grow' ELSE 'ok' END AS action
+         FROM r""",
 
     "q_emb_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,

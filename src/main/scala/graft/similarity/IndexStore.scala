@@ -332,19 +332,22 @@ object IndexStore {
   }
 
   /** Fold a batch's fresh rows into the sidecar (no-op without one):
-    * per-cell add-blooms build with the STORED (capacity, num_bits) so
-    * they merge into the stored filters — EXECUTOR-side, via a
-    * per-cell join + [[graft.functions.BloomMerge]], so like the probe
-    * the update never holds bloom bytes in driver memory — and only
-    * the touched cell partitions rewrite (new cells append as new
-    * partitions).
-    *
-    * A touched cell whose stored row declares DIFFERENT (capacity,
-    * num_bits) — a concurrent/partial sidecar rebuild — cannot merge;
-    * its bloom REBUILDS from the authoritative corpus table plus the
-    * batch under the head parameters. Never skip the add (an
+    * per-cell add-blooms build with EACH CELL'S stored (capacity,
+    * num_bits) — one [[bloomPerCell]] aggregate per distinct parameter
+    * group among the touched cells, so a cell grown to a larger filter
+    * by [[growCellBlooms]] keeps its size instead of being torn back
+    * down to a global head parameter, and every merge is compatible by
+    * construction (the r6 incompatible-rebuild branch is structurally
+    * unreachable). Parameter groups number at most the sidecar's
+    * growth generations (log-many), so the extra aggregates are over
+    * the micro-batch, not the corpus. Merging stays EXECUTOR-side via
+    * the per-cell join + [[graft.functions.BloomMerge]] — no bloom
+    * bytes in driver memory — and only the touched cell partitions
+    * rewrite (new cells append as new partitions, built with the
+    * sidecar's head parameters). Out-of-contract bytes that still fail
+    * to merge fail the task loudly — never a silent drop (an
     * under-approximating bloom lets later batches re-append landed
-    * ids) and never delete the row (a missing row reads as "no prior
+    * ids) and never a row delete (a missing row reads as "no prior
     * ids" — the same unsafe direction).
     */
   private def updateIdBloom(store: TableStore, table: String, fresh: DataFrame): Unit = {
@@ -352,7 +355,7 @@ object IndexStore {
     if (!store.exists(bt)) return
     val sidecar = store.read(bt)
     val params = sidecar.select("capacity", "num_bits").head(1)
-    val (capacity, numBits) =
+    val (defCap, defBits) =
       if (params.isEmpty)
         (1L << 20,
           org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01).bitSize())
@@ -360,39 +363,105 @@ object IndexStore {
     val freshCells = fresh.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (freshCells.isEmpty) return
-    val adds = bloomPerCell(fresh.select(col("cell"), col("id")), capacity, numBits)
-      .select(col("cell"), col("n_ids").as("n_add"), col("bloom").as("add_bloom"))
     val stored = sidecar
       .filter(col("cell").cast("string").isin(freshCells: _*))
       .select(col("cell").cast("int").as("cell"), col("n_ids").as("n0"),
         col("bloom").as("bloom0"), col("capacity").as("cap0"), col("num_bits").as("bits0"))
-    val joined = adds.join(stored, Seq("cell"), "left")
-    val compatible = col("cap0") === capacity && col("bits0") === numBits
-    val mergeable = joined.filter(col("bloom0").isNull || compatible)
+    // per-touched-cell parameters, collected to drive the per-group
+    // aggregate builds — bounded by the batch's cells, bloom bytes stay
+    // out of the driver
+    val cellParams: Map[String, (Long, Long)] = stored
+      .select(col("cell").cast("string"), col("cap0"), col("bits0")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val groups = freshCells.groupBy(c => cellParams.getOrElse(c, (defCap, defBits)))
+    val adds = groups.map { case ((cap, bits), cells) =>
+      bloomPerCell(
+        fresh.filter(col("cell").cast("string").isin(cells: _*))
+          .select(col("cell"), col("id")), cap, bits)
+        .select(col("cell"), col("n_ids").as("n_add"), col("bloom").as("add_bloom"),
+          col("capacity"), col("num_bits"))
+    }.reduce(_ unionByName _)
+    val merged = adds.join(stored, Seq("cell"), "left")
       .select(col("cell"),
         (coalesce(col("n0"), lit(0L)) + col("n_add")).as("n_ids"),
         when(col("bloom0").isNull, col("add_bloom"))
           .otherwise(graft.functions.BloomProbeFunctions
-            .bloomMerge(col("bloom0"), col("add_bloom"))).as("bloom"))
-    val incompatCells = joined.filter(col("bloom0").isNotNull && !compatible)
-      .select("cell").collect().map(r => String.valueOf(r.get(0))).toSeq
-    val merged =
-      if (incompatCells.isEmpty) mergeable
-      else {
-        val authoritative = store.read(table).select(col("cell"), col("id"))
-          .filter(col("cell").cast("string").isin(incompatCells: _*))
-          .unionByName(fresh.select(col("cell"), col("id"))
-            .filter(col("cell").cast("string").isin(incompatCells: _*)))
-        mergeable.unionByName(
-          bloomPerCell(authoritative, capacity, numBits)
-            .select("cell", "n_ids", "bloom"))
+            .bloomMerge(col("bloom0"), col("add_bloom"))).as("bloom"),
+        col("capacity"), col("num_bits"))
+    store.rewritePartitioned(merged, bt, "cell", cellParams.keys.toSeq)
+  }
+
+  /** Sidecar bloom health: per cell — (cell, n_ids, capacity,
+    * num_bits, load_factor, est_fpp, action ∈ grow|ok), from one scan
+    * of the (tiny) sidecar; the corpus is never touched. est_fpp is
+    * the standard (1 − e^(−k·n/m))^k with k the hash count Spark's
+    * `BloomFilter` picks (max(1, round(m/n · ln 2))). A saturating
+    * bloom never threatens correctness — false positives only cost
+    * suspect exact-checks — so this is the EFFICIENCY monitor of the
+    * ingest lifecycle: a cell past `fppThreshold` pays ~fpp of its
+    * batch rows in corpus reads per batch, drifting back toward the
+    * O(touched cells) pre-sidecar cost. [[growCellBlooms]] is the
+    * actuator, completing the monitor→policy→actuator triple the
+    * split/retrain paths already have ([[rebalanceReport]]).
+    */
+  def bloomHealthReport(
+      store: TableStore,
+      table: String,
+      fppThreshold: Double = 0.05): DataFrame = {
+    val k = greatest(lit(1L),
+      floor(col("num_bits").cast("double") / col("capacity") * math.log(2.0) + 0.5)
+        .cast("long"))
+    store.read(bloomTable(table))
+      .select(col("cell").cast("int").as("cell"),
+        col("n_ids"), col("capacity"), col("num_bits"))
+      .withColumn("load_factor", col("n_ids").cast("double") / col("capacity"))
+      .withColumn("est_fpp",
+        pow(lit(1.0) - exp(-k.cast("double") * col("n_ids") / col("num_bits")),
+          k.cast("double")))
+      .withColumn("action",
+        when(col("est_fpp") > fppThreshold, lit("grow")).otherwise(lit("ok")))
+      .orderBy(col("est_fpp").desc, col("cell"))
+  }
+
+  /** Grow the saturated cells [[bloomHealthReport]] flags: each
+    * flagged cell's bloom REBUILDS from the authoritative corpus
+    * table's ids at capacity max(2·n_ids, 2·old capacity) — amortized
+    * doubling, so a cell pays at most log(final size) rebuilds over
+    * its lifetime — and only the flagged cell partitions rewrite.
+    * Rebuilds batch into one aggregate per distinct new parameter
+    * pair; the corpus read is partition-pruned to the flagged cells.
+    * Heterogeneous per-cell capacities are fine everywhere downstream:
+    * the probe reads each row's own serialized bloom (self-describing)
+    * and [[updateIdBloom]] builds add-blooms per stored parameter
+    * group. Returns the grown cell ids (empty = healthy).
+    */
+  def growCellBlooms(
+      store: TableStore,
+      table: String,
+      fppThreshold: Double = 0.05,
+      targetFpp: Double = 0.01): Seq[Int] = {
+    val bt = bloomTable(table)
+    if (!store.exists(bt)) return Seq.empty
+    val flagged = bloomHealthReport(store, table, fppThreshold)
+      .filter(col("action") === "grow")
+      .select(col("cell"), col("n_ids"), col("capacity")).collect()
+    if (flagged.isEmpty) return Seq.empty
+    val byParams: Map[(Long, Long), Seq[String]] = flagged.toSeq
+      .map { r =>
+        val cap = math.max(2L * r.getLong(1), 2L * r.getLong(2))
+        (cap, String.valueOf(r.getInt(0)))
       }
-    val replaced = stored.select("cell").collect().map(r => String.valueOf(r.get(0))).toSeq
+      .groupBy { case (cap, _) =>
+        (cap, org.apache.spark.util.sketch.BloomFilter.create(cap, targetFpp).bitSize())
+      }
+      .map { case (params, cs) => params -> cs.map(_._2) }
+    val ids = store.read(table).select(col("cell"), col("id"))
+    val rebuilt = byParams.map { case ((cap, bits), cells) =>
+      bloomPerCell(ids.filter(col("cell").cast("string").isin(cells: _*)), cap, bits)
+    }.reduce(_ unionByName _)
     store.rewritePartitioned(
-      merged
-        .withColumn("capacity", lit(capacity))
-        .withColumn("num_bits", lit(numBits)),
-      bt, "cell", replaced)
+      rebuilt, bt, "cell", byParams.values.flatten.toSeq)
+    flagged.map(_.getInt(0)).toSeq
   }
 
   /** Persist an IVF index: `<name>__centroids` (tiny) and, the

@@ -475,12 +475,14 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.duplicateIdAudit(store, "wide__assigned").isEmpty)
   }
 
-  test("sidecar update heals a parameter-incompatible (mid-rebuild) cell by rebuilding it") {
-    // ADVICE r6: a cell whose stored bloom params differ (concurrent /
-    // partial rebuild) cannot merge — the add must never be dropped
-    // (under-approximation re-appends landed ids) and the row must
-    // never be deleted (missing row reads as "no prior ids"); the
-    // cell's bloom rebuilds from the corpus table + batch instead.
+  test("sidecar update respects per-cell bloom parameters: a divergent cell merges, never torn down") {
+    // ADVICE r6 follow-through: add-blooms now build with EACH CELL'S
+    // stored (capacity, num_bits), so a cell whose declared parameters
+    // differ from the sidecar's head (a partial rebuild, or a cell
+    // grown by growCellBlooms) merges compatibly and KEEPS its size —
+    // the add is never dropped (under-approximation re-appends landed
+    // ids), the row never deleted (missing row reads as "no prior
+    // ids"), and the parameters never clobbered back to the head's.
     import spark.implicits._
     def rows(ids: Range) = ids.map(i => (i.toLong, Seq(i.toFloat), i % 4))
       .toDF("id", "vec", "cell")
@@ -489,9 +491,9 @@ class IndexStoreSpec extends SparkSpec {
     store.overwritePartitioned(rows(0 until 100), "mix__assigned", "cell")
     IndexStore.buildIdBloom(store, "mix__assigned", expectedIdsPerCell = 256, fpp = 0.01)
 
-    // sabotage cell 0's sidecar row with foreign (capacity, num_bits):
-    // a bloom that still holds cell 0's ids, but cannot merge
-    val foreign = org.apache.spark.util.sketch.BloomFilter.create(32, 0.1)
+    // replace cell 0's row with a bloom on DIFFERENT declared
+    // (capacity, num_bits) that still holds the cell's landed ids
+    val foreign = org.apache.spark.util.sketch.BloomFilter.create(32L, 192L)
     (0 until 100 by 4).foreach(i => foreign.putLong(
       spark.sql(s"SELECT xxhash64(CAST($i AS BIGINT))").head().getLong(0)))
     val bos = new java.io.ByteArrayOutputStream()
@@ -501,20 +503,72 @@ class IndexStoreSpec extends SparkSpec {
         .toDF("cell", "n_ids", "bloom", "capacity", "num_bits"),
       "mix__assigned__idbloom", "cell", Seq("0"))
 
-    // a batch landing fresh rows in ALL cells (incl. the foreign one)
+    // a batch landing fresh rows in ALL cells (incl. the divergent one)
     val batch = rows(80 until 140) // 20 replayed + 40 novel
     IndexStore.appendNewById(store, "mix__assigned", batch)
     def ids() = store.read("mix__assigned").select("id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(ids() == (0L until 140L))
-    // the healed cell is back on the sidecar-wide parameters
-    val healed = store.read("mix__assigned__idbloom")
+    // the divergent cell kept its own parameters (no head tear-down)
+    val kept = store.read("mix__assigned__idbloom")
       .filter(col("cell").cast("int") === 0)
       .select("capacity").head().getLong(0)
-    assert(healed != 32L, "cell 0 should have been rebuilt under the head params")
-    // and the healed bloom still dedups: replay is a no-op
+    assert(kept == 32L, s"cell 0 params clobbered to $kept")
+    // and the merged bloom still dedups: replay is a no-op
     IndexStore.appendNewById(store, "mix__assigned", batch)
     assert(ids() == (0L until 140L))
+  }
+
+  test("bloom health flags a saturating cell; growCellBlooms doubles it; updates keep the grown size") {
+    // the monitor→policy→actuator triple on the sidecar-efficiency
+    // axis: est_fpp past threshold → grow → report clears — and the
+    // grown cell's larger filter SURVIVES later batch updates (the
+    // per-parameter-group add path), completing TODO r6 #3.
+    import spark.implicits._
+    def rows(ids: Range, cellOf: Int => Int) = ids
+      .map(i => (i.toLong, Seq(i.toFloat), cellOf(i)))
+      .toDF("id", "vec", "cell")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"), col("cell"))
+    val store = newStore()
+    // skew: cell 0 holds 240 ids (3.75x its 64 capacity), cells 1-3 hold 20
+    store.overwritePartitioned(
+      rows(0 until 300, i => if (i < 240) 0 else 1 + i % 3), "sat__assigned", "cell")
+    IndexStore.buildIdBloom(store, "sat__assigned", expectedIdsPerCell = 64, fpp = 0.03)
+    // pin the bit size the q_ann_bloom_health oracle embeds as a literal
+    assert(org.apache.spark.util.sketch.BloomFilter.create(64, 0.03).bitSize() == 512L)
+
+    val report = IndexStore.bloomHealthReport(store, "sat__assigned")
+      .collect().map(r => r.getInt(0) -> r.getString(6)).toMap
+    assert(report == Map(0 -> "grow", 1 -> "ok", 2 -> "ok", 3 -> "ok"), report)
+
+    assert(IndexStore.growCellBlooms(store, "sat__assigned") == Seq(0))
+    val caps = store.read("sat__assigned__idbloom")
+      .select(col("cell").cast("int"), col("capacity")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(caps == Map(0 -> 480L, 1 -> 64L, 2 -> 64L, 3 -> 64L), caps) // max(2*240, 2*64)
+    // post-grow report is clean, and re-growing is a no-op
+    assert(IndexStore.bloomHealthReport(store, "sat__assigned")
+      .filter(col("action") === "grow").isEmpty)
+    assert(IndexStore.growCellBlooms(store, "sat__assigned").isEmpty)
+
+    // a later batch landing FRESH rows in both the grown cell (novel
+    // ids 300-309) and un-grown cells (310-319), replayed ids keeping
+    // their original cells (content-stable contract): dedup stays
+    // exact, replay a no-op, and cell 0 KEEPS its grown capacity
+    val batch = rows(230 until 320,
+      i => if (i < 240 || (i >= 300 && i < 310)) 0 else 1 + i % 3)
+    IndexStore.appendNewById(store, "sat__assigned", batch)
+    def ids() = store.read("sat__assigned").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids() == (0L until 320L))
+    IndexStore.appendNewById(store, "sat__assigned", batch)
+    assert(ids() == (0L until 320L))
+    assert(IndexStore.duplicateIdAudit(store, "sat__assigned").isEmpty)
+    val after = store.read("sat__assigned__idbloom")
+      .select(col("cell").cast("int"), col("capacity")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after(0) == 480L, s"grown cell torn down: $after")
+    assert(after(1) == 64L)
   }
 
   test("IVF incremental append covers the batch without touching existing assignments") {
