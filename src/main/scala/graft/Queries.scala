@@ -801,6 +801,39 @@ object Queries {
       .select("doc_id")
   }
 
+  /** The STATE-BACKED incremental dedup lifecycle (DedupState: init →
+    * ingestBatch → read back), hash-checked end to end on the portable
+    * md5 pipeline: the signature expression is injected as the
+    * Carter-Wegman md5 formulation (16 one-row bands ≡ the oracle's
+    * per-seed equality join; est-jaccard 10/16 = 0.625, exact in
+    * binary), so the surviving corpus the sharded state tables produce
+    * must equal q_dedup_incremental_md5's survivors plus the seeded
+    * corpus — the same rule, computed through fingerprint-sharded
+    * `__docs`, band-sharded `__bands`, and two idempotent kernel
+    * appends instead of an O(corpus) rescan. The production xxhash
+    * path is gated by DedupStateSpec's exact-equivalence to
+    * minhashDedupIncremental and the streamed DedupIngestSpec.
+    */
+  def qDedupStreamMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/dedupstream")
+    val cwSig: Column => Column = txt =>
+      transform(sequence(lit(0), lit(15)), i =>
+        array_min(transform(
+          array_distinct(TextFunctions.charShingles(txt, 4)),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") +
+            i.cast("long") * conv(substring(md5(g), 9, 8), 16, 10).cast("long"))))
+    val p = graft.dedup.DedupState.Params(
+      k = 16, bands = 16, threshold = 0.625,
+      maxBucket = 1000000000, sigOf = Some(cwSig))
+    graft.dedup.DedupState.init(
+      store, "ds", docs.filter(col("doc_id") < 100), p = p)
+    graft.dedup.DedupState.ingestBatch(
+      store, "ds", docs.filter(col("doc_id") >= 100), p = p)
+    store.read(graft.dedup.DedupState.docsTable("ds")).select(col("doc_id"))
+  }
+
   /** Duplicate-cluster statistics (Dedup.componentLabels): one row per
     * connected component of the candidate graph with its size and id
     * range — the dedup observability rollup (what got merged, how

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_fixpoint_star" -> (Queries.qDedupFixpointStar _),
     "q_dedup_clusters" -> (Queries.qDedupClusters _),
     "q_dedup_incremental_md5" -> (Queries.qDedupIncrementalMd5 _),
+    "q_dedup_stream_md5" -> (Queries.qDedupStreamMd5 _),
     "q_dedup_representatives" -> (Queries.qDedupRepresentatives _),
     "q_interleave" -> (Queries.qInterleave _),
     "q_dedup_minhash_recall" -> (Queries.qDedupMinhashRecall _),
@@ -904,6 +905,33 @@ object Oracles {
                 FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING count(*) >= 10),
          nd AS (SELECT DISTINCT id_b FROM pr WHERE id_b >= 100)
+         SELECT doc_id FROM s0
+         WHERE doc_id >= 100 AND doc_id NOT IN (SELECT id_b FROM nd)""",
+
+    // the state-backed lifecycle lands the seeded corpus as-is plus
+    // exactly q_dedup_incremental_md5's surviving batch docs
+    "q_dedup_stream_md5" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id < 200),
+         f AS (SELECT doc_id, md5(t) AS fp FROM d),
+         ed AS (SELECT f.doc_id FROM f
+                WHERE f.doc_id >= 100 AND EXISTS (
+                  SELECT 1 FROM f g WHERE g.fp = f.fp AND g.doc_id < f.doc_id)),
+         s0 AS (SELECT doc_id, t FROM d
+                WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+         g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+               FROM s0, UNNEST(generate_series(1, greatest(length(t)-3, 0))) AS u(i)),
+         h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2 FROM g),
+         sig AS (SELECT doc_id, s, min(h1 + s * h2) AS mh
+                 FROM h, UNNEST(generate_series(0, 15)) AS v(s) GROUP BY doc_id, s),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.s = b.s AND a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+         nd AS (SELECT DISTINCT id_b FROM pr WHERE id_b >= 100)
+         SELECT doc_id FROM documents WHERE doc_id < 100
+         UNION ALL
          SELECT doc_id FROM s0
          WHERE doc_id >= 100 AND doc_id NOT IN (SELECT id_b FROM nd)""",
 

@@ -198,17 +198,42 @@ object Dedup {
     def sigs(df: DataFrame) = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleWidth), k).as("sig"))
-    val incSigs = sigs(incoming)
     val exSigs = sigs(existing)
-    def members(s: DataFrame, isNew: Boolean) = s.select(
-      struct(col("id"), lit(isNew).as("is_new")).as("m"),
+    candidatesCore(
+      sigs(incoming),
+      // the batch's bucket keys are bounded → broadcast semi-join
+      // prunes the corpus membership map-side
+      touched => exSigs.select(
+        struct(col("id"), lit(false).as("is_new")).as("m"), col("sig"),
+        explode(bandKeys(col("sig"), k, bands)).as("band"))
+        .join(broadcast(touched), Seq("band"), "left_semi"),
+      k, bands, threshold, maxBucket)
+  }
+
+  /** The asymmetric candidate kernel behind [[minhashCandidatesAgainst]]
+    * and [[DedupState]]: incoming signatures vs a caller-supplied
+    * corpus MEMBERSHIP source. `exMemberOf` maps the batch's touched
+    * band set (bounded — broadcast it) to the corpus rows of those
+    * bands as (band, m = struct(id, is_new=false), sig); the text path
+    * explodes recomputed signatures, the state path reads its sharded
+    * band table. Corpus member rows never shuffle (broadcast probes end
+    * to end), so carrying the signature inline costs scan width only —
+    * and buys verify without any corpus-wide signature join: every
+    * candidate's signature is already on its (capped) touched rows.
+    * Pair rows still carry IDS ONLY through the distinct.
+    */
+  private[graft] def candidatesCore(
+      incSigs: DataFrame,
+      exMemberOf: DataFrame => DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val incMember = incSigs.select(
+      struct(col("id"), lit(true).as("is_new")).as("m"), col("sig"),
       explode(bandKeys(col("sig"), k, bands)).as("band"))
-    val incMember = members(incSigs, isNew = true)
-    // the batch's bucket keys are bounded → broadcast semi-join prunes
-    // the corpus membership map-side
     val touched = incMember.select("band").distinct()
-    val exMember = members(exSigs, isNew = false)
-      .join(broadcast(touched), Seq("band"), "left_semi")
+    val exMember = exMemberOf(touched)
     // per-touched-bucket counts are ≤ |batch|·bands rows →
     // broadcastable; hot buckets thin to a ~maxBucket hash sample
     // (deterministic in the data, no sort, no per-bucket materialization)
@@ -242,7 +267,10 @@ object Dedup {
         (col("na") && col("nb")).as("other_is_new"))
       .filter(col("id_new") =!= col("id_other"))
       .distinct()
-    val allSigs = incSigs.unionByName(exSigs)
+    // signature re-attach per unique pair: batch sigs plus the capped
+    // touched corpus rows' sigs — id_other only ever names one of those
+    val allSigs = incSigs.unionByName(
+      exCapped.select(col("m.id").as("id"), col("sig")).dropDuplicates("id"))
     val agree = graft.functions.VectorFunctions
       .longArrayAgree(col("sig_a"), col("sig_b"))
     pairs

@@ -1,0 +1,268 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.TableStore
+import graft.similarity.IndexStore
+import graft.text.TextFunctions._
+
+/** Corpus-scale incremental near-dedup STATE — the streaming twin of
+  * [[Dedup.minhashDedupIncremental]], with the per-batch corpus cost
+  * bounded the way the ANN ingest kernel bounds its id reads.
+  *
+  * `minhashDedupIncremental` is the right shape for a one-off
+  * batch-vs-corpus job, but a STREAM of micro-batches cannot afford its
+  * corpus side: it re-reads and re-shingles every corpus document per
+  * batch — O(corpus) text scans per micro-batch. This module persists
+  * the two things a batch actually probes as hash-sharded state tables
+  * and prunes every probe to the batch's own shards:
+  *
+  *  - `<name>__docs` — the surviving corpus, keyed by content
+  *    fingerprint (`id` = md5 fingerprint, `cell` = fingerprint
+  *    shard): the EXACT-dedup state. Probed and maintained by the same
+  *    [[IndexStore.newById]]/[[IndexStore.appendNewById]] kernel as the
+  *    ANN index tables — shard-pruned anti-join, optional id-bloom
+  *    sidecar ([[enableFpBloom]]) making mostly-novel batches read zero
+  *    corpus fingerprints, idempotent replay. Fingerprint→shard is
+  *    deterministic, so the kernel's content-stable-id contract holds
+  *    by construction.
+  *  - `<name>__bands` — one row per (LSH band, doc): the NEAR-dedup
+  *    state, keyed `band|fp` (replay-idempotent under the same
+  *    kernel), sharded by band hash. A batch reads only its touched
+  *    band shards (partition-pruned), semi-joined to its bounded
+  *    touched-band set. Rows carry the doc's minhash signature INLINE:
+  *    corpus band rows never shuffle (broadcast probes end to end in
+  *    [[Dedup.candidatesCore]]), so the carry costs scan width only,
+  *    and verify needs no corpus-wide signature join — every
+  *    candidate's signature is already on its touched rows. The trade
+  *    is ~bands × sig bytes of state per doc (~8 KB at k=64, b=16);
+  *    the alternative — a separate signature table probed per
+  *    candidate — costs a second corpus table, a candidate-driven read
+  *    per batch, and a shard-collect action mid-plan.
+  *
+  * Crash/replay contract (the sidecar discipline, applied across two
+  * tables): docs append BEFORE bands, and each append is individually
+  * idempotent, so EVERY crash point heals on Structured Streaming's
+  * batch replay:
+  *  - crash before the docs append: replay recomputes the same
+  *    survivors (state unchanged) and runs both appends;
+  *  - crash between the appends: the replayed batch's already-landed
+  *    fingerprints are detected against `__docs` and their band rows
+  *    re-derived and appended (`band|fp`-keyed → no-op for rows that
+  *    did land) — the heal path every [[ingestBatch]] runs;
+  *  - full replay: both appends are no-ops.
+  * Near-DROPPED docs leave no state on purpose: an exact resend meets
+  * the same near-duplicates and drops again; state converges.
+  *
+  * Reference analog: the incremental anti-join idiom of
+  * `dags/emission-dag.py:204-209` (only new keys land), lifted to
+  * content fingerprints and LSH bands.
+  */
+object DedupState {
+
+  /** Dedup parameters. `sigOf` overrides the signature expression
+    * (text column → array<long> of k minhashes) — the production
+    * default is the codegen'd [[Dedup.minhashSignature]] over word
+    * shingles; oracle twins inject a portable md5 formulation
+    * (Carter-Wegman seeds, the cwSeedMins recipe) so the whole state
+    * lifecycle hash-checks against DuckDB.
+    */
+  case class Params(
+      shingleWidth: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 200,
+      nShards: Int = 64,
+      sigOf: Option[Column => Column] = None) {
+    private[dedup] def sig(text: Column): Column = sigOf match {
+      case Some(f) => f(text)
+      case None => Dedup.minhashSignature(wordShingles(text, shingleWidth), k)
+    }
+  }
+
+  def docsTable(name: String): String = s"${name}__docs"
+  def bandsTable(name: String): String = s"${name}__bands"
+
+  /** Key a docs frame for the fp-sharded kernel: `id` = content
+    * fingerprint, `cell` = its shard.
+    */
+  private def keyByFp(df: DataFrame, textCol: String, nShards: Int): DataFrame =
+    df.withColumn("id", fingerprintMd5(col(textCol)))
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(nShards.toLong)).cast("int"))
+
+  /** One (band, doc) state row per LSH band of each doc, keyed for the
+    * idempotent kernel and sharded by band hash.
+    */
+  private def bandRows(keyed: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
+    keyed
+      .withColumn("__sig", p.sig(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("id").as("__fp"), col("__sig").as("sig"),
+        explode(Dedup.bandKeys(col("__sig"), p.k, p.bands)).as("band"))
+      .select(
+        pmod(col("band"), lit(p.nShards.toLong)).cast("int").as("cell"),
+        concat_ws("|", col("band"), col("__fp")).as("id"),
+        col("band"), col("doc_id"), col("sig"))
+
+  /** Initialize state from an ALREADY-DEDUPED corpus (the same
+    * precondition `minhashDedupIncremental` documents for its
+    * `existing` side): one pass builds both tables.
+    */
+  def init(
+      store: TableStore,
+      name: String,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: Params = Params()): Unit = {
+    val keyed = keyByFp(corpus, textCol, p.nShards)
+    store.overwritePartitioned(keyed, docsTable(name), "cell")
+    store.overwritePartitioned(bandRows(keyed, idCol, textCol, p), bandsTable(name), "cell")
+  }
+
+  /** Build the fingerprint bloom sidecar over `__docs` (and one over
+    * `__bands`' row keys) so mostly-novel batches probe blooms
+    * executor-side instead of reading corpus fingerprints — the exact
+    * reuse of [[IndexStore.buildIdBloom]], health-monitored and grown
+    * by the same [[IndexStore.bloomHealthReport]]/
+    * [[IndexStore.growCellBlooms]].
+    */
+  def enableFpBloom(
+      store: TableStore,
+      name: String,
+      expectedIdsPerCell: Long = 1L << 20,
+      fpp: Double = 0.01): Unit = {
+    IndexStore.buildIdBloom(store, docsTable(name), expectedIdsPerCell, fpp)
+    IndexStore.buildIdBloom(store, bandsTable(name), expectedIdsPerCell, fpp)
+  }
+
+  /** The probe half (PURE — no writes, safe to inspect): batch rows
+    * that survive exact dedup (in-batch keep-min-id, then the
+    * shard-pruned/bloom-assisted fingerprint anti-join against
+    * `__docs`) and near dedup (banded candidates against `__bands`
+    * plus in-batch pairs, verified on estimated Jaccard ≥ threshold —
+    * [[Dedup.minhashDedupIncremental]]'s rule exactly). Returns the
+    * keyed survivor frame with `__sig` attached (callers project).
+    */
+  private def surviving(
+      store: TableStore,
+      name: String,
+      batchExact: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: Params): (DataFrame, DataFrame) = {
+    val docsT = docsTable(name)
+    val novel =
+      if (store.exists(docsT)) IndexStore.newById(store, docsT, batchExact)
+      else batchExact
+    val novelSig = novel.withColumn("__sig", p.sig(col(textCol)))
+    val incSigs = novelSig.select(col(idCol).as("id"), col("__sig").as("sig"))
+    val bandsT = bandsTable(name)
+    val drops =
+      if (!store.exists(bandsT)) {
+        // no near state yet: in-batch pairs only (empty corpus
+        // membership, schema inherited from the incoming side)
+        Dedup.candidatesCore(incSigs,
+          _ => incSigs.select(
+            struct(col("id"), lit(false).as("is_new")).as("m"),
+            col("sig"), lit(0L).as("band"))
+            .select(col("band"), col("m"), col("sig")).limit(0),
+          p.k, p.bands, p.threshold, p.maxBucket)
+      } else {
+        Dedup.candidatesCore(incSigs,
+          touched => {
+            // touched band shards are driver-known and ≤ nShards: the
+            // state read partition-prunes to them, then the bounded
+            // touched set semi-joins map-side
+            val shards = touched
+              .select(pmod(col("band"), lit(p.nShards.toLong)).cast("int").as("c"))
+              .distinct().collect().map(r => String.valueOf(r.getInt(0))).toSeq
+            val pruned =
+              if (shards.isEmpty) store.read(bandsT).limit(0)
+              else store.read(bandsT)
+                .filter(col("cell").cast("string").isin(shards: _*))
+            pruned
+              .join(broadcast(touched), Seq("band"), "left_semi")
+              .select(col("band"),
+                struct(col("doc_id").as("id"), lit(false).as("is_new")).as("m"),
+                col("sig"))
+          },
+          p.k, p.bands, p.threshold, p.maxBucket)
+      }
+    (novel,
+      novelSig.join(
+        drops.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+  }
+
+  /** Dedup a batch against the state WITHOUT mutating it: the
+    * surviving rows with their original columns. Pure — compose freely.
+    */
+  def dedupBatch(
+      store: TableStore,
+      name: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: Params = Params()): DataFrame = {
+    requireNoReserved(batch)
+    val keyed = keyByFp(batch, textCol, p.nShards)
+    val batchExact = graft.ops.RelationalOps
+      .dedupKeepFirst(keyed, Seq("id"), Seq(col(idCol)))
+    surviving(store, name, batchExact, idCol, textCol, p)._2
+      .drop("__sig", "id", "cell")
+  }
+
+  /** Dedup a micro-batch against the state and fold the survivors in —
+    * the `foreachBatch` body. Probes once (persisted), then appends
+    * docs, then bands; the bands append also covers the batch's
+    * PREVIOUSLY-LANDED fingerprints (the heal path — see the crash
+    * contract above). Mutates state; survivors are readable from
+    * `<name>__docs`.
+    */
+  def ingestBatch(
+      store: TableStore,
+      name: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: Params = Params()): Unit = {
+    requireNoReserved(batch)
+    val docsT = docsTable(name)
+    val keyed = keyByFp(batch, textCol, p.nShards)
+    val batchExact = graft.ops.RelationalOps
+      .dedupKeepFirst(keyed, Seq("id"), Seq(col(idCol)))
+    batchExact.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // localCheckpoint (eager), not persist: both frames' lineage
+      // READS the tables this method is about to MUTATE — a cache
+      // eviction between the appends would silently recompute them
+      // against post-append state (survivors empty, near-dropped docs
+      // misread as landed). Checkpointing truncates the lineage, so
+      // the probe results are pinned to the pre-append snapshot.
+      val (novelRaw, survivorsRaw) =
+        surviving(store, name, batchExact, idCol, textCol, p)
+      val novel = novelRaw.localCheckpoint()
+      val survivors = survivorsRaw.localCheckpoint()
+      // docs first: the fingerprint state is what replay consults
+      val docRows = survivors.drop("__sig")
+      if (!store.exists(docsT)) store.overwritePartitioned(docRows, docsT, "cell")
+      else IndexStore.appendNewById(store, docsT, docRows)
+      // bands second, for survivors AND the batch's already-landed
+      // fingerprints — batchExact minus the probe's novel set, no
+      // extra corpus read (heals a crash between the two appends;
+      // the kernel's band|fp keys make re-derived rows no-ops)
+      val landedBefore = batchExact.join(
+        novel.select(col(idCol)), Seq(idCol), "left_anti")
+      val bandSource = survivors.drop("__sig").unionByName(landedBefore)
+      val bandsT = bandsTable(name)
+      val rows = bandRows(bandSource, idCol, textCol, p)
+      if (!store.exists(bandsT)) store.overwritePartitioned(rows, bandsT, "cell")
+      else IndexStore.appendNewById(store, bandsT, rows)
+    } finally batchExact.unpersist()
+  }
+
+  private def requireNoReserved(batch: DataFrame): Unit =
+    require(!batch.columns.exists(Set("id", "cell", "__sig")),
+      "batch must not carry reserved columns id/cell/__sig")
+}
