@@ -818,15 +818,21 @@ object Queries {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
     val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/dedupstream")
+    // one md5 per gram (the digest pair is the aggregate's INPUT
+    // array, evaluated once — not inside the per-seed lambda, which
+    // would re-digest 16×: the minhashSignature history's exact trap)
     val cwSig: Column => Column = txt =>
-      transform(sequence(lit(0), lit(15)), i =>
-        array_min(transform(
-          array_distinct(TextFunctions.charShingles(txt, 4)),
-          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") +
-            i.cast("long") * conv(substring(md5(g), 9, 8), 16, 10).cast("long"))))
+      aggregate(
+        transform(array_distinct(TextFunctions.charShingles(txt, 4)),
+          g => struct(
+            conv(substring(md5(g), 1, 8), 16, 10).cast("long").as("h1"),
+            conv(substring(md5(g), 9, 8), 16, 10).cast("long").as("h2"))),
+        array_repeat(lit(Long.MaxValue), 16),
+        (acc, h) => zip_with(acc, sequence(lit(0L), lit(15L)),
+          (a, i) => least(a, h("h1") + i * h("h2"))))
     val p = graft.dedup.DedupState.Params(
       k = 16, bands = 16, threshold = 0.625,
-      maxBucket = 1000000000, sigOf = Some(cwSig))
+      maxBucket = 1000000000, nShards = 8, sigOf = Some(cwSig))
     graft.dedup.DedupState.init(
       store, "ds", docs.filter(col("doc_id") < 100), p = p)
     graft.dedup.DedupState.ingestBatch(

@@ -95,9 +95,12 @@ object DedupState {
   /** One (band, doc) state row per LSH band of each doc, keyed for the
     * idempotent kernel and sharded by band hash.
     */
-  private def bandRows(keyed: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
-    keyed
-      .withColumn("__sig", p.sig(col(textCol)))
+  /** Band state rows from a keyed frame ALREADY carrying `__sig`
+    * (computed once and pinned by the callers — recomputing the
+    * signature here would re-shingle the batch per downstream branch).
+    */
+  private def bandRows(withSig: DataFrame, idCol: String, p: Params): DataFrame =
+    withSig
       .select(col(idCol).as("doc_id"), col("id").as("__fp"), col("__sig").as("sig"),
         explode(Dedup.bandKeys(col("__sig"), p.k, p.bands)).as("band"))
       .select(
@@ -118,7 +121,9 @@ object DedupState {
       p: Params = Params()): Unit = {
     val keyed = keyByFp(corpus, textCol, p.nShards)
     store.overwritePartitioned(keyed, docsTable(name), "cell")
-    store.overwritePartitioned(bandRows(keyed, idCol, textCol, p), bandsTable(name), "cell")
+    store.overwritePartitioned(
+      bandRows(keyed.withColumn("__sig", p.sig(col(textCol))), idCol, p),
+      bandsTable(name), "cell")
   }
 
   /** Build the fingerprint bloom sidecar over `__docs` (and one over
@@ -127,39 +132,51 @@ object DedupState {
     * reuse of [[IndexStore.buildIdBloom]], health-monitored and grown
     * by the same [[IndexStore.bloomHealthReport]]/
     * [[IndexStore.growCellBlooms]].
+    *
+    * Size `expectedIdsPerCell` near the CURRENT per-shard doc count,
+    * not the eventual one: an oversized bloom costs every probe its
+    * full width (the ×20 scale probe measured a 1M-capacity sidecar at
+    * ~2× the whole probe's cost on a 100k-doc corpus — 77 MB of bloom
+    * scan for 1.5k ids/cell), while an undersized one only drifts fpp
+    * up until [[IndexStore.growCellBlooms]] doubles it — amortized,
+    * and monitored by [[IndexStore.bloomHealthReport]].
     */
   def enableFpBloom(
       store: TableStore,
       name: String,
-      expectedIdsPerCell: Long = 1L << 20,
+      expectedIdsPerCell: Long = 1L << 16,
       fpp: Double = 0.01): Unit = {
     IndexStore.buildIdBloom(store, docsTable(name), expectedIdsPerCell, fpp)
     IndexStore.buildIdBloom(store, bandsTable(name), expectedIdsPerCell, fpp)
   }
 
-  /** The probe half (PURE — no writes, safe to inspect): batch rows
-    * that survive exact dedup (in-batch keep-min-id, then the
-    * shard-pruned/bloom-assisted fingerprint anti-join against
-    * `__docs`) and near dedup (banded candidates against `__bands`
-    * plus in-batch pairs, verified on estimated Jaccard ≥ threshold —
-    * [[Dedup.minhashDedupIncremental]]'s rule exactly). Returns the
-    * keyed survivor frame with `__sig` attached (callers project).
+  /** Exact-novel batch rows: in-batch keep-min-id already applied by
+    * the callers; here the shard-pruned/bloom-assisted fingerprint
+    * anti-join against `__docs`.
     */
-  private def surviving(
+  private def novelOf(store: TableStore, name: String, batchExact: DataFrame): DataFrame = {
+    val docsT = docsTable(name)
+    if (store.exists(docsT)) IndexStore.newById(store, docsT, batchExact)
+    else batchExact
+  }
+
+  /** Near-duplicate drops of a PINNED `novelSig` frame (callers
+    * localCheckpoint it first — the candidate DAG traverses the
+    * incoming side in several branches, and an un-pinned probe subtree
+    * would re-run the fingerprint anti-join per branch): banded
+    * candidates against `__bands` plus in-batch pairs, verified on
+    * estimated Jaccard ≥ threshold — [[Dedup.minhashDedupIncremental]]'s
+    * rule exactly. Returns distinct dropped ids as `idCol`.
+    */
+  private def dropsOf(
       store: TableStore,
       name: String,
-      batchExact: DataFrame,
+      novelSig: DataFrame,
       idCol: String,
-      textCol: String,
-      p: Params): (DataFrame, DataFrame) = {
-    val docsT = docsTable(name)
-    val novel =
-      if (store.exists(docsT)) IndexStore.newById(store, docsT, batchExact)
-      else batchExact
-    val novelSig = novel.withColumn("__sig", p.sig(col(textCol)))
+      p: Params): DataFrame = {
     val incSigs = novelSig.select(col(idCol).as("id"), col("__sig").as("sig"))
     val bandsT = bandsTable(name)
-    val drops =
+    val pairs =
       if (!store.exists(bandsT)) {
         // no near state yet: in-batch pairs only (empty corpus
         // membership, schema inherited from the incoming side)
@@ -190,9 +207,7 @@ object DedupState {
           },
           p.k, p.bands, p.threshold, p.maxBucket)
       }
-    (novel,
-      novelSig.join(
-        drops.select(col("id_new").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+    pairs.select(col("id_new").as(idCol)).distinct()
   }
 
   /** Dedup a batch against the state WITHOUT mutating it: the
@@ -209,7 +224,12 @@ object DedupState {
     val keyed = keyByFp(batch, textCol, p.nShards)
     val batchExact = graft.ops.RelationalOps
       .dedupKeepFirst(keyed, Seq("id"), Seq(col(idCol)))
-    surviving(store, name, batchExact, idCol, textCol, p)._2
+    // pin the probe (one fingerprint anti-join, one signature pass) —
+    // the candidate DAG fans out over it
+    val novelSig = novelOf(store, name, batchExact)
+      .withColumn("__sig", p.sig(col(textCol)))
+      .localCheckpoint()
+    novelSig.join(dropsOf(store, name, novelSig, idCol, p), Seq(idCol), "left_anti")
       .drop("__sig", "id", "cell")
   }
 
@@ -234,33 +254,58 @@ object DedupState {
       .dedupKeepFirst(keyed, Seq("id"), Seq(col(idCol)))
     batchExact.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // localCheckpoint (eager), not persist: both frames' lineage
-      // READS the tables this method is about to MUTATE — a cache
-      // eviction between the appends would silently recompute them
+      // localCheckpoint (eager), not persist, for everything whose
+      // lineage READS the tables this method is about to MUTATE: a
+      // cache eviction between the appends would silently recompute
       // against post-append state (survivors empty, near-dropped docs
-      // misread as landed). Checkpointing truncates the lineage, so
-      // the probe results are pinned to the pre-append snapshot.
-      val (novelRaw, survivorsRaw) =
-        surviving(store, name, batchExact, idCol, textCol, p)
-      val novel = novelRaw.localCheckpoint()
-      val survivors = survivorsRaw.localCheckpoint()
-      // docs first: the fingerprint state is what replay consults
+      // misread as landed), and the candidate DAG fans out over the
+      // probe in several branches — un-pinned, the fingerprint
+      // anti-join and signature pass would re-run per branch (the ×20
+      // scale probe measured this at ~6× the pinned cost).
+      val novel = novelOf(store, name, batchExact).localCheckpoint()
+      val novelSig = novel.withColumn("__sig", p.sig(col(textCol)))
+        .localCheckpoint()
+      val survivors = novelSig
+        .join(dropsOf(store, name, novelSig, idCol, p), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      // docs first: the fingerprint state is what replay consults.
+      // Survivors are a pinned newById result — proven fp-novel, so
+      // the bloom-preserving no-re-probe append applies (on replay
+      // survivors is EMPTY; nothing novel is ever blind-appended).
       val docRows = survivors.drop("__sig")
       if (!store.exists(docsT)) store.overwritePartitioned(docRows, docsT, "cell")
-      else IndexStore.appendNewById(store, docsT, docRows)
-      // bands second, for survivors AND the batch's already-landed
-      // fingerprints — batchExact minus the probe's novel set, no
-      // extra corpus read (heals a crash between the two appends;
-      // the kernel's band|fp keys make re-derived rows no-ops)
+      else IndexStore.appendKnownNewById(store, docsT, docRows)
+      // bands second: a novel fingerprint implies novel band|fp keys,
+      // so survivors' band rows take the same no-re-probe path; only
+      // the batch's already-landed fingerprints (batchExact minus the
+      // probe's novel set — the heal of a crash between the appends)
+      // go through the probing kernel, and only when present.
+      // Survivors reuse their pinned __sig; only heal rows re-sign.
+      val bandsT = bandsTable(name)
+      val newRows = bandRows(survivors, idCol, p)
+      if (!store.exists(bandsT)) store.overwritePartitioned(newRows, bandsT, "cell")
+      else IndexStore.appendKnownNewById(store, bandsT, newRows)
       val landedBefore = batchExact.join(
         novel.select(col(idCol)), Seq(idCol), "left_anti")
-      val bandSource = survivors.drop("__sig").unionByName(landedBefore)
-      val bandsT = bandsTable(name)
-      val rows = bandRows(bandSource, idCol, textCol, p)
-      if (!store.exists(bandsT)) store.overwritePartitioned(rows, bandsT, "cell")
-      else IndexStore.appendNewById(store, bandsT, rows)
+        .withColumn("__sig", p.sig(col(textCol)))
+      if (!landedBefore.isEmpty)
+        IndexStore.appendNewById(store, bandsT, bandRows(landedBefore, idCol, p))
     } finally batchExact.unpersist()
   }
+
+  /** Collapse the per-batch file accumulation in both state tables —
+    * the same crash-safe partition compaction the fact and index
+    * tables use; run outside the ingest window. Returns partitions
+    * rewritten.
+    */
+  def compact(
+      store: TableStore,
+      name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    Seq(docsTable(name), bandsTable(name))
+      .filter(store.exists)
+      .map(t => store.compact(t, "cell", targetFileBytes))
+      .sum
 
   private def requireNoReserved(batch: DataFrame): Unit =
     require(!batch.columns.exists(Set("id", "cell", "__sig")),

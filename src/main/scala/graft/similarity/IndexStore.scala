@@ -208,6 +208,20 @@ object IndexStore {
     } finally batch.unpersist()
   }
 
+  /** Append rows the CALLER already proved novel — a pinned
+    * [[newById]] result against the same table snapshot, nothing else
+    * writing in between (the single-writer ingest contract). Skips the
+    * redundant re-probe [[appendNewById]] would run, but keeps the
+    * sidecar discipline: the id-bloom updates BEFORE rows land, so a
+    * crash in between only over-approximates (suspects exact-check),
+    * never under-approximates (which would re-append landed ids).
+    */
+  private[graft] def appendKnownNewById(
+      store: TableStore, table: String, fresh: DataFrame): Unit = {
+    updateIdBloom(store, table, fresh)
+    store.appendPartitioned(fresh, table, "cell")
+  }
+
   /** The anti-joined frame behind [[appendNewById]], exposed so specs
     * can assert the corpus scan's partition pruning. With an id-bloom
     * sidecar present ([[buildIdBloom]]), the batch first splits
@@ -233,27 +247,44 @@ object IndexStore {
     val bt = bloomTable(table)
     if (!store.exists(bt))
       return batch.join(prunedIds(cellsOf(batch)), Seq("id"), "left_anti")
-    // Executor-side probe (r6 item #2): each batch row joins its OWN
-    // cell's sidecar bloom (partition-pruned to the batch's cells) and
-    // evaluates might_contain where the row already is — no bloom
-    // bytes ever collect on the driver, so a bulk backfill spraying
-    // thousands of cells carries no driver bound. Rows whose cell has
-    // no sidecar row join NULL → definitely new (a cell without a
-    // sidecar row has no prior ids — ingest is the single writer and
-    // the sidecar updates before rows land). The bloom column drops
-    // before anything shuffles, so the wide bytes never travel.
-    val sidecar = store.read(bt)
-      .filter(col("cell").cast("string").isin(cellsOf(batch): _*))
-      .select(col("cell").cast("int").as("cell"), col("bloom").as("__bloom"))
-    val tagged = batch.join(sidecar, Seq("cell"), "left")
-      .withColumn("__maybe", graft.functions.BloomProbeFunctions.cellBloomMightContain(
-        col("cell"), col("__bloom"), xxhash64(col("id"))))
-      .select(batch.columns.map(col) :+ col("__maybe"): _*)
+    // The probe frame fans out downstream (suspect-cells collect, the
+    // novel/suspect union's two branches, the caller's
+    // materialization) — un-pinned, the bloom join would re-run per
+    // branch (measured ~4× on a 100k-doc state probe). localCheckpoint
+    // pins one pass; the heavy __bloom column is already projected
+    // away, so only batch rows + a boolean materialize.
+    val tagged = bloomTagged(store, table, batch, cellsOf(batch)).localCheckpoint()
     val suspects = tagged.filter(col("__maybe")).drop("__maybe")
     val suspectCells = cellsOf(suspects)
     if (suspectCells.isEmpty) batch // all definitely new: zero corpus reads
     else tagged.filter(!col("__maybe")).drop("__maybe")
       .unionByName(suspects.join(prunedIds(suspectCells), Seq("id"), "left_anti"))
+  }
+
+  /** The executor-side bloom probe behind [[newById]] (r6 item #2),
+    * pre-pinning: each batch row joins its OWN cell's sidecar bloom
+    * (partition-pruned to the batch's cells) and evaluates
+    * might_contain where the row already is — no bloom bytes ever
+    * collect on the driver, so a bulk backfill spraying thousands of
+    * cells carries no driver bound. Rows whose cell has no sidecar row
+    * join NULL → definitely new (a cell without a sidecar row has no
+    * prior ids — ingest is the single writer and the sidecar updates
+    * before rows land). The bloom column drops before anything
+    * shuffles, so the wide bytes never travel. Exposed pre-checkpoint
+    * so specs can assert the probe's plan shape.
+    */
+  private[graft] def bloomTagged(
+      store: TableStore,
+      table: String,
+      batch: DataFrame,
+      cells: Seq[String]): DataFrame = {
+    val sidecar = store.read(bloomTable(table))
+      .filter(col("cell").cast("string").isin(cells: _*))
+      .select(col("cell").cast("int").as("cell"), col("bloom").as("__bloom"))
+    batch.join(sidecar, Seq("cell"), "left")
+      .withColumn("__maybe", graft.functions.BloomProbeFunctions.cellBloomMightContain(
+        col("cell"), col("__bloom"), xxhash64(col("id"))))
+      .select(batch.columns.map(col) :+ col("__maybe"): _*)
   }
 
   /** Audit the id-uniqueness invariant [[appendNewById]]'s cell-pruned

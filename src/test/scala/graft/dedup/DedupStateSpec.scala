@@ -107,6 +107,27 @@ class DedupStateSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("compact collapses per-batch files; state contents identical") {
+    val all = docsAt(sf("documents"))
+    val store = newStore()
+    DedupState.init(store, "cp", Dedup.exactDedup(all.filter(col("doc_id") < 20)))
+    (20 until 50 by 10).foreach { lo =>
+      DedupState.ingestBatch(store, "cp",
+        all.filter(col("doc_id") >= lo && col("doc_id") < lo + 10))
+    }
+    val docsT = DedupState.docsTable("cp")
+    def files(t: String) = store.read(t).inputFiles.length
+    def ids() = docIds(store, "cp")
+    val (beforeFiles, beforeIds) = (files(docsT), ids())
+    val beforeBands = store.read(DedupState.bandsTable("cp"))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(DedupState.compact(store, "cp", targetFileBytes = 512L * 1024 * 1024) > 0)
+    assert(files(docsT) < beforeFiles)
+    assert(ids() == beforeIds)
+    assert(store.read(DedupState.bandsTable("cp"))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq == beforeBands)
+  }
+
   test("fingerprint bloom sidecar: novel stream stays exact, replay still a no-op") {
     val all = docsAt(sf("documents"))
     val store = newStore()

@@ -459,11 +459,16 @@ class IndexStoreSpec extends SparkSpec {
 
     // 600 already-ingested ids (all suspects) + 600 novel, one per cell
     val batch = rows(600 until 1800)
-    val plan = IndexStore.newById(store, "wide__assigned", batch)
+    // the probe's plan SCANS the sidecar (joined where the rows are)
+    // instead of collapsing it into a driver-built literal — asserted
+    // on the pre-pinning probe frame (newById checkpoints it so the
+    // bloom join runs once, not once per downstream branch)
+    val cells = batch.select("cell").distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSeq
+    val probePlan = IndexStore.bloomTagged(store, "wide__assigned", batch, cells)
       .queryExecution.executedPlan.toString
-    // the sidecar is SCANNED in the plan (probed via join where the
-    // rows are) instead of collapsing into a driver-built literal
-    assert(plan.contains("idbloom"), plan)
+    assert(probePlan.contains("idbloom"), probePlan)
+    assert(probePlan.contains("cell_bloom_might_contain"), probePlan)
 
     IndexStore.appendNewById(store, "wide__assigned", batch)
     def ids() = store.read("wide__assigned").select("id").collect()
