@@ -148,6 +148,13 @@ object DedupState {
       fpp: Double = 0.01): Unit = {
     IndexStore.buildIdBloom(store, docsTable(name), expectedIdsPerCell, fpp)
     IndexStore.buildIdBloom(store, bandsTable(name), expectedIdsPerCell, fpp)
+    // the band-VALUE bloom: per band shard, "does this band key exist
+    // in state at all?" — the near-probe twin of the fingerprint bloom.
+    // Bands of novel docs are usually novel, so a mostly-novel batch's
+    // touched-band set thins to only maybe-present bands BEFORE the
+    // state read; shards holding none skip entirely ([[dropsOf]]).
+    IndexStore.buildIdBloom(store, bandsTable(name), expectedIdsPerCell, fpp,
+      key = "band")
   }
 
   /** Exact-novel batch rows: in-batch keep-min-id already applied by
@@ -189,10 +196,12 @@ object DedupState {
       } else {
         Dedup.candidatesCore(incSigs,
           touched => {
-            // touched band shards are driver-known and ≤ nShards: the
-            // state read partition-prunes to them, then the bounded
-            // touched set semi-joins map-side
-            val shards = touched
+            // band-bloom thinning first (no-op without the sidecar),
+            // then the maybe-set's shards are driver-known and
+            // ≤ nShards: the state read partition-prunes to them, and
+            // the bounded maybe set semi-joins map-side
+            val maybe = maybeTouchedBands(store, name, touched, p)
+            val shards = maybe
               .select(pmod(col("band"), lit(p.nShards.toLong)).cast("int").as("c"))
               .distinct().collect().map(r => String.valueOf(r.getInt(0))).toSeq
             val pruned =
@@ -200,7 +209,7 @@ object DedupState {
               else store.read(bandsT)
                 .filter(col("cell").cast("string").isin(shards: _*))
             pruned
-              .join(broadcast(touched), Seq("band"), "left_semi")
+              .join(broadcast(maybe), Seq("band"), "left_semi")
               .select(col("band"),
                 struct(col("doc_id").as("id"), lit(false).as("is_new")).as("m"),
                 col("sig"))
@@ -208,6 +217,34 @@ object DedupState {
           p.k, p.bands, p.threshold, p.maxBucket)
       }
     pairs.select(col("id_new").as(idCol)).distinct()
+  }
+
+  /** Thin a batch's touched band set to the bands that MIGHT exist in
+    * the near state — the band-value bloom probe (identity without the
+    * sidecar). Bloom-negative bands are definitely absent (the sidecar
+    * updates BEFORE band rows land, so it can only over-approximate),
+    * contribute no corpus candidates, and drop out here — BEFORE the
+    * state read, so shards holding only novel bands never scan at all:
+    * a mostly-novel batch's near probe reads ~nothing, the way the
+    * fingerprint bloom makes its exact probe read ~nothing. A false
+    * positive just reads a shard and semi-joins to an empty match —
+    * the exactness of the result never depends on the bloom.
+    */
+  private[graft] def maybeTouchedBands(
+      store: TableStore, name: String, touched: DataFrame, p: Params): DataFrame = {
+    val bandsT = bandsTable(name)
+    if (!IndexStore.hasBloom(store, bandsT, key = "band")) return touched
+    val withCell = touched.withColumn(
+      "cell", pmod(col("band"), lit(p.nShards.toLong)).cast("int"))
+    val cells = withCell.select(col("cell").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    // pinned: the maybe set feeds both the shard collect and the
+    // broadcast semi-join — tiny (≤ touched bands), so the checkpoint
+    // costs nothing and the bloom join runs once
+    IndexStore.bloomTagged(store, bandsT, withCell, cells, key = "band")
+      .filter(col("__maybe"))
+      .select("band")
+      .localCheckpoint()
   }
 
   /** Dedup a batch against the state WITHOUT mutating it: the
@@ -281,15 +318,26 @@ object DedupState {
       // probe's novel set — the heal of a crash between the appends)
       // go through the probing kernel, and only when present.
       // Survivors reuse their pinned __sig; only heal rows re-sign.
+      // The band-VALUE bloom updates before each band append, same
+      // over-approximation discipline as the row-key blooms: a crash
+      // in between leaves a maybe-present band that reads its shard
+      // and matches nothing; the unsafe direction (a landed band the
+      // bloom misses → silently missed near-dups) cannot happen.
       val bandsT = bandsTable(name)
       val newRows = bandRows(survivors, idCol, p)
       if (!store.exists(bandsT)) store.overwritePartitioned(newRows, bandsT, "cell")
-      else IndexStore.appendKnownNewById(store, bandsT, newRows)
+      else {
+        IndexStore.updateIdBloom(store, bandsT, newRows, key = "band")
+        IndexStore.appendKnownNewById(store, bandsT, newRows)
+      }
       val landedBefore = batchExact.join(
         novel.select(col(idCol)), Seq(idCol), "left_anti")
         .withColumn("__sig", p.sig(col(textCol)))
-      if (!landedBefore.isEmpty)
-        IndexStore.appendNewById(store, bandsT, bandRows(landedBefore, idCol, p))
+      if (!landedBefore.isEmpty) {
+        val healRows = bandRows(landedBefore, idCol, p)
+        IndexStore.updateIdBloom(store, bandsT, healRows, key = "band")
+        IndexStore.appendNewById(store, bandsT, healRows)
+      }
     } finally batchExact.unpersist()
   }
 

@@ -277,15 +277,19 @@ object IndexStore {
       store: TableStore,
       table: String,
       batch: DataFrame,
-      cells: Seq[String]): DataFrame = {
-    val sidecar = store.read(bloomTable(table))
+      cells: Seq[String],
+      key: String = "id"): DataFrame = {
+    val sidecar = store.read(bloomTable(table, key))
       .filter(col("cell").cast("string").isin(cells: _*))
       .select(col("cell").cast("int").as("cell"), col("bloom").as("__bloom"))
     batch.join(sidecar, Seq("cell"), "left")
       .withColumn("__maybe", graft.functions.BloomProbeFunctions.cellBloomMightContain(
-        col("cell"), col("__bloom"), xxhash64(col("id"))))
+        col("cell"), col("__bloom"), xxhash64(col(key))))
       .select(batch.columns.map(col) :+ col("__maybe"): _*)
   }
+
+  private[graft] def hasBloom(store: TableStore, table: String, key: String = "id"): Boolean =
+    store.exists(bloomTable(table, key))
 
   /** Audit the id-uniqueness invariant [[appendNewById]]'s cell-pruned
     * anti-join relies on: the prune narrows "no duplicate ids ever" to
@@ -306,7 +310,26 @@ object IndexStore {
 
   // ------------------------------------------------ id-bloom sidecar
 
-  private def bloomTable(table: String) = s"${table}__idbloom"
+  /** Sidecar name per bloomed key: the row-key sidecar keeps its
+    * historical `__idbloom` name; other keys (e.g. [[DedupState]]'s
+    * band-value bloom) get `__<key>bloom` — one table per (table, key)
+    * pair, so a state table can carry both a row-key bloom (for the
+    * ingest kernel) and a value-key bloom (for a probe that asks "does
+    * this KEY exist at all", not "does this row exist").
+    */
+  private def bloomTable(table: String, key: String = "id") =
+    if (key == "id") s"${table}__idbloom" else s"${table}__${key}bloom"
+
+  /** The (cell, key) rows a bloom builds/rebuilds from. The row key
+    * `id` is unique per row by the kernel's construction; any other
+    * key repeats across rows (a band value appears once per member
+    * doc), so it dedups first — n_ids then counts DISTINCT keys and
+    * the health report's load factor stays honest.
+    */
+  private def keyRows(df: DataFrame, key: String): DataFrame = {
+    val rows = df.select(col("cell"), col(key).as("id"))
+    if (key == "id") rows else rows.distinct()
+  }
 
   /** Per-cell id blooms for `rows` (cell, id) in ONE distributed pass:
     * Spark's native BloomFilterAggregate over xxhash64(id), the same
@@ -354,12 +377,13 @@ object IndexStore {
       store: TableStore,
       table: String,
       expectedIdsPerCell: Long = 1L << 20,
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01,
+      key: String = "id"): Unit = {
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .create(expectedIdsPerCell, fpp).bitSize()
-    val rows = store.read(table).select(col("cell"), col("id"))
+    val rows = keyRows(store.read(table), key)
     store.overwritePartitioned(
-      bloomPerCell(rows, expectedIdsPerCell, numBits), bloomTable(table), "cell")
+      bloomPerCell(rows, expectedIdsPerCell, numBits), bloomTable(table, key), "cell")
   }
 
   /** Fold a batch's fresh rows into the sidecar (no-op without one):
@@ -381,9 +405,11 @@ object IndexStore {
     * ids) and never a row delete (a missing row reads as "no prior
     * ids" — the same unsafe direction).
     */
-  private def updateIdBloom(store: TableStore, table: String, fresh: DataFrame): Unit = {
-    val bt = bloomTable(table)
+  private[graft] def updateIdBloom(
+      store: TableStore, table: String, freshRaw: DataFrame, key: String = "id"): Unit = {
+    val bt = bloomTable(table, key)
     if (!store.exists(bt)) return
+    val fresh = keyRows(freshRaw, key)
     val sidecar = store.read(bt)
     val params = sidecar.select("capacity", "num_bits").head(1)
     val (defCap, defBits) =
@@ -438,11 +464,12 @@ object IndexStore {
   def bloomHealthReport(
       store: TableStore,
       table: String,
-      fppThreshold: Double = 0.05): DataFrame = {
+      fppThreshold: Double = 0.05,
+      key: String = "id"): DataFrame = {
     val k = greatest(lit(1L),
       floor(col("num_bits").cast("double") / col("capacity") * math.log(2.0) + 0.5)
         .cast("long"))
-    store.read(bloomTable(table))
+    store.read(bloomTable(table, key))
       .select(col("cell").cast("int").as("cell"),
         col("n_ids"), col("capacity"), col("num_bits"))
       .withColumn("load_factor", col("n_ids").cast("double") / col("capacity"))
@@ -470,10 +497,11 @@ object IndexStore {
       store: TableStore,
       table: String,
       fppThreshold: Double = 0.05,
-      targetFpp: Double = 0.01): Seq[Int] = {
-    val bt = bloomTable(table)
+      targetFpp: Double = 0.01,
+      key: String = "id"): Seq[Int] = {
+    val bt = bloomTable(table, key)
     if (!store.exists(bt)) return Seq.empty
-    val flagged = bloomHealthReport(store, table, fppThreshold)
+    val flagged = bloomHealthReport(store, table, fppThreshold, key)
       .filter(col("action") === "grow")
       .select(col("cell"), col("n_ids"), col("capacity")).collect()
     if (flagged.isEmpty) return Seq.empty
@@ -486,7 +514,7 @@ object IndexStore {
         (cap, org.apache.spark.util.sketch.BloomFilter.create(cap, targetFpp).bitSize())
       }
       .map { case (params, cs) => params -> cs.map(_._2) }
-    val ids = store.read(table).select(col("cell"), col("id"))
+    val ids = keyRows(store.read(table), key)
     val rebuilt = byParams.map { case ((cap, bits), cells) =>
       bloomPerCell(ids.filter(col("cell").cast("string").isin(cells: _*)), cap, bits)
     }.reduce(_ unionByName _)

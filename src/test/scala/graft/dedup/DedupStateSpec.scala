@@ -147,4 +147,29 @@ class DedupStateSpec extends SparkSpec {
       .agg(sum(col("n_ids"))).head().getLong(0)
     assert(n == corpusIds.size + expected.size, s"sidecar counts $n")
   }
+
+  test("band-value bloom thins the touched set; probe through it stays exact") {
+    val all = docsAt(sf("documents"))
+    val store = newStore()
+    val corpus = Dedup.minhashDedup(all.filter(col("doc_id") < 40), threshold = 0.8)
+    DedupState.init(store, "bb", corpus)
+    DedupState.enableFpBloom(store, "bb", expectedIdsPerCell = 1024, fpp = 0.01)
+    val p = DedupState.Params()
+    // every band actually IN state survives the probe (no false negatives)
+    val stateBands = store.read(DedupState.bandsTable("bb")).select("band").distinct()
+    assert(DedupState.maybeTouchedBands(store, "bb", stateBands, p).count()
+      == stateBands.count())
+    // synthetic bands that exist nowhere thin out at ~fpp, BEFORE any
+    // state read — absent bands cost a bloom probe, not a shard scan
+    val absent = spark.range(1000).select((col("id") * 7919L + 1000000000L).as("band"))
+    val leaked = DedupState.maybeTouchedBands(store, "bb", absent, p).count()
+    assert(leaked < 100, s"bloom leaked $leaked of 1000 absent bands")
+    // and the full probe through the band bloom is still exact
+    val batch = all.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    val expected = Dedup.minhashDedupIncremental(batch, corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = DedupState.dedupBatch(store, "bb", batch)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+  }
 }
