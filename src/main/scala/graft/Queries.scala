@@ -1275,6 +1275,29 @@ object Queries {
       .withColumn("est_fpp", round(col("est_fpp"), 6))
   }
 
+  /** Combined per-cell health view (IndexStore.indexHealthReport):
+    * the rebalance size policy and the sidecar bloom-fpp policy of ONE
+    * index in one row per cell, over the same deterministic skewed
+    * assignment as q_ann_rebalance with the same undersized sidecar as
+    * q_ann_bloom_health — so the join, both action columns, and the
+    * severity-ranked combined action (split > retrain > grow > ok) are
+    * all arithmetic the DuckDB twin reproduces. The hot cell 0 is both
+    * oversized (split) and bloom-saturated (grow): the combined action
+    * must rank split first while bloom_action stays visible.
+    */
+  def qAnnHealth(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/health")
+    val assigned = emb.select(
+      col("vec_id").as("id"), col("embedding").as("vec"),
+      when(pmod(col("vec_id"), lit(10)) < 7, lit(0))
+        .otherwise(pmod(col("vec_id"), lit(10)) - 6).cast("int").as("cell"))
+    store.overwritePartitioned(assigned, "hl__assigned", "cell")
+    IndexStore.buildIdBloom(store, "hl__assigned", expectedIdsPerCell = 64, fpp = 0.03)
+    IndexStore.indexHealthReport(store, "hl", fppThreshold = 0.05)
+      .withColumn("est_fpp", round(col("est_fpp"), 6))
+  }
+
   /** Multimodal image decode through the REAL javax.imageio codec,
     * oracle-checked end to end: per doc a solid-color PNG (dimensions
     * and RGB channels derived from doc_id) is ENCODED on the

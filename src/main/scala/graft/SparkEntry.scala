@@ -117,6 +117,7 @@ object SparkEntry {
     "q_ann_ingest" -> (Queries.qAnnIngest _),
     "q_ann_rebalance" -> (Queries.qAnnRebalance _),
     "q_ann_bloom_health" -> (Queries.qAnnBloomHealth _),
+    "q_ann_health" -> (Queries.qAnnHealth _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
@@ -715,6 +716,34 @@ object Oracles {
                 ROUND(fpp0, 6) AS est_fpp,
                 CASE WHEN fpp0 > 0.05 THEN 'grow' ELSE 'ok' END AS action
          FROM r""",
+
+    // the combined health view: the rebalance twin joined with the
+    // bloom-health twin on cell; severity rank split > retrain > grow
+    "q_ann_health" ->
+      """WITH a AS (SELECT CASE WHEN vec_id % 10 < 7 THEN 0
+                               ELSE CAST(vec_id % 10 AS INT) - 6 END AS cell
+                    FROM embeddings),
+         c AS (SELECT cell, count(*) AS n_rows FROM a GROUP BY cell),
+         m AS (SELECT avg(n_rows) AS mean_rows FROM c),
+         rb AS (SELECT cell, n_rows, mean_rows,
+                  CASE WHEN n_rows > mean_rows * 2.0 THEN 'split' ELSE 'ok' END
+                    AS rebalance_action
+                FROM c, m),
+         p AS (SELECT cell, n_rows AS n_ids, CAST(64 AS BIGINT) AS capacity,
+                      CAST(512 AS BIGINT) AS num_bits,
+                      GREATEST(1, CAST(FLOOR(512 / 64.0 * LN(2) + 0.5) AS BIGINT)) AS k
+               FROM c),
+         bh AS (SELECT cell, CAST(n_ids AS DOUBLE) / capacity AS load_factor,
+                       POWER(1 - EXP(-CAST(k * n_ids AS DOUBLE) / num_bits), k) AS fpp0
+                FROM p)
+         SELECT rb.cell, rb.n_rows, rb.mean_rows,
+           CAST(NULL AS BIGINT) AS n_batch, CAST(NULL AS DOUBLE) AS drift_ratio,
+           bh.load_factor, ROUND(bh.fpp0, 6) AS est_fpp,
+           rb.rebalance_action,
+           CASE WHEN bh.fpp0 > 0.05 THEN 'grow' ELSE 'ok' END AS bloom_action,
+           CASE WHEN rb.rebalance_action = 'split' THEN 'split'
+                WHEN bh.fpp0 > 0.05 THEN 'grow' ELSE 'ok' END AS action
+         FROM rb JOIN bh ON rb.cell = bh.cell""",
 
     "q_emb_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,

@@ -941,4 +941,60 @@ object IndexStore {
         .otherwise(lit("ok")).as("action"))
       .orderBy(col("n_rows").desc, col("cell"))
   }
+
+  /** Every health axis of index `name` in ONE per-cell view — the
+    * [[rebalanceReport]] size/drift policy joined (one tiny join; both
+    * sides are cell-cardinality aggregates) with the
+    * [[bloomHealthReport]] of the corpus table's id-bloom sidecar:
+    * (cell, n_rows, mean_rows, n_batch, drift_ratio, load_factor,
+    * est_fpp, rebalance_action, bloom_action, action). The combined
+    * `action` ranks by what it costs to ignore: `split` (every probe
+    * of the hot cell overpays) > `retrain` (new data coded coarsely)
+    * > `grow` (each batch pays ~fpp of its rows in corpus reads) >
+    * `ok`. Component actions stay visible so a cell needing BOTH a
+    * split and a bloom grow surfaces both; actuators remain
+    * [[splitIvfCell]]/[[splitIvfPqCell]], [[rotateIvf]]/[[rotateIvfPq]]
+    * and [[growCellBlooms]]. No sidecar → bloom columns NULL,
+    * bloom_action `ok` (nothing to grow). Full-outer on cell: a
+    * sidecar row whose corpus cell vanished (compaction artifact)
+    * still shows, with the row-count side NULL.
+    */
+  def indexHealthReport(
+      store: TableStore,
+      name: String,
+      batch: Option[DataFrame] = None,
+      sizeFactor: Double = 2.0,
+      driftThreshold: Double = 2.0,
+      fppThreshold: Double = 0.05,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val p = resolveIndex(store, name)
+    val table = Seq(s"${p}__assigned", s"${p}__encoded").find(store.exists)
+      .getOrElse(throw new IllegalArgumentException(s"no corpus table for index $name"))
+    val rb = rebalanceReport(store, name, batch, sizeFactor, driftThreshold,
+        idCol, vecCol)
+      .withColumnRenamed("action", "rebalance_action")
+    val bh =
+      if (hasBloom(store, table))
+        bloomHealthReport(store, table, fppThreshold)
+          .select(col("cell"), col("load_factor"), col("est_fpp"),
+            col("action").as("bloom_action"))
+      else
+        rb.select(col("cell"),
+          lit(null).cast("double").as("load_factor"),
+          lit(null).cast("double").as("est_fpp"),
+          lit("ok").as("bloom_action")).limit(0)
+    rb.join(bh, Seq("cell"), "full_outer")
+      .select(col("cell"), col("n_rows"), col("mean_rows"),
+        col("n_batch"), col("drift_ratio"),
+        col("load_factor"), col("est_fpp"),
+        coalesce(col("rebalance_action"), lit("ok")).as("rebalance_action"),
+        coalesce(col("bloom_action"), lit("ok")).as("bloom_action"))
+      .withColumn("action",
+        when(col("rebalance_action") === "split", lit("split"))
+          .when(col("rebalance_action") === "retrain", lit("retrain"))
+          .when(col("bloom_action") === "grow", lit("grow"))
+          .otherwise(lit("ok")))
+      .orderBy(col("n_rows").desc_nulls_last, col("cell"))
+  }
 }

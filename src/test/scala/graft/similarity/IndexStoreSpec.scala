@@ -379,6 +379,54 @@ class IndexStoreSpec extends SparkSpec {
         r.getAs[String]("action"))).mkString(", "))
   }
 
+  test("indexHealthReport: one row per cell across both axes, severity-ranked combined action") {
+    import spark.implicits._
+    def blob(start: Long, n: Int, cx: Float, cy: Float) =
+      (0 until n).map { i =>
+        val jit = (i % 100) * 0.001f
+        (start + i, Array(cx + jit, cy - jit, 0f, 0f, jit, 0f, 0f, 0f).toSeq)
+      }
+    val vecs = (blob(0, 200, 10f, 0f) ++ blob(200, 200, -10f, 0f) ++
+      blob(400, 200, 0f, -10f) ++ blob(1000, 100, 100f, 0f) ++
+      blob(2000, 100, -100f, 0f) ++ blob(3000, 100, 0f, 100f))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cens: Array[Array[Float]] = Array(
+      Array.fill(8)(0f),
+      Array(100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(-100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 100f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val store = newStore()
+    IndexStore.saveIvf(store, "hl", Ivf.Index(cens, Ivf.assign(cens, vecs)))
+
+    // no sidecar yet: bloom columns NULL, combined action = rebalance axis
+    val noBloom = IndexStore.indexHealthReport(store, "hl").collect()
+    assert(noBloom.forall(_.isNullAt(noBloom.head.fieldIndex("est_fpp"))))
+    assert(noBloom.forall(_.getAs[String]("bloom_action") == "ok"))
+    assert(noBloom.head.getAs[Int]("cell") == 0
+      && noBloom.head.getAs[String]("action") == "split")
+
+    // an undersized sidecar saturates on the hot cell: the combined
+    // action keeps ranking split first, the grow stays visible on its
+    // own axis; a small cool cell (100 ids, cap 64) flags plain grow
+    IndexStore.buildIdBloom(store, "hl__assigned", expectedIdsPerCell = 64, fpp = 0.03)
+    val rep = IndexStore.indexHealthReport(store, "hl").collect()
+    val hot = rep.find(_.getAs[Int]("cell") == 0).get
+    assert(hot.getAs[String]("rebalance_action") == "split")
+    assert(hot.getAs[String]("bloom_action") == "grow")
+    assert(hot.getAs[String]("action") == "split")
+    val cool = rep.find(_.getAs[Int]("cell") == 1).get
+    assert(cool.getAs[String]("rebalance_action") == "ok")
+    assert(cool.getAs[String]("bloom_action") == "grow")
+    assert(cool.getAs[String]("action") == "grow")
+    // acting on both axes clears the report to all-ok
+    IndexStore.splitIvfCell(store, "hl", 0, nSub = 3)
+    IndexStore.growCellBlooms(store, "hl__assigned")
+    val rep2 = IndexStore.indexHealthReport(store, "hl").collect()
+    assert(rep2.forall(_.getAs[String]("action") == "ok"),
+      rep2.map(r => (r.getAs[Int]("cell"), r.getAs[String]("action"))).mkString(", "))
+  }
+
   test("ingest anti-join prunes the corpus id scan to the batch's cells") {
     val store = newStore()
     IndexStore.saveIvf(store, "prune", Ivf.build(emb, nLists = 8))
