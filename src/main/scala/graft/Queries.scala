@@ -576,6 +576,24 @@ object Queries {
         lit("/x id "), (col("doc_id") * 1234567).cast("string"),
         lit(" :: "), col("text"))).as("clean"))
 
+  /** BM25 lexical retrieval ([[graft.text.Bm25]]) — top-10 docs for a
+    * fixed query set under Okapi BM25 (k1=1.2, b=0.75, Lucene idf).
+    * The postings never shuffle at query time: the tiny query-term
+    * set broadcasts, a semi-join prunes the scan, and the per-query
+    * ranking is the map-side k-heap. Scores round to 4 decimals
+    * BEFORE ranking so tied docs order by doc_id identically in both
+    * engines.
+    */
+  def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0, "fast table scan"),
+      (1, "window merge batch"),
+      (2, "stream filter group sort"),
+      (3, "vector hash join")).toDF("query_id", "query_text")
+    graft.text.Bm25.topK(t(s, dir, "documents"), queries, k = 10)
+  }
+
   /** Deterministic content-hash sampling (md5-prefix bucket — the
     * reproducible, engine-portable alternative to rand()-based
     * sample()): keep the ~25% of docs whose first fingerprint nibble
