@@ -649,6 +649,55 @@ object Queries {
     Dedup.removeDuplicateSpans(t(s, dir, "documents").filter(col("doc_id") < 300), n = 8,
       hashGrams = false)
 
+  /** Multi-scale duplicated-run stats ([[Dedup.dupRunStats]] — the
+    * prefix-doubling, suffix-array-tight refinement): per doc, how
+    * many positions start a duplicated ≥4-token window and the
+    * longest duplicated run to ×2 resolution (widths 4·2^k, k<4).
+    * String-signature twin — the full pipeline (multi-width window
+    * streams, corpus-wide count≥2, per-position max) reproduces in
+    * DuckDB SQL.
+    */
+  def qDedupRuns(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupRunStats(t(s, dir, "documents").filter(col("doc_id") < 300),
+      n = 4, levels = 4, hashGrams = false)
+
+  /** [[qDedupRuns]] on the PRODUCTION shuffle shape — 8-byte long
+    * signatures — with xxhash64 swapped for the engine-portable
+    * md5-halves digest of each wide window (h1·2³⁰+h₂, exact BIGINT
+    * arithmetic in both engines). The doubling RECURRENCE itself is
+    * spec-pinned hashed ≡ string (DedupSpec); this oracles the hashed
+    * key-width path end to end.
+    */
+  def qDedupRunsMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val md5Half = (g: Column) =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") * lit(1073741824L) +
+        conv(substring(md5(g), 9, 8), 16, 10).cast("long")
+    // direct per-width signatures (no doubling — md5 of the wide gram
+    // is what DuckDB can replay); union the four width streams
+    val base = docs
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 4)
+    val leveled = (0 until 4).map { k =>
+      val w = 4 << k
+      base
+        .filter(size(col("toks")) >= w)
+        .select(col("id"), lit(k).as("lvl"), posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => md5Half(array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+          .as(Seq("pos", "sig")))
+    }.reduce(_ unionAll _)
+    val dup = leveled.groupBy("lvl", "sig")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("lvl", "sig")
+    leveled.join(dup, Seq("lvl", "sig"))
+      .groupBy(col("id"), col("pos"))
+      .agg(max(expr("4 * shiftleft(1, lvl)")).cast("int").as("run_len"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_pos"), max(col("run_len")).as("max_run"))
+      .select(col("id").as("doc_id"), col("n_dup_pos"), col("max_run"))
+  }
+
   /** SimHash signatures per doc (no SQL oracle — xxhash64 based). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

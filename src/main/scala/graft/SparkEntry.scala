@@ -98,6 +98,8 @@ object SparkEntry {
     "q_dedup_spans" -> (Queries.qDedupSpans _),
     "q_dedup_spans_md5" -> (Queries.qDedupSpansMd5 _),
     "q_dedup_spans_clean" -> (Queries.qDedupSpansClean _),
+    "q_dedup_runs" -> (Queries.qDedupRuns _),
+    "q_dedup_runs_md5" -> (Queries.qDedupRunsMd5 _),
     "q_dedup_simhash_pairs" -> (Queries.qDedupSimhashPairs _),
     "q_dedup_simhash_pairs_md5" -> (Queries.qDedupSimhashPairsMd5 _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
@@ -871,6 +873,45 @@ object Oracles {
                 FROM isl)
          SELECT doc_id, CAST(min(s) AS INT) AS start_tok, CAST(max(e) AS INT) AS end_tok
          FROM sp GROUP BY doc_id, sid""",
+
+    // multi-scale duplicated runs (prefix doubling): window streams at
+    // widths 4/8/16/32, corpus-wide count>=2 per (level, sig), then
+    // per-position max width and a per-doc rollup
+    "q_dedup_runs" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id, L.lvl, L.w, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(toks[CAST(i AS INT):CAST(i + L.w - 1 AS INT)], ' ') AS sig
+               FROM d,
+                    (VALUES (0, 4), (1, 8), (2, 16), (3, 32)) AS L(lvl, w),
+                    UNNEST(generate_series(1, greatest(len(toks) - L.w + 1, 0))) AS u(i)),
+         dup AS (SELECT lvl, sig FROM g GROUP BY lvl, sig HAVING count(*) >= 2),
+         dp AS (SELECT g.doc_id, g.pos, max(g.w) AS run_len
+                FROM g JOIN dup ON g.lvl = dup.lvl AND g.sig = dup.sig
+                GROUP BY g.doc_id, g.pos)
+         SELECT doc_id, count(*) AS n_dup_pos, CAST(max(run_len) AS INT) AS max_run
+         FROM dp GROUP BY doc_id""",
+
+    // the hashed-key production width (8-byte signatures), md5-halves
+    // digest of each wide window — exact BIGINT arithmetic both engines
+    "q_dedup_runs_md5" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents WHERE doc_id < 300),
+         g0 AS (SELECT doc_id, L.lvl, L.w, CAST(i - 1 AS INT) AS pos,
+                  array_to_string(toks[CAST(i AS INT):CAST(i + L.w - 1 AS INT)], ' ') AS gs
+                FROM d,
+                     (VALUES (0, 4), (1, 8), (2, 16), (3, 32)) AS L(lvl, w),
+                     UNNEST(generate_series(1, greatest(len(toks) - L.w + 1, 0))) AS u(i)),
+         g AS (SELECT doc_id, lvl, w, pos,
+                 CAST(('0x' || substr(md5(gs), 1, 8)) AS BIGINT) * 1073741824
+                 + CAST(('0x' || substr(md5(gs), 9, 8)) AS BIGINT) AS sig
+               FROM g0),
+         dup AS (SELECT lvl, sig FROM g GROUP BY lvl, sig HAVING count(*) >= 2),
+         dp AS (SELECT g.doc_id, g.pos, max(g.w) AS run_len
+                FROM g JOIN dup ON g.lvl = dup.lvl AND g.sig = dup.sig
+                GROUP BY g.doc_id, g.pos)
+         SELECT doc_id, count(*) AS n_dup_pos, CAST(max(run_len) AS INT) AS max_run
+         FROM dp GROUP BY doc_id""",
 
     "q_dedup_spans_clean" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -779,4 +779,118 @@ object Dedup {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  // ---------------------------------------------- multi-scale dup runs
+
+  /** Longest duplicated run starting at each token position, to ×2
+    * resolution — the suffix-array-TIGHTENING refinement of
+    * [[duplicateSpans]]. Fixed-n detection answers "is this position
+    * inside a duplicated run ≥ n tokens?"; this answers "HOW LONG is
+    * the duplicated run starting here?" at power-of-two widths
+    * n·2^k, k < `levels` — the curation signal that separates 8-token
+    * boilerplate from wholesale copying (memorization risk grows with
+    * run length — Lee et al. 2022 §6).
+    *
+    * The suffix-array idea (every repeated substring is a shared
+    * suffix prefix) is realized relationally by PREFIX DOUBLING,
+    * Manber & Myers 1990's trick: a signature for the 2w-token window
+    * at `pos` is the combine of the two w-token signatures at `pos`
+    * and `pos+w`, so every level above the first costs O(1) per
+    * position and is computed DOC-LOCALLY (array transforms — no
+    * join, no shuffle, no re-reading 2^k tokens). A window of width
+    * n·2^k is duplicated iff its signature occurs at ≥ 2 (doc, pos)
+    * sites corpus-wide; dup levels per position are downward-closed
+    * (a duplicated 2w-window's w-prefix is duplicated too), so the
+    * max dup level IS the run length to ×2 resolution.
+    *
+    * Shuffle shape: ALL levels explode into one (level, sig) stream —
+    * ≤ `levels`·|tokens| rows, 8-byte sigs in production — reduced by
+    * ONE count aggregation (map-side combined; a boilerplate window
+    * occurring 10⁸ times costs a counter, never a sort) and joined
+    * back on the same key. The duplicated-key set is
+    * corpus-proportional, so there is deliberately NO broadcast hint
+    * (the r6 span-excision lesson); AQE may still pick one when it
+    * really is small.
+    *
+    * Output: one row per position whose base (width-n) window is
+    * duplicated: (`idCol`, pos, run_len) with run_len = n·2^(max dup
+    * level). A true duplicated run of L tokens starting at `pos`
+    * makes every n·2^k ≤ L window at `pos` duplicated (a prefix of a
+    * duplicated run is duplicated), so run_len = n·2^⌊log₂(L/n)⌋ —
+    * always within 2× of L when `levels` reaches the doc length.
+    *
+    * `hashGrams` (production default) signs windows with xxhash64 and
+    * doubles on the 8-byte values; `false` keeps literal substrings
+    * (doubling-concat of substrings ≡ the wide substring), the
+    * engine-portable twin the DuckDB oracle replays — DedupSpec pins
+    * hashed ≡ string on the test corpus. A 64-bit collision can
+    * overstate one run's length (never corrupt text); odds are
+    * ~|windows|²/2⁶⁴ as with [[duplicateSpans]].
+    */
+  def dupRuns(
+      docs: DataFrame,
+      n: Int,
+      levels: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame = {
+    require(n >= 2, s"base window width must be >= 2, got $n")
+    require(levels >= 1 && levels <= 16, s"levels must be in [1,16], got $levels")
+    val sigT = if (hashGrams) "bigint" else "string"
+    val emptySigs = expr(s"CAST(array() AS array<$sigT>)")
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+    // level-0 signatures: one per window start, the same gram pass as
+    // duplicateSpans (array_join inside the transform is the O(n) base
+    // cost; every higher level is O(1) per position)
+    val gram0 = (i: Column) => array_join(slice(col("toks"), i + 1, lit(n)), " ")
+    val sig0 = (i: Column) => if (hashGrams) xxhash64(gram0(i)) else gram0(i)
+    val withSigs = (1 until levels).foldLeft(
+      base.withColumn("sig0", transform(
+        sequence(lit(0), size(col("toks")) - n), i => sig0(i)))) { (df, k) =>
+      // width doubles: combine the two half-window signatures
+      val step = n * (1 << (k - 1))
+      val prev = col(s"sig${k - 1}")
+      val combine = (i: Column) =>
+        if (hashGrams) xxhash64(element_at(prev, i + 1), element_at(prev, i + step + 1))
+        else concat(element_at(prev, i + 1), lit(" "), element_at(prev, i + step + 1))
+      // width at level k is 2·step tokens; valid starts 0..len-2·step
+      df.withColumn(s"sig$k",
+        when(size(col("toks")) >= 2 * step, transform(
+          sequence(lit(0), size(col("toks")) - 2 * step), i => combine(i)))
+          .otherwise(emptySigs))
+    }
+    // one explode for all levels: flatten per-doc (level, pos, sig)
+    val leveled = flatten(array((0 until levels).map { k =>
+      transform(col(s"sig$k"), (s, i) =>
+        struct(lit(k).as("lvl"), i.cast("int").as("pos"), s.as("sig")))
+    }: _*))
+    val posSigs = withSigs
+      .select(col("id"), explode(leveled).as("e"))
+      .select(col("id"), col("e.lvl").as("lvl"), col("e.pos").as("pos"), col("e.sig").as("sig"))
+    val dupKeys = posSigs.groupBy("lvl", "sig")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("lvl", "sig")
+    posSigs.join(dupKeys, Seq("lvl", "sig"))
+      .groupBy(col("id"), col("pos"))
+      .agg(max(expr(s"$n * shiftleft(1, lvl)")).cast("int").as("run_len"))
+      .select(col("id").as(idCol), col("pos"), col("run_len"))
+  }
+
+  /** Per-doc rollup of [[dupRuns]]: how much of the doc starts
+    * duplicated runs and how long the longest one is —
+    * (`idCol`, n_dup_pos, max_run). Docs with no duplicated base
+    * window emit no row.
+    */
+  def dupRunStats(
+      docs: DataFrame,
+      n: Int,
+      levels: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashGrams: Boolean = true): DataFrame =
+    dupRuns(docs, n, levels, idCol, textCol, hashGrams)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_pos"), max(col("run_len")).as("max_run"))
 }

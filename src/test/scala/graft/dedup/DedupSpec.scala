@@ -319,6 +319,43 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dupRuns reports the longest duplicated run to x2 resolution") {
+    // a 16-token run shared by docs 1 and 2, plus a 4-token run shared
+    // by docs 1 and 3 — base width 4, levels 3 → widths 4/8/16
+    val run16 = (1 to 16).map(i => s"r$i").mkString(" ")
+    val run4 = "a b c d"
+    val docs = Seq(
+      (1L, s"$run16 pad1 $run4"),
+      (2L, s"lead lead2 $run16 tailx"),
+      (3L, s"$run4 other words here")).toDF("doc_id", "text")
+    val runs = Dedup.dupRuns(docs, n = 4, levels = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // doc 1: positions 0..12 start dup windows; pos 0 carries width 16
+    assert(runs((1L, 0)) == 16)
+    assert(runs((2L, 2)) == 16)
+    // pos 4 of doc 1: remaining shared run is 12 tokens → widest
+    // duplicated power-of-two window is 8
+    assert(runs((1L, 4)) == 8)
+    // the 4-token run: width 4 only, at its own start (pos 17 = after
+    // the 16 r-tokens and pad1)
+    assert(runs((1L, 17)) == 4)
+    assert(runs((3L, 0)) == 4)
+    // no position claims a wider run than exists
+    assert(!runs.values.exists(_ > 16))
+    val stats = Dedup.dupRunStats(docs, n = 4, levels = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(stats(1L)._2 == 16 && stats(3L) == ((1L, 4)))
+  }
+
+  test("dupRuns hashed doubling recurrence equals the portable string mode") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    def runs(hash: Boolean) = Dedup.dupRuns(docs, n = 4, levels = 4, hashGrams = hash)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val hashed = runs(true)
+    assert(hashed == runs(false))
+    assert(hashed.nonEmpty)
+  }
+
   test("ngramJaccard: identical → 1.0, near-dup high, unrelated low") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, n = 3).collect()
