@@ -576,6 +576,14 @@ object Queries {
         lit("/x id "), (col("doc_id") * 1234567).cast("string"),
         lit(" :: "), col("text"))).as("clean"))
 
+  /** Unigram-LM cross-entropy ([[graft.text.UnigramLm]]) — the CCNet
+    * LM-quality-gate shape: train add-1-smoothed term probabilities
+    * on the corpus, score every doc by −avg(ln p). Counts and ln
+    * only, so the whole train+score pipeline replays in DuckDB.
+    */
+  def qTxtXent(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.scoreSelf(t(s, dir, "documents"))
+
   /** BM25 lexical retrieval ([[graft.text.Bm25]]) — top-10 docs for a
     * fixed query set under Okapi BM25 (k1=1.2, b=0.75, Lucene idf).
     * The postings never shuffle at query time: the tiny query-term

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_txt_chunks" -> (Queries.qTxtChunks _),
     "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_bm25_topk" -> (Queries.qBm25TopK _),
+    "q_txt_xent" -> (Queries.qTxtXent _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_join_full" -> (Queries.qJoinFull _),
     "q_split_hash" -> (Queries.qSplitHash _),
@@ -561,6 +562,22 @@ object Oracles {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{7,}', '<NUM>', 'g') AS clean
          FROM documents""",
+
+    // unigram-LM cross-entropy: add-1 smoothing against (total, vocab),
+    // -avg(ln p) per doc; e0 literals keep the arithmetic DOUBLE
+    "q_txt_xent" ->
+      """WITH tok AS (SELECT doc_id, t.term
+                      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                            FROM documents) d,
+                           UNNEST(toks) AS t(term)),
+         tf AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c) AS total, count(*) AS v FROM tf),
+         p AS (SELECT term, (c + 1e0) / (tot.total + 1e0 * (tot.v + 1)) AS prob
+               FROM tf, tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(-avg(ln(prob)), 4) AS xent
+         FROM tok JOIN p USING (term)
+         GROUP BY doc_id""",
 
     // BM25: identical postings/df/dl/avgdl arithmetic; scores round
     // to 4 decimals BEFORE the rank so engine-side float summation
