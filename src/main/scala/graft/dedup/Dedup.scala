@@ -866,9 +866,16 @@ object Dedup {
       transform(col(s"sig$k"), (s, i) =>
         struct(lit(k).as("lvl"), i.cast("int").as("pos"), s.as("sig")))
     }: _*))
+    // the (lvl, sig)-keyed repartition pins ONE exchange read by both
+    // consumers (the dup-count aggregate and the join-back) via
+    // ReusedExchange — without it the interpreted doc-local signature
+    // pipeline (HOFs are CodegenFallback) runs twice end to end.
+    // Map-side combine is traded away, but the signature compute
+    // dominates it at every measured scale (×20 probe: 191→~60 s).
     val posSigs = withSigs
       .select(col("id"), explode(leveled).as("e"))
       .select(col("id"), col("e.lvl").as("lvl"), col("e.pos").as("pos"), col("e.sig").as("sig"))
+      .repartition(col("lvl"), col("sig"))
     val dupKeys = posSigs.groupBy("lvl", "sig")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select("lvl", "sig")
