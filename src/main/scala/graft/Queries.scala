@@ -602,6 +602,32 @@ object Queries {
     graft.text.Bm25.topK(t(s, dir, "documents"), queries, k = 10)
   }
 
+  /** The BM25 index LIFECYCLE as a behavioral oracle (the q_ann_ingest
+    * discipline): create from doc_id < 250, ingest an OVERLAPPING
+    * batch (200-349 — 50 docs already indexed), replay the same batch
+    * (must be a no-op), then rank the fixed query set from the SAVED
+    * index — bucket-pruned scan, ledger stats, registry-deduped
+    * postings. Hash-green means the whole protocol (novelty anti-join
+    * through the doc registry + bloom sidecar, ledger-summed N/avgdl,
+    * partitioned postings) reproduces exact BM25 over the distinct
+    * union, which DuckDB computes independently.
+    */
+  def qBm25Ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/bm25_ingest")
+    graft.text.Bm25Store.create(store, "bmq", docs.filter(col("doc_id") < 250),
+      nBuckets = 16, nShards = 8)
+    val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    graft.text.Bm25Store.appendDocs(store, "bmq", batch)
+    graft.text.Bm25Store.appendDocs(store, "bmq", batch) // replay: no-op
+    val queries = Seq(
+      (0, "fast table scan"), (1, "window merge batch"),
+      (2, "stream filter group sort"), (3, "vector hash join"))
+      .toDF("query_id", "query_text")
+    graft.text.Bm25Store.topK(store, "bmq", queries, k = 10)
+  }
+
   /** Deterministic content-hash sampling (md5-prefix bucket — the
     * reproducible, engine-portable alternative to rand()-based
     * sample()): keep the ~25% of docs whose first fingerprint nibble

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_txt_chunks" -> (Queries.qTxtChunks _),
     "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_bm25_topk" -> (Queries.qBm25TopK _),
+    "q_bm25_ingest" -> (Queries.qBm25Ingest _),
     "q_txt_xent" -> (Queries.qTxtXent _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_join_full" -> (Queries.qJoinFull _),
@@ -603,6 +604,46 @@ object Oracles {
          -- e0 literals keep every operand DOUBLE (DuckDB bare decimals
          -- are DECIMAL — exact/fixed-scale — which would diverge from
          -- Spark's double-throughout arithmetic in the last ulps)
+         sc AS (SELECT qt.query_id, post.doc_id,
+                  round(sum(
+                    ln(1e0 + (st.n - dfp.df + 5e-1) / (dfp.df + 5e-1)) *
+                    (post.tf * 2.2e0) /
+                    (post.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl.dl / st.avgdl))), 4) AS score
+                FROM post
+                JOIN qt ON qt.term = post.term
+                JOIN dfp ON dfp.term = post.term
+                JOIN dl ON dl.doc_id = post.doc_id, st
+                GROUP BY 1, 2)
+         SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score
+         FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rn
+               FROM sc) r
+         WHERE rn <= 10""",
+
+    // BM25 ingest lifecycle: the saved index after create(doc_id<250)
+    // + append(200..349) + replay must rank exactly like inline BM25
+    // over the distinct union (doc_id < 350). Stats mirror the ledger:
+    // N / avgdl over docs with >=1 token (the only rankable docs).
+    "q_bm25_ingest" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 350),
+         q AS (SELECT * FROM (VALUES
+             (0, 'fast table scan'), (1, 'window merge batch'),
+             (2, 'stream filter group sort'), (3, 'vector hash join'))
+           AS v(query_id, query_text)),
+         qt AS (SELECT DISTINCT query_id, t.term
+                FROM q, UNNEST(regexp_extract_all(lower(query_text), '\S+')) AS t(term)),
+         post AS (SELECT doc_id, t.term, count(*) AS tf
+                  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                        FROM corp) d,
+                       UNNEST(toks) AS t(term)
+                  GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         st AS (SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+         dfp AS (SELECT term, count(*) AS df FROM post
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
          sc AS (SELECT qt.query_id, post.doc_id,
                   round(sum(
                     ln(1e0 + (st.n - dfp.df + 5e-1) / (dfp.df + 5e-1)) *
