@@ -1038,6 +1038,24 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
+    * under INJECTED deterministic centroids — the embeddings of
+    * vec_id 0..7, collected in id order so cell index ≡ centroid's
+    * vec_id — which makes the whole decision pure algebra DuckDB can
+    * replicate: one-pass argmin-L2 assignment (the kernel's
+    * −2·v·c + |c|² score, ties to the lower cell), intra-cluster
+    * cosine edges at 0.35, recursive-closure groups, keep =
+    * lowest-centroid-similarity member (ties to min id). The
+    * production path trains centroids via Ivf.build — same code below
+    * the quantizer seam, spec-tested in SemDedupSpec.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    graft.similarity.SemDedup.dedup(e, cents, threshold = 0.35)
+  }
+
   /** Benchmark decontamination (TrainingDataPipeline
     * .contaminationReport): corpus docs (id >= 50) sharing any 8-token
     * shingle with the eval set (id < 50), with the shared-gram count.

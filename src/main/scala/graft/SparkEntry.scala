@@ -106,6 +106,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs_md5" -> (Queries.qDedupSimhashPairsMd5 _),
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
+    "q_dedup_semantic" -> (Queries.qDedupSemantic _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
     "q_token_budget" -> (Queries.qTokenBudget _),
@@ -1242,6 +1243,61 @@ object Oracles {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.35""",
+
+    // SemDeDup under injected centroids (embeddings of vec_id 0..7):
+    // argmin-L2 assignment mirrors the kernel's -2*v.c + |c|^2 double
+    // arithmetic (|v|^2 is constant per row), ties to the lower cell;
+    // groups close recursively over intra-cell cosine edges; keep =
+    // lowest centroid similarity, ties to min id
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE c AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id, c.cid,
+                  -2e0 * list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                  + list_sum(list_transform(c.cvec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s
+                FROM embeddings e, c),
+         a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM
+                 (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+                  FROM sc) r
+               WHERE rn = 1),
+         av AS (SELECT a.vec_id, a.cell, e.embedding
+                FROM a JOIN embeddings e USING (vec_id)),
+         cs AS (SELECT av.vec_id, av.cell,
+                  list_sum(list_transform(list_zip(av.embedding, c.cvec),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(av.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(c.cvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+                FROM av JOIN c ON c.cid = av.cell),
+         p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+               WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(x.embedding,
+                        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(y.embedding,
+                        t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))))
+                  >= 0.35),
+         e2 AS (SELECT id_a AS node, id_b AS nbr FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+         reach(node, r) AS (
+           SELECT node, node FROM e2
+           UNION
+           SELECT e2.node, reach.r FROM e2 JOIN reach ON e2.nbr = reach.node),
+         lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         keepg AS (SELECT node AS keep_id FROM
+                     (SELECT l.node, row_number() OVER (PARTITION BY l.label
+                        ORDER BY cs.csim, l.node) AS rn
+                      FROM lab l JOIN cs ON cs.vec_id = l.node) k
+                   WHERE rn = 1)
+         SELECT cs.vec_id, cs.cell,
+                (cs.vec_id NOT IN (SELECT node FROM lab)
+                 OR cs.vec_id IN (SELECT keep_id FROM keepg)) AS kept
+         FROM cs""",
 
     "q_decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
