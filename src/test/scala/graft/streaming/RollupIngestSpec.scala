@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.RollupStore
+import graft.sources.ParquetStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class RollupFact(l_partkey: Long, l_quantity: Double)
+
+class RollupIngestSpec extends SparkSpec {
+
+  private def newStore() =
+    new ParquetStore(spark, Files.createTempDirectory("graft_rollupingest").toString)
+
+  private val keys = Seq("l_partkey")
+  private val ms = Seq("l_quantity")
+
+  test("streamed epochs converge to the one-shot aggregate; an epoch replay folds nothing twice") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val li = graft.Tables.lineitem(spark, sf("lineitem"))
+      .select(col("l_partkey"), col("l_quantity"))
+    val facts = li.collect().map(r => RollupFact(r.getLong(0), r.getDouble(1))).toSeq
+    val (e0, e1) = facts.splitAt(facts.length / 2)
+
+    val store = newStore()
+    val sink = RollupIngest.rollupSink(store, "r", keys, ms, nShards = 8)
+    val src = MemoryStream[RollupFact]
+    val q = src.toDF().writeStream.foreachBatch(sink).start()
+    src.addData(e0)
+    q.processAllAvailable()
+    src.addData(e1)
+    q.processAllAvailable()
+    q.stop()
+
+    // failure-recovery shape: the LAST epoch is re-delivered with its
+    // own batchId — the epoch stamp, not content, must catch it
+    val replayed = RollupStore.ingest(store, "r", e1.toDF(), keys, ms,
+      batchId = Some("epoch_1"))
+    assert(replayed == -1L)
+
+    val got = RollupStore.finalize(store, "r", ms)
+      .collect().map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_l_quantity"))).toMap
+    val exact = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === exact)
+  }
+
+  test("two epochs with identical content both fold — epoch ids beat content keys") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val batch = Seq(RollupFact(1L, 2.0), RollupFact(1L, 3.0), RollupFact(2L, 5.0))
+    val store = newStore()
+    val src = MemoryStream[RollupFact]
+    val q = src.toDF().writeStream
+      .foreachBatch(RollupIngest.rollupSink(store, "r", keys, ms, nShards = 4))
+      .start()
+    src.addData(batch)
+    q.processAllAvailable()
+    src.addData(batch) // a genuinely new epoch, same rows
+    q.processAllAvailable()
+    q.stop()
+    val got = RollupStore.finalize(store, "r", ms)
+      .collect().map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_l_quantity"))).toMap
+    assert(got === Map(1L -> ((4L, 10.0)), 2L -> ((2L, 10.0))))
+  }
+}
