@@ -616,8 +616,11 @@ object Queries {
     import s.implicits._
     val docs = t(s, dir, "documents")
     val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/bm25_ingest")
+    // bloom sized near the actual per-shard registry count (the ×20
+    // scale probe's lesson: an oversized sidecar costs every probe its
+    // full width — 1M capacity is ~1.2 MB/cell against ~60 ids here)
     graft.text.Bm25Store.create(store, "bmq", docs.filter(col("doc_id") < 250),
-      nBuckets = 16, nShards = 8)
+      nBuckets = 16, nShards = 8, bloomIdsPerShard = 1L << 12)
     val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
     graft.text.Bm25Store.appendDocs(store, "bmq", batch)
     graft.text.Bm25Store.appendDocs(store, "bmq", batch) // replay: no-op
@@ -1036,6 +1039,100 @@ object Queries {
       .select(col("id_a"), col("id_b"), Ann.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** TF-IDF keyword extraction ([[graft.text.Tfidf]]): each doc's 5
+    * highest-scoring terms by length-normalized tf × smoothed idf,
+    * rounded-then-ranked with a term tiebreak (the deterministic BM25
+    * convention), reduced through the map-side k-heap — no window.
+    */
+  def qTxtTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.text.Tfidf.topTerms(t(s, dir, "documents"), k = 5)
+
+  /** Hybrid retrieval ([[graft.similarity.Hybrid]]): RRF-fuse BM25
+    * lexical top-20 with brute-force cosine top-20 (query vectors =
+    * embeddings 0..3, paired with the BM25 query ids), then take the
+    * fused top-10. Rank arithmetic only — both source rankings are
+    * themselves oracle-checked queries, and the fused score
+    * 1/(60+r) sums are exact doubles, so the whole two-retriever
+    * stack is hash-checkable end to end.
+    */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, "fast table scan"),
+      (1L, "window merge batch"),
+      (2L, "stream filter group sort"),
+      (3L, "vector hash join")).toDF("query_id", "query_text")
+    val lex = graft.text.Bm25.topK(t(s, dir, "documents"), queries, k = 20)
+    val emb = t(s, dir, "embeddings")
+    val vec = graft.similarity.Ann
+      .bruteForceTopK(emb.filter(col("vec_id") < 4), emb, k = 20)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    graft.similarity.Hybrid.rrfFuse(Seq(lex, vec), k = 10)
+  }
+
+  /** Incremental rollup maintenance ([[graft.ops.RollupStore]]) as a
+    * behavioral gate: init from the even-orderkey half of lineitem,
+    * fold in the odd half, replay the fold (must be detected and
+    * skipped — aggregation is not idempotent), then finalize. The
+    * corpus is scanned only to BUILD batch partials; the refresh
+    * itself reads and rewrites only the touched key shards.
+    * Hash-green means the whole merge discipline — mergeable
+    * (count,sum,min,max) state, KMV-sketch distinct state (exact
+    * below k, so COUNT(DISTINCT) oracles it at this scale),
+    * content-keyed replay detection, atomic shard rewrite, derived
+    * avg — reproduces the one-shot GROUP BY DuckDB computes over the
+    * full table.
+    */
+  def qAggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/rollup_inc")
+    val keys = Seq("l_partkey")
+    val ms = Seq("l_quantity", "l_extendedprice")
+    val dms = Seq("l_suppkey", "l_orderkey")
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    graft.ops.RollupStore.init(store, "inc", b1, keys, ms, nShards = 16,
+      distinctMeasures = dms)
+    graft.ops.RollupStore.ingest(store, "inc", b2, keys, ms, distinctMeasures = dms)
+    graft.ops.RollupStore.ingest(store, "inc", b2, keys, ms, distinctMeasures = dms) // replay: no-op
+    graft.ops.RollupStore.finalize(store, "inc", ms, distinctMeasures = dms)
+      .select(col("l_partkey"), col("n"),
+        col("sum_l_quantity").as("sum_qty"),
+        col("min_l_quantity").as("min_qty"),
+        col("max_l_quantity").as("max_qty"),
+        round(col("sum_l_extendedprice"), 2).as("sum_price"),
+        col("avg_l_quantity").as("avg_qty"),
+        col("ndv_l_suppkey").as("ndv_supp"),
+        col("ndv_l_orderkey").as("ndv_ord"))
+  }
+
+  /** Reshard lifecycle gate: init at 4 shards from the even half,
+    * grow to 16 ([[graft.ops.RollupStore.reshard]] — generation
+    * rewrite + single-meta-row publish), then fold the odd half under
+    * the NEW shard map. Hash-green proves resharding moves every
+    * state row consistently (a key split across cells would surface
+    * as duplicate key rows here) and that post-reshard ingest merges
+    * against the re-celled state.
+    */
+  def qAggReshard(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/rollup_resh")
+    val keys = Seq("l_partkey")
+    val ms = Seq("l_quantity")
+    val dms = Seq("l_suppkey")
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    graft.ops.RollupStore.init(store, "resh", b1, keys, ms, nShards = 4,
+      distinctMeasures = dms)
+    graft.ops.RollupStore.reshard(store, "resh", keys, 16)
+    graft.ops.RollupStore.ingest(store, "resh", b2, keys, ms, distinctMeasures = dms)
+    graft.ops.RollupStore.finalize(store, "resh", ms, distinctMeasures = dms)
+      .select(col("l_partkey"), col("n"),
+        col("sum_l_quantity").as("sum_qty"),
+        col("avg_l_quantity").as("avg_qty"),
+        col("ndv_l_suppkey").as("ndv_supp"))
   }
 
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])

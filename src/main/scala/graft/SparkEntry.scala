@@ -77,6 +77,8 @@ object SparkEntry {
     "q_txt_redact" -> (Queries.qTxtRedact _),
     "q_bm25_topk" -> (Queries.qBm25TopK _),
     "q_bm25_ingest" -> (Queries.qBm25Ingest _),
+    "q_txt_tfidf" -> (Queries.qTxtTfidf _),
+    "q_hybrid_rrf" -> (Queries.qHybridRrf _),
     "q_txt_xent" -> (Queries.qTxtXent _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_join_full" -> (Queries.qJoinFull _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_dedup_semantic" -> (Queries.qDedupSemantic _),
+    "q_agg_incremental" -> (Queries.qAggIncremental _),
+    "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
     "q_token_budget" -> (Queries.qTokenBudget _),
@@ -1243,6 +1247,112 @@ object Oracles {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.35""",
+
+    // TF-IDF keywords: same postings arithmetic as the BM25 oracle,
+    // (tf/dl)*ln((1+N)/(1+df)) rounded to 6 before the rank
+    "q_txt_tfidf" ->
+      """WITH post AS (SELECT doc_id, t.term, count(*) AS tf
+                  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                        FROM documents) d,
+                       UNNEST(toks) AS t(term)
+                  GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT post.doc_id, post.term,
+                  round((post.tf * 1e0 / dl.dl)
+                        * ln((1e0 + n.n) / (1e0 + dfp.df)), 6) AS score
+                FROM post JOIN dl USING (doc_id) JOIN dfp USING (term), n)
+         SELECT doc_id, CAST(rn AS INT) AS rank, term, score
+         FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rn
+               FROM sc) r
+         WHERE rn <= 5""",
+
+    // hybrid RRF: BM25 lexical top-20 (the q_bm25_topk recipe, k=20)
+    // fused with brute cosine top-20 (the q_ann_brute recipe, queries
+    // = vec_id 0..3) by sum(1/(60+rank)), fused top-10 per query
+    "q_hybrid_rrf" ->
+      """WITH q AS (SELECT * FROM (VALUES
+             (0, 'fast table scan'), (1, 'window merge batch'),
+             (2, 'stream filter group sort'), (3, 'vector hash join'))
+           AS v(query_id, query_text)),
+         qt AS (SELECT DISTINCT query_id, t.term
+                FROM q, UNNEST(regexp_extract_all(lower(query_text), '\S+')) AS t(term)),
+         post AS (SELECT doc_id, t.term, count(*) AS tf
+                  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                        FROM documents) d,
+                       UNNEST(toks) AS t(term)
+                  GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+         st AS (SELECT count(*) AS n,
+                       CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / count(*) AS avgdl
+                FROM documents),
+         dfp AS (SELECT term, count(*) AS df FROM post
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.query_id, post.doc_id,
+                  round(sum(
+                    ln(1e0 + (st.n - dfp.df + 5e-1) / (dfp.df + 5e-1)) *
+                    (post.tf * 2.2e0) /
+                    (post.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl.dl / st.avgdl))), 4) AS score
+                FROM post
+                JOIN qt ON qt.term = post.term
+                JOIN dfp ON dfp.term = post.term
+                JOIN dl ON dl.doc_id = post.doc_id, st
+                GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rn FROM
+                   (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rn FROM sc) r
+                 WHERE rn <= 20),
+         pairs AS (
+           SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+             list_sum(list_transform(list_zip(qe.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings qe, embeddings c
+           WHERE qe.vec_id < 4 AND qe.vec_id <> c.vec_id),
+         vec AS (SELECT query_id, doc_id, rn FROM
+                   (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, doc_id) AS rn FROM pairs) r
+                 WHERE rn <= 20),
+         contrib AS (
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                  1e0 / (60e0 + rn) AS c FROM lex
+           UNION ALL
+           SELECT CAST(query_id AS BIGINT), doc_id, 1e0 / (60e0 + rn) FROM vec),
+         fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf
+                   FROM contrib GROUP BY 1, 2)
+         SELECT query_id, CAST(rn AS INT) AS rank, doc_id, rrf
+         FROM (SELECT query_id, doc_id, rrf,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS rn FROM fused) r
+         WHERE rn <= 10""",
+
+    // incremental rollup (init even half + fold odd half + replay)
+    // must equal the one-shot GROUP BY over the whole table
+    "q_agg_incremental" ->
+      """SELECT l_partkey, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           count(DISTINCT l_suppkey) AS ndv_supp,
+           count(DISTINCT l_orderkey) AS ndv_ord
+         FROM lineitem GROUP BY 1""",
+
+    // reshard mid-lifecycle (init@4 → reshard→16 → fold odd half)
+    // must still equal the one-shot GROUP BY
+    "q_agg_reshard" ->
+      """SELECT l_partkey, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           sum(l_quantity) / count(*) AS avg_qty,
+           count(DISTINCT l_suppkey) AS ndv_supp
+         FROM lineitem GROUP BY 1""",
 
     // SemDeDup under injected centroids (embeddings of vec_id 0..7):
     // argmin-L2 assignment mirrors the kernel's -2*v.c + |c|^2 double
