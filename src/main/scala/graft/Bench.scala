@@ -147,7 +147,7 @@ object Bench {
     val medsFull = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries":$qsFull,"medians":$medsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries":$qsFull,"queries_median":$medsFull,"sf":"$sfDir"}"""
 
     // Self-defense against the driver's bounded stdout tail (r2: the
     // 2000-char tail cut the ~2.2 KB JSON line mid-stream → parsed:

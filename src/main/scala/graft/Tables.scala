@@ -26,15 +26,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and truncate to micros
-    * (integer `div`, matching DuckDB's truncation of ns → µs).
+  /** events.parquet has shipped with two physical types for `ts`:
+    * TIMESTAMP(NANOS) (rejected by Spark's parquet reader unless
+    * `spark.sql.legacy.parquet.nanosAsLong` is set, in which case it
+    * loads as LongType) and standard TIMESTAMP(MICROS). Adapt to
+    * whichever the file actually stores instead of assuming one:
+    *   - nanos-as-long → truncate ns → µs (integer `div`, matching
+    *     DuckDB's truncation) and build a timestamp;
+    *   - µs without UTC flag loads as TIMESTAMP_NTZ → cast to the
+    *     session-zoned TimestampType (sessions run UTC, so the cast
+    *     is value-preserving) so every downstream consumer sees the
+    *     same dtype regardless of the upstream writer's choice.
+    * The legacy conf is only touched when a nanos file is actually
+    * encountered — a µs file never perturbs session config.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val path = s"$d/events.parquet"
+    val raw =
+      try s.read.parquet(path)
+      catch {
+        // TIMESTAMP(NANOS) columns fail schema inference unless the
+        // legacy nanos-as-long read is on; enable it and retry. The
+        // conf must stay set for the scan itself to execute later.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("NANOS") || e.getMessage.toLowerCase.contains("illegal parquet type") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

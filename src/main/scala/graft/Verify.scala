@@ -19,6 +19,10 @@ object Verify {
     // named queries — pre-checking one new oracle shouldn't re-run 100
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Explicit error records (ADVICE r7): a query that crashes must leave
+    // a self-describing artifact, not just a stderr line — otherwise the
+    // correctness JSON silently omits it and reads as all-green.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // release pipeline-registered caches between queries (bounded memory)
       graft.pipelines.TrainingDataPipeline.releaseCaches()
@@ -45,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object when clean) so its absence vs
+    // emptiness is never ambiguous to a consumer
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -217,4 +217,66 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == orders.count())
     assert(checksum(back) == checksum(orders))
   }
+
+  // --- events loader must adapt to every ts physical type the upstream
+  // writer has ever emitted: TIMESTAMP(NANOS) (pre-refresh testdata),
+  // TIMESTAMP(MICROS) without UTC flag (current testdata → TIMESTAMP_NTZ),
+  // and TIMESTAMP(MICROS) adjusted-to-UTC (Spark's own writer output).
+  // Upstream format drift here crashed 11 queries in round 7; this spec
+  // pins the contract so it cannot regress silently again.
+
+  /** Micros since epoch for a fixed instant set, shared by all three writers. */
+  private val tsMicros: Seq[Long] =
+    Seq(1700000000000000L, 1700000001500000L, 1700003600250000L)
+
+  private def assertEventsLoad(dir: String): Unit = {
+    val df = graft.Tables.events(spark, dir)
+    // every physical variant must surface the SAME dtype downstream
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      df.schema("ts").dataType.toString)
+    val got = df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == tsMicros, got.mkString(","))
+  }
+
+  test("events loader handles ts stored as TIMESTAMP(NANOS)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val dir = Files.createTempDirectory("graft_ev_nanos").toString
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .named("events")
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    tsMicros.zipWithIndex.foreach { case (us, i) =>
+      w.write(f.newGroup().append("ts", us * 1000L).append("event_id", i.toLong))
+    }
+    w.close()
+    assertEventsLoad(dir)
+  }
+
+  test("events loader handles ts stored as TIMESTAMP(MICROS) NTZ and LTZ") {
+    import org.apache.spark.sql.types._
+    val ntzDir = Files.createTempDirectory("graft_ev_ntz").toString
+    val ltzDir = Files.createTempDirectory("graft_ev_ltz").toString
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(tsMicros.zipWithIndex.map { case (us, i) =>
+        org.apache.spark.sql.Row(us, i.toLong)
+      }: _*),
+      StructType(Seq(StructField("us", LongType), StructField("event_id", LongType))))
+    // NTZ: isAdjustedToUTC=false in the footer — the current testdata shape
+    base.select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    assertEventsLoad(ntzDir)
+    // LTZ: Spark's default timestamp writer (isAdjustedToUTC=true)
+    base.select(timestamp_micros(col("us")).as("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+    assertEventsLoad(ltzDir)
+  }
 }
