@@ -1595,6 +1595,69 @@ object Queries {
         col("n_frames"), col("duration_s"), col("rms"), col("peak"))
   }
 
+  /** Multimodal video container metadata through the REAL ISO BMFF box
+    * parser, oracle-checked end to end (the q_mm_image_stats recipe on
+    * the container axis): per doc a structurally well-formed MP4
+    * header — ftyp + moov(mvhd, trak(tkhd)×n) + a skipped mdat — is
+    * built byte-by-byte on the executors (every field at its ISO/IEC
+    * 14496-12 offset, dimensions in 16.16 fixed point), parsed back by
+    * Multimodal.extractVideoMeta, and the resulting metadata is pure
+    * doc_id arithmetic the DuckDB twin reproduces. duration_s =
+    * units/timescale is the same IEEE division in both engines.
+    */
+  def qMmVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      def u32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.flatten.toArray
+        u32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+      }
+      // identity transform matrix — the 36-byte unity matrix every
+      // real muxer writes (1.0, 0, 0, 0, 1.0, 0, 0, 0, 0x40000000)
+      val unity = u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+        u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+        u32(0) ++ u32(0) ++ u32(0x40000000L)
+      it.map { id =>
+        val timescale = 600L + (id % 4) * 200
+        val durUnits = 1000L + (id % 5000)
+        val w = 16 * (2 + (id % 8)).toInt
+        val h = 16 * (2 + (id % 6)).toInt
+        val nTracks = 1 + (id % 2).toInt
+        val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), u32(512),
+          "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
+        val mvhd = box("mvhd", u32(0) /* v0 + flags */,
+          u32(0), u32(0) /* creation/modification */,
+          u32(timescale), u32(durUnits),
+          u32(0x00010000L) /* rate 1.0 */, u16(0x0100) /* volume */, u16(0),
+          u32(0), u32(0) /* reserved */, unity,
+          Array.fill(24)(0.toByte) /* pre_defined */, u32(nTracks + 1L))
+        def tkhd(trackId: Long, tw: Int, th: Int, vol: Int) = box("tkhd",
+          u32(0x000007L) /* v0, enabled|in_movie|in_preview */,
+          u32(0), u32(0), u32(trackId), u32(0), u32(durUnits),
+          u32(0), u32(0) /* reserved */, u16(0), u16(0) /* layer, alt_group */,
+          u16(vol), u16(0), unity,
+          u32(tw.toLong << 16), u32(th.toLong << 16))
+        val traks = box("trak", tkhd(1, w, h, 0)) ++
+          (if (nTracks == 2) box("trak", tkhd(2, 0, 0, 0x0100)) else Array.empty[Byte])
+        val moov = box("moov", mvhd, traks)
+        // sample data the parser must SKIP by size, never scan
+        val mdat = box("mdat", Array.fill(8 + (id % 7).toInt)(0x5a.toByte))
+        graft.multimodal.Multimodal.Asset(
+          id, "video", ftyp ++ moov ++ mdat, w, h, 0)
+      }
+    }
+    graft.multimodal.Multimodal.extractVideoMeta(assets).toDF()
+      .select(col("asset_id"), col("brand"), col("timescale"),
+        col("duration_units"), col("duration_s"), col("n_tracks"),
+        col("width"), col("height"))
+  }
+
   /** Recall@5 of the probed IVF path (nProbe=4 of 16 cells — a 4×
     * candidate-budget cut) against oracle-pinned brute-force truth.
     * One row; IvfSpec gates the value (rows-only for the driver — the

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_mm_features" -> (Queries.qMmFeatures _),
     "q_mm_image_stats" -> (Queries.qMmImageStats _),
     "q_mm_audio_stats" -> (Queries.qMmAudioStats _),
+    "q_mm_video_meta" -> (Queries.qMmVideoMeta _),
     // similarity search
     "q_ann_brute" -> (Queries.qAnnBrute _),
     "q_ann_drift" -> (Queries.qAnnDrift _),
@@ -780,6 +781,21 @@ object Oracles {
            / CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE) AS duration_s,
          CAST(abs((doc_id * 131) % 20001 - 10000) AS DOUBLE) AS rms,
          CAST(abs((doc_id * 131) % 20001 - 10000) AS DOUBLE) AS peak
+         FROM documents WHERE doc_id < 300""",
+
+    // real container-parse round trip: ISO BMFF headers built
+    // byte-by-byte and box-walked back executor-side; every field is
+    // doc_id arithmetic and duration is the same IEEE division
+    "q_mm_video_meta" ->
+      """SELECT doc_id AS asset_id,
+         'isom' AS brand,
+         600 + (doc_id % 4) * 200 AS timescale,
+         1000 + (doc_id % 5000) AS duration_units,
+         CAST(1000 + (doc_id % 5000) AS DOUBLE)
+           / CAST(600 + (doc_id % 4) * 200 AS DOUBLE) AS duration_s,
+         CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+         CAST(16 * (2 + doc_id % 8) AS INT) AS width,
+         CAST(16 * (2 + doc_id % 6) AS INT) AS height
          FROM documents WHERE doc_id < 300""",
 
     // ingest behavioral gate: after an overlapping batch append plus a

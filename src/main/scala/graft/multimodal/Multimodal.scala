@@ -7,22 +7,28 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by batch-shaped partition
   * functions.
   *
-  * Three codecs behind the same mapPartitions boundary:
-  *  - [[decodeImage]] is REAL — `javax.imageio` (public JDK; PNG/JPEG/
+  * Three format families, all REAL, behind the same mapPartitions
+  * boundary:
+  *  - [[decodeImage]] — `javax.imageio` (public JDK; PNG/JPEG/
   *    BMP/GIF readers ship with the JRE) decodes pixels and emits
   *    dimensions + channel statistics; undecodable bytes yield no row
   *    instead of a task failure.
-  *  - [[decodeAudio]] is REAL — `javax.sound.sampled` (public JDK; the
+  *  - [[decodeAudio]] — `javax.sound.sampled` (public JDK; the
   *    WAV/AIFF/AU readers ship with the JRE) decodes PCM samples and
   *    emits duration/rate/RMS/peak; non-PCM payloads convert through
   *    `AudioSystem` where a converter exists, or yield no row.
-  *  - [[decodeStub]] remains the deterministic test double for the one
-  *    format family this container has no codec for (video): it
-  *    derives fake features from the raw bytes so the surrounding
-  *    plumbing — asset schema, batched per-partition iteration (the
-  *    Scala analog of `mapInPandas` batches), partitioning for
-  *    parallel decode, feature schema — stays testable; swapping in a
-  *    JNI/library decoder changes one function.
+  *  - [[decodeVideoMeta]] — an ISO BMFF (MP4/MOV, ISO/IEC 14496-12)
+  *    container-box walk: brand, movie timescale/duration, track
+  *    count, and presentation dimensions from ftyp/mvhd/tkhd. No
+  *    public-JDK video *pixel* codec exists, so the pixel plane stays
+  *    out of scope on purpose — but container metadata is what a
+  *    training-data pipeline filters and routes on (duration caps,
+  *    aspect buckets, track sanity), and that part is real parsing of
+  *    the real format.
+  *  - [[byteFeatures]] — format-agnostic byte-level statistics
+  *    (histogram, Shannon entropy, mean byte): the triage features a
+  *    pipeline computes BEFORE any codec runs (corrupt-content and
+  *    encrypted/random-payload screening), applicable to every kind.
   *
   * Scale notes: assets are repartitioned by id before decode so a
   * 1000-executor cluster decodes in parallel regardless of input file
@@ -58,13 +64,14 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** ??? in spirit — the codec boundary (video-only now; image and
-    * audio decode are real). Deterministic fake "decode": byte
-    * histogram (16 bins), Shannon entropy over the bins, mean byte
-    * value. A real implementation decodes frames here; the signature
-    * (bytes → fixed-width features) is the contract.
+  /** Format-agnostic byte-level features: byte histogram (16 bins),
+    * Shannon entropy over the bins, mean byte value. This is the
+    * pre-codec triage stage of a real asset pipeline — near-8-bit
+    * entropy flags already-compressed/encrypted payloads, near-zero
+    * entropy flags padding/corruption — and it applies uniformly to
+    * every kind, which is why [[extractFeatures]] runs it unfiltered.
     */
-  private[multimodal] def decodeStub(content: Array[Byte]): (Double, Double, Array[Long]) = {
+  private[multimodal] def byteFeatures(content: Array[Byte]): (Double, Double, Array[Long]) = {
     val hist = new Array[Long](16)
     var sum = 0.0
     content.foreach { b => hist((b & 0xff) >> 4) += 1; sum += (b & 0xff) }
@@ -88,7 +95,7 @@ object Multimodal {
       else assets
     repart.mapPartitions { batch =>
       batch.map { a =>
-        val (entropy, mean, hist) = decodeStub(a.content)
+        val (entropy, mean, hist) = byteFeatures(a.content)
         AssetFeatures(a.asset_id, a.kind, a.content.length, entropy, mean, hist)
       }
     }
@@ -237,10 +244,104 @@ object Multimodal {
     }
   }
 
+  case class VideoMeta(asset_id: Long, brand: String, timescale: Long,
+      duration_units: Long, duration_s: Double, n_tracks: Int,
+      width: Int, height: Int)
+
+  /** The REAL container parser: walk ISO BMFF (MP4/MOV — ISO/IEC
+    * 14496-12, a public format) boxes and extract the metadata a
+    * pipeline filters on — major brand (`ftyp`), movie timescale and
+    * duration (`mvhd`, v0 and v1 layouts), track count (`trak`), and
+    * presentation dimensions (first `tkhd` with nonzero size; stored
+    * as 16.16 fixed point). Pure header arithmetic: no pixel decode,
+    * no sample data read — a 2 GB asset costs the same parse as a
+    * 2 KB one because `mdat` is skipped by its size field.
+    *
+    * Same failure contract as the image/audio codecs: malformed or
+    * non-BMFF bytes yield None (every read is bounds-checked; box
+    * sizes are validated to advance), never a task failure.
+    */
+  private[multimodal] def decodeVideoMeta(content: Array[Byte]): Option[VideoMeta] = {
+    def u8(o: Int): Long = content(o) & 0xffL
+    def u16(o: Int): Long = (u8(o) << 8) | u8(o + 1)
+    def u32(o: Int): Long = (u16(o) << 16) | u16(o + 2)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Box headers in [lo, hi): (type, payloadStart, payloadEnd). */
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = lo
+        def hasNext: Boolean = off >= 0 && off + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          // size==1 → 64-bit largesize follows; size==0 → box runs to `hi`
+          val (payload, end) =
+            if (size0 == 1 && off + 16 <= hi) (off + 16L, off + u64(off + 8))
+            else if (size0 == 0) (off + 8L, hi.toLong)
+            else (off + 8L, off + size0)
+          if (end <= off || end > hi || payload > end) { off = -1; ("", 0, 0) }
+          else { off = end.toInt; (typ, payload.toInt, end.toInt) }
+        }
+      }
+    def find(lo: Int, hi: Int, typ: String): Option[(Int, Int)] =
+      boxes(lo, hi).collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+    try {
+      val n = content.length
+      val brand = find(0, n, "ftyp").filter { case (s, e) => e - s >= 4 }
+        .map { case (s, _) => fourcc(s) }
+      val (moovS, moovE) = find(0, n, "moov").getOrElse(return None)
+      // mvhd: version byte selects the 32- vs 64-bit field layout
+      val (ts, dur) = find(moovS, moovE, "mvhd").flatMap { case (s, e) =>
+        if (e - s < 4) None
+        else u8(s) match {
+          case 0 if e - s >= 20 => Some((u32(s + 12), u32(s + 16)))
+          case 1 if e - s >= 32 => Some((u32(s + 20), u64(s + 24)))
+          case _ => None
+        }
+      }.getOrElse(return None)
+      val traks = boxes(moovS, moovE).filter(_._1 == "trak").toSeq
+      // tkhd width/height: 16.16 fixed point at layout-dependent offsets
+      val dims = traks.iterator.flatMap { case (_, ts0, te) =>
+        find(ts0, te, "tkhd").flatMap { case (s, e) =>
+          if (e - s < 4) None
+          else {
+            val wOff = if (u8(s) == 1) s + 88 else s + 76
+            if (e - wOff < 8) None
+            else Some(((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt))
+          }
+        }
+      }.find { case (w, h) => w > 0 && h > 0 }
+      Some(VideoMeta(0L, brand.getOrElse(""), ts, dur,
+        if (ts == 0) 0.0 else dur.toDouble / ts, traks.size,
+        dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Video container-metadata stage — the same batched mapPartitions
+    * shape and "shrink early" discipline as the image/audio stages:
+    * only `video` assets are read, and the (possibly huge) bytes never
+    * travel past the header parse.
+    */
+  def extractVideoMeta(assets: Dataset[Asset], parallelism: Int = 0): Dataset[VideoMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val vids = assets.filter(col("kind") === "video").as[Asset]
+    val repart =
+      if (parallelism > 0) vids.repartition(parallelism, col("asset_id"))
+      else vids
+    repart.mapPartitions { batch =>
+      batch.flatMap(a => decodeVideoMeta(a.content).map(_.copy(asset_id = a.asset_id)))
+    }
+  }
+
   /** Resize: metadata-only transform (no decode) — the cheap path a
     * real pipeline takes when only target dimensions change. The
     * byte-level resample belongs behind the same codec boundary as
-    * [[decodeStub]].
+    * [[decodeImage]].
     */
   def resizeMeta(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
     val spark = assets.sparkSession

@@ -16,7 +16,7 @@ class MultimodalSpec extends SparkSpec {
     assert(a.width >= 64 && a.height >= 64)
   }
 
-  test("extractFeatures: deterministic fake decode, content dropped") {
+  test("extractFeatures: byte-level triage features, content dropped") {
     val f = extractFeatures(assets, parallelism = 4)
     assert(!f.columns.contains("content")) // shrink-early: no bytes past decode
     val rows = f.collect()
@@ -102,6 +102,80 @@ class MultimodalSpec extends SparkSpec {
     val st = stats(2L)
     assert(st.channels == 2 && st.n_frames == 100)
     assert(st.rms == 2000.0 && st.peak == 2000.0)
+  }
+
+  // --- ISO BMFF helpers for the video-metadata tests: build headers
+  // byte-by-byte at their ISO/IEC 14496-12 offsets
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mkBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private val unity = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+    be32(0) ++ be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L)
+  private def mvhdV0(ts: Long, dur: Long) = mkBox("mvhd", be32(0),
+    be32(0), be32(0), be32(ts), be32(dur), be32(0x00010000L), be16(0x0100), be16(0),
+    be32(0), be32(0), unity, Array.fill(24)(0.toByte), be32(2))
+  private def mvhdV1(ts: Long, dur: Long) = mkBox("mvhd", be32(0x01000000L),
+    be64(0), be64(0), be32(ts), be64(dur), be32(0x00010000L), be16(0x0100), be16(0),
+    be32(0), be32(0), unity, Array.fill(24)(0.toByte), be32(2))
+  private def tkhdV0(w: Int, h: Int) = mkBox("tkhd", be32(7),
+    be32(0), be32(0), be32(1), be32(0), be32(0), be32(0), be32(0),
+    be16(0), be16(0), be16(0), be16(0), unity,
+    be32(w.toLong << 16), be32(h.toLong << 16))
+  private def tkhdV1(w: Int, h: Int) = mkBox("tkhd", be32(0x01000007L),
+    be64(0), be64(0), be32(1), be32(0), be64(0), be32(0), be32(0),
+    be16(0), be16(0), be16(0), be16(0), unity,
+    be32(w.toLong << 16), be32(h.toLong << 16))
+  private val ftyp = mkBox("ftyp",
+    "isom".getBytes("US-ASCII"), be32(512), "mp41".getBytes("US-ASCII"))
+
+  test("decodeVideoMeta parses v0 and v1 ISO BMFF layouts, skips mdat by size") {
+    val v0 = ftyp ++ mkBox("moov", mvhdV0(1000, 45000), mkBox("trak", tkhdV0(640, 360))) ++
+      mkBox("mdat", Array.fill(64)(0x77.toByte))
+    val m0 = decodeVideoMeta(v0).get
+    assert(m0.brand == "isom" && m0.timescale == 1000 && m0.duration_units == 45000)
+    assert(m0.duration_s == 45.0 && m0.n_tracks == 1)
+    assert(m0.width == 640 && m0.height == 360)
+    // v1: 64-bit creation/modification/duration fields shift every offset
+    val v1 = ftyp ++ mkBox("moov", mvhdV1(90000, 5400000L),
+      mkBox("trak", tkhdV1(1920, 1080)), mkBox("trak", tkhdV1(0, 0)))
+    val m1 = decodeVideoMeta(v1).get
+    assert(m1.timescale == 90000 && m1.duration_units == 5400000L)
+    assert(m1.duration_s == 60.0 && m1.n_tracks == 2)
+    assert(m1.width == 1920 && m1.height == 1080) // zero-size audio track skipped
+  }
+
+  test("decodeVideoMeta handles 64-bit largesize boxes and refuses malformed bytes") {
+    // mdat with size==1 + largesize BEFORE moov: the walk must use the
+    // 64-bit length to hop over it
+    val body = Array.fill(32)(0x11.toByte)
+    val large = be32(1) ++ "mdat".getBytes("US-ASCII") ++ be64(16L + body.length) ++ body
+    val bytes = ftyp ++ large ++ mkBox("moov", mvhdV0(600, 1200), mkBox("trak", tkhdV0(320, 240)))
+    val m = decodeVideoMeta(bytes).get
+    assert(m.duration_s == 2.0 && m.width == 320)
+    // malformed: junk, truncated moov, zero-size box loop, no mvhd
+    assert(decodeVideoMeta("not an mp4 at all".getBytes("UTF-8")).isEmpty)
+    decodeVideoMeta(bytes.take(bytes.length - 20)) // truncated: must not throw
+    assert(decodeVideoMeta(mkBox("moov", Array.empty[Byte])).isEmpty)
+    assert(decodeVideoMeta(Array[Byte](0, 0, 0, 0, 'm', 'o', 'o', 'v')).isEmpty)
+  }
+
+  test("extractVideoMeta: video-only, shrink-early, junk drops not crashes") {
+    import spark.implicits._
+    val good = ftyp ++ mkBox("moov", mvhdV0(1000, 30000), mkBox("trak", tkhdV0(854, 480)))
+    val in = Seq(
+      Asset(1L, "video", good, 854, 480, 0),
+      Asset(2L, "video", "garbage".getBytes("UTF-8"), 0, 0, 0),
+      Asset(3L, "image", good, 854, 480, 0)) // wrong kind: filtered
+      .toDS()
+    val metas = extractVideoMeta(in, parallelism = 2).collect()
+    assert(metas.map(_.asset_id).toSet == Set(1L))
+    assert(metas.head.duration_s == 30.0 && metas.head.width == 854)
   }
 
   test("resizeMeta rewrites dimensions without touching content") {
