@@ -146,6 +146,7 @@ object IndexStore {
     saveIvfPq(store, next, idx)
     saveCellStats(store, next, idx, vectors, idCol, vecCol)
     carryBloom(store, s"${cur}__encoded", s"${next}__encoded")
+    carryBloom(store, registryTable(s"${cur}__encoded"), registryTable(s"${next}__encoded"))
     flipAlias(vectors.sparkSession, store, name, next)
     loadIvfPq(store, name)
   }
@@ -167,6 +168,7 @@ object IndexStore {
     val idx = Ivf.build(vectors, nLists, maxTrain, lloydIters, idCol, vecCol)
     saveIvf(store, next, idx)
     carryBloom(store, s"${cur}__assigned", s"${next}__assigned")
+    carryBloom(store, registryTable(s"${cur}__assigned"), registryTable(s"${next}__assigned"))
     flipAlias(vectors.sparkSession, store, name, next)
     loadIvf(store, name)
   }
@@ -220,6 +222,81 @@ object IndexStore {
       store: TableStore, table: String, fresh: DataFrame): Unit = {
     updateIdBloom(store, table, fresh)
     store.appendPartitioned(fresh, table, "cell")
+  }
+
+  // ------------------------------------------- id-novelty registry
+  //
+  // The cell-pruned kernel above is sound only while id→cell is FROZEN:
+  // its prune narrows "is this id anywhere in the corpus" to "is it in
+  // the cells this batch assigns to", which holds when assignment is
+  // deterministic in content. ANN cells are QUANTIZER-dependent — a
+  // cell split or a retrain refines the Voronoi diagram globally, so a
+  // replayed id can assign to a different cell than its landed row
+  // occupies and sail through both the bloom probe and the exact check
+  // (measured: 9 of 500 replayed ids duplicated across one 3-way
+  // split). The registry fixes the frame of reference: novelty is
+  // keyed by hash(id) shard — content-stable by construction, immune
+  // to quantizer evolution — in a `<table>__ids` sidecar maintained by
+  // the SAME kernel (the shard IS its `cell`), the arrangement
+  // [[graft.text.Bm25Store]] and [[graft.dedup.DedupState]] already
+  // use for their corpus state. Probe cost: O(batch + touched shards),
+  // bloom-acceleratable like any kernel table; at 100 TB the registry
+  // holds ids only — ~1% of corpus bytes.
+
+  private def registryTable(table: String) = s"${table}__ids"
+  private def registryMetaTable(table: String) = s"${table}__ids_meta"
+  private[similarity] val DefaultRegistryShards = 64
+
+  private def idShard(nShards: Int) =
+    pmod(xxhash64(col("id")), lit(nShards.toLong)).cast("int")
+
+  /** Build (or backfill, for a store created before registries) the
+    * id registry of `table` from its own rows — one column-pruned scan.
+    */
+  def buildIdRegistry(
+      store: TableStore, table: String, nShards: Int = DefaultRegistryShards): Unit = {
+    val ids = store.read(table).select(col("id")).withColumn("cell", idShard(nShards))
+    val spark = ids.sparkSession
+    import spark.implicits._
+    // rows first, meta last: meta present ⇒ rows complete (a crash in
+    // between re-backfills on the next ingest — idempotent overwrite)
+    store.overwritePartitioned(ids, registryTable(table), "cell")
+    store.overwrite(Seq(nShards).toDF("n_shards"), registryMetaTable(table))
+  }
+
+  private def registryShards(store: TableStore, table: String): Int = {
+    val mt = registryMetaTable(table)
+    if (!store.exists(mt)) DefaultRegistryShards
+    else store.read(mt).head(1).headOption.map(_.getInt(0)).getOrElse(DefaultRegistryShards)
+  }
+
+  /** The batch rows whose ids the registry has never seen — the
+    * quantizer-independent novelty gate of the ANN ingest path. A
+    * pre-registry store backfills once from the corpus table.
+    * `batch` must carry `id` and no `cell`.
+    */
+  private def registryNovel(store: TableStore, table: String, batch: DataFrame): DataFrame = {
+    val reg = registryTable(table)
+    if (!store.exists(reg)) {
+      if (store.exists(table)) buildIdRegistry(store, table)
+      else return batch
+    }
+    val keyed = batch.withColumn("cell", idShard(registryShards(store, table)))
+    newById(store, reg, keyed).drop("cell")
+  }
+
+  /** Record proven-novel ids in the registry — AFTER their corpus rows
+    * land, so a crash in between leaves rows-without-registry, which
+    * the next replay heals through [[appendNewById]]'s cell-pruned
+    * exact check (same centroids between a crashed ingest and its
+    * replay — splits heal first, and the single-writer contract keeps
+    * out-of-band splits outside the crash window). The reverse order
+    * would lose rows: registered ids would skip the novelty gate
+    * forever while their rows never landed.
+    */
+  private def registryCommit(store: TableStore, table: String, novelIds: DataFrame): Unit = {
+    val rows = novelIds.withColumn("cell", idShard(registryShards(store, table)))
+    appendKnownNewById(store, registryTable(table), rows)
   }
 
   /** The anti-joined frame behind [[appendNewById]], exposed so specs
@@ -523,15 +600,17 @@ object IndexStore {
     flagged.map(_.getInt(0)).toSeq
   }
 
-  /** Persist an IVF index: `<name>__centroids` (tiny) and, the
-    * corpus-sized part, `<name>__assigned` (id, vec, cell) partitioned
-    * by cell.
+  /** Persist an IVF index: `<name>__centroids` (tiny), the
+    * corpus-sized `<name>__assigned` (id, vec, cell) partitioned by
+    * cell, and the `<name>__assigned__ids` novelty registry the ingest
+    * path gates replays on.
     */
   def saveIvf(store: TableStore, name: String, index: Ivf.Index): Unit = {
     val p = resolveIndex(store, name)
     val spark = index.assigned.sparkSession
     store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
     store.overwritePartitioned(index.assigned, s"${p}__assigned", "cell")
+    buildIdRegistry(store, s"${p}__assigned")
   }
 
   /** The stored coarse centroids of index `name` — tiny, driver-sized;
@@ -558,6 +637,20 @@ object IndexStore {
     * touched cell partitions (idempotent — re-sending a batch changes
     * nothing, and existing rows are never read beyond their id column
     * or rewritten). Returns the refreshed index.
+    *
+    * Replay safety has two layers, because id→cell is only stable
+    * until the quantizer evolves:
+    *  1. an in-flight crashed split heals FIRST (between a split's
+    *     centroid publish and its row rewrite, a replayed id would
+    *     assign against refined centroids while its landed row sits in
+    *     the old cell — an empty target partition reads as novel);
+    *  2. the id registry ([[buildIdRegistry]]) gates novelty by
+    *     hash(id) shard — quantizer-INDEPENDENT — so a batch replayed
+    *     across a COMPLETED split or rotation is dropped wholesale
+    *     before any assignment, closing the Voronoi-migration
+    *     duplicate the cell-pruned check alone cannot see.
+    * Registry ids commit after rows land; the crash window in between
+    * replays through the cell-pruned exact check (same centroids).
     */
   def appendIvfBatch(
       store: TableStore,
@@ -566,8 +659,15 @@ object IndexStore {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Ivf.Index = {
     val p = resolveIndex(store, name)
+    val table = s"${p}__assigned"
+    resumeSplit(store, p)(ivfFinisher(store, table))
     val cens = loadCentroids(store, s"${p}__centroids")
-    appendNewById(store, s"${p}__assigned", Ivf.assign(cens, batch, idCol, vecCol))
+    // localCheckpoint, not persist: the registry commit's lineage would
+    // otherwise re-read the registry while appending to it
+    val novel = registryNovel(store, table,
+      batch.select(col(idCol).as("id"), col(vecCol).as("vec"))).localCheckpoint()
+    appendNewById(store, table, Ivf.assign(cens, novel, "id", "vec"))
+    registryCommit(store, table, novel.select("id"))
     loadIvf(store, name)
   }
 
@@ -592,6 +692,7 @@ object IndexStore {
     store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
     store.overwrite(codebooksDf(spark, index.cb), s"${p}__codebooks")
     store.overwritePartitioned(index.encoded, s"${p}__encoded", "cell")
+    buildIdRegistry(store, s"${p}__encoded")
   }
 
   def loadIvfPq(store: TableStore, name: String): IvfPq.Index = {
@@ -617,9 +718,21 @@ object IndexStore {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): IvfPq.Index = {
     val p = resolveIndex(store, name)
+    // the IVF append auto-heals here; a PQ heal must re-encode moved
+    // rows from SOURCE vectors this method does not have, so an
+    // in-flight split fails loudly instead of silently appending
+    // duplicates against half-moved cells
+    require(splitState(store, p).isEmpty,
+      s"index $name carries an in-flight split — complete it first " +
+        "(re-run splitIvfPqCell with the source vectors) before ingesting")
+    val table = s"${p}__encoded"
     val cens = loadCentroids(store, s"${p}__centroids")
     val cb = loadCodebooks(store, s"${p}__codebooks")
-    appendNewById(store, s"${p}__encoded", IvfPq.encode(cens, cb, batch, idCol, vecCol))
+    // registry gate first (quantizer-independent — see appendIvfBatch)
+    val novel = registryNovel(store, table,
+      batch.select(col(idCol).as("id"), col(vecCol).as("vec"))).localCheckpoint()
+    appendNewById(store, table, IvfPq.encode(cens, cb, novel, "id", "vec"))
+    registryCommit(store, table, novel.select("id"))
     loadIvfPq(store, name)
   }
 
@@ -698,6 +811,41 @@ object IndexStore {
     when(col("cell") === 0, lit(cell))
       .otherwise(col("cell") + lit(pre - 1)).as("cell")
 
+  /** Rebuild the id-bloom sidecar rows a split invalidates (no-op
+    * without a sidecar). A split moves rows OUT of the ingest path —
+    * ids relocate from the split cell into sub-cells that have no
+    * sidecar row, and [[bloomTagged]] reads a missing row as "no prior
+    * ids" (sound under the single-writer ingest discipline, where the
+    * sidecar always lands before rows). Left unmaintained, a batch
+    * replayed across the split would re-assign a landed id into a
+    * fresh sub-cell, probe no bloom, skip the exact check, and append
+    * a DUPLICATE. Rebuilding the touched cells' blooms from the
+    * post-split assignment (`moved` — exactly the rows being
+    * rewritten) restores the invariant; the split cell keeps its
+    * stored (capacity, num_bits) parameters and the sub-cells inherit
+    * them (same corpus scale class). Runs BEFORE the row rewrite, the
+    * sidecar-first ordering every ingest write uses: a crash in
+    * between leaves blooms that over-approximate — safe — and
+    * [[resumeSplit]] re-runs this with the same deterministic
+    * assignment.
+    */
+  private def refreshBloomAfterMove(
+      store: TableStore, table: String, moved: DataFrame, splitCell: Int): Unit = {
+    val bt = bloomTable(table)
+    if (!store.exists(bt)) return
+    val stored = store.read(bt)
+      .filter(col("cell").cast("string") === splitCell.toString)
+      .select("capacity", "num_bits").head(1)
+    val (cap, bits) =
+      if (stored.isEmpty)
+        (1L << 20,
+          org.apache.spark.util.sketch.BloomFilter.create(1L << 20, 0.01).bitSize())
+      else (stored(0).getLong(0), stored(0).getLong(1))
+    store.rewritePartitioned(
+      bloomPerCell(moved.select(col("cell"), col("id")), cap, bits),
+      bt, "cell", Seq(splitCell.toString))
+  }
+
   /** Split ONE oversized IVF cell into `nSub` cells — the targeted
     * rebalance between "ingest forever" and "retrain everything": the
     * drift monitor (or cell-size stats) names a hot cell, and only
@@ -718,6 +866,18 @@ object IndexStore {
     * sub-centroids ([[resumeSplit]]) — never by retraining, which
     * would append duplicate centroids.
     */
+  /** The row-move half of an IVF split — shared by the split itself,
+    * its crash recovery, and the pre-ingest heal in [[appendIvfBatch]].
+    */
+  private def ivfFinisher(store: TableStore, table: String)(
+      c: Int, pre: Int, subs: Array[Array[Float]]): Unit = {
+    val rows = store.read(table).filter(col("cell") === c).select("id", "vec")
+    val moved = Ivf.assign(subs, rows, idCol = "id", vecCol = "vec")
+      .select(col("id"), col("vec"), subCellId(c, pre))
+    refreshBloomAfterMove(store, table, moved, c) // sidecar before rows
+    store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
+  }
+
   def splitIvfCell(
       store: TableStore,
       name: String,
@@ -728,12 +888,8 @@ object IndexStore {
     require(nSub >= 2, s"splitting into $nSub cells is not a split")
     val phys = resolveIndex(store, name)
     val table = s"${phys}__assigned"
-    def finishIvf(c: Int, pre: Int, subs: Array[Array[Float]]): Unit = {
-      val rows = store.read(table).filter(col("cell") === c).select("id", "vec")
-      val moved = Ivf.assign(subs, rows, idCol = "id", vecCol = "vec")
-        .select(col("id"), col("vec"), subCellId(c, pre))
-      store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
-    }
+    def finishIvf(c: Int, pre: Int, subs: Array[Array[Float]]): Unit =
+      ivfFinisher(store, table)(c, pre, subs)
     if (resumeSplit(store, phys)(finishIvf).contains(cell))
       return loadIvf(store, name) // the requested split had crashed; now complete
     val cens = loadIvfCentroids(store, phys)
@@ -805,6 +961,7 @@ object IndexStore {
           graft.functions.PqFunctions.pqEncode(
             graft.functions.CentroidFunctions.centroidResidual(col("vec"), col("cell"), subs),
             cb.codebooks).as("codes"))
+      refreshBloomAfterMove(store, table, moved, c) // sidecar before rows
       store.rewritePartitioned(moved, table, "cell", Seq(c.toString))
     }
     if (resumeSplit(store, phys)(finishPq).contains(cell))
@@ -996,5 +1153,75 @@ object IndexStore {
           .when(col("bloom_action") === "grow", lit("grow"))
           .otherwise(lit("ok")))
       .orderBy(col("n_rows").desc_nulls_last, col("cell"))
+  }
+
+  /** ONE-call actuator sweep — the closing of the
+    * monitor→policy→actuator loop [[indexHealthReport]] narrates:
+    * read the combined report and dispatch every flagged cell to its
+    * actuator, most-costly-to-ignore first.
+    *
+    *  - any `retrain` (and `vectors` supplied — a retrain needs the
+    *    corpus to train on): [[rotateIvf]]/[[rotateIvfPq]] once; the
+    *    new generation re-assigns every cell, so splits and grows of
+    *    the OLD generation are moot and the sweep stops there;
+    *  - `split`: the hottest `maxSplits` flagged cells through
+    *    [[splitIvfCell]]/[[splitIvfPqCell]] (the PQ split re-encodes
+    *    from source vectors, so PQ splits only run when `vectors` is
+    *    supplied). Capped per sweep so one call stays bounded; a
+    *    scheduled operator converges over sweeps;
+    *  - `grow`: [[growCellBlooms]] — always safe, touches only
+    *    flagged sidecar partitions; runs AFTER splits so a split
+    *    cell's freshly rebuilt blooms are judged, not its stale ones.
+    *
+    * Returns what was APPLIED as (cell, action) pairs — the actuation
+    * mirror of the report's observability. Cells the policy flagged
+    * but the sweep could not act on (a PQ split/retrain without
+    * `vectors`) are deliberately NOT in the result: absence against a
+    * still-flagging report is the honest "needs operator input"
+    * signal, never a silently-claimed fix.
+    */
+  def applyHealthActions(
+      store: TableStore,
+      name: String,
+      batch: Option[DataFrame] = None,
+      vectors: Option[DataFrame] = None,
+      sizeFactor: Double = 2.0,
+      driftThreshold: Double = 2.0,
+      fppThreshold: Double = 0.05,
+      targetFpp: Double = 0.01,
+      nSub: Int = 2,
+      maxSplits: Int = 1,
+      nLists: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, String)] = {
+    val p = resolveIndex(store, name)
+    val isPq = store.exists(s"${p}__encoded")
+    val table = if (isPq) s"${p}__encoded" else s"${p}__assigned"
+    // ≤ nCells rows — the same driver bound every cell-list collect has
+    val report = indexHealthReport(store, name, batch, sizeFactor,
+        driftThreshold, fppThreshold, idCol, vecCol)
+      .select(col("cell"), col("rebalance_action"), col("bloom_action"))
+      .collect()
+    val retrainCells = report.filter(_.getString(1) == "retrain").map(_.getInt(0))
+    if (retrainCells.nonEmpty && vectors.isDefined) {
+      if (isPq) rotateIvfPq(store, name, vectors.get, nLists, m, k,
+        idCol = idCol, vecCol = vecCol)
+      else rotateIvf(store, name, vectors.get, nLists, idCol = idCol, vecCol = vecCol)
+      return retrainCells.toSeq.sorted.map(_ -> "retrain")
+    }
+    val splitCells = report.filter(_.getString(1) == "split").map(_.getInt(0))
+      .take(maxSplits) // report is hottest-first
+    val didSplit: Seq[(Int, String)] =
+      if (isPq && vectors.isEmpty) Seq.empty
+      else splitCells.toSeq.map { c =>
+        if (isPq) splitIvfPqCell(store, name, c, nSub, vectors.get, idCol, vecCol)
+        else splitIvfCell(store, name, c, nSub)
+        c -> "split"
+      }
+    val grown = growCellBlooms(store, table, fppThreshold, targetFpp)
+      .map(_ -> "grow")
+    didSplit ++ grown
   }
 }

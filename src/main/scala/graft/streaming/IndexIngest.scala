@@ -1,30 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import graft.similarity.{IndexStore, Ivf, IvfPq}
+import org.apache.spark.sql.{Dataset, Row}
+import graft.similarity.IndexStore
 import graft.sources.TableStore
 
 /** Streaming ingest into a stored ANN index — the `foreachBatch` twin
-  * of [[IndexStore.appendIvfBatch]]/[[IndexStore.appendIvfPqBatch]]:
-  * each embedding micro-batch is encoded with the STORED quantizers
-  * (no retrain, batch cells agree with the corpus Voronoi boundaries)
-  * and merged into the corpus-sized table by id.
+  * of [[IndexStore.appendIvfBatch]]/[[IndexStore.appendIvfPqBatch]],
+  * and now a thin delegation to them: each embedding micro-batch goes
+  * through the full batch-ingest protocol — in-flight split heal,
+  * quantizer-independent id-registry novelty gate, cell-pruned
+  * idempotent append, registry commit.
   *
   * Exactly-once without a transactional sink: Structured Streaming
-  * replays a micro-batch after a failure, and the append's id
-  * anti-join (against a column-pruned id scan) makes the replay a
-  * no-op — the standard idempotent-sink contract, the same one the
-  * ETL's fact append relies on.
-  *
-  * Quantizer state loads ONCE at sink construction (it is immutable by
-  * design — a retrain is a new index name), so per-batch work is one
-  * assignment/encode scan of the batch, the id anti-join (pruned to
-  * the batch's own cell partitions; with an id-bloom sidecar —
-  * [[IndexStore.buildIdBloom]] — mostly-novel batches skip corpus id
-  * reads entirely), and a partition-staged append into only the cell
-  * partitions the batch touches; bytes already encoded are never
-  * rewritten (a keyed whole-table merge would rewrite the corpus per
-  * micro-batch).
+  * replays a micro-batch after a failure, and the registry gate (by
+  * hash(id) shard — stable under splits and retrains) plus the
+  * cell-pruned exact check make the replay a no-op — the same
+  * idempotent-sink contract the ETL's fact append and the dedup state
+  * rely on. The earlier design cached the quantizer at sink
+  * construction; that cache is gone on purpose: a cell split between
+  * micro-batches refines the Voronoi diagram, and assigning against
+  * stale centroids would file new vectors into pre-split cells
+  * forever. The per-batch centroid read is one tiny table.
   *
   * {{{
   * val sink = IndexIngest.ivfSink(store, "prod_index")
@@ -40,12 +36,11 @@ object IndexIngest {
       store: TableStore,
       name: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): (Dataset[Row], Long) => Unit = {
-    val cens = IndexStore.loadIvfCentroids(store, name)
-    (batch: Dataset[Row], _: Long) =>
-      IndexStore.appendNewById(store, s"${name}__assigned",
-        Ivf.assign(cens, batch.toDF(), idCol, vecCol))
-  }
+      vecCol: String = "embedding"): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], _: Long) => {
+      IndexStore.appendIvfBatch(store, name, batch.toDF(), idCol, vecCol)
+      ()
+    }
 
   /** foreachBatch function encoding each micro-batch into a stored
     * IVF-PQ index's `__encoded` table (16 B/vector codes).
@@ -54,11 +49,9 @@ object IndexIngest {
       store: TableStore,
       name: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): (Dataset[Row], Long) => Unit = {
-    val cens = IndexStore.loadIvfCentroids(store, name)
-    val cb = IndexStore.loadPqCodebook(store, name)
-    (batch: Dataset[Row], _: Long) =>
-      IndexStore.appendNewById(store, s"${name}__encoded",
-        IvfPq.encode(cens, cb, batch.toDF(), idCol, vecCol))
-  }
+      vecCol: String = "embedding"): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], _: Long) => {
+      IndexStore.appendIvfPqBatch(store, name, batch.toDF(), idCol, vecCol)
+      ()
+    }
 }

@@ -339,6 +339,93 @@ class IndexStoreSpec extends SparkSpec {
     assert(grown.encoded.count() == emb.count())
   }
 
+  test("split keeps the id-bloom sidecar honest: a batch replayed across the split appends nothing") {
+    val store = newStore()
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    IndexStore.saveIvf(store, "sbloom", Ivf.build(corpus, nLists = 4))
+    IndexStore.buildIdBloom(store, "sbloom__assigned", expectedIdsPerCell = 256, fpp = 0.01)
+    IndexStore.appendIvfBatch(store, "sbloom", batch)
+    val n = store.read("sbloom__assigned").count()
+    assert(n == emb.count())
+    val hot = IndexStore.loadIvf(store, "sbloom").assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    IndexStore.splitIvfCell(store, "sbloom", hot, nSub = 3)
+    // replay: part of the batch now re-assigns into the fresh sub-cells.
+    // Un-maintained, those cells would have NO sidecar row, read as
+    // "definitely new", skip the exact check, and append duplicates.
+    IndexStore.appendIvfBatch(store, "sbloom", batch)
+    assert(store.read("sbloom__assigned").count() == n,
+      "replayed batch appended rows across the split")
+    assert(IndexStore.duplicateIdAudit(store, "sbloom__assigned").isEmpty)
+  }
+
+  test("appendIvfBatch heals an in-flight crashed split before ingesting") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "heal", Ivf.build(emb, nLists = 4))
+    val hot = IndexStore.loadIvf(store, "heal").assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).head().getInt(0)
+    // die between centroid publish and row rewrite — the window where a
+    // replayed id assigns against refined centroids while its landed row
+    // still sits in the old cell (empty target partition → phantom novel)
+    intercept[RuntimeException] {
+      IndexStore.splitIvfCell(new CrashOn(store)((op, _) => op == "rewrite"),
+        "heal", hot, nSub = 3)
+    }
+    val idx = IndexStore.appendIvfBatch(store, "heal", emb) // full replay
+    assert(idx.assigned.count() == emb.count(), "replay duplicated rows in the crash window")
+    assert(IndexStore.duplicateIdAudit(store, "heal__assigned").isEmpty)
+    assert(idx.centroids.length == 6, "the heal did not complete the split")
+  }
+
+  test("applyHealthActions grows flagged blooms and the health report clears") {
+    val store = newStore()
+    IndexStore.saveIvf(store, "act", Ivf.build(emb, nLists = 4))
+    // deliberately undersized sidecar → saturated from day one
+    IndexStore.buildIdBloom(store, "act__assigned", expectedIdsPerCell = 8, fpp = 0.03)
+    // sizeFactor high enough that no size split competes — this test
+    // isolates the grow actuator
+    val before = IndexStore.indexHealthReport(store, "act", sizeFactor = 100.0)
+      .filter(col("action") === "grow").count()
+    assert(before > 0, "fixture failed to saturate any bloom")
+    val applied = IndexStore.applyHealthActions(store, "act", sizeFactor = 100.0)
+    assert(applied.nonEmpty && applied.forall(_._2 == "grow"), applied.toString)
+    val after = IndexStore.indexHealthReport(store, "act", sizeFactor = 100.0)
+      .filter(col("action") =!= "ok").count()
+    assert(after == 0, "health did not clear after the sweep")
+  }
+
+  test("applyHealthActions splits the hot cell, capped at maxSplits per sweep") {
+    import spark.implicits._
+    def blob(start: Long, n: Int, cx: Float, cy: Float) =
+      (0 until n).map { i =>
+        val jit = (i % 100) * 0.001f
+        (start + i, Array(cx + jit, cy - jit, 0f, 0f, jit, 0f, 0f, 0f).toSeq)
+      }
+    val vecs = (blob(0, 200, 10f, 0f) ++ blob(200, 200, -10f, 0f) ++
+      blob(400, 200, 0f, -10f) ++ blob(1000, 100, 100f, 0f) ++
+      blob(2000, 100, -100f, 0f) ++ blob(3000, 100, 0f, 100f))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cens: Array[Array[Float]] = Array(
+      Array.fill(8)(0f),
+      Array(100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(-100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 100f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val store = newStore()
+    IndexStore.saveIvf(store, "acts", Ivf.Index(cens, Ivf.assign(cens, vecs)))
+    val applied = IndexStore.applyHealthActions(store, "acts", nSub = 3)
+    assert(applied == Seq(0 -> "split"), applied.toString)
+    // acted and cleared: the next sweep finds nothing to do
+    assert(IndexStore.applyHealthActions(store, "acts", nSub = 3).isEmpty)
+    assert(IndexStore.loadIvfCentroids(store, "acts").length == 6)
+    // exactness preserved through the actuated split
+    val q = vecs.filter(col("vec_id") < 10)
+    assert(Ivf.topK(IndexStore.loadIvf(store, "acts"), q, k = 5, nProbe = 6)
+      .collect().toSet ==
+      graft.similarity.Ann.bruteForceTopK(q, vecs, k = 5).collect().toSet)
+  }
+
   test("rebalanceReport flags the hot cell for split; the post-split report clears it") {
     import spark.implicits._
     // synthetic corpus with a KNOWN hot cell: blob A is 3 tight,
