@@ -205,7 +205,16 @@ object DedupState {
               .select(pmod(col("band"), lit(p.nShards.toLong)).cast("int").as("c"))
               .distinct().collect().map(r => String.valueOf(r.getInt(0))).toSeq
             val pruned =
-              if (shards.isEmpty) store.read(bandsT).limit(0)
+              if (shards.isEmpty) {
+                // every touched band is bloom-negative: an ALL-NOVEL
+                // batch's plan carries no state scan at all — a
+                // schema-only empty frame, not even a limit(0) scan
+                // node (which would still list the table's partitions)
+                val s = store.read(bandsT)
+                s.sparkSession.createDataFrame(
+                  s.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  s.schema)
+              }
               else store.read(bandsT)
                 .filter(col("cell").cast("string").isin(shards: _*))
             pruned

@@ -45,7 +45,10 @@ import graft.sources.TableStore
   * is re-delivered first, never reordered past a later one). A ledger
   * of ALL batch keys would widen the window to arbitrary reordering
   * at the cost of an unbounded probe set; single-writer epoch
-  * semantics don't need it.
+  * semantics don't need it. The single-writer contract itself is
+  * ENFORCED by a writer fence (see [[clearWriterFence]] and the
+  * acquire/release discipline on every mutating entry point), not
+  * merely assumed.
   */
 object RollupStore {
 
@@ -99,6 +102,56 @@ object RollupStore {
   }
 
   private def metaTable(name: String) = s"${name}__meta"
+  private def fenceTable(name: String) = s"${name}__writer_fence"
+
+  /** The single-writer contract, ENFORCED (the `__split_state` marker
+    * discipline): every mutating entry point ([[init]], [[ingest]],
+    * [[reshard]]) takes a fence row for the duration of the call and
+    * releases it on every exit, success or failure — only a process
+    * death leaves it held. A second writer that starts while the fence
+    * is held fails loudly instead of interleaving half-merged shard
+    * rewrites with the first (the stamp-probe replay detection assumes
+    * serialized epochs — an interleaved writer could overwrite a
+    * shard's `last_batch` stamp mid-flight and un-detect a replay).
+    * This is crash-marker detection, not distributed CAS: two writers
+    * racing the EMPTY fence within one overwrite latency can both
+    * pass — the fence turns sustained concurrent use into a loud
+    * error, which is what a storage layer without conditional writes
+    * can honestly promise. After a crash, [[clearWriterFence]] is the
+    * operator's explicit recovery step.
+    */
+  private def acquireFence(
+      store: TableStore, name: String,
+      spark: org.apache.spark.sql.SparkSession, op: String): Unit = {
+    val ft = fenceTable(name)
+    if (store.exists(ft)) {
+      val held = store.read(ft).collect()
+      if (held.nonEmpty)
+        throw new IllegalStateException(
+          s"rollup '$name' has an active writer (${held.head.getString(0)}) — " +
+            "single-writer contract violated; if that writer crashed, " +
+            "clearWriterFence() is the explicit recovery step")
+    }
+    import spark.implicits._
+    store.overwrite(
+      Seq(s"$op:${java.util.UUID.randomUUID()}").toDF("token"), ft)
+  }
+
+  private def releaseFence(
+      store: TableStore, name: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    store.overwrite(Seq.empty[String].toDF("token"), fenceTable(name))
+  }
+
+  /** Operator recovery after a writer crashed holding the fence. */
+  def clearWriterFence(store: TableStore, name: String): Unit = {
+    val ft = fenceTable(name)
+    if (store.exists(ft)) {
+      val df = store.read(ft)
+      releaseFence(store, name, df.sparkSession)
+    }
+  }
 
   /** Resolved handle: shard count, sketch k, and the PHYSICAL state
     * table the logical name currently points at. All three live in
@@ -155,6 +208,8 @@ object RollupStore {
       kmvK: Int = 256): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    acquireFence(store, name, spark, "init")
+    try {
     val bp = partial(batch, keys, measures, nShards, distinctMeasures, kmvK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -172,6 +227,7 @@ object RollupStore {
         bp.withColumn("last_batch", lit(bk)), phys, "cell")
       writeMeta(store, name, spark, nShards, kmvK, phys)
     } finally bp.unpersist()
+    } finally releaseFence(store, name, spark)
   }
 
   /** Fold a batch into the rollup. Returns the number of key rows
@@ -188,6 +244,8 @@ object RollupStore {
       distinctMeasures: Seq[String] = Nil): Long = {
     val rs = resolve(store, name)
     require(store.exists(rs.physical), s"rollup '$name' not initialized")
+    acquireFence(store, name, batch.sparkSession, "ingest")
+    try {
     val state = store.read(rs.physical)
     val bp = partial(batch, keys, measures, rs.nShards, distinctMeasures, rs.kmvK)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -207,6 +265,7 @@ object RollupStore {
       store.rewritePartitioned(merged, rs.physical, "cell", touched)
       bp.count()
     } finally bp.unpersist()
+    } finally releaseFence(store, name, batch.sparkSession)
   }
 
   /** Re-shard the state onto `newNShards` cells — the capacity
@@ -234,13 +293,16 @@ object RollupStore {
     require(newNShards > 0)
     val rs = resolve(store, name)
     val spark = store.read(rs.physical).sparkSession
-    val gen = "__g(\\d+)$".r.findFirstMatchIn(rs.physical)
-      .map(_.group(1).toInt).getOrElse(0)
-    val next = s"${name}__g${gen + 1}"
-    val recelled = store.read(rs.physical)
-      .drop("cell").withColumn("cell", cellOf(keys, newNShards))
-    store.overwritePartitioned(recelled, next, "cell")
-    writeMeta(store, name, spark, newNShards, rs.kmvK, next)
+    acquireFence(store, name, spark, "reshard")
+    try {
+      val gen = "__g(\\d+)$".r.findFirstMatchIn(rs.physical)
+        .map(_.group(1).toInt).getOrElse(0)
+      val next = s"${name}__g${gen + 1}"
+      val recelled = store.read(rs.physical)
+        .drop("cell").withColumn("cell", cellOf(keys, newNShards))
+      store.overwritePartitioned(recelled, next, "cell")
+      writeMeta(store, name, spark, newNShards, rs.kmvK, next)
+    } finally releaseFence(store, name, spark)
   }
 
   /** The physical state table the logical rollup currently reads —

@@ -172,4 +172,25 @@ class DedupStateSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == expected)
   }
+
+  test("all-novel batch through the band bloom plans NO scan of the near state") {
+    import spark.implicits._
+    val all = docsAt(sf("documents"))
+    val store = newStore()
+    val corpus = Dedup.exactDedup(all.filter(col("doc_id") < 40))
+    DedupState.init(store, "nv", corpus)
+    DedupState.enableFpBloom(store, "nv", expectedIdsPerCell = 1024, fpp = 0.01)
+    // synthetic content disjoint from every corpus shingle: its bands
+    // are bloom-negative, so the near probe must touch no band shard
+    val novel = (0 until 8).map(i =>
+      (100000L + i, s"zq$i xv$i wk$i yj$i qqq$i zzz$i rrr$i ttt$i uuu$i"))
+      .toDF("doc_id", "text")
+    val probe = DedupState.dedupBatch(store, "nv", novel)
+    // any mention of the bands table in the plan must be its bloom
+    // sidecar (…__bands__bandbloom), never the state table itself
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert("__bands(?!__bandbloom)".r.findFirstIn(planStr).isEmpty, planStr)
+    // and the batch itself survives in full (genuinely novel)
+    assert(probe.count() == 8)
+  }
 }

@@ -124,6 +124,65 @@ class RollupStoreSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 16))
   }
 
+  /** Pass-through store for the writer-fence specs: hooks one op. */
+  private class Hooked(inner: ParquetStore)(
+      onRewrite: () => Unit) extends graft.sources.TableStore {
+    import org.apache.spark.sql.DataFrame
+    def exists(n: String): Boolean = inner.exists(n)
+    def read(n: String): DataFrame = inner.read(n)
+    def overwrite(df: DataFrame, n: String): Unit = inner.overwrite(df, n)
+    def overwritePartitioned(df: DataFrame, n: String, p: String): Unit =
+      inner.overwritePartitioned(df, n, p)
+    def appendKeyed(df: DataFrame, n: String, k: String): Unit =
+      inner.appendKeyed(df, n, k)
+    def appendPartitioned(df: DataFrame, n: String, p: String): Unit =
+      inner.appendPartitioned(df, n, p)
+    def rewritePartitioned(df: DataFrame, n: String, p: String, sv: Seq[String]): Unit = {
+      onRewrite(); inner.rewritePartitioned(df, n, p, sv)
+    }
+  }
+
+  test("writer fence: an overlapping second writer fails loudly, a failed one releases, a dead one needs explicit recovery") {
+    import spark.implicits._
+    val store = tmpStore()
+    RollupStore.init(store, "wf", li.filter(col("l_partkey") <= 5), keys, ms, nShards = 8)
+
+    // (1) true overlap: a competing ingest fired from INSIDE the first
+    // one's shard rewrite is rejected while the first completes — the
+    // interleaving that could clobber a mid-flight last_batch stamp
+    var overlapErr: Option[Throwable] = None
+    val overlapping = new Hooked(store)(() =>
+      if (overlapErr.isEmpty)
+        overlapErr = Some(intercept[IllegalStateException] {
+          RollupStore.ingest(store, "wf", li.filter(col("l_partkey") === 9), keys, ms)
+        }))
+    assert(RollupStore.ingest(overlapping, "wf",
+      li.filter(col("l_partkey") === 7), keys, ms) > 0)
+    assert(overlapErr.exists(_.getMessage.contains("active writer")), overlapErr.toString)
+
+    // (2) a writer that FAILS (exception, process alive) releases the
+    // fence on the way out — the retry needs no manual recovery
+    intercept[RuntimeException] {
+      RollupStore.ingest(
+        new Hooked(store)(() => throw new RuntimeException("simulated rewrite crash")),
+        "wf", li.filter(col("l_partkey") === 11), keys, ms)
+    }
+    assert(RollupStore.ingest(store, "wf",
+      li.filter(col("l_partkey") === 11), keys, ms) > 0)
+
+    // (3) a writer that DIED holding the fence (simulated by the
+    // on-disk state a kill leaves): loud rejection naming the recovery
+    // step, then clearWriterFence restores service
+    store.overwrite(Seq("ingest:dead-writer").toDF("token"), "wf__writer_fence")
+    val e = intercept[IllegalStateException] {
+      RollupStore.ingest(store, "wf", li.filter(col("l_partkey") === 13), keys, ms)
+    }
+    assert(e.getMessage.contains("clearWriterFence"))
+    RollupStore.clearWriterFence(store, "wf")
+    assert(RollupStore.ingest(store, "wf",
+      li.filter(col("l_partkey") === 13), keys, ms) > 0)
+  }
+
   test("shardReport flags oversized shards and recommends a power-of-two count") {
     val store = tmpStore()
     RollupStore.init(store, "r", li, keys, ms, nShards = 2)
