@@ -252,16 +252,32 @@ object IndexStore {
 
   /** Build (or backfill, for a store created before registries) the
     * id registry of `table` from its own rows — one column-pruned scan.
+    * `nShards = 0` (the default) sizes the shard count to the corpus:
+    * one shard per ~64k ids, power of two, capped at 4096 — a small
+    * index gets one file instead of 64 near-empty partitions (the
+    * fixed per-partition task/file overhead dominated the save cost at
+    * toy scale), a 10⁹-id corpus still prunes probes to fine shards.
+    * The count is frozen into the registry meta, so later probes and
+    * commits always hash with the shard map the rows were laid out
+    * under.
     */
   def buildIdRegistry(
-      store: TableStore, table: String, nShards: Int = DefaultRegistryShards): Unit = {
-    val ids = store.read(table).select(col("id")).withColumn("cell", idShard(nShards))
+      store: TableStore, table: String, nShards: Int = 0): Unit = {
+    val idsOnly = store.read(table).select(col("id"))
+    val n =
+      if (nShards > 0) nShards
+      else {
+        val rows = idsOnly.count()
+        math.min(4096L, java.lang.Long.highestOneBit(
+          math.max(1L, (rows + (1L << 16) - 1) / (1L << 16)) * 2 - 1)).toInt
+      }
+    val ids = idsOnly.withColumn("cell", idShard(n))
     val spark = ids.sparkSession
     import spark.implicits._
     // rows first, meta last: meta present ⇒ rows complete (a crash in
     // between re-backfills on the next ingest — idempotent overwrite)
     store.overwritePartitioned(ids, registryTable(table), "cell")
-    store.overwrite(Seq(nShards).toDF("n_shards"), registryMetaTable(table))
+    store.overwrite(Seq(n).toDF("n_shards"), registryMetaTable(table))
   }
 
   private def registryShards(store: TableStore, table: String): Int = {
@@ -666,8 +682,12 @@ object IndexStore {
     // otherwise re-read the registry while appending to it
     val novel = registryNovel(store, table,
       batch.select(col(idCol).as("id"), col(vecCol).as("vec"))).localCheckpoint()
-    appendNewById(store, table, Ivf.assign(cens, novel, "id", "vec"))
-    registryCommit(store, table, novel.select("id"))
+    // pure replay (registry saw every id): nothing to assign, append,
+    // or commit — the probe was the whole cost
+    if (!novel.isEmpty) {
+      appendNewById(store, table, Ivf.assign(cens, novel, "id", "vec"))
+      registryCommit(store, table, novel.select("id"))
+    }
     loadIvf(store, name)
   }
 
@@ -731,8 +751,10 @@ object IndexStore {
     // registry gate first (quantizer-independent — see appendIvfBatch)
     val novel = registryNovel(store, table,
       batch.select(col(idCol).as("id"), col(vecCol).as("vec"))).localCheckpoint()
-    appendNewById(store, table, IvfPq.encode(cens, cb, novel, "id", "vec"))
-    registryCommit(store, table, novel.select("id"))
+    if (!novel.isEmpty) { // pure replay: the probe was the whole cost
+      appendNewById(store, table, IvfPq.encode(cens, cb, novel, "id", "vec"))
+      registryCommit(store, table, novel.select("id"))
+    }
     loadIvfPq(store, name)
   }
 
