@@ -1135,6 +1135,36 @@ object Queries {
         col("ndv_l_suppkey").as("ndv_supp"))
   }
 
+  /** Heavy-hitter rollup state ([[graft.functions.HeavyHitterFunctions]]
+    * through [[graft.ops.RollupStore]]): the q_agg_incremental
+    * lifecycle with a Misra-Gries top-k column — init from the even
+    * half, fold the odd half, replay detected, finalize the ranked
+    * (count desc, key asc) supplier top-5 per return flag. At this
+    * scale every (flag → supplier) group holds far fewer than the
+    * sketch's k=256 distinct values, so NO decrement ever fires and
+    * the counters are EXACT — the whole mergeable-summaries fold
+    * (partial sketch per batch, union into stored state across two
+    * ingests) must reproduce DuckDB's one-shot GROUP BY + rank.
+    */
+  def qAggTopk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/rollup_topk")
+    val keys = Seq("l_returnflag")
+    val ms = Seq("l_quantity")
+    val tms = Seq("l_suppkey")
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    graft.ops.RollupStore.init(store, "topk", b1, keys, ms, nShards = 4,
+      topkMeasures = tms)
+    graft.ops.RollupStore.ingest(store, "topk", b2, keys, ms, topkMeasures = tms)
+    graft.ops.RollupStore.ingest(store, "topk", b2, keys, ms, topkMeasures = tms) // replay
+    graft.ops.RollupStore.finalize(store, "topk", ms, topkMeasures = tms, topJ = 5)
+      .select(col("l_returnflag"), col("n"),
+        col("sum_l_quantity").as("sum_qty"),
+        col("topk_keys_l_suppkey").as("top_supp"),
+        col("topk_counts_l_suppkey").as("top_supp_n"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_dedup_semantic" -> (Queries.qDedupSemantic _),
     "q_agg_incremental" -> (Queries.qAggIncremental _),
+    "q_agg_topk" -> (Queries.qAggTopk _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
@@ -1360,6 +1361,27 @@ object Oracles {
            count(DISTINCT l_suppkey) AS ndv_supp,
            count(DISTINCT l_orderkey) AS ndv_ord
          FROM lineitem GROUP BY 1""",
+
+    // heavy-hitter rollup state: the Misra-Gries fold across two
+    // ingests is EXACT here (distinct suppliers per flag << k=256, no
+    // decrement fires), so one-shot GROUP BY + rank oracles it; rank
+    // ties break (count desc, key asc) on the STRING key both sides
+    "q_agg_topk" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_suppkey AS VARCHAR) AS sk,
+                      count(*) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, sk, cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, sk ASC) AS rn
+               FROM c),
+         t AS (SELECT l_returnflag,
+                 list(sk ORDER BY rn) AS top_supp,
+                 list(cnt ORDER BY rn) AS top_supp_n
+               FROM r WHERE rn <= 5 GROUP BY l_returnflag),
+         b AS (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1)
+         SELECT b.l_returnflag, b.n, b.sum_qty, t.top_supp, t.top_supp_n
+         FROM b JOIN t USING (l_returnflag)""",
 
     // reshard mid-lifecycle (init@4 → reshard→16 → fold odd half)
     // must still equal the one-shot GROUP BY

@@ -56,6 +56,7 @@ object RollupStore {
   private def minCol(m: String) = s"min_$m"
   private def maxCol(m: String) = s"max_$m"
   private def ndvCol(m: String) = s"ndv_sketch_$m"
+  private def hhCol(m: String) = s"hh_sketch_$m"
 
   private def cellOf(keys: Seq[String], nShards: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(nShards.toLong)).cast("int")
@@ -64,7 +65,11 @@ object RollupStore {
     * (cell, keys..., n, sum_m/min_m/max_m per measure,
     * ndv_sketch_d per distinct measure — a serialized KMV sketch,
     * the mergeable form of COUNT(DISTINCT d): exact below `kmvK`
-    * distinct values per key, (k−1)/fraction beyond).
+    * distinct values per key, (k−1)/fraction beyond — and
+    * hh_sketch_t per top-k measure — a serialized Misra-Gries
+    * counter set, the mergeable form of "most frequent values of t":
+    * counts exact below `topkK` distinct values per key,
+    * under-counted by at most N/(topkK+1) beyond).
     */
   def partial(
       batch: DataFrame,
@@ -72,12 +77,16 @@ object RollupStore {
       measures: Seq[String],
       nShards: Int,
       distinctMeasures: Seq[String] = Nil,
-      kmvK: Int = 256): DataFrame = {
+      kmvK: Int = 256,
+      topkMeasures: Seq[String] = Nil,
+      topkK: Int = 256): DataFrame = {
     require(keys.nonEmpty && measures.nonEmpty && nShards > 0)
-    val aggs = (count(lit(1)).as("n") +: measures.flatMap(m => Seq(
+    val aggs = ((count(lit(1)).as("n") +: measures.flatMap(m => Seq(
       sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m))))) ++
       distinctMeasures.map(m =>
-        graft.functions.SketchFunctions.kmvSketch(col(m), kmvK).as(ndvCol(m)))
+        graft.functions.SketchFunctions.kmvSketch(col(m), kmvK).as(ndvCol(m)))) ++
+      topkMeasures.map(m =>
+        graft.functions.HeavyHitterFunctions.mgSketch(col(m), topkK).as(hhCol(m)))
     batch.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("cell", cellOf(keys, nShards))
@@ -91,13 +100,16 @@ object RollupStore {
     */
   private def mergePartials(
       parts: DataFrame, keys: Seq[String], measures: Seq[String],
-      distinctMeasures: Seq[String], kmvK: Int): DataFrame = {
-    val aggs = (sum(col("n")).as("n") +: measures.flatMap(m => Seq(
+      distinctMeasures: Seq[String], kmvK: Int,
+      topkMeasures: Seq[String] = Nil, topkK: Int = 256): DataFrame = {
+    val aggs = ((sum(col("n")).as("n") +: measures.flatMap(m => Seq(
       sum(col(sumCol(m))).as(sumCol(m)),
       min(col(minCol(m))).as(minCol(m)),
       max(col(maxCol(m))).as(maxCol(m))))) ++
       distinctMeasures.map(m =>
-        graft.functions.SketchFunctions.kmvUnion(col(ndvCol(m)), kmvK).as(ndvCol(m)))
+        graft.functions.SketchFunctions.kmvUnion(col(ndvCol(m)), kmvK).as(ndvCol(m)))) ++
+      topkMeasures.map(m =>
+        graft.functions.HeavyHitterFunctions.mgUnion(col(hhCol(m)), topkK).as(hhCol(m)))
     parts.groupBy(("cell" +: keys).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -160,28 +172,40 @@ object RollupStore {
     * overwrite — there is no window where a reader can pair the new
     * count with the old rows (which would split keys across cells).
     */
-  private case class Resolved(nShards: Int, kmvK: Int, physical: String)
+  private case class Resolved(nShards: Int, kmvK: Int, topkK: Int, physical: String)
 
   private def resolve(store: TableStore, name: String): Resolved = {
     require(store.exists(metaTable(name)), s"rollup '$name' not initialized")
-    val r = store.read(metaTable(name)).head()
+    val df = store.read(metaTable(name))
+    val r = df.head()
     Resolved(r.getAs[Int]("n_shards"), r.getAs[Int]("kmv_k"),
+      if (df.columns.contains("topk_k")) r.getAs[Int]("topk_k") else 256,
       r.getAs[String]("physical"))
   }
 
   private def writeMeta(
       store: TableStore, name: String, spark: org.apache.spark.sql.SparkSession,
-      nShards: Int, kmvK: Int, physical: String): Unit = {
+      nShards: Int, kmvK: Int, topkK: Int, physical: String): Unit = {
     import spark.implicits._
     store.overwrite(
-      Seq((nShards, kmvK, physical)).toDF("n_shards", "kmv_k", "physical"),
+      Seq((nShards, kmvK, topkK, physical))
+        .toDF("n_shards", "kmv_k", "topk_k", "physical"),
       metaTable(name))
   }
 
-  /** Order-independent content key of a batch's partial rows. The
+  /** Order-independent content key of a batch's partial rows. The KMV
     * sketch columns participate — their serialization is
-    * sorted-order-deterministic ([[graft.functions.KmvCodec]])
-    * precisely so this hash is stable across partition orders.
+    * sorted-order-deterministic ([[graft.functions.KmvCodec]]) AND
+    * their VALUE is merge-order-independent (bottom-k of a union is
+    * the union of bottom-ks), so the hash is stable across partition
+    * orders. The heavy-hitter columns deliberately do NOT: a SATURATED
+    * Misra-Gries counter set depends on the order partials merged, so
+    * including it would make the same logical batch hash differently
+    * run to run and break replay detection. The cost is narrow: two
+    * DIFFERENT batches identical in every key and measure but the
+    * top-k column alone would collide — the documented escape hatch
+    * (explicit `batchId`) covers that case, as it already does for
+    * identical batch content.
     */
   private def contentKey(
       bp: DataFrame, keys: Seq[String], measures: Seq[String],
@@ -205,12 +229,15 @@ object RollupStore {
       nShards: Int = 64,
       batchId: Option[String] = None,
       distinctMeasures: Seq[String] = Nil,
-      kmvK: Int = 256): Unit = {
+      kmvK: Int = 256,
+      topkMeasures: Seq[String] = Nil,
+      topkK: Int = 256): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     acquireFence(store, name, spark, "init")
     try {
-    val bp = partial(batch, keys, measures, nShards, distinctMeasures, kmvK)
+    val bp = partial(batch, keys, measures, nShards, distinctMeasures, kmvK,
+      topkMeasures, topkK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val bk = batchId.getOrElse(contentKey(bp, keys, measures, distinctMeasures))
@@ -225,7 +252,7 @@ object RollupStore {
       val phys = s"${name}__g0"
       store.overwritePartitioned(
         bp.withColumn("last_batch", lit(bk)), phys, "cell")
-      writeMeta(store, name, spark, nShards, kmvK, phys)
+      writeMeta(store, name, spark, nShards, kmvK, topkK, phys)
     } finally bp.unpersist()
     } finally releaseFence(store, name, spark)
   }
@@ -241,13 +268,15 @@ object RollupStore {
       keys: Seq[String],
       measures: Seq[String],
       batchId: Option[String] = None,
-      distinctMeasures: Seq[String] = Nil): Long = {
+      distinctMeasures: Seq[String] = Nil,
+      topkMeasures: Seq[String] = Nil): Long = {
     val rs = resolve(store, name)
     require(store.exists(rs.physical), s"rollup '$name' not initialized")
     acquireFence(store, name, batch.sparkSession, "ingest")
     try {
     val state = store.read(rs.physical)
-    val bp = partial(batch, keys, measures, rs.nShards, distinctMeasures, rs.kmvK)
+    val bp = partial(batch, keys, measures, rs.nShards, distinctMeasures, rs.kmvK,
+      topkMeasures, rs.topkK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = bp.select(col("cell").cast("string")).distinct()
@@ -260,7 +289,7 @@ object RollupStore {
       if (stored.filter(col("last_batch") === bk).limit(1).count() > 0) return -1L
       val merged = mergePartials(
         stored.drop("last_batch").unionByName(bp), keys, measures,
-        distinctMeasures, rs.kmvK)
+        distinctMeasures, rs.kmvK, topkMeasures, rs.topkK)
         .withColumn("last_batch", lit(bk))
       store.rewritePartitioned(merged, rs.physical, "cell", touched)
       bp.count()
@@ -301,7 +330,7 @@ object RollupStore {
       val recelled = store.read(rs.physical)
         .drop("cell").withColumn("cell", cellOf(keys, newNShards))
       store.overwritePartitioned(recelled, next, "cell")
-      writeMeta(store, name, spark, newNShards, rs.kmvK, next)
+      writeMeta(store, name, spark, newNShards, rs.kmvK, rs.topkK, next)
     } finally releaseFence(store, name, spark)
   }
 
@@ -353,14 +382,22 @@ object RollupStore {
       store: TableStore,
       name: String,
       measures: Seq[String],
-      distinctMeasures: Seq[String] = Nil): DataFrame = {
+      distinctMeasures: Seq[String] = Nil,
+      topkMeasures: Seq[String] = Nil,
+      topJ: Int = 10): DataFrame = {
     val rs = resolve(store, name)
     val st = store.read(rs.physical).drop("cell", "last_batch")
     val withAvg = measures.foldLeft(st)((df, m) =>
       df.withColumn(s"avg_$m", col(sumCol(m)) / col("n")))
-    distinctMeasures.foldLeft(withAvg)((df, m) =>
+    val withNdv = distinctMeasures.foldLeft(withAvg)((df, m) =>
       df.withColumn(s"ndv_$m",
         graft.functions.SketchFunctions.kmvEstimate(col(ndvCol(m)), rs.kmvK))
         .drop(ndvCol(m)))
+    topkMeasures.foldLeft(withNdv)((df, m) =>
+      df.withColumn(s"topk_keys_$m",
+          graft.functions.HeavyHitterFunctions.mgTopKeys(col(hhCol(m)), rs.topkK, topJ))
+        .withColumn(s"topk_counts_$m",
+          graft.functions.HeavyHitterFunctions.mgTopCounts(col(hhCol(m)), rs.topkK, topJ))
+        .drop(hhCol(m)))
   }
 }

@@ -124,6 +124,33 @@ class RollupStoreSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 16))
   }
 
+  test("heavy-hitter state folds across ingests; exact-regime top-k equals one-shot rank") {
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    val store = tmpStore()
+    val tms = Seq("l_suppkey")
+    RollupStore.init(store, "hh", b1, Seq("l_returnflag"), ms, nShards = 4,
+      topkMeasures = tms)
+    assert(RollupStore.ingest(store, "hh", b2, Seq("l_returnflag"), ms,
+      topkMeasures = tms) > 0)
+    assert(RollupStore.ingest(store, "hh", b2, Seq("l_returnflag"), ms,
+      topkMeasures = tms) == -1L) // replay detected (hh columns are
+    // outside the content key, but keys/measures still pin the batch)
+    val got = RollupStore.finalize(store, "hh", ms, topkMeasures = tms, topJ = 3)
+      .select(col("l_returnflag"), col("topk_keys_l_suppkey"), col("topk_counts_l_suppkey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+    val truth = li.groupBy(col("l_returnflag"), col("l_suppkey").cast("string").as("sk"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (flag, rows) =>
+        val ranked = rows.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (sk, c) => (-c, sk) }.take(3)
+        flag -> (ranked.map(_._1).toSeq, ranked.map(_._2).toSeq)
+      }
+    assert(got == truth)
+  }
+
   /** Pass-through store for the writer-fence specs: hooks one op. */
   private class Hooked(inner: ParquetStore)(
       onRewrite: () => Unit) extends graft.sources.TableStore {

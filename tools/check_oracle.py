@@ -41,6 +41,18 @@ for name in sorted(os.listdir(out_dir)):
         fail += 1
         continue
     dt_a, dt_b = list(map(str, a.dtypes)), list(map(str, b.dtypes))
+    # list/array cells (numpy arrays from parquet, lists from duckdb)
+    # are unhashable/unsortable — normalize to tuples on BOTH sides so
+    # multi-key sorts and exact compare treat them as plain values
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+                df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__iter__")
+                                  and not isinstance(v, (str, bytes)) else v)
+        return df
+    a, b = norm(a), norm(b)
     a2 = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b2 = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     try:
