@@ -1165,6 +1165,45 @@ object Queries {
         col("topk_counts_l_suppkey").as("top_supp_n"))
   }
 
+  /** Type-2 SCD history ([[graft.ops.Scd2]]) as a behavioral gate:
+    * three deterministic snapshot versions of the customer dimension —
+    * a segment rewrite at v2 (plus ten brand-new keys), a balance
+    * bump at v3 — merged incrementally, then the FULL history view
+    * (every version with its validity interval). Hash-green means the
+    * whole mechanism — null-safe change classification, append-only
+    * closed rows keyed (key, valid_to), touched-shard current rewrite,
+    * interval bookkeeping — reproduces the history DuckDB derives
+    * directly from the three version definitions.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3) // replay: no-op
+    graft.ops.Scd2.history(store, "dim")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

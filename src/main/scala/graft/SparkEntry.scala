@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (Queries.qDedupSemantic _),
     "q_agg_incremental" -> (Queries.qAggIncremental _),
     "q_agg_topk" -> (Queries.qAggTopk _),
+    "q_scd2" -> (Queries.qScd2 _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
@@ -1382,6 +1383,47 @@ object Oracles {
                FROM lineitem GROUP BY 1)
          SELECT b.l_returnflag, b.n, b.sum_qty, t.top_supp, t.top_supp_n
          FROM b JOIN t USING (l_returnflag)""",
+
+    // SCD2 history: the three version definitions are pure column
+    // expressions over customer, so DuckDB derives every row's
+    // validity interval directly — closed v1 states for keys whose
+    // segment changed at v2, closed v2 states for keys whose balance
+    // changed at v3, currents stamped with their last change
+    "q_scd2" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v1 AS (SELECT * FROM base),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2),
+         hist AS (
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k % 4 = 0 THEN 3
+                       WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM v3
+           UNION ALL
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT),
+             CAST(3 AS BIGINT), FALSE
+           FROM v2 WHERE k % 4 = 0
+           UNION ALL
+           SELECT k, seg, bal, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+           FROM v1 WHERE k % 3 = 0)
+         SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+           valid_from, valid_to, is_current
+         FROM hist""",
 
     // reshard mid-lifecycle (init@4 → reshard→16 → fold odd half)
     // must still equal the one-shot GROUP BY

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableStore
+import graft.similarity.IndexStore
+
+/** Type-2 slowly-changing-dimension history — the warehouse answer to
+  * "keep every version of a dimension row, with validity intervals",
+  * maintained incrementally from snapshot batches. The reference's
+  * ETL upserts dimensions in place (type 1 — `dags/emission-dag.py`'s
+  * new-rows-only appends); SCD2 is the standard extension a warehouse
+  * grows into when history starts to matter (who WAS this customer
+  * when the order shipped?).
+  *
+  * Storage splits along the mutation boundary, because parquet does
+  * not update in place:
+  *  - `<name>__current` — exactly one row per key (cell = key-hash
+  *    shard, keys…, attrs…, valid_from). The ONLY table a merge
+  *    rewrites, and only its touched shards.
+  *  - `<name>__closed` — superseded versions, APPEND-ONLY (cell, id =
+  *    key|valid_to, keys…, attrs…, valid_from, valid_to). History
+  *    never rewrites: at 100 TB the accumulated past is the big side,
+  *    and it only ever receives the delta.
+  *
+  * Versions are caller-supplied monotone longs (batch epochs), not
+  * wall clock — deterministic, replayable, oracle-checkable.
+  *
+  * Merge semantics per snapshot row: new key → insert current;
+  * changed attrs (null-safe comparison) → close the old version into
+  * `__closed` (valid_to = version) and replace current (valid_from =
+  * version); unchanged → untouched. Keys absent from the snapshot
+  * stay current (dimension feeds are upserts; a delete feed would be
+  * a separate close operation).
+  *
+  * Crash/replay contract: the closed-row append goes FIRST and is
+  * idempotent per (key, valid_to) through the shard-pruned ingest
+  * kernel ([[IndexStore.appendNewById]] — same discipline as every
+  * state table here), then the current-shard rewrite publishes
+  * atomically per shard. A crash in between replays cleanly: the
+  * closed rows are recognized (no-op), the rewrite re-derives the
+  * same content from the unchanged current + snapshot. A full replay
+  * after publish detects zero changes and touches nothing.
+  */
+object Scd2 {
+
+  private def currentTable(name: String) = s"${name}__current"
+  private def closedTable(name: String) = s"${name}__closed"
+  private def metaTable(name: String) = s"${name}__scd_meta"
+
+  private def cellOf(keyCols: Seq[String], nShards: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nShards.toLong)).cast("int")
+
+  case class MergeStats(inserted: Long, changed: Long, unchanged: Long)
+
+  private def readShards(store: TableStore, name: String): Int = {
+    val mt = metaTable(name)
+    require(store.exists(mt), s"scd2 '$name' not initialized")
+    store.read(mt).head().getInt(0)
+  }
+
+  def exists(store: TableStore, name: String): Boolean =
+    store.exists(metaTable(name))
+
+  /** Fold one snapshot batch into the history at `version`. Returns
+    * how the snapshot classified. Only the snapshot's own key shards
+    * are read from `__current` (partition-pruned) and only shards
+    * holding a new or changed key rewrite.
+    */
+  def merge(
+      store: TableStore,
+      name: String,
+      snapshot: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      version: Long,
+      nShards: Int = 64): MergeStats = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val cur = currentTable(name)
+    val cols = keyCols ++ attrCols
+
+    if (!store.exists(metaTable(name))) {
+      // first snapshot: everything becomes current in one shot
+      val init = snapshot.select(cols.map(col): _*)
+        .withColumn("cell", cellOf(keyCols, nShards))
+        .withColumn("valid_from", lit(version))
+      store.overwritePartitioned(init, cur, "cell")
+      store.overwrite(Seq(nShards).toDF("n_shards"), metaTable(name))
+      return MergeStats(inserted = snapshot.count(), changed = 0, unchanged = 0)
+    }
+
+    val shards = readShards(store, name)
+    val snap = snapshot.select(cols.map(col): _*)
+      .withColumn("cell", cellOf(keyCols, shards))
+      .localCheckpoint() // pinned: classification + rewrite both read it
+    val touched = snap.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stored = store.read(cur)
+      .filter(col("cell").cast("string").isin(touched: _*))
+
+    // classify: join current on keys; null-safe attr comparison
+    val changedPred = attrCols
+      .map(a => !(col(s"__new_$a") <=> col(a)))
+      .reduce(_ || _)
+    val snapRenamed = attrCols.foldLeft(snap)((df, a) =>
+      df.withColumnRenamed(a, s"__new_$a"))
+    val joined = snapRenamed
+      .join(stored.withColumnRenamed("cell", "__cur_cell"), keyCols, "left")
+      .withColumn("__class",
+        when(col("valid_from").isNull, lit("new"))
+          .when(changedPred, lit("changed"))
+          .otherwise(lit("same")))
+      .localCheckpoint() // pinned: stats + closed rows + rewrite fan out,
+    // and the rewrite mutates the table this lineage reads
+
+    val statsRow = joined.groupBy().pivot("__class", Seq("new", "changed", "same"))
+      .agg(count(lit(1))).head()
+    def cnt(i: Int) = if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
+    val stats = MergeStats(cnt(0), cnt(1), cnt(2))
+
+    if (stats.inserted + stats.changed > 0) {
+      // closed rows FIRST, idempotent per (key, valid_to): a replay
+      // after a crash between the two writes re-recognizes them
+      val keyExpr = concat_ws("|", (keyCols.map(col) :+ lit(version)): _*)
+      val closedRows = joined.filter(col("__class") === "changed")
+        .select((keyCols.map(col) ++ attrCols.map(col) :+
+          col("valid_from") :+ col("__cur_cell").as("cell")): _*)
+        .withColumn("valid_to", lit(version))
+        .withColumn("id", keyExpr)
+      val ct = closedTable(name)
+      if (!store.exists(ct)) store.overwritePartitioned(closedRows, ct, "cell")
+      else IndexStore.appendNewById(store, ct, closedRows)
+
+      // rewrite the touched current shards: survivors that did not
+      // change + the fresh version of new/changed keys
+      val replacedKeys = joined.filter(col("__class") =!= "same")
+        .select(keyCols.map(col): _*)
+      val survivors = stored.join(replacedKeys, keyCols, "left_anti")
+      val fresh = joined.filter(col("__class") =!= "same")
+        .select((keyCols.map(col) ++
+          attrCols.map(a => col(s"__new_$a").as(a)) :+ col("cell")): _*)
+        .withColumn("valid_from", lit(version))
+      store.rewritePartitioned(
+        survivors.unionByName(fresh), cur, "cell", touched)
+    }
+    stats
+  }
+
+  /** The live dimension: one row per key, as of the latest merge. */
+  def current(store: TableStore, name: String): DataFrame =
+    store.read(currentTable(name)).drop("cell")
+
+  /** Full type-2 view: every version with its validity interval —
+    * current rows carry valid_to NULL and is_current true.
+    */
+  def history(store: TableStore, name: String): DataFrame = {
+    val cur = store.read(currentTable(name)).drop("cell")
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    if (!store.exists(closedTable(name))) cur
+    else cur.unionByName(
+      store.read(closedTable(name)).drop("cell", "id")
+        .withColumn("is_current", lit(false)))
+  }
+
+  /** Time travel: the dimension exactly as it stood at `version`
+    * (rows whose interval covers it — closed rows with
+    * valid_from ≤ v < valid_to plus current rows with valid_from ≤ v).
+    */
+  def asOf(store: TableStore, name: String, version: Long): DataFrame =
+    history(store, name)
+      .filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .drop("valid_to", "is_current")
+}
