@@ -1165,6 +1165,33 @@ object Queries {
         col("topk_counts_l_suppkey").as("top_supp_n"))
   }
 
+  /** Quantile rollup state ([[graft.functions.QuantileFunctions]]
+    * through [[graft.ops.RollupStore]]): the incremental lifecycle
+    * with a log-binned quantile sketch column. l_quantity holds 50
+    * distinct values — far under the 512-bin capacity — so the state
+    * stays an EXACT value histogram through both folds and the p50/p90
+    * reads are exact rank-⌈q·N⌉ values, which plain window SQL
+    * reproduces in DuckDB (no quantile-function semantics to match).
+    */
+  def qAggQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/rollup_q")
+    val keys = Seq("l_returnflag")
+    val ms = Seq("l_quantity")
+    val qms = Seq("l_quantity")
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    graft.ops.RollupStore.init(store, "q", b1, keys, ms, nShards = 4,
+      quantileMeasures = qms)
+    graft.ops.RollupStore.ingest(store, "q", b2, keys, ms, quantileMeasures = qms)
+    graft.ops.RollupStore.ingest(store, "q", b2, keys, ms, quantileMeasures = qms) // replay
+    graft.ops.RollupStore.finalize(store, "q", ms, quantileMeasures = qms,
+      quantiles = Seq(0.5, 0.9))
+      .select(col("l_returnflag"), col("n"),
+        col("sum_l_quantity").as("sum_qty"),
+        col("p50_l_quantity"), col("p90_l_quantity"))
+  }
+
   /** Type-2 SCD history ([[graft.ops.Scd2]]) as a behavioral gate:
     * three deterministic snapshot versions of the customer dimension —
     * a segment rewrite at v2 (plus ten brand-new keys), a balance

@@ -112,6 +112,7 @@ object SparkEntry {
     "q_agg_incremental" -> (Queries.qAggIncremental _),
     "q_agg_topk" -> (Queries.qAggTopk _),
     "q_scd2" -> (Queries.qScd2 _),
+    "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
     "q_pipeline_clean" -> (Queries.qPipelineClean _),
@@ -1383,6 +1384,27 @@ object Oracles {
                FROM lineitem GROUP BY 1)
          SELECT b.l_returnflag, b.n, b.sum_qty, t.top_supp, t.top_supp_n
          FROM b JOIN t USING (l_returnflag)""",
+
+    // quantile rollup state: exact regime (50 distinct quantities
+    // << 512 bins), so the sketch reads are exact rank-ceil(q*N)
+    // values — reproduced with window SQL, no quantile() semantics
+    "q_agg_quantile" ->
+      """WITH o AS (SELECT l_returnflag, l_quantity,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS nn
+                    FROM lineitem),
+         q AS (SELECT l_returnflag,
+                 max(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT)
+                     THEN l_quantity END) AS p50_l_quantity,
+                 max(CASE WHEN rn = CAST(ceil(0.9 * nn) AS BIGINT)
+                     THEN l_quantity END) AS p90_l_quantity
+               FROM o GROUP BY 1),
+         b AS (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1)
+         SELECT b.l_returnflag, b.n, b.sum_qty,
+           q.p50_l_quantity, q.p90_l_quantity
+         FROM b JOIN q USING (l_returnflag)""",
 
     // SCD2 history: the three version definitions are pure column
     // expressions over customer, so DuckDB derives every row's

@@ -57,6 +57,7 @@ object RollupStore {
   private def maxCol(m: String) = s"max_$m"
   private def ndvCol(m: String) = s"ndv_sketch_$m"
   private def hhCol(m: String) = s"hh_sketch_$m"
+  private def qsCol(m: String) = s"qs_sketch_$m"
 
   private def cellOf(keys: Seq[String], nShards: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(nShards.toLong)).cast("int")
@@ -79,14 +80,18 @@ object RollupStore {
       distinctMeasures: Seq[String] = Nil,
       kmvK: Int = 256,
       topkMeasures: Seq[String] = Nil,
-      topkK: Int = 256): DataFrame = {
+      topkK: Int = 256,
+      quantileMeasures: Seq[String] = Nil,
+      quantBins: Int = 512): DataFrame = {
     require(keys.nonEmpty && measures.nonEmpty && nShards > 0)
-    val aggs = ((count(lit(1)).as("n") +: measures.flatMap(m => Seq(
+    val aggs = (((count(lit(1)).as("n") +: measures.flatMap(m => Seq(
       sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m))))) ++
       distinctMeasures.map(m =>
         graft.functions.SketchFunctions.kmvSketch(col(m), kmvK).as(ndvCol(m)))) ++
       topkMeasures.map(m =>
-        graft.functions.HeavyHitterFunctions.mgSketch(col(m), topkK).as(hhCol(m)))
+        graft.functions.HeavyHitterFunctions.mgSketch(col(m), topkK).as(hhCol(m)))) ++
+      quantileMeasures.map(m =>
+        graft.functions.QuantileFunctions.qSketch(col(m), quantBins).as(qsCol(m)))
     batch.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("cell", cellOf(keys, nShards))
@@ -101,15 +106,18 @@ object RollupStore {
   private def mergePartials(
       parts: DataFrame, keys: Seq[String], measures: Seq[String],
       distinctMeasures: Seq[String], kmvK: Int,
-      topkMeasures: Seq[String] = Nil, topkK: Int = 256): DataFrame = {
-    val aggs = ((sum(col("n")).as("n") +: measures.flatMap(m => Seq(
+      topkMeasures: Seq[String] = Nil, topkK: Int = 256,
+      quantileMeasures: Seq[String] = Nil, quantBins: Int = 512): DataFrame = {
+    val aggs = (((sum(col("n")).as("n") +: measures.flatMap(m => Seq(
       sum(col(sumCol(m))).as(sumCol(m)),
       min(col(minCol(m))).as(minCol(m)),
       max(col(maxCol(m))).as(maxCol(m))))) ++
       distinctMeasures.map(m =>
         graft.functions.SketchFunctions.kmvUnion(col(ndvCol(m)), kmvK).as(ndvCol(m)))) ++
       topkMeasures.map(m =>
-        graft.functions.HeavyHitterFunctions.mgUnion(col(hhCol(m)), topkK).as(hhCol(m)))
+        graft.functions.HeavyHitterFunctions.mgUnion(col(hhCol(m)), topkK).as(hhCol(m)))) ++
+      quantileMeasures.map(m =>
+        graft.functions.QuantileFunctions.qUnion(col(qsCol(m)), quantBins).as(qsCol(m)))
     parts.groupBy(("cell" +: keys).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -172,7 +180,8 @@ object RollupStore {
     * overwrite — there is no window where a reader can pair the new
     * count with the old rows (which would split keys across cells).
     */
-  private case class Resolved(nShards: Int, kmvK: Int, topkK: Int, physical: String)
+  private case class Resolved(
+      nShards: Int, kmvK: Int, topkK: Int, quantBins: Int, physical: String)
 
   private def resolve(store: TableStore, name: String): Resolved = {
     require(store.exists(metaTable(name)), s"rollup '$name' not initialized")
@@ -180,16 +189,17 @@ object RollupStore {
     val r = df.head()
     Resolved(r.getAs[Int]("n_shards"), r.getAs[Int]("kmv_k"),
       if (df.columns.contains("topk_k")) r.getAs[Int]("topk_k") else 256,
+      if (df.columns.contains("quant_bins")) r.getAs[Int]("quant_bins") else 512,
       r.getAs[String]("physical"))
   }
 
   private def writeMeta(
       store: TableStore, name: String, spark: org.apache.spark.sql.SparkSession,
-      nShards: Int, kmvK: Int, topkK: Int, physical: String): Unit = {
+      nShards: Int, kmvK: Int, topkK: Int, quantBins: Int, physical: String): Unit = {
     import spark.implicits._
     store.overwrite(
-      Seq((nShards, kmvK, topkK, physical))
-        .toDF("n_shards", "kmv_k", "topk_k", "physical"),
+      Seq((nShards, kmvK, topkK, quantBins, physical))
+        .toDF("n_shards", "kmv_k", "topk_k", "quant_bins", "physical"),
       metaTable(name))
   }
 
@@ -209,10 +219,11 @@ object RollupStore {
     */
   private def contentKey(
       bp: DataFrame, keys: Seq[String], measures: Seq[String],
-      distinctMeasures: Seq[String]): String = {
+      distinctMeasures: Seq[String], quantileMeasures: Seq[String] = Nil): String = {
     val hashed = xxhash64(
       (keys ++ Seq("n") ++ measures.flatMap(m =>
-        Seq(sumCol(m), minCol(m), maxCol(m))) ++ distinctMeasures.map(ndvCol)).map(col): _*)
+        Seq(sumCol(m), minCol(m), maxCol(m))) ++ distinctMeasures.map(ndvCol) ++
+        quantileMeasures.map(qsCol)).map(col): _*)
     val r = bp.select(hashed.as("__h"))
       .agg(count(lit(1)).as("c"),
         coalesce(expr("bit_xor(__h)"), lit(0L)).as("h")).head()
@@ -231,16 +242,18 @@ object RollupStore {
       distinctMeasures: Seq[String] = Nil,
       kmvK: Int = 256,
       topkMeasures: Seq[String] = Nil,
-      topkK: Int = 256): Unit = {
+      topkK: Int = 256,
+      quantileMeasures: Seq[String] = Nil,
+      quantBins: Int = 512): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     acquireFence(store, name, spark, "init")
     try {
     val bp = partial(batch, keys, measures, nShards, distinctMeasures, kmvK,
-      topkMeasures, topkK)
+      topkMeasures, topkK, quantileMeasures, quantBins)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val bk = batchId.getOrElse(contentKey(bp, keys, measures, distinctMeasures))
+      val bk = batchId.getOrElse(contentKey(bp, keys, measures, distinctMeasures, quantileMeasures))
       // state lands under a GENERATION name first, then the meta row
       // publishes it — a crash in between leaves the rollup simply
       // uninitialized, never half-pointed. The key→shard map must
@@ -252,7 +265,7 @@ object RollupStore {
       val phys = s"${name}__g0"
       store.overwritePartitioned(
         bp.withColumn("last_batch", lit(bk)), phys, "cell")
-      writeMeta(store, name, spark, nShards, kmvK, topkK, phys)
+      writeMeta(store, name, spark, nShards, kmvK, topkK, quantBins, phys)
     } finally bp.unpersist()
     } finally releaseFence(store, name, spark)
   }
@@ -269,27 +282,29 @@ object RollupStore {
       measures: Seq[String],
       batchId: Option[String] = None,
       distinctMeasures: Seq[String] = Nil,
-      topkMeasures: Seq[String] = Nil): Long = {
+      topkMeasures: Seq[String] = Nil,
+      quantileMeasures: Seq[String] = Nil): Long = {
     val rs = resolve(store, name)
     require(store.exists(rs.physical), s"rollup '$name' not initialized")
     acquireFence(store, name, batch.sparkSession, "ingest")
     try {
     val state = store.read(rs.physical)
     val bp = partial(batch, keys, measures, rs.nShards, distinctMeasures, rs.kmvK,
-      topkMeasures, rs.topkK)
+      topkMeasures, rs.topkK, quantileMeasures, rs.quantBins)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = bp.select(col("cell").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) return 0L
-      val bk = batchId.getOrElse(contentKey(bp, keys, measures, distinctMeasures))
+      val bk = batchId.getOrElse(contentKey(bp, keys, measures, distinctMeasures, quantileMeasures))
       val stored = state.filter(col("cell").cast("string").isin(touched: _*))
       // replay probe: the rewrite is atomic across the touched shards,
       // so ANY row stamped with this key proves the whole merge landed
       if (stored.filter(col("last_batch") === bk).limit(1).count() > 0) return -1L
       val merged = mergePartials(
         stored.drop("last_batch").unionByName(bp), keys, measures,
-        distinctMeasures, rs.kmvK, topkMeasures, rs.topkK)
+        distinctMeasures, rs.kmvK, topkMeasures, rs.topkK,
+        quantileMeasures, rs.quantBins)
         .withColumn("last_batch", lit(bk))
       store.rewritePartitioned(merged, rs.physical, "cell", touched)
       bp.count()
@@ -330,7 +345,7 @@ object RollupStore {
       val recelled = store.read(rs.physical)
         .drop("cell").withColumn("cell", cellOf(keys, newNShards))
       store.overwritePartitioned(recelled, next, "cell")
-      writeMeta(store, name, spark, newNShards, rs.kmvK, rs.topkK, next)
+      writeMeta(store, name, spark, newNShards, rs.kmvK, rs.topkK, rs.quantBins, next)
     } finally releaseFence(store, name, spark)
   }
 
@@ -384,7 +399,9 @@ object RollupStore {
       measures: Seq[String],
       distinctMeasures: Seq[String] = Nil,
       topkMeasures: Seq[String] = Nil,
-      topJ: Int = 10): DataFrame = {
+      topJ: Int = 10,
+      quantileMeasures: Seq[String] = Nil,
+      quantiles: Seq[Double] = Seq(0.5)): DataFrame = {
     val rs = resolve(store, name)
     val st = store.read(rs.physical).drop("cell", "last_batch")
     val withAvg = measures.foldLeft(st)((df, m) =>
@@ -393,11 +410,16 @@ object RollupStore {
       df.withColumn(s"ndv_$m",
         graft.functions.SketchFunctions.kmvEstimate(col(ndvCol(m)), rs.kmvK))
         .drop(ndvCol(m)))
-    topkMeasures.foldLeft(withNdv)((df, m) =>
+    val withTopk = topkMeasures.foldLeft(withNdv)((df, m) =>
       df.withColumn(s"topk_keys_$m",
           graft.functions.HeavyHitterFunctions.mgTopKeys(col(hhCol(m)), rs.topkK, topJ))
         .withColumn(s"topk_counts_$m",
           graft.functions.HeavyHitterFunctions.mgTopCounts(col(hhCol(m)), rs.topkK, topJ))
         .drop(hhCol(m)))
+    quantileMeasures.foldLeft(withTopk)((df, m) =>
+      quantiles.foldLeft(df)((d, q) =>
+        d.withColumn(s"p${math.round(q * 100)}_$m",
+          graft.functions.QuantileFunctions.qQuantile(col(qsCol(m)), q, rs.quantBins)))
+        .drop(qsCol(m)))
   }
 }
