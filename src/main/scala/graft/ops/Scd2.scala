@@ -68,6 +68,17 @@ object Scd2 {
     * are read from `__current` (partition-pruned) and only shards
     * holding a new or changed key rewrite.
     */
+  /** Fold one snapshot batch into the history at `version`.
+    * `nShards = 0` (first merge only) sizes the shard map to the
+    * snapshot — one shard per ~16k keys, power of two, capped at
+    * 4096. The divisor IS the scattered-delta write amplification
+    * (~keysPerShard current rows rewrite per changed key), so finer
+    * helps deltas — but every shard is also a file set, and the
+    * round-8 probe measured per-file overhead overtaking row volume
+    * below ~16k keys/shard on this storage (512 shards priced a 1.5M
+    * init at 35 s vs 13 s at 128). 16k/shard is the measured balance;
+    * pass `nShards` explicitly for a known-delta-heavy dimension.
+    */
   def merge(
       store: TableStore,
       name: String,
@@ -75,7 +86,7 @@ object Scd2 {
       keyCols: Seq[String],
       attrCols: Seq[String],
       version: Long,
-      nShards: Int = 64): MergeStats = {
+      nShards: Int = 0): MergeStats = {
     require(keyCols.nonEmpty && attrCols.nonEmpty)
     val spark = snapshot.sparkSession
     import spark.implicits._
@@ -84,12 +95,17 @@ object Scd2 {
 
     if (!store.exists(metaTable(name))) {
       // first snapshot: everything becomes current in one shot
+      val n = snapshot.count()
+      val shards0 =
+        if (nShards > 0) nShards
+        else math.min(4096L, java.lang.Long.highestOneBit(
+          math.max(1L, (n + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
       val init = snapshot.select(cols.map(col): _*)
-        .withColumn("cell", cellOf(keyCols, nShards))
+        .withColumn("cell", cellOf(keyCols, shards0))
         .withColumn("valid_from", lit(version))
       store.overwritePartitioned(init, cur, "cell")
-      store.overwrite(Seq(nShards).toDF("n_shards"), metaTable(name))
-      return MergeStats(inserted = snapshot.count(), changed = 0, unchanged = 0)
+      store.overwrite(Seq(shards0).toDF("n_shards"), metaTable(name))
+      return MergeStats(inserted = n, changed = 0, unchanged = 0)
     }
 
     val shards = readShards(store, name)
@@ -101,31 +117,43 @@ object Scd2 {
     val stored = store.read(cur)
       .filter(col("cell").cast("string").isin(touched: _*))
 
-    // classify: join current on keys; null-safe attr comparison
+    // classify: join current on keys; null-safe attr comparison. A
+    // small delta FEED broadcasts (as the right side of a right-outer
+    // join — semantically the snapshot's left join) so the pruned
+    // corpus shards never shuffle; a full-snapshot feed takes the
+    // plain shuffle join.
+    val total = snap.count()
     val changedPred = attrCols
       .map(a => !(col(s"__new_$a") <=> col(a)))
       .reduce(_ || _)
     val snapRenamed = attrCols.foldLeft(snap)((df, a) =>
       df.withColumnRenamed(a, s"__new_$a"))
-    val joined = snapRenamed
-      .join(stored.withColumnRenamed("cell", "__cur_cell"), keyCols, "left")
+    val curSide = stored.withColumnRenamed("cell", "__cur_cell")
+    val joined = (
+      if (total <= 1000000)
+        curSide.join(broadcast(snapRenamed), keyCols, "right")
+      else snapRenamed.join(curSide, keyCols, "left"))
       .withColumn("__class",
         when(col("valid_from").isNull, lit("new"))
           .when(changedPred, lit("changed"))
           .otherwise(lit("same")))
-      .localCheckpoint() // pinned: stats + closed rows + rewrite fan out,
-    // and the rewrite mutates the table this lineage reads
-
-    val statsRow = joined.groupBy().pivot("__class", Seq("new", "changed", "same"))
-      .agg(count(lit(1))).head()
-    def cnt(i: Int) = if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
-    val stats = MergeStats(cnt(0), cnt(1), cnt(2))
+    // pin ONLY the delta — "same" rows are never consumed downstream,
+    // and a full-snapshot feed is mostly "same": checkpointing the
+    // whole classification materialized 1.5M rows to hand 40 onward
+    // in the round-8 scale probe. The delta checkpoint also cuts the
+    // lineage into the table the rewrite below mutates.
+    val deltaRows = joined.filter(col("__class") =!= "same").localCheckpoint()
+    val byClass = deltaRows.groupBy("__class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = MergeStats(
+      byClass.getOrElse("new", 0L), byClass.getOrElse("changed", 0L),
+      total - byClass.values.sum)
 
     if (stats.inserted + stats.changed > 0) {
       // closed rows FIRST, idempotent per (key, valid_to): a replay
       // after a crash between the two writes re-recognizes them
       val keyExpr = concat_ws("|", (keyCols.map(col) :+ lit(version)): _*)
-      val closedRows = joined.filter(col("__class") === "changed")
+      val closedRows = deltaRows.filter(col("__class") === "changed")
         .select((keyCols.map(col) ++ attrCols.map(col) :+
           col("valid_from") :+ col("__cur_cell").as("cell")): _*)
         .withColumn("valid_to", lit(version))
@@ -134,17 +162,30 @@ object Scd2 {
       if (!store.exists(ct)) store.overwritePartitioned(closedRows, ct, "cell")
       else IndexStore.appendNewById(store, ct, closedRows)
 
-      // rewrite the touched current shards: survivors that did not
-      // change + the fresh version of new/changed keys
-      val replacedKeys = joined.filter(col("__class") =!= "same")
-        .select(keyCols.map(col): _*)
-      val survivors = stored.join(replacedKeys, keyCols, "left_anti")
-      val fresh = joined.filter(col("__class") =!= "same")
+      // rewrite ONLY the shards holding a new or changed key — NOT
+      // every shard the snapshot touches. The distinction is the whole
+      // cost model for the standard full-snapshot upsert feed: the
+      // snapshot covers all shards every time (classification must
+      // read them — a column-pruned READ), but the WRITE surface is
+      // the delta's shards. The replaced-key side is the (bounded)
+      // delta, so it broadcasts when small — the corpus survivors
+      // never shuffle.
+      val changedCells = deltaRows
+        .select(col("cell").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val replacedRaw = deltaRows.select(keyCols.map(col): _*)
+      val replacedKeys =
+        if (stats.inserted + stats.changed <= 1000000) broadcast(replacedRaw)
+        else replacedRaw
+      val survivors = store.read(cur)
+        .filter(col("cell").cast("string").isin(changedCells: _*))
+        .join(replacedKeys, keyCols, "left_anti")
+      val fresh = deltaRows
         .select((keyCols.map(col) ++
           attrCols.map(a => col(s"__new_$a").as(a)) :+ col("cell")): _*)
         .withColumn("valid_from", lit(version))
       store.rewritePartitioned(
-        survivors.unionByName(fresh), cur, "cell", touched)
+        survivors.unionByName(fresh), cur, "cell", changedCells)
     }
     stats
   }

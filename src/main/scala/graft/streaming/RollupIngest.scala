@@ -28,7 +28,9 @@ import graft.sources.TableStore
 object RollupIngest {
 
   /** foreachBatch function folding each micro-batch into the rollup
-    * `name`, creating it on the first epoch.
+    * `name`, creating it on the first epoch. All four mergeable state
+    * families pass through: count/sum/min/max, KMV ndv, Misra-Gries
+    * top-k, log-binned quantiles.
     */
   def rollupSink(
       store: TableStore,
@@ -37,14 +39,20 @@ object RollupIngest {
       measures: Seq[String],
       nShards: Int = 64,
       distinctMeasures: Seq[String] = Nil,
-      kmvK: Int = 256): (Dataset[Row], Long) => Unit =
+      kmvK: Int = 256,
+      topkMeasures: Seq[String] = Nil,
+      topkK: Int = 256,
+      quantileMeasures: Seq[String] = Nil,
+      quantBins: Int = 512): (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], epoch: Long) => {
       val bid = Some(s"epoch_$epoch")
       if (!RollupStore.exists(store, name))
         RollupStore.init(store, name, batch.toDF(), keys, measures,
-          nShards, bid, distinctMeasures, kmvK)
+          nShards, bid, distinctMeasures, kmvK, topkMeasures, topkK,
+          quantileMeasures, quantBins)
       else
         RollupStore.ingest(store, name, batch.toDF(), keys, measures,
-          bid, distinctMeasures)
+          bid, distinctMeasures, topkMeasures, quantileMeasures)
+      ()
     }
 }
