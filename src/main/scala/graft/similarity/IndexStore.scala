@@ -187,6 +187,13 @@ object IndexStore {
     * of the partitions the batch lands in, the same partition pruning
     * the query path gets. Falls back to the full (column-pruned) id
     * scan when either side lacks a `cell` column.
+    *
+    * SCOPE: the content-stable-id→cell premise holds for tables whose
+    * cell derives from the row's own content (fingerprint shards,
+    * id-hash shards, band hashes) — NOT across quantizer evolution.
+    * The ANN append paths therefore gate novelty through the id
+    * registry FIRST (see the registry section below) and use this
+    * kernel as the frozen-quantizer crash heal.
     */
   private[graft] def appendNewById(store: TableStore, table: String, batch: DataFrame): Unit = {
     // persist so the assignment/encode projection is not recomputed by
