@@ -1231,6 +1231,69 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Temporal enrichment against the SCD2 history ([[graft.ops.Scd2
+    * .asOfJoin]]) — THE query type-2 dimensions exist for: each fact
+    * carries its own version, and the join selects the dimension row
+    * whose validity interval covers it ("who was this customer when
+    * the order shipped"). Same three-version lifecycle as q_scd2;
+    * facts hit base keys at versions 1-3, new keys at 1-3 (version 1
+    * precedes their introduction → NULL attributes, left semantics).
+    * The oracle derives every as-of attribute from the version
+    * definitions directly.
+    */
+  def qScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_asof")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    val facts = cust
+      .select(col("c_custkey"), (lit(1) + pmod(col("c_custkey"), lit(3))).cast("long").as("fv"))
+      .unionByName(
+        cust.filter(col("c_custkey") < 10)
+          .select((col("c_custkey") + 10000).as("c_custkey"))
+          .select(col("c_custkey"),
+            (lit(1) + pmod(col("c_custkey"), lit(3))).cast("long").as("fv")))
+    graft.ops.Scd2.asOfJoin(store, "dim", facts, keys, "fv")
+      .select(col("c_custkey"), col("fv"), col("c_mktsegment"),
+        col("c_acctbal"), col("valid_from"))
+  }
+
+  /** Windowed heavy hitters over the events stream shape: per
+    * event-day window, the Misra-Gries top-3 event types with their
+    * counts — the composition a streaming monitor runs (window
+    * aggregation + mergeable frequency state). Event-type cardinality
+    * is tiny, so the sketch is in its exact regime and DuckDB's
+    * one-shot GROUP BY + rank reproduces it bit-for-bit.
+    */
+  def qEventsTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.functions.HeavyHitterFunctions
+        .mgSketch(col("event_type"), k = 64).as("hh"),
+        count(lit(1)).as("n"))
+      .select(col("day"), col("n"),
+        graft.functions.HeavyHitterFunctions.mgTopKeys(col("hh"), 64, 3).as("top_types"),
+        graft.functions.HeavyHitterFunctions.mgTopCounts(col("hh"), 64, 3).as("top_counts"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

@@ -112,6 +112,8 @@ object SparkEntry {
     "q_agg_incremental" -> (Queries.qAggIncremental _),
     "q_agg_topk" -> (Queries.qAggTopk _),
     "q_scd2" -> (Queries.qScd2 _),
+    "q_scd2_asof" -> (Queries.qScd2Asof _),
+    "q_events_topk" -> (Queries.qEventsTopk _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1384,6 +1386,53 @@ object Oracles {
                FROM lineitem GROUP BY 1)
          SELECT b.l_returnflag, b.n, b.sum_qty, t.top_supp, t.top_supp_n
          FROM b JOIN t USING (l_returnflag)""",
+
+    // temporal as-of join against the SCD2 history: every as-of
+    // attribute and its matched valid_from derive from the version
+    // definitions; facts before a key's first interval keep NULLs
+    "q_scd2_asof" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k FROM base WHERE k < 10),
+         facts AS (SELECT k, 1 + k % 3 AS fv FROM base
+                   UNION ALL SELECT k, 1 + k % 3 AS fv FROM newr)
+         SELECT f.k AS c_custkey, CAST(f.fv AS BIGINT) AS fv,
+           CASE WHEN f.k >= 10000 THEN
+                  CASE WHEN f.fv >= 2 THEN 'SEG_NEW' END
+                WHEN f.k % 3 = 0 AND f.fv >= 2
+                  THEN 'SEG_' || CAST(f.k % 5 AS VARCHAR)
+                ELSE b.seg END AS c_mktsegment,
+           CASE WHEN f.k >= 10000 THEN
+                  CASE WHEN f.fv >= 2 THEN
+                    CASE WHEN f.k % 4 = 0 AND f.fv >= 3
+                         THEN CAST(f.k - 10000 AS DOUBLE) + 10
+                         ELSE CAST(f.k - 10000 AS DOUBLE) END END
+                WHEN f.k % 4 = 0 AND f.fv >= 3 THEN b.bal + 10
+                ELSE b.bal END AS c_acctbal,
+           CASE WHEN f.k >= 10000 THEN
+                  CASE WHEN f.fv >= 3 AND f.k % 4 = 0 THEN CAST(3 AS BIGINT)
+                       WHEN f.fv >= 2 THEN CAST(2 AS BIGINT) END
+                WHEN f.fv >= 3 AND f.k % 4 = 0 THEN CAST(3 AS BIGINT)
+                WHEN f.fv >= 2 AND f.k % 3 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS valid_from
+         FROM facts f LEFT JOIN base b ON b.k = f.k""",
+
+    // windowed heavy hitters: per event-day Misra-Gries top-3 event
+    // types (exact regime — tiny type cardinality), rank ties
+    // (count desc, type asc) on both sides
+    "q_events_topk" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day, event_type FROM events),
+         c AS (SELECT day, event_type, count(*) AS cnt FROM e GROUP BY 1, 2),
+         r AS (SELECT day, event_type, cnt,
+                 row_number() OVER (PARTITION BY day
+                   ORDER BY cnt DESC, event_type ASC) AS rn
+               FROM c),
+         t AS (SELECT day, list(event_type ORDER BY rn) AS top_types,
+                 list(cnt ORDER BY rn) AS top_counts
+               FROM r WHERE rn <= 3 GROUP BY day),
+         b AS (SELECT day, count(*) AS n FROM e GROUP BY 1)
+         SELECT b.day, b.n, t.top_types, t.top_counts
+         FROM b JOIN t USING (day)""",
 
     // quantile rollup state: exact regime (50 distinct quantities
     // << 512 bins), so the sketch reads are exact rank-ceil(q*N)

@@ -216,4 +216,42 @@ object Scd2 {
       .filter(col("valid_from") <= version &&
         (col("valid_to").isNull || col("valid_to") > version))
       .drop("valid_to", "is_current")
+
+  /** THE query SCD2 exists for: enrich each fact row with the
+    * dimension attributes AS OF the fact's own version — "who was
+    * this customer when the order shipped", not who they are today.
+    * An equi-join on the dimension keys does the heavy lifting (both
+    * sides hash-partition on the key, and the history side holds only
+    * a few versions per key), then the validity interval selects the
+    * one version covering `versionCol`; facts at versions no interval
+    * covers (before the key existed) keep NULL attributes, left-join
+    * semantics. At 100 TB this is the same shape as any fact→dim
+    * equi-join — broadcastable when the dimension is small, never a
+    * range-join explosion, because intervals per key are disjoint by
+    * construction (at most one survives the filter).
+    */
+  def asOfJoin(
+      store: TableStore,
+      name: String,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    // interval containment goes INSIDE the join condition — as a
+    // post-filter it would also drop facts whose key exists but whose
+    // version precedes every interval, which must instead surface
+    // with NULL attributes (left semantics)
+    val covered = keyCols.foldLeft(
+      history(store, name).drop("is_current")
+        .withColumnRenamed("valid_from", "__vf")
+        .withColumnRenamed("valid_to", "__vt"))(
+      (df, k) => df.withColumnRenamed(k, s"__k_$k"))
+    val cond = (keyCols.map(k => col(k) === col(s"__k_$k")) :+
+      (col("__vf") <= col(versionCol)) :+
+      (col("__vt").isNull || col("__vt") > col(versionCol))).reduce(_ && _)
+    // the matched version's valid_from stays in the output — the
+    // provenance stamp of WHICH version enriched each fact
+    facts.join(covered, cond, "left")
+      .drop((keyCols.map(k => s"__k_$k") :+ "__vt"): _*)
+      .withColumnRenamed("__vf", "valid_from")
+  }
 }

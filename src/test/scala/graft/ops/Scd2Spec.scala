@@ -103,6 +103,35 @@ class Scd2Spec extends SparkSpec {
     assert(canonCur == 0)
   }
 
+  test("asOfJoin enriches each fact with the version in force at the fact's own version") {
+    import spark.implicits._
+    val store = tmpStore()
+    val small = cust.filter(col("c_custkey") <= 20)
+    Scd2.merge(store, "aj", small, keys, attrs, version = 1, nShards = 4)
+    val v2 = small.withColumn("c_mktsegment",
+      when(col("c_custkey") <= 10, lit("NEWSEG")).otherwise(col("c_mktsegment")))
+    Scd2.merge(store, "aj", v2, keys, attrs, version = 2)
+
+    val origSeg = small.select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val facts = Seq(
+      (1L, 1L), (1L, 2L),    // changed key seen at both versions
+      (15L, 1L), (15L, 2L),  // unchanged key
+      (999999L, 2L),         // key never in the dimension
+      (2L, 0L)               // key exists, fact precedes every interval
+    ).toDF("c_custkey", "fv")
+    val got = Scd2.asOfJoin(store, "aj", facts, keys, "fv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("c_mktsegment"))) null
+         else r.getString(r.fieldIndex("c_mktsegment")))).toMap
+    assert(got((1L, 1L)) == origSeg(1L)) // as of v1: pre-change segment
+    assert(got((1L, 2L)) == "NEWSEG")    // as of v2: post-change
+    assert(got((15L, 1L)) == origSeg(15L) && got((15L, 2L)) == origSeg(15L))
+    assert(got((999999L, 2L)) == null)   // unknown key: left semantics
+    assert(got((2L, 0L)) == null)        // before the key existed: NULL, not dropped
+    assert(got.size == 6)                // exactly one row per fact
+  }
+
   test("merge of a single-key snapshot prunes the current read to its shard") {
     val store = tmpStore()
     Scd2.merge(store, "p", cust, keys, attrs, version = 1, nShards = 8)
