@@ -1294,6 +1294,23 @@ object Queries {
         graft.functions.HeavyHitterFunctions.mgTopCounts(col("hh"), 64, 3).as("top_counts"))
   }
 
+  /** Per-window quantiles over the events stream shape: each
+    * event-day's p50/p95 of `value` through the log-binned quantile
+    * sketch. Daily value cardinality (~3k) sits far under the 8192-bin
+    * capacity, so the state stays an exact histogram and the reads are
+    * exact rank-⌈q·N⌉ doubles — window SQL reproduces them
+    * bit-for-bit.
+    */
+  def qEventsQuantile(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.functions.QuantileFunctions.qSketch(col("value"), 8192).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("day"), col("n"),
+        graft.functions.QuantileFunctions.qQuantile(col("qs"), 0.5, 8192).as("p50_value"),
+        graft.functions.QuantileFunctions.qQuantile(col("qs"), 0.95, 8192).as("p95_value"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

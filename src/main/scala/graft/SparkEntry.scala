@@ -114,6 +114,7 @@ object SparkEntry {
     "q_scd2" -> (Queries.qScd2 _),
     "q_scd2_asof" -> (Queries.qScd2Asof _),
     "q_events_topk" -> (Queries.qEventsTopk _),
+    "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1433,6 +1434,24 @@ object Oracles {
          b AS (SELECT day, count(*) AS n FROM e GROUP BY 1)
          SELECT b.day, b.n, t.top_types, t.top_counts
          FROM b JOIN t USING (day)""",
+
+    // per-window quantiles: exact regime (daily value cardinality
+    // << 8192 bins) → exact rank-ceil(q*N) doubles via window SQL
+    "q_events_quantile" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day, value FROM events),
+         o AS (SELECT day, value,
+                 row_number() OVER (PARTITION BY day ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY day) AS nn
+               FROM e),
+         q AS (SELECT day,
+                 max(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT)
+                     THEN value END) AS p50_value,
+                 max(CASE WHEN rn = CAST(ceil(0.95 * nn) AS BIGINT)
+                     THEN value END) AS p95_value
+               FROM o GROUP BY 1),
+         b AS (SELECT day, count(*) AS n FROM e GROUP BY 1)
+         SELECT b.day, b.n, q.p50_value, q.p95_value
+         FROM b JOIN q USING (day)""",
 
     // quantile rollup state: exact regime (50 distinct quantities
     // << 512 bins), so the sketch reads are exact rank-ceil(q*N)

@@ -254,4 +254,19 @@ object Scd2 {
       .drop((keyCols.map(k => s"__k_$k") :+ "__vt"): _*)
       .withColumnRenamed("__vf", "valid_from")
   }
+
+  /** Collapse the per-merge file accumulation in both tables — every
+    * delta merge leaves one file set per rewritten current shard and
+    * one per closed-row append; the same out-of-band compaction
+    * discipline as the dedup/index state tables. Returns partitions
+    * rewritten.
+    */
+  def compact(
+      store: TableStore,
+      name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    Seq(currentTable(name), closedTable(name))
+      .filter(store.exists)
+      .map(t => store.compact(t, "cell", targetFileBytes))
+      .sum
 }

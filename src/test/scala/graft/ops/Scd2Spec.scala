@@ -132,6 +132,23 @@ class Scd2Spec extends SparkSpec {
     assert(got.size == 6)                // exactly one row per fact
   }
 
+  test("compact collapses per-merge files; history content identical") {
+    val store = tmpStore()
+    Scd2.merge(store, "cp", cust, keys, attrs, version = 1, nShards = 4)
+    (2 to 5).foreach { v =>
+      Scd2.merge(store, "cp",
+        cust.withColumn("c_acctbal", col("c_acctbal") + v), keys, attrs, version = v)
+    }
+    def canon() = Scd2.history(store, "cp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val before = canon()
+    val files = store.read("cp__current").inputFiles.length
+    assert(Scd2.compact(store, "cp") > 0)
+    assert(store.read("cp__current").inputFiles.length <= files)
+    assert(canon() == before)
+  }
+
   test("merge of a single-key snapshot prunes the current read to its shard") {
     val store = tmpStore()
     Scd2.merge(store, "p", cust, keys, attrs, version = 1, nShards = 8)
