@@ -1311,6 +1311,21 @@ object Queries {
         graft.functions.QuantileFunctions.qQuantile(col("qs"), 0.95, 8192).as("p95_value"))
   }
 
+  /** Z-order clustering key ([[graft.ops.ZOrder]]): the 8-bit Morton
+    * interleave of (l_partkey, l_suppkey) min/max ranks per lineitem
+    * row — the value [[graft.ops.ZOrder.cluster]] range-partitions
+    * and sorts on to give every written file a tight hyper-rectangle.
+    * Pure deterministic arithmetic (one min/max aggregate, scale,
+    * floor, shift/mask interleave) the DuckDB twin replicates term by
+    * term; the layout PROPERTY (per-file spans narrow on both
+    * columns) is pinned by ZOrderSpec.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.ops.ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8, zCol = "z")
+      .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_scd2_asof" -> (Queries.qScd2Asof _),
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
+    "q_zorder" -> (Queries.qZorder _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1434,6 +1435,30 @@ object Oracles {
          b AS (SELECT day, count(*) AS n FROM e GROUP BY 1)
          SELECT b.day, b.n, t.top_types, t.top_counts
          FROM b JOIN t USING (day)""",
+
+    // Morton interleave of min/max ranks, term by term: rank =
+    // floor((v-min)/(max-min) * 255) with the identical IEEE op
+    // order, then bit i of rank j lands at position 2i+j
+    "q_zorder" ->
+      """WITH s AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                      min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+                    FROM lineitem),
+         r AS (SELECT l_orderkey, l_linenumber,
+                 CAST(floor(CAST(l_partkey - mnp AS DOUBLE)
+                   / CAST(mxp - mnp AS DOUBLE) * 255.0) AS BIGINT) AS rp,
+                 CAST(floor(CAST(l_suppkey - mns AS DOUBLE)
+                   / CAST(mxs - mns AS DOUBLE) * 255.0) AS BIGINT) AS rs
+               FROM lineitem, s)
+         SELECT l_orderkey, l_linenumber,
+           (((rp >> 0) & 1) << 0) + (((rs >> 0) & 1) << 1) +
+           (((rp >> 1) & 1) << 2) + (((rs >> 1) & 1) << 3) +
+           (((rp >> 2) & 1) << 4) + (((rs >> 2) & 1) << 5) +
+           (((rp >> 3) & 1) << 6) + (((rs >> 3) & 1) << 7) +
+           (((rp >> 4) & 1) << 8) + (((rs >> 4) & 1) << 9) +
+           (((rp >> 5) & 1) << 10) + (((rs >> 5) & 1) << 11) +
+           (((rp >> 6) & 1) << 12) + (((rs >> 6) & 1) << 13) +
+           (((rp >> 7) & 1) << 14) + (((rs >> 7) & 1) << 15) AS z
+         FROM r""",
 
     // per-window quantiles: exact regime (daily value cardinality
     // << 8192 bins) → exact rank-ceil(q*N) doubles via window SQL

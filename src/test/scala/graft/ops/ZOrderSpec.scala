@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+
+  private lazy val li = graft.Tables.lineitem(spark, sf("lineitem"))
+
+  test("interleave puts bit i of rank j at position i*n + j") {
+    import spark.implicits._
+    // x = 0b101, y = 0b011 → z = 0b011011 = 27 at 3 bits
+    val df = Seq((5L, 3L)).toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(Seq(col("x"), col("y")), bits = 3))
+    assert(df.head().getLong(2) == 27L)
+    // single column at 4 bits is the identity
+    val one = Seq(11L).toDF("x")
+      .withColumn("z", ZOrder.interleave(Seq(col("x")), bits = 4))
+    assert(one.head().getLong(1) == 11L)
+  }
+
+  test("z-values are deterministic and within the bit budget") {
+    val a = ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8, zCol = "z")
+      .select("l_orderkey", "l_linenumber", "z").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8, zCol = "z")
+      .select("l_orderkey", "l_linenumber", "z").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+    assert(a.values.forall(z => z >= 0 && z < (1L << 16)))
+  }
+
+  /** The property file skipping rests on: after z-order clustering,
+    * EVERY participating column's per-file min/max span is a small
+    * slice of its global span — narrow stats are what lets parquet
+    * file/row-group pruning drop files for predicates on ANY of the
+    * clustered columns. A single-column sort only narrows its own
+    * column; the others spread wall to wall in every file.
+    */
+  test("clustering narrows per-file min/max spans on BOTH columns; single-column sort does not") {
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir).inputFiles.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    val global = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey"))).cast("double"),
+      (max(col("l_suppkey")) - min(col("l_suppkey"))).cast("double")).head()
+    val (gp, gs) = (global.getDouble(0), global.getDouble(1))
+
+    val zDir = Files.createTempDirectory("zorder").toString + "/t"
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 16)
+      .write.parquet(zDir)
+    val sDir = Files.createTempDirectory("zsort").toString + "/t"
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.parquet(sDir)
+
+    // z-order: both columns narrow
+    assert(avgSpan(zDir, "l_partkey") < 0.5 * gp,
+      s"partkey span ${avgSpan(zDir, "l_partkey")} vs global $gp")
+    assert(avgSpan(zDir, "l_suppkey") < 0.5 * gs,
+      s"suppkey span ${avgSpan(zDir, "l_suppkey")} vs global $gs")
+    // single-column sort: its own column narrow, the other wall-to-wall
+    assert(avgSpan(sDir, "l_partkey") < 0.5 * gp)
+    assert(avgSpan(sDir, "l_suppkey") > 0.9 * gs,
+      "suppkey should NOT be clustered by a partkey sort")
+    // and z-order's suppkey span beats the partkey-sorted layout's by far
+    assert(avgSpan(zDir, "l_suppkey") < 0.5 * avgSpan(sDir, "l_suppkey"))
+  }
+}
