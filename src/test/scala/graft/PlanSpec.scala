@@ -48,6 +48,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_asof joins the history by hash on the key, never a loop") {
+    val p = plan("q_scd2_asof")
+    // the interval conjunct rides an equi-join on the dimension key —
+    // a nested loop or cartesian here would explode at fact scale
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_events_topk: one wide shuffle, sketch aggregate runs partial+final") {
+    val p = plan("q_events_topk")
+    // TypedImperativeAggregate → ObjectHashAggregate, map-side partial
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_zorder never shuffles the data: one broadcast stats row, then arithmetic") {
+    val p = plan("q_zorder")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_agg_pricing uses partial aggregation (map-side combine)") {
     val p = plan("q_agg_pricing")
     assert(p.contains("HashAggregate"), p)
