@@ -1139,12 +1139,15 @@ object Queries {
     * through [[graft.ops.RollupStore]]): the q_agg_incremental
     * lifecycle with a Misra-Gries top-k column — init from the even
     * half, fold the odd half, replay detected, finalize the ranked
-    * (count desc, key asc) supplier top-5 per return flag. At this
-    * scale every (flag → supplier) group holds far fewer than the
-    * sketch's k=256 distinct values, so NO decrement ever fires and
-    * the counters are EXACT — the whole mergeable-summaries fold
-    * (partial sketch per batch, union into stored state across two
-    * ingests) must reproduce DuckDB's one-shot GROUP BY + rank.
+    * (count desc, key asc) supplier top-5 per return flag. sf0.1
+    * lineitem holds 1000 distinct suppliers per flag, so the sketch
+    * is built with k=2048 — above the domain, NO decrement ever
+    * fires and the counters are EXACT — so the whole
+    * mergeable-summaries fold (partial sketch per batch, union into
+    * stored state across two ingests) must reproduce DuckDB's
+    * one-shot GROUP BY + rank. Output is exploded to flat
+    * (flag, n, sum_qty, rank, supp, cnt) rows so any row-comparison
+    * harness can sort/hash it (array cells are unsortable in pandas).
     */
   def qAggTopk(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -1155,14 +1158,18 @@ object Queries {
     val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
     val b2 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
     graft.ops.RollupStore.init(store, "topk", b1, keys, ms, nShards = 4,
-      topkMeasures = tms)
+      topkMeasures = tms, topkK = 2048)
     graft.ops.RollupStore.ingest(store, "topk", b2, keys, ms, topkMeasures = tms)
     graft.ops.RollupStore.ingest(store, "topk", b2, keys, ms, topkMeasures = tms) // replay
     graft.ops.RollupStore.finalize(store, "topk", ms, topkMeasures = tms, topJ = 5)
       .select(col("l_returnflag"), col("n"),
         col("sum_l_quantity").as("sum_qty"),
-        col("topk_keys_l_suppkey").as("top_supp"),
-        col("topk_counts_l_suppkey").as("top_supp_n"))
+        posexplode(arrays_zip(
+          col("topk_keys_l_suppkey").as("k"),
+          col("topk_counts_l_suppkey").as("c"))))
+      .select(col("l_returnflag"), col("n"), col("sum_qty"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.k").as("top_supp"), col("col.c").as("top_supp_n"))
   }
 
   /** Quantile rollup state ([[graft.functions.QuantileFunctions]]
@@ -1281,7 +1288,9 @@ object Queries {
     * counts — the composition a streaming monitor runs (window
     * aggregation + mergeable frequency state). Event-type cardinality
     * is tiny, so the sketch is in its exact regime and DuckDB's
-    * one-shot GROUP BY + rank reproduces it bit-for-bit.
+    * one-shot GROUP BY + rank reproduces it bit-for-bit. Output is
+    * exploded to flat (day, n, rank, type, cnt) rows so any
+    * row-comparison harness can sort/hash it.
     */
   def qEventsTopk(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -1290,8 +1299,12 @@ object Queries {
         .mgSketch(col("event_type"), k = 64).as("hh"),
         count(lit(1)).as("n"))
       .select(col("day"), col("n"),
-        graft.functions.HeavyHitterFunctions.mgTopKeys(col("hh"), 64, 3).as("top_types"),
-        graft.functions.HeavyHitterFunctions.mgTopCounts(col("hh"), 64, 3).as("top_counts"))
+        posexplode(arrays_zip(
+          graft.functions.HeavyHitterFunctions.mgTopKeys(col("hh"), 64, 3).as("k"),
+          graft.functions.HeavyHitterFunctions.mgTopCounts(col("hh"), 64, 3).as("c"))))
+      .select(col("day"), col("n"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.k").as("top_type"), col("col.c").as("top_count"))
   }
 
   /** Per-window quantiles over the events stream shape: each

@@ -1380,14 +1380,11 @@ object Oracles {
                  row_number() OVER (PARTITION BY l_returnflag
                    ORDER BY cnt DESC, sk ASC) AS rn
                FROM c),
-         t AS (SELECT l_returnflag,
-                 list(sk ORDER BY rn) AS top_supp,
-                 list(cnt ORDER BY rn) AS top_supp_n
-               FROM r WHERE rn <= 5 GROUP BY l_returnflag),
          b AS (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
                FROM lineitem GROUP BY 1)
-         SELECT b.l_returnflag, b.n, b.sum_qty, t.top_supp, t.top_supp_n
-         FROM b JOIN t USING (l_returnflag)""",
+         SELECT b.l_returnflag, b.n, b.sum_qty, r.rn AS rank,
+                r.sk AS top_supp, r.cnt AS top_supp_n
+         FROM b JOIN r USING (l_returnflag) WHERE r.rn <= 5""",
 
     // temporal as-of join against the SCD2 history: every as-of
     // attribute and its matched valid_from derive from the version
@@ -1429,12 +1426,10 @@ object Oracles {
                  row_number() OVER (PARTITION BY day
                    ORDER BY cnt DESC, event_type ASC) AS rn
                FROM c),
-         t AS (SELECT day, list(event_type ORDER BY rn) AS top_types,
-                 list(cnt ORDER BY rn) AS top_counts
-               FROM r WHERE rn <= 3 GROUP BY day),
          b AS (SELECT day, count(*) AS n FROM e GROUP BY 1)
-         SELECT b.day, b.n, t.top_types, t.top_counts
-         FROM b JOIN t USING (day)""",
+         SELECT b.day, b.n, r.rn AS rank,
+                r.event_type AS top_type, r.cnt AS top_count
+         FROM b JOIN r USING (day) WHERE r.rn <= 3""",
 
     // Morton interleave of min/max ranks, term by term: rank =
     // floor((v-min)/(max-min) * 255) with the identical IEEE op
