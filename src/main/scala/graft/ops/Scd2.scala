@@ -63,6 +63,21 @@ object Scd2 {
   def exists(store: TableStore, name: String): Boolean =
     store.exists(metaTable(name))
 
+  /** The classification join, exposed for plan tests: every snapshot
+    * key against the pruned current side. Spark builds the RIGHT side
+    * of a LeftOuter join, so `broadcastCur` hints the pruned current
+    * side — then it plans a BroadcastHashJoin and neither side
+    * shuffles (the r8 right-outer + broadcast(feed) variant was
+    * silently unplannable and fell back to a shuffle).
+    */
+  private[graft] def classifyJoin(
+      snapRenamed: DataFrame,
+      curSide: DataFrame,
+      keyCols: Seq[String],
+      broadcastCur: Boolean): DataFrame =
+    if (broadcastCur) snapRenamed.join(broadcast(curSide), keyCols, "left")
+    else snapRenamed.join(curSide, keyCols, "left")
+
   /** Fold one snapshot batch into the history at `version`. Returns
     * how the snapshot classified. Only the snapshot's own key shards
     * are read from `__current` (partition-pruned) and only shards
@@ -117,11 +132,14 @@ object Scd2 {
     val stored = store.read(cur)
       .filter(col("cell").cast("string").isin(touched: _*))
 
-    // classify: join current on keys; null-safe attr comparison. A
-    // small delta FEED broadcasts (as the right side of a right-outer
-    // join — semantically the snapshot's left join) so the pruned
-    // corpus shards never shuffle; a full-snapshot feed takes the
-    // plain shuffle join.
+    // classify: join current on keys; null-safe attr comparison.
+    // Spark only builds the RIGHT side of a LeftOuter join (and the
+    // LEFT of a RightOuter) — so the broadcastable side here must be
+    // the pruned CURRENT shards, not the feed. A delta feed touches
+    // few cells, bounding the pruned current side (touched cells ×
+    // ~16k keys/cell); it broadcasts and NEITHER side shuffles. A
+    // full-snapshot feed (every cell touched) takes the plain
+    // shuffle join.
     val total = snap.count()
     val changedPred = attrCols
       .map(a => !(col(s"__new_$a") <=> col(a)))
@@ -129,10 +147,8 @@ object Scd2 {
     val snapRenamed = attrCols.foldLeft(snap)((df, a) =>
       df.withColumnRenamed(a, s"__new_$a"))
     val curSide = stored.withColumnRenamed("cell", "__cur_cell")
-    val joined = (
-      if (total <= 1000000)
-        curSide.join(broadcast(snapRenamed), keyCols, "right")
-      else snapRenamed.join(curSide, keyCols, "left"))
+    val joined = classifyJoin(snapRenamed, curSide, keyCols,
+      broadcastCur = touched.size <= 32)
       .withColumn("__class",
         when(col("valid_from").isNull, lit("new"))
           .when(changedPred, lit("changed"))

@@ -144,6 +144,10 @@ object IndexStore {
     val next = nextGeneration(store, name)
     val idx = IvfPq.build(vectors, nLists, m, k, maxTrain, lloydIters, idCol, vecCol)
     saveIvfPq(store, next, idx)
+    // the next generation ingests against its own registry — build it
+    // eagerly HERE (not in save: a save-then-query index never needs
+    // one) so the carried bloom sidecar lands on an existing table
+    buildIdRegistry(store, s"${next}__encoded")
     saveCellStats(store, next, idx, vectors, idCol, vecCol)
     carryBloom(store, s"${cur}__encoded", s"${next}__encoded")
     carryBloom(store, registryTable(s"${cur}__encoded"), registryTable(s"${next}__encoded"))
@@ -167,6 +171,7 @@ object IndexStore {
     val next = nextGeneration(store, name)
     val idx = Ivf.build(vectors, nLists, maxTrain, lloydIters, idCol, vecCol)
     saveIvf(store, next, idx)
+    buildIdRegistry(store, s"${next}__assigned") // see rotateIvfPq note
     carryBloom(store, s"${cur}__assigned", s"${next}__assigned")
     carryBloom(store, registryTable(s"${cur}__assigned"), registryTable(s"${next}__assigned"))
     flipAlias(vectors.sparkSession, store, name, next)
@@ -623,17 +628,21 @@ object IndexStore {
     flagged.map(_.getInt(0)).toSeq
   }
 
-  /** Persist an IVF index: `<name>__centroids` (tiny), the
+  /** Persist an IVF index: `<name>__centroids` (tiny) and the
     * corpus-sized `<name>__assigned` (id, vec, cell) partitioned by
-    * cell, and the `<name>__assigned__ids` novelty registry the ingest
-    * path gates replays on.
+    * cell. The `<name>__assigned__ids` novelty registry is NOT built
+    * here — a save-then-query index never needs it, and the r8 eager
+    * build doubled q_ann_ivf_saved (an extra corpus scan + write in
+    * the hot save). The first ingest backfills it from the corpus
+    * table ([[registryNovel]] — idempotent), same one scan, paid only
+    * by the path that uses it; [[rotateIvf]] builds it explicitly
+    * before carrying the bloom sidecar across generations.
     */
   def saveIvf(store: TableStore, name: String, index: Ivf.Index): Unit = {
     val p = resolveIndex(store, name)
     val spark = index.assigned.sparkSession
     store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
     store.overwritePartitioned(index.assigned, s"${p}__assigned", "cell")
-    buildIdRegistry(store, s"${p}__assigned")
   }
 
   /** The stored coarse centroids of index `name` — tiny, driver-sized;
@@ -711,7 +720,10 @@ object IndexStore {
   /** Persist an IVF-PQ index: `<name>__centroids`, `<name>__codebooks`
     * (both tiny) and `<name>__encoded` (id, cell, codes) — 16 B/vector
     * codes partitioned by cell, the table a deployment serves queries
-    * from (probed cells prune to their partitions at scan time).
+    * from (probed cells prune to their partitions at scan time). Like
+    * [[saveIvf]], the id registry is left to the first ingest's
+    * backfill (or [[rotateIvfPq]]'s explicit build) — save-then-query
+    * never pays for it.
     */
   def saveIvfPq(store: TableStore, name: String, index: IvfPq.Index): Unit = {
     val p = resolveIndex(store, name)
@@ -719,7 +731,6 @@ object IndexStore {
     store.overwrite(centroidsDf(spark, index.centroids), s"${p}__centroids")
     store.overwrite(codebooksDf(spark, index.cb), s"${p}__codebooks")
     store.overwritePartitioned(index.encoded, s"${p}__encoded", "cell")
-    buildIdRegistry(store, s"${p}__encoded")
   }
 
   def loadIvfPq(store: TableStore, name: String): IvfPq.Index = {

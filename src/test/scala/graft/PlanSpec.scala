@@ -57,6 +57,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("SCD2 classification join: pruned current side broadcasts, no shuffle") {
+    // ADVICE r8: the old shape hinted broadcast on the unplannable side
+    // (right of a RightOuter — Spark only builds the left there) and
+    // silently fell back to a shuffle. The fixed LeftOuter shape must
+    // actually plan a BroadcastHashJoin with zero hash exchanges.
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "__new_v")
+    val cur = Seq((1L, "a", 1L, "c0"), (3L, "x", 1L, "c0"))
+      .toDF("k", "v", "valid_from", "__cur_cell")
+    val p = graft.ops.Scd2.classifyJoin(snap, cur, Seq("k"), broadcastCur = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_events_topk: one wide shuffle, sketch aggregate runs partial+final") {
     val p = plan("q_events_topk")
     // TypedImperativeAggregate → ObjectHashAggregate, map-side partial
