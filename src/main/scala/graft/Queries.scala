@@ -1238,6 +1238,45 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** The SCD2 delete feed ([[graft.ops.Scd2.retire]]): the q_scd2
+    * three-version lifecycle, then keys ≡ 0 (mod 7) retire at
+    * version 4 (their current rows close with their last state;
+    * replay is a no-op), and the full history view must show every
+    * surviving key current, every retired key's final interval closed
+    * at 4, and all earlier closed intervals untouched.
+    */
+  def qScd2Retire(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_retire")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4) // replay: no-op
+    graft.ops.Scd2.history(store, "dim")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** Temporal enrichment against the SCD2 history ([[graft.ops.Scd2
     * .asOfJoin]]) — THE query type-2 dimensions exist for: each fact
     * carries its own version, and the join selects the dimension row

@@ -113,6 +113,7 @@ object SparkEntry {
     "q_agg_topk" -> (Queries.qAggTopk _),
     "q_scd2" -> (Queries.qScd2 _),
     "q_scd2_asof" -> (Queries.qScd2Asof _),
+    "q_scd2_retire" -> (Queries.qScd2Retire _),
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
@@ -1521,6 +1522,53 @@ object Oracles {
                        ELSE 1 END AS BIGINT) AS valid_from,
              CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
            FROM v3
+           UNION ALL
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT),
+             CAST(3 AS BIGINT), FALSE
+           FROM v2 WHERE k % 4 = 0
+           UNION ALL
+           SELECT k, seg, bal, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+           FROM v1 WHERE k % 3 = 0)
+         SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+           valid_from, valid_to, is_current
+         FROM hist""",
+
+    // SCD2 delete feed: q_scd2's lifecycle, then keys = 0 (mod 7)
+    // retire at v4 — their final interval closes at 4 with the v3
+    // state, everything else is q_scd2's history verbatim
+    "q_scd2_retire" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v1 AS (SELECT * FROM base),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2),
+         hist AS (
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k % 4 = 0 THEN 3
+                       WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM v3 WHERE k % 7 <> 0
+           UNION ALL
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k % 4 = 0 THEN 3
+                       WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT),
+             CAST(4 AS BIGINT), FALSE
+           FROM v3 WHERE k % 7 = 0
            UNION ALL
            SELECT k, seg, bal,
              CAST(CASE WHEN k >= 10000 THEN 2

@@ -206,6 +206,70 @@ object Scd2 {
     stats
   }
 
+  /** The delete feed: retire `keys` at `version` — close their
+    * current rows (valid_to = version) and remove them from the live
+    * dimension, so [[current]] no longer returns them while [[asOf]]
+    * any earlier version still does. Returns how many keys actually
+    * closed.
+    *
+    * Same cost model as [[merge]]'s delta path: the feed's key shards
+    * are the only current partitions read, the closed append is
+    * idempotent per (key, valid_to) — a replay, or a retire of an
+    * already-absent key, is a no-op — and only shards that actually
+    * held a victim rewrite. A key re-introduced by a later merge
+    * starts a fresh interval (SCD2 resurrection): the old interval
+    * stays closed, the new one opens at the merge's version.
+    */
+  def retire(
+      store: TableStore,
+      name: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      version: Long): Long = {
+    require(keyCols.nonEmpty)
+    if (!store.exists(metaTable(name))) return 0L
+    val shards = readShards(store, name)
+    val keyed = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn("cell", cellOf(keyCols, shards))
+      .localCheckpoint() // pinned: cells probe + semi join both read it
+    val touched = keyed.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return 0L
+    val cur = currentTable(name)
+    val nKeys = keyed.count()
+    val feed = keyed.drop("cell")
+    // victims pinned: the closed append and the survivor rewrite both
+    // read the table this call mutates
+    val victims = store.read(cur)
+      .filter(col("cell").cast("string").isin(touched: _*))
+      .join(if (nKeys <= 1000000) broadcast(feed) else feed,
+        keyCols, "semi")
+      .localCheckpoint()
+    val nClosed = victims.count()
+    if (nClosed == 0) return 0L
+    val keyExpr = concat_ws("|", (keyCols.map(col) :+ lit(version)): _*)
+    // same column order as merge's closed rows — appends line up
+    val attrCols = victims.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == "cell" || c == "valid_from")
+    val closedRows = victims
+      .select((keyCols.map(col) ++ attrCols.map(col) :+
+        col("valid_from") :+ col("cell")): _*)
+      .withColumn("valid_to", lit(version))
+      .withColumn("id", keyExpr)
+    val ct = closedTable(name)
+    if (!store.exists(ct)) store.overwritePartitioned(closedRows, ct, "cell")
+    else IndexStore.appendNewById(store, ct, closedRows)
+    val victimCells = victims.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val victimKeys = victims.select(keyCols.map(col): _*)
+    val survivors = store.read(cur)
+      .filter(col("cell").cast("string").isin(victimCells: _*))
+      .join(if (nClosed <= 1000000) broadcast(victimKeys) else victimKeys,
+        keyCols, "left_anti")
+    store.rewritePartitioned(survivors, cur, "cell", victimCells)
+    nClosed
+  }
+
   /** The live dimension: one row per key, as of the latest merge. */
   def current(store: TableStore, name: String): DataFrame =
     store.read(currentTable(name)).drop("cell")

@@ -132,6 +132,50 @@ class Scd2Spec extends SparkSpec {
     assert(got.size == 6)                // exactly one row per fact
   }
 
+  test("retire closes current rows, drops them from current, preserves time travel") {
+    import spark.implicits._
+    val store = tmpStore()
+    val v1 = cust
+    val v2 = v1.withColumn("c_acctbal", col("c_acctbal") + 1)
+    Scd2.merge(store, "rt", v1, keys, attrs, version = 1, nShards = 4)
+    Scd2.merge(store, "rt", v2, keys, attrs, version = 2)
+    val dead = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    val nDead = dead.count()
+
+    assert(Scd2.retire(store, "rt", dead, keys, version = 3) == nDead)
+    // gone from current, closed at 3 with their v2 state
+    assert(Scd2.current(store, "rt").count() == cust.count() - nDead)
+    val closed = Scd2.history(store, "rt")
+      .filter(col("valid_to") === 3)
+    assert(closed.count() == nDead)
+    assert(closed.filter(col("valid_from") =!= 2).count() == 0)
+    // time travel before the retirement still sees them
+    assert(Scd2.asOf(store, "rt", 2).count() == cust.count())
+    assert(Scd2.asOf(store, "rt", 3).count() == cust.count() - nDead)
+
+    // replay + retiring an unknown key are no-ops
+    assert(Scd2.retire(store, "rt", dead, keys, version = 3) == 0)
+    assert(Scd2.retire(store, "rt",
+      Seq(999999L).toDF("c_custkey"), keys, version = 3) == 0)
+    assert(graft.similarity.IndexStore.duplicateIdAudit(store, "rt__closed").isEmpty)
+
+    // resurrection: a later merge re-introduces a retired key with a
+    // fresh interval; the old closed interval is untouched
+    val back = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("BACK"))
+    val s = Scd2.merge(store, "rt",
+      Scd2.current(store, "rt").select("c_custkey", "c_mktsegment", "c_acctbal")
+        .unionByName(back.select("c_custkey", "c_mktsegment", "c_acctbal")),
+      keys, attrs, version = 4)
+    assert(s.inserted == nDead)
+    val k7 = Scd2.current(store, "rt")
+      .filter(pmod(col("c_custkey"), lit(7)) === 0)
+    assert(k7.count() == nDead &&
+      k7.filter(col("c_mktsegment") =!= "BACK").count() == 0)
+    assert(Scd2.history(store, "rt").filter(col("valid_to") === 3).count() == nDead)
+  }
+
   test("compact collapses per-merge files; history content identical") {
     val store = tmpStore()
     Scd2.merge(store, "cp", cust, keys, attrs, version = 1, nShards = 4)
