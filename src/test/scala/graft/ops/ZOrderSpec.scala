@@ -73,4 +73,54 @@ class ZOrderSpec extends SparkSpec {
     // and z-order's suppkey span beats the partkey-sorted layout's by far
     assert(avgSpan(zDir, "l_suppkey") < 0.5 * avgSpan(sDir, "l_suppkey"))
   }
+
+  /** The skip itself, not just the layout property (VERDICT r8 gap):
+    * run a selective scan over a clustered write and measure what the
+    * parquet reader actually materialized. Each written file is a
+    * single row-group, so pushed min/max stats let the reader drop
+    * whole files; the scan node's numOutputRows metric counts rows
+    * that survived row-group pruning — the real read cost. A narrow
+    * range on EITHER clustered column must read a small fraction of a
+    * z-ordered layout, while the same scan over a round-robin layout
+    * reads everything (every row-group spans the full key range).
+    */
+  test("read-side: a narrow range on either column skips most row-groups; round-robin layout reads all") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s } match {
+        case Seq() => plan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collect { case s: FileSourceScanExec => s }
+          case _ => Seq.empty
+        }
+        case s => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zDir = Files.createTempDirectory("zskip").toString + "/t"
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 32)
+      .write.parquet(zDir)
+    val rDir = Files.createTempDirectory("zskip_rr").toString + "/t"
+    li.repartition(32).write.parquet(rDir)
+
+    val total = li.count().toDouble
+    val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pLo, pW) = (st.getLong(0), (st.getLong(1) - st.getLong(0)) / 16)
+    val (sLo, sW) = (st.getLong(2), (st.getLong(3) - st.getLong(2)) / 8)
+
+    def scanned(dir: String, c: String, lo: Long, hi: Long): Long =
+      rowsScanned(spark.read.parquet(dir)
+        .filter(col(c) >= lo && col(c) <= hi)
+        .select(col("l_orderkey")))
+
+    // partkey range 1/16 of the domain: z-layout skips most row-groups
+    assert(scanned(zDir, "l_partkey", pLo, pLo + pW) < 0.3 * total)
+    // suppkey (the column a plain sort can't serve) too
+    assert(scanned(zDir, "l_suppkey", sLo, sLo + sW) < 0.5 * total)
+    // round-robin layout: stats span wall to wall, nothing skips
+    assert(scanned(rDir, "l_partkey", pLo, pLo + pW) > 0.9 * total)
+  }
 }
