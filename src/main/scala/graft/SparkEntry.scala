@@ -111,6 +111,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (Queries.qDedupSemantic _),
     "q_agg_incremental" -> (Queries.qAggIncremental _),
     "q_agg_topk" -> (Queries.qAggTopk _),
+    "q_agg_stream" -> (Queries.qAggStream _),
     "q_scd2" -> (Queries.qScd2 _),
     "q_scd2_asof" -> (Queries.qScd2Asof _),
     "q_scd2_retire" -> (Queries.qScd2Retire _),
@@ -1386,6 +1387,33 @@ object Oracles {
          SELECT b.l_returnflag, b.n, b.sum_qty, r.rn AS rank,
                 r.sk AS top_supp, r.cnt AS top_supp_n
          FROM b JOIN r USING (l_returnflag) WHERE r.rn <= 5""",
+
+    // streaming-sink gate for the sketch families: two epochs + a
+    // re-delivered epoch through rollupSink must equal the one-shot
+    // GROUP BY (both sketches exact-regime; p50 = rank-ceil(q*N))
+    "q_agg_stream" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_suppkey AS VARCHAR) AS sk,
+                      count(*) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, sk, cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, sk ASC) AS rn
+               FROM c),
+         o AS (SELECT l_returnflag, l_quantity,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity) AS rn2,
+                 count(*) OVER (PARTITION BY l_returnflag) AS nn
+               FROM lineitem),
+         q AS (SELECT l_returnflag,
+                 max(CASE WHEN rn2 = CAST(ceil(0.5 * nn) AS BIGINT)
+                     THEN l_quantity END) AS p50_l_quantity
+               FROM o GROUP BY 1),
+         b AS (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1)
+         SELECT b.l_returnflag, b.n, b.sum_qty, q.p50_l_quantity,
+                r.rn AS rank, r.sk AS top_supp, r.cnt AS top_supp_n
+         FROM b JOIN q USING (l_returnflag) JOIN r USING (l_returnflag)
+         WHERE r.rn <= 5""",
 
     // temporal as-of join against the SCD2 history: every as-of
     // attribute and its matched valid_from derive from the version
