@@ -1415,6 +1415,32 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("z"))
   }
 
+  /** Zone-map pruned read ([[graft.ops.ZoneMap]]): cluster lineitem
+    * by (l_partkey, l_suppkey), build the footer-only per-file
+    * min/max manifest, then answer a 1/16-of-the-domain partkey range
+    * through the manifest — candidate files driver-selected, residual
+    * filter over the survivors only. Hash-green against the plain
+    * filter proves the prune loses nothing (safety); ZoneMapSpec
+    * separately proves it actually skips (the candidate list is a
+    * small fraction of the files). Both range bounds derive from
+    * min/max with integer arithmetic so DuckDB reproduces them
+    * exactly.
+    */
+  def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val zdir = s"$indexQueryDir/zonemap_layout"
+    graft.ops.ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 32)
+      .write.mode("overwrite").parquet(zdir)
+    val mf = graft.ops.ZoneMap.build(s, zdir, Seq("l_partkey", "l_suppkey"))
+    val st = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val lo = st.getLong(0)
+    val hi = lo + (st.getLong(1) - lo) / 16
+    graft.ops.ZoneMap.prunedRead(s, zdir, mf, "l_partkey",
+      lo.toDouble, hi.toDouble)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

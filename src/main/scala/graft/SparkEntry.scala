@@ -118,6 +118,7 @@ object SparkEntry {
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
+    "q_zonemap_prune" -> (Queries.qZonemapPrune _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1483,6 +1484,17 @@ object Oracles {
            (((rp >> 6) & 1) << 12) + (((rs >> 6) & 1) << 13) +
            (((rp >> 7) & 1) << 14) + (((rs >> 7) & 1) << 15) AS z
          FROM r""",
+
+    // zone-map pruned read must equal the plain range filter — the
+    // bounds derive from min/max with integer floor division on both
+    // sides (values positive, so // matches Spark's long division)
+    "q_zonemap_prune" ->
+      """WITH s AS (SELECT min(l_partkey) AS lo,
+                      min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 16 AS hi
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         FROM lineitem, s
+         WHERE l_partkey >= s.lo AND l_partkey <= s.hi""",
 
     // per-window quantiles: exact regime (daily value cardinality
     // << 8192 bins) → exact rank-ceil(q*N) doubles via window SQL

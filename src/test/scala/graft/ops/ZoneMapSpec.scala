@@ -1,0 +1,77 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+
+  private lazy val li = graft.Tables.lineitem(spark, sf("lineitem"))
+
+  test("manifest agrees with a full scan's per-file min/max and row counts") {
+    val dir = Files.createTempDirectory("zm_build").toString + "/t"
+    li.repartition(8).write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("l_partkey", "l_quantity"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // 8 files × 2 columns, and footer stats equal scanned stats
+    assert(mf.size == 16)
+    val scanned = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").cast("double"), max("l_partkey").cast("double"),
+        min("l_quantity"), max("l_quantity"), count(lit(1)))
+      .collect()
+    scanned.foreach { r =>
+      val f = r.getString(0)
+      assert(mf((f, "l_partkey")) == ((r.getDouble(1), r.getDouble(2), r.getLong(5))))
+      assert(mf((f, "l_quantity")) == ((r.getDouble(3), r.getDouble(4), r.getLong(5))))
+    }
+  }
+
+  test("pruned read over a clustered layout: few candidate files, identical result") {
+    val dir = Files.createTempDirectory("zm_prune").toString + "/t"
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 32)
+      .write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("l_partkey", "l_suppkey"))
+    val all = spark.read.parquet(dir)
+    val st = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi) = (st.getLong(0), st.getLong(0) + (st.getLong(1) - st.getLong(0)) / 16)
+    val (sLo, sHi) = (st.getLong(2), st.getLong(2) + (st.getLong(3) - st.getLong(2)) / 8)
+
+    // the skip: a narrow range on EITHER clustered column keeps only a
+    // small fraction of the 32 files as candidates
+    val nFiles = all.inputFiles.length
+    val pCand = ZoneMap.candidateFiles(mf, all.inputFiles.toSeq, "l_partkey",
+      pLo.toDouble, pHi.toDouble)
+    val sCand = ZoneMap.candidateFiles(mf, all.inputFiles.toSeq, "l_suppkey",
+      sLo.toDouble, sHi.toDouble)
+    assert(pCand.length < 0.4 * nFiles, s"partkey candidates ${pCand.length}/$nFiles")
+    assert(sCand.length < 0.6 * nFiles, s"suppkey candidates ${sCand.length}/$nFiles")
+
+    // the safety: pruned read == plain filtered read, exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(canon(ZoneMap.prunedRead(spark, dir, mf, "l_partkey",
+        pLo.toDouble, pHi.toDouble)) ==
+      canon(all.filter(col("l_partkey") >= pLo && col("l_partkey") <= pHi)))
+    assert(canon(ZoneMap.prunedRead(spark, dir, mf, "l_suppkey",
+        sLo.toDouble, sHi.toDouble)) ==
+      canon(all.filter(col("l_suppkey") >= sLo && col("l_suppkey") <= sHi)))
+  }
+
+  test("a column with no manifest stats never prunes; an empty candidate set reads nothing") {
+    val dir = Files.createTempDirectory("zm_edge").toString + "/t"
+    li.limit(1000).repartition(4).write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("l_partkey"))
+    val all = spark.read.parquet(dir)
+    // l_quantity has no stats rows in this manifest → all files stay
+    assert(ZoneMap.candidateFiles(mf, all.inputFiles.toSeq, "l_quantity",
+      0, 1).length == all.inputFiles.length)
+    // a range outside the domain prunes everything and yields 0 rows
+    val none = ZoneMap.prunedRead(spark, dir, mf, "l_partkey", -100.0, -50.0)
+    assert(none.count() == 0)
+  }
+}
