@@ -1314,6 +1314,132 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Change-data-feed derived from the SCD2 history ([[graft.ops
+    * .Scd2.changes]]) — the q_scd2_retire lifecycle (three merges +
+    * a retire), then the FULL feed over (0, 4]: inserts at the version
+    * each key appeared, update pre/post image pairs at each attribute
+    * change, deletes at the retire. Hash-green means the open/close
+    * full-outer derivation classifies every event exactly as DuckDB
+    * derives it from the version definitions directly.
+    */
+  def qScd2Cdf(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_cdf")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    graft.ops.Scd2.changes(store, "dim", keys, fromVersion = 0, toVersion = 4)
+  }
+
+  /** Incremental materialized-view maintenance from the change feed
+    * ([[graft.ops.Scd2.mvDelta]]) — the CDC consumer the feed exists
+    * for: seed a (count, sum) MV per market segment from the version-1
+    * state, then advance it to version 4 by applying ONLY the signed
+    * change delta (never rescanning the dimension). Hash-green means
+    * seed + delta lands exactly on DuckDB's direct aggregate of the
+    * final state — inserts/postimages added, preimages/deletes
+    * subtracted, segment moves handled on both sides.
+    */
+  def qScd2Mv(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_mv")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    val seed = graft.ops.Scd2.asOf(store, "dim", 1)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("c_acctbal").as("sum_bal"))
+    val delta = graft.ops.Scd2.mvDelta(
+      graft.ops.Scd2.changes(store, "dim", keys, fromVersion = 1, toVersion = 4),
+      Seq("c_mktsegment"), Seq("c_acctbal"))
+    seed.join(delta, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        round(coalesce(col("sum_bal"), lit(0.0)) +
+          coalesce(col("d_c_acctbal"), lit(0.0)), 2).as("sum_bal"))
+      .filter(col("n") > 0)
+  }
+
+  /** Retention ([[graft.ops.Scd2.vacuum]]): the q_scd2_retire
+    * lifecycle, then closed intervals ending at or before version 3
+    * are physically dropped (a second vacuum is a no-op) — history
+    * keeps every current row plus only the retire-closed intervals
+    * (valid_to = 4). The oracle is q_scd2_retire's history minus the
+    * vacuumed intervals.
+    */
+  def qScd2Vacuum(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_vac")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    graft.ops.Scd2.vacuum(store, "dim", beforeVersion = 3)
+    graft.ops.Scd2.vacuum(store, "dim", beforeVersion = 3) // replay: no-op
+    graft.ops.Scd2.history(store, "dim")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** Temporal enrichment against the SCD2 history ([[graft.ops.Scd2
     * .asOfJoin]]) — THE query type-2 dimensions exist for: each fact
     * carries its own version, and the join selects the dimension row
@@ -2042,6 +2168,21 @@ object Queries {
     val index = IvfPq.build(emb, nLists = 16, m = 16, k = 16)
     Ann.recallAgainst(
       IvfPq.topK(index, emb, queries, kNeighbors = 5, nProbe = 4),
+      Ann.bruteForceTopK(queries, emb, k = 5))
+  }
+
+  /** Recall@5 of int8 scalar quantization ([[graft.similarity.Sq8]]:
+    * 4× compression, per-vector symmetric rounding, exact integer dot
+    * kernel) against brute-force float truth. Sq8Spec gates the value
+    * at ≥ 0.95 — SQ8's whole error budget is encode-time rounding, so
+    * it sits far above the PQ/LSH floors.
+    */
+  def qAnnSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val enc = graft.similarity.Sq8.encode(emb)
+    Ann.recallAgainst(
+      graft.similarity.Sq8.topK(enc.filter(col("vec_id") < 100), enc, k = 5),
       Ann.bruteForceTopK(queries, emb, k = 5))
   }
 

@@ -115,6 +115,9 @@ object SparkEntry {
     "q_scd2" -> (Queries.qScd2 _),
     "q_scd2_asof" -> (Queries.qScd2Asof _),
     "q_scd2_retire" -> (Queries.qScd2Retire _),
+    "q_scd2_cdf" -> (Queries.qScd2Cdf _),
+    "q_scd2_mv" -> (Queries.qScd2Mv _),
+    "q_scd2_vacuum" -> (Queries.qScd2Vacuum _),
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
@@ -148,6 +151,7 @@ object SparkEntry {
     "q_ann_lsh_recall" -> (Queries.qAnnLshRecall _),
     "q_ann_pq" -> (Queries.qAnnPq _),
     "q_ann_pq_recall" -> (Queries.qAnnPqRecall _),
+    "q_ann_sq8_recall" -> (Queries.qAnnSq8Recall _),
     "q_ann_ivfpq" -> (Queries.qAnnIvfPq _),
     "q_ann_ivfpq_recall" -> (Queries.qAnnIvfPqRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
@@ -1619,6 +1623,105 @@ object Oracles {
            UNION ALL
            SELECT k, seg, bal, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
            FROM v1 WHERE k % 3 = 0)
+         SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+           valid_from, valid_to, is_current
+         FROM hist""",
+
+    // change-data-feed over the retire lifecycle: the full (0,4]
+    // event stream derives straight from the version definitions —
+    // inserts where keys appear, pre/post pairs at each attribute
+    // change (new keys' v2 rows are inserts, not postimages), deletes
+    // with the final v3 state at the retire
+    "q_scd2_cdf" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v1 AS (SELECT * FROM base),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2),
+         chg AS (
+           SELECT k, seg, bal, 'insert' AS change_type,
+             CAST(1 AS BIGINT) AS commit_version FROM v1
+           UNION ALL
+           SELECT k, seg, bal, 'update_preimage', CAST(2 AS BIGINT)
+           FROM v1 WHERE k % 3 = 0
+           UNION ALL
+           SELECT k, seg, bal, 'update_postimage', CAST(2 AS BIGINT)
+           FROM v2 WHERE k % 3 = 0 AND k < 10000
+           UNION ALL
+           SELECT k, seg, bal, 'insert', CAST(2 AS BIGINT) FROM newr
+           UNION ALL
+           SELECT k, seg, bal, 'update_preimage', CAST(3 AS BIGINT)
+           FROM v2 WHERE k % 4 = 0
+           UNION ALL
+           SELECT k, seg, bal, 'update_postimage', CAST(3 AS BIGINT)
+           FROM v3 WHERE k % 4 = 0
+           UNION ALL
+           SELECT k, seg, bal, 'delete', CAST(4 AS BIGINT)
+           FROM v3 WHERE k % 7 = 0)
+         SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+           change_type, commit_version
+         FROM chg""",
+
+    // incremental MV: seed-at-v1 + signed change delta must equal the
+    // direct aggregate of the final surviving state
+    "q_scd2_mv" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2)
+         SELECT seg AS c_mktsegment, count(*) AS n,
+           round(sum(bal), 2) AS sum_bal
+         FROM v3 WHERE k % 7 <> 0
+         GROUP BY 1""",
+
+    // vacuum(before=3) over the retire lifecycle: q_scd2_retire's
+    // history minus every closed interval with valid_to <= 3 — only
+    // current rows and the retire-closed (valid_to=4) intervals remain
+    "q_scd2_vacuum" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2),
+         hist AS (
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k % 4 = 0 THEN 3
+                       WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM v3 WHERE k % 7 <> 0
+           UNION ALL
+           SELECT k, seg, bal,
+             CAST(CASE WHEN k % 4 = 0 THEN 3
+                       WHEN k >= 10000 THEN 2
+                       WHEN k % 3 = 0 THEN 2
+                       ELSE 1 END AS BIGINT),
+             CAST(4 AS BIGINT), FALSE
+           FROM v3 WHERE k % 7 = 0)
          SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
            valid_from, valid_to, is_current
          FROM hist""",

@@ -60,6 +60,53 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product over two `array<tinyint>` columns — the scoring
+  * kernel for int8 scalar-quantized embeddings ([[graft.similarity
+  * .Sq8]]). Accumulates in a 64-bit integer: 2^15 dims × 127² fits
+  * with ~2^48 headroom, so the kernel is EXACT integer arithmetic —
+  * no float-order sensitivity — and the only approximation in the
+  * SQ8 path is the quantization itself.
+  */
+case class ByteVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Count of positions where two `array<long>` columns hold equal
   * values — the MinHash signature-agreement kernel. The HOF
   * formulation (`aggregate(zip_with(a,b,=), 0, +)`) is interpreted
@@ -115,6 +162,10 @@ object VectorFunctions {
 
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Column API for [[ByteVecDot]]. */
+  def byteVecDot(a: Column, b: Column): Column =
+    GraftShim.column(ByteVecDot(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Column API for [[LongArrayAgree]]. */
   def longArrayAgree(a: Column, b: Column): Column =

@@ -54,6 +54,17 @@ object Scd2 {
 
   case class MergeStats(inserted: Long, changed: Long, unchanged: Long)
 
+  /** Byte-denominated broadcast gate (r8 verdict: the former 1M-ROW
+    * cutoffs mis-gate wide dimensions — 1M rows × a 500-byte schema is
+    * half a GB on the build side). Estimate = known row count × the
+    * schema's per-row default size, against a conservative 64 MiB
+    * executor-memory bound — the same denomination as Spark's own
+    * autoBroadcastJoinThreshold, sized for a build-side hash table.
+    */
+  private val maxBroadcastBytes: Long = 64L << 20
+  private def broadcastable(df: DataFrame, rows: Long): Boolean =
+    rows * df.schema.defaultSize <= maxBroadcastBytes
+
   private def readShards(store: TableStore, name: String): Int = {
     val mt = metaTable(name)
     require(store.exists(mt), s"scd2 '$name' not initialized")
@@ -147,8 +158,11 @@ object Scd2 {
     val snapRenamed = attrCols.foldLeft(snap)((df, a) =>
       df.withColumnRenamed(a, s"__new_$a"))
     val curSide = stored.withColumnRenamed("cell", "__cur_cell")
+    // byte-gated like every other broadcast here: pruned current ≈
+    // touched cells × the ~16k keys/cell the shard sizing targets ×
+    // the row width — not a bare cell count
     val joined = classifyJoin(snapRenamed, curSide, keyCols,
-      broadcastCur = touched.size <= 32)
+      broadcastCur = broadcastable(curSide, touched.size.toLong << 14))
       .withColumn("__class",
         when(col("valid_from").isNull, lit("new"))
           .when(changedPred, lit("changed"))
@@ -191,7 +205,8 @@ object Scd2 {
         .collect().map(_.getString(0)).toSeq
       val replacedRaw = deltaRows.select(keyCols.map(col): _*)
       val replacedKeys =
-        if (stats.inserted + stats.changed <= 1000000) broadcast(replacedRaw)
+        if (broadcastable(replacedRaw, stats.inserted + stats.changed))
+          broadcast(replacedRaw)
         else replacedRaw
       val survivors = store.read(cur)
         .filter(col("cell").cast("string").isin(changedCells: _*))
@@ -242,7 +257,7 @@ object Scd2 {
     // read the table this call mutates
     val victims = store.read(cur)
       .filter(col("cell").cast("string").isin(touched: _*))
-      .join(if (nKeys <= 1000000) broadcast(feed) else feed,
+      .join(if (broadcastable(feed, nKeys)) broadcast(feed) else feed,
         keyCols, "semi")
       .localCheckpoint()
     val nClosed = victims.count()
@@ -264,8 +279,8 @@ object Scd2 {
     val victimKeys = victims.select(keyCols.map(col): _*)
     val survivors = store.read(cur)
       .filter(col("cell").cast("string").isin(victimCells: _*))
-      .join(if (nClosed <= 1000000) broadcast(victimKeys) else victimKeys,
-        keyCols, "left_anti")
+      .join(if (broadcastable(victimKeys, nClosed)) broadcast(victimKeys)
+        else victimKeys, keyCols, "left_anti")
     store.rewritePartitioned(survivors, cur, "cell", victimCells)
     nClosed
   }
@@ -333,6 +348,130 @@ object Scd2 {
     facts.join(covered, cond, "left")
       .drop((keyCols.map(k => s"__k_$k") :+ "__vt"): _*)
       .withColumnRenamed("__vf", "valid_from")
+  }
+
+  /** Change-data-feed between versions — every change event with
+    * commit version in (fromVersion, toVersion], derived entirely
+    * from the history's validity intervals (no extra state table; the
+    * append-only history IS the change log). Output: keys…, attrs…,
+    * `change_type` ∈ {insert, update_preimage, update_postimage,
+    * delete}, `commit_version` — the Delta-CDF surface, feeding the
+    * standard downstream consumers (incremental materialized-view
+    * maintenance, replication, audit).
+    *
+    * Derivation: an interval OPENING at v is an insert or an update's
+    * postimage; an interval CLOSING at v is an update's preimage or a
+    * delete (a retire closes without reopening). Which one is decided
+    * by a full-outer self-join of openings against closings on
+    * (key, version): both sides present → update pre+post, open only →
+    * insert, close only → delete.
+    *
+    * 100 TB shape: both join inputs are version-range-filtered BEFORE
+    * the join — an incremental consumer asking for (v, v+1] joins two
+    * delta-sized sets regardless of history size — and the join is an
+    * equi-join on (key, version), one hash shuffle, no interval logic
+    * in the condition (intervals per key are disjoint, so (key,
+    * version) is unique on each side).
+    */
+  def changes(
+      store: TableStore,
+      name: String,
+      keyCols: Seq[String],
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(keyCols.nonEmpty)
+    val h = history(store, name).drop("is_current")
+    val attrCols =
+      h.columns.toSeq.filterNot(c =>
+        keyCols.contains(c) || c == "valid_from" || c == "valid_to")
+    val opens = h
+      .filter(col("valid_from") > fromVersion && col("valid_from") <= toVersion)
+      .select((keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__o_$c")) :+
+        col("valid_from").as("commit_version")): _*)
+    val closes = h
+      .filter(col("valid_to").isNotNull &&
+        col("valid_to") > fromVersion && col("valid_to") <= toVersion)
+      .select((keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__c_$c")) :+
+        col("valid_to").as("commit_version")): _*)
+    // presence on each side is tagged structurally BEFORE the join —
+    // probing an attr column for null would misread a row whose attrs
+    // are legitimately all null
+    val o2 = opens.withColumn("__opened", lit(true))
+    val c2 = closes.withColumn("__closed", lit(true))
+    val j = o2.join(c2, keyCols :+ "commit_version", "full_outer")
+    val isOpen = col("__opened") <=> lit(true)
+    val isClose = col("__closed") <=> lit(true)
+    val pre = j.filter(isClose)
+      .select((keyCols.map(col) ++
+        attrCols.map(c => col(s"__c_$c").as(c)) :+
+        when(isOpen, lit("update_preimage")).otherwise(lit("delete"))
+          .as("change_type") :+
+        col("commit_version")): _*)
+    val post = j.filter(isOpen)
+      .select((keyCols.map(col) ++
+        attrCols.map(c => col(s"__o_$c").as(c)) :+
+        when(isClose, lit("update_postimage")).otherwise(lit("insert"))
+          .as("change_type") :+
+        col("commit_version")): _*)
+    pre.unionByName(post)
+  }
+
+  /** The standard [[changes]] consumer: turn a change feed into the
+    * signed per-group delta of a count/sum materialized view —
+    * inserts and update postimages add, update preimages and deletes
+    * subtract. Adding the result to the MV's stored rows advances it
+    * to the feed's end version WITHOUT touching the dimension again:
+    * the incremental-view-maintenance algebra (count and sum are
+    * self-inverse under signed deltas; min/max are not, which is why
+    * they're absent from this surface).
+    *
+    * Output: groupCols…, d_n (signed row delta), d_<m> per measure.
+    * 100 TB shape: one aggregation over the delta-sized feed — MV
+    * refresh cost tracks the CHANGE volume, not the dimension size.
+    */
+  def mvDelta(
+      feed: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty)
+    val sign = when(
+      col("change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    feed
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__sign")).as("d_n"),
+        sumCols.map(m =>
+          sum(col("__sign") * col(m)).as(s"d_$m")): _*)
+  }
+
+  /** Retention: physically drop closed intervals that ended at or
+    * before `beforeVersion`. Current rows never expire (the live
+    * dimension is always complete); [[asOf]] and [[changes]] at
+    * versions ≤ the cutoff become intentionally incomplete — that IS
+    * vacuum's contract, trading history depth for storage, exactly as
+    * Delta's VACUUM bounds time travel. Only cells actually holding an
+    * expired row rewrite (the touched-partition discipline of every
+    * mutation here); a re-run finds nothing expired and touches
+    * nothing. Returns rows removed.
+    */
+  def vacuum(store: TableStore, name: String, beforeVersion: Long): Long = {
+    val ct = closedTable(name)
+    if (!store.exists(ct)) return 0L
+    val closed = store.read(ct)
+    val expired = closed.filter(col("valid_to") <= beforeVersion)
+    val cells = expired.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (cells.isEmpty) return 0L
+    val n = expired.count()
+    val survivors = closed
+      .filter(col("cell").cast("string").isin(cells: _*))
+      .filter(col("valid_to") > beforeVersion)
+    store.rewritePartitioned(survivors, ct, "cell", cells)
+    n
   }
 
   /** Collapse the per-merge file accumulation in both tables — every

@@ -37,11 +37,16 @@ object ZoneMap {
     * the file's row count. Footer reads fan out across executors —
     * the data pages are never touched.
     */
-  def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
-    val files = spark.read.parquet(dir).inputFiles
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    buildForFiles(spark, spark.read.parquet(dir).inputFiles.toSeq, cols)
+
+  private def buildForFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      cols: Seq[String]): DataFrame = {
     val want = cols.toSet
     val rows = spark.sparkContext
-      .parallelize(files.toSeq, math.max(1, math.min(files.length, 64)))
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
         val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
         val r = ParquetFileReader.open(in)
@@ -78,6 +83,32 @@ object ZoneMap {
       }
     spark.createDataFrame(rows)
       .toDF("file", "column", "min_value", "max_value", "file_rows")
+  }
+
+  /** Incremental manifest maintenance: footer-read ONLY files that
+    * appeared since `manifest` was built, drop rows for files that
+    * vanished (compaction, vacuum), carry everything else over
+    * untouched. An appending table refreshes in O(new files) — the
+    * property that makes a statistics manifest viable at 100 TB,
+    * where a full rebuild would re-open 10⁵+ footers per batch while
+    * a streaming ingest adds a handful.
+    *
+    * Returns (manifest', footersRead) — the count is the cost receipt
+    * the incremental contract is asserted on.
+    */
+  def refresh(
+      spark: SparkSession,
+      dir: String,
+      manifest: DataFrame,
+      cols: Seq[String]): (DataFrame, Long) = {
+    val live = spark.read.parquet(dir).inputFiles.toSet
+    val known = manifest.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (live -- known).toSeq.sorted
+    val kept = manifest.filter(col("file").isin(live.toSeq: _*))
+    if (fresh.isEmpty) return (kept, 0L)
+    val added = buildForFiles(spark, fresh, cols)
+    (kept.unionByName(added), fresh.length.toLong)
   }
 
   /** Files whose [min,max] on `column` intersects [lo, hi] — plus any

@@ -176,6 +176,66 @@ class Scd2Spec extends SparkSpec {
     assert(Scd2.history(store, "rt").filter(col("valid_to") === 3).count() == nDead)
   }
 
+  test("changes: CDF classifies insert / update pre+post / delete per commit version") {
+    import spark.implicits._
+    val store = tmpStore()
+    val small = cust.filter(col("c_custkey") <= 30)
+    Scd2.merge(store, "cd", small, keys, attrs, version = 1, nShards = 4)
+    val v2 = small.withColumn("c_acctbal",
+      when(col("c_custkey") <= 10, col("c_acctbal") + 5)
+        .otherwise(col("c_acctbal")))
+    Scd2.merge(store, "cd", v2, keys, attrs, version = 2)
+    Scd2.retire(store, "cd",
+      Seq(15L).toDF("c_custkey"), keys, version = 3)
+
+    val feed = Scd2.changes(store, "cd", keys, fromVersion = 0, toVersion = 3)
+    val byType = feed.groupBy("change_type", "commit_version").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = small.count()
+    val nUpd = small.filter(col("c_custkey") <= 10).count()
+    assert(byType(("insert", 1L)) == n)
+    assert(byType(("update_preimage", 2L)) == nUpd)
+    assert(byType(("update_postimage", 2L)) == nUpd)
+    assert(byType(("delete", 3L)) == 1L)
+    assert(byType.size == 4)
+    // pre/post carry the right states
+    val pre = feed.filter(col("change_type") === "update_preimage" &&
+      col("c_custkey") === 1).head()
+    val post = feed.filter(col("change_type") === "update_postimage" &&
+      col("c_custkey") === 1).head()
+    assert(post.getDouble(post.fieldIndex("c_acctbal")) ==
+      pre.getDouble(pre.fieldIndex("c_acctbal")) + 5)
+    // an incremental consumer reading only (2, 3] sees just the delete
+    val tail = Scd2.changes(store, "cd", keys, fromVersion = 2, toVersion = 3)
+    assert(tail.select("change_type").collect().map(_.getString(0)).toSeq ==
+      Seq("delete"))
+  }
+
+  test("vacuum drops closed intervals at/before the cutoff; current untouched; rerun no-op") {
+    val store = tmpStore()
+    val v1 = cust
+    val v2 = v1.withColumn("c_acctbal", col("c_acctbal") + 1)
+    val v3 = v2.withColumn("c_acctbal", col("c_acctbal") + 1)
+    Scd2.merge(store, "vc", v1, keys, attrs, version = 1, nShards = 4)
+    Scd2.merge(store, "vc", v2, keys, attrs, version = 2)
+    Scd2.merge(store, "vc", v3, keys, attrs, version = 3)
+    val n = cust.count()
+    assert(Scd2.history(store, "vc").count() == 3 * n)
+
+    // drop the [1,2) generation only
+    assert(Scd2.vacuum(store, "vc", beforeVersion = 2) == n)
+    val h = Scd2.history(store, "vc")
+    assert(h.count() == 2 * n)
+    assert(h.filter(col("valid_to") === 2).count() == 0)
+    assert(h.filter(col("valid_to") === 3).count() == n)
+    assert(Scd2.current(store, "vc").count() == n)
+    // time travel above the cutoff is intact
+    assert(Scd2.asOf(store, "vc", 2).count() == n)
+    // rerun finds nothing
+    assert(Scd2.vacuum(store, "vc", beforeVersion = 2) == 0)
+    assert(Scd2.history(store, "vc").count() == 2 * n)
+  }
+
   test("compact collapses per-merge files; history content identical") {
     val store = tmpStore()
     Scd2.merge(store, "cp", cust, keys, attrs, version = 1, nShards = 4)

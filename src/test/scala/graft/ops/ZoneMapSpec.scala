@@ -62,6 +62,34 @@ class ZoneMapSpec extends SparkSpec {
       canon(all.filter(col("l_suppkey") >= sLo && col("l_suppkey") <= sHi)))
   }
 
+  test("refresh is incremental: appended files footer-read, vanished files dropped, rest carried") {
+    val dir = Files.createTempDirectory("zm_refresh").toString + "/t"
+    li.filter(col("l_orderkey") % 2 === 0).repartition(6).write.parquet(dir)
+    val mf0 = ZoneMap.build(spark, dir, Seq("l_partkey"))
+
+    // append a batch → refresh reads ONLY the new footers
+    li.filter(col("l_orderkey") % 2 === 1).repartition(3)
+      .write.mode("append").parquet(dir)
+    val (mf1, read1) = ZoneMap.refresh(spark, dir, mf0, Seq("l_partkey"))
+    assert(read1 == 3L, s"expected 3 new footers, read $read1")
+    // and the refreshed manifest equals a from-scratch build
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(canon(mf1) == canon(ZoneMap.build(spark, dir, Seq("l_partkey"))))
+
+    // steady state: nothing new → zero footers read, manifest unchanged
+    val (mf2, read2) = ZoneMap.refresh(spark, dir, mf1, Seq("l_partkey"))
+    assert(read2 == 0L && canon(mf2) == canon(mf1))
+
+    // compaction rewrites the layout → stale rows dropped, new read
+    val tmp = Files.createTempDirectory("zm_refresh2").toString + "/t"
+    spark.read.parquet(dir).repartition(2).write.parquet(tmp)
+    val (mf3, read3) = ZoneMap.refresh(spark, tmp, mf1, Seq("l_partkey"))
+    assert(read3 == 2L)
+    assert(canon(mf3) == canon(ZoneMap.build(spark, tmp, Seq("l_partkey"))))
+  }
+
   test("a column with no manifest stats never prunes; an empty candidate set reads nothing") {
     val dir = Files.createTempDirectory("zm_edge").toString + "/t"
     li.limit(1000).repartition(4).write.parquet(dir)
