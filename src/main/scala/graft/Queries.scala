@@ -1567,6 +1567,28 @@ object Queries {
         col("l_partkey"), col("l_suppkey"))
   }
 
+  /** Bloom-file-index pruned point lookup ([[graft.ops
+    * .BloomFileIndex]]): lay lineitem out hash-partitioned by
+    * l_orderkey (each key's rows in ONE file — and unclustered, the
+    * zone-map worst case), build the per-file bloom index, probe
+    * three deterministic mid-range orderkeys through it. The bloom
+    * skips every file that can't hold the keys (BloomFileIndexSpec
+    * proves the skip); hash-green against DuckDB's plain IN proves
+    * the prune loses nothing.
+    */
+  def qBloomindexPoint(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bdir = s"$indexQueryDir/bloomindex_layout"
+    li.repartition(32, col("l_orderkey")).write.mode("overwrite").parquet(bdir)
+    val idx = graft.ops.BloomFileIndex.build(s, bdir, "l_orderkey",
+      expectedPerFile = 1L << 16)
+    val keys = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .offset(500).limit(3).collect().map(_.getLong(0)).toSeq
+    graft.ops.BloomFileIndex.prunedRead(s, bdir, idx, "l_orderkey", keys)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+  }
+
   /** SemDeDup (the sixth dedup family, [[graft.similarity.SemDedup]])
     * under INJECTED deterministic centroids — the embeddings of
     * vec_id 0..7, collected in id order so cell index ≡ centroid's

@@ -122,6 +122,7 @@ object SparkEntry {
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
+    "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1499,6 +1500,15 @@ object Oracles {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem, s
          WHERE l_partkey >= s.lo AND l_partkey <= s.hi""",
+
+    // bloom-index pruned point read must equal the plain IN filter;
+    // the probed keys are the 3 distinct orderkeys at offset 500 in
+    // key order on both sides
+    "q_bloomindex_point" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem
+                    ORDER BY l_orderkey LIMIT 3 OFFSET 500)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)""",
 
     // per-window quantiles: exact regime (daily value cardinality
     // << 8192 bins) → exact rank-ceil(q*N) doubles via window SQL

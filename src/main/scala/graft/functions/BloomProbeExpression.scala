@@ -128,6 +128,48 @@ case class BloomMerge(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** True when the serialized bloom might contain ANY of an array of
+  * xxhash64 values — the per-file bloom-index probe
+  * ([[graft.ops.BloomFileIndex]]). Unlike [[CellBloomMightContain]]
+  * this parses the filter per ROW, which is exactly right for its
+  * use: the index holds ONE row per file and each row is probed once
+  * per query, so a cache would never hit (and a shared cache keyed by
+  * anything file-derived risks collisions returning the wrong
+  * filter). The hash array is typically constant-folded literals.
+  */
+case class BloomMightContainAny(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_any"
+
+  def probeAny(bloom: Array[Byte], hashes: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (bf.mightContainLong(hashes.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    probeAny(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomAnyProbe", this, classOf[BloomMightContainAny].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.probeAny($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BloomProbeFunctions {
   /** True when `bloom` (the row's cell sidecar filter, NULL = no prior
     * ids) might contain `hash`; see [[CellBloomMightContain]].
@@ -135,6 +177,13 @@ object BloomProbeFunctions {
   def cellBloomMightContain(cell: Column, bloom: Column, hash: Column): Column =
     GraftShim.column(CellBloomMightContain(
       GraftShim.expression(cell), GraftShim.expression(bloom), GraftShim.expression(hash)))
+
+  /** Any-of probe of a serialized bloom against an `array<long>` of
+    * xxhash64 values; see [[BloomMightContainAny]].
+    */
+  def bloomMightContainAny(bloom: Column, hashes: Column): Column =
+    GraftShim.column(BloomMightContainAny(
+      GraftShim.expression(bloom), GraftShim.expression(hashes)))
 
   /** Union of two serialized blooms (same parameters); see [[BloomMerge]]. */
   def bloomMerge(a: Column, b: Column): Column =

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomProbeFunctions
+
+/** Per-file bloom index: the POINT-lookup complement of [[ZoneMap]]'s
+  * range manifest — the same role Delta's bloom-filter index or
+  * Parquet's own column blooms play. Zone maps prune when the layout
+  * clusters the column (min/max spans are narrow); a bloom index
+  * prunes equality probes on a HIGH-CARDINALITY column regardless of
+  * layout — "which files hold order 123456" on a table laid out by
+  * date — where every file's min/max straddles the probe value and
+  * zone maps keep everything.
+  *
+  * Index shape: one row per file — (file, n_rows, bloom, capacity,
+  * num_bits). Build is one column-pruned scan, aggregated per file
+  * with Spark's BloomFilterAggregate (the same kernel as the ANN
+  * id-bloom sidecars, map-side partials, no driver fold). Size the
+  * capacity to rows-per-file: numBits/8 bytes per file (~1.2 MB at
+  * the 2^20/1% default) — a ~1% overhead beside a 128 MB file.
+  *
+  * Probe discipline at 100 TB: the index DataFrame is never collected
+  * whole. [[candidateStatus]] evaluates the bloom probes on EXECUTORS
+  * (one parse per file row) and collects only (file, hit) booleans —
+  * kilobytes for 10⁵ files — then the driver assembles the candidate
+  * list: bloom-negative files are skipped (no false negatives by
+  * bloom contract), unknown files (no index row) are always read.
+  * The residual `isin` filter still runs over the survivors — the
+  * index is necessary, never trusted as sufficient.
+  *
+  * Hash contract: values are hashed with `xxhash64` of the column's
+  * NATIVE type at build time; probe literals must carry the same type
+  * (a LongType build probed with an int literal hashes differently
+  * and silently keeps nothing but unknowns).
+  */
+object BloomFileIndex {
+
+  /** Build the index for `column` over the parquet files under `dir`. */
+  def build(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      expectedPerFile: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame =
+    buildForFiles(spark, spark.read.parquet(dir).inputFiles.toSeq,
+      spark.read.parquet(dir).schema, column, expectedPerFile, fpp)
+
+  private def buildForFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      column: String,
+      expectedPerFile: Long,
+      fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedPerFile, fpp).bitSize()
+    val src =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val agg = org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftShim.expression(xxhash64(col(column))),
+        Literal(expectedPerFile), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+    src
+      .select(input_file_name().as("file"), col(column))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"), agg.as("bloom"))
+      .withColumn("capacity", lit(expectedPerFile))
+      .withColumn("num_bits", lit(numBits))
+  }
+
+  /** Incremental maintenance, same contract as [[ZoneMap.refresh]]:
+    * scan only files that appeared since the index was built, drop
+    * rows for vanished files. Returns (index', filesScanned).
+    */
+  def refresh(
+      spark: SparkSession,
+      dir: String,
+      index: DataFrame,
+      column: String,
+      expectedPerFile: Long = 1L << 20,
+      fpp: Double = 0.01): (DataFrame, Long) = {
+    val reader = spark.read.parquet(dir)
+    val live = reader.inputFiles.toSet
+    val known = index.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (live -- known).toSeq.sorted
+    val kept = index.filter(col("file").isin(live.toSeq: _*))
+    if (fresh.isEmpty) return (kept, 0L)
+    val added = buildForFiles(spark, fresh, reader.schema, column,
+      expectedPerFile, fpp)
+    (kept.unionByName(added), fresh.length.toLong)
+  }
+
+  /** Executor-side probe: (file, hit) per indexed file — the ONLY
+    * thing collected; bloom bytes never reach the driver.
+    */
+  private def candidateStatus(
+      index: DataFrame,
+      hashes: Column): Array[(String, Boolean)] =
+    index.select(col("file"),
+      BloomProbeFunctions.bloomMightContainAny(col("bloom"), hashes).as("hit"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+
+  /** Files that might hold any of `values` in `column`: bloom-positive
+    * indexed files plus every unindexed file (unknown never prunes).
+    */
+  def candidateFiles(
+      index: DataFrame,
+      allFiles: Seq[String],
+      values: Seq[Any]): Seq[String] = {
+    val hashes = array(values.map(v => xxhash64(lit(v))): _*)
+    val status = candidateStatus(index, hashes).toMap
+    allFiles.filter(f => status.getOrElse(f, true))
+  }
+
+  /** Read only candidate files, then apply the equality predicate
+    * exactly. Result is identical to the unpruned `isin` read.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      index: DataFrame,
+      column: String,
+      values: Seq[Any]): DataFrame = {
+    val all = spark.read.parquet(dir)
+    val cand = candidateFiles(index, all.inputFiles.toSeq, values)
+    val src =
+      if (cand.isEmpty) all.limit(0)
+      else spark.read.schema(all.schema).parquet(cand: _*)
+    src.filter(col(column).isin(values: _*))
+  }
+}
