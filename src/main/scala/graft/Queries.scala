@@ -365,6 +365,39 @@ object Queries {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Ordered funnel over the events table ([[graft.ops.EventAnalytics
+    * .funnel]]): view → click → purchase, anchored at each user's
+    * first view, every later step strictly after the previous and
+    * within 7 days of the anchor. Output is the funnel chart (step,
+    * users). Hash-green means the k-join min-chain reproduces
+    * DuckDB's CTE derivation of the same anchored semantics exactly.
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.ops.EventAnalytics.funnel(
+      t(s, dir, "events"), Seq("view", "click", "purchase"),
+      windowSecs = 7L * 24 * 3600)
+    graft.ops.EventAnalytics.funnelCounts(f, nSteps = 3)
+  }
+
+  /** Regular-grid resample with gap filling ([[graft.ops
+    * .EventAnalytics.fillGaps]]): hourly event counts and value sums
+    * over the COMPLETE hour spine from first to last event — missing
+    * hours appear with n=0/sum=0 — plus the hourly mean
+    * forward-filled across gaps (last non-null earlier hour). The
+    * spine is calendar-sized (span/step), so the fill runs on
+    * metadata-scale rows no matter the event volume.
+    */
+  def qEventsResample(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+        round(avg("value"), 6).as("avg_value"))
+    graft.ops.EventAnalytics.fillGaps(agg, "bucket", stepSecs = 3600,
+      zeroFillCols = Seq("n", "sv"), ffillCols = Seq("avg_value"))
+      .select(col("bucket"), col("n"), round(col("sv"), 2).as("sum_value"),
+        col("avg_value"))
+  }
+
   /** TPC-H Q3 shape — selective star join + grouped top-k by revenue. */
   def qTpchQ3(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

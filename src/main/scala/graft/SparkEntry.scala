@@ -119,6 +119,8 @@ object SparkEntry {
     "q_scd2_mv" -> (Queries.qScd2Mv _),
     "q_scd2_vacuum" -> (Queries.qScd2Vacuum _),
     "q_events_topk" -> (Queries.qEventsTopk _),
+    "q_events_funnel" -> (Queries.qEventsFunnel _),
+    "q_events_resample" -> (Queries.qEventsResample _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
@@ -1509,6 +1511,41 @@ object Oracles {
                     ORDER BY l_orderkey LIMIT 3 OFFSET 500)
          SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)""",
+
+    // anchored funnel: first view anchors the 7-day deadline; each
+    // later step is the earliest qualifying event after the previous
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+                FROM s1 JOIN events e ON e.user_id = s1.user_id
+                  AND e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, min(e.ts) AS t3
+                FROM s2 JOIN events e ON e.user_id = s2.user_id
+                  AND e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+                GROUP BY 1)
+         SELECT CAST(1 AS INT) AS step, (SELECT count(*) FROM s1) AS users
+         UNION ALL SELECT CAST(2 AS INT), (SELECT count(*) FROM s2)
+         UNION ALL SELECT CAST(3 AS INT), (SELECT count(*) FROM s3)""",
+
+    // hourly resample over the complete spine: gaps zero-filled for
+    // n/sum, mean forward-filled. avg rounds at 6, not 2: avg of
+    // 2-decimal data over n rows is a STRUCTURAL midpoint at 2
+    // decimals (x.xx5) where Spark and DuckDB round differently
+    "q_events_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+                      sum(value) AS sv, round(avg(value), 6) AS av
+                    FROM events GROUP BY 1),
+         s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                 (SELECT max(bucket) FROM b), INTERVAL 1 HOUR)) AS bucket)
+         SELECT bucket, coalesce(n, 0) AS n,
+           round(coalesce(sv, 0), 2) AS sum_value,
+           last_value(av IGNORE NULLS) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+         FROM s LEFT JOIN b USING (bucket)""",
 
     // per-window quantiles: exact regime (daily value cardinality
     // << 8192 bins) → exact rank-ceil(q*N) doubles via window SQL

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics: funnels and regular-grid resampling — the
+  * two standard event-table operators the streaming module
+  * (streaming/EventsStream.scala: windows, sessionize, as-of) doesn't
+  * cover.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel, anchored at each user's FIRST step-1 event (the
+    * product-analytics convention: "of users who entered, how far did
+    * they get"): t₁ = min ts of steps(0); tᵢ = earliest steps(i)
+    * event with tᵢ₋₁ < tᵢ ≤ t₁ + window. Anchoring makes the result
+    * deterministic and SQL-derivable — the alternative ("any
+    * qualifying chain") needs per-user sequence scan state and can't
+    * anchor a completion deadline.
+    *
+    * Returns one row per user who entered: user col, step_1..step_k
+    * timestamps (NULL once a step wasn't reached in order/window),
+    * and `steps_completed`.
+    *
+    * 100 TB shape: k-1 hash equi-joins on the user key, each against
+    * the previous step's one-row-per-user frame (the small side after
+    * step 1 — funnels narrow), with the event side filtered to ONE
+    * event type before the join. No windows over raw events, no
+    * per-user buffers.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowSecs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val anchor = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("step_1"))
+      .withColumn("__deadline",
+        col("step_1") + expr(s"INTERVAL $windowSecs SECONDS"))
+    val done = steps.zipWithIndex.tail.foldLeft(anchor) { case (acc, (st, i)) =>
+      val prev = s"step_$i"
+      val cur = s"step_${i + 1}"
+      val evs = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__t"))
+      // group by the user key ALONE (step/deadline cols ride via
+      // first(): they're functionally dependent on the user) — the
+      // join output is already hash-partitioned on it, so every
+      // aggregation in the chain reuses that exchange; grouping by
+      // the composite key would re-shuffle per step
+      val carried = ((1 to i).map(j => s"step_$j") :+ "__deadline")
+        .map(c => first(col(c)).as(c))
+      val aggs = carried :+ min(when(col("__ok"), col("__t"))).as(cur)
+      acc.join(evs, Seq(userCol), "left")
+        .withColumn("__ok",
+          col("__t") > col(prev) && col("__t") <= col("__deadline"))
+        .groupBy(col(userCol))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    done.drop("__deadline")
+      .withColumn("steps_completed",
+        (1 to steps.size).map(i => when(col(s"step_$i").isNotNull, 1)
+          .otherwise(0)).reduce(_ + _))
+  }
+
+  /** Per-step distinct-user counts from [[funnel]]'s output — the
+    * funnel chart. Steps with zero survivors still appear.
+    */
+  def funnelCounts(funnelDf: DataFrame, nSteps: Int): DataFrame = {
+    val counts = funnelDf.agg(
+      count(when(col("step_1").isNotNull, 1)).as("c_1"),
+      (2 to nSteps).map(i =>
+        count(when(col(s"step_$i").isNotNull, 1)).as(s"c_$i")): _*)
+    val spark = funnelDf.sparkSession
+    import spark.implicits._
+    val steps = (1 to nSteps).toDF("step")
+    steps.crossJoin(broadcast(counts))
+      .select(col("step"),
+        (1 to nSteps).map(i =>
+          when(col("step") === i, col(s"c_$i"))).reduce(coalesce(_, _))
+          .as("users"))
+      .orderBy("step")
+  }
+
+  /** Regular-grid gap filling over an already-aggregated frame (one
+    * row per (keys…, bucket)): generate the complete bucket spine
+    * from each key group's min to max bucket, left-join the data in,
+    * zero-fill `zeroFillCols`, forward-fill `ffillCols` (last
+    * non-null earlier bucket in the group).
+    *
+    * 100 TB shape: runs AFTER aggregation, so the row count is
+    * calendar-sized (span/step per key), not event-sized; the spine
+    * explode and the ffill window both ride the key partitioning.
+    * With no keys the single window partition is still calendar-sized
+    * — bounded by time, not data.
+    */
+  def fillGaps(
+      aggregated: DataFrame,
+      bucketCol: String,
+      stepSecs: Long,
+      keyCols: Seq[String] = Seq.empty,
+      zeroFillCols: Seq[String] = Seq.empty,
+      ffillCols: Seq[String] = Seq.empty): DataFrame = {
+    val keyC = keyCols.map(col)
+    val span =
+      if (keyCols.isEmpty) aggregated.agg(
+        min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+      else aggregated.groupBy(keyC: _*).agg(
+        min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val spine = span.select((keyC :+
+      explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSecs SECONDS"))).as(bucketCol)): _*)
+    val joined = spine.join(aggregated, keyCols :+ bucketCol, "left")
+    val zeroed = zeroFillCols.foldLeft(joined)((df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(0))))
+    if (ffillCols.isEmpty) zeroed
+    else {
+      val w = (if (keyCols.isEmpty) Window.partitionBy()
+        else Window.partitionBy(keyC: _*))
+        .orderBy(col(bucketCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ffillCols.foldLeft(zeroed)((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    }
+  }
+}
