@@ -1600,6 +1600,25 @@ object Queries {
         col("l_partkey"), col("l_suppkey"))
   }
 
+  /** Declarative data-quality expectations ([[graft.ops
+    * .Expectations]]): six contract rules over orders — not-null,
+    * key uniqueness, accepted status set, a price range tight enough
+    * to FAIL (violations > 0), a priority regex that splits the
+    * table, and a composite-key uniqueness — all counted in one
+    * aggregation over one scan. Hash-green means every violation
+    * count and pass flag matches DuckDB's direct derivation.
+    */
+  def qDqReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    check(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      InRange("o_totalprice", 0.0, 300000.0),
+      MatchesRegex("o_orderpriority", "^1-"),
+      Unique(Seq("o_custkey", "o_orderdate"))))
+  }
+
   /** Bloom-file-index pruned point lookup ([[graft.ops
     * .BloomFileIndex]]): lay lineitem out hash-partitioned by
     * l_orderkey (each key's rows in ONE file — and unclustered, the

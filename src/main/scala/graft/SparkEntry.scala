@@ -125,6 +125,7 @@ object SparkEntry {
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
+    "q_dq_report" -> (Queries.qDqReport _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1502,6 +1503,41 @@ object Oracles {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem, s
          WHERE l_partkey >= s.lo AND l_partkey <= s.hi""",
+
+    // expectations report: per-rule violation counts + pass flags,
+    // rows_checked = table count; count(CASE) keeps BIGINT on both
+    // sides (DuckDB sum(CASE) would widen to HUGEINT)
+    "q_dq_report" ->
+      """WITH t AS (SELECT count(*) AS total FROM orders)
+         SELECT 'not_null(o_custkey)' AS rule,
+           (SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) AS violations,
+           total AS rows_checked, (SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) = 0 AS pass FROM t
+         UNION ALL
+         SELECT 'unique(o_orderkey)',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+           total, (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0 FROM t
+         UNION ALL
+         SELECT 'accepted_values(o_orderstatus)',
+           (SELECT count(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders),
+           total, (SELECT count(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders) = 0 FROM t
+         UNION ALL
+         SELECT 'in_range(o_totalprice)',
+           (SELECT count(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 300000.0) THEN 1 END) FROM orders),
+           total, (SELECT count(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 300000.0) THEN 1 END) FROM orders) = 0 FROM t
+         UNION ALL
+         SELECT 'matches_regex(o_orderpriority)',
+           (SELECT count(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^1-') THEN 1 END) FROM orders),
+           total, (SELECT count(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^1-') THEN 1 END) FROM orders) = 0 FROM t
+         UNION ALL
+         SELECT 'unique(o_custkey,o_orderdate)',
+           (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders),
+           total, (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders) = 0 FROM t""",
 
     // bloom-index pruned point read must equal the plain IN filter;
     // the probed keys are the 3 distinct orderkeys at offset 500 in

@@ -121,6 +121,20 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 8, p) // one per FK
   }
 
+  test("q_dq_report: six rules, ONE scan of orders") {
+    val p = plan("q_dq_report")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expectations must fold into one scan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_events_funnel: every step join and aggregate rides the user-key exchange") {
+    val p = plan("q_events_funnel")
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"), p)
+    // grouping by the user key alone: no exchange on composite step keys
+    assert(!"hashpartitioning\\(user_id[^)]*step".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_dedup_minhash_md5: per-seed minima aggregate before any join") {
     val p = plan("q_dedup_minhash_md5")
     // the 16-seed explode must NOT be a pre-aggregation row blowup:

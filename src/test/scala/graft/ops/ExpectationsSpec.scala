@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ExpectationsSpec extends SparkSpec {
+
+  import Expectations._
+
+  test("every rule counts exactly; nulls violate only not_null; pass flags gate") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "a", 10.0, "1-URGENT"),
+      (Some(1L), "a", -5.0, "2-HIGH"),   // dup key pair; below range
+      (Some(2L), "x", 50.0, "1-URGENT"), // 'x' not accepted
+      (None, "b", 999.0, "junk"),        // null id; above range; bad regex
+      (Some(3L), "b", 20.0, "1-URGENT")
+    ).toDF("id", "status", "price", "prio")
+
+    val rep = check(df, Seq(
+      NotNull("id"),
+      Unique(Seq("id")),
+      AcceptedValues("status", Seq("a", "b")),
+      InRange("price", 0.0, 100.0),
+      MatchesRegex("prio", "^[12]-"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    assert(rep("not_null(id)") == ((1L, 5L, false)))
+    // 5 rows, 4 distinct id values (1,2,null,3) → 1 extra
+    assert(rep("unique(id)") == ((1L, 5L, false)))
+    assert(rep("accepted_values(status)") == ((1L, 5L, false)))
+    // -5 and 999 out of range; null price impossible here
+    assert(rep("in_range(price)") == ((2L, 5L, false)))
+    assert(rep("matches_regex(prio)") == ((1L, 5L, false)))
+
+    val clean = check(df.filter($"id".isNotNull && $"price".between(0, 100) &&
+      $"status".isin("a", "b") && $"id" =!= 1L), Seq(NotNull("id"), Unique(Seq("id"))))
+    assert(clean.collect().forall(_.getBoolean(3)))
+  }
+}
