@@ -1384,14 +1384,16 @@ object Queries {
     graft.ops.Scd2.changes(store, "dim", keys, fromVersion = 0, toVersion = 4)
   }
 
-  /** Incremental materialized-view maintenance from the change feed
-    * ([[graft.ops.Scd2.mvDelta]]) — the CDC consumer the feed exists
-    * for: seed a (count, sum) MV per market segment from the version-1
-    * state, then advance it to version 4 by applying ONLY the signed
-    * change delta (never rescanning the dimension). Hash-green means
-    * seed + delta lands exactly on DuckDB's direct aggregate of the
-    * final state — inserts/postimages added, preimages/deletes
-    * subtracted, segment moves handled on both sides.
+  /** Stored incremental materialized view ([[graft.ops.MvStore]] over
+    * [[graft.ops.Scd2.changes]]) — the CDC consumer the feed exists
+    * for: seed a (count, sum) MV per market segment from the
+    * version-1 state (the only source scan the view ever takes), then
+    * advance it version by version applying ONLY the signed change
+    * deltas, with a replayed epoch the stamp probe must recognize.
+    * Hash-green means three persisted touched-shard refreshes land
+    * exactly on DuckDB's direct aggregate of the final state —
+    * inserts/postimages added, preimages/deletes subtracted, segment
+    * moves handled on both sides, retired keys' groups decremented.
     */
   def qScd2Mv(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
@@ -1419,18 +1421,22 @@ object Queries {
     graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
     graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
     graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
-    val seed = graft.ops.Scd2.asOf(store, "dim", 1)
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n"), sum("c_acctbal").as("sum_bal"))
-    val delta = graft.ops.Scd2.mvDelta(
-      graft.ops.Scd2.changes(store, "dim", keys, fromVersion = 1, toVersion = 4),
-      Seq("c_mktsegment"), Seq("c_acctbal"))
-    seed.join(delta, Seq("c_mktsegment"), "full_outer")
-      .select(col("c_mktsegment"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
-        round(coalesce(col("sum_bal"), lit(0.0)) +
-          coalesce(col("d_c_acctbal"), lit(0.0)), 2).as("sum_bal"))
-      .filter(col("n") > 0)
+    val groups = Seq("c_mktsegment")
+    val sums = Seq("c_acctbal")
+    graft.ops.MvStore.init(store, "mv",
+      graft.ops.Scd2.asOf(store, "dim", 1), groups, sums, nShards = 8)
+    // the (2,3] epoch is delivered twice IN SEQUENCE — the stamp
+    // probe's contract (retry-before-advance, like foreachBatch):
+    // a replay arriving after LATER epochs rewrote its shards is
+    // outside the detection window by design
+    Seq((1L, 2L), (2L, 3L), (2L, 3L), (3L, 4L)).foreach { case (a, b) =>
+      graft.ops.MvStore.refresh(store, "mv",
+        graft.ops.Scd2.changes(store, "dim", keys, a, b), groups, sums,
+        batchId = Some(s"v$a-$b"))
+    }
+    graft.ops.MvStore.read(store, "mv")
+      .select(col("c_mktsegment"), col("n"),
+        round(col("sum_c_acctbal"), 2).as("sum_bal"))
   }
 
   /** Retention ([[graft.ops.Scd2.vacuum]]): the q_scd2_retire

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableStore
+
+/** Stored incremental materialized view, maintained from a change
+  * feed — the state machine that turns [[Scd2.changes]] +
+  * [[Scd2.mvDelta]] into a PERSISTED aggregate that never rescans its
+  * source: seed once from a snapshot, then each refresh applies one
+  * signed delta (inserts/postimages add, preimages/deletes subtract)
+  * to only the shards the delta touches. The count/sum-only surface
+  * is deliberate: those aggregates are self-inverse under signed
+  * deltas; min/max are not (a deleted minimum is unrecoverable
+  * without the source), which is why they live in [[RollupStore]]'s
+  * grow-only state and not here.
+  *
+  * Same storage discipline as every state machine in this repo:
+  * group-hash sharded cells, touched-shard-only rewrites, the
+  * [[RollupStore]] writer fence, and stamp-probe replay detection
+  * (any touched row stamped with the batch key proves the whole
+  * refresh landed — rewrites are atomic per shard set). Groups whose
+  * count reaches zero are REMOVED, so the state stays ndv-of-groups
+  * sized through any churn.
+  *
+  * 100 TB shape: refresh cost is O(delta + touched shards' state
+  * rows). A dimension churning 0.1% per batch touches ~0.1% of
+  * shards; the MV never reads the other 99.9%, and never the source.
+  */
+object MvStore {
+
+  private def stateTable(name: String) = s"${name}__mv"
+  private def metaTable(name: String) = s"${name}__mv_meta"
+
+  private def cellOf(keys: Seq[String], nShards: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nShards.toLong)).cast("int")
+
+  private def sumCol(m: String) = s"sum_$m"
+
+  /** Order-independent content key of a delta (the implicit batch id;
+    * pass an explicit one — e.g. the version range — when two distinct
+    * refreshes could carry identical deltas).
+    */
+  private def deltaKey(delta: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): String = {
+    val hashed = xxhash64(
+      (groupCols ++ Seq("d_n") ++ sumCols.map(m => s"d_$m")).map(col): _*)
+    val r = delta.select(hashed.as("__h"))
+      .agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("h")).head()
+    s"c${r.getLong(0)}h${r.getLong(1)}"
+  }
+
+  def exists(store: TableStore, name: String): Boolean =
+    store.exists(metaTable(name))
+
+  /** Seed the view from the source's CURRENT rows (aggregated here —
+    * one scan, the only source scan the view ever takes).
+    */
+  def init(
+      store: TableStore,
+      name: String,
+      rows: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      nShards: Int = 64,
+      batchId: String = "init"): Unit = {
+    require(groupCols.nonEmpty)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    RollupStore.acquireFence(store, name, spark, "mv-init")
+    try {
+      // sums are stored as double from the start: refresh arithmetic
+      // coalesces with 0.0, and a long-sum seed would leave touched
+      // shards double against untouched long (parquet schema drift)
+      val aggs = count(lit(1)).as("n") +:
+        sumCols.map(m => sum(col(m).cast("double")).as(sumCol(m)))
+      val state = rows.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("cell", cellOf(groupCols, nShards))
+        .withColumn("last_batch", lit(batchId))
+      store.overwritePartitioned(state, stateTable(name), "cell")
+      store.overwrite(Seq(nShards).toDF("n_shards"), metaTable(name))
+    } finally RollupStore.releaseFence(store, name, spark)
+  }
+
+  /** Apply one change-feed batch ([[Scd2.changes]] schema). Returns
+    * the number of groups touched, or -1 when the batch was
+    * recognized as a replay (state untouched).
+    */
+  def refresh(
+      store: TableStore,
+      name: String,
+      feed: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      batchId: Option[String] = None): Long = {
+    require(store.exists(metaTable(name)), s"mv '$name' not initialized")
+    val spark = feed.sparkSession
+    val nShards = store.read(metaTable(name)).head().getInt(0)
+    RollupStore.acquireFence(store, name, spark, "mv-refresh")
+    try {
+      val delta = Scd2.mvDelta(feed, groupCols, sumCols)
+        .withColumn("cell", cellOf(groupCols, nShards))
+        .localCheckpoint() // pinned: probed, keyed, and merged below
+      val touched = delta.select(col("cell").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) return 0L
+      val bk = batchId.getOrElse(deltaKey(delta, groupCols, sumCols))
+      val st = stateTable(name)
+      val stored = store.read(st)
+        .filter(col("cell").cast("string").isin(touched: _*))
+      if (stored.filter(col("last_batch") === bk).limit(1).count() > 0)
+        return -1L
+      val merged = stored.drop("cell", "last_batch")
+        .join(delta.drop("cell"), groupCols, "full_outer")
+        .select((groupCols.map(col) :+
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
+          sumCols.map(m =>
+            (coalesce(col(sumCol(m)), lit(0.0)) +
+              coalesce(col(s"d_$m"), lit(0.0))).as(sumCol(m))): _*)
+        .filter(col("n") > 0) // emptied groups leave the state
+        .withColumn("cell", cellOf(groupCols, nShards))
+        .withColumn("last_batch", lit(bk))
+      store.rewritePartitioned(merged, st, "cell", touched)
+      delta.count()
+    } finally RollupStore.releaseFence(store, name, spark)
+  }
+
+  /** The view. */
+  def read(store: TableStore, name: String): DataFrame =
+    store.read(stateTable(name)).drop("cell", "last_batch")
+}

@@ -140,7 +140,7 @@ object RollupStore {
     * can honestly promise. After a crash, [[clearWriterFence]] is the
     * operator's explicit recovery step.
     */
-  private def acquireFence(
+  private[ops] def acquireFence(
       store: TableStore, name: String,
       spark: org.apache.spark.sql.SparkSession, op: String): Unit = {
     val ft = fenceTable(name)
@@ -157,7 +157,7 @@ object RollupStore {
       Seq(s"$op:${java.util.UUID.randomUUID()}").toDF("token"), ft)
   }
 
-  private def releaseFence(
+  private[ops] def releaseFence(
       store: TableStore, name: String,
       spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.ParquetStore
+import org.apache.spark.sql.functions._
+
+class MvStoreSpec extends SparkSpec {
+
+  private def tmpStore() = new ParquetStore(
+    spark, java.nio.file.Files.createTempDirectory("mv_store").toString)
+
+  private def cust = graft.Tables.customer(spark, sf("customer"))
+    .select("c_custkey", "c_mktsegment", "c_acctbal")
+
+  private val keys = Seq("c_custkey")
+  private val attrs = Seq("c_mktsegment", "c_acctbal")
+  private val groups = Seq("c_mktsegment")
+  private val sums = Seq("c_acctbal")
+
+  private def canonMv(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), math.round(r.getDouble(2) * 100) / 100.0))).toMap
+
+  private def directAgg(rows: org.apache.spark.sql.DataFrame) =
+    canonMv(rows.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal").cast("double")).as("s")))
+
+  test("seed + per-version refreshes track the source exactly; replay is a no-op") {
+    val store = tmpStore()
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")))
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    Scd2.merge(store, "d", v1, keys, attrs, version = 1, nShards = 4)
+    Scd2.merge(store, "d", v2, keys, attrs, version = 2)
+    Scd2.merge(store, "d", v3, keys, attrs, version = 3)
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0).select("c_custkey")
+    Scd2.retire(store, "d", dead, keys, version = 4)
+
+    MvStore.init(store, "mv", Scd2.asOf(store, "d", 1), groups, sums, nShards = 4)
+    assert(canonMv(MvStore.read(store, "mv")) == directAgg(v1))
+
+    assert(MvStore.refresh(store, "mv",
+      Scd2.changes(store, "d", keys, 1, 2), groups, sums) > 0)
+    assert(canonMv(MvStore.read(store, "mv")) == directAgg(v2))
+
+    assert(MvStore.refresh(store, "mv",
+      Scd2.changes(store, "d", keys, 2, 3), groups, sums) > 0)
+    assert(canonMv(MvStore.read(store, "mv")) == directAgg(v3))
+
+    // content-keyed replay of the SAME delta: recognized, untouched
+    assert(MvStore.refresh(store, "mv",
+      Scd2.changes(store, "d", keys, 2, 3), groups, sums) == -1L)
+    assert(canonMv(MvStore.read(store, "mv")) == directAgg(v3))
+
+    assert(MvStore.refresh(store, "mv",
+      Scd2.changes(store, "d", keys, 3, 4), groups, sums) > 0)
+    assert(canonMv(MvStore.read(store, "mv")) ==
+      directAgg(v3.join(dead, keys, "left_anti")))
+  }
+
+  test("a group emptied by deletes leaves the state; resurrection re-creates it") {
+    import spark.implicits._
+    val store = tmpStore()
+    val rows = Seq((1L, "solo", 5.0), (2L, "big", 7.0), (3L, "big", 9.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    Scd2.merge(store, "e", rows, keys, attrs, version = 1, nShards = 2)
+    MvStore.init(store, "e_mv", Scd2.current(store, "e"), groups, sums, nShards = 2)
+    assert(MvStore.read(store, "e_mv").count() == 2)
+
+    Scd2.retire(store, "e", Seq(1L).toDF("c_custkey"), keys, version = 2)
+    MvStore.refresh(store, "e_mv", Scd2.changes(store, "e", keys, 1, 2),
+      groups, sums)
+    val after = MvStore.read(store, "e_mv")
+    assert(after.count() == 1) // 'solo' group removed, not zero-rowed
+    assert(after.head().getString(0) == "big")
+
+    val back = Seq((1L, "solo", 6.0), (2L, "big", 7.0), (3L, "big", 9.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    Scd2.merge(store, "e", back, keys, attrs, version = 3)
+    MvStore.refresh(store, "e_mv", Scd2.changes(store, "e", keys, 2, 3),
+      groups, sums)
+    assert(canonMv(MvStore.read(store, "e_mv")) ==
+      Map("solo" -> ((1L, 6.0)), "big" -> ((2L, 16.0))))
+  }
+
+  test("second writer hits the fence; clearWriterFence recovers") {
+    val store = tmpStore()
+    MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
+    // simulate a crashed writer holding the fence
+    RollupStore.acquireFence(store, "f_mv", spark, "mv-refresh")
+    intercept[IllegalStateException] {
+      MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
+    }
+    RollupStore.clearWriterFence(store, "f_mv")
+    MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
+  }
+}
