@@ -398,6 +398,40 @@ object Queries {
         col("avg_value"))
   }
 
+  /** 24-hour moving average over the gap-filled hourly grid —
+    * composes [[qEventsResample]]'s spine with a rows-frame window
+    * (on a COMPLETE grid, 24 rows ≡ 24 hours, so the frame is exact
+    * without range-interval arithmetic). The window rides one
+    * calendar-sized partition: bounded by time, not data.
+    */
+  def qEventsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val grid = graft.ops.EventAnalytics.fillGaps(agg, "bucket",
+      stepSecs = 3600, zeroFillCols = Seq("n"))
+    val w = Window.orderBy("bucket").rowsBetween(-23, 0)
+    grid.select(col("bucket"), col("n"),
+      sum("n").over(w).as("n_24h"),
+      round(avg("n").over(w), 6).as("avg_24h"))
+  }
+
+  /** Cumulative distinct users by day — each user counts once, on
+    * their first-ever event day, then a running sum over the
+    * calendar. The heavy step is one per-user aggregation; the
+    * cumulative window sees only day-sized rows.
+    */
+  def qEventsCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).as("day"))
+    val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+    perDay.select(col("day"), col("new_users"),
+      sum("new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .as("cum_users"))
+  }
+
   /** TPC-H Q3 shape — selective star join + grouped top-k by revenue. */
   def qTpchQ3(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -2320,6 +2354,20 @@ object Queries {
         col("doc_id"),
         size(col("toks")).as("n_distinct"),
         concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("first3"))
+
+  /** Unpivot (wide → long): per-returnflag totals of three measures
+    * melted to (flag, measure, value) — Spark's `unpivot` ↔ SQL
+    * UNPIVOT. Values rounded as aggregates before the melt.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_discount"), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
 
   /** Generator surface: explode the token array, global word
     * frequency top-20 with a total-order tie-break.

@@ -121,6 +121,9 @@ object SparkEntry {
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_funnel" -> (Queries.qEventsFunnel _),
     "q_events_resample" -> (Queries.qEventsResample _),
+    "q_events_moving_avg" -> (Queries.qEventsMovingAvg _),
+    "q_events_cumulative_users" -> (Queries.qEventsCumulativeUsers _),
+    "q_unpivot" -> (Queries.qUnpivot _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
@@ -1547,6 +1550,40 @@ object Oracles {
                     ORDER BY l_orderkey LIMIT 3 OFFSET 500)
          SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)""",
+
+    // 24h moving stats over the complete hourly grid: rows frame ≡
+    // time frame because the spine has no gaps
+    "q_events_moving_avg" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+                    FROM events GROUP BY 1),
+         s AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                 (SELECT max(bucket) FROM b), INTERVAL 1 HOUR)) AS bucket),
+         g AS (SELECT s.bucket, coalesce(b.n, 0) AS n FROM s LEFT JOIN b USING (bucket))
+         SELECT bucket, n,
+           CAST(sum(n) OVER w AS BIGINT) AS n_24h,
+           round(avg(CAST(n AS DOUBLE)) OVER w, 6) AS avg_24h
+         FROM g
+         WINDOW w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""",
+
+    // each user lands on their first-ever event day; running sum
+    "q_events_cumulative_users" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS day
+                    FROM events GROUP BY 1),
+         d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+         SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM d""",
+
+    // wide→long melt of three per-flag totals
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+                      round(sum(l_extendedprice), 2) AS price,
+                      round(sum(l_discount), 2) AS disc
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+         UNION ALL SELECT l_returnflag, 'price', price FROM a
+         UNION ALL SELECT l_returnflag, 'disc', disc FROM a""",
 
     // anchored funnel: first view anchors the 7-day deadline; each
     // later step is the earliest qualifying event after the previous
