@@ -432,6 +432,32 @@ object Queries {
         .as("cum_users"))
   }
 
+  /** Bucketed co-located join: both sides written `bucketBy(8, key)`
+    * into catalog tables (external, parquet, under the query temp
+    * dir), then joined on the bucket key — Spark's answer to
+    * pre-partitioned co-located joins: the SMJ reads matching buckets
+    * directly and NEITHER side shuffles (PlanSpec pins zero hash
+    * exchanges under a disabled broadcast threshold). At 100 TB this
+    * is THE repeated-join amortization: one bucketed write, then
+    * every subsequent join on that key rides the layout for free.
+    */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o.write.mode("overwrite").format("parquet")
+      .option("path", s"$indexQueryDir/bucket_orders")
+      .bucketBy(8, "o_orderkey").saveAsTable("graft_bucket_orders")
+    l.write.mode("overwrite").format("parquet")
+      .option("path", s"$indexQueryDir/bucket_lineitem")
+      .bucketBy(8, "l_orderkey").saveAsTable("graft_bucket_lineitem")
+    s.table("graft_bucket_lineitem")
+      .join(s.table("graft_bucket_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+  }
+
   /** TPC-H Q3 shape — selective star join + grouped top-k by revenue. */
   def qTpchQ3(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

@@ -124,6 +124,7 @@ object SparkEntry {
     "q_events_moving_avg" -> (Queries.qEventsMovingAvg _),
     "q_events_cumulative_users" -> (Queries.qEventsCumulativeUsers _),
     "q_unpivot" -> (Queries.qUnpivot _),
+    "q_bucket_join" -> (Queries.qBucketJoin _),
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
@@ -1550,6 +1551,14 @@ object Oracles {
                     ORDER BY l_orderkey LIMIT 3 OFFSET 500)
          SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
          FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM k)""",
+
+    // bucketed co-located join: the layout changes the PLAN (zero
+    // exchanges, PlanSpec), never the RESULT
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
 
     // 24h moving stats over the complete hourly grid: rows frame ≡
     // time frame because the spine has no gaps

@@ -135,6 +135,50 @@ class PlanSpec extends SparkSpec {
     assert(!"hashpartitioning\\(user_id[^)]*step".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_bucket_join: co-located bucketed SMJ, zero hash exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_bucket_join")(spark, sf(""))
+      // exchanges may exist for the final AGG; the JOIN itself must
+      // ride the bucket layout — no hashpartitioning on the join keys
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+        .findFirstIn(p).isDefined, s"join side shuffled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the 100 TB hot-key answer)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~90% of the left side
+      val left = spark.range(200000)
+        .select(when($"id" < 180000, lit(0L)).otherwise($"id").as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("v"))
+      val right = spark.range(20000).select($"id".as("k"), lit("r").as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution — count()/foreach() build their
+      // own trees whose adaptive decisions don't reflect back here
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the hot partition:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_dedup_minhash_md5: per-seed minima aggregate before any join") {
     val p = plan("q_dedup_minhash_md5")
     // the 16-seed explode must NOT be a pre-aggregation row blowup:
