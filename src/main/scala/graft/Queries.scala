@@ -1499,6 +1499,61 @@ object Queries {
         round(col("sum_c_acctbal"), 2).as("sum_bal"))
   }
 
+  /** The MV with MIN/MAX measures ([[graft.ops.MvStore]] with
+    * `minMaxCols`) — the non-invertible-aggregate half of IVM:
+    * additions grow the stored extremes in place (no source read),
+    * while groups hit by a preimage/delete are marked dirty and
+    * recomputed from the post-change dimension pruned to those
+    * groups. The v3 balance bumps grow maxima; the v4 retire deletes
+    * rows (possibly a group's extreme), forcing the dirty path.
+    * Hash-green means both paths land exactly on DuckDB's direct
+    * min/max of the final surviving state.
+    */
+  def qScd2MvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .filter(col("c_custkey") < 300)
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_mvmm")
+    val keys = Seq("c_custkey")
+    val attrs = Seq("c_mktsegment", "c_acctbal")
+    val newRows = cust.filter(col("c_custkey") < 10).select(
+      (col("c_custkey") + 10000).as("c_custkey"),
+      lit("SEG_NEW").as("c_mktsegment"),
+      col("c_custkey").cast("double").as("c_acctbal"))
+    val v1 = cust
+    val v2 = cust.withColumn("c_mktsegment",
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
+        .otherwise(col("c_mktsegment")))
+      .unionByName(newRows)
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select("c_custkey")
+    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
+    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
+    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
+    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    val groups = Seq("c_mktsegment")
+    val sums = Seq("c_acctbal")
+    val mm = Seq("c_acctbal")
+    graft.ops.MvStore.init(store, "mv",
+      graft.ops.Scd2.asOf(store, "dim", 1), groups, sums, nShards = 8,
+      minMaxCols = mm)
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).foreach { case (a, b) =>
+      graft.ops.MvStore.refresh(store, "mv",
+        graft.ops.Scd2.changes(store, "dim", keys, a, b), groups, sums,
+        batchId = Some(s"v$a-$b"), minMaxCols = mm,
+        current = Some(graft.ops.Scd2.asOf(store, "dim", b)))
+    }
+    graft.ops.MvStore.read(store, "mv")
+      .select(col("c_mktsegment"), col("n"),
+        round(col("sum_c_acctbal"), 2).as("sum_bal"),
+        col("min_c_acctbal").as("min_bal"),
+        col("max_c_acctbal").as("max_bal"))
+  }
+
   /** Retention ([[graft.ops.Scd2.vacuum]]): the q_scd2_retire
     * lifecycle, then closed intervals ending at or before version 3
     * are physically dropped (a second vacuum is a no-op) — history

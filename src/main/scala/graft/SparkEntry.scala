@@ -117,6 +117,7 @@ object SparkEntry {
     "q_scd2_retire" -> (Queries.qScd2Retire _),
     "q_scd2_cdf" -> (Queries.qScd2Cdf _),
     "q_scd2_mv" -> (Queries.qScd2Mv _),
+    "q_scd2_mv_minmax" -> (Queries.qScd2MvMinmax _),
     "q_scd2_vacuum" -> (Queries.qScd2Vacuum _),
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_funnel" -> (Queries.qEventsFunnel _),
@@ -1816,6 +1817,28 @@ object Oracles {
                 FROM v2)
          SELECT seg AS c_mktsegment, count(*) AS n,
            round(sum(bal), 2) AS sum_bal
+         FROM v3 WHERE k % 7 <> 0
+         GROUP BY 1""",
+
+    // min/max MV: grow path (v3 bumps) + dirty-recompute path (the
+    // retire deletes rows, possibly a group's extreme) must both land
+    // on the direct aggregate; min/max are raw data values, no rounding
+    "q_scd2_mv_minmax" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+                       FROM customer WHERE c_custkey < 300),
+         newr AS (SELECT k + 10000 AS k, 'SEG_NEW' AS seg, CAST(k AS DOUBLE) AS bal
+                  FROM base WHERE k < 10),
+         v2 AS (SELECT k,
+                  CASE WHEN k % 3 = 0 THEN 'SEG_' || CAST(k % 5 AS VARCHAR)
+                       ELSE seg END AS seg, bal
+                FROM base
+                UNION ALL SELECT * FROM newr),
+         v3 AS (SELECT k, seg,
+                  CASE WHEN k % 4 = 0 THEN bal + 10 ELSE bal END AS bal
+                FROM v2)
+         SELECT seg AS c_mktsegment, count(*) AS n,
+           round(sum(bal), 2) AS sum_bal,
+           min(bal) AS min_bal, max(bal) AS max_bal
          FROM v3 WHERE k % 7 <> 0
          GROUP BY 1""",
 

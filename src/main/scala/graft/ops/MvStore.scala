@@ -40,6 +40,8 @@ object MvStore {
     pmod(xxhash64(keys.map(col): _*), lit(nShards.toLong)).cast("int")
 
   private def sumCol(m: String) = s"sum_$m"
+  private def minCol(m: String) = s"min_$m"
+  private def maxCol(m: String) = s"max_$m"
 
   /** Order-independent content key of a delta (the implicit batch id;
     * pass an explicit one — e.g. the version range — when two distinct
@@ -68,7 +70,8 @@ object MvStore {
       groupCols: Seq[String],
       sumCols: Seq[String],
       nShards: Int = 64,
-      batchId: String = "init"): Unit = {
+      batchId: String = "init",
+      minMaxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty)
     val spark = rows.sparkSession
     import spark.implicits._
@@ -77,8 +80,11 @@ object MvStore {
       // sums are stored as double from the start: refresh arithmetic
       // coalesces with 0.0, and a long-sum seed would leave touched
       // shards double against untouched long (parquet schema drift)
-      val aggs = count(lit(1)).as("n") +:
-        sumCols.map(m => sum(col(m).cast("double")).as(sumCol(m)))
+      val aggs = (count(lit(1)).as("n") +:
+        sumCols.map(m => sum(col(m).cast("double")).as(sumCol(m)))) ++
+        minMaxCols.flatMap(m => Seq(
+          min(col(m).cast("double")).as(minCol(m)),
+          max(col(m).cast("double")).as(maxCol(m))))
       val state = rows.groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("cell", cellOf(groupCols, nShards))
@@ -91,6 +97,17 @@ object MvStore {
   /** Apply one change-feed batch ([[Scd2.changes]] schema). Returns
     * the number of groups touched, or -1 when the batch was
     * recognized as a replay (state untouched).
+    *
+    * min/max maintenance (when the view was seeded with
+    * `minMaxCols`): additions are GROW-ONLY (least/greatest against
+    * the batch's insert/postimage values — no source read), but a
+    * removal can invalidate a stored extreme, so groups hit by a
+    * preimage/delete row are marked DIRTY and recomputed from
+    * `current` — the source's post-change live rows (e.g.
+    * [[Scd2.current]] after the merge) — pruned to the dirty groups
+    * by a semi join. Refresh cost becomes O(delta + touched shards +
+    * rows of dirty groups): the standard IVM answer for
+    * non-invertible aggregates, and the reason min/max are opt-in.
     */
   def refresh(
       store: TableStore,
@@ -98,15 +115,31 @@ object MvStore {
       feed: DataFrame,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      batchId: Option[String] = None): Long = {
+      batchId: Option[String] = None,
+      minMaxCols: Seq[String] = Nil,
+      current: Option[DataFrame] = None): Long = {
     require(store.exists(metaTable(name)), s"mv '$name' not initialized")
+    require(minMaxCols.isEmpty || current.nonEmpty,
+      "min/max maintenance needs the source's post-change rows (current=)")
     val spark = feed.sparkSession
     val nShards = store.read(metaTable(name)).head().getInt(0)
     RollupStore.acquireFence(store, name, spark, "mv-refresh")
     try {
-      val delta = Scd2.mvDelta(feed, groupCols, sumCols)
-        .withColumn("cell", cellOf(groupCols, nShards))
-        .localCheckpoint() // pinned: probed, keyed, and merged below
+      val adds = col("change_type").isin("insert", "update_postimage")
+      val growAggs = minMaxCols.flatMap(m => Seq(
+        min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
+        max(when(adds, col(m).cast("double"))).as(s"add_max_$m")))
+      val dirtyFlag = max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
+      val deltaBase = Scd2.mvDelta(feed, groupCols, sumCols)
+      val delta =
+        (if (minMaxCols.isEmpty) deltaBase
+         else {
+           val extras = feed.groupBy(groupCols.map(col): _*)
+             .agg(growAggs.head, (growAggs.tail :+ dirtyFlag): _*)
+           deltaBase.join(extras, groupCols)
+         })
+          .withColumn("cell", cellOf(groupCols, nShards))
+          .localCheckpoint() // pinned: probed, keyed, and merged below
       val touched = delta.select(col("cell").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (touched.isEmpty) return 0L
@@ -116,13 +149,36 @@ object MvStore {
         .filter(col("cell").cast("string").isin(touched: _*))
       if (stored.filter(col("last_batch") === bk).limit(1).count() > 0)
         return -1L
-      val merged = stored.drop("cell", "last_batch")
+      val base = stored.drop("cell", "last_batch")
         .join(delta.drop("cell"), groupCols, "full_outer")
-        .select((groupCols.map(col) :+
+      val recomputed =
+        if (minMaxCols.isEmpty) base
+        else {
+          // dirty groups re-derive their extremes from the pruned
+          // post-change source; everybody else grows in place
+          val dirty = delta.filter(col("__dirty") === 1)
+            .select(groupCols.map(col): _*)
+          val mmAggs = minMaxCols.flatMap(m => Seq(
+            min(col(m).cast("double")).as(s"rc_min_$m"),
+            max(col(m).cast("double")).as(s"rc_max_$m")))
+          val recomp = current.get.join(dirty, groupCols, "semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(mmAggs.head, mmAggs.tail: _*)
+          base.join(recomp, groupCols, "left")
+        }
+      val mmOut = minMaxCols.flatMap(m => Seq(
+        when(col("__dirty") === 1, col(s"rc_min_$m"))
+          .otherwise(least(col(minCol(m)), col(s"add_min_$m")))
+          .as(minCol(m)),
+        when(col("__dirty") === 1, col(s"rc_max_$m"))
+          .otherwise(greatest(col(maxCol(m)), col(s"add_max_$m")))
+          .as(maxCol(m))))
+      val merged = recomputed
+        .select(((groupCols.map(col) :+
           (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
           sumCols.map(m =>
             (coalesce(col(sumCol(m)), lit(0.0)) +
-              coalesce(col(s"d_$m"), lit(0.0))).as(sumCol(m))): _*)
+              coalesce(col(s"d_$m"), lit(0.0))).as(sumCol(m))) ++ mmOut): _*)
         .filter(col("n") > 0) // emptied groups leave the state
         .withColumn("cell", cellOf(groupCols, nShards))
         .withColumn("last_batch", lit(bk))

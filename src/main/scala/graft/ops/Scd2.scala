@@ -188,9 +188,15 @@ object Scd2 {
           col("valid_from") :+ col("__cur_cell").as("cell")): _*)
         .withColumn("valid_to", lit(version))
         .withColumn("id", keyExpr)
-      val ct = closedTable(name)
-      if (!store.exists(ct)) store.overwritePartitioned(closedRows, ct, "cell")
-      else IndexStore.appendNewById(store, ct, closedRows)
+      // only when something actually CLOSED: an insert-only merge used
+      // to create the table with zero rows here — a directory with no
+      // parquet footers that exists() affirms and read() then fails to
+      // infer a schema from (found by the MV min/max lifecycle)
+      if (stats.changed > 0) {
+        val ct = closedTable(name)
+        if (!store.exists(ct)) store.overwritePartitioned(closedRows, ct, "cell")
+        else IndexStore.appendNewById(store, ct, closedRows)
+      }
 
       // rewrite ONLY the shards holding a new or changed key — NOT
       // every shard the snapshot touches. The distinction is the whole

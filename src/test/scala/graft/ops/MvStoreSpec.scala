@@ -87,6 +87,54 @@ class MvStoreSpec extends SparkSpec {
       Map("solo" -> ((1L, 6.0)), "big" -> ((2L, 16.0))))
   }
 
+  test("min/max measures: additions grow in place, deletions force the dirty recompute") {
+    import spark.implicits._
+    val store = tmpStore()
+    val rows = Seq(
+      (1L, "g", 10.0), (2L, "g", 50.0), (3L, "g", 30.0),
+      (4L, "h", 7.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    Scd2.merge(store, "m", rows, keys, attrs, version = 1, nShards = 2)
+    MvStore.init(store, "m_mv", Scd2.current(store, "m"), groups, sums,
+      nShards = 2, minMaxCols = Seq("c_acctbal"))
+    def mm() = MvStore.read(store, "m_mv").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(r.fieldIndex("min_c_acctbal")),
+          r.getDouble(r.fieldIndex("max_c_acctbal"))))).toMap
+    assert(mm() == Map("g" -> ((10.0, 50.0)), "h" -> ((7.0, 7.0))))
+
+    // grow-only: a new global max for g, no deletions in the feed
+    val v2 = rows.unionByName(
+      Seq((5L, "g", 99.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal"))
+    Scd2.merge(store, "m", v2, keys, attrs, version = 2)
+    MvStore.refresh(store, "m_mv", Scd2.changes(store, "m", keys, 1, 2),
+      groups, sums, minMaxCols = Seq("c_acctbal"),
+      current = Some(Scd2.asOf(store, "m", 2)))
+    assert(mm() == Map("g" -> ((10.0, 99.0)), "h" -> ((7.0, 7.0))))
+
+    // deletion of BOTH extremes of g: only the recompute can know the
+    // new max is 30 — a grow-only path would keep 99 forever
+    Scd2.retire(store, "m", Seq(5L, 1L).toDF("c_custkey"), keys, version = 3)
+    MvStore.refresh(store, "m_mv", Scd2.changes(store, "m", keys, 2, 3),
+      groups, sums, minMaxCols = Seq("c_acctbal"),
+      current = Some(Scd2.asOf(store, "m", 3)))
+    assert(mm() == Map("g" -> ((30.0, 50.0)), "h" -> ((7.0, 7.0))))
+
+    // an UPDATE that moves the extreme (preimage removes it) is dirty too
+    val v4 = Seq((2L, "g", 1.0), (3L, "g", 30.0), (4L, "h", 7.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    Scd2.merge(store, "m", v4, keys, attrs, version = 4)
+    MvStore.refresh(store, "m_mv", Scd2.changes(store, "m", keys, 3, 4),
+      groups, sums, minMaxCols = Seq("c_acctbal"),
+      current = Some(Scd2.asOf(store, "m", 4)))
+    assert(mm() == Map("g" -> ((1.0, 30.0)), "h" -> ((7.0, 7.0))))
+
+    // contract: min/max without the source frame is refused
+    intercept[IllegalArgumentException] {
+      MvStore.refresh(store, "m_mv", Scd2.changes(store, "m", keys, 3, 4),
+        groups, sums, minMaxCols = Seq("c_acctbal"))
+    }
+  }
+
   test("second writer hits the fence; clearWriterFence recovers") {
     val store = tmpStore()
     MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
