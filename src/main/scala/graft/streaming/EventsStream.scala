@@ -252,6 +252,116 @@ object EventsStream {
         OutputMode.Append())
   }
 
+  case class FunnelUser(user_id: Long, anchor: Timestamp, steps_completed: Int)
+  case class FunnelBuf(anchorUs: Long, events: Seq[(Long, Int)])
+
+  /** Streaming anchored funnel — [[graft.ops.EventAnalytics.funnel]]'s
+    * semantics emitted per user when the watermark passes the user's
+    * anchor deadline (first step-1 event + window): exactly the
+    * sessionizeTws discipline, on `transformWithState` with event-time
+    * timers.
+    *
+    * Out-of-order safety without ordered ingestion: funnel-step events
+    * BUFFER in state until the deadline timer fires, then the batch
+    * min-chain runs over the sorted buffer — so a late-but-in-watermark
+    * click between two already-seen events lands exactly where batch
+    * semantics put it. The anchor (min step-1 ts) can only DECREASE,
+    * so events past the current deadline are permanently disqualified
+    * and pruned on arrival; the buffer is bounded by the funnel-step
+    * event volume inside one window per user (the interval-join state
+    * bound), and users who never produce a step-1 event keep at most
+    * the watermark's worth of other-step events (pruned against the
+    * watermark on every batch).
+    *
+    * Timer discipline: a timer registers at (anchor + window); an
+    * anchor decrease registers an EARLIER timer — the first timer at
+    * or past the CURRENT deadline finalizes and clears, later stale
+    * timers find no state (the sessionizeTws stale-timer guard,
+    * inverted for a deadline that only moves earlier).
+    */
+  class FunnelProcessor(steps: Seq[String], windowSecs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FunnelUser] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    private val windowUs = windowSecs * 1000000L
+    private val stepIdx = steps.zipWithIndex.toMap
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[FunnelBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[FunnelBuf] = Encoders.product[FunnelBuf]
+      buf = getHandle.getValueState[FunnelBuf]("funnel", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], tv: TimerValues): Iterator[FunnelUser] = {
+      val incoming = rows.flatMap(e =>
+        stepIdx.get(e.event_type).map(i => (e.ts.getTime * 1000, i))).toSeq
+      if (incoming.isEmpty) return Iterator.empty
+      val cur = if (buf.exists()) buf.get() else FunnelBuf(Long.MaxValue, Nil)
+      val anchor = math.min(cur.anchorUs,
+        incoming.filter(_._2 == 0).map(_._1).minOption.getOrElse(Long.MaxValue))
+      val all = (cur.events ++ incoming)
+        // past-deadline events can never qualify (the anchor only
+        // decreases); anchorless users prune against the watermark —
+        // a step-1 event can still arrive only inside the lateness
+        // allowance, so older non-step-1 events are dead weight
+        .filter { case (us, i) =>
+          if (anchor < Long.MaxValue) us <= anchor + windowUs || i == 0
+          else i == 0 || us >= tv.getCurrentWatermarkInMs() * 1000 - windowUs
+        }
+      buf.update(FunnelBuf(anchor, all))
+      if (anchor < Long.MaxValue)
+        getHandle.registerTimer((anchor + windowUs) / 1000 + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[FunnelUser] = {
+      if (!buf.exists()) return Iterator.empty
+      val s = buf.get()
+      if (s.anchorUs == Long.MaxValue ||
+        info.getExpiryTimeInMs < (s.anchorUs + windowUs) / 1000 + 1)
+        return Iterator.empty // stale: the anchor moved earlier
+      buf.clear()
+      val deadline = s.anchorUs + windowUs
+      val sorted = s.events.sorted
+      var prev = s.anchorUs
+      var done = 1
+      var i = 1
+      while (i < steps.size) {
+        val next = sorted.collectFirst {
+          case (us, idx) if idx == i && us > prev && us <= deadline => us
+        }
+        next match {
+          case Some(us) => prev = us; done += 1; i += 1
+          case None => i = steps.size
+        }
+      }
+      Iterator.single(FunnelUser(userId, new Timestamp(s.anchorUs / 1000), done))
+    }
+  }
+
+  /** [[FunnelProcessor]] wired: watermarked, keyed by user. The
+    * watermark delay bounds how late a funnel event may arrive AND
+    * how long anchorless users retain non-anchor events.
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      windowSecs: Long,
+      lateness: String = "10 minutes"): Dataset[FunnelUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(steps, windowSecs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Incremental warehouse maintenance from a stream: each micro-batch
     * MERGEs into a parquet table by key via foreachBatch +
     * ParquetUpsert — the streaming version of the reference's
