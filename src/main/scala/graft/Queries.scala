@@ -1740,6 +1740,22 @@ object Queries {
       Unique(Seq("o_custkey", "o_orderdate"))))
   }
 
+  /** Row-level quarantine ([[graft.ops.Expectations.quarantine]]):
+    * the dead-letter router — every order tagged with the rules it
+    * violates ('|'-joined, declaration order), clean rows empty.
+    * Output keeps only violating rows (quarantine-side), the count
+    * complement of q_dq_report's aggregate view.
+    */
+  def qDqQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    quarantine(t(s, dir, "orders"), Seq(
+      InRange("o_totalprice", 0.0, 300000.0),
+      MatchesRegex("o_orderpriority", "^[1-3]-"),
+      AcceptedValues("o_orderstatus", Seq("O", "F"))))
+      .filter(col("__dq_reasons") =!= "")
+      .select(col("o_orderkey"), col("__dq_reasons").as("dq_reasons"))
+  }
+
   /** Bloom-file-index pruned point lookup ([[graft.ops
     * .BloomFileIndex]]): lay lineitem out hash-partitioned by
     * l_orderkey (each key's rows in ONE file — and unclustered, the

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
     "q_dq_report" -> (Queries.qDqReport _),
+    "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1543,6 +1544,28 @@ object Oracles {
          SELECT 'unique(o_custkey,o_orderdate)',
            (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders),
            total, (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders) = 0 FROM t""",
+
+    // quarantine side of the DQ router: violating rows with their
+    // '|'-joined declaration-ordered reasons
+    "q_dq_quarantine" ->
+      """SELECT o_orderkey,
+           concat_ws('|',
+             CASE WHEN o_totalprice IS NOT NULL
+               AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+               THEN 'in_range(o_totalprice)' END,
+             CASE WHEN o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+               THEN 'matches_regex(o_orderpriority)' END,
+             CASE WHEN o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O','F')
+               THEN 'accepted_values(o_orderstatus)' END) AS dq_reasons
+         FROM orders
+         WHERE (o_totalprice IS NOT NULL
+                AND (o_totalprice < 0.0 OR o_totalprice > 300000.0))
+            OR (o_orderpriority IS NOT NULL
+                AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+            OR (o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O','F'))""",
 
     // bloom-index pruned point read must equal the plain IN filter;
     // the probed keys are the 3 distinct orderkeys at offset 500 in

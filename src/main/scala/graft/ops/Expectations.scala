@@ -55,6 +55,26 @@ object Expectations {
       throw new IllegalStateException("unique is aggregated, not row-level")
   }
 
+  /** Row-level split: every input row tagged with the ROW-LEVEL rules
+    * it violates — `__dq_reasons` as a '|'-joined, declaration-ordered
+    * string, empty for clean rows — so the caller routes
+    * `filter(__dq_reasons == "")` onward and quarantines the rest with
+    * their reasons attached (the dead-letter pattern; [[check]] is the
+    * aggregate gate, this is the router). Uniqueness rules are
+    * aggregate-scoped and deliberately rejected here: attributing
+    * "duplicate" to specific rows needs a per-key window — an
+    * ordering policy the caller must choose, not a row property.
+    * One projection, no shuffle, stays in whole-stage codegen.
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "unique() is aggregate-scoped — row-level quarantine can't attribute it")
+    val reasons = concat_ws("|", rules.map(r =>
+      when(violation(r), lit(r.name))): _*)
+    df.withColumn("__dq_reasons", reasons)
+  }
+
   /** The report: one row per rule — (rule, violations, rows_checked,
     * pass). `pass` is violations == 0; the caller's gate is
     * `report.filter(!col("pass")).isEmpty` or a collect of the failed

@@ -37,4 +37,21 @@ class ExpectationsSpec extends SparkSpec {
       $"status".isin("a", "b") && $"id" =!= 1L), Seq(NotNull("id"), Unique(Seq("id"))))
     assert(clean.collect().forall(_.getBoolean(3)))
   }
+
+  test("quarantine tags rows with declaration-ordered reasons; unique is refused") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), 10.0), (None, -3.0), (Some(2L), 999.0), (Some(3L), 50.0)
+    ).toDF("id", "price")
+    val rules = Seq(NotNull("id"), InRange("price", 0.0, 100.0))
+    val tagged = quarantine(df, rules).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(r.fieldIndex("__dq_reasons")))).toMap
+    assert(tagged(Some(1L)) == "" && tagged(Some(3L)) == "")
+    assert(tagged(None) == "not_null(id)|in_range(price)")
+    assert(tagged(Some(2L)) == "in_range(price)")
+    intercept[IllegalArgumentException] {
+      quarantine(df, Seq(Unique(Seq("id"))))
+    }
+  }
 }
