@@ -379,6 +379,18 @@ object Queries {
     graft.ops.EventAnalytics.funnelCounts(f, nSteps = 3)
   }
 
+  /** The unanchored funnel ([[graft.ops.EventAnalytics.funnelAny]]):
+    * best chain over ALL view anchors per user, 2-day window — the
+    * variant that can't under-report when a user's first view is too
+    * early to complete. The per-anchor frontier (one row per
+    * (user, anchor) per level, greedy-min within an anchor) is
+    * reproduced anchor-by-anchor in DuckDB.
+    */
+  def qEventsFunnelAny(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnelAny(
+      t(s, dir, "events"), Seq("view", "click", "purchase"),
+      windowSecs = 2L * 24 * 3600)
+
   /** Regular-grid resample with gap filling ([[graft.ops
     * .EventAnalytics.fillGaps]]): hourly event counts and value sums
     * over the COMPLETE hour spine from first to last event — missing

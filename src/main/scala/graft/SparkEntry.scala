@@ -121,6 +121,7 @@ object SparkEntry {
     "q_scd2_vacuum" -> (Queries.qScd2Vacuum _),
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_funnel" -> (Queries.qEventsFunnel _),
+    "q_events_funnel_any" -> (Queries.qEventsFunnelAny _),
     "q_events_resample" -> (Queries.qEventsResample _),
     "q_events_moving_avg" -> (Queries.qEventsMovingAvg _),
     "q_events_cumulative_users" -> (Queries.qEventsCumulativeUsers _),
@@ -1636,6 +1637,28 @@ object Oracles {
          SELECT CAST(1 AS INT) AS step, (SELECT count(*) FROM s1) AS users
          UNION ALL SELECT CAST(2 AS INT), (SELECT count(*) FROM s2)
          UNION ALL SELECT CAST(3 AS INT), (SELECT count(*) FROM s3)""",
+
+    // unanchored funnel: per-anchor greedy frontier (min qualifying
+    // next step per (user, anchor)), best over anchors
+    "q_events_funnel_any" ->
+      """WITH a AS (SELECT DISTINCT user_id, ts AS t1 FROM events
+                    WHERE event_type = 'view'),
+         l2 AS (SELECT a.user_id, a.t1, min(e.ts) AS r2
+                FROM a JOIN events e ON e.user_id = a.user_id
+                  AND e.event_type = 'click' AND e.ts > a.t1
+                  AND e.ts <= a.t1 + INTERVAL 172800 SECOND
+                GROUP BY 1, 2),
+         l3 AS (SELECT l2.user_id, l2.t1, min(e.ts) AS r3
+                FROM l2 JOIN events e ON e.user_id = l2.user_id
+                  AND e.event_type = 'purchase' AND e.ts > l2.r2
+                  AND e.ts <= l2.t1 + INTERVAL 172800 SECOND
+                GROUP BY 1, 2),
+         best AS (
+           SELECT user_id, 1 AS s FROM a
+           UNION ALL SELECT user_id, 2 FROM l2
+           UNION ALL SELECT user_id, 3 FROM l3)
+         SELECT user_id, CAST(max(s) AS INT) AS steps_completed
+         FROM best GROUP BY 1""",
 
     // hourly resample over the complete spine: gaps zero-filled for
     // n/sum, mean forward-filled. avg rounds at 6, not 2: avg of

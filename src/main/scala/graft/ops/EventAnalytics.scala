@@ -69,6 +69,54 @@ object EventAnalytics {
           .otherwise(0)).reduce(_ + _))
   }
 
+  /** The UNANCHORED funnel: how far does the user get by ANY
+    * qualifying chain — each step-1 occurrence is its own anchor, and
+    * the user's result is the best over anchors. [[funnel]]'s
+    * first-entry anchoring can under-report (first view too early,
+    * a later view completes); this variant can't.
+    *
+    * Still pure relational algebra, because for a FIXED anchor the
+    * earliest qualifying next step is optimal (it maximizes remaining
+    * slack toward the deadline): the frontier is one row per
+    * (user, anchor) — join the next step's events, keep the min
+    * qualifying timestamp per (user, anchor), repeat. Frontier size
+    * is bounded by the user's step-1 occurrence count, so the cost
+    * model is [[funnel]]'s × anchors-per-user.
+    *
+    * Returns (user, steps_completed) — the max over anchors.
+    */
+  def funnelAny(
+      events: DataFrame,
+      steps: Seq[String],
+      windowSecs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val anchors = events.filter(col(typeCol) === steps.head)
+      .select(col(userCol), col(tsCol).as("t1"))
+      .distinct()
+      .withColumn("__deadline", col("t1") + expr(s"INTERVAL $windowSecs SECONDS"))
+    val done = steps.zipWithIndex.tail.foldLeft(
+      anchors.withColumn("__prev", col("t1"))) { case (acc, (st, i)) =>
+      val evs = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__t"))
+      acc.join(evs, Seq(userCol), "left")
+        .withColumn("__ok",
+          col("__t") > col("__prev") && col("__t") <= col("__deadline"))
+        .groupBy(col(userCol), col("t1"))
+        .agg(first(col("__deadline")).as("__deadline"),
+          (2 to i).map(j => first(col(s"__r_$j")).as(s"__r_$j")) :+
+            min(when(col("__ok"), col("__t"))).as(s"__r_${i + 1}"): _*)
+        .withColumn("__prev", col(s"__r_${i + 1}"))
+    }
+    val perAnchor = done.withColumn("steps_completed",
+      lit(1) + (2 to steps.size).map(j =>
+        when(col(s"__r_$j").isNotNull, 1).otherwise(0)).reduce(_ + _))
+    perAnchor.groupBy(col(userCol))
+      .agg(max(col("steps_completed")).as("steps_completed"))
+  }
+
   /** Per-step distinct-user counts from [[funnel]]'s output — the
     * funnel chart. Steps with zero survivors still appear.
     */

@@ -37,6 +37,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(counts == Map(1 -> 5L, 2 -> 3L, 3 -> 1L))
   }
 
+  test("funnelAny beats the anchored funnel exactly when a later anchor completes") {
+    import spark.implicits._
+    val events = Seq(
+      // first view at 0 can't complete (click at 90' > 60' window) —
+      // but the view at 80' anchors a full chain: anchored says 1,
+      // any-chain says 3
+      (1L, ts(0), "view"), (1L, ts(80), "view"),
+      (1L, ts(90), "click"), (1L, ts(100), "purchase"),
+      // single-anchor user: both variants agree (2 — purchase missing)
+      (2L, ts(0), "view"), (2L, ts(10), "click")
+    ).toDF("user_id", "ts", "event_type")
+
+    val anchored = EventAnalytics.funnel(events,
+      Seq("view", "click", "purchase"), windowSecs = 3600)
+      .select("user_id", "steps_completed").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val any = EventAnalytics.funnelAny(events,
+      Seq("view", "click", "purchase"), windowSecs = 3600)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(anchored == Map(1L -> 1, 2L -> 2))
+    assert(any == Map(1L -> 3, 2L -> 2))
+  }
+
   test("fillGaps: per-key spine, zero fill, forward fill, leading nulls stay null") {
     import spark.implicits._
     val agg = Seq(
