@@ -379,6 +379,22 @@ object Queries {
     graft.ops.EventAnalytics.funnelCounts(f, nSteps = 3)
   }
 
+  /** Weekly funnel conversion: [[qEventsFunnel]]'s per-user rows
+    * cohorted by anchor week — entered / reached-step-2 / completed
+    * counts and the conversion rate per week. The funnel output is
+    * user-sized, so the cohort rollup is a trivial second aggregate.
+    */
+  def qEventsFunnelWeekly(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.ops.EventAnalytics.funnel(
+      t(s, dir, "events"), Seq("view", "click", "purchase"),
+      windowSecs = 7L * 24 * 3600)
+    f.groupBy(date_trunc("week", col("step_1")).as("week"))
+      .agg(count(lit(1)).as("entered"),
+        count(when(col("steps_completed") >= 2, 1)).as("clicked"),
+        count(when(col("steps_completed") === 3, 1)).as("completed"))
+      .withColumn("cvr", round(col("completed").cast("double") / col("entered"), 6))
+  }
+
   /** The unanchored funnel ([[graft.ops.EventAnalytics.funnelAny]]):
     * best chain over ALL view anchors per user, 2-day window — the
     * variant that can't under-report when a user's first view is too

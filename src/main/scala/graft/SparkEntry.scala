@@ -122,6 +122,7 @@ object SparkEntry {
     "q_events_topk" -> (Queries.qEventsTopk _),
     "q_events_funnel" -> (Queries.qEventsFunnel _),
     "q_events_funnel_any" -> (Queries.qEventsFunnelAny _),
+    "q_events_funnel_weekly" -> (Queries.qEventsFunnelWeekly _),
     "q_events_resample" -> (Queries.qEventsResample _),
     "q_events_moving_avg" -> (Queries.qEventsMovingAvg _),
     "q_events_cumulative_users" -> (Queries.qEventsCumulativeUsers _),
@@ -1637,6 +1638,33 @@ object Oracles {
          SELECT CAST(1 AS INT) AS step, (SELECT count(*) FROM s1) AS users
          UNION ALL SELECT CAST(2 AS INT), (SELECT count(*) FROM s2)
          UNION ALL SELECT CAST(3 AS INT), (SELECT count(*) FROM s3)""",
+
+    // weekly funnel conversion over the anchored funnel's user rows
+    "q_events_funnel_weekly" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+                FROM s1 JOIN events e ON e.user_id = s1.user_id
+                  AND e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, min(e.ts) AS t3
+                FROM s2 JOIN events e ON e.user_id = s2.user_id
+                  AND e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+                GROUP BY 1),
+         u AS (SELECT s1.user_id, s1.t1,
+                 (s2.user_id IS NOT NULL) AS clicked,
+                 (s3.user_id IS NOT NULL) AS completed
+               FROM s1 LEFT JOIN s2 USING (user_id)
+                 LEFT JOIN s3 USING (user_id))
+         SELECT date_trunc('week', t1) AS week,
+           count(*) AS entered,
+           count(CASE WHEN clicked THEN 1 END) AS clicked,
+           count(CASE WHEN completed THEN 1 END) AS completed,
+           round(CAST(count(CASE WHEN completed THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS cvr
+         FROM u GROUP BY 1""",
 
     // unanchored funnel: per-anchor greedy frontier (min qualifying
     // next step per (user, anchor)), best over anchors
