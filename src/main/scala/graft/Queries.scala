@@ -2425,6 +2425,21 @@ object Queries {
       Ann.bruteForceTopK(queries, emb, k = 5))
   }
 
+  /** Recall@5 of IVF-SQ8 ([[graft.similarity.Sq8.topKIvf]] — coarse
+    * cells prune, int8 scores inside probed cells: ¼ the probed-cell
+    * scan bytes) against brute-force float truth. Sq8Spec gates the
+    * quantization loss in ISOLATION: IVF-SQ8 vs plain IVF at the
+    * same probes must hold ≥ 0.95.
+    */
+  def qAnnIvfSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val index = Ivf.build(emb, nLists = 16)
+    Ann.recallAgainst(
+      graft.similarity.Sq8.topKIvf(index, queries, k = 5, nProbe = 4),
+      Ann.bruteForceTopK(queries, emb, k = 5))
+  }
+
   /** Embedding L2 norms — exercises the vector math path. */
   def qEmbNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(

@@ -164,6 +164,7 @@ object SparkEntry {
     "q_ann_pq" -> (Queries.qAnnPq _),
     "q_ann_pq_recall" -> (Queries.qAnnPqRecall _),
     "q_ann_sq8_recall" -> (Queries.qAnnSq8Recall _),
+    "q_ann_ivfsq8_recall" -> (Queries.qAnnIvfSq8Recall _),
     "q_ann_ivfpq" -> (Queries.qAnnIvfPq _),
     "q_ann_ivfpq_recall" -> (Queries.qAnnIvfPqRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),

@@ -39,27 +39,70 @@ object Sq8 {
   def encode(
       vectors: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val v = col(vecCol)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
     val norm = Ann.l2Norm(v)
     vectors
       .withColumn("__max_abs", maxAbs)
       .withColumn("__norm", norm)
-      .select(
-        col(idCol).as("vec_id"),
+      .select((col(idCol).as("vec_id") +: carryCols.map(col)) ++ Seq(
         transform(v, x =>
           when(col("__max_abs") > 0,
             round(x.cast("double") * lit(127.0) / col("__max_abs")))
             .otherwise(lit(0.0)).cast("tinyint")).as("qvec"),
         when(col("__norm") > 0 && col("__max_abs") > 0,
           col("__max_abs") / (lit(127.0) * col("__norm")))
-          .otherwise(lit(0.0)).as("f"))
+          .otherwise(lit(0.0)).as("f")): _*)
   }
 
   /** Approximate cosine between two encoded rows' (qvec, f) pairs. */
   def cosineQ(qa: Column, fa: Column, qb: Column, fb: Column): Column =
     VectorFunctions.byteVecDot(qa, qb).cast("double") * fa * fb
+
+  /** IVF-SQ8: coarse cells prune the search ([[Ivf]]'s centroid
+    * probing, unchanged), int8 quantized vectors score inside the
+    * probed cells — the probed-cell scan moves ¼ of the raw IVF's
+    * bytes, which is the whole cost of that stage at corpus scale.
+    * The third compression point beside PQ (deeper, lossier) and raw
+    * floats (exact, heaviest); composition is the same seam IVF-PQ
+    * uses.
+    */
+  def topKIvf(
+      index: Ivf.Index,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nP = math.min(nProbe, index.centroids.length)
+    val corpus = encode(
+      index.assigned.select(col("id").as("vec_id"), col("vec").as("embedding"),
+        col("cell")),
+      "vec_id", "embedding", carryCols = Seq("cell"))
+    val qEnc = encode(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_q"),
+        col("f").as("q_f"))
+    val probeCells = graft.functions.CentroidFunctions
+      .centroidTopCells(col(vecCol), index.centroids, nP, "cosine")
+    val probed = queries
+      .select(col(idCol).as("query_id"), explode(probeCells).as("cell"))
+      .join(qEnc, "query_id")
+    val cand = probed.join(corpus.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(col("q_q"), col("q_f"), col("qvec"), col("f")).as("cos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("cos").as("cos"))
+    RelationalOps.topKPerGroupPartial(
+      cand, Seq("query_id"),
+      score = col("cos"), id = col("neighbor_id"),
+      k = k, scoreAscending = false,
+      idName = "neighbor_id", scoreName = "cos")
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
 
   /** Top-k neighbors of each encoded query against the encoded
     * corpus — [[Ann.bruteForceTopK]]'s exact shape (broadcast query

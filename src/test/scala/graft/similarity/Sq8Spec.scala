@@ -40,6 +40,16 @@ class Sq8Spec extends SparkSpec {
     assert(err < 0.02, s"max |cos_q - cos_float| = $err")
   }
 
+  test("IVF-SQ8 vs plain IVF at the same probes: quantization loss under 5%") {
+    val queries = emb.filter(col("vec_id") < 100)
+    val index = Ivf.build(emb, nLists = 16)
+    val exactProbe = Ivf.topK(index, queries, k = 5, nProbe = 4)
+    val quantProbe = Sq8.topKIvf(index, queries, k = 5, nProbe = 4)
+    val rel = Ann.recallAgainst(quantProbe, exactProbe)
+      .head().getAs[Double]("recall_at_k")
+    assert(rel >= 0.95, s"IVF-SQ8 relative recall = $rel")
+  }
+
   test("recall@5 against float brute force clears 0.95") {
     val queries = emb.filter(col("vec_id") < 100)
     val enc = Sq8.encode(emb)
