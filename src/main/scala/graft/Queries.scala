@@ -1768,6 +1768,24 @@ object Queries {
       Unique(Seq("o_custkey", "o_orderdate"))))
   }
 
+  /** Grouped DQ monitoring ([[graft.ops.Expectations.checkByGroup]]):
+    * the q_dq_report rules per ORDER YEAR — a failing batch pinpoints
+    * which year broke which contract; uniqueness scoped within the
+    * year. One aggregation over one scan, year count × rule count
+    * output rows.
+    */
+  def qDqByGroup(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    checkByGroup(
+      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+      Seq("o_year"),
+      Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        MatchesRegex("o_orderpriority", "^1-")))
+  }
+
   /** Row-level quarantine ([[graft.ops.Expectations.quarantine]]):
     * the dead-letter router — every order tagged with the rules it
     * violates ('|'-joined, declaration order), clean rows empty.

@@ -134,6 +134,7 @@ object SparkEntry {
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
+    "q_dq_by_group" -> (Queries.qDqByGroup _),
     "q_agg_quantile" -> (Queries.qAggQuantile _),
     "q_agg_reshard" -> (Queries.qAggReshard _),
     "q_pipeline_funnel" -> (Queries.qPipelineFunnel _),
@@ -1547,6 +1548,26 @@ object Oracles {
          SELECT 'unique(o_custkey,o_orderdate)',
            (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders),
            total, (SELECT count(*) - count(DISTINCT (o_custkey, o_orderdate)) FROM orders) = 0 FROM t""",
+
+    // grouped DQ monitor: q_dq_report's shape per order year;
+    // uniqueness scoped within the year
+    "q_dq_by_group" ->
+      """WITH g AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      count(*) AS total,
+                      count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+                      count(*) - count(DISTINCT o_orderkey) AS v1,
+                      count(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+                        THEN 1 END) AS v2,
+                      count(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^1-')
+                        THEN 1 END) AS v3
+                    FROM orders GROUP BY 1)
+         SELECT o_year, 'not_null(o_custkey)' AS rule, v0 AS violations,
+           total AS rows_checked, v0 = 0 AS pass FROM g
+         UNION ALL SELECT o_year, 'unique(o_orderkey)', v1, total, v1 = 0 FROM g
+         UNION ALL SELECT o_year, 'in_range(o_totalprice)', v2, total, v2 = 0 FROM g
+         UNION ALL SELECT o_year, 'matches_regex(o_orderpriority)', v3, total, v3 = 0 FROM g""",
 
     // quarantine side of the DQ router: violating rows with their
     // '|'-joined declaration-ordered reasons

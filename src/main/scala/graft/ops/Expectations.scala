@@ -55,6 +55,41 @@ object Expectations {
       throw new IllegalStateException("unique is aggregated, not row-level")
   }
 
+  /** Per-group report — the contract MONITOR: same rules, one row per
+    * (group, rule), so a failing batch pinpoints WHICH day/source/
+    * partition broke which contract instead of one table-wide number.
+    * Uniqueness is scoped WITHIN each group (one key per day, etc.).
+    * Still one aggregation over one scan.
+    */
+  def checkByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    require(groupCols.nonEmpty, "use check() for the ungrouped report")
+    val aggs = rules.zipWithIndex.map {
+      case (u: Unique, i) =>
+        (count(lit(1)) - count_distinct(struct(u.columns.map(col): _*)))
+          .as(s"__v_$i")
+      case (r, i) =>
+        count(when(violation(r), lit(1))).as(s"__v_$i")
+    } :+ count(lit(1)).as("__total")
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    grouped.select((groupCols.map(col) :+
+      explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(
+          lit(r.name).as("rule"),
+          col(s"__v_$i").as("violations"),
+          col("__total").as("rows_checked"),
+          (col(s"__v_$i") === 0L).as("pass"))
+      }: _*)).as("r")): _*)
+      .select((groupCols.map(col) :+ col("r.rule").as("rule") :+
+        col("r.violations").as("violations") :+
+        col("r.rows_checked").as("rows_checked") :+
+        col("r.pass").as("pass")): _*)
+  }
+
   /** Row-level split: every input row tagged with the ROW-LEVEL rules
     * it violates — `__dq_reasons` as a '|'-joined, declaration-ordered
     * string, empty for clean rows — so the caller routes

@@ -38,6 +38,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean.collect().forall(_.getBoolean(3)))
   }
 
+  test("checkByGroup scopes counts and uniqueness within each group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", None),
+      ("b", Some(1L)), ("b", Some(2L))
+    ).toDF("g", "id")
+    val rep = checkByGroup(df, Seq("g"), Seq(NotNull("id"), Unique(Seq("id"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // group a: 3 rows, id=1 twice (1 dup) and a null
+    assert(rep(("a", "not_null(id)")) == ((1L, 3L, false)))
+    assert(rep(("a", "unique(id)")) == ((1L, 3L, false)))
+    // group b: same id value as group a — but uniqueness is per group
+    assert(rep(("b", "not_null(id)")) == ((0L, 2L, true)))
+    assert(rep(("b", "unique(id)")) == ((0L, 2L, true)))
+  }
+
   test("quarantine tags rows with declaration-ordered reasons; unique is refused") {
     import spark.implicits._
     val df = Seq(
