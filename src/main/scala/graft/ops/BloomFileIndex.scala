@@ -75,6 +75,56 @@ object BloomFileIndex {
       .withColumn("num_bits", lit(numBits))
   }
 
+  /** One-scan combined build: the bloom index for `bloomCol` AND a
+    * [[ZoneMap]]-format manifest for `statsCols`, from a single pass
+    * over the data. A fresh layout job that wants both indexes
+    * (Z-order write → zone map for ranges, bloom for point probes)
+    * pays one scan instead of footers + a data scan; the returned
+    * manifest is consumable by [[ZoneMap.candidateFiles]]/
+    * [[ZoneMap.prunedRead]] unchanged.
+    */
+  def buildWithStats(
+      spark: SparkSession,
+      dir: String,
+      bloomCol: String,
+      statsCols: Seq[String],
+      expectedPerFile: Long = 1L << 20,
+      fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedPerFile, fpp).bitSize()
+    val agg = org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftShim.expression(xxhash64(col(bloomCol))),
+        Literal(expectedPerFile), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+    val aggs = Seq(count(lit(1)).as("n_rows"), agg.as("bloom")) ++
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c")))
+    val perFile = spark.read.parquet(dir)
+      .select((input_file_name().as("file") +: col(bloomCol) +:
+        statsCols.map(col)): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // one scan feeds both outputs
+    val bloomIdx = perFile
+      .select(col("file"), col("n_rows"), col("bloom"))
+      .withColumn("capacity", lit(expectedPerFile))
+      .withColumn("num_bits", lit(numBits))
+    val manifest = perFile.select(col("file"),
+      explode(array(statsCols.map(c => struct(
+        lit(c).as("column"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))): _*)).as("s"),
+      col("n_rows").as("file_rows"))
+      .select(col("file"), col("s.column").as("column"),
+        col("s.min_value").as("min_value"), col("s.max_value").as("max_value"),
+        col("file_rows"))
+      .filter(col("min_value").isNotNull) // all-null columns: no stats row
+    (bloomIdx, manifest)
+  }
+
   /** Incremental maintenance, same contract as [[ZoneMap.refresh]]:
     * scan only files that appeared since the index was built, drop
     * rows for vanished files. Returns (index', filesScanned).

@@ -45,6 +45,38 @@ class BloomFileIndexSpec extends SparkSpec {
       .count() == expected)
   }
 
+  test("buildWithStats: one scan yields a bloom index AND a ZoneMap-consumable manifest") {
+    val dir = Files.createTempDirectory("bfi_both").toString + "/t"
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 8)
+      .write.parquet(dir)
+    val (bloomIdx, manifest) = BloomFileIndex.buildWithStats(
+      spark, dir, "l_orderkey", Seq("l_partkey", "l_suppkey"),
+      expectedPerFile = 1L << 16)
+
+    // the manifest equals ZoneMap's footer-only build exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(canon(manifest) ==
+      canon(ZoneMap.build(spark, dir, Seq("l_partkey", "l_suppkey"))))
+
+    // the bloom side prunes the point probe and loses nothing
+    val all = spark.read.parquet(dir)
+    val key = li.agg(min("l_orderkey")).head().getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(BloomFileIndex.prunedRead(spark, dir, bloomIdx, "l_orderkey",
+      Seq(key))) == rows(all.filter(col("l_orderkey") === key)))
+
+    // and ZoneMap.prunedRead consumes the combined manifest unchanged
+    val st = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val hi = st.getLong(0) + (st.getLong(1) - st.getLong(0)) / 8
+    assert(rows(ZoneMap.prunedRead(spark, dir, manifest, "l_partkey",
+        st.getLong(0).toDouble, hi.toDouble)) ==
+      rows(all.filter(col("l_partkey") >= st.getLong(0) && col("l_partkey") <= hi)))
+  }
+
   test("refresh: appended files scanned, vanished dropped, unknown files never pruned") {
     val dir = Files.createTempDirectory("bfi_rf").toString + "/t"
     li.filter(col("l_orderkey") % 2 === 0).repartition(4).write.parquet(dir)

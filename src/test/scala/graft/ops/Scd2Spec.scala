@@ -211,6 +211,20 @@ class Scd2Spec extends SparkSpec {
       Seq("delete"))
   }
 
+  test("changes: the version-range filter reaches the history parquet scans") {
+    val store = tmpStore()
+    val v1 = cust
+    val v2 = v1.withColumn("c_acctbal", col("c_acctbal") + 1)
+    Scd2.merge(store, "pf", v1, keys, attrs, version = 1, nShards = 4)
+    Scd2.merge(store, "pf", v2, keys, attrs, version = 2)
+    val p = Scd2.changes(store, "pf", keys, fromVersion = 1, toVersion = 2)
+      .queryExecution.executedPlan.toString
+    // the incremental-cost claim: an (a,b] read filters BEFORE the
+    // open/close join, and the predicate lands in the parquet scan
+    assert(p.contains("PushedFilters"), p)
+    assert("GreaterThan\\(valid_from,1\\)".r.findFirstIn(p).isDefined, p)
+  }
+
   test("vacuum drops closed intervals at/before the cutoff; current untouched; rerun no-op") {
     val store = tmpStore()
     val v1 = cust
