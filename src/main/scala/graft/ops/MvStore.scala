@@ -69,7 +69,7 @@ object MvStore {
       rows: DataFrame,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      nShards: Int = 64,
+      nShards: Int = 0,
       batchId: String = "init",
       minMaxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty)
@@ -77,6 +77,18 @@ object MvStore {
     import spark.implicits._
     RollupStore.acquireFence(store, name, spark, "mv-init")
     try {
+      // default (0): size shards to the GROUP cardinality — the state
+      // is ndv-of-groups rows, and a fixed 64 would scatter a
+      // few-hundred-group view into 64 tiny files per refresh. One
+      // shard per ~16k groups (the measured file-overhead balance
+      // from the SCD2 shard probe), power of two, capped at 4096.
+      val shards =
+        if (nShards > 0) nShards
+        else {
+          val g = rows.select(groupCols.map(col): _*).distinct().count()
+          math.min(4096L, java.lang.Long.highestOneBit(
+            math.max(1L, (g + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
+        }
       // sums are stored as double from the start: refresh arithmetic
       // coalesces with 0.0, and a long-sum seed would leave touched
       // shards double against untouched long (parquet schema drift)
@@ -87,10 +99,10 @@ object MvStore {
           max(col(m).cast("double")).as(maxCol(m))))
       val state = rows.groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-        .withColumn("cell", cellOf(groupCols, nShards))
+        .withColumn("cell", cellOf(groupCols, shards))
         .withColumn("last_batch", lit(batchId))
       store.overwritePartitioned(state, stateTable(name), "cell")
-      store.overwrite(Seq(nShards).toDF("n_shards"), metaTable(name))
+      store.overwrite(Seq(shards).toDF("n_shards"), metaTable(name))
     } finally RollupStore.releaseFence(store, name, spark)
   }
 
