@@ -2136,6 +2136,29 @@ object Queries {
     store.read("ing__assigned").select(col("id"))
   }
 
+  /** SQ8 persisted lifecycle ([[IndexStore.saveSq8]]/`appendSq8Batch`):
+    * save the even-id half, bloom sidecar, ingest the odd half plus an
+    * overlapping batch plus a full replay — the stored ids must land
+    * exactly once (hash(id)→cell is permanent for SQ8, so the
+    * cell-pruned anti-join alone is exactly-once; no registry needed).
+    * Oracle: the distinct corpus ids. Sq8Spec separately pins that the
+    * saved+ingested corpus SEARCHES identically to a one-shot encode.
+    */
+  def qAnnSq8Ingest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/sq8_ingest")
+    IndexStore.saveSq8(store, "sq", emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      nShards = 16)
+    IndexStore.buildIdBloom(store, "sq__sq8",
+      expectedIdsPerCell = 1 << 16, fpp = 0.01)
+    IndexStore.appendSq8Batch(store, "sq",
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    IndexStore.appendSq8Batch(store, "sq", emb.filter(col("vec_id") < 100)) // overlap
+    IndexStore.appendSq8Batch(store, "sq",
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)) // replay
+    IndexStore.loadSq8(store, "sq").select(col("vec_id"))
+  }
+
   /** Rebalance policy report (IndexStore.rebalanceReport) over a
     * deterministic skewed assignment, so the count→mean→action
     * arithmetic is fully oracle-checked: cells derive from vec_id

@@ -166,6 +166,7 @@ object SparkEntry {
     "q_ann_pq_recall" -> (Queries.qAnnPqRecall _),
     "q_ann_sq8_recall" -> (Queries.qAnnSq8Recall _),
     "q_ann_ivfsq8_recall" -> (Queries.qAnnIvfSq8Recall _),
+    "q_ann_sq8_ingest" -> (Queries.qAnnSq8Ingest _),
     "q_ann_ivfpq" -> (Queries.qAnnIvfPq _),
     "q_ann_ivfpq_recall" -> (Queries.qAnnIvfPqRecall _),
     "q_emb_norm" -> (Queries.qEmbNorm _),
@@ -831,6 +832,11 @@ object Oracles {
     // be exactly the distinct corpus ids
     "q_ann_ingest" ->
       """SELECT vec_id AS id FROM embeddings""",
+
+    // SQ8 persisted-lifecycle gate: save half + ingest the rest with
+    // an overlap and a replay → ids land exactly once
+    "q_ann_sq8_ingest" ->
+      """SELECT vec_id FROM embeddings""",
 
     // the rebalance policy arithmetic over a deterministic skewed
     // assignment: counts, mean, and the 2x-mean split threshold

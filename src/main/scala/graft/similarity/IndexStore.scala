@@ -707,6 +707,61 @@ object IndexStore {
     loadIvf(store, name)
   }
 
+  // ------------------------------------------------------------- SQ8
+
+  /** Persist an int8 scalar-quantized corpus ([[Sq8]]): `<name>__sq8`
+    * (id, qvec, f) partitioned by hash(id) shard plus a one-row shard
+    * meta. SQ8 carries NO trained model — encoding is per-vector — so
+    * unlike IVF/PQ there is no quantizer table, no id registry, and no
+    * Voronoi-migration replay hazard: hash(id) → cell is permanent,
+    * which makes the cell-pruned id anti-join ([[appendNewById]])
+    * alone exactly-once.
+    */
+  def saveSq8(
+      store: TableStore,
+      name: String,
+      vectors: DataFrame,
+      nShards: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val p = resolveIndex(store, name)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val enc = Sq8.encode(vectors, idCol, vecCol)
+      .select(col("vec_id").as("id"), col("qvec"), col("f"))
+      .withColumn("cell",
+        pmod(xxhash64(col("id")), lit(nShards.toLong)).cast("int"))
+    store.overwritePartitioned(enc, s"${p}__sq8", "cell")
+    store.overwrite(Seq(nShards).toDF("n_shards"), s"${p}__sq8_meta")
+  }
+
+  /** The stored encoded corpus in [[Sq8.topK]]'s input schema. */
+  def loadSq8(store: TableStore, name: String): DataFrame = {
+    val p = resolveIndex(store, name)
+    store.read(s"${p}__sq8")
+      .select(col("id").as("vec_id"), col("qvec"), col("f"))
+  }
+
+  /** Ingest a batch of RAW vectors into a stored SQ8 corpus: encode,
+    * then append only unseen ids into only the touched hash shards —
+    * idempotent, same per-batch cost model as the IVF ingest
+    * (O(touched cells), bloom-accelerated when a sidecar exists).
+    */
+  def appendSq8Batch(
+      store: TableStore,
+      name: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val p = resolveIndex(store, name)
+    val nShards = store.read(s"${p}__sq8_meta").head().getInt(0)
+    val enc = Sq8.encode(batch, idCol, vecCol)
+      .select(col("vec_id").as("id"), col("qvec"), col("f"))
+      .withColumn("cell",
+        pmod(xxhash64(col("id")), lit(nShards.toLong)).cast("int"))
+    appendNewById(store, s"${p}__sq8", enc)
+  }
+
   // -------------------------------------------------------------- PQ
 
   def savePqCodebook(spark: SparkSession, store: TableStore, name: String, cb: Pq.Codebook): Unit =

@@ -50,6 +50,23 @@ class Sq8Spec extends SparkSpec {
     assert(rel >= 0.95, s"IVF-SQ8 relative recall = $rel")
   }
 
+  test("persisted SQ8: save + overlapping ingest + replay searches like a one-shot encode") {
+    val store = new graft.sources.ParquetStore(
+      spark, java.nio.file.Files.createTempDirectory("sq8_store").toString)
+    IndexStore.saveSq8(store, "s", emb.filter(col("vec_id") < 300), nShards = 8)
+    IndexStore.appendSq8Batch(store, "s", emb.filter(col("vec_id") >= 250))
+    IndexStore.appendSq8Batch(store, "s", emb.filter(col("vec_id") >= 250)) // replay
+    val stored = IndexStore.loadSq8(store, "s")
+    assert(stored.count() == emb.count()) // exactly once
+
+    val queries = stored.filter(col("vec_id") < 20)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(canon(Sq8.topK(queries, stored, k = 5)) ==
+      canon(Sq8.topK(Sq8.encode(emb).filter(col("vec_id") < 20),
+        Sq8.encode(emb), k = 5)))
+  }
+
   test("recall@5 against float brute force clears 0.95") {
     val queries = emb.filter(col("vec_id") < 100)
     val enc = Sq8.encode(emb)
