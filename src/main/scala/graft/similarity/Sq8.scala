@@ -27,8 +27,12 @@ import graft.ops.RelationalOps
   * broadcast-queries × streamed-corpus scan as the float brute path
   * but moves ¼ of the bytes through the scan and the score loop —
   * memory-bandwidth-bound at corpus scale, so the byte width IS the
-  * throughput. Composes with IVF the same way PQ does (quantize per
-  * cell after assignment) if deeper pruning is needed.
+  * throughput. Measured single-node (round 9, 500 queries × 200k
+  * vectors = 100M pairs, min-of-3): 1.92 s vs the float path's
+  * 2.83 s — 1.47× even while compute-bound locally; the bandwidth
+  * term grows with corpus size. Composes with IVF the same way PQ
+  * does (quantize per cell after assignment) if deeper pruning is
+  * needed — see [[topKIvf]].
   */
 object Sq8 {
 
