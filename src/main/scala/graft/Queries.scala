@@ -502,6 +502,56 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** TPC-H Q5 shape — the local-supplier-volume join: six tables, with
+    * the extra non-key conjunct c_nationkey = s_nationkey riding the
+    * same hash join as l_suppkey = s_suppkey (one equi-join, the
+    * nation match filters its probe). nation and region broadcast
+    * (dims of 25 / 5 rows at any SF); customer/orders/lineitem shuffle
+    * on their join keys — the plan a 1000-executor cluster wants,
+    * since only the two big-side exchanges touch data-proportional
+    * bytes.
+    */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: one quarter of
+    * orders, lineitems flagged 'R', customer + broadcast nation, top
+    * 20 customers by lost revenue. The selective filters sit on the
+    * fact sides BEFORE the joins so the shuffles carry only the
+    * quarter's rows.
+    */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-10-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
   /** As-of join (backward): for each error event, the user's most
     * recent purchase at-or-before it — the time-series join composed
     * as union + window carry-forward (one shuffle; see
@@ -1747,6 +1797,29 @@ object Queries {
       lo.toDouble, hi.toDouble)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Small-file compaction ([[graft.ops.Compact]]) as a behavioral
+    * gate: splinter orders into 64 tiny files (a streaming sink's
+    * 64-epoch tail), bin-pack them, run a REDUNDANT second pass (must
+    * be a no-op — everything is already at target size), then read the
+    * table back. Hash-green means the rewrite lost and duplicated
+    * nothing: the packed table is byte-for-byte the same relation
+    * DuckDB reads from the source. The file-count mechanics, the
+    * untouched-big-files property, and crash recovery from both
+    * failure windows are CompactSpec's.
+    */
+  def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+    val path = s"$indexQueryDir/compact_orders"
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    graft.ops.Compact.binPack(s, path,
+      targetBytes = 8L << 20, smallBytes = 4L << 20)
+    graft.ops.Compact.binPack(s, path,
+      targetBytes = 8L << 20, smallBytes = 4L << 20) // no-op: already packed
+    s.read.parquet(path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
   /** Declarative data-quality expectations ([[graft.ops

@@ -56,6 +56,8 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
+    "q_tpch_q5" -> (Queries.qTpchQ5 _),
+    "q_tpch_q10" -> (Queries.qTpchQ10 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -132,6 +134,7 @@ object SparkEntry {
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
+    "q_compact" -> (Queries.qCompact _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -467,6 +470,34 @@ object Oracles {
            AND c_mktsegment = 'BUILDING'
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "q_txt_tokens" ->
       """SELECT doc_id,
@@ -1519,6 +1550,12 @@ object Oracles {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem, s
          WHERE l_partkey >= s.lo AND l_partkey <= s.hi""",
+
+    // bin-packed rewrite must preserve the relation exactly
+    "q_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+         FROM orders""",
 
     // expectations report: per-rule violation counts + pass flags,
     // rows_checked = table count; count(CASE) keeps BIGINT on both

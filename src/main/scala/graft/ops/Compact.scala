@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Small-file compaction (bin-packing OPTIMIZE): rewrite a table's
+  * under-sized files into ~target-sized ones, leaving every file that
+  * is already big enough physically untouched. The maintenance half of
+  * the streaming sinks: every foreachBatch epoch ([[graft.streaming
+  * .RollupIngest]], [[graft.streaming.Scd2Ingest]], …) appends a few
+  * small files, and 10⁴ epochs later the table is 10⁴ tiny files whose
+  * per-file open/footer cost dominates every scan. Compaction reads
+  * ONLY the small tail — cost O(small bytes), not O(table) — so it can
+  * run continually against a 100 TB table whose live append surface is
+  * megabytes.
+  *
+  * Crash safety is a two-phase commit, the same discipline as
+  * [[graft.sources.ParquetUpsert]]'s staged swap:
+  *   1. write the packed files to a hidden staging dir (invisible to
+  *      readers — Spark's parquet listing skips dot-dirs);
+  *   2. atomically publish a commit marker naming the files to add and
+  *      the files to delete (the marker is written to a temp name and
+  *      renamed in — readers ignore `_`-prefixed files);
+  *   3. move the packed files in, delete the olds, drop the marker.
+  * A crash before (2) leaves the table untouched (recover discards the
+  * stage); a crash after (2) is finished by [[Compact.recover]], which
+  * every binPack runs first — each step is an idempotent
+  * rename-if-present / delete-if-present, so recovery replays safely
+  * no matter where the writer died. Same single-writer assumption as
+  * the RollupStore fence; readers are never blocked and never see a
+  * half-state (the only reader-visible transition is the rename-in of
+  * finished files followed by deletes of rows they duplicate — a
+  * query racing the window can see a duplicate, the standard
+  * snapshot-isolation gap a log-backed format closes).
+  *
+  * Sibling of [[graft.sources.ParquetStore.compactPartitions]]: that
+  * one rewrites whole over-filed partitions of a hive-layout table
+  * (the stores' shape), this one packs only the SMALL TAIL of a flat
+  * directory — the unpartitioned landing zones the plain parquet
+  * sinks write — and can recluster it on the way through.
+  *
+  * `sortCols` additionally range-clusters the packed output, so the
+  * compacted tail lands with narrow per-file spans and joins the
+  * [[ZoneMap]] / [[ZOrder]] skipping regime — incremental reclustering
+  * of exactly the unclustered tail, without rewriting the clustered
+  * bulk.
+  */
+object Compact {
+
+  /** Cost receipt: `packed` small files totalling `packedBytes` were
+    * rewritten into `written` outputs; `untouched` files kept their
+    * bytes on disk unread.
+    */
+  final case class Receipt(
+      filesBefore: Long,
+      filesAfter: Long,
+      packed: Long,
+      packedBytes: Long,
+      written: Long,
+      untouched: Long)
+
+  private val StageName = ".compact_stage"
+  private val MarkerName = "_compact_commit"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Visible data files of `dir`: what Spark's own listing would read
+    * (top-level files not `_`/`.`-prefixed).
+    */
+  private def dataFiles(fs: FileSystem, dir: String): Seq[FileStatus] =
+    fs.listStatus(new Path(dir)).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Compact `dir`: files under `smallBytes` are read back and
+    * rewritten as ⌈small-bytes / targetBytes⌉ packed files (range-
+    * clustered on `sortCols` when given); everything else stays in
+    * place. Runs [[recover]] first, so an interrupted predecessor is
+    * finished before the new generation starts.
+    */
+  def binPack(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20,
+      smallBytes: Long = 32L << 20,
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Receipt = {
+    val receipt = stage(spark, dir, targetBytes, smallBytes, sortCols, zorderCols)
+    recover(spark, dir)
+    receipt
+  }
+
+  /** Phase 1+2 only (stage the packed files, publish the marker) —
+    * the state a crashed writer leaves behind; [[recover]] finishes
+    * it. Package-visible so the crash path is testable.
+    */
+  private[graft] def stage(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      smallBytes: Long,
+      sortCols: Seq[String],
+      zorderCols: Seq[String] = Nil): Receipt = {
+    recover(spark, dir)
+    val fs = fsOf(spark, dir)
+    val files = dataFiles(fs, dir)
+    val small = files.filter(_.getLen < smallBytes)
+    if (small.length < 2)
+      return Receipt(files.length, files.length, 0, 0, 0, files.length)
+
+    val packedBytes = small.map(_.getLen).sum
+    val nOut = math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
+    val stagePath = new Path(dir, StageName)
+    fs.delete(stagePath, true)
+    val df = spark.read.parquet(small.map(_.getPath.toString): _*)
+    val packed =
+      if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols, nOut)
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    packed.write.mode("overwrite").parquet(stagePath.toString)
+
+    val newNames = fs.listStatus(stagePath).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
+    // Marker: rename-published so readers/recovery only ever see a
+    // complete one (a torn temp write is `.`-prefixed and ignored).
+    val body = (Seq("V1") ++ Seq("OLDS") ++ small.map(_.getPath.getName).sorted ++
+      Seq("NEWS") ++ newNames ++ Seq("END")).mkString("\n")
+    val tmpMarker = new Path(dir, "." + MarkerName + ".tmp")
+    val out = fs.create(tmpMarker, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val marker = new Path(dir, MarkerName)
+    fs.delete(marker, false)
+    if (!fs.rename(tmpMarker, marker))
+      throw new java.io.IOException(s"compact: cannot publish marker in $dir")
+    Receipt(
+      filesBefore = files.length,
+      filesAfter = files.length - small.length + newNames.length,
+      packed = small.length,
+      packedBytes = packedBytes,
+      written = newNames.length,
+      untouched = files.length - small.length)
+  }
+
+  /** Finish (or discard) an interrupted compaction. With a complete
+    * marker: move each staged file in (skip those already moved),
+    * delete each listed old (skip those already gone), then drop the
+    * marker + stage — every step idempotent, so recover-after-recover
+    * and recover-after-partial-recover are no-ops. Without a marker:
+    * the compaction never committed — discard the stage, the table
+    * was never touched.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val marker = new Path(dir, MarkerName)
+    val stagePath = new Path(dir, StageName)
+    fs.delete(new Path(dir, "." + MarkerName + ".tmp"), false)
+    if (!fs.exists(marker)) { fs.delete(stagePath, true); return }
+    val lines = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    if (lines.headOption != Some("V1") || lines.lastOption != Some("END")) {
+      // torn marker: never renamed-in by a healthy writer; treat as
+      // uncommitted
+      fs.delete(marker, false); fs.delete(stagePath, true); return
+    }
+    val newsAt = lines.indexOf("NEWS")
+    val olds = lines.slice(lines.indexOf("OLDS") + 1, newsAt)
+    val news = lines.slice(newsAt + 1, lines.length - 1)
+    news.foreach { n =>
+      val src = new Path(stagePath, n)
+      val dst = new Path(dir, n)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(src, false) // already published
+        else if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"compact recover: cannot move $n into $dir")
+      }
+    }
+    olds.foreach(n => fs.delete(new Path(dir, n), false))
+    fs.delete(stagePath, true)
+    fs.delete(marker, false)
+  }
+}

@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("q_tpch_q5: nation and region broadcast, dates pushed to the orders scan") {
+    val p = plan("q_tpch_q5")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected nation+region broadcast, plan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q10: returnflag filter reaches the lineitem scan pre-join") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // nation
+  }
+
   test("no query plans a cartesian product (ann_brute's broadcast NLJ excepted)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf("")).queryExecution.executedPlan.toString
