@@ -1822,6 +1822,52 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** Targeted range delete ([[graft.ops.DeleteWhere.range]]) as a
+    * behavioral gate: z-cluster a lineitem slice, delete a partkey
+    * range (the zone-map manifest confines the rewrite to the files
+    * that can hold it), REPLAY the same delete (must remove 0 more
+    * rows), and read the survivors. Hash-green means the file surgery
+    * removed exactly the range and nothing else — DuckDB derives the
+    * survivor set from the predicate directly. File-locality,
+    * NULL-semantics and crash behavior are DeleteWhereSpec's.
+    */
+  def qDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val path = s"$indexQueryDir/delete_where"
+    graft.ops.ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 32)
+      .write.mode("overwrite").parquet(path)
+    val st = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val lo = st.getLong(0)
+    val hi = lo + (st.getLong(1) - lo) / 16
+    graft.ops.DeleteWhere.range(s, path, "l_partkey", lo.toDouble, hi.toDouble)
+    graft.ops.DeleteWhere.range(s, path, "l_partkey", lo.toDouble, hi.toDouble) // replay: 0 rows
+    s.read.parquet(path)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  /** GDPR-shaped key purge ([[graft.ops.DeleteWhere.byKeys]]): orders
+    * laid out by key, a bloom file index built over it, then every
+    * orderkey ≡ 0 (mod 997) — a driver-sized request batch, |keys| =
+    * n/997 — purged through the index (only the files whose blooms
+    * can hold a requested key rewrite). The surviving relation must
+    * equal DuckDB's direct `WHERE o_orderkey % 997 <> 0`.
+    */
+  def qDeleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/delete_keys"
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val ix = graft.ops.BloomFileIndex.build(s, path, "o_orderkey")
+    val keys: Seq[Any] = o.filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", keys, Some(ix))
+    s.read.parquet(path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

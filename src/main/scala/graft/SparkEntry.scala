@@ -135,6 +135,8 @@ object SparkEntry {
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
     "q_compact" -> (Queries.qCompact _),
+    "q_delete_where" -> (Queries.qDeleteWhere _),
+    "q_delete_keys" -> (Queries.qDeleteKeys _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1550,6 +1552,23 @@ object Oracles {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem, s
          WHERE l_partkey >= s.lo AND l_partkey <= s.hi""",
+
+    // targeted range delete: survivors = everything outside [lo, hi];
+    // same integer floor-division bounds convention as q_zonemap_prune
+    "q_delete_where" ->
+      """WITH s AS (SELECT min(l_partkey) AS lo,
+                      min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 16 AS hi
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         FROM lineitem, s
+         WHERE l_partkey < s.lo OR l_partkey > s.hi""",
+
+    // GDPR key purge: survivors = keys not in the request batch
+    "q_delete_keys" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 997 <> 0""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->

@@ -65,13 +65,13 @@ object Compact {
   private val StageName = ".compact_stage"
   private val MarkerName = "_compact_commit"
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[ops] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Visible data files of `dir`: what Spark's own listing would read
     * (top-level files not `_`/`.`-prefixed).
     */
-  private def dataFiles(fs: FileSystem, dir: String): Seq[FileStatus] =
+  private[ops] def dataFiles(fs: FileSystem, dir: String): Seq[FileStatus] =
     fs.listStatus(new Path(dir)).toSeq.filter { f =>
       val n = f.getPath.getName
       f.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -115,8 +115,6 @@ object Compact {
 
     val packedBytes = small.map(_.getLen).sum
     val nOut = math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
-    val stagePath = new Path(dir, StageName)
-    fs.delete(stagePath, true)
     val df = spark.read.parquet(small.map(_.getPath.toString): _*)
     val packed =
       if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols, nOut)
@@ -124,14 +122,41 @@ object Compact {
         df.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nOut)
-    packed.write.mode("overwrite").parquet(stagePath.toString)
+    val written = stageRewrite(spark, dir, small.map(_.getPath.getName),
+      stagePath => packed.write.mode("overwrite").parquet(stagePath))
+    Receipt(
+      filesBefore = files.length,
+      filesAfter = files.length - small.length + written,
+      packed = small.length,
+      packedBytes = packedBytes,
+      written = written,
+      untouched = files.length - small.length)
+  }
 
+  /** The shared staged-rewrite commit: run `writeStage` against the
+    * hidden staging dir, then rename-publish a marker listing `olds`
+    * (to delete) and the staged outputs (to move in). After this
+    * returns, the rewrite is COMMITTED — [[recover]] (which the public
+    * entry points run next, and every later call runs first) completes
+    * it from any interruption. Returns the staged file count.
+    * Reused by every file-surgery operator ([[Compact.binPack]],
+    * [[DeleteWhere]]) so they all share one crash discipline.
+    */
+  private[ops] def stageRewrite(
+      spark: SparkSession,
+      dir: String,
+      olds: Seq[String],
+      writeStage: String => Unit): Int = {
+    val fs = fsOf(spark, dir)
+    val stagePath = new Path(dir, StageName)
+    fs.delete(stagePath, true)
+    writeStage(stagePath.toString)
     val newNames = fs.listStatus(stagePath).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(_.getPath.getName).sorted
     // Marker: rename-published so readers/recovery only ever see a
     // complete one (a torn temp write is `.`-prefixed and ignored).
-    val body = (Seq("V1") ++ Seq("OLDS") ++ small.map(_.getPath.getName).sorted ++
+    val body = (Seq("V1") ++ Seq("OLDS") ++ olds.sorted ++
       Seq("NEWS") ++ newNames ++ Seq("END")).mkString("\n")
     val tmpMarker = new Path(dir, "." + MarkerName + ".tmp")
     val out = fs.create(tmpMarker, true)
@@ -140,13 +165,7 @@ object Compact {
     fs.delete(marker, false)
     if (!fs.rename(tmpMarker, marker))
       throw new java.io.IOException(s"compact: cannot publish marker in $dir")
-    Receipt(
-      filesBefore = files.length,
-      filesAfter = files.length - small.length + newNames.length,
-      packed = small.length,
-      packedBytes = packedBytes,
-      written = newNames.length,
-      untouched = files.length - small.length)
+    newNames.length
   }
 
   /** Finish (or discard) an interrupted compaction. With a complete

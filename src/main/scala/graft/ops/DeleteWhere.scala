@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted deletes: remove matching rows from a parquet directory by
+  * rewriting ONLY the files that can contain them — the fine-grained
+  * DELETE a 100 TB table needs, where "filter and rewrite the table"
+  * is a non-starter and per-row tombstones need a log-aware reader.
+  *
+  * Candidate location rides the statistics the layout already
+  * maintains: a range delete consults the [[ZoneMap]] min/max manifest
+  * (files whose span cannot intersect [lo, hi] are untouched — on a
+  * [[ZOrder]]-clustered layout that is almost all of them); a key
+  * delete (the GDPR / right-to-be-forgotten shape: "purge these ids")
+  * consults the [[BloomFileIndex]], so a handful of ids touches a
+  * handful of files. Cost is O(files that can match), data-read AND
+  * data-written, not O(table).
+  *
+  * The rewrite itself goes through [[Compact.stageRewrite]] — the same
+  * staged write + rename-published commit marker + idempotent
+  * [[Compact.recover]] — so a delete interrupted anywhere either never
+  * happened or completes on the next call; the two operators share one
+  * crash discipline and one single-writer assumption.
+  *
+  * Correctness note: a row with NULL in the delete column is never a
+  * match (SQL DELETE semantics — the predicate must be TRUE), so the
+  * keep-filter explicitly retains NULLs rather than letting three-
+  * valued logic drop them.
+  */
+object DeleteWhere {
+
+  /** candidates = files the statistics could not rule out; rewritten ≤
+    * candidates (a candidate whose rows all survive is still rewritten
+    * — footer stats are file-granular); deletedRows is exact.
+    */
+  final case class Receipt(
+      filesTotal: Long,
+      candidates: Long,
+      untouched: Long,
+      deletedRows: Long)
+
+  /** Delete rows with `column` ∈ [lo, hi]. `manifest` is a persisted
+    * [[ZoneMap]] manifest for `column`; omitted, the footers are read
+    * (metadata-only, no data pages) to build one on the fly.
+    */
+  def range(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      manifest: Option[DataFrame] = None): Receipt = {
+    Compact.recover(spark, dir)
+    // inputFiles, not a raw listing: the manifests key their stats on
+    // this URI form, and a format mismatch would silently disable
+    // pruning (unknown file => candidate)
+    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val mf = manifest.getOrElse(ZoneMap.build(spark, dir, Seq(column)))
+    val cand = ZoneMap.candidateFiles(mf, all, column, lo, hi)
+    val keep = col(column).isNull || col(column) < lo || col(column) > hi
+    rewrite(spark, dir, all, cand, keep)
+  }
+
+  /** Delete rows whose `column` equals any of `keys` (a bounded,
+    * driver-sized request batch — the GDPR shape). `index` is a
+    * persisted [[BloomFileIndex]] for `column`; omitted, every file is
+    * a candidate (correct, just unpruned).
+    */
+  def byKeys(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      keys: Seq[Any],
+      index: Option[DataFrame] = None): Receipt = {
+    Compact.recover(spark, dir)
+    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val cand = index match {
+      case Some(ix) => BloomFileIndex.candidateFiles(ix, all, keys)
+      case None => all
+    }
+    val keep = col(column).isNull || !col(column).isin(keys: _*)
+    rewrite(spark, dir, all, cand, keep)
+  }
+
+  private def rewrite(
+      spark: SparkSession,
+      dir: String,
+      all: Seq[String],
+      cand: Seq[String],
+      keep: org.apache.spark.sql.Column): Receipt = {
+    if (cand.isEmpty)
+      return Receipt(all.length, 0, all.length, 0)
+    val candDf = spark.read.parquet(cand: _*)
+    val schema = candDf.schema
+    val candRows = candDf.count()
+    Compact.stageRewrite(spark, dir,
+      cand.map(f => new org.apache.hadoop.fs.Path(f).getName),
+      stagePath => candDf.filter(keep).write
+        .mode("overwrite").parquet(stagePath))
+    Compact.recover(spark, dir)
+    // survivors counted from the committed replacement files (schema
+    // pinned: an all-deleted rewrite can leave zero data files behind).
+    // Compared by basename — the one representation both the URI-form
+    // candidate list and the raw listing agree on.
+    val keptRows = {
+      val untouchedNames = all.filterNot(cand.contains)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      val fresh = Compact.dataFiles(Compact.fsOf(spark, dir), dir)
+        .map(_.getPath.toString)
+        .filterNot(f => untouchedNames(new org.apache.hadoop.fs.Path(f).getName))
+      if (fresh.isEmpty) 0L
+      else spark.read.schema(schema).parquet(fresh: _*).count()
+    }
+    Receipt(
+      filesTotal = all.length,
+      candidates = cand.length,
+      untouched = all.length - cand.length,
+      deletedRows = candRows - keptRows)
+  }
+}

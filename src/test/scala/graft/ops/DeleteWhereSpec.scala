@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DeleteWhereSpec extends SparkSpec {
+
+  private lazy val li = graft.Tables.lineitem(spark, sf("lineitem"))
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+  test("range delete on a clustered layout rewrites few files, removes exactly the range") {
+    val dir = Files.createTempDirectory("dw_range").toString + "/t"
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 24)
+      .write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("l_partkey")).localCheckpoint(true)
+    val st = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val lo = st.getLong(0).toDouble
+    val hi = lo + (st.getLong(1) - st.getLong(0)) / 8.0
+
+    val r = DeleteWhere.range(spark, dir, "l_partkey", lo, hi, Some(mf))
+    assert(r.filesTotal == 24)
+    // the clustered layout localizes the range: most files untouched
+    assert(r.candidates < r.filesTotal / 2,
+      s"candidates ${r.candidates} of ${r.filesTotal}")
+    val expected = li.filter(col("l_partkey") < lo || col("l_partkey") > hi)
+    assert(r.deletedRows == li.count() - expected.count())
+    val got = spark.read.parquet(dir)
+    assert(got.count() == expected.count())
+    assert(got.filter(col("l_partkey") >= lo && col("l_partkey") <= hi).isEmpty)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("key delete through the bloom index touches a handful of files") {
+    val dir = Files.createTempDirectory("dw_keys").toString + "/t"
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(dir)
+    val ix = BloomFileIndex.build(spark, dir, "l_orderkey")
+      .localCheckpoint(true)
+    val keys: Seq[Any] = Seq(1L, 2L, 3L)
+
+    val r = DeleteWhere.byKeys(spark, dir, "l_orderkey", keys, Some(ix))
+    // 3 adjacent keys in a key-sorted layout: ~1 candidate file
+    assert(r.candidates <= 3, s"candidates ${r.candidates}")
+    assert(r.untouched >= 13)
+    val expected = li.filter(!col("l_orderkey").isin(keys: _*))
+    assert(r.deletedRows == li.count() - expected.count())
+    assert(r.deletedRows > 0)
+    val got = spark.read.parquet(dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // replay: the same request deletes nothing more (idempotent purge)
+    val r2 = DeleteWhere.byKeys(spark, dir, "l_orderkey", keys, None)
+    assert(r2.deletedRows == 0)
+  }
+
+  test("NULL in the delete column never matches: NULL rows survive a range delete") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dw_null").toString + "/t"
+    Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "c"), (9L, "d"))
+      .toDF("k", "v").coalesce(1).write.parquet(dir)
+    val r = DeleteWhere.range(spark, dir, "k", 4.0, 6.0)
+    assert(r.deletedRows == 1)
+    val got = spark.read.parquet(dir).collect()
+    assert(got.length == 3)
+    assert(got.exists(_.isNullAt(0))) // the NULL row survived
+  }
+
+  test("an all-rows-match delete empties the table without breaking the schema") {
+    val dir = Files.createTempDirectory("dw_all").toString + "/t"
+    li.limit(100).repartition(2).write.parquet(dir)
+    val r = DeleteWhere.range(spark, dir, "l_partkey", 0.0, 1e12)
+    assert(r.deletedRows == 100)
+  }
+}
