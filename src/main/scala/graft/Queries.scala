@@ -1868,6 +1868,36 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** Stats-pruned MERGE ([[graft.ops.UpsertWhere.byKeys]]): orders
+    * laid out by key + bloom file index, then one update batch —
+    * price doubled for every orderkey ≡ 0 (mod 991), plus brand-new
+    * keys shifted by 10⁶ — merged through the index (only files whose
+    * blooms admit a batch key rewrite; inserts append). Hash-green
+    * means the file surgery lands exactly on DuckDB's CASE-rewrite +
+    * UNION derivation of the final state. Pruning locality, replay
+    * idempotence and the all-insert path are UpsertWhereSpec's.
+    */
+  def qUpsertPruned(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/upsert_pruned"
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val ix = graft.ops.BloomFileIndex.build(s, path, "o_orderkey")
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh), Some(ix))
+    s.read.parquet(path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

@@ -137,6 +137,7 @@ object SparkEntry {
     "q_compact" -> (Queries.qCompact _),
     "q_delete_where" -> (Queries.qDeleteWhere _),
     "q_delete_keys" -> (Queries.qDeleteKeys _),
+    "q_upsert_pruned" -> (Queries.qUpsertPruned _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1569,6 +1570,19 @@ object Oracles {
          o_totalprice, o_orderdate, o_orderpriority
          FROM orders
          WHERE o_orderkey % 997 <> 0""",
+
+    // stats-pruned MERGE: doubled prices for the 991-multiples (double
+    // *2 is exact in binary FP on both engines), plus shifted inserts
+    "q_upsert_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 1000000, o_custkey, 'N', 0.0,
+         TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders WHERE o_orderkey < 5""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->
