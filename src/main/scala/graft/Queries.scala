@@ -1898,6 +1898,47 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** Transaction-log time travel ([[graft.ops.TxLog]]): bring an
+    * orders layout under log management (v0), MERGE an update batch
+    * through the bloom index (v1 — prices doubled for 991-multiples,
+    * shifted inserts), purge the 997-multiples (v2), then read ALL
+    * THREE snapshots back, version-tagged, out of the one directory —
+    * the superseded files v1/v2 replaced are retained and re-resolved
+    * by the log. Hash-green means every version reconstructs exactly
+    * DuckDB's per-version derivation. Isolation, vacuum, orphan and
+    * contention behavior are TxLogSpec's.
+    */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/timetravel"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val ix = graft.ops.BloomFileIndex.build(s, path, "o_orderkey")
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh), Some(ix)) // v1
+    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, path, 1)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", dead) // v2
+    Seq(0, 1, 2)
+      .map(v => graft.ops.TxLog.snapshot(s, path, v)
+        .withColumn("version", lit(v)))
+      .reduce(_.unionByName(_))
+      .select(col("version"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_delete_where" -> (Queries.qDeleteWhere _),
     "q_delete_keys" -> (Queries.qDeleteKeys _),
     "q_upsert_pruned" -> (Queries.qUpsertPruned _),
+    "q_timetravel" -> (Queries.qTimeTravel _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1583,6 +1584,33 @@ object Oracles {
          SELECT o_orderkey + 1000000, o_custkey, 'N', 0.0,
          TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders WHERE o_orderkey < 5""",
+
+    // time travel: three log versions of the same directory — base,
+    // after the 991-multiple MERGE (+ shifted inserts), after the
+    // 997-multiple purge — each derivable from orders directly
+    "q_timetravel" ->
+      """SELECT 0 AS version, o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, o_orderpriority FROM orders
+         UNION ALL
+         SELECT 1, o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END,
+                o_orderdate, o_orderpriority FROM orders
+         UNION ALL
+         SELECT 1, o_orderkey + 1000000, o_custkey, 'N', 0.0,
+                TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders WHERE o_orderkey < 5
+         UNION ALL
+         SELECT 2, o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 997 <> 0
+         UNION ALL
+         SELECT 2, o_orderkey + 1000000, o_custkey, 'N', 0.0,
+                TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders
+         WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->

@@ -107,8 +107,7 @@ object Compact {
       sortCols: Seq[String],
       zorderCols: Seq[String] = Nil): Receipt = {
     recover(spark, dir)
-    val fs = fsOf(spark, dir)
-    val files = dataFiles(fs, dir)
+    val files = liveStatuses(spark, dir)
     val small = files.filter(_.getLen < smallBytes)
     if (small.length < 2)
       return Receipt(files.length, files.length, 0, 0, 0, files.length)
@@ -123,7 +122,7 @@ object Compact {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nOut)
     val written = stageRewrite(spark, dir, small.map(_.getPath.getName),
-      stagePath => packed.write.mode("overwrite").parquet(stagePath))
+      stagePath => packed.write.mode("overwrite").parquet(stagePath)).length
     Receipt(
       filesBefore = files.length,
       filesAfter = files.length - small.length + written,
@@ -133,20 +132,42 @@ object Compact {
       untouched = files.length - small.length)
   }
 
+  /** The table's live data files with their statuses: the current
+    * [[TxLog]] snapshot when the directory is log-managed, the plain
+    * visible listing otherwise.
+    */
+  private[ops] def liveStatuses(
+      spark: SparkSession,
+      dir: String): Seq[FileStatus] = {
+    val fs = fsOf(spark, dir)
+    if (TxLog.exists(spark, dir))
+      TxLog.liveFiles(spark, dir).map(n => fs.getFileStatus(new Path(dir, n)))
+    else dataFiles(fs, dir)
+  }
+
   /** The shared staged-rewrite commit: run `writeStage` against the
-    * hidden staging dir, then rename-publish a marker listing `olds`
-    * (to delete) and the staged outputs (to move in). After this
-    * returns, the rewrite is COMMITTED — [[recover]] (which the public
-    * entry points run next, and every later call runs first) completes
-    * it from any interruption. Returns the staged file count.
+    * hidden staging dir, then commit — olds out, staged files in.
     * Reused by every file-surgery operator ([[Compact.binPack]],
-    * [[DeleteWhere]]) so they all share one crash discipline.
+    * [[DeleteWhere]], [[UpsertWhere]]) so they all share one crash
+    * discipline. Returns the new file names.
+    *
+    * Two commit modes:
+    *   - plain directory: rename-publish a marker listing olds (to
+    *     delete) and news (to move in); [[recover]] — which the public
+    *     entry points run next, and every later call runs first —
+    *     completes it from any interruption.
+    *   - [[TxLog]]-managed directory: move the staged files in, then
+    *     atomically commit a new log version (ADD news / REMOVE olds).
+    *     Old files STAY on disk for older snapshots ([[TxLog.vacuum]]
+    *     reclaims them); a crash before the version commit leaves
+    *     orphan data files no snapshot references — invisible to log
+    *     readers, swept by vacuum.
     */
   private[ops] def stageRewrite(
       spark: SparkSession,
       dir: String,
       olds: Seq[String],
-      writeStage: String => Unit): Int = {
+      writeStage: String => Unit): Seq[String] = {
     val fs = fsOf(spark, dir)
     val stagePath = new Path(dir, StageName)
     fs.delete(stagePath, true)
@@ -154,6 +175,15 @@ object Compact {
     val newNames = fs.listStatus(stagePath).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(_.getPath.getName).sorted
+    if (TxLog.exists(spark, dir)) {
+      newNames.foreach { n =>
+        if (!fs.rename(new Path(stagePath, n), new Path(dir, n)))
+          throw new java.io.IOException(s"compact: cannot move $n into $dir")
+      }
+      fs.delete(stagePath, true)
+      TxLog.commit(spark, dir, adds = newNames, removes = olds)
+      return newNames
+    }
     // Marker: rename-published so readers/recovery only ever see a
     // complete one (a torn temp write is `.`-prefixed and ignored).
     val body = (Seq("V1") ++ Seq("OLDS") ++ olds.sorted ++
@@ -165,7 +195,7 @@ object Compact {
     fs.delete(marker, false)
     if (!fs.rename(tmpMarker, marker))
       throw new java.io.IOException(s"compact: cannot publish marker in $dir")
-    newNames.length
+    newNames
   }
 
   /** Finish (or discard) an interrupted compaction. With a complete

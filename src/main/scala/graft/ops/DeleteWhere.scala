@@ -52,10 +52,7 @@ object DeleteWhere {
       hi: Double,
       manifest: Option[DataFrame] = None): Receipt = {
     Compact.recover(spark, dir)
-    // inputFiles, not a raw listing: the manifests key their stats on
-    // this URI form, and a format mismatch would silently disable
-    // pruning (unknown file => candidate)
-    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val all = allFiles(spark, dir)
     val mf = manifest.getOrElse(ZoneMap.build(spark, dir, Seq(column)))
     val cand = ZoneMap.candidateFiles(mf, all, column, lo, hi)
     val keep = col(column).isNull || col(column) < lo || col(column) > hi
@@ -74,7 +71,7 @@ object DeleteWhere {
       keys: Seq[Any],
       index: Option[DataFrame] = None): Receipt = {
     Compact.recover(spark, dir)
-    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val all = allFiles(spark, dir)
     val cand = index match {
       case Some(ix) => BloomFileIndex.candidateFiles(ix, all, keys)
       case None => all
@@ -82,6 +79,16 @@ object DeleteWhere {
     val keep = col(column).isNull || !col(column).isin(keys: _*)
     rewrite(spark, dir, all, cand, keep)
   }
+
+  /** The table's live files in inputFiles URI form — the form the
+    * manifests key their stats on (a format mismatch would silently
+    * disable pruning: unknown file => candidate). Under a [[TxLog]]
+    * the snapshot supplies them, so superseded files are never
+    * rewritten.
+    */
+  private[ops] def allFiles(spark: SparkSession, dir: String): Seq[String] =
+    (if (TxLog.exists(spark, dir)) TxLog.snapshot(spark, dir)
+     else spark.read.parquet(dir)).inputFiles.toSeq
 
   private def rewrite(
       spark: SparkSession,
@@ -94,24 +101,17 @@ object DeleteWhere {
     val candDf = spark.read.parquet(cand: _*)
     val schema = candDf.schema
     val candRows = candDf.count()
-    Compact.stageRewrite(spark, dir,
+    val newNames = Compact.stageRewrite(spark, dir,
       cand.map(f => new org.apache.hadoop.fs.Path(f).getName),
       stagePath => candDf.filter(keep).write
         .mode("overwrite").parquet(stagePath))
     Compact.recover(spark, dir)
     // survivors counted from the committed replacement files (schema
-    // pinned: an all-deleted rewrite can leave zero data files behind).
-    // Compared by basename — the one representation both the URI-form
-    // candidate list and the raw listing agree on.
-    val keptRows = {
-      val untouchedNames = all.filterNot(cand.contains)
-        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-      val fresh = Compact.dataFiles(Compact.fsOf(spark, dir), dir)
-        .map(_.getPath.toString)
-        .filterNot(f => untouchedNames(new org.apache.hadoop.fs.Path(f).getName))
-      if (fresh.isEmpty) 0L
-      else spark.read.schema(schema).parquet(fresh: _*).count()
-    }
+    // pinned: an all-deleted rewrite can leave zero data files behind)
+    val keptRows =
+      if (newNames.isEmpty) 0L
+      else spark.read.schema(schema)
+        .parquet(newNames.map(n => s"$dir/$n"): _*).count()
     Receipt(
       filesTotal = all.length,
       candidates = cand.length,

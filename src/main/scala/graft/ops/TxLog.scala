@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** A minimal transaction log over a parquet directory: each commit is
+  * one version file `_txlog/vNNNNNNNN.txt` listing the data files the
+  * commit ADDs and REMOVEs (by name). The committed state at version V
+  * is the fold of v0..vV — so readers get SNAPSHOT ISOLATION (a query
+  * pins a version and never sees a concurrent rewrite's half-state, or
+  * its duplicates) and TIME TRAVEL (any retained version reconstructs
+  * exactly), the two properties the plain-directory mode's
+  * reader-races documentation concedes. The model every log-backed
+  * table format shares (Delta's JSON actions, Iceberg's manifests),
+  * cut to its load-bearing core.
+  *
+  * Commit protocol: write the version body to a dot-temp, then RENAME
+  * to its final `vNNNNNNNN.txt` name. Rename-to-existing fails on
+  * hadoop filesystems, so two racing writers cannot both land the same
+  * version — the loser retries against the next number (bounded
+  * optimistic retry). A crash before the rename leaves only an ignored
+  * temp; a crash after is a completed commit. Data files referenced by
+  * older versions stay on disk until [[vacuum]], which drops files
+  * no retained version references — reads older than the retention
+  * horizon then fail, the standard lakehouse trade.
+  *
+  * 100 TB shape: the log is metadata-sized (file NAMES, not data), a
+  * snapshot read lists one small directory + reads ≤V tiny text files
+  * (checkpointable at higher version counts — out of scope here), and
+  * every data-file write still goes through the operators' staged
+  * jobs. The file-surgery triad ([[Compact]], [[DeleteWhere]],
+  * [[UpsertWhere]]) detects a log-managed directory and routes its
+  * commit through [[commit]] automatically — same operator API, ACID
+  * upgraded.
+  *
+  * Readers of a log-managed directory must go through [[snapshot]];
+  * a raw `spark.read.parquet(dir)` sees superseded files (exactly as
+  * it would under any log-backed format).
+  */
+object TxLog {
+
+  private val LogDir = "_txlog"
+
+  private def logPath(dir: String) = new Path(dir, LogDir)
+
+  private def versionName(v: Int) = f"v$v%08d.txt"
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val fs = Compact.fsOf(spark, dir)
+    fs.exists(logPath(dir))
+  }
+
+  /** Bring an existing plain directory under log management: v0 ADDs
+    * every currently visible data file. Finishes any in-flight
+    * marker-mode rewrite first, so the converted state is consistent.
+    * Returns the initial version (0). No-op (returning the current
+    * version) if already managed.
+    */
+  def convert(spark: SparkSession, dir: String): Int = {
+    if (exists(spark, dir)) return currentVersion(spark, dir)
+    Compact.recover(spark, dir)
+    val fs = Compact.fsOf(spark, dir)
+    val files = Compact.dataFiles(fs, dir).map(_.getPath.getName)
+    fs.mkdirs(logPath(dir))
+    writeVersion(spark, dir, 0, files, Nil)
+    0
+  }
+
+  /** Committed versions, ascending. */
+  private def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Nil
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.substring(1, n.length - 4).toInt)
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not TxLog-managed")
+    vs.max
+  }
+
+  /** Live data-file NAMES at `version` (default: current): fold of
+    * ADD/REMOVE up to and including it.
+    */
+  def liveFiles(
+      spark: SparkSession,
+      dir: String,
+      version: Int = Int.MaxValue): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not TxLog-managed")
+    require(version == Int.MaxValue || vs.contains(version),
+      s"version $version not in log (have ${vs.min}..${vs.max} minus vacuumed)")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    vs.filter(_ <= version).foreach { v =>
+      val (adds, removes) = readVersion(spark, dir, v)
+      removes.foreach(live -= _)
+      adds.foreach(live += _)
+    }
+    live.toSeq
+  }
+
+  /** Snapshot read: exactly the files version `version` (default
+    * current) references — immune to concurrent commits and to the
+    * superseded files still on disk.
+    */
+  def snapshot(
+      spark: SparkSession,
+      dir: String,
+      version: Int = Int.MaxValue): DataFrame = {
+    val files = liveFiles(spark, dir, version).map(n => s"$dir/$n")
+    require(files.nonEmpty, s"version $version of $dir holds no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Append a commit (called by the file-surgery operators after their
+    * staged files are in place). Optimistic: claims `current + 1`,
+    * retrying past a racing committer.
+    */
+  private[ops] def commit(
+      spark: SparkSession,
+      dir: String,
+      adds: Seq[String],
+      removes: Seq[String]): Int = {
+    var attempt = currentVersion(spark, dir) + 1
+    var committed = -1
+    var tries = 0
+    while (committed < 0) {
+      tries += 1
+      require(tries <= 100, s"txlog commit: 100 contended attempts in $dir")
+      if (writeVersion(spark, dir, attempt, adds, removes)) committed = attempt
+      else attempt += 1
+    }
+    committed
+  }
+
+  /** Reclaim disk: delete data files whose last reference is a version
+    * older than the `retainVersions` most recent ones. Snapshot reads
+    * at vacuumed versions fail; everything newer is untouched. Returns
+    * the number of files deleted. Idempotent.
+    */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      retainVersions: Int): Long = {
+    val fs = Compact.fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not TxLog-managed")
+    val keep = vs.takeRight(math.max(1, retainVersions))
+    val referenced = keep.flatMap(v => liveFiles(spark, dir, v)).toSet
+    val onDisk = Compact.dataFiles(fs, dir).map(_.getPath.getName)
+    // only files the LOG ever knew can be deleted: an in-flight
+    // writer's just-moved files (commit pending) are not yet in any
+    // version and must survive the sweep
+    val everLogged = vs.flatMap { v =>
+      val (a, r) = readVersion(spark, dir, v); a ++ r
+    }.toSet
+    val dead = onDisk.filter(f => everLogged(f) && !referenced(f))
+    dead.foreach(f => fs.delete(new Path(dir, f), false))
+    dead.length.toLong
+  }
+
+  private def writeVersion(
+      spark: SparkSession,
+      dir: String,
+      v: Int,
+      adds: Seq[String],
+      removes: Seq[String]): Boolean = {
+    val fs = Compact.fsOf(spark, dir)
+    val body = (Seq("V1") ++
+      adds.sorted.map("ADD " + _) ++
+      removes.sorted.map("REMOVE " + _) ++
+      Seq("END")).mkString("\n")
+    val tmp = new Path(logPath(dir), s".${versionName(v)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dest = new Path(logPath(dir), versionName(v))
+    if (fs.exists(dest)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, dest)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  private def readVersion(
+      spark: SparkSession,
+      dir: String,
+      v: Int): (Seq[String], Seq[String]) = {
+    val fs = Compact.fsOf(spark, dir)
+    val in = fs.open(new Path(logPath(dir), versionName(v)))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
+      s"torn txlog version $v in $dir")
+    (lines.collect { case l if l.startsWith("ADD ") => l.substring(4) },
+      lines.collect { case l if l.startsWith("REMOVE ") => l.substring(7) })
+  }
+}

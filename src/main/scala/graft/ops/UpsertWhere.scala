@@ -46,8 +46,8 @@ object UpsertWhere {
       updates: DataFrame,
       index: Option[DataFrame] = None): Receipt = {
     Compact.recover(spark, dir)
-    val all = spark.read.parquet(dir).inputFiles.toSeq
-    val cols = spark.read.parquet(dir).columns
+    val all = DeleteWhere.allFiles(spark, dir)
+    val cols = spark.read.parquet(all.head).columns
     val up = updates.select(cols.map(col): _*)
     val keys: Seq[Any] = up.select(keyCol).distinct().collect().map(_.get(0)).toSeq
     if (keys.isEmpty) return Receipt(all.length, 0, all.length, 0, 0)

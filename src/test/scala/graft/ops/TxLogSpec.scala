@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TxLogSpec extends SparkSpec {
+
+  private lazy val orders = graft.Tables.orders(spark, sf("orders"))
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("txlog").toString + "/t"
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(dir)
+    dir
+  }
+
+  private def diskFiles(dir: String): Int =
+    Compact.dataFiles(Compact.fsOf(spark, dir), dir).length
+
+  test("convert pins v0; snapshot equals the plain read; convert is idempotent") {
+    val dir = freshTable()
+    assert(TxLog.convert(spark, dir) == 0)
+    assert(TxLog.convert(spark, dir) == 0) // already managed: no-op
+    assert(TxLog.currentVersion(spark, dir) == 0)
+    assert(TxLog.liveFiles(spark, dir).size == 8)
+    assert(same(TxLog.snapshot(spark, dir), orders))
+  }
+
+  test("the DML triad commits versions; every retained version time-travels exactly") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    val up = orders.filter(col("o_orderkey").isin(10L, 11L, 12L))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    UpsertWhere.byKeys(spark, dir, "o_orderkey", up, None) // v1
+    DeleteWhere.range(spark, dir, "o_orderkey", 1.0, 5.0, None) // v2
+    Compact.binPack(spark, dir, targetBytes = 64L << 20,
+      smallBytes = 64L << 20) // v3: full pack
+    assert(TxLog.currentVersion(spark, dir) == 3)
+
+    val v1 = orders.filter(!col("o_orderkey").isin(10L, 11L, 12L)).unionByName(up)
+    val v2 = v1.filter(col("o_orderkey") < 1 || col("o_orderkey") > 5)
+    assert(same(TxLog.snapshot(spark, dir, 0), orders))
+    assert(same(TxLog.snapshot(spark, dir, 1), v1))
+    assert(same(TxLog.snapshot(spark, dir, 2), v2))
+    assert(same(TxLog.snapshot(spark, dir, 3), v2)) // compaction: same relation
+    assert(TxLog.liveFiles(spark, dir, 3).size == 1)
+    // superseded files are RETAINED on disk for the older snapshots
+    assert(diskFiles(dir) > 8)
+  }
+
+  test("vacuum reclaims superseded files; the retained horizon still reads") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    DeleteWhere.range(spark, dir, "o_orderkey", 1.0, 5.0, None) // v1
+    Compact.binPack(spark, dir, targetBytes = 64L << 20,
+      smallBytes = 64L << 20) // v2
+    val before = diskFiles(dir)
+    val deleted = TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted > 0 && diskFiles(dir) == before - deleted)
+    val expected = orders.filter(col("o_orderkey") < 1 || col("o_orderkey") > 5)
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // v0's files are gone: reading it must fail, not silently mis-read
+    intercept[Throwable] { TxLog.snapshot(spark, dir, 0).count() }
+    assert(TxLog.vacuum(spark, dir, retainVersions = 1) == 0) // idempotent
+  }
+
+  test("orphan data files (crashed pre-commit writer) are invisible and vacuum-safe") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    val fs = Compact.fsOf(spark, dir)
+    // a writer crashed after moving its file in but before committing:
+    // the file exists on disk but no version references it
+    val orphan = new org.apache.hadoop.fs.Path(dir, "part-orphan.parquet")
+    fs.create(orphan, true).close()
+    assert(same(TxLog.snapshot(spark, dir), orders)) // invisible to reads
+    TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(fs.exists(orphan)) // never logged => never swept
+  }
+
+  test("contended commits: the loser lands on the next version, nothing is lost") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    val v1 = TxLog.commit(spark, dir, adds = Nil, removes = Nil)
+    val v2 = TxLog.commit(spark, dir, adds = Nil, removes = Nil)
+    assert(v1 == 1 && v2 == 2)
+    assert(TxLog.currentVersion(spark, dir) == 2)
+    assert(same(TxLog.snapshot(spark, dir), orders))
+  }
+}
