@@ -1939,6 +1939,30 @@ object Queries {
         col("o_orderpriority"))
   }
 
+  /** Streaming append into the transaction log ([[graft.streaming
+    * .TxLogIngest]]): four epochs of documents land as atomic log
+    * versions, with epoch 2 RE-DELIVERED (the txn probe must skip it
+    * — appending is not idempotent by content) and in-line
+    * maintenance (compactEvery=2) bin-packing the tail + writing
+    * checkpoints mid-stream. Hash-green means the committed snapshot
+    * is exactly the full documents relation: no epoch lost, none
+    * doubled, the maintenance rewrites preserved everything.
+    */
+  def qTxlogStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = s"$indexQueryDir/txlog_stream"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val sink = graft.streaming.TxLogIngest.appendSink(path, compactEvery = 2)
+    (0 until 4).foreach { e =>
+      sink(docs.filter(pmod(col("doc_id"), lit(4)) === e), e.toLong)
+      if (e == 2) sink(docs.filter(pmod(col("doc_id"), lit(4)) === e), e.toLong)
+    }
+    graft.ops.TxLog.snapshot(s, path)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

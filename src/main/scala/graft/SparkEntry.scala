@@ -139,6 +139,7 @@ object SparkEntry {
     "q_delete_keys" -> (Queries.qDeleteKeys _),
     "q_upsert_pruned" -> (Queries.qUpsertPruned _),
     "q_timetravel" -> (Queries.qTimeTravel _),
+    "q_txlog_stream" -> (Queries.qTxlogStream _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1611,6 +1612,11 @@ object Oracles {
                 TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders
          WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
+
+    // streaming log append with a replayed epoch + in-line compaction:
+    // the snapshot must be exactly the source relation
+    "q_txlog_stream" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->

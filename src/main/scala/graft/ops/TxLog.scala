@@ -46,23 +46,28 @@ object TxLog {
   private def logPath(dir: String) = new Path(dir, LogDir)
 
   private def versionName(v: Int) = f"v$v%08d.txt"
+  private def checkpointName(v: Int) = f"c$v%08d.txt"
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     fs.exists(logPath(dir))
   }
 
-  /** Bring an existing plain directory under log management: v0 ADDs
-    * every currently visible data file. Finishes any in-flight
-    * marker-mode rewrite first, so the converted state is consistent.
-    * Returns the initial version (0). No-op (returning the current
-    * version) if already managed.
+  /** Bring a directory under log management: v0 ADDs every currently
+    * visible data file (none for a brand-new table — the streaming
+    * append case). Finishes any in-flight marker-mode rewrite first,
+    * so the converted state is consistent. Returns the initial version
+    * (0). No-op (returning the current version) if already managed.
     */
   def convert(spark: SparkSession, dir: String): Int = {
     if (exists(spark, dir)) return currentVersion(spark, dir)
-    Compact.recover(spark, dir)
     val fs = Compact.fsOf(spark, dir)
-    val files = Compact.dataFiles(fs, dir).map(_.getPath.getName)
+    val files =
+      if (!fs.exists(new Path(dir))) { fs.mkdirs(new Path(dir)); Nil }
+      else {
+        Compact.recover(spark, dir)
+        Compact.dataFiles(fs, dir).map(_.getPath.getName)
+      }
     fs.mkdirs(logPath(dir))
     writeVersion(spark, dir, 0, files, Nil)
     0
@@ -86,7 +91,9 @@ object TxLog {
   }
 
   /** Live data-file NAMES at `version` (default: current): fold of
-    * ADD/REMOVE up to and including it.
+    * ADD/REMOVE up to and including it, seeded from the newest
+    * checkpoint at or before it — so planning cost is O(versions since
+    * the last checkpoint), not O(table history).
     */
   def liveFiles(
       spark: SparkSession,
@@ -97,13 +104,67 @@ object TxLog {
     require(version == Int.MaxValue || vs.contains(version),
       s"version $version not in log (have ${vs.min}..${vs.max} minus vacuumed)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    vs.filter(_ <= version).foreach { v =>
-      val (adds, removes) = readVersion(spark, dir, v)
+    val cp = checkpoints(spark, dir).filter(_ <= version).lastOption
+    cp.foreach(c => readCheckpoint(spark, dir, c).foreach(live += _))
+    vs.filter(v => v <= version && cp.forall(v > _)).foreach { v =>
+      val (adds, removes, _) = readVersion(spark, dir, v)
       removes.foreach(live -= _)
       adds.foreach(live += _)
     }
     live.toSeq
   }
+
+  private def checkpoints(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Nil
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("c") && n.endsWith(".txt"))
+      .map(n => n.substring(1, n.length - 4).toInt)
+      .sorted
+  }
+
+  /** Materialize the current live set as a checkpoint, bounding every
+    * later snapshot's planning to the versions after it. Idempotent;
+    * run every N commits (a maintenance call, like [[vacuum]]).
+    */
+  def checkpoint(spark: SparkSession, dir: String): Int = {
+    val v = currentVersion(spark, dir)
+    val fs = Compact.fsOf(spark, dir)
+    val dest = new Path(logPath(dir), checkpointName(v))
+    if (fs.exists(dest)) return v
+    val body = (Seq("V1") ++
+      liveFiles(spark, dir, v).sorted.map("FILE " + _) ++
+      Seq("END")).mkString("\n")
+    val tmp = new Path(logPath(dir), s".${checkpointName(v)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    v
+  }
+
+  private def readCheckpoint(
+      spark: SparkSession,
+      dir: String,
+      v: Int): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val in = fs.open(new Path(logPath(dir), checkpointName(v)))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
+      s"torn txlog checkpoint $v in $dir")
+    lines.collect { case l if l.startsWith("FILE ") => l.substring(5) }
+  }
+
+  /** Has a commit carrying transaction id `txn` already landed? The
+    * exactly-once probe for replayed streaming epochs ([[graft
+    * .streaming.TxLogIngest]]).
+    */
+  def txnCommitted(spark: SparkSession, dir: String, txn: String): Boolean =
+    versions(spark, dir).exists { v =>
+      readVersion(spark, dir, v)._3.contains(txn)
+    }
 
   /** Snapshot read: exactly the files version `version` (default
     * current) references — immune to concurrent commits and to the
@@ -122,18 +183,19 @@ object TxLog {
     * staged files are in place). Optimistic: claims `current + 1`,
     * retrying past a racing committer.
     */
-  private[ops] def commit(
+  private[graft] def commit(
       spark: SparkSession,
       dir: String,
       adds: Seq[String],
-      removes: Seq[String]): Int = {
+      removes: Seq[String],
+      txn: Option[String] = None): Int = {
     var attempt = currentVersion(spark, dir) + 1
     var committed = -1
     var tries = 0
     while (committed < 0) {
       tries += 1
       require(tries <= 100, s"txlog commit: 100 contended attempts in $dir")
-      if (writeVersion(spark, dir, attempt, adds, removes)) committed = attempt
+      if (writeVersion(spark, dir, attempt, adds, removes, txn)) committed = attempt
       else attempt += 1
     }
     committed
@@ -158,7 +220,7 @@ object TxLog {
     // writer's just-moved files (commit pending) are not yet in any
     // version and must survive the sweep
     val everLogged = vs.flatMap { v =>
-      val (a, r) = readVersion(spark, dir, v); a ++ r
+      val (a, r, _) = readVersion(spark, dir, v); a ++ r
     }.toSet
     val dead = onDisk.filter(f => everLogged(f) && !referenced(f))
     dead.foreach(f => fs.delete(new Path(dir, f), false))
@@ -170,9 +232,11 @@ object TxLog {
       dir: String,
       v: Int,
       adds: Seq[String],
-      removes: Seq[String]): Boolean = {
+      removes: Seq[String],
+      txn: Option[String] = None): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     val body = (Seq("V1") ++
+      txn.map("TXN " + _) ++
       adds.sorted.map("ADD " + _) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
@@ -188,7 +252,7 @@ object TxLog {
   private def readVersion(
       spark: SparkSession,
       dir: String,
-      v: Int): (Seq[String], Seq[String]) = {
+      v: Int): (Seq[String], Seq[String], Option[String]) = {
     val fs = Compact.fsOf(spark, dir)
     val in = fs.open(new Path(logPath(dir), versionName(v)))
     val lines =
@@ -197,6 +261,7 @@ object TxLog {
     require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
       s"torn txlog version $v in $dir")
     (lines.collect { case l if l.startsWith("ADD ") => l.substring(4) },
-      lines.collect { case l if l.startsWith("REMOVE ") => l.substring(7) })
+      lines.collect { case l if l.startsWith("REMOVE ") => l.substring(7) },
+      lines.collectFirst { case l if l.startsWith("TXN ") => l.substring(4) })
   }
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Row}
+
+import graft.ops.TxLog
+
+/** Streaming append into a [[TxLog]]-managed table — the
+  * `foreachBatch` member of the sink family that lands raw fact/event
+  * batches as committed log versions. Each micro-batch writes its
+  * files to a hidden stage, moves them in, and commits one version
+  * carrying the epoch as its transaction id; snapshot readers see each
+  * epoch atomically (all of its files or none), never a half-written
+  * batch — the property a plain `mode("append")` parquet sink lacks.
+  *
+  * Exactly-once under replay: Structured Streaming re-delivers a
+  * failed epoch with the SAME batchId, and the sink probes
+  * [[TxLog.txnCommitted]] before writing — a replayed epoch whose
+  * commit landed is a no-op, and one that died before its commit left
+  * only orphan files no snapshot references (vacuum-safe, invisible).
+  *
+  * The compounding win: the committed table is the file-surgery
+  * operators' substrate, so [[graft.ops.Compact]] can continually
+  * bin-pack the epoch tail and [[graft.ops.DeleteWhere]]/[[graft.ops
+  * .UpsertWhere]] run retention/corrections against it, all through
+  * the same log, all without disturbing a concurrent reader's pinned
+  * snapshot.
+  */
+object TxLogIngest {
+
+  /** foreachBatch function appending each micro-batch to the log-
+    * managed table at `dir`, creating (an empty v0) on first use.
+    * `compactEvery` > 0 additionally bin-packs the small-file tail
+    * after every that-many epochs — steady-state maintenance riding
+    * the same sink.
+    */
+  def appendSink(
+      dir: String,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20):
+      (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], epoch: Long) => {
+      val spark = batch.sparkSession
+      if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
+      val txn = s"epoch_$epoch"
+      if (!TxLog.txnCommitted(spark, dir, txn)) {
+        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stage = new Path(dir, ".append_stage")
+        fs.delete(stage, true)
+        batch.write.mode("overwrite").parquet(stage.toString)
+        val names = fs.listStatus(stage).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName).sorted
+        names.foreach { n =>
+          if (!fs.rename(new Path(stage, n), new Path(dir, n)))
+            throw new java.io.IOException(s"txlog append: cannot move $n into $dir")
+        }
+        fs.delete(stage, true)
+        TxLog.commit(spark, dir, adds = names, removes = Nil, txn = Some(txn))
+      }
+      if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+        graft.ops.Compact.binPack(spark, dir,
+          targetBytes = compactTargetBytes, smallBytes = compactTargetBytes / 4)
+        TxLog.checkpoint(spark, dir)
+      }
+      ()
+    }
+}

@@ -84,6 +84,21 @@ class TxLogSpec extends SparkSpec {
     assert(fs.exists(orphan)) // never logged => never swept
   }
 
+  test("checkpoint seeds later reads; pre-checkpoint versions still time-travel") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    DeleteWhere.range(spark, dir, "o_orderkey", 1.0, 5.0, None) // v1
+    val liveBefore = TxLog.liveFiles(spark, dir).toSet
+    assert(TxLog.checkpoint(spark, dir) == 1)
+    assert(TxLog.checkpoint(spark, dir) == 1) // idempotent
+    Compact.binPack(spark, dir, targetBytes = 64L << 20,
+      smallBytes = 64L << 20) // v2, reads THROUGH the checkpoint seed
+    assert(TxLog.liveFiles(spark, dir, 1).toSet == liveBefore)
+    assert(same(TxLog.snapshot(spark, dir, 0), orders)) // pre-checkpoint
+    val expected = orders.filter(col("o_orderkey") < 1 || col("o_orderkey") > 5)
+    assert(same(TxLog.snapshot(spark, dir, 2), expected))
+  }
+
   test("contended commits: the loser lands on the next version, nothing is lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.TxLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TxLogIngestSpec extends SparkSpec {
+
+  private lazy val orders = graft.Tables.orders(spark, sf("orders"))
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  test("epochs append atomically; a replayed epoch is a no-op") {
+    val dir = Files.createTempDirectory("txi").toString + "/t"
+    val sink = TxLogIngest.appendSink(dir)
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    sink(even, 0)
+    sink(odd, 1)
+    sink(odd, 1) // re-delivered epoch: txn probe must skip it
+    assert(TxLog.currentVersion(spark, dir) == 2) // v0 + two appends
+    assert(same(TxLog.snapshot(spark, dir), orders))
+    // epoch atomicity in the log: each append is ONE version
+    assert(same(TxLog.snapshot(spark, dir, 1), even))
+  }
+
+  test("compactEvery maintains the tail in-line; checkpointed snapshots stay exact") {
+    val dir = Files.createTempDirectory("txi_c").toString + "/t"
+    val sink = TxLogIngest.appendSink(dir, compactEvery = 4,
+      compactTargetBytes = 64L << 20)
+    (0 until 8).foreach { e =>
+      sink(orders.filter(col("o_orderkey") % 8 === e).repartition(2), e.toLong)
+    }
+    assert(same(TxLog.snapshot(spark, dir), orders))
+    // two maintenance passes ran: the live tail is packed small
+    assert(TxLog.liveFiles(spark, dir).size <= 3)
+    // time travel across a checkpoint boundary still reconstructs
+    val v2 = TxLog.snapshot(spark, dir, 2) // epochs 0+1 only
+    assert(same(v2, orders.filter(col("o_orderkey") % 8 < 2)))
+  }
+}
