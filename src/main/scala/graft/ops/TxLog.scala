@@ -105,7 +105,7 @@ object TxLog {
       s"version $version not in log (have ${vs.min}..${vs.max} minus vacuumed)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val cp = checkpoints(spark, dir).filter(_ <= version).lastOption
-    cp.foreach(c => readCheckpoint(spark, dir, c).foreach(live += _))
+    cp.foreach(c => readCheckpoint(spark, dir, c)._1.foreach(live += _))
     vs.filter(v => v <= version && cp.forall(v > _)).foreach { v =>
       val (adds, removes, _) = readVersion(spark, dir, v)
       removes.foreach(live -= _)
@@ -125,28 +125,43 @@ object TxLog {
   }
 
   /** Materialize the current live set as a checkpoint, bounding every
-    * later snapshot's planning to the versions after it. Idempotent;
-    * run every N commits (a maintenance call, like [[vacuum]]).
+    * later snapshot's planning to the versions after it. The
+    * checkpoint also carries the CUMULATIVE transaction-id set, so
+    * exactly-once probes survive [[vacuum]]'s log pruning. Idempotent;
+    * run every N commits (a maintenance call, like vacuum).
     */
   def checkpoint(spark: SparkSession, dir: String): Int = {
     val v = currentVersion(spark, dir)
+    writeCheckpointAt(spark, dir, v)
+    v
+  }
+
+  private def writeCheckpointAt(
+      spark: SparkSession,
+      dir: String,
+      v: Int): Unit = {
     val fs = Compact.fsOf(spark, dir)
     val dest = new Path(logPath(dir), checkpointName(v))
-    if (fs.exists(dest)) return v
+    if (fs.exists(dest)) return
+    val prev = checkpoints(spark, dir).filter(_ < v).lastOption
+    val prevTxns = prev.toSeq.flatMap(c => readCheckpoint(spark, dir, c)._2)
+    val newTxns = versions(spark, dir)
+      .filter(x => x <= v && prev.forall(x > _))
+      .flatMap(x => readVersion(spark, dir, x)._3)
     val body = (Seq("V1") ++
+      (prevTxns ++ newTxns).distinct.sorted.map("TXN " + _) ++
       liveFiles(spark, dir, v).sorted.map("FILE " + _) ++
       Seq("END")).mkString("\n")
     val tmp = new Path(logPath(dir), s".${checkpointName(v)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
-    v
   }
 
   private def readCheckpoint(
       spark: SparkSession,
       dir: String,
-      v: Int): Seq[String] = {
+      v: Int): (Seq[String], Seq[String]) = {
     val fs = Compact.fsOf(spark, dir)
     val in = fs.open(new Path(logPath(dir), checkpointName(v)))
     val lines =
@@ -154,17 +169,23 @@ object TxLog {
       finally in.close()
     require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
       s"torn txlog checkpoint $v in $dir")
-    lines.collect { case l if l.startsWith("FILE ") => l.substring(5) }
+    (lines.collect { case l if l.startsWith("FILE ") => l.substring(5) },
+      lines.collect { case l if l.startsWith("TXN ") => l.substring(4) })
   }
 
   /** Has a commit carrying transaction id `txn` already landed? The
     * exactly-once probe for replayed streaming epochs ([[graft
-    * .streaming.TxLogIngest]]).
+    * .streaming.TxLogIngest]]). Consults the newest checkpoint's
+    * cumulative set plus every version after it, so log pruning never
+    * forgets a committed epoch.
     */
-  def txnCommitted(spark: SparkSession, dir: String, txn: String): Boolean =
-    versions(spark, dir).exists { v =>
-      readVersion(spark, dir, v)._3.contains(txn)
-    }
+  def txnCommitted(spark: SparkSession, dir: String, txn: String): Boolean = {
+    val cp = checkpoints(spark, dir).lastOption
+    cp.exists(c => readCheckpoint(spark, dir, c)._2.contains(txn)) ||
+      versions(spark, dir).filter(v => cp.forall(v > _)).exists { v =>
+        readVersion(spark, dir, v)._3.contains(txn)
+      }
+  }
 
   /** Snapshot read: exactly the files version `version` (default
     * current) references — immune to concurrent commits and to the
@@ -203,13 +224,19 @@ object TxLog {
 
   /** Reclaim disk: delete data files whose last reference is a version
     * older than the `retainVersions` most recent ones. Snapshot reads
-    * at vacuumed versions fail; everything newer is untouched. Returns
-    * the number of files deleted. Idempotent.
+    * at vacuumed versions fail; everything newer is untouched. With
+    * `pruneLog` (default), the log itself is bounded too: a checkpoint
+    * is pinned at the retention horizon (carrying the cumulative txn
+    * ids, so replay probes keep working) and version/checkpoint files
+    * OLDER than it are dropped — the log stays O(retained versions),
+    * not O(table lifetime). Returns the number of data files deleted.
+    * Idempotent.
     */
   def vacuum(
       spark: SparkSession,
       dir: String,
-      retainVersions: Int): Long = {
+      retainVersions: Int,
+      pruneLog: Boolean = true): Long = {
     val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
@@ -224,6 +251,17 @@ object TxLog {
     }.toSet
     val dead = onDisk.filter(f => everLogged(f) && !referenced(f))
     dead.foreach(f => fs.delete(new Path(dir, f), false))
+    val h = keep.min
+    if (pruneLog && vs.exists(_ < h)) {
+      // the horizon checkpoint makes every older log entry redundant —
+      // write it BEFORE dropping anything, so a crash mid-prune still
+      // reconstructs every retained version
+      writeCheckpointAt(spark, dir, h)
+      vs.filter(_ < h).foreach(v =>
+        fs.delete(new Path(logPath(dir), versionName(v)), false))
+      checkpoints(spark, dir).filter(_ < h).foreach(c =>
+        fs.delete(new Path(logPath(dir), checkpointName(c)), false))
+    }
     dead.length.toLong
   }
 

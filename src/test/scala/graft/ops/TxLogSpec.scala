@@ -69,6 +69,10 @@ class TxLogSpec extends SparkSpec {
     // v0's files are gone: reading it must fail, not silently mis-read
     intercept[Throwable] { TxLog.snapshot(spark, dir, 0).count() }
     assert(TxLog.vacuum(spark, dir, retainVersions = 1) == 0) // idempotent
+    // the log itself was bounded: only the horizon survives, seeded by
+    // its checkpoint, and the retained version still reads exactly
+    assert(TxLog.currentVersion(spark, dir) == 2)
+    assert(same(TxLog.snapshot(spark, dir, 2), expected))
   }
 
   test("orphan data files (crashed pre-commit writer) are invisible and vacuum-safe") {

@@ -29,6 +29,18 @@ class TxLogIngestSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir, 1), even))
   }
 
+  test("a replayed epoch is still skipped after vacuum pruned the log") {
+    val dir = Files.createTempDirectory("txi_v").toString + "/t"
+    val sink = TxLogIngest.appendSink(dir)
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    sink(even, 0)
+    sink(odd, 1)
+    TxLog.vacuum(spark, dir, retainVersions = 1) // prunes v0/v1 into a checkpoint
+    sink(odd, 1) // replay: the checkpoint's cumulative txn set must remember it
+    assert(same(TxLog.snapshot(spark, dir), orders))
+  }
+
   test("compactEvery maintains the tail in-line; checkpointed snapshots stay exact") {
     val dir = Files.createTempDirectory("txi_c").toString + "/t"
     val sink = TxLogIngest.appendSink(dir, compactEvery = 4,
