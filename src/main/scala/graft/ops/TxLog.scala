@@ -222,6 +222,23 @@ object TxLog {
     committed
   }
 
+  /** Roll the table BACK to `version`'s state — as a NEW commit (the
+    * history stays intact; the bad versions remain inspectable until
+    * vacuum). Works for any version whose files are still retained:
+    * restore is pure log arithmetic, no data moves.
+    */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val target = liveFiles(spark, dir, version).toSet
+    val current = liveFiles(spark, dir).toSet
+    val fs = Compact.fsOf(spark, dir)
+    val missing = target.filterNot(f => fs.exists(new Path(dir, f)))
+    require(missing.isEmpty,
+      s"restore to $version impossible: ${missing.size} files vacuumed (${missing.take(3).mkString(", ")}…)")
+    commit(spark, dir,
+      adds = (target -- current).toSeq.sorted,
+      removes = (current -- target).toSeq.sorted)
+  }
+
   /** Reclaim disk: delete data files whose last reference is a version
     * older than the `retainVersions` most recent ones. Snapshot reads
     * at vacuumed versions fail; everything newer is untouched. With

@@ -103,6 +103,21 @@ class TxLogSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir, 2), expected))
   }
 
+  test("restore rolls back as a new commit; history and files stay put") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    DeleteWhere.range(spark, dir, "o_orderkey", 1.0, 500.0, None) // v1: the bad delete
+    assert(TxLog.snapshot(spark, dir).count() < orders.count())
+    val v = TxLog.restore(spark, dir, 0)
+    assert(v == 2)
+    assert(same(TxLog.snapshot(spark, dir), orders)) // back to v0's state
+    val expected = orders.filter(col("o_orderkey") < 1 || col("o_orderkey") > 500)
+    assert(same(TxLog.snapshot(spark, dir, 1), expected)) // bad version inspectable
+    // after vacuum drops v0's era... restore still fine here since v2 references them
+    TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(same(TxLog.snapshot(spark, dir), orders))
+  }
+
   test("contended commits: the loser lands on the next version, nothing is lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)
