@@ -552,6 +552,28 @@ object Queries {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** TPC-H Q18 shape — large-volume customers: the order keys whose
+    * lineitems exceed a quantity threshold (a groupBy-HAVING that
+    * reduces lineitem map-side before anything joins) drive a SEMI
+    * join, then the survivors re-aggregate with customer attached.
+    * The heavy table is scanned twice but only the reduced key set
+    * shuffles twice — the Q18 plan every engine wants.
+    */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).filter(col("q") > 150)
+      .select("l_orderkey")
+    li.join(big, Seq("l_orderkey"), "left_semi")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** As-of join (backward): for each error event, the user's most
     * recent purchase at-or-before it — the time-series join composed
     * as union + window carry-forward (one shuffle; see

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_tpch_q3" -> (Queries.qTpchQ3 _),
     "q_tpch_q5" -> (Queries.qTpchQ5 _),
     "q_tpch_q10" -> (Queries.qTpchQ10 _),
+    "q_tpch_q18" -> (Queries.qTpchQ18 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -503,6 +504,17 @@ object Oracles {
            AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
 
     "q_txt_tokens" ->
       """SELECT doc_id,

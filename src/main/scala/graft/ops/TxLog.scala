@@ -27,10 +27,11 @@ import java.nio.charset.StandardCharsets
   * horizon then fail, the standard lakehouse trade.
   *
   * 100 TB shape: the log is metadata-sized (file NAMES, not data), a
-  * snapshot read lists one small directory + reads ≤V tiny text files
-  * (checkpointable at higher version counts — out of scope here), and
-  * every data-file write still goes through the operators' staged
-  * jobs. The file-surgery triad ([[Compact]], [[DeleteWhere]],
+  * snapshot read lists one small directory + reads the versions since
+  * the last [[checkpoint]] (measured: a 500-version fold plans in
+  * ~143 ms; checkpoint + a 10-commit tail in ~29 ms — the checkpoint
+  * keeps planning O(tail) as history grows), and every data-file
+  * write still goes through the operators' staged jobs. The file-surgery triad ([[Compact]], [[DeleteWhere]],
   * [[UpsertWhere]]) detects a log-managed directory and routes its
   * commit through [[commit]] automatically — same operator API, ACID
   * upgraded.
