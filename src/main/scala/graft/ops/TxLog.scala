@@ -203,7 +203,14 @@ object TxLog {
 
   /** Append a commit (called by the file-surgery operators after their
     * staged files are in place). Optimistic: claims `current + 1`,
-    * retrying past a racing committer.
+    * retrying past a racing committer — and on every (re)attempt
+    * VALIDATES that the files this commit removes are still live at
+    * the parent version. Without that check, two writers rewriting the
+    * same file would silently produce a lost update (the second
+    * commit's replacement file resurrects rows the first one deleted);
+    * with it, the second writer gets a [[java.util
+    * .ConcurrentModificationException]] and must recompute against the
+    * new state — Delta's conflict-detection rule at its core.
     */
   private[graft] def commit(
       spark: SparkSession,
@@ -211,14 +218,24 @@ object TxLog {
       adds: Seq[String],
       removes: Seq[String],
       txn: Option[String] = None): Int = {
-    var attempt = currentVersion(spark, dir) + 1
     var committed = -1
     var tries = 0
     while (committed < 0) {
       tries += 1
       require(tries <= 100, s"txlog commit: 100 contended attempts in $dir")
-      if (writeVersion(spark, dir, attempt, adds, removes, txn)) committed = attempt
-      else attempt += 1
+      val parent = currentVersion(spark, dir)
+      if (removes.nonEmpty) {
+        val live = liveFiles(spark, dir, parent).toSet
+        val gone = removes.filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"txlog commit conflict in $dir: ${gone.size} of this commit's " +
+              s"removed files were already replaced by a concurrent commit " +
+              s"(${gone.take(3).mkString(", ")}…) — recompute against v$parent")
+      }
+      if (writeVersion(spark, dir, parent + 1, adds, removes, txn))
+        committed = parent + 1
+      // lost the race: loop re-reads the parent and re-validates
     }
     committed
   }

@@ -127,4 +127,23 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.currentVersion(spark, dir) == 2)
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
+
+  test("write-write conflict on the same file is rejected, not silently lost") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    val victim = TxLog.liveFiles(spark, dir).head
+    // writer B replaces the file first
+    TxLog.commit(spark, dir, adds = Seq("b-replacement.parquet"),
+      removes = Seq(victim))
+    // writer A, computed against v0, tries to replace the SAME file:
+    // committing would resurrect rows B deleted
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(spark, dir, adds = Seq("a-replacement.parquet"),
+        removes = Seq(victim))
+    }
+    // disjoint rewrites are not conflicts
+    val other = TxLog.liveFiles(spark, dir).filter(_ != "b-replacement.parquet").head
+    TxLog.commit(spark, dir, adds = Seq("a2.parquet"), removes = Seq(other))
+    assert(TxLog.currentVersion(spark, dir) == 2)
+  }
 }
