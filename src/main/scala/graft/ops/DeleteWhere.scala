@@ -80,6 +80,25 @@ object DeleteWhere {
     rewrite(spark, dir, all, cand, keep)
   }
 
+  /** Delete rows matching an ARBITRARY predicate — the general
+    * `DELETE FROM t WHERE …` with caller-supplied pruning: pass the
+    * candidate files a manifest lookup produced, or omit them and
+    * every file rewrites (correct, unpruned — the cost of a predicate
+    * the statistics can't bound). SQL DELETE semantics: only rows
+    * where the predicate is TRUE are removed; FALSE and NULL both
+    * survive.
+    */
+  def where(
+      spark: SparkSession,
+      dir: String,
+      predicate: org.apache.spark.sql.Column,
+      candidates: Option[Seq[String]] = None): Receipt = {
+    Compact.recover(spark, dir)
+    val all = allFiles(spark, dir)
+    val cand = candidates.getOrElse(all).filter(all.contains)
+    rewrite(spark, dir, all, cand, !coalesce(predicate, lit(false)))
+  }
+
   /** The table's live files in inputFiles URI form — the form the
     * manifests key their stats on (a format mismatch would silently
     * disable pruning: unknown file => candidate). Under a [[TxLog]]

@@ -190,15 +190,21 @@ object TxLog {
 
   /** Snapshot read: exactly the files version `version` (default
     * current) references — immune to concurrent commits and to the
-    * superseded files still on disk.
+    * superseded files still on disk. `mergeSchema` unions the schemas
+    * across the snapshot's files (absent columns read NULL), so an
+    * appended stream can EVOLVE its schema and every version still
+    * reads — at the price of one footer read per file at planning.
     */
   def snapshot(
       spark: SparkSession,
       dir: String,
-      version: Int = Int.MaxValue): DataFrame = {
+      version: Int = Int.MaxValue,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(spark, dir, version).map(n => s"$dir/$n")
     require(files.nonEmpty, s"version $version of $dir holds no files")
-    spark.read.parquet(files: _*)
+    if (mergeSchema)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else spark.read.parquet(files: _*)
   }
 
   /** Append a commit (called by the file-surgery operators after their

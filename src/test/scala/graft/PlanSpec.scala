@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // nation
   }
 
+  test("q_tpch_q18: the HAVING reduction aggregates partially before its exchange, semi join drives") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("TxLog snapshot reads keep full pushdown: filters reach the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_txlog").toString + "/t"
+    graft.Tables.lineitem(spark, sf("")).write.parquet(dir)
+    graft.ops.TxLog.convert(spark, dir)
+    val p = graft.ops.TxLog.snapshot(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
   test("no query plans a cartesian product (ann_brute's broadcast NLJ excepted)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf("")).queryExecution.executedPlan.toString

@@ -67,6 +67,21 @@ class DeleteWhereSpec extends SparkSpec {
     assert(got.exists(_.isNullAt(0))) // the NULL row survived
   }
 
+  test("generic predicate delete: compound condition, NULLs survive, caller pruning honored") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dw_pred").toString + "/t"
+    Seq[(java.lang.Long, String)]((1L, "a"), (5L, "drop"), (6L, "drop"),
+      (null, "drop"), (9L, "keep"))
+      .toDF("k", "v").coalesce(1).write.parquet(dir)
+    // k > 2 AND v = 'drop' — NULL k makes the conjunct NULL, row survives
+    val r = DeleteWhere.where(spark, dir,
+      col("k") > 2 && col("v") === "drop")
+    assert(r.deletedRows == 2)
+    val got = spark.read.parquet(dir).collect()
+    assert(got.length == 3)
+    assert(got.exists(_.isNullAt(0)))
+  }
+
   test("an all-rows-match delete empties the table without breaking the schema") {
     val dir = Files.createTempDirectory("dw_all").toString + "/t"
     li.limit(100).repartition(2).write.parquet(dir)

@@ -128,6 +128,20 @@ class TxLogSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
 
+  test("schema evolution: an appended wider epoch reads via mergeSchema, old rows NULL-fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txlog_ev").toString + "/t"
+    graft.streaming.TxLogIngest.appendSink(dir)(
+      Seq((1L, "a")).toDF("k", "v"), 0L)
+    graft.streaming.TxLogIngest.appendSink(dir)(
+      Seq((2L, "b", 7.5)).toDF("k", "v", "score"), 1L)
+    val merged = TxLog.snapshot(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("k", "v", "score"))
+    val rows = merged.orderBy("k").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old epoch NULL-fills
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 7.5)
+  }
+
   test("write-write conflict on the same file is rejected, not silently lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)
