@@ -574,6 +574,28 @@ object Queries {
       .limit(100)
   }
 
+  /** TPC-H Q14 shape — promotion revenue share: one month of
+    * lineitem (shipdate pushed to the scan) joined to a BROADCAST
+    * part dim, conditional aggregation in one pass. The month filter
+    * + broadcast means the only data-proportional work is the
+    * filtered lineitem scan itself.
+    */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"),
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_pct"))
+  }
+
   /** As-of join (backward): for each error event, the user's most
     * recent purchase at-or-before it — the time-series join composed
     * as union + window carry-forward (one shuffle; see

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_tpch_q5" -> (Queries.qTpchQ5 _),
     "q_tpch_q10" -> (Queries.qTpchQ10 _),
     "q_tpch_q18" -> (Queries.qTpchQ18 _),
+    "q_tpch_q14" -> (Queries.qTpchQ14 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -515,6 +516,19 @@ object Oracles {
                               GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+
+    "q_tpch_q14" ->
+      """SELECT
+         ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+           AS promo_revenue,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+         ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+               / SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
 
     "q_txt_tokens" ->
       """SELECT doc_id,

@@ -246,6 +246,20 @@ object TxLog {
     committed
   }
 
+  /** The retained commit history as a DataFrame — (version, n_adds,
+    * n_removes, txn) per commit, newest first. The observability
+    * surface a DESCRIBE HISTORY serves: what changed when, which
+    * epochs landed, where the retention horizon sits.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = versions(spark, dir).sorted.reverse.map { v =>
+      val (a, r, txn) = readVersion(spark, dir, v)
+      (v, a.length, r.length, txn.orNull)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_adds", "n_removes", "txn")
+  }
+
   /** Roll the table BACK to `version`'s state — as a NEW commit (the
     * history stays intact; the bad versions remain inspectable until
     * vacuum). Works for any version whose files are still retained:

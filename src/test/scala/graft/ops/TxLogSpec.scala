@@ -128,6 +128,17 @@ class TxLogSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
 
+  test("history lists retained commits newest-first with their txn ids") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    graft.streaming.TxLogIngest.appendSink(dir)(
+      orders.filter(col("o_orderkey") < 10), 7L)
+    val h = TxLog.history(spark, dir).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 0))
+    assert(h(0).getString(3) == "epoch_7")
+    assert(h(1).getInt(1) == 8 && h(1).getInt(2) == 0) // v0: 8 adds
+  }
+
   test("schema evolution: an appended wider epoch reads via mergeSchema, old rows NULL-fill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("txlog_ev").toString + "/t"
