@@ -44,8 +44,8 @@ object BloomFileIndex {
       column: String,
       expectedPerFile: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame =
-    buildForFiles(spark, spark.read.parquet(dir).inputFiles.toSeq,
-      spark.read.parquet(dir).schema, column, expectedPerFile, fpp)
+    buildForFiles(spark, TxLog.read(spark, dir).inputFiles.toSeq,
+      TxLog.read(spark, dir).schema, column, expectedPerFile, fpp)
 
   private def buildForFiles(
       spark: SparkSession,
@@ -102,7 +102,7 @@ object BloomFileIndex {
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("double").as(s"__mn_$c"),
         max(col(c)).cast("double").as(s"__mx_$c")))
-    val perFile = spark.read.parquet(dir)
+    val perFile = TxLog.read(spark, dir)
       .select((input_file_name().as("file") +: col(bloomCol) +:
         statsCols.map(col)): _*)
       .groupBy("file")
@@ -136,7 +136,7 @@ object BloomFileIndex {
       column: String,
       expectedPerFile: Long = 1L << 20,
       fpp: Double = 0.01): (DataFrame, Long) = {
-    val reader = spark.read.parquet(dir)
+    val reader = TxLog.read(spark, dir)
     val live = reader.inputFiles.toSet
     val known = index.select("file").distinct()
       .collect().map(_.getString(0)).toSet
@@ -179,7 +179,7 @@ object BloomFileIndex {
       index: DataFrame,
       column: String,
       values: Seq[Any]): DataFrame = {
-    val all = spark.read.parquet(dir)
+    val all = TxLog.read(spark, dir)
     val cand = candidateFiles(index, all.inputFiles.toSeq, values)
     val src =
       if (cand.isEmpty) all.limit(0)

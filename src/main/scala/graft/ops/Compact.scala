@@ -140,9 +140,13 @@ object Compact {
       spark: SparkSession,
       dir: String): Seq[FileStatus] = {
     val fs = fsOf(spark, dir)
-    if (TxLog.exists(spark, dir))
-      TxLog.liveFiles(spark, dir).map(n => fs.getFileStatus(new Path(dir, n)))
-    else dataFiles(fs, dir)
+    val listed = dataFiles(fs, dir)
+    if (TxLog.exists(spark, dir)) {
+      // one listing filtered by the snapshot — not a per-file
+      // getFileStatus round-trip (10^5 live files = 10^5 RPCs)
+      val live = TxLog.liveFiles(spark, dir).toSet
+      listed.filter(f => live(f.getPath.getName))
+    } else listed
   }
 
   /** The shared staged-rewrite commit: run `writeStage` against the

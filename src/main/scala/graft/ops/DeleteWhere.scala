@@ -106,8 +106,7 @@ object DeleteWhere {
     * rewritten.
     */
   private[ops] def allFiles(spark: SparkSession, dir: String): Seq[String] =
-    (if (TxLog.exists(spark, dir)) TxLog.snapshot(spark, dir)
-     else spark.read.parquet(dir)).inputFiles.toSeq
+    TxLog.read(spark, dir).inputFiles.toSeq
 
   private def rewrite(
       spark: SparkSession,

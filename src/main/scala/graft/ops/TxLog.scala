@@ -246,6 +246,16 @@ object TxLog {
     committed
   }
 
+  /** The table as a DataFrame whether or not it is log-managed: the
+    * current snapshot when a log exists, the plain directory read
+    * otherwise. The read entry point every stats/manifest operator
+    * uses, so zone maps, bloom indexes and the DML triad all agree on
+    * what "the table" is.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    if (exists(spark, dir)) snapshot(spark, dir)
+    else spark.read.parquet(dir)
+
   /** The retained commit history as a DataFrame — (version, n_adds,
     * n_removes, txn) per commit, newest first. The observability
     * surface a DESCRIBE HISTORY serves: what changed when, which

@@ -38,7 +38,7 @@ object ZoneMap {
     * the data pages are never touched.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
-    buildForFiles(spark, spark.read.parquet(dir).inputFiles.toSeq, cols)
+    buildForFiles(spark, TxLog.read(spark, dir).inputFiles.toSeq, cols)
 
   private def buildForFiles(
       spark: SparkSession,
@@ -101,7 +101,7 @@ object ZoneMap {
       dir: String,
       manifest: DataFrame,
       cols: Seq[String]): (DataFrame, Long) = {
-    val live = spark.read.parquet(dir).inputFiles.toSet
+    val live = TxLog.read(spark, dir).inputFiles.toSet
     val known = manifest.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val fresh = (live -- known).toSeq.sorted
@@ -142,7 +142,7 @@ object ZoneMap {
       column: String,
       lo: Double,
       hi: Double): DataFrame = {
-    val all = spark.read.parquet(dir)
+    val all = TxLog.read(spark, dir)
     val cand = candidateFiles(manifest, all.inputFiles.toSeq, column, lo, hi)
     val src =
       if (cand.isEmpty) all.limit(0)
