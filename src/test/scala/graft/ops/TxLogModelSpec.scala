@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Model-based check of the whole lakehouse stack: a deterministic
+  * random sequence of append / delete / upsert / compact / restore
+  * runs against a [[TxLog]]-managed table AND an in-memory model;
+  * after every operation the committed snapshot must equal the model
+  * exactly. Catches cross-operator interactions (a compact between a
+  * delete and a restore, an upsert over a just-packed file) that
+  * single-operator specs cannot.
+  */
+class TxLogModelSpec extends SparkSpec {
+
+  test("15 random lakehouse operations: snapshot == model after every step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("txmodel").toString + "/t"
+
+    // model: key -> value (upsert semantics by key)
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextKey = 0L
+    // model state per committed version, for restore
+    val modelAt = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def snapState(): Unit = modelAt += model.toMap
+    def check(step: String): Unit = {
+      val got =
+        if (TxLog.liveFiles(spark, dir).isEmpty) Seq.empty[(Long, Long)]
+        else TxLog.snapshot(spark, dir).select("k", "v")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+      val want = model.toSeq.sorted
+      assert(got == want,
+        s"$step: snapshot ${got.length} rows != model ${want.length}")
+    }
+
+    // v0: empty table
+    TxLog.convert(spark, dir)
+    snapState()
+
+    def append(): Unit = {
+      val rows = (0 until (5 + rnd.nextInt(20)))
+        .map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+      graft.streaming.TxLogIngest.appendSink(dir)(df(rows),
+        TxLog.currentVersion(spark, dir).toLong + 1000)
+      rows.foreach { case (k, v) => model(k) = v }
+    }
+
+    def deleteRange(): Unit = {
+      if (model.isEmpty) return
+      val ks = model.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length))
+      val hi = lo + rnd.nextInt(10)
+      val before = TxLog.currentVersion(spark, dir)
+      DeleteWhere.range(spark, dir, "k", lo.toDouble, hi.toDouble, None)
+      model.filterInPlace((k, _) => k < lo || k > hi)
+      if (TxLog.currentVersion(spark, dir) == before) return // no candidates: no commit
+    }
+
+    def upsert(): Unit = {
+      if (model.isEmpty) return
+      val ks = model.keys.toSeq.sorted
+      val existing = (0 until 3).map(_ => ks(rnd.nextInt(ks.length))).distinct
+      val fresh = (0 until 2).map { _ => nextKey += 1; nextKey }
+      val rows = (existing ++ fresh).map(k => (k, rnd.nextLong(1000)))
+      UpsertWhere.byKeys(spark, dir, "k", df(rows), None)
+      rows.foreach { case (k, v) => model(k) = v }
+    }
+
+    def compact(): Unit = {
+      val before = TxLog.currentVersion(spark, dir)
+      Compact.binPack(spark, dir, targetBytes = 64L << 20,
+        smallBytes = 64L << 20)
+      if (TxLog.currentVersion(spark, dir) == before) return // <2 files: no-op
+    }
+
+    def restore(): Unit = {
+      val v = rnd.nextInt(modelAt.length)
+      TxLog.restore(spark, dir, v)
+      model.clear()
+      modelAt(v).foreach { case (k, x) => model(k) = x }
+    }
+
+    append(); snapState(); check("seed append")
+    (0 until 15).foreach { i =>
+      val before = TxLog.currentVersion(spark, dir)
+      rnd.nextInt(5) match {
+        case 0 | 1 => append()
+        case 2 => deleteRange()
+        case 3 => upsert()
+        case 4 => if (rnd.nextBoolean()) compact() else restore()
+      }
+      // record model state for every version the op committed
+      (before until TxLog.currentVersion(spark, dir)).foreach(_ => snapState())
+      check(s"op $i")
+    }
+    // closing sweep: vacuum must not disturb the current state
+    TxLog.vacuum(spark, dir, retainVersions = 2)
+    check("post-vacuum")
+  }
+}
