@@ -2007,6 +2007,41 @@ object Queries {
         col("source"), col("n_chars"))
   }
 
+  /** Change feed across log versions ([[graft.ops.TxLog.diff]]): the
+    * q_timetravel lifecycle (merge at v1, purge at v2) in its own
+    * directory, then the ROW-LEVEL diff v0→v2 — updated keys appear
+    * as delete+insert pairs, purged keys as deletes, fresh keys as
+    * inserts, and every untouched row cancels (diff reads only the
+    * CHANGED files). Hash-green means the multiset difference is
+    * exactly DuckDB's modular-arithmetic derivation of who changed.
+    */
+  def qTxlogDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/txlog_diff"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh), None) // v1
+    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, path, 1)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", dead) // v2
+    graft.ops.TxLog.diff(s, path, 0, 2)
+      .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

@@ -142,6 +142,7 @@ object SparkEntry {
     "q_upsert_pruned" -> (Queries.qUpsertPruned _),
     "q_timetravel" -> (Queries.qTimeTravel _),
     "q_txlog_stream" -> (Queries.qTxlogStream _),
+    "q_txlog_diff" -> (Queries.qTxlogDiff _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1643,6 +1644,23 @@ object Oracles {
     // the snapshot must be exactly the source relation
     "q_txlog_stream" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // change feed v0->v2: updated keys = delete+insert pair, purged
+    // keys = delete, fresh surviving keys = insert, everything else
+    // cancels in the multiset difference
+    "q_txlog_diff" ->
+      """SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
+                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 991 = 0 OR o_orderkey % 997 = 0
+         UNION ALL
+         SELECT 'insert', o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice * 2, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 991 = 0 AND o_orderkey % 997 <> 0
+         UNION ALL
+         SELECT 'insert', o_orderkey + 1000000, o_custkey, 'N', 0.0,
+                TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders
+         WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->

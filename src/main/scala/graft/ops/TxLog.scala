@@ -256,6 +256,48 @@ object TxLog {
     if (exists(spark, dir)) snapshot(spark, dir)
     else spark.read.parquet(dir)
 
+  /** Row-level change feed between two retained versions: what a
+    * consumer must apply to move a downstream copy from `fromVersion`
+    * to `toVersion` — `_change_type` = 'insert' for rows present only
+    * after, 'delete' for rows present only before (an upsert appears
+    * as its delete + insert pair; rows that merely moved files during
+    * compaction cancel out).
+    *
+    * Cost is O(CHANGED files), not O(snapshot): files live in BOTH
+    * versions contribute identical rows to both sides and cannot
+    * appear in the multiset difference, so only the files added or
+    * removed across the range are read.
+    */
+  def diff(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diff: fromVersion $fromVersion > toVersion $toVersion")
+    val before = liveFiles(spark, dir, fromVersion).toSet
+    val after = liveFiles(spark, dir, toVersion).toSet
+    val removed = (before -- after).toSeq.sorted.map(n => s"$dir/$n")
+    val added = (after -- before).toSeq.sorted.map(n => s"$dir/$n")
+    import org.apache.spark.sql.functions.lit
+    def readOrEmpty(files: Seq[String], schemaOf: Seq[String]): DataFrame =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.schema(spark.read.parquet(schemaOf: _*).schema)
+        .parquet() // zero paths: empty relation with the sibling schema
+    if (removed.isEmpty && added.isEmpty) {
+      val any = liveFiles(spark, dir, toVersion).map(n => s"$dir/$n")
+      require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
+      return spark.read.parquet(any: _*).limit(0)
+        .withColumn("_change_type", lit("insert"))
+    }
+    val schemaDonor = if (added.nonEmpty) added else removed
+    val addedDf = readOrEmpty(added, schemaDonor)
+    val removedDf = readOrEmpty(removed, schemaDonor)
+    addedDf.exceptAll(removedDf).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        removedDf.exceptAll(addedDf).withColumn("_change_type", lit("delete")))
+  }
+
   /** The retained commit history as a DataFrame — (version, n_adds,
     * n_removes, txn) per commit, newest first. The observability
     * surface a DESCRIBE HISTORY serves: what changed when, which

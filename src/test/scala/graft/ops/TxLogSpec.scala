@@ -128,6 +128,34 @@ class TxLogSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
 
+  test("diff between versions equals the snapshot multiset difference, reading only changed files") {
+    val dir = freshTable()
+    TxLog.convert(spark, dir)
+    val up = orders.filter(col("o_orderkey").isin(10L, 11L, 12L))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    UpsertWhere.byKeys(spark, dir, "o_orderkey", up, None) // v1
+    DeleteWhere.range(spark, dir, "o_orderkey", 20.0, 40.0, None) // v2
+    val d = TxLog.diff(spark, dir, 0, 2)
+    // cross-check against the expensive definition on full snapshots
+    val s0 = TxLog.snapshot(spark, dir, 0)
+    val s2 = TxLog.snapshot(spark, dir, 2)
+    val cols = s0.columns.map(col)
+    val ins = d.filter(col("_change_type") === "insert").select(cols: _*)
+    val del = d.filter(col("_change_type") === "delete").select(cols: _*)
+    assert(ins.exceptAll(s2.exceptAll(s0)).isEmpty &&
+      s2.exceptAll(s0).exceptAll(ins).isEmpty)
+    assert(del.exceptAll(s0.exceptAll(s2)).isEmpty &&
+      s0.exceptAll(s2).exceptAll(del).isEmpty)
+    // an upserted key shows as its delete+insert pair
+    assert(d.filter(col("o_orderkey") === 10L).count() == 2)
+    // compaction-only movement cancels: diff(v2, v3) after a pack is empty
+    Compact.binPack(spark, dir, targetBytes = 64L << 20,
+      smallBytes = 64L << 20) // v3
+    assert(TxLog.diff(spark, dir, 2, 3).isEmpty)
+    // identity diff is empty too
+    assert(TxLog.diff(spark, dir, 2, 2).isEmpty)
+  }
+
   test("history lists retained commits newest-first with their txn ids") {
     val dir = freshTable()
     TxLog.convert(spark, dir)
