@@ -2042,6 +2042,52 @@ object Queries {
         col("o_orderpriority"))
   }
 
+  /** Incremental MV over a LOGGED table ([[graft.ops.MvStore]]
+    * consuming [[graft.ops.TxLog.diff]] via `asChangeFeed`): seed a
+    * per-status (count, sum) view from v0's snapshot, then advance it
+    * commit by commit applying ONLY each version-range's change feed
+    * — with the v1→v2 batch REPLAYED (the content stamp must
+    * recognize it). Hash-green means two signed incremental refreshes
+    * land exactly on DuckDB's direct aggregate of the final state —
+    * the lakehouse log and the IVM machinery composing end to end.
+    */
+  def qTxlogMv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/txlog_mv"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/txlog_mv_state")
+    graft.ops.MvStore.init(store, "lmv", graft.ops.TxLog.snapshot(s, path, 0),
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh), None) // v1
+    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, path, 1)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", dead) // v2
+    val f01 = graft.ops.TxLog.asChangeFeed(graft.ops.TxLog.diff(s, path, 0, 1))
+    val f12 = graft.ops.TxLog.asChangeFeed(graft.ops.TxLog.diff(s, path, 1, 2))
+    graft.ops.MvStore.refresh(store, "lmv", f01,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    graft.ops.MvStore.refresh(store, "lmv", f12,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    graft.ops.MvStore.refresh(store, "lmv", f12,
+      Seq("o_orderstatus"), Seq("o_totalprice")) // replay: stamp no-op
+    graft.ops.MvStore.read(store, "lmv")
+      .select(col("o_orderstatus"), col("n"),
+        round(col("sum_o_totalprice"), 2).as("sum_price"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_timetravel" -> (Queries.qTimeTravel _),
     "q_txlog_stream" -> (Queries.qTxlogStream _),
     "q_txlog_diff" -> (Queries.qTxlogDiff _),
+    "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1661,6 +1662,22 @@ object Oracles {
                 TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders
          WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
+
+    // incremental MV over the logged lifecycle: two signed refreshes
+    // must land on the direct aggregate of the v2 state
+    "q_txlog_mv" ->
+      """WITH v2 AS (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 997 <> 0 AND o_orderkey % 991 <> 0
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice * 2 FROM orders
+           WHERE o_orderkey % 991 = 0 AND o_orderkey % 997 <> 0
+           UNION ALL
+           SELECT 'N', 0.0 FROM orders
+           WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+                ROUND(SUM(o_totalprice), 2) AS sum_price
+         FROM v2 GROUP BY o_orderstatus""",
 
     // bin-packed rewrite must preserve the relation exactly
     "q_compact" ->

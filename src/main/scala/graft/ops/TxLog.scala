@@ -298,6 +298,15 @@ object TxLog {
         removedDf.exceptAll(addedDf).withColumn("_change_type", lit("delete")))
   }
 
+  /** Adapt a [[diff]] feed to the [[Scd2.changes]]/[[MvStore]] change
+    * schema, so an incremental materialized view can consume the
+    * commits of ANY logged table — the diff's delete+insert pair for
+    * an updated row is exactly the preimage/postimage pair the signed
+    * delta arithmetic expects.
+    */
+  def asChangeFeed(diffDf: DataFrame): DataFrame =
+    diffDf.withColumnRenamed("_change_type", "change_type")
+
   /** The retained commit history as a DataFrame — (version, n_adds,
     * n_removes, txn) per commit, newest first. The observability
     * surface a DESCRIBE HISTORY serves: what changed when, which
