@@ -2088,6 +2088,25 @@ object Queries {
         round(col("sum_o_totalprice"), 2).as("sum_price"))
   }
 
+  /** String zone maps ([[graft.ops.ZoneMap.buildString]]): documents
+    * laid out by language, the lexicographic per-file manifest built
+    * from footers only, then the equality-pruned read of one language
+    * — which must equal the plain filter exactly (the manifest is
+    * necessary, never sufficient: the residual filter still runs).
+    * Candidate-count locality and the no-stats-never-prunes rule are
+    * ZoneMapSpec's.
+    */
+  def qZonemapString(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = s"$indexQueryDir/zonemap_string"
+    docs.repartitionByRange(8, col("lang"))
+      .sortWithinPartitions("lang").write.mode("overwrite").parquet(path)
+    val mf = graft.ops.ZoneMap.buildString(s, path, Seq("lang"))
+    graft.ops.ZoneMap.prunedReadString(s, path, mf, "lang", "en")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+  }
+
   /** Declarative data-quality expectations ([[graft.ops
     * .Expectations]]): six contract rules over orders — not-null,
     * key uniqueness, accepted status set, a price range tight enough

@@ -135,6 +135,7 @@ object SparkEntry {
     "q_events_quantile" -> (Queries.qEventsQuantile _),
     "q_zorder" -> (Queries.qZorder _),
     "q_zonemap_prune" -> (Queries.qZonemapPrune _),
+    "q_zonemap_string" -> (Queries.qZonemapString _),
     "q_bloomindex_point" -> (Queries.qBloomindexPoint _),
     "q_compact" -> (Queries.qCompact _),
     "q_delete_where" -> (Queries.qDeleteWhere _),
@@ -1684,6 +1685,11 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority
          FROM orders""",
+
+    // string-manifest equality-pruned read must equal the plain filter
+    "q_zonemap_string" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents WHERE lang = 'en'""",
 
     // expectations report: per-rule violation counts + pass flags,
     // rows_checked = table count; count(CASE) keeps BIGINT on both

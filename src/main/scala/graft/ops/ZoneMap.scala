@@ -85,6 +85,101 @@ object ZoneMap {
       .toDF("file", "column", "min_value", "max_value", "file_rows")
   }
 
+  /** STRING-column manifest: per-file lexicographic min/max from the
+    * footers — the zone map for categorical and lexicographically
+    * ordered columns (language codes, date strings, categories) the
+    * numeric manifest cannot serve. One row per (file, column):
+    * (file, column, min_str, max_str, file_rows). Pruning soundness
+    * under parquet's stats rules: a chunk whose binary stats were
+    * omitted (oversized values) reads as NO stats row here, and an
+    * unknown file never prunes.
+    */
+  def buildString(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String]): DataFrame = {
+    val want = cols.toSet
+    val files = TxLog.read(spark, dir).inputFiles.toSeq
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .flatMap { f =>
+        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val r = ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          val nRows = {
+            var n = 0L; blocks.forEach(b => n += b.getRowCount); n
+          }
+          val acc = scala.collection.mutable.Map.empty[String, (String, String)]
+          var complete = Set.empty[String] // columns with stats in EVERY block
+          var first = true
+          blocks.forEach { b =>
+            val here = scala.collection.mutable.Set.empty[String]
+            b.getColumns.forEach { c =>
+              val name = c.getPath.toDotString
+              if (want.contains(name) &&
+                c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.BINARY) {
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                  val mn = new String(st.getMinBytes, "UTF-8")
+                  val mx = new String(st.getMaxBytes, "UTF-8")
+                  val cur = acc.getOrElse(name, (mn, mx))
+                  acc(name) = (
+                    if (mn < cur._1) mn else cur._1,
+                    if (mx > cur._2) mx else cur._2)
+                  here += name
+                }
+              }
+            }
+            complete = if (first) here.toSet else complete.intersect(here.toSet)
+            first = false
+          }
+          // a column missing stats in ANY block yields no manifest row
+          // (partial stats could under-report the file's true span)
+          acc.iterator.filter(kv => complete(kv._1))
+            .map { case (c, (mn, mx)) => (f, c, mn, mx, nRows) }.toSeq
+        } finally r.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "column", "min_str", "max_str", "file_rows")
+  }
+
+  /** Files whose lexicographic [min,max] on `column` can contain
+    * `value` — plus any file without a stats row (unknown never
+    * prunes).
+    */
+  def candidateFilesString(
+      manifest: DataFrame,
+      allFiles: Seq[String],
+      column: String,
+      value: String): Seq[String] = {
+    val known = manifest.filter(col("column") === column)
+      .select("file", "min_str", "max_str").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    allFiles.filter(f => known.get(f) match {
+      case Some((mn, mx)) => mn <= value && value <= mx
+      case None => true
+    })
+  }
+
+  /** Equality read over the string manifest: only files that can hold
+    * `column` = `value`, residual filter over the survivors. Result
+    * identical to the unpruned filtered read.
+    */
+  def prunedReadString(
+      spark: SparkSession,
+      dir: String,
+      manifest: DataFrame,
+      column: String,
+      value: String): DataFrame = {
+    val all = TxLog.read(spark, dir)
+    val cand = candidateFilesString(manifest, all.inputFiles.toSeq, column, value)
+    val src =
+      if (cand.isEmpty) all.limit(0)
+      else spark.read.schema(all.schema).parquet(cand: _*)
+    src.filter(col(column) === value)
+  }
+
   /** Incremental manifest maintenance: footer-read ONLY files that
     * appeared since `manifest` was built, drop rows for files that
     * vanished (compaction, vacuum), carry everything else over

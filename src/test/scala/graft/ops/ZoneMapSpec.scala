@@ -29,6 +29,31 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("string manifest: lexicographic spans from footers, equality read prunes") {
+    val docs = graft.Tables.table(spark, sf(""), "documents")
+    val dir = Files.createTempDirectory("zm_str").toString + "/t"
+    docs.repartitionByRange(8, col("lang"))
+      .sortWithinPartitions("lang").write.parquet(dir)
+    val mf = ZoneMap.buildString(spark, dir, Seq("lang"))
+    // footer spans agree with scanned spans
+    val scanned = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("lang").as("mn"), max("lang").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    mf.collect().foreach { r =>
+      assert(scanned(r.getString(0)) == ((r.getString(2), r.getString(3))))
+    }
+    // equality read: few candidates, identical result
+    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val cand = ZoneMap.candidateFilesString(mf, all, "lang", "en")
+    assert(cand.size < all.size, s"${cand.size} of ${all.size}")
+    val got = ZoneMap.prunedReadString(spark, dir, mf, "lang", "en")
+    val want = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a value no file can hold prunes everything, result still sound
+    assert(ZoneMap.prunedReadString(spark, dir, mf, "lang", "zz").isEmpty)
+  }
+
   test("pruned read over a clustered layout: few candidate files, identical result") {
     val dir = Files.createTempDirectory("zm_prune").toString + "/t"
     ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), numPartitions = 32)
