@@ -85,6 +85,86 @@ object ZoneMap {
       .toDF("file", "column", "min_value", "max_value", "file_rows")
   }
 
+  /** ROW-GROUP-granular manifest: one row per (file, row_group,
+    * column) with min/max and the group's row count — the per-block
+    * stats the footer already holds, surfaced instead of rolled up.
+    * Spark's scan prunes row groups itself once the filter is pushed,
+    * so the increment over the per-file manifest is PLANNING: which
+    * (file, row group) pairs a range can touch, and how many rows —
+    * [[estimateRows]] — BEFORE any scan launches. On a clustered
+    * layout ([[ZOrder]]) that estimate is tight enough to drive
+    * admission control or cost-based routing of ad-hoc queries.
+    */
+  def buildRowGroups(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String]): DataFrame = {
+    val want = cols.toSet
+    val files = TxLog.read(spark, dir).inputFiles.toSeq
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .flatMap { f =>
+        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val r = ParquetFileReader.open(in)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, String, Double, Double, Long)]
+          var rg = 0
+          r.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              val name = c.getPath.toDotString
+              if (want.contains(name)) {
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                  c.getPrimitiveType.getPrimitiveTypeName match {
+                    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
+                        PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                      out += ((f, rg, name,
+                        st.genericGetMin.toString.toDouble,
+                        st.genericGetMax.toString.toDouble,
+                        b.getRowCount))
+                    case _ => ()
+                  }
+                }
+              }
+            }
+            rg += 1
+          }
+          out.toSeq
+        } finally r.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "row_group", "column", "min_value", "max_value", "rg_rows")
+  }
+
+  /** The (file, row_group) pairs whose span on `column` intersects
+    * [lo, hi]. Driver-side over the metadata-sized manifest.
+    */
+  def candidateRowGroups(
+      manifest: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double): Seq[(String, Int)] =
+    manifest.filter(col("column") === column &&
+        col("max_value") >= lo && col("min_value") <= hi)
+      .select("file", "row_group").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+
+  /** Upper bound on the rows a range scan can touch — the sum of the
+    * candidate row groups' counts. Zero means the scan can be skipped
+    * entirely; a small number can route the query to a direct read.
+    */
+  def estimateRows(
+      manifest: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double): Long = {
+    val r = manifest.filter(col("column") === column &&
+        col("max_value") >= lo && col("min_value") <= hi)
+      .agg(sum("rg_rows")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** STRING-column manifest: per-file lexicographic min/max from the
     * footers — the zone map for categorical and lexicographically
     * ordered columns (language codes, date strings, categories) the

@@ -29,6 +29,43 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("row-group manifest: per-block stats roll up to the file manifest, estimates bound the scan") {
+    val dir = Files.createTempDirectory("zm_rg").toString + "/t"
+    // small block size + replicated rows force several row groups/file
+    val wide = (0 until 20).map(i =>
+      li.select(col("l_orderkey"), (col("l_partkey") + lit(i * 1000L)).as("l_partkey")))
+      .reduce(_.unionByName(_))
+    wide.orderBy("l_partkey").coalesce(2)
+      .write.option("parquet.block.size", 32 * 1024).parquet(dir)
+    val rg = ZoneMap.buildRowGroups(spark, dir, Seq("l_partkey"))
+    val nRg = rg.count()
+    assert(nRg > 4, s"expected multiple row groups, got $nRg") // blocks split
+    // per-file roll-up of the rg manifest == the per-file manifest
+    val rolled = rg.groupBy("file")
+      .agg(min("min_value").as("mn"), max("max_value").as("mx"),
+        sum("rg_rows").as("rows"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    ZoneMap.build(spark, dir, Seq("l_partkey")).collect().foreach { r =>
+      assert(rolled(r.getString(0)) ==
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4))))
+    }
+    // a narrow range touches FEWER row groups than the whole table,
+    // and the row estimate upper-bounds the true matching count
+    val st = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val lo = st.getLong(0).toDouble
+    val hi = lo + (st.getLong(1) - st.getLong(0)) / 8.0
+    val cand = ZoneMap.candidateRowGroups(rg, "l_partkey", lo, hi)
+    assert(cand.size < nRg, s"${cand.size} of $nRg")
+    val est = ZoneMap.estimateRows(rg, "l_partkey", lo, hi)
+    val actual = spark.read.parquet(dir)
+      .filter(col("l_partkey") >= lo && col("l_partkey") <= hi).count()
+    val total = spark.read.parquet(dir).count()
+    assert(est >= actual && est < total / 4, s"est=$est actual=$actual total=$total")
+    // a range outside the domain estimates zero
+    assert(ZoneMap.estimateRows(rg, "l_partkey", 1e15, 2e15) == 0L)
+  }
+
   test("string manifest: lexicographic spans from footers, equality read prunes") {
     val docs = graft.Tables.table(spark, sf(""), "documents")
     val dir = Files.createTempDirectory("zm_str").toString + "/t"
