@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // nation
   }
 
+  test("q_tpch_q14: part broadcasts, the month filter reaches the lineitem scan") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_tpch_q18: the HAVING reduction aggregates partially before its exchange, semi join drives") {
     val p = plan("q_tpch_q18")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
