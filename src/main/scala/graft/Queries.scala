@@ -1942,6 +1942,78 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** DATA-SIZED distributed MERGE ([[graft.ops.UpsertWhere
+    * .byKeysDistributed]]): same key-clustered orders layout, but the
+    * update batch — every EVEN key in the first eighth of the key
+    * range, price tripled, plus shifted inserts — stays a DataFrame
+    * end to end: its keys are never collected; the zone-map manifest
+    * bounds the probe to the first-eighth files and the exact
+    * semi-join probe selects the files that really hold a batch key.
+    * The require() makes the O(touched files) claim behavioral: most
+    * files must ride through untouched. Hash-green = the distributed
+    * file surgery lands exactly on DuckDB's CASE+UNION derivation.
+    */
+  def qUpsertBulk(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/upsert_bulk"
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val mf = graft.ops.ZoneMap.build(s, path, Seq("o_orderkey"))
+      .localCheckpoint()
+    val st = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val cut = st.getLong(0) + (st.getLong(1) - st.getLong(0)) / 8
+    val bump = o.filter(col("o_orderkey") <= cut &&
+        pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 2000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    val r = graft.ops.UpsertWhere.byKeysDistributed(s, path, "o_orderkey",
+      bump.unionByName(fresh), Some(mf))
+    require(r.untouched > r.filesTotal / 2,
+      s"bulk merge rewrote ${r.candidates} of ${r.filesTotal} files — " +
+        "the range-bounded probe did not localize the batch")
+    s.read.parquet(path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** DATA-SIZED distributed DELETE ([[graft.ops.DeleteWhere
+    * .byKeysDistributed]]): the retention-sweep shape — every ODD key
+    * in the second eighth of the key range, supplied as a DataFrame
+    * (never collected), purged through the zone-map-bounded exact
+    * probe; then REPLAYED (must delete 0 more rows). Hash-green =
+    * survivors equal DuckDB's direct predicate derivation.
+    */
+  def qDeleteBulk(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/delete_bulk"
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val mf = graft.ops.ZoneMap.build(s, path, Seq("o_orderkey"))
+      .localCheckpoint()
+    val st = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val span = st.getLong(1) - st.getLong(0)
+    val lo = st.getLong(0) + span / 8
+    val hi = st.getLong(0) + (span / 8) * 2
+    val doomed = o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+      pmod(col("o_orderkey"), lit(2)) === 1).select("o_orderkey")
+    val r = graft.ops.DeleteWhere.byKeysDistributed(
+      s, path, "o_orderkey", doomed, Some(mf))
+    require(r.untouched > r.filesTotal / 2,
+      s"bulk delete rewrote ${r.candidates} of ${r.filesTotal} files")
+    val r2 = graft.ops.DeleteWhere.byKeysDistributed(
+      s, path, "o_orderkey", doomed, Some(mf))
+    require(r2.deletedRows == 0, s"replay deleted ${r2.deletedRows} rows")
+    s.read.parquet(path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Transaction-log time travel ([[graft.ops.TxLog]]): bring an
     * orders layout under log management (v0), MERGE an update batch
     * through the bloom index (v1 — prices doubled for 991-multiples,
@@ -2084,6 +2156,49 @@ object Queries {
     graft.ops.MvStore.refresh(store, "lmv", f12,
       Seq("o_orderstatus"), Seq("o_totalprice")) // replay: stamp no-op
     graft.ops.MvStore.read(store, "lmv")
+      .select(col("o_orderstatus"), col("n"),
+        round(col("sum_o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** The log→MV loop CLOSED ([[graft.ops.MvStore.followTxLog]] over
+    * [[graft.ops.TxLog.diffSince]]): where q_txlog_mv hand-lists its
+    * version pairs, here the view carries a persisted CURSOR — seed
+    * pins it at v0, the same MERGE + purge land as v1/v2, and ONE
+    * follow call advances the cursor through both commits (the diff
+    * still reads only changed files); a second follow is a recognized
+    * no-op. Hash-green = the cursor-driven view equals DuckDB's
+    * direct aggregate of the final state. Crash-replay, the
+    * retention-cliff reseed and cursor persistence are
+    * MvStoreSpec's.
+    */
+  def qTxlogFollow(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/txlog_follow"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val store = new graft.sources.ParquetStore(
+      s, s"$indexQueryDir/txlog_follow_state")
+    val g = Seq("o_orderstatus"); val m = Seq("o_totalprice")
+    require(graft.ops.MvStore.followTxLog(store, "fmv", path, g, m) == ((0, 0)))
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh), None) // v1
+    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, path, 1)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", dead) // v2
+    require(graft.ops.MvStore.followTxLog(store, "fmv", path, g, m) == ((0, 2)))
+    require(graft.ops.MvStore.followTxLog(store, "fmv", path, g, m) == ((2, 2)))
+    graft.ops.MvStore.read(store, "fmv")
       .select(col("o_orderstatus"), col("n"),
         round(col("sum_o_totalprice"), 2).as("sum_price"))
   }

@@ -141,10 +141,13 @@ object SparkEntry {
     "q_delete_where" -> (Queries.qDeleteWhere _),
     "q_delete_keys" -> (Queries.qDeleteKeys _),
     "q_upsert_pruned" -> (Queries.qUpsertPruned _),
+    "q_upsert_bulk" -> (Queries.qUpsertBulk _),
+    "q_delete_bulk" -> (Queries.qDeleteBulk _),
     "q_timetravel" -> (Queries.qTimeTravel _),
     "q_txlog_stream" -> (Queries.qTxlogStream _),
     "q_txlog_diff" -> (Queries.qTxlogDiff _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
+    "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1615,6 +1618,37 @@ object Oracles {
          TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders WHERE o_orderkey < 5""",
 
+    // data-sized distributed MERGE: tripled prices for even keys in
+    // the first eighth of the key range (*3 is exact in binary FP),
+    // plus shifted inserts; same floor-division bound convention as
+    // q_delete_where
+    "q_upsert_bulk" ->
+      """WITH s AS (SELECT min(o_orderkey) +
+                      (max(o_orderkey) - min(o_orderkey)) // 8 AS cut
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey <= (SELECT cut FROM s)
+                   AND o_orderkey % 2 = 0 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 2000000, o_custkey, 'N', 0.0,
+         TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders WHERE o_orderkey < 5""",
+
+    // data-sized distributed DELETE: odd keys in the second eighth of
+    // the key range purged; survivors = the complement
+    "q_delete_bulk" ->
+      """WITH s AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8 AS lo,
+                      min(o_orderkey) + ((max(o_orderkey) - min(o_orderkey)) // 8) * 2 AS hi
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+         FROM orders, s
+         WHERE NOT (o_orderkey > s.lo AND o_orderkey <= s.hi
+                    AND o_orderkey % 2 = 1)""",
+
     // time travel: three log versions of the same directory — base,
     // after the 991-multiple MERGE (+ shifted inserts), after the
     // 997-multiple purge — each derivable from orders directly
@@ -1667,6 +1701,22 @@ object Oracles {
     // incremental MV over the logged lifecycle: two signed refreshes
     // must land on the direct aggregate of the v2 state
     "q_txlog_mv" ->
+      """WITH v2 AS (
+           SELECT o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 997 <> 0 AND o_orderkey % 991 <> 0
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice * 2 FROM orders
+           WHERE o_orderkey % 991 = 0 AND o_orderkey % 997 <> 0
+           UNION ALL
+           SELECT 'N', 0.0 FROM orders
+           WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0)
+         SELECT o_orderstatus, count(*) AS n,
+                ROUND(SUM(o_totalprice), 2) AS sum_price
+         FROM v2 GROUP BY o_orderstatus""",
+
+    // cursor-driven follower lands on the same final state as the
+    // hand-advanced q_txlog_mv (same v1 MERGE + v2 purge derivation)
+    "q_txlog_follow" ->
       """WITH v2 AS (
            SELECT o_orderstatus, o_totalprice FROM orders
            WHERE o_orderkey % 997 <> 0 AND o_orderkey % 991 <> 0

@@ -98,10 +98,14 @@ object BloomFileIndex {
         org.apache.spark.sql.GraftShim.expression(xxhash64(col(bloomCol))),
         Literal(expectedPerFile), Literal(numBits), 0, 0)
         .toAggregateExpression())
+    // Long mins/maxes above 2^53 round to the nearest double on the
+    // cast; a max that rounded DOWN under-reports the span and the
+    // manifest would wrongly prune — ZoneMap.boundToDouble's
+    // footer-side fix, restated in SQL via ZoneMap.widenOutward.
     val aggs = Seq(count(lit(1)).as("n_rows"), agg.as("bloom")) ++
       statsCols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c")))
+        ZoneMap.widenOutward(min(col(c)).cast("double"), -1).as(s"__mn_$c"),
+        ZoneMap.widenOutward(max(col(c)).cast("double"), +1).as(s"__mx_$c")))
     val perFile = TxLog.read(spark, dir)
       .select((input_file_name().as("file") +: col(bloomCol) +:
         statsCols.map(col)): _*)

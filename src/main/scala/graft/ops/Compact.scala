@@ -165,7 +165,10 @@ object Compact {
     *     Old files STAY on disk for older snapshots ([[TxLog.vacuum]]
     *     reclaims them); a crash before the version commit leaves
     *     orphan data files no snapshot references — invisible to log
-    *     readers, swept by vacuum.
+    *     readers, RETAINED by a default vacuum (the sweep can't tell
+    *     them from an in-flight writer's just-moved files) and
+    *     reclaimed only by vacuum's opt-in age-gated orphan sweep
+    *     (`sweepOrphansOlderThanMs`).
     */
   private[ops] def stageRewrite(
       spark: SparkSession,

@@ -84,6 +84,71 @@ object DeleteWhere {
     rewrite(spark, dir, all, cand, keep)
   }
 
+  /** Delete rows whose `column` matches any key in a DATA-SIZED batch
+    * — the distributed twin of [[byKeys]], for key sets too large to
+    * collect (a 10M-row retention feed). Candidates come from
+    * [[touchedFiles]]' two-stage executor-side probe, so the keys
+    * never reach the driver and only files that REALLY contain a key
+    * are rewritten. The keep-side is an anti-join (NULL keys never
+    * match, per SQL DELETE semantics — join equality is null-unsafe).
+    * `keys` is a one-column DataFrame; its column is matched to
+    * `column` by position.
+    */
+  def byKeysDistributed(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      keys: DataFrame,
+      manifest: Option[DataFrame] = None): Receipt = {
+    Compact.recover(spark, dir)
+    val all = allFiles(spark, dir)
+    if (all.isEmpty) return Receipt(0, 0, 0, 0)
+    val k = keys.select(col(keys.columns.head).as(column)).distinct()
+    val touched = touchedFiles(spark, all, column, k, manifest)
+    // plain (null-UNSAFE) anti join: a NULL batch key must not delete
+    // NULL rows — RelationalOps.antiJoinNew's null-safe equality would
+    rewriteWith(spark, dir, all, touched,
+      candDf => candDf.join(k, Seq(column), "left_anti"))
+  }
+
+  /** The files among `all` that actually CONTAIN a key of `keys` (one
+    * column named `keyCol`, pre-distinct) — computed without moving
+    * the keys driver-side:
+    *   1. a distributed aggregate reduces the batch to its key range
+    *      (two scalars, widened outward past 2⁵³ exactly like the
+    *      manifest's own bounds), pruning `manifest`'s files as a
+    *      range query would;
+    *   2. the survivors are probed with a key-column-only scan tagged
+    *      by `input_file_name()`, semi-joined against the keys; only
+    *      DISTINCT FILE NAMES are collected (metadata-sized — 10⁵
+    *      files is kilobytes, regardless of batch size).
+    * Files without a manifest stats row are probed too (unknown never
+    * prunes), so a stale manifest degrades to a wider probe scan,
+    * never to a missed file.
+    */
+  private[ops] def touchedFiles(
+      spark: SparkSession,
+      all: Seq[String],
+      keyCol: String,
+      keys: DataFrame,
+      manifest: Option[DataFrame]): Seq[String] = {
+    val statsCand = manifest match {
+      case Some(mf) =>
+        val b = keys.agg(
+          ZoneMap.widenOutward(min(col(keyCol)).cast("double"), -1),
+          ZoneMap.widenOutward(max(col(keyCol)).cast("double"), +1)).head()
+        if (b.isNullAt(0)) return Nil // empty batch
+        ZoneMap.candidateFiles(mf, all, keyCol, b.getDouble(0), b.getDouble(1))
+      case None => all
+    }
+    if (statsCand.isEmpty) return Nil
+    spark.read.parquet(statsCand: _*)
+      .select(input_file_name().as("__file"), col(keyCol))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Delete rows matching an ARBITRARY predicate — the general
     * `DELETE FROM t WHERE …` with caller-supplied pruning: pass the
     * candidate files a manifest lookup produced, or omit them and
@@ -107,17 +172,30 @@ object DeleteWhere {
     * manifests key their stats on (a format mismatch would silently
     * disable pruning: unknown file => candidate). Under a [[TxLog]]
     * the snapshot supplies them, so superseded files are never
-    * rewritten.
+    * rewritten. An EMPTY log-managed table (freshly [[TxLog.convert]]ed
+    * before any data landed) is a legal zero-file set, not an error —
+    * [[TxLog.snapshot]] can't read it (no schema source), so it is
+    * special-cased here and a delete against it no-ops while an upsert
+    * inserts the whole batch.
     */
   private[ops] def allFiles(spark: SparkSession, dir: String): Seq[String] =
-    TxLog.read(spark, dir).inputFiles.toSeq
+    if (TxLog.exists(spark, dir) && TxLog.liveFiles(spark, dir).isEmpty) Nil
+    else TxLog.read(spark, dir).inputFiles.toSeq
 
   private def rewrite(
       spark: SparkSession,
       dir: String,
       all: Seq[String],
       cand: Seq[String],
-      keep: org.apache.spark.sql.Column): Receipt = {
+      keep: org.apache.spark.sql.Column): Receipt =
+    rewriteWith(spark, dir, all, cand, _.filter(keep))
+
+  private def rewriteWith(
+      spark: SparkSession,
+      dir: String,
+      all: Seq[String],
+      cand: Seq[String],
+      keepRows: DataFrame => DataFrame): Receipt = {
     if (cand.isEmpty)
       return Receipt(all.length, 0, all.length, 0)
     val candDf = spark.read.parquet(cand: _*)
@@ -125,7 +203,7 @@ object DeleteWhere {
     val candRows = candDf.count()
     val newNames = Compact.stageRewrite(spark, dir,
       cand.map(f => new org.apache.hadoop.fs.Path(f).getName),
-      stagePath => candDf.filter(keep).write
+      stagePath => keepRows(candDf).write
         .mode("overwrite").parquet(stagePath))
     Compact.recover(spark, dir)
     // survivors counted from the committed replacement files (schema

@@ -202,4 +202,65 @@ object MvStore {
   /** The view. */
   def read(store: TableStore, name: String): DataFrame =
     store.read(stateTable(name)).drop("cell", "last_batch")
+
+  private def cursorTable(name: String) = s"${name}__mv_cursor"
+
+  /** Keep this view CONTINUOUSLY in step with a [[TxLog]]-managed
+    * table — the log→MV loop closed: each call advances the view from
+    * its persisted cursor (the last applied log version) to the
+    * table's current version via [[TxLog.diffSince]], so commits land
+    * and the consumer follows without anyone hand-listing version
+    * pairs. Returns (fromVersion, toVersion) of the advance
+    * (from == to: nothing new).
+    *
+    * First call seeds the view from the current snapshot and pins the
+    * cursor there. Crash safety: the cursor is persisted AFTER the
+    * refresh, and the refresh is stamped with the version range — a
+    * crash between the two replays the same range on the next call,
+    * the stamp recognizes it, and only the cursor write repeats.
+    * Exactly-once effect, at-least-once execution.
+    *
+    * If vacuum's log pruning has dropped the cursor version (the
+    * consumer fell behind the retention horizon — the standard
+    * CDF-retention contract), the view RESEEDS from the current
+    * snapshot rather than failing forever; size `retainVersions`
+    * to the follower's cadence to avoid the reseed scan.
+    *
+    * 100 TB shape: each advance reads O(files changed since the
+    * cursor) + touched MV shards; the follower's steady-state cost is
+    * the table's churn, not its size.
+    */
+  def followTxLog(
+      store: TableStore,
+      name: String,
+      dir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): (Int, Int) = {
+    val spark = store.spark
+    import spark.implicits._
+    val cur = TxLog.currentVersion(spark, dir)
+    def pinCursor(v: Int): Unit =
+      store.overwrite(Seq(v).toDF("version"), cursorTable(name))
+    if (!exists(store, name) || !store.exists(cursorTable(name))) {
+      init(store, name, TxLog.snapshot(spark, dir, cur),
+        groupCols, sumCols, batchId = s"seed_v$cur")
+      pinCursor(cur)
+      return (cur, cur)
+    }
+    val from = store.read(cursorTable(name)).head().getInt(0)
+    if (from == cur) return (from, cur)
+    if (!TxLog.retainedVersions(spark, dir).contains(from)) {
+      // fell behind the retention horizon: the feed from `from` is
+      // gone — reseed from the snapshot (one scan), re-pin
+      init(store, name, TxLog.snapshot(spark, dir, cur),
+        groupCols, sumCols, batchId = s"seed_v$cur")
+      pinCursor(cur)
+      return (from, cur)
+    }
+    val (feedRaw, to) = TxLog.diffSince(spark, dir, from)
+    refresh(store, name, TxLog.asChangeFeed(feedRaw), groupCols, sumCols,
+      batchId = Some(s"v${from}_to_$to"))
+    pinCursor(to)
+    (from, to)
+  }
 }

@@ -16,12 +16,16 @@ import java.nio.charset.StandardCharsets
   * table format shares (Delta's JSON actions, Iceberg's manifests),
   * cut to its load-bearing core.
   *
-  * Commit protocol: write the version body to a dot-temp, then RENAME
-  * to its final `vNNNNNNNN.txt` name. Rename-to-existing fails on
-  * hadoop filesystems, so two racing writers cannot both land the same
-  * version — the loser retries against the next number (bounded
-  * optimistic retry). A crash before the rename leaves only an ignored
-  * temp; a crash after is a completed commit. Data files referenced by
+  * Commit protocol: write the version body to a dot-temp, then
+  * atomically CLAIM the final `vNNNNNNNN.txt` name — `link(2)` on
+  * local filesystems (EEXIST is kernel-atomic), `FileContext.rename`
+  * with `Options.Rename.NONE` elsewhere (the no-overwrite rename HDFS
+  * guarantees at the NameNode) — so two racing writers cannot both
+  * land the same version: the loser retries against the next number
+  * (bounded optimistic retry). A plain `FileSystem.rename` would NOT
+  * do: on the local filesystem it is POSIX rename, which silently
+  * overwrites. A crash before the claim leaves only an ignored temp; a
+  * crash after is a completed commit. Data files referenced by
   * older versions stay on disk until [[vacuum]], which drops files
   * no retained version references — reads older than the retention
   * horizon then fail, the standard lakehouse trade.
@@ -302,6 +306,32 @@ object TxLog {
         removedDf.exceptAll(addedDf).withColumn("_change_type", lit("delete")))
   }
 
+  /** Cursor-style change feed: everything committed AFTER
+    * `sinceVersion`, up to the current version — returned with that
+    * version so the consumer can persist it as its next cursor. The
+    * incremental-consumer entry point ([[MvStore.followTxLog]] wires
+    * it to a materialized view): a downstream copy calls this with its
+    * last applied version instead of hand-listing version pairs, and
+    * the cost stays O(files changed since the cursor). An empty
+    * advance (cursor already current) returns the empty feed.
+    */
+  def diffSince(
+      spark: SparkSession,
+      dir: String,
+      sinceVersion: Int): (DataFrame, Int) = {
+    val cur = currentVersion(spark, dir)
+    (diff(spark, dir, sinceVersion, cur), cur)
+  }
+
+  /** The versions still reconstructable from the log (vacuum's log
+    * pruning drops older ones) — what a change-feed consumer checks
+    * before advancing from a cursor: a cursor older than the horizon
+    * means the feed is gone and the consumer must reseed from a
+    * snapshot (the standard CDF-retention contract).
+    */
+  def retainedVersions(spark: SparkSession, dir: String): Seq[Int] =
+    versions(spark, dir)
+
   /** Adapt a [[diff]] feed to the [[Scd2.changes]]/[[MvStore]] change
     * schema, so an incremental materialized view can consume the
     * commits of ANY logged table — the diff's delete+insert pair for
@@ -351,25 +381,44 @@ object TxLog {
     * OLDER than it are dropped — the log stays O(retained versions),
     * not O(table lifetime). Returns the number of data files deleted.
     * Idempotent.
+    *
+    * Files the log NEVER knew (a writer that crashed after staging its
+    * rewrite but before its commit) are retained by default — the
+    * sweep can't tell a crashed writer's leavings from an in-flight
+    * one's just-moved files. `sweepOrphansOlderThanMs` opts into
+    * reclaiming them once they are older than the window (Delta's
+    * untracked-file vacuum rule): any writer still alive after, say, a
+    * day without committing is assumed dead. Pick a window longer than
+    * your longest possible write job.
     */
   def vacuum(
       spark: SparkSession,
       dir: String,
       retainVersions: Int,
-      pruneLog: Boolean = true): Long = {
+      pruneLog: Boolean = true,
+      sweepOrphansOlderThanMs: Long = -1L): Long = {
     val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
     val keep = vs.takeRight(math.max(1, retainVersions))
     val referenced = keep.flatMap(v => liveFiles(spark, dir, v)).toSet
-    val onDisk = Compact.dataFiles(fs, dir).map(_.getPath.getName)
+    val onDiskStatuses = Compact.dataFiles(fs, dir)
+    val onDisk = onDiskStatuses.map(_.getPath.getName)
     // only files the LOG ever knew can be deleted: an in-flight
     // writer's just-moved files (commit pending) are not yet in any
     // version and must survive the sweep
     val everLogged = vs.flatMap { v =>
       val (a, r, _) = readVersion(spark, dir, v); a ++ r
     }.toSet
-    val dead = onDisk.filter(f => everLogged(f) && !referenced(f))
+    val orphanHorizon =
+      if (sweepOrphansOlderThanMs < 0) Long.MinValue
+      else System.currentTimeMillis() - sweepOrphansOlderThanMs
+    val statuses = onDiskStatuses
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val dead = onDisk.filter { f =>
+      if (everLogged(f)) !referenced(f)
+      else statuses.getOrElse(f, Long.MaxValue) < orphanHorizon
+    }
     dead.foreach(f => fs.delete(new Path(dir, f), false))
     val h = keep.min
     if (pruneLog && vs.exists(_ < h)) {
@@ -381,6 +430,14 @@ object TxLog {
         fs.delete(new Path(logPath(dir), versionName(v)), false))
       checkpoints(spark, dir).filter(_ < h).foreach(c =>
         fs.delete(new Path(logPath(dir), checkpointName(c)), false))
+      // crashed writers' claim temps (atomicClaim removes its temp on
+      // both outcomes, so any .tmp here is from a dead process) — an
+      // age gate keeps an in-flight writer's seconds-old temp safe
+      val stale = System.currentTimeMillis() - 3600L * 1000
+      fs.listStatus(logPath(dir)).toSeq
+        .filter(f => f.getPath.getName.endsWith(".tmp") &&
+          f.getModificationTime < stale)
+        .foreach(f => fs.delete(f.getPath, false))
     }
     dead.length.toLong
   }
@@ -398,13 +455,47 @@ object TxLog {
       adds.sorted.map("ADD " + _) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
-    val tmp = new Path(logPath(dir), s".${versionName(v)}.tmp")
+    val tmp = new Path(logPath(dir),
+      s".${versionName(v)}.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val dest = new Path(logPath(dir), versionName(v))
-    if (fs.exists(dest)) { fs.delete(tmp, false); false }
-    else if (fs.rename(tmp, dest)) true
-    else { fs.delete(tmp, false); false }
+    atomicClaim(fs, tmp, new Path(logPath(dir), versionName(v)))
+  }
+
+  /** Atomically claim `dest` with `tmp`'s content: true = this writer
+    * owns the name, false = a racer already landed it. An exists-check
+    * + `FileSystem.rename` is a TOCTOU here: RawLocalFileSystem's
+    * rename is POSIX `rename(2)`, which OVERWRITES an existing
+    * destination, so two concurrent committers could both "succeed"
+    * and one commit would be silently lost — the exact lost update the
+    * conflict check exists to prevent. The primitives that really are
+    * atomic: on `file:` schemes, `link(2)` (EEXIST is decided in the
+    * kernel); on HDFS-like filesystems, `FileContext.rename` with
+    * `Options.Rename.NONE` — an atomic no-overwrite rename at the
+    * NameNode, the HDFSLogStore discipline log-backed formats use.
+    * Object stores with no atomic no-overwrite primitive (raw S3)
+    * need external coordination for the claim — the standard
+    * single-writer bound there.
+    */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dest: Path): Boolean = {
+    val claimed =
+      if (fs.getScheme == "file") {
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        try {
+          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE); true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    fs.delete(tmp, false)
+    claimed
   }
 
   private def readVersion(

@@ -47,7 +47,11 @@ object UpsertWhere {
       index: Option[DataFrame] = None): Receipt = {
     Compact.recover(spark, dir)
     val all = DeleteWhere.allFiles(spark, dir)
-    val cols = spark.read.parquet(all.head).columns
+    // empty table (e.g. freshly converted, no data yet): the batch's
+    // own schema defines the table and every row is an insert
+    val cols =
+      if (all.isEmpty) updates.columns
+      else spark.read.parquet(all.head).columns
     val up = updates.select(cols.map(col): _*)
     val keys: Seq[Any] = up.select(keyCol).distinct().collect().map(_.get(0)).toSeq
     if (keys.isEmpty) return Receipt(all.length, 0, all.length, 0, 0)
@@ -75,6 +79,68 @@ object UpsertWhere {
       filesTotal = all.length,
       candidates = cand.length,
       untouched = all.length - cand.length,
+      updatedRows = updatedRows,
+      insertedRows = insertedRows)
+  }
+
+  /** Merge a DATA-SIZED update batch — the daily 10M-row feed
+    * [[byKeys]]' driver-collected request-batch shape cannot carry.
+    * The batch's keys never reach the driver; the candidate set is
+    * computed executor-side in two stats-bounded steps (the MERGE
+    * touched-file discipline of log-backed formats):
+    *
+    *   1. one distributed aggregate reduces the batch to its key RANGE
+    *      (two scalars — metadata, not keys), which prunes the
+    *      manifest's files driver-side exactly as a range query would;
+    *   2. an exact probe scan over the survivors — key column only,
+    *      `input_file_name()` tagged — semi-joins the batch's distinct
+    *      keys and collects DISTINCT FILE NAMES (metadata-sized: 10⁵
+    *      files is kilobytes, however many keys the batch has).
+    *
+    * The probe makes the candidate set EXACT (files that really hold a
+    * batch key), so unlike the bloom path no false-positive file is
+    * rewritten; a bloom index would only trim the probe scan's read,
+    * which column pruning + the range bound already keep small. Files
+    * without a manifest stats row are probed too (unknown never
+    * prunes), so a missing/stale manifest degrades to a full probe
+    * scan, never to a missed update.
+    */
+  def byKeysDistributed(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String,
+      updates: DataFrame,
+      manifest: Option[DataFrame] = None): Receipt = {
+    Compact.recover(spark, dir)
+    val all = DeleteWhere.allFiles(spark, dir)
+    val cols =
+      if (all.isEmpty) updates.columns
+      else spark.read.parquet(all.head).columns
+    val up = updates.select(cols.map(col): _*)
+    val keys = up.select(keyCol).distinct()
+    val touched: Seq[String] =
+      if (all.isEmpty) Nil
+      else DeleteWhere.touchedFiles(spark, all, keyCol, keys, manifest)
+    val (staged, updatedRows, insertedRows) =
+      if (touched.isEmpty) (up, 0L, up.count())
+      else {
+        val candDf = spark.read.parquet(touched: _*)
+        val replaced = candDf
+          .join(keys, Seq(keyCol), "left_semi").count()
+        val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
+        (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol)).unionByName(up),
+          replaced, inserted)
+      }
+    if (staged.isEmpty && touched.isEmpty)
+      return Receipt(all.length, 0, all.length, 0, 0)
+    Compact.stageRewrite(spark, dir,
+      touched.map(f => new org.apache.hadoop.fs.Path(f).getName),
+      stagePath => staged.write.mode("overwrite").parquet(stagePath))
+    Compact.recover(spark, dir)
+    Receipt(
+      filesTotal = all.length,
+      candidates = touched.length,
+      untouched = all.length - touched.length,
       updatedRows = updatedRows,
       insertedRows = insertedRows)
   }

@@ -31,6 +31,45 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** Footer stat → double bound, widened OUTWARD when the exact value
+    * is not double-representable. INT64 stats above 2⁵³ (snowflake-
+    * style ids ~10¹⁸) round to the nearest double, which for a max can
+    * round DOWN — an underestimating bound lets `candidateFiles` prune
+    * a file that contains matching rows, and a ranged DELETE built on
+    * it silently misses rows. So a long min that rounded up steps down
+    * one ulp and a long max that rounded down steps up one ulp: the
+    * stored span always CONTAINS the true span, and widening can only
+    * admit (never drop) a candidate. INT32 and FLOAT widen to double
+    * exactly by construction (no `toString` round-trip — `Float
+    * .toString` emits the shortest float-round-trip string, which can
+    * parse to a double on the WRONG side of the exact widening).
+    */
+  private[ops] def boundToDouble(v: Any, isMin: Boolean): Double = v match {
+    case l: java.lang.Long =>
+      val d = l.longValue.toDouble
+      val cmp = BigDecimal(d).compare(BigDecimal(l.longValue))
+      if (isMin && cmp > 0) Math.nextDown(d)
+      else if (!isMin && cmp < 0) Math.nextUp(d)
+      else d
+    case i: java.lang.Integer => i.doubleValue()
+    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => d.doubleValue()
+    case other => other.toString.toDouble
+  }
+
+  /** [[boundToDouble]] restated as a SQL expression, for bounds that
+    * are computed executor-side (no nextUp/nextDown function exists in
+    * SQL): widen by |v|·2⁻⁵¹ — between one and four ulps, always
+    * outward (`direction` −1 for a lower bound, +1 for an upper), and
+    * only where double-exactness is in doubt (|v| > 2⁵³). Harmless on
+    * float/double inputs: widening only ever ADMITS candidates.
+    */
+  private[ops] def widenOutward(
+      d: org.apache.spark.sql.Column,
+      direction: Int): org.apache.spark.sql.Column =
+    when(abs(d) <= lit(9.007199254740992e15), d)
+      .otherwise(d + lit(direction) * abs(d) * lit(4.440892098500626e-16))
+
   /** Build the manifest for `cols` (numeric columns only: int/long/
     * float/double) over the parquet files under `dir`. One row per
     * (file, column): global min/max across the file's row groups plus
@@ -66,8 +105,8 @@ object ZoneMap {
                   val (mn, mx) = c.getPrimitiveType.getPrimitiveTypeName match {
                     case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
                         PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
-                      (st.genericGetMin.toString.toDouble,
-                        st.genericGetMax.toString.toDouble)
+                      (boundToDouble(st.genericGetMin, isMin = true),
+                        boundToDouble(st.genericGetMax, isMin = false))
                     case _ => (Double.NaN, Double.NaN)
                   }
                   if (!mn.isNaN) {
@@ -120,8 +159,8 @@ object ZoneMap {
                     case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
                         PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
                       out += ((f, rg, name,
-                        st.genericGetMin.toString.toDouble,
-                        st.genericGetMax.toString.toDouble,
+                        boundToDouble(st.genericGetMin, isMin = true),
+                        boundToDouble(st.genericGetMax, isMin = false),
                         b.getRowCount))
                     case _ => ()
                   }

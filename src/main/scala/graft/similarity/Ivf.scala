@@ -199,7 +199,11 @@ object Ivf {
     // norms once per query before the probe explode (cosinePreNormed)
     val assigned = index.assigned
       .withColumn("c_norm", Ann.l2Norm(col("vec")))
-    val cand = probed.join(assigned.hint("shuffle_hash"), Seq("cell"))
+    // with one list `cell` constant-folds and the equi-join key
+    // disappears — an unguarded hint would just log a drop warning
+    val build =
+      if (index.centroids.length > 1) assigned.hint("shuffle_hash") else assigned
+    val cand = probed.join(build, Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .select(
         col("query_id"),

@@ -13,6 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and two append shapes.
   */
 trait TableStore {
+  /** The session the store's reads/writes run in — surfaced so an
+    * operator handed only a store (e.g. [[graft.ops.MvStore
+    * .followTxLog]]) can reach the log/source it consumes.
+    */
+  def spark: SparkSession
   def exists(name: String): Boolean
   def read(name: String): DataFrame
   def overwrite(df: DataFrame, name: String): Unit
@@ -69,7 +74,7 @@ trait TableStore {
   * rewrites don't survive fact scale — partition-level staging is the
   * upgrade path there).
   */
-final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
+final class ParquetStore(val spark: SparkSession, dir: String) extends TableStore {
   import org.apache.hadoop.fs.Path
   private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -407,7 +412,7 @@ final class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
   * (Postgres included) takes the same URL.
   */
 final class JdbcStore(
-    spark: SparkSession,
+    val spark: SparkSession,
     url: String,
     props: Properties = new Properties) extends TableStore {
 

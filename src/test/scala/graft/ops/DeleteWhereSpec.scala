@@ -88,4 +88,62 @@ class DeleteWhereSpec extends SparkSpec {
     val r = DeleteWhere.range(spark, dir, "l_partkey", 0.0, 1e12)
     assert(r.deletedRows == 100)
   }
+
+  test("distributed key delete matches byKeys; NULL batch keys delete nothing") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("dw_dist_a").toString + "/t"
+    val dirB = Files.createTempDirectory("dw_dist_b").toString + "/t"
+    Seq(dirA, dirB).foreach(d =>
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey").write.parquet(d))
+    val mf = ZoneMap.build(spark, dirB, Seq("l_orderkey")).localCheckpoint(true)
+    val keys = Seq(1L, 2L, 3L)
+    val rA = DeleteWhere.byKeys(spark, dirA, "l_orderkey", keys, None)
+    val rB = DeleteWhere.byKeysDistributed(spark, dirB, "l_orderkey",
+      keys.toDF("l_orderkey"), Some(mf))
+    assert(rB.deletedRows == rA.deletedRows && rB.deletedRows > 0)
+    // adjacent keys + clustered layout: the probe touches ~1 file
+    assert(rB.candidates <= 2 && rB.untouched >= 14)
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB).select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // NULL rows and NULL batch keys never pair up
+    val dirN = Files.createTempDirectory("dw_dist_n").toString + "/t"
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "keep"), (9L, "d"))
+      .toDF("k", "v").coalesce(1).write.parquet(dirN)
+    val rN = DeleteWhere.byKeysDistributed(spark, dirN, "k",
+      Seq[java.lang.Long](1L, null).toDF("k"), None)
+    assert(rN.deletedRows == 1)
+    val got = spark.read.parquet(dirN).collect()
+    assert(got.length == 2 && got.exists(_.isNullAt(0)))
+  }
+
+  test("range delete at snowflake-id magnitude (>2^53) misses no matching row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dw_big").toString + "/t"
+    // ids ~10^18, where a naive long→double zone-map bound can round a
+    // file max DOWN and wrongly exclude that file from the candidates
+    val base = 1000000000000000000L
+    val src = (0 until 10000).map(i => (base + i, i)).toDF("id", "v")
+    src.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    // pin the range ON a file boundary whose exact max rounds down, so
+    // the under-reported bound (if unwidened) would skip that file
+    val fileMaxes = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(max("id")).collect().map(_.getLong(1))
+    val target = fileMaxes.sorted.dropRight(1).find(m =>
+      BigDecimal(m.toDouble) < BigDecimal(m)).getOrElse(fileMaxes.sorted.apply(2))
+    val lo = Math.nextUp(target.toDouble) // above the naive bound…
+    val hi = lo + 10 * 128                // …into the next file's span
+    val r = DeleteWhere.range(spark, dir, "id", lo, hi)
+    // exactly the double-promoted predicate's rows are gone
+    val expected = src.filter(col("id").isNull || col("id") < lo || col("id") > hi)
+    assert(r.deletedRows == src.count() - expected.count())
+    assert(r.deletedRows > 0, "the range matched nothing — test is vacuous")
+    assert(r.candidates < r.filesTotal, "no pruning happened — test is weak")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == expected.count())
+    assert(got.filter(col("id") >= lo && col("id") <= hi).isEmpty)
+  }
 }

@@ -146,4 +146,52 @@ class MvStoreSpec extends SparkSpec {
     RollupStore.clearWriterFence(store, "f_mv")
     MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
   }
+
+  test("followTxLog: the MV tracks a logged table across commits, replays, and the retention cliff") {
+    val store = tmpStore()
+    val dir = java.nio.file.Files.createTempDirectory("mv_follow").toString + "/t"
+    val o = graft.Tables.orders(spark, sf("orders"))
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(dir)
+    TxLog.convert(spark, dir) // v0
+    def direct = canonMv(TxLog.snapshot(spark, dir)
+      .groupBy(col("o_orderstatus").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("double")).as("s")))
+    val g = Seq("o_orderstatus"); val s = Seq("o_totalprice")
+
+    // first call seeds at the current version and pins the cursor
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((0, 0)))
+    assert(canonMv(MvStore.read(store, "fmv")) == direct)
+
+    // commits land; one advance applies them all
+    val up = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    UpsertWhere.byKeys(spark, dir, "o_orderkey", up, None) // v1
+    val doomed: Seq[Any] = Seq(1L, 2L, 3L)
+    DeleteWhere.byKeys(spark, dir, "o_orderkey", doomed, None) // v2
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((0, 2)))
+    assert(canonMv(MvStore.read(store, "fmv")) == direct)
+
+    // nothing new: the advance is a no-op
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((2, 2)))
+
+    // crash between refresh and cursor write: replay the same range
+    // by hand — the stamp recognizes it, the view is unchanged
+    val before = canonMv(MvStore.read(store, "fmv"))
+    assert(MvStore.refresh(store, "fmv",
+      TxLog.asChangeFeed(TxLog.diff(spark, dir, 0, 2)), g, s,
+      batchId = Some("v0_to_2")) == -1L)
+    assert(canonMv(MvStore.read(store, "fmv")) == before)
+
+    // retention cliff: vacuum prunes the cursor's version → reseed
+    UpsertWhere.byKeys(spark, dir, "o_orderkey",
+      up.withColumn("o_totalprice", col("o_totalprice") * 2), None) // v3
+    TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((2, 3)))
+    assert(canonMv(MvStore.read(store, "fmv")) == direct)
+    // and the reseeded cursor advances normally afterwards
+    DeleteWhere.byKeys(spark, dir, "o_orderkey", Seq[Any](9L), None) // v4
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((3, 4)))
+    assert(canonMv(MvStore.read(store, "fmv")) == direct)
+  }
 }

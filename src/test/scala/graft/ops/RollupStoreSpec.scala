@@ -155,6 +155,7 @@ class RollupStoreSpec extends SparkSpec {
   private class Hooked(inner: ParquetStore)(
       onRewrite: () => Unit) extends graft.sources.TableStore {
     import org.apache.spark.sql.DataFrame
+    def spark: org.apache.spark.sql.SparkSession = inner.spark
     def exists(n: String): Boolean = inner.exists(n)
     def read(n: String): DataFrame = inner.read(n)
     def overwrite(df: DataFrame, n: String): Unit = inner.overwrite(df, n)

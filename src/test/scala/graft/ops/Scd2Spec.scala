@@ -71,6 +71,7 @@ class Scd2Spec extends SparkSpec {
     val inner = tmpStore()
     class CrashOnRewrite extends graft.sources.TableStore {
       import org.apache.spark.sql.DataFrame
+      def spark: org.apache.spark.sql.SparkSession = inner.spark
       def exists(n: String): Boolean = inner.exists(n)
       def read(n: String): DataFrame = inner.read(n)
       def overwrite(df: DataFrame, n: String): Unit = inner.overwrite(df, n)

@@ -85,7 +85,18 @@ class TxLogSpec extends SparkSpec {
     fs.create(orphan, true).close()
     assert(same(TxLog.snapshot(spark, dir), orders)) // invisible to reads
     TxLog.vacuum(spark, dir, retainVersions = 1)
-    assert(fs.exists(orphan)) // never logged => never swept
+    assert(fs.exists(orphan)) // never logged => never swept by default
+    // the opt-in age-gated sweep: a fresh orphan survives (could be an
+    // in-flight writer)…
+    TxLog.vacuum(spark, dir, retainVersions = 1,
+      sweepOrphansOlderThanMs = 3600L * 1000)
+    assert(fs.exists(orphan))
+    // …but one older than the window is a dead writer's leavings
+    fs.setTimes(orphan, System.currentTimeMillis() - 7200L * 1000, -1)
+    val swept = TxLog.vacuum(spark, dir, retainVersions = 1,
+      sweepOrphansOlderThanMs = 3600L * 1000)
+    assert(swept == 1 && !fs.exists(orphan))
+    assert(same(TxLog.snapshot(spark, dir), orders)) // table untouched
   }
 
   test("checkpoint seeds later reads; pre-checkpoint versions still time-travel") {
@@ -118,14 +129,40 @@ class TxLogSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
 
-  test("contended commits: the loser lands on the next version, nothing is lost") {
+  test("contended commits: concurrent racers each land a distinct version, nothing is lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)
-    val v1 = TxLog.commit(spark, dir, adds = Nil, removes = Nil)
-    val v2 = TxLog.commit(spark, dir, adds = Nil, removes = Nil)
-    assert(v1 == 1 && v2 == 2)
-    assert(TxLog.currentVersion(spark, dir) == 2)
-    assert(same(TxLog.snapshot(spark, dir), orders))
+    // 4 writers × 5 commits, started through a barrier so every round
+    // genuinely races the claim of the same version number. Under the
+    // old exists-check + FileSystem.rename protocol (POSIX rename
+    // overwrites) two racers could both "win" and one ADD would vanish
+    // from the log; the atomic claim forces losers to retry.
+    val nWriters = 4
+    val perWriter = 5
+    val barrier = new java.util.concurrent.CyclicBarrier(nWriters)
+    val versionsWon = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          (0 until perWriter).foreach { i =>
+            barrier.await()
+            val v = TxLog.commit(spark, dir,
+              adds = Seq(f"race-$w-$i.parquet"), removes = Nil)
+            assert(versionsWon.add(v), s"version $v won twice")
+          }
+        } catch { case t: Throwable => failures.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.get() == null, s"writer failed: ${failures.get()}")
+    // every commit landed at its own version; none overwrote another
+    assert(versionsWon.size == nWriters * perWriter)
+    assert(TxLog.currentVersion(spark, dir) == nWriters * perWriter)
+    val live = TxLog.liveFiles(spark, dir).toSet
+    for (w <- 0 until nWriters; i <- 0 until perWriter)
+      assert(live.contains(f"race-$w-$i.parquet"), s"lost commit race-$w-$i")
   }
 
   test("diff between versions equals the snapshot multiset difference, reading only changed files") {

@@ -84,4 +84,66 @@ class UpsertWhereSpec extends SparkSpec {
     assert(r.candidates == 0 && r.updatedRows == 0 && r.insertedRows == 0)
     assert(same(dir, orders))
   }
+
+  test("distributed merge matches the request-batch path: same files touched, same relation, no key collect") {
+    val dirA = Files.createTempDirectory("uw_dist_a").toString + "/t"
+    val dirB = Files.createTempDirectory("uw_dist_b").toString + "/t"
+    val ixA = layout(dirA)
+    layout(dirB)
+    val mfB = ZoneMap.build(spark, dirB, Seq("o_orderkey")).localCheckpoint(true)
+    val up = updatesOf(orders)
+    val rA = UpsertWhere.byKeys(spark, dirA, "o_orderkey", up, Some(ixA))
+    val rB = UpsertWhere.byKeysDistributed(spark, dirB, "o_orderkey", up, Some(mfB))
+    // the distributed path's exact probe can only touch FEWER files
+    // than the bloom path (no false positives), never more
+    assert(rB.candidates <= rA.candidates && rB.candidates > 0)
+    assert(rB.untouched >= 13, s"untouched ${rB.untouched}")
+    assert(rB.updatedRows == rA.updatedRows && rB.insertedRows == rA.insertedRows)
+    assert(same(dirB, expectedOf(orders)))
+    val gotA = spark.read.parquet(dirA)
+    val gotB = spark.read.parquet(dirB).select(gotA.columns.map(col): _*)
+    assert(gotA.exceptAll(gotB).isEmpty && gotB.exceptAll(gotA).isEmpty)
+  }
+
+  test("distributed merge carries a 100k-key batch (collect would be the driver bound)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("uw_bulk").toString + "/t"
+    val n = 400000L
+    spark.range(n).select(col("id").as("k"), (col("id") % 1000).as("v"))
+      .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("k")).localCheckpoint(true)
+    // 150k updates confined to a quarter of the key space + 10k inserts
+    val upd = spark.range(150000).select(
+      (col("id") * 2).as("k"), lit(-1L).as("v"))
+    val ins = spark.range(10000).select(
+      (col("id") + n).as("k"), lit(-2L).as("v"))
+    val batch = upd.unionByName(ins)
+    val r = UpsertWhere.byKeysDistributed(spark, dir, "k", batch, Some(mf))
+    assert(r.updatedRows == 150000L && r.insertedRows == 10000L)
+    // the key range [0, 300k) bounds the probe; files above it untouched
+    assert(r.untouched >= 6, s"untouched ${r.untouched} of ${r.filesTotal}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == n + 10000)
+    assert(got.filter(col("v") === -1L).count() == 150000L)
+    assert(got.filter(col("v") === -2L).count() == 10000L)
+    // untouched rows kept their values
+    assert(got.filter(col("k") === 1L).head().getLong(1) == 1L)
+  }
+
+  test("upsert into a freshly converted EMPTY log-managed table inserts the batch") {
+    val dir = Files.createTempDirectory("uw_fresh").toString + "/t"
+    TxLog.convert(spark, dir) // v0: zero files, schema not yet known
+    val batch = orders.filter(col("o_orderkey") < 10)
+    val r = UpsertWhere.byKeys(spark, dir, "o_orderkey", batch, None)
+    assert(r.filesTotal == 0 && r.updatedRows == 0)
+    assert(r.insertedRows == batch.count())
+    val got = TxLog.snapshot(spark, dir).select(batch.columns.map(col): _*)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // and a delete against an empty converted table is a clean no-op
+    val dir2 = Files.createTempDirectory("uw_fresh2").toString + "/t"
+    TxLog.convert(spark, dir2)
+    val rd = DeleteWhere.byKeys(spark, dir2, "o_orderkey", Seq(1L), None)
+    assert(rd.filesTotal == 0 && rd.deletedRows == 0)
+  }
 }

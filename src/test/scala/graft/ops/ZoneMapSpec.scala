@@ -164,4 +164,50 @@ class ZoneMapSpec extends SparkSpec {
     val none = ZoneMap.prunedRead(spark, dir, mf, "l_partkey", -100.0, -50.0)
     assert(none.count() == 0)
   }
+
+  test("INT64 bounds above 2^53 bracket the exact span: snowflake-id files are never over-pruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zm_big").toString + "/t"
+    // snowflake-style ids ~10^18: double spacing here is 128, so ids
+    // base..base+9999 are mostly NOT double-representable and roughly
+    // half of all per-file maxes round DOWN on a naive nearest cast
+    val base = 1000000000000000000L
+    (0 until 10000).map(i => (base + i, i % 97))
+      .toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("id"))
+    val exact = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the test has teeth: at least one file's exact max rounds DOWN
+    // (the naive toDouble bound would under-report its span)
+    assert(exact.values.exists { case (_, mx) =>
+      BigDecimal(mx.toDouble) < BigDecimal(mx) })
+    var checked = 0
+    mf.filter(col("column") === "id").collect().foreach { r =>
+      val (mn, mx) = exact(r.getString(0))
+      // soundness invariant: stored bounds CONTAIN the exact long span
+      assert(BigDecimal(r.getDouble(2)) <= BigDecimal(mn),
+        s"stored min ${r.getDouble(2)} above exact $mn")
+      assert(BigDecimal(r.getDouble(3)) >= BigDecimal(mx),
+        s"stored max ${r.getDouble(3)} below exact $mx")
+      // and stay tight: within 2 ulps of the exact value
+      assert(BigDecimal(mn) - BigDecimal(r.getDouble(2)) <= 256)
+      assert(BigDecimal(r.getDouble(3)) - BigDecimal(mx) <= 256)
+      checked += 1
+    }
+    assert(checked == 8)
+    // a point probe one ulp past a rounded-down max must keep the file
+    // that exactly contains the value (the naive bound dropped it)
+    val all = spark.read.parquet(dir).inputFiles.toSeq
+    exact.foreach { case (f, (_, mx)) =>
+      if (BigDecimal(mx.toDouble) < BigDecimal(mx)) {
+        val probe = Math.nextUp(mx.toDouble)
+        assert(ZoneMap.candidateFiles(mf, all, "id", probe, probe).contains(f),
+          s"file with exact max $mx pruned at probe $probe")
+      }
+    }
+  }
 }

@@ -266,6 +266,7 @@ class IndexStoreSpec extends SparkSpec {
     import org.apache.spark.sql.DataFrame
     private def maybeCrash(op: String, n: String): Unit =
       if (crashWhen(op, n)) throw new RuntimeException(s"simulated crash in $op($n)")
+    def spark: org.apache.spark.sql.SparkSession = inner.spark
     def exists(n: String): Boolean = inner.exists(n)
     def read(n: String): DataFrame = inner.read(n)
     def overwrite(df: DataFrame, n: String): Unit = {
