@@ -148,6 +148,7 @@ object SparkEntry {
     "q_txlog_diff" -> (Queries.qTxlogDiff _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
+    "q_txlog_stats" -> (Queries.qTxlogStats _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1713,6 +1714,19 @@ object Oracles {
          SELECT o_orderstatus, count(*) AS n,
                 ROUND(SUM(o_totalprice), 2) AS sum_price
          FROM v2 GROUP BY o_orderstatus""",
+
+    // log-planned selective read: stats carried on ADD entries admit
+    // exactly the files intersecting the quarter-point sixteenth of
+    // the key range; integer-division bounds mirror the Spark side
+    "q_txlog_stats" ->
+      """WITH s AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS lo,
+                      min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4
+                        + (max(o_orderkey) - min(o_orderkey)) // 16 AS hi
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, o_orderpriority
+         FROM orders, s
+         WHERE o_orderkey >= s.lo AND o_orderkey <= s.hi""",
 
     // cursor-driven follower lands on the same final state as the
     // hand-advanced q_txlog_mv (same v1 MERGE + v2 purge derivation)

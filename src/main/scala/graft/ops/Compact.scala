@@ -77,11 +77,39 @@ object Compact {
       f.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Recursive visible data files as (relative name, status) — the
+    * listing a hive-partitioned [[TxLog]] table needs: `region=EU/
+    * part-….parquet` is one entry. Hidden (`_`/`.`) files AND
+    * directories are skipped at every level.
+    */
+  private[ops] def dataFileStatusesRecursive(
+      fs: FileSystem,
+      dir: String): Seq[(String, FileStatus)] = {
+    def walk(p: Path, prefix: String): Seq[(String, FileStatus)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isFile) Seq((prefix + n, st))
+        else walk(st.getPath, prefix + n + "/")
+      }
+    walk(new Path(dir), "")
+  }
+
+  private[ops] def dataFilesRecursive(fs: FileSystem, dir: String): Seq[String] =
+    dataFileStatusesRecursive(fs, dir).map(_._1)
+
   /** Compact `dir`: files under `smallBytes` are read back and
     * rewritten as ⌈small-bytes / targetBytes⌉ packed files (range-
     * clustered on `sortCols` when given); everything else stays in
     * place. Runs [[recover]] first, so an interrupted predecessor is
     * finished before the new generation starts.
+    */
+  /** `partition` (TxLog-managed tables only) confines the pack to one
+    * hive-style partition prefix (`"region=EU"`): only that
+    * partition's small tail is read and rewritten, its replacement
+    * files land under the same prefix, and every other partition's
+    * entries ride through the commit untouched — per-partition
+    * maintenance at per-partition cost.
     */
   def binPack(
       spark: SparkSession,
@@ -89,8 +117,10 @@ object Compact {
       targetBytes: Long = 128L << 20,
       smallBytes: Long = 32L << 20,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Receipt = {
-    val receipt = stage(spark, dir, targetBytes, smallBytes, sortCols, zorderCols)
+      zorderCols: Seq[String] = Nil,
+      partition: Option[String] = None): Receipt = {
+    val receipt =
+      stage(spark, dir, targetBytes, smallBytes, sortCols, zorderCols, partition)
     recover(spark, dir)
     receipt
   }
@@ -105,24 +135,26 @@ object Compact {
       targetBytes: Long,
       smallBytes: Long,
       sortCols: Seq[String],
-      zorderCols: Seq[String] = Nil): Receipt = {
+      zorderCols: Seq[String] = Nil,
+      partition: Option[String] = None): Receipt = {
     recover(spark, dir)
-    val files = liveStatuses(spark, dir)
-    val small = files.filter(_.getLen < smallBytes)
+    val files = liveStatuses(spark, dir, partition)
+    val small = files.filter(_._2.getLen < smallBytes)
     if (small.length < 2)
       return Receipt(files.length, files.length, 0, 0, 0, files.length)
 
-    val packedBytes = small.map(_.getLen).sum
+    val packedBytes = small.map(_._2.getLen).sum
     val nOut = math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(small.map(_.getPath.toString): _*)
+    val df = spark.read.parquet(small.map(_._2.getPath.toString): _*)
     val packed =
       if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols, nOut)
       else if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nOut)
-    val written = stageRewrite(spark, dir, small.map(_.getPath.getName),
-      stagePath => packed.write.mode("overwrite").parquet(stagePath)).length
+    val written = stageRewrite(spark, dir, small.map(_._1),
+      stagePath => packed.write.mode("overwrite").parquet(stagePath),
+      prefix = partition).length
     Receipt(
       filesBefore = files.length,
       filesAfter = files.length - small.length + written,
@@ -132,21 +164,29 @@ object Compact {
       untouched = files.length - small.length)
   }
 
-  /** The table's live data files with their statuses: the current
-    * [[TxLog]] snapshot when the directory is log-managed, the plain
-    * visible listing otherwise.
+  /** The table's live data files as (relative name, status): the
+    * current [[TxLog]] snapshot when the directory is log-managed —
+    * optionally confined to one partition prefix — the plain visible
+    * listing otherwise (flat; partitions need the log to track
+    * prefixed names through a rewrite).
     */
   private[ops] def liveStatuses(
       spark: SparkSession,
-      dir: String): Seq[FileStatus] = {
+      dir: String,
+      partition: Option[String] = None): Seq[(String, FileStatus)] = {
     val fs = fsOf(spark, dir)
-    val listed = dataFiles(fs, dir)
     if (TxLog.exists(spark, dir)) {
-      // one listing filtered by the snapshot — not a per-file
-      // getFileStatus round-trip (10^5 live files = 10^5 RPCs)
+      // one recursive listing filtered by the snapshot — not a
+      // per-file getFileStatus round-trip (10^5 live files = 10^5 RPCs)
       val live = TxLog.liveFiles(spark, dir).toSet
-      listed.filter(f => live(f.getPath.getName))
-    } else listed
+      dataFileStatusesRecursive(fs, dir).filter { case (n, _) =>
+        live(n) && partition.forall(p => n.startsWith(p + "/"))
+      }
+    } else {
+      require(partition.isEmpty,
+        "partition-confined compaction requires a TxLog-managed directory")
+      dataFiles(fs, dir).map(f => (f.getPath.getName, f))
+    }
   }
 
   /** The shared staged-rewrite commit: run `writeStage` against the
@@ -174,7 +214,8 @@ object Compact {
       spark: SparkSession,
       dir: String,
       olds: Seq[String],
-      writeStage: String => Unit): Seq[String] = {
+      writeStage: String => Unit,
+      prefix: Option[String] = None): Seq[String] = {
     val fs = fsOf(spark, dir)
     val stagePath = new Path(dir, StageName)
     fs.delete(stagePath, true)
@@ -183,14 +224,21 @@ object Compact {
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(_.getPath.getName).sorted
     if (TxLog.exists(spark, dir)) {
+      // staged files land under the partition prefix (if any) and the
+      // commit records the prefixed relative names — other partitions'
+      // entries ride through untouched
+      val sub = prefix.map(_ + "/").getOrElse("")
+      prefix.foreach(p => fs.mkdirs(new Path(dir, p)))
       newNames.foreach { n =>
-        if (!fs.rename(new Path(stagePath, n), new Path(dir, n)))
-          throw new java.io.IOException(s"compact: cannot move $n into $dir")
+        if (!fs.rename(new Path(stagePath, n), new Path(dir, sub + n)))
+          throw new java.io.IOException(s"compact: cannot move $sub$n into $dir")
       }
       fs.delete(stagePath, true)
-      TxLog.commit(spark, dir, adds = newNames, removes = olds)
-      return newNames
+      TxLog.commit(spark, dir, adds = newNames.map(sub + _), removes = olds)
+      return newNames.map(sub + _)
     }
+    require(prefix.isEmpty,
+      "partition-confined rewrites require a TxLog-managed directory")
     // Marker: rename-published so readers/recovery only ever see a
     // complete one (a torn temp write is `.`-prefixed and ignored).
     val body = (Seq("V1") ++ Seq("OLDS") ++ olds.sorted ++

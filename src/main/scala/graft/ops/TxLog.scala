@@ -43,6 +43,15 @@ import java.nio.charset.StandardCharsets
   * Readers of a log-managed directory must go through [[snapshot]];
   * a raw `spark.read.parquet(dir)` sees superseded files (exactly as
   * it would under any log-backed format).
+  *
+  * PARTITIONS: entry names are paths relative to the table root, so a
+  * hive-layout table (`region=EU/part-….parquet`) converts, snapshots,
+  * time-travels, vacuums and compacts per partition ([[Compact
+  * .binPack]]'s `partition`) with the prefixes intact. The keyed DML
+  * pair ([[DeleteWhere]]/[[UpsertWhere]]) currently assumes a FLAT
+  * layout (it derives log names with `Path.getName`) — partitioned
+  * tables take deletes/upserts per-partition via the generic
+  * `where`/predicate path or a partition-scoped table root.
   */
 object TxLog {
 
@@ -53,9 +62,76 @@ object TxLog {
   private def versionName(v: Int) = f"v$v%08d.txt"
   private def checkpointName(v: Int) = f"c$v%08d.txt"
 
+  /** Per-column min/max carried ON an ADD entry — the Delta/Iceberg
+    * move of embedding file statistics in the commit itself, so a
+    * selective read plans (snapshot + prune) from ONE metadata read
+    * with no sidecar manifest to build or refresh. Bounds are doubles
+    * widened outward exactly like [[ZoneMap]]'s ([[ZoneMap
+    * .boundToDouble]] does the conversion), so pruning on them is
+    * sound at any magnitude.
+    */
+  final case class ColStats(column: String, min: Double, max: Double)
+
+  /** One ADD record: a data-file name — RELATIVE to the table root,
+    * possibly carrying hive-style partition prefixes
+    * (`region=EU/part-….parquet`) — plus optional per-column stats.
+    * Serialized as `ADD name` or `ADD name|c:min:max,c2:min:max`
+    * (stats columns must avoid `|,:` — enforced at
+    * [[setStatsColumns]]).
+    */
+  final case class AddEntry(name: String, stats: Seq[ColStats] = Nil) {
+    private[ops] def serialized: String =
+      if (stats.isEmpty) name
+      else name + "|" + stats.map(s =>
+        s"${s.column}:${s.min}:${s.max}").mkString(",")
+  }
+
+  private def parseEntry(s: String): AddEntry = {
+    val bar = s.indexOf('|')
+    if (bar < 0) AddEntry(s)
+    else AddEntry(s.substring(0, bar),
+      s.substring(bar + 1).split(',').toSeq.map { part =>
+        val Array(c, mn, mx) = part.split(':')
+        ColStats(c, mn.toDouble, mx.toDouble)
+      })
+  }
+
   def exists(spark: SparkSession, dir: String): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     fs.exists(logPath(dir))
+  }
+
+  private val StatsColsName = "stats_cols.txt"
+
+  /** Declare which columns every LATER commit carries [[ColStats]]
+    * for (the `dataSkippingNumIndexedCols`-style table property, as an
+    * explicit column list). From then on [[commit]] footer-reads its
+    * added files — O(adds), metadata pages only — and embeds their
+    * min/max in the version body, so [[snapshotPruned]] plans a
+    * selective read from the log alone. Files committed BEFORE the
+    * declaration (including convert's v0) carry no stats and are
+    * never pruned — compaction refreshes them into stats-carrying
+    * entries. Idempotent overwrite; pass Nil to stop collecting.
+    */
+  def setStatsColumns(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.forall(c => !c.exists("|,:".contains(_))),
+      s"stats columns must avoid '|', ',' and ':' — got $cols")
+    val fs = Compact.fsOf(spark, dir)
+    require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
+    val out = fs.create(new Path(logPath(dir), StatsColsName), true)
+    try out.write(cols.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def statsColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = new Path(logPath(dir), StatsColsName)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    body.filter(_.nonEmpty)
   }
 
   /** Bring a directory under log management: v0 ADDs every currently
@@ -71,10 +147,12 @@ object TxLog {
       if (!fs.exists(new Path(dir))) { fs.mkdirs(new Path(dir)); Nil }
       else {
         Compact.recover(spark, dir)
-        Compact.dataFiles(fs, dir).map(_.getPath.getName)
+        // recursive: a hive-partitioned layout converts with its
+        // partition prefixes as part of each entry's relative name
+        Compact.dataFilesRecursive(fs, dir)
       }
     fs.mkdirs(logPath(dir))
-    writeVersion(spark, dir, 0, files, Nil)
+    writeVersion(spark, dir, 0, files.map(AddEntry(_)), Nil)
     0
   }
 
@@ -103,20 +181,30 @@ object TxLog {
   def liveFiles(
       spark: SparkSession,
       dir: String,
-      version: Int = Int.MaxValue): Seq[String] = {
+      version: Int = Int.MaxValue): Seq[String] =
+    liveEntries(spark, dir, version).map(_.name)
+
+  /** The live ADD entries (names + any carried stats) at `version` —
+    * what [[snapshotPruned]] plans from. Same fold as [[liveFiles]].
+    */
+  def liveEntries(
+      spark: SparkSession,
+      dir: String,
+      version: Int = Int.MaxValue): Seq[AddEntry] = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
     require(version == Int.MaxValue || vs.contains(version),
       s"version $version not in log (have ${vs.min}..${vs.max} minus vacuumed)")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
     val cp = checkpoints(spark, dir).filter(_ <= version).lastOption
-    cp.foreach(c => readCheckpoint(spark, dir, c)._1.foreach(live += _))
+    cp.foreach(c => readCheckpoint(spark, dir, c)._1
+      .foreach(e => live(e.name) = e))
     vs.filter(v => v <= version && cp.forall(v > _)).foreach { v =>
-      val (adds, removes, _) = readVersion(spark, dir, v)
+      val (adds, removes, _) = readVersionEntries(spark, dir, v)
       removes.foreach(live -= _)
-      adds.foreach(live += _)
+      adds.foreach(e => live(e.name) = e)
     }
-    live.toSeq
+    live.values.toSeq
   }
 
   private def checkpoints(spark: SparkSession, dir: String): Seq[Int] = {
@@ -155,7 +243,8 @@ object TxLog {
       .flatMap(x => readVersion(spark, dir, x)._3)
     val body = (Seq("V1") ++
       (prevTxns ++ newTxns).distinct.sorted.map("TXN " + _) ++
-      liveFiles(spark, dir, v).sorted.map("FILE " + _) ++
+      liveEntries(spark, dir, v).sortBy(_.name)
+        .map("FILE " + _.serialized) ++
       Seq("END")).mkString("\n")
     val tmp = new Path(logPath(dir), s".${checkpointName(v)}.tmp")
     val out = fs.create(tmp, true)
@@ -166,7 +255,7 @@ object TxLog {
   private def readCheckpoint(
       spark: SparkSession,
       dir: String,
-      v: Int): (Seq[String], Seq[String]) = {
+      v: Int): (Seq[AddEntry], Seq[String]) = {
     val fs = Compact.fsOf(spark, dir)
     val in = fs.open(new Path(logPath(dir), checkpointName(v)))
     val lines =
@@ -174,7 +263,8 @@ object TxLog {
       finally in.close()
     require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
       s"torn txlog checkpoint $v in $dir")
-    (lines.collect { case l if l.startsWith("FILE ") => l.substring(5) },
+    (lines.collect { case l if l.startsWith("FILE ") =>
+      parseEntry(l.substring(5)) },
       lines.collect { case l if l.startsWith("TXN ") => l.substring(4) })
   }
 
@@ -206,9 +296,58 @@ object TxLog {
       mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(spark, dir, version).map(n => s"$dir/$n")
     require(files.nonEmpty, s"version $version of $dir holds no files")
-    if (mergeSchema)
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else spark.read.parquet(files: _*)
+    // basePath keeps hive-partition columns alive when reading an
+    // explicit file list out of a partitioned layout; no-op when flat
+    val rd = spark.read.option("basePath", dir)
+    if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
+    else rd.parquet(files: _*)
+  }
+
+  /** The candidate file names a range query on `column` must read at
+    * `version`, decided from the LOG ALONE — the ADD-carried
+    * [[ColStats]], no sidecar manifest, no footer reads at plan time.
+    * An entry without stats for `column` (pre-declaration files,
+    * non-data adds) is always a candidate; unknown never prunes.
+    */
+  def candidateFilesFromLog(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      version: Int = Int.MaxValue): Seq[String] =
+    liveEntries(spark, dir, version).collect {
+      case e if e.stats.find(_.column == column)
+        .forall(s => s.max >= lo && s.min <= hi) => e.name
+    }
+
+  /** Selective snapshot read: only the files whose log-carried stats
+    * admit `column` ∈ [lo, hi] are opened, and the residual predicate
+    * finishes the job — result identical to
+    * `snapshot(...).filter(column between lo and hi)`. ONE metadata
+    * read (the log tail) does both snapshot isolation AND pruning —
+    * the reason Delta/Iceberg embed stats in the commit, reproduced
+    * here. Requires [[setStatsColumns]] to have been set before the
+    * data landed (or a compaction to have refreshed old files).
+    */
+  def snapshotPruned(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      version: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = liveFiles(spark, dir, version)
+    require(all.nonEmpty, s"version $version of $dir holds no files")
+    val cand = candidateFilesFromLog(spark, dir, column, lo, hi, version)
+    val src =
+      if (cand.isEmpty)
+        spark.read.option("basePath", dir)
+          .parquet(all.map(n => s"$dir/$n"): _*).limit(0)
+      else spark.read.option("basePath", dir)
+        .parquet(cand.map(n => s"$dir/$n"): _*)
+    src.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Append a commit (called by the file-surgery operators after their
@@ -228,6 +367,21 @@ object TxLog {
       adds: Seq[String],
       removes: Seq[String],
       txn: Option[String] = None): Int = {
+    // when the table declares stats columns, footer-read the added
+    // files ONCE (outside the retry loop — stats don't change across
+    // attempts) and embed their bounds in the ADD entries. Lenient:
+    // an add naming a not-yet-present file simply carries no stats.
+    val cols = statsColumns(spark, dir)
+    val entries =
+      if (cols.isEmpty) adds.map(AddEntry(_))
+      else {
+        val byFile = ZoneMap
+          .statsForFiles(spark, adds.map(n => s"$dir/$n"), cols, lenient = true)
+        adds.map { n =>
+          AddEntry(n, byFile.getOrElse(s"$dir/$n", Nil)
+            .map(s => ColStats(s._1, s._2, s._3)))
+        }
+      }
     var committed = -1
     var tries = 0
     while (committed < 0) {
@@ -243,7 +397,7 @@ object TxLog {
               s"removed files were already replaced by a concurrent commit " +
               s"(${gone.take(3).mkString(", ")}…) — recompute against v$parent")
       }
-      if (writeVersion(spark, dir, parent + 1, adds, removes, txn))
+      if (writeVersion(spark, dir, parent + 1, entries, removes, txn))
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }
@@ -289,13 +443,15 @@ object TxLog {
     val added = (after -- before).toSeq.sorted.map(n => s"$dir/$n")
     import org.apache.spark.sql.functions.lit
     def readOrEmpty(files: Seq[String], schemaOf: Seq[String]): DataFrame =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
-      else spark.read.schema(spark.read.parquet(schemaOf: _*).schema)
+      if (files.nonEmpty)
+        spark.read.option("basePath", dir).parquet(files: _*)
+      else spark.read.schema(
+        spark.read.option("basePath", dir).parquet(schemaOf: _*).schema)
         .parquet() // zero paths: empty relation with the sibling schema
     if (removed.isEmpty && added.isEmpty) {
       val any = liveFiles(spark, dir, toVersion).map(n => s"$dir/$n")
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
-      return spark.read.parquet(any: _*).limit(0)
+      return spark.read.option("basePath", dir).parquet(any: _*).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
     val schemaDonor = if (added.nonEmpty) added else removed
@@ -402,8 +558,8 @@ object TxLog {
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
     val keep = vs.takeRight(math.max(1, retainVersions))
     val referenced = keep.flatMap(v => liveFiles(spark, dir, v)).toSet
-    val onDiskStatuses = Compact.dataFiles(fs, dir)
-    val onDisk = onDiskStatuses.map(_.getPath.getName)
+    val onDiskStatuses = Compact.dataFileStatusesRecursive(fs, dir)
+    val onDisk = onDiskStatuses.map(_._1)
     // only files the LOG ever knew can be deleted: an in-flight
     // writer's just-moved files (commit pending) are not yet in any
     // version and must survive the sweep
@@ -414,7 +570,7 @@ object TxLog {
       if (sweepOrphansOlderThanMs < 0) Long.MinValue
       else System.currentTimeMillis() - sweepOrphansOlderThanMs
     val statuses = onDiskStatuses
-      .map(f => f.getPath.getName -> f.getModificationTime).toMap
+      .map { case (n, st) => n -> st.getModificationTime }.toMap
     val dead = onDisk.filter { f =>
       if (everLogged(f)) !referenced(f)
       else statuses.getOrElse(f, Long.MaxValue) < orphanHorizon
@@ -446,13 +602,13 @@ object TxLog {
       spark: SparkSession,
       dir: String,
       v: Int,
-      adds: Seq[String],
+      adds: Seq[AddEntry],
       removes: Seq[String],
       txn: Option[String] = None): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     val body = (Seq("V1") ++
       txn.map("TXN " + _) ++
-      adds.sorted.map("ADD " + _) ++
+      adds.sortBy(_.name).map("ADD " + _.serialized) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
     val tmp = new Path(logPath(dir),
@@ -502,6 +658,14 @@ object TxLog {
       spark: SparkSession,
       dir: String,
       v: Int): (Seq[String], Seq[String], Option[String]) = {
+    val (adds, removes, txn) = readVersionEntries(spark, dir, v)
+    (adds.map(_.name), removes, txn)
+  }
+
+  private def readVersionEntries(
+      spark: SparkSession,
+      dir: String,
+      v: Int): (Seq[AddEntry], Seq[String], Option[String]) = {
     val fs = Compact.fsOf(spark, dir)
     val in = fs.open(new Path(logPath(dir), versionName(v)))
     val lines =
@@ -509,7 +673,8 @@ object TxLog {
       finally in.close()
     require(lines.headOption == Some("V1") && lines.lastOption == Some("END"),
       s"torn txlog version $v in $dir")
-    (lines.collect { case l if l.startsWith("ADD ") => l.substring(4) },
+    (lines.collect { case l if l.startsWith("ADD ") =>
+      parseEntry(l.substring(4)) },
       lines.collect { case l if l.startsWith("REMOVE ") => l.substring(7) },
       lines.collectFirst { case l if l.startsWith("TXN ") => l.substring(4) })
   }

@@ -79,17 +79,39 @@ object ZoneMap {
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
     buildForFiles(spark, TxLog.read(spark, dir).inputFiles.toSeq, cols)
 
+  /** Footer stats for an explicit file list, as a driver map path →
+    * (column, min, max) rows — the form [[TxLog.commit]] embeds in its
+    * ADD entries. `lenient` skips unreadable/absent paths (a commit
+    * may name files that are not data, or not yet present) instead of
+    * failing the build.
+    */
+  private[ops] def statsForFiles(
+      spark: SparkSession,
+      paths: Seq[String],
+      cols: Seq[String],
+      lenient: Boolean = false): Map[String, Seq[(String, Double, Double)]] =
+    buildForFiles(spark, paths, cols, lenient).collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.toSeq.map(r =>
+          (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      }
+
   private def buildForFiles(
       spark: SparkSession,
       files: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String],
+      lenient: Boolean = false): DataFrame = {
     val want = cols.toSet
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
-        val r = ParquetFileReader.open(in)
-        try {
+        val opened =
+          try Some(ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), new Configuration())))
+          catch { case _: Exception if lenient => None }
+        opened.toSeq.flatMap { r =>
+          try {
           val blocks = r.getFooter.getBlocks
           val nRows = {
             var n = 0L; blocks.forEach(b => n += b.getRowCount); n
@@ -118,7 +140,8 @@ object ZoneMap {
             }
           }
           acc.iterator.map { case (c, (mn, mx)) => (f, c, mn, mx, nRows) }.toSeq
-        } finally r.close()
+          } finally r.close()
+        }
       }
     spark.createDataFrame(rows)
       .toDF("file", "column", "min_value", "max_value", "file_rows")
@@ -229,7 +252,14 @@ object ZoneMap {
           val nRows = {
             var n = 0L; blocks.forEach(b => n += b.getRowCount); n
           }
-          val acc = scala.collection.mutable.Map.empty[String, (String, String)]
+          // min/max merge in parquet's OWN order — unsigned UTF-8
+          // bytes. Java String '<' is UTF-16 code-unit order, which
+          // DISAGREES above the BMP (a supplementary char sorts below
+          // U+E000 in UTF-16 but above it in UTF-8 bytes), so merging
+          // or probing with String compares can under-report a span
+          // and wrongly prune a file that holds the value.
+          val acc =
+            scala.collection.mutable.Map.empty[String, (Array[Byte], Array[Byte])]
           var complete = Set.empty[String] // columns with stats in EVERY block
           var first = true
           blocks.forEach { b =>
@@ -240,12 +270,12 @@ object ZoneMap {
                 c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.BINARY) {
                 val st = c.getStatistics
                 if (st != null && !st.isEmpty && st.hasNonNullValue) {
-                  val mn = new String(st.getMinBytes, "UTF-8")
-                  val mx = new String(st.getMaxBytes, "UTF-8")
+                  val mn = st.getMinBytes
+                  val mx = st.getMaxBytes
                   val cur = acc.getOrElse(name, (mn, mx))
                   acc(name) = (
-                    if (mn < cur._1) mn else cur._1,
-                    if (mx > cur._2) mx else cur._2)
+                    if (leUnsigned(mn, cur._1)) mn else cur._1,
+                    if (leUnsigned(cur._2, mx)) mx else cur._2)
                   here += name
                 }
               }
@@ -256,16 +286,38 @@ object ZoneMap {
           // a column missing stats in ANY block yields no manifest row
           // (partial stats could under-report the file's true span)
           acc.iterator.filter(kv => complete(kv._1))
-            .map { case (c, (mn, mx)) => (f, c, mn, mx, nRows) }.toSeq
+            .map { case (c, (mn, mx)) =>
+              (f, c, new String(mn, "UTF-8"), new String(mx, "UTF-8"), nRows)
+            }.toSeq
         } finally r.close()
       }
     spark.createDataFrame(rows)
       .toDF("file", "column", "min_str", "max_str", "file_rows")
   }
 
+  /** Unsigned lexicographic ≤ over raw bytes — parquet's binary-stats
+    * order. The ONLY order the string manifest may be probed or merged
+    * in: Java String comparison diverges above the BMP.
+    */
+  private[ops] def leUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length <= b.length
+  }
+
+  private def leUtf8(a: String, b: String): Boolean =
+    leUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
   /** Files whose lexicographic [min,max] on `column` can contain
     * `value` — plus any file without a stats row (unknown never
-    * prunes).
+    * prunes). Containment is decided in unsigned UTF-8 byte order,
+    * matching how the stats were written and merged.
     */
   def candidateFilesString(
       manifest: DataFrame,
@@ -276,7 +328,7 @@ object ZoneMap {
       .select("file", "min_str", "max_str").collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
     allFiles.filter(f => known.get(f) match {
-      case Some((mn, mx)) => mn <= value && value <= mx
+      case Some((mn, mx)) => leUtf8(mn, value) && leUtf8(value, mx)
       case None => true
     })
   }

@@ -218,6 +218,81 @@ class TxLogSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 7.5)
   }
 
+  test("stats-carrying ADD entries: a selective read plans from the log alone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txlog_stats").toString + "/t"
+    TxLog.convert(spark, dir)
+    TxLog.setStatsColumns(spark, dir, Seq("k"))
+    // 8 sorted epochs, each a disjoint key range → every commit embeds
+    // its file's [min,max] in the ADD entry
+    (0 until 8).foreach { e =>
+      graft.streaming.TxLogIngest.appendSink(dir)(
+        spark.range(e * 1000L, (e + 1) * 1000L)
+          .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(1),
+        e.toLong)
+    }
+    // the log alone prunes: a one-epoch range admits only that file
+    val cand = TxLog.candidateFilesFromLog(spark, dir, "k", 2100.0, 2900.0)
+    assert(cand.length == 1, s"expected 1 candidate, got ${cand.length}")
+    val pruned = TxLog.snapshotPruned(spark, dir, "k", 2100.0, 2900.0)
+    assert(pruned.inputFiles.length == 1) // touched exactly the match
+    val direct = TxLog.snapshot(spark, dir)
+      .filter(col("k") >= 2100 && col("k") <= 2900)
+    assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
+    // stats survive the checkpoint + log-pruning vacuum
+    TxLog.checkpoint(spark, dir)
+    TxLog.vacuum(spark, dir, retainVersions = 2)
+    assert(TxLog.candidateFilesFromLog(spark, dir, "k", 2100.0, 2900.0)
+      .length == 1)
+    // compaction's replacement entries carry fresh stats: pack the
+    // 8-file tail into one clustered file set, pruning still works
+    Compact.binPack(spark, dir, targetBytes = 8L << 10,
+      smallBytes = 32L << 20, sortCols = Seq("k"))
+    val cand2 = TxLog.candidateFilesFromLog(spark, dir, "k", 2100.0, 2900.0)
+    assert(cand2.length < TxLog.liveFiles(spark, dir).length,
+      s"${cand2.length} of ${TxLog.liveFiles(spark, dir).length}")
+    val pruned2 = TxLog.snapshotPruned(spark, dir, "k", 2100.0, 2900.0)
+    assert(pruned2.exceptAll(direct).isEmpty && direct.exceptAll(pruned2).isEmpty)
+    // a column never declared is never pruned (unknown keeps all)
+    assert(TxLog.candidateFilesFromLog(spark, dir, "v", 100.0, 101.0).length ==
+      TxLog.liveFiles(spark, dir).length)
+  }
+
+  test("partitioned table: convert keeps prefixes; compacting one partition leaves the other untouched in the log") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txlog_part").toString + "/t"
+    val df = spark.range(2000)
+      .select(col("id").as("k"), (col("id") % 2).cast("int").as("p"))
+    df.repartition(4).write.partitionBy("p").parquet(dir)
+    TxLog.convert(spark, dir)
+    val entries0 = TxLog.liveFiles(spark, dir)
+    assert(entries0.nonEmpty && entries0.forall(n =>
+      n.startsWith("p=0/") || n.startsWith("p=1/")))
+    // snapshot keeps the partition column via basePath
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.columns.toSet == Set("k", "p"))
+    assert(snap.exceptAll(df).isEmpty && df.exceptAll(snap).isEmpty)
+
+    val p1Before = entries0.filter(_.startsWith("p=1/")).toSet
+    val r = Compact.binPack(spark, dir, targetBytes = 128L << 20,
+      smallBytes = 32L << 20, partition = Some("p=0"))
+    assert(r.packed >= 2, s"packed ${r.packed}") // p=0's small tail packed
+    val after = TxLog.liveFiles(spark, dir)
+    // p=1's entries rode through the commit untouched
+    assert(after.filter(_.startsWith("p=1/")).toSet == p1Before)
+    val p0After = after.filter(_.startsWith("p=0/"))
+    assert(p0After.length < entries0.count(_.startsWith("p=0/")))
+    // the packed replacement landed INSIDE the partition dir
+    assert(p0After.forall(_.startsWith("p=0/")))
+    val snap2 = TxLog.snapshot(spark, dir)
+    assert(snap2.exceptAll(df).isEmpty && df.exceptAll(snap2).isEmpty)
+    // vacuum reclaims only p=0's superseded files, recursively
+    val deleted = TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted > 0)
+    val snap3 = TxLog.snapshot(spark, dir)
+    assert(snap3.exceptAll(df).isEmpty && df.exceptAll(snap3).isEmpty)
+  }
+
   test("write-write conflict on the same file is rejected, not silently lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)

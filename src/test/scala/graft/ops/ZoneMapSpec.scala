@@ -165,6 +165,33 @@ class ZoneMapSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("string manifest probes in unsigned UTF-8 order: supplementary-plane values are never over-pruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zm_utf8").toString + "/t"
+    // U+E000 (UTF-8 EE 80 80) vs U+1F600 (UTF-8 F0 9F 98 80):
+    // UTF-16 code units order them 0xE000 > 0xD83D (surrogate), the
+    // REVERSE of their byte order — a String-compared probe for
+    // "x" against max="😀" would wrongly prune the file that
+    // contains it
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "x"
+    Seq(pua, emoji).toDF("s").coalesce(1).write.parquet(dir)
+    Seq("aaa", "zzz").toDF("s").coalesce(1).write.mode("append").parquet(dir)
+    val mf = ZoneMap.buildString(spark, dir, Seq("s"))
+    val all = spark.read.parquet(dir).inputFiles.toSeq
+    val withPua = spark.read.parquet(dir)
+      .filter(col("s") === pua)
+      .select(input_file_name()).head().getString(0)
+    val cand = ZoneMap.candidateFilesString(mf, all, "s", pua)
+    assert(cand.contains(withPua),
+      s"file holding $pua pruned — UTF-16 ordering leak")
+    // the ascii-only file IS prunable for this probe
+    assert(cand.length == 1, s"${cand.length} candidates")
+    // end-to-end: the pruned equality read still finds the row
+    val got = ZoneMap.prunedReadString(spark, dir, mf, "s", pua)
+    assert(got.count() == 1)
+  }
+
   test("INT64 bounds above 2^53 bracket the exact span: snowflake-id files are never over-pruned") {
     import spark.implicits._
     val dir = Files.createTempDirectory("zm_big").toString + "/t"
