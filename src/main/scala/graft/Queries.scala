@@ -596,6 +596,70 @@ object Queries {
           sum(rev), 4).as("promo_pct"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between two nations: both
+    * nation filters broadcast-semi-reduce their OWN big side FIRST
+    * (suppliers of the two nations via n1, customers via n2 — 2/25 of
+    * each), so the lineitem/orders shuffles carry only the filtered
+    * slice; the cross-pair disjunction is a residual filter after both
+    * attach. The plan a 1000-executor cluster wants: two broadcast
+    * prunes, then data-proportional exchanges only on what survives.
+    */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    t(s, dir, "supplier").join(n1, col("s_nationkey") === col("s_nk"))
+      .join(t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").join(n2, col("c_nationkey") === col("c_nk")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — national market share: PROMO parts sold into
+    * one region over two years; the share of one supplier nation in
+    * that volume, per order year. part is the selective probe
+    * (broadcast after its type filter at these dim sizes), region
+    * prunes customers via two broadcast hops, and the conditional
+    * share is one aggregate pass — no self-join, no second scan.
+    */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val part = broadcast(t(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val amRegion = broadcast(t(s, dir, "region")
+      .filter(col("r_name") === "AMERICA").select("r_regionkey"))
+    val custNation = broadcast(t(s, dir, "nation")
+      .join(amRegion, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem").join(part, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) /
+          sum(vol), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** As-of join (backward): for each error event, the user's most
     * recent purchase at-or-before it — the time-series join composed
     * as union + window carry-forward (one shuffle; see

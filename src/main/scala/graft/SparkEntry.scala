@@ -60,6 +60,8 @@ object SparkEntry {
     "q_tpch_q10" -> (Queries.qTpchQ10 _),
     "q_tpch_q18" -> (Queries.qTpchQ18 _),
     "q_tpch_q14" -> (Queries.qTpchQ14 _),
+    "q_tpch_q7" -> (Queries.qTpchQ7 _),
+    "q_tpch_q8" -> (Queries.qTpchQ8 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -484,6 +486,45 @@ object Oracles {
            AND c_mktsegment = 'BUILDING'
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    // Q7 volume shipping: two-nation pair, shipdate window, per-year
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
+
+    // Q8 market share: NATION_5's share of PROMO volume into AMERICA
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+             ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END)
+               / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1
+         ORDER BY 1""",
 
     "q_tpch_q5" ->
       """SELECT n_name,

@@ -253,6 +253,41 @@ object Compact {
     newNames
   }
 
+  /** Staged rewrite of a HIVE-PARTITIONED log-managed table: the
+    * writer emits a partition TREE into the staging dir (a
+    * `.write.partitionBy(...)` — replacement files for however many
+    * partitions the operation touches), the tree moves in under the
+    * table root with prefixes intact, and ONE log commit swaps all
+    * partitions' entries atomically — a delete spanning three
+    * partitions is still a single version, not three. TxLog-managed
+    * dirs only (a plain directory has no way to name prefixed files
+    * through the flat marker). Crash before the commit leaves
+    * orphans no snapshot references (vacuum's age-gated sweep
+    * reclaims them) — same discipline as the flat txlog branch.
+    */
+  private[ops] def stageRewriteHive(
+      spark: SparkSession,
+      dir: String,
+      olds: Seq[String],
+      writeStage: String => Unit): Seq[String] = {
+    require(TxLog.exists(spark, dir),
+      "hive-partitioned rewrites require a TxLog-managed directory")
+    val fs = fsOf(spark, dir)
+    val stagePath = new Path(dir, StageName)
+    fs.delete(stagePath, true)
+    writeStage(stagePath.toString)
+    val newNames = dataFilesRecursive(fs, stagePath.toString).sorted
+    newNames.foreach { n =>
+      val dest = new Path(dir, n)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(new Path(stagePath, n), dest))
+        throw new java.io.IOException(s"compact: cannot move $n into $dir")
+    }
+    fs.delete(stagePath, true)
+    TxLog.commit(spark, dir, adds = newNames, removes = olds)
+    newNames
+  }
+
   /** Finish (or discard) an interrupted compaction. With a complete
     * marker: move each staged file in (skip those already moved),
     * delete each listed old (skip those already gone), then drop the

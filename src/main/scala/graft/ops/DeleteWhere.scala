@@ -182,6 +182,28 @@ object DeleteWhere {
     if (TxLog.exists(spark, dir) && TxLog.liveFiles(spark, dir).isEmpty) Nil
     else TxLog.read(spark, dir).inputFiles.toSeq
 
+  /** A file URI/path as the table-root-relative name the log records
+    * (`part-….parquet`, or `p=0/part-….parquet` under a hive layout).
+    * `Path.getName` — the flat-era derivation — silently dropped the
+    * partition prefix, which is why the triad was bounded to flat
+    * tables before this.
+    */
+  private[ops] def relName(
+      spark: SparkSession, dir: String, fileUri: String): String = {
+    val fs = Compact.fsOf(spark, dir)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+    val p = java.net.URI.create(fileUri).getPath
+    require(p.startsWith(root + "/"), s"$fileUri is not under $dir")
+    p.substring(root.length + 1)
+  }
+
+  /** The hive partition COLUMNS a set of relative names encodes
+    * (`p=0/q=a/f.parquet` → Seq("p","q")); empty for a flat layout.
+    */
+  private[ops] def partitionColsOf(rel: Seq[String]): Seq[String] =
+    rel.find(_.contains('/')).toSeq
+      .flatMap(_.split('/').dropRight(1).toSeq.map(_.split('=')(0)))
+
   private def rewrite(
       spark: SparkSession,
       dir: String,
@@ -198,11 +220,27 @@ object DeleteWhere {
       keepRows: DataFrame => DataFrame): Receipt = {
     if (cand.isEmpty)
       return Receipt(all.length, 0, all.length, 0)
+    val rel = cand.map(relName(spark, dir, _))
+    val pcols = partitionColsOf(rel)
+    if (pcols.nonEmpty) {
+      // hive layout: read WITH the partition columns (path-encoded, so
+      // the predicate can reference them), rewrite as a partition tree,
+      // swap every touched partition's entries in ONE commit
+      val candDf = spark.read.option("basePath", dir).parquet(cand: _*)
+      val candRows = candDf.count()
+      val kept = keepRows(candDf).localCheckpoint()
+      Compact.stageRewriteHive(spark, dir, rel, stagePath =>
+        kept.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath))
+      return Receipt(
+        filesTotal = all.length,
+        candidates = cand.length,
+        untouched = all.length - cand.length,
+        deletedRows = candRows - kept.count())
+    }
     val candDf = spark.read.parquet(cand: _*)
     val schema = candDf.schema
     val candRows = candDf.count()
-    val newNames = Compact.stageRewrite(spark, dir,
-      cand.map(f => new org.apache.hadoop.fs.Path(f).getName),
+    val newNames = Compact.stageRewrite(spark, dir, rel,
       stagePath => keepRows(candDf).write
         .mode("overwrite").parquet(stagePath))
     Compact.recover(spark, dir)

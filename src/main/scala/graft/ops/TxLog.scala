@@ -48,10 +48,11 @@ import java.nio.charset.StandardCharsets
   * hive-layout table (`region=EU/part-….parquet`) converts, snapshots,
   * time-travels, vacuums and compacts per partition ([[Compact
   * .binPack]]'s `partition`) with the prefixes intact. The keyed DML
-  * pair ([[DeleteWhere]]/[[UpsertWhere]]) currently assumes a FLAT
-  * layout (it derives log names with `Path.getName`) — partitioned
-  * tables take deletes/upserts per-partition via the generic
-  * `where`/predicate path or a partition-scoped table root.
+  * pair ([[DeleteWhere]]/[[UpsertWhere]]) detects the layout from the
+  * live names: hive tables read candidates with `basePath` (partition
+  * columns stay queryable), restage as a partition tree, and swap
+  * every touched partition's entries in one commit ([[Compact
+  * .stageRewriteHive]]).
   */
 object TxLog {
 

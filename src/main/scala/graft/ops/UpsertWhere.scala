@@ -51,7 +51,7 @@ object UpsertWhere {
     // own schema defines the table and every row is an insert
     val cols =
       if (all.isEmpty) updates.columns
-      else spark.read.parquet(all.head).columns
+      else TxLog.read(spark, dir).columns
     val up = updates.select(cols.map(col): _*)
     val keys: Seq[Any] = up.select(keyCol).distinct().collect().map(_.get(0)).toSeq
     if (keys.isEmpty) return Receipt(all.length, 0, all.length, 0, 0)
@@ -64,23 +64,48 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (cand.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = spark.read.parquet(cand: _*)
+        val candDf = spark.read.option("basePath", dir).parquet(cand: _*)
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
-        (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol)).unionByName(up),
+        (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol))
+          .select(cols.map(col): _*).unionByName(up),
           replaced, inserted)
       }
-    Compact.stageRewrite(spark, dir,
-      cand.map(f => new org.apache.hadoop.fs.Path(f).getName),
-      stagePath => staged.write.mode("overwrite").parquet(stagePath))
-    Compact.recover(spark, dir)
+    commitStaged(spark, dir, all, cand, staged)
     Receipt(
       filesTotal = all.length,
       candidates = cand.length,
       untouched = all.length - cand.length,
       updatedRows = updatedRows,
       insertedRows = insertedRows)
+  }
+
+  /** Publish a staged replacement for `cand`'s rows, layout-aware: a
+    * hive-partitioned table stages a partition TREE (`partitionBy` on
+    * the path-encoded columns — updates and inserts route to their
+    * partitions, including brand-new ones) and swaps every touched
+    * partition in ONE commit; a flat table takes the flat staged
+    * rewrite. Which case applies is read off the table's own live
+    * names, so callers don't carry layout flags.
+    */
+  private def commitStaged(
+      spark: SparkSession,
+      dir: String,
+      all: Seq[String],
+      cand: Seq[String],
+      staged: DataFrame): Unit = {
+    val relAll = all.map(DeleteWhere.relName(spark, dir, _))
+    val pcols = DeleteWhere.partitionColsOf(relAll)
+    val rel = cand.map(DeleteWhere.relName(spark, dir, _))
+    if (pcols.nonEmpty) {
+      Compact.stageRewriteHive(spark, dir, rel, stagePath =>
+        staged.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath))
+    } else {
+      Compact.stageRewrite(spark, dir, rel,
+        stagePath => staged.write.mode("overwrite").parquet(stagePath))
+      Compact.recover(spark, dir)
+    }
   }
 
   /** Merge a DATA-SIZED update batch — the daily 10M-row feed
@@ -115,7 +140,7 @@ object UpsertWhere {
     val all = DeleteWhere.allFiles(spark, dir)
     val cols =
       if (all.isEmpty) updates.columns
-      else spark.read.parquet(all.head).columns
+      else TxLog.read(spark, dir).columns
     val up = updates.select(cols.map(col): _*)
     val keys = up.select(keyCol).distinct()
     val touched: Seq[String] =
@@ -124,19 +149,17 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = spark.read.parquet(touched: _*)
+        val candDf = spark.read.option("basePath", dir).parquet(touched: _*)
         val replaced = candDf
           .join(keys, Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
-        (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol)).unionByName(up),
+        (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol))
+          .select(cols.map(col): _*).unionByName(up),
           replaced, inserted)
       }
     if (staged.isEmpty && touched.isEmpty)
       return Receipt(all.length, 0, all.length, 0, 0)
-    Compact.stageRewrite(spark, dir,
-      touched.map(f => new org.apache.hadoop.fs.Path(f).getName),
-      stagePath => staged.write.mode("overwrite").parquet(stagePath))
-    Compact.recover(spark, dir)
+    commitStaged(spark, dir, all, touched, staged)
     Receipt(
       filesTotal = all.length,
       candidates = touched.length,

@@ -62,6 +62,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_tpch_q7: both nation broadcasts prune their big side, shipdate pushed to the lineitem scan") {
+    val p = plan("q_tpch_q7")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected n1+n2 broadcasts, plan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q8: part/region/nation broadcast, orderdate pushed to the orders scan") {
+    val p = plan("q_tpch_q8")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected part+nation+nation broadcasts, plan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+  }
+
   test("q_tpch_q18: the HAVING reduction aggregates partially before its exchange, semi join drives") {
     val p = plan("q_tpch_q18")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)

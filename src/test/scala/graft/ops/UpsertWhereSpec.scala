@@ -131,6 +131,49 @@ class UpsertWhereSpec extends SparkSpec {
     assert(got.filter(col("k") === 1L).head().getLong(1) == 1L)
   }
 
+  test("hive-partitioned log table: keyed delete and merge keep the layout, one commit per operation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("uw_hive").toString + "/t"
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      (col("id") % 100).as("v"),
+      (col("id") % 4).cast("int").as("p"))
+    df.repartition(2).write.partitionBy("p").parquet(dir)
+    TxLog.convert(spark, dir)
+    val v0Names = TxLog.liveFiles(spark, dir)
+
+    // delete keys spanning two partitions (k%4 = partition here)
+    val rDel = DeleteWhere.byKeysDistributed(spark, dir, "k",
+      Seq(8L, 9L, 13L).toDF("k"), None)
+    assert(rDel.deletedRows == 3)
+    val v1 = TxLog.currentVersion(spark, dir)
+    assert(v1 == 1, "multi-partition delete must be ONE commit")
+    val afterDel = TxLog.liveFiles(spark, dir)
+    assert(afterDel.forall(_.matches("p=\\d/.*")), s"flat leak: $afterDel")
+    val snap1 = TxLog.snapshot(spark, dir)
+    assert(snap1.columns.toSet == Set("k", "v", "p"))
+    assert(snap1.count() == 3997)
+    assert(snap1.filter(col("k").isin(8L, 9L, 13L)).isEmpty)
+    // partition column still queries correctly after the rewrite
+    assert(snap1.filter(col("p") === 1).count() == 998) // lost k=9,13
+
+    // merge: update two keys + insert one key landing in a NEW row of
+    // an existing partition and one in partition 2
+    val up = Seq((20L, -5L, 0), (21L, -6L, 1), (9000L, -7L, 2))
+      .toDF("k", "v", "p")
+    val rUp = UpsertWhere.byKeys(spark, dir, "k", up, None)
+    assert(rUp.updatedRows == 2 && rUp.insertedRows == 1)
+    assert(TxLog.currentVersion(spark, dir) == 2)
+    val snap2 = TxLog.snapshot(spark, dir)
+    assert(snap2.count() == 3998)
+    assert(snap2.filter(col("k") === 20L).head().getLong(1) == -5L)
+    assert(snap2.filter(col("k") === 9000L).head().getInt(2) == 2)
+    // time travel across the partitioned rewrites still reconstructs
+    val s0 = TxLog.snapshot(spark, dir, 0).select("k", "v", "p")
+    assert(s0.exceptAll(df).isEmpty && df.exceptAll(s0).isEmpty)
+    assert(v0Names.toSet == TxLog.liveFiles(spark, dir, 0).toSet)
+  }
+
   test("upsert into a freshly converted EMPTY log-managed table inserts the batch") {
     val dir = Files.createTempDirectory("uw_fresh").toString + "/t"
     TxLog.convert(spark, dir) // v0: zero files, schema not yet known
