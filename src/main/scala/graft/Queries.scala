@@ -921,6 +921,20 @@ object Queries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Stratified corpus mixing ([[graft.pipelines.TrainingDataPipeline
+    * .stratifiedSampleHash]]): per-language keep rates (en 50%, de
+    * 25%, everything else 10%) decided by a content-hash draw — the
+    * deterministic mixture-reweighting pass a training-data pipeline
+    * runs at corpus scale (map-only, no RNG, no shuffle). The oracle
+    * evaluates the identical hex-threshold CASE in DuckDB.
+    */
+  def qSampleMixture(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.stratifiedSampleHash(
+      t(s, dir, "documents"), "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+
   // ------------------------------------------------------------- dedup
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2265,6 +2279,44 @@ object Queries {
     graft.ops.MvStore.read(store, "fmv")
       .select(col("o_orderstatus"), col("n"),
         round(col("sum_o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** Hive-partitioned lakehouse DML end to end: orders land
+    * partitioned BY STATUS (path-encoded column), convert to a log,
+    * then a cross-partition keyed purge (997-multiples) and a keyed
+    * MERGE (991-multiples' price doubled + shifted inserts) — each ONE
+    * commit regardless of how many partitions it touches, candidates
+    * read with basePath so the partition column stays queryable, and
+    * replacement trees keep the hive layout ([[graft.ops.Compact
+    * .stageRewriteHive]]). Hash-green = the final snapshot (partition
+    * column included) equals DuckDB's direct derivation.
+    */
+  def qHiveDml(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/hive_dml"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartition(4).write.partitionBy("o_orderstatus").parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val dead = o.filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey")
+    graft.ops.DeleteWhere.byKeysDistributed(s, path, "o_orderkey", dead) // v1
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0 &&
+        pmod(col("o_orderkey"), lit(997)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 3000000L).as("o_orderkey"), col("o_custkey"),
+      lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"),
+      lit("N").as("o_orderstatus"))
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      bump.unionByName(fresh, allowMissingColumns = false), None) // v2
+    require(graft.ops.TxLog.currentVersion(s, path) == 2,
+      "each cross-partition operation must be one commit")
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
   /** Stats-carrying commits ([[graft.ops.TxLog.setStatsColumns]] +

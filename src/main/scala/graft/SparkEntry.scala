@@ -78,6 +78,7 @@ object SparkEntry {
     "q_txt_rollhash" -> (Queries.qTxtRollhash _),
     "q_txt_winnow" -> (Queries.qTxtWinnow _),
     "q_sample_hash" -> (Queries.qSampleHash _),
+    "q_sample_mixture" -> (Queries.qSampleMixture _),
     "q_txt_repetition" -> (Queries.qTxtRepetition _),
     "q_txt_chunks" -> (Queries.qTxtChunks _),
     "q_txt_redact" -> (Queries.qTxtRedact _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
+    "q_hive_dml" -> (Queries.qHiveDml _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -634,6 +636,18 @@ object Oracles {
     "q_sample_hash" ->
       """SELECT lang, COUNT(*) AS n_sampled FROM documents
          WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+         GROUP BY lang""",
+
+    // stratified mixing: fixed-width lowercase hex compares in string
+    // order exactly as it does numerically, so both engines evaluate
+    // the identical threshold CASE (0.5→80000000, 0.25→40000000,
+    // default 0.1→19999999 = hex(floor(0.1*2^32)))
+    "q_sample_mixture" ->
+      """SELECT lang, COUNT(*) AS n_sampled FROM documents
+         WHERE substr(md5(text), 1, 8) <
+           CASE lang WHEN 'en' THEN '80000000'
+                     WHEN 'de' THEN '40000000'
+                     ELSE '19999999' END
          GROUP BY lang""",
 
     "q_split_hash" ->
@@ -1755,6 +1769,20 @@ object Oracles {
          SELECT o_orderstatus, count(*) AS n,
                 ROUND(SUM(o_totalprice), 2) AS sum_price
          FROM v2 GROUP BY o_orderstatus""",
+
+    // hive-partitioned DML: purge the 997-multiples, double the
+    // surviving 991-multiples, append shifted inserts into a new
+    // partition — final snapshot with the path-encoded status column
+    "q_hive_dml" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 997 <> 0
+         UNION ALL
+         SELECT o_orderkey + 3000000, o_custkey, 'N', 0.0,
+         TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders WHERE o_orderkey < 5""",
 
     // log-planned selective read: stats carried on ADD entries admit
     // exactly the files intersecting the quarter-point sixteenth of

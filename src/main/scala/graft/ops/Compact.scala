@@ -119,6 +119,24 @@ object Compact {
       sortCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
       partition: Option[String] = None): Receipt = {
+    // a partitioned log table with no partition given: pack EACH
+    // partition in place (one commit per partition — maintenance, not
+    // a transaction). Packing across partitions would emit root-level
+    // files and silently drop the path-encoded partition column.
+    if (partition.isEmpty && TxLog.exists(spark, dir)) {
+      val prefixes = TxLog.liveFiles(spark, dir)
+        .filter(_.contains('/'))
+        .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
+      if (prefixes.nonEmpty) {
+        val receipts = prefixes.map(p =>
+          binPack(spark, dir, targetBytes, smallBytes, sortCols, zorderCols,
+            partition = Some(p)))
+        return receipts.reduce((a, b) => Receipt(
+          a.filesBefore + b.filesBefore, a.filesAfter + b.filesAfter,
+          a.packed + b.packed, a.packedBytes + b.packedBytes,
+          a.written + b.written, a.untouched + b.untouched))
+      }
+    }
     val receipt =
       stage(spark, dir, targetBytes, smallBytes, sortCols, zorderCols, partition)
     recover(spark, dir)

@@ -129,6 +129,13 @@ object UpsertWhere {
     * without a manifest stats row are probed too (unknown never
     * prunes), so a missing/stale manifest degrades to a full probe
     * scan, never to a missed update.
+    *
+    * Measured (150k-key batch × 3M-row/256-file key-sorted table):
+    * 3.2 s touching 13 files, vs [[byKeys]] through a per-file bloom
+    * at 13.8 s rewriting 253/256 — a data-sized batch SATURATES a
+    * bloom (|keys|·fpp ≈ 1.5k expected false positives per file, so
+    * nearly every file probes positive); blooms stay the point-lookup
+    * tool, data-sized batches belong here.
     */
   def byKeysDistributed(
       spark: SparkSession,

@@ -53,6 +53,37 @@ object TrainingDataPipeline {
     }
   }
 
+  /** Deterministic STRATIFIED sampling — per-stratum keep rates with
+    * content-hash reproducibility (the corpus-mixture knob: "keep 50%
+    * of en, 25% of de, 10% of the rest", stable across runs, engines
+    * and partitionings, unlike `sample()`'s seeded RNG which is
+    * partitioning-dependent). Mechanism: the first 8 hex chars of
+    * md5(content) are a uniform 32-bit draw, and FIXED-WIDTH lowercase
+    * hex compares lexicographically exactly as it does numerically
+    * ('0'-'9' < 'a'-'f' in ASCII), so `hex8 < threshold(stratum)` is a
+    * pure string predicate any engine evaluates identically — the
+    * DuckDB oracle runs the same CASE. Rate r maps to the hex of
+    * ⌊r·2³²⌋ (r ≥ 1 keeps all via a sentinel above every hex digit;
+    * r ≤ 0 keeps none). Map-only: no shuffle, no state, trivially
+    * 100 TB-parallel.
+    */
+  def stratifiedSampleHash(
+      docs: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      contentCol: String = "text"): DataFrame = {
+    def thr(f: Double): String =
+      if (f >= 1.0) "g" // sorts after every hex char: keep all
+      else if (f <= 0.0) "" // nothing sorts below the empty string
+      else f"${(f * 4294967296.0).toLong}%08x"
+    val thresholdCol = fractions.foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thr(f))).otherwise(acc)
+    }
+    docs.filter(substring(md5(col(contentCol)), 1, 8) < thresholdCol)
+  }
+
   def qualityGate(docs: DataFrame, conf: Config): DataFrame =
     docs.filter(TextFunctions.qualityScore(col(conf.textCol)) >= conf.minQuality)
 

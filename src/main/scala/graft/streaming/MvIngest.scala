@@ -23,6 +23,30 @@ import graft.sources.TableStore
   */
 object MvIngest {
 
+  /** foreachBatch function: land each micro-batch as ONE [[graft.ops
+    * .TxLog]] commit ([[TxLogIngest.appendSink]], epoch txn id), then
+    * advance the follower view from its persisted cursor
+    * ([[MvStore.followTxLog]]) — streaming ingest and its derived
+    * aggregate ride a single sink, continuously. Replay heals at
+    * every layer: a re-delivered epoch's commit is txn-recognized, the
+    * follower's advance is version-range-stamped, and the cursor
+    * re-pin is idempotent. With `compactEvery`, tail maintenance rides
+    * along too, and the follower sees compaction as a no-op diff
+    * (moved rows cancel in the multiset difference).
+    */
+  def followSink(
+      store: TableStore,
+      mvName: String,
+      dir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      compactEvery: Int = 0): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], epoch: Long) => {
+      TxLogIngest.appendSink(dir, compactEvery)(batch, epoch)
+      MvStore.followTxLog(store, mvName, dir, groupCols, sumCols)
+      ()
+    }
+
   /** foreachBatch function: SCD2 merge + CDC-derived MV refresh. */
   def mvSink(
       store: TableStore,

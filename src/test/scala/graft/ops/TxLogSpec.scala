@@ -291,6 +291,16 @@ class TxLogSpec extends SparkSpec {
     assert(deleted > 0)
     val snap3 = TxLog.snapshot(spark, dir)
     assert(snap3.exceptAll(df).isEmpty && df.exceptAll(snap3).isEmpty)
+    // whole-table pack on a partitioned log table packs EACH partition
+    // in place — never across (that would drop the path-encoded column)
+    val rAll = Compact.binPack(spark, dir, targetBytes = 128L << 20,
+      smallBytes = 32L << 20)
+    assert(rAll.packed >= 2)
+    val packed = TxLog.liveFiles(spark, dir)
+    assert(packed.forall(n => n.startsWith("p=0/") || n.startsWith("p=1/")),
+      s"root-level leak: $packed")
+    val snap4 = TxLog.snapshot(spark, dir)
+    assert(snap4.exceptAll(df).isEmpty && df.exceptAll(snap4).isEmpty)
   }
 
   test("write-write conflict on the same file is rejected, not silently lost") {

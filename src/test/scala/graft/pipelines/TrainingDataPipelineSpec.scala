@@ -11,6 +11,34 @@ class TrainingDataPipelineSpec extends SparkSpec {
       TextFunctions.tokenCount(col("text")).cast("long").as("tokens"),
       floor(TextFunctions.qualityScore(col("text")) * 1000).cast("int").as("lvl"))
 
+  test("stratifiedSampleHash: per-stratum rates hit within tolerance, deterministic, edge rates exact") {
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TrainingDataPipeline.stratifiedSampleHash(
+      docs, "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = got.getOrElse(l, 0L).toDouble / total(l)
+    assert(math.abs(rate("en") - 0.5) < 0.1, s"en ${rate("en")}")
+    assert(math.abs(rate("de") - 0.25) < 0.1, s"de ${rate("de")}")
+    total.keys.filterNot(Set("en", "de")).foreach(l =>
+      assert(math.abs(rate(l) - 0.1) < 0.08, s"$l ${rate(l)}"))
+    // deterministic: the same call selects the same ROWS, not just counts
+    val again = TrainingDataPipeline.stratifiedSampleHash(
+      docs, "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+    // a subset relation holds across rates: raising en's rate only ADDS
+    val wider = TrainingDataPipeline.stratifiedSampleHash(
+      docs, "lang", Map("en" -> 0.9, "de" -> 0.25), defaultFraction = 0.1)
+    assert(sampled.exceptAll(wider).isEmpty)
+    // rate 1.0 keeps every row; rate 0.0 keeps none
+    val all = TrainingDataPipeline.stratifiedSampleHash(
+      docs, "lang", Map("en" -> 1.0), defaultFraction = 0.0)
+    assert(all.count() == total("en"))
+    assert(all.filter(col("lang") =!= "en").isEmpty)
+  }
+
   test("interleaveByWeight: prefixes hold sources in weight ratio, layout-independent") {
     import spark.implicits._
     val docs = (0L until 700L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -50,6 +50,31 @@ class MvIngestSpec extends SparkSpec {
       Map("A" -> ((3L, 65.0)), "C" -> ((1L, 5.0))))
   }
 
+  test("followSink: streamed appends land as log commits and the follower MV tracks continuously") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val store = newStore()
+    val dir = Files.createTempDirectory("mv_follow_sink").toString + "/t"
+    val sink = MvIngest.followSink(store, "fmv", dir, Seq("seg"), Seq("bal"))
+    val src = MemoryStream[DimRow]
+    val q = src.toDF().writeStream.foreachBatch(sink).start()
+    src.addData(Seq(DimRow(1, "A", 10.0), DimRow(2, "B", 20.0)))
+    q.processAllAvailable()
+    src.addData(Seq(DimRow(3, "A", 5.0), DimRow(4, "C", 7.0)))
+    q.processAllAvailable()
+    q.stop()
+    // the view equals the snapshot's live aggregate after both epochs
+    assert(canon(store, "fmv") ==
+      Map("A" -> ((2L, 15.0)), "B" -> ((1L, 20.0)), "C" -> ((1L, 7.0))))
+    // retry-before-advance replay: the epoch's commit is recognized by
+    // its txn id and the follower's advance is a cursor no-op
+    MvIngest.followSink(store, "fmv", dir, Seq("seg"), Seq("bal"))(
+      Seq(DimRow(3, "A", 5.0), DimRow(4, "C", 7.0)).toDF(), 1L)
+    assert(canon(store, "fmv") ==
+      Map("A" -> ((2L, 15.0)), "B" -> ((1L, 20.0)), "C" -> ((1L, 7.0))))
+    assert(graft.ops.TxLog.currentVersion(spark, dir) == 2) // v0 + 2 epochs… not 3
+  }
+
   test("seed epoch re-delivered before advancing: the init stamp catches it") {
     import spark.implicits._
     val store = newStore()
