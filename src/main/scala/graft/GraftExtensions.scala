@@ -33,8 +33,15 @@ import graft.functions._
   *  - topk_neighbors(s, id, k, asc)  map-side partial top-k per group (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // lakehouse TABLE functions (graft_snapshot / graft_history /
+    // graft_diff): builders emit an unresolved leaf, the injected
+    // rule — which gets the session — resolves it to the snapshot plan
+    graft.plans.GraftTableFunctions.injectable.foreach(ext.injectTableFunction)
+    ext.injectResolutionRule(session =>
+      new graft.plans.GraftTableFunctions.ResolveGraftTableRef(session))
+  }
 }
 
 object GraftExtensions {
@@ -128,5 +135,9 @@ object GraftExtensions {
   def installInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftShim.functionRegistry(spark)
     functions.foreach { case (id, info, b) => reg.registerFunction(id, info, b) }
+    val tvf = org.apache.spark.sql.GraftShim.tableFunctionRegistry(spark)
+    graft.plans.GraftTableFunctions.bound(spark).foreach {
+      case (id, info, b) => tvf.registerFunction(id, info, b)
+    }
   }
 }

@@ -1575,33 +1575,26 @@ object Queries {
     * surviving key current, every retired key's final interval closed
     * at 4, and all earlier closed intervals untouched.
     */
-  def qScd2Retire(s: SparkSession, dir: String): DataFrame = {
+  /** The mod-7 retire keys of the shared dim's v3 state — recomputed
+    * (cheap) where a consumer needs the request batch itself.
+    */
+  private def scd2SharedDead(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       .filter(col("c_custkey") < 300)
-    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_retire")
-    val keys = Seq("c_custkey")
-    val attrs = Seq("c_mktsegment", "c_acctbal")
-    val newRows = cust.filter(col("c_custkey") < 10).select(
-      (col("c_custkey") + 10000).as("c_custkey"),
-      lit("SEG_NEW").as("c_mktsegment"),
-      col("c_custkey").cast("double").as("c_acctbal"))
-    val v1 = cust
-    val v2 = cust.withColumn("c_mktsegment",
-      when(pmod(col("c_custkey"), lit(3)) === 0,
-        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
-        .otherwise(col("c_mktsegment")))
-      .unionByName(newRows)
-    val v3 = v2.withColumn("c_acctbal",
-      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
-        .otherwise(col("c_acctbal")))
-    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
-      .select("c_custkey")
-    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
-    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
-    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
-    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
-    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4) // replay: no-op
+    cust.select(col("c_custkey"))
+      .unionByName(cust.filter(col("c_custkey") < 10)
+        .select((col("c_custkey") + 10000).as("c_custkey")))
+      .filter(pmod(col("c_custkey"), lit(7)) === 0)
+  }
+
+  def qScd2Retire(s: SparkSession, dir: String): DataFrame = {
+    // the shared dim ALREADY carries this retire at v4; re-issuing the
+    // same request is exactly the crash-replay shape the gate asserts
+    // (stamped no-op), and the history view is the query's output
+    val store = scd2DimShared(s, dir)
+    graft.ops.Scd2.retire(store, "dim", scd2SharedDead(s, dir),
+      Seq("c_custkey"), version = 4) // replay: no-op
     graft.ops.Scd2.history(store, "dim")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("valid_from"), col("valid_to"), col("is_current"))
@@ -1615,34 +1608,12 @@ object Queries {
     * full-outer derivation classifies every event exactly as DuckDB
     * derives it from the version definitions directly.
     */
-  def qScd2Cdf(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .filter(col("c_custkey") < 300)
-    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_cdf")
-    val keys = Seq("c_custkey")
-    val attrs = Seq("c_mktsegment", "c_acctbal")
-    val newRows = cust.filter(col("c_custkey") < 10).select(
-      (col("c_custkey") + 10000).as("c_custkey"),
-      lit("SEG_NEW").as("c_mktsegment"),
-      col("c_custkey").cast("double").as("c_acctbal"))
-    val v1 = cust
-    val v2 = cust.withColumn("c_mktsegment",
-      when(pmod(col("c_custkey"), lit(3)) === 0,
-        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
-        .otherwise(col("c_mktsegment")))
-      .unionByName(newRows)
-    val v3 = v2.withColumn("c_acctbal",
-      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
-        .otherwise(col("c_acctbal")))
-    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
-      .select("c_custkey")
-    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
-    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
-    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
-    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
-    graft.ops.Scd2.changes(store, "dim", keys, fromVersion = 0, toVersion = 4)
-  }
+  def qScd2Cdf(s: SparkSession, dir: String): DataFrame =
+    // identical v1→v4 lifecycle to the MV family's shared dim: the
+    // feed derivation is a pure read, so it consumes the one shared
+    // build (the merges it would repeat are q_scd2's oracle-gated job)
+    graft.ops.Scd2.changes(scd2DimShared(s, dir), "dim",
+      Seq("c_custkey"), fromVersion = 0, toVersion = 4)
 
   /** Stored incremental materialized view ([[graft.ops.MvStore]] over
     * [[graft.ops.Scd2.changes]]) — the CDC consumer the feed exists
@@ -1762,31 +1733,17 @@ object Queries {
     * vacuumed intervals.
     */
   def qScd2Vacuum(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .filter(col("c_custkey") < 300)
-    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_vac")
-    val keys = Seq("c_custkey")
-    val attrs = Seq("c_mktsegment", "c_acctbal")
-    val newRows = cust.filter(col("c_custkey") < 10).select(
-      (col("c_custkey") + 10000).as("c_custkey"),
-      lit("SEG_NEW").as("c_mktsegment"),
-      col("c_custkey").cast("double").as("c_acctbal"))
-    val v1 = cust
-    val v2 = cust.withColumn("c_mktsegment",
-      when(pmod(col("c_custkey"), lit(3)) === 0,
-        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
-        .otherwise(col("c_mktsegment")))
-      .unionByName(newRows)
-    val v3 = v2.withColumn("c_acctbal",
-      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
-        .otherwise(col("c_acctbal")))
-    val dead = v3.filter(pmod(col("c_custkey"), lit(7)) === 0)
-      .select("c_custkey")
-    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
-    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
-    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
-    graft.ops.Scd2.retire(store, "dim", dead, keys, version = 4)
+    // vacuum MUTATES (drops closed history) — run it on a CLONE of the
+    // shared dim so siblings still read the full history; the copy is
+    // metadata-cheap beside the three merges it replaces
+    scd2DimShared(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$indexQueryDir/scd2_dim_shared")
+    val dst = new org.apache.hadoop.fs.Path(s"$indexQueryDir/scd2_vac")
+    val fs = src.getFileSystem(conf)
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    val store = new graft.sources.ParquetStore(s, dst.toString)
     graft.ops.Scd2.vacuum(store, "dim", beforeVersion = 3)
     graft.ops.Scd2.vacuum(store, "dim", beforeVersion = 3) // replay: no-op
     graft.ops.Scd2.history(store, "dim")
@@ -1808,25 +1765,11 @@ object Queries {
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       .filter(col("c_custkey") < 300)
-    val store = new graft.sources.ParquetStore(s, s"$indexQueryDir/scd2_asof")
+    // the shared v1→v4 dim: every fact version here is ≤ 3, and the
+    // v4 retire only closes intervals AT 4 (valid_to = 4 > any fv),
+    // so the as-of resolution is bit-identical to a v1→v3 build
+    val store = scd2DimShared(s, dir)
     val keys = Seq("c_custkey")
-    val attrs = Seq("c_mktsegment", "c_acctbal")
-    val newRows = cust.filter(col("c_custkey") < 10).select(
-      (col("c_custkey") + 10000).as("c_custkey"),
-      lit("SEG_NEW").as("c_mktsegment"),
-      col("c_custkey").cast("double").as("c_acctbal"))
-    val v1 = cust
-    val v2 = cust.withColumn("c_mktsegment",
-      when(pmod(col("c_custkey"), lit(3)) === 0,
-        concat(lit("SEG_"), pmod(col("c_custkey"), lit(5))))
-        .otherwise(col("c_mktsegment")))
-      .unionByName(newRows)
-    val v3 = v2.withColumn("c_acctbal",
-      when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 10)
-        .otherwise(col("c_acctbal")))
-    graft.ops.Scd2.merge(store, "dim", v1, keys, attrs, version = 1, nShards = 8)
-    graft.ops.Scd2.merge(store, "dim", v2, keys, attrs, version = 2)
-    graft.ops.Scd2.merge(store, "dim", v3, keys, attrs, version = 3)
     val facts = cust
       .select(col("c_custkey"), (lit(1) + pmod(col("c_custkey"), lit(3))).cast("long").as("fv"))
       .unionByName(
@@ -2317,6 +2260,34 @@ object Queries {
     graft.ops.TxLog.snapshot(s, path).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** The lakehouse from PLAIN SQL ([[graft.plans
+    * .GraftTableFunctions]]): a log-managed table queried through the
+    * `graft_snapshot` TABLE function — two versions (before/after a
+    * keyed purge) selected, tagged and unioned entirely in
+    * `spark.sql`, no DataFrame API in the query text. Hash-green =
+    * the TVF resolution (unresolved leaf → analyzed snapshot plan)
+    * reconstructs both versions exactly per DuckDB's derivation.
+    */
+  def qSqlTimetravel(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.installInto(s)
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/sql_timetravel"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val dead: Seq[Any] = o.filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, path, "o_orderkey", dead) // v1
+    s.sql(
+      s"""SELECT 0 AS version, o_orderkey, o_custkey, o_totalprice
+          FROM graft_snapshot('$path', 0)
+          UNION ALL
+          SELECT 1, o_orderkey, o_custkey, o_totalprice
+          FROM graft_snapshot('$path', 1)""")
   }
 
   /** Stats-carrying commits ([[graft.ops.TxLog.setStatsColumns]] +

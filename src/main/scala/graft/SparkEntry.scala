@@ -153,6 +153,7 @@ object SparkEntry {
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
     "q_hive_dml" -> (Queries.qHiveDml _),
+    "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1769,6 +1770,14 @@ object Oracles {
          SELECT o_orderstatus, count(*) AS n,
                 ROUND(SUM(o_totalprice), 2) AS sum_price
          FROM v2 GROUP BY o_orderstatus""",
+
+    // SQL time travel through the graft_snapshot TABLE function:
+    // v0 = full orders, v1 = after the 997-multiple purge
+    "q_sql_timetravel" ->
+      """SELECT 0 AS version, o_orderkey, o_custkey, o_totalprice FROM orders
+         UNION ALL
+         SELECT 1, o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 997 <> 0""",
 
     // hive-partitioned DML: purge the 997-multiples, double the
     // surviving 991-multiples, append shifted inserts into a new

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.ops.TxLog
+
+/** SQL TABLE functions over the transaction log — the lakehouse
+  * surface reachable from plain `spark.sql`:
+  *
+  * {{{
+  * SELECT * FROM graft_snapshot('/data/orders')        -- current
+  * SELECT * FROM graft_snapshot('/data/orders', 3)     -- time travel
+  * SELECT * FROM graft_history('/data/orders')         -- DESCRIBE HISTORY
+  * SELECT * FROM graft_diff('/data/orders', 1, 4)      -- change feed
+  * }}}
+  *
+  * Two registration paths, same builders:
+  *  - a session built with `spark.sql.extensions=graft.GraftExtensions`
+  *    registers the TVFs via `injectTableFunction`; the builder has no
+  *    session yet, so it emits an unresolved [[GraftTableRef]] leaf
+  *    that the injected resolution [[ResolveGraftTableRef]] rule (which
+  *    DOES get the session) swaps for the analyzed snapshot plan — the
+  *    standard custom-LogicalPlan + Rule composition;
+  *  - `GraftExtensions.installInto(spark)` on an existing session
+  *    registers builders that close over the session and resolve
+  *    immediately (an analyzer already running can't grow new rules).
+  *
+  * Arguments must be literals (a table function's location can't be
+  * row-dependent); evaluation happens once at planning.
+  */
+object GraftTableFunctions {
+
+  /** Unresolved placeholder emitted by the extensions-config path;
+    * [[ResolveGraftTableRef]] replaces it during analysis.
+    */
+  final case class GraftTableRef(fn: String, args: Seq[Expression])
+      extends LeafNode {
+    override def output: Seq[Attribute] = Nil
+    override lazy val resolved: Boolean = false
+  }
+
+  final class ResolveGraftTableRef(spark: SparkSession)
+      extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case GraftTableRef(fn, args) =>
+          org.apache.spark.sql.GraftShim.analyzedPlan(build(spark, fn, args))
+      }
+  }
+
+  private def str(e: Expression, fn: String, pos: Int): String = e match {
+    case lit if lit.foldable =>
+      val v = lit.eval()
+      require(v != null, s"$fn: argument ${pos + 1} must not be NULL")
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a literal, got $other")
+  }
+
+  private def int(e: Expression, fn: String, pos: Int): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private[graft] def build(
+      spark: SparkSession,
+      fn: String,
+      args: Seq[Expression]): DataFrame = (fn, args) match {
+    case ("graft_snapshot", Seq(d)) =>
+      TxLog.read(spark, str(d, fn, 0))
+    case ("graft_snapshot", Seq(d, v)) =>
+      TxLog.snapshot(spark, str(d, fn, 0), int(v, fn, 1))
+    case ("graft_history", Seq(d)) =>
+      TxLog.history(spark, str(d, fn, 0))
+    case ("graft_diff", Seq(d, a, b)) =>
+      TxLog.diff(spark, str(d, fn, 0), int(a, fn, 1), int(b, fn, 2))
+    case _ => throw new IllegalArgumentException(
+      s"$fn: unsupported argument count ${args.length}")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (identifier, info, deferred builder) triples for
+    * `injectTableFunction` — deferred = emits [[GraftTableRef]].
+    */
+  val injectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    Seq(
+      ("graft_snapshot",
+        "graft_snapshot(dir[, version]) - TxLog snapshot / time travel"),
+      ("graft_history", "graft_history(dir) - commit history"),
+      ("graft_diff", "graft_diff(dir, from, to) - row-level change feed"))
+      .map { case (n, u) =>
+        (FunctionIdentifier(n), info(n, u),
+          (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)
+      }
+
+  /** Immediate builders closing over `spark` — the installInto path. */
+  def bound(spark: SparkSession): Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    injectable.map { case (id, ei, _) =>
+      (id, ei, (args: Seq[Expression]) =>
+        org.apache.spark.sql.GraftShim.analyzedPlan(
+          build(spark, id.funcName, args)))
+    }
+}

@@ -19,4 +19,27 @@ object GraftShim {
   def functionRegistry(spark: SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** Table-function registry of an existing session — the TVF twin of
+    * [[functionRegistry]], for `SELECT * FROM graft_snapshot(...)`.
+    */
+  def tableFunctionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+
+  /** A DataFrame's analyzed logical plan — what a table-function
+    * builder must return.
+    */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** A DataFrame over a logical plan (`Dataset.ofRows` is
+    * private[sql]) — the inverse of [[analyzedPlan]], for testing
+    * resolution rules in isolation.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

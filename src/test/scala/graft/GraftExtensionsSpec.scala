@@ -96,4 +96,50 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(sql == api && sql.nonEmpty)
   }
+
+  test("graft_snapshot / graft_history / graft_diff table functions from SQL") {
+    import graft.ops.{DeleteWhere, TxLog}
+    val dir = java.nio.file.Files.createTempDirectory("tvf").toString + "/t"
+    val o = graft.Tables.orders(spark, sf("orders"))
+    o.repartition(4).write.parquet(dir)
+    TxLog.convert(spark, dir) // v0
+    DeleteWhere.byKeys(spark, dir, "o_orderkey", Seq[Any](1L, 2L), None) // v1
+    // time travel from SQL: v0 has the keys, current doesn't
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_snapshot('$dir', 0) WHERE o_orderkey IN (1, 2)")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_snapshot('$dir') WHERE o_orderkey IN (1, 2)")
+      .head().getLong(0) == 0L)
+    // TVF output composes like any relation (joins, aggregates)
+    val hist = spark.sql(
+      s"SELECT version, n_adds, n_removes FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(hist.length == 2 && hist(0)._1 == 0 && hist(1)._3 > 0,
+      s"history: ${hist.mkString(", ")}")
+    val d = spark.sql(
+      s"""SELECT _change_type, count(*) AS n FROM graft_diff('$dir', 0, 1)
+          GROUP BY 1 ORDER BY 1""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("delete") - d.getOrElse("insert", 0L) == 2L)
+    // a non-literal argument is rejected at planning, not silently read
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_snapshot(rand()::string)").collect()
+    }
+
+    // the extensions-config path: builders emit the unresolved
+    // GraftTableRef leaf and the injected rule resolves it — exercise
+    // the rule directly against the leaf the injectable builder makes
+    import graft.plans.GraftTableFunctions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val builder = GraftTableFunctions.injectable
+      .find(_._1.funcName == "graft_snapshot").get._3
+    val leaf = builder(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString(dir), org.apache.spark.sql.types.StringType), Literal(0)))
+    assert(!leaf.resolved)
+    val resolved = new GraftTableFunctions.ResolveGraftTableRef(spark)(leaf)
+    assert(resolved.resolved)
+    val viaRule = org.apache.spark.sql.GraftShim.ofRows(spark, resolved)
+    assert(viaRule.filter(col("o_orderkey").isin(1L, 2L)).count() == 2L)
+  }
 }
