@@ -102,4 +102,94 @@ class TxLogModelSpec extends SparkSpec {
     TxLog.vacuum(spark, dir, retainVersions = 2)
     check("post-vacuum")
   }
+
+  test("partitioned + stats-carrying table: 12 random ops, snapshot == model, log-pruned reads exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dir = Files.createTempDirectory("txmodel_hive").toString + "/t"
+
+    // model: key -> value; partition is DERIVED (p = k % 3), so the
+    // hive layout, the path-encoded column and the row data must all
+    // stay consistent through every operator mix
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextKey = 0L
+    val modelAt = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    def hdf(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+      .withColumn("p", pmod(col("k"), lit(3)).cast("int"))
+
+    def check(step: String): Unit = {
+      val got = TxLog.snapshot(spark, dir).select("k", "v", "p")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      val want = model.toSeq.map { case (k, v) => (k, v, (k % 3).toInt) }.sorted
+      assert(got == want, s"$step: snapshot ${got.length} != model ${want.length}")
+      // and the LOG-planned pruned read agrees with the model filter —
+      // the ADD-carried stats stay sound through upserts, deletes,
+      // compactions and restores
+      if (model.nonEmpty) {
+        val ks = model.keys.toSeq.sorted
+        val lo = ks(rnd.nextInt(ks.length))
+        val hi = lo + rnd.nextInt(20)
+        val pruned = TxLog.snapshotPruned(spark, dir, "k", lo.toDouble, hi.toDouble)
+          .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1))
+          .sorted.toSeq
+        val wantP = model.toSeq.filter(kv => kv._1 >= lo && kv._1 <= hi).sorted
+        assert(pruned == wantP, s"$step: pruned read ${pruned.length} != ${wantP.length}")
+      }
+    }
+
+    // seed a 3-partition layout, convert, declare stats
+    val seed = (0 until 40).map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+    hdf(seed).repartition(2).write.partitionBy("p").parquet(dir)
+    seed.foreach { case (k, v) => model(k) = v }
+    TxLog.convert(spark, dir)
+    TxLog.setStatsColumns(spark, dir, Seq("k"))
+    modelAt += model.toMap
+    check("seed")
+
+    def upsert(): Unit = {
+      val ks = model.keys.toSeq.sorted
+      val existing = (0 until 3).map(_ => ks(rnd.nextInt(ks.length))).distinct
+      val fresh = (0 until 2).map { _ => nextKey += 1; nextKey }
+      val rows = (existing ++ fresh).map(k => (k, rnd.nextLong(1000)))
+      UpsertWhere.byKeys(spark, dir, "k", hdf(rows), None)
+      rows.foreach { case (k, v) => model(k) = v }
+    }
+    def deleteKeys(): Unit = {
+      val ks = model.keys.toSeq.sorted
+      val doomed = (0 until 1 + rnd.nextInt(4))
+        .map(_ => ks(rnd.nextInt(ks.length))).distinct
+      DeleteWhere.byKeysDistributed(spark, dir, "k", doomed.toDF("k"), None)
+      doomed.foreach(model -= _)
+    }
+    def deleteRange(): Unit = {
+      val ks = model.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length)); val hi = lo + rnd.nextInt(8)
+      DeleteWhere.range(spark, dir, "k", lo.toDouble, hi.toDouble, None)
+      model.filterInPlace((k, _) => k < lo || k > hi)
+    }
+    def compactAll(): Unit =
+      Compact.binPack(spark, dir, targetBytes = 64L << 20, smallBytes = 64L << 20)
+    def restore(): Unit = {
+      val v = rnd.nextInt(modelAt.length)
+      TxLog.restore(spark, dir, v)
+      model.clear(); modelAt(v).foreach { case (k, x) => model(k) = x }
+    }
+
+    (0 until 12).foreach { i =>
+      val before = TxLog.currentVersion(spark, dir)
+      rnd.nextInt(6) match {
+        case 0 | 1 => upsert()
+        case 2 => deleteKeys()
+        case 3 => deleteRange()
+        case 4 => compactAll()
+        case 5 => restore()
+      }
+      (before until TxLog.currentVersion(spark, dir))
+        .foreach(_ => modelAt += model.toMap)
+      check(s"op $i")
+    }
+    TxLog.vacuum(spark, dir, retainVersions = 2)
+    check("post-vacuum")
+  }
 }
