@@ -596,6 +596,48 @@ object Queries {
           sum(rev), 4).as("promo_pct"))
   }
 
+  /** TPC-H Q6 shape — forecasting revenue change: the pure
+    * scan-filter-aggregate (one year of shipments, a discount band, a
+    * quantity cap → one revenue scalar). Every predicate pushes to the
+    * parquet scan and the whole query is a single map-side partial +
+    * one-row final aggregate — the no-shuffle baseline the other
+    * headliners build on.
+    */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    * predicate (three brand/size/quantity branches): the classic
+    * disjunction test. part filters to the three brands BEFORE
+    * broadcasting; the residual branch predicate evaluates after the
+    * join (it mixes columns of both sides), inside the same
+    * whole-stage-codegen pipeline — no shuffle until the final
+    * one-row aggregate.
+    */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val part = broadcast(t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size"))
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   /** TPC-H Q7 shape — volume shipping between two nations: both
     * nation filters broadcast-semi-reduce their OWN big side FIRST
     * (suppliers of the two nations via n1, customers via n2 — 2/25 of

@@ -62,6 +62,8 @@ object SparkEntry {
     "q_tpch_q14" -> (Queries.qTpchQ14 _),
     "q_tpch_q7" -> (Queries.qTpchQ7 _),
     "q_tpch_q8" -> (Queries.qTpchQ8 _),
+    "q_tpch_q6" -> (Queries.qTpchQ6 _),
+    "q_tpch_q19" -> (Queries.qTpchQ19 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -489,6 +491,26 @@ object Oracles {
            AND c_mktsegment = 'BUILDING'
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    // Q6 forecasting revenue change: pure filter + one-row aggregate
+    "q_tpch_q6" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.05
+           AND l_quantity < 24""",
+
+    // Q19 OR-of-ANDs discounted revenue over three brand/size/qty bands
+    "q_tpch_q19" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     // Q7 volume shipping: two-nation pair, shipdate window, per-year
     "q_tpch_q7" ->

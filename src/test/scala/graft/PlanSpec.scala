@@ -62,6 +62,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_tpch_q6: every predicate pushed to the scan, no shuffle except the one-row aggregate") {
+    val p = plan("q_tpch_q6")
+    // the PushedFilters list truncates in the plan string — assert the
+    // scan got a pushdown list AND the physical filter carries every
+    // band (same residual+pushed shape the other headliners guard)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 0.03)") && p.contains("<= 0.05)"), p)
+    assert(p.contains("< 24.0)"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the final-agg exchange:\n$p")
+  }
+
+  test("q_tpch_q19: brand pre-filter reaches the part scan, part broadcasts, OR-of-ANDs stays in codegen") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("In(p_brand"), p) // the 3-brand pushdown
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_tpch_q7: both nation broadcasts prune their big side, shipdate pushed to the lineitem scan") {
     val p = plan("q_tpch_q7")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length

@@ -119,6 +119,25 @@ class DeleteWhereSpec extends SparkSpec {
     assert(got.length == 2 && got.exists(_.isNullAt(0)))
   }
 
+  test("hive table: predicate delete on the PARTITION column drops exactly that partition's rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dw_hivep").toString + "/t"
+    val df = spark.range(900).select(
+      col("id").as("k"), (col("id") % 3).cast("int").as("p"))
+    df.repartition(2).write.partitionBy("p").parquet(dir)
+    TxLog.convert(spark, dir)
+    // the partition column only exists in the PATH — the hive branch's
+    // basePath read makes it visible to the predicate, and the
+    // partition-tree restage keeps the layout
+    val r = DeleteWhere.where(spark, dir, col("p") === 1 && col("k") % 2 === 0)
+    assert(r.deletedRows == 150) // half of p=1's 300 rows
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.count() == 750)
+    assert(got.filter(col("p") === 1).count() == 150)
+    assert(got.filter(col("p") =!= 1).count() == 600) // other partitions whole
+    assert(TxLog.liveFiles(spark, dir).forall(_.matches("p=\\d/.*")))
+  }
+
   test("range delete at snowflake-id magnitude (>2^53) misses no matching row") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dw_big").toString + "/t"
