@@ -16,6 +16,7 @@ import graft.ops.TxLog
   * SELECT * FROM graft_snapshot('/data/orders', 3)     -- time travel
   * SELECT * FROM graft_history('/data/orders')         -- DESCRIBE HISTORY
   * SELECT * FROM graft_diff('/data/orders', 1, 4)      -- change feed
+  * SELECT * FROM graft_scan('/data/orders', 'k', 10, 99) -- stats-pruned
   * }}}
   *
   * Two registration paths, same builders:
@@ -84,8 +85,26 @@ object GraftTableFunctions {
       TxLog.history(spark, str(d, fn, 0))
     case ("graft_diff", Seq(d, a, b)) =>
       TxLog.diff(spark, str(d, fn, 0), int(a, fn, 1), int(b, fn, 2))
+    case ("graft_scan", Seq(d, c, lo, hi)) =>
+      TxLog.snapshotPruned(spark, str(d, fn, 0), str(c, fn, 1),
+        dbl(lo, fn, 2), dbl(hi, fn, 3))
     case _ => throw new IllegalArgumentException(
       s"$fn: unsupported argument count ${args.length}")
+  }
+
+  private def dbl(e: Expression, fn: String, pos: Int): Double = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a numeric literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a numeric literal, got $other")
   }
 
   private def info(name: String, usage: String) =
@@ -100,7 +119,9 @@ object GraftTableFunctions {
       ("graft_snapshot",
         "graft_snapshot(dir[, version]) - TxLog snapshot / time travel"),
       ("graft_history", "graft_history(dir) - commit history"),
-      ("graft_diff", "graft_diff(dir, from, to) - row-level change feed"))
+      ("graft_diff", "graft_diff(dir, from, to) - row-level change feed"),
+      ("graft_scan",
+        "graft_scan(dir, col, lo, hi) - snapshot read pruned by log-carried stats"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

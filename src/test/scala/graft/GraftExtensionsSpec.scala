@@ -127,6 +127,20 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_snapshot(rand()::string)").collect()
     }
 
+    // graft_scan: stats-declared epochs prune from the log in SQL
+    val dir2 = java.nio.file.Files.createTempDirectory("tvf_scan").toString + "/t"
+    TxLog.convert(spark, dir2)
+    TxLog.setStatsColumns(spark, dir2, Seq("o_orderkey"))
+    (0 until 4).foreach { e =>
+      graft.streaming.TxLogIngest.appendSink(dir2)(
+        o.filter(col("o_orderkey") % 4 === e).coalesce(1), e.toLong)
+    }
+    val scanned = spark.sql(
+      s"SELECT count(*), min(o_orderkey) FROM graft_scan('$dir2', 'o_orderkey', 10, 50)")
+      .head()
+    val want = o.filter(col("o_orderkey").between(10, 50)).count()
+    assert(scanned.getLong(0) == want && scanned.getLong(1) >= 10)
+
     // the extensions-config path: builders emit the unresolved
     // GraftTableRef leaf and the injected rule resolves it — exercise
     // the rule directly against the leaf the injectable builder makes
