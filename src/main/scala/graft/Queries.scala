@@ -2304,6 +2304,50 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** Table replication ([[graft.ops.TxLog.replicateTo]]): a source
+    * orders table takes the familiar MERGE (v1) + purge (v2)
+    * lifecycle while a DOWNSTREAM copy follows its change feed —
+    * seeded by a one-commit full resync at v0, advanced through both
+    * commits in one cursor hop (cost O(changed files both sides)),
+    * with a no-op advance asserted. Hash-green = the replica equals
+    * DuckDB's direct derivation of the source's final state.
+    */
+  def qTxlogReplicate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val srcPath = s"$indexQueryDir/repl_src"
+    val dstPath = s"$indexQueryDir/repl_dst"
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(srcPath, dstPath).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(conf).delete(fsp, true)
+    }
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(srcPath)
+    graft.ops.TxLog.convert(s, srcPath) // v0
+    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+      == ((-1, 0)))
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+      lit("9-NEW").as("o_orderpriority"))
+    graft.ops.UpsertWhere.byKeys(s, srcPath, "o_orderkey",
+      bump.unionByName(fresh), None) // v1
+    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, srcPath, 1)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    graft.ops.DeleteWhere.byKeys(s, srcPath, "o_orderkey", dead) // v2
+    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+      == ((0, 2)))
+    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+      == ((2, 2))) // nothing new
+    graft.ops.TxLog.snapshot(s, dstPath).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** The lakehouse from PLAIN SQL ([[graft.plans
     * .GraftTableFunctions]]): a log-managed table queried through the
     * `graft_snapshot` TABLE function — two versions (before/after a

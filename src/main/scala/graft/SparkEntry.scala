@@ -156,6 +156,7 @@ object SparkEntry {
     "q_txlog_stats" -> (Queries.qTxlogStats _),
     "q_hive_dml" -> (Queries.qHiveDml _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
+    "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1792,6 +1793,20 @@ object Oracles {
          SELECT o_orderstatus, count(*) AS n,
                 ROUND(SUM(o_totalprice), 2) AS sum_price
          FROM v2 GROUP BY o_orderstatus""",
+
+    // replication: the downstream copy equals the source's final
+    // state — survivors with the 991-bump, plus surviving inserts
+    "q_txlog_replicate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 997 <> 0
+         UNION ALL
+         SELECT o_orderkey + 1000000, o_custkey, 'N', 0.0,
+         TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders
+         WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
 
     // SQL time travel through the graft_snapshot TABLE function:
     // v0 = full orders, v1 = after the 997-multiple purge

@@ -489,6 +489,70 @@ object TxLog {
   def retainedVersions(spark: SparkSession, dir: String): Seq[Int] =
     versions(spark, dir)
 
+  /** Keep a DOWNSTREAM keyed table in sync with this log — table
+    * replication over the change feed: each call advances the
+    * destination from its persisted cursor by applying
+    * [[diffSince]]'s net feed through [[UpsertWhere.applyChanges]]
+    * (one commit per advance, candidates located by the distributed
+    * key probe, so steady-state cost is O(changed files on BOTH
+    * sides)). Returns (fromVersion, toVersion) of the advance.
+    *
+    * The first call — and a cursor that fell past the source's
+    * retention horizon — takes a FULL resync expressed as one net
+    * feed (source rows as inserts, destination-only keys as deletes),
+    * so even the reseed is a single atomic commit. Crash between the
+    * apply and the cursor re-pin replays the same feed; keyed
+    * application is idempotent by construction, so no stamp is
+    * needed. One source per destination (the cursor is a single
+    * file in the destination's log dir); single-replicator
+    * assumption, like every maintenance writer here.
+    */
+  def replicateTo(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      keyCol: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(spark, srcDir)
+    if (!exists(spark, dstDir)) convert(spark, dstDir)
+    val fs = Compact.fsOf(spark, dstDir)
+    val cpath = new Path(logPath(dstDir), "replsrc_cursor.txt")
+    val from: Option[Int] =
+      if (!fs.exists(cpath)) None
+      else {
+        val in = fs.open(cpath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
+    def pin(v: Int): Unit = {
+      val out = fs.create(cpath, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    from match {
+      case Some(f) if f == cur => (f, cur)
+      case Some(f) if retainedVersions(spark, srcDir).contains(f) =>
+        val (d, to) = diffSince(spark, srcDir, f)
+        UpsertWhere.applyChanges(spark, dstDir, keyCol, asChangeFeed(d))
+        pin(to)
+        (f, to)
+      case _ =>
+        // first sync / retention cliff: full resync as ONE net feed
+        val src = snapshot(spark, srcDir, cur)
+          .withColumn("change_type", lit("insert"))
+        val feed =
+          if (liveFiles(spark, dstDir).isEmpty) src
+          else src.unionByName(
+            snapshot(spark, dstDir)
+              .join(snapshot(spark, srcDir, cur).select(col(keyCol)).distinct(),
+                Seq(keyCol), "left_anti")
+              .withColumn("change_type", lit("delete")))
+        UpsertWhere.applyChanges(spark, dstDir, keyCol, feed)
+        pin(cur)
+        (from.getOrElse(-1), cur)
+    }
+  }
+
   /** Adapt a [[diff]] feed to the [[Scd2.changes]]/[[MvStore]] change
     * schema, so an incremental materialized view can consume the
     * commits of ANY logged table — the diff's delete+insert pair for

@@ -81,6 +81,72 @@ object UpsertWhere {
       insertedRows = insertedRows)
   }
 
+  /** Apply a CHANGE FEED to a keyed table — the CDC-apply operator a
+    * replication/DLT-style pipeline runs: `feed` carries full rows
+    * plus a `change_type` column (`insert`/`update_postimage` land as
+    * upserts; keys appearing ONLY as `delete`/`update_preimage` are
+    * removed — a delete+insert pair for one key nets to its
+    * replacement, exactly what [[TxLog.diff]] emits for an update).
+    * Candidates come from the distributed probe over ALL the feed's
+    * keys (never collected), the rewrite is one commit, and the whole
+    * application is IDEMPOTENT by construction: the feed's net effect
+    * is a keyed state, so applying the same feed twice lands the same
+    * table — a replayed application after a crash needs no stamp.
+    */
+  def applyChanges(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String,
+      feed: DataFrame,
+      manifest: Option[DataFrame] = None): Receipt = {
+    Compact.recover(spark, dir)
+    val all = DeleteWhere.allFiles(spark, dir)
+    // a feed spanning several versions can carry several events per
+    // key; with a commit_version the LAST event wins (the SEQUENCE BY
+    // rule) — without one the feed must already be net-per-key, which
+    // TxLog.diff/diffSince feeds are by construction
+    val events = feed.filter(
+      col("change_type").isin("insert", "update_postimage", "delete"))
+    val net =
+      if (feed.columns.contains("commit_version"))
+        RelationalOps.dedupKeepFirst(events, Seq(keyCol),
+          Seq(col("commit_version").desc)).drop("commit_version")
+      else events
+    val upserts = net
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .drop("change_type")
+    val cols =
+      if (all.isEmpty) upserts.columns
+      else TxLog.read(spark, dir).columns
+    val up = upserts.select(cols.map(col): _*)
+    val feedKeys = feed.select(col(keyCol)).distinct()
+    val touched: Seq[String] =
+      if (all.isEmpty) Nil
+      else DeleteWhere.touchedFiles(spark, all, keyCol, feedKeys, manifest)
+    val (staged, updatedRows, insertedRows) =
+      if (touched.isEmpty) (up, 0L, up.count())
+      else {
+        val candDf = spark.read.option("basePath", dir).parquet(touched: _*)
+        val replaced = candDf
+          .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
+        val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
+        // every feed-touched key leaves the old state; upserted keys
+        // re-enter with their postimage, delete-only keys just leave
+        (candDf.join(feedKeys, Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*).unionByName(up),
+          replaced, inserted)
+      }
+    if (staged.isEmpty && touched.isEmpty)
+      return Receipt(all.length, 0, all.length, 0, 0)
+    commitStaged(spark, dir, all, touched, staged)
+    Receipt(
+      filesTotal = all.length,
+      candidates = touched.length,
+      untouched = all.length - touched.length,
+      updatedRows = updatedRows,
+      insertedRows = insertedRows)
+  }
+
   /** Publish a staged replacement for `cand`'s rows, layout-aware: a
     * hive-partitioned table stages a partition TREE (`partitionBy` on
     * the path-encoded columns — updates and inserts route to their

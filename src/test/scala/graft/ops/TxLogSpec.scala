@@ -303,6 +303,46 @@ class TxLogSpec extends SparkSpec {
     assert(snap4.exceptAll(df).isEmpty && df.exceptAll(snap4).isEmpty)
   }
 
+  test("replicateTo: a downstream table follows the source log; replay and the retention cliff heal") {
+    val src = freshTable()
+    TxLog.convert(spark, src)
+    val dst = Files.createTempDirectory("txrepl").toString + "/d"
+
+    // seed: full resync into an empty destination
+    assert(TxLog.replicateTo(spark, src, dst, "o_orderkey") == ((-1, 0)))
+    assert(same(TxLog.snapshot(spark, dst), orders))
+
+    // commits land on the source; one advance carries them all
+    val up = orders.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    UpsertWhere.byKeys(spark, src, "o_orderkey", up, None) // v1
+    DeleteWhere.byKeys(spark, src, "o_orderkey", Seq[Any](1L, 2L, 3L), None) // v2
+    assert(TxLog.replicateTo(spark, src, dst, "o_orderkey") == ((0, 2)))
+    assert(same(TxLog.snapshot(spark, dst), TxLog.snapshot(spark, src)))
+    // nothing new: no-op
+    assert(TxLog.replicateTo(spark, src, dst, "o_orderkey") == ((2, 2)))
+
+    // crash between apply and cursor re-pin: re-applying the SAME feed
+    // is idempotent (keyed net application), destination unchanged
+    val dstV = TxLog.currentVersion(spark, dst)
+    UpsertWhere.applyChanges(spark, dst, "o_orderkey",
+      TxLog.asChangeFeed(TxLog.diff(spark, src, 0, 2)))
+    assert(same(TxLog.snapshot(spark, dst), TxLog.snapshot(spark, src)))
+    assert(TxLog.currentVersion(spark, dst) == dstV + 1) // a commit, same state
+
+    // retention cliff: vacuum prunes the cursor's source version →
+    // the next advance takes the one-commit full resync
+    DeleteWhere.byKeys(spark, src, "o_orderkey", Seq[Any](9L), None) // v3
+    TxLog.vacuum(spark, src, retainVersions = 1)
+    val (f2, t2) = TxLog.replicateTo(spark, src, dst, "o_orderkey")
+    assert(t2 == 3)
+    assert(same(TxLog.snapshot(spark, dst), TxLog.snapshot(spark, src)))
+    // and incremental advances resume from the reseeded cursor
+    DeleteWhere.byKeys(spark, src, "o_orderkey", Seq[Any](12L), None) // v4
+    assert(TxLog.replicateTo(spark, src, dst, "o_orderkey") == ((3, 4)))
+    assert(same(TxLog.snapshot(spark, dst), TxLog.snapshot(spark, src)))
+  }
+
   test("write-write conflict on the same file is rejected, not silently lost") {
     val dir = freshTable()
     TxLog.convert(spark, dir)

@@ -174,6 +174,37 @@ class UpsertWhereSpec extends SparkSpec {
     assert(v0Names.toSet == TxLog.liveFiles(spark, dir, 0).toSet)
   }
 
+  test("applyChanges: multi-version feed nets per key by commit_version; preimages ignored; idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("uw_cdc").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v").coalesce(1).write.parquet(dir)
+    TxLog.convert(spark, dir)
+    // k=1: updated twice, LAST postimage (v3) must win
+    // k=2: updated then deleted — net delete
+    // k=3: deleted then re-inserted — net insert
+    // k=5: brand-new insert
+    val feed = Seq(
+      (1L, "a", "update_preimage", 2L), (1L, "a2", "update_postimage", 2L),
+      (1L, "a2", "update_preimage", 3L), (1L, "a3", "update_postimage", 3L),
+      (2L, "b2", "update_postimage", 2L), (2L, "b2", "delete", 3L),
+      (3L, "c", "delete", 2L), (3L, "c2", "insert", 3L),
+      (5L, "e", "insert", 2L))
+      .toDF("k", "v", "change_type", "commit_version")
+    val r = UpsertWhere.applyChanges(spark, dir, "k", feed)
+    val want = Set((1L, "a3"), (3L, "c2"), (4L, "d"), (5L, "e"))
+    def state() = TxLog.snapshot(spark, dir).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() == want, s"got ${state()}")
+    // replaced = existing rows overwritten by a net upsert (k=1, k=3);
+    // k=2's net delete shows in the state, not the upsert counters
+    assert(r.updatedRows == 2 && r.insertedRows == 1)
+    // replayed application (crash before the replicator's cursor
+    // re-pin): keyed net application is idempotent
+    UpsertWhere.applyChanges(spark, dir, "k", feed)
+    assert(state() == want)
+  }
+
   test("upsert into a freshly converted EMPTY log-managed table inserts the batch") {
     val dir = Files.createTempDirectory("uw_fresh").toString + "/t"
     TxLog.convert(spark, dir) // v0: zero files, schema not yet known
