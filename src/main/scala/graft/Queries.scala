@@ -2304,6 +2304,39 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** CHECK constraints ([[graft.ops.TxLog.setCheckConstraints]]): a
+    * log-managed orders table declares `o_totalprice >= 0`; a valid
+    * MERGE (991-bump) lands, then a poisoned batch (negative prices)
+    * must RAISE and commit nothing — the require()s pin both the
+    * exception and the unchanged version. Hash-green = the surviving
+    * state is exactly the valid merge's, per DuckDB.
+    */
+  def qTxlogConstraint(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/txlog_check"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path)
+    graft.ops.TxLog.setCheckConstraints(s, path,
+      Seq("o_totalprice >= 0", "o_orderkey IS NOT NULL"))
+    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey", bump, None) // v1
+    val poison = o.filter(col("o_orderkey") < 50)
+      .withColumn("o_totalprice", col("o_totalprice") * -1)
+    val raised =
+      try { graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey", poison, None); false }
+      catch { case _: graft.ops.TxLog.ConstraintViolation => true }
+    require(raised, "poisoned batch was admitted")
+    require(graft.ops.TxLog.currentVersion(s, path) == 1,
+      "violating write moved the version")
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Table replication ([[graft.ops.TxLog.replicateTo]]): a source
     * orders table takes the familiar MERGE (v1) + purge (v2)
     * lifecycle while a DOWNSTREAM copy follows its change feed —

@@ -157,6 +157,7 @@ object SparkEntry {
     "q_hive_dml" -> (Queries.qHiveDml _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
+    "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
     "q_dq_report" -> (Queries.qDqReport _),
     "q_dq_quarantine" -> (Queries.qDqQuarantine _),
     "q_dq_by_group" -> (Queries.qDqByGroup _),
@@ -1793,6 +1794,15 @@ object Oracles {
          SELECT o_orderstatus, count(*) AS n,
                 ROUND(SUM(o_totalprice), 2) AS sum_price
          FROM v2 GROUP BY o_orderstatus""",
+
+    // CHECK constraints: the valid 991-bump landed, the poisoned
+    // batch did not — final state is the bump derivation alone
+    "q_txlog_constraint" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders""",
 
     // replication: the downstream copy equals the source's final
     // state — survivors with the 991-bump, plus surviving inserts

@@ -135,6 +135,58 @@ object TxLog {
     body.filter(_.nonEmpty)
   }
 
+  private val ConstraintsName = "constraints.txt"
+
+  /** Declare CHECK constraints (SQL boolean expressions, one per
+    * line) every write path must uphold — the Delta CHECK-constraint
+    * surface: [[UpsertWhere]] merges, [[UpsertWhere.applyChanges]]
+    * feeds and [[graft.streaming.TxLogIngest]] epochs validate their
+    * STAGED rows (delta-sized — never a table scan) before anything
+    * commits; a violating batch raises [[ConstraintViolation]] and
+    * the table is untouched. Deletes and compactions write subsets of
+    * already-validated rows and skip the check. NULL follows SQL
+    * CHECK semantics: a row violates only when the expression is
+    * FALSE (unknown passes). Overwrite with Nil to drop enforcement.
+    */
+  def setCheckConstraints(
+      spark: SparkSession, dir: String, exprs: Seq[String]): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
+    val out = fs.create(new Path(logPath(dir), ConstraintsName), true)
+    try out.write(exprs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def checkConstraints(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = new Path(logPath(dir), ConstraintsName)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    body.filter(_.nonEmpty)
+  }
+
+  final class ConstraintViolation(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Enforce the table's constraints on `staged` (the rows a write is
+    * about to land). One `filter(NOT expr)` probe per constraint over
+    * the delta only.
+    */
+  private[graft] def enforceConstraints(
+      spark: SparkSession, dir: String, staged: DataFrame): Unit = {
+    if (!exists(spark, dir)) return
+    import org.apache.spark.sql.functions.{expr, not}
+    checkConstraints(spark, dir).foreach { c =>
+      val bad = staged.filter(not(expr(c))).limit(1).count()
+      if (bad > 0)
+        throw new ConstraintViolation(
+          s"write to $dir violates CHECK constraint ($c); nothing committed")
+    }
+  }
+
   /** Bring a directory under log management: v0 ADDs every currently
     * visible data file (none for a brand-new table — the streaming
     * append case). Finishes any in-flight marker-mode rewrite first,
@@ -163,7 +215,7 @@ object TxLog {
     if (!fs.exists(logPath(dir))) return Nil
     fs.listStatus(logPath(dir)).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .filter(_.matches("v\\d{8}\\.txt"))
       .map(n => n.substring(1, n.length - 4).toInt)
       .sorted
   }
@@ -213,7 +265,9 @@ object TxLog {
     if (!fs.exists(logPath(dir))) return Nil
     fs.listStatus(logPath(dir)).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("c") && n.endsWith(".txt"))
+      // strict: config files (constraints.txt, stats_cols.txt) share
+      // the log dir and must never parse as checkpoint numbers
+      .filter(_.matches("c\\d{8}\\.txt"))
       .map(n => n.substring(1, n.length - 4).toInt)
       .sorted
   }

@@ -161,6 +161,7 @@ object UpsertWhere {
       all: Seq[String],
       cand: Seq[String],
       staged: DataFrame): Unit = {
+    TxLog.enforceConstraints(spark, dir, staged)
     val relAll = all.map(DeleteWhere.relName(spark, dir, _))
     val pcols = DeleteWhere.partitionColsOf(relAll)
     val rel = cand.map(DeleteWhere.relName(spark, dir, _))

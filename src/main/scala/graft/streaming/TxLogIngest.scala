@@ -44,6 +44,7 @@ object TxLogIngest {
       if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
       val txn = s"epoch_$epoch"
       if (!TxLog.txnCommitted(spark, dir, txn)) {
+        TxLog.enforceConstraints(spark, dir, batch.toDF())
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stage = new Path(dir, ".append_stage")
         fs.delete(stage, true)

@@ -303,6 +303,53 @@ class TxLogSpec extends SparkSpec {
     assert(snap4.exceptAll(df).isEmpty && df.exceptAll(snap4).isEmpty)
   }
 
+  test("CHECK constraints gate every write path; violations commit nothing; NULL passes; droppable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txlog_check").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    TxLog.convert(spark, dir)
+    TxLog.setCheckConstraints(spark, dir, Seq("v >= 0", "k IS NOT NULL"))
+
+    // a valid merge lands
+    UpsertWhere.byKeys(spark, dir, "k", Seq((3L, 30L)).toDF("k", "v"), None)
+    assert(TxLog.snapshot(spark, dir).count() == 3)
+    val v = TxLog.currentVersion(spark, dir)
+
+    // a violating merge raises and commits NOTHING (state + version)
+    intercept[TxLog.ConstraintViolation] {
+      UpsertWhere.byKeys(spark, dir, "k",
+        Seq((4L, -5L)).toDF("k", "v"), None)
+    }
+    assert(TxLog.currentVersion(spark, dir) == v)
+    assert(TxLog.snapshot(spark, dir).count() == 3)
+
+    // the distributed path and the CDC apply are gated too
+    intercept[TxLog.ConstraintViolation] {
+      UpsertWhere.byKeysDistributed(spark, dir, "k",
+        Seq((5L, -1L)).toDF("k", "v"), None)
+    }
+    intercept[TxLog.ConstraintViolation] {
+      UpsertWhere.applyChanges(spark, dir, "k",
+        Seq((5L, -1L, "insert")).toDF("k", "v", "change_type"), None)
+    }
+    // …and the streaming epoch sink
+    intercept[TxLog.ConstraintViolation] {
+      graft.streaming.TxLogIngest.appendSink(dir)(
+        Seq((6L, -2L)).toDF("k", "v"), 99L)
+    }
+    assert(TxLog.currentVersion(spark, dir) == v)
+
+    // SQL CHECK semantics: NULL evaluates unknown, which PASSES
+    UpsertWhere.byKeys(spark, dir, "k",
+      Seq[(Long, java.lang.Long)]((7L, null)).toDF("k", "v"), None)
+    assert(TxLog.snapshot(spark, dir).count() == 4)
+
+    // dropping the constraints re-admits the write
+    TxLog.setCheckConstraints(spark, dir, Nil)
+    UpsertWhere.byKeys(spark, dir, "k", Seq((4L, -5L)).toDF("k", "v"), None)
+    assert(TxLog.snapshot(spark, dir).filter(col("v") === -5L).count() == 1)
+  }
+
   test("replicateTo: a downstream table follows the source log; replay and the retention cliff heal") {
     val src = freshTable()
     TxLog.convert(spark, src)
