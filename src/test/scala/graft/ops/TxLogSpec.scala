@@ -294,7 +294,7 @@ class TxLogSpec extends SparkSpec {
     // whole-table pack on a partitioned log table packs EACH partition
     // in place — never across (that would drop the path-encoded column)
     val rAll = Compact.binPack(spark, dir, targetBytes = 128L << 20,
-      smallBytes = 32L << 20)
+      smallBytes = 32L << 20, sortCols = Seq("k")) // cluster within each
     assert(rAll.packed >= 2)
     val packed = TxLog.liveFiles(spark, dir)
     assert(packed.forall(n => n.startsWith("p=0/") || n.startsWith("p=1/")),
