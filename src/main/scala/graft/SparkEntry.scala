@@ -64,6 +64,19 @@ object SparkEntry {
     "q_tpch_q8" -> (Queries.qTpchQ8 _),
     "q_tpch_q6" -> (Queries.qTpchQ6 _),
     "q_tpch_q19" -> (Queries.qTpchQ19 _),
+    "q_tpch_q1" -> (Queries.qTpchQ1 _),
+    "q_tpch_q2" -> (Queries.qTpchQ2 _),
+    "q_tpch_q4" -> (Queries.qTpchQ4 _),
+    "q_tpch_q9" -> (Queries.qTpchQ9 _),
+    "q_tpch_q11" -> (Queries.qTpchQ11 _),
+    "q_tpch_q12" -> (Queries.qTpchQ12 _),
+    "q_tpch_q13" -> (Queries.qTpchQ13 _),
+    "q_tpch_q15" -> (Queries.qTpchQ15 _),
+    "q_tpch_q16" -> (Queries.qTpchQ16 _),
+    "q_tpch_q17" -> (Queries.qTpchQ17 _),
+    "q_tpch_q20" -> (Queries.qTpchQ20 _),
+    "q_tpch_q21" -> (Queries.qTpchQ21 _),
+    "q_tpch_q22" -> (Queries.qTpchQ22 _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_asof_join_fwd" -> (Queries.qAsofJoinFwd _),
     // SQL surface + sketches
@@ -604,6 +617,197 @@ object Oracles {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+
+    // Q1 pricing summary: full 8-aggregate report
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+           AS sum_charge,
+         ROUND(AVG(l_quantity), 2) AS avg_qty,
+         ROUND(AVG(l_extendedprice), 2) AS avg_price,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // Q2 minimum-cost supplier (lineitem-witnessed part/supplier relation)
+    "q_tpch_q2" ->
+      """WITH offers AS (
+           SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+             l_extendedprice AS cost,
+             MIN(l_extendedprice) OVER (PARTITION BY p_partkey) AS min_cost
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD')
+         SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+         FROM offers WHERE cost = min_cost
+         ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+         LIMIT 100""",
+
+    // Q4 order-priority checking ("late" = shipped >60 days after order)
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    // Q9 product-type profit (cost = retail price * qty * 10% margin proxy)
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)
+                   - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE 'red %'
+         GROUP BY 1, 2
+         ORDER BY 1 ASC, 2 DESC""",
+
+    // Q11 important stock (shipped value per part, 0.1% HAVING threshold)
+    "q_tpch_q11" ->
+      """WITH slice AS (
+           SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS value
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3')
+         SELECT l_partkey, ROUND(SUM(value), 2) AS value
+         FROM slice
+         GROUP BY l_partkey
+         HAVING SUM(value) > (SELECT SUM(value) * 0.001 FROM slice)
+         ORDER BY 2 DESC, 1 ASC""",
+
+    // Q12 shipping audit: urgent vs non-urgent late lines per return flag
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    // Q13 customer order-count distribution (left outer keeps 0-order custs)
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer
+           LEFT OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                            WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+             ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    // Q15 top supplier: max quarter revenue via scalar re-comparison
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+         FROM revenue JOIN supplier ON supplier_no = s_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    // Q16 parts/supplier counts (arrears acctbal stands in for complaints)
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+         COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q17 small-quantity-order revenue (per-part avg as a window)
+    "q_tpch_q17" ->
+      """WITH slice AS (
+           SELECT l_partkey, l_quantity, l_extendedprice,
+             AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23' AND p_type = 'SMALL')
+         SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM slice WHERE l_quantity < 0.2 * avg_qty""",
+
+    // Q20 potential part promotion (threshold = >80 red units in 1996)
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             WHERE p_name LIKE 'red %'
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             GROUP BY l_suppkey, l_partkey
+             HAVING SUM(l_quantity) > 80)
+         ORDER BY s_name""",
+
+    // Q21 suppliers who kept orders waiting (late = >60 days after order)
+    "q_tpch_q21" ->
+      """WITH late AS (
+           SELECT l_orderkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM late l1
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_2'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC
+         LIMIT 100""",
+
+    // Q22 global sales opportunity (mktsegment stands in for phone prefix)
+    "q_tpch_q22" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE'))
+         SELECT c_mktsegment AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+         FROM cust
+         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust
+                            WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY c_mktsegment
+         ORDER BY cntrycode""",
 
     "q_txt_tokens" ->
       """SELECT doc_id,
