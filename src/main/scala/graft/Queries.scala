@@ -2490,6 +2490,81 @@ object Queries {
         col("o_orderpriority"))
   }
 
+  /** MERGE-ON-READ deletes ([[graft.ops.DeletionVectors]]): two
+    * overlapping predicate deletes against a logged lineitem slice
+    * write only (file, pos) sidecars — zero data files rewritten —
+    * and the snapshot anti-joins the positions back out. Hash-green
+    * means the vectored read lands exactly on DuckDB's direct
+    * double-NOT filter; the second delete exercises the vector-merge
+    * path (its sidecar carries the first delete's positions forward).
+    */
+  def qDvDelete(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_shipdate")
+    val path = s"$indexQueryDir/dv_delete"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    graft.ops.DeletionVectors.delete(s, path,
+      pmod(col("l_partkey"), lit(7)) === 0) // v1
+    graft.ops.DeletionVectors.delete(s, path,
+      col("l_quantity") >= 45.0) // v2: merges vectors on shared files
+    graft.ops.TxLog.snapshot(s, path).select(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_shipdate")
+  }
+
+  /** DV fold-in ([[graft.ops.DeletionVectors.materialize]]): a
+    * vectored delete, then materialize rewrites ONLY the DV-carrying
+    * files without the hidden rows and vacuum reclaims the dead
+    * sidecars — the read is back on the zero-tax plain-scan plan, and
+    * the relation is unchanged through the fold (hash-green against
+    * the same filter DuckDB runs directly).
+    */
+  def qDvMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/dv_materialize"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    graft.ops.DeletionVectors.delete(s, path,
+      col("o_orderstatus") === "F" &&
+        pmod(col("o_custkey"), lit(3)) === 0) // v1
+    graft.ops.DeletionVectors.materialize(s, path) // v2
+    graft.ops.TxLog.vacuum(s, path, retainVersions = 1, dvSweepAgeMs = 0L)
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** Change feed across a DV commit ([[graft.ops.TxLog.diff]] keyed
+    * by (file, vector) pairs): a vectored delete changes no file
+    * NAMES, yet the diff must still surface exactly the newly-hidden
+    * rows as deletes — both sides read the same files, each applying
+    * its own version's vector, and the multiset difference is the
+    * increment. Hash-green against DuckDB's direct predicate.
+    */
+  def qDvDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/dv_diff"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    graft.ops.DeletionVectors.delete(s, path,
+      pmod(col("o_orderkey"), lit(499)) === 0) // v1
+    graft.ops.TxLog.diff(s, path, 0, 1).select(
+      col("_change_type"), col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+  }
+
   /** Incremental MV over a LOGGED table ([[graft.ops.MvStore]]
     * consuming [[graft.ops.TxLog.diff]] via `asChangeFeed`): seed a
     * per-status (count, sum) view from v0's snapshot, then advance it

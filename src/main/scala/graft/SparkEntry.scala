@@ -164,6 +164,9 @@ object SparkEntry {
     "q_timetravel" -> (Queries.qTimeTravel _),
     "q_txlog_stream" -> (Queries.qTxlogStream _),
     "q_txlog_diff" -> (Queries.qTxlogDiff _),
+    "q_dv_delete" -> (Queries.qDvDelete _),
+    "q_dv_materialize" -> (Queries.qDvMaterialize _),
+    "q_dv_diff" -> (Queries.qDvDiff _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
@@ -1982,6 +1985,28 @@ object Oracles {
                 TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders
          WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
+
+    // merge-on-read deletes: the vectored snapshot must equal the
+    // direct double-NOT filter (no data file was rewritten)
+    "q_dv_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_quantity, l_shipdate
+         FROM lineitem
+         WHERE NOT (l_partkey % 7 = 0) AND NOT (l_quantity >= 45.0)""",
+
+    // DV fold-in: the relation is unchanged through materialize+vacuum
+    "q_dv_materialize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 = 0)""",
+
+    // change feed across a DV-only commit: exactly the hidden rows,
+    // as deletes
+    "q_dv_diff" ->
+      """SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
+                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 499 = 0""",
 
     // incremental MV over the logged lifecycle: two signed refreshes
     // must land on the direct aggregate of the v2 state

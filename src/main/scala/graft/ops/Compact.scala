@@ -233,7 +233,18 @@ object Compact {
       dir: String,
       olds: Seq[String],
       writeStage: String => Unit,
-      prefix: Option[String] = None): Seq[String] = {
+      prefix: Option[String] = None,
+      allowDvOlds: Boolean = false): Seq[String] = {
+    if (!allowDvOlds) TxLog.requireNoDvs(spark, dir, olds, "rewrite")
+    // the (name → dv) pairs this rewrite's reads are based on,
+    // captured BEFORE writeStage scans a byte: a concurrent DV attach
+    // on any old lands a changed pair and the commit below conflicts
+    // instead of resurrecting its deleted rows
+    val seen =
+      if (TxLog.exists(spark, dir)) {
+        val o = olds.toSet
+        TxLog.liveEntries(spark, dir).filter(e => o(e.name))
+      } else Nil
     val fs = fsOf(spark, dir)
     val stagePath = new Path(dir, StageName)
     fs.delete(stagePath, true)
@@ -252,7 +263,8 @@ object Compact {
           throw new java.io.IOException(s"compact: cannot move $sub$n into $dir")
       }
       fs.delete(stagePath, true)
-      TxLog.commit(spark, dir, adds = newNames.map(sub + _), removes = olds)
+      TxLog.commit(spark, dir, adds = newNames.map(sub + _), removes = olds,
+        seen = seen)
       return newNames.map(sub + _)
     }
     require(prefix.isEmpty,
@@ -287,9 +299,15 @@ object Compact {
       spark: SparkSession,
       dir: String,
       olds: Seq[String],
-      writeStage: String => Unit): Seq[String] = {
+      writeStage: String => Unit,
+      allowDvOlds: Boolean = false): Seq[String] = {
     require(TxLog.exists(spark, dir),
       "hive-partitioned rewrites require a TxLog-managed directory")
+    if (!allowDvOlds) TxLog.requireNoDvs(spark, dir, olds, "rewrite")
+    val seenH = { // see stageRewrite: pre-read capture for DV conflicts
+      val o = olds.toSet
+      TxLog.liveEntries(spark, dir).filter(e => o(e.name))
+    }
     val fs = fsOf(spark, dir)
     val stagePath = new Path(dir, StageName)
     fs.delete(stagePath, true)
@@ -302,7 +320,7 @@ object Compact {
         throw new java.io.IOException(s"compact: cannot move $n into $dir")
     }
     fs.delete(stagePath, true)
-    TxLog.commit(spark, dir, adds = newNames, removes = olds)
+    TxLog.commit(spark, dir, adds = newNames, removes = olds, seen = seenH)
     newNames
   }
 

@@ -180,7 +180,10 @@ object DeleteWhere {
     */
   private[ops] def allFiles(spark: SparkSession, dir: String): Seq[String] =
     if (TxLog.exists(spark, dir) && TxLog.liveFiles(spark, dir).isEmpty) Nil
+    // a DV-carrying snapshot's plan also scans `_dv/` sidecars —
+    // metadata, not table data, so they are never rewrite candidates
     else TxLog.read(spark, dir).inputFiles.toSeq
+      .filterNot(_.contains(s"/${TxLog.DvDirName}/"))
 
   /** A file URI/path as the table-root-relative name the log records
     * (`part-….parquet`, or `p=0/part-….parquet` under a hive layout).

@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ deletes for [[TxLog]]-managed tables: instead of
+  * rewriting every candidate file (the [[DeleteWhere]] copy-on-write
+  * path — data-read AND data-written per delete), a delete writes one
+  * small DELETION-VECTOR sidecar listing the (file, row-position)
+  * pairs it hides and re-commits the touched entries pointing at it.
+  * Readers ([[TxLog.snapshot]] and everything built on it) anti-join
+  * the positions back out; [[materialize]] folds the vectors into
+  * rewritten files when read amplification has accrued enough to pay
+  * for the copy.
+  *
+  * This is the economics that makes fine-grained deletes viable at
+  * 100 TB: a GDPR purge hitting one row in each of 10k one-GB files
+  * costs ~10 TB of rewrite under copy-on-write, but only a
+  * metadata-sized sidecar + one log commit here — the write cost is
+  * O(deleted rows), not O(bytes in candidate files). The read-side
+  * tax is one broadcast anti-join on (file, pos) over only the
+  * DV-carrying files, and [[materialize]] restores the zero-tax read
+  * whenever the operator chooses. Same trade Delta's deletion vectors
+  * and Iceberg's position deletes encode; re-derived here on Spark's
+  * `_metadata.file_path`/`row_index` parquet columns (the positions
+  * every scan can produce without a custom reader).
+  *
+  * Sidecar format: a parquet file under `_dv/` with columns
+  * `file` (root-relative data-file name) and `pos` (physical row
+  * index). Sidecars are IMMUTABLE; a re-delete on an already-vectored
+  * file writes a NEW sidecar carrying the union of old + new
+  * positions for the files it touches, and re-points those entries —
+  * so an entry's single `dv` reference always holds that file's
+  * complete deleted set, and concurrent deletes touching the same
+  * file conflict exactly like concurrent rewrites ([[TxLog
+  * .commitEntries]] validates the removes).
+  *
+  * Crash discipline: the sidecar lands (tmp + rename) BEFORE the
+  * commit; a crash between leaves an unreferenced sidecar that
+  * [[TxLog.vacuum]]'s age-gated DV sweep reclaims. Reference cited
+  * for behavior shape only: the reference system has no deletes at
+  * all (append-only pandas ETL, `dags/utils.py:21-40`) — this
+  * operator is part of the scale surface the Spark re-expression
+  * adds.
+  */
+object DeletionVectors {
+
+  final case class Receipt(
+      filesTotal: Long,
+      touched: Long,
+      deletedRows: Long,
+      dvFile: Option[String])
+
+  final case class MaterializeReceipt(
+      rewritten: Long,
+      rowsDropped: Long,
+      untouched: Long)
+
+  /** Logically delete every row matching `predicate` (SQL DELETE
+    * semantics: NULL never matches — [[TxLog.readEntries]] feeds the
+    * filter the snapshot, so three-valued logic is DuckDB's own).
+    * Only files that actually contain a matching LIVE row get a new
+    * vector; files whose rows all miss are untouched metadata-wise.
+    * `candidates` (relative names) optionally bounds the scan — pass
+    * [[TxLog.candidateFilesFromLog]]'s answer for a range predicate
+    * on a stats-carrying table and only those files are read at all.
+    */
+  def delete(
+      spark: SparkSession,
+      dir: String,
+      predicate: Column,
+      candidates: Option[Seq[String]] = None): Receipt = {
+    require(TxLog.exists(spark, dir),
+      s"deletion vectors require a TxLog-managed table: $dir")
+    val entries = TxLog.liveEntries(spark, dir)
+    if (entries.isEmpty) return Receipt(0, 0, 0, None)
+    val cand = candidates match {
+      case Some(cs) =>
+        val c = cs.toSet; entries.filter(e => c(e.name))
+      case None => entries
+    }
+    if (cand.isEmpty) return Receipt(entries.size.toLong, 0, 0, None)
+    // the SNAPSHOT with positions: already-deleted rows are invisible,
+    // so a replayed predicate deletes 0 and position sets never dup
+    val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
+    val newDel = withPos.filter(predicate)
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      .localCheckpoint() // pin: the plan below re-reads it twice
+    val deletedRows = newDel.count()
+    if (deletedRows == 0) return Receipt(entries.size.toLong, 0, 0, None)
+    val touchedRels = newDel.select("file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    val touched = entries.filter(e => touchedRels(e.name))
+    // carry forward the touched files' EXISTING deleted positions —
+    // the new sidecar holds each touched file's complete set
+    val prior = priorDvRows(spark, dir, touched)
+    val allRows = prior.map(_.unionByName(newDel)).getOrElse(newDel)
+    val dvName = writeSidecar(spark, dir, allRows)
+    // seen = the entries this scan was based on: a concurrent DV
+    // attach (or rewrite) on a touched file conflicts instead of
+    // losing its deletes to this commit's stale vector
+    TxLog.commitEntries(spark, dir,
+      adds = touched.map(_.copy(dv = Some(dvName))).sortBy(_.name),
+      removes = touched.map(_.name).sorted,
+      seen = touched)
+    Receipt(entries.size.toLong, touched.size.toLong, deletedRows,
+      Some(dvName))
+  }
+
+  /** Range-delete with log-stats pruning: only files whose ADD-carried
+    * [[TxLog.ColStats]] admit `column` ∈ [lo, hi] are scanned for
+    * positions (the [[DeleteWhere.range]] pruning economics, now with
+    * O(deleted rows) write cost on top).
+    */
+  def range(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double): Receipt =
+    delete(spark, dir, col(column) >= lo && col(column) <= hi,
+      Some(TxLog.candidateFilesFromLog(spark, dir, column, lo, hi)))
+
+  /** Per-file deleted-row counts at the current version — the
+    * observability surface a materialize policy reads ("fold when
+    * >20% of a file is hidden"). One metadata-sized sidecar scan.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    require(TxLog.exists(spark, dir),
+      s"deletion vectors require a TxLog-managed table: $dir")
+    val dvd = TxLog.liveEntries(spark, dir).filter(_.dv.isDefined)
+    priorDvRows(spark, dir, dvd) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("file", "deleted_rows")
+      case Some(rows) =>
+        rows.groupBy("file").agg(count(lit(1)).as("deleted_rows"))
+    }
+  }
+
+  /** Fold every deletion vector into its file: DV-carrying files are
+    * re-read through the snapshot (positions applied) and rewritten
+    * without the hidden rows, in ONE staged commit through [[Compact
+    * .stageRewrite]]'s crash discipline; plain files are untouched.
+    * The superseded sidecars become unreferenced and [[TxLog.vacuum]]
+    * reclaims them. Restores the no-anti-join read plan.
+    */
+  def materialize(spark: SparkSession, dir: String): MaterializeReceipt = {
+    require(TxLog.exists(spark, dir),
+      s"deletion vectors require a TxLog-managed table: $dir")
+    val entries = TxLog.liveEntries(spark, dir)
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty)
+      return MaterializeReceipt(0, 0, entries.size.toLong)
+    val live = TxLog.readEntries(spark, dir, dvd).localCheckpoint()
+    val liveRows = live.count()
+    val rawRows = spark.read.option("basePath", dir)
+      .parquet(dvd.map(e => s"$dir/${e.name}"): _*).count()
+    val rels = dvd.map(_.name)
+    val pcols = DeleteWhere.partitionColsOf(rels)
+    if (pcols.nonEmpty)
+      Compact.stageRewriteHive(spark, dir, rels, stagePath =>
+        live.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
+        allowDvOlds = true)
+    else
+      Compact.stageRewrite(spark, dir, rels, stagePath =>
+        live.write.mode("overwrite").parquet(stagePath),
+        allowDvOlds = true)
+    MaterializeReceipt(
+      rewritten = dvd.size.toLong,
+      rowsDropped = rawRows - liveRows,
+      untouched = (entries.size - dvd.size).toLong)
+  }
+
+  /** The CURRENT deleted positions of `entries` that carry a vector —
+    * each file's rows taken from its OWN sidecar (a sidecar may serve
+    * many files and an old one may still be live for siblings).
+    */
+  private def priorDvRows(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[TxLog.AddEntry]): Option[DataFrame] = {
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return None
+    val fs = Compact.fsOf(spark, dir)
+    val dvNames = dvd.flatMap(_.dv).distinct
+    val dvAbs = dvNames.map(n => n ->
+      fs.makeQualified(new Path(TxLog.dvFilePath(dir, n))).toString).toMap
+    import spark.implicits._
+    val assoc = dvd.map(e => (dvAbs(e.dv.get), e.name))
+      .toDF("__dv_src", "file")
+    Some(spark.read.parquet(dvNames.map(TxLog.dvFilePath(dir, _)): _*)
+      .select(col("_metadata.file_path").as("__dv_src"),
+        col("file"), col("pos"))
+      .join(broadcast(assoc), Seq("__dv_src", "file"))
+      .select("file", "pos"))
+  }
+
+  /** Land `(file, pos)` rows as one immutable sidecar under `_dv/`:
+    * single-file write into a dot-temp dir, then rename into place —
+    * the commit that references it follows, so a crash in between
+    * leaves only vacuum-sweepable garbage.
+    */
+  private def writeSidecar(
+      spark: SparkSession,
+      dir: String,
+      rows: DataFrame): String = {
+    val fs = Compact.fsOf(spark, dir)
+    val name = s"dv-${java.util.UUID.randomUUID}.parquet"
+    val tmpDir = new Path(dir, s".dv_stage-${java.util.UUID.randomUUID}")
+    rows.select(col("file").cast("string"), col("pos").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(part.size == 1, s"dv sidecar stage produced ${part.size} files")
+    fs.mkdirs(new Path(dir, TxLog.DvDirName))
+    val dest = new Path(TxLog.dvFilePath(dir, name))
+    if (!fs.rename(part.head.getPath, dest))
+      throw new java.io.IOException(s"cannot land dv sidecar $dest")
+    fs.delete(tmpDir, true)
+    name
+  }
+}

@@ -75,31 +75,63 @@ object TxLog {
 
   /** One ADD record: a data-file name — RELATIVE to the table root,
     * possibly carrying hive-style partition prefixes
-    * (`region=EU/part-….parquet`) — plus optional per-column stats.
-    * Serialized as `ADD name` or `ADD name|c:min:max,c2:min:max`
-    * (stats columns must avoid `|,:` — enforced at
-    * [[setStatsColumns]]).
+    * (`region=EU/part-….parquet`) — plus optional per-column stats
+    * and an optional DELETION VECTOR sidecar name (a parquet file
+    * under `_dv/` listing this file's logically-deleted row
+    * positions; see [[DeletionVectors]]). Serialized as
+    * `ADD name`, `ADD name|c:min:max,…`, or
+    * `ADD name|<stats-or-empty>|dvname` (stats columns must avoid
+    * `|,:` — enforced at [[setStatsColumns]]; file names never
+    * contain `|`).
     */
-  final case class AddEntry(name: String, stats: Seq[ColStats] = Nil) {
-    private[ops] def serialized: String =
-      if (stats.isEmpty) name
-      else name + "|" + stats.map(s =>
+  final case class AddEntry(
+      name: String,
+      stats: Seq[ColStats] = Nil,
+      dv: Option[String] = None) {
+    private[ops] def serialized: String = {
+      val statsPart = stats.map(s =>
         s"${s.column}:${s.min}:${s.max}").mkString(",")
+      dv match {
+        case Some(d) => s"$name|$statsPart|$d"
+        case None if stats.isEmpty => name
+        case None => s"$name|$statsPart"
+      }
+    }
   }
 
   private def parseEntry(s: String): AddEntry = {
-    val bar = s.indexOf('|')
-    if (bar < 0) AddEntry(s)
-    else AddEntry(s.substring(0, bar),
-      s.substring(bar + 1).split(',').toSeq.map { part =>
+    val parts = s.split('|') // trailing empty segments never occur
+    val stats =
+      if (parts.length < 2 || parts(1).isEmpty) Nil
+      else parts(1).split(',').toSeq.map { part =>
         val Array(c, mn, mx) = part.split(':')
         ColStats(c, mn.toDouble, mx.toDouble)
-      })
+      }
+    AddEntry(parts(0), stats,
+      if (parts.length < 3) None else Some(parts(2)))
   }
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     fs.exists(logPath(dir))
+  }
+
+  /** Reject a COPY-ON-WRITE rewrite of files that carry deletion
+    * vectors: the rewrite reads the raw file bytes, so it would
+    * resurrect every DV-hidden row. [[DeletionVectors.materialize]]
+    * folds the DVs in first; only it may rewrite DV-carrying files.
+    */
+  private[ops] def requireNoDvs(
+      spark: SparkSession, dir: String, rels: Seq[String], op: String): Unit = {
+    if (!exists(spark, dir)) return
+    val dvBy = liveEntries(spark, dir)
+      .filter(_.dv.isDefined).map(_.name).toSet
+    val hit = rels.filter(dvBy)
+    require(hit.isEmpty,
+      s"$op would rewrite ${hit.size} file(s) carrying deletion vectors " +
+        s"(${hit.take(3).mkString(", ")}…) from their RAW bytes, " +
+        "resurrecting deleted rows — run DeletionVectors.materialize " +
+        s"on $dir first")
   }
 
   private val StatsColsName = "stats_cols.txt"
@@ -349,13 +381,112 @@ object TxLog {
       dir: String,
       version: Int = Int.MaxValue,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = liveFiles(spark, dir, version).map(n => s"$dir/$n")
-    require(files.nonEmpty, s"version $version of $dir holds no files")
+    val entries = liveEntries(spark, dir, version)
+    require(entries.nonEmpty, s"version $version of $dir holds no files")
+    readEntries(spark, dir, entries, mergeSchema)
+  }
+
+  private[ops] val DvDirName = "_dv"
+  private[ops] def dvFilePath(dir: String, name: String) =
+    s"$dir/$DvDirName/$name"
+
+  private def qualify(spark: SparkSession, dir: String, rel: String): String = {
+    val fs = Compact.fsOf(spark, dir)
+    fs.makeQualified(new Path(dir, rel)).toString
+  }
+
+  /** Read exactly `entries`, applying each entry's deletion vector —
+    * the one reader [[snapshot]], [[snapshotPruned]] and [[diff]]
+    * share, so every path agrees on what a DV-carrying file's rows
+    * are. Files WITHOUT a DV take the plain-scan fast path (no
+    * metadata columns, no join — identical plan to the pre-DV
+    * snapshot); files WITH one read their `_metadata.file_path` /
+    * `row_index` and anti-join the (file, pos) pairs their OWN
+    * sidecar holds for them (a sidecar is immutable and may serve
+    * many files; an entry is bound to one sidecar, so the
+    * association join carries the sidecar's qualified path). The
+    * deleted-positions side is broadcast when the referenced
+    * sidecars are under 128 MB on disk — the overwhelmingly common
+    * case; a larger DV load degrades to a shuffled anti-join rather
+    * than failing.
+    *
+    * `withPos` keeps `__graft_file` (root-relative name) and
+    * `__graft_pos` (physical row index) on the output — what
+    * [[DeletionVectors]] needs to turn a predicate into positions.
+    * The `__graft_` column prefix is reserved: data columns must not
+    * use it.
+    *
+    * 100 TB shape: the anti-join is position-equi on broadcast
+    * metadata-sized state — no shuffle of the data side, and only
+    * DV-carrying files pay the metadata-column read at all.
+    */
+  private[ops] def readEntries(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[AddEntry],
+      mergeSchema: Boolean = false,
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    require(entries.nonEmpty, s"readEntries: empty entry set for $dir")
     // basePath keeps hive-partition columns alive when reading an
     // explicit file list out of a partitioned layout; no-op when flat
-    val rd = spark.read.option("basePath", dir)
-    if (mergeSchema) rd.option("mergeSchema", "true").parquet(files: _*)
-    else rd.parquet(files: _*)
+    def rd = {
+      val r = spark.read.option("basePath", dir)
+      if (mergeSchema) r.option("mergeSchema", "true") else r
+    }
+    def metaRead(es: Seq[AddEntry]): DataFrame = {
+      val mapping = es.map(e => (qualify(spark, dir, e.name), e.name))
+        .toDF("__graft_abs", "__graft_file")
+      rd.parquet(es.map(e => s"$dir/${e.name}"): _*)
+        .withColumn("__graft_abs", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(broadcast(mapping), Seq("__graft_abs"))
+        .drop("__graft_abs")
+    }
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty && !withPos)
+      return rd.parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    val plain = entries.filter(_.dv.isEmpty)
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val fs = Compact.fsOf(spark, dir)
+        val dvNames = dvd.flatMap(_.dv).distinct
+        val dvAbs = dvNames
+          .map(n => n -> qualify(spark, dir, s"$DvDirName/$n")).toMap
+        val dvBytes = dvNames
+          .map(n => fs.getFileStatus(new Path(dvFilePath(dir, n))).getLen).sum
+        val dvRows = spark.read
+          .parquet(dvNames.map(n => dvFilePath(dir, n)): _*)
+          .select(col("_metadata.file_path").as("__graft_dv_src"),
+            col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+        val assoc = dvd.map(e => (dvAbs(e.dv.get), e.name))
+          .toDF("__graft_dv_src", "__graft_file")
+        val deletes = dvRows
+          .join(broadcast(assoc), Seq("__graft_dv_src", "__graft_file"))
+          .drop("__graft_dv_src")
+        val d = if (dvBytes <= 128L * 1024 * 1024) broadcast(deletes)
+                else deletes
+        Some(metaRead(dvd)
+          .join(d, Seq("__graft_file", "__graft_pos"), "left_anti"))
+      }
+    val plainDf =
+      if (plain.isEmpty) None
+      else if (withPos) Some(metaRead(plain))
+      else Some(rd.parquet(plain.map(e => s"$dir/${e.name}"): _*))
+    val merged = (plainDf, dvdDf) match {
+      case (Some(p), Some(d)) =>
+        // align: the plain fast path has no positional columns
+        val dd = if (withPos) d else d.drop("__graft_file", "__graft_pos")
+        p.unionByName(dd)
+      case (Some(p), None) => p
+      case (None, Some(d)) =>
+        if (withPos) d else d.drop("__graft_file", "__graft_pos")
+      case (None, None) =>
+        throw new IllegalStateException("readEntries: no entries")
+    }
+    merged
   }
 
   /** The candidate file names a range query on `column` must read at
@@ -393,15 +524,13 @@ object TxLog {
       hi: Double,
       version: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val all = liveFiles(spark, dir, version)
+    val all = liveEntries(spark, dir, version)
     require(all.nonEmpty, s"version $version of $dir holds no files")
-    val cand = candidateFilesFromLog(spark, dir, column, lo, hi, version)
+    val cand = candidateFilesFromLog(spark, dir, column, lo, hi, version).toSet
+    val candEntries = all.filter(e => cand(e.name))
     val src =
-      if (cand.isEmpty)
-        spark.read.option("basePath", dir)
-          .parquet(all.map(n => s"$dir/$n"): _*).limit(0)
-      else spark.read.option("basePath", dir)
-        .parquet(cand.map(n => s"$dir/$n"): _*)
+      if (candEntries.isEmpty) readEntries(spark, dir, all).limit(0)
+      else readEntries(spark, dir, candEntries)
     src.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -421,19 +550,37 @@ object TxLog {
       dir: String,
       adds: Seq[String],
       removes: Seq[String],
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None,
+      seen: Seq[AddEntry] = Nil): Int =
+    commitEntries(spark, dir, adds.map(AddEntry(_)), removes, txn, seen)
+
+  /** [[commit]] with pre-built entries — the path DV attachment uses
+    * (a re-ADD carrying its existing stats plus the new sidecar name,
+    * with the file itself in `removes` so the conflict check still
+    * rejects a concurrent rewrite of the same file).
+    */
+  private[graft] def commitEntries(
+      spark: SparkSession,
+      dir: String,
+      adds: Seq[AddEntry],
+      removes: Seq[String],
+      txn: Option[String] = None,
+      seen: Seq[AddEntry] = Nil): Int = {
     // when the table declares stats columns, footer-read the added
     // files ONCE (outside the retry loop — stats don't change across
     // attempts) and embed their bounds in the ADD entries. Lenient:
     // an add naming a not-yet-present file simply carries no stats.
+    // Entries that already carry stats (DV re-adds) keep theirs.
     val cols = statsColumns(spark, dir)
+    val bare = adds.filter(_.stats.isEmpty).map(_.name)
     val entries =
-      if (cols.isEmpty) adds.map(AddEntry(_))
+      if (cols.isEmpty || bare.isEmpty) adds
       else {
         val byFile = ZoneMap
-          .statsForFiles(spark, adds.map(n => s"$dir/$n"), cols, lenient = true)
-        adds.map { n =>
-          AddEntry(n, byFile.getOrElse(s"$dir/$n", Nil)
+          .statsForFiles(spark, bare.map(n => s"$dir/$n"), cols, lenient = true)
+        adds.map { e =>
+          if (e.stats.nonEmpty) e
+          else e.copy(stats = byFile.getOrElse(s"$dir/${e.name}", Nil)
             .map(s => ColStats(s._1, s._2, s._3)))
         }
       }
@@ -443,14 +590,25 @@ object TxLog {
       tries += 1
       require(tries <= 100, s"txlog commit: 100 contended attempts in $dir")
       val parent = currentVersion(spark, dir)
-      if (removes.nonEmpty) {
-        val live = liveFiles(spark, dir, parent).toSet
-        val gone = removes.filterNot(live)
-        if (gone.nonEmpty)
+      if (removes.nonEmpty || seen.nonEmpty) {
+        val live = liveEntries(spark, dir, parent)
+        val liveNames = live.map(_.name).toSet
+        val gone = removes.filterNot(liveNames)
+        // a removed NAME can stay live while its entry changes — a
+        // concurrent DV attach re-points the same file name at a new
+        // vector. This writer's reads were based on `seen`'s (name →
+        // dv) pairs; committing over a changed pair would silently
+        // drop the other writer's deletes (the lost update name-level
+        // validation cannot see), so it conflicts too.
+        val liveDv = live.map(e => e.name -> e.dv).toMap
+        val moved = seen.filter(s => liveDv.get(s.name).exists(_ != s.dv))
+        if (gone.nonEmpty || moved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"txlog commit conflict in $dir: ${gone.size} of this commit's " +
-              s"removed files were already replaced by a concurrent commit " +
-              s"(${gone.take(3).mkString(", ")}…) — recompute against v$parent")
+              s"removed files were already replaced and ${moved.size} had " +
+              s"their deletion vector changed by a concurrent commit " +
+              s"(${(gone ++ moved.map(_.name)).take(3).mkString(", ")}…) — " +
+              s"recompute against v$parent")
       }
       if (writeVersion(spark, dir, parent + 1, entries, removes, txn))
         committed = parent + 1
@@ -492,21 +650,29 @@ object TxLog {
       toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion,
       s"diff: fromVersion $fromVersion > toVersion $toVersion")
-    val before = liveFiles(spark, dir, fromVersion).toSet
-    val after = liveFiles(spark, dir, toVersion).toSet
-    val removed = (before -- after).toSeq.sorted.map(n => s"$dir/$n")
-    val added = (after -- before).toSeq.sorted.map(n => s"$dir/$n")
+    // the unit of change is (file, deletion vector): a DV attach/merge
+    // changes a file's pair without changing its name, and the file
+    // must then be read ON BOTH SIDES (each side applying its own DV)
+    // so exactly the newly-hidden rows surface as deletes
+    val beforeE = liveEntries(spark, dir, fromVersion)
+    val afterE = liveEntries(spark, dir, toVersion)
+    val beforeK = beforeE.map(e => (e.name, e.dv)).toSet
+    val afterK = afterE.map(e => (e.name, e.dv)).toSet
+    val removed = beforeE.filterNot(e => afterK((e.name, e.dv)))
+      .sortBy(_.name)
+    val added = afterE.filterNot(e => beforeK((e.name, e.dv)))
+      .sortBy(_.name)
     import org.apache.spark.sql.functions.lit
-    def readOrEmpty(files: Seq[String], schemaOf: Seq[String]): DataFrame =
-      if (files.nonEmpty)
-        spark.read.option("basePath", dir).parquet(files: _*)
+    def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
+      if (es.nonEmpty) readEntries(spark, dir, es)
       else spark.read.schema(
-        spark.read.option("basePath", dir).parquet(schemaOf: _*).schema)
+        spark.read.option("basePath", dir)
+          .parquet(schemaOf.map(e => s"$dir/${e.name}"): _*).schema)
         .parquet() // zero paths: empty relation with the sibling schema
     if (removed.isEmpty && added.isEmpty) {
-      val any = liveFiles(spark, dir, toVersion).map(n => s"$dir/$n")
+      val any = afterE
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
-      return spark.read.option("basePath", dir).parquet(any: _*).limit(0)
+      return readEntries(spark, dir, any).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
     val schemaDonor = if (added.nonEmpty) added else removed
@@ -636,15 +802,24 @@ object TxLog {
     * restore is pure log arithmetic, no data moves.
     */
   def restore(spark: SparkSession, dir: String, version: Int): Int = {
-    val target = liveFiles(spark, dir, version).toSet
-    val current = liveFiles(spark, dir).toSet
+    val target = liveEntries(spark, dir, version)
+    val current = liveEntries(spark, dir)
+    val currentByName = current.map(e => e.name -> e).toMap
+    val targetNames = target.map(_.name).toSet
     val fs = Compact.fsOf(spark, dir)
-    val missing = target.filterNot(f => fs.exists(new Path(dir, f)))
+    val missing = target.map(_.name)
+      .filterNot(f => fs.exists(new Path(dir, f))) ++
+      target.flatMap(_.dv).distinct
+        .filterNot(d => fs.exists(new Path(dvFilePath(dir, d))))
     require(missing.isEmpty,
       s"restore to $version impossible: ${missing.size} files vacuumed (${missing.take(3).mkString(", ")}…)")
-    commit(spark, dir,
-      adds = (target -- current).toSeq.sorted,
-      removes = (current -- target).toSeq.sorted)
+    // re-ADD any entry that differs (name newly live, or same name
+    // with a different DV/stats); REMOVE names no longer live — the
+    // fold overwrites by name, so a changed entry needs no remove
+    commitEntries(spark, dir,
+      adds = target.filter(e => !currentByName.get(e.name).contains(e))
+        .sortBy(_.name),
+      removes = current.map(_.name).filterNot(targetNames).sorted)
   }
 
   /** Reclaim disk: delete data files whose last reference is a version
@@ -671,7 +846,8 @@ object TxLog {
       dir: String,
       retainVersions: Int,
       pruneLog: Boolean = true,
-      sweepOrphansOlderThanMs: Long = -1L): Long = {
+      sweepOrphansOlderThanMs: Long = -1L,
+      dvSweepAgeMs: Long = 3600L * 1000): Long = {
     val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
@@ -695,6 +871,21 @@ object TxLog {
       else statuses.getOrElse(f, Long.MaxValue) < orphanHorizon
     }
     dead.foreach(f => fs.delete(new Path(dir, f), false))
+    // DV sidecars: one no retained version references is dead (its
+    // files were materialized, re-deleted past it, or fell behind the
+    // horizon). Age-gated like the claim temps so an in-flight DV
+    // writer's seconds-old sidecar (written before its commit)
+    // survives the sweep.
+    val dvDirPath = new Path(dir, DvDirName)
+    if (fs.exists(dvDirPath)) {
+      val referencedDvs = keep
+        .flatMap(v => liveEntries(spark, dir, v).flatMap(_.dv)).toSet
+      val dvStale = System.currentTimeMillis() - dvSweepAgeMs
+      fs.listStatus(dvDirPath).toSeq
+        .filter(f => f.isFile && !referencedDvs(f.getPath.getName) &&
+          f.getModificationTime < dvStale)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
     val h = keep.min
     if (pruneLog && vs.exists(_ < h)) {
       // the horizon checkpoint makes every older log entry redundant —
