@@ -44,7 +44,7 @@ object BloomFileIndex {
       column: String,
       expectedPerFile: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame =
-    buildForFiles(spark, TxLog.read(spark, dir).inputFiles.toSeq,
+    buildForFiles(spark, TxLog.dataInputFiles(spark, dir),
       TxLog.read(spark, dir).schema, column, expectedPerFile, fpp)
 
   private def buildForFiles(
@@ -141,7 +141,7 @@ object BloomFileIndex {
       expectedPerFile: Long = 1L << 20,
       fpp: Double = 0.01): (DataFrame, Long) = {
     val reader = TxLog.read(spark, dir)
-    val live = reader.inputFiles.toSet
+    val live = TxLog.dataInputFilesOf(reader).toSet
     val known = index.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val fresh = (live -- known).toSeq.sorted
@@ -184,10 +184,10 @@ object BloomFileIndex {
       column: String,
       values: Seq[Any]): DataFrame = {
     val all = TxLog.read(spark, dir)
-    val cand = candidateFiles(index, all.inputFiles.toSeq, values)
+    val cand = candidateFiles(index, TxLog.dataInputFilesOf(all), values)
     val src =
       if (cand.isEmpty) all.limit(0)
-      else spark.read.schema(all.schema).parquet(cand: _*)
+      else TxLog.readPrunedUris(spark, dir, cand, all.schema)
     src.filter(col(column).isin(values: _*))
   }
 }

@@ -182,8 +182,7 @@ object DeleteWhere {
     if (TxLog.exists(spark, dir) && TxLog.liveFiles(spark, dir).isEmpty) Nil
     // a DV-carrying snapshot's plan also scans `_dv/` sidecars —
     // metadata, not table data, so they are never rewrite candidates
-    else TxLog.read(spark, dir).inputFiles.toSeq
-      .filterNot(_.contains(s"/${TxLog.DvDirName}/"))
+    else TxLog.dataInputFiles(spark, dir)
 
   /** A file URI/path as the table-root-relative name the log records
     * (`part-….parquet`, or `p=0/part-….parquet` under a hive layout).

@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
   * all (append-only pandas ETL, `dags/utils.py:21-40`) — this
   * operator is part of the scale surface the Spark re-expression
   * adds.
+  *
+  * Measured (3M rows / 256 key-sorted files, 24 scattered-key GDPR
+  * purge through the bloom index, local[32]): copy-on-write rewrote
+  * 24 files / 3.7 MB in 3.0 s; the vectored purge wrote a 1.3 KB
+  * sidecar in 2.6 s (wall parity on local SSD — both pay the same
+  * candidate position/filter scan; the 2800× write-byte gap is the
+  * term that dominates on object-store bandwidth and at production
+  * file sizes). Read tax until fold-in: full-snapshot aggregate
+  * 1.74 s vectored vs 1.43 s plain; materialize (1.5 s) restored the
+  * 0.83 s plain-scan read.
   */
 object DeletionVectors {
 
@@ -70,6 +80,60 @@ object DeletionVectors {
       spark: SparkSession,
       dir: String,
       predicate: Column,
+      candidates: Option[Seq[String]] = None): Receipt =
+    deleteWith(spark, dir, _.filter(predicate), candidates)
+
+  /** Vectored purge by a driver-sized key batch (the GDPR shape) with
+    * [[BloomFileIndex]] candidate pruning: a handful of ids touches a
+    * handful of files' POSITIONS — at 10k one-GB files with one
+    * matching row each, copy-on-write rewrites ~10 TB; this writes a
+    * kilobyte sidecar. `index` omitted = every live file is scanned
+    * for positions (correct, unpruned).
+    */
+  def byKeys(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      keys: Seq[Any],
+      index: Option[DataFrame] = None): Receipt = {
+    val cand = index.map { ix =>
+      val all = DeleteWhere.allFiles(spark, dir)
+      BloomFileIndex.candidateFiles(ix, all, keys)
+        .map(DeleteWhere.relName(spark, dir, _))
+    }
+    delete(spark, dir, col(column).isin(keys: _*), cand)
+  }
+
+  /** Vectored purge by a DATA-SIZED key batch — [[DeleteWhere
+    * .byKeysDistributed]]'s merge-on-read twin: candidates come from
+    * the same executor-side two-stage probe (keys never reach the
+    * driver), matches are a semi-join, and the write cost is the
+    * sidecar. NULL batch keys never match (null-unsafe equality, SQL
+    * DELETE semantics).
+    */
+  def byKeysDistributed(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      keys: DataFrame,
+      manifest: Option[DataFrame] = None): Receipt = {
+    val all = DeleteWhere.allFiles(spark, dir)
+    if (all.isEmpty) return Receipt(0, 0, 0, None)
+    val k = keys.select(col(keys.columns.head).as(column)).distinct()
+    val cand = DeleteWhere.touchedFiles(spark, all, column, k, manifest)
+      .map(DeleteWhere.relName(spark, dir, _))
+    deleteWith(spark, dir, _.join(k, Seq(column), "left_semi"), Some(cand))
+  }
+
+  /** The general form: `matchRows` maps the positioned snapshot of
+    * the candidate files to the rows to hide (it must preserve the
+    * `__graft_file`/`__graft_pos` columns). Every public delete
+    * composes onto this.
+    */
+  def deleteWith(
+      spark: SparkSession,
+      dir: String,
+      matchRows: DataFrame => DataFrame,
       candidates: Option[Seq[String]] = None): Receipt = {
     require(TxLog.exists(spark, dir),
       s"deletion vectors require a TxLog-managed table: $dir")
@@ -84,7 +148,7 @@ object DeletionVectors {
     // the SNAPSHOT with positions: already-deleted rows are invisible,
     // so a replayed predicate deletes 0 and position sets never dup
     val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
-    val newDel = withPos.filter(predicate)
+    val newDel = matchRows(withPos)
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
       .localCheckpoint() // pin: the plan below re-reads it twice
     val deletedRows = newDel.count()

@@ -627,6 +627,41 @@ object TxLog {
     if (exists(spark, dir)) snapshot(spark, dir)
     else spark.read.parquet(dir)
 
+  /** [[read]]'s `inputFiles` restricted to DATA files: a DV-carrying
+    * snapshot's plan also scans `_dv/` sidecars, which are metadata —
+    * manifest builders ([[ZoneMap]], [[BloomFileIndex]]) and
+    * candidate-pruning paths must key their stats by data file only.
+    */
+  def dataInputFiles(spark: SparkSession, dir: String): Seq[String] =
+    dataInputFilesOf(read(spark, dir))
+
+  private[ops] def dataInputFilesOf(df: DataFrame): Seq[String] =
+    df.inputFiles.toSeq.filterNot(_.contains(s"/$DvDirName/"))
+
+  /** Read a pruned candidate subset given by inputFiles-form URIs —
+    * applying deletion vectors where the candidates carry them. The
+    * one reader every stats-pruned path ([[ZoneMap]]'s range/equality
+    * reads, [[BloomFileIndex]]'s point reads) must go through: a raw
+    * `spark.read.parquet(cand)` on a DV'd table resurrects hidden
+    * rows. Unmanaged dirs and DV-free candidate sets keep the exact
+    * raw-read plan (schema pinned by the caller's table read).
+    */
+  private[ops] def readPrunedUris(
+      spark: SparkSession,
+      dir: String,
+      candUris: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (candUris.isEmpty)
+      return spark.read.schema(schema).parquet()
+    if (!exists(spark, dir))
+      return spark.read.schema(schema).parquet(candUris: _*)
+    val rels = candUris.map(DeleteWhere.relName(spark, dir, _)).toSet
+    val entries = liveEntries(spark, dir).filter(e => rels(e.name))
+    if (entries.forall(_.dv.isEmpty))
+      spark.read.schema(schema).parquet(candUris: _*)
+    else readEntries(spark, dir, entries)
+  }
+
   /** Row-level change feed between two retained versions: what a
     * consumer must apply to move a downstream copy from `fromVersion`
     * to `toVersion` — `_change_type` = 'insert' for rows present only

@@ -77,7 +77,7 @@ object ZoneMap {
     * the data pages are never touched.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
-    buildForFiles(spark, TxLog.read(spark, dir).inputFiles.toSeq, cols)
+    buildForFiles(spark, TxLog.dataInputFiles(spark, dir), cols)
 
   /** Footer stats for an explicit file list, as a driver map path →
     * (column, min, max) rows — the form [[TxLog.commit]] embeds in its
@@ -162,7 +162,7 @@ object ZoneMap {
       dir: String,
       cols: Seq[String]): DataFrame = {
     val want = cols.toSet
-    val files = TxLog.read(spark, dir).inputFiles.toSeq
+    val files = TxLog.dataInputFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
@@ -241,7 +241,7 @@ object ZoneMap {
       dir: String,
       cols: Seq[String]): DataFrame = {
     val want = cols.toSet
-    val files = TxLog.read(spark, dir).inputFiles.toSeq
+    val files = TxLog.dataInputFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
@@ -344,10 +344,11 @@ object ZoneMap {
       column: String,
       value: String): DataFrame = {
     val all = TxLog.read(spark, dir)
-    val cand = candidateFilesString(manifest, all.inputFiles.toSeq, column, value)
+    val cand =
+      candidateFilesString(manifest, TxLog.dataInputFilesOf(all), column, value)
     val src =
       if (cand.isEmpty) all.limit(0)
-      else spark.read.schema(all.schema).parquet(cand: _*)
+      else TxLog.readPrunedUris(spark, dir, cand, all.schema)
     src.filter(col(column) === value)
   }
 
@@ -367,7 +368,7 @@ object ZoneMap {
       dir: String,
       manifest: DataFrame,
       cols: Seq[String]): (DataFrame, Long) = {
-    val live = TxLog.read(spark, dir).inputFiles.toSet
+    val live = TxLog.dataInputFiles(spark, dir).toSet
     val known = manifest.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val fresh = (live -- known).toSeq.sorted
@@ -409,10 +410,11 @@ object ZoneMap {
       lo: Double,
       hi: Double): DataFrame = {
     val all = TxLog.read(spark, dir)
-    val cand = candidateFiles(manifest, all.inputFiles.toSeq, column, lo, hi)
+    val cand =
+      candidateFiles(manifest, TxLog.dataInputFilesOf(all), column, lo, hi)
     val src =
       if (cand.isEmpty) all.limit(0)
-      else spark.read.schema(all.schema).parquet(cand: _*)
+      else TxLog.readPrunedUris(spark, dir, cand, all.schema)
     src.filter(col(column) >= lo && col(column) <= hi)
   }
 }

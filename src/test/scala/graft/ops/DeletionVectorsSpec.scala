@@ -187,6 +187,46 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), expected))
   }
 
+  test("bloom-pruned keyed purge positions only the files that hold a key") {
+    val dir = freshTable()
+    val ix = BloomFileIndex.build(spark, dir, "o_orderkey")
+    val ks = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val keys: Seq[Any] = Seq(ks.head, ks(ks.length / 2), ks.last)
+    val r = DeletionVectors.byKeys(spark, dir, "o_orderkey", keys, Some(ix))
+    assert(r.deletedRows == 3)
+    assert(r.touched <= 3) // key-sorted layout: ≤ one file per key
+    assert(same(TxLog.snapshot(spark, dir),
+      orders.filter(!col("o_orderkey").isin(keys: _*))))
+  }
+
+  test("distributed keyed purge semi-joins a data-sized batch into positions") {
+    val dir = freshTable()
+    val keysDf = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select("o_orderkey")
+    val r = DeletionVectors.byKeysDistributed(
+      spark, dir, "o_orderkey", keysDf, None)
+    assert(r.deletedRows == keysDf.count())
+    assert(same(TxLog.snapshot(spark, dir),
+      orders.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)))
+  }
+
+  test("stats-pruned reads apply vectors (bloom point, zone-map range)") {
+    val dir = freshTable()
+    val ix = BloomFileIndex.build(spark, dir, "o_orderkey")
+    val mf = ZoneMap.build(spark, dir, Seq("o_orderkey"))
+    DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50)
+    // a hidden key's point read must come back empty, a surviving
+    // sibling in the SAME (vectored) file must still read
+    val hidden = orders.filter(col("o_orderkey") <= 50)
+      .select("o_orderkey").head().getLong(0)
+    assert(BloomFileIndex
+      .prunedRead(spark, dir, ix, "o_orderkey", Seq(hidden)).isEmpty)
+    assert(same(
+      ZoneMap.prunedRead(spark, dir, mf, "o_orderkey", 1.0, 100.0),
+      orders.filter(col("o_orderkey").between(51, 100))))
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
