@@ -2565,6 +2565,37 @@ object Queries {
       col("o_orderpriority"))
   }
 
+  /** Hidden partitioning ([[graft.ops.PartitionTransforms]]): events
+    * laid out by `days(ts)` × `bucket(8, user_id)` — the QUERY never
+    * names a partition column: a time-range request and a user-id
+    * request each derive their partitions from the data predicate
+    * (day strings bracket the range; Murmur3 buckets come from the
+    * same `hash()` the writer ran), prune the snapshot's entries
+    * driver-side, and apply the original predicate as the residual.
+    * Both prunes are guarded (must open < ¼ of the files). Hash-green
+    * means the layout-blind predicates land exactly on DuckDB's
+    * direct filters.
+    */
+  def qHiddenPartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PartitionTransforms
+    val ev = t(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val path = s"$indexQueryDir/hidden_partition"
+    PartitionTransforms.write(s, ev, path, Seq(
+      PartitionTransforms.Days("ts"), PartitionTransforms.Bucket(8, "user_id")))
+    val total = graft.ops.TxLog.liveFiles(s, path).size
+    val byTime = PartitionTransforms.scanRange(s, path, "ts",
+      "2024-01-10 00:00:00", "2024-01-12 23:59:59")
+    require(byTime.inputFiles.length <= total / 4,
+      s"day prune opened ${byTime.inputFiles.length} of $total files")
+    val byUser = PartitionTransforms.scanEquals(s, path, "user_id",
+      Seq(1L, 2L))
+    require(byUser.inputFiles.length <= total / 4,
+      s"bucket prune opened ${byUser.inputFiles.length} of $total files")
+    byTime.withColumn("probe", lit("time"))
+      .unionByName(byUser.withColumn("probe", lit("user")))
+  }
+
   /** Incremental MV over a LOGGED table ([[graft.ops.MvStore]]
     * consuming [[graft.ops.TxLog.diff]] via `asChangeFeed`): seed a
     * per-status (count, sum) view from v0's snapshot, then advance it

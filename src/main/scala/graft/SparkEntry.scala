@@ -167,6 +167,7 @@ object SparkEntry {
     "q_dv_delete" -> (Queries.qDvDelete _),
     "q_dv_materialize" -> (Queries.qDvMaterialize _),
     "q_dv_diff" -> (Queries.qDvDiff _),
+    "q_hidden_partition" -> (Queries.qHiddenPartition _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
@@ -2007,6 +2008,17 @@ object Oracles {
       """SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 499 = 0""",
+
+    // hidden partitioning: layout-blind predicates land on the direct
+    // filters (partitions derived from the data predicate, guarded)
+    "q_hidden_partition" ->
+      """SELECT event_id, ts, user_id, event_type, value, 'time' AS probe
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                      AND TIMESTAMP '2024-01-12 23:59:59'
+         UNION ALL
+         SELECT event_id, ts, user_id, event_type, value, 'user' AS probe
+         FROM events WHERE user_id IN (1, 2)""",
 
     // incremental MV over the logged lifecycle: two signed refreshes
     // must land on the direct aggregate of the v2 state

@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class PartitionTransformsSpec extends SparkSpec {
+
+  import PartitionTransforms._
+
+  private lazy val events = graft.Tables.events(spark, sf("events"))
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  private def fresh(transforms: Seq[Transform], df: DataFrame = events): String = {
+    val dir = Files.createTempDirectory("pt").toString + "/t"
+    PartitionTransforms.write(spark, df, dir, transforms)
+    dir
+  }
+
+  test("scan hides the derived columns; round-trips the data exactly") {
+    val dir = fresh(Seq(Days("ts"), Bucket(4, "user_id")))
+    val got = PartitionTransforms.scan(spark, dir)
+    assert(got.columns.toSeq == events.columns.toSeq)
+    assert(same(got, events))
+  }
+
+  test("day-range scan opens only the admissible days; result is the exact filter") {
+    val dir = fresh(Seq(Days("ts")))
+    val bounds = events.agg(min("ts"), max("ts")).head()
+    val lo = bounds.getTimestamp(0)
+    val hi = new java.sql.Timestamp(lo.getTime + 2L * 86400 * 1000)
+    val got = PartitionTransforms.scanRange(spark, dir, "ts", lo, hi)
+    assert(same(got, events.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))))
+    // ≤ 3 calendar days of files opened out of the full span
+    val days = TxLog.liveEntries(spark, dir).map(_.name.split('/').head).distinct
+    val opened = got.inputFiles.map(_.split('/').init.last).distinct
+    assert(opened.length <= 3 && opened.length < days.length)
+  }
+
+  test("bucket equality scan opens O(|keys|) buckets via Spark's own hash") {
+    val dir = fresh(Seq(Bucket(8, "user_id")))
+    val keys: Seq[Any] = events.select("user_id").distinct()
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (adm, total) = PartitionTransforms
+      .pruneCountEquals(spark, dir, "user_id", keys)
+    assert(total > adm && adm >= 1)
+    val got = PartitionTransforms.scanEquals(spark, dir, "user_id", keys)
+    assert(same(got, events.filter(col("user_id").isin(keys: _*))))
+    // Int literals against the BIGINT column must still find the rows
+    // (partition values are derived from the CAST literal)
+    val intKeys: Seq[Any] = keys.map(k => Int.box(k.asInstanceOf[Long].toInt))
+      .filter(k => k.asInstanceOf[Int].toLong == keys(
+        keys.indexOf(k.asInstanceOf[Int].toLong)))
+    if (intKeys.nonEmpty) {
+      val viaInt = PartitionTransforms
+        .scanEquals(spark, dir, "user_id", intKeys)
+      assert(viaInt.count() ==
+        events.filter(col("user_id").isin(intKeys: _*)).count())
+    }
+  }
+
+  test("numeric truncate prunes ranges NUMERICALLY (string order would mis-prune)") {
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    val dir = fresh(Seq(Truncate(40, "k")), df)
+    // partitions 0,40,80,…,960: "120" < "80" lexicographically — the
+    // numeric lte must keep 80..120
+    val got = PartitionTransforms.scanRange(spark, dir, "k", 85L, 130L)
+    assert(same(got, df.filter(col("k").between(85, 130))))
+    val (adm, total) = (TxLog.liveEntries(spark, dir)
+      .map(_.name.split('/').head).distinct.length, 25)
+    assert(adm == total)
+  }
+
+  test("string truncate + months compose; unknown-column filters degrade to full scan") {
+    val df = events.withColumn("etype", col("event_type"))
+    val dir = fresh(Seq(Months("ts"), Truncate(2, "etype")), df)
+    val got = PartitionTransforms.scanEquals(spark, dir, "etype", Seq("view"))
+    assert(same(got, df.filter(col("etype") === "view")))
+    // no transform over `value`: still correct, just unpruned
+    val full = PartitionTransforms.scanEquals(spark, dir, "value", Seq(1.0))
+    assert(full.count() == df.filter(col("value") === 1.0).count())
+  }
+
+  test("append lands one commit through the saved spec; bucket refuses ranges") {
+    val dir = fresh(Seq(Days("ts"), Bucket(4, "user_id")))
+    val v0 = TxLog.currentVersion(spark, dir)
+    val extra = events.limit(50)
+      .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+    val v1 = PartitionTransforms.append(spark, extra, dir)
+    assert(v1 == v0 + 1)
+    assert(PartitionTransforms.scan(spark, dir).count() ==
+      events.count() + 50)
+    // the appended days are prunable like the originals
+    val nlo = extra.agg(min("ts")).head().getTimestamp(0)
+    val got = PartitionTransforms.scanRange(spark, dir, "ts", nlo,
+      new java.sql.Timestamp(nlo.getTime + 86400L * 1000))
+    assert(got.count() == PartitionTransforms.scan(spark, dir)
+      .filter(col("ts") >= lit(nlo) &&
+        col("ts") <= lit(new java.sql.Timestamp(nlo.getTime + 86400L * 1000)))
+      .count())
+    intercept[IllegalArgumentException] {
+      PartitionTransforms.scanRange(spark, dir, "user_id", 0L, 10L)
+    }
+  }
+
+  test("deletion vectors compose with hidden-partition pruning") {
+    val dir = fresh(Seq(Bucket(4, "user_id")))
+    val key = events.select("user_id").head().getLong(0)
+    DeletionVectors.delete(spark, dir,
+      col("user_id") === key && col("event_type") === "view")
+    val got = PartitionTransforms.scanEquals(spark, dir, "user_id", Seq(key))
+    assert(same(got, events.filter(
+      col("user_id") === key && col("event_type") =!= "view")))
+  }
+}
