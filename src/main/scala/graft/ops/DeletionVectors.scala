@@ -214,7 +214,55 @@ object DeletionVectors {
     require(TxLog.exists(spark, dir),
       s"deletion vectors require a TxLog-managed table: $dir")
     val entries = TxLog.liveEntries(spark, dir)
+    materializeEntries(spark, dir, entries, entries.filter(_.dv.isDefined))
+  }
+
+  /** Fold only files where the hidden fraction has crossed
+    * `minDeletedFraction` — the maintenance policy: read tax accrues
+    * per row still shipped to the anti-join, so a file that is 40%
+    * tombstones pays for its rewrite while a one-row GDPR hole in a
+    * 1 GB file keeps its cheap vector. Row counts come from the
+    * footers (metadata pages; distributed like the zone-map build).
+    */
+  def materializeWhere(
+      spark: SparkSession,
+      dir: String,
+      minDeletedFraction: Double): MaterializeReceipt = {
+    require(TxLog.exists(spark, dir),
+      s"deletion vectors require a TxLog-managed table: $dir")
+    require(minDeletedFraction > 0 && minDeletedFraction <= 1,
+      s"minDeletedFraction must be in (0, 1]: $minDeletedFraction")
+    val entries = TxLog.liveEntries(spark, dir)
     val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return MaterializeReceipt(0, 0, entries.size.toLong)
+    val deleted = stats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val files = dvd.map(e => s"$dir/${e.name}")
+    val rowsOf = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var n = 0L
+          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+          (f, n)
+        } finally r.close()
+      }.collect().toMap
+    val pick = dvd.filter { e =>
+      val total = rowsOf.getOrElse(s"$dir/${e.name}", Long.MaxValue)
+      total > 0 &&
+        deleted.getOrElse(e.name, 0L).toDouble / total >= minDeletedFraction
+    }
+    materializeEntries(spark, dir, entries, pick)
+  }
+
+  private def materializeEntries(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[TxLog.AddEntry],
+      dvd: Seq[TxLog.AddEntry]): MaterializeReceipt = {
     if (dvd.isEmpty)
       return MaterializeReceipt(0, 0, entries.size.toLong)
     val live = TxLog.readEntries(spark, dir, dvd).localCheckpoint()

@@ -227,6 +227,25 @@ class DeletionVectorsSpec extends SparkSpec {
       orders.filter(col("o_orderkey").between(51, 100))))
   }
 
+  test("materializeWhere folds only files past the deleted-fraction threshold") {
+    val dir = freshTable()
+    val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    // key-sorted 8-file layout: hollow out the low range (most of the
+    // first file), poke one hole near the top
+    DeletionVectors.delete(spark, dir,
+      col("o_orderkey") <= keyMax / 9)
+    DeletionVectors.delete(spark, dir, col("o_orderkey") === keyMax)
+    val dvdBefore = TxLog.liveEntries(spark, dir).count(_.dv.isDefined)
+    assert(dvdBefore >= 2)
+    val m = DeletionVectors.materializeWhere(spark, dir, 0.5)
+    assert(m.rewritten >= 1 && m.rewritten < dvdBefore)
+    // the one-row hole keeps its cheap vector
+    assert(TxLog.liveEntries(spark, dir).count(_.dv.isDefined) ==
+      dvdBefore - m.rewritten)
+    assert(same(TxLog.snapshot(spark, dir), orders.filter(
+      col("o_orderkey") > keyMax / 9 && col("o_orderkey") =!= keyMax)))
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
