@@ -2565,6 +2565,42 @@ object Queries {
       col("o_orderpriority"))
   }
 
+  /** MERGE-ON-READ upsert ([[graft.ops.DeletionVectors.upsert]]):
+    * the q_upsert_pruned batch shape (keys ≡ 0 mod 991 re-priced,
+    * five shifted inserts) applied WITHOUT rewriting a matched file —
+    * old rows hide behind one vector, the batch appends as fresh
+    * files, one commit swaps both. Candidates pruned through the
+    * bloom index. Hash-green means the vectored merge lands exactly
+    * on DuckDB's CASE-rewrite + UNION of the final state.
+    */
+  def qDvUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/dv_upsert"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val ix = graft.ops.BloomFileIndex.build(s, path, "o_orderkey")
+    val batch = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") < 5).select(
+        (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+        lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+        lit("9-NEW").as("o_orderpriority")))
+    val keys: Seq[Any] = batch.select("o_orderkey").collect()
+      .map(_.getLong(0)).toSeq
+    val cand = graft.ops.BloomFileIndex
+      .candidateFiles(ix, graft.ops.TxLog.dataInputFiles(s, path), keys)
+      .map(u => u.substring(u.lastIndexOf('/') + 1))
+    graft.ops.DeletionVectors.upsert(s, path, batch, Seq("o_orderkey"),
+      candidates = Some(cand)) // v1: one commit, zero rewrites
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Hidden partitioning ([[graft.ops.PartitionTransforms]]): events
     * laid out by `days(ts)` × `bucket(8, user_id)` — the QUERY never
     * names a partition column: a time-range request and a user-id

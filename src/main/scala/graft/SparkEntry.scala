@@ -168,6 +168,7 @@ object SparkEntry {
     "q_dv_materialize" -> (Queries.qDvMaterialize _),
     "q_dv_diff" -> (Queries.qDvDiff _),
     "q_hidden_partition" -> (Queries.qHiddenPartition _),
+    "q_dv_upsert" -> (Queries.qDvUpsert _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
@@ -2008,6 +2009,19 @@ object Oracles {
       """SELECT 'delete' AS _change_type, o_orderkey, o_custkey,
                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 499 = 0""",
+
+    // merge-on-read MERGE: one vectored commit must land on the
+    // CASE-rewrite + UNION derivation of the final state
+    "q_dv_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 1000000, o_custkey, 'N', 0.0,
+         TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
+         FROM orders WHERE o_orderkey < 5""",
 
     // hidden partitioning: layout-blind predicates land on the direct
     // filters (partitions derived from the data predicate, guarded)

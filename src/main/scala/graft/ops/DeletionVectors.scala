@@ -125,6 +125,118 @@ object DeletionVectors {
     deleteWith(spark, dir, _.join(k, Seq(column), "left_semi"), Some(cand))
   }
 
+  final case class UpsertReceipt(
+      filesTotal: Long,
+      touched: Long,
+      replacedRows: Long,
+      insertedFiles: Long,
+      dvFile: Option[String])
+
+  /** MERGE-ON-READ upsert — whole-row MERGE without rewriting a
+    * single matched file: the batch's keys locate their current
+    * positions (semi-join over the positioned snapshot of the
+    * candidate files), those positions hide behind a new vector, the
+    * batch itself lands as fresh appended files, and ONE commit swaps
+    * the touched entries + adds the new files — so a reader sees the
+    * old state or the new state, never both rows of a key. This is
+    * the streaming-CDC shape at 100 TB: a steady trickle of updates
+    * against a huge keyed table costs O(batch) writes per epoch, not
+    * O(touched files' bytes) — [[UpsertWhere.byKeys]]' copy-on-write
+    * economics inverted exactly like [[delete]] vs [[DeleteWhere]].
+    *
+    * Semantics: whole-row replace by `keyCols` equality; batch rows
+    * whose keys miss are plain inserts; the batch must be key-unique
+    * (net a CDC feed first — [[UpsertWhere.applyChanges]]' SEQUENCE-BY
+    * contract). NULL batch keys never match an existing row (SQL
+    * MERGE's null-unsafe ON) and land as inserts. `txn` gives
+    * exactly-once replay for streaming epochs ([[TxLog.txnCommitted]]
+    * probes it); without one, a replay hides the first run's rows and
+    * appends duplicates — the same contract as any unstamped merge.
+    * `candidates` bounds the position scan (pass the bloom/stats
+    * answer); an unpruned scan is correct, just wider.
+    */
+  def upsert(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      candidates: Option[Seq[String]] = None,
+      txn: Option[String] = None): UpsertReceipt = {
+    require(TxLog.exists(spark, dir),
+      s"merge-on-read upsert requires a TxLog-managed table: $dir")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    txn.foreach { t =>
+      if (TxLog.txnCommitted(spark, dir, t))
+        return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
+          0, 0, 0, None)
+    }
+    TxLog.enforceConstraints(spark, dir, updates)
+    val entries = TxLog.liveEntries(spark, dir)
+    val cand = candidates match {
+      case Some(cs) => val c = cs.toSet; entries.filter(e => c(e.name))
+      case None => entries
+    }
+    val k = updates.select(keyCols.map(col): _*).distinct()
+    val (hit, replacedRows, touched) =
+      if (cand.isEmpty) (None, 0L, Nil)
+      else {
+        val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
+        val h = withPos.join(k, keyCols, "left_semi")
+          .select(col("__graft_file").as("file"),
+            col("__graft_pos").as("pos"))
+          .localCheckpoint()
+        val n = h.count()
+        val rels = h.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        (Some(h), n, entries.filter(e => rels(e.name)))
+      }
+    // stage the batch as fresh files FIRST (a crash before the commit
+    // leaves only age-sweepable orphans), hive-partitioned when the
+    // table is
+    val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
+    val newNames = stageAppend(spark, dir, updates, pcols)
+    val dvName =
+      if (replacedRows == 0) None
+      else {
+        val prior = priorDvRows(spark, dir, touched)
+        val allRows = prior.map(_.unionByName(hit.get)).getOrElse(hit.get)
+        Some(writeSidecar(spark, dir, allRows))
+      }
+    TxLog.commitEntries(spark, dir,
+      adds = touched.map(e => e.copy(dv = dvName)).sortBy(_.name) ++
+        newNames.map(TxLog.AddEntry(_)),
+      removes = touched.map(_.name).sorted,
+      txn = txn,
+      seen = touched)
+    UpsertReceipt(entries.size.toLong, touched.size.toLong, replacedRows,
+      newNames.size.toLong, dvName)
+  }
+
+  /** Land `updates` as data files under `dir` (partition tree when
+    * `pcols` non-empty) via a dot-temp stage + move; returns the new
+    * root-relative names. The commit that references them follows.
+    */
+  private def stageAppend(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      pcols: Seq[String]): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val stage = new Path(dir, s".mor_stage-${java.util.UUID.randomUUID}")
+    val w = updates.write.mode("overwrite")
+    if (pcols.nonEmpty) w.partitionBy(pcols: _*).parquet(stage.toString)
+    else w.parquet(stage.toString)
+    val names = Compact.dataFilesRecursive(fs, stage.toString).sorted
+    names.foreach { n =>
+      val dest = new Path(dir, n)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(new Path(stage, n), dest))
+        throw new java.io.IOException(s"mor upsert: cannot move $n into $dir")
+    }
+    fs.delete(stage, true)
+    names
+  }
+
   /** The general form: `matchRows` maps the positioned snapshot of
     * the candidate files to the rows to hide (it must preserve the
     * `__graft_file`/`__graft_pos` columns). Every public delete

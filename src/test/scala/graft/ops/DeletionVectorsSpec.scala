@@ -246,6 +246,44 @@ class DeletionVectorsSpec extends SparkSpec {
       col("o_orderkey") > keyMax / 9 && col("o_orderkey") =!= keyMax)))
   }
 
+  test("merge-on-read upsert: matched rows hide, replacements append, one commit") {
+    val dir = freshTable()
+    val v0 = TxLog.currentVersion(spark, dir)
+    val before = Compact.dataFilesRecursive(Compact.fsOf(spark, dir), dir).toSet
+    val batch = orders.filter(col("o_orderkey") <= 30)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(orders.filter(col("o_orderkey") <= 3).select(
+        (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+        col("o_orderdate"), lit("9-NEW").as("o_orderpriority")))
+    val r = DeletionVectors.upsert(spark, dir, batch, Seq("o_orderkey"))
+    assert(r.replacedRows ==
+      orders.filter(col("o_orderkey") <= 30).count())
+    assert(r.insertedFiles >= 1)
+    assert(TxLog.currentVersion(spark, dir) == v0 + 1) // ONE commit
+    // not one pre-existing data file rewritten or removed from disk
+    val after = Compact.dataFilesRecursive(Compact.fsOf(spark, dir), dir)
+    assert(before.subsetOf(after.toSet))
+    val expected = orders.filter(col("o_orderkey") > 30).unionByName(batch)
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // the pre-merge version still reconstructs
+    assert(same(TxLog.snapshot(spark, dir, v0), orders))
+  }
+
+  test("mor upsert with a txn id replays as a no-op") {
+    val dir = freshTable()
+    val batch = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_totalprice", lit(1.0))
+    val r1 = DeletionVectors.upsert(spark, dir, batch, Seq("o_orderkey"),
+      txn = Some("epoch-7"))
+    assert(r1.replacedRows > 0)
+    val r2 = DeletionVectors.upsert(spark, dir, batch, Seq("o_orderkey"),
+      txn = Some("epoch-7"))
+    assert(r2.replacedRows == 0 && r2.insertedFiles == 0)
+    assert(same(TxLog.snapshot(spark, dir),
+      orders.filter(col("o_orderkey") > 10).unionByName(batch)))
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
