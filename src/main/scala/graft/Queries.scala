@@ -2455,6 +2455,36 @@ object Queries {
         col("source"), col("n_chars"))
   }
 
+  /** Streaming CDC MERGE ([[graft.streaming.TxLogIngest.mergeSink]]):
+    * three epochs against a keyed orders table — a seed, a re-price
+    * epoch carrying TWO sequence-stamped versions of its keys (the
+    * SEQUENCE-BY netting must keep only the later), and a replayed
+    * epoch the txn probe must skip — each applied through the
+    * merge-on-read upsert (positions hidden, batch appended, one
+    * stamped commit; zero matched files rewritten). Hash-green means
+    * the netted, exactly-once stream lands exactly on DuckDB's
+    * CASE-rewrite of the final state.
+    */
+  def qDvStream(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/dv_stream"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val sink = graft.streaming.TxLogIngest.mergeSink(path,
+      Seq("o_orderkey"), seqCol = Some("seq"))
+    sink(o.withColumn("seq", lit(0L)), 0) // seed epoch
+    val stale = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", lit(-1.0)).withColumn("seq", lit(1L))
+    val fresh = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("seq", lit(2L))
+    sink(stale.unionByName(fresh), 1) // nets to seq=2 rows only
+    sink(stale.unionByName(fresh), 1) // re-delivered: no-op
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Change feed across log versions ([[graft.ops.TxLog.diff]]): the
     * q_timetravel lifecycle (merge at v1, purge at v2) in its own
     * directory, then the ROW-LEVEL diff v0→v2 — updated keys appear

@@ -169,6 +169,7 @@ object SparkEntry {
     "q_dv_diff" -> (Queries.qDvDiff _),
     "q_hidden_partition" -> (Queries.qHiddenPartition _),
     "q_dv_upsert" -> (Queries.qDvUpsert _),
+    "q_dv_stream" -> (Queries.qDvStream _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
@@ -2022,6 +2023,15 @@ object Oracles {
          SELECT o_orderkey + 1000000, o_custkey, 'N', 0.0,
          TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders WHERE o_orderkey < 5""",
+
+    // streaming CDC MERGE: netted + exactly-once epochs land on the
+    // direct CASE-rewrite (the -1.0 stale rows must never surface)
+    "q_dv_stream" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+         FROM orders""",
 
     // hidden partitioning: layout-blind predicates land on the direct
     // filters (partitions derived from the data predicate, guarded)

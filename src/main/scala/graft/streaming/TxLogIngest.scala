@@ -66,4 +66,51 @@ object TxLogIngest {
       }
       ()
     }
+
+  /** foreachBatch MERGE sink — streaming CDC applied through the
+    * merge-on-read upsert ([[graft.ops.DeletionVectors.upsert]]):
+    * each epoch nets to key-unique rows (last by `seqCol` when given
+    * — the applyChanges SEQUENCE-BY contract), hides its matched
+    * keys' current positions behind one vector, appends the batch as
+    * fresh files, and lands ONE epoch-stamped commit — exactly-once
+    * under replay via the same [[TxLog.txnCommitted]] probe, with
+    * O(batch) write bytes per epoch no matter how many TB the keyed
+    * table holds. `materializeEvery` > 0 folds accrued vectors past
+    * 20% tombstones after every that-many epochs — the read-tax
+    * maintenance riding the sink, like `compactEvery` on the append
+    * sink.
+    */
+  def mergeSink(
+      dir: String,
+      keyCols: Seq[String],
+      seqCol: Option[String] = None,
+      materializeEvery: Int = 0):
+      (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], epoch: Long) => {
+      val spark = batch.sparkSession
+      if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
+      import org.apache.spark.sql.functions.{col, row_number, desc}
+      import org.apache.spark.sql.expressions.Window
+      val netted = seqCol match {
+        case None => batch.toDF()
+        case Some(sc) =>
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(desc(sc))
+          batch.toDF().withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", sc)
+      }
+      if (TxLog.liveFiles(spark, dir).isEmpty) {
+        // first data: nothing to merge against — the plain append
+        // path is the epoch (still stamped)
+        appendSink(dir)(netted, epoch)
+      } else {
+        graft.ops.DeletionVectors.upsert(spark, dir, netted, keyCols,
+          txn = Some(s"epoch_$epoch"))
+      }
+      if (materializeEvery > 0 && (epoch + 1) % materializeEvery == 0) {
+        graft.ops.DeletionVectors.materializeWhere(spark, dir, 0.2)
+        TxLog.checkpoint(spark, dir)
+      }
+      ()
+    }
 }

@@ -41,6 +41,48 @@ class TxLogIngestSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir), orders))
   }
 
+  test("mergeSink applies CDC epochs exactly-once through the vectored MERGE") {
+    val dir = Files.createTempDirectory("txi_m").toString + "/t"
+    val sink = TxLogIngest.mergeSink(dir, Seq("o_orderkey"))
+    sink(orders, 0) // first epoch: plain append (nothing to merge)
+    val e1 = orders.filter(col("o_orderkey") <= 20)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    sink(e1, 1)
+    sink(e1, 1) // re-delivered epoch: txn probe must skip it
+    val expected = orders.filter(col("o_orderkey") > 20).unionByName(e1)
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // merged, not rewritten: the matched files carry vectors
+    assert(TxLog.liveEntries(spark, dir).exists(_.dv.isDefined))
+  }
+
+  test("mergeSink nets each epoch by SEQUENCE-BY before applying") {
+    val dir = Files.createTempDirectory("txi_s").toString + "/t"
+    val sink = TxLogIngest.mergeSink(dir, Seq("o_orderkey"),
+      seqCol = Some("seq"))
+    sink(orders.withColumn("seq", lit(0L)), 0)
+    // one epoch carries two versions of the same keys: only seq=2 lands
+    val twice = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_totalprice", lit(111.0)).withColumn("seq", lit(1L))
+      .unionByName(orders.filter(col("o_orderkey") <= 10)
+        .withColumn("o_totalprice", lit(222.0)).withColumn("seq", lit(2L)))
+    sink(twice, 1)
+    val got = TxLog.snapshot(spark, dir)
+      .filter(col("o_orderkey") <= 10).select("o_totalprice").distinct()
+    assert(got.collect().map(_.getDouble(0)).toSeq == Seq(222.0))
+  }
+
+  test("mergeSink's materializeEvery folds heavy vectors in-line") {
+    val dir = Files.createTempDirectory("txi_mm").toString + "/t"
+    val sink = TxLogIngest.mergeSink(dir, Seq("o_orderkey"),
+      materializeEvery = 2)
+    sink(orders, 0)
+    sink(orders.withColumn("o_totalprice", lit(1.0)), 1) // 100% tombstones
+    // epoch 1 triggered the fold: no vectors survive, state exact
+    assert(TxLog.liveEntries(spark, dir).forall(_.dv.isEmpty))
+    assert(same(TxLog.snapshot(spark, dir),
+      orders.withColumn("o_totalprice", lit(1.0))))
+  }
+
   test("compactEvery maintains the tail in-line; checkpointed snapshots stay exact") {
     val dir = Files.createTempDirectory("txi_c").toString + "/t"
     val sink = TxLogIngest.appendSink(dir, compactEvery = 4,
