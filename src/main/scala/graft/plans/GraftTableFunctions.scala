@@ -17,6 +17,9 @@ import graft.ops.TxLog
   * SELECT * FROM graft_history('/data/orders')         -- DESCRIBE HISTORY
   * SELECT * FROM graft_diff('/data/orders', 1, 4)      -- change feed
   * SELECT * FROM graft_scan('/data/orders', 'k', 10, 99) -- stats-pruned
+  * SELECT * FROM graft_hidden_range('/data/ev', 'ts',    -- hidden-partition
+  *   '2024-01-10 00:00:00', '2024-01-12 23:59:59')       --   range scan
+  * SELECT * FROM graft_hidden_eq('/data/ev', 'user_id', 1, 2) -- bucket scan
   * }}}
   *
   * Two registration paths, same builders:
@@ -88,8 +91,28 @@ object GraftTableFunctions {
     case ("graft_scan", Seq(d, c, lo, hi)) =>
       TxLog.snapshotPruned(spark, str(d, fn, 0), str(c, fn, 1),
         dbl(lo, fn, 2), dbl(hi, fn, 3))
+    case ("graft_hidden_range", Seq(d, c, lo, hi)) =>
+      graft.ops.PartitionTransforms.scanRange(spark, str(d, fn, 0),
+        str(c, fn, 1), anyLit(lo, fn, 2), anyLit(hi, fn, 3))
+    case ("graft_hidden_eq", Seq(d, c, vs @ _*)) if vs.nonEmpty =>
+      graft.ops.PartitionTransforms.scanEquals(spark, str(d, fn, 0),
+        str(c, fn, 1), vs.zipWithIndex.map { case (v, i) =>
+          anyLit(v, fn, i + 2) })
     case _ => throw new IllegalArgumentException(
       s"$fn: unsupported argument count ${args.length}")
+  }
+
+  /** A literal of ANY type, passed through as-is (partition-transform
+    * scans cast literals to the table column's type themselves).
+    */
+  private def anyLit(e: Expression, fn: String, pos: Int): Any = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => other
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a literal, got $other")
   }
 
   private def dbl(e: Expression, fn: String, pos: Int): Double = e match {
@@ -121,7 +144,11 @@ object GraftTableFunctions {
       ("graft_history", "graft_history(dir) - commit history"),
       ("graft_diff", "graft_diff(dir, from, to) - row-level change feed"),
       ("graft_scan",
-        "graft_scan(dir, col, lo, hi) - snapshot read pruned by log-carried stats"))
+        "graft_scan(dir, col, lo, hi) - snapshot read pruned by log-carried stats"),
+      ("graft_hidden_range",
+        "graft_hidden_range(dir, col, lo, hi) - hidden-partition range scan"),
+      ("graft_hidden_eq",
+        "graft_hidden_eq(dir, col, v...) - hidden-partition equality scan"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

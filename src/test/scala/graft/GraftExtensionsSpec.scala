@@ -156,4 +156,29 @@ class GraftExtensionsSpec extends SparkSpec {
     val viaRule = org.apache.spark.sql.GraftShim.ofRows(spark, resolved)
     assert(viaRule.filter(col("o_orderkey").isin(1L, 2L)).count() == 2L)
   }
+
+  test("graft_hidden_range / graft_hidden_eq table functions from SQL") {
+    import graft.ops.{PartitionTransforms, TxLog}
+    val ev = graft.Tables.events(spark, sf("events"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("tvf_h").toString + "/t"
+    PartitionTransforms.write(spark, ev, dir, Seq(
+      PartitionTransforms.Days("ts"), PartitionTransforms.Bucket(4, "user_id")))
+    val got = spark.sql(
+      s"""SELECT count(*) FROM graft_hidden_range('$dir', 'ts',
+            '2024-01-05 00:00:00', '2024-01-06 23:59:59')""").head().getLong(0)
+    assert(got == ev.filter(col("ts").between(
+      "2024-01-05 00:00:00", "2024-01-06 23:59:59")).count())
+    // SQL integer literals against the BIGINT bucket column: the
+    // table-type cast inside the scan must keep the pruning honest
+    val eq = spark.sql(
+      s"SELECT count(*) FROM graft_hidden_eq('$dir', 'user_id', 1, 2)")
+      .head().getLong(0)
+    assert(eq == ev.filter(col("user_id").isin(1L, 2L)).count())
+    // composes like any relation — and never exposes the p_ columns
+    val cols = spark.sql(
+      s"SELECT * FROM graft_hidden_eq('$dir', 'user_id', 1)").columns
+    assert(!cols.exists(_.startsWith("p_")))
+    assert(TxLog.exists(spark, dir))
+  }
 }
