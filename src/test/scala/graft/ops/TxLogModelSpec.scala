@@ -103,6 +103,103 @@ class TxLogModelSpec extends SparkSpec {
     check("post-vacuum")
   }
 
+  test("merge-on-read lifecycle: 15 random DV ops, snapshot == model, diff == model delta") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    val dir = Files.createTempDirectory("txmodel_dv").toString + "/t"
+
+    val model = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextKey = 0L
+    val modelAt = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def snapState(): Unit = modelAt += model.toMap
+    def check(step: String): Unit = {
+      val got =
+        if (TxLog.liveFiles(spark, dir).isEmpty) Seq.empty[(Long, Long)]
+        else TxLog.snapshot(spark, dir).select("k", "v")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+      val want = model.toSeq.sorted
+      assert(got == want,
+        s"$step: snapshot ${got.length} rows != model ${want.length}")
+    }
+
+    TxLog.convert(spark, dir)
+    snapState()
+
+    def append(): Unit = {
+      val rows = (0 until (5 + rnd.nextInt(15)))
+        .map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+      graft.streaming.TxLogIngest.appendSink(dir)(df(rows),
+        TxLog.currentVersion(spark, dir).toLong + 1000)
+      rows.foreach { case (k, v) => model(k) = v }
+    }
+
+    def dvDelete(): Unit = {
+      if (model.isEmpty) return
+      val ks = model.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length))
+      val hi = lo + rnd.nextInt(12)
+      DeletionVectors.delete(spark, dir, col("k").between(lo, hi))
+      model.filterInPlace((k, _) => k < lo || k > hi)
+    }
+
+    def morUpsert(): Unit = {
+      if (model.isEmpty) return
+      val ks = model.keys.toSeq.sorted
+      val existing = (0 until 3).map(_ => ks(rnd.nextInt(ks.length))).distinct
+      val fresh = (0 until 2).map { _ => nextKey += 1; nextKey }
+      val rows = (existing ++ fresh).map(k => (k, rnd.nextLong(1000)))
+      DeletionVectors.upsert(spark, dir, df(rows), Seq("k"))
+      rows.foreach { case (k, v) => model(k) = v }
+    }
+
+    def fold(): Unit =
+      if (rnd.nextBoolean()) DeletionVectors.materialize(spark, dir)
+      else DeletionVectors.materializeWhere(spark, dir, 0.3)
+
+    def restore(): Unit = {
+      val v = rnd.nextInt(modelAt.length)
+      TxLog.restore(spark, dir, v)
+      model.clear()
+      modelAt(v).foreach { case (k, x) => model(k) = x }
+    }
+
+    append(); snapState(); check("seed append")
+    (0 until 15).foreach { i =>
+      val before = TxLog.currentVersion(spark, dir)
+      rnd.nextInt(6) match {
+        case 0 => append()
+        case 1 | 2 => dvDelete()
+        case 3 => morUpsert()
+        case 4 => fold()
+        case 5 => restore()
+      }
+      (before until TxLog.currentVersion(spark, dir)).foreach(_ => snapState())
+      check(s"op $i")
+    }
+
+    // the change-feed property: for random version pairs, diff must be
+    // exactly the model delta — DV-only commits included (a vector
+    // attach changes no file name, but its rows must still feed out)
+    (0 until 4).foreach { _ =>
+      val a = rnd.nextInt(modelAt.length - 1)
+      val b = a + 1 + rnd.nextInt(modelAt.length - 1 - a)
+      val d = TxLog.diff(spark, dir, a, b)
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val ins = d.filter(_._3 == "insert").map(t => (t._1, t._2)).sorted.toSeq
+      val del = d.filter(_._3 == "delete").map(t => (t._1, t._2)).sorted.toSeq
+      val ma = modelAt(a).toSet; val mb = modelAt(b).toSet
+      assert(ins == (mb -- ma).toSeq.sorted, s"diff($a,$b) inserts")
+      assert(del == (ma -- mb).toSeq.sorted, s"diff($a,$b) deletes")
+    }
+
+    // vectors survive vacuum's retention sweep; the state stays exact
+    TxLog.vacuum(spark, dir, retainVersions = 2)
+    check("post-vacuum")
+  }
+
   test("partitioned + stats-carrying table: 12 random ops, snapshot == model, log-pruned reads exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
