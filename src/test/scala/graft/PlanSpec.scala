@@ -116,6 +116,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
 
+  test("DV snapshot: plain files keep the raw-scan plan; the anti-join broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("plan_dv").toString + "/t"
+    graft.Tables.orders(spark, sf(""))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(dir)
+    graft.ops.TxLog.convert(spark, dir)
+    graft.ops.DeletionVectors.delete(spark, dir, col("o_orderkey") <= 20)
+    val p = graft.ops.TxLog.snapshot(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the deleted-positions side must broadcast: a shuffled anti-join
+    // here would re-partition the DATA side of every vectored file
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the key-sorted layout clusters the hidden keys into ONE file —
+    // every other file reads on the plain fast path (no metadata cols)
+    val metaScans = "row_index".r.findAllIn(p).length
+    assert(metaScans > 0, p)
+    // pushdown survives the union of the two read paths
+    val f = graft.ops.TxLog.snapshot(spark, dir)
+      .filter(col("o_totalprice") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(f.contains("GreaterThan(o_totalprice,1000.0)"), f)
+  }
+
   test("no query plans a cartesian product (ann_brute's broadcast NLJ excepted)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, sf("")).queryExecution.executedPlan.toString
