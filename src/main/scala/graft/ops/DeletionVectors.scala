@@ -305,7 +305,14 @@ object DeletionVectors {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     require(TxLog.exists(spark, dir),
       s"deletion vectors require a TxLog-managed table: $dir")
-    val dvd = TxLog.liveEntries(spark, dir).filter(_.dv.isDefined)
+    statsForEntries(spark, dir,
+      TxLog.liveEntries(spark, dir).filter(_.dv.isDefined))
+  }
+
+  private[ops] def statsForEntries(
+      spark: SparkSession,
+      dir: String,
+      dvd: Seq[TxLog.AddEntry]): DataFrame =
     priorDvRows(spark, dir, dvd) match {
       case None =>
         import spark.implicits._
@@ -313,7 +320,6 @@ object DeletionVectors {
       case Some(rows) =>
         rows.groupBy("file").agg(count(lit(1)).as("deleted_rows"))
     }
-  }
 
   /** Fold every deletion vector into its file: DV-carrying files are
     * re-read through the snapshot (positions applied) and rewritten

@@ -638,6 +638,53 @@ object TxLog {
   private[ops] def dataInputFilesOf(df: DataFrame): Seq[String] =
     df.inputFiles.toSeq.filterNot(_.contains(s"/$DvDirName/"))
 
+  /** The metadata "files table" (DESCRIBE DETAIL / `.files`): one row
+    * per live entry at `version` with on-disk size, footer row count,
+    * the attached deletion vector (and how many of the file's rows it
+    * hides), and the log-carried column stats — the observability
+    * surface a maintenance policy reads, exposed in SQL as
+    * `graft_files(dir[, version])`. Cost: the log fold + one fs
+    * status + footer read per file (metadata pages only) + a sidecar
+    * scan when vectors exist.
+    */
+  def filesMeta(
+      spark: SparkSession,
+      dir: String,
+      version: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val entries = liveEntries(spark, dir, version)
+    val fs = Compact.fsOf(spark, dir)
+    val paths = entries.map(e => s"$dir/${e.name}")
+    val footer = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var n = 0L
+          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+          (f, n)
+        } finally r.close()
+      }.collect().toMap
+    val base = entries.map { e =>
+      (e.name,
+        fs.getFileStatus(new Path(dir, e.name)).getLen,
+        footer.getOrElse(s"$dir/${e.name}", -1L),
+        e.dv.orNull,
+        e.stats.map(s => (s.column, s.min, s.max)))
+    }.toDF("file", "bytes", "rows", "dv", "stats")
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) base.withColumn("dv_rows", lit(0L))
+    else {
+      val counts = DeletionVectors.statsForEntries(spark, dir, dvd)
+        .withColumnRenamed("deleted_rows", "dv_rows")
+      base.join(counts, Seq("file"), "left_outer")
+        .na.fill(0L, Seq("dv_rows"))
+    }
+  }
+
   /** Read a pruned candidate subset given by inputFiles-form URIs —
     * applying deletion vectors where the candidates carry them. The
     * one reader every stats-pruned path ([[ZoneMap]]'s range/equality

@@ -20,6 +20,7 @@ import graft.ops.TxLog
   * SELECT * FROM graft_hidden_range('/data/ev', 'ts',    -- hidden-partition
   *   '2024-01-10 00:00:00', '2024-01-12 23:59:59')       --   range scan
   * SELECT * FROM graft_hidden_eq('/data/ev', 'user_id', 1, 2) -- bucket scan
+  * SELECT * FROM graft_files('/data/orders')   -- files table (DESCRIBE DETAIL)
   * }}}
   *
   * Two registration paths, same builders:
@@ -91,6 +92,10 @@ object GraftTableFunctions {
     case ("graft_scan", Seq(d, c, lo, hi)) =>
       TxLog.snapshotPruned(spark, str(d, fn, 0), str(c, fn, 1),
         dbl(lo, fn, 2), dbl(hi, fn, 3))
+    case ("graft_files", Seq(d)) =>
+      TxLog.filesMeta(spark, str(d, fn, 0))
+    case ("graft_files", Seq(d, v)) =>
+      TxLog.filesMeta(spark, str(d, fn, 0), int(v, fn, 1))
     case ("graft_hidden_range", Seq(d, c, lo, hi)) =>
       graft.ops.PartitionTransforms.scanRange(spark, str(d, fn, 0),
         str(c, fn, 1), anyLit(lo, fn, 2), anyLit(hi, fn, 3))
@@ -148,7 +153,9 @@ object GraftTableFunctions {
       ("graft_hidden_range",
         "graft_hidden_range(dir, col, lo, hi) - hidden-partition range scan"),
       ("graft_hidden_eq",
-        "graft_hidden_eq(dir, col, v...) - hidden-partition equality scan"))
+        "graft_hidden_eq(dir, col, v...) - hidden-partition equality scan"),
+      ("graft_files",
+        "graft_files(dir[, version]) - per-file metadata: bytes, rows, dv, stats"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

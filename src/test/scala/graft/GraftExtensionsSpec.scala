@@ -181,4 +181,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!cols.exists(_.startsWith("p_")))
     assert(TxLog.exists(spark, dir))
   }
+
+  test("graft_files: per-file metadata accounts for rows, vectors and stats") {
+    import graft.ops.{DeletionVectors, TxLog}
+    val dir = java.nio.file.Files.createTempDirectory("tvf_f").toString + "/t"
+    val o = graft.Tables.orders(spark, sf("orders"))
+    o.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    TxLog.setStatsColumns(spark, dir, Seq("o_orderkey"))
+    DeletionVectors.delete(spark, dir, col("o_orderkey") <= 25)
+    val m = spark.sql(s"SELECT * FROM graft_files('$dir')")
+    assert(m.columns.toSeq ==
+      Seq("file", "bytes", "rows", "dv", "stats", "dv_rows"))
+    // footer rows minus hidden rows == the live relation, in SQL
+    val live = spark.sql(
+      s"SELECT sum(rows) - sum(dv_rows) FROM graft_files('$dir')")
+      .head().getLong(0)
+    assert(live == o.filter(col("o_orderkey") > 25).count())
+    // exactly the key-sorted low file carries the vector
+    val dvd = m.filter(col("dv").isNotNull).collect()
+    assert(dvd.length >= 1 && dvd.forall(_.getLong(5) > 0))
+    // time travel: at v0 nothing is hidden
+    assert(spark.sql(
+      s"SELECT sum(dv_rows) FROM graft_files('$dir', 0)")
+      .head().getLong(0) == 0L)
+  }
 }
