@@ -161,7 +161,8 @@ object DeletionVectors {
       updates: DataFrame,
       keyCols: Seq[String],
       candidates: Option[Seq[String]] = None,
-      txn: Option[String] = None): UpsertReceipt = {
+      txn: Option[String] = None,
+      evolveSchema: Boolean = false): UpsertReceipt = {
     require(TxLog.exists(spark, dir),
       s"merge-on-read upsert requires a TxLog-managed table: $dir")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
@@ -172,6 +173,48 @@ object DeletionVectors {
     }
     TxLog.enforceConstraints(spark, dir, updates)
     val entries = TxLog.liveEntries(spark, dir)
+    // schema discipline: an unannounced column drift would land files
+    // a footer-sampled read resolves NONDETERMINISTICALLY. Width must
+    // match the table exactly, or the caller opts into evolution and
+    // the widened schema is PINNED in the log (versioned — older
+    // snapshots keep their own width; files lacking a column read
+    // NULL under the pin).
+    val updatesAligned = {
+      val base = TxLog.tableSchema(spark, dir).getOrElse {
+        if (entries.isEmpty) updates.schema
+        else TxLog.readEntries(spark, dir, entries).schema
+      }
+      val baseNames = base.fieldNames.toSet
+      val batchNames = updates.columns.toSet
+      val fresh = updates.schema.fields.filterNot(f => baseNames(f.name))
+      if (fresh.isEmpty && batchNames == baseNames) {
+        base.fields.foreach { f =>
+          val bt = updates.schema(f.name).dataType
+          require(bt == f.dataType,
+            s"column ${f.name}: batch type $bt != table type ${f.dataType}")
+        }
+        updates.select(base.fieldNames.map(col): _*)
+      } else {
+        require(evolveSchema,
+          s"batch schema differs from the table (missing: " +
+            s"${(baseNames -- batchNames).mkString(",")}; new: " +
+            s"${fresh.map(_.name).mkString(",")}) — pass " +
+            "evolveSchema = true to widen, or align the batch")
+        base.fields.filter(f => batchNames(f.name)).foreach { f =>
+          val bt = updates.schema(f.name).dataType
+          require(bt == f.dataType,
+            s"column ${f.name}: batch type $bt != table type ${f.dataType}")
+        }
+        val merged = org.apache.spark.sql.types.StructType(
+          base.fields ++ fresh)
+        TxLog.setTableSchema(spark, dir, merged,
+          version = TxLog.currentVersion(spark, dir) + 1)
+        val withMissing = base.fieldNames.filterNot(batchNames)
+          .foldLeft(updates)((d, n) =>
+            d.withColumn(n, lit(null).cast(base(n).dataType)))
+        withMissing.select(merged.fieldNames.map(col): _*)
+      }
+    }
     val cand = candidates match {
       case Some(cs) => val c = cs.toSet; entries.filter(e => c(e.name))
       case None => entries
@@ -194,7 +237,7 @@ object DeletionVectors {
     // leaves only age-sweepable orphans), hive-partitioned when the
     // table is
     val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
-    val newNames = stageAppend(spark, dir, updates, pcols)
+    val newNames = stageAppend(spark, dir, updatesAligned, pcols)
     val dvName =
       if (replacedRows == 0) None
       else {

@@ -383,7 +383,60 @@ object TxLog {
       mergeSchema: Boolean = false): DataFrame = {
     val entries = liveEntries(spark, dir, version)
     require(entries.nonEmpty, s"version $version of $dir holds no files")
-    readEntries(spark, dir, entries, mergeSchema)
+    readEntries(spark, dir, entries, mergeSchema, schemaVersion = version)
+  }
+
+  private def schemaFileName(v: Int) = f"s$v%08d.json"
+
+  /** Pin the TABLE SCHEMA in the log from `version` onward — Delta's
+    * metadata-action move: once pinned, every snapshot read supplies
+    * this schema to the scan instead of letting a sampled footer
+    * decide, so a table whose files were written under DIFFERENT
+    * schemas (evolution through [[DeletionVectors.upsert]]'s
+    * `evolveSchema`, or any out-of-band column add) reads
+    * deterministically — files lacking a column yield NULL, no
+    * planning-time footer race, no per-file mergeSchema cost. Schema
+    * files are VERSIONED (`sNNNNNNNN.json`): a time-travel read at v
+    * uses the newest schema pinned at or before v, so pre-evolution
+    * snapshots keep their own width. Hive tables include their
+    * partition columns in the pinned schema.
+    */
+  def setTableSchema(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      version: Int = -1): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val out = fs.create(new Path(logPath(dir), schemaFileName(v)), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The pinned schema in effect at `version` (newest pin ≤ version);
+    * None when the table never pinned one (footers decide, the
+    * pre-evolution behavior).
+    */
+  def tableSchema(
+      spark: SparkSession,
+      dir: String,
+      version: Int = Int.MaxValue):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return None
+    val pins = fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("s\\d{8}\\.json"))
+      .map(n => n.substring(1, 9).toInt)
+      .filter(_ <= version)
+    if (pins.isEmpty) return None
+    val in = fs.open(new Path(logPath(dir), schemaFileName(pins.max)))
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(org.apache.spark.sql.types.DataType.fromJson(body)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   private[ops] val DvDirName = "_dv"
@@ -425,7 +478,8 @@ object TxLog {
       dir: String,
       entries: Seq[AddEntry],
       mergeSchema: Boolean = false,
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      schemaVersion: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     require(entries.nonEmpty, s"readEntries: empty entry set for $dir")
@@ -433,7 +487,12 @@ object TxLog {
     // explicit file list out of a partitioned layout; no-op when flat
     def rd = {
       val r = spark.read.option("basePath", dir)
-      if (mergeSchema) r.option("mergeSchema", "true") else r
+      // a pinned schema beats footer sampling AND mergeSchema: the
+      // log says what the table is, files lacking a column read NULL
+      tableSchema(spark, dir, schemaVersion) match {
+        case Some(sc) => r.schema(sc)
+        case None => if (mergeSchema) r.option("mergeSchema", "true") else r
+      }
     }
     def metaRead(es: Seq[AddEntry]): DataFrame = {
       val mapping = es.map(e => (qualify(spark, dir, e.name), e.name))
@@ -529,8 +588,9 @@ object TxLog {
     val cand = candidateFilesFromLog(spark, dir, column, lo, hi, version).toSet
     val candEntries = all.filter(e => cand(e.name))
     val src =
-      if (candEntries.isEmpty) readEntries(spark, dir, all).limit(0)
-      else readEntries(spark, dir, candEntries)
+      if (candEntries.isEmpty)
+        readEntries(spark, dir, all, schemaVersion = version).limit(0)
+      else readEntries(spark, dir, candEntries, schemaVersion = version)
     src.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -746,7 +806,7 @@ object TxLog {
       .sortBy(_.name)
     import org.apache.spark.sql.functions.lit
     def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
-      if (es.nonEmpty) readEntries(spark, dir, es)
+      if (es.nonEmpty) readEntries(spark, dir, es, schemaVersion = toVersion)
       else spark.read.schema(
         spark.read.option("basePath", dir)
           .parquet(schemaOf.map(e => s"$dir/${e.name}"): _*).schema)
@@ -754,7 +814,7 @@ object TxLog {
     if (removed.isEmpty && added.isEmpty) {
       val any = afterE
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
-      return readEntries(spark, dir, any).limit(0)
+      return readEntries(spark, dir, any, schemaVersion = toVersion).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
     val schemaDonor = if (added.nonEmpty) added else removed

@@ -84,7 +84,8 @@ object TxLogIngest {
       dir: String,
       keyCols: Seq[String],
       seqCol: Option[String] = None,
-      materializeEvery: Int = 0):
+      materializeEvery: Int = 0,
+      evolveSchema: Boolean = false):
       (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], epoch: Long) => {
       val spark = batch.sparkSession
@@ -105,7 +106,7 @@ object TxLogIngest {
         appendSink(dir)(netted, epoch)
       } else {
         graft.ops.DeletionVectors.upsert(spark, dir, netted, keyCols,
-          txn = Some(s"epoch_$epoch"))
+          txn = Some(s"epoch_$epoch"), evolveSchema = evolveSchema)
       }
       if (materializeEvery > 0 && (epoch + 1) % materializeEvery == 0) {
         graft.ops.DeletionVectors.materializeWhere(spark, dir, 0.2)

@@ -284,6 +284,46 @@ class DeletionVectorsSpec extends SparkSpec {
       orders.filter(col("o_orderkey") > 10).unionByName(batch)))
   }
 
+  test("schema evolution through the MOR upsert: pinned, versioned, null-filled") {
+    val dir = freshTable()
+    val v0 = TxLog.currentVersion(spark, dir)
+    // unannounced drift is rejected, not silently landed
+    val widened = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_channel", lit("web"))
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.upsert(spark, dir, widened, Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // opted in: the widened schema is pinned in the log
+    DeletionVectors.upsert(spark, dir, widened, Seq("o_orderkey"),
+      evolveSchema = true)
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.columns.contains("o_channel"))
+    // old files read NULL for the new column; the batch carries it
+    assert(snap.filter(col("o_channel").isNull).count() ==
+      orders.filter(col("o_orderkey") > 10).count())
+    assert(snap.filter(col("o_channel") === "web").count() ==
+      orders.filter(col("o_orderkey") <= 10).count())
+    // a type conflict on an existing column still refuses
+    intercept[IllegalArgumentException] {
+      DeletionVectors.upsert(spark, dir,
+        widened.withColumn("o_totalprice", lit("not-a-number")),
+        Seq("o_orderkey"), evolveSchema = true)
+    }
+    // versioned pin: the pre-evolution snapshot keeps its own width
+    assert(!TxLog.snapshot(spark, dir, v0).columns.contains("o_channel"))
+    // a second, batch-narrower upsert aligns (missing new column
+    // null-fills) without a new pin
+    DeletionVectors.upsert(spark, dir,
+      orders.filter(col("o_orderkey") === 20)
+        .withColumn("o_totalprice", lit(5.0)),
+      Seq("o_orderkey"), evolveSchema = true)
+    val row20 = TxLog.snapshot(spark, dir)
+      .filter(col("o_orderkey") === 20).head()
+    assert(row20.getAs[Double]("o_totalprice") == 5.0 &&
+      row20.isNullAt(row20.fieldIndex("o_channel")))
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
