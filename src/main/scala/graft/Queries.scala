@@ -2631,6 +2631,33 @@ object Queries {
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
   }
 
+  /** Schema evolution through the MOR upsert: the merge batch carries
+    * a column the table never had ([[graft.ops.DeletionVectors
+    * .upsert]] with `evolveSchema` — the widened schema is PINNED in
+    * the log and versioned), so the snapshot reads old files NULL for
+    * it with no mergeSchema footer cost. Hash-green means the evolved
+    * relation lands exactly on DuckDB's CASE derivation, NULLs
+    * included.
+    */
+  def qDvEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/dv_evolve"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val batch = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_channel", lit("web"))
+    graft.ops.DeletionVectors.upsert(s, path, batch, Seq("o_orderkey"),
+      evolveSchema = true) // v1: pins the widened schema
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+      col("o_channel"))
+  }
+
   /** Hidden partitioning ([[graft.ops.PartitionTransforms]]): events
     * laid out by `days(ts)` × `bucket(8, user_id)` — the QUERY never
     * names a partition column: a time-range request and a user-id

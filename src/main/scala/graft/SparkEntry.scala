@@ -170,6 +170,7 @@ object SparkEntry {
     "q_hidden_partition" -> (Queries.qHiddenPartition _),
     "q_dv_upsert" -> (Queries.qDvUpsert _),
     "q_dv_stream" -> (Queries.qDvStream _),
+    "q_dv_evolve" -> (Queries.qDvEvolve _),
     "q_txlog_mv" -> (Queries.qTxlogMv _),
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
@@ -2031,6 +2032,16 @@ object Oracles {
          CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
               ELSE o_totalprice END AS o_totalprice,
          o_orderdate, o_orderpriority
+         FROM orders""",
+
+    // schema evolution: the widened relation with NULLs for rows
+    // written before the pin
+    "q_dv_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % 991 = 0 THEN 'web' ELSE NULL END AS o_channel
          FROM orders""",
 
     // hidden partitioning: layout-blind predicates land on the direct
