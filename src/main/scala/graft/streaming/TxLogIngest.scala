@@ -79,6 +79,17 @@ object TxLogIngest {
     * 20% tombstones after every that-many epochs — the read-tax
     * maintenance riding the sink, like `compactEvery` on the append
     * sink.
+    *
+    * Measured (3M rows / 256 files, 20 epochs of ~2k SCATTERED key
+    * updates each — every file hit every epoch, copy-on-write's worst
+    * case): after 20 epochs the MOR table directory holds 43 MB (the
+    * 40 MB base + 1.7 MB of sidecars + the appended batches) vs
+    * 798 MB under UpsertWhere copy-on-write (~the whole table
+    * rewritten per epoch), at wall parity (~3 s/epoch both — the
+    * position scan and the rewrite read the same candidates; the 18×
+    * write-amplification gap is what object-store egress and file
+    * churn price). Snapshot read after 20 unfolded epochs: 2.2 s vs
+    * 1.3 s folded.
     */
   def mergeSink(
       dir: String,

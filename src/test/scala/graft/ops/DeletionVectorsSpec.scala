@@ -324,6 +324,42 @@ class DeletionVectorsSpec extends SparkSpec {
       row20.isNullAt(row20.fieldIndex("o_channel")))
   }
 
+  test("pushed filters + row-group skipping keep vectored positions honest") {
+    import spark.implicits._
+    // one wide file with MANY small row groups, so a selective filter
+    // actually skips groups — if row_index were computed per-surviving
+    // -group instead of per-file, the anti-join would hide the WRONG
+    // rows and this equality breaks
+    val dir = Files.createTempDirectory("dv_rg").toString + "/t"
+    val n = 200000L
+    spark.range(n).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+      .coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+    TxLog.convert(spark, dir)
+    val fs = Compact.fsOf(spark, dir)
+    val f = s"$dir/${TxLog.liveFiles(spark, dir).head}"
+    val groups = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(groups >= 8, s"need many row groups to skip, got $groups")
+    DeletionVectors.delete(spark, dir, pmod(col("k"), lit(10)) === 3)
+    // a selective range that admits few groups, on top of the vector
+    val got = TxLog.snapshot(spark, dir)
+      .filter(col("k").between(150000, 151000))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val want = (150000L to 151000L).filter(_ % 10 != 3)
+      .map(k => (k, k % 7)).sorted
+    assert(got == want)
+    // and the whole relation survives exactly
+    assert(TxLog.snapshot(spark, dir).count() == n - n / 10)
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
