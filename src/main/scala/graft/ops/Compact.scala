@@ -157,7 +157,17 @@ object Compact {
       partition: Option[String] = None): Receipt = {
     recover(spark, dir)
     val files = liveStatuses(spark, dir, partition)
-    val small = files.filter(_._2.getLen < smallBytes)
+    // a DV-carrying file cannot pack from its raw bytes (it would
+    // resurrect hidden rows) — SKIP it rather than fail the whole
+    // maintenance pass: DeletionVectors.materialize folds it first,
+    // after which the next pack picks it up
+    val dvBy: Set[String] =
+      if (TxLog.exists(spark, dir))
+        TxLog.liveEntries(spark, dir)
+          .filter(_.dv.isDefined).map(_.name).toSet
+      else Set.empty
+    val small = files.filter(f =>
+      f._2.getLen < smallBytes && !dvBy(f._1))
     if (small.length < 2)
       return Receipt(files.length, files.length, 0, 0, 0, files.length)
 

@@ -96,7 +96,9 @@ object TxLogIngest {
       keyCols: Seq[String],
       seqCol: Option[String] = None,
       materializeEvery: Int = 0,
-      evolveSchema: Boolean = false):
+      evolveSchema: Boolean = false,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20):
       (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], epoch: Long) => {
       val spark = batch.sparkSession
@@ -121,6 +123,14 @@ object TxLogIngest {
       }
       if (materializeEvery > 0 && (epoch + 1) % materializeEvery == 0) {
         graft.ops.DeletionVectors.materializeWhere(spark, dir, 0.2)
+        TxLog.checkpoint(spark, dir)
+      }
+      // the appended-batch tail accumulates small files exactly like
+      // the append sink's epochs; binPack skips any that have since
+      // gained a vector (materializeEvery folds those)
+      if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+        graft.ops.Compact.binPack(spark, dir,
+          targetBytes = compactTargetBytes, smallBytes = compactTargetBytes / 4)
         TxLog.checkpoint(spark, dir)
       }
       ()

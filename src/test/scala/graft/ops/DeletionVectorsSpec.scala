@@ -106,11 +106,16 @@ class DeletionVectorsSpec extends SparkSpec {
       DeleteWhere.range(spark, dir, "o_orderkey", 60.0, 70.0, None)
     }
     assert(e.getMessage.contains("materialize"))
-    val e2 = intercept[IllegalArgumentException] {
-      Compact.binPack(spark, dir, targetBytes = 64L << 20,
-        smallBytes = 64L << 20)
-    }
-    assert(e2.getMessage.contains("materialize"))
+    // compaction SKIPS vectored files instead of failing maintenance:
+    // the un-vectored small tail still packs, the vectored files and
+    // their hidden rows are untouched
+    val dvdN = TxLog.liveEntries(spark, dir).count(_.dv.isDefined)
+    val rc = Compact.binPack(spark, dir, targetBytes = 64L << 20,
+      smallBytes = 64L << 20)
+    assert(rc.untouched >= dvdN)
+    assert(TxLog.liveEntries(spark, dir).count(_.dv.isDefined) == dvdN)
+    assert(same(TxLog.snapshot(spark, dir),
+      orders.filter(col("o_orderkey") > 50)))
     DeletionVectors.materialize(spark, dir)
     // now the copy-on-write path runs — and sees only live rows
     val r = DeleteWhere.range(spark, dir, "o_orderkey", 60.0, 70.0, None)

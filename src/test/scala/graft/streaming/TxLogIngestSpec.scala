@@ -83,6 +83,30 @@ class TxLogIngestSpec extends SparkSpec {
       orders.withColumn("o_totalprice", lit(1.0))))
   }
 
+  test("mergeSink's compactEvery packs the appended tail around vectored files") {
+    val dir = Files.createTempDirectory("txi_mc").toString + "/t"
+    val sink = TxLogIngest.mergeSink(dir, Seq("o_orderkey"),
+      compactEvery = 4, compactTargetBytes = 64L << 20)
+    sink(orders.repartition(4), 0)
+    (1 to 3).foreach { e =>
+      sink(orders.filter(col("o_orderkey") <= 5 * e)
+        .withColumn("o_totalprice", lit(e.toDouble)), e.toLong)
+    }
+    // epoch 3 triggered the pack: the DV-less appended tail merged,
+    // the vectored originals were skipped, and the state is exact
+    assert(TxLog.liveEntries(spark, dir).exists(_.dv.isDefined))
+    val expected = orders.filter(col("o_orderkey") > 15)
+      .unionByName(orders.filter(col("o_orderkey") <= 5)
+        .withColumn("o_totalprice", lit(3.0)))
+      .unionByName(orders
+        .filter(col("o_orderkey") > 5 && col("o_orderkey") <= 10)
+        .withColumn("o_totalprice", lit(3.0)))
+      .unionByName(orders
+        .filter(col("o_orderkey") > 10 && col("o_orderkey") <= 15)
+        .withColumn("o_totalprice", lit(3.0)))
+    assert(same(TxLog.snapshot(spark, dir), expected))
+  }
+
   test("compactEvery maintains the tail in-line; checkpointed snapshots stay exact") {
     val dir = Files.createTempDirectory("txi_c").toString + "/t"
     val sink = TxLogIngest.appendSink(dir, compactEvery = 4,
