@@ -2617,7 +2617,10 @@ object Queries {
       .unionByName(o.filter(col("o_orderkey") < 5).select(
         (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
         lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
-        lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+        // the table's OWN timestamp flavor (testdata has shipped both
+        // NTZ and LTZ) — upsert's type check rejects a drifted literal
+        lit("2000-01-01").cast(o.schema("o_orderdate").dataType)
+          .as("o_orderdate"),
         lit("9-NEW").as("o_orderpriority")))
     val keys: Seq[Any] = batch.select("o_orderkey").collect()
       .map(_.getLong(0)).toSeq
