@@ -182,7 +182,7 @@ object Compact {
       else df.repartition(nOut)
     val written = stageRewrite(spark, dir, small.map(_._1),
       stagePath => packed.write.mode("overwrite").parquet(stagePath),
-      prefix = partition).length
+      prefix = partition, op = Some("compact")).length
     Receipt(
       filesBefore = files.length,
       filesAfter = files.length - small.length + written,
@@ -244,7 +244,8 @@ object Compact {
       olds: Seq[String],
       writeStage: String => Unit,
       prefix: Option[String] = None,
-      allowDvOlds: Boolean = false): Seq[String] = {
+      allowDvOlds: Boolean = false,
+      op: Option[String] = None): Seq[String] = {
     if (!allowDvOlds) TxLog.requireNoDvs(spark, dir, olds, "rewrite")
     // the (name → dv) pairs this rewrite's reads are based on,
     // captured BEFORE writeStage scans a byte: a concurrent DV attach
@@ -274,7 +275,7 @@ object Compact {
       }
       fs.delete(stagePath, true)
       TxLog.commit(spark, dir, adds = newNames.map(sub + _), removes = olds,
-        seen = seen)
+        seen = seen, op = op)
       return newNames.map(sub + _)
     }
     require(prefix.isEmpty,
@@ -310,7 +311,8 @@ object Compact {
       dir: String,
       olds: Seq[String],
       writeStage: String => Unit,
-      allowDvOlds: Boolean = false): Seq[String] = {
+      allowDvOlds: Boolean = false,
+      op: Option[String] = None): Seq[String] = {
     require(TxLog.exists(spark, dir),
       "hive-partitioned rewrites require a TxLog-managed directory")
     if (!allowDvOlds) TxLog.requireNoDvs(spark, dir, olds, "rewrite")
@@ -330,7 +332,8 @@ object Compact {
         throw new java.io.IOException(s"compact: cannot move $n into $dir")
     }
     fs.delete(stagePath, true)
-    TxLog.commit(spark, dir, adds = newNames, removes = olds, seen = seenH)
+    TxLog.commit(spark, dir, adds = newNames, removes = olds, seen = seenH,
+      op = op)
     newNames
   }
 

@@ -232,7 +232,8 @@ object DeleteWhere {
       val candRows = candDf.count()
       val kept = keepRows(candDf).localCheckpoint()
       Compact.stageRewriteHive(spark, dir, rel, stagePath =>
-        kept.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath))
+        kept.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
+        op = Some("delete"))
       return Receipt(
         filesTotal = all.length,
         candidates = cand.length,
@@ -244,7 +245,7 @@ object DeleteWhere {
     val candRows = candDf.count()
     val newNames = Compact.stageRewrite(spark, dir, rel,
       stagePath => keepRows(candDf).write
-        .mode("overwrite").parquet(stagePath))
+        .mode("overwrite").parquet(stagePath), op = Some("delete"))
     Compact.recover(spark, dir)
     // survivors counted from the committed replacement files (schema
     // pinned: an all-deleted rewrite can leave zero data files behind)

@@ -250,7 +250,8 @@ object DeletionVectors {
         newNames.map(TxLog.AddEntry(_)),
       removes = touched.map(_.name).sorted,
       txn = txn,
-      seen = touched)
+      seen = touched,
+      op = Some("mor-merge"))
     UpsertReceipt(entries.size.toLong, touched.size.toLong, replacedRows,
       newNames.size.toLong, dvName)
   }
@@ -322,7 +323,8 @@ object DeletionVectors {
     TxLog.commitEntries(spark, dir,
       adds = touched.map(_.copy(dv = Some(dvName))).sortBy(_.name),
       removes = touched.map(_.name).sorted,
-      seen = touched)
+      seen = touched,
+      op = Some("dv-delete"))
     Receipt(entries.size.toLong, touched.size.toLong, deletedRows,
       Some(dvName))
   }
@@ -435,11 +437,11 @@ object DeletionVectors {
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, rels, stagePath =>
         live.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
-        allowDvOlds = true)
+        allowDvOlds = true, op = Some("dv-materialize"))
     else
       Compact.stageRewrite(spark, dir, rels, stagePath =>
         live.write.mode("overwrite").parquet(stagePath),
-        allowDvOlds = true)
+        allowDvOlds = true, op = Some("dv-materialize"))
     MaterializeReceipt(
       rewritten = dvd.size.toLong,
       rowsDropped = rawRows - liveRows,

@@ -237,7 +237,8 @@ object TxLog {
         Compact.dataFilesRecursive(fs, dir)
       }
     fs.mkdirs(logPath(dir))
-    writeVersion(spark, dir, 0, files.map(AddEntry(_)), Nil)
+    writeVersion(spark, dir, 0, files.map(AddEntry(_)), Nil,
+      op = Some("convert"))
     0
   }
 
@@ -611,8 +612,9 @@ object TxLog {
       adds: Seq[String],
       removes: Seq[String],
       txn: Option[String] = None,
-      seen: Seq[AddEntry] = Nil): Int =
-    commitEntries(spark, dir, adds.map(AddEntry(_)), removes, txn, seen)
+      seen: Seq[AddEntry] = Nil,
+      op: Option[String] = None): Int =
+    commitEntries(spark, dir, adds.map(AddEntry(_)), removes, txn, seen, op)
 
   /** [[commit]] with pre-built entries — the path DV attachment uses
     * (a re-ADD carrying its existing stats plus the new sidecar name,
@@ -625,7 +627,8 @@ object TxLog {
       adds: Seq[AddEntry],
       removes: Seq[String],
       txn: Option[String] = None,
-      seen: Seq[AddEntry] = Nil): Int = {
+      seen: Seq[AddEntry] = Nil,
+      op: Option[String] = None): Int = {
     // when the table declares stats columns, footer-read the added
     // files ONCE (outside the retry loop — stats don't change across
     // attempts) and embed their bounds in the ADD entries. Lenient:
@@ -670,7 +673,7 @@ object TxLog {
               s"(${(gone ++ moved.map(_.name)).take(3).mkString(", ")}…) — " +
               s"recompute against v$parent")
       }
-      if (writeVersion(spark, dir, parent + 1, entries, removes, txn))
+      if (writeVersion(spark, dir, parent + 1, entries, removes, txn, op))
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }
@@ -932,10 +935,10 @@ object TxLog {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val rows = versions(spark, dir).sorted.reverse.map { v =>
       val (a, r, txn) = readVersion(spark, dir, v)
-      (v, a.length, r.length, txn.orNull)
+      (v, readVersionOp(spark, dir, v).orNull, a.length, r.length, txn.orNull)
     }
     import spark.implicits._
-    rows.toDF("version", "n_adds", "n_removes", "txn")
+    rows.toDF("version", "operation", "n_adds", "n_removes", "txn")
   }
 
   /** Roll the table BACK to `version`'s state — as a NEW commit (the
@@ -961,7 +964,8 @@ object TxLog {
     commitEntries(spark, dir,
       adds = target.filter(e => !currentByName.get(e.name).contains(e))
         .sortBy(_.name),
-      removes = current.map(_.name).filterNot(targetNames).sorted)
+      removes = current.map(_.name).filterNot(targetNames).sorted,
+      op = Some(s"restore(v$version)"))
   }
 
   /** Reclaim disk: delete data files whose last reference is a version
@@ -1056,10 +1060,12 @@ object TxLog {
       v: Int,
       adds: Seq[AddEntry],
       removes: Seq[String],
-      txn: Option[String] = None): Boolean = {
+      txn: Option[String] = None,
+      op: Option[String] = None): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     val body = (Seq("V1") ++
       txn.map("TXN " + _) ++
+      op.map("OP " + _) ++
       adds.sortBy(_.name).map("ADD " + _.serialized) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
@@ -1112,6 +1118,16 @@ object TxLog {
       v: Int): (Seq[String], Seq[String], Option[String]) = {
     val (adds, removes, txn) = readVersionEntries(spark, dir, v)
     (adds.map(_.name), removes, txn)
+  }
+
+  private def readVersionOp(
+      spark: SparkSession, dir: String, v: Int): Option[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val in = fs.open(new Path(logPath(dir), versionName(v)))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.collectFirst { case l if l.startsWith("OP ") => l.substring(3) }
   }
 
   private def readVersionEntries(

@@ -166,11 +166,13 @@ object UpsertWhere {
     val pcols = DeleteWhere.partitionColsOf(relAll)
     val rel = cand.map(DeleteWhere.relName(spark, dir, _))
     if (pcols.nonEmpty) {
-      Compact.stageRewriteHive(spark, dir, rel, stagePath =>
+      Compact.stageRewriteHive(spark, dir, rel, op = Some("merge"),
+        writeStage = stagePath =>
         staged.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath))
     } else {
-      Compact.stageRewrite(spark, dir, rel,
-        stagePath => staged.write.mode("overwrite").parquet(stagePath))
+      Compact.stageRewrite(spark, dir, rel, op = Some("merge"),
+        writeStage =
+          stagePath => staged.write.mode("overwrite").parquet(stagePath))
       Compact.recover(spark, dir)
     }
   }

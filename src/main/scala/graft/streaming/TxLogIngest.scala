@@ -57,7 +57,8 @@ object TxLogIngest {
             throw new java.io.IOException(s"txlog append: cannot move $n into $dir")
         }
         fs.delete(stage, true)
-        TxLog.commit(spark, dir, adds = names, removes = Nil, txn = Some(txn))
+        TxLog.commit(spark, dir, adds = names, removes = Nil, txn = Some(txn),
+          op = Some("stream-append"))
       }
       if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
         graft.ops.Compact.binPack(spark, dir,

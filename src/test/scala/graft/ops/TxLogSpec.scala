@@ -200,8 +200,11 @@ class TxLogSpec extends SparkSpec {
       orders.filter(col("o_orderkey") < 10), 7L)
     val h = TxLog.history(spark, dir).collect()
     assert(h.map(_.getInt(0)).toSeq == Seq(1, 0))
-    assert(h(0).getString(3) == "epoch_7")
-    assert(h(1).getInt(1) == 8 && h(1).getInt(2) == 0) // v0: 8 adds
+    assert(h(0).getAs[String]("txn") == "epoch_7")
+    assert(h(0).getAs[String]("operation") == "stream-append")
+    assert(h(1).getAs[String]("operation") == "convert")
+    assert(h(1).getAs[Int]("n_adds") == 8 &&
+      h(1).getAs[Int]("n_removes") == 0) // v0: 8 adds
   }
 
   test("schema evolution: an appended wider epoch reads via mergeSchema, old rows NULL-fill") {
