@@ -987,6 +987,29 @@ object TxLog {
     * day without committing is assumed dead. Pick a window longer than
     * your longest possible write job.
     */
+  /** [[vacuum]] with a TIME horizon instead of a version count — the
+    * Delta `RETAIN n HOURS` contract: every version whose commit file
+    * is younger than `retainMs` stays reconstructable (plus the
+    * current one, always). Converts the age cutoff to a version count
+    * from the commit files' own modification times, then delegates.
+    */
+  def vacuumOlderThan(
+      spark: SparkSession,
+      dir: String,
+      retainMs: Long,
+      pruneLog: Boolean = true,
+      sweepOrphansOlderThanMs: Long = -1L,
+      dvSweepAgeMs: Long = 3600L * 1000): Long = {
+    val fs = Compact.fsOf(spark, dir)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val young = versions(spark, dir).count { v =>
+      fs.getFileStatus(new Path(logPath(dir), versionName(v)))
+        .getModificationTime >= cutoff
+    }
+    vacuum(spark, dir, retainVersions = math.max(1, young),
+      pruneLog, sweepOrphansOlderThanMs, dvSweepAgeMs)
+  }
+
   def vacuum(
       spark: SparkSession,
       dir: String,

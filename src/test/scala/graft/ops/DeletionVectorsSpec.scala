@@ -365,6 +365,33 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).count() == n - n / 10)
   }
 
+  test("Maintenance.run: fold → pack → checkpoint → vacuum in one idempotent pass") {
+    val dir = freshTable()
+    // accrue state: a heavy vector on the low file, updates appended
+    DeletionVectors.delete(spark, dir,
+      col("o_orderkey") <= orders.agg(max("o_orderkey")).head().getLong(0) / 9)
+    val up = orders.limit(20).withColumn("o_totalprice", lit(9.9))
+    DeletionVectors.upsert(spark, dir, up, Seq("o_orderkey"))
+    val expected = TxLog.snapshot(spark, dir).collect()
+    val r = Maintenance.run(spark, dir, dvFoldFraction = 0.5,
+      targetBytes = 64L << 20, smallBytes = 64L << 20, retainVersions = 1)
+    assert(r.foldedFiles >= 1 && r.packedFiles >= 2)
+    assert(r.checkpointedAt == TxLog.currentVersion(spark, dir))
+    assert(r.filesReclaimed > 0)
+    // the relation rode through untouched
+    assert(TxLog.snapshot(spark, dir).collect().toSet == expected.toSet)
+    // replay: nothing left to do, nothing disturbed
+    val r2 = Maintenance.run(spark, dir, retainVersions = 1)
+    assert(r2.foldedFiles == 0)
+    assert(TxLog.snapshot(spark, dir).collect().toSet == expected.toSet)
+    // time-based retention variant parses and keeps the current state
+    Maintenance.run(spark, dir, retainMs = 0L)
+    assert(TxLog.snapshot(spark, dir).collect().toSet == expected.toSet)
+    intercept[IllegalArgumentException] {
+      Maintenance.run(spark, dir, retainVersions = 1, retainMs = 1000L)
+    }
+  }
+
   test("restore to a DV version revives the vector association") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50) // v1
