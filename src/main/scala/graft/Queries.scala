@@ -2793,6 +2793,49 @@ object Queries {
     * .stageRewriteHive]]). Hash-green = the final snapshot (partition
     * column included) equals DuckDB's direct derivation.
     */
+  /** Multi-table ATOMIC transaction ([[graft.ops.DbLog]]): a
+    * database log holding an orders table runs one transaction that
+    * (a) copies the 'F'-status rows into an archive table, (b)
+    * appends a one-row audit record, and (c) deletes the moved rows
+    * from the source — three tables, ONE commit (the require pins
+    * it). The output unions the PRE-transaction snapshot (time
+    * travel across the whole database) with the post state of all
+    * three tables; hash-green means the cut was consistent: no row
+    * lost, doubled, or visible on only one side of the move.
+    */
+  def qDblogTxn(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val db = s"$indexQueryDir/dblog_txn"
+    val fsp = new org.apache.hadoop.fs.Path(db)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, db) // v0
+    graft.ops.DbLog.transact(s, db, "seed")(
+      _.append("orders", o.repartition(8))) // v1
+    val vPre = graft.ops.DbLog.currentVersion(s, db)
+    graft.ops.DbLog.transact(s, db, "archive-F") { txn =>
+      val f = txn.table("orders").filter(col("o_orderstatus") === "F")
+      txn.append("orders_archive", f)
+      txn.append("audit", f.agg(count(lit(1)).as("n_moved")))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    } // v2: the three-table transaction
+    require(graft.ops.DbLog.currentVersion(s, db) == vPre + 1,
+      "the multi-table transaction must be exactly one commit")
+    def slim(df: DataFrame, tbl: String, phase: String): DataFrame =
+      df.select(lit(phase).as("phase"), lit(tbl).as("tbl"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    slim(graft.ops.DbLog.snapshot(s, db, "orders", vPre), "orders", "pre")
+      .unionByName(slim(
+        graft.ops.DbLog.snapshot(s, db, "orders"), "orders", "post"))
+      .unionByName(slim(
+        graft.ops.DbLog.snapshot(s, db, "orders_archive"),
+        "orders_archive", "post"))
+      .unionByName(graft.ops.DbLog.snapshot(s, db, "audit").select(
+        lit("post").as("phase"), lit("audit").as("tbl"),
+        col("n_moved").as("o_orderkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice")))
+  }
+
   def qHiveDml(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val path = s"$indexQueryDir/hive_dml"

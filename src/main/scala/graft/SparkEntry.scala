@@ -175,6 +175,7 @@ object SparkEntry {
     "q_txlog_follow" -> (Queries.qTxlogFollow _),
     "q_txlog_stats" -> (Queries.qTxlogStats _),
     "q_hive_dml" -> (Queries.qHiveDml _),
+    "q_dblog_txn" -> (Queries.qDblogTxn _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -1967,6 +1968,24 @@ object Oracles {
                 TIMESTAMP '2000-01-01 00:00:00', '9-NEW'
          FROM orders
          WHERE o_orderkey < 5 AND (o_orderkey + 1000000) % 997 <> 0""",
+
+    // multi-table atomic transaction: 'F' orders move to an archive
+    // table with a one-row audit record, all in one commit; the pre
+    // phase is the whole-database time-travel cut before it
+    "q_dblog_txn" ->
+      """SELECT 'pre' AS phase, 'orders' AS tbl, o_orderkey,
+                o_orderstatus, o_totalprice FROM orders
+         UNION ALL
+         SELECT 'post', 'orders', o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus <> 'F'
+         UNION ALL
+         SELECT 'post', 'orders_archive', o_orderkey, o_orderstatus,
+                o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'post', 'audit',
+                (SELECT count(*) FROM orders WHERE o_orderstatus = 'F'),
+                CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)""",
 
     // streaming log append with a replayed epoch + in-line compaction:
     // the snapshot must be exactly the source relation

@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+
+/** Multi-table ATOMIC transactions — the one lakehouse property a
+  * per-table log cannot give (Delta has no multi-table commit;
+  * Iceberg needs a REST catalog to stage one). The trick here is to
+  * not need a second coordination primitive at all: a DATABASE is a
+  * single [[TxLog]]-managed root whose tables are name-prefixed
+  * subdirectories (`db/orders/part-….parquet` — the same
+  * relative-prefix mechanics the hive-partition support already
+  * exercises), so a transaction touching N tables is ONE version
+  * file landed by the log's existing kernel-atomic claim. Every
+  * reader goes through the same log fold, so atomicity and
+  * cross-table snapshot isolation hold for ALL readers with no
+  * "catalog readers only" caveat — the honest visibility story the
+  * TODO demanded before this could ship: a snapshot at version V is
+  * a consistent cut across every table in the database, and time
+  * travel reconstructs the whole database, not one table, at once.
+  *
+  * Write protocol (the [[Compact.stageRewrite]] discipline, widened
+  * to many tables): each staged operation writes its files to a
+  * hidden staging dir, moves them under `db/<table>/`, and RECORDS
+  * adds/removes — nothing commits until [[Txn.commit]] folds every
+  * recorded entry into one [[TxLog.commitEntries]] call. A crash
+  * before that leaves orphan files no version references (invisible
+  * to every reader; vacuum's age-gated orphan sweep reclaims them).
+  * Write-write conflicts are the log's own rule: the commit
+  * validates that every file this transaction rewrites is still
+  * live at the parent version, so two transactions deleting from
+  * the same file serialize — the loser gets a
+  * [[java.util.ConcurrentModificationException]] and recomputes.
+  * Reads inside the transaction pin the version current at [[begin]]
+  * (repeatable reads from one consistent cut).
+  *
+  * 100 TB shape: identical to [[TxLog]]'s — the log is file NAMES,
+  * a commit is O(touched files) metadata, table scans are explicit
+  * file lists (no directory listing of the whole database), and
+  * [[Txn.deleteWhere]] locates candidate files with ONE scan whose
+  * predicate is pushed down before rewriting only the files that
+  * actually contain matches.
+  *
+  * Out of scope, by construction: deletion vectors inside a DbLog
+  * database (attach/merge operate on a table root, not a prefix) —
+  * deletes here are copy-on-write of the matched files only.
+  *
+  * Reference anchor: the reference runs each load as one pandas
+  * `to_sql` batch per table with no cross-table transaction
+  * (reference `main.py:60-74` loads dims then facts sequentially) —
+  * the consistency gap this closes at warehouse scale.
+  */
+object DbLog {
+
+  private val TableName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def requireTableName(t: String): Unit =
+    require(TableName.pattern.matcher(t).matches(),
+      s"DbLog table names must match [A-Za-z_][A-Za-z0-9_]* — got '$t' " +
+        "('=' would hive-parse, '/' would nest)")
+
+  /** Bring `db` under database-log management (creating it if
+    * absent). An existing directory tree converts with its
+    * subdirectory layout intact: each first-level directory becomes
+    * a table. Idempotent.
+    */
+  def create(spark: SparkSession, db: String): Int = TxLog.convert(spark, db)
+
+  def exists(spark: SparkSession, db: String): Boolean =
+    TxLog.exists(spark, db)
+
+  /** Table names present at `version` (default current): the
+    * distinct first path segment of the live entries.
+    */
+  def tables(
+      spark: SparkSession,
+      db: String,
+      version: Int = Int.MaxValue): Seq[String] =
+    TxLog.liveEntries(spark, db, version).map(_.name)
+      .collect { case n if n.contains('/') => n.substring(0, n.indexOf('/')) }
+      .distinct.sorted
+
+  private def entriesOf(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      version: Int): Seq[TxLog.AddEntry] = {
+    requireTableName(table)
+    TxLog.liveEntries(spark, db, version)
+      .filter(_.name.startsWith(table + "/"))
+  }
+
+  /** One table's rows at `version` (default current) — a consistent
+    * cut: two snapshots at the same version, of any two tables, came
+    * from the same commit, which is the whole point.
+    */
+  def snapshot(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      version: Int = Int.MaxValue): DataFrame = {
+    val entries = entriesOf(spark, db, table, version)
+    require(entries.nonEmpty,
+      s"table '$table' holds no files at version $version of $db " +
+        s"(have: ${tables(spark, db, version).mkString(", ")})")
+    TxLog.readEntries(spark, db, entries, schemaVersion = version)
+  }
+
+  def currentVersion(spark: SparkSession, db: String): Int =
+    TxLog.currentVersion(spark, db)
+
+  /** The database's commit history ([[TxLog.history]] verbatim —
+    * one history for all tables, because there is one log).
+    */
+  def history(spark: SparkSession, db: String): DataFrame =
+    TxLog.history(spark, db)
+
+  /** Open a transaction, run `body`, commit everything it staged as
+    * ONE atomic version. Returns the committed version. Any throw
+    * from `body` abandons the staged files uncommitted (invisible;
+    * orphan-swept later) — nothing to roll back because nothing
+    * published.
+    */
+  def transact(spark: SparkSession, db: String, op: String = "txn")(
+      body: Txn => Unit): Int = {
+    val txn = begin(spark, db)
+    body(txn)
+    txn.commit(op)
+  }
+
+  /** Single-table convenience: create-or-append `table` from `df` in
+    * its own transaction.
+    */
+  def append(
+      spark: SparkSession, db: String, table: String, df: DataFrame): Int =
+    transact(spark, db, s"append($table)")(_.append(table, df))
+
+  def begin(spark: SparkSession, db: String): Txn = {
+    require(exists(spark, db), s"$db is not a DbLog database — create() first")
+    new Txn(spark, db, TxLog.currentVersion(spark, db))
+  }
+
+  /** One open transaction: stages file adds/removes across any
+    * number of tables, publishes them with a single log commit.
+    * Reads ([[table]]) pin `baseVersion` — the consistent cut the
+    * transaction's logic computed from, and the cut the conflict
+    * check defends (every rewritten file must still be live at
+    * commit time).
+    */
+  final class Txn private[DbLog] (
+      spark: SparkSession, db: String, val baseVersion: Int) {
+
+    private val adds = Seq.newBuilder[TxLog.AddEntry]
+    private val removes = Seq.newBuilder[String]
+    private val seen = Seq.newBuilder[TxLog.AddEntry]
+    private var done = false
+    // a second rewrite of the same table would re-apply against the
+    // BASE version and double the first rewrite's replacements — the
+    // staged state is invisible to reads, so disallow rather than
+    // silently corrupt; likewise a rewrite cannot see a same-txn
+    // append, which would surprise anyone expecting SQL ordering
+    private val rewrote = scala.collection.mutable.Set.empty[String]
+    private val appended = scala.collection.mutable.Set.empty[String]
+
+    private def requireOpen(): Unit =
+      require(!done, "transaction already committed")
+
+    private def markRewrite(table: String, op: String): Unit = {
+      require(!rewrote(table) && !appended(table),
+        s"$op('$table'): this transaction already staged a write to " +
+          s"'$table' — one rewrite per table per transaction (staged " +
+          "state is not readable mid-transaction)")
+      rewrote += table
+    }
+
+    /** Repeatable read: `table` as of this transaction's base
+      * version.
+      */
+    def table(name: String): DataFrame =
+      snapshot(spark, db, name, baseVersion)
+
+    def tableExists(name: String): Boolean =
+      entriesOf(spark, db, name, baseVersion).nonEmpty
+
+    private def stageIn(table: String, write: String => Unit): Seq[String] = {
+      requireTableName(table)
+      val fs = Compact.fsOf(spark, db)
+      val stage = new Path(db, s".dblog_stage_${java.util.UUID.randomUUID}")
+      write(stage.toString)
+      val names = fs.listStatus(stage).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName).sorted
+      fs.mkdirs(new Path(db, table))
+      names.foreach { n =>
+        if (!fs.rename(new Path(stage, n), new Path(db, s"$table/$n")))
+          throw new java.io.IOException(s"dblog: cannot move $table/$n into $db")
+      }
+      fs.delete(stage, true)
+      names.map(n => s"$table/$n")
+    }
+
+    /** Stage an append of `df` into `table` (created on first
+      * append). Append-only staging never conflicts with concurrent
+      * transactions — it removes nothing.
+      */
+    def append(table: String, df: DataFrame): Unit = {
+      requireOpen()
+      appended += table
+      val rels = stageIn(table,
+        p => df.write.mode("overwrite").parquet(p))
+      adds ++= rels.map(TxLog.AddEntry(_))
+    }
+
+    /** Stage a full replacement of `table`'s contents. */
+    def overwrite(table: String, df: DataFrame): Unit = {
+      requireOpen()
+      markRewrite(table, "overwrite")
+      val olds = entriesOf(spark, db, table, baseVersion)
+      val rels = stageIn(table, p => df.write.mode("overwrite").parquet(p))
+      adds ++= rels.map(TxLog.AddEntry(_))
+      removes ++= olds.map(_.name)
+      seen ++= olds
+    }
+
+    /** Stage a copy-on-write delete: ONE pushdown scan over the
+      * table's pinned snapshot finds the files that actually contain
+      * matching rows; only those are rewritten (minus the matches —
+      * SQL DELETE semantics: a NULL predicate keeps the row).
+      * Untouched files ride through by not being mentioned.
+      */
+    def deleteWhere(table: String, cond: Column): Unit = {
+      requireOpen()
+      markRewrite(table, "deleteWhere")
+      val entries = entriesOf(spark, db, table, baseVersion)
+      require(entries.nonEmpty, s"deleteWhere: no such table '$table'")
+      require(entries.forall(_.dv.isEmpty),
+        s"deleteWhere: table '$table' carries deletion vectors — unsupported in DbLog")
+      val fs = Compact.fsOf(spark, db)
+      // normalize both sides to the bare path: input_file_name()'s
+      // URI rendering (file:///x) differs from makeQualified (file:/x)
+      def bare(p: String) = new Path(p).toUri.getPath
+      val relOf = entries.map(e =>
+        bare(fs.makeQualified(new Path(db, e.name)).toString) -> e.name).toMap
+      val hitRels = spark.read
+        .parquet(entries.map(e => s"$db/${e.name}"): _*)
+        .filter(cond)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => relOf.getOrElse(bare(r.getString(0)),
+          throw new IllegalStateException(
+            s"dblog: unexpected input file ${r.getString(0)}"))).toSeq
+      if (hitRels.isEmpty) return
+      val survivors = spark.read
+        .parquet(hitRels.map(n => s"$db/$n"): _*)
+        .filter(not(coalesce(cond, lit(false))))
+      val rels = stageIn(table,
+        p => survivors.write.mode("overwrite").parquet(p))
+      adds ++= rels.map(TxLog.AddEntry(_))
+      removes ++= hitRels
+      seen ++= entries.filter(e => hitRels.contains(e.name))
+    }
+
+    /** Stage a keyed MERGE: rows of `updates` replace same-key rows
+      * (copy-on-write of only the files holding those keys) and
+      * new keys append. Composes [[deleteWhere]] + [[append]] inside
+      * the same atomic commit. The key set is driver-collected —
+      * sized for command-batch upserts (the [[UpsertWhere
+      * .byKeysDistributed]] shape covers data-sized batches, outside
+      * a multi-table transaction).
+      */
+    def upsert(table: String, keyCol: String, updates: DataFrame): Unit = {
+      requireOpen()
+      if (tableExists(table)) {
+        val keys = updates.select(col(keyCol)).distinct()
+        val keySet = keys.collect().map(_.get(0)).toSeq
+        deleteWhere(table, col(keyCol).isInCollection(keySet))
+      }
+      append(table, updates)
+    }
+
+    /** Publish every staged operation as one atomic version. */
+    def commit(op: String = "txn"): Int = {
+      requireOpen()
+      done = true
+      TxLog.commitEntries(spark, db,
+        adds = adds.result(), removes = removes.result(),
+        seen = seen.result(), op = Some(op))
+    }
+  }
+}

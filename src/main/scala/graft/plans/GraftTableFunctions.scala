@@ -21,6 +21,8 @@ import graft.ops.TxLog
   *   '2024-01-10 00:00:00', '2024-01-12 23:59:59')       --   range scan
   * SELECT * FROM graft_hidden_eq('/data/ev', 'user_id', 1, 2) -- bucket scan
   * SELECT * FROM graft_files('/data/orders')   -- files table (DESCRIBE DETAIL)
+  * SELECT * FROM graft_db('/data/db', 'orders')     -- DbLog database table
+  * SELECT * FROM graft_db('/data/db', 'orders', 3)  --   at a database version
   * }}}
   *
   * Two registration paths, same builders:
@@ -96,6 +98,11 @@ object GraftTableFunctions {
       TxLog.filesMeta(spark, str(d, fn, 0))
     case ("graft_files", Seq(d, v)) =>
       TxLog.filesMeta(spark, str(d, fn, 0), int(v, fn, 1))
+    case ("graft_db", Seq(d, tbl)) =>
+      graft.ops.DbLog.snapshot(spark, str(d, fn, 0), str(tbl, fn, 1))
+    case ("graft_db", Seq(d, tbl, v)) =>
+      graft.ops.DbLog.snapshot(spark, str(d, fn, 0), str(tbl, fn, 1),
+        int(v, fn, 2))
     case ("graft_hidden_range", Seq(d, c, lo, hi)) =>
       graft.ops.PartitionTransforms.scanRange(spark, str(d, fn, 0),
         str(c, fn, 1), anyLit(lo, fn, 2), anyLit(hi, fn, 3))
@@ -155,7 +162,9 @@ object GraftTableFunctions {
       ("graft_hidden_eq",
         "graft_hidden_eq(dir, col, v...) - hidden-partition equality scan"),
       ("graft_files",
-        "graft_files(dir[, version]) - per-file metadata: bytes, rows, dv, stats"))
+        "graft_files(dir[, version]) - per-file metadata: bytes, rows, dv, stats"),
+      ("graft_db",
+        "graft_db(db, table[, version]) - one table of a multi-table DbLog database"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

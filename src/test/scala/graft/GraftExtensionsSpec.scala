@@ -207,4 +207,28 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SELECT sum(dv_rows) FROM graft_files('$dir', 0)")
       .head().getLong(0) == 0L)
   }
+
+  test("graft_db: a DbLog database table reads (and time-travels) from SQL") {
+    import graft.ops.DbLog
+    val db = java.nio.file.Files.createTempDirectory("tvf_db").toString + "/db"
+    val o = graft.Tables.orders(spark, sf("orders"))
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed")(_.append("orders", o.repartition(4)))
+    val vPre = DbLog.currentVersion(spark, db)
+    DbLog.transact(spark, db, "archive") { txn =>
+      txn.append("archive", txn.table("orders")
+        .filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    // the post-transaction cut, joined ACROSS tables in one SQL query
+    val n = spark.sql(
+      s"""SELECT (SELECT count(*) FROM graft_db('$db', 'orders')) +
+                 (SELECT count(*) FROM graft_db('$db', 'archive')) AS n""")
+      .head().getLong(0)
+    assert(n == o.count())
+    // whole-database time travel: the pre-cut has every row in orders
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_db('$db', 'orders', $vPre)")
+      .head().getLong(0) == o.count())
+  }
 }

@@ -1,0 +1,185 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DbLogSpec extends SparkSpec {
+
+  private lazy val orders = graft.Tables.orders(spark, sf("orders"))
+  private lazy val customer = graft.Tables.customer(spark, sf("customer"))
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  private def freshDb(): String = {
+    val db = Files.createTempDirectory("dblog").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", orders.repartition(4))
+      txn.append("customer", customer.repartition(2))
+    }
+    db
+  }
+
+  test("seed commit is one version holding both tables; snapshots read back exactly") {
+    val db = freshDb()
+    assert(DbLog.currentVersion(spark, db) == 1) // v0 create + v1 seed
+    assert(DbLog.tables(spark, db) == Seq("customer", "orders"))
+    assert(same(DbLog.snapshot(spark, db, "orders"), orders))
+    assert(same(DbLog.snapshot(spark, db, "customer"), customer))
+  }
+
+  test("a multi-table move is atomic: every version shows both sides or neither") {
+    val db = freshDb()
+    val vPre = DbLog.currentVersion(spark, db)
+    val moved = orders.filter(col("o_orderstatus") === "F")
+    DbLog.transact(spark, db, "archive-F") { txn =>
+      txn.append("orders_archive", txn.table("orders")
+        .filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    val vPost = DbLog.currentVersion(spark, db)
+    assert(vPost == vPre + 1) // ONE commit for the whole transaction
+    // post state: both effects present
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderstatus") =!= "F")))
+    assert(same(DbLog.snapshot(spark, db, "orders_archive"), moved))
+    // pre state (time travel): NEITHER effect — the consistent cut
+    assert(same(DbLog.snapshot(spark, db, "orders", vPre), orders))
+    assert(!DbLog.tables(spark, db, vPre).contains("orders_archive"))
+    // conservation across the cut: no row lost or doubled
+    val post = DbLog.snapshot(spark, db, "orders")
+      .unionByName(DbLog.snapshot(spark, db, "orders_archive"))
+    assert(same(post, orders))
+  }
+
+  test("an abandoned transaction publishes nothing and leaves no visible state") {
+    val db = freshDb()
+    val vPre = DbLog.currentVersion(spark, db)
+    intercept[RuntimeException] {
+      DbLog.transact(spark, db, "doomed") { txn =>
+        txn.append("orders_archive", txn.table("orders").limit(5))
+        txn.deleteWhere("orders", col("o_orderkey") <= 5)
+        sys.error("crash before commit")
+      }
+    }
+    assert(DbLog.currentVersion(spark, db) == vPre)
+    assert(!DbLog.tables(spark, db).contains("orders_archive"))
+    assert(same(DbLog.snapshot(spark, db, "orders"), orders))
+    // the staged orphans exist on disk but no snapshot references them
+    val orphans = Compact.dataFilesRecursive(Compact.fsOf(spark, db), db)
+      .filterNot(TxLog.liveFiles(spark, db).toSet)
+    assert(orphans.nonEmpty)
+  }
+
+  test("conflicting transactions serialize: the second rewrite of the same file loses") {
+    val db = freshDb()
+    val t1 = DbLog.begin(spark, db)
+    val t2 = DbLog.begin(spark, db)
+    t1.deleteWhere("orders", col("o_orderkey") % 2 === 0)
+    t2.deleteWhere("orders", col("o_orderkey") % 3 === 0) // same files
+    t1.commit("evens")
+    intercept[java.util.ConcurrentModificationException] {
+      t2.commit("thirds")
+    }
+    // the winner's state is intact; the loser published nothing
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderkey") % 2 =!= 0)))
+  }
+
+  test("append-only transactions never conflict with a concurrent rewrite") {
+    val db = freshDb()
+    val t1 = DbLog.begin(spark, db)
+    val t2 = DbLog.begin(spark, db)
+    t1.deleteWhere("orders", col("o_orderkey") <= 10)
+    t2.append("orders", orders.filter(col("o_orderkey") <= 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    t1.commit("trim")
+    t2.commit("late-append") // removes nothing: must land
+    val expect = orders.filter(col("o_orderkey") > 10).unionByName(
+      orders.filter(col("o_orderkey") <= 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    assert(same(DbLog.snapshot(spark, db, "orders"), expect))
+  }
+
+  test("reads inside a transaction pin the base version (repeatable reads)") {
+    val db = freshDb()
+    val txn = DbLog.begin(spark, db)
+    val before = txn.table("orders").count()
+    // a concurrent committer lands between the transaction's reads
+    DbLog.transact(spark, db, "shrink")(
+      _.deleteWhere("customer", col("c_custkey") <= 100))
+    assert(txn.table("orders").count() == before)
+    assert(txn.table("customer").count() == customer.count())
+    txn.append("audit", txn.table("customer")
+      .groupBy("c_mktsegment").count())
+    txn.commit("audit")
+    // the audit saw the PRE-shrink customer table — its own consistent cut
+    assert(DbLog.snapshot(spark, db, "audit")
+      .agg(sum("count")).head.getLong(0) == customer.count())
+  }
+
+  test("overwrite and upsert stage through the same single commit") {
+    val db = freshDb()
+    val priced = orders.filter(col("o_orderkey") <= 20)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    DbLog.transact(spark, db, "reprice") { txn =>
+      txn.upsert("orders", "o_orderkey", priced)
+      txn.overwrite("customer", txn.table("customer").limit(10))
+    }
+    val expect = orders.filter(col("o_orderkey") > 20).unionByName(priced)
+    assert(same(DbLog.snapshot(spark, db, "orders"), expect))
+    assert(DbLog.snapshot(spark, db, "customer").count() == 10)
+  }
+
+  test("a second rewrite of the same table in one transaction is rejected, not corrupted") {
+    val db = freshDb()
+    val txn = DbLog.begin(spark, db)
+    txn.deleteWhere("orders", col("o_orderkey") <= 5)
+    intercept[IllegalArgumentException] {
+      txn.deleteWhere("orders", col("o_orderkey") > 100)
+    }
+    // rewrite-after-append is equally surprising: rejected
+    val t2 = DbLog.begin(spark, db)
+    t2.append("customer", customer.limit(1))
+    intercept[IllegalArgumentException] {
+      t2.overwrite("customer", customer.limit(2))
+    }
+  }
+
+  test("deleteWhere rewrites only the files that hold matches") {
+    val db = Files.createTempDirectory("dblog").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed")(_.append("orders",
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")))
+    val before = TxLog.liveEntries(spark, db).map(_.name).toSet
+    DbLog.transact(spark, db, "point-delete")(
+      _.deleteWhere("orders", col("o_orderkey") === 1L))
+    val after = TxLog.liveEntries(spark, db).map(_.name).toSet
+    // ranged layout: exactly one file holds key 1 — one out, one in
+    assert((before -- after).size == 1 && (after -- before).size <= 2)
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderkey") =!= 1L)))
+  }
+
+  test("history tags the transaction's op; vacuum reclaims superseded files") {
+    val db = freshDb()
+    DbLog.transact(spark, db, "archive-F") { txn =>
+      txn.append("orders_archive",
+        txn.table("orders").filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    val ops = DbLog.history(spark, db)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("archive-F") && ops.contains("seed"))
+    val swept = TxLog.vacuum(spark, db, retainVersions = 1)
+    assert(swept > 0)
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderstatus") =!= "F")))
+  }
+}
