@@ -2836,6 +2836,35 @@ object Queries {
         lit(null).cast("double").as("o_totalprice")))
   }
 
+  /** Streaming multi-table fan-out ([[graft.streaming.DbIngest
+    * .routeSink]]): three epochs of events route to per-type tables
+    * (click/view/…) inside one DbLog database — each epoch is ONE
+    * atomic commit across every table it touches, epoch 1
+    * re-delivered (the single txn probe must skip it — there is
+    * exactly one commit to remember, which is why exactly-once holds
+    * ACROSS tables). Hash-green means the reassembled union of the
+    * routed tables is exactly the source relation: no epoch lost,
+    * none doubled, no row routed to the wrong table.
+    */
+  def qDblogStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val db = s"$indexQueryDir/dblog_stream"
+    val fsp = new org.apache.hadoop.fs.Path(db)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val sink = graft.streaming.DbIngest.routeSink(db, "event_type")
+    (0 until 3).foreach { e =>
+      sink(ev.filter(pmod(col("event_id"), lit(3)) === e), e.toLong)
+      if (e == 1) sink(ev.filter(pmod(col("event_id"), lit(3)) === e), e.toLong)
+    }
+    require(graft.ops.DbLog.currentVersion(s, db) == 3,
+      "one commit per epoch, however many tables each touched")
+    graft.ops.DbLog.tables(s, db).map { tbl =>
+      graft.ops.DbLog.snapshot(s, db, tbl)
+        .select(lit(tbl).as("tbl"), col("event_id"), col("ts"),
+          col("user_id"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+  }
+
   def qHiveDml(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val path = s"$indexQueryDir/hive_dml"

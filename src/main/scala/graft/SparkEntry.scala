@@ -176,6 +176,7 @@ object SparkEntry {
     "q_txlog_stats" -> (Queries.qTxlogStats _),
     "q_hive_dml" -> (Queries.qHiveDml _),
     "q_dblog_txn" -> (Queries.qDblogTxn _),
+    "q_dblog_stream" -> (Queries.qDblogStream _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -1986,6 +1987,13 @@ object Oracles {
          SELECT 'post', 'audit',
                 (SELECT count(*) FROM orders WHERE o_orderstatus = 'F'),
                 CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)""",
+
+    // streaming multi-table fan-out with a replayed epoch: the routed
+    // tables reassemble to exactly the source relation, the
+    // discriminator living in the table name
+    "q_dblog_stream" ->
+      """SELECT event_type AS tbl, event_id, ts, user_id, value, props
+         FROM events""",
 
     // streaming log append with a replayed epoch + in-line compaction:
     // the snapshot must be exactly the source relation
