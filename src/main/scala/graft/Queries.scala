@@ -2836,6 +2836,39 @@ object Queries {
         lit(null).cast("double").as("o_totalprice")))
   }
 
+  /** Cross-table-consistent change feeds ([[graft.ops.DbLog.diff]]):
+    * after the archive transaction, the source table's feed and the
+    * archive table's feed are read over the SAME database version
+    * pair — one cursor for both. Hash-green means the move shows up
+    * whole: the deletes leaving orders are exactly the inserts
+    * landing in the archive, nothing torn between the two feeds
+    * (possible only because both tables share one log and one
+    * version sequence).
+    */
+  def qDblogDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val db = s"$indexQueryDir/dblog_diff"
+    val fsp = new org.apache.hadoop.fs.Path(db)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, db)
+    graft.ops.DbLog.transact(s, db, "seed")(
+      _.append("orders", o.repartition(8)))
+    val vPre = graft.ops.DbLog.currentVersion(s, db)
+    graft.ops.DbLog.transact(s, db, "archive-F") { txn =>
+      txn.append("orders_archive",
+        txn.table("orders").filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    val (feeds, cur) = graft.ops.DbLog.diffSince(s, db,
+      Seq("orders", "orders_archive"), vPre)
+    require(cur == vPre + 1, "both feeds advance over one shared commit")
+    def slim(df: DataFrame, tbl: String): DataFrame =
+      df.select(lit(tbl).as("tbl"), col("_change_type").as("change"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    slim(feeds("orders"), "orders")
+      .unionByName(slim(feeds("orders_archive"), "orders_archive"))
+  }
+
   /** Streaming multi-table fan-out ([[graft.streaming.DbIngest
     * .routeSink]]): three epochs of events route to per-type tables
     * (click/view/…) inside one DbLog database — each epoch is ONE

@@ -177,6 +177,7 @@ object SparkEntry {
     "q_hive_dml" -> (Queries.qHiveDml _),
     "q_dblog_txn" -> (Queries.qDblogTxn _),
     "q_dblog_stream" -> (Queries.qDblogStream _),
+    "q_dblog_diff" -> (Queries.qDblogDiff _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -1987,6 +1988,18 @@ object Oracles {
          SELECT 'post', 'audit',
                 (SELECT count(*) FROM orders WHERE o_orderstatus = 'F'),
                 CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)""",
+
+    // cross-table-consistent change feeds over one shared cursor: the
+    // deletes leaving orders are exactly the inserts landing in the
+    // archive — the move is never torn between the two feeds
+    "q_dblog_diff" ->
+      """SELECT 'orders' AS tbl, 'delete' AS change, o_orderkey,
+                o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'orders_archive', 'insert', o_orderkey,
+                o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'""",
 
     // streaming multi-table fan-out with a replayed epoch: the routed
     // tables reassemble to exactly the source relation, the

@@ -116,6 +116,45 @@ object DbLog {
   def history(spark: SparkSession, db: String): DataFrame =
     TxLog.history(spark, db)
 
+  /** One table's row-level change feed between two DATABASE versions
+    * — [[TxLog.diff]] restricted to the table's prefix, same
+    * changed-files-only cost. The property a per-table log cannot
+    * give a multi-table consumer: version numbers are shared across
+    * the whole database, so reading table A's feed and table B's
+    * feed over the SAME (from, to] advances both from one consistent
+    * cut to another — a transaction's effects appear in both feeds
+    * or in neither, never torn.
+    */
+  def diff(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diff: fromVersion $fromVersion > toVersion $toVersion")
+    requireTableName(table)
+    val pfx = table + "/"
+    TxLog.diffOfEntries(spark, db,
+      TxLog.liveEntries(spark, db, fromVersion).filter(_.name.startsWith(pfx)),
+      TxLog.liveEntries(spark, db, toVersion).filter(_.name.startsWith(pfx)),
+      toVersion)
+  }
+
+  /** Cursor advance for a multi-table consumer: the change feed of
+    * EVERY requested table from `sinceVersion` to one shared current
+    * version, returned with that version as the next cursor — one
+    * number to persist, one consistent cut for all feeds.
+    */
+  def diffSince(
+      spark: SparkSession,
+      db: String,
+      tables: Seq[String],
+      sinceVersion: Int): (Map[String, DataFrame], Int) = {
+    val cur = currentVersion(spark, db)
+    (tables.map(t => t -> diff(spark, db, t, sinceVersion, cur)).toMap, cur)
+  }
+
   /** Open a transaction, run `body`, commit everything it staged as
     * ONE atomic version. Returns the committed version. Any throw
     * from `body` abandons the staged files uncommitted (invisible;
@@ -216,6 +255,8 @@ object DbLog {
     def overwrite(table: String, df: DataFrame): Unit = {
       requireOpen()
       markRewrite(table, "overwrite")
+      // DV-carrying olds are fine here: overwrite never reads them,
+      // it only drops their entries (the vectors die with them)
       val olds = entriesOf(spark, db, table, baseVersion)
       val rels = stageIn(table, p => df.write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
@@ -236,6 +277,11 @@ object DbLog {
       require(entries.nonEmpty, s"deleteWhere: no such table '$table'")
       require(entries.forall(_.dv.isEmpty),
         s"deleteWhere: table '$table' carries deletion vectors — unsupported in DbLog")
+      // a hive tree nested under the table would lose its path-encoded
+      // column through this flat rewrite — refuse, don't corrupt
+      require(entries.forall(_.name.count(_ == '/') == 1),
+        s"deleteWhere: table '$table' has nested partition directories — " +
+          "DbLog rewrites support flat tables only")
       val fs = Compact.fsOf(spark, db)
       // normalize both sides to the bare path: input_file_name()'s
       // URI rendering (file:///x) differs from makeQualified (file:/x)

@@ -795,12 +795,25 @@ object TxLog {
       toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion,
       s"diff: fromVersion $fromVersion > toVersion $toVersion")
+    diffOfEntries(spark, dir,
+      liveEntries(spark, dir, fromVersion),
+      liveEntries(spark, dir, toVersion), toVersion)
+  }
+
+  /** [[diff]]'s core over explicit before/after entry sets — shared
+    * with [[DbLog.diff]], which restricts both sides to one table's
+    * prefix before the same changed-files-only arithmetic.
+    */
+  private[ops] def diffOfEntries(
+      spark: SparkSession,
+      dir: String,
+      beforeE: Seq[AddEntry],
+      afterE: Seq[AddEntry],
+      toVersion: Int): DataFrame = {
     // the unit of change is (file, deletion vector): a DV attach/merge
     // changes a file's pair without changing its name, and the file
     // must then be read ON BOTH SIDES (each side applying its own DV)
     // so exactly the newly-hidden rows surface as deletes
-    val beforeE = liveEntries(spark, dir, fromVersion)
-    val afterE = liveEntries(spark, dir, toVersion)
     val beforeK = beforeE.map(e => (e.name, e.dv)).toSet
     val afterK = afterE.map(e => (e.name, e.dv)).toSet
     val removed = beforeE.filterNot(e => afterK((e.name, e.dv)))

@@ -167,6 +167,33 @@ class DbLogSpec extends SparkSpec {
       orders.filter(col("o_orderkey") =!= 1L)))
   }
 
+  test("per-table change feeds advance from one shared consistent cut") {
+    val db = freshDb()
+    val vPre = DbLog.currentVersion(spark, db)
+    DbLog.transact(spark, db, "archive-F") { txn =>
+      txn.append("orders_archive",
+        txn.table("orders").filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    val (feeds, cur) = DbLog.diffSince(spark, db,
+      Seq("orders", "orders_archive"), vPre)
+    assert(cur == vPre + 1)
+    val outOfOrders = feeds("orders")
+      .filter(col("_change_type") === "delete").drop("_change_type")
+    val intoArchive = feeds("orders_archive")
+      .filter(col("_change_type") === "insert").drop("_change_type")
+    // the move is visible as a whole across BOTH feeds at this cut:
+    // what left orders is exactly what landed in the archive
+    assert(same(outOfOrders, orders.filter(col("o_orderstatus") === "F")))
+    assert(same(intoArchive, outOfOrders))
+    // no spurious inserts in the source feed (delete-only rewrite)
+    assert(feeds("orders").filter(col("_change_type") === "insert").isEmpty)
+    // a later cursor advance from cur is the empty feed on both
+    val (again, cur2) = DbLog.diffSince(spark, db,
+      Seq("orders", "orders_archive"), cur)
+    assert(cur2 == cur && again.values.forall(_.isEmpty))
+  }
+
   test("history tags the transaction's op; vacuum reclaims superseded files") {
     val db = freshDb()
     DbLog.transact(spark, db, "archive-F") { txn =>

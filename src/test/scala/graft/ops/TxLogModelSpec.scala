@@ -200,6 +200,100 @@ class TxLogModelSpec extends SparkSpec {
     check("post-vacuum")
   }
 
+  test("DbLog database: 12 random multi-table transactions, every cut consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val db = Files.createTempDirectory("dbmodel").toString + "/db"
+
+    // model: one key->value map per table; every committed version
+    // snapshots BOTH (a cut is a pair — that's the property under test)
+    val mA = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val mB = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextKey = 0L
+    val modelAt =
+      scala.collection.mutable.ArrayBuffer.empty[(Map[Long, Long], Map[Long, Long])]
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def snapState(): Unit = modelAt += ((mA.toMap, mB.toMap))
+    def read(table: String, v: Int): Seq[(Long, Long)] =
+      if (!DbLog.tables(spark, db, v).contains(table)) Nil
+      else DbLog.snapshot(spark, db, table, v).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    def check(step: String): Unit = {
+      val v = DbLog.currentVersion(spark, db)
+      assert(read("ta", v) == mA.toSeq.sorted, s"$step: ta != model")
+      assert(read("tb", v) == mB.toSeq.sorted, s"$step: tb != model")
+    }
+
+    DbLog.create(spark, db)
+    snapState() // v0: both empty
+
+    def freshRows(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+
+    def appendBoth(): Unit = {
+      val ra = freshRows(3 + rnd.nextInt(8))
+      val rb = freshRows(3 + rnd.nextInt(8))
+      DbLog.transact(spark, db, "append-both") { txn =>
+        txn.append("ta", df(ra)); txn.append("tb", df(rb))
+      }
+      ra.foreach { case (k, x) => mA(k) = x }
+      rb.foreach { case (k, x) => mB(k) = x }
+    }
+
+    def moveRange(): Unit = {
+      if (mA.isEmpty) { appendBoth(); return }
+      val ks = mA.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length))
+      val hi = lo + rnd.nextInt(12)
+      DbLog.transact(spark, db, "move") { txn =>
+        txn.append("tb",
+          txn.table("ta").filter(col("k") >= lo && col("k") <= hi))
+        txn.deleteWhere("ta", col("k") >= lo && col("k") <= hi)
+      }
+      val moved = mA.filter { case (k, _) => k >= lo && k <= hi }
+      moved.foreach { case (k, x) => mB(k) = x }
+      mA.filterInPlace((k, _) => k < lo || k > hi)
+    }
+
+    def deleteB(): Unit = {
+      if (mB.isEmpty) { appendBoth(); return }
+      val ks = mB.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length))
+      val hi = lo + rnd.nextInt(12)
+      DbLog.transact(spark, db, "trim-b")(
+        _.deleteWhere("tb", col("k") >= lo && col("k") <= hi))
+      mB.filterInPlace((k, _) => k < lo || k > hi)
+    }
+
+    appendBoth(); snapState(); check("seed")
+    (0 until 12).foreach { i =>
+      val before = DbLog.currentVersion(spark, db)
+      rnd.nextInt(4) match {
+        case 0 | 1 => appendBoth()
+        case 2 => moveRange()
+        case 3 => deleteB()
+      }
+      // every transaction is exactly ONE commit, however many tables
+      assert(DbLog.currentVersion(spark, db) == before + 1, s"op $i commits")
+      snapState(); check(s"op $i")
+    }
+
+    // whole-database time travel: random versions reconstruct the PAIR
+    (0 until 6).foreach { _ =>
+      val v = rnd.nextInt(modelAt.length)
+      val (wa, wb) = modelAt(v)
+      assert(read("ta", v) == wa.toSeq.sorted, s"cut v$v: ta")
+      assert(read("tb", v) == wb.toSeq.sorted, s"cut v$v: tb")
+      // conservation at every cut: moves never lose or double a key
+      val (ga, gb) = (read("ta", v).toMap, read("tb", v).toMap)
+      assert(ga.keySet.intersect(gb.keySet).isEmpty, s"cut v$v: key in both")
+    }
+
+    TxLog.vacuum(spark, db, retainVersions = 2)
+    check("post-vacuum")
+  }
+
   test("partitioned + stats-carrying table: 12 random ops, snapshot == model, log-pruned reads exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
