@@ -1,0 +1,157 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DbMvSpec extends SparkSpec {
+
+  private lazy val ordersRaw = graft.Tables.orders(spark, sf("orders"))
+  private lazy val customerRaw = graft.Tables.customer(spark, sf("customer"))
+
+  // exact-typed metric: the incremental fold adds and cancels in feed
+  // order, so only an exact type makes state == recompute bit-for-bit
+  private lazy val fact = ordersRaw.select(
+    col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    col("o_totalprice").cast("decimal(12,2)").as("rev"))
+  private lazy val dim = customerRaw.select(
+    col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+
+  private val view = DbMv.JoinView(
+    fact = "orders", dim = "customer",
+    factKey = "o_custkey", dimKey = "c_custkey",
+    groupCols = Seq("c_nationkey"), sumCol = "rev")
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  /** The view recomputed directly from the database's CURRENT cut —
+    * what every refresh's state must equal exactly.
+    */
+  private def recompute(db: String): DataFrame = {
+    val f = DbLog.snapshot(spark, db, "orders")
+    val d = DbLog.snapshot(spark, db, "customer")
+    f.join(d, f("o_custkey") === d("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("mv_count"), sum(col("rev")).as("mv_sum"))
+  }
+
+  private def checkView(db: String, step: String): Unit =
+    assert(same(DbMv.read(spark, db, "rev"), recompute(db)), s"$step: mv != recompute")
+
+  private def freshDb(seedFraction: Boolean = false): String = {
+    val db = Files.createTempDirectory("dbmv").toString + "/db"
+    DbLog.create(spark, db)
+    val seedOrders =
+      if (seedFraction) fact.filter(col("o_orderkey") % 3 =!= 0) else fact
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", seedOrders.repartition(4))
+      txn.append("customer", dim.repartition(2))
+    }
+    db
+  }
+
+  test("init seeds state == direct recompute; read returns groupCols, mv_count, mv_sum") {
+    val db = freshDb()
+    DbMv.init(spark, db, "rev", view)
+    assert(DbMv.read(spark, db, "rev").columns.toSeq ==
+      Seq("c_nationkey", "mv_count", "mv_sum"))
+    checkView(db, "seed")
+    // definition round-trips
+    assert(DbMv.definition(spark, db, "rev") == view)
+  }
+
+  test("fact-side churn: appends and a cross-table archive move fold in exactly") {
+    val db = freshDb(seedFraction = true)
+    DbMv.init(spark, db, "rev", view)
+    // appends land
+    DbLog.transact(spark, db, "late-orders")(
+      _.append("orders", fact.filter(col("o_orderkey") % 3 === 0)))
+    val (f1, t1) = DbMv.refresh(spark, db, "rev")
+    assert(f1 < t1)
+    checkView(db, "after append")
+    // a multi-table move: deletes leave the view through the SAME
+    // commit that fills the archive — never torn
+    DbLog.transact(spark, db, "archive-F") { txn =>
+      txn.append("orders_archive",
+        txn.table("orders").filter(col("o_orderstatus") === "F"))
+      txn.deleteWhere("orders", col("o_orderstatus") === "F")
+    }
+    DbMv.refresh(spark, db, "rev")
+    checkView(db, "after archive")
+    // replay: nothing to do, nothing committed
+    val v = DbLog.currentVersion(spark, db)
+    val (f2, t2) = DbMv.refresh(spark, db, "rev")
+    assert(f2 == t2 && DbLog.currentVersion(spark, db) == v)
+  }
+
+  test("dim-side churn re-prices current fact rows (F_new ⋈ ΔD term)") {
+    val db = freshDb()
+    DbMv.init(spark, db, "rev", view)
+    // move every 10th customer to a different nation
+    DbLog.transact(spark, db, "renationalize") { txn =>
+      val moved = txn.table("customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_nationkey", (col("c_nationkey") + lit(7)) % 25)
+      txn.deleteWhere("customer", col("c_custkey") % 10 === 0)
+      txn.append("customer", moved)
+    }
+    DbMv.refresh(spark, db, "rev")
+    checkView(db, "after dim churn")
+  }
+
+  test("ΔF⋈ΔD cross term: a customer and its orders arriving in ONE transaction count once") {
+    val db = Files.createTempDirectory("dbmv").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", fact.filter(col("o_custkey") % 2 === 0))
+      txn.append("customer", dim.filter(col("c_custkey") % 2 === 0))
+    }
+    DbMv.init(spark, db, "rev", view)
+    DbLog.transact(spark, db, "onboard-odd") { txn =>
+      txn.append("customer", dim.filter(col("c_custkey") % 2 =!= 0))
+      txn.append("orders", fact.filter(col("o_custkey") % 2 =!= 0))
+    }
+    DbMv.refresh(spark, db, "rev")
+    checkView(db, "after cross-term onboard")
+  }
+
+  test("groups cancel to zero and leave the view; they return when rows return") {
+    val db = freshDb()
+    DbMv.init(spark, db, "rev", view)
+    // empty one nation's orders entirely
+    val victims = dim.filter(col("c_nationkey") === 3).select("c_custkey")
+    val victimKeys = victims.collect().map(_.getLong(0)).toSet
+    DbLog.transact(spark, db, "drain-3")(
+      _.deleteWhere("orders", col("o_custkey").isInCollection(victimKeys)))
+    DbMv.refresh(spark, db, "rev")
+    checkView(db, "after drain")
+    assert(DbMv.read(spark, db, "rev")
+      .filter(col("c_nationkey") === 3).isEmpty)
+    // rows return, the group reappears
+    DbLog.transact(spark, db, "refill-3")(
+      _.append("orders", fact.filter(col("o_custkey").isInCollection(victimKeys))))
+    DbMv.refresh(spark, db, "rev")
+    checkView(db, "after refill")
+  }
+
+  test("behind the vacuum horizon the view reseeds instead of failing") {
+    val db = freshDb(seedFraction = true)
+    DbMv.init(spark, db, "rev", view)
+    // churn enough commits to push the cursor off a tight horizon
+    (0 until 4).foreach { i =>
+      DbLog.transact(spark, db, s"wave-$i")(
+        _.append("orders",
+          fact.filter(col("o_orderkey") % 3 === 0 &&
+            col("o_orderkey") % 4 === i)))
+    }
+    TxLog.vacuum(spark, db, retainVersions = 2)
+    val (from, to) = DbMv.refresh(spark, db, "rev")
+    assert(from < to)
+    checkView(db, "after reseed")
+    assert(DbLog.history(spark, db).head().getString(1).startsWith("mv_reseed"))
+  }
+}
