@@ -173,7 +173,14 @@ object Compact {
 
     val packedBytes = small.map(_._2.getLen).sum
     val nOut = math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(small.map(_._2.getPath.toString): _*)
+    // partition-prefixed packs write files whose partition values live
+    // in the path, not the footer — strip those columns from the pin
+    // so the read doesn't inject all-NULL path columns into data files
+    val pcols: Set[String] = partition.toSeq
+      .flatMap(_.split("/").toSeq.filter(_.contains("="))
+        .map(_.split("=", 2)(0))).toSet
+    val df = pinnedReader(spark, dir, dropCols = pcols)
+      .parquet(small.map(_._2.getPath.toString): _*)
     val packed =
       if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols, nOut)
       else if (sortCols.nonEmpty)
@@ -191,6 +198,30 @@ object Compact {
       written = written,
       untouched = files.length - small.length)
   }
+
+  /** Reader for every rewrite path that re-reads an explicit file
+    * list (pack, delete, merge): the table's pinned schema when the
+    * log holds one — after schema evolution a mixed-era file list
+    * must NOT let a pre-evolution footer decide the schema, or the
+    * evolved column's values are silently dropped from the rewritten
+    * files. No pin → the plain read [[TxLog.readEntries]] also uses
+    * (NOT mergeSchema: benign per-file footer drift like
+    * TIMESTAMP vs TIMESTAMP_NTZ reads fine under one footer's schema
+    * but makes StructType.merge throw). Partition columns absent
+    * from the pin are appended by Spark's basePath discovery, so the
+    * hive rewrite paths keep their path-encoded columns.
+    */
+  private[ops] def pinnedReader(
+      spark: SparkSession,
+      dir: String,
+      dropCols: Set[String] = Set.empty): org.apache.spark.sql.DataFrameReader =
+    TxLog.tableSchema(spark, dir) match {
+      case Some(sc) =>
+        val kept = org.apache.spark.sql.types.StructType(
+          sc.filterNot(f => dropCols(f.name)))
+        spark.read.schema(kept)
+      case None => spark.read
+    }
 
   /** The table's live data files as (relative name, status): the
     * current [[TxLog]] snapshot when the directory is log-managed —

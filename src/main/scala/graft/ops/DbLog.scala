@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 
 /** Multi-table ATOMIC transactions — the one lakehouse property a
   * per-table log cannot give (Delta has no multi-table commit;
@@ -42,14 +42,20 @@ import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
   * predicate is pushed down before rewriting only the files that
   * actually contain matches.
   *
-  * Out of scope, by construction: deletion vectors inside a DbLog
-  * database (attach/merge operate on a table root, not a prefix) —
-  * deletes here are copy-on-write of the matched files only.
+  * Deletion vectors compose (round 12): [[Txn.deleteWhereVectored]]
+  * and [[Txn.upsertKeyed]] stage table-prefix-scoped vectors through
+  * [[DeletionVectors.stageDelete]] — sidecars live at the database
+  * root, position sets key on prefixed names, and every read path
+  * (snapshot, diff, the copy-on-write rewrites) goes through the one
+  * DV-applying reader, so merge-on-read and copy-on-write interleave
+  * freely across tables inside one atomic commit.
   *
   * Reference anchor: the reference runs each load as one pandas
   * `to_sql` batch per table with no cross-table transaction
-  * (reference `main.py:60-74` loads dims then facts sequentially) —
-  * the consistency gap this closes at warehouse scale.
+  * (reference `dags/emission-dag.py:68-90` loads drivers, then cars,
+  * then cities/countries, then the fact, each via the per-table
+  * `to_sql` in `dags/utils.py:33`) — the consistency gap this
+  * closes at warehouse scale.
   */
 object DbLog {
 
@@ -104,11 +110,105 @@ object DbLog {
     require(entries.nonEmpty,
       s"table '$table' holds no files at version $version of $db " +
         s"(have: ${tables(spark, db, version).mkString(", ")})")
-    TxLog.readEntries(spark, db, entries, schemaVersion = version)
+    TxLog.readEntries(spark, db, entries, schemaVersion = version,
+      pinOverride = tableSchema(spark, db, table, version))
   }
 
   def currentVersion(spark: SparkSession, db: String): Int =
     TxLog.currentVersion(spark, db)
+
+  // ---- per-table metadata --------------------------------------------
+  // Namespaced files in the one log dir (`constraints.<table>.txt`,
+  // `stats_cols.<table>.txt`, `schema.<table>.<v>.json`): each table
+  // of a database carries its OWN CHECK constraints, schema pin and
+  // stats-column declaration, enforced/applied only on that table's
+  // writes and reads. The dir-wide TxLog forms stay what they are —
+  // a database never sets them (its tables have different schemas,
+  // so one shared expression/pin would be wrong by construction).
+
+  /** Declare CHECK constraints for ONE table of the database. Every
+    * [[Txn]] write path that stages rows into `table` validates its
+    * STAGED rows (delta-sized) against these — and only these —
+    * before anything commits; a violation throws
+    * [[TxLog.ConstraintViolation]] and the transaction never
+    * publishes. Pass Nil to drop enforcement.
+    */
+  def setCheckConstraints(
+      spark: SparkSession, db: String, table: String,
+      exprs: Seq[String]): Unit = {
+    requireTableName(table)
+    TxLog.metaWrite(spark, db, s"constraints.$table.txt",
+      exprs.mkString("\n"))
+  }
+
+  def checkConstraints(
+      spark: SparkSession, db: String, table: String): Seq[String] = {
+    requireTableName(table)
+    TxLog.metaRead(spark, db, s"constraints.$table.txt")
+      .map(_.linesIterator.filter(_.nonEmpty).toList).getOrElse(Nil)
+  }
+
+  private def enforce(
+      spark: SparkSession, db: String, table: String,
+      staged: DataFrame): Unit =
+    checkConstraints(spark, db, table).foreach { c =>
+      val bad = staged.filter(
+        not(org.apache.spark.sql.functions.expr(c))).limit(1).count()
+      if (bad > 0)
+        throw new TxLog.ConstraintViolation(
+          s"write to $db/$table violates CHECK constraint ($c); " +
+            "nothing committed")
+    }
+
+  /** Declare which columns of ONE table carry commit-time min/max
+    * stats. Overrides any dir-wide declaration for adds under the
+    * table's prefix, so two tables of one database index different
+    * columns.
+    */
+  def setStatsColumns(
+      spark: SparkSession, db: String, table: String,
+      cols: Seq[String]): Unit = {
+    requireTableName(table)
+    require(cols.forall(c => !c.exists("|,:".contains(_))),
+      s"stats columns must avoid '|', ',' and ':' — got $cols")
+    TxLog.metaWrite(spark, db, s"stats_cols.$table.txt",
+      cols.mkString("\n"))
+  }
+
+  /** Pin ONE table's schema at `version` (default: the database's
+    * current version). Reads of that table at or after the pin use
+    * it instead of footer sampling — files lacking an evolved column
+    * read NULL; earlier versions keep their own width.
+    */
+  def setTableSchema(
+      spark: SparkSession, db: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      version: Int = -1): Unit = {
+    requireTableName(table)
+    val v = if (version >= 0) version else currentVersion(spark, db)
+    TxLog.metaWrite(spark, db, f"schema.$table.$v%08d.json", schema.json)
+  }
+
+  /** The newest pin for `table` at or before `version`; None when the
+    * table never pinned one.
+    */
+  def tableSchema(
+      spark: SparkSession, db: String, table: String,
+      version: Int = Int.MaxValue):
+      Option[org.apache.spark.sql.types.StructType] = {
+    requireTableName(table)
+    val pfx = s"schema.$table."
+    val pins = TxLog.metaList(spark, db, pfx)
+      .flatMap { n =>
+        val core = n.stripPrefix(pfx).stripSuffix(".json")
+        if (core.matches("\\d{8}")) Some(core.toInt) else None
+      }
+      .filter(_ <= version)
+    if (pins.isEmpty) return None
+    TxLog.metaRead(spark, db, f"$pfx${pins.max}%08d.json").map(
+      org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** The database's commit history ([[TxLog.history]] verbatim —
     * one history for all tables, because there is one log).
@@ -205,11 +305,14 @@ object DbLog {
     private def requireOpen(): Unit =
       require(!done, "transaction already committed")
 
-    private def markRewrite(table: String, op: String): Unit = {
+    private def checkRewrite(table: String, op: String): Unit =
       require(!rewrote(table) && !appended(table),
         s"$op('$table'): this transaction already staged a write to " +
           s"'$table' — one rewrite per table per transaction (staged " +
           "state is not readable mid-transaction)")
+
+    private def markRewrite(table: String, op: String): Unit = {
+      checkRewrite(table, op)
       rewrote += table
     }
 
@@ -245,6 +348,7 @@ object DbLog {
       */
     def append(table: String, df: DataFrame): Unit = {
       requireOpen()
+      enforce(spark, db, table, df)
       appended += table
       val rels = stageIn(table,
         p => df.write.mode("overwrite").parquet(p))
@@ -254,6 +358,7 @@ object DbLog {
     /** Stage a full replacement of `table`'s contents. */
     def overwrite(table: String, df: DataFrame): Unit = {
       requireOpen()
+      enforce(spark, db, table, df)
       markRewrite(table, "overwrite")
       // DV-carrying olds are fine here: overwrite never reads them,
       // it only drops their entries (the vectors die with them)
@@ -272,38 +377,94 @@ object DbLog {
       */
     def deleteWhere(table: String, cond: Column): Unit = {
       requireOpen()
-      markRewrite(table, "deleteWhere")
+      // check-only here: a predicate that matches NOTHING must not
+      // mark the table rewritten, or a following same-txn upsert /
+      // overwrite after the no-op delete fails spuriously — the
+      // rewrite is recorded after the empty-match early return
+      checkRewrite(table, "deleteWhere")
       val entries = entriesOf(spark, db, table, baseVersion)
       require(entries.nonEmpty, s"deleteWhere: no such table '$table'")
-      require(entries.forall(_.dv.isEmpty),
-        s"deleteWhere: table '$table' carries deletion vectors — unsupported in DbLog")
       // a hive tree nested under the table would lose its path-encoded
       // column through this flat rewrite — refuse, don't corrupt
       require(entries.forall(_.name.count(_ == '/') == 1),
         s"deleteWhere: table '$table' has nested partition directories — " +
           "DbLog rewrites support flat tables only")
-      val fs = Compact.fsOf(spark, db)
-      // normalize both sides to the bare path: input_file_name()'s
-      // URI rendering (file:///x) differs from makeQualified (file:/x)
-      def bare(p: String) = new Path(p).toUri.getPath
-      val relOf = entries.map(e =>
-        bare(fs.makeQualified(new Path(db, e.name)).toString) -> e.name).toMap
-      val hitRels = spark.read
-        .parquet(entries.map(e => s"$db/${e.name}"): _*)
+      // the log's positioned reader finds hit files (DV-aware: rows a
+      // vector already hides cannot match, so replayed deletes are
+      // no-ops) — no input_file_name() URI normalization needed
+      val hitRels = TxLog.readEntries(spark, db, entries, withPos = true)
         .filter(cond)
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(r => relOf.getOrElse(bare(r.getString(0)),
-          throw new IllegalStateException(
-            s"dblog: unexpected input file ${r.getString(0)}"))).toSeq
+        .select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
       if (hitRels.isEmpty) return
-      val survivors = spark.read
-        .parquet(hitRels.map(n => s"$db/$n"): _*)
+      markRewrite(table, "deleteWhere")
+      val hitSet = hitRels.toSet
+      val hitEntries = entries.filter(e => hitSet(e.name))
+      // survivors through the same reader: a DV-carrying hit file
+      // rewrites to its VISIBLE survivors only — the vector dies with
+      // the replaced entry without resurrecting hidden rows
+      val survivors = TxLog.readEntries(spark, db, hitEntries)
         .filter(not(coalesce(cond, lit(false))))
       val rels = stageIn(table,
         p => survivors.write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
       removes ++= hitRels
-      seen ++= entries.filter(e => hitRels.contains(e.name))
+      seen ++= hitEntries
+    }
+
+    /** Stage a MERGE-ON-READ delete: matching rows are hidden by a
+      * deletion-vector sidecar scoped to this table's entries —
+      * write cost O(deleted rows), not O(touched files' bytes). The
+      * vector becomes visible only when this transaction's single
+      * commit lands, together with every other table's changes; the
+      * `seen` set makes a concurrent DV attach on the same files a
+      * commit-time conflict, never a lost update.
+      */
+    def deleteWhereVectored(table: String, cond: Column): Unit = {
+      requireOpen()
+      checkRewrite(table, "deleteWhereVectored")
+      val entries = entriesOf(spark, db, table, baseVersion)
+      require(entries.nonEmpty,
+        s"deleteWhereVectored: no such table '$table'")
+      val st = DeletionVectors.stageDelete(spark, db, entries, _.filter(cond))
+      if (st.deletedRows == 0) return
+      markRewrite(table, "deleteWhereVectored")
+      adds ++= st.adds
+      removes ++= st.removes
+      seen ++= st.seen
+    }
+
+    /** Stage a keyed MERGE-ON-READ upsert: same-key rows are hidden
+      * by a deletion vector (no data file rewritten — [[
+      * DeletionVectors.upsert]]'s write economics) and the batch
+      * lands as fresh files, all inside this multi-table
+      * transaction. Distributed: the key set is a semi-join, never
+      * driver-collected (contrast [[upsert]], the command-batch
+      * copy-on-write form).
+      */
+    def upsertKeyed(
+        table: String, keyCols: Seq[String], updates: DataFrame): Unit = {
+      requireOpen()
+      checkRewrite(table, "upsertKeyed")
+      require(keyCols.nonEmpty, "upsertKeyed: keyCols must be non-empty")
+      enforce(spark, db, table, updates)
+      val entries = entriesOf(spark, db, table, baseVersion)
+      val aligned =
+        if (entries.isEmpty) updates
+        else updates.select(
+          TxLog.readEntries(spark, db, entries).columns.map(col): _*)
+      markRewrite(table, "upsertKeyed")
+      if (entries.nonEmpty) {
+        val k = updates.select(keyCols.map(col): _*).distinct()
+        val st = DeletionVectors.stageDelete(spark, db, entries,
+          _.join(k, keyCols, "left_semi"))
+        adds ++= st.adds
+        removes ++= st.removes
+        seen ++= st.seen
+      }
+      val rels = stageIn(table,
+        p => aligned.write.mode("overwrite").parquet(p))
+      adds ++= rels.map(TxLog.AddEntry(_))
     }
 
     /** Stage a keyed MERGE: rows of `updates` replace same-key rows

@@ -47,10 +47,13 @@ import org.apache.spark.sql.functions._
   * touched-cells-only [[MvStore]] is the right state backend; this
   * store's contribution is the transactional cursor.
   *
-  * Reference anchor: the reference recomputes its brand/car/driver
-  * rollups from scratch each run (reference `main.py:77-98`,
-  * `queries.py:1-23` — full `read_sql` + pandas groupby per run);
-  * this is the incremental form of those same join-aggregates.
+  * Reference anchor: the reference's stated end goal is total
+  * emission "on a brand level, car level, and driver level"
+  * (reference `README.md:3`), computed by re-running full
+  * warehouse-wide join-aggregate SQL over the tables the DAG reloads
+  * every cycle (`dags/emission-dag.py:214-224` schedules the whole
+  * transform-and-load each run); this is the incremental form of
+  * those same join-aggregates.
   */
 object DbMv {
 

@@ -104,7 +104,7 @@ object DeleteWhere {
     val all = allFiles(spark, dir)
     if (all.isEmpty) return Receipt(0, 0, 0, 0)
     val k = keys.select(col(keys.columns.head).as(column)).distinct()
-    val touched = touchedFiles(spark, all, column, k, manifest)
+    val touched = touchedFiles(spark, dir, all, column, k, manifest)
     // plain (null-UNSAFE) anti join: a NULL batch key must not delete
     // NULL rows — RelationalOps.antiJoinNew's null-safe equality would
     rewriteWith(spark, dir, all, touched,
@@ -128,6 +128,7 @@ object DeleteWhere {
     */
   private[ops] def touchedFiles(
       spark: SparkSession,
+      dir: String,
       all: Seq[String],
       keyCol: String,
       keys: DataFrame,
@@ -142,7 +143,7 @@ object DeleteWhere {
       case None => all
     }
     if (statsCand.isEmpty) return Nil
-    spark.read.parquet(statsCand: _*)
+    Compact.pinnedReader(spark, dir).parquet(statsCand: _*)
       .select(input_file_name().as("__file"), col(keyCol))
       .join(keys, Seq(keyCol), "left_semi")
       .select("__file").distinct()
@@ -228,7 +229,8 @@ object DeleteWhere {
       // hive layout: read WITH the partition columns (path-encoded, so
       // the predicate can reference them), rewrite as a partition tree,
       // swap every touched partition's entries in ONE commit
-      val candDf = spark.read.option("basePath", dir).parquet(cand: _*)
+      val candDf = Compact.pinnedReader(spark, dir)
+        .option("basePath", dir).parquet(cand: _*)
       val candRows = candDf.count()
       val kept = keepRows(candDf).localCheckpoint()
       Compact.stageRewriteHive(spark, dir, rel, stagePath =>
@@ -240,7 +242,7 @@ object DeleteWhere {
         untouched = all.length - cand.length,
         deletedRows = candRows - kept.count())
     }
-    val candDf = spark.read.parquet(cand: _*)
+    val candDf = Compact.pinnedReader(spark, dir).parquet(cand: _*)
     val schema = candDf.schema
     val candRows = candDf.count()
     val newNames = Compact.stageRewrite(spark, dir, rel,

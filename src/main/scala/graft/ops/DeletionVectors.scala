@@ -120,7 +120,7 @@ object DeletionVectors {
     val all = DeleteWhere.allFiles(spark, dir)
     if (all.isEmpty) return Receipt(0, 0, 0, None)
     val k = keys.select(col(keys.columns.head).as(column)).distinct()
-    val cand = DeleteWhere.touchedFiles(spark, all, column, k, manifest)
+    val cand = DeleteWhere.touchedFiles(spark, dir, all, column, k, manifest)
       .map(DeleteWhere.relName(spark, dir, _))
     deleteWith(spark, dir, _.join(k, Seq(column), "left_semi"), Some(cand))
   }
@@ -179,6 +179,7 @@ object DeletionVectors {
     // the widened schema is PINNED in the log (versioned — older
     // snapshots keep their own width; files lacking a column read
     // NULL under the pin).
+    var evolvedTo: Option[org.apache.spark.sql.types.StructType] = None
     val updatesAligned = {
       val base = TxLog.tableSchema(spark, dir).getOrElse {
         if (entries.isEmpty) updates.schema
@@ -207,8 +208,7 @@ object DeletionVectors {
         }
         val merged = org.apache.spark.sql.types.StructType(
           base.fields ++ fresh)
-        TxLog.setTableSchema(spark, dir, merged,
-          version = TxLog.currentVersion(spark, dir) + 1)
+        evolvedTo = Some(merged)
         val withMissing = base.fieldNames.filterNot(batchNames)
           .foldLeft(updates)((d, n) =>
             d.withColumn(n, lit(null).cast(base(n).dataType)))
@@ -245,13 +245,20 @@ object DeletionVectors {
         val allRows = prior.map(_.unionByName(hit.get)).getOrElse(hit.get)
         Some(writeSidecar(spark, dir, allRows))
       }
-    TxLog.commitEntries(spark, dir,
+    val committedV = TxLog.commitEntries(spark, dir,
       adds = touched.map(e => e.copy(dv = dvName)).sortBy(_.name) ++
         newNames.map(TxLog.AddEntry(_)),
       removes = touched.map(_.name).sorted,
       txn = txn,
       seen = touched,
       op = Some("mor-merge"))
+    // pin AFTER the commit succeeds, keyed to the version it actually
+    // landed at: pinning currentVersion+1 up front would retroactively
+    // widen intermediate snapshots when the commit retries past that
+    // version, and an abandoned commit would orphan a phantom
+    // all-NULL column into every later snapshot
+    evolvedTo.foreach(sc =>
+      TxLog.setTableSchema(spark, dir, sc, version = committedV))
     UpsertReceipt(entries.size.toLong, touched.size.toLong, replacedRows,
       newNames.size.toLong, dvName)
   }
@@ -301,6 +308,41 @@ object DeletionVectors {
       case None => entries
     }
     if (cand.isEmpty) return Receipt(entries.size.toLong, 0, 0, None)
+    val st = stageDelete(spark, dir, cand, matchRows)
+    if (st.deletedRows == 0) return Receipt(entries.size.toLong, 0, 0, None)
+    // seen = the entries this scan was based on: a concurrent DV
+    // attach (or rewrite) on a touched file conflicts instead of
+    // losing its deletes to this commit's stale vector
+    TxLog.commitEntries(spark, dir,
+      adds = st.adds,
+      removes = st.removes,
+      seen = st.seen,
+      op = Some("dv-delete"))
+    Receipt(entries.size.toLong, st.seen.size.toLong, st.deletedRows,
+      st.dvFile)
+  }
+
+  /** The staged form of [[deleteWith]] — compute the touched entries'
+    * replacement ADDs (each re-pointed at one merged sidecar), the
+    * removes and the conflict-defence `seen` set WITHOUT committing.
+    * [[DbLog.Txn]] folds these into a multi-table atomic commit; the
+    * single-table paths commit them directly. The sidecar file is
+    * written eagerly (it is invisible until an entry references it —
+    * an abandoned transaction leaves only an orphan-sweepable file).
+    */
+  private[ops] case class StagedDv(
+      adds: Seq[TxLog.AddEntry],
+      removes: Seq[String],
+      seen: Seq[TxLog.AddEntry],
+      deletedRows: Long,
+      dvFile: Option[String])
+
+  private[ops] def stageDelete(
+      spark: SparkSession,
+      dir: String,
+      cand: Seq[TxLog.AddEntry],
+      matchRows: DataFrame => DataFrame): StagedDv = {
+    if (cand.isEmpty) return StagedDv(Nil, Nil, Nil, 0, None)
     // the SNAPSHOT with positions: already-deleted rows are invisible,
     // so a replayed predicate deletes 0 and position sets never dup
     val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
@@ -308,25 +350,21 @@ object DeletionVectors {
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
       .localCheckpoint() // pin: the plan below re-reads it twice
     val deletedRows = newDel.count()
-    if (deletedRows == 0) return Receipt(entries.size.toLong, 0, 0, None)
+    if (deletedRows == 0) return StagedDv(Nil, Nil, Nil, 0, None)
     val touchedRels = newDel.select("file").distinct()
       .collect().map(_.getString(0)).toSet // bounded by file count
-    val touched = entries.filter(e => touchedRels(e.name))
+    val touched = cand.filter(e => touchedRels(e.name))
     // carry forward the touched files' EXISTING deleted positions —
     // the new sidecar holds each touched file's complete set
     val prior = priorDvRows(spark, dir, touched)
     val allRows = prior.map(_.unionByName(newDel)).getOrElse(newDel)
     val dvName = writeSidecar(spark, dir, allRows)
-    // seen = the entries this scan was based on: a concurrent DV
-    // attach (or rewrite) on a touched file conflicts instead of
-    // losing its deletes to this commit's stale vector
-    TxLog.commitEntries(spark, dir,
+    StagedDv(
       adds = touched.map(_.copy(dv = Some(dvName))).sortBy(_.name),
       removes = touched.map(_.name).sorted,
       seen = touched,
-      op = Some("dv-delete"))
-    Receipt(entries.size.toLong, touched.size.toLong, deletedRows,
-      Some(dvName))
+      deletedRows = deletedRows,
+      dvFile = Some(dvName))
   }
 
   /** Range-delete with log-stats pruning: only files whose ADD-carried

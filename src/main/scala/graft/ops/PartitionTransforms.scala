@@ -72,18 +72,34 @@ object PartitionTransforms {
     def lte(a: String, b: String): Boolean = a <= b
   }
 
+  /** UTC calendar date of a TimestampType column — day boundaries
+    * are fixed to UTC (Iceberg's definition) so a table written
+    * under one `spark.sql.session.timeZone` and pruned under
+    * another derives identical partition strings; `date_format`
+    * alone renders in the session zone and would silently mis-prune
+    * across a zone change. DateType/NTZ values have no zone to
+    * begin with and take the plain branch.
+    */
+  private def utcDate(c: Column): Column =
+    date_add(to_date(lit("1970-01-01")),
+      floor(c.cast("double") / 86400d).cast("int"))
+
   final case class Days(column: String) extends Transform {
     val partCol = s"p_days_$column"
-    def expr(df: DataFrame): Column =
-      date_format(col(column), "yyyy-MM-dd")
+    def expr(df: DataFrame): Column = df.schema(column).dataType match {
+      case TimestampType => date_format(utcDate(col(column)), "yyyy-MM-dd")
+      case _ => date_format(col(column), "yyyy-MM-dd")
+    }
     def serialized = s"days:$column"
     def orderPreserving = true
   }
 
   final case class Months(column: String) extends Transform {
     val partCol = s"p_months_$column"
-    def expr(df: DataFrame): Column =
-      date_format(col(column), "yyyy-MM")
+    def expr(df: DataFrame): Column = df.schema(column).dataType match {
+      case TimestampType => date_format(utcDate(col(column)), "yyyy-MM")
+      case _ => date_format(col(column), "yyyy-MM")
+    }
     def serialized = s"months:$column"
     def orderPreserving = true
   }

@@ -63,6 +63,40 @@ object TxLog {
   private def versionName(v: Int) = f"v$v%08d.txt"
   private def checkpointName(v: Int) = f"c$v%08d.txt"
 
+  /** Named metadata files in the log dir — the shared primitive the
+    * per-table (DbLog) metadata namespaces build on
+    * (`constraints.<table>.txt`, `stats_cols.<table>.txt`,
+    * `schema.<table>.<v>.json`). Safe to add freely: every strict
+    * pattern elsewhere (versions `v\d{8}`, checkpoints `c\d{8}`,
+    * schema pins `s\d{8}`) ignores unknown names by construction.
+    */
+  private[ops] def metaWrite(
+      spark: SparkSession, dir: String, name: String, body: String): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
+    val out = fs.create(new Path(logPath(dir), name), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[ops] def metaRead(
+      spark: SparkSession, dir: String, name: String): Option[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = new Path(logPath(dir), name)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  private[ops] def metaList(
+      spark: SparkSession, dir: String, prefix: String): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Nil
+    fs.listStatus(logPath(dir)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted
+  }
+
   /** Per-column min/max carried ON an ADD entry — the Delta/Iceberg
     * move of embedding file statistics in the commit itself, so a
     * selective read plans (snapshot + prune) from ONE metadata read
@@ -480,7 +514,9 @@ object TxLog {
       entries: Seq[AddEntry],
       mergeSchema: Boolean = false,
       withPos: Boolean = false,
-      schemaVersion: Int = Int.MaxValue): DataFrame = {
+      schemaVersion: Int = Int.MaxValue,
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     require(entries.nonEmpty, s"readEntries: empty entry set for $dir")
@@ -489,8 +525,10 @@ object TxLog {
     def rd = {
       val r = spark.read.option("basePath", dir)
       // a pinned schema beats footer sampling AND mergeSchema: the
-      // log says what the table is, files lacking a column read NULL
-      tableSchema(spark, dir, schemaVersion) match {
+      // log says what the table is, files lacking a column read NULL.
+      // pinOverride carries a PER-TABLE pin (DbLog) past the
+      // dir-wide lookup.
+      pinOverride.orElse(tableSchema(spark, dir, schemaVersion)) match {
         case Some(sc) => r.schema(sc)
         case None => if (mergeSchema) r.option("mergeSchema", "true") else r
       }
@@ -637,14 +675,33 @@ object TxLog {
     val cols = statsColumns(spark, dir)
     val bare = adds.filter(_.stats.isEmpty).map(_.name)
     val entries =
-      if (cols.isEmpty || bare.isEmpty) adds
+      if (bare.isEmpty) adds
       else {
-        val byFile = ZoneMap
-          .statsForFiles(spark, bare.map(n => s"$dir/$n"), cols, lenient = true)
-        adds.map { e =>
-          if (e.stats.nonEmpty) e
-          else e.copy(stats = byFile.getOrElse(s"$dir/${e.name}", Nil)
-            .map(s => ColStats(s._1, s._2, s._3)))
+        // a per-table declaration (DbLog: stats_cols.<table>.txt)
+        // overrides the dir-wide list for adds under its prefix, so
+        // two tables of one database can index different columns
+        val prefixes = bare.collect {
+          case n if n.indexOf('/') > 0 => n.substring(0, n.indexOf('/'))
+        }.distinct
+        val perTable: Map[String, Seq[String]] = prefixes.flatMap(t =>
+          metaRead(spark, dir, s"stats_cols.$t.txt")
+            .map(b => t -> b.linesIterator.filter(_.nonEmpty).toList)).toMap
+        def colsFor(n: String): Seq[String] = {
+          val i = n.indexOf('/')
+          if (i > 0) perTable.getOrElse(n.substring(0, i), cols) else cols
+        }
+        val groups = bare.groupBy(colsFor).filter(_._1.nonEmpty)
+        if (groups.isEmpty) adds
+        else {
+          val byFile = groups.flatMap { case (cs, names) =>
+            ZoneMap.statsForFiles(
+              spark, names.map(n => s"$dir/$n"), cs, lenient = true)
+          }
+          adds.map { e =>
+            if (e.stats.nonEmpty) e
+            else e.copy(stats = byFile.getOrElse(s"$dir/${e.name}", Nil)
+              .map(s => ColStats(s._1, s._2, s._3)))
+          }
         }
       }
     var committed = -1

@@ -64,7 +64,8 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (cand.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = spark.read.option("basePath", dir).parquet(cand: _*)
+        val candDf = Compact.pinnedReader(spark, dir)
+          .option("basePath", dir).parquet(cand: _*)
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -122,11 +123,12 @@ object UpsertWhere {
     val feedKeys = feed.select(col(keyCol)).distinct()
     val touched: Seq[String] =
       if (all.isEmpty) Nil
-      else DeleteWhere.touchedFiles(spark, all, keyCol, feedKeys, manifest)
+      else DeleteWhere.touchedFiles(spark, dir, all, keyCol, feedKeys, manifest)
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = spark.read.option("basePath", dir).parquet(touched: _*)
+        val candDf = Compact.pinnedReader(spark, dir)
+          .option("basePath", dir).parquet(touched: _*)
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -221,11 +223,12 @@ object UpsertWhere {
     val keys = up.select(keyCol).distinct()
     val touched: Seq[String] =
       if (all.isEmpty) Nil
-      else DeleteWhere.touchedFiles(spark, all, keyCol, keys, manifest)
+      else DeleteWhere.touchedFiles(spark, dir, all, keyCol, keys, manifest)
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = spark.read.option("basePath", dir).parquet(touched: _*)
+        val candDf = Compact.pinnedReader(spark, dir)
+          .option("basePath", dir).parquet(touched: _*)
         val replaced = candDf
           .join(keys, Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()

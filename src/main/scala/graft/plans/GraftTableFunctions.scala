@@ -114,14 +114,26 @@ object GraftTableFunctions {
       s"$fn: unsupported argument count ${args.length}")
   }
 
-  /** A literal of ANY type, passed through as-is (partition-transform
-    * scans cast literals to the table column's type themselves).
+  /** A literal of ANY type, converted from its internal Catalyst
+    * value to the external form partition-transform scans expect.
+    * TIMESTAMP/DATE matter most: Catalyst holds them as Long
+    * microseconds / Int days, and passing those raw would make
+    * `partitionValues` type them LongType/IntegerType — the cast to
+    * the table's timestamp column then reads the Long as SECONDS,
+    * deriving wrong partitions silently. Convert by the literal's
+    * declared dataType instead.
     */
   private def anyLit(e: Expression, fn: String, pos: Int): Any = e match {
-    case lit if lit.foldable => lit.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case other => other
+    case lit if lit.foldable => (lit.dataType, lit.eval()) match {
+      case (_, null) => null
+      case (org.apache.spark.sql.types.TimestampType, micros: java.lang.Long) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(micros)
+      case (org.apache.spark.sql.types.DateType, days: java.lang.Integer) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(days)
+      case (_, s: org.apache.spark.unsafe.types.UTF8String) => s.toString
+      case (_, d: org.apache.spark.sql.types.Decimal) => d.toDouble
+      case (_, other) => other
     }
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be a literal, got $other")

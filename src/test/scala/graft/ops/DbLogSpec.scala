@@ -209,4 +209,136 @@ class DbLogSpec extends SparkSpec {
     assert(same(DbLog.snapshot(spark, db, "orders"),
       orders.filter(col("o_orderstatus") =!= "F")))
   }
+
+  test("deleteWhereVectored hides rows without rewriting data files; diff and snapshot agree") {
+    val db = freshDb()
+    val fsDb = Compact.fsOf(spark, db)
+    val before = Compact.dataFilesRecursive(fsDb, db).toSet
+    val vPre = DbLog.currentVersion(spark, db)
+    DbLog.transact(spark, db, "dv-archive") { txn =>
+      txn.append("orders_archive", txn.table("orders")
+        .filter(col("o_orderstatus") === "F"))
+      txn.deleteWhereVectored("orders", col("o_orderstatus") === "F")
+    }
+    assert(DbLog.currentVersion(spark, db) == vPre + 1)
+    // merge-on-read: not one data file of `orders` rewritten
+    val after = Compact.dataFilesRecursive(fsDb, db).toSet
+    assert(before.subsetOf(after))
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderstatus") =!= "F")))
+    assert(same(DbLog.snapshot(spark, db, "orders_archive"),
+      orders.filter(col("o_orderstatus") === "F")))
+    // time travel reconstructs the pre-delete cut
+    assert(same(DbLog.snapshot(spark, db, "orders", vPre), orders))
+    // the change feed across the DV commit carries the deletes
+    val d = DbLog.diff(spark, db, "orders", vPre, vPre + 1)
+    assert(d.filter(col("_change_type") === "delete").count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("copy-on-write deleteWhere over a DV-carrying table does not resurrect hidden rows") {
+    val db = freshDb()
+    DbLog.transact(spark, db, "dv") { txn =>
+      txn.deleteWhereVectored("orders", col("o_orderkey") <= 100)
+    }
+    // CoW delete next: its rewrite of DV-carrying files must keep the
+    // vector's hidden rows hidden
+    DbLog.transact(spark, db, "cow") { txn =>
+      txn.deleteWhere("orders", col("o_orderkey") > 100 && col("o_orderkey") <= 200)
+    }
+    assert(same(DbLog.snapshot(spark, db, "orders"),
+      orders.filter(col("o_orderkey") > 200)))
+  }
+
+  test("upsertKeyed stages MOR upserts and appends atomically with other tables") {
+    val db = freshDb()
+    val updates = orders.filter(col("o_orderkey") <= 50)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+    val fresh = orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 10_000_000L)
+    val vPre = DbLog.currentVersion(spark, db)
+    DbLog.transact(spark, db, "mor-upsert") { txn =>
+      txn.upsertKeyed("orders", Seq("o_orderkey"),
+        updates.unionByName(fresh))
+      txn.append("audit", spark.range(1).select(col("id").as("batch")))
+    }
+    assert(DbLog.currentVersion(spark, db) == vPre + 1)
+    val got = DbLog.snapshot(spark, db, "orders")
+    assert(got.count() == orders.count() + 5)
+    assert(got.filter(col("o_orderkey") <= 50 &&
+        col("o_orderpriority") === "UPDATED")
+      .count() == orders.filter(col("o_orderkey") <= 50).count())
+    assert(got.filter(col("o_orderkey") >= 10_000_000L).count() == 5)
+    assert(DbLog.snapshot(spark, db, "audit").count() == 1)
+  }
+
+  test("per-table CHECK constraints: each write path enforces only its own table's") {
+    val db = freshDb()
+    DbLog.setCheckConstraints(spark, db, "orders",
+      Seq("o_totalprice >= 0"))
+    DbLog.setCheckConstraints(spark, db, "customer",
+      Seq("c_acctbal > -10000"))
+    // a violating orders append fails, names the orders constraint
+    val e = intercept[TxLog.ConstraintViolation] {
+      DbLog.transact(spark, db, "bad") { txn =>
+        txn.append("orders", orders.limit(1)
+          .withColumn("o_totalprice", lit(-5.0)))
+      }
+    }
+    assert(e.getMessage.contains("o_totalprice"))
+    // the same rows appended to a DIFFERENT table pass (customer's
+    // constraint does not mention o_totalprice, and orders' does not
+    // apply there) — per-table scoping, not database-wide
+    DbLog.transact(spark, db, "other") { txn =>
+      txn.append("orders_quarantine", orders.limit(1)
+        .withColumn("o_totalprice", lit(-5.0)))
+    }
+    // customer writes enforce customer's own constraint
+    intercept[TxLog.ConstraintViolation] {
+      DbLog.transact(spark, db, "badc") { txn =>
+        txn.overwrite("customer", customer.limit(1)
+          .withColumn("c_acctbal", lit(-20000.0)))
+      }
+    }
+    // valid writes to both tables in one transaction still commit
+    val v = DbLog.transact(spark, db, "ok") { txn =>
+      txn.append("orders", orders.limit(1))
+      txn.append("customer", customer.limit(1))
+    }
+    assert(v > 0)
+  }
+
+  test("per-table schema pin: evolution widens one table without touching its siblings") {
+    val db = freshDb()
+    // evolve orders: new column lands via append of wider rows
+    val wider = orders.limit(3).withColumn("flag", lit("x"))
+    DbLog.transact(spark, db, "widen") { txn =>
+      txn.append("orders", wider)
+    }
+    DbLog.setTableSchema(spark, db, "orders",
+      wider.schema)
+    val got = DbLog.snapshot(spark, db, "orders")
+    assert(got.columns.contains("flag"))
+    assert(got.filter(col("flag").isNotNull).count() == 3)
+    assert(got.count() == orders.count() + 3)
+    // sibling table unaffected: no phantom column
+    assert(!DbLog.snapshot(spark, db, "customer").columns.contains("flag"))
+  }
+
+  test("per-table stats columns: each table's adds carry its own min/max") {
+    val db = Files.createTempDirectory("dblog").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.setStatsColumns(spark, db, "a", Seq("x"))
+    DbLog.setStatsColumns(spark, db, "b", Seq("y"))
+    import spark.implicits._
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("a", Seq((1L, 10L), (2L, 20L)).toDF("x", "other"))
+      txn.append("b", Seq((5L, 50L)).toDF("other", "y"))
+    }
+    val entries = TxLog.liveEntries(spark, db)
+    val aStats = entries.filter(_.name.startsWith("a/")).flatMap(_.stats)
+    val bStats = entries.filter(_.name.startsWith("b/")).flatMap(_.stats)
+    assert(aStats.nonEmpty && aStats.forall(_.column == "x"))
+    assert(bStats.nonEmpty && bStats.forall(_.column == "y"))
+  }
 }
