@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.plans.GraftTableFunctions.injectable.foreach(ext.injectTableFunction)
     ext.injectResolutionRule(session =>
       new graft.plans.GraftTableFunctions.ResolveGraftTableRef(session))
+    // SQL DML (MERGE INTO / DELETE FROM / UPDATE) over log-managed
+    // parquet paths → the log's own operators (GraftDml)
+    ext.injectResolutionRule(session =>
+      new graft.plans.GraftDml.ResolveGraftDml(session))
   }
 }
 

@@ -4068,4 +4068,108 @@ object Queries {
       t(s, dir, "events"), Seq("user_id"), "ts", 300000000L)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
+
+  // ----------------------------------------------------------- sql dml
+
+  /** SQL DML routed through the log ([[graft.plans.GraftDml]]): a
+    * MERGE INTO (merge-on-read upsert — matched rows vectored out,
+    * the batch appends), an UPDATE (candidate-pruned copy-on-write)
+    * and a DELETE FROM (same pruning), each written as one ordinary
+    * SQL statement against `parquet.`path``, each landing as exactly
+    * one log commit. Receipt asserts pin the routing: the MERGE
+    * reports op=merge, the DELETE rewrites fewer files than the
+    * table holds, and the version counter advances once per
+    * statement. Hash-green = the post-DML table equals DuckDB
+    * computing the same three statements' algebra directly.
+    */
+  def qSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/sql_dml"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val filesPre = graft.ops.TxLog.liveFiles(s, path).toSet
+    o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") < 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", lit(0.0)))
+      .createOrReplaceTempView("sql_dml_src")
+    val merge = graft.plans.GraftDml.sql(s,
+      s"""MERGE INTO parquet.`$path` AS t USING sql_dml_src AS src
+         |ON t.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head() // v1
+    require(merge.getString(0) == "merge" && merge.getLong(4) == 1L,
+      s"MERGE must route through the log as v1: $merge")
+    require(filesPre.subsetOf(graft.ops.TxLog.liveFiles(s, path).toSet),
+      "SQL MERGE must take the merge-on-read path: no data file rewritten")
+    val upd = graft.plans.GraftDml.sql(s,
+      s"""UPDATE parquet.`$path` SET o_orderpriority = 'X-DML'
+         |WHERE o_orderkey % 993 = 0""".stripMargin).head() // v2
+    require(upd.getString(0) == "update" && upd.getLong(4) == 2L,
+      s"UPDATE must route through the log as v2: $upd")
+    val del = graft.plans.GraftDml.sql(s,
+      s"DELETE FROM parquet.`$path` WHERE o_orderkey % 997 = 0").head() // v3
+    require(del.getString(0) == "delete" && del.getLong(4) == 3L &&
+        del.getLong(2) > 0,
+      s"DELETE must route through the log as v3: $del")
+    graft.ops.TxLog.snapshot(s, path)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  /** Deletion vectors inside a DbLog database ([[graft.ops.DbLog
+    * .Txn.deleteWhereVectored]] / [[graft.ops.DbLog.Txn.upsertKeyed]]):
+    * one multi-table transaction vectors matched orders rows out
+    * (write cost O(deleted rows) — no orders data file rewritten,
+    * asserted on the live-file set), MOR-upserts customer balances
+    * and appends an audit row, all landing as ONE database version.
+    * The snapshot and the change feed both read through the shared
+    * DV-applying reader; the diff across the DV commit carries
+    * exactly the vectored deletes.
+    */
+  def qDblogDv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val db = s"$indexQueryDir/dblog_dv"
+    val fsp = new org.apache.hadoop.fs.Path(db)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, db) // v0
+    graft.ops.DbLog.transact(s, db, "seed") { txn =>
+      txn.append("orders", o.repartition(8))
+      txn.append("customer", c.repartition(4))
+    } // v1
+    val vPre = graft.ops.DbLog.currentVersion(s, db)
+    val ordersFilesPre = graft.ops.TxLog.liveEntries(s, db)
+      .filter(_.name.startsWith("orders/")).map(_.name).toSet
+    graft.ops.DbLog.transact(s, db, "dv-close-month") { txn =>
+      txn.deleteWhereVectored("orders", col("o_orderstatus") === "F")
+      txn.upsertKeyed("customer", Seq("c_custkey"),
+        c.filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .withColumn("c_acctbal", lit(0.0)))
+      txn.append("audit", s.range(1).select(lit("close").as("op")))
+    } // v2 — one commit for all three tables
+    require(graft.ops.DbLog.currentVersion(s, db) == vPre + 1,
+      "the DV transaction must be exactly one commit")
+    val ordersFilesPost = graft.ops.TxLog.liveEntries(s, db)
+      .filter(_.name.startsWith("orders/")).map(_.name).toSet
+    require(ordersFilesPre.subsetOf(ordersFilesPost),
+      "vectored delete must not rewrite orders data files")
+    val deletes = graft.ops.DbLog.diff(s, db, "orders", vPre, vPre + 1)
+      .filter(col("_change_type") === "delete")
+    def slim(df: DataFrame, tbl: String): DataFrame =
+      df.select(lit(tbl).as("tbl"), col("k"), col("v"))
+    slim(graft.ops.DbLog.snapshot(s, db, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v")),
+      "orders_post")
+      .unionByName(slim(deletes
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v")),
+        "orders_deleted"))
+      .unionByName(slim(graft.ops.DbLog.snapshot(s, db, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("v")),
+        "customer_post"))
+  }
 }

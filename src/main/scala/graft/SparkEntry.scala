@@ -178,6 +178,8 @@ object SparkEntry {
     "q_dblog_txn" -> (Queries.qDblogTxn _),
     "q_dblog_stream" -> (Queries.qDblogStream _),
     "q_dblog_diff" -> (Queries.qDblogDiff _),
+    "q_dblog_dv" -> (Queries.qDblogDv _),
+    "q_sql_dml" -> (Queries.qSqlDml _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -2002,6 +2004,42 @@ object Oracles {
          FROM orders WHERE o_orderstatus = 'F'""",
 
     // streaming multi-table fan-out with a replayed epoch: the routed
+    // SQL DML routed through the log: MERGE (update every 991st key's
+    // price to 2x, insert fresh +10M keys at price 0), UPDATE (every
+    // 993rd key's priority), DELETE (every 997th key) — the oracle
+    // replays the same algebra over the base table
+    "q_sql_dml" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderpriority
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_orderstatus, 0.0,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey < 50
+         )
+         SELECT o_orderkey, o_orderstatus, o_totalprice,
+                CASE WHEN o_orderkey % 993 = 0 THEN 'X-DML'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM merged WHERE o_orderkey % 997 <> 0""",
+
+    // deletion vectors inside a DbLog database: one transaction
+    // vectors F-status orders out, zeroes every 97th customer's
+    // balance via MOR upsert, and appends an audit row — snapshot and
+    // change feed replay that algebra
+    "q_dblog_dv" ->
+      """SELECT 'orders_post' AS tbl, o_orderkey AS k, o_totalprice AS v
+         FROM orders WHERE o_orderstatus <> 'F'
+         UNION ALL
+         SELECT 'orders_deleted', o_orderkey, o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'customer_post', c_custkey,
+                CASE WHEN c_custkey % 97 = 0 THEN 0.0 ELSE c_acctbal END
+         FROM customer""",
+
     // tables reassemble to exactly the source relation, the
     // discriminator living in the table name
     "q_dblog_stream" ->

@@ -169,6 +169,74 @@ object DeleteWhere {
     rewrite(spark, dir, all, cand, !coalesce(predicate, lit(false)))
   }
 
+  /** [[where]] with automatic generic-predicate file pruning: one
+    * pushdown scan locates the files that actually hold matches
+    * ([[filesMatching]]); only those rewrite. The shape the SQL
+    * `DELETE FROM` surface routes through — a few matching rows cost
+    * a few file rewrites, never a table rewrite.
+    */
+  def wherePruned(
+      spark: SparkSession,
+      dir: String,
+      predicate: org.apache.spark.sql.Column): Receipt = {
+    Compact.recover(spark, dir)
+    val all = allFiles(spark, dir)
+    val cand = filesMatching(spark, dir, all, predicate)
+    rewrite(spark, dir, all, cand, !coalesce(predicate, lit(false)))
+  }
+
+  /** The files that actually CONTAIN rows matching `predicate` — one
+    * pushdown scan with `input_file_name()`, normalized back to the
+    * inputFiles URI form [[allFiles]] speaks. The generic-predicate
+    * pruning step the SQL DML layer runs before [[where]] /
+    * [[UpsertWhere.updateWhere]], so an UPDATE or DELETE of a few
+    * rows rewrites a few files, not the table.
+    */
+  private[graft] def filesMatching(
+      spark: SparkSession,
+      dir: String,
+      all: Seq[String],
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    if (all.isEmpty) return Nil
+    def bare(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val hit = Compact.pinnedReader(spark, dir).parquet(all: _*)
+      .filter(coalesce(predicate, lit(false)))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => bare(r.getString(0))).toSet
+    all.filter(a => hit(bare(a)))
+  }
+
+  /** UPDATE … SET … WHERE …: rewrite ONLY the files holding matches,
+    * applying each assignment to the matching rows and carrying every
+    * other row through unchanged (SQL UPDATE semantics: a NULL
+    * predicate leaves the row alone). Assignments evaluate against
+    * the pre-update row, all-at-once — `SET a = b, b = a` swaps.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      dir: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Receipt = {
+    require(sets.nonEmpty, "updateWhere: no assignments")
+    Compact.recover(spark, dir)
+    val all = allFiles(spark, dir)
+    val cand = filesMatching(spark, dir, all, predicate)
+    val hitP = coalesce(predicate, lit(false))
+    rewriteWith(spark, dir, all, cand, { df =>
+      require(sets.forall(s => df.columns.contains(s._1)),
+        s"updateWhere: unknown column in SET (${sets.map(_._1)})")
+      // all-at-once: project every column in one select, so later
+      // assignments never see earlier ones' results
+      val out = df.columns.map { c =>
+        sets.find(_._1 == c) match {
+          case Some((_, v)) => when(hitP, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      df.select(out.toIndexedSeq: _*)
+    })
+  }
+
   /** The table's live files in inputFiles URI form — the form the
     * manifests key their stats on (a format mismatch would silently
     * disable pruning: unknown file => candidate). Under a [[TxLog]]
@@ -224,30 +292,46 @@ object DeleteWhere {
     if (cand.isEmpty)
       return Receipt(all.length, 0, all.length, 0)
     val rel = cand.map(relName(spark, dir, _))
+    // DV-carrying candidates read through the log's DV-applying
+    // reader (their raw bytes would resurrect hidden rows); the
+    // rewrite then legitimately retires the vector with the replaced
+    // entry. A concurrent DV attach still conflicts at commit time —
+    // stageRewrite's `seen` capture is (name, dv)-pair-aware.
+    val candEntries: Seq[TxLog.AddEntry] =
+      if (TxLog.exists(spark, dir)) {
+        val r = rel.toSet
+        TxLog.liveEntries(spark, dir).filter(e => r(e.name))
+      } else Nil
+    val dvAware = candEntries.exists(_.dv.isDefined)
     val pcols = partitionColsOf(rel)
     if (pcols.nonEmpty) {
       // hive layout: read WITH the partition columns (path-encoded, so
       // the predicate can reference them), rewrite as a partition tree,
       // swap every touched partition's entries in ONE commit
-      val candDf = Compact.pinnedReader(spark, dir)
-        .option("basePath", dir).parquet(cand: _*)
+      val candDf =
+        if (dvAware) TxLog.readEntries(spark, dir, candEntries)
+        else Compact.pinnedReader(spark, dir)
+          .option("basePath", dir).parquet(cand: _*)
       val candRows = candDf.count()
       val kept = keepRows(candDf).localCheckpoint()
       Compact.stageRewriteHive(spark, dir, rel, stagePath =>
         kept.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
-        op = Some("delete"))
+        allowDvOlds = dvAware, op = Some("delete"))
       return Receipt(
         filesTotal = all.length,
         candidates = cand.length,
         untouched = all.length - cand.length,
         deletedRows = candRows - kept.count())
     }
-    val candDf = Compact.pinnedReader(spark, dir).parquet(cand: _*)
+    val candDf =
+      if (dvAware) TxLog.readEntries(spark, dir, candEntries)
+      else Compact.pinnedReader(spark, dir).parquet(cand: _*)
     val schema = candDf.schema
     val candRows = candDf.count()
     val newNames = Compact.stageRewrite(spark, dir, rel,
       stagePath => keepRows(candDf).write
-        .mode("overwrite").parquet(stagePath), op = Some("delete"))
+        .mode("overwrite").parquet(stagePath),
+      allowDvOlds = dvAware, op = Some("delete"))
     Compact.recover(spark, dir)
     // survivors counted from the committed replacement files (schema
     // pinned: an all-deleted rewrite can leave zero data files behind)

@@ -1,0 +1,289 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.{DeleteWhere, DeletionVectors, TxLog}
+
+/** SQL DML over log-managed parquet paths — `MERGE INTO`,
+  * `DELETE FROM` and `UPDATE` written as ordinary Spark SQL against
+  * `parquet.`/path``, routed through the transaction log's own
+  * operators instead of Spark's v2-table-only DML executor:
+  *
+  *  - `DELETE FROM parquet.`/t` WHERE p` →
+  *    [[DeleteWhere.wherePruned]] (one pushdown scan locates the
+  *    files holding matches; only those rewrite, in one commit);
+  *  - `UPDATE parquet.`/t` SET a = e, … WHERE p` →
+  *    [[DeleteWhere.updateWhere]] (same candidate pruning,
+  *    assignments applied all-at-once to matching rows);
+  *  - `MERGE INTO parquet.`/t` t USING src s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    → [[DeletionVectors.upsert]] (merge-on-read: same-key rows are
+  *    hidden by a vector, the batch appends — O(deleted rows) write
+  *    cost, Delta's DML economics);
+  *  - `… WHEN MATCHED THEN DELETE` (no insert branch) →
+  *    [[DeletionVectors.deleteWith]] semi-joined on the source keys.
+  *
+  * Two entry points share one translation ([[route]]):
+  * [[GraftDml.sql]] parses and routes any statement (works in every
+  * session — the `installInto` path tests and mains use), and
+  * [[ResolveGraftDml]] — injected via [[graft.GraftExtensions]] —
+  * rewrites the analyzer's DML plans to a [[GraftDmlCommand]], so a
+  * session built with `spark.sql.extensions` runs these statements
+  * through a literal `spark.sql(...)` call.
+  *
+  * v1 scope (clear errors outside it): the target is a parquet path;
+  * merge conditions are equality conjunctions on same-named columns;
+  * merge actions are the canonical UPDATE SET * / INSERT * / DELETE
+  * (including the analyzer's column-by-column expansion of the
+  * stars); no action-level AND conditions.
+  *
+  * Reference anchor: the reference lands its fact-table increment
+  * with a hand-written PostgreSQL upsert (`upsert_query.text`,
+  * `dags/emission-dag.py:198-208` computes the new-rows delta in
+  * pandas) — this is that MERGE as one SQL statement on the lake.
+  */
+object GraftDml {
+
+  val receiptSchema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("affected_rows", LongType, nullable = false),
+    StructField("files_touched", LongType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  private def receiptAttrs: Seq[Attribute] = receiptSchema.fields.toSeq.map(
+    f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** Execute `sqlText`: DML statements over parquet paths route
+    * through the log operators and return a one-row receipt
+    * (op, target, affected_rows, files_touched, version); everything
+    * else falls through to `spark.sql` verbatim.
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    GraftShim.parsePlan(spark, sqlText) match {
+      case p if targetOf(p).isDefined =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(route(spark, p): _*), receiptSchema)
+      case _ => spark.sql(sqlText)
+    }
+
+  /** The (path, alias) of a DML plan's parquet-path target; None for
+    * non-DML plans and non-path targets (→ leave to Spark).
+    */
+  private def targetOf(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case d: DeleteFromTable => pathOf(d.table)
+      case u: UpdateTable => pathOf(u.table)
+      case m: MergeIntoTable => pathOf(m.targetTable)
+      case _ => None
+    }
+
+  private def pathOf(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case SubqueryAlias(ident, child) =>
+        pathOf(child).map { case (p, _) => (p, Some(ident.name)) }
+      case u: UnresolvedRelation => u.multipartIdentifier match {
+        case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") => Some((p, None))
+        case _ => None
+      }
+      // the resolved shape the injected rule sees (ResolveRelations
+      // ran earlier in the same analyzer iteration)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths match {
+          case Seq(p) => Some((p.toUri.getPath, None))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Re-unresolve an expression by NAME: resolved AttributeReferences
+    * (the rule path) and alias-qualified UnresolvedAttributes (the
+    * parser path) both become bare column references that resolve
+    * against the operator's own fresh read of the table — carrying
+    * the original exprIds into a different scan would fail analysis.
+    */
+  private def byName(e: Expression, aliases: Set[String]): Expression =
+    e.transformUp {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      case a: UnresolvedAttribute
+          if a.nameParts.length > 1 &&
+            aliases.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  private def requireLogged(
+      spark: SparkSession, path: String, op: String): Unit =
+    require(TxLog.exists(spark, path),
+      s"$op: $path is not TxLog-managed — SQL DML routes through the " +
+        "transaction log (TxLog.convert(spark, dir) first)")
+
+  /** Shared translation: execute one parsed (or analyzer-resolved)
+    * DML plan, returning the receipt row.
+    */
+  private[graft] def route(spark: SparkSession, plan: LogicalPlan): Seq[Row] =
+    plan match {
+      case d: DeleteFromTable => runDelete(spark, d)
+      case u: UpdateTable => runUpdate(spark, u)
+      case m: MergeIntoTable => runMerge(spark, m)
+      case other => throw new IllegalArgumentException(
+        s"GraftDml.route: not a DML plan: ${other.nodeName}")
+    }
+
+  private def runDelete(spark: SparkSession, d: DeleteFromTable): Seq[Row] = {
+    val (path, alias) = targetOf(d).get
+    requireLogged(spark, path, "DELETE FROM")
+    val cond = GraftShim.column(byName(d.condition, alias.map(_.toLowerCase).toSet))
+    val r = DeleteWhere.wherePruned(spark, path, cond)
+    Seq(Row("delete", path, r.deletedRows, r.candidates,
+      TxLog.currentVersion(spark, path).toLong))
+  }
+
+  private def runUpdate(spark: SparkSession, u: UpdateTable): Seq[Row] = {
+    val (path, alias) = targetOf(u).get
+    requireLogged(spark, path, "UPDATE")
+    val aliases = alias.map(_.toLowerCase).toSet
+    val cond = GraftShim.column(byName(
+      u.condition.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal
+        .TrueLiteral), aliases))
+    val sets = u.assignments.map { a =>
+      val name = byName(a.key, aliases) match {
+        case UnresolvedAttribute(Seq(n)) => n
+        case other => throw new IllegalArgumentException(
+          s"UPDATE: unsupported assignment target $other")
+      }
+      name -> GraftShim.column(byName(a.value, aliases))
+    }
+    // matched-row count for the receipt: one pushdown-pruned probe
+    val matched = TxLog.read(spark, path).filter(cond).count()
+    val r = DeleteWhere.updateWhere(spark, path, cond, sets.toSeq)
+    Seq(Row("update", path, matched, r.candidates,
+      TxLog.currentVersion(spark, path).toLong))
+  }
+
+  private def runMerge(spark: SparkSession, m: MergeIntoTable): Seq[Row] = {
+    val (path, tAlias) = targetOf(m).get
+    requireLogged(spark, path, "MERGE INTO")
+    val sAlias = m.sourceTable match {
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+    val source = GraftShim.ofRows(spark, m.sourceTable)
+    val tSet = m.targetTable.outputSet
+    val sSet = m.sourceTable.outputSet
+    // ON t.k1 = s.k1 AND t.k2 = s.k2 … → key columns. Sides resolve by
+    // alias prefix (parser path) or attribute membership (rule path);
+    // v1 requires same-named keys on both sides.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def sideAndName(e: Expression): Option[(String, String)] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.head.toLowerCase
+        if (tAlias.exists(_.equalsIgnoreCase(q))) Some(("t", a.nameParts.last))
+        else if (sAlias.exists(_.equalsIgnoreCase(q))) Some(("s", a.nameParts.last))
+        else None
+      case a: AttributeReference =>
+        if (tSet.contains(a)) Some(("t", a.name))
+        else if (sSet.contains(a)) Some(("s", a.name))
+        else None
+      case _ => None
+    }
+    val keyCols: Seq[String] = conjuncts(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (sideAndName(l), sideAndName(r)) match {
+          case (Some(("t", tn)), Some(("s", sn))) if tn == sn => tn
+          case (Some(("s", sn)), Some(("t", tn))) if tn == sn => tn
+          case other => throw new IllegalArgumentException(
+            s"MERGE: unsupported ON conjunct ${EqualTo(l, r).sql} — " +
+              "v1 supports t.k = s.k equalities on same-named columns " +
+              s"(got $other)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE: unsupported ON conjunct — equality only, got ${other.sql}")
+    }
+    require(keyCols.nonEmpty, "MERGE: no key columns in ON")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "MERGE: WHEN NOT MATCHED BY SOURCE is not supported (v1)")
+    def unconditional(a: MergeAction): Boolean = a match {
+      case UpdateStarAction(c) => c.isEmpty
+      case InsertStarAction(c) => c.isEmpty
+      case DeleteAction(c) => c.isEmpty
+      case UpdateAction(c, as, _) => c.isEmpty && identityAssignments(as)
+      case InsertAction(c, as) => c.isEmpty && identityAssignments(as)
+      case _ => false
+    }
+    // the analyzer expands SET * / INSERT * into column-by-column
+    // assignments target.c := source.c — recognize that as the star
+    def identityAssignments(as: Seq[Assignment]): Boolean =
+      as.forall { a =>
+        (byName(a.key, Set.empty), byName(a.value, Set.empty)) match {
+          case (UnresolvedAttribute(kp), UnresolvedAttribute(vp)) =>
+            kp.last == vp.last
+          case _ => false
+        }
+      }
+    require(m.matchedActions.forall(unconditional) &&
+        m.notMatchedActions.forall(unconditional),
+      "MERGE: v1 supports unconditional UPDATE SET * / INSERT * / " +
+        "DELETE actions only")
+    val isUpsert = m.matchedActions.exists {
+      case _: UpdateStarAction | _: UpdateAction => true; case _ => false
+    } || m.notMatchedActions.nonEmpty
+    val isDelete = m.matchedActions.exists {
+      case _: DeleteAction => true; case _ => false
+    }
+    require(!(isUpsert && isDelete),
+      "MERGE: v1 supports UPDATE+INSERT or DELETE, not both")
+    if (isDelete) {
+      import org.apache.spark.sql.functions.col
+      val keys = source.select(keyCols.map(col): _*).distinct()
+      val r = DeletionVectors.deleteWith(spark, path,
+        _.join(keys, keyCols, "left_semi"))
+      Seq(Row("merge-delete", path, r.deletedRows, r.touched,
+        TxLog.currentVersion(spark, path).toLong))
+    } else {
+      val srcRows = source.count()
+      val r = DeletionVectors.upsert(spark, path, source, keyCols)
+      Seq(Row("merge", path, srcRows, r.touched + r.insertedFiles,
+        TxLog.currentVersion(spark, path).toLong))
+    }
+  }
+
+  /** The command the injected rule rewrites DML plans into — executes
+    * eagerly (RunnableCommand), returning the receipt row.
+    */
+  final case class GraftDmlCommand(dml: LogicalPlan)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = receiptAttrs
+    override def run(session: SparkSession): Seq[Row] = route(session, dml)
+  }
+
+  /** Analyzer rule ([[graft.GraftExtensions]] injects it): a
+    * top-level DML plan over a parquet path becomes a
+    * [[GraftDmlCommand]] — stock Spark would reject it in
+    * CheckAnalysis ("only supported with v2 tables"). Matching is
+    * shape-guarded: anything route() cannot translate is left for
+    * Spark's own error path.
+    */
+  final class ResolveGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case _: GraftDmlCommand => plan
+      case d: DeleteFromTable if targetOf(d).isDefined => GraftDmlCommand(d)
+      case u: UpdateTable if targetOf(u).isDefined => GraftDmlCommand(u)
+      case m: MergeIntoTable
+          if targetOf(m).isDefined && m.targetTable.resolved &&
+            m.sourceTable.resolved =>
+        GraftDmlCommand(m)
+      case _ => plan
+    }
+  }
+}

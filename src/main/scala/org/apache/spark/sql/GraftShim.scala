@@ -42,4 +42,23 @@ object GraftShim {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Parse SQL text to its unresolved logical plan (`sessionState` is
+    * private[sql]) — what [[graft.plans.GraftDml.sql]] routes on.
+    */
+  def parsePlan(
+      spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parsePlan(sqlText)
+
+  /** Run the analyzer WITHOUT CheckAnalysis — lets a test drive an
+    * injected resolution rule against the resolved-target shape of a
+    * DML plan that stock Spark would reject in the check phase.
+    */
+  def analyzeNoCheck(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.analyzer.execute(plan)
 }

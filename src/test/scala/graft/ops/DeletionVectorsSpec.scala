@@ -99,13 +99,9 @@ class DeletionVectorsSpec extends SparkSpec {
       orders.filter(col("o_orderkey") > 15 && col("o_orderkey") <= 25)))
   }
 
-  test("copy-on-write rewrites refuse DV-carrying files until materialize") {
+  test("copy-on-write deletes over DV-carrying files apply the vector, never resurrect") {
     val dir = freshTable()
     DeletionVectors.delete(spark, dir, col("o_orderkey") <= 50)
-    val e = intercept[IllegalArgumentException] {
-      DeleteWhere.range(spark, dir, "o_orderkey", 60.0, 70.0, None)
-    }
-    assert(e.getMessage.contains("materialize"))
     // compaction SKIPS vectored files instead of failing maintenance:
     // the un-vectored small tail still packs, the vectored files and
     // their hidden rows are untouched
@@ -116,13 +112,17 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(TxLog.liveEntries(spark, dir).count(_.dv.isDefined) == dvdN)
     assert(same(TxLog.snapshot(spark, dir),
       orders.filter(col("o_orderkey") > 50)))
-    DeletionVectors.materialize(spark, dir)
-    // now the copy-on-write path runs — and sees only live rows
+    // the copy-on-write delete composes (round 12): candidates carrying
+    // a vector read through the DV-applying reader, the replacement
+    // entries retire the vector, hidden rows stay hidden
     val r = DeleteWhere.range(spark, dir, "o_orderkey", 60.0, 70.0, None)
     assert(r.deletedRows ==
       orders.filter(col("o_orderkey").between(60, 70)).count())
     assert(same(TxLog.snapshot(spark, dir), orders.filter(
       col("o_orderkey") > 50 && !col("o_orderkey").between(60, 70))))
+    // the rewritten files no longer need their vector entries
+    assert(same(TxLog.snapshot(spark, dir),
+      TxLog.read(spark, dir)))
   }
 
   test("materialize folds vectors in; vacuum sweeps the dead sidecars") {
