@@ -4172,4 +4172,47 @@ object Queries {
         .select(col("c_custkey").as("k"), col("c_acctbal").as("v")),
         "customer_post"))
   }
+
+  /** The change-feed readStream source ([[org.apache.spark.sql.graft
+    * .ChangeFeedSource]]): a `readStream.format("graft-cdc")` query
+    * tails the log — offsets ARE versions, each microbatch is the
+    * changed-files-only diff — while a MOR-era upsert and a keyed
+    * delete land mid-query. Hash-green = the materialized feed
+    * (change type + commit version per row) equals DuckDB replaying
+    * the same three commits' algebra. Restart/cursor semantics are
+    * ChangeFeedSourceSpec's.
+    */
+  def qCdcStream(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/cdc_stream"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    val sink = s"cdc_stream_${System.nanoTime}"
+    val q = s.readStream.format("graft-cdc")
+      .option("path", path).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc_q_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: the v0 snapshot as inserts
+      graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") < 50)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_totalprice", lit(0.0)))) // v1
+      q.processAllAvailable() // batch 2: diff (0, 1]
+      graft.ops.DeleteWhere.byKeysDistributed(s, path, "o_orderkey",
+        graft.ops.TxLog.snapshot(s, path)
+          .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+          .select("o_orderkey")) // v2
+      q.processAllAvailable() // batch 3: diff (1, 2]
+    } finally q.stop()
+    s.table(sink).select(col("_change_type"), col("_commit_version"),
+      col("o_orderkey"), col("o_totalprice"))
+  }
 }

@@ -179,6 +179,7 @@ object SparkEntry {
     "q_dblog_stream" -> (Queries.qDblogStream _),
     "q_dblog_diff" -> (Queries.qDblogDiff _),
     "q_dblog_dv" -> (Queries.qDblogDv _),
+    "q_cdc_stream" -> (Queries.qCdcStream _),
     "q_sql_dml" -> (Queries.qSqlDml _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
@@ -2004,6 +2005,32 @@ object Oracles {
          FROM orders WHERE o_orderstatus = 'F'""",
 
     // streaming multi-table fan-out with a replayed epoch: the routed
+    // the graft-cdc readStream source: v0 snapshot as inserts, then a
+    // MOR upsert (delete+insert pairs for the 991-keys, inserts for the
+    // fresh +10M keys) and a keyed delete of the 997-keys, each commit
+    // one microbatch stamped with its version
+    "q_cdc_stream" ->
+      """SELECT 'insert' AS _change_type, 0 AS _commit_version,
+                o_orderkey, o_totalprice FROM orders
+         UNION ALL
+         SELECT 'delete', 1, o_orderkey, o_totalprice
+         FROM orders WHERE o_orderkey % 991 = 0
+         UNION ALL
+         SELECT 'insert', 1, o_orderkey, o_totalprice * 2
+         FROM orders WHERE o_orderkey % 991 = 0
+         UNION ALL
+         SELECT 'insert', 1, o_orderkey + 10000000, 0.0
+         FROM orders WHERE o_orderkey < 50
+         UNION ALL
+         SELECT 'delete', 2, o_orderkey,
+                CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END
+         FROM orders WHERE o_orderkey % 997 = 0
+         UNION ALL
+         SELECT 'delete', 2, o_orderkey + 10000000, 0.0
+         FROM orders
+         WHERE o_orderkey < 50 AND (o_orderkey + 10000000) % 997 = 0""",
+
     // SQL DML routed through the log: MERGE (update every 991st key's
     // price to 2x, insert fresh +10M keys at price 0), UPDATE (every
     // 993rd key's priority), DELETE (every 997th key) — the oracle

@@ -52,6 +52,19 @@ object GraftShim {
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
       .parsePlan(sqlText)
 
+  /** Re-tag a batch DataFrame's rows as a STREAMING DataFrame — what
+    * a V1 streaming Source's getBatch must return
+    * (MicroBatchExecution asserts isStreaming). The RDD stays lazy;
+    * the batch plan executes when the microbatch runs. The same
+    * `internalCreateDataFrame(…, isStreaming = true)` Spark's own
+    * file and Kafka sources use.
+    */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Run the analyzer WITHOUT CheckAnalysis — lets a test drive an
     * injected resolution rule against the resolved-target shape of a
     * DML plan that stock Spark would reject in the check phase.

@@ -1,0 +1,134 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+
+import graft.ops.{DbLog, TxLog}
+
+/** `readStream` over a transaction log's change feed — commits become
+  * microbatches, no cursor code in the consumer:
+  *
+  * {{{
+  * spark.readStream.format("graft-cdc")
+  *   .option("path", dir)                  // TxLog table root
+  *   .option("table", "orders")            // optional: DbLog table
+  *   .option("startingVersion", "0")       // optional: default = NOW
+  *   .load()
+  *   .writeStream...                       // rows + _change_type
+  * }}}
+  *
+  * V1 streaming Source (the Delta-source pattern — lives under
+  * org.apache.spark.sql for the same `private[sql]` access): OFFSETS
+  * ARE LOG VERSIONS, so the checkpoint's cursor is exactly
+  * [[TxLog.diffSince]]'s cursor and restart/replay semantics are the
+  * log's own. Each microbatch is `diff(start, end]` — the
+  * changed-files-only plan, read lazily when the batch executes, DV
+  * and schema-pin aware because it IS the batch reader — with
+  * `_change_type` (insert/delete) and `_commit_version` (the range's
+  * end; a batch spanning several commits nets them, exactly like the
+  * batch diff). `startingVersion` replays history from a version
+  * (0 = initial snapshot as inserts); omitted, the feed starts at the
+  * CURRENT version — new commits only, the tail-the-table default.
+  *
+  * 100 TB shape: getOffset is one metadata probe (current version);
+  * a batch's cost is O(files changed in its range), never O(table).
+  * Exactly-once to transactional sinks composes the usual way
+  * (foreachBatch + txn-id sinks — [[graft.streaming.TxLogIngest]]).
+  */
+final class ChangeFeedSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeedSource.feedSchema(
+      sqlContext.sparkSession, parameters))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext.sparkSession, parameters)
+}
+
+object ChangeFeedSource {
+
+  private[graft] def feedSchema(
+      spark: SparkSession, parameters: Map[String, String]): StructType = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdc requires option 'path'"))
+    val base = parameters.get("table") match {
+      case Some(t) => DbLog.snapshot(spark, path, t).schema
+      case None => TxLog.snapshot(spark, path).schema
+    }
+    base.add("_change_type", StringType, nullable = false)
+      .add("_commit_version", IntegerType, nullable = false)
+  }
+}
+
+final class ChangeFeedSource(
+    spark: SparkSession, parameters: Map[String, String]) extends Source {
+
+  private val path = parameters("path")
+  private val table = parameters.get("table")
+  table.foreach(_ => require(DbLog.exists(spark, path),
+    s"graft-cdc: $path is not a DbLog database"))
+  require(TxLog.exists(spark, path),
+    s"graft-cdc: $path is not TxLog-managed")
+
+  /** The feed's FLOOR: the version whose changes are NOT included.
+    * `startingVersion` is inclusive (Delta's convention — 0 replays
+    * the initial snapshot as inserts), so the floor sits one below
+    * it; omitted, the floor is the current version (new commits
+    * only).
+    */
+  private val floorVersion: Int =
+    parameters.get("startingVersion").map(_.toInt - 1)
+      .getOrElse(TxLog.currentVersion(spark, path))
+
+  override val schema: StructType =
+    ChangeFeedSource.feedSchema(spark, parameters)
+
+  private def versionOf(o: Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case s: SerializedOffset => LongOffset(s).offset.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft-cdc: unexpected offset $other")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = TxLog.currentVersion(spark, path)
+    if (cur > floorVersion) Some(LongOffset(cur.toLong)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(floorVersion)
+    val to = versionOf(end)
+    // floor below the log (startingVersion = 0): the batch is the
+    // snapshot at `to` as inserts — diff against an empty before-set
+    val d =
+      if (from < 0) (table match {
+        case Some(t) => DbLog.snapshot(spark, path, t, to)
+        case None => TxLog.snapshot(spark, path, to)
+      }).withColumn("_change_type", lit("insert"))
+      else table match {
+        case Some(t) => DbLog.diff(spark, path, t, from, to)
+        case None => TxLog.diff(spark, path, from, to)
+      }
+    val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    GraftShim.streamingDataFrame(spark,
+      d.withColumn("_commit_version", lit(to)).select(cols: _*))
+  }
+
+  override def stop(): Unit = ()
+}

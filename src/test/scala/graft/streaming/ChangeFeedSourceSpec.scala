@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.{DbLog, DeleteWhere, TxLog, UpsertWhere}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ChangeFeedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  private var n = 0
+  private def uniq(tag: String): String = { n += 1; s"${tag}_$n" }
+
+  test("readStream tails a TxLog table: commits landing mid-query become batches equal to the batch diff") {
+    val dir = Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2).write.parquet(dir)
+    TxLog.convert(spark, dir) // v0
+    val sink = uniq("cdc_sink")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // startingVersion=0: the v0 snapshot arrives as inserts
+      assert(spark.table(sink).count() == 3)
+      // commits land WHILE the query runs; each advance equals the
+      // batch diff over the same version range
+      UpsertWhere.byKeys(spark, dir, "k",
+        Seq((2L, "B2"), (9L, "i")).toDF("k", "v")) // v1
+      q.processAllAvailable()
+      DeleteWhere.byKeys(spark, dir, "k", Seq(1L)) // v2
+      q.processAllAvailable()
+      val feed = spark.table(sink)
+      val batchDiff01 = TxLog.diff(spark, dir, 0, 1)
+      val batchDiff12 = TxLog.diff(spark, dir, 1, 2)
+      assert(same(
+        feed.filter(col("_commit_version") === 1)
+          .drop("_commit_version"),
+        batchDiff01))
+      assert(same(
+        feed.filter(col("_commit_version") === 2)
+          .drop("_commit_version"),
+        batchDiff12))
+      // full-feed net = diff(0, current) (+ the v0 seed inserts)
+      assert(feed.count() ==
+        3 + batchDiff01.count() + batchDiff12.count())
+    } finally q.stop()
+  }
+
+  test("default start is NOW: only commits after the query starts are delivered") {
+    val dir = Files.createTempDirectory("cdc").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    val sink = uniq("cdc_now")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 0) // no history replay
+      UpsertWhere.byKeys(spark, dir, "k", Seq((2L, "b")).toDF("k", "v"))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("k", "v", "_change_type").as[(Long, String, String)]
+        .collect().toSet
+      assert(rows == Set((2L, "b", "insert")))
+    } finally q.stop()
+  }
+
+  test("restart from the checkpoint resumes at the cursor, no replay and no gap") {
+    val dir = Files.createTempDirectory("cdc").toString + "/t"
+    val ck = Files.createTempDirectory("cdc_ck").toString
+    val out = Files.createTempDirectory("cdc_out").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    // a durable sink (memory cannot recover from a checkpoint): the
+    // parquet sink's output accumulates across the two runs
+    def start() = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("startingVersion", "0").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+    // a commit lands while no query is running
+    UpsertWhere.byKeys(spark, dir, "k", Seq((2L, "b")).toDF("k", "v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly the missed commit arrives once — the checkpoint
+      // carried the version cursor: no replay of v0, no gap
+      val rows = spark.read.parquet(out)
+        .select("k", "_change_type").as[(Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(rows == Map((1L, "insert") -> 1, (2L, "insert") -> 1))
+    } finally q2.stop()
+  }
+
+  test("DbLog table feeds stream per-table over the shared database cursor") {
+    val db = Files.createTempDirectory("cdcdb").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"))
+      txn.append("audit", Seq(("seed")).toDF("op"))
+    }
+    val v1 = DbLog.currentVersion(spark, db)
+    val sink = uniq("cdc_db")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", db).option("table", "orders")
+      .option("startingVersion", (v1 + 1).toString).load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 0)
+      // a multi-table transaction: only the subscribed table's rows
+      // arrive, stamped with the shared database version
+      DbLog.transact(spark, db, "move") { txn =>
+        txn.deleteWhere("orders", col("k") === 1L)
+        txn.append("audit", Seq(("move")).toDF("op"))
+      }
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("k", "_change_type", "_commit_version")
+        .as[(Long, String, Int)].collect().toSet
+      assert(rows == Set((1L, "delete", v1 + 1)))
+    } finally q.stop()
+  }
+}
