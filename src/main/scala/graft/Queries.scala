@@ -3388,6 +3388,22 @@ object Queries {
     Ivf.topK(index, emb.filter(col("vec_id") < 100), k = 5, nProbe = 4)
   }
 
+  /** FILTERED ANN ([[Ivf.topK]]'s `eligible`): top-k under a metadata
+    * predicate (label ≤ 2, ~30% of the corpus), the filter pushed
+    * INTO the probe — the eligible ids semi-join the corpus before
+    * the cell shuffle, so scoring volume shrinks with selectivity and
+    * every query still fills k rows. Post-filtering the unfiltered
+    * top-k would starve (~70% of each top-5 ineligible); the spec
+    * gate proves that. At FULL probe the result must equal exact
+    * brute force over the filtered corpus — the oracle below.
+    */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Ivf.build(emb, nLists = 16)
+    Ivf.topK(index, emb.filter(col("vec_id") < 20), k = 5, nProbe = 16,
+      eligible = Some(emb.filter(col("label") <= 2).select("vec_id")))
+  }
+
   /** IVF at full probe (nProbe = nLists): every cell is scored, so the
     * result must equal exact brute force — which makes the whole IVF
     * machinery (assignment, probing, per-cell scoring, ranking)

@@ -209,6 +209,7 @@ object SparkEntry {
     "q_ann_health" -> (Queries.qAnnHealth _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
+    "q_ann_filtered" -> (Queries.qAnnFiltered _),
     "q_ann_ivf_full" -> (Queries.qAnnIvfFull _),
     "q_ann_ivf_saved" -> (Queries.qAnnIvfSaved _),
     "q_ann_ivf_split" -> (Queries.qAnnIvfSplit _),
@@ -2929,6 +2930,25 @@ object Oracles {
          UNION ALL SELECT '2_language', (SELECT count(*) FROM gated)
          UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM surv)
          UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv) - (SELECT c FROM nd)""",
+
+    // filtered ANN at full probe = exact brute force over ONLY the
+    // eligible (label <= 2) corpus — the filter is part of the pair
+    // generation, not a post-filter
+    "q_ann_filtered" ->
+      """WITH pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id AND c.label <= 2),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM pairs)
+         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
 
     "q_ann_ivf_full" ->
       """WITH pairs AS (

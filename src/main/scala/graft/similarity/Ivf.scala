@@ -186,7 +186,8 @@ object Ivf {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      eligible: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       Ann.l2Norm(col(vecCol)).as("q_norm"))
     val nP = math.min(nProbe, index.centroids.length)
@@ -197,7 +198,19 @@ object Ivf {
     // exact scoring inside probed cells only (shuffle on cell id);
     // corpus norms project once per row BEFORE the shuffle, query
     // norms once per query before the probe explode (cosinePreNormed)
-    val assigned = index.assigned
+    // FILTERED search: the metadata predicate's surviving ids
+    // semi-join the corpus BEFORE the cell shuffle and scoring — the
+    // probe only ever sees eligible vectors, so a selective filter
+    // SHRINKS the candidate volume instead of starving a post-filter
+    // of the unfiltered top-k (which returns < k rows whenever
+    // eligible matches rank below the cut)
+    val base = eligible match {
+      case Some(e) =>
+        val ids = e.select(col(e.columns.head).as("id")).distinct()
+        index.assigned.join(ids, Seq("id"), "left_semi")
+      case None => index.assigned
+    }
+    val assigned = base
       .withColumn("c_norm", Ann.l2Norm(col("vec")))
     // with one list `cell` constant-folds and the equi-join key
     // disappears — an unguarded hint would just log a drop warning

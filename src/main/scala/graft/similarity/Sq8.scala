@@ -79,10 +79,19 @@ object Sq8 {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      eligible: Option[DataFrame] = None): DataFrame = {
     val nP = math.min(nProbe, index.centroids.length)
+    // filtered search: eligible ids semi-join BEFORE the int8 encode
+    // and the cell shuffle — see Ivf.topK's eligible doc
+    val base = eligible match {
+      case Some(e) =>
+        val ids = e.select(col(e.columns.head).as("id")).distinct()
+        index.assigned.join(ids, Seq("id"), "left_semi")
+      case None => index.assigned
+    }
     val corpus = encode(
-      index.assigned.select(col("id").as("vec_id"), col("vec").as("embedding"),
+      base.select(col("id").as("vec_id"), col("vec").as("embedding"),
         col("cell")),
       "vec_id", "embedding", carryCols = Seq("cell"))
     val qEnc = encode(queries, idCol, vecCol)

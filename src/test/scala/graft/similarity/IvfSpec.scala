@@ -41,6 +41,55 @@ class IvfSpec extends SparkSpec {
     assert(r8 >= r4, s"recall not monotone in probe budget: $r8 < $r4")
   }
 
+  test("filtered search: predicate pushed into the probe beats post-filtering, exact at full probe") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 100)
+    val eligible = emb.filter(col("label") <= 2).select("vec_id")
+    val index = Ivf.build(emb, nLists = 16)
+    // exact filtered twin: brute force over only the eligible corpus
+    val exact = Ann.bruteForceTopK(queries,
+      emb.join(eligible, Seq("vec_id"), "left_semi"), k = 5).cache()
+    // full probe + filter = exact filtered brute force
+    val full = Ivf.topK(index, queries, k = 5, nProbe = 16,
+      eligible = Some(eligible))
+    assert(Ann.recallAgainst(full, exact).head()
+      .getAs[Double]("recall_at_k") == 1.0,
+      "full-probe filtered search must equal the filtered brute force")
+    // recall gate at EQUAL probe budget (nProbe=4): pushing the filter
+    // into the probe keeps recall at the unfiltered gate level...
+    val r4 = Ann.recallAgainst(
+      Ivf.topK(index, queries, k = 5, nProbe = 4, eligible = Some(eligible)),
+      exact).head().getAs[Double]("recall_at_k")
+    assert(r4 >= 0.5, s"filtered IVF recall@5 gate (nProbe=4) $r4 < 0.5")
+    // ...while POST-filtering the unfiltered top-k starves: with a
+    // ~30%-selective predicate, most of each query's unfiltered top-5
+    // is ineligible and the post-filter returns far fewer than k rows
+    val post = Ivf.topK(index, queries, k = 5, nProbe = 4)
+      .join(eligible.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+    val postRows = post.count().toDouble
+    val fullRows = exact.count().toDouble
+    assert(postRows < 0.6 * fullRows,
+      s"post-filter returned $postRows of $fullRows expected rows — " +
+        "it should starve (this is why the filter must push down)")
+    exact.unpersist()
+  }
+
+  test("SQ8-over-IVF filtered search: same pushdown, int8 kernel") {
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 50)
+    val eligible = emb.filter(col("label") <= 2).select("vec_id")
+    val index = Ivf.build(emb, nLists = 16)
+    val exact = Ann.bruteForceTopK(queries,
+      emb.join(eligible, Seq("vec_id"), "left_semi"), k = 5)
+    val r = Ann.recallAgainst(
+      Sq8.topKIvf(index, queries, k = 5, nProbe = 16,
+        eligible = Some(eligible)), exact)
+      .head().getAs[Double]("recall_at_k")
+    // full probe: only int8 quantization separates it from exact
+    assert(r >= 0.9, s"SQ8 filtered full-probe recall $r < 0.9")
+  }
+
   test("degenerate one-cell index (nLists=1) assigns and queries without error") {
     val emb = graft.Tables.embeddings(spark, sf("embeddings"))
     val index = Ivf.build(emb, nLists = 1)
