@@ -4231,4 +4231,52 @@ object Queries {
     s.table(sink).select(col("_change_type"), col("_commit_version"),
       col("o_orderkey"), col("o_totalprice"))
   }
+
+  /** End-to-end log-to-log replication written ENTIRELY in standard
+    * Spark streaming API — `readStream.format("graft-cdc")` tails the
+    * source table's commits, `writeStream.format("graft")` mode=apply
+    * lands each microbatch through the CDC-apply operator (upserts
+    * AND deletes, idempotent by construction). The source takes an
+    * upsert (price×2 on every 991st key + fresh +10M keys) and a
+    * keyed delete (every 997th key) while the pipeline runs; the
+    * returned replica snapshot must equal DuckDB replaying the same
+    * algebra. 100 TB shape: each hop is O(changed files) — the source
+    * reads only the commit range's files, the apply rewrites only the
+    * files its keys land in.
+    */
+  def qStreamPipe(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val src = s"$indexQueryDir/stream_pipe_src"
+    val dst = s"$indexQueryDir/stream_pipe_dst"
+    Seq(src, dst).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    }
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(src)
+    graft.ops.TxLog.convert(s, src) // v0
+    val q = s.readStream.format("graft-cdc")
+      .option("path", src).option("startingVersion", "0").load()
+      .writeStream.format("graft")
+      .option("path", dst).option("mode", "apply").option("keys", "o_orderkey")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pipe_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable() // the v0 snapshot replicates as inserts
+      graft.ops.UpsertWhere.byKeys(s, src, "o_orderkey",
+        o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") < 50)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_totalprice", lit(0.0)))) // v1
+      graft.ops.DeleteWhere.byKeysDistributed(s, src, "o_orderkey",
+        graft.ops.TxLog.snapshot(s, src)
+          .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+          .select("o_orderkey")) // v2
+      q.processAllAvailable() // both commits flow through the pipe
+    } finally q.stop()
+    graft.ops.TxLog.snapshot(s, dst)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
 }

@@ -180,6 +180,7 @@ object SparkEntry {
     "q_dblog_diff" -> (Queries.qDblogDiff _),
     "q_dblog_dv" -> (Queries.qDblogDv _),
     "q_cdc_stream" -> (Queries.qCdcStream _),
+    "q_stream_pipe" -> (Queries.qStreamPipe _),
     "q_sql_dml" -> (Queries.qSqlDml _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
@@ -2031,6 +2032,21 @@ object Oracles {
          SELECT 'delete', 2, o_orderkey + 10000000, 0.0
          FROM orders
          WHERE o_orderkey < 50 AND (o_orderkey + 10000000) % 997 = 0""",
+
+    // graft-cdc -> graft/apply replication pipeline: the replica's
+    // final state = the source's algebra (upsert then keyed delete)
+    "q_stream_pipe" ->
+      """WITH v1 AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 10000000, 0.0 FROM orders
+           WHERE o_orderkey < 50
+         )
+         SELECT o_orderkey, o_totalprice FROM v1
+         WHERE o_orderkey % 997 <> 0""",
 
     // SQL DML routed through the log: MERGE (update every 991st key's
     // price to 2x, insert fresh +10M keys at price 0), UPDATE (every

@@ -304,6 +304,50 @@ object TxLog {
       version: Int = Int.MaxValue): Seq[String] =
     liveEntries(spark, dir, version).map(_.name)
 
+  /** Append `df` to a log-managed table as ONE commit: staged write,
+    * entries added, nothing rewritten. Respects the table's layout —
+    * a hive-partitioned table's batch lands as a partition tree
+    * (root-level files would dodge partition pruning) — and
+    * validates CHECK constraints against the staged rows. The
+    * routing `INSERT INTO parquet.`dir`` takes ([[graft.plans
+    * .GraftDml]]): a plain SQL insert would write files the log
+    * never references — invisible to every snapshot reader and
+    * reclaimed by the orphan sweep.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    require(exists(spark, dir), s"$dir is not TxLog-managed")
+    enforceConstraints(spark, dir, df)
+    val pcols = graft.ops.DeleteWhere.partitionColsOf(liveFiles(spark, dir))
+    if (pcols.nonEmpty)
+      Compact.stageRewriteHive(spark, dir, olds = Nil, writeStage = p =>
+        df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
+        op = Some("insert"))
+    else
+      Compact.stageRewrite(spark, dir, olds = Nil, writeStage = p =>
+        df.write.mode("overwrite").parquet(p), op = Some("insert"))
+    currentVersion(spark, dir)
+  }
+
+  /** Replace the table's contents with `df` in ONE commit
+    * (INSERT OVERWRITE): olds drop by not being re-added — never
+    * read, so DV-carrying olds retire with their vectors.
+    */
+  def overwriteAll(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    require(exists(spark, dir), s"$dir is not TxLog-managed")
+    enforceConstraints(spark, dir, df)
+    val olds = liveFiles(spark, dir)
+    val pcols = graft.ops.DeleteWhere.partitionColsOf(olds)
+    if (pcols.nonEmpty)
+      Compact.stageRewriteHive(spark, dir, olds = olds, writeStage = p =>
+        df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
+        allowDvOlds = true, op = Some("insert-overwrite"))
+    else
+      Compact.stageRewrite(spark, dir, olds = olds, writeStage = p =>
+        df.write.mode("overwrite").parquet(p),
+        allowDvOlds = true, op = Some("insert-overwrite"))
+    currentVersion(spark, dir)
+  }
+
   /** The live ADD entries (names + any carried stats) at `version` —
     * what [[snapshotPruned]] plans from. Same fold as [[liveFiles]].
     */

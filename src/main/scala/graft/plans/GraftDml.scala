@@ -83,6 +83,13 @@ object GraftDml {
       case d: DeleteFromTable => pathOf(d.table)
       case u: UpdateTable => pathOf(u.table)
       case m: MergeIntoTable => pathOf(m.targetTable)
+      // INSERT INTO a LOG-MANAGED path must commit through the log:
+      // Spark's own path-insert would write files no snapshot
+      // references (and the orphan sweep would reclaim). Unmanaged
+      // parquet paths route too — Spark's analyzer has no path-based
+      // INSERT (ResolveSQLOnFile is read-only; the statement dies
+      // with TABLE_OR_VIEW_NOT_FOUND) — as a plain parquet write.
+      case i: InsertIntoStatement => pathOf(i.table)
       case _ => None
     }
 
@@ -133,9 +140,53 @@ object GraftDml {
       case d: DeleteFromTable => runDelete(spark, d)
       case u: UpdateTable => runUpdate(spark, u)
       case m: MergeIntoTable => runMerge(spark, m)
+      case i: InsertIntoStatement => runInsert(spark, i)
       case other => throw new IllegalArgumentException(
         s"GraftDml.route: not a DML plan: ${other.nodeName}")
     }
+
+  private def runInsert(spark: SparkSession, i: InsertIntoStatement): Seq[Row] = {
+    val (path, _) = targetOf(i).get
+    require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
+      "INSERT: static PARTITION specs / explicit column lists are not " +
+        "supported on log-managed paths (v1) — insert full rows")
+    val logged = TxLog.exists(spark, path)
+    val rows = GraftShim.ofRows(spark, i.query)
+    // positional alignment to the table's columns (SQL INSERT
+    // semantics; `byName` true when the statement said BY NAME); an
+    // empty table has no schema to align to — the batch defines it
+    val targetSchema =
+      if (logged) {
+        if (TxLog.liveFiles(spark, path).isEmpty) None
+        else Some(TxLog.read(spark, path).schema)
+      } else scala.util.Try(spark.read.parquet(path).schema).toOption
+    val cast = targetSchema match {
+      case None => rows
+      case Some(schema) =>
+        val names = schema.fields.map(_.name).toSeq
+        require(rows.columns.length == names.length,
+          s"INSERT: ${rows.columns.length} columns for a " +
+            s"${names.length}-column table")
+        val aligned =
+          if (i.byName) rows.select(names.map(
+            org.apache.spark.sql.functions.col): _*)
+          else rows.toDF(names: _*)
+        schema.fields.foldLeft(aligned)((d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)))
+    }
+    val n = cast.count()
+    val v =
+      if (logged) {
+        if (i.overwrite) TxLog.overwriteAll(spark, path, cast)
+        else TxLog.append(spark, path, cast)
+      } else {
+        cast.write.mode(if (i.overwrite) "overwrite" else "append").parquet(path)
+        0
+      }
+    Seq(Row(if (i.overwrite) "insert-overwrite" else "insert", path,
+      n, 0L, v.toLong))
+  }
 
   private def runDelete(spark: SparkSession, d: DeleteFromTable): Seq[Row] = {
     val (path, alias) = targetOf(d).get
@@ -283,6 +334,9 @@ object GraftDml {
           if targetOf(m).isDefined && m.targetTable.resolved &&
             m.sourceTable.resolved =>
         GraftDmlCommand(m)
+      case i: InsertIntoStatement
+          if targetOf(i).isDefined && i.query.resolved =>
+        GraftDmlCommand(i)
       case _ => plan
     }
   }

@@ -65,6 +65,19 @@ object GraftShim {
       isStreaming = true)
   }
 
+  /** Re-materialize the DataFrame a V1 `Sink.addBatch` receives as a
+    * plain BATCH frame over the microbatch's ALREADY-PLANNED rows
+    * (`queryExecution.toRdd` of the incremental execution). Calling
+    * transformations/write on `addBatch`'s argument directly would
+    * re-analyze the plan as a fresh batch query against the source —
+    * the Delta-sink pattern avoids that by wrapping the executed RDD.
+    */
+  def batchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Run the analyzer WITHOUT CheckAnalysis — lets a test drive an
     * injected resolution rule against the resolved-target shape of a
     * DML plan that stock Spark would reject in the check phase.

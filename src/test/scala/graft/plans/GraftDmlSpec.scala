@@ -101,6 +101,41 @@ class GraftDmlSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 100 =!= 0).count())
   }
 
+  test("INSERT INTO a log-managed path commits through the log (plain insert would orphan files)") {
+    val dir = freshTable()
+    val v0 = TxLog.currentVersion(spark, dir)
+    val receipt = GraftDml.sql(spark,
+      s"""INSERT INTO parquet.`$dir`
+         |SELECT o_orderkey + 7000000, o_custkey, o_orderstatus,
+         |       o_totalprice, o_orderdate, o_orderpriority
+         |FROM parquet.`$dir` WHERE o_orderkey <= 3""".stripMargin).head()
+    assert(receipt.getString(0) == "insert")
+    assert(TxLog.currentVersion(spark, dir) == v0 + 1)
+    // the appended rows are LOG-visible (not just directory-visible)
+    val inserted = orders.filter(col("o_orderkey") <= 3).count()
+    assert(receipt.getLong(2) == inserted)
+    assert(TxLog.snapshot(spark, dir).count() == orders.count() + inserted)
+    assert(TxLog.snapshot(spark, dir, v0).count() == orders.count())
+  }
+
+  test("INSERT OVERWRITE replaces the table contents in one commit") {
+    val dir = freshTable()
+    GraftDml.sql(spark,
+      s"""INSERT OVERWRITE parquet.`$dir`
+         |SELECT * FROM parquet.`$dir` WHERE o_orderkey <= 5""".stripMargin)
+    assert(TxLog.snapshot(spark, dir).count() ==
+      orders.filter(col("o_orderkey") <= 5).count())
+  }
+
+  test("INSERT INTO an UNMANAGED parquet path appends as a plain write (Spark has no native path INSERT)") {
+    val dir = Files.createTempDirectory("dmlins").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    GraftDml.sql(spark,
+      s"INSERT INTO parquet.`$dir` SELECT 2L, 'b'")
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(spark.read.parquet(dir).filter(col("k") === 2).head().getString(1) == "b")
+  }
+
   test("non-DML statements fall through to spark.sql") {
     val n = GraftDml.sql(spark, "SELECT 1 AS one").head().getInt(0)
     assert(n == 1)
