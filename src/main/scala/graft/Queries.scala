@@ -4137,6 +4137,96 @@ object Queries {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** The SQL DDL lifecycle ([[graft.plans.GraftDdl]]) composed with
+    * DML, entirely through `GraftDml.sql`: CTAS from a SELECT over
+    * the raw parquet, ALTER TABLE ADD COLUMNS (metadata-only commit +
+    * versioned schema pin — pre-evolution rows read NULL), INSERT
+    * INTO the widened table, UPDATE touching both eras. Hash-green =
+    * the final snapshot equals DuckDB replaying the same algebra.
+    * Scale shape: the only data-sized costs are the CTAS write and
+    * the UPDATE's pruned rewrite; ADD COLUMNS touches no data file.
+    */
+  def qSqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$indexQueryDir/sql_ddl"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    t(s, dir, "orders").createOrReplaceTempView("sql_ddl_orders")
+    val ctas = graft.plans.GraftDml.sql(s,
+      s"""CREATE TABLE parquet.`$path` AS
+         |SELECT o_orderkey, o_totalprice FROM sql_ddl_orders
+         |WHERE o_orderkey % 3 = 0""".stripMargin).head()
+    require(ctas.getString(0) == "create-table-as" && ctas.getLong(4) == 0L,
+      s"CTAS must land as v0: $ctas")
+    val alter = graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$path` ADD COLUMNS (flag STRING)").head()
+    require(alter.getString(0) == "add-columns" && alter.getLong(3) == 0L,
+      s"ADD COLUMNS must touch no data file: $alter")
+    graft.plans.GraftDml.sql(s,
+      s"""INSERT INTO parquet.`$path`
+         |SELECT o_orderkey + 20000000, o_totalprice, 'late'
+         |FROM sql_ddl_orders WHERE o_orderkey < 30""".stripMargin)
+    graft.plans.GraftDml.sql(s,
+      s"""UPDATE parquet.`$path` SET flag = 'big'
+         |WHERE o_totalprice > 200000""".stripMargin)
+    graft.ops.TxLog.snapshot(s, path)
+      .select(col("o_orderkey"), col("o_totalprice"), col("flag"))
+  }
+
+  /** Write-audit-publish on a branch ([[graft.ops.TxLog.createBranch]]
+    * / `@branch` SQL DML / [[graft.ops.TxLog.publishBranch]]): fork
+    * `close`, run the month-close batch on the branch entirely in SQL
+    * (DELETE every 997th key, MERGE doubled prices + fresh +10M keys
+    * against `path@close`), audit the branch while asserting MAIN is
+    * bit-unmoved at v0, then publish: ONE atomic main commit lands the
+    * whole batch. Hash-green = the post-publish snapshot equals DuckDB
+    * replaying the same algebra.
+    *
+    * Scale shape: branch writes are the same pruned CoW/MOR operators
+    * main uses (only the commit-file name differs); publish moves NO
+    * data — O(changed entries) metadata, the Iceberg/Nessie WAP
+    * economics. Audit reads cost one branch log fold.
+    */
+  def qBranchWap(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/branch_wap"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // main v0
+    graft.ops.TxLog.createBranch(s, path, "close")
+    val del = graft.plans.GraftDml.sql(s,
+      s"DELETE FROM parquet.`$path@close` WHERE o_orderkey % 997 = 0").head()
+    require(del.getString(1) == path && del.getLong(2) > 0,
+      s"branch DELETE must split the @close suffix and hit rows: $del")
+    o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") < 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", lit(0.0)))
+      .createOrReplaceTempView("branch_wap_src")
+    graft.plans.GraftDml.sql(s,
+      s"""MERGE INTO parquet.`$path@close` AS t USING branch_wap_src AS src
+         |ON t.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // audit: the branch sees the batch, main is bit-unmoved at v0
+    require(graft.ops.TxLog.currentVersion(s, path) == 0,
+      "main must not advance while the branch is open")
+    val mainCnt = graft.ops.TxLog.snapshot(s, path).count()
+    require(mainCnt == o.count(), "main rows must be untouched pre-publish")
+    val branchCnt = graft.ops.TxLog.withBranch(s, path, "close")(
+      graft.ops.TxLog.snapshot(s, path).count())
+    require(branchCnt != mainCnt, "the branch must differ pre-publish")
+    val v = graft.ops.TxLog.publishBranch(s, path, "close")
+    require(v == 1, s"publish must land as ONE main commit (got v$v)")
+    require(graft.ops.TxLog.snapshot(s, path).count() == branchCnt,
+      "post-publish main must equal the audited branch state")
+    graft.ops.TxLog.snapshot(s, path)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   /** Deletion vectors inside a DbLog database ([[graft.ops.DbLog
     * .Txn.deleteWhereVectored]] / [[graft.ops.DbLog.Txn.upsertKeyed]]):
     * one multi-table transaction vectors matched orders rows out

@@ -182,6 +182,8 @@ object SparkEntry {
     "q_cdc_stream" -> (Queries.qCdcStream _),
     "q_stream_pipe" -> (Queries.qStreamPipe _),
     "q_sql_dml" -> (Queries.qSqlDml _),
+    "q_sql_ddl" -> (Queries.qSqlDdl _),
+    "q_branch_wap" -> (Queries.qBranchWap _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -2068,6 +2070,40 @@ object Oracles {
                 CASE WHEN o_orderkey % 993 = 0 THEN 'X-DML'
                      ELSE o_orderpriority END AS o_orderpriority
          FROM merged WHERE o_orderkey % 997 <> 0""",
+
+    // SQL DDL lifecycle: CTAS, ADD COLUMNS (pre-evolution rows read
+    // NULL), INSERT into the widened table, UPDATE across both eras
+    "q_sql_ddl" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS flag
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_totalprice, 'late'
+           FROM orders WHERE o_orderkey < 30
+         )
+         SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_totalprice > 200000 THEN 'big' ELSE flag END AS flag
+         FROM base""",
+
+    // write-audit-publish: DELETE every 997th key and MERGE (991st
+    // keys' price doubled, +10M fresh keys at 0) happen on a branch,
+    // then publish lands the batch on main as one commit — the oracle
+    // replays the post-publish algebra directly
+    "q_branch_wap" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 991 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_orderstatus, 0.0, o_orderpriority
+           FROM orders WHERE o_orderkey < 50
+         )
+         SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 997 <> 0
+           AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+         UNION ALL
+         SELECT * FROM src""",
 
     // deletion vectors inside a DbLog database: one transaction
     // vectors F-status orders out, zeroes every 97th customer's

@@ -201,6 +201,258 @@ object TxLog {
     body.filter(_.nonEmpty)
   }
 
+  private val TagPrefix = "tag."
+
+  /** Pin a NAME to a version (default: current) — Iceberg-style tags:
+    * `snapshotTag` reads it by name, and [[vacuum]] keeps a tagged
+    * version reconstructable (its files AND the log entries to fold
+    * it) regardless of the retention count, so a `quarterly-audit` tag
+    * survives years of daily vacuums. Re-tagging moves the name.
+    * Returns the pinned version.
+    */
+  def setTag(spark: SparkSession, dir: String, name: String,
+      version: Int = -1): Int = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"tag name '$name' must be [A-Za-z0-9_.-]+")
+    require(branchOf(dir).isEmpty,
+      "setTag: run from main scope (a tag names a MAIN version; a " +
+        "branch version's number is only meaningful inside its branch)")
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(versions(spark, dir).contains(v),
+      s"tag $name: version $v does not exist in $dir")
+    val fs = Compact.fsOf(spark, dir)
+    val out = fs.create(new Path(logPath(dir), s"$TagPrefix$name.txt"), true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Map.empty
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(TagPrefix) && n.endsWith(".txt"))
+      .map { n =>
+        val in = fs.open(new Path(logPath(dir), n))
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        n.substring(TagPrefix.length, n.length - 4) -> body.toInt
+      }.toMap
+  }
+
+  def deleteTag(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    fs.delete(new Path(logPath(dir), s"$TagPrefix$name.txt"), false)
+  }
+
+  /** Snapshot read by tag name — time travel with a stable name. */
+  def snapshotTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = tags(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' in $dir (tags: ${tags(spark, dir).keys.mkString(", ")})"))
+    snapshot(spark, dir, v)
+  }
+
+  // ---- branches ---------------------------------------------------
+
+  private val BranchPrefix = "b."
+
+  /** Per-thread branch scope: inside [[withBranch]], every log
+    * accessor for `dir` — versions, live entries, commits, schema
+    * pins, checkpoint seeds — resolves against the branch's own
+    * version files (`b.<name>.vNNNNNNNN.txt` in the same log dir),
+    * folded on top of the main log AT THE BRANCH BASE. Data files
+    * stage into the same table directory either way, so a branch
+    * commit is bit-identical machinery to a main commit — only the
+    * version-file name differs — and every existing writer
+    * (append, MERGE, DELETE, deletion vectors, streaming sinks)
+    * is branch-capable without change. Driver-side state only: log
+    * bookkeeping never runs on executors.
+    */
+  private val activeBranch =
+    new scala.util.DynamicVariable[Map[String, (String, Int)]](Map.empty)
+
+  private def branchOf(dir: String): Option[(String, Int)] =
+    activeBranch.value.get(dir)
+
+  private def branchBasePath(dir: String, name: String) =
+    new Path(logPath(dir), s"$BranchPrefix$name.base.txt")
+
+  private def requireBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"branch name '$name' must be [A-Za-z0-9_-]+")
+
+  def branchExists(spark: SparkSession, dir: String, name: String): Boolean =
+    Compact.fsOf(spark, dir).exists(branchBasePath(dir, name))
+
+  /** Create branch `name` forked at `fromVersion` (default: current).
+    * The branch starts as an exact alias of that version; writes to it
+    * are invisible to main readers until [[publishBranch]]. Returns
+    * the base version. The write-audit-publish pattern: write to the
+    * branch, run expectations against [[withBranch]]'s snapshot,
+    * publish only if they pass.
+    */
+  def createBranch(
+      spark: SparkSession, dir: String, name: String,
+      fromVersion: Int = -1): Int = {
+    requireBranchName(name)
+    require(branchOf(dir).isEmpty, "createBranch: already inside a branch scope")
+    require(!branchExists(spark, dir, name),
+      s"branch '$name' already exists in $dir")
+    val v = if (fromVersion >= 0) fromVersion else currentVersion(spark, dir)
+    require(versions(spark, dir).contains(v),
+      s"createBranch: version $v does not exist in $dir")
+    val fs = Compact.fsOf(spark, dir)
+    val out = fs.create(branchBasePath(dir, name), false)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** Existing branches: name → base version. */
+  def branches(spark: SparkSession, dir: String): Map[String, Int] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Map.empty
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches(s"b\\.[A-Za-z0-9_-]+\\.base\\.txt"))
+      .map { n =>
+        val name = n.substring(BranchPrefix.length, n.length - ".base.txt".length)
+        name -> branchBase(spark, dir, name)
+      }.toMap
+  }
+
+  private def branchBase(spark: SparkSession, dir: String, name: String): Int = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = branchBasePath(dir, name)
+    require(fs.exists(p), s"no branch '$name' in $dir " +
+      s"(branches: ${branches(spark, dir).keys.mkString(", ")})")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Branch version numbers (absolute: base+1, base+2, …), from the
+    * branch's own files — independent of any active scope, so
+    * [[vacuum]] and [[publishBranch]] can enumerate without entering
+    * the branch.
+    */
+  private def branchVersions(
+      spark: SparkSession, dir: String, name: String): Seq[Int] = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return Nil
+    val pre = s"$BranchPrefix$name.v"
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(pre) &&
+        n.substring(pre.length).matches("\\d{8}\\.txt"))
+      .map(n => n.substring(pre.length, n.length - 4).toInt)
+      .sorted
+  }
+
+  /** Run `body` with every TxLog accessor for `dir` resolving against
+    * branch `name` — reads see base-plus-branch-commits, writes land
+    * as branch versions. Composable across dirs (a replication between
+    * two tables can scope each side independently); re-entry on the
+    * SAME dir with a different branch is an error.
+    */
+  def withBranch[T](spark: SparkSession, dir: String, name: String)(
+      body: => T): T = {
+    requireBranchName(name)
+    branchOf(dir).foreach { case (cur, _) =>
+      require(cur == name,
+        s"withBranch: already scoped to branch '$cur' of $dir") }
+    val base = branchBase(spark, dir, name)
+    activeBranch.withValue(activeBranch.value + (dir -> (name, base)))(body)
+  }
+
+  /** Drop branch `name`: its version files, schema pins and base
+    * marker vanish; data files only it referenced become orphans the
+    * next [[vacuum]] sweep reclaims (they were never in the main log).
+    */
+  def deleteBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    if (!fs.exists(logPath(dir))) return
+    fs.listStatus(logPath(dir)).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$BranchPrefix$name."))
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Fast-forward/merge the branch into main as ONE commit: the
+    * branch's net file-level changes versus its base (new files, DV
+    * moves, removed files) land atomically, composing with whatever
+    * main did meanwhile — concurrent main APPENDS merge cleanly
+    * (disjoint file sets); a main commit that rewrote or re-vectored
+    * a file the branch also changed is a detected conflict (the
+    * publish passes the base entries as its read-set, the same
+    * entry-aware validation every writer uses). Publish is
+    * metadata-only: no data file moves or rewrites — the branch
+    * staged its files into the table directory from the start.
+    * Returns the published main version; the branch is deleted
+    * afterwards (`keepBranch` to retain it).
+    */
+  def publishBranch(
+      spark: SparkSession, dir: String, name: String,
+      keepBranch: Boolean = false): Int = {
+    require(branchOf(dir).isEmpty, "publishBranch: run from main scope")
+    val base = branchBase(spark, dir, name)
+    require(versions(spark, dir).contains(base),
+      s"publishBranch: base v$base was vacuumed — branch '$name' is stale")
+    val branchLive = withBranch(spark, dir, name)(liveEntries(spark, dir))
+    val baseLive = liveEntries(spark, dir, base)
+    val basePairs = baseLive.map(e => (e.name, e.dv)).toSet
+    val branchPairs = branchLive.map(e => (e.name, e.dv)).toSet
+    val adds = branchLive.filterNot(e => basePairs((e.name, e.dv)))
+      .sortBy(_.name)
+    // base entries the branch CHANGED (removed, rewrote, or
+    // re-vectored) — the publish's read-set. Only these conflict with
+    // concurrent main commits: a main append, or a main rewrite of a
+    // file the branch never touched, merges cleanly.
+    val changedBase = baseLive.filterNot(e => branchPairs((e.name, e.dv)))
+    val removes = changedBase.map(_.name).sorted
+    val v =
+      if (adds.isEmpty && removes.isEmpty) currentVersion(spark, dir)
+      else commitEntries(spark, dir, adds, removes, seen = changedBase,
+        op = Some(s"publish($name)"))
+    // schema evolution on the branch moves the pin to main at the
+    // published version (old main snapshots keep their width)
+    val branchPin = withBranch(spark, dir, name)(tableSchema(spark, dir))
+    if (branchPin.isDefined && branchPin != tableSchema(spark, dir, base))
+      setTableSchema(spark, dir, branchPin.get, v)
+    if (!keepBranch) deleteBranch(spark, dir, name)
+    v
+  }
+
+  private val PartitionColsName = "partition_cols.txt"
+
+  /** Declare the table's hive partition columns — what `CREATE TABLE
+    * … PARTITIONED BY` pins before any file exists. [[append]] /
+    * [[overwriteAll]] lay batches out by these even on an EMPTY table
+    * (the file-derived fallback can't see a layout with no files yet).
+    */
+  def setPartitionColumns(
+      spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
+    val out = fs.create(new Path(logPath(dir), PartitionColsName), true)
+    try out.write(cols.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def partitionColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = new Path(logPath(dir), PartitionColsName)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    body.filter(_.nonEmpty)
+  }
+
   private val ConstraintsName = "constraints.txt"
 
   /** Declare CHECK constraints (SQL boolean expressions, one per
@@ -276,16 +528,40 @@ object TxLog {
     0
   }
 
-  /** Committed versions, ascending. */
+  /** Committed versions, ascending. Inside [[withBranch]]: the main
+    * versions up to the branch base, then the branch's own commits —
+    * one contiguous history, so every fold/time-travel/diff consumer
+    * works on a branch unchanged.
+    */
   private def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val fs = Compact.fsOf(spark, dir)
     if (!fs.exists(logPath(dir))) return Nil
-    fs.listStatus(logPath(dir)).toSeq
+    val main = fs.listStatus(logPath(dir)).toSeq
       .map(_.getPath.getName)
       .filter(_.matches("v\\d{8}\\.txt"))
       .map(n => n.substring(1, n.length - 4).toInt)
       .sorted
+    branchOf(dir) match {
+      case Some((name, base)) =>
+        main.filter(_ <= base) ++ branchVersions(spark, dir, name)
+      case None => main
+    }
   }
+
+  /** The file holding version `v`'s commit — the ONE seam branch
+    * redirection needs: inside [[withBranch]], versions past the
+    * branch base live in `b.<name>.vNNNNNNNN.txt`; everything else
+    * (and everything in main scope) in `vNNNNNNNN.txt`. Every
+    * reader/writer of commit files resolves through here, so append,
+    * MERGE, deletion vectors, restore and diff are branch-capable
+    * with no further changes.
+    */
+  private def versionFilePath(dir: String, v: Int): Path =
+    branchOf(dir) match {
+      case Some((name, base)) if v > base =>
+        new Path(logPath(dir), f"$BranchPrefix$name.v$v%08d.txt")
+      case _ => new Path(logPath(dir), versionName(v))
+    }
 
   def currentVersion(spark: SparkSession, dir: String): Int = {
     val vs = versions(spark, dir)
@@ -317,7 +593,9 @@ object TxLog {
   def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
     enforceConstraints(spark, dir, df)
-    val pcols = graft.ops.DeleteWhere.partitionColsOf(liveFiles(spark, dir))
+    val declared = partitionColumns(spark, dir)
+    val pcols = if (declared.nonEmpty) declared
+      else graft.ops.DeleteWhere.partitionColsOf(liveFiles(spark, dir))
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, olds = Nil, writeStage = p =>
         df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
@@ -336,7 +614,9 @@ object TxLog {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
     enforceConstraints(spark, dir, df)
     val olds = liveFiles(spark, dir)
-    val pcols = graft.ops.DeleteWhere.partitionColsOf(olds)
+    val declared = partitionColumns(spark, dir)
+    val pcols = if (declared.nonEmpty) declared
+      else graft.ops.DeleteWhere.partitionColsOf(olds)
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, olds = olds, writeStage = p =>
         df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
@@ -374,13 +654,20 @@ object TxLog {
   private def checkpoints(spark: SparkSession, dir: String): Seq[Int] = {
     val fs = Compact.fsOf(spark, dir)
     if (!fs.exists(logPath(dir))) return Nil
-    fs.listStatus(logPath(dir)).toSeq
+    val main = fs.listStatus(logPath(dir)).toSeq
       .map(_.getPath.getName)
       // strict: config files (constraints.txt, stats_cols.txt) share
       // the log dir and must never parse as checkpoint numbers
       .filter(_.matches("c\\d{8}\\.txt"))
       .map(n => n.substring(1, n.length - 4).toInt)
       .sorted
+    // a main checkpoint written AFTER the fork summarizes main
+    // commits the branch never saw — a branch fold must not seed
+    // from it (branches themselves are short-lived and uncheckpointed)
+    branchOf(dir) match {
+      case Some((_, base)) => main.filter(_ <= base)
+      case None            => main
+    }
   }
 
   /** Materialize the current live set as a checkpoint, bounding every
@@ -390,6 +677,9 @@ object TxLog {
     * run every N commits (a maintenance call, like vacuum).
     */
   def checkpoint(spark: SparkSession, dir: String): Int = {
+    require(branchOf(dir).isEmpty,
+      "checkpoint: run from main scope (branches are short-lived and " +
+        "fold from the base's checkpoints)")
     val v = currentVersion(spark, dir)
     writeCheckpointAt(spark, dir, v)
     v
@@ -461,7 +751,16 @@ object TxLog {
       version: Int = Int.MaxValue,
       mergeSchema: Boolean = false): DataFrame = {
     val entries = liveEntries(spark, dir, version)
-    require(entries.nonEmpty, s"version $version of $dir holds no files")
+    if (entries.isEmpty) {
+      // a created-empty or truncated table still READS — as the empty
+      // relation with its pinned schema (CREATE TABLE pins one; a
+      // bare convert of an empty dir has nothing to describe rows by)
+      val pin = tableSchema(spark, dir, version)
+      require(pin.isDefined,
+        s"version $version of $dir holds no files and no pinned schema")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pin.get)
+    }
     readEntries(spark, dir, entries, mergeSchema, schemaVersion = version)
   }
 
@@ -488,7 +787,14 @@ object TxLog {
     val fs = Compact.fsOf(spark, dir)
     require(fs.exists(logPath(dir)), s"$dir is not TxLog-managed")
     val v = if (version >= 0) version else currentVersion(spark, dir)
-    val out = fs.create(new Path(logPath(dir), schemaFileName(v)), true)
+    // a pin at a branch version is the BRANCH's schema evolution —
+    // invisible to main until publishBranch moves it over
+    val dest = branchOf(dir) match {
+      case Some((name, base)) if v > base =>
+        new Path(logPath(dir), s"$BranchPrefix$name.${schemaFileName(v)}")
+      case _ => new Path(logPath(dir), schemaFileName(v))
+    }
+    val out = fs.create(dest, true)
     try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -504,13 +810,26 @@ object TxLog {
       Option[org.apache.spark.sql.types.StructType] = {
     val fs = Compact.fsOf(spark, dir)
     if (!fs.exists(logPath(dir))) return None
-    val pins = fs.listStatus(logPath(dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("s\\d{8}\\.json"))
-      .map(n => n.substring(1, 9).toInt)
-      .filter(_ <= version)
-    if (pins.isEmpty) return None
-    val in = fs.open(new Path(logPath(dir), schemaFileName(pins.max)))
+    val names = fs.listStatus(logPath(dir)).toSeq.map(_.getPath.getName)
+    // in a branch scope: main pins up to the base, plus the branch's
+    // own pins — a main pin written after the fork must not leak in
+    val candidates: Seq[(Int, String)] = branchOf(dir) match {
+      case Some((name, base)) =>
+        val pre = s"$BranchPrefix$name.s"
+        names.filter(_.matches("s\\d{8}\\.json"))
+          .map(n => n.substring(1, 9).toInt -> n)
+          .filter(_._1 <= math.min(version, base)) ++
+          names.filter(n => n.startsWith(pre) &&
+            n.substring(pre.length).matches("\\d{8}\\.json"))
+            .map(n => n.substring(pre.length, pre.length + 8).toInt -> n)
+            .filter(_._1 <= version)
+      case None =>
+        names.filter(_.matches("s\\d{8}\\.json"))
+          .map(n => n.substring(1, 9).toInt -> n)
+          .filter(_._1 <= version)
+    }
+    if (candidates.isEmpty) return None
+    val in = fs.open(new Path(logPath(dir), candidates.maxBy(_._1)._2))
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -1117,7 +1436,7 @@ object TxLog {
     val fs = Compact.fsOf(spark, dir)
     val cutoff = System.currentTimeMillis() - retainMs
     val young = versions(spark, dir).count { v =>
-      fs.getFileStatus(new Path(logPath(dir), versionName(v)))
+      fs.getFileStatus(versionFilePath(dir, v))
         .getModificationTime >= cutoff
     }
     vacuum(spark, dir, retainVersions = math.max(1, young),
@@ -1131,11 +1450,33 @@ object TxLog {
       pruneLog: Boolean = true,
       sweepOrphansOlderThanMs: Long = -1L,
       dvSweepAgeMs: Long = 3600L * 1000): Long = {
+    require(branchOf(dir).isEmpty, "vacuum: run from main scope")
     val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
-    val keep = vs.takeRight(math.max(1, retainVersions))
-    val referenced = keep.flatMap(v => liveFiles(spark, dir, v)).toSet
+    // tagged versions stay reconstructable past any retention count:
+    // folding them into `keep` protects both their files (referenced
+    // set) and their log entries (prune horizon = keep.min). A live
+    // branch pins its BASE the same way — publish validates against
+    // base entries, which must outlive any vacuum that runs while
+    // the branch is open.
+    val bs = branches(spark, dir)
+    val keep = (vs.takeRight(math.max(1, retainVersions)) ++
+      tags(spark, dir).values.filter(vs.contains) ++
+      bs.values.filter(vs.contains)).distinct.sorted
+    // branch commits reference staged files main never logged — both
+    // sets below must count them or the sweep deletes live branch data
+    val branchLive: Seq[AddEntry] = bs.keys.toSeq.flatMap(n =>
+      withBranch(spark, dir, n)(liveEntries(spark, dir)))
+    val branchEver: Set[String] = bs.keys.toSeq.flatMap { n =>
+      withBranch(spark, dir, n) {
+        versions(spark, dir).flatMap { v =>
+          val (a, r, _) = readVersion(spark, dir, v); a ++ r
+        }
+      }
+    }.toSet
+    val referenced = keep.flatMap(v => liveFiles(spark, dir, v)).toSet ++
+      branchLive.map(_.name)
     val onDiskStatuses = Compact.dataFileStatusesRecursive(fs, dir)
     val onDisk = onDiskStatuses.map(_._1)
     // only files the LOG ever knew can be deleted: an in-flight
@@ -1143,7 +1484,7 @@ object TxLog {
     // version and must survive the sweep
     val everLogged = vs.flatMap { v =>
       val (a, r, _) = readVersion(spark, dir, v); a ++ r
-    }.toSet
+    }.toSet ++ branchEver
     val orphanHorizon =
       if (sweepOrphansOlderThanMs < 0) Long.MinValue
       else System.currentTimeMillis() - sweepOrphansOlderThanMs
@@ -1162,7 +1503,8 @@ object TxLog {
     val dvDirPath = new Path(dir, DvDirName)
     if (fs.exists(dvDirPath)) {
       val referencedDvs = keep
-        .flatMap(v => liveEntries(spark, dir, v).flatMap(_.dv)).toSet
+        .flatMap(v => liveEntries(spark, dir, v).flatMap(_.dv)).toSet ++
+        branchLive.flatMap(_.dv)
       val dvStale = System.currentTimeMillis() - dvSweepAgeMs
       fs.listStatus(dvDirPath).toSeq
         .filter(f => f.isFile && !referencedDvs(f.getPath.getName) &&
@@ -1206,11 +1548,12 @@ object TxLog {
       adds.sortBy(_.name).map("ADD " + _.serialized) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
+    val dest = versionFilePath(dir, v)
     val tmp = new Path(logPath(dir),
-      s".${versionName(v)}.${java.util.UUID.randomUUID}.tmp")
+      s".${dest.getName}.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    atomicClaim(fs, tmp, new Path(logPath(dir), versionName(v)))
+    atomicClaim(fs, tmp, dest)
   }
 
   /** Atomically claim `dest` with `tmp`'s content: true = this writer
@@ -1260,7 +1603,7 @@ object TxLog {
   private def readVersionOp(
       spark: SparkSession, dir: String, v: Int): Option[String] = {
     val fs = Compact.fsOf(spark, dir)
-    val in = fs.open(new Path(logPath(dir), versionName(v)))
+    val in = fs.open(versionFilePath(dir, v))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
@@ -1272,7 +1615,7 @@ object TxLog {
       dir: String,
       v: Int): (Seq[AddEntry], Seq[String], Option[String]) = {
     val fs = Compact.fsOf(spark, dir)
-    val in = fs.open(new Path(logPath(dir), versionName(v)))
+    val in = fs.open(versionFilePath(dir, v))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()

@@ -1,0 +1,339 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftShim, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.CheckConstraint
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, CreateDataSourceTableCommand}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.ops.TxLog
+
+/** SQL DDL over log-managed parquet paths — the lifecycle statements
+  * around [[GraftDml]]'s writes, each landing through the transaction
+  * log so creation/replacement/truncation are versioned and
+  * time-travelable like every other commit:
+  *
+  *  - `CREATE TABLE parquet.`/t` (cols…) [PARTITIONED BY (c)]` →
+  *    empty v0 + pinned schema; `NOT NULL` columns and
+  *    `CONSTRAINT … CHECK (…)` clauses become the log's CHECK
+  *    constraints (every write path already enforces them on its
+  *    staged delta); `PARTITIONED BY` pins the hive layout so the
+  *    FIRST append already lands partitioned.
+  *  - `CREATE TABLE … AS SELECT` → the query's rows + conversion +
+  *    schema pin; `CREATE OR REPLACE TABLE … AS SELECT` on an
+  *    existing table is [[TxLog.overwriteAll]] — ONE commit, prior
+  *    versions still readable (REPLACE with time travel).
+  *  - `TRUNCATE TABLE` → overwrite-with-empty, same property.
+  *  - `DROP TABLE` → removes the table AND its log (guarded: only
+  *    log-managed paths — DROP on an arbitrary directory refuses).
+  *  - `ALTER TABLE … ADD COLUMNS` / `DROP COLUMN` → a metadata-only
+  *    commit + a schema pin at the new version (no data file is
+  *    touched; added columns read NULL for pre-evolution rows,
+  *    dropped ones vanish from reads while old snapshots keep their
+  *    own width — the log-pinned versioned-schema machinery).
+  *    `RENAME COLUMN` is refused with the reason (parquet files keep
+  *    physical names; rename needs column-ID mapping, out of scope).
+  *
+  * Reference anchor: the reference creates its star schema with
+  * hand-run DDL (`dags/create_tables.py` — nine CREATE TABLE
+  * statements against Postgres); this is that surface on the lake,
+  * with the log supplying atomicity the reference got from Postgres.
+  */
+object GraftDdl {
+
+  /** The parquet path a DDL plan targets; None for non-DDL plans and
+    * catalog-table targets (→ leave to Spark).
+    */
+  private[plans] def targetOf(plan: LogicalPlan): Option[String] = {
+    def ident(child: LogicalPlan): Option[String] = child match {
+      case UnresolvedIdentifier(Seq(fmt, p), _) if fmt.equalsIgnoreCase("parquet") =>
+        Some(p)
+      case u: UnresolvedTable => u.multipartIdentifier match {
+        case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") => Some(p)
+        case _ => None
+      }
+      // the analyzer's session-catalog resolution runs BEFORE injected
+      // rules and reads `parquet` as a namespace of spark_catalog —
+      // that resolved shape still names our path
+      case r: ResolvedIdentifier
+          if r.identifier.namespace.toSeq == Seq("parquet") =>
+        Some(r.identifier.name)
+      case _ => None
+    }
+    plan match {
+      case c: CreateTable => ident(c.name)
+      case c: CreateTableAsSelect => ident(c.name)
+      case r: ReplaceTableAsSelect => ident(r.name)
+      case d: DropTable => ident(d.child)
+      case t: TruncateTable => ident(t.table)
+      case a: AddColumns => ident(a.table)
+      case d: DropColumns => ident(d.table)
+      case r: RenameColumn => ident(r.table)
+      // CREATE [TABLE|TABLE AS SELECT] survive the session-catalog
+      // rules only as their v1 commands; the `parquet` "database" in
+      // the CatalogTable identifier is our format marker
+      case c: CreateDataSourceTableCommand => parquetTable(c.table)
+      case c: CreateDataSourceTableAsSelectCommand => parquetTable(c.table)
+      case _ => None
+    }
+  }
+
+  private def parquetTable(t: CatalogTable): Option[String] =
+    if (t.identifier.database.exists(_.equalsIgnoreCase("parquet")))
+      Some(t.identifier.table)
+    else None
+
+  private[plans] def route(spark: SparkSession, plan: LogicalPlan): Seq[Row] =
+    plan match {
+      case c: CreateTable => runCreate(spark, c)
+      case c: CreateTableAsSelect => runCtas(spark, c)
+      case r: ReplaceTableAsSelect => runRtas(spark, r)
+      case d: DropTable => runDrop(spark, d)
+      case t: TruncateTable => runTruncate(spark, t)
+      case a: AddColumns => runAddColumns(spark, a)
+      case d: DropColumns => runDropColumns(spark, d)
+      case c: CreateDataSourceTableCommand =>
+        runCreateCore(spark, targetOf(c).get,
+          StructType(c.table.schema.fields.toSeq),
+          c.table.partitionColumnNames,
+          c.table.schema.fields.toSeq.filterNot(_.nullable)
+            .map(f => s"${f.name} IS NOT NULL"),
+          c.ignoreIfExists)
+      case c: CreateDataSourceTableAsSelectCommand =>
+        val path = targetOf(c).get
+        if (TxLog.exists(spark, path)) {
+          if (c.mode == org.apache.spark.sql.SaveMode.Ignore)
+            receipt("create-table-exists", path, 0L, 0L,
+              TxLog.currentVersion(spark, path))
+          else throw new IllegalArgumentException(
+            s"CREATE TABLE AS SELECT: $path is already log-managed " +
+              "(IF NOT EXISTS to skip)")
+        } else createAs(spark, path, GraftShim.ofRows(spark, c.query),
+          c.table.partitionColumnNames, "create-table-as")
+      case r: RenameColumn =>
+        throw new UnsupportedOperationException(
+          "ALTER TABLE ... RENAME COLUMN: parquet data files keep their " +
+            "physical column names — a rename needs column-ID mapping " +
+            "(Iceberg-style), which this log does not carry. Add the new " +
+            "column and backfill, or CREATE OR REPLACE TABLE ... AS SELECT " +
+            "with the new name.")
+      case other => throw new IllegalArgumentException(
+        s"GraftDdl.route: not a DDL plan: ${other.nodeName}")
+    }
+
+  private def identityCols(partitioning: Seq[Transform]): Seq[String] =
+    partitioning.map { t =>
+      val refs = t.references
+      if (t.name == "identity" && refs.length == 1 &&
+          refs.head.fieldNames.length == 1) refs.head.fieldNames.head
+      else throw new UnsupportedOperationException(
+        s"PARTITIONED BY ($t): only identity partition columns here — " +
+          "hidden transforms (days/months/bucket/truncate) go through " +
+          "graft.ops.PartitionTransforms (graft_hidden_* TVFs)")
+    }
+
+  /** CHECK constraints of a table spec, plus NOT NULL columns as
+    * `c IS NOT NULL` checks — one enforcement surface for both.
+    */
+  private def constraintExprs(
+      spec: TableSpecBase, columns: Seq[ColumnDefinition]): Seq[String] = {
+    val checks = spec match {
+      case u: UnresolvedTableSpec =>
+        u.constraints.collect { case c: CheckConstraint => c.condition }
+      case _ => Nil
+    }
+    checks ++ columns.filterNot(_.nullable).map(c => s"${c.name} IS NOT NULL")
+  }
+
+  private def receipt(
+      op: String, path: String, rows: Long, files: Long, v: Int): Seq[Row] =
+    Seq(Row(op, path, rows, files, v.toLong))
+
+  private def runCreate(spark: SparkSession, c: CreateTable): Seq[Row] = {
+    val schema = StructType(c.columns.map(col =>
+      StructField(col.name, col.dataType, col.nullable)))
+    runCreateCore(spark, targetOf(c).get, schema,
+      identityCols(c.partitioning),
+      constraintExprs(c.tableSpec, c.columns), c.ignoreIfExists)
+  }
+
+  private def runCreateCore(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      pcols: Seq[String],
+      checks: Seq[String],
+      ignoreIfExists: Boolean): Seq[Row] = {
+    if (TxLog.exists(spark, path)) {
+      if (ignoreIfExists)
+        return receipt("create-table-exists", path, 0L, 0L,
+          TxLog.currentVersion(spark, path))
+      throw new IllegalArgumentException(
+        s"CREATE TABLE: $path is already log-managed (IF NOT EXISTS to skip)")
+    }
+    pcols.foreach(p => require(schema.fieldNames.contains(p),
+      s"PARTITIONED BY ($p): not a table column"))
+    TxLog.convert(spark, path) // empty v0
+    TxLog.setTableSchema(spark, path, schema, version = 0)
+    if (pcols.nonEmpty) TxLog.setPartitionColumns(spark, path, pcols)
+    if (checks.nonEmpty) TxLog.setCheckConstraints(spark, path, checks)
+    receipt("create-table", path, 0L, 0L, 0)
+  }
+
+  private def runCtas(spark: SparkSession, c: CreateTableAsSelect): Seq[Row] = {
+    val path = targetOf(c).get
+    if (TxLog.exists(spark, path)) {
+      if (c.ignoreIfExists)
+        return receipt("create-table-exists", path, 0L, 0L,
+          TxLog.currentVersion(spark, path))
+      throw new IllegalArgumentException(
+        s"CREATE TABLE AS SELECT: $path is already log-managed " +
+          "(IF NOT EXISTS to skip, or CREATE OR REPLACE to overwrite)")
+    }
+    createAs(spark, path, GraftShim.ofRows(spark, c.query),
+      identityCols(c.partitioning), "create-table-as")
+  }
+
+  private def runRtas(spark: SparkSession, r: ReplaceTableAsSelect): Seq[Row] = {
+    val path = targetOf(r).get
+    val df = GraftShim.ofRows(spark, r.query)
+    if (TxLog.exists(spark, path)) {
+      // REPLACE keeps the log: one overwrite-all commit, history
+      // intact — then the pin moves to the NEW query's schema at the
+      // committed version (old snapshots keep their own width)
+      val pcols = identityCols(r.partitioning)
+      if (pcols.nonEmpty) TxLog.setPartitionColumns(spark, path, pcols)
+      val n = df.count()
+      val v = TxLog.overwriteAll(spark, path, df)
+      TxLog.setTableSchema(spark, path, df.schema, version = v)
+      receipt("replace-table", path, n, 0L, v)
+    } else if (r.orCreate) {
+      createAs(spark, path, df, identityCols(r.partitioning), "create-table-as")
+    } else throw new IllegalArgumentException(
+      s"REPLACE TABLE: $path is not log-managed (OR REPLACE → CREATE " +
+        "requires the OR CREATE form; use CREATE OR REPLACE TABLE)")
+  }
+
+  /** Shared CTAS tail: land the rows, convert, pin. The write happens
+    * before the log exists — a brand-new directory has no readers, so
+    * the non-atomic window is invisible (Delta's CTAS has the same
+    * shape); conversion ADDs exactly the written files as v0.
+    */
+  private def createAs(
+      spark: SparkSession,
+      path: String,
+      df: org.apache.spark.sql.DataFrame,
+      pcols: Seq[String],
+      op: String): Seq[Row] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).isEmpty,
+      s"CREATE TABLE AS SELECT: $path exists with files but no log — " +
+        "TxLog.convert(spark, dir) to adopt it, or choose a fresh path")
+    val n = df.count()
+    if (pcols.nonEmpty) df.write.partitionBy(pcols: _*).parquet(path)
+    else df.write.parquet(path)
+    TxLog.convert(spark, path)
+    TxLog.setTableSchema(spark, path, df.schema, version = 0)
+    if (pcols.nonEmpty) TxLog.setPartitionColumns(spark, path, pcols)
+    receipt(op, path, n, TxLog.liveFiles(spark, path).length.toLong, 0)
+  }
+
+  private def runDrop(spark: SparkSession, d: DropTable): Seq[Row] = {
+    val path = targetOf(d).get
+    if (!TxLog.exists(spark, path)) {
+      if (d.ifExists) return receipt("drop-table-missing", path, 0L, 0L, 0)
+      throw new IllegalArgumentException(
+        s"DROP TABLE: $path is not log-managed — refusing to delete an " +
+          "arbitrary directory (use filesystem tools for unmanaged paths)")
+    }
+    val files = TxLog.liveFiles(spark, path).length.toLong
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    receipt("drop-table", path, 0L, files, 0)
+  }
+
+  private def runTruncate(spark: SparkSession, t: TruncateTable): Seq[Row] = {
+    val path = targetOf(t).get
+    require(TxLog.exists(spark, path),
+      s"TRUNCATE TABLE: $path is not TxLog-managed")
+    val before = TxLog.snapshot(spark, path)
+    val files = TxLog.liveFiles(spark, path).length.toLong
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], before.schema)
+    val v = TxLog.overwriteAll(spark, path, empty)
+    // a never-pinned table needs one now: zero files leave no footer
+    // to read a schema from
+    if (TxLog.tableSchema(spark, path).isEmpty)
+      TxLog.setTableSchema(spark, path, before.schema, v)
+    receipt("truncate-table", path, 0L, files, v)
+  }
+
+  private def runAddColumns(spark: SparkSession, a: AddColumns): Seq[Row] = {
+    val path = targetOf(a).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE ADD COLUMNS: $path is not TxLog-managed")
+    val current = TxLog.tableSchema(spark, path)
+      .getOrElse(TxLog.snapshot(spark, path).schema)
+    val added = a.columnsToAdd.map { q =>
+      require(q.path.isEmpty && q.position.isEmpty && q.default.isEmpty,
+        "ADD COLUMNS: nested fields / positions / defaults are not " +
+          "supported here — top-level nullable columns only (pre-evolution " +
+          "rows read NULL, so a NOT NULL or defaulted add would lie)")
+      require(!current.fieldNames.contains(q.colName),
+        s"ADD COLUMNS: ${q.colName} already exists")
+      StructField(q.colName, q.dataType, nullable = true)
+    }
+    // metadata-only version bump, then the pin at the NEW version —
+    // the pre-evolution versions keep their own pins (time travel
+    // reads each version at its own width)
+    val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
+      op = Some("add-columns"))
+    TxLog.setTableSchema(spark, path, StructType(current.fields ++ added), v)
+    receipt("add-columns", path, 0L, 0L, v)
+  }
+
+  private def runDropColumns(spark: SparkSession, d: DropColumns): Seq[Row] = {
+    val path = targetOf(d).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE DROP COLUMN: $path is not TxLog-managed")
+    val current = TxLog.tableSchema(spark, path)
+      .getOrElse(TxLog.snapshot(spark, path).schema)
+    val names = d.columnsToDrop.map { f =>
+      val parts = f.name
+      require(parts.length == 1,
+        "DROP COLUMN: nested fields are not supported here")
+      parts.head
+    }
+    val missing = names.filterNot(current.fieldNames.contains)
+    if (missing.nonEmpty && !d.ifExists)
+      throw new IllegalArgumentException(
+        s"DROP COLUMN: ${missing.mkString(", ")} not in the table " +
+          "(IF EXISTS to skip)")
+    val drop = names.filter(current.fieldNames.contains).toSet
+    if (drop.isEmpty)
+      return receipt("drop-columns-missing", path, 0L, 0L,
+        TxLog.currentVersion(spark, path))
+    require(drop.size < current.fields.length,
+      "DROP COLUMN: cannot drop every column")
+    // a column a CHECK constraint or the partition layout references
+    // cannot silently vanish
+    val referenced = TxLog.checkConstraints(spark, path)
+      .filter(c => drop.exists(n => c.matches(s"(?i).*\\b$n\\b.*")))
+    require(referenced.isEmpty,
+      s"DROP COLUMN: CHECK constraint(s) reference it: $referenced — " +
+        "drop or rewrite the constraint first (setCheckConstraints)")
+    require(!TxLog.partitionColumns(spark, path).exists(drop),
+      "DROP COLUMN: it is a declared partition column")
+    val narrowed = StructType(current.fields.filterNot(f => drop(f.name)))
+    val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
+      op = Some("drop-columns"))
+    TxLog.setTableSchema(spark, path, narrowed, v)
+    receipt("drop-columns", path, 0L, 0L, v)
+  }
+}

@@ -70,10 +70,59 @@ object GraftDml {
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     GraftShim.parsePlan(spark, sqlText) match {
       case p if targetOf(p).isDefined =>
+        // `parquet.`/t@audit`` targets branch `audit` of /t: the DML
+        // runs inside the branch scope, so its commit lands as a
+        // branch version — write-audit-publish entirely in SQL. Only
+        // a suffix naming an EXISTING branch splits; a literal '@' in
+        // a real path is untouched.
+        val (rawPath, _) = targetOf(p).get
+        val (path, branch) = splitBranch(spark, rawPath)
+        def strip(q: LogicalPlan): LogicalPlan = q.transformUp {
+          case u: UnresolvedRelation
+              if u.multipartIdentifier == Seq("parquet", rawPath) =>
+            u.copy(multipartIdentifier = Seq("parquet", path))
+        }
+        val p2 =
+          if (branch.isEmpty) p
+          else strip(p) match {
+            // InsertIntoStatement.table is a FIELD, not a child —
+            // transformUp never visits it
+            case i: InsertIntoStatement => i.copy(table = strip(i.table))
+            case other => other
+          }
+        def run() = spark.createDataFrame(
+          java.util.Arrays.asList(dispatch(spark, p2): _*), receiptSchema)
+        branch match {
+          case Some(b) => TxLog.withBranch(spark, path, b)(run())
+          case None => run()
+        }
+      case p if GraftDdl.targetOf(p).isDefined =>
         spark.createDataFrame(
-          java.util.Arrays.asList(route(spark, p): _*), receiptSchema)
+          java.util.Arrays.asList(dispatch(spark, p): _*), receiptSchema)
       case _ => spark.sql(sqlText)
     }
+
+  /** Split a `path@branch` target when (and only when) `branch` names
+    * an existing branch of the TxLog-managed `path` — a literal '@'
+    * in an ordinary path can never be misread, because the split only
+    * happens on a positive branch probe.
+    */
+  private def splitBranch(
+      spark: SparkSession, raw: String): (String, Option[String]) = {
+    val i = raw.lastIndexOf('@')
+    if (i <= 0) return (raw, None)
+    val (p, b) = (raw.substring(0, i), raw.substring(i + 1))
+    if (b.matches("[A-Za-z0-9_-]+") && TxLog.exists(spark, p) &&
+        TxLog.branchExists(spark, p, b)) (p, Some(b))
+    else (raw, None)
+  }
+
+  /** One dispatcher for both surfaces: DML plans route here, DDL
+    * plans ([[GraftDdl]]) route there — the receipt schema is shared.
+    */
+  private[graft] def dispatch(spark: SparkSession, plan: LogicalPlan): Seq[Row] =
+    if (targetOf(plan).isDefined) route(spark, plan)
+    else GraftDdl.route(spark, plan)
 
   /** The (path, alias) of a DML plan's parquet-path target; None for
     * non-DML plans and non-path targets (→ leave to Spark).
@@ -157,7 +206,9 @@ object GraftDml {
     // empty table has no schema to align to — the batch defines it
     val targetSchema =
       if (logged) {
-        if (TxLog.liveFiles(spark, path).isEmpty) None
+        // an empty CREATEd table aligns against its pinned schema; an
+        // empty un-pinned table has none — the batch defines it
+        if (TxLog.liveFiles(spark, path).isEmpty) TxLog.tableSchema(spark, path)
         else Some(TxLog.read(spark, path).schema)
       } else scala.util.Try(spark.read.parquet(path).schema).toOption
     val cast = targetSchema match {
@@ -315,7 +366,7 @@ object GraftDml {
   final case class GraftDmlCommand(dml: LogicalPlan)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = receiptAttrs
-    override def run(session: SparkSession): Seq[Row] = route(session, dml)
+    override def run(session: SparkSession): Seq[Row] = dispatch(session, dml)
   }
 
   /** Analyzer rule ([[graft.GraftExtensions]] injects it): a
@@ -337,6 +388,28 @@ object GraftDml {
       case i: InsertIntoStatement
           if targetOf(i).isDefined && i.query.resolved =>
         GraftDmlCommand(i)
+      // DDL over parquet paths: stock Spark would try to resolve
+      // "parquet" as a catalog and fail — same rewrite, same command
+      case c: CreateTableAsSelect
+          if GraftDdl.targetOf(c).isDefined && c.query.resolved =>
+        GraftDmlCommand(c)
+      case r: ReplaceTableAsSelect
+          if GraftDdl.targetOf(r).isDefined && r.query.resolved =>
+        GraftDmlCommand(r)
+      case p @ (_: CreateTable | _: DropTable | _: TruncateTable |
+                _: AddColumns | _: DropColumns | _: RenameColumn)
+          if GraftDdl.targetOf(p).isDefined =>
+        GraftDmlCommand(p)
+      // session-catalog resolution converts path CREATE [AS SELECT]
+      // into these v1 commands before injected rules run — without
+      // this rewrite they would CREATE A METASTORE TABLE named by the
+      // path in a phantom `parquet` database
+      case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
+          if GraftDdl.targetOf(c).isDefined =>
+        GraftDmlCommand(c)
+      case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+          if GraftDdl.targetOf(c).isDefined && c.query.resolved =>
+        GraftDmlCommand(c)
       case _ => plan
     }
   }

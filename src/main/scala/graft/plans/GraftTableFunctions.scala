@@ -23,6 +23,11 @@ import graft.ops.TxLog
   * SELECT * FROM graft_files('/data/orders')   -- files table (DESCRIBE DETAIL)
   * SELECT * FROM graft_db('/data/db', 'orders')     -- DbLog database table
   * SELECT * FROM graft_db('/data/db', 'orders', 3)  --   at a database version
+  * SELECT * FROM graft_optimize('/data/orders')     -- PROCEDURES: run the
+  * SELECT * FROM graft_vacuum('/data/orders', 30)   --   maintenance action,
+  * SELECT * FROM graft_restore('/data/orders', 3)   --   return its receipt
+  * SELECT * FROM graft_tag('/data/orders', 'audit-q3')
+  * SELECT * FROM graft_snapshot('/data/orders', 'audit-q3')  -- read by tag
   * }}}
   *
   * Two registration paths, same builders:
@@ -85,6 +90,10 @@ object GraftTableFunctions {
       args: Seq[Expression]): DataFrame = (fn, args) match {
     case ("graft_snapshot", Seq(d)) =>
       TxLog.read(spark, str(d, fn, 0))
+    case ("graft_snapshot", Seq(d, v))
+        if v.foldable && v.dataType ==
+          org.apache.spark.sql.types.StringType =>
+      TxLog.snapshotTag(spark, str(d, fn, 0), str(v, fn, 1))
     case ("graft_snapshot", Seq(d, v)) =>
       TxLog.snapshot(spark, str(d, fn, 0), int(v, fn, 1))
     case ("graft_history", Seq(d)) =>
@@ -110,8 +119,100 @@ object GraftTableFunctions {
       graft.ops.PartitionTransforms.scanEquals(spark, str(d, fn, 0),
         str(c, fn, 1), vs.zipWithIndex.map { case (v, i) =>
           anyLit(v, fn, i + 2) })
+    // ---- procedures (Iceberg CALL-style): the SELECT runs the
+    // maintenance action once at planning and returns its receipt —
+    // the SQL-only operator's path to OPTIMIZE/VACUUM/RESTORE/tags
+    case ("graft_optimize", Seq(d)) =>
+      optimizeReceipt(spark, str(d, fn, 0), Nil)
+    case ("graft_optimize", Seq(d, z)) =>
+      optimizeReceipt(spark, str(d, fn, 0),
+        str(z, fn, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ("graft_vacuum", Seq(d, r)) =>
+      val dir = str(d, fn, 0)
+      val reclaimed = TxLog.vacuum(spark, dir, int(r, fn, 1))
+      procReceipt(spark, "vacuum", dir, Seq(
+        "files_reclaimed" -> reclaimed,
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_checkpoint", Seq(d)) =>
+      val dir = str(d, fn, 0)
+      val at = TxLog.checkpoint(spark, dir)
+      procReceipt(spark, "checkpoint", dir, Seq("version" -> at.toLong))
+    case ("graft_restore", Seq(d, v)) =>
+      val dir = str(d, fn, 0)
+      val nv = TxLog.restore(spark, dir, int(v, fn, 1))
+      procReceipt(spark, "restore", dir, Seq("version" -> nv.toLong))
+    case ("graft_tag", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      val v = TxLog.setTag(spark, dir, str(n, fn, 1))
+      procReceipt(spark, "tag", dir, Seq("version" -> v.toLong))
+    case ("graft_tag", Seq(d, n, v)) =>
+      val dir = str(d, fn, 0)
+      val pinned = TxLog.setTag(spark, dir, str(n, fn, 1), int(v, fn, 2))
+      procReceipt(spark, "tag", dir, Seq("version" -> pinned.toLong))
+    // ---- branches (write-audit-publish): the branch READ is what an
+    // audit query runs against before graft_publish lands the changes
+    case ("graft_branch", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      TxLog.withBranch(spark, dir, str(n, fn, 1))(
+        // force the plan INSIDE the scope: the fold over branch
+        // version files happens at planning, so the returned frame
+        // stays correct after the scope closes
+        TxLog.snapshot(spark, dir))
+    case ("graft_branches", Seq(d)) =>
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val dir = str(d, fn, 0)
+      val rows = TxLog.branches(spark, dir).toSeq.sortBy(_._1)
+        .map { case (n, b) => org.apache.spark.sql.Row(n, b) }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(StructField("branch", StringType, nullable = false),
+          StructField("base_version", IntegerType, nullable = false))))
+    case ("graft_create_branch", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      val base = TxLog.createBranch(spark, dir, str(n, fn, 1))
+      procReceipt(spark, "create-branch", dir, Seq("version" -> base.toLong))
+    case ("graft_create_branch", Seq(d, n, v)) =>
+      val dir = str(d, fn, 0)
+      val base = TxLog.createBranch(spark, dir, str(n, fn, 1), int(v, fn, 2))
+      procReceipt(spark, "create-branch", dir, Seq("version" -> base.toLong))
+    case ("graft_publish_branch", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      val v = TxLog.publishBranch(spark, dir, str(n, fn, 1))
+      procReceipt(spark, "publish-branch", dir, Seq("version" -> v.toLong))
+    case ("graft_drop_branch", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      TxLog.deleteBranch(spark, dir, str(n, fn, 1))
+      procReceipt(spark, "drop-branch", dir, Seq(
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
     case _ => throw new IllegalArgumentException(
       s"$fn: unsupported argument count ${args.length}")
+  }
+
+  private def optimizeReceipt(
+      spark: SparkSession, dir: String, zorder: Seq[String]): DataFrame = {
+    val r = graft.ops.Maintenance.run(spark, dir, zorderCols = zorder)
+    procReceipt(spark, "optimize", dir, Seq(
+      "dv_folded_files" -> r.foldedFiles,
+      "packed_files" -> r.packedFiles,
+      "files_reclaimed" -> r.filesReclaimed,
+      "version" -> r.checkpointedAt.toLong))
+  }
+
+  /** One-row receipt frame: (op, target, <metric cols>…). */
+  private def procReceipt(
+      spark: SparkSession,
+      op: String,
+      dir: String,
+      metrics: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(
+      Seq(StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false)) ++
+        metrics.map(m => StructField(m._1, LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        op +: dir +: metrics.map(_._2))), schema)
   }
 
   /** A literal of ANY type, converted from its internal Catalyst
@@ -176,7 +277,24 @@ object GraftTableFunctions {
       ("graft_files",
         "graft_files(dir[, version]) - per-file metadata: bytes, rows, dv, stats"),
       ("graft_db",
-        "graft_db(db, table[, version]) - one table of a multi-table DbLog database"))
+        "graft_db(db, table[, version]) - one table of a multi-table DbLog database"),
+      ("graft_optimize",
+        "graft_optimize(dir[, zorder_cols]) - PROCEDURE: fold DVs + bin-pack + checkpoint"),
+      ("graft_vacuum",
+        "graft_vacuum(dir, retain_versions) - PROCEDURE: reclaim unreferenced files (tag-aware)"),
+      ("graft_checkpoint", "graft_checkpoint(dir) - PROCEDURE: write a log checkpoint"),
+      ("graft_restore", "graft_restore(dir, version) - PROCEDURE: roll the table back"),
+      ("graft_tag",
+        "graft_tag(dir, name[, version]) - PROCEDURE: pin a named tag (read via graft_snapshot(dir, name))"),
+      ("graft_branch",
+        "graft_branch(dir, name) - snapshot of branch `name` (the audit read)"),
+      ("graft_branches", "graft_branches(dir) - open branches and their base versions"),
+      ("graft_create_branch",
+        "graft_create_branch(dir, name[, version]) - PROCEDURE: fork a branch"),
+      ("graft_publish_branch",
+        "graft_publish_branch(dir, name) - PROCEDURE: merge the branch into main atomically"),
+      ("graft_drop_branch",
+        "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

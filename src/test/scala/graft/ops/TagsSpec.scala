@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.{GraftExtensions, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Named tags ([[TxLog.setTag]]) + the procedure TVFs
+  * (graft_tag / graft_optimize / graft_vacuum / graft_restore /
+  * graft_checkpoint).
+  */
+class TagsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.installInto(spark)
+
+  private def table(n: Int = 3): String = {
+    val dir = Files.createTempDirectory("tags").toString + "/t"
+    (0 until n).foreach { i =>
+      if (i == 0) {
+        Seq((i.toLong, s"v$i")).toDF("k", "v").write.parquet(dir)
+        TxLog.convert(spark, dir)
+      } else UpsertWhere.byKeys(spark, dir, "k",
+        Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    }
+    dir
+  }
+
+  test("a tag names a version; re-tag moves it; delete forgets it") {
+    val dir = table()
+    TxLog.setTag(spark, dir, "audit", 1)
+    assert(TxLog.tags(spark, dir) == Map("audit" -> 1))
+    assert(TxLog.snapshotTag(spark, dir, "audit").count() ==
+      TxLog.snapshot(spark, dir, 1).count())
+    TxLog.setTag(spark, dir, "audit") // current
+    assert(TxLog.tags(spark, dir)("audit") == TxLog.currentVersion(spark, dir))
+    TxLog.deleteTag(spark, dir, "audit")
+    assert(TxLog.tags(spark, dir).isEmpty)
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotTag(spark, dir, "audit")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.setTag(spark, dir, "ghost", 99) // version must exist
+    }
+  }
+
+  test("vacuum keeps a tagged version reconstructable past the retention count") {
+    val dir = table(1)
+    TxLog.setTag(spark, dir, "pinned", 0)
+    val taggedRows = TxLog.snapshot(spark, dir, 0).collect().toSet
+    // churn far past any retention: each upsert rewrites the file
+    (1 to 6).foreach { i =>
+      UpsertWhere.byKeys(spark, dir, "k", Seq((0L, s"w$i")).toDF("k", "v"))
+    }
+    val reclaimed = TxLog.vacuum(spark, dir, retainVersions = 2)
+    // the tagged version still reads bit-identically (files AND log)
+    assert(TxLog.snapshotTag(spark, dir, "pinned").collect().toSet == taggedRows)
+    // an untagged far-past version is NOT reconstructable
+    intercept[Exception] { TxLog.snapshot(spark, dir, 2).collect() }
+    // dropping the tag releases it: the next vacuum reclaims
+    TxLog.deleteTag(spark, dir, "pinned")
+    TxLog.vacuum(spark, dir, retainVersions = 2)
+    intercept[Exception] { TxLog.snapshot(spark, dir, 0).collect() }
+    assert(reclaimed >= 0)
+  }
+
+  test("procedure TVFs: tag + snapshot-by-tag + restore + vacuum + checkpoint from pure SQL") {
+    val dir = table()
+    val v1Rows = TxLog.snapshot(spark, dir, 1).collect().toSet
+    val tagged = spark.sql(s"SELECT * FROM graft_tag('$dir', 'rc-1', 1)").head()
+    assert(tagged.getString(0) == "tag" && tagged.getLong(2) == 1L)
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$dir', 'rc-1')")
+      .collect().toSet == v1Rows)
+    // integer second arg still means a version number
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$dir', 1)")
+      .collect().toSet == v1Rows)
+    val restored = spark.sql(s"SELECT * FROM graft_restore('$dir', 1)").head()
+    assert(restored.getString(0) == "restore")
+    assert(TxLog.snapshot(spark, dir).collect().toSet == v1Rows)
+    val cp = spark.sql(s"SELECT * FROM graft_checkpoint('$dir')").head()
+    assert(cp.getString(0) == "checkpoint")
+    val vac = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 2)").head()
+    assert(vac.getString(0) == "vacuum" && vac.getLong(2) >= 0)
+  }
+
+  test("graft_optimize procedure bin-packs the small-file tail and reports it") {
+    val dir = Files.createTempDirectory("tags").toString + "/t"
+    Seq((0L, "a")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    (1 to 5).foreach(i => TxLog.append(spark, dir,
+      Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val before = TxLog.liveFiles(spark, dir).length
+    val r = spark.sql(s"SELECT * FROM graft_optimize('$dir')").head()
+    assert(r.getString(0) == "optimize")
+    assert(r.getLong(3) > 0, s"expected packed files, got $r") // packed_files
+    assert(TxLog.liveFiles(spark, dir).length < before)
+    assert(TxLog.snapshot(spark, dir).count() == 6)
+  }
+}
