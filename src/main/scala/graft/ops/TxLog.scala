@@ -247,6 +247,30 @@ object TxLog {
     fs.delete(new Path(logPath(dir), s"$TagPrefix$name.txt"), false)
   }
 
+  /** The newest version committed at or before `tsMillis` — Delta's
+    * `TIMESTAMP AS OF`. Commit-file modification times order the
+    * retained log; a timestamp older than the retention horizon (or
+    * before the table existed) is an error naming the earliest
+    * available commit time. Metadata-only: one fs status per retained
+    * version.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val fs = Compact.fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not TxLog-managed")
+    val times = vs.map(v =>
+      v -> fs.getFileStatus(versionFilePath(dir, v)).getModificationTime)
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $dir at or before $tsMillis — earliest retained " +
+        s"commit is v${times.minBy(_._2)._1} at ${times.minBy(_._2)._2}")
+    at.maxBy(t => (t._2, t._1))._1
+  }
+
+  /** Snapshot as of a wall-clock time ([[versionAsOf]]). */
+  def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    snapshot(spark, dir, versionAsOf(spark, dir, tsMillis))
+
   /** Snapshot read by tag name — time travel with a stable name. */
   def snapshotTag(spark: SparkSession, dir: String, name: String): DataFrame = {
     val v = tags(spark, dir).getOrElse(name,

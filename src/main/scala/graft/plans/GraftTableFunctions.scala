@@ -94,6 +94,16 @@ object GraftTableFunctions {
         if v.foldable && v.dataType ==
           org.apache.spark.sql.types.StringType =>
       TxLog.snapshotTag(spark, str(d, fn, 0), str(v, fn, 1))
+    // TIMESTAMP AS OF: graft_snapshot(dir, TIMESTAMP '2026-01-01 ...')
+    case ("graft_snapshot", Seq(d, v))
+        if v.foldable && v.dataType ==
+          org.apache.spark.sql.types.TimestampType =>
+      anyLit(v, fn, 1) match {
+        case ts: java.sql.Timestamp =>
+          TxLog.snapshotAsOf(spark, str(d, fn, 0), ts.getTime)
+        case other => throw new IllegalArgumentException(
+          s"$fn: unsupported timestamp literal $other")
+      }
     case ("graft_snapshot", Seq(d, v)) =>
       TxLog.snapshot(spark, str(d, fn, 0), int(v, fn, 1))
     case ("graft_history", Seq(d)) =>

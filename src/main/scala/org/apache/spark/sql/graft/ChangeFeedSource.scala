@@ -96,6 +96,20 @@ final class ChangeFeedSource(
     parameters.get("startingVersion").map(_.toInt - 1)
       .getOrElse(TxLog.currentVersion(spark, path))
 
+  /** Rate limit (Delta's maxFilesPerTrigger analog at the version
+    * granularity the offsets already use): each microbatch advances
+    * at most N commits, so a deep backlog — a replay from
+    * startingVersion 0 of a year-old table — drains as bounded
+    * batches instead of one giant catch-up diff. Restart-safe: the
+    * high-water mark restores from the recovery getBatch call V1
+    * sources receive before their first getOffset.
+    */
+  private val maxVersionsPerBatch: Option[Int] =
+    parameters.get("maxVersionsPerBatch").map(_.toInt)
+  maxVersionsPerBatch.foreach(n =>
+    require(n > 0, s"graft-cdc: maxVersionsPerBatch must be > 0, got $n"))
+  private var highWater: Int = floorVersion
+
   override val schema: StructType =
     ChangeFeedSource.feedSchema(spark, parameters)
 
@@ -108,12 +122,17 @@ final class ChangeFeedSource(
 
   override def getOffset: Option[Offset] = {
     val cur = TxLog.currentVersion(spark, path)
-    if (cur > floorVersion) Some(LongOffset(cur.toLong)) else None
+    val capped = maxVersionsPerBatch match {
+      case Some(n) => math.min(cur, math.max(highWater, floorVersion) + n)
+      case None => cur
+    }
+    if (capped > floorVersion) Some(LongOffset(capped.toLong)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(floorVersion)
     val to = versionOf(end)
+    highWater = math.max(highWater, to)
     // floor below the log (startingVersion = 0): the batch is the
     // snapshot at `to` as inserts — diff against an empty before-set
     val d =

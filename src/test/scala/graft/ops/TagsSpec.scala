@@ -83,6 +83,28 @@ class TagsSpec extends SparkSpec {
     assert(vac.getString(0) == "vacuum" && vac.getLong(2) >= 0)
   }
 
+  test("TIMESTAMP AS OF: snapshotAsOf resolves by commit wall-clock, SQL takes a timestamp literal") {
+    val dir = table(1) // v0 only
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    UpsertWhere.byKeys(spark, dir, "k", Seq((0L, "late")).toDF("k", "v")) // v1
+    assert(TxLog.versionAsOf(spark, dir, between) == 0)
+    assert(TxLog.versionAsOf(spark, dir, System.currentTimeMillis()) == 1)
+    assert(TxLog.snapshotAsOf(spark, dir, between).collect().toSet ==
+      TxLog.snapshot(spark, dir, 0).collect().toSet)
+    // before the table existed → error naming the earliest commit
+    intercept[IllegalArgumentException] { TxLog.versionAsOf(spark, dir, 0L) }
+    // SQL: a TIMESTAMP literal second argument means AS OF
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val lit = fmt.format(new java.util.Date(between))
+    assert(spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', TIMESTAMP '$lit')")
+      .collect().toSet == TxLog.snapshot(spark, dir, 0).collect().toSet)
+  }
+
   test("graft_optimize procedure bin-packs the small-file tail and reports it") {
     val dir = Files.createTempDirectory("tags").toString + "/t"
     Seq((0L, "a")).toDF("k", "v").write.parquet(dir)

@@ -294,6 +294,117 @@ class TxLogModelSpec extends SparkSpec {
     check("post-vacuum")
   }
 
+  test("branched table: 18 random ops across main and a branch, both sides == their models") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val dir = Files.createTempDirectory("txmodel_branch").toString + "/t"
+
+    // two models: MAIN, and the open branch (None = no branch). While
+    // a branch is open, main only APPENDS (the documented clean-merge
+    // case) — fresh keys are globally unique, so publish must produce
+    // exactly branchModel ∪ (main appends since the fork).
+    val mMain = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var branch: Option[scala.collection.mutable.LinkedHashMap[Long, Long]] = None
+    var forkKeys: Set[Long] = Set.empty
+    var nextKey = 0L
+    var published = 0
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def freshRows(n: Int): Seq[(Long, Long)] =
+      (0 until n).map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+    def readState(): Seq[(Long, Long)] =
+      if (TxLog.liveFiles(spark, dir).isEmpty) Nil
+      else TxLog.snapshot(spark, dir).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    def check(step: String): Unit = {
+      assert(readState() == mMain.toSeq.sorted, s"$step: MAIN != model")
+      branch.foreach { mBr =>
+        val got = TxLog.withBranch(spark, dir, "wip")(readState())
+        assert(got == mBr.toSeq.sorted, s"$step: BRANCH != model")
+      }
+    }
+
+    TxLog.convert(spark, dir)
+    val seed = freshRows(12)
+    TxLog.append(spark, dir, df(seed))
+    seed.foreach { case (k, v) => mMain(k) = v }
+    check("seed")
+
+    def mainAppend(): Unit = {
+      val rows = freshRows(3 + rnd.nextInt(6))
+      TxLog.append(spark, dir, df(rows))
+      rows.foreach { case (k, v) => mMain(k) = v }
+    }
+    def fork(): Unit = {
+      TxLog.createBranch(spark, dir, "wip")
+      branch = Some(mMain.clone())
+      forkKeys = mMain.keySet.toSet
+    }
+    def branchOp(mBr: scala.collection.mutable.LinkedHashMap[Long, Long]): Unit =
+      TxLog.withBranch(spark, dir, "wip") {
+        rnd.nextInt(3) match {
+          case 0 =>
+            val rows = freshRows(2 + rnd.nextInt(5))
+            TxLog.append(spark, dir, df(rows))
+            rows.foreach { case (k, v) => mBr(k) = v }
+          case 1 =>
+            if (mBr.nonEmpty) {
+              val ks = mBr.keys.toSeq.sorted
+              val lo = ks(rnd.nextInt(ks.length)); val hi = lo + rnd.nextInt(8)
+              DeletionVectors.delete(spark, dir, col("k").between(lo, hi))
+              mBr.filterInPlace((k, _) => k < lo || k > hi)
+            }
+          case 2 =>
+            if (mBr.nonEmpty) {
+              val ks = mBr.keys.toSeq.sorted
+              val existing = (0 until 2).map(_ => ks(rnd.nextInt(ks.length))).distinct
+              val rows = (existing ++ freshRows(1).map(_._1))
+                .map(k => (k, rnd.nextLong(1000)))
+              DeletionVectors.upsert(spark, dir, df(rows), Seq("k"))
+              rows.foreach { case (k, v) => mBr(k) = v }
+            }
+        }
+      }
+    def close(mBr: scala.collection.mutable.LinkedHashMap[Long, Long]): Unit =
+      if (rnd.nextInt(4) == 0) { // abandon
+        TxLog.deleteBranch(spark, dir, "wip")
+        branch = None
+      } else {
+        TxLog.publishBranch(spark, dir, "wip")
+        published += 1
+        // publish = branch state ∪ main appends since the fork
+        val appended = mMain.filter { case (k, _) => !forkKeys(k) }
+        mMain.clear()
+        mBr.foreach { case (k, v) => mMain(k) = v }
+        appended.foreach { case (k, v) => mMain(k) = v }
+        branch = None
+      }
+
+    (0 until 18).foreach { i =>
+      branch match {
+        case None =>
+          rnd.nextInt(3) match {
+            case 0 => mainAppend()
+            case _ => fork()
+          }
+        case Some(mBr) =>
+          rnd.nextInt(5) match {
+            case 0 => mainAppend() // concurrent main write under an open branch
+            case 1 => close(mBr)
+            case _ => branchOp(mBr)
+          }
+      }
+      check(s"op $i")
+    }
+    // drain: publish or drop whatever is open, then vacuum — branch
+    // bookkeeping must leave main exactly at its model
+    branch.foreach(close)
+    branch.foreach(_ => ()) // close may have abandoned; re-check below
+    assert(published > 0, "seeded sequence must exercise publish")
+    TxLog.vacuum(spark, dir, retainVersions = 2, sweepOrphansOlderThanMs = 0)
+    check("post-vacuum")
+  }
+
   test("partitioned + stats-carrying table: 12 random ops, snapshot == model, log-pruned reads exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -110,6 +110,33 @@ class ChangeFeedSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerBatch drains a deep backlog as bounded microbatches") {
+    val dir = Files.createTempDirectory("cdc").toString + "/t"
+    Seq((0L, "seed")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir) // v0
+    (1 to 6).foreach(i => UpsertWhere.byKeys(spark, dir, "k",
+      Seq((i.toLong, s"v$i")).toDF("k", "v"))) // v1..v6 backlog
+    val sink = uniq("cdc_rate")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val feed = spark.table(sink)
+      // every batch spans ≤ 2 commits: the 6-version backlog needs ≥3
+      // microbatches, stamped at their range ends
+      val ends = feed.select("_commit_version").distinct()
+        .as[Int].collect().sorted.toSeq
+      assert(ends == Seq(2, 4, 6), s"expected capped ranges, got $ends")
+      // and the DRAINED feed nets to the batch diff over the whole range
+      assert(same(feed.drop("_commit_version"), TxLog.diff(spark, dir, 0, 6)))
+    } finally q.stop()
+  }
+
   test("DbLog table feeds stream per-table over the shared database cursor") {
     val db = Files.createTempDirectory("cdcdb").toString + "/db"
     DbLog.create(spark, db)
