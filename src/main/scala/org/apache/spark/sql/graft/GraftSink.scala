@@ -19,9 +19,20 @@ import org.apache.spark.sql.streaming.OutputMode
   *   .option("tableCol", "t")                // route: discriminator
   *   .option("compactEvery", "16")           // epochs between binPacks
   *   .option("materializeEvery", "8")        // merge: DV fold cadence
+  *   .option("branch", "staging")            // land epochs on a branch
   *   .option("checkpointLocation", cp)
   *   .start()
   * }}}
+  *
+  * `branch` lands every epoch on an EXISTING branch
+  * ([[graft.ops.TxLog.createBranch]]) instead of main — the streaming
+  * write-audit-publish shape: the stream stages into the branch,
+  * an audit reads it, [[graft.ops.TxLog.publishBranch]] flips main
+  * atomically. The scope must open inside `addBatch` because branch
+  * scoping is thread-local and microbatches run on the stream
+  * execution thread. Stop the stream before publishing: the publish
+  * consumes the branch (and its epoch stamps), so a stream restarted
+  * across a publish would replay its last epoch into a fresh branch.
   *
   * V1 streaming Sink (the Delta-sink pattern — same package for the
   * same `private[sql]` access) delegating each microbatch to the
@@ -120,8 +131,16 @@ final class GraftSink(parameters: Map[String, String]) extends Sink {
         s"graft sink: unknown mode '$other' (append | merge | route)")
     }
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit =
-    epochFn(GraftShim.batchDataFrame(data), batchId)
+  private val branch = parameters.get("branch")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    def run(): Unit = epochFn(GraftShim.batchDataFrame(data), batchId)
+    branch match {
+      case Some(b) =>
+        graft.ops.TxLog.withBranch(data.sparkSession, path, b)(run())
+      case None => run()
+    }
+  }
 
   override def toString: String = s"GraftSink[$mode -> $path]"
 }

@@ -183,6 +183,59 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("maintenance on a branch: binPack packs branch-staged files; publish carries the packed layout") {
+    val dir = table(Seq((0L, "seed")))
+    TxLog.createBranch(spark, dir, "tidy")
+    TxLog.withBranch(spark, dir, "tidy") {
+      (1 to 4).foreach(i => TxLog.append(spark, dir,
+        Seq((i.toLong, s"v$i")).toDF("k", "v")))
+      val before = TxLog.liveFiles(spark, dir).length
+      Compact.binPack(spark, dir, targetBytes = 64L << 20,
+        smallBytes = 64L << 20)
+      assert(TxLog.liveFiles(spark, dir).length < before)
+      assert(TxLog.snapshot(spark, dir).count() == 5)
+    }
+    assert(TxLog.snapshot(spark, dir).count() == 1) // main untouched
+    TxLog.publishBranch(spark, dir, "tidy")
+    assert(TxLog.snapshot(spark, dir).count() == 5)
+    assert(TxLog.liveFiles(spark, dir).length <= 2) // packed layout landed
+  }
+
+  test("whole-DATABASE branches compose for free: DbLog transactions on a branch, one publish") {
+    val db = Files.createTempDirectory("branchdb").toString + "/db"
+    DbLog.create(spark, db) // v0
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", (1L to 6L).map(k => (k, s"o$k")).toDF("k", "v"))
+      txn.append("audit", Seq((0L, "created")).toDF("k", "v"))
+    } // v1
+    TxLog.createBranch(spark, db, "close")
+    // a MULTI-TABLE transaction lands as ONE branch version — DbLog
+    // never special-cases branches; every accessor already resolves
+    // through the scoped log
+    TxLog.withBranch(spark, db, "close") {
+      DbLog.transact(spark, db, "close-month") { txn =>
+        txn.deleteWhereVectored("orders", col("k") <= 2)
+        txn.append("audit", Seq((1L, "closed")).toDF("k", "v"))
+      }
+      assert(DbLog.snapshot(spark, db, "orders").count() == 4)
+      assert(DbLog.snapshot(spark, db, "audit").count() == 2)
+    }
+    // main database: both tables bit-unmoved
+    assert(DbLog.snapshot(spark, db, "orders").count() == 6)
+    assert(DbLog.snapshot(spark, db, "audit").count() == 1)
+    // concurrent main transaction on a THIRD table merges cleanly
+    DbLog.transact(spark, db, "meanwhile")(
+      _.append("notes", Seq((7L, "n")).toDF("k", "v")))
+    val v = TxLog.publishBranch(spark, db, "close")
+    assert(DbLog.snapshot(spark, db, "orders").count() == 4)
+    assert(DbLog.snapshot(spark, db, "audit").count() == 2)
+    assert(DbLog.snapshot(spark, db, "notes").count() == 1)
+    // cross-table atomicity survives: the publish is ONE version; the
+    // pre-publish cut still reads the old PAIR
+    assert(DbLog.snapshot(spark, db, "orders", v - 1).count() == 6)
+    assert(DbLog.snapshot(spark, db, "audit", v - 1).count() == 1)
+  }
+
   test("write-audit-publish entirely in SQL: TVF procedures + @branch DML") {
     GraftExtensions.installInto(spark)
     val dir = table((1L to 5L).map(k => (k, s"v$k")))

@@ -133,6 +133,36 @@ class GraftSinkSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("option branch: the stream stages epochs on a branch; publish flips main atomically") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("gsink").toString + "/t"
+    Seq((0L, "base")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    TxLog.createBranch(spark, dir, "staging")
+    val src = MemoryStream[SinkRow]
+    val q = src.toDF().writeStream.format("graft")
+      .option("path", dir).option("branch", "staging")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gsink_ck").toString)
+      .start()
+    try {
+      src.addData(SinkRow(1, "a"), SinkRow(2, "b"))
+      q.processAllAvailable()
+      src.addData(SinkRow(3, "c"))
+      q.processAllAvailable()
+      // main never moved; the branch accumulated both epochs
+      assert(TxLog.currentVersion(spark, dir) == 0)
+      assert(TxLog.snapshot(spark, dir).count() == 1)
+      assert(TxLog.withBranch(spark, dir, "staging")(
+        TxLog.snapshot(spark, dir).count()) == 4)
+    } finally q.stop()
+    // audit passed → publish consumes the branch; main flips in ONE commit
+    val v = TxLog.publishBranch(spark, dir, "staging")
+    assert(v == 1)
+    assert(same(TxLog.snapshot(spark, dir),
+      Seq((0L, "base"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")))
+  }
+
   test("option validation names the missing piece") {
     val e1 = intercept[IllegalArgumentException] {
       spark.readStream.format("rate").load()
