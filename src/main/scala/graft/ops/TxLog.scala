@@ -1473,7 +1473,8 @@ object TxLog {
       retainVersions: Int,
       pruneLog: Boolean = true,
       sweepOrphansOlderThanMs: Long = -1L,
-      dvSweepAgeMs: Long = 3600L * 1000): Long = {
+      dvSweepAgeMs: Long = 3600L * 1000,
+      dryRun: Boolean = false): Long = {
     require(branchOf(dir).isEmpty, "vacuum: run from main scope")
     val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
@@ -1518,6 +1519,10 @@ object TxLog {
       if (everLogged(f)) !referenced(f)
       else statuses.getOrElse(f, Long.MaxValue) < orphanHorizon
     }
+    // dry run: the would-delete count with NOTHING touched — the
+    // answer to "what does this retention policy cost me" before
+    // committing to it
+    if (dryRun) return dead.length.toLong
     dead.foreach(f => fs.delete(new Path(dir, f), false))
     // DV sidecars: one no retained version references is dead (its
     // files were materialized, re-deleted past it, or fell behind the

@@ -147,10 +147,38 @@ object GraftTableFunctions {
       val dir = str(d, fn, 0)
       val at = TxLog.checkpoint(spark, dir)
       procReceipt(spark, "checkpoint", dir, Seq("version" -> at.toLong))
+    case ("graft_restore", Seq(d, v))
+        if v.foldable && v.dataType ==
+          org.apache.spark.sql.types.StringType =>
+      // restore by TAG name — roll back to the audited release
+      val dir = str(d, fn, 0)
+      val name = str(v, fn, 1)
+      val tagged = TxLog.tags(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"graft_restore: no tag '$name'"))
+      val nv = TxLog.restore(spark, dir, tagged)
+      procReceipt(spark, "restore", dir, Seq("version" -> nv.toLong))
     case ("graft_restore", Seq(d, v)) =>
       val dir = str(d, fn, 0)
       val nv = TxLog.restore(spark, dir, int(v, fn, 1))
       procReceipt(spark, "restore", dir, Seq("version" -> nv.toLong))
+    case ("graft_vacuum_dry_run", Seq(d, r)) =>
+      val dir = str(d, fn, 0)
+      val would = TxLog.vacuum(spark, dir, int(r, fn, 1), dryRun = true)
+      procReceipt(spark, "vacuum-dry-run", dir, Seq(
+        "files_reclaimed" -> would,
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_export_manifest", Seq(d)) =>
+      val dir = str(d, fn, 0)
+      val n = graft.ops.SnapshotExport.symlinkManifest(spark, dir)
+      procReceipt(spark, "export-manifest", dir, Seq(
+        "files_listed" -> n,
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_export_manifest", Seq(d, v)) =>
+      val dir = str(d, fn, 0)
+      val n = graft.ops.SnapshotExport.symlinkManifest(spark, dir,
+        int(v, fn, 1))
+      procReceipt(spark, "export-manifest", dir, Seq(
+        "files_listed" -> n, "version" -> int(v, fn, 1).toLong))
     case ("graft_tag", Seq(d, n)) =>
       val dir = str(d, fn, 0)
       val v = TxLog.setTag(spark, dir, str(n, fn, 1))
@@ -293,7 +321,11 @@ object GraftTableFunctions {
       ("graft_vacuum",
         "graft_vacuum(dir, retain_versions) - PROCEDURE: reclaim unreferenced files (tag-aware)"),
       ("graft_checkpoint", "graft_checkpoint(dir) - PROCEDURE: write a log checkpoint"),
-      ("graft_restore", "graft_restore(dir, version) - PROCEDURE: roll the table back"),
+      ("graft_restore", "graft_restore(dir, version|tag) - PROCEDURE: roll the table back"),
+      ("graft_vacuum_dry_run",
+        "graft_vacuum_dry_run(dir, retain_versions) - PROCEDURE: what vacuum WOULD reclaim, nothing touched"),
+      ("graft_export_manifest",
+        "graft_export_manifest(dir[, version]) - PROCEDURE: symlink-format manifest for external engines"),
       ("graft_tag",
         "graft_tag(dir, name[, version]) - PROCEDURE: pin a named tag (read via graft_snapshot(dir, name))"),
       ("graft_branch",
