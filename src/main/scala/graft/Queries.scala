@@ -2694,6 +2694,44 @@ object Queries {
       .unionByName(byUser.withColumn("probe", lit("user")))
   }
 
+  /** Partition-spec EVOLUTION ([[graft.ops.PartitionTransforms
+    * .evolve]]): era 1 lands half the events under days(ts), the spec
+    * evolves to months(ts) — METADATA-ONLY, require()d: every era-1
+    * file stays live untouched — and era 2 appends under the new
+    * layout. The range scan prunes each era by its own transform
+    * (days bracket vs month bracket), reads the eras under their own
+    * hive layouts, and unions. Hash-green = the mixed-era read equals
+    * DuckDB's direct filter of the source.
+    *
+    * Scale shape: Iceberg's spec-evolution economics — re-laying a
+    * 100 TB table costs one metadata file, not a rewrite; old data
+    * keeps its pruning, new data gets the better layout.
+    */
+  def qPartitionEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PartitionTransforms
+    val ev = t(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val path = s"$indexQueryDir/partition_evolve"
+    val half1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    PartitionTransforms.write(s, half1, path, Seq(
+      PartitionTransforms.Days("ts")))
+    val filesEra1 = graft.ops.TxLog.liveFiles(s, path).toSet
+    PartitionTransforms.evolve(s, path, Seq(
+      PartitionTransforms.Months("ts")))
+    PartitionTransforms.append(s, half2, path)
+    val all = graft.ops.TxLog.liveFiles(s, path)
+    require(filesEra1.subsetOf(all.toSet),
+      "evolution must be metadata-only: no era-1 file rewritten")
+    require(all.exists(_.startsWith("p_months_ts=")),
+      "era-2 files must land under the evolved layout")
+    val got = PartitionTransforms.scanRange(s, path, "ts",
+      "2024-01-10 00:00:00", "2024-01-12 23:59:59")
+    require(got.inputFiles.length < all.size,
+      s"mixed-era prune opened ${got.inputFiles.length} of ${all.size}")
+    got
+  }
+
   /** Incremental MV over a LOGGED table ([[graft.ops.MvStore]]
     * consuming [[graft.ops.TxLog.diff]] via `asChangeFeed`): seed a
     * per-status (count, sum) view from v0's snapshot, then advance it

@@ -168,6 +168,7 @@ object SparkEntry {
     "q_dv_materialize" -> (Queries.qDvMaterialize _),
     "q_dv_diff" -> (Queries.qDvDiff _),
     "q_hidden_partition" -> (Queries.qHiddenPartition _),
+    "q_partition_evolve" -> (Queries.qPartitionEvolve _),
     "q_dv_upsert" -> (Queries.qDvUpsert _),
     "q_dv_stream" -> (Queries.qDvStream _),
     "q_dv_evolve" -> (Queries.qDvEvolve _),
@@ -2212,6 +2213,15 @@ object Oracles {
          UNION ALL
          SELECT event_id, ts, user_id, event_type, value, 'user' AS probe
          FROM events WHERE user_id IN (1, 2)""",
+
+    // partition-spec evolution: half the data under days(ts), half
+    // under months(ts) after a metadata-only evolve — the mixed-era
+    // pruned range read must equal the direct filter
+    "q_partition_evolve" ->
+      """SELECT event_id, ts, user_id, event_type, value
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                      AND TIMESTAMP '2024-01-12 23:59:59'""",
 
     // incremental MV over the logged lifecycle: two signed refreshes
     // must land on the direct aggregate of the v2 state

@@ -140,6 +140,11 @@ object PartitionTransforms {
       }
   }
 
+  /** Public parse of the serialized form (`days:ts`, `bucket:8:id`) —
+    * the SQL procedure's argument format.
+    */
+  def parseTransform(s: String): Transform = parse(s)
+
   private def parse(s: String): Transform = s.split(':') match {
     case Array("days", c) => Days(c)
     case Array("months", c) => Months(c)
@@ -227,6 +232,80 @@ object PartitionTransforms {
     lines.filter(_.nonEmpty).map(parse)
   }
 
+  private val SpecHistoryName = "partitioning.history.txt"
+
+  /** Partition-spec EVOLUTION (Iceberg's flagship metadata-only
+    * economics): switch the table to `transforms` for all FUTURE
+    * batches — existing files keep their layout untouched, scans
+    * prune each era by its own transform, nothing rewrites. The old
+    * spec moves to a history file the pruner consults alongside the
+    * current one.
+    *
+    * Bound, stated honestly: an evolution whose new partition-column
+    * NAME collides with a historical one under a DIFFERENT transform
+    * (`bucket(8, c)` → `bucket(16, c)` — both derive `p_bucket_c`)
+    * refuses, because entry names alone cannot tell which era wrote a
+    * file; changing a transform's parameters needs a rewrite through
+    * [[write]]. Changing the transform KIND (days → months,
+    * days → bucket) is the common evolution and is metadata-only.
+    */
+  def evolve(
+      spark: SparkSession,
+      dir: String,
+      transforms: Seq[Transform]): Unit = {
+    require(transforms.nonEmpty, "at least one transform")
+    require(transforms.map(_.partCol).distinct.size == transforms.size,
+      "duplicate transform target")
+    val prior = allSpecs(spark, dir)
+    val newBySer = transforms.map(_.serialized).toSet
+    val clash = prior.filter(t =>
+      transforms.exists(n => n.partCol == t.partCol) &&
+        !newBySer.contains(t.serialized))
+    require(clash.isEmpty,
+      s"evolve: ${clash.map(_.serialized).mkString(", ")} already derived " +
+        s"partition column(s) ${clash.map(_.partCol).mkString(", ")} under a " +
+        "different transform — entry names cannot tell the eras apart; " +
+        "rewrite via PartitionTransforms.write to change parameters")
+    val fs = Compact.fsOf(spark, dir)
+    val hist = (prior.map(_.serialized) ++ spec(spark, dir).map(_.serialized))
+      .distinct
+    val hout = fs.create(new Path(new Path(dir, "_txlog"), SpecHistoryName), true)
+    try hout.write(hist.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally hout.close()
+    val out = fs.create(new Path(new Path(dir, "_txlog"), SpecName), true)
+    try out.write(transforms.map(_.serialized).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Every transform any era declared (current spec last), deduped —
+    * what the pruner and the column-drop consult.
+    */
+  def allSpecs(spark: SparkSession, dir: String): Seq[Transform] = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = new Path(new Path(dir, "_txlog"), SpecHistoryName)
+    val hist =
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.filter(_.nonEmpty).map(parse)
+      }
+    (hist ++ spec(spark, dir))
+      .groupBy(_.serialized).map(_._2.head).toSeq.sortBy(_.serialized)
+  }
+
+  /** An entry's layout signature: the partition-column names its path
+    * encodes — which era wrote it. Mixed-era tables must scan era by
+    * era: Spark's partition inference refuses one read over
+    * conflicting hive layouts.
+    */
+  private def sigOf(name: String): Set[String] =
+    name.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSet
+
   private def derived(df: DataFrame, ts: Seq[Transform]): DataFrame =
     ts.foldLeft(df)((d, t) => d.withColumn(t.partCol, t.expr(d)))
 
@@ -243,11 +322,31 @@ object PartitionTransforms {
   }
 
   /** The table WITHOUT its materialized partition columns — what a
-    * reader who never heard of the layout sees.
+    * reader who never heard of the layout sees. Era-aware: a table
+    * that evolved its spec scans each era's files under that era's
+    * layout and unions (the data schema is identical once the derived
+    * columns drop).
     */
-  def scan(spark: SparkSession, dir: String): DataFrame = {
-    val ts = spec(spark, dir)
-    TxLog.snapshot(spark, dir).drop(ts.map(_.partCol): _*)
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    eraScans(spark, dir, TxLog.liveEntries(spark, dir))
+      .reduce(_.unionByName(_))
+
+  /** One dropped-partition-column DataFrame per layout era, in a
+    * deterministic order. Single-era tables (the common case) return
+    * exactly the one scan the pre-evolution code built — no union in
+    * the plan.
+    */
+  private def eraScans(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[graft.ops.TxLog.AddEntry]): Seq[DataFrame] = {
+    require(entries.nonEmpty, s"$dir holds no files")
+    val dropCols = allSpecs(spark, dir).map(_.partCol).distinct
+    entries.groupBy(e => sigOf(e.name)).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (_, es) =>
+        TxLog.readEntries(spark, dir, es).drop(dropCols: _*)
+      }
   }
 
   /** Scan with `column` = any of `values`: the matching partitions
@@ -280,14 +379,21 @@ object PartitionTransforms {
       column: String,
       lo: Any,
       hi: Any): DataFrame = {
+    val over = allSpecs(spark, dir).filter(_.column == column)
+    require(over.isEmpty || over.exists(_.orderPreserving),
+      s"${over.map(_.serialized).mkString(", ")} cannot prune a range " +
+        "predicate — use scanEquals or scan+filter")
     val residual = (d: DataFrame) =>
       d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     prune(spark, dir, column, residual) { (t, dt) =>
-      require(t.orderPreserving,
-        s"${t.serialized} cannot prune a range predicate — " +
-          "use scanEquals or scan+filter")
-      val Seq(plo, phi) = partitionValues(spark, t, Seq(lo, hi), dt)
-      pv => t.lte(plo, pv) && t.lte(pv, phi)
+      // a non-order-preserving ERA (a historical bucket spec the
+      // table evolved away from) can't range-prune: its files pass
+      // unpruned, the residual keeps them correct
+      if (!t.orderPreserving) _ => true
+      else {
+        val Seq(plo, phi) = partitionValues(spark, t, Seq(lo, hi), dt)
+        pv => t.lte(plo, pv) && t.lte(pv, phi)
+      }
     }
   }
 
@@ -299,16 +405,16 @@ object PartitionTransforms {
       dir: String,
       column: String,
       values: Seq[Any]): (Int, Int) = {
-    val ts = spec(spark, dir)
+    val ts = allSpecs(spark, dir).filter(_.column == column)
     val entries = TxLog.liveEntries(spark, dir)
-    ts.find(_.column == column) match {
-      case None => (entries.size, entries.size)
-      case Some(t) =>
-        val dt = TxLog.readEntries(spark, dir, entries)
-          .schema(column).dataType
-        val admit = partitionValues(spark, t, values, dt).toSet
-        (entries.count(e => admitsEntry(t, e.name, admit)), entries.size)
+    if (ts.isEmpty) return (entries.size, entries.size)
+    val dt = TxLog.readEntries(spark, dir, Seq(entries.head))
+      .schema(column).dataType
+    val kept = ts.foldLeft(entries) { (acc, t) =>
+      val admit = partitionValues(spark, t, values, dt).toSet
+      acc.filter(e => admitsEntry(t, e.name, admit))
     }
+    (kept.size, entries.size)
   }
 
   private def admitsEntry(
@@ -328,20 +434,25 @@ object PartitionTransforms {
       column: String,
       residual: DataFrame => DataFrame)(
       admitOf: (Transform, DataType) => String => Boolean): DataFrame = {
-    val ts = spec(spark, dir)
+    val ts = allSpecs(spark, dir).filter(_.column == column)
     val entries = TxLog.liveEntries(spark, dir)
     require(entries.nonEmpty, s"$dir holds no files")
-    def dropPart(d: DataFrame) = d.drop(ts.map(_.partCol): _*)
-    lazy val full = TxLog.readEntries(spark, dir, entries)
-    ts.find(_.column == column) match {
-      case None =>
-        residual(dropPart(full))
-      case Some(t) =>
-        val admit = admitOf(t, full.schema(column).dataType)
-        val kept = entries.filter(e => admitsEntry(t, e.name, admit))
-        if (kept.isEmpty)
-          residual(dropPart(full).limit(0))
-        else residual(dropPart(TxLog.readEntries(spark, dir, kept)))
+    val dropCols = allSpecs(spark, dir).map(_.partCol).distinct
+    def dropPart(d: DataFrame) = d.drop(dropCols: _*)
+    if (ts.isEmpty)
+      return residual(eraScans(spark, dir, entries).reduce(_.unionByName(_)))
+    // each entry prunes under ITS OWN era's transform: a check against
+    // another era's transform passes trivially (the prefix is absent
+    // from the name), so the fold composes across evolutions
+    val dt = TxLog.readEntries(spark, dir, Seq(entries.head))
+      .schema(column).dataType
+    val kept = ts.foldLeft(entries) { (acc, t) =>
+      val admit = admitOf(t, dt)
+      acc.filter(e => admitsEntry(t, e.name, admit))
     }
+    if (kept.isEmpty)
+      residual(dropPart(
+        TxLog.readEntries(spark, dir, Seq(entries.head))).limit(0))
+    else residual(eraScans(spark, dir, kept).reduce(_.unionByName(_)))
   }
 }

@@ -167,6 +167,13 @@ object GraftTableFunctions {
       procReceipt(spark, "vacuum-dry-run", dir, Seq(
         "files_reclaimed" -> would,
         "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_evolve_partitioning", Seq(d, s)) =>
+      val dir = str(d, fn, 0)
+      graft.ops.PartitionTransforms.evolve(spark, dir,
+        str(s, fn, 1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(graft.ops.PartitionTransforms.parseTransform).toSeq)
+      procReceipt(spark, "evolve-partitioning", dir, Seq(
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
     case ("graft_export_manifest", Seq(d)) =>
       val dir = str(d, fn, 0)
       val n = graft.ops.SnapshotExport.symlinkManifest(spark, dir)
@@ -326,6 +333,8 @@ object GraftTableFunctions {
         "graft_vacuum_dry_run(dir, retain_versions) - PROCEDURE: what vacuum WOULD reclaim, nothing touched"),
       ("graft_export_manifest",
         "graft_export_manifest(dir[, version]) - PROCEDURE: symlink-format manifest for external engines"),
+      ("graft_evolve_partitioning",
+        "graft_evolve_partitioning(dir, 'months:ts,...') - PROCEDURE: metadata-only partition-spec evolution"),
       ("graft_tag",
         "graft_tag(dir, name[, version]) - PROCEDURE: pin a named tag (read via graft_snapshot(dir, name))"),
       ("graft_branch",

@@ -109,6 +109,46 @@ class PartitionTransformsSpec extends SparkSpec {
     }
   }
 
+  test("partition-spec evolution: old files keep their layout, each era prunes by its own transform") {
+    // split events in two halves; era 1 = days(ts), era 2 = months(ts)
+    val half1 = events.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = events.filter(pmod(col("event_id"), lit(2)) === 1)
+    val dir = fresh(Seq(Days("ts")), half1)
+    val filesEra1 = TxLog.liveFiles(spark, dir).toSet
+    PartitionTransforms.evolve(spark, dir, Seq(Months("ts")))
+    PartitionTransforms.append(spark, half2, dir)
+    // no rewrite: every era-1 file still live, new files months-laid
+    assert(filesEra1.subsetOf(TxLog.liveFiles(spark, dir).toSet))
+    assert(TxLog.liveFiles(spark, dir).exists(_.startsWith("p_months_ts=")))
+    // full scan reassembles both eras exactly
+    assert(same(PartitionTransforms.scan(spark, dir), events))
+    // a range scan prunes BOTH eras and equals the exact filter
+    val lo = events.agg(min("ts")).head().getTimestamp(0)
+    val hi = new java.sql.Timestamp(lo.getTime + 2L * 86400 * 1000)
+    val got = PartitionTransforms.scanRange(spark, dir, "ts", lo, hi)
+    assert(same(got, events.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))))
+    val (kept, total) = PartitionTransforms.pruneCountEquals(
+      spark, dir, "ts", Seq(lo))
+    assert(kept < total, s"evolution must still prune ($kept/$total)")
+    // colliding parameter change refuses with the rewrite pointer
+    val bdir = fresh(Seq(Bucket(4, "user_id")))
+    val e = intercept[IllegalArgumentException] {
+      PartitionTransforms.evolve(spark, bdir, Seq(Bucket(8, "user_id")))
+    }
+    assert(e.getMessage.contains("rewrite"))
+    // evolving bucket -> days keeps ranges refusing only while no
+    // order-preserving era exists, then prunes the days era
+    // (via the SQL procedure — same entry point a warehouse user has)
+    graft.GraftExtensions.installInto(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_evolve_partitioning('$bdir', 'days:ts')").head()
+    assert(r.getString(0) == "evolve-partitioning")
+    PartitionTransforms.append(spark, half2, bdir)
+    val rgot = PartitionTransforms.scanRange(spark, bdir, "ts", lo, hi)
+    assert(same(rgot, events.unionByName(half2)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))))
+  }
+
   test("deletion vectors compose with hidden-partition pruning") {
     val dir = fresh(Seq(Bucket(4, "user_id")))
     val key = events.select("user_id").head().getLong(0)
