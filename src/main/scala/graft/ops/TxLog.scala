@@ -418,6 +418,32 @@ object TxLog {
     * Returns the published main version; the branch is deleted
     * afterwards (`keepBranch` to retain it).
     */
+  /** What [[publishBranch]] WOULD commit, nothing touched: (entries
+    * added, base entries replaced/removed, conflicted names — base
+    * entries a concurrent main commit already changed; non-empty
+    * means the publish will throw). The pre-publish audit probe;
+    * metadata-only, two log folds.
+    */
+  def publishPreview(
+      spark: SparkSession, dir: String,
+      name: String): (Int, Int, Seq[String]) = {
+    require(branchOf(dir).isEmpty, "publishPreview: run from main scope")
+    val base = branchBase(spark, dir, name)
+    val branchLive = withBranch(spark, dir, name)(liveEntries(spark, dir))
+    val baseLive = liveEntries(spark, dir, base)
+    val basePairs = baseLive.map(e => (e.name, e.dv)).toSet
+    val branchPairs = branchLive.map(e => (e.name, e.dv)).toSet
+    val adds = branchLive.count(e => !basePairs((e.name, e.dv)))
+    val changedBase = baseLive.filterNot(e => branchPairs((e.name, e.dv)))
+    val live = liveEntries(spark, dir)
+    val liveNames = live.map(_.name).toSet
+    val liveDv = live.map(e => e.name -> e.dv).toMap
+    val conflicted = (changedBase.map(_.name).filterNot(liveNames) ++
+      changedBase.filter(s => liveDv.get(s.name).exists(_ != s.dv))
+        .map(_.name)).distinct.sorted
+    (adds, changedBase.size, conflicted)
+  }
+
   def publishBranch(
       spark: SparkSession, dir: String, name: String,
       keepBranch: Boolean = false): Int = {

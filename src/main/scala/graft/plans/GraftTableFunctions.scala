@@ -109,7 +109,16 @@ object GraftTableFunctions {
     case ("graft_history", Seq(d)) =>
       TxLog.history(spark, str(d, fn, 0))
     case ("graft_diff", Seq(d, a, b)) =>
-      TxLog.diff(spark, str(d, fn, 0), int(a, fn, 1), int(b, fn, 2))
+      // version numbers or tag names, mixed freely: the audit diff
+      // between two releases is graft_diff(dir, 'v1.0', 'v1.1')
+      val dir = str(d, fn, 0)
+      def ver(e: Expression, pos: Int): Int =
+        if (e.dataType == org.apache.spark.sql.types.StringType) {
+          val name = str(e, fn, pos)
+          TxLog.tags(spark, dir).getOrElse(name,
+            throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
+        } else int(e, fn, pos)
+      TxLog.diff(spark, dir, ver(a, 1), ver(b, 2))
     case ("graft_scan", Seq(d, c, lo, hi)) =>
       TxLog.snapshotPruned(spark, str(d, fn, 0), str(c, fn, 1),
         dbl(lo, fn, 2), dbl(hi, fn, 3))
@@ -221,6 +230,13 @@ object GraftTableFunctions {
       val dir = str(d, fn, 0)
       val base = TxLog.createBranch(spark, dir, str(n, fn, 1), int(v, fn, 2))
       procReceipt(spark, "create-branch", dir, Seq("version" -> base.toLong))
+    case ("graft_publish_preview", Seq(d, n)) =>
+      val dir = str(d, fn, 0)
+      val (adds, removes, conflicted) =
+        TxLog.publishPreview(spark, dir, str(n, fn, 1))
+      procReceipt(spark, "publish-preview", dir, Seq(
+        "n_adds" -> adds.toLong, "n_removes" -> removes.toLong,
+        "n_conflicts" -> conflicted.size.toLong))
     case ("graft_publish_branch", Seq(d, n)) =>
       val dir = str(d, fn, 0)
       val v = TxLog.publishBranch(spark, dir, str(n, fn, 1))
@@ -344,6 +360,8 @@ object GraftTableFunctions {
         "graft_create_branch(dir, name[, version]) - PROCEDURE: fork a branch"),
       ("graft_publish_branch",
         "graft_publish_branch(dir, name) - PROCEDURE: merge the branch into main atomically"),
+      ("graft_publish_preview",
+        "graft_publish_preview(dir, name) - what publish WOULD commit + conflict count, nothing touched"),
       ("graft_drop_branch",
         "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"))
       .map { case (n, u) =>

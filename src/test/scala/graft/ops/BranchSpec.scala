@@ -255,6 +255,12 @@ class BranchSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft_branches('$dir')")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
       Seq(("wap", 0)))
+    // preview says what publish WILL do, touches nothing
+    val pv = spark.sql(s"SELECT * FROM graft_publish_preview('$dir', 'wap')")
+      .head()
+    assert(pv.getLong(2) > 0 && pv.getLong(4) == 0,
+      s"expected adds and zero conflicts: $pv") // n_adds, n_conflicts
+    assert(TxLog.currentVersion(spark, dir) == 0)
     // audit passed → publish; main flips atomically
     spark.sql(s"SELECT * FROM graft_publish_branch('$dir', 'wap')").collect()
     assert(spark.sql(s"SELECT count(*) c FROM graft_snapshot('$dir')")
@@ -268,5 +274,12 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"SELECT * FROM graft_create_branch('$dir', 'junk')").collect()
     spark.sql(s"SELECT * FROM graft_drop_branch('$dir', 'junk')").collect()
     assert(TxLog.branches(spark, dir).isEmpty)
+    // diff between TAGS: the audit diff between two named releases
+    TxLog.setTag(spark, dir, "before", 0)
+    TxLog.setTag(spark, dir, "after", TxLog.currentVersion(spark, dir))
+    val byTag = spark.sql(
+      s"SELECT * FROM graft_diff('$dir', 'before', 'after')")
+    val byVer = TxLog.diff(spark, dir, 0, TxLog.currentVersion(spark, dir))
+    assert(byTag.exceptAll(byVer).isEmpty && byVer.exceptAll(byTag).isEmpty)
   }
 }
