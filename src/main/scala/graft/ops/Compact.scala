@@ -288,7 +288,17 @@ object Compact {
         TxLog.liveEntries(spark, dir).filter(e => o(e.name))
       } else Nil
     val fs = fsOf(spark, dir)
-    val stagePath = new Path(dir, StageName)
+    // log-managed: a PRIVATE stage dir per writer, so concurrent
+    // writers to one table stage side by side and serialize only at
+    // the commit claim (a shared dir would let one writer delete the
+    // other's in-flight stage). The log IS the recovery — an orphaned
+    // stage from a crashed writer is invisible (dot-prefixed, never
+    // referenced) and vacuum's age-gated sweep reclaims it. The
+    // unmanaged marker mode keeps the FIXED name recover() replays.
+    val stagePath =
+      if (TxLog.exists(spark, dir))
+        new Path(dir, s"$StageName-${java.util.UUID.randomUUID}")
+      else new Path(dir, StageName)
     fs.delete(stagePath, true)
     writeStage(stagePath.toString)
     val newNames = fs.listStatus(stagePath).toSeq
@@ -352,8 +362,9 @@ object Compact {
       TxLog.liveEntries(spark, dir).filter(e => o(e.name))
     }
     val fs = fsOf(spark, dir)
-    val stagePath = new Path(dir, StageName)
-    fs.delete(stagePath, true)
+    // always log-managed here: private per-writer stage (see
+    // stageRewrite — concurrent writers must not clobber each other)
+    val stagePath = new Path(dir, s"$StageName-${java.util.UUID.randomUUID}")
     writeStage(stagePath.toString)
     val newNames = dataFilesRecursive(fs, stagePath.toString).sorted
     newNames.foreach { n =>
@@ -376,6 +387,24 @@ object Compact {
     * the compaction never committed — discard the stage, the table
     * was never touched.
     */
+  /** Reclaim crashed writers' private stage dirs
+    * (`.compact_stage-<uuid>`): never referenced by any version, so
+    * only an age gate is needed to keep an in-flight writer's
+    * minutes-old stage safe. Called from [[TxLog.vacuum]].
+    */
+  private[ops] def sweepStaleStages(
+      spark: SparkSession, dir: String, ageMs: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - ageMs
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(StageName + "-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val marker = new Path(dir, MarkerName)

@@ -1550,6 +1550,8 @@ object TxLog {
     // committing to it
     if (dryRun) return dead.length.toLong
     dead.foreach(f => fs.delete(new Path(dir, f), false))
+    // crashed writers' private stage dirs — never referenced, age-gated
+    Compact.sweepStaleStages(spark, dir, ageMs = 3600L * 1000)
     // DV sidecars: one no retained version references is dead (its
     // files were materialized, re-deleted past it, or fell behind the
     // horizon). Age-gated like the claim temps so an in-flight DV

@@ -97,8 +97,31 @@ object GraftDml {
           case None => run()
         }
       case p if GraftDdl.targetOf(p).isDefined =>
-        spark.createDataFrame(
-          java.util.Arrays.asList(dispatch(spark, p): _*), receiptSchema)
+        // @branch composes with ALTER only: schema evolution belongs
+        // on a branch (the pin is branch-scoped and publish moves it);
+        // CREATE/DROP/TRUNCATE are table-level acts with no branch
+        // meaning
+        val rawPath = GraftDdl.targetOf(p).get
+        val (path, branch) = splitBranch(spark, rawPath)
+        branch.foreach { _ =>
+          require(p.isInstanceOf[AddColumns] || p.isInstanceOf[DropColumns] ||
+              p.isInstanceOf[RenameColumn],
+            "@branch targets support ALTER TABLE ... COLUMNS only — " +
+              "CREATE/DROP/TRUNCATE act on the table, not a branch")
+        }
+        val p2 =
+          if (branch.isEmpty) p
+          else p.transformUp {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+                if u.multipartIdentifier == Seq("parquet", rawPath) =>
+              u.copy(multipartIdentifier = Seq("parquet", path))
+          }
+        def runDdl() = spark.createDataFrame(
+          java.util.Arrays.asList(dispatch(spark, p2): _*), receiptSchema)
+        branch match {
+          case Some(b) => TxLog.withBranch(spark, path, b)(runDdl())
+          case None => runDdl()
+        }
       case _ => spark.sql(sqlText)
     }
 

@@ -212,6 +212,16 @@ object GraftTableFunctions {
         // version files happens at planning, so the returned frame
         // stays correct after the scope closes
         TxLog.snapshot(spark, dir))
+    case ("graft_tags", Seq(d)) =>
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val dir = str(d, fn, 0)
+      val rows = TxLog.tags(spark, dir).toSeq.sortBy(_._1)
+        .map { case (n, v) => org.apache.spark.sql.Row(n, v) }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(StructField("tag", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false))))
     case ("graft_branches", Seq(d)) =>
       import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
       val dir = str(d, fn, 0)
@@ -356,6 +366,7 @@ object GraftTableFunctions {
       ("graft_branch",
         "graft_branch(dir, name) - snapshot of branch `name` (the audit read)"),
       ("graft_branches", "graft_branches(dir) - open branches and their base versions"),
+      ("graft_tags", "graft_tags(dir) - named tags and their pinned versions"),
       ("graft_create_branch",
         "graft_create_branch(dir, name[, version]) - PROCEDURE: fork a branch"),
       ("graft_publish_branch",

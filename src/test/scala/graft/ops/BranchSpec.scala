@@ -281,5 +281,56 @@ class BranchSpec extends SparkSpec {
       s"SELECT * FROM graft_diff('$dir', 'before', 'after')")
     val byVer = TxLog.diff(spark, dir, 0, TxLog.currentVersion(spark, dir))
     assert(byTag.exceptAll(byVer).isEmpty && byVer.exceptAll(byTag).isEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_tags('$dir')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      TxLog.tags(spark, dir).toSet)
+  }
+
+  test("@branch ALTER: schema evolves on the branch only; CREATE on a branch refuses") {
+    val dir = table(Seq((1L, "a")))
+    TxLog.createBranch(spark, dir, "widen")
+    def q(s: String) = graft.plans.GraftDml.sql(spark, s)
+    val r = q(s"ALTER TABLE parquet.`$dir@widen` ADD COLUMNS (score DOUBLE)")
+    assert(r.select("op").head().getString(0) == "add-columns")
+    // main pin untouched; branch pin widened
+    assert(TxLog.tableSchema(spark, dir).forall(
+      !_.fieldNames.contains("score")))
+    val br = TxLog.withBranch(spark, dir, "widen")(
+      TxLog.snapshot(spark, dir))
+    assert(br.columns.contains("score"))
+    TxLog.publishBranch(spark, dir, "widen")
+    assert(TxLog.snapshot(spark, dir).columns.contains("score"))
+    // table-level DDL has no branch meaning
+    TxLog.createBranch(spark, dir, "no")
+    val e = intercept[IllegalArgumentException] {
+      q(s"DROP TABLE parquet.`$dir@no`")
+    }
+    assert(e.getMessage.contains("ALTER"))
+    TxLog.deleteBranch(spark, dir, "no")
+  }
+
+  test("concurrent writers on one branch serialize through the same commit claim") {
+    val dir = table(Seq((0L, "seed")))
+    TxLog.createBranch(spark, dir, "busy")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxLog.withBranch(spark, dir, "busy") {
+            TxLog.append(spark, dir,
+              Seq((i.toLong, s"w$i")).toDF("k", "v"))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // all four appends landed as distinct branch versions
+    val cnt = TxLog.withBranch(spark, dir, "busy") {
+      assert(TxLog.currentVersion(spark, dir) == 4)
+      TxLog.snapshot(spark, dir).count()
+    }
+    assert(cnt == 5)
+    TxLog.publishBranch(spark, dir, "busy")
+    assert(TxLog.snapshot(spark, dir).count() == 5)
   }
 }
