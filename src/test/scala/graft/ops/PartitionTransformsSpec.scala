@@ -149,6 +149,35 @@ class PartitionTransformsSpec extends SparkSpec {
       .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))))
   }
 
+  test("evolution composes with deletion vectors and with branches") {
+    // DV on an era-1 file, evolve, append era 2: the mixed-era pruned
+    // read must still hide the vectored rows (eraScans reads through
+    // the shared DV-applying reader)
+    val half1 = events.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = events.filter(pmod(col("event_id"), lit(2)) === 1)
+    val dir = fresh(Seq(Days("ts")), half1)
+    val victim = half1.select("event_id").head().getLong(0)
+    DeletionVectors.delete(spark, dir, col("event_id") === victim)
+    PartitionTransforms.evolve(spark, dir, Seq(Months("ts")))
+    PartitionTransforms.append(spark, half2, dir)
+    val want = events.filter(col("event_id") =!= victim)
+    assert(same(PartitionTransforms.scan(spark, dir), want))
+
+    // hidden-partition append on a BRANCH: invisible to main, the
+    // branch's pruned read sees it, publish lands it
+    TxLog.createBranch(spark, dir, "wip")
+    val extra = half2.limit(50).withColumn("event_id",
+      col("event_id") + 10000000L)
+    TxLog.withBranch(spark, dir, "wip") {
+      PartitionTransforms.append(spark, extra, dir)
+      assert(PartitionTransforms.scan(spark, dir).count() ==
+        want.count() + 50)
+    }
+    assert(PartitionTransforms.scan(spark, dir).count() == want.count())
+    TxLog.publishBranch(spark, dir, "wip")
+    assert(PartitionTransforms.scan(spark, dir).count() == want.count() + 50)
+  }
+
   test("deletion vectors compose with hidden-partition pruning") {
     val dir = fresh(Seq(Bucket(4, "user_id")))
     val key = events.select("user_id").head().getLong(0)
