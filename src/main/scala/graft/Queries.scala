@@ -2732,6 +2732,48 @@ object Queries {
     got
   }
 
+  /** Snapshot export for engines that don't speak the log
+    * ([[graft.ops.SnapshotExport]]): convert orders, mutate it
+    * (delete + MOR upsert), MATERIALIZE (a manifest lists raw files —
+    * DV-carrying entries refuse, require()d), export, then read the
+    * table THE WAY AN EXTERNAL ENGINE WOULD — `spark.read.parquet`
+    * over the manifest's listed URIs, no log involvement. A commit
+    * AFTER the export must not leak into the manifest read (the
+    * listed files are immutable). Hash-green = the external-style
+    * read equals DuckDB replaying the same algebra.
+    */
+  def qExportManifest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/export_manifest"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    // upsert BEFORE delete: o_orderkey 0 divides both 991 and 997 —
+    // delete-first would re-insert it via the merge's NOT MATCHED arm
+    graft.ops.DeletionVectors.upsert(s, path,
+      o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey")) // v1: MOR
+    graft.ops.DeletionVectors.delete(s, path,
+      pmod(col("o_orderkey"), lit(997)) === 0) // v2: vectored
+    val refused = scala.util.Try(
+      graft.ops.SnapshotExport.symlinkManifest(s, path))
+    require(refused.isFailure,
+      "a DV-carrying snapshot must refuse to export")
+    graft.ops.DeletionVectors.materialize(s, path) // fold vectors
+    val n = graft.ops.SnapshotExport.symlinkManifest(s, path)
+    require(n > 0, "export must list files")
+    // a LATER commit must not reach manifest readers
+    graft.ops.TxLog.append(s, path,
+      o.limit(5).withColumn("o_orderkey", col("o_orderkey") + 90000000L))
+    val listed = graft.ops.SnapshotExport.manifestFiles(s, path)
+    s.read.parquet(listed: _*)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   /** Incremental MV over a LOGGED table ([[graft.ops.MvStore]]
     * consuming [[graft.ops.TxLog.diff]] via `asChangeFeed`): seed a
     * per-status (count, sum) view from v0's snapshot, then advance it

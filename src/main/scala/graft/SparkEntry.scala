@@ -169,6 +169,7 @@ object SparkEntry {
     "q_dv_diff" -> (Queries.qDvDiff _),
     "q_hidden_partition" -> (Queries.qHiddenPartition _),
     "q_partition_evolve" -> (Queries.qPartitionEvolve _),
+    "q_export_manifest" -> (Queries.qExportManifest _),
     "q_dv_upsert" -> (Queries.qDvUpsert _),
     "q_dv_stream" -> (Queries.qDvStream _),
     "q_dv_evolve" -> (Queries.qDvEvolve _),
@@ -2213,6 +2214,17 @@ object Oracles {
          UNION ALL
          SELECT event_id, ts, user_id, event_type, value, 'user' AS probe
          FROM events WHERE user_id IN (1, 2)""",
+
+    // snapshot export: after a vectored delete (997th keys) is
+    // materialized and a MOR upsert (991st keys' price doubled) is
+    // live, the EXTERNAL-style manifest read sees exactly that state
+    // — the post-export append must not leak in
+    "q_export_manifest" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 997 <> 0""",
 
     // partition-spec evolution: half the data under days(ts), half
     // under months(ts) after a metadata-only evolve — the mixed-era
