@@ -4449,4 +4449,133 @@ object Queries {
     graft.ops.TxLog.snapshot(s, dst)
       .select(col("o_orderkey"), col("o_totalprice"))
   }
+
+  /** Row-level change feed with UPDATE IMAGES ([[graft.ops.TxLog
+    * .changes]]): a MERGE commit's changed rows pair by key into
+    * update_preimage/update_postimage (one-sided keys stay
+    * insert/delete), a later DELETE commit contributes pure deletes,
+    * and every row carries its commit version — the Delta CDF /
+    * Debezium consumer shape [[graft.ops.TxLog.diff]]'s net multiset
+    * view cannot express. Hash-green means per-commit attribution and
+    * image pairing land exactly on DuckDB's independent replay of
+    * each commit's algebra.
+    */
+  def qCdfImages(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/cdf_images"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    graft.ops.UpsertWhere.byKeys(s, path, "o_orderkey",
+      o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") < 50)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))) // v1
+    graft.ops.DeleteWhere.byKeysDistributed(s, path, "o_orderkey",
+      graft.ops.TxLog.snapshot(s, path)
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select("o_orderkey")) // v2
+    graft.ops.TxLog.changes(s, path, 0, 2, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
+  /** ZERO-COPY SHALLOW CLONE ([[graft.ops.TxLog.cloneTo]]): the clone
+    * is one metadata commit (asserted: zero data files under the
+    * clone root), after which source and clone diverge through every
+    * write family — the clone takes a CoW range delete (localizing
+    * the touched entries), a vectored delete, a MOR upsert and an
+    * append; the source takes its own delete and append. Hash-green
+    * means both endpoints land exactly on DuckDB's independent replay
+    * of each side's algebra — shared bytes, independent states.
+    */
+  def qClone(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val src = s"$indexQueryDir/clone_src"
+    val dst = s"$indexQueryDir/clone_dst"
+    for (p <- Seq(src, dst)) {
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    }
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(src)
+    graft.ops.TxLog.convert(s, src) // src v0
+    graft.ops.TxLog.cloneTo(s, src, dst) // dst v0, zero bytes copied
+    require({
+      val p = new org.apache.hadoop.fs.Path(dst)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      !fs.listStatus(p).exists(st => st.isFile ||
+        !st.getPath.getName.startsWith("_"))
+    }, "shallow clone must copy no data files")
+    // clone-side lifecycle: CoW localize + DV + MOR merge + append
+    graft.ops.DeleteWhere.range(s, dst, "o_orderkey", 1, 2000) // dst v1
+    graft.ops.DeletionVectors.delete(s, dst,
+      pmod(col("o_custkey"), lit(7)) === 0) // dst v2
+    graft.ops.DeletionVectors.upsert(s, dst,
+      o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      keyCols = Seq("o_orderkey")) // dst v3
+    graft.ops.TxLog.append(s, dst,
+      o.filter(col("o_orderkey") < 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)) // dst v4
+    // source-side divergence AFTER the clone — invisible to the clone
+    graft.ops.DeleteWhere.range(s, src, "o_orderkey", 1, 500)
+    graft.ops.TxLog.append(s, src,
+      o.filter(col("o_orderkey") < 30)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    val cols = Seq(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+    graft.ops.TxLog.snapshot(s, dst).select(cols: _*)
+      .withColumn("side", lit("clone"))
+      .unionByName(graft.ops.TxLog.snapshot(s, src).select(cols: _*)
+        .withColumn("side", lit("source")))
+  }
+
+  /** Clone of a DV-CARRYING table: the clone inherits the source's
+    * deletion vectors (sidecars resolve under the source's `_dv/` via
+    * the entry's dvBase), a further clone-side delete MERGES the
+    * inherited positions into a LOCAL sidecar, and materialize folds
+    * everything into clone-local files — while the source diverges
+    * with its own post-clone vector. Hash-green means inherited +
+    * merged + folded vectors all land on DuckDB's direct filters.
+    */
+  def qCloneDv(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_shipdate")
+    val src = s"$indexQueryDir/clone_dv_src"
+    val dst = s"$indexQueryDir/clone_dv_dst"
+    for (p <- Seq(src, dst)) {
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    }
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(src)
+    graft.ops.TxLog.convert(s, src) // src v0
+    graft.ops.DeletionVectors.delete(s, src,
+      pmod(col("l_partkey"), lit(7)) === 0) // src v1: vectors pre-clone
+    graft.ops.TxLog.cloneTo(s, src, dst)
+    // the clone-side delete merges the INHERITED vector's positions
+    graft.ops.DeletionVectors.delete(s, dst, col("l_quantity") >= 45.0)
+    graft.ops.DeletionVectors.materialize(s, dst) // fold into LOCAL files
+    graft.ops.TxLog.vacuum(s, dst, retainVersions = 1, dvSweepAgeMs = 0L)
+    // post-materialize the clone reads NOTHING from the source
+    require(graft.ops.TxLog.dataInputFiles(s, dst)
+      .forall(!_.contains("clone_dv_src")),
+      "materialize must localize every DV-carrying (= every) entry")
+    // source diverges with its own post-clone vector
+    graft.ops.DeletionVectors.delete(s, src, col("l_quantity") <= 2.0)
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+      col("l_shipdate"))
+    graft.ops.TxLog.snapshot(s, dst).select(cols: _*)
+      .withColumn("side", lit("clone"))
+      .unionByName(graft.ops.TxLog.snapshot(s, src).select(cols: _*)
+        .withColumn("side", lit("source")))
+  }
 }

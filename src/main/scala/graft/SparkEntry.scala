@@ -186,6 +186,9 @@ object SparkEntry {
     "q_sql_dml" -> (Queries.qSqlDml _),
     "q_sql_ddl" -> (Queries.qSqlDdl _),
     "q_branch_wap" -> (Queries.qBranchWap _),
+    "q_clone" -> (Queries.qClone _),
+    "q_clone_dv" -> (Queries.qCloneDv _),
+    "q_cdf_images" -> (Queries.qCdfImages _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -2106,6 +2109,89 @@ object Oracles {
            AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
          UNION ALL
          SELECT * FROM src""",
+
+    // row-level CDF with update images: v1 is a MERGE (991st keys'
+    // price doubled = pre+post pairs; +10M fresh keys = inserts), v2
+    // deletes every 997th key of the post-merge state — each commit's
+    // rows replayed independently with its version stamped
+    "q_cdf_images" ->
+      """WITH bump AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 991 = 0
+         ),
+         fresh AS (
+           SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                  o_orderstatus, o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey < 50
+         ),
+         v1state AS (
+           SELECT * FROM orders WHERE o_orderkey % 991 <> 0
+           UNION ALL SELECT * FROM bump
+           UNION ALL SELECT * FROM fresh
+         )
+         SELECT *, 'update_preimage' AS change_type, 1 AS commit_version
+         FROM orders WHERE o_orderkey % 991 = 0
+         UNION ALL SELECT *, 'update_postimage', 1 FROM bump
+         UNION ALL SELECT *, 'insert', 1 FROM fresh
+         UNION ALL SELECT *, 'delete', 2 FROM v1state
+         WHERE o_orderkey % 997 = 0""",
+
+    // zero-copy shallow clone: the clone takes a CoW range delete, a
+    // vectored delete, a MOR merge (991st keys' price doubled — rows
+    // the deletes removed re-enter as inserts, SQL MERGE semantics)
+    // and an append; the source takes its OWN delete + append after
+    // the clone. The oracle replays each side's algebra independently
+    // — shared bytes, divergent states.
+    "q_clone" ->
+      """WITH batch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 991 = 0
+         ),
+         survivors AS (
+           SELECT * FROM orders
+           WHERE NOT (o_orderkey BETWEEN 1 AND 2000)
+             AND NOT (o_custkey % 7 = 0)
+         )
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority, 'clone' AS side
+         FROM (
+           SELECT * FROM survivors
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+           UNION ALL SELECT * FROM batch
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 50
+         )
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority, 'source' AS side
+         FROM (
+           SELECT * FROM orders WHERE NOT (o_orderkey BETWEEN 1 AND 500)
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 30
+         )""",
+
+    // clone of a DV-carrying table: inherited vectors apply, a
+    // clone-side delete merges them locally, materialize folds them
+    // in; the source's post-clone vector never reaches the clone
+    "q_clone_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_quantity, l_shipdate, 'clone' AS side
+         FROM lineitem
+         WHERE NOT (l_partkey % 7 = 0) AND NOT (l_quantity >= 45.0)
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_quantity, l_shipdate, 'source' AS side
+         FROM lineitem
+         WHERE NOT (l_partkey % 7 = 0) AND NOT (l_quantity <= 2.0)""",
 
     // deletion vectors inside a DbLog database: one transaction
     // vectors F-status orders out, zeroes every 97th customer's

@@ -228,6 +228,12 @@ object Compact {
     * optionally confined to one partition prefix — the plain visible
     * listing otherwise (flat; partitions need the log to track
     * prefixed names through a rewrite).
+    *
+    * SHALLOW-CLONED (based) entries are NOT listed: their bytes live
+    * under the source root, which maintenance on the clone must never
+    * rewrite wholesale — so [[binPack]] packs only the clone's own
+    * small-file tail. A clone's inherited files localize one by one
+    * as DML touches them, after which packing picks them up.
     */
   private[ops] def liveStatuses(
       spark: SparkSession,

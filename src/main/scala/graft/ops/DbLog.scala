@@ -241,6 +241,27 @@ object DbLog {
       toVersion)
   }
 
+  /** One table's row-level change feed WITH UPDATE IMAGES and
+    * per-commit attribution — [[TxLog.changes]] restricted to the
+    * table's prefix: each database commit that touched this table
+    * contributes its delete/insert/update_preimage/update_postimage
+    * rows stamped `_commit_version`; commits that only touched OTHER
+    * tables are skipped without reading a byte (the entry-set
+    * equality check sees an unchanged view).
+    */
+  def changes(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      fromVersion: Int,
+      toVersion: Int,
+      keyCols: Seq[String]): DataFrame = {
+    requireTableName(table)
+    val pfx = table + "/"
+    TxLog.changesOfEntries(spark, db, fromVersion, toVersion, keyCols,
+      v => TxLog.liveEntries(spark, db, v).filter(_.name.startsWith(pfx)))
+  }
+
   /** Cursor advance for a multi-table consumer: the change feed of
     * EVERY requested table from `sinceVersion` to one shared current
     * version, returned with that version as the next cursor — one

@@ -291,25 +291,31 @@ object DeleteWhere {
       keepRows: DataFrame => DataFrame): Receipt = {
     if (cand.isEmpty)
       return Receipt(all.length, 0, all.length, 0)
-    val rel = cand.map(relName(spark, dir, _))
+    // log-managed: URIs resolve to ENTRIES (base-aware — a shallow
+    // clone's candidates live under the source root; string-stripping
+    // against the clone root cannot invert them). Unmanaged dirs keep
+    // the prefix derivation.
+    val candEntries: Seq[TxLog.AddEntry] =
+      if (TxLog.exists(spark, dir))
+        TxLog.entriesForUris(spark, dir, cand, TxLog.liveEntries(spark, dir))
+      else Nil
+    val rel =
+      if (TxLog.exists(spark, dir)) candEntries.map(_.name)
+      else cand.map(relName(spark, dir, _))
     // DV-carrying candidates read through the log's DV-applying
     // reader (their raw bytes would resurrect hidden rows); the
     // rewrite then legitimately retires the vector with the replaced
     // entry. A concurrent DV attach still conflicts at commit time —
     // stageRewrite's `seen` capture is (name, dv)-pair-aware.
-    val candEntries: Seq[TxLog.AddEntry] =
-      if (TxLog.exists(spark, dir)) {
-        val r = rel.toSet
-        TxLog.liveEntries(spark, dir).filter(e => r(e.name))
-      } else Nil
     val dvAware = candEntries.exists(_.dv.isDefined)
     val pcols = partitionColsOf(rel)
     if (pcols.nonEmpty) {
       // hive layout: read WITH the partition columns (path-encoded, so
       // the predicate can reference them), rewrite as a partition tree,
-      // swap every touched partition's entries in ONE commit
+      // swap every touched partition's entries in ONE commit.
+      // readEntries also handles per-root scan groups for clones.
       val candDf =
-        if (dvAware) TxLog.readEntries(spark, dir, candEntries)
+        if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
         else Compact.pinnedReader(spark, dir)
           .option("basePath", dir).parquet(cand: _*)
       val candRows = candDf.count()
@@ -324,7 +330,7 @@ object DeleteWhere {
         deletedRows = candRows - kept.count())
     }
     val candDf =
-      if (dvAware) TxLog.readEntries(spark, dir, candEntries)
+      if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
       else Compact.pinnedReader(spark, dir).parquet(cand: _*)
     val schema = candDf.schema
     val candRows = candDf.count()

@@ -98,8 +98,9 @@ object DeletionVectors {
       index: Option[DataFrame] = None): Receipt = {
     val cand = index.map { ix =>
       val all = DeleteWhere.allFiles(spark, dir)
-      BloomFileIndex.candidateFiles(ix, all, keys)
-        .map(DeleteWhere.relName(spark, dir, _))
+      val hit = BloomFileIndex.candidateFiles(ix, all, keys)
+      TxLog.entriesForUris(spark, dir, hit, TxLog.liveEntries(spark, dir))
+        .map(_.name)
     }
     delete(spark, dir, col(column).isin(keys: _*), cand)
   }
@@ -120,8 +121,10 @@ object DeletionVectors {
     val all = DeleteWhere.allFiles(spark, dir)
     if (all.isEmpty) return Receipt(0, 0, 0, None)
     val k = keys.select(col(keys.columns.head).as(column)).distinct()
-    val cand = DeleteWhere.touchedFiles(spark, dir, all, column, k, manifest)
-      .map(DeleteWhere.relName(spark, dir, _))
+    val touched = DeleteWhere.touchedFiles(spark, dir, all, column, k, manifest)
+    val cand = TxLog
+      .entriesForUris(spark, dir, touched, TxLog.liveEntries(spark, dir))
+      .map(_.name)
     deleteWith(spark, dir, _.join(k, Seq(column), "left_semi"), Some(cand))
   }
 
@@ -246,7 +249,10 @@ object DeletionVectors {
         Some(writeSidecar(spark, dir, allRows))
       }
     val committedV = TxLog.commitEntries(spark, dir,
-      adds = touched.map(e => e.copy(dv = dvName)).sortBy(_.name) ++
+      // the merged sidecar is LOCAL (dvBase cleared) even when the
+      // entry's data bytes are a shallow clone's (base kept)
+      adds = touched.map(e => e.copy(dv = dvName,
+        dvBase = if (dvName.isDefined) None else e.dvBase)).sortBy(_.name) ++
         newNames.map(TxLog.AddEntry(_)),
       removes = touched.map(_.name).sorted,
       txn = txn,
@@ -360,7 +366,10 @@ object DeletionVectors {
     val allRows = prior.map(_.unionByName(newDel)).getOrElse(newDel)
     val dvName = writeSidecar(spark, dir, allRows)
     StagedDv(
-      adds = touched.map(_.copy(dv = Some(dvName))).sortBy(_.name),
+      // the merged sidecar is LOCAL (dvBase cleared); cloned data
+      // bytes keep their base untouched
+      adds = touched.map(_.copy(dv = Some(dvName), dvBase = None))
+        .sortBy(_.name),
       removes = touched.map(_.name).sorted,
       seen = touched,
       deletedRows = deletedRows,
@@ -438,7 +447,7 @@ object DeletionVectors {
     if (dvd.isEmpty) return MaterializeReceipt(0, 0, entries.size.toLong)
     val deleted = stats(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val files = dvd.map(e => s"$dir/${e.name}")
+    val files = dvd.map(e => TxLog.dataPathOf(dir, e))
     val rowsOf = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .map { f =>
@@ -452,7 +461,7 @@ object DeletionVectors {
         } finally r.close()
       }.collect().toMap
     val pick = dvd.filter { e =>
-      val total = rowsOf.getOrElse(s"$dir/${e.name}", Long.MaxValue)
+      val total = rowsOf.getOrElse(TxLog.dataPathOf(dir, e), Long.MaxValue)
       total > 0 &&
         deleted.getOrElse(e.name, 0L).toDouble / total >= minDeletedFraction
     }
@@ -468,8 +477,13 @@ object DeletionVectors {
       return MaterializeReceipt(0, 0, entries.size.toLong)
     val live = TxLog.readEntries(spark, dir, dvd).localCheckpoint()
     val liveRows = live.count()
-    val rawRows = spark.read.option("basePath", dir)
-      .parquet(dvd.map(e => s"$dir/${e.name}"): _*).count()
+    // raw (pre-vector) counts per data root — a clone's DV'd entries
+    // can live under the source root and the clone root at once
+    val rawRows = dvd.groupBy(e => TxLog.dataRootOf(dir, e)).map {
+      case (root, es) =>
+        spark.read.option("basePath", root)
+          .parquet(es.map(e => TxLog.dataPathOf(dir, e)): _*).count()
+    }.sum
     val rels = dvd.map(_.name)
     val pcols = DeleteWhere.partitionColsOf(rels)
     if (pcols.nonEmpty)
@@ -496,14 +510,14 @@ object DeletionVectors {
       entries: Seq[TxLog.AddEntry]): Option[DataFrame] = {
     val dvd = entries.filter(_.dv.isDefined)
     if (dvd.isEmpty) return None
-    val fs = Compact.fsOf(spark, dir)
-    val dvNames = dvd.flatMap(_.dv).distinct
-    val dvAbs = dvNames.map(n => n ->
-      fs.makeQualified(new Path(TxLog.dvFilePath(dir, n))).toString).toMap
+    // per-entry resolution: an inherited vector lives under the clone
+    // SOURCE's `_dv/` (dvBase), one attached since under this table's
+    val dvPaths = dvd.map(e => TxLog.dvPathOf(dir, e)).distinct
+    val dvAbs = dvPaths.map(p => p -> TxLog.qualifyAbs(spark, p)).toMap
     import spark.implicits._
-    val assoc = dvd.map(e => (dvAbs(e.dv.get), e.name))
+    val assoc = dvd.map(e => (dvAbs(TxLog.dvPathOf(dir, e)), e.name))
       .toDF("__dv_src", "file")
-    Some(spark.read.parquet(dvNames.map(TxLog.dvFilePath(dir, _)): _*)
+    Some(spark.read.parquet(dvPaths: _*)
       .select(col("_metadata.file_path").as("__dv_src"),
         col("file"), col("pos"))
       .join(broadcast(assoc), Seq("__dv_src", "file"))

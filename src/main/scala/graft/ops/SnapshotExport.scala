@@ -58,7 +58,11 @@ object SnapshotExport {
       val out = fs.create(new Path(
         if (prefix.isEmpty) root else new Path(root, prefix), "manifest"),
         true)
-      val body = es.map(e => fs.makeQualified(new Path(dir, e.name)).toString)
+      // base-aware: a shallow clone's manifest lists the SOURCE's
+      // absolute URIs for inherited files — still a correct external
+      // read (manifests speak absolute paths by design)
+      val body = es
+        .map(e => TxLog.qualifyAbs(spark, TxLog.dataPathOf(dir, e)))
         .sorted.mkString("\n")
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()

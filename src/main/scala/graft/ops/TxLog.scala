@@ -107,42 +107,104 @@ object TxLog {
     */
   final case class ColStats(column: String, min: Double, max: Double)
 
-  /** One ADD record: a data-file name — RELATIVE to the table root,
+  /** One ADD record: a data-file name — RELATIVE to its data root,
     * possibly carrying hive-style partition prefixes
     * (`region=EU/part-….parquet`) — plus optional per-column stats
     * and an optional DELETION VECTOR sidecar name (a parquet file
     * under `_dv/` listing this file's logically-deleted row
-    * positions; see [[DeletionVectors]]). Serialized as
-    * `ADD name`, `ADD name|c:min:max,…`, or
-    * `ADD name|<stats-or-empty>|dvname` (stats columns must avoid
-    * `|,:` — enforced at [[setStatsColumns]]; file names never
-    * contain `|`).
+    * positions; see [[DeletionVectors]]).
+    *
+    * The data root is the TABLE ROOT unless `base` names a FOREIGN
+    * root — the zero-copy SHALLOW-CLONE case ([[cloneTo]]): a cloned
+    * table's first commit re-ADDs the source snapshot's entries with
+    * `base` = the source root, so the clone reads the source's bytes
+    * without copying them; any rewrite of a based entry localizes it
+    * (replacement files land under the clone root with no base), the
+    * Delta shallow-clone contract. `dvBase` is the same seam for the
+    * sidecar: a cloned DV still lives under the SOURCE's `_dv/`,
+    * while a vector attached after the clone is local. Entry NAMES
+    * stay the identity the live-set fold and the remove/conflict
+    * checks key on — unique within a table (a clone inherits one
+    * snapshot's names, which are unique by construction; fresh local
+    * writes mint UUID names).
+    *
+    * Serialized as up to five `|`-separated segments —
+    * `name|stats|dv|base|dvBase` — with trailing empties dropped, so
+    * pre-clone logs (1-3 segments) parse unchanged (stats columns
+    * must avoid `|,:` — enforced at [[setStatsColumns]]; file names
+    * and roots never contain `|`).
     */
   final case class AddEntry(
       name: String,
       stats: Seq[ColStats] = Nil,
-      dv: Option[String] = None) {
+      dv: Option[String] = None,
+      base: Option[String] = None,
+      dvBase: Option[String] = None) {
     private[ops] def serialized: String = {
       val statsPart = stats.map(s =>
         s"${s.column}:${s.min}:${s.max}").mkString(",")
-      dv match {
-        case Some(d) => s"$name|$statsPart|$d"
-        case None if stats.isEmpty => name
-        case None => s"$name|$statsPart"
-      }
+      val segs = Seq(name, statsPart, dv.getOrElse(""),
+        base.getOrElse(""), dvBase.getOrElse(""))
+      segs.take(segs.lastIndexWhere(_.nonEmpty) + 1).mkString("|")
     }
   }
 
   private def parseEntry(s: String): AddEntry = {
-    val parts = s.split('|') // trailing empty segments never occur
+    // -1 keeps interior empty segments (`a||d` = no stats, a dv)
+    val parts = s.split("\\|", -1)
+    def opt(i: Int): Option[String] =
+      if (parts.length <= i || parts(i).isEmpty) None else Some(parts(i))
     val stats =
       if (parts.length < 2 || parts(1).isEmpty) Nil
       else parts(1).split(',').toSeq.map { part =>
         val Array(c, mn, mx) = part.split(':')
         ColStats(c, mn.toDouble, mx.toDouble)
       }
-    AddEntry(parts(0), stats,
-      if (parts.length < 3) None else Some(parts(2)))
+    AddEntry(parts(0), stats, opt(2), opt(3), opt(4))
+  }
+
+  /** The root an entry's DATA bytes live under — the table root, or
+    * the clone-source root a based entry carries.
+    */
+  private[ops] def dataRootOf(dir: String, e: AddEntry): String =
+    e.base.getOrElse(dir)
+
+  /** The full path of an entry's data file. Every reader and every
+    * per-file metadata probe must resolve through this (a bare
+    * `$dir/$name` reads a hole where a shallow clone's bytes are).
+    */
+  private[ops] def dataPathOf(dir: String, e: AddEntry): String =
+    s"${dataRootOf(dir, e)}/${e.name}"
+
+  /** The full path of an entry's deletion-vector sidecar (defined
+    * only when `e.dv` is set): under the root that WROTE it — the
+    * clone source for vectors the clone inherited, the table root
+    * for vectors attached since.
+    */
+  private[ops] def dvPathOf(dir: String, e: AddEntry): String =
+    dvFilePath(e.dvBase.getOrElse(dir), e.dv.getOrElse(
+      throw new IllegalArgumentException(s"entry ${e.name} carries no dv")))
+
+  /** Map inputFiles-form URIs back to the live entries they read —
+    * the base-aware replacement for prefix-stripping a URI down to a
+    * relative name: a shallow clone's candidate URIs point at the
+    * SOURCE root, which no string surgery against the clone root can
+    * invert. Keys are bare URI paths (scheme/authority stripped),
+    * matching `input_file_name()` and `inputFiles` output on any one
+    * filesystem.
+    */
+  private[ops] def entriesForUris(
+      spark: SparkSession,
+      dir: String,
+      uris: Seq[String],
+      entries: Seq[AddEntry]): Seq[AddEntry] = {
+    def bare(p: String) = new Path(p).toUri.getPath
+    val byPath = entries.map(e => bare(dataPathOf(dir, e)) -> e).toMap
+    uris.map { u =>
+      byPath.getOrElse(bare(u),
+        throw new IllegalArgumentException(
+          s"$u is not a live data file of $dir"))
+    }
   }
 
   def exists(spark: SparkSession, dir: String): Boolean = {
@@ -891,9 +953,10 @@ object TxLog {
   private[ops] def dvFilePath(dir: String, name: String) =
     s"$dir/$DvDirName/$name"
 
-  private def qualify(spark: SparkSession, dir: String, rel: String): String = {
-    val fs = Compact.fsOf(spark, dir)
-    fs.makeQualified(new Path(dir, rel)).toString
+  private[ops] def qualifyAbs(spark: SparkSession, p: String): String = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(path).toString
   }
 
   /** Read exactly `entries`, applying each entry's deletion vector —
@@ -935,8 +998,8 @@ object TxLog {
     require(entries.nonEmpty, s"readEntries: empty entry set for $dir")
     // basePath keeps hive-partition columns alive when reading an
     // explicit file list out of a partitioned layout; no-op when flat
-    def rd = {
-      val r = spark.read.option("basePath", dir)
+    def rd(root: String) = {
+      val r = spark.read.option("basePath", root)
       // a pinned schema beats footer sampling AND mergeSchema: the
       // log says what the table is, files lacking a column read NULL.
       // pinOverride carries a PER-TABLE pin (DbLog) past the
@@ -946,58 +1009,73 @@ object TxLog {
         case None => if (mergeSchema) r.option("mergeSchema", "true") else r
       }
     }
-    def metaRead(es: Seq[AddEntry]): DataFrame = {
-      val mapping = es.map(e => (qualify(spark, dir, e.name), e.name))
-        .toDF("__graft_abs", "__graft_file")
-      rd.parquet(es.map(e => s"$dir/${e.name}"): _*)
-        .withColumn("__graft_abs", col("_metadata.file_path"))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
-        .join(broadcast(mapping), Seq("__graft_abs"))
-        .drop("__graft_abs")
-    }
-    val dvd = entries.filter(_.dv.isDefined)
-    if (dvd.isEmpty && !withPos)
-      return rd.parquet(entries.map(e => s"$dir/${e.name}"): _*)
-    val plain = entries.filter(_.dv.isEmpty)
-    val dvdDf =
-      if (dvd.isEmpty) None
-      else {
-        val fs = Compact.fsOf(spark, dir)
-        val dvNames = dvd.flatMap(_.dv).distinct
-        val dvAbs = dvNames
-          .map(n => n -> qualify(spark, dir, s"$DvDirName/$n")).toMap
-        val dvBytes = dvNames
-          .map(n => fs.getFileStatus(new Path(dvFilePath(dir, n))).getLen).sum
-        val dvRows = spark.read
-          .parquet(dvNames.map(n => dvFilePath(dir, n)): _*)
-          .select(col("_metadata.file_path").as("__graft_dv_src"),
-            col("file").as("__graft_file"), col("pos").as("__graft_pos"))
-        val assoc = dvd.map(e => (dvAbs(e.dv.get), e.name))
-          .toDF("__graft_dv_src", "__graft_file")
-        val deletes = dvRows
-          .join(broadcast(assoc), Seq("__graft_dv_src", "__graft_file"))
-          .drop("__graft_dv_src")
-        val d = if (dvBytes <= 128L * 1024 * 1024) broadcast(deletes)
-                else deletes
-        Some(metaRead(dvd)
-          .join(d, Seq("__graft_file", "__graft_pos"), "left_anti"))
+    def readGroup(root: String, ge: Seq[AddEntry]): DataFrame = {
+      def metaRead(es: Seq[AddEntry]): DataFrame = {
+        val mapping = es
+          .map(e => (qualifyAbs(spark, dataPathOf(dir, e)), e.name))
+          .toDF("__graft_abs", "__graft_file")
+        rd(root).parquet(es.map(e => dataPathOf(dir, e)): _*)
+          .withColumn("__graft_abs", col("_metadata.file_path"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(broadcast(mapping), Seq("__graft_abs"))
+          .drop("__graft_abs")
       }
-    val plainDf =
-      if (plain.isEmpty) None
-      else if (withPos) Some(metaRead(plain))
-      else Some(rd.parquet(plain.map(e => s"$dir/${e.name}"): _*))
-    val merged = (plainDf, dvdDf) match {
-      case (Some(p), Some(d)) =>
-        // align: the plain fast path has no positional columns
-        val dd = if (withPos) d else d.drop("__graft_file", "__graft_pos")
-        p.unionByName(dd)
-      case (Some(p), None) => p
-      case (None, Some(d)) =>
-        if (withPos) d else d.drop("__graft_file", "__graft_pos")
-      case (None, None) =>
-        throw new IllegalStateException("readEntries: no entries")
+      val dvd = ge.filter(_.dv.isDefined)
+      if (dvd.isEmpty && !withPos)
+        return rd(root).parquet(ge.map(e => dataPathOf(dir, e)): _*)
+      val plain = ge.filter(_.dv.isEmpty)
+      val dvdDf =
+        if (dvd.isEmpty) None
+        else {
+          val fs = Compact.fsOf(spark, dir)
+          // per-entry resolution: a cloned entry's sidecar lives
+          // under the SOURCE's `_dv/` (dvBase), one attached since
+          // under the table's own — both can appear in one snapshot
+          val dvPaths = dvd.map(e => dvPathOf(dir, e)).distinct
+          val dvAbs = dvPaths.map(p => p -> qualifyAbs(spark, p)).toMap
+          val dvBytes = dvPaths
+            .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+          val dvRows = spark.read
+            .parquet(dvPaths: _*)
+            .select(col("_metadata.file_path").as("__graft_dv_src"),
+              col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+          // sidecar rows name files data-root-relative — identical to
+          // the entry NAME whether the vector is local or inherited
+          // (a clone keeps the source's names)
+          val assoc = dvd.map(e => (dvAbs(dvPathOf(dir, e)), e.name))
+            .toDF("__graft_dv_src", "__graft_file")
+          val deletes = dvRows
+            .join(broadcast(assoc), Seq("__graft_dv_src", "__graft_file"))
+            .drop("__graft_dv_src")
+          val d = if (dvBytes <= 128L * 1024 * 1024) broadcast(deletes)
+                  else deletes
+          Some(metaRead(dvd)
+            .join(d, Seq("__graft_file", "__graft_pos"), "left_anti"))
+        }
+      val plainDf =
+        if (plain.isEmpty) None
+        else if (withPos) Some(metaRead(plain))
+        else Some(rd(root).parquet(plain.map(e => dataPathOf(dir, e)): _*))
+      (plainDf, dvdDf) match {
+        case (Some(p), Some(d)) =>
+          // align: the plain fast path has no positional columns
+          val dd = if (withPos) d else d.drop("__graft_file", "__graft_pos")
+          p.unionByName(dd)
+        case (Some(p), None) => p
+        case (None, Some(d)) =>
+          if (withPos) d else d.drop("__graft_file", "__graft_pos")
+        case (None, None) =>
+          throw new IllegalStateException("readEntries: no entries")
+      }
     }
-    merged
+    // ONE SCAN GROUP PER DATA ROOT: Spark's single-basePath rule
+    // forbids mixing a shallow clone's local files and its source's
+    // files in one partition-discovering read — group, scan, union.
+    // Almost always exactly one group; a clone converges back to one
+    // as rewrites localize its entries.
+    entries.groupBy(e => dataRootOf(dir, e)).toSeq.sortBy(_._1)
+      .map { case (root, ge) => readGroup(root, ge) }
+      .reduce(_ unionByName _)
   }
 
   /** The candidate file names a range query on `column` must read at
@@ -1086,7 +1164,10 @@ object TxLog {
     // an add naming a not-yet-present file simply carries no stats.
     // Entries that already carry stats (DV re-adds) keep theirs.
     val cols = statsColumns(spark, dir)
-    val bare = adds.filter(_.stats.isEmpty).map(_.name)
+    // based (shallow-cloned) adds never footer-read here: the clone
+    // commit carries the source's stats verbatim, and a foreign root
+    // is not this writer's to probe
+    val bare = adds.filter(e => e.stats.isEmpty && e.base.isEmpty).map(_.name)
     val entries =
       if (bare.isEmpty) adds
       else {
@@ -1188,7 +1269,7 @@ object TxLog {
     import spark.implicits._
     val entries = liveEntries(spark, dir, version)
     val fs = Compact.fsOf(spark, dir)
-    val paths = entries.map(e => s"$dir/${e.name}")
+    val paths = entries.map(e => dataPathOf(dir, e))
     val footer = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.length, 64)))
       .map { f =>
@@ -1203,8 +1284,8 @@ object TxLog {
       }.collect().toMap
     val base = entries.map { e =>
       (e.name,
-        fs.getFileStatus(new Path(dir, e.name)).getLen,
-        footer.getOrElse(s"$dir/${e.name}", -1L),
+        fs.getFileStatus(new Path(dataPathOf(dir, e))).getLen,
+        footer.getOrElse(dataPathOf(dir, e), -1L),
         e.dv.orNull,
         e.stats.map(s => (s.column, s.min, s.max)))
     }.toDF("file", "bytes", "rows", "dv", "stats")
@@ -1217,6 +1298,23 @@ object TxLog {
         .na.fill(0L, Seq("dv_rows"))
     }
   }
+
+  /** Read an inputFiles-form candidate URI list the way the table
+    * itself would: log-managed dirs resolve the URIs to live entries
+    * and go through [[readEntries]] (pinned schema, deletion vectors,
+    * per-root clone scan groups, partition columns); unmanaged dirs
+    * take the pinned raw read with `basePath`. The candidate-read
+    * entry point for the copy-on-write DML pair.
+    */
+  private[ops] def readUris(
+      spark: SparkSession,
+      dir: String,
+      uris: Seq[String]): DataFrame =
+    if (exists(spark, dir))
+      readEntries(spark, dir,
+        entriesForUris(spark, dir, uris, liveEntries(spark, dir)))
+    else Compact.pinnedReader(spark, dir)
+      .option("basePath", dir).parquet(uris: _*)
 
   /** Read a pruned candidate subset given by inputFiles-form URIs —
     * applying deletion vectors where the candidates carry them. The
@@ -1235,8 +1333,7 @@ object TxLog {
       return spark.read.schema(schema).parquet()
     if (!exists(spark, dir))
       return spark.read.schema(schema).parquet(candUris: _*)
-    val rels = candUris.map(DeleteWhere.relName(spark, dir, _)).toSet
-    val entries = liveEntries(spark, dir).filter(e => rels(e.name))
+    val entries = entriesForUris(spark, dir, candUris, liveEntries(spark, dir))
     if (entries.forall(_.dv.isEmpty))
       spark.read.schema(schema).parquet(candUris: _*)
     else readEntries(spark, dir, entries)
@@ -1294,8 +1391,7 @@ object TxLog {
     def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
       if (es.nonEmpty) readEntries(spark, dir, es, schemaVersion = toVersion)
       else spark.read.schema(
-        spark.read.option("basePath", dir)
-          .parquet(schemaOf.map(e => s"$dir/${e.name}"): _*).schema)
+        readEntries(spark, dir, schemaOf, schemaVersion = toVersion).schema)
         .parquet() // zero paths: empty relation with the sibling schema
     if (removed.isEmpty && added.isEmpty) {
       val any = afterE
@@ -1410,6 +1506,94 @@ object TxLog {
   def asChangeFeed(diffDf: DataFrame): DataFrame =
     diffDf.withColumnRenamed("_change_type", "change_type")
 
+  /** Row-level change feed with UPDATE IMAGES and per-commit
+    * attribution — the Delta CDF shape: for each commit in
+    * `(fromVersion, toVersion]`, the changed-files diff's delete and
+    * insert rows are PAIRED by `keyCols` — a key present on both
+    * sides of one commit becomes `update_preimage`/`update_postimage`
+    * rows, a one-sided key stays `delete`/`insert` — and every row
+    * carries `_commit_version`. This is what [[diff]]'s net multiset
+    * view cannot say: WHICH commit changed a row and what the row
+    * looked like before (the audit/trigger/Debezium consumer shape).
+    *
+    * Cost: one changed-files diff per commit in the range — total
+    * O(files changed across the range), never O(snapshot); a commit
+    * whose entries did not change is skipped without reading a byte.
+    * Key pairing adds two metadata-sized key joins per commit
+    * (updated keys are broadcast when small). NULL keys never pair
+    * (SQL join equality), so a NULL-keyed rewrite stays delete+insert.
+    */
+  def changes(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int,
+      keyCols: Seq[String]): DataFrame =
+    changesOfEntries(spark, dir, fromVersion, toVersion, keyCols,
+      liveEntries(spark, dir, _))
+
+  /** [[changes]] over a caller-filtered entry view — the seam
+    * [[DbLog.changes]] uses to restrict each version's entries to one
+    * table's prefix before the same per-commit pairing.
+    */
+  private[ops] def changesOfEntries(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Int,
+      keyCols: Seq[String],
+      entriesAt: Int => Seq[AddEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "changes: keyCols must be non-empty")
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val vs = versions(spark, dir)
+      .filter(v => v > fromVersion && v <= toVersion)
+    require(vs.nonEmpty || fromVersion == toVersion,
+      s"changes: no retained versions in ($fromVersion, $toVersion] of $dir")
+    val steps = (fromVersion +: vs).sliding(2).collect {
+      case Seq(a, b) => (a, b)
+    }.toSeq
+    val perCommit = steps.flatMap { case (prev, v) =>
+      val before = entriesAt(prev)
+      val after = entriesAt(v)
+      // same (name, dv) sets → nothing changed in this view: skip
+      // without a read (a DbLog commit touching OTHER tables)
+      if (before.map(e => (e.name, e.dv)).toSet ==
+          after.map(e => (e.name, e.dv)).toSet) None
+      else {
+        val d = diffOfEntries(spark, dir, before, after, v)
+          .localCheckpoint() // 4 derivations below share one read
+        val del = d.filter(col("_change_type") === "delete")
+          .drop("_change_type")
+        val ins = d.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        val updKeys = del.select(keyCols.map(col): _*)
+          .intersect(ins.select(keyCols.map(col): _*))
+          .localCheckpoint() // metadata-sized: keys updated this commit
+        def tag(df: DataFrame, t: String) =
+          df.withColumn("_change_type", lit(t))
+            .withColumn("_commit_version", lit(v))
+        Some(tag(del.join(updKeys, keyCols, "left_anti"), "delete")
+          .unionByName(tag(del.join(updKeys, keyCols, "left_semi"),
+            "update_preimage"))
+          .unionByName(tag(ins.join(updKeys, keyCols, "left_semi"),
+            "update_postimage"))
+          .unionByName(tag(ins.join(updKeys, keyCols, "left_anti"),
+            "insert")))
+      }
+    }
+    if (perCommit.nonEmpty) perCommit.reduce(_ unionByName _)
+    else { // empty range: the empty feed with the table's schema
+      val any = entriesAt(toVersion)
+      require(any.nonEmpty,
+        s"changes: version $toVersion of $dir holds no files")
+      readEntries(spark, dir, any, schemaVersion = toVersion).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+    }
+  }
+
   /** The retained commit history as a DataFrame — (version, n_adds,
     * n_removes, txn) per commit, newest first. The observability
     * surface a DESCRIBE HISTORY serves: what changed when, which
@@ -1435,10 +1619,11 @@ object TxLog {
     val currentByName = current.map(e => e.name -> e).toMap
     val targetNames = target.map(_.name).toSet
     val fs = Compact.fsOf(spark, dir)
-    val missing = target.map(_.name)
-      .filterNot(f => fs.exists(new Path(dir, f))) ++
-      target.flatMap(_.dv).distinct
-        .filterNot(d => fs.exists(new Path(dvFilePath(dir, d))))
+    val missing = target
+      .filterNot(e => fs.exists(new Path(dataPathOf(dir, e)))).map(_.name) ++
+      target.filter(_.dv.isDefined)
+        .filterNot(e => fs.exists(new Path(dvPathOf(dir, e)))).flatMap(_.dv)
+        .distinct
     require(missing.isEmpty,
       s"restore to $version impossible: ${missing.size} files vacuumed (${missing.take(3).mkString(", ")}…)")
     // re-ADD any entry that differs (name newly live, or same name
@@ -1450,6 +1635,119 @@ object TxLog {
       removes = current.map(_.name).filterNot(targetNames).sorted,
       op = Some(s"restore(v$version)"))
   }
+
+  /** ZERO-COPY SHALLOW CLONE: create a new log-managed table at
+    * `dstDir` whose v0 re-ADDs the source's live entries at `version`
+    * (default: current) rebased onto the source root — no data file
+    * is read or copied; the clone is one metadata commit regardless
+    * of table size (Delta's `CREATE TABLE … SHALLOW CLONE` semantics,
+    * re-derived on [[AddEntry]]'s `base`/`dvBase` seams). From then
+    * on the two tables diverge freely:
+    *
+    *   - clone reads resolve based entries under the source root
+    *     ([[readEntries]]' per-root scan groups);
+    *   - any rewrite in the clone (CoW delete/merge/compact, DV
+    *     attach, MOR upsert) LOCALIZES what it touches — replacement
+    *     files and new sidecars land under the clone root, removes
+    *     key on entry names; the source is never written;
+    *   - the clone's [[vacuum]] deletes only files under its own root
+    *     (based entries' bytes belong to the source and are not in
+    *     the clone's on-disk sweep set).
+    *
+    * The one cross-table liability — same as Delta's: VACUUMING THE
+    * SOURCE can reclaim files a clone still references. Pin the
+    * cloned version with a source tag ([[setTag]] keeps a tagged
+    * version's files past any retention count) for as long as the
+    * clone must outlive the source's churn.
+    *
+    * Config travels: the effective schema pin (dir-wide AND per-table
+    * for [[DbLog]] databases), stats/partition columns, CHECK
+    * constraints, and the hidden-partitioning spec + history. Tags,
+    * branches and replication cursors do NOT — they name source
+    * versions, which the clone's own history does not contain.
+    *
+    * 100 TB shape: cost is O(live entries) log metadata — cloning a
+    * 10-PB table writes one version file; first divergent write pays
+    * only its own cost. Returns the clone's initial version (0).
+    */
+  def cloneTo(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      version: Int = Int.MaxValue): Int = {
+    require(exists(spark, srcDir), s"cloneTo: $srcDir is not TxLog-managed")
+    require(!exists(spark, dstDir),
+      s"cloneTo: $dstDir is already TxLog-managed")
+    require(branchOf(srcDir).isEmpty && branchOf(dstDir).isEmpty,
+      "cloneTo: clone main scopes (branch a table with createBranch " +
+        "for same-table isolation)")
+    val fs = Compact.fsOf(spark, dstDir)
+    require(!fs.exists(new Path(dstDir)) ||
+      Compact.dataFilesRecursive(fs, dstDir).isEmpty,
+      s"cloneTo: $dstDir already holds data files")
+    val srcQ = qualifyAbs(spark, srcDir)
+    require(qualifyAbs(spark, dstDir) != srcQ,
+      "cloneTo: source and destination are the same path")
+    val v =
+      if (version == Int.MaxValue) currentVersion(spark, srcDir) else version
+    // a clone of a clone keeps the ORIGINAL roots — entries point at
+    // wherever the bytes actually are, never through a chain
+    val entries = liveEntries(spark, srcDir, v).map { e =>
+      e.copy(
+        base = Some(e.base.getOrElse(srcQ)),
+        dvBase = if (e.dv.isDefined) Some(e.dvBase.getOrElse(srcQ)) else None)
+    }
+    fs.mkdirs(logPath(dstDir))
+    // version-independent config files travel verbatim (incl. the
+    // per-table `stats_cols.<t>.txt` / `constraints.<t>.txt` a DbLog
+    // database keeps, and PartitionTransforms' spec + history)
+    metaList(spark, srcDir, "").filter { n =>
+      n == StatsColsName || n == PartitionColsName ||
+        n == ConstraintsName || n == "partitioning.txt" ||
+        n == "partitioning.history.txt" ||
+        (n.startsWith("stats_cols.") && n.endsWith(".txt")) ||
+        (n.startsWith("constraints.") && n.endsWith(".txt"))
+    }.foreach(n =>
+      metaRead(spark, srcDir, n).foreach(metaWrite(spark, dstDir, n, _)))
+    // schema pins are version-keyed: re-key the pin IN EFFECT at the
+    // cloned version to the clone's v0 (older source pins are source
+    // history, not the clone's)
+    tableSchema(spark, srcDir, v)
+      .foreach(sc => setTableSchema(spark, dstDir, sc, version = 0))
+    val pinTables = metaList(spark, srcDir, "schema.").flatMap { n =>
+      val core = n.stripPrefix("schema.").stripSuffix(".json")
+      val i = core.lastIndexOf('.')
+      if (i > 0 && core.substring(i + 1).matches("\\d{8}"))
+        Some(core.substring(0, i))
+      else None
+    }.distinct
+    pinTables.foreach { t =>
+      val pfx = s"schema.$t."
+      val pins = metaList(spark, srcDir, pfx).flatMap { n =>
+        val core = n.stripPrefix(pfx).stripSuffix(".json")
+        if (core.matches("\\d{8}")) Some(core.toInt) else None
+      }.filter(_ <= v)
+      if (pins.nonEmpty)
+        metaRead(spark, srcDir, f"$pfx${pins.max}%08d.json")
+          .foreach(metaWrite(spark, dstDir, pfx + f"${0}%08d.json", _))
+    }
+    require(writeVersion(spark, dstDir, 0, entries, Nil,
+      op = Some(s"clone($srcQ@v$v)")),
+      s"cloneTo: could not claim v0 in $dstDir")
+    metaWrite(spark, dstDir, "clone_source.txt", s"$srcQ\n$v")
+    0
+  }
+
+  /** Where this table was cloned from — `(source root, source
+    * version)` — None for a table that was never a clone. Provenance
+    * only; nothing resolves through it (entries carry their own
+    * roots).
+    */
+  def cloneSource(spark: SparkSession, dir: String): Option[(String, Int)] =
+    metaRead(spark, dir, "clone_source.txt").map { b =>
+      val lines = b.linesIterator.toList
+      (lines.head, lines(1).trim.toInt)
+    }
 
   /** Reclaim disk: delete data files whose last reference is a version
     * older than the `retainVersions` most recent ones. Snapshot reads

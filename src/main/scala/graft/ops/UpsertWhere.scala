@@ -64,8 +64,7 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (cand.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = Compact.pinnedReader(spark, dir)
-          .option("basePath", dir).parquet(cand: _*)
+        val candDf = TxLog.readUris(spark, dir, cand)
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -127,8 +126,7 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = Compact.pinnedReader(spark, dir)
-          .option("basePath", dir).parquet(touched: _*)
+        val candDf = TxLog.readUris(spark, dir, touched)
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -164,9 +162,18 @@ object UpsertWhere {
       cand: Seq[String],
       staged: DataFrame): Unit = {
     TxLog.enforceConstraints(spark, dir, staged)
-    val relAll = all.map(DeleteWhere.relName(spark, dir, _))
+    // log-managed: base-aware URI → name resolution (shallow clones'
+    // candidates live under the source root); unmanaged dirs keep the
+    // prefix derivation
+    val (relAll, rel) =
+      if (TxLog.exists(spark, dir)) {
+        val live = TxLog.liveEntries(spark, dir)
+        (TxLog.entriesForUris(spark, dir, all, live).map(_.name),
+          TxLog.entriesForUris(spark, dir, cand, live).map(_.name))
+      } else
+        (all.map(DeleteWhere.relName(spark, dir, _)),
+          cand.map(DeleteWhere.relName(spark, dir, _)))
     val pcols = DeleteWhere.partitionColsOf(relAll)
-    val rel = cand.map(DeleteWhere.relName(spark, dir, _))
     if (pcols.nonEmpty) {
       Compact.stageRewriteHive(spark, dir, rel, op = Some("merge"),
         writeStage = stagePath =>
@@ -227,8 +234,7 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = Compact.pinnedReader(spark, dir)
-          .option("basePath", dir).parquet(touched: _*)
+        val candDf = TxLog.readUris(spark, dir, touched)
         val replaced = candDf
           .join(keys, Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()

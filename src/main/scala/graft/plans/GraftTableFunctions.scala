@@ -195,6 +195,38 @@ object GraftTableFunctions {
         int(v, fn, 1))
       procReceipt(spark, "export-manifest", dir, Seq(
         "files_listed" -> n, "version" -> int(v, fn, 1).toLong))
+    case ("graft_changes", Seq(d, f, t0, k)) =>
+      TxLog.changes(spark, str(d, fn, 0), int(f, fn, 1), int(t0, fn, 2),
+        str(k, fn, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ("graft_db_changes", Seq(d, tb, f, t0, k)) =>
+      graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),
+        int(f, fn, 2), int(t0, fn, 3),
+        str(k, fn, 4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ("graft_clone", Seq(s0, d0)) =>
+      val src = str(s0, fn, 0)
+      val dst = str(d0, fn, 1)
+      val v = TxLog.cloneTo(spark, src, dst)
+      procReceipt(spark, "clone", dst, Seq(
+        "version" -> v.toLong,
+        "entries" -> TxLog.liveEntries(spark, dst).size.toLong))
+    case ("graft_clone", Seq(s0, d0, v0)) =>
+      val src = str(s0, fn, 0)
+      val dst = str(d0, fn, 1)
+      val v = TxLog.cloneTo(spark, src, dst, int(v0, fn, 2))
+      procReceipt(spark, "clone", dst, Seq(
+        "version" -> v.toLong,
+        "entries" -> TxLog.liveEntries(spark, dst).size.toLong))
+    case ("graft_clone_source", Seq(d)) =>
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val dir = str(d, fn, 0)
+      val rows = TxLog.cloneSource(spark, dir).toSeq
+        .map { case (s, v) => org.apache.spark.sql.Row(s, v) }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("source", StringType, nullable = false),
+          StructField("source_version", IntegerType, nullable = false))))
     case ("graft_tag", Seq(d, n)) =>
       val dir = str(d, fn, 0)
       val v = TxLog.setTag(spark, dir, str(n, fn, 1))
@@ -374,7 +406,15 @@ object GraftTableFunctions {
       ("graft_publish_preview",
         "graft_publish_preview(dir, name) - what publish WOULD commit + conflict count, nothing touched"),
       ("graft_drop_branch",
-        "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"))
+        "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"),
+      ("graft_changes",
+        "graft_changes(dir, from, to, 'k1,k2') - row-level CDF with update images, per-commit"),
+      ("graft_db_changes",
+        "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
+      ("graft_clone",
+        "graft_clone(src, dst[, version]) - PROCEDURE: zero-copy shallow clone (metadata-only)"),
+      ("graft_clone_source",
+        "graft_clone_source(dir) - clone provenance: (source, source_version), empty if never cloned"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

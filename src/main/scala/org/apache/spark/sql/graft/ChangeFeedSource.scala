@@ -129,6 +129,17 @@ final class ChangeFeedSource(
     if (capped > floorVersion) Some(LongOffset(capped.toLong)) else None
   }
 
+  /** `keys` opts the feed into ROW-LEVEL UPDATE IMAGES: each
+    * microbatch pairs its commits' delete+insert rows by these key
+    * columns into update_preimage/update_postimage and stamps every
+    * row with ITS OWN commit version ([[TxLog.changes]]) instead of
+    * netting the range — the Debezium-consumer fidelity a plain diff
+    * feed cannot carry.
+    */
+  private val keyCols: Seq[String] =
+    parameters.get("keys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(floorVersion)
     val to = versionOf(end)
@@ -140,13 +151,17 @@ final class ChangeFeedSource(
         case Some(t) => DbLog.snapshot(spark, path, t, to)
         case None => TxLog.snapshot(spark, path, to)
       }).withColumn("_change_type", lit("insert"))
-      else table match {
+        .withColumn("_commit_version", lit(to))
+      else if (keyCols.nonEmpty) table match {
+        case Some(t) => DbLog.changes(spark, path, t, from, to, keyCols)
+        case None => TxLog.changes(spark, path, from, to, keyCols)
+      }
+      else (table match {
         case Some(t) => DbLog.diff(spark, path, t, from, to)
         case None => TxLog.diff(spark, path, from, to)
-      }
+      }).withColumn("_commit_version", lit(to))
     val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
-    GraftShim.streamingDataFrame(spark,
-      d.withColumn("_commit_version", lit(to)).select(cols: _*))
+    GraftShim.streamingDataFrame(spark, d.select(cols: _*))
   }
 
   override def stop(): Unit = ()
