@@ -4450,6 +4450,41 @@ object Queries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Clone DETACH ([[graft.ops.TxLog.localize]]): a shallow clone of
+    * a DV-carrying table takes a CoW edit (localizing its candidate
+    * files), then `localize` copies every still-based entry's live
+    * rows local — folding inherited vectors as it goes — and the
+    * SOURCE DIRECTORY IS DELETED OUTRIGHT before the result is read.
+    * Hash-green means the detached clone's state survives total
+    * source loss and equals DuckDB's replay of the composed edits.
+    */
+  def qCloneDetach(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val src = s"$indexQueryDir/clone_detach_src"
+    val dst = s"$indexQueryDir/clone_detach_dst"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (p <- Seq(src, dst))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(src)
+    graft.ops.TxLog.convert(s, src) // v0
+    graft.ops.DeletionVectors.delete(s, src,
+      pmod(col("o_custkey"), lit(5)) === 0) // src v1: vectors pre-clone
+    graft.ops.TxLog.cloneTo(s, src, dst)
+    graft.ops.DeleteWhere.range(s, dst, "o_orderkey", 1, 1000) // localizes hits
+    val r = graft.ops.TxLog.localize(s, dst) // detach: copy the rest
+    require(r.localized > 0 && r.bytesCopied > 0,
+      s"detach must copy the still-based tail: $r")
+    require(graft.ops.TxLog.dataInputFiles(s, dst)
+      .forall(!_.contains("clone_detach_src")),
+      "a detached clone must reference nothing under the source")
+    fs.delete(new org.apache.hadoop.fs.Path(src), true) // source GONE
+    graft.ops.TxLog.snapshot(s, dst).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Row-level change feed with UPDATE IMAGES ([[graft.ops.TxLog
     * .changes]]): a MERGE commit's changed rows pair by key into
     * update_preimage/update_postimage (one-sided keys stay

@@ -189,6 +189,7 @@ object SparkEntry {
     "q_clone" -> (Queries.qClone _),
     "q_clone_dv" -> (Queries.qCloneDv _),
     "q_cdf_images" -> (Queries.qCdfImages _),
+    "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -2109,6 +2110,16 @@ object Oracles {
            AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
          UNION ALL
          SELECT * FROM src""",
+
+    // clone detach: pre-clone vectors fold in during localize, the
+    // CoW edit localized its own candidates, and the source directory
+    // is DELETED before the read — survival is the assertion
+    "q_clone_detach" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE NOT (o_custkey % 5 = 0)
+           AND NOT (o_orderkey BETWEEN 1 AND 1000)""",
 
     // row-level CDF with update images: v1 is a MERGE (991st keys'
     // price doubled = pre+post pairs; +10M fresh keys = inserts), v2

@@ -1749,6 +1749,61 @@ object TxLog {
       (lines.head, lines(1).trim.toInt)
     }
 
+  final case class LocalizeReceipt(
+      localized: Long,
+      bytesCopied: Long,
+      written: Long,
+      alreadyLocal: Long)
+
+  /** DETACH a shallow clone from its source: copy every still-based
+    * entry's LIVE rows into clone-local files (bin-packed to
+    * `targetBytes`, partition tree preserved, deletion vectors folded
+    * in as the copy is made) in ONE staged commit — after which the
+    * table references nothing outside its root and the source can be
+    * vacuumed or deleted freely. This is the incremental completion
+    * of a deep clone: pay the copy only when source retirement looms,
+    * and only for the entries DML hasn't already localized.
+    *
+    * 100 TB shape: cost is O(still-based bytes) — the deep-clone copy
+    * you deferred, minus everything that localized for free along the
+    * way; per-partition commits would bound job size further (run
+    * [[Compact.binPack]]-style maintenance per partition before
+    * detaching if one commit's staging is too large).
+    */
+  def localize(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20): LocalizeReceipt = {
+    require(exists(spark, dir), s"localize: $dir is not TxLog-managed")
+    val entries = liveEntries(spark, dir)
+    val based = entries.filter(_.base.isDefined)
+    if (based.isEmpty)
+      return LocalizeReceipt(0, 0, 0, entries.size.toLong)
+    val bytes = based.map { e =>
+      val p = new Path(dataPathOf(dir, e))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = readEntries(spark, dir, based) // DVs fold in via the read
+    val pcols = graft.ops.DeleteWhere.partitionColsOf(based.map(_.name))
+    val written =
+      if (pcols.nonEmpty)
+        Compact.stageRewriteHive(spark, dir, based.map(_.name),
+          p => df.repartition(nOut).write
+            .partitionBy(pcols: _*).mode("overwrite").parquet(p),
+          allowDvOlds = true, op = Some("localize"))
+      else
+        Compact.stageRewrite(spark, dir, based.map(_.name),
+          p => df.repartition(nOut).write.mode("overwrite").parquet(p),
+          allowDvOlds = true, op = Some("localize"))
+    LocalizeReceipt(
+      localized = based.size.toLong,
+      bytesCopied = bytes,
+      written = written.size.toLong,
+      alreadyLocal = (entries.size - based.size).toLong)
+  }
+
   /** Reclaim disk: delete data files whose last reference is a version
     * older than the `retainVersions` most recent ones. Snapshot reads
     * at vacuumed versions fail; everything newer is untouched. With

@@ -216,6 +216,12 @@ object GraftTableFunctions {
       procReceipt(spark, "clone", dst, Seq(
         "version" -> v.toLong,
         "entries" -> TxLog.liveEntries(spark, dst).size.toLong))
+    case ("graft_localize", Seq(d)) =>
+      val dir = str(d, fn, 0)
+      val r = TxLog.localize(spark, dir)
+      procReceipt(spark, "localize", dir, Seq(
+        "localized" -> r.localized, "bytes_copied" -> r.bytesCopied,
+        "written" -> r.written, "already_local" -> r.alreadyLocal))
     case ("graft_clone_source", Seq(d)) =>
       import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
       val dir = str(d, fn, 0)
@@ -414,7 +420,9 @@ object GraftTableFunctions {
       ("graft_clone",
         "graft_clone(src, dst[, version]) - PROCEDURE: zero-copy shallow clone (metadata-only)"),
       ("graft_clone_source",
-        "graft_clone_source(dir) - clone provenance: (source, source_version), empty if never cloned"))
+        "graft_clone_source(dir) - clone provenance: (source, source_version), empty if never cloned"),
+      ("graft_localize",
+        "graft_localize(dir) - PROCEDURE: detach a shallow clone (copy still-based entries local)"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

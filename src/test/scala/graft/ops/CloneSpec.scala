@@ -289,6 +289,32 @@ class CloneSpec extends SparkSpec {
     assert(same(spark.read.parquet(listed: _*), orders))
   }
 
+  test("localize detaches: vectors fold, partition tree survives, source deletable") {
+    val base = Files.createTempDirectory("clone_detach").toString + "/t"
+    orders.withColumn("bucket", pmod(col("o_orderkey"), lit(4)))
+      .write.partitionBy("bucket").parquet(base)
+    TxLog.convert(spark, base)
+    DeletionVectors.delete(spark, base, col("o_orderkey") <= 30) // pre-clone DV
+    val dst = cloneDir()
+    TxLog.cloneTo(spark, base, dst)
+    TxLog.append(spark, dst, // a local file localize must NOT recopy
+      orders.limit(2).withColumn("bucket", pmod(col("o_orderkey"), lit(4))))
+    val r = TxLog.localize(spark, dst)
+    assert(r.alreadyLocal >= 1 && r.localized >= 4 && r.bytesCopied > 0)
+    assert(TxLog.liveEntries(spark, dst).forall(_.base.isEmpty))
+    assert(TxLog.liveEntries(spark, dst).forall(_.dvBase.isEmpty))
+    // partition column survives the detach copy
+    assert(TxLog.snapshot(spark, dst).columns.contains("bucket"))
+    // the source can now vanish entirely
+    val fs = Compact.fsOf(spark, base)
+    fs.delete(new org.apache.hadoop.fs.Path(base).getParent, true)
+    assert(same(TxLog.snapshot(spark, dst).drop("bucket"),
+      orders.filter(col("o_orderkey") > 30).unionByName(orders.limit(2))))
+    // idempotent: a second localize copies nothing
+    val r2 = TxLog.localize(spark, dst)
+    assert(r2.localized == 0 && r2.bytesCopied == 0)
+  }
+
   test("guard rails: no clone onto a managed/occupied path, no self-clone") {
     val src = freshTable()
     intercept[IllegalArgumentException] {
