@@ -494,4 +494,89 @@ class TxLogModelSpec extends SparkSpec {
     TxLog.vacuum(spark, dir, retainVersions = 2)
     check("post-vacuum")
   }
+
+  test("shallow clone: 16 random ops across source AND clone, both models exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val srcDir = Files.createTempDirectory("clonemodel").toString + "/src"
+    val dstDir = Files.createTempDirectory("clonemodel").toString + "/dst"
+
+    val mSrc = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val mDst = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    var nextKey = 0L
+
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    def read(dir: String): Seq[(Long, Long)] =
+      if (TxLog.liveFiles(spark, dir).isEmpty) Nil
+      else TxLog.snapshot(spark, dir).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    def check(step: String): Unit = {
+      assert(read(srcDir) == mSrc.toSeq.sorted, s"$step: source != model")
+      assert(read(dstDir) == mDst.toSeq.sorted, s"$step: clone != model")
+    }
+
+    def append(dir: String, m: scala.collection.mutable.Map[Long, Long]): Unit = {
+      val rows = (0 until (5 + rnd.nextInt(15)))
+        .map { _ => nextKey += 1; (nextKey, rnd.nextLong(1000)) }
+      graft.streaming.TxLogIngest.appendSink(dir)(df(rows),
+        TxLog.currentVersion(spark, dir).toLong + 1000)
+      rows.foreach { case (k, v) => m(k) = v }
+    }
+    def cowDelete(dir: String, m: scala.collection.mutable.Map[Long, Long]): Unit = {
+      if (m.isEmpty) return
+      val ks = m.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length)); val hi = lo + rnd.nextInt(10)
+      DeleteWhere.range(spark, dir, "k", lo.toDouble, hi.toDouble, None)
+      m.filterInPlace((k, _) => k < lo || k > hi)
+    }
+    def dvDelete(dir: String, m: scala.collection.mutable.Map[Long, Long]): Unit = {
+      if (m.isEmpty) return
+      val ks = m.keys.toSeq.sorted
+      val lo = ks(rnd.nextInt(ks.length)); val hi = lo + rnd.nextInt(10)
+      DeletionVectors.delete(spark, dir, col("k").between(lo, hi))
+      m.filterInPlace((k, _) => k < lo || k > hi)
+    }
+    def morUpsert(dir: String, m: scala.collection.mutable.Map[Long, Long]): Unit = {
+      if (m.isEmpty) return
+      val ks = m.keys.toSeq.sorted
+      val existing = (0 until 3).map(_ => ks(rnd.nextInt(ks.length))).distinct
+      val fresh = (0 until 2).map { _ => nextKey += 1; nextKey }
+      val rows = (existing ++ fresh).map(k => (k, rnd.nextLong(1000)))
+      DeletionVectors.upsert(spark, dir, df(rows), Seq("k"))
+      rows.foreach { case (k, v) => m(k) = v }
+    }
+
+    // seed the source with history worth inheriting: appends + a DV
+    TxLog.convert(spark, srcDir)
+    append(srcDir, mSrc); append(srcDir, mSrc)
+    dvDelete(srcDir, mSrc)
+    TxLog.cloneTo(spark, srcDir, dstDir)
+    mDst ++= mSrc
+    check("post-clone")
+
+    (0 until 16).foreach { i =>
+      val (dir, m) =
+        if (rnd.nextBoolean()) (srcDir, mSrc) else (dstDir, mDst)
+      rnd.nextInt(6) match {
+        case 0 => append(dir, m)
+        case 1 => cowDelete(dir, m)
+        case 2 | 3 => dvDelete(dir, m)
+        case 4 => morUpsert(dir, m)
+        case 5 => if (dir == dstDir) {
+          TxLog.localize(spark, dstDir) // detach mid-history, then go on
+        } else Compact.binPack(spark, dir,
+          targetBytes = 64L << 20, smallBytes = 64L << 20)
+      }
+      check(s"op $i")
+    }
+    // end state: detach fully, vacuum both, delete the source — the
+    // clone must survive on its model exactly
+    TxLog.localize(spark, dstDir)
+    TxLog.vacuum(spark, srcDir, retainVersions = 1)
+    TxLog.vacuum(spark, dstDir, retainVersions = 1)
+    check("post-vacuum")
+    Compact.fsOf(spark, srcDir)
+      .delete(new org.apache.hadoop.fs.Path(srcDir), true)
+    assert(read(dstDir) == mDst.toSeq.sorted, "clone must survive source loss")
+  }
 }
