@@ -1218,6 +1218,31 @@ object Queries {
   def qTxtXent(s: SparkSession, dir: String): DataFrame =
     graft.text.UnigramLm.scoreSelf(t(s, dir, "documents"))
 
+  /** DSIR importance weights ([[graft.text.Dsir.importanceWeights]]):
+    * every raw doc's log likelihood ratio against a target-domain
+    * unigram model (target = every 7th doc — a deterministic stand-in
+    * for "the domain sample"). Hash-green means the two smoothed
+    * models, the OOV fallback and the per-doc ratio sum all land
+    * exactly on DuckDB's independent computation.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Dsir.importanceWeights(
+      docs, docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+  }
+
+  /** DSIR Gumbel-top-k RESAMPLE ([[graft.text.Dsir.resample]]): a
+    * without-replacement sample ∝ exp(logw) under hash-seeded
+    * (md5-portable, fully deterministic) Gumbel noise — the actual
+    * DSIR estimator, reproducible enough for an external engine to
+    * draw the SAME sample. Hash-green = DuckDB draws it.
+    */
+  def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Dsir.resample(
+      docs, docs.filter(pmod(col("doc_id"), lit(7)) === 0), k = 100)
+  }
+
   /** BM25 lexical retrieval ([[graft.text.Bm25]]) — top-10 docs for a
     * fixed query set under Okapi BM25 (k1=1.2, b=0.75, Lucene idf).
     * The postings never shuffle at query time: the tiny query-term

@@ -102,6 +102,8 @@ object SparkEntry {
     "q_txt_tfidf" -> (Queries.qTxtTfidf _),
     "q_hybrid_rrf" -> (Queries.qHybridRrf _),
     "q_txt_xent" -> (Queries.qTxtXent _),
+    "q_dsir_weights" -> (Queries.qDsirWeights _),
+    "q_dsir_resample" -> (Queries.qDsirResample _),
     "q_retention_cohorts" -> (Queries.qRetentionCohorts _),
     "q_join_full" -> (Queries.qJoinFull _),
     "q_split_hash" -> (Queries.qSplitHash _),
@@ -990,6 +992,61 @@ object Oracles {
                 round(-avg(ln(prob)), 4) AS xent
          FROM tok JOIN p USING (term)
          GROUP BY doc_id""",
+
+    // DSIR: target model over every 7th doc, raw model over all;
+    // per-doc log likelihood ratio with α-smoothed OOV fallback
+    "q_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, t.term
+                      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                            FROM documents) d,
+                           UNNEST(toks) AS t(term)),
+         tfr AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         totr AS (SELECT sum(c) AS total, count(*) AS v FROM tfr),
+         pr AS (SELECT term, (c + 1e0) / (totr.total + 1e0 * (totr.v + 1)) AS pr
+                FROM tfr, totr),
+         tft AS (SELECT term, count(*) AS c FROM tok
+                 WHERE doc_id % 7 = 0 GROUP BY 1),
+         tott AS (SELECT sum(c) AS total, count(*) AS v FROM tft),
+         pt AS (SELECT term, (c + 1e0) / (tott.total + 1e0 * (tott.v + 1)) AS pt
+                FROM tft, tott),
+         oovt AS (SELECT 1e0 / (tott.total + 1e0 * (tott.v + 1)) AS oovt
+                  FROM tott)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(sum(ln(coalesce(pt.pt, oovt.oovt)) - ln(pr.pr)), 4)
+                  AS logw
+         FROM tok JOIN pr USING (term) LEFT JOIN pt USING (term), oovt
+         GROUP BY doc_id""",
+
+    // DSIR resample: deterministic Gumbel noise from md5(doc_id)'s
+    // first 8 hex digits — DuckDB draws the SAME top-100 sample
+    "q_dsir_resample" ->
+      """WITH tok AS (SELECT doc_id, t.term
+                      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                            FROM documents) d,
+                           UNNEST(toks) AS t(term)),
+         tfr AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         totr AS (SELECT sum(c) AS total, count(*) AS v FROM tfr),
+         pr AS (SELECT term, (c + 1e0) / (totr.total + 1e0 * (totr.v + 1)) AS pr
+                FROM tfr, totr),
+         tft AS (SELECT term, count(*) AS c FROM tok
+                 WHERE doc_id % 7 = 0 GROUP BY 1),
+         tott AS (SELECT sum(c) AS total, count(*) AS v FROM tft),
+         pt AS (SELECT term, (c + 1e0) / (tott.total + 1e0 * (tott.v + 1)) AS pt
+                FROM tft, tott),
+         oovt AS (SELECT 1e0 / (tott.total + 1e0 * (tott.v + 1)) AS oovt
+                  FROM tott),
+         w AS (SELECT doc_id, count(*) AS n_tokens,
+                      round(sum(ln(coalesce(pt.pt, oovt.oovt)) - ln(pr.pr)), 4)
+                        AS logw
+               FROM tok JOIN pr USING (term) LEFT JOIN pt USING (term), oovt
+               GROUP BY doc_id)
+         SELECT doc_id, n_tokens, logw,
+                round(logw - ln(-ln(
+                  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 0.5) / 4294967296.0)), 4) AS score
+         FROM w
+         ORDER BY score DESC, doc_id
+         LIMIT 100""",
 
     // BM25: identical postings/df/dl/avgdl arithmetic; scores round
     // to 4 decimals BEFORE the rank so engine-side float summation

@@ -1670,11 +1670,20 @@ object TxLog {
     * 10-PB table writes one version file; first divergent write pays
     * only its own cost. Returns the clone's initial version (0).
     */
+  /** `pinSource` closes the documented source-vacuum liability at
+    * clone time: the cloned version gets a source TAG named
+    * `clone.<dst-basename>.<path-hash>` (deterministic, collision-
+    * resistant across same-named clones), which [[vacuum]] keeps
+    * reconstructable — files and log entries — past any retention
+    * count. Drop the tag ([[deleteTag]]) when the clone detaches
+    * ([[localize]]) or dies.
+    */
   def cloneTo(
       spark: SparkSession,
       srcDir: String,
       dstDir: String,
-      version: Int = Int.MaxValue): Int = {
+      version: Int = Int.MaxValue,
+      pinSource: Boolean = false): Int = {
     require(exists(spark, srcDir), s"cloneTo: $srcDir is not TxLog-managed")
     require(!exists(spark, dstDir),
       s"cloneTo: $dstDir is already TxLog-managed")
@@ -1735,6 +1744,12 @@ object TxLog {
       op = Some(s"clone($srcQ@v$v)")),
       s"cloneTo: could not claim v0 in $dstDir")
     metaWrite(spark, dstDir, "clone_source.txt", s"$srcQ\n$v")
+    if (pinSource) {
+      val base = new Path(dstDir).getName.replaceAll("[^A-Za-z0-9_.-]", "_")
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(qualifyAbs(spark, dstDir)))
+      setTag(spark, srcDir, s"clone.$base.$h", v)
+    }
     0
   }
 

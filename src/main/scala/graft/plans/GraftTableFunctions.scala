@@ -202,17 +202,20 @@ object GraftTableFunctions {
       graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),
         int(f, fn, 2), int(t0, fn, 3),
         str(k, fn, 4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case ("graft_clone", Seq(s0, d0)) =>
+    case ("graft_clone", rest @ Seq(s0, d0, _*)) if rest.length <= 4 =>
       val src = str(s0, fn, 0)
       val dst = str(d0, fn, 1)
-      val v = TxLog.cloneTo(spark, src, dst)
-      procReceipt(spark, "clone", dst, Seq(
-        "version" -> v.toLong,
-        "entries" -> TxLog.liveEntries(spark, dst).size.toLong))
-    case ("graft_clone", Seq(s0, d0, v0)) =>
-      val src = str(s0, fn, 0)
-      val dst = str(d0, fn, 1)
-      val v = TxLog.cloneTo(spark, src, dst, int(v0, fn, 2))
+      // 3rd arg: a version number OR a source tag name; 4th: 'pin'
+      // tags the cloned version on the source so vacuum keeps it
+      val srcV = rest.lift(2).map { e =>
+        if (e.dataType == org.apache.spark.sql.types.StringType) {
+          val name = str(e, fn, 2)
+          TxLog.tags(spark, src).getOrElse(name,
+            throw new IllegalArgumentException(s"graft_clone: no tag '$name'"))
+        } else int(e, fn, 2)
+      }.getOrElse(Int.MaxValue)
+      val pin = rest.lift(3).exists(e => str(e, fn, 3) == "pin")
+      val v = TxLog.cloneTo(spark, src, dst, srcV, pinSource = pin)
       procReceipt(spark, "clone", dst, Seq(
         "version" -> v.toLong,
         "entries" -> TxLog.liveEntries(spark, dst).size.toLong))
@@ -418,7 +421,7 @@ object GraftTableFunctions {
       ("graft_db_changes",
         "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
       ("graft_clone",
-        "graft_clone(src, dst[, version]) - PROCEDURE: zero-copy shallow clone (metadata-only)"),
+        "graft_clone(src, dst[, version|tag[, 'pin']]) - PROCEDURE: zero-copy shallow clone (metadata-only; 'pin' tags the source so vacuum keeps the cloned version)"),
       ("graft_clone_source",
         "graft_clone_source(dir) - clone provenance: (source, source_version), empty if never cloned"),
       ("graft_localize",

@@ -92,9 +92,23 @@ final class ChangeFeedSource(
     * it; omitted, the floor is the current version (new commits
     * only).
     */
-  private val floorVersion: Int =
+  private val floorVersion: Int = {
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "graft-cdc: pass startingVersion OR startingTimestamp, not both")
     parameters.get("startingVersion").map(_.toInt - 1)
+      .orElse(parameters.get("startingTimestamp").map { ts =>
+        // replay every commit AFTER the wall-clock time: versionAsOf
+        // gives the newest commit at-or-before it = the floor; a time
+        // before the first retained commit replays the whole history
+        // (Delta's startingTimestamp convention)
+        val millis =
+          java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime
+        try TxLog.versionAsOf(spark, path, millis)
+        catch { case _: IllegalArgumentException => -1 }
+      })
       .getOrElse(TxLog.currentVersion(spark, path))
+  }
 
   /** Rate limit (Delta's maxFilesPerTrigger analog at the version
     * granularity the offsets already use): each microbatch advances

@@ -315,6 +315,41 @@ class CloneSpec extends SparkSpec {
     assert(r2.localized == 0 && r2.bytesCopied == 0)
   }
 
+  test("pinSource: the cloned version survives aggressive source vacuum") {
+    val src = freshTable()
+    val dst = cloneDir()
+    TxLog.cloneTo(spark, src, dst, pinSource = true)
+    assert(TxLog.tags(spark, src).keys.exists(_.startsWith("clone.")))
+    // churn + hard vacuum on the source: without the pin this would
+    // reclaim v0's files out from under the clone
+    DeleteWhere.range(spark, src, "o_orderkey", 1, 3000)
+    DeleteWhere.range(spark, src, "o_orderkey", 3001, 6000)
+    TxLog.vacuum(spark, src, retainVersions = 1)
+    assert(same(TxLog.snapshot(spark, dst), orders)) // clone intact
+    // detach, drop the pin, vacuum again: now the bytes reclaim
+    TxLog.localize(spark, dst)
+    val tag = TxLog.tags(spark, src).keys.find(_.startsWith("clone.")).get
+    TxLog.deleteTag(spark, src, tag)
+    val reclaimed = TxLog.vacuum(spark, src, retainVersions = 1)
+    assert(reclaimed > 0)
+    assert(same(TxLog.snapshot(spark, dst), orders))
+  }
+
+  test("SQL surface: graft_clone at a tag with 'pin'") {
+    graft.GraftExtensions.installInto(spark)
+    val src = freshTable()
+    TxLog.setTag(spark, src, "release")              // pins v0
+    TxLog.append(spark, src, orders.limit(5))        // v1 after the tag
+    val dst = cloneDir()
+    val r = spark.sql(
+      s"SELECT * FROM graft_clone('$src', '$dst', 'release', 'pin')")
+      .collect().head
+    assert(r.getAs[Long]("entries") == 8)
+    assert(same(TxLog.snapshot(spark, dst), orders)) // the TAGGED state
+    assert(TxLog.tags(spark, src).keys.exists(_.startsWith("clone.")))
+    assert(TxLog.cloneSource(spark, dst).exists(_._2 == 0))
+  }
+
   test("guard rails: no clone onto a managed/occupied path, no self-clone") {
     val src = freshTable()
     intercept[IllegalArgumentException] {

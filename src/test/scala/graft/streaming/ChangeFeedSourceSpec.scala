@@ -169,4 +169,41 @@ class ChangeFeedSourceSpec extends SparkSpec {
       assert(rows == Set((1L, "delete", v1 + 1)))
     } finally q.stop()
   }
+
+  test("startingTimestamp replays commits after the wall-clock time") {
+    val dir = Files.createTempDirectory("cdc_ts").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir) // v0
+    Thread.sleep(1100) // local-fs mtimes are second-granular
+    val cut = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(1100)
+    UpsertWhere.byKeys(spark, dir, "k", Seq((3L, "c")).toDF("k", "v")) // v1
+    val sink = uniq("cdc_ts_sink")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("startingTimestamp", cut).load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ts_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only v1's insert — v0 predates the cut, so no snapshot replay
+      val rows = spark.table(sink)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(rows == Set((3L, "insert")))
+    } finally q.stop()
+    // a time before the first commit replays EVERYTHING
+    val sink2 = uniq("cdc_ts_sink")
+    val q2 = spark.readStream.format("graft-cdc")
+      .option("path", dir)
+      .option("startingTimestamp", "2000-01-01 00:00:00").load()
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ts_ck2").toString)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(sink2).count() == 3)
+    } finally q2.stop()
+  }
 }
