@@ -4475,6 +4475,50 @@ object Queries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** The FULL SQL MERGE surface ([[graft.plans.GraftDml]]'s general
+    * executor): conditional matched clauses in priority order
+    * (DELETE first, a guarded partial UPDATE second, UPDATE SET *
+    * third), INSERT * for fresh keys, and WHEN NOT MATCHED BY SOURCE
+    * with its own condition — one statement, one merge-on-read
+    * commit. Hash-green means clause ordering, per-clause condition
+    * evaluation, partial-SET semantics (unassigned columns keep the
+    * target value) and the target-only clause all land exactly on
+    * DuckDB's replay of the same algebra.
+    */
+  def qSqlMergeFull(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = s"$indexQueryDir/sql_merge_full"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(path)
+    graft.ops.TxLog.convert(s, path) // v0
+    o.filter(col("o_orderkey") <= 2000)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+      .unionByName(o.filter(col("o_orderkey") < 40)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", lit(0.0))
+        .withColumn("o_orderpriority", lit("9-NEW")))
+      .createOrReplaceTempView("merge_full_src")
+    val r = graft.plans.GraftDml.sql(s,
+      s"""MERGE INTO parquet.`$path` AS t USING merge_full_src AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+         |WHEN MATCHED AND s.o_totalprice > 150000 THEN
+         |  UPDATE SET o_totalprice = s.o_totalprice,
+         |             o_orderpriority = 'HOT'
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 13 = 0
+         |  THEN DELETE
+         |""".stripMargin).head()
+    require(r.getString(0) == "merge" && r.getLong(2) > 0,
+      s"general MERGE must fire: $r")
+    graft.ops.TxLog.snapshot(s, path).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
   /** Clone DETACH ([[graft.ops.TxLog.localize]]): a shallow clone of
     * a DV-carrying table takes a CoW edit (localizing its candidate
     * files), then `localize` copies every still-based entry's live

@@ -192,6 +192,7 @@ object SparkEntry {
     "q_clone_dv" -> (Queries.qCloneDv _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
+    "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
     "q_sql_timetravel" -> (Queries.qSqlTimetravel _),
     "q_txlog_replicate" -> (Queries.qTxlogReplicate _),
     "q_txlog_constraint" -> (Queries.qTxlogConstraint _),
@@ -2167,6 +2168,37 @@ object Oracles {
            AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
          UNION ALL
          SELECT * FROM src""",
+
+    // full MERGE surface: F-status matches delete (first clause wins),
+    // expensive matches take the guarded partial UPDATE (priority HOT,
+    // date/status/custkey KEPT from target), the rest UPDATE SET *,
+    // fresh keys insert, and unmatched targets divisible by 13 retire
+    "q_sql_merge_full" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 7.0 AS o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, 0.0,
+                  o_orderdate, '9-NEW'
+           FROM orders WHERE o_orderkey < 40
+         )
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM (
+           SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+                  s.o_totalprice AS o_totalprice, t.o_orderdate,
+                  CASE WHEN s.o_totalprice > 150000 THEN 'HOT'
+                       ELSE s.o_orderpriority END AS o_orderpriority
+           FROM orders t JOIN src s USING (o_orderkey)
+           WHERE t.o_orderstatus <> 'F'
+           UNION ALL
+           SELECT * FROM src WHERE o_orderkey >= 10000000
+           UNION ALL
+           SELECT * FROM orders
+           WHERE o_orderkey > 2000 AND o_orderkey % 13 <> 0
+         )""",
 
     // clone detach: pre-clone vectors fold in during localize, the
     // CoW edit localized its own candidates, and the source directory

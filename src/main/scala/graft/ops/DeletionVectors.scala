@@ -294,6 +294,93 @@ object DeletionVectors {
     names
   }
 
+  /** The positioned snapshot of `candidates` (entry names; None = all
+    * live files): the table's rows plus `__graft_file`/`__graft_pos`
+    * — what a row-precise writer (the general SQL MERGE) matches
+    * against before handing exact positions to [[applyRowChanges]].
+    */
+  def positionedSnapshot(
+      spark: SparkSession,
+      dir: String,
+      candidates: Option[Seq[String]] = None): DataFrame = {
+    require(TxLog.exists(spark, dir),
+      s"positionedSnapshot requires a TxLog-managed table: $dir")
+    val entries = TxLog.liveEntries(spark, dir)
+    val cand = candidates match {
+      case Some(cs) => val c = cs.toSet; entries.filter(e => c(e.name))
+      case None => entries
+    }
+    TxLog.readEntries(spark, dir, cand, withPos = true)
+  }
+
+  /** ROW-PRECISE MERGE COMMIT: hide the exact `(file, pos)` pairs in
+    * `hides` behind a merged deletion vector AND land `appends`
+    * (target-schema rows) as fresh files — one atomic commit, the
+    * general executor every SQL MERGE shape (conditional clauses,
+    * UPDATE+DELETE mixes, NOT MATCHED BY SOURCE) lowers onto: an
+    * UPDATE is its old position in `hides` plus its new image in
+    * `appends`; a DELETE is just the position; an INSERT just the
+    * image. Write cost O(changed rows), the merge-on-read economics.
+    * `hides` columns: `__graft_file`, `__graft_pos` (as
+    * [[positionedSnapshot]] returns them).
+    */
+  def applyRowChanges(
+      spark: SparkSession,
+      dir: String,
+      hides: DataFrame,
+      appends: DataFrame,
+      txn: Option[String] = None,
+      op: String = "merge"): UpsertReceipt = {
+    require(TxLog.exists(spark, dir),
+      s"applyRowChanges requires a TxLog-managed table: $dir")
+    txn.foreach { t =>
+      if (TxLog.txnCommitted(spark, dir, t))
+        return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
+          0, 0, 0, None)
+    }
+    TxLog.enforceConstraints(spark, dir, appends)
+    val entries = TxLog.liveEntries(spark, dir)
+    val hide = hides
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      .distinct().localCheckpoint()
+    val hiddenRows = hide.count()
+    val touched =
+      if (hiddenRows == 0) Nil
+      else {
+        val rels = hide.select("file").distinct()
+          .collect().map(_.getString(0)).toSet // bounded by file count
+        entries.filter(e => rels(e.name))
+      }
+    val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
+    // snapshot columns include path-encoded partition columns a bare
+    // pin lacks; empty tables fall back to the pin, then the batch
+    val cols: Seq[String] =
+      if (entries.nonEmpty) TxLog.read(spark, dir).columns.toSeq
+      else TxLog.tableSchema(spark, dir).map(_.fieldNames.toSeq)
+        .getOrElse(appends.columns.toSeq)
+    val aligned = appends.select(cols.map(col): _*)
+    val newNames =
+      if (aligned.isEmpty) Nil else stageAppend(spark, dir, aligned, pcols)
+    if (hiddenRows == 0 && newNames.isEmpty)
+      return UpsertReceipt(entries.size.toLong, 0, 0, 0, None)
+    val dvName =
+      if (hiddenRows == 0) None
+      else {
+        val prior = priorDvRows(spark, dir, touched)
+        Some(writeSidecar(spark, dir,
+          prior.map(_.unionByName(hide)).getOrElse(hide)))
+      }
+    TxLog.commitEntries(spark, dir,
+      adds = touched.map(e => e.copy(dv = dvName, dvBase = None))
+        .sortBy(_.name) ++ newNames.map(TxLog.AddEntry(_)),
+      removes = touched.map(_.name).sorted,
+      txn = txn,
+      seen = touched,
+      op = Some(op))
+    UpsertReceipt(entries.size.toLong, touched.size.toLong, hiddenRows,
+      newNames.size.toLong, dvName)
+  }
+
   /** The general form: `matchRows` maps the positioned snapshot of
     * the candidate files to the rows to hide (it must preserve the
     * `__graft_file`/`__graft_pos` columns). Every public delete

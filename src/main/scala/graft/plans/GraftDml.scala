@@ -322,22 +322,21 @@ object GraftDml {
         else None
       case _ => None
     }
-    val keyCols: Seq[String] = conjuncts(m.mergeCondition).map {
+    val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
       case EqualTo(l, r) =>
         (sideAndName(l), sideAndName(r)) match {
-          case (Some(("t", tn)), Some(("s", sn))) if tn == sn => tn
-          case (Some(("s", sn)), Some(("t", tn))) if tn == sn => tn
+          case (Some(("t", tn)), Some(("s", sn))) => (tn, sn)
+          case (Some(("s", sn)), Some(("t", tn))) => (tn, sn)
           case other => throw new IllegalArgumentException(
             s"MERGE: unsupported ON conjunct ${EqualTo(l, r).sql} — " +
-              "v1 supports t.k = s.k equalities on same-named columns " +
+              "t.k = s.k equalities only " +
               s"(got $other)")
         }
       case other => throw new IllegalArgumentException(
         s"MERGE: unsupported ON conjunct — equality only, got ${other.sql}")
     }
-    require(keyCols.nonEmpty, "MERGE: no key columns in ON")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE: WHEN NOT MATCHED BY SOURCE is not supported (v1)")
+    require(keyPairs.nonEmpty, "MERGE: no key columns in ON")
+    val keyCols = keyPairs.map(_._1)
     def unconditional(a: MergeAction): Boolean = a match {
       case UpdateStarAction(c) => c.isEmpty
       case InsertStarAction(c) => c.isEmpty
@@ -356,18 +355,22 @@ object GraftDml {
           case _ => false
         }
       }
-    require(m.matchedActions.forall(unconditional) &&
-        m.notMatchedActions.forall(unconditional),
-      "MERGE: v1 supports unconditional UPDATE SET * / INSERT * / " +
-        "DELETE actions only")
     val isUpsert = m.matchedActions.exists {
       case _: UpdateStarAction | _: UpdateAction => true; case _ => false
     } || m.notMatchedActions.nonEmpty
     val isDelete = m.matchedActions.exists {
       case _: DeleteAction => true; case _ => false
     }
-    require(!(isUpsert && isDelete),
-      "MERGE: v1 supports UPDATE+INSERT or DELETE, not both")
+    // the canonical shapes keep their key-pruned fast paths; every
+    // other clause combination lowers onto the general row-precise
+    // executor
+    val simple = m.notMatchedBySourceActions.isEmpty &&
+      m.matchedActions.forall(unconditional) &&
+      m.notMatchedActions.forall(unconditional) &&
+      !(isUpsert && isDelete) &&
+      keyPairs.forall(p => p._1.equalsIgnoreCase(p._2))
+    if (!simple)
+      return runMergeGeneral(spark, path, m, keyPairs, tAlias, sAlias, source)
     if (isDelete) {
       import org.apache.spark.sql.functions.col
       val keys = source.select(keyCols.map(col): _*).distinct()
@@ -381,6 +384,212 @@ object GraftDml {
       Seq(Row("merge", path, srcRows, r.touched + r.insertedFiles,
         TxLog.currentVersion(spark, path).toLong))
     }
+  }
+
+  /** The GENERAL MERGE executor — conditional clauses (`WHEN MATCHED
+    * AND cond`), explicit SET lists, UPDATE+DELETE mixes and `WHEN
+    * NOT MATCHED BY SOURCE` — by lowering every clause onto ONE
+    * row-precise merge-on-read commit ([[DeletionVectors
+    * .applyRowChanges]]): the positioned target joins the source on
+    * the key equality, each row class (matched / source-only /
+    * target-only) picks its FIRST satisfied clause (SQL MERGE order
+    * semantics; a NULL condition never fires), an UPDATE contributes
+    * its old position to the hide-set and its new image to the
+    * append-set, a DELETE just the position, an INSERT just the
+    * image. A target row matched by more than one source row whose
+    * clause fires is rejected — the SQL nondeterministic-update
+    * error. Cost: one join over the target snapshot + O(changed
+    * rows) write bytes; `WHEN NOT MATCHED BY SOURCE` inherently
+    * reads the whole target (every target row is a candidate).
+    */
+  private def runMergeGeneral(
+      spark: SparkSession,
+      path: String,
+      m: MergeIntoTable,
+      keyPairs: Seq[(String, String)],
+      tAlias: Option[String],
+      sAlias: Option[String],
+      source: DataFrame): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val tSet = m.targetTable.outputSet
+    val sSet = m.sourceTable.outputSet
+    val empty = TxLog.liveFiles(spark, path).isEmpty
+    val tSchema =
+      if (empty) TxLog.tableSchema(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          "MERGE into an empty un-pinned table — pin a schema first"))
+      else TxLog.read(spark, path).schema
+    val tCols = tSchema.fieldNames.toSeq
+    val sCols = source.columns.toSeq
+    def canon(cols: Seq[String], n: String): Option[String] =
+      cols.find(_.equalsIgnoreCase(n))
+    def ucol(prefix: String, n: String) =
+      UnresolvedAttribute(Seq(prefix + n))
+    // rewrite a clause expression onto the prefixed join frame; `bare`
+    // fixes which side unqualified names may mean ("s" inside INSERT
+    // values, "t" inside NOT MATCHED BY SOURCE, "auto" elsewhere —
+    // ambiguity is an error, the SQL rule)
+    def rw(e: Expression, bare: String): org.apache.spark.sql.Column =
+      GraftShim.column(e.transformUp {
+        case a: AttributeReference if tSet.contains(a) =>
+          ucol("__t_", canon(tCols, a.name).getOrElse(a.name))
+        case a: AttributeReference if sSet.contains(a) =>
+          ucol("__s_", canon(sCols, a.name).getOrElse(a.name))
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          ucol("__t_",
+            canon(tCols, a.nameParts.last).getOrElse(a.nameParts.last))
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            sAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+          ucol("__s_",
+            canon(sCols, a.nameParts.last).getOrElse(a.nameParts.last))
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          val n = a.nameParts.head
+          (canon(tCols, n), canon(sCols, n), bare) match {
+            case (_, Some(s0), "s") => ucol("__s_", s0)
+            case (Some(t0), _, "t") => ucol("__t_", t0)
+            case (Some(t0), None, _) => ucol("__t_", t0)
+            case (None, Some(s0), _) => ucol("__s_", s0)
+            case (Some(_), Some(_), _) => throw new IllegalArgumentException(
+              s"MERGE: ambiguous column $n — qualify with the " +
+                "target/source alias")
+            case _ => throw new IllegalArgumentException(
+              s"MERGE: unknown column $n")
+          }
+      })
+    def condOf(a: MergeAction): Option[Expression] = a match {
+      case UpdateAction(c, _, _) => c
+      case UpdateStarAction(c) => c
+      case DeleteAction(c) => c
+      case InsertAction(c, _) => c
+      case InsertStarAction(c) => c
+      case other => throw new IllegalArgumentException(
+        s"MERGE: unsupported action $other")
+    }
+    // first-satisfied-clause index (1-based; 0 = no clause fires)
+    def clauseIdx(actions: Seq[MergeAction], bare: String) =
+      actions.zipWithIndex.foldRight(lit(0)) { case ((a, i), els) =>
+        when(condOf(a).map(rw(_, bare)).getOrElse(lit(true)), lit(i + 1))
+          .otherwise(els)
+      }
+    // the target-schema image an UPDATE/INSERT action produces
+    def image(a: MergeAction, bare: String): Seq[org.apache.spark.sql.Column] =
+      a match {
+        case _: UpdateStarAction | _: InsertStarAction =>
+          tCols.map(c => col("__s_" + canon(sCols, c).getOrElse(
+            throw new IllegalArgumentException(
+              s"MERGE: * needs source column $c"))).as(c))
+        case UpdateAction(_, as, _) => assignImage(as, bare, insert = false)
+        case InsertAction(_, as) => assignImage(as, bare, insert = true)
+        case other => throw new IllegalStateException(s"image($other)")
+      }
+    def assignImage(as: Seq[Assignment], bare: String, insert: Boolean) = {
+      val byKey: Map[String, Expression] = as.map { a =>
+        val key = a.key match {
+          case UnresolvedAttribute(parts) =>
+            canon(tCols, parts.last).getOrElse(
+              throw new IllegalArgumentException(
+                s"MERGE: SET/INSERT names unknown target column " +
+                  s"${parts.last}"))
+          case ar: AttributeReference =>
+            canon(tCols, ar.name).getOrElse(ar.name)
+          case other => throw new IllegalArgumentException(
+            s"MERGE: unsupported assignment key $other")
+        }
+        key -> a.value
+      }.toMap
+      tCols.map { c =>
+        byKey.get(c).map(v => rw(v, bare).as(c)).getOrElse(
+          if (insert) // unnamed column of an INSERT (cols) list → NULL
+            lit(null).cast(tSchema(c).dataType).as(c)
+          else col("__t_" + c).as(c)) // UPDATE keeps the current value
+      }
+    }
+    val src = source.select(sCols.map(c => col(c).as("__s_" + c)): _*)
+      .localCheckpoint()
+    val tgt =
+      if (empty) None
+      else Some(DeletionVectors.positionedSnapshot(spark, path).select(
+        tCols.map(c => col(c).as("__t_" + c)) ++
+          Seq(col("__graft_file"), col("__graft_pos")): _*))
+    val joinCond = keyPairs.map { case (tk, sk) =>
+      col("__t_" + canon(tCols, tk).getOrElse(tk)) ===
+        col("__s_" + canon(sCols, sk).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE: ON key $sk is not a source column")))
+    }.reduce(_ && _)
+    val emptyHides = src.limit(0).select(
+      lit("").as("__graft_file"), lit(0L).as("__graft_pos"))
+    var hides = Seq(emptyHides)
+    var appends = Seq.empty[DataFrame] // update images (their rows hide too)
+    var inserts = Seq.empty[DataFrame] // brand-new rows
+    // MATCHED clauses
+    if (m.matchedActions.nonEmpty && tgt.isDefined) {
+      val matched = tgt.get.join(src, joinCond, "inner")
+        .withColumn("__clause", clauseIdx(m.matchedActions, "auto"))
+        .localCheckpoint() // clause masks + images + dup check share it
+      val fired = matched.filter(col("__clause") > 0)
+      val dups = fired.groupBy("__graft_file", "__graft_pos")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      require(dups == 0,
+        "MERGE: a target row matches multiple source rows with an " +
+          "applicable clause — nondeterministic update (dedupe the " +
+          "source on the ON keys first)")
+      hides :+= fired.select(col("__graft_file"), col("__graft_pos"))
+      m.matchedActions.zipWithIndex.foreach {
+        case (_: DeleteAction, _) => () // position hidden, no image
+        case (a, i) =>
+          appends :+= matched.filter(col("__clause") === i + 1)
+            .select(image(a, "auto"): _*)
+      }
+    }
+    // NOT MATCHED (by target) clauses — source-only rows insert
+    if (m.notMatchedActions.nonEmpty) {
+      val srcOnly = (tgt match {
+        case Some(t0) =>
+          val tgtKeys = t0.select(keyPairs.map(p =>
+            col("__t_" + canon(tCols, p._1).getOrElse(p._1))): _*).distinct()
+          src.join(tgtKeys, joinCond, "left_anti")
+        case None => src
+      }).withColumn("__clause", clauseIdx(m.notMatchedActions, "s"))
+      m.notMatchedActions.zipWithIndex.foreach { case (a, i) =>
+        inserts :+= srcOnly.filter(col("__clause") === i + 1)
+          .select(image(a, "s"): _*)
+      }
+    }
+    // NOT MATCHED BY SOURCE clauses — target-only rows update/delete
+    if (m.notMatchedBySourceActions.nonEmpty && tgt.isDefined) {
+      val srcKeys = src.select(keyPairs.map(p =>
+        col("__s_" + canon(sCols, p._2).getOrElse(p._2))): _*).distinct()
+      val tgtOnly = tgt.get.join(srcKeys, joinCond, "left_anti")
+        .withColumn("__clause",
+          clauseIdx(m.notMatchedBySourceActions, "t"))
+        .localCheckpoint()
+      hides :+= tgtOnly.filter(col("__clause") > 0)
+        .select(col("__graft_file"), col("__graft_pos"))
+      m.notMatchedBySourceActions.zipWithIndex.foreach {
+        case (_: DeleteAction, _) => ()
+        case (a, i) =>
+          appends :+= tgtOnly.filter(col("__clause") === i + 1)
+            .select(image(a, "t"): _*)
+      }
+    }
+    val allHides = hides.reduce(_ unionByName _)
+    val emptyImages = src.limit(0).select(tCols.map(c =>
+      lit(null).cast(tSchema(c).dataType).as(c)): _*)
+    val allInserts = inserts.reduceOption(_ unionByName _)
+      .getOrElse(emptyImages)
+      .localCheckpoint() // one plan for the count and the staged write
+    val insertRows = allInserts.count()
+    val allAppends = appends.reduceOption(_ unionByName _)
+      .getOrElse(emptyImages).unionByName(allInserts)
+    // affected = rows hidden (deletes + updates, each once) + fresh
+    // inserts — an UPDATE's new image is not double-counted
+    val r = DeletionVectors.applyRowChanges(
+      spark, path, allHides, allAppends, op = "merge")
+    Seq(Row("merge", path, r.replacedRows + insertRows,
+      r.touched + r.insertedFiles,
+      TxLog.currentVersion(spark, path).toLong))
   }
 
   /** The command the injected rule rewrites DML plans into — executes

@@ -136,6 +136,117 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("k") === 2).head().getString(1) == "b")
   }
 
+  test("general MERGE: conditional clauses, first-match-wins, UPDATE+DELETE mix") {
+    val dir = freshTable()
+    orders.filter(col("o_orderkey") <= 200)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+      .createOrReplaceTempView("gm_src")
+    val receipt = GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING gm_src AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |""".stripMargin).head()
+    assert(receipt.getString(0) == "merge")
+    val matched = orders.filter(col("o_orderkey") <= 200)
+    val expected = orders
+      .filter(col("o_orderkey") > 200 || col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") <= 200 && col("o_orderstatus") =!= "F",
+          col("o_totalprice") + 7.0).otherwise(col("o_totalprice")))
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // F-status matches deleted, the rest updated; receipt counts both
+    assert(receipt.getLong(2) == matched.count())
+  }
+
+  test("general MERGE: WHEN NOT MATCHED BY SOURCE DELETE gives sync semantics") {
+    val dir = freshTable()
+    orders.filter(col("o_orderkey").between(1, 500))
+      .withColumn("o_orderpriority", lit("SYNC"))
+      .createOrReplaceTempView("gm_sync")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING gm_sync AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val expected = orders.filter(col("o_orderkey").between(1, 500))
+      .withColumn("o_orderpriority", lit("SYNC"))
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("general MERGE: NOT MATCHED BY SOURCE conditional UPDATE touches only its slice") {
+    val dir = freshTable()
+    orders.filter(col("o_orderkey") <= 50).createOrReplaceTempView("gm_nm")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING gm_nm AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+         |  THEN UPDATE SET o_orderpriority = 'STALE'
+         |""".stripMargin)
+    val expected = orders.withColumn("o_orderpriority",
+      when(col("o_orderkey") > 50 && col("o_orderstatus") === "P",
+        lit("STALE")).otherwise(col("o_orderpriority")))
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("general MERGE: INSERT (cols) VALUES back-fills unnamed columns with NULL") {
+    val dir = freshTable()
+    Seq((90000001L, 42L)).toDF("k", "c")
+      .createOrReplaceTempView("gm_ins")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING gm_ins AS s
+         |ON t.o_orderkey = s.k
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_custkey) VALUES (s.k, s.c * 10)
+         |""".stripMargin)
+    val row = TxLog.snapshot(spark, dir)
+      .filter(col("o_orderkey") === 90000001L).collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Long]("o_custkey") == 420L)
+    assert(row.head.isNullAt(row.head.fieldIndex("o_orderstatus")))
+  }
+
+  test("general MERGE: duplicate source matches are rejected") {
+    val dir = freshTable()
+    orders.filter(col("o_orderkey") <= 20)
+      .unionByName(orders.filter(col("o_orderkey") <= 20))
+      .createOrReplaceTempView("gm_dup")
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        s"""MERGE INTO parquet.`$dir` AS t USING gm_dup AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_totalprice > 0 THEN DELETE
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
+  test("general MERGE on a shallow clone localizes only what it touches") {
+    val src = freshTable()
+    val dst = Files.createTempDirectory("dml_clone").toString + "/c"
+    TxLog.cloneTo(spark, src, dst)
+    orders.filter(col("o_orderkey") <= 100).createOrReplaceTempView("gm_cl")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dst` AS t USING gm_cl AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND t.o_totalprice < 100000 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'BIG'
+         |""".stripMargin)
+    val expected = orders
+      .filter(col("o_orderkey") > 100 || col("o_totalprice") >= 100000)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") <= 100 && col("o_totalprice") >= 100000,
+          lit("BIG")).otherwise(col("o_orderpriority")))
+    val got = TxLog.snapshot(spark, dst)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(TxLog.snapshot(spark, src).count() == orders.count())
+  }
+
   test("non-DML statements fall through to spark.sql") {
     val n = GraftDml.sql(spark, "SELECT 1 AS one").head().getInt(0)
     assert(n == 1)
