@@ -26,8 +26,16 @@ object Maintenance {
       foldedFiles: Long,
       packedFiles: Long,
       filesReclaimed: Long,
-      checkpointedAt: Int)
+      checkpointedAt: Int,
+      localizedFiles: Long = 0)
 
+  /** `localizeClones = true` adds the clone-detach step: a shallow
+    * clone's still-based entries copy local ([[TxLog.localize]])
+    * BEFORE the pack, so the freshly-copied files join the same
+    * maintenance pass — the knob a clone owner flips when the source
+    * is scheduled to retire. Default off: shared bytes are the point
+    * of a clone.
+    */
   def run(
       spark: SparkSession,
       dir: String,
@@ -37,11 +45,15 @@ object Maintenance {
       sortCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
       retainVersions: Int = -1,
-      retainMs: Long = -1L): Receipt = {
+      retainMs: Long = -1L,
+      localizeClones: Boolean = false): Receipt = {
     require(retainVersions < 0 || retainMs < 0,
       "pick ONE retention axis: retainVersions or retainMs")
     Compact.recover(spark, dir)
     val logged = TxLog.exists(spark, dir)
+    val localized =
+      if (!logged || !localizeClones) 0L
+      else TxLog.localize(spark, dir, targetBytes).localized
     val folded =
       if (!logged) 0L
       else DeletionVectors.materializeWhere(spark, dir, dvFoldFraction)
@@ -56,6 +68,6 @@ object Maintenance {
       else if (retainVersions >= 0)
         TxLog.vacuum(spark, dir, retainVersions)
       else 0L
-    Receipt(folded, packed, reclaimed, cp)
+    Receipt(folded, packed, reclaimed, cp, localized)
   }
 }

@@ -196,7 +196,16 @@ object GraftTableFunctions {
       procReceipt(spark, "export-manifest", dir, Seq(
         "files_listed" -> n, "version" -> int(v, fn, 1).toLong))
     case ("graft_changes", Seq(d, f, t0, k)) =>
-      TxLog.changes(spark, str(d, fn, 0), int(f, fn, 1), int(t0, fn, 2),
+      // version numbers or tag names, mixed freely — the audit CDF
+      // between two releases is graft_changes(dir, 'v1.0', 'v1.1', 'id')
+      val dir = str(d, fn, 0)
+      def ver(e: Expression, pos: Int): Int =
+        if (e.dataType == org.apache.spark.sql.types.StringType) {
+          val name = str(e, fn, pos)
+          TxLog.tags(spark, dir).getOrElse(name,
+            throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
+        } else int(e, fn, pos)
+      TxLog.changes(spark, dir, ver(f, 1), ver(t0, 2),
         str(k, fn, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case ("graft_db_changes", Seq(d, tb, f, t0, k)) =>
       graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),

@@ -140,6 +140,18 @@ class CdfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft_changes resolves TAG names: the audit CDF between releases") {
+    graft.GraftExtensions.installInto(spark)
+    val dir = freshTable()
+    TxLog.setTag(spark, dir, "rel1") // v0
+    DeleteWhere.range(spark, dir, "o_orderkey", 1, 25) // v1
+    TxLog.setTag(spark, dir, "rel2")
+    val n = spark.sql(
+      s"SELECT * FROM graft_changes('$dir', 'rel1', 'rel2', 'o_orderkey')")
+      .filter(col("_change_type") === "delete").count()
+    assert(n == orders.filter(col("o_orderkey").between(1, 25)).count())
+  }
+
   test("changes on a shallow clone read through based entries") {
     val src = freshTable()
     val dst = Files.createTempDirectory("cdf_clone").toString + "/c"

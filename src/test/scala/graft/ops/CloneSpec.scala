@@ -350,6 +350,26 @@ class CloneSpec extends SparkSpec {
     assert(TxLog.cloneSource(spark, dst).exists(_._2 == 0))
   }
 
+  test("Maintenance(localizeClones) detaches, folds, packs in one pass") {
+    val src = freshTable()
+    DeletionVectors.delete(spark, src, col("o_orderkey") <= 10)
+    val dst = cloneDir()
+    TxLog.cloneTo(spark, src, dst)
+    val r = Maintenance.run(spark, dst, localizeClones = true,
+      retainVersions = 1)
+    assert(r.localizedFiles == 8)
+    assert(TxLog.liveEntries(spark, dst).forall(e =>
+      e.base.isEmpty && e.dvBase.isEmpty))
+    assert(same(TxLog.snapshot(spark, dst),
+      orders.filter(col("o_orderkey") > 10)))
+    // default run stays zero-copy
+    val dst2 = cloneDir()
+    TxLog.cloneTo(spark, src, dst2)
+    val r2 = Maintenance.run(spark, dst2)
+    assert(r2.localizedFiles == 0 &&
+      TxLog.liveEntries(spark, dst2).exists(_.base.isDefined))
+  }
+
   test("guard rails: no clone onto a managed/occupied path, no self-clone") {
     val src = freshTable()
     intercept[IllegalArgumentException] {
