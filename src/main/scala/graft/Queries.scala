@@ -4682,4 +4682,82 @@ object Queries {
       .unionByName(graft.ops.TxLog.snapshot(s, src).select(cols: _*)
         .withColumn("side", lit("source")))
   }
+
+  /** COLUMN MAPPING ([[graft.ops.ColumnMapping]]): `ALTER TABLE …
+    * RENAME COLUMN` is metadata-only — data files keep their physical
+    * names forever; the pin carries logical→physical (Delta name-mode
+    * mapping on the log's versioned pins). After the rename every DML
+    * family keeps working through the NEW name: a SQL UPDATE, a MOR
+    * upsert, a SQL DELETE and an append — and the query ASSERTS that
+    * no live file ever spells the new name (nothing rewrote) while
+    * the snapshot reads it everywhere. Hash-green means the logical
+    * view lands exactly on DuckDB's replay with the rename applied as
+    * a projection.
+    */
+  def qColmapRename(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val p = s"$indexQueryDir/colmap_rename"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(p)
+    graft.ops.TxLog.convert(s, p) // v0
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` RENAME COLUMN o_totalprice TO price") // v1
+    // every write family through the NEW logical name
+    graft.plans.GraftDml.sql(s,
+      s"UPDATE parquet.`$p` SET price = price * 2 WHERE o_orderkey % 997 = 0")
+    graft.ops.DeletionVectors.upsert(s, p,
+      o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("price", col("price") + 1),
+      keyCols = Seq("o_orderkey")) // MOR merge
+    graft.plans.GraftDml.sql(s,
+      s"DELETE FROM parquet.`$p` WHERE o_custkey % 13 = 0")
+    graft.ops.TxLog.append(s, p,
+      o.filter(col("o_orderkey") < 100)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+    // receipt: the rename rewrote NOTHING — every live data file still
+    // spells the physical name, never the logical one
+    graft.ops.TxLog.liveFiles(s, p).foreach { n =>
+      val footer = s.read.parquet(s"$p/$n").schema.fieldNames.toSet
+      require(footer.contains("o_totalprice") && !footer.contains("price"),
+        s"column mapping leaked the logical name into $n: $footer")
+    }
+    graft.ops.TxLog.snapshot(s, p)
+  }
+
+  /** DROP + re-ADD of the SAME column name under column mapping: the
+    * re-added column maps to FRESH physical storage, so pre-drop rows
+    * read NULL instead of resurrecting the dead column's values out
+    * of old footers — the correctness hole name-based parquet
+    * evolution cannot close (and the reason Delta/Iceberg carry
+    * column IDs). Post-add appends land in the fresh column and read
+    * back. Hash-green against DuckDB nulling the old era explicitly.
+    */
+  def qColmapDropReadd(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val p = s"$indexQueryDir/colmap_readd"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(p)
+    graft.ops.TxLog.convert(s, p)
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` RENAME COLUMN l_extendedprice TO price")
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` DROP COLUMN l_quantity")
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` ADD COLUMNS (l_quantity DOUBLE)")
+    // post-add rows carry real quantities in the FRESH physical column
+    graft.ops.TxLog.append(s, p,
+      li.withColumnRenamed("l_extendedprice", "price")
+        .filter(col("l_orderkey") < 100)
+        .withColumn("l_orderkey", col("l_orderkey") + 50000000L)
+        .select("l_orderkey", "l_linenumber", "price", "l_quantity"))
+    graft.ops.TxLog.snapshot(s, p)
+  }
 }

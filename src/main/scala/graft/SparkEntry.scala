@@ -190,6 +190,8 @@ object SparkEntry {
     "q_branch_wap" -> (Queries.qBranchWap _),
     "q_clone" -> (Queries.qClone _),
     "q_clone_dv" -> (Queries.qCloneDv _),
+    "q_colmap_rename" -> (Queries.qColmapRename _),
+    "q_colmap_drop_readd" -> (Queries.qColmapDropReadd _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
@@ -2278,6 +2280,51 @@ object Oracles {
                   o_totalprice, o_orderdate, o_orderpriority
            FROM orders WHERE o_orderkey < 30
          )""",
+
+    // column mapping: RENAME COLUMN is metadata-only — post-rename
+    // UPDATE / MOR merge / DELETE / append all speak the new name; the
+    // oracle replays the algebra with the rename as a projection.
+    // Order of operations matters: update doubles 997th keys' price,
+    // the merge REPLACES 991st keys' rows with original price + 1,
+    // the delete removes custkey%13 rows, the append lands AFTER the
+    // delete (so its rows survive regardless of custkey)
+    "q_colmap_rename" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price,
+                  o_orderdate
+           FROM orders
+         ),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 997 = 0 THEN price * 2
+                       ELSE price END AS price,
+                  o_orderdate
+           FROM base
+         ),
+         merged AS (
+           SELECT * FROM upd WHERE NOT (o_orderkey % 991 = 0)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price + 1 AS price, o_orderdate
+           FROM base WHERE o_orderkey % 991 = 0
+         )
+         SELECT * FROM merged WHERE NOT (o_custkey % 13 = 0)
+         UNION ALL
+         SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey, price,
+                o_orderdate
+         FROM base WHERE o_orderkey < 100""",
+
+    // column mapping: DROP + re-ADD the same name maps to FRESH
+    // physical storage — pre-drop rows read NULL (no resurrection out
+    // of old footers); post-add appends carry real values
+    "q_colmap_drop_readd" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice AS price,
+                CAST(NULL AS DOUBLE) AS l_quantity
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey + 50000000 AS l_orderkey, l_linenumber,
+                l_extendedprice AS price, l_quantity
+         FROM lineitem WHERE l_orderkey < 100""",
 
     // clone of a DV-carrying table: inherited vectors apply, a
     // clone-side delete merges them locally, materialize folds them

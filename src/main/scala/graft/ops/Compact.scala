@@ -181,11 +181,16 @@ object Compact {
         .map(_.split("=", 2)(0))).toSet
     val df = pinnedReader(spark, dir, dropCols = pcols)
       .parquet(small.map(_._2.getPath.toString): _*)
+    // the pack reads AND writes physical names (bytes in, bytes out —
+    // no logical round trip); caller-supplied cluster columns are
+    // logical, so translate them onto the physical frame
+    def phys(c: String): String = TxLog.tableSchema(spark, dir)
+      .map(ColumnMapping.physicalOf(_, c)).getOrElse(c)
     val packed =
-      if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols, nOut)
+      if (zorderCols.nonEmpty) ZOrder.cluster(df, zorderCols.map(phys), nOut)
       else if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        df.repartitionByRange(nOut, sortCols.map(c => col(phys(c))): _*)
+          .sortWithinPartitions(sortCols.map(c => col(phys(c))): _*)
       else df.repartition(nOut)
     val written = stageRewrite(spark, dir, small.map(_._1),
       stagePath => packed.write.mode("overwrite").parquet(stagePath),
@@ -217,11 +222,31 @@ object Compact {
       dropCols: Set[String] = Set.empty): org.apache.spark.sql.DataFrameReader =
     TxLog.tableSchema(spark, dir) match {
       case Some(sc) =>
+        // the files spell PHYSICAL names (identical to logical when
+        // the table is unmapped) — the raw rewrite reads want exactly
+        // that spelling; [[pinnedRead]] aliases back for callers that
+        // apply logical predicates
         val kept = org.apache.spark.sql.types.StructType(
-          sc.filterNot(f => dropCols(f.name)))
+          ColumnMapping.physicalSchema(sc).filterNot(f => dropCols(f.name)))
         spark.read.schema(kept)
       case None => spark.read
     }
+
+  /** [[pinnedReader]] + the physical→logical aliasing — the candidate
+    * read for paths that evaluate LOGICAL predicates/keys against raw
+    * file lists (probe scans in [[DeleteWhere]]). Identity projection
+    * when the table is unmapped.
+    */
+  private[ops] def pinnedRead(
+      spark: SparkSession,
+      dir: String,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val df = pinnedReader(spark, dir).parquet(paths: _*)
+    TxLog.tableSchema(spark, dir) match {
+      case Some(sc) => ColumnMapping.toLogical(df, sc)
+      case None => df
+    }
+  }
 
   /** The table's live data files as (relative name, status): the
     * current [[TxLog]] snapshot when the directory is log-managed —

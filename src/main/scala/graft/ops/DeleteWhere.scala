@@ -143,7 +143,7 @@ object DeleteWhere {
       case None => all
     }
     if (statsCand.isEmpty) return Nil
-    Compact.pinnedReader(spark, dir).parquet(statsCand: _*)
+    Compact.pinnedRead(spark, dir, statsCand)
       .select(input_file_name().as("__file"), col(keyCol))
       .join(keys, Seq(keyCol), "left_semi")
       .select("__file").distinct()
@@ -199,7 +199,7 @@ object DeleteWhere {
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     if (all.isEmpty) return Nil
     def bare(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val hit = Compact.pinnedReader(spark, dir).parquet(all: _*)
+    val hit = Compact.pinnedRead(spark, dir, all)
       .filter(coalesce(predicate, lit(false)))
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => bare(r.getString(0))).toSet
@@ -320,8 +320,10 @@ object DeleteWhere {
           .option("basePath", dir).parquet(cand: _*)
       val candRows = candDf.count()
       val kept = keepRows(candDf).localCheckpoint()
+      val keptPhys = TxLog.stagePhysical(spark, dir, kept)
       Compact.stageRewriteHive(spark, dir, rel, stagePath =>
-        kept.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
+        keptPhys.write.partitionBy(pcols: _*).mode("overwrite")
+          .parquet(stagePath),
         allowDvOlds = dvAware, op = Some("delete"))
       return Receipt(
         filesTotal = all.length,
@@ -332,18 +334,19 @@ object DeleteWhere {
     val candDf =
       if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
       else Compact.pinnedReader(spark, dir).parquet(cand: _*)
-    val schema = candDf.schema
     val candRows = candDf.count()
+    val keptPhys = TxLog.stagePhysical(spark, dir, keepRows(candDf))
     val newNames = Compact.stageRewrite(spark, dir, rel,
-      stagePath => keepRows(candDf).write
+      stagePath => keptPhys.write
         .mode("overwrite").parquet(stagePath),
       allowDvOlds = dvAware, op = Some("delete"))
     Compact.recover(spark, dir)
     // survivors counted from the committed replacement files (schema
-    // pinned: an all-deleted rewrite can leave zero data files behind)
+    // pinned — in the files' own physical spelling: an all-deleted
+    // rewrite can leave zero data files behind)
     val keptRows =
       if (newNames.isEmpty) 0L
-      else spark.read.schema(schema)
+      else Compact.pinnedReader(spark, dir)
         .parquet(newNames.map(n => s"$dir/$n"): _*).count()
     Receipt(
       filesTotal = all.length,

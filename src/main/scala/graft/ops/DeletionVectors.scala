@@ -209,8 +209,16 @@ object DeletionVectors {
           require(bt == f.dataType,
             s"column ${f.name}: batch type $bt != table type ${f.dataType}")
         }
-        val merged = org.apache.spark.sql.types.StructType(
+        val merged0 = org.apache.spark.sql.types.StructType(
           base.fields ++ fresh)
+        // under column mapping the evolved-in columns get FRESH
+        // physical names (a re-add of a dropped name must not
+        // resurrect the dead column's values out of old footers)
+        val merged =
+          if (ColumnMapping.isMapped(base))
+            ColumnMapping.carryOver(spark, dir, merged0, base,
+              TxLog.currentVersion(spark, dir) + 1)
+          else merged0
         evolvedTo = Some(merged)
         val withMissing = base.fieldNames.filterNot(batchNames)
           .foldLeft(updates)((d, n) =>
@@ -240,7 +248,7 @@ object DeletionVectors {
     // leaves only age-sweepable orphans), hive-partitioned when the
     // table is
     val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
-    val newNames = stageAppend(spark, dir, updatesAligned, pcols)
+    val newNames = stageAppend(spark, dir, updatesAligned, pcols, evolvedTo)
     val dvName =
       if (replacedRows == 0) None
       else {
@@ -277,10 +285,13 @@ object DeletionVectors {
       spark: SparkSession,
       dir: String,
       updates: DataFrame,
-      pcols: Seq[String]): Seq[String] = {
+      pcols: Seq[String],
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
     val fs = Compact.fsOf(spark, dir)
     val stage = new Path(dir, s".mor_stage-${java.util.UUID.randomUUID}")
-    val w = updates.write.mode("overwrite")
+    val w = TxLog.stagePhysical(spark, dir, updates, pinOverride)
+      .write.mode("overwrite")
     if (pcols.nonEmpty) w.partitionBy(pcols: _*).parquet(stage.toString)
     else w.parquet(stage.toString)
     val names = Compact.dataFilesRecursive(fs, stage.toString).sorted
@@ -573,13 +584,15 @@ object DeletionVectors {
     }.sum
     val rels = dvd.map(_.name)
     val pcols = DeleteWhere.partitionColsOf(rels)
+    val livePhys = TxLog.stagePhysical(spark, dir, live)
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, rels, stagePath =>
-        live.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath),
+        livePhys.write.partitionBy(pcols: _*).mode("overwrite")
+          .parquet(stagePath),
         allowDvOlds = true, op = Some("dv-materialize"))
     else
       Compact.stageRewrite(spark, dir, rels, stagePath =>
-        live.write.mode("overwrite").parquet(stagePath),
+        livePhys.write.mode("overwrite").parquet(stagePath),
         allowDvOlds = true, op = Some("dv-materialize"))
     MaterializeReceipt(
       rewritten = dvd.size.toLong,

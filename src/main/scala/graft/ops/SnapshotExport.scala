@@ -45,6 +45,20 @@ object SnapshotExport {
       s"export of $dir would list ${vectored.size} file(s) whose deletion " +
         "vectors an external reader cannot apply, resurrecting deleted " +
         "rows — run DeletionVectors.materialize first")
+    // same honesty rule for column mapping: a manifest consumer reads
+    // raw footers, which spell PHYSICAL names — export only when every
+    // physical name still equals its logical name (i.e. no rename or
+    // drop-safe re-add has diverged the spellings)
+    TxLog.tableSchema(spark, dir, version).foreach { pin =>
+      val diverged = pin.fields
+        .filter(f => ColumnMapping.physicalName(f) != f.name).map(_.name)
+      require(diverged.isEmpty,
+        s"export of $dir: column(s) ${diverged.mkString(", ")} have " +
+          "physical names differing from their logical names (column " +
+          "mapping after a rename/re-add) — an external manifest reader " +
+          "would see the physical spelling. CREATE OR REPLACE the table " +
+          "to materialize logical names before exporting")
+    }
     val fs = Compact.fsOf(spark, dir)
     val root = new Path(dir, ManifestDir)
     // full overwrite: a stale partition manifest from a previous

@@ -617,6 +617,27 @@ object TxLog {
     }
   }
 
+  /** Alias a logically-named frame to the table's PHYSICAL column
+    * names just before a staged write ([[ColumnMapping]]): under
+    * column mapping data files spell physical names; everywhere else
+    * this is the identity. Every write seam (append, overwrite, CoW
+    * rewrite, MOR stage, streaming sink, clone localize) routes its
+    * frame through here so renamed tables keep one on-disk spelling.
+    * `pinOverride` carries an EVOLVED pin (schema-evolution upsert /
+    * RTAS) that the log hasn't committed yet.
+    */
+  private[graft] def stagePhysical(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    pinOverride.orElse(tableSchema(spark, dir)) match {
+      case Some(pin) if ColumnMapping.isMapped(pin) =>
+        ColumnMapping.toPhysical(df, pin)
+      case _ => df
+    }
+
   /** Bring a directory under log management: v0 ADDs every currently
     * visible data file (none for a brand-new table — the streaming
     * append case). Finishes any in-flight marker-mode rewrite first,
@@ -708,13 +729,14 @@ object TxLog {
     val declared = partitionColumns(spark, dir)
     val pcols = if (declared.nonEmpty) declared
       else graft.ops.DeleteWhere.partitionColsOf(liveFiles(spark, dir))
+    val phys = stagePhysical(spark, dir, df)
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, olds = Nil, writeStage = p =>
-        df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
+        phys.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
         op = Some("insert"))
     else
       Compact.stageRewrite(spark, dir, olds = Nil, writeStage = p =>
-        df.write.mode("overwrite").parquet(p), op = Some("insert"))
+        phys.write.mode("overwrite").parquet(p), op = Some("insert"))
     currentVersion(spark, dir)
   }
 
@@ -729,13 +751,14 @@ object TxLog {
     val declared = partitionColumns(spark, dir)
     val pcols = if (declared.nonEmpty) declared
       else graft.ops.DeleteWhere.partitionColsOf(olds)
+    val phys = stagePhysical(spark, dir, df)
     if (pcols.nonEmpty)
       Compact.stageRewriteHive(spark, dir, olds = olds, writeStage = p =>
-        df.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
+        phys.write.partitionBy(pcols: _*).mode("overwrite").parquet(p),
         allowDvOlds = true, op = Some("insert-overwrite"))
     else
       Compact.stageRewrite(spark, dir, olds = olds, writeStage = p =>
-        df.write.mode("overwrite").parquet(p),
+        phys.write.mode("overwrite").parquet(p),
         allowDvOlds = true, op = Some("insert-overwrite"))
     currentVersion(spark, dir)
   }
@@ -996,16 +1019,19 @@ object TxLog {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     require(entries.nonEmpty, s"readEntries: empty entry set for $dir")
+    // pinOverride carries a PER-TABLE pin (DbLog) past the dir-wide
+    // lookup. Resolved ONCE: the scan below reads the pin's PHYSICAL
+    // names (what the files spell under column mapping — identical to
+    // the logical names when unmapped), and the return aliases back.
+    val pin = pinOverride.orElse(tableSchema(spark, dir, schemaVersion))
     // basePath keeps hive-partition columns alive when reading an
     // explicit file list out of a partitioned layout; no-op when flat
     def rd(root: String) = {
       val r = spark.read.option("basePath", root)
       // a pinned schema beats footer sampling AND mergeSchema: the
       // log says what the table is, files lacking a column read NULL.
-      // pinOverride carries a PER-TABLE pin (DbLog) past the
-      // dir-wide lookup.
-      pinOverride.orElse(tableSchema(spark, dir, schemaVersion)) match {
-        case Some(sc) => r.schema(sc)
+      pin match {
+        case Some(sc) => r.schema(ColumnMapping.physicalSchema(sc))
         case None => if (mergeSchema) r.option("mergeSchema", "true") else r
       }
     }
@@ -1073,9 +1099,12 @@ object TxLog {
     // files in one partition-discovering read — group, scan, union.
     // Almost always exactly one group; a clone converges back to one
     // as rewrites localize its entries.
-    entries.groupBy(e => dataRootOf(dir, e)).toSeq.sortBy(_._1)
+    val out = entries.groupBy(e => dataRootOf(dir, e)).toSeq.sortBy(_._1)
       .map { case (root, ge) => readGroup(root, ge) }
       .reduce(_ unionByName _)
+    // physical → logical aliasing (pure projection; identity when the
+    // pin is unmapped). __graft_file/__graft_pos pass through.
+    pin.map(ColumnMapping.toLogical(out, _)).getOrElse(out)
   }
 
   /** The candidate file names a range query on `column` must read at
@@ -1090,11 +1119,16 @@ object TxLog {
       column: String,
       lo: Double,
       hi: Double,
-      version: Int = Int.MaxValue): Seq[String] =
+      version: Int = Int.MaxValue): Seq[String] = {
+    // stats are keyed PHYSICAL (rename-stable); the caller's column is
+    // logical — translate through the version's pin (identity unmapped)
+    val pc = tableSchema(spark, dir, version)
+      .map(ColumnMapping.physicalOf(_, column)).getOrElse(column)
     liveEntries(spark, dir, version).collect {
-      case e if e.stats.find(_.column == column)
+      case e if e.stats.find(_.column == pc)
         .forall(s => s.max >= lo && s.min <= hi) => e.name
     }
+  }
 
   /** Selective snapshot read: only the files whose log-carried stats
     * admit `column` ∈ [lo, hi] are opened, and the residual predicate
@@ -1187,9 +1221,17 @@ object TxLog {
         val groups = bare.groupBy(colsFor).filter(_._1.nonEmpty)
         if (groups.isEmpty) adds
         else {
+          // under column mapping the staged files spell PHYSICAL
+          // names; the declared list is logical. Stats are KEYED
+          // PHYSICAL so they stay valid across any number of renames
+          // (candidateFilesFromLog translates the query column back).
+          val pinNow = tableSchema(spark, dir)
+          def phys(c: String): String =
+            pinNow.map(ColumnMapping.physicalOf(_, c)).getOrElse(c)
           val byFile = groups.flatMap { case (cs, names) =>
             ZoneMap.statsForFiles(
-              spark, names.map(n => s"$dir/$n"), cs, lenient = true)
+              spark, names.map(n => s"$dir/$n"), cs.map(phys),
+              lenient = true)
           }
           adds.map { e =>
             if (e.stats.nonEmpty) e
@@ -1282,12 +1324,17 @@ object TxLog {
           (f, n)
         } finally r.close()
       }.collect().toMap
+    // stats are keyed physical in the log — surface them under the
+    // version's LOGICAL names (what the user's queries speak)
+    val pinV = tableSchema(spark, dir, version)
+    def logi(c: String): String =
+      pinV.map(ColumnMapping.logicalOf(_, c)).getOrElse(c)
     val base = entries.map { e =>
       (e.name,
         fs.getFileStatus(new Path(dataPathOf(dir, e))).getLen,
         footer.getOrElse(dataPathOf(dir, e), -1L),
         e.dv.orNull,
-        e.stats.map(s => (s.column, s.min, s.max)))
+        e.stats.map(s => (logi(s.column), s.min, s.max)))
     }.toDF("file", "bytes", "rows", "dv", "stats")
     val dvd = entries.filter(_.dv.isDefined)
     if (dvd.isEmpty) base.withColumn("dv_rows", lit(0L))
@@ -1376,7 +1423,13 @@ object TxLog {
       dir: String,
       beforeE: Seq[AddEntry],
       afterE: Seq[AddEntry],
-      toVersion: Int): DataFrame = {
+      toVersion: Int,
+      schemaV: Int = -1): DataFrame = {
+    // per-commit consumers ([[changesOfEntries]]) read EVERY commit of
+    // a range at the RANGE END's pin, so a mid-range rename/evolution
+    // yields one uniform feed schema (Delta CDF's contract) instead of
+    // a per-commit name clash at the union
+    val schemaVersion = if (schemaV >= 0) schemaV else toVersion
     // the unit of change is (file, deletion vector): a DV attach/merge
     // changes a file's pair without changing its name, and the file
     // must then be read ON BOTH SIDES (each side applying its own DV)
@@ -1389,14 +1442,14 @@ object TxLog {
       .sortBy(_.name)
     import org.apache.spark.sql.functions.lit
     def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
-      if (es.nonEmpty) readEntries(spark, dir, es, schemaVersion = toVersion)
+      if (es.nonEmpty) readEntries(spark, dir, es, schemaVersion = schemaVersion)
       else spark.read.schema(
-        readEntries(spark, dir, schemaOf, schemaVersion = toVersion).schema)
+        readEntries(spark, dir, schemaOf, schemaVersion = schemaVersion).schema)
         .parquet() // zero paths: empty relation with the sibling schema
     if (removed.isEmpty && added.isEmpty) {
       val any = afterE
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
-      return readEntries(spark, dir, any, schemaVersion = toVersion).limit(0)
+      return readEntries(spark, dir, any, schemaVersion = schemaVersion).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
     val schemaDonor = if (added.nonEmpty) added else removed
@@ -1562,7 +1615,8 @@ object TxLog {
       if (before.map(e => (e.name, e.dv)).toSet ==
           after.map(e => (e.name, e.dv)).toSet) None
       else {
-        val d = diffOfEntries(spark, dir, before, after, v)
+        val d = diffOfEntries(spark, dir, before, after, v,
+          schemaV = toVersion) // one uniform feed schema across the range
           .localCheckpoint() // 4 derivations below share one read
         val del = d.filter(col("_change_type") === "delete")
           .drop("_change_type")
@@ -1800,7 +1854,8 @@ object TxLog {
         .getFileStatus(p).getLen
     }.sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = readEntries(spark, dir, based) // DVs fold in via the read
+    val df = stagePhysical(spark, dir,
+      readEntries(spark, dir, based)) // DVs fold in via the read
     val pcols = graft.ops.DeleteWhere.partitionColsOf(based.map(_.name))
     val written =
       if (pcols.nonEmpty)

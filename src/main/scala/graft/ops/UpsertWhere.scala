@@ -174,14 +174,16 @@ object UpsertWhere {
         (all.map(DeleteWhere.relName(spark, dir, _)),
           cand.map(DeleteWhere.relName(spark, dir, _)))
     val pcols = DeleteWhere.partitionColsOf(relAll)
+    val stagedPhys = TxLog.stagePhysical(spark, dir, staged)
     if (pcols.nonEmpty) {
       Compact.stageRewriteHive(spark, dir, rel, op = Some("merge"),
         writeStage = stagePath =>
-        staged.write.partitionBy(pcols: _*).mode("overwrite").parquet(stagePath))
+        stagedPhys.write.partitionBy(pcols: _*).mode("overwrite")
+          .parquet(stagePath))
     } else {
       Compact.stageRewrite(spark, dir, rel, op = Some("merge"),
         writeStage =
-          stagePath => staged.write.mode("overwrite").parquet(stagePath))
+          stagePath => stagedPhys.write.mode("overwrite").parquet(stagePath))
       Compact.recover(spark, dir)
     }
   }

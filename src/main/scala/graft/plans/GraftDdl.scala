@@ -34,8 +34,12 @@ import graft.ops.TxLog
   *    touched; added columns read NULL for pre-evolution rows,
   *    dropped ones vanish from reads while old snapshots keep their
   *    own width — the log-pinned versioned-schema machinery).
-  *    `RENAME COLUMN` is refused with the reason (parquet files keep
-  *    physical names; rename needs column-ID mapping, out of scope).
+  *  - `ALTER TABLE … RENAME COLUMN` → metadata-only via
+  *    [[graft.ops.ColumnMapping]] (Delta name-mode column mapping):
+  *    data files keep their physical names forever; the pin carries
+  *    logical→physical. Auto-enabled on first rename; once mapped,
+  *    ADD COLUMNS assigns fresh physical names so DROP + re-ADD of
+  *    the same name cannot resurrect the dropped column's values.
   *
   * Reference anchor: the reference creates its star schema with
   * hand-run DDL (`dags/create_tables.py` — nine CREATE TABLE
@@ -113,13 +117,7 @@ object GraftDdl {
               "(IF NOT EXISTS to skip)")
         } else createAs(spark, path, GraftShim.ofRows(spark, c.query),
           c.table.partitionColumnNames, "create-table-as")
-      case r: RenameColumn =>
-        throw new UnsupportedOperationException(
-          "ALTER TABLE ... RENAME COLUMN: parquet data files keep their " +
-            "physical column names — a rename needs column-ID mapping " +
-            "(Iceberg-style), which this log does not carry. Add the new " +
-            "column and backfill, or CREATE OR REPLACE TABLE ... AS SELECT " +
-            "with the new name.")
+      case r: RenameColumn => runRename(spark, r)
       case other => throw new IllegalArgumentException(
         s"GraftDdl.route: not a DDL plan: ${other.nodeName}")
     }
@@ -207,8 +205,23 @@ object GraftDdl {
       val pcols = identityCols(r.partitioning)
       if (pcols.nonEmpty) TxLog.setPartitionColumns(spark, path, pcols)
       val n = df.count()
+      // a mapped table stays mapped across REPLACE: same-named columns
+      // keep their physical names (overwriteAll's staged write spells
+      // exactly those), brand-new ones write as themselves — carryOver
+      // pins physical = logical for them, consistent with the files
+      val oldPin = TxLog.tableSchema(spark, path)
       val v = TxLog.overwriteAll(spark, path, df)
-      TxLog.setTableSchema(spark, path, df.schema, version = v)
+      val newPin = oldPin match {
+        case Some(p) if graft.ops.ColumnMapping.isMapped(p) =>
+          StructType(df.schema.fields.map { f =>
+            p.fields.find(_.name == f.name) match {
+              case Some(old) => f.copy(metadata = old.metadata)
+              case None => f
+            }
+          })
+        case _ => df.schema
+      }
+      TxLog.setTableSchema(spark, path, newPin, version = v)
       receipt("replace-table", path, n, 0L, v)
     } else if (r.orCreate) {
       createAs(spark, path, df, identityCols(r.partitioning), "create-table-as")
@@ -274,6 +287,28 @@ object GraftDdl {
     receipt("truncate-table", path, 0L, files, v)
   }
 
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — metadata-only through
+    * [[graft.ops.ColumnMapping]]: the first rename auto-enables the
+    * mapping (freezing every column's physical name to its current
+    * spelling, which is what every existing file already says), then
+    * the new pin carries the new logical name over the unchanged
+    * physical one. No data file is read or written; time travel below
+    * the rename keeps the old name; ADD-carried stats keep pruning.
+    * Partition columns and CHECK-constrained columns refuse (their
+    * names are baked into paths / constraint SQL).
+    */
+  private def runRename(spark: SparkSession, r: RenameColumn): Seq[Row] = {
+    val path = targetOf(r).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE RENAME COLUMN: $path is not TxLog-managed")
+    val parts = r.column.name
+    require(parts.length == 1,
+      "RENAME COLUMN: nested fields are not supported here")
+    val v = graft.ops.ColumnMapping.renameColumn(
+      spark, path, parts.head, r.newName)
+    receipt("rename-column", path, 0L, 0L, v)
+  }
+
   private def runAddColumns(spark: SparkSession, a: AddColumns): Seq[Row] = {
     val path = targetOf(a).get
     require(TxLog.exists(spark, path),
@@ -294,7 +329,12 @@ object GraftDdl {
     // reads each version at its own width)
     val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
       op = Some("add-columns"))
-    TxLog.setTableSchema(spark, path, StructType(current.fields ++ added), v)
+    // under column mapping the new columns get FRESH physical names —
+    // re-adding a dropped name must not resurrect its values out of
+    // old footers (carryOver is the identity when unmapped)
+    val widened = graft.ops.ColumnMapping.carryOver(spark, path,
+      StructType(current.fields ++ added), current, v)
+    TxLog.setTableSchema(spark, path, widened, v)
     receipt("add-columns", path, 0L, 0L, v)
   }
 

@@ -48,7 +48,8 @@ object TxLogIngest {
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stage = new Path(dir, ".append_stage")
         fs.delete(stage, true)
-        batch.write.mode("overwrite").parquet(stage.toString)
+        TxLog.stagePhysical(spark, dir, batch.toDF())
+          .write.mode("overwrite").parquet(stage.toString)
         val names = fs.listStatus(stage).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
           .map(_.getPath.getName).sorted

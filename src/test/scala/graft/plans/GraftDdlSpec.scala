@@ -144,13 +144,18 @@ class GraftDdlSpec extends SparkSpec {
     }
   }
 
-  test("RENAME COLUMN names the reason it cannot work") {
+  test("RENAME COLUMN is metadata-only through column mapping") {
     val dir = freshDir()
     GraftDml.sql(spark, s"CREATE TABLE parquet.`$dir` AS SELECT 1 AS k")
-    val e = intercept[UnsupportedOperationException] {
-      GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` RENAME COLUMN k TO kk")
-    }
-    assert(e.getMessage.contains("column-ID mapping"))
+    val receipt = GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$dir` RENAME COLUMN k TO kk").head()
+    assert(receipt.getString(0) == "rename-column")
+    assert(TxLog.snapshot(spark, dir).columns.toSeq == Seq("kk"))
+    assert(TxLog.snapshot(spark, dir).head().getInt(0) == 1)
+    // the data file still spells the physical name — nothing rewrote
+    val files = TxLog.liveFiles(spark, dir)
+    assert(files.forall(n =>
+      spark.read.parquet(s"$dir/$n").columns.toSeq == Seq("k")))
   }
 
   test("the injected rule rewrites the analyzer-resolved DDL shapes (v1 catalog commands included)") {
