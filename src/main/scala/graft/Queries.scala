@@ -4760,4 +4760,34 @@ object Queries {
         .select("l_orderkey", "l_linenumber", "price", "l_quantity"))
     graft.ops.TxLog.snapshot(s, p)
   }
+
+  /** IDENTITY COLUMNS ([[graft.ops.IdentityColumns]]): `GENERATED
+    * ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5)` filled by the
+    * append path from the log's kernel-atomic allocation ledger —
+    * unique, monotone, gaps-allowed (SQL-standard identity). Two
+    * appends land as single sorted partitions so the assignment is
+    * deterministic and DuckDB replays it with row_number arithmetic;
+    * the second batch's ids sit strictly above the first's high water
+    * (the ledger survives commits). The general assignment is
+    * shuffle-free per-partition blocks — the sort here is the QUERY's
+    * determinism choice, not the operator's requirement.
+    */
+  def qIdentity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val p = s"$indexQueryDir/identity"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.plans.GraftDml.sql(s,
+      s"""CREATE TABLE parquet.`$p`
+         |  (row_id BIGINT GENERATED ALWAYS AS IDENTITY
+         |     (START WITH 10 INCREMENT BY 5),
+         |   c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""".stripMargin)
+    graft.ops.TxLog.append(s, p,
+      c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(1).sortWithinPartitions("c_custkey"))
+    graft.ops.TxLog.append(s, p,
+      c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .repartition(1).sortWithinPartitions("c_custkey"))
+    graft.ops.TxLog.snapshot(s, p)
+  }
 }

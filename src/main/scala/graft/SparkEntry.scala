@@ -192,6 +192,7 @@ object SparkEntry {
     "q_clone_dv" -> (Queries.qCloneDv _),
     "q_colmap_rename" -> (Queries.qColmapRename _),
     "q_colmap_drop_readd" -> (Queries.qColmapDropReadd _),
+    "q_identity" -> (Queries.qIdentity _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
@@ -2325,6 +2326,29 @@ object Oracles {
          SELECT l_orderkey + 50000000 AS l_orderkey, l_linenumber,
                 l_extendedprice AS price, l_quantity
          FROM lineitem WHERE l_orderkey < 100""",
+
+    // identity column GENERATED ALWAYS (START 10 STEP 5): two sorted
+    // single-partition appends make the assignment deterministic —
+    // DuckDB replays with row_number arithmetic, the second batch
+    // offset by the first's count (the ledger's high water)
+    "q_identity" ->
+      """WITH evens AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         odds AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         )
+         SELECT 10 + (rn - 1) * 5 AS row_id, c_custkey, c_name, c_acctbal
+         FROM evens
+         UNION ALL
+         SELECT 10 + (SELECT count(*) FROM evens) * 5 + (rn - 1) * 5
+                  AS row_id,
+                c_custkey, c_name, c_acctbal
+         FROM odds""",
 
     // clone of a DV-carrying table: inherited vectors apply, a
     // clone-side delete merges them locally, materialize folds them

@@ -723,8 +723,11 @@ object TxLog {
     * never references — invisible to every snapshot reader and
     * reclaimed by the orphan sweep.
     */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
+  def append(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
+    // GENERATED ALWAYS AS IDENTITY fills here (no-op when undeclared);
+    // constraints then see the assigned values
+    val df = IdentityColumns.maybeAssign(spark, dir, df0)
     enforceConstraints(spark, dir, df)
     val declared = partitionColumns(spark, dir)
     val pcols = if (declared.nonEmpty) declared
@@ -744,8 +747,9 @@ object TxLog {
     * (INSERT OVERWRITE): olds drop by not being re-added — never
     * read, so DV-carrying olds retire with their vectors.
     */
-  def overwriteAll(spark: SparkSession, dir: String, df: DataFrame): Int = {
+  def overwriteAll(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
+    val df = IdentityColumns.maybeAssign(spark, dir, df0)
     enforceConstraints(spark, dir, df)
     val olds = liveFiles(spark, dir)
     val declared = partitionColumns(spark, dir)
@@ -1683,11 +1687,19 @@ object TxLog {
     // re-ADD any entry that differs (name newly live, or same name
     // with a different DV/stats); REMOVE names no longer live — the
     // fold overwrites by name, so a changed entry needs no remove
-    commitEntries(spark, dir,
+    val v = commitEntries(spark, dir,
       adds = target.filter(e => !currentByName.get(e.name).contains(e))
         .sortBy(_.name),
       removes = current.map(_.name).filterNot(targetNames).sorted,
       op = Some(s"restore(v$version)"))
+    // the schema follows the data: restoring below a rename / drop /
+    // evolution re-pins THAT version's schema at the new commit, so
+    // the restored rows read under their own names and width (pure
+    // metadata under column mapping — physical names never moved)
+    val pinThen = tableSchema(spark, dir, version)
+    if (pinThen.isDefined && pinThen != tableSchema(spark, dir))
+      setTableSchema(spark, dir, pinThen.get, v)
+    v
   }
 
   /** ZERO-COPY SHALLOW CLONE: create a new log-managed table at
@@ -2009,6 +2021,9 @@ object TxLog {
         .filter(f => f.getPath.getName.endsWith(".tmp") &&
           f.getModificationTime < stale)
         .foreach(f => fs.delete(f.getPath, false))
+      // identity ledger: only the newest entry is ever read, and an
+      // in-flight allocator claims strictly above it
+      IdentityColumns.pruneLedger(spark, dir)
     }
     dead.length.toLong
   }
@@ -2051,7 +2066,7 @@ object TxLog {
     * need external coordination for the claim — the standard
     * single-writer bound there.
     */
-  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path, dest: Path): Boolean = {
     val claimed =
       if (fs.getScheme == "file") {

@@ -153,9 +153,29 @@ object GraftDdl {
   private def runCreate(spark: SparkSession, c: CreateTable): Seq[Row] = {
     val schema = StructType(c.columns.map(col =>
       StructField(col.name, col.dataType, col.nullable)))
-    runCreateCore(spark, targetOf(c).get, schema,
+    val path = targetOf(c).get
+    // `BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH s STEP x)]` —
+    // declared in the log, filled by every append surface
+    // ([[graft.ops.IdentityColumns]]). One per table; ALWAYS only
+    // (BY DEFAULT's explicit inserts would break the uniqueness claim).
+    val ids = c.columns.flatMap(cd => cd.identityColumnSpec.map(cd.name -> _))
+    require(ids.size <= 1, "at most one identity column per table")
+    ids.foreach { case (name, s) =>
+      require(c.columns.find(_.name == name).get.dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"identity column $name must be BIGINT")
+      require(!s.isAllowExplicitInsert,
+        "GENERATED BY DEFAULT AS IDENTITY is not supported — explicit " +
+          "inserts would break the uniqueness claim; use GENERATED ALWAYS")
+    }
+    val receipt = runCreateCore(spark, path, schema,
       identityCols(c.partitioning),
       constraintExprs(c.tableSpec, c.columns), c.ignoreIfExists)
+    ids.foreach { case (name, s) =>
+      graft.ops.IdentityColumns.declare(spark, path, name,
+        s.getStart, s.getStep)
+    }
+    receipt
   }
 
   private def runCreateCore(

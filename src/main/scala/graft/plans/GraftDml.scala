@@ -237,7 +237,17 @@ object GraftDml {
     val cast = targetSchema match {
       case None => rows
       case Some(schema) =>
-        val names = schema.fields.map(_.name).toSeq
+        val allNames = schema.fields.map(_.name).toSeq
+        // a GENERATED ALWAYS identity column is never supplied — the
+        // insert aligns against the remaining columns and the append
+        // path fills it (graft.ops.IdentityColumns)
+        val names = (if (logged)
+          graft.ops.IdentityColumns.spec(spark, path).map(_._1) else None)
+        match {
+          case Some(ic) if rows.columns.length == allNames.length - 1 =>
+            allNames.filterNot(_ == ic)
+          case _ => allNames
+        }
         require(rows.columns.length == names.length,
           s"INSERT: ${rows.columns.length} columns for a " +
             s"${names.length}-column table")
@@ -245,9 +255,10 @@ object GraftDml {
           if (i.byName) rows.select(names.map(
             org.apache.spark.sql.functions.col): _*)
           else rows.toDF(names: _*)
-        schema.fields.foldLeft(aligned)((d, f) =>
-          d.withColumn(f.name,
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)))
+        schema.fields.filter(f => names.contains(f.name))
+          .foldLeft(aligned)((d, f) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)))
     }
     val n = cast.count()
     val v =

@@ -44,11 +44,13 @@ object TxLogIngest {
       if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
       val txn = s"epoch_$epoch"
       if (!TxLog.txnCommitted(spark, dir, txn)) {
-        TxLog.enforceConstraints(spark, dir, batch.toDF())
+        val assigned =
+          graft.ops.IdentityColumns.maybeAssign(spark, dir, batch.toDF())
+        TxLog.enforceConstraints(spark, dir, assigned)
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stage = new Path(dir, ".append_stage")
         fs.delete(stage, true)
-        TxLog.stagePhysical(spark, dir, batch.toDF())
+        TxLog.stagePhysical(spark, dir, assigned)
           .write.mode("overwrite").parquet(stage.toString)
         val names = fs.listStatus(stage).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))

@@ -246,6 +246,37 @@ class ColumnMappingSpec extends SparkSpec {
     assert(df.count() == 949L) // ids 51..999
   }
 
+  test("RESTORE below a rename restores the old names with the data") {
+    import spark.implicits._
+    val dir = freshTable(10)
+    val vBefore = TxLog.currentVersion(spark, dir)
+    ColumnMapping.renameColumn(spark, dir, "amount", "total")
+    TxLog.append(spark, dir, Seq((500L, "x", 1.0)).toDF("id", "label", "total"))
+    TxLog.restore(spark, dir, vBefore)
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "label", "amount")) // old names
+    assert(got.count() == 10L) // old rows
+    // and the rename can be re-applied afterwards
+    ColumnMapping.renameColumn(spark, dir, "amount", "total2")
+    assert(TxLog.snapshot(spark, dir).columns.contains("total2"))
+  }
+
+  test("a rename on a branch stays on the branch until publish") {
+    import spark.implicits._
+    val dir = freshTable(10)
+    ColumnMapping.enable(spark, dir)
+    TxLog.createBranch(spark, dir, "audit")
+    TxLog.withBranch(spark, dir, "audit") {
+      ColumnMapping.renameColumn(spark, dir, "amount", "audited_amount")
+      assert(TxLog.snapshot(spark, dir).columns.contains("audited_amount"))
+    }
+    // main is untouched pre-publish
+    assert(TxLog.snapshot(spark, dir).columns.toSeq ==
+      Seq("id", "label", "amount"))
+    TxLog.publishBranch(spark, dir, "audit")
+    assert(TxLog.snapshot(spark, dir).columns.contains("audited_amount"))
+  }
+
   test("enable refuses a DbLog-shaped root") {
     import spark.implicits._
     val db = Files.createTempDirectory("colmap_db").toString + "/db"
