@@ -4790,4 +4790,40 @@ object Queries {
         .repartition(1).sortWithinPartitions("c_custkey"))
     graft.ops.TxLog.snapshot(s, p)
   }
+
+  /** TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`,
+    * [[graft.plans.GraftDdl]]): metadata-only — the pin retypes, old
+    * footers serve under the wide type natively (Spark 4 parquet
+    * type-widening, both readers; no file rewritten — asserted), and
+    * a post-widen append lands values only the wide type can hold
+    * (BIGINT beyond 2³¹, doubles beyond float) next to the old-era
+    * rows. Hash-green means the mixed-era union is bit-identical to
+    * DuckDB casting every row explicitly.
+    */
+  def qTypeWiden(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast("float").as("price_f"))
+    val p = s"$indexQueryDir/type_widen"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    base.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(p)
+    graft.ops.TxLog.convert(s, p)
+    val filesBefore = graft.ops.TxLog.liveFiles(s, p).toSet
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` ALTER COLUMN l_linenumber TYPE BIGINT")
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$p` ALTER COLUMN price_f TYPE DOUBLE")
+    require(graft.ops.TxLog.liveFiles(s, p).toSet == filesBefore,
+      "type widening must rewrite no data file")
+    // post-widen rows hold values only the WIDE types can carry
+    graft.ops.TxLog.append(s, p,
+      base.filter(col("l_orderkey") < 100).select(
+        (col("l_orderkey") + 70000000L).as("l_orderkey"),
+        (col("l_linenumber").cast("long") + 10000000000L)
+          .as("l_linenumber"),
+        (col("price_f").cast("double") + 1.0d).as("price_f")))
+    graft.ops.TxLog.snapshot(s, p)
+  }
 }

@@ -193,6 +193,7 @@ object SparkEntry {
     "q_colmap_rename" -> (Queries.qColmapRename _),
     "q_colmap_drop_readd" -> (Queries.qColmapDropReadd _),
     "q_identity" -> (Queries.qIdentity _),
+    "q_type_widen" -> (Queries.qTypeWiden _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
@@ -2349,6 +2350,20 @@ object Oracles {
                   AS row_id,
                 c_custkey, c_name, c_acctbal
          FROM odds""",
+
+    // type widening: int->bigint / float->double are pin-only; the
+    // mixed-era union casts explicitly on the oracle side. Values the
+    // narrow era could not hold land only in the post-widen rows
+    "q_type_widen" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey + 70000000 AS l_orderkey,
+                CAST(l_linenumber AS BIGINT) + 10000000000 AS l_linenumber,
+                CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) + 1.0
+                  AS price_f
+         FROM lineitem WHERE l_orderkey < 100""",
 
     // clone of a DV-carrying table: inherited vectors apply, a
     // clone-side delete merges them locally, materialize folds them

@@ -76,6 +76,7 @@ object GraftDdl {
       case a: AddColumns => ident(a.table)
       case d: DropColumns => ident(d.table)
       case r: RenameColumn => ident(r.table)
+      case a: AlterColumns => ident(a.table)
       // CREATE [TABLE|TABLE AS SELECT] survive the session-catalog
       // rules only as their v1 commands; the `parquet` "database" in
       // the CatalogTable identifier is our format marker
@@ -99,6 +100,7 @@ object GraftDdl {
       case t: TruncateTable => runTruncate(spark, t)
       case a: AddColumns => runAddColumns(spark, a)
       case d: DropColumns => runDropColumns(spark, d)
+      case a: AlterColumns => runAlterColumns(spark, a)
       case c: CreateDataSourceTableCommand =>
         runCreateCore(spark, targetOf(c).get,
           StructType(c.table.schema.fields.toSeq),
@@ -356,6 +358,92 @@ object GraftDdl {
       StructType(current.fields ++ added), current, v)
     TxLog.setTableSchema(spark, path, widened, v)
     receipt("add-columns", path, 0L, 0L, v)
+  }
+
+  /** Is `to` a LOSSLESS widening of `from` that Spark 4's parquet
+    * reader serves natively from old footers (probed: vectorized and
+    * row-based readers both; SPARK-44362 type-widening support)?
+    * Integral up-widening, integral→double, float→double,
+    * date→timestamp_ntz, and decimal growth that shrinks neither the
+    * scale nor the integer digits.
+    */
+  private[plans] def canWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        val (p, s, p2, s2) = (d1.precision, d1.scale, d2.precision, d2.scale)
+        s2 >= s && (p2 - s2) >= (p - s) && (p2 > p || s2 > s)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — metadata-only TYPE
+    * WIDENING: the pin retypes the column at a new version and every
+    * mixed-era read serves old footers under the wide type natively
+    * (no file rewritten; probed in TypeWidenSpec across both parquet
+    * readers). Narrowing and lossy casts refuse with the allowlist.
+    * Hidden-partition transform sources refuse (`bucket(col)` hashes
+    * differ by type — pruning would silently lie). Identity columns
+    * refuse (the allocator arithmetic is BIGINT). Bloom-keyed purges
+    * stay valid: Spark's BloomFilterAggregate hashes every integral
+    * type as its long value, so an int-era bloom answers long probes.
+    */
+  private def runAlterColumns(spark: SparkSession, a: AlterColumns): Seq[Row] = {
+    val path = targetOf(a).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE ALTER COLUMN: $path is not TxLog-managed")
+    val current = TxLog.tableSchema(spark, path)
+      .getOrElse(TxLog.snapshot(spark, path).schema)
+    val hidden = scala.util.Try(
+      graft.ops.PartitionTransforms.spec(spark, path)).getOrElse(Nil)
+    val idCol = graft.ops.IdentityColumns.spec(spark, path).map(_._1)
+    val retyped = a.specs.foldLeft(current) { (sc, spec) =>
+      require(spec.column.name.length == 1,
+        "ALTER COLUMN: nested fields are not supported here")
+      val name = spec.column.name.head
+      require(spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+        spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+        "ALTER COLUMN: only TYPE widening (and DROP NOT NULL) here")
+      val f = sc.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"ALTER COLUMN: no column $name"))
+      val widened = spec.newDataType match {
+        case None => f
+        case Some(t) =>
+          require(canWiden(f.dataType, t),
+            s"ALTER COLUMN $name: ${f.dataType.simpleString} -> " +
+              s"${t.simpleString} is not a lossless widening the parquet " +
+              "reader serves (integral up-widening, integral/float -> " +
+              "double, date -> timestamp_ntz, decimal growth)")
+          require(!hidden.exists(_.column == name),
+            s"ALTER COLUMN $name: a hidden-partitioning transform hashes " +
+              "it — retyping would change bucket/truncate derivation")
+          require(!idCol.contains(name),
+            s"ALTER COLUMN $name: it is the identity column (BIGINT by " +
+              "construction)")
+          f.copy(dataType = t)
+      }
+      val renulled = spec.newNullability match {
+        case Some(true) | None => widened.copy(
+          nullable = widened.nullable || spec.newNullability.contains(true))
+        case Some(false) => throw new IllegalArgumentException(
+          "ALTER COLUMN SET NOT NULL: cannot retroactively promise " +
+            "non-null for rows already on disk — add a CHECK constraint " +
+            "for future writes instead (setCheckConstraints)")
+      }
+      StructType(sc.fields.map(x => if (x.name == name) renulled else x))
+    }
+    val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
+      op = Some("alter-column-type"))
+    TxLog.setTableSchema(spark, path, retyped, v)
+    receipt("alter-column-type", path, 0L, 0L, v)
   }
 
   private def runDropColumns(spark: SparkSession, d: DropColumns): Seq[Row] = {

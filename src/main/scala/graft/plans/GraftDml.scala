@@ -105,7 +105,7 @@ object GraftDml {
         val (path, branch) = splitBranch(spark, rawPath)
         branch.foreach { _ =>
           require(p.isInstanceOf[AddColumns] || p.isInstanceOf[DropColumns] ||
-              p.isInstanceOf[RenameColumn],
+              p.isInstanceOf[RenameColumn] || p.isInstanceOf[AlterColumns],
             "@branch targets support ALTER TABLE ... COLUMNS only — " +
               "CREATE/DROP/TRUNCATE act on the table, not a branch")
         }
@@ -640,7 +640,8 @@ object GraftDml {
           if GraftDdl.targetOf(r).isDefined && r.query.resolved =>
         GraftDmlCommand(r)
       case p @ (_: CreateTable | _: DropTable | _: TruncateTable |
-                _: AddColumns | _: DropColumns | _: RenameColumn)
+                _: AddColumns | _: DropColumns | _: RenameColumn |
+                _: AlterColumns)
           if GraftDdl.targetOf(p).isDefined =>
         GraftDmlCommand(p)
       // session-catalog resolution converts path CREATE [AS SELECT]
