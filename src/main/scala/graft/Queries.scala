@@ -4826,4 +4826,37 @@ object Queries {
         (col("price_f").cast("double") + 1.0d).as("price_f")))
     graft.ops.TxLog.snapshot(s, p)
   }
+
+  /** GENERATED COLUMNS ([[graft.ops.GeneratedColumns]]): `revenue
+    * DOUBLE GENERATED ALWAYS AS (l_extendedprice * (1 - l_discount))`
+    * declared at CREATE, filled by the append (the batch never
+    * supplies it), then RECOMPUTED by a MOR upsert that doubles the
+    * discount on a key slice — the derived value moves with its
+    * source, the staleness bug a stored-but-unmanaged column always
+    * grows. Hash-green means fill + recompute land exactly on DuckDB
+    * computing the expression per row.
+    */
+  def qGencol(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val p = s"$indexQueryDir/gencol"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.plans.GraftDml.sql(s,
+      s"""CREATE TABLE parquet.`$p`
+         |  (l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+         |   l_extendedprice DOUBLE, l_discount DOUBLE,
+         |   revenue DOUBLE GENERATED ALWAYS AS
+         |     (l_extendedprice * (1 - l_discount)))""".stripMargin)
+    graft.ops.TxLog.append(s, p, li) // fill: batch omits revenue
+    // update-shaped write: discount doubles on a key slice, the batch
+    // still omits revenue — recompute derives it from the NEW discount
+    graft.ops.DeletionVectors.upsert(s, p,
+      li.filter(pmod(col("l_orderkey"), lit(100)) === 0 &&
+          col("l_linenumber") === 1)
+        .withColumn("l_discount", col("l_discount") * 2),
+      keyCols = Seq("l_orderkey", "l_linenumber"))
+    graft.ops.TxLog.snapshot(s, p)
+  }
 }

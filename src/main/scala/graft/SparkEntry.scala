@@ -194,6 +194,7 @@ object SparkEntry {
     "q_colmap_drop_readd" -> (Queries.qColmapDropReadd _),
     "q_identity" -> (Queries.qIdentity _),
     "q_type_widen" -> (Queries.qTypeWiden _),
+    "q_gencol" -> (Queries.qGencol _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
@@ -2364,6 +2365,20 @@ object Oracles {
                 CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) + 1.0
                   AS price_f
          FROM lineitem WHERE l_orderkey < 100""",
+
+    // generated column filled on insert, RECOMPUTED by the keyed
+    // update (discount doubled on the slice): the oracle computes the
+    // expression per row from the post-update discount
+    "q_gencol" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                d AS l_discount,
+                l_extendedprice * (1 - d) AS revenue
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  CASE WHEN l_orderkey % 100 = 0 AND l_linenumber = 1
+                       THEN l_discount * 2 ELSE l_discount END AS d
+           FROM lineitem
+         )""",
 
     // clone of a DV-carrying table: inherited vectors apply, a
     // clone-side delete merges them locally, materialize folds them

@@ -223,6 +223,9 @@ object ColumnMapping {
     require(constrained.isEmpty,
       s"rename/drop $name: CHECK constraint(s) reference it: $constrained — " +
         "drop or rewrite the constraint first (setCheckConstraints)")
+    require(!GeneratedColumns.referencedColumns(spark, dir).contains(name),
+      s"rename/drop $name: a GENERATED ALWAYS AS expression references " +
+        "it — re-declare the generated column first")
   }
 
   /** RENAME COLUMN, metadata-only: one empty commit stamps the version,
@@ -240,6 +243,9 @@ object ColumnMapping {
       s"rename: $to already exists in $dir")
     require(!to.startsWith("__graft_"),
       "rename: the __graft_ prefix is reserved for positional metadata")
+    require(!GeneratedColumns.generatedNames(spark, dir).contains(from),
+      s"rename $from: it is a generated column (the declaration keys " +
+        "on its name — re-declare instead)")
     requireRenameable(spark, dir, from)
     val renamed = StructType(pin.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
@@ -291,6 +297,10 @@ object ColumnMapping {
     val stats = TxLog.statsColumns(spark, dir)
     if (stats.contains(name))
       TxLog.setStatsColumns(spark, dir, stats.filterNot(_ == name))
+    // dropping a generated column drops its declaration (a stale one
+    // would re-fill — and so resurrect — the column on the next insert)
+    if (GeneratedColumns.generatedNames(spark, dir).contains(name))
+      GeneratedColumns.undeclare(spark, dir, Set(name))
     v
   }
 }

@@ -161,7 +161,7 @@ object DeletionVectors {
   def upsert(
       spark: SparkSession,
       dir: String,
-      updates: DataFrame,
+      updates0: DataFrame,
       keyCols: Seq[String],
       candidates: Option[Seq[String]] = None,
       txn: Option[String] = None,
@@ -174,6 +174,10 @@ object DeletionVectors {
         return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
           0, 0, 0, None)
     }
+    // update-shaped write: generated columns RECOMPUTE (a changed
+    // source column must move its derived value with it)
+    val updates = GeneratedColumns.fill(spark, dir, updates0,
+      recompute = true)
     TxLog.enforceConstraints(spark, dir, updates)
     val entries = TxLog.liveEntries(spark, dir)
     // schema discipline: an unannounced column drift would land files
@@ -339,7 +343,7 @@ object DeletionVectors {
       spark: SparkSession,
       dir: String,
       hides: DataFrame,
-      appends: DataFrame,
+      appends0: DataFrame,
       txn: Option[String] = None,
       op: String = "merge"): UpsertReceipt = {
     require(TxLog.exists(spark, dir),
@@ -349,6 +353,10 @@ object DeletionVectors {
         return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
           0, 0, 0, None)
     }
+    // MERGE-built images recompute generated columns: an UPDATE whose
+    // SET touched a source column would otherwise carry a stale value
+    val appends = GeneratedColumns.fill(spark, dir, appends0,
+      recompute = true)
     TxLog.enforceConstraints(spark, dir, appends)
     val entries = TxLog.liveEntries(spark, dir)
     val hide = hides

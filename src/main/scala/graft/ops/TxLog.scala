@@ -725,9 +725,11 @@ object TxLog {
     */
   def append(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
-    // GENERATED ALWAYS AS IDENTITY fills here (no-op when undeclared);
-    // constraints then see the assigned values
-    val df = IdentityColumns.maybeAssign(spark, dir, df0)
+    // GENERATED ALWAYS fills here (identity, then generated columns —
+    // a generation expression may reference the identity value);
+    // constraints then see the computed values
+    val df = GeneratedColumns.fill(spark, dir,
+      IdentityColumns.maybeAssign(spark, dir, df0))
     enforceConstraints(spark, dir, df)
     val declared = partitionColumns(spark, dir)
     val pcols = if (declared.nonEmpty) declared
@@ -749,7 +751,8 @@ object TxLog {
     */
   def overwriteAll(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
-    val df = IdentityColumns.maybeAssign(spark, dir, df0)
+    val df = GeneratedColumns.fill(spark, dir,
+      IdentityColumns.maybeAssign(spark, dir, df0))
     enforceConstraints(spark, dir, df)
     val olds = liveFiles(spark, dir)
     val declared = partitionColumns(spark, dir)

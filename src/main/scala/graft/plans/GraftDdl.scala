@@ -170,6 +170,15 @@ object GraftDdl {
         "GENERATED BY DEFAULT AS IDENTITY is not supported — explicit " +
           "inserts would break the uniqueness claim; use GENERATED ALWAYS")
     }
+    // `GENERATED ALWAYS AS (expr)` — log-declared, filled/validated by
+    // every insert surface, recomputed by update-shaped writes
+    // ([[graft.ops.GeneratedColumns]])
+    val gens = c.columns.toSeq
+      .flatMap(cd => cd.generationExpression.map(cd.name -> _))
+    gens.foreach { case (n, _) =>
+      require(!ids.exists(_._1 == n),
+        s"column $n cannot be both IDENTITY and GENERATED ALWAYS AS")
+    }
     val receipt = runCreateCore(spark, path, schema,
       identityCols(c.partitioning),
       constraintExprs(c.tableSpec, c.columns), c.ignoreIfExists)
@@ -177,6 +186,7 @@ object GraftDdl {
       graft.ops.IdentityColumns.declare(spark, path, name,
         s.getStart, s.getStep)
     }
+    if (gens.nonEmpty) graft.ops.GeneratedColumns.declare(spark, path, gens)
     receipt
   }
 
@@ -428,6 +438,11 @@ object GraftDdl {
           require(!idCol.contains(name),
             s"ALTER COLUMN $name: it is the identity column (BIGINT by " +
               "construction)")
+          require(!graft.ops.GeneratedColumns
+              .referencedColumns(spark, path).contains(name),
+            s"ALTER COLUMN $name: a GENERATED ALWAYS AS expression " +
+              "references it — the stored SQL would recompute at a new " +
+              "type; re-declare the generated column first")
           f.copy(dataType = t)
       }
       val renulled = spec.newNullability match {
@@ -478,10 +493,20 @@ object GraftDdl {
         "drop or rewrite the constraint first (setCheckConstraints)")
     require(!TxLog.partitionColumns(spark, path).exists(drop),
       "DROP COLUMN: it is a declared partition column")
+    val genRefs = graft.ops.GeneratedColumns.referencedColumns(spark, path)
+    require(!drop.exists(genRefs),
+      "DROP COLUMN: a GENERATED ALWAYS AS expression references it — " +
+        "re-declare the generated column first")
     val narrowed = StructType(current.fields.filterNot(f => drop(f.name)))
     val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
       op = Some("drop-columns"))
     TxLog.setTableSchema(spark, path, narrowed, v)
+    // dropping a generated column drops its declaration (a stale one
+    // would re-fill — and so resurrect — the column on the next insert)
+    val genDropped =
+      drop.intersect(graft.ops.GeneratedColumns.generatedNames(spark, path))
+    if (genDropped.nonEmpty)
+      graft.ops.GeneratedColumns.undeclare(spark, path, genDropped)
     receipt("drop-columns", path, 0L, 0L, v)
   }
 }

@@ -238,16 +238,19 @@ object GraftDml {
       case None => rows
       case Some(schema) =>
         val allNames = schema.fields.map(_.name).toSeq
-        // a GENERATED ALWAYS identity column is never supplied — the
-        // insert aligns against the remaining columns and the append
-        // path fills it (graft.ops.IdentityColumns)
-        val names = (if (logged)
-          graft.ops.IdentityColumns.spec(spark, path).map(_._1) else None)
-        match {
-          case Some(ic) if rows.columns.length == allNames.length - 1 =>
-            allNames.filterNot(_ == ic)
-          case _ => allNames
-        }
+        // GENERATED ALWAYS columns (identity + generated expressions)
+        // may be omitted — the insert then aligns against the
+        // remaining columns and the append path fills them. Either
+        // supply EVERY table column or omit EVERY generated one;
+        // partial omission would make positional mapping ambiguous.
+        val auto: Set[String] = if (!logged) Set.empty
+          else graft.ops.IdentityColumns.spec(spark, path).map(_._1).toSet ++
+            graft.ops.GeneratedColumns.generatedNames(spark, path)
+        val names =
+          if (auto.nonEmpty &&
+              rows.columns.length == allNames.count(!auto(_)))
+            allNames.filterNot(auto)
+          else allNames
         require(rows.columns.length == names.length,
           s"INSERT: ${rows.columns.length} columns for a " +
             s"${names.length}-column table")

@@ -44,8 +44,8 @@ object TxLogIngest {
       if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
       val txn = s"epoch_$epoch"
       if (!TxLog.txnCommitted(spark, dir, txn)) {
-        val assigned =
-          graft.ops.IdentityColumns.maybeAssign(spark, dir, batch.toDF())
+        val assigned = graft.ops.GeneratedColumns.fill(spark, dir,
+          graft.ops.IdentityColumns.maybeAssign(spark, dir, batch.toDF()))
         TxLog.enforceConstraints(spark, dir, assigned)
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stage = new Path(dir, ".append_stage")
