@@ -84,6 +84,31 @@ object GraftTableFunctions {
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
+  /** DESCRIBE-style schema table: one row per pinned column at
+    * `version` with its type, nullability, PHYSICAL name (column
+    * mapping), generation expression, identity declaration and
+    * partition membership — the observability surface for every
+    * round of schema evolution in one place.
+    */
+  private def schemaMeta(
+      spark: SparkSession, dir: String, version: Int): DataFrame = {
+    import spark.implicits._
+    val pin = TxLog.tableSchema(spark, dir, version)
+      .getOrElse(TxLog.snapshot(spark, dir, version).schema)
+    val gens = graft.ops.GeneratedColumns.spec(spark, dir).toMap
+    val ident = graft.ops.IdentityColumns.spec(spark, dir)
+    val pcols = TxLog.partitionColumns(spark, dir).toSet
+    pin.fields.toSeq.map { f =>
+      (f.name, f.dataType.simpleString, f.nullable,
+        graft.ops.ColumnMapping.physicalName(f),
+        gens.get(f.name).orNull,
+        ident.collect { case (c, st, sp) if c == f.name =>
+          s"START $st STEP $sp" }.headOption.orNull,
+        pcols(f.name))
+    }.toDF("column", "type", "nullable", "physical", "generated_as",
+      "identity", "partition")
+  }
+
   private[graft] def build(
       spark: SparkSession,
       fn: String,
@@ -126,6 +151,10 @@ object GraftTableFunctions {
       TxLog.filesMeta(spark, str(d, fn, 0))
     case ("graft_files", Seq(d, v)) =>
       TxLog.filesMeta(spark, str(d, fn, 0), int(v, fn, 1))
+    case ("graft_schema", Seq(d)) =>
+      schemaMeta(spark, str(d, fn, 0), Int.MaxValue)
+    case ("graft_schema", Seq(d, v)) =>
+      schemaMeta(spark, str(d, fn, 0), int(v, fn, 1))
     case ("graft_db", Seq(d, tbl)) =>
       graft.ops.DbLog.snapshot(spark, str(d, fn, 0), str(tbl, fn, 1))
     case ("graft_db", Seq(d, tbl, v)) =>
@@ -397,6 +426,8 @@ object GraftTableFunctions {
         "graft_hidden_eq(dir, col, v...) - hidden-partition equality scan"),
       ("graft_files",
         "graft_files(dir[, version]) - per-file metadata: bytes, rows, dv, stats"),
+      ("graft_schema",
+        "graft_schema(dir[, version]) - pinned columns with physical names, generation exprs, identity, partition membership"),
       ("graft_db",
         "graft_db(db, table[, version]) - one table of a multi-table DbLog database"),
       ("graft_optimize",

@@ -112,6 +112,29 @@ class TypeWidenSpec extends SparkSpec {
     }
   }
 
+  test("graft_schema surfaces physical names, widen, identity, generation") {
+    graft.GraftExtensions.installInto(spark)
+    val dir = Files.createTempDirectory("widen").toString + "/t"
+    ddl(s"""CREATE TABLE parquet.`$dir`
+           |  (id BIGINT GENERATED ALWAYS AS IDENTITY,
+           |   k INT, price DOUBLE,
+           |   twice DOUBLE GENERATED ALWAYS AS (price * 2))""".stripMargin)
+    ddl(s"ALTER TABLE parquet.`$dir` RENAME COLUMN k TO row_key")
+    ddl(s"ALTER TABLE parquet.`$dir` ALTER COLUMN row_key TYPE BIGINT")
+    val rows = spark.sql(s"SELECT * FROM graft_schema('$dir')")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("row_key")._1 == "bigint") // widened type
+    assert(rows("row_key")._2 == "k") // physical name survives both
+    assert(rows("twice")._3 == "price * 2") // generation expr
+    assert(rows("id")._4 == "START 1 STEP 1") // identity declaration
+    // time travel: version 0's schema shows the pre-rename name
+    val v0 = spark.sql(s"SELECT column FROM graft_schema('$dir', 0)")
+      .collect().map(_.getString(0)).toSet
+    assert(v0.contains("k") && !v0.contains("row_key"))
+  }
+
   test("date -> timestamp_ntz widens") {
     import spark.implicits._
     val dir = Files.createTempDirectory("widen").toString + "/t"
