@@ -587,7 +587,15 @@ object TxLog {
     finally out.close()
   }
 
-  def checkConstraints(spark: SparkSession, dir: String): Seq[String] = {
+  def checkConstraints(spark: SparkSession, dir: String): Seq[String] =
+    namedCheckConstraints(spark, dir).map(_._2)
+
+  /** Constraints with their optional user names (`name<TAB>condition`
+    * lines; legacy bare-condition lines parse as unnamed) — the form
+    * SQL `ALTER TABLE … ADD/DROP CONSTRAINT` needs.
+    */
+  def namedCheckConstraints(
+      spark: SparkSession, dir: String): Seq[(Option[String], String)] = {
     val fs = Compact.fsOf(spark, dir)
     val p = new Path(logPath(dir), ConstraintsName)
     if (!fs.exists(p)) return Nil
@@ -595,7 +603,60 @@ object TxLog {
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    body.filter(_.nonEmpty)
+    body.filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(n, c) => (Some(n), c)
+        case _ => (None, l)
+      }
+    }
+  }
+
+  private def writeNamedConstraints(
+      spark: SparkSession, dir: String,
+      cs: Seq[(Option[String], String)]): Unit =
+    setCheckConstraints(spark, dir, cs.map {
+      case (Some(n), c) => s"$n\t$c"
+      case (None, c) => c
+    })
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (condition)`: validate
+    * every EXISTING row first (one probe scan over the snapshot — a
+    * constraint the data already violates must not land, the Delta
+    * contract), then append to the enforcement set every write path
+    * already checks on its staged delta.
+    */
+  def addCheckConstraint(
+      spark: SparkSession, dir: String, name: String,
+      condition: String): Unit = {
+    val existing = namedCheckConstraints(spark, dir)
+    require(!existing.exists(_._1.contains(name)),
+      s"constraint $name already exists on $dir")
+    if (liveFiles(spark, dir).nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, not}
+      val bad = snapshot(spark, dir).filter(not(expr(condition)))
+        .limit(1).count()
+      if (bad > 0)
+        throw new ConstraintViolation(
+          s"cannot add CHECK constraint $name ($condition) to $dir: " +
+            "existing rows violate it")
+    }
+    writeNamedConstraints(spark, dir, existing :+ (Some(name), condition))
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name` — by user name; unnamed
+    * (API-set) constraints are managed with [[setCheckConstraints]].
+    */
+  def dropCheckConstraint(
+      spark: SparkSession, dir: String, name: String,
+      ifExists: Boolean = false): Unit = {
+    val existing = namedCheckConstraints(spark, dir)
+    if (!existing.exists(_._1.contains(name))) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"DROP CONSTRAINT: no constraint named $name on $dir")
+    }
+    writeNamedConstraints(spark, dir,
+      existing.filterNot(_._1.contains(name)))
   }
 
   final class ConstraintViolation(msg: String)

@@ -77,6 +77,15 @@ object GraftDdl {
       case d: DropColumns => ident(d.table)
       case r: RenameColumn => ident(r.table)
       case a: AlterColumns => ident(a.table)
+      // the parser wraps ADD CONSTRAINT's table in a validation Filter
+      // (NOT cond) — find the relation inside
+      case a: AddCheckConstraint => a.child.collectFirst {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if u.multipartIdentifier.length == 2 &&
+              u.multipartIdentifier.head.equalsIgnoreCase("parquet") =>
+          u.multipartIdentifier(1)
+      }
+      case d: DropConstraint => ident(d.table)
       // CREATE [TABLE|TABLE AS SELECT] survive the session-catalog
       // rules only as their v1 commands; the `parquet` "database" in
       // the CatalogTable identifier is our format marker
@@ -101,6 +110,8 @@ object GraftDdl {
       case a: AddColumns => runAddColumns(spark, a)
       case d: DropColumns => runDropColumns(spark, d)
       case a: AlterColumns => runAlterColumns(spark, a)
+      case a: AddCheckConstraint => runAddConstraint(spark, a)
+      case d: DropConstraint => runDropConstraint(spark, d)
       case c: CreateDataSourceTableCommand =>
         runCreateCore(spark, targetOf(c).get,
           StructType(c.table.schema.fields.toSeq),
@@ -142,7 +153,12 @@ object GraftDdl {
       spec: TableSpecBase, columns: Seq[ColumnDefinition]): Seq[String] = {
     val checks = spec match {
       case u: UnresolvedTableSpec =>
-        u.constraints.collect { case c: CheckConstraint => c.condition }
+        u.constraints.collect { case c: CheckConstraint =>
+          // keep the user's constraint NAME (name<TAB>condition — the
+          // form ALTER TABLE DROP CONSTRAINT can address later)
+          Option(c.userProvidedName)
+            .map(n => s"$n\t${c.condition}").getOrElse(c.condition)
+        }
       case _ => Nil
     }
     checks ++ columns.filterNot(_.nullable).map(c => s"${c.name} IS NOT NULL")
@@ -459,6 +475,38 @@ object GraftDdl {
       op = Some("alter-column-type"))
     TxLog.setTableSchema(spark, path, retyped, v)
     receipt("alter-column-type", path, 0L, 0L, v)
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (cond)` — existing rows
+    * validate FIRST (one probe scan; a constraint the data already
+    * violates refuses), then every write path enforces it on its
+    * staged delta. `DROP CONSTRAINT name [IF EXISTS]` removes by the
+    * user name.
+    */
+  private def runAddConstraint(
+      spark: SparkSession, a: AddCheckConstraint): Seq[Row] = {
+    val path = targetOf(a).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE ADD CONSTRAINT: $path is not TxLog-managed")
+    val cc = a.checkConstraint
+    val name = Option(cc.userProvidedName).getOrElse(
+      throw new IllegalArgumentException(
+        "ADD CONSTRAINT: a name is required (CONSTRAINT <name> CHECK …)"))
+    require(!cc.condition.contains('\t'),
+      "ADD CONSTRAINT: literal tabs in the condition are not supported")
+    TxLog.addCheckConstraint(spark, path, name, cc.condition)
+    receipt("add-constraint", path, 0L, 0L,
+      TxLog.currentVersion(spark, path))
+  }
+
+  private def runDropConstraint(
+      spark: SparkSession, d: DropConstraint): Seq[Row] = {
+    val path = targetOf(d).get
+    require(TxLog.exists(spark, path),
+      s"ALTER TABLE DROP CONSTRAINT: $path is not TxLog-managed")
+    TxLog.dropCheckConstraint(spark, path, d.name, d.ifExists)
+    receipt("drop-constraint", path, 0L, 0L,
+      TxLog.currentVersion(spark, path))
   }
 
   private def runDropColumns(spark: SparkSession, d: DropColumns): Seq[Row] = {

@@ -644,7 +644,7 @@ object GraftDml {
         GraftDmlCommand(r)
       case p @ (_: CreateTable | _: DropTable | _: TruncateTable |
                 _: AddColumns | _: DropColumns | _: RenameColumn |
-                _: AlterColumns)
+                _: AlterColumns | _: AddCheckConstraint | _: DropConstraint)
           if GraftDdl.targetOf(p).isDefined =>
         GraftDmlCommand(p)
       // session-catalog resolution converts path CREATE [AS SELECT]

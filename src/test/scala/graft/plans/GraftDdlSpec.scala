@@ -144,6 +144,45 @@ class GraftDdlSpec extends SparkSpec {
     }
   }
 
+  test("ADD/DROP CONSTRAINT: existing rows validate, writes enforce, drop releases") {
+    val dir = freshDir()
+    GraftDml.sql(spark,
+      s"CREATE TABLE parquet.`$dir` AS SELECT * FROM VALUES (1L), (5L) t(k)")
+    // a constraint existing rows violate refuses
+    intercept[TxLog.ConstraintViolation] {
+      GraftDml.sql(spark,
+        s"ALTER TABLE parquet.`$dir` ADD CONSTRAINT big CHECK (k > 3)")
+    }
+    // a satisfiable one lands and every write path enforces it
+    GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$dir` ADD CONSTRAINT pos CHECK (k > 0)")
+    intercept[TxLog.ConstraintViolation] {
+      GraftDml.sql(spark, s"INSERT INTO parquet.`$dir` SELECT -1L")
+    }
+    // named at CREATE + named here are both addressable by DROP
+    GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` DROP CONSTRAINT pos")
+    GraftDml.sql(spark, s"INSERT INTO parquet.`$dir` SELECT -1L")
+    assert(TxLog.snapshot(spark, dir).count() == 3L)
+    // IF EXISTS is silent; a missing name without it errors
+    GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$dir` DROP CONSTRAINT IF EXISTS nope")
+    intercept[IllegalArgumentException] {
+      GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` DROP CONSTRAINT nope")
+    }
+  }
+
+  test("a CREATE-named constraint is addressable by DROP CONSTRAINT") {
+    val dir = freshDir()
+    GraftDml.sql(spark,
+      s"CREATE TABLE parquet.`$dir` (k BIGINT, CONSTRAINT pos CHECK (k > 0))")
+    intercept[TxLog.ConstraintViolation] {
+      GraftDml.sql(spark, s"INSERT INTO parquet.`$dir` SELECT -5L")
+    }
+    GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` DROP CONSTRAINT pos")
+    GraftDml.sql(spark, s"INSERT INTO parquet.`$dir` SELECT -5L")
+    assert(TxLog.snapshot(spark, dir).count() == 1L)
+  }
+
   test("RENAME COLUMN is metadata-only through column mapping") {
     val dir = freshDir()
     GraftDml.sql(spark, s"CREATE TABLE parquet.`$dir` AS SELECT 1 AS k")
