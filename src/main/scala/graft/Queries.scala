@@ -4859,4 +4859,34 @@ object Queries {
       keyCols = Seq("l_orderkey", "l_linenumber"))
     graft.ops.TxLog.snapshot(s, p)
   }
+
+  /** AUTO COLUMNS COMPOSED: one table declares an IDENTITY column, a
+    * DEFAULT column and a GENERATED column; inserts supply only the
+    * data columns. The first batch omits the defaulted column (lands
+    * 'std'), the second supplies it explicitly ('vip' — supplied wins,
+    * the DEFAULT-vs-GENERATED semantic split); identity continues
+    * across commits; the generated fee derives per row. Batches land
+    * as single sorted partitions so DuckDB replays the identity
+    * arithmetic with row_number.
+    */
+  def qAutoColumns(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val p = s"$indexQueryDir/auto_columns"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.plans.GraftDml.sql(s,
+      s"""CREATE TABLE parquet.`$p`
+         |  (row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+         |   c_name STRING, c_acctbal DOUBLE,
+         |   tier STRING DEFAULT 'std',
+         |   fee DOUBLE GENERATED ALWAYS AS (c_acctbal * 0.01))""".stripMargin)
+    def batch(parity: Int) =
+      c.filter(pmod(col("c_custkey"), lit(2)) === parity)
+        .repartition(1).sortWithinPartitions("c_custkey")
+        .select("c_name", "c_acctbal")
+    graft.ops.TxLog.append(s, p, batch(0)) // omit tier -> 'std'
+    graft.ops.TxLog.append(s, p,
+      batch(1).withColumn("tier", lit("vip"))) // supplied wins
+    graft.ops.TxLog.snapshot(s, p)
+  }
 }

@@ -195,6 +195,7 @@ object SparkEntry {
     "q_identity" -> (Queries.qIdentity _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
+    "q_auto_columns" -> (Queries.qAutoColumns _),
     "q_cdf_images" -> (Queries.qCdfImages _),
     "q_clone_detach" -> (Queries.qCloneDetach _),
     "q_sql_merge_full" -> (Queries.qSqlMergeFull _),
@@ -2379,6 +2380,28 @@ object Oracles {
                        THEN l_discount * 2 ELSE l_discount END AS d
            FROM lineitem
          )""",
+
+    // identity + DEFAULT + generated composed on one table: batch 1
+    // omits tier (default lands), batch 2 supplies it (supplied wins);
+    // identity continues across commits; fee derives per row
+    "q_auto_columns" ->
+      """WITH b1 AS (
+           SELECT c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         b2 AS (
+           SELECT c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         )
+         SELECT rn AS row_id, c_name, c_acctbal, 'std' AS tier,
+                c_acctbal * 0.01 AS fee
+         FROM b1
+         UNION ALL
+         SELECT (SELECT count(*) FROM b1) + rn AS row_id, c_name,
+                c_acctbal, 'vip' AS tier, c_acctbal * 0.01 AS fee
+         FROM b2""",
 
     // clone of a DV-carrying table: inherited vectors apply, a
     // clone-side delete merges them locally, materialize folds them

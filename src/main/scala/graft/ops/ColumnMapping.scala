@@ -257,6 +257,8 @@ object ColumnMapping {
     val stats = TxLog.statsColumns(spark, dir)
     if (stats.contains(from))
       TxLog.setStatsColumns(spark, dir, stats.map(c => if (c == from) to else c))
+    // DEFAULT declarations reference no other column — they follow
+    DefaultColumns.renamed(spark, dir, from, to)
     v
   }
 
@@ -297,10 +299,12 @@ object ColumnMapping {
     val stats = TxLog.statsColumns(spark, dir)
     if (stats.contains(name))
       TxLog.setStatsColumns(spark, dir, stats.filterNot(_ == name))
-    // dropping a generated column drops its declaration (a stale one
-    // would re-fill — and so resurrect — the column on the next insert)
+    // dropping a generated/defaulted column drops its declaration (a
+    // stale one would re-fill — and so resurrect — it on the next insert)
     if (GeneratedColumns.generatedNames(spark, dir).contains(name))
       GeneratedColumns.undeclare(spark, dir, Set(name))
+    if (DefaultColumns.defaultedNames(spark, dir).contains(name))
+      DefaultColumns.undeclare(spark, dir, Set(name))
     v
   }
 }

@@ -786,11 +786,12 @@ object TxLog {
     */
   def append(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
-    // GENERATED ALWAYS fills here (identity, then generated columns —
-    // a generation expression may reference the identity value);
+    // auto columns fill here: identity, then DEFAULTs, then generated
+    // columns (a generation expression may reference the others);
     // constraints then see the computed values
     val df = GeneratedColumns.fill(spark, dir,
-      IdentityColumns.maybeAssign(spark, dir, df0))
+      DefaultColumns.fill(spark, dir,
+        IdentityColumns.maybeAssign(spark, dir, df0)))
     enforceConstraints(spark, dir, df)
     val declared = partitionColumns(spark, dir)
     val pcols = if (declared.nonEmpty) declared
@@ -813,7 +814,8 @@ object TxLog {
   def overwriteAll(spark: SparkSession, dir: String, df0: DataFrame): Int = {
     require(exists(spark, dir), s"$dir is not TxLog-managed")
     val df = GeneratedColumns.fill(spark, dir,
-      IdentityColumns.maybeAssign(spark, dir, df0))
+      DefaultColumns.fill(spark, dir,
+        IdentityColumns.maybeAssign(spark, dir, df0)))
     enforceConstraints(spark, dir, df)
     val olds = liveFiles(spark, dir)
     val declared = partitionColumns(spark, dir)

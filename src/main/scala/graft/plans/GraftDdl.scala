@@ -203,6 +203,16 @@ object GraftDdl {
         s.getStart, s.getStep)
     }
     if (gens.nonEmpty) graft.ops.GeneratedColumns.declare(spark, path, gens)
+    // `col TYPE DEFAULT <const>` — filled when an insert omits the
+    // column; a supplied value wins (SQL-standard DEFAULT)
+    val defaults = c.columns.toSeq
+      .flatMap(cd => cd.defaultValue.map(cd.name -> _.originalSQL))
+    defaults.foreach { case (n, _) =>
+      require(!ids.exists(_._1 == n) && !gens.exists(_._1 == n),
+        s"column $n: DEFAULT cannot combine with IDENTITY / GENERATED")
+    }
+    if (defaults.nonEmpty)
+      graft.ops.DefaultColumns.declare(spark, path, defaults)
     receipt
   }
 
@@ -549,12 +559,16 @@ object GraftDdl {
     val v = TxLog.commit(spark, path, adds = Nil, removes = Nil,
       op = Some("drop-columns"))
     TxLog.setTableSchema(spark, path, narrowed, v)
-    // dropping a generated column drops its declaration (a stale one
-    // would re-fill — and so resurrect — the column on the next insert)
+    // dropping a generated/defaulted column drops its declaration (a
+    // stale one would re-fill — and so resurrect — it on the next insert)
     val genDropped =
       drop.intersect(graft.ops.GeneratedColumns.generatedNames(spark, path))
     if (genDropped.nonEmpty)
       graft.ops.GeneratedColumns.undeclare(spark, path, genDropped)
+    val defDropped =
+      drop.intersect(graft.ops.DefaultColumns.defaultedNames(spark, path))
+    if (defDropped.nonEmpty)
+      graft.ops.DefaultColumns.undeclare(spark, path, defDropped)
     receipt("drop-columns", path, 0L, 0L, v)
   }
 }

@@ -245,7 +245,8 @@ object GraftDml {
         // partial omission would make positional mapping ambiguous.
         val auto: Set[String] = if (!logged) Set.empty
           else graft.ops.IdentityColumns.spec(spark, path).map(_._1).toSet ++
-            graft.ops.GeneratedColumns.generatedNames(spark, path)
+            graft.ops.GeneratedColumns.generatedNames(spark, path) ++
+            graft.ops.DefaultColumns.defaultedNames(spark, path)
         val names =
           if (auto.nonEmpty &&
               rows.columns.length == allNames.count(!auto(_)))

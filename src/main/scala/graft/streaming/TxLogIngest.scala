@@ -45,7 +45,8 @@ object TxLogIngest {
       val txn = s"epoch_$epoch"
       if (!TxLog.txnCommitted(spark, dir, txn)) {
         val assigned = graft.ops.GeneratedColumns.fill(spark, dir,
-          graft.ops.IdentityColumns.maybeAssign(spark, dir, batch.toDF()))
+          graft.ops.DefaultColumns.fill(spark, dir,
+            graft.ops.IdentityColumns.maybeAssign(spark, dir, batch.toDF())))
         TxLog.enforceConstraints(spark, dir, assigned)
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val stage = new Path(dir, ".append_stage")
