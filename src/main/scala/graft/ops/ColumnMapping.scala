@@ -259,6 +259,10 @@ object ColumnMapping {
       TxLog.setStatsColumns(spark, dir, stats.map(c => if (c == from) to else c))
     // DEFAULT declarations reference no other column — they follow
     DefaultColumns.renamed(spark, dir, from, to)
+    // the identity declaration keys on the column name; the ledger is
+    // name-free — follow the rename (a stale declaration would re-fill
+    // a ghost column under the OLD name on every later insert)
+    IdentityColumns.renamed(spark, dir, from, to)
     v
   }
 
@@ -299,12 +303,16 @@ object ColumnMapping {
     val stats = TxLog.statsColumns(spark, dir)
     if (stats.contains(name))
       TxLog.setStatsColumns(spark, dir, stats.filterNot(_ == name))
-    // dropping a generated/defaulted column drops its declaration (a
-    // stale one would re-fill — and so resurrect — it on the next insert)
+    // dropping a generated/defaulted/identity column drops its
+    // declaration (a stale one would re-fill — and so resurrect — it
+    // on the next insert, the identity case additionally burning
+    // ledger ranges into a phantom physical column)
     if (GeneratedColumns.generatedNames(spark, dir).contains(name))
       GeneratedColumns.undeclare(spark, dir, Set(name))
     if (DefaultColumns.defaultedNames(spark, dir).contains(name))
       DefaultColumns.undeclare(spark, dir, Set(name))
+    if (IdentityColumns.spec(spark, dir).exists(_._1 == name))
+      IdentityColumns.undeclare(spark, dir)
     v
   }
 }

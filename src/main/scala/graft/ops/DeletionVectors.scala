@@ -174,12 +174,60 @@ object DeletionVectors {
         return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
           0, 0, 0, None)
     }
+    val entries = TxLog.liveEntries(spark, dir)
+    val candEarly = candidates match {
+      case Some(cs) => val c = cs.toSet; entries.filter(e => c(e.name))
+      case None => entries
+    }
+    // IDENTITY upholds maybeAssign's contract on the MERGE path too:
+    // a batch OMITTING the column preserves matched rows' ids (the
+    // replacement row keeps the row it replaces' identity) and
+    // allocates fresh ids for genuine inserts; a batch CARRYING it is
+    // admitted only when the column IS the merge key against existing
+    // rows (GENERATED ALWAYS: ids only ever come from the ledger) or
+    // the declaration is BY DEFAULT (supplied wins, ledger re-syncs).
+    val updatesId = IdentityColumns.fullSpec(spark, dir) match {
+      case None => updates0
+      case Some(sp) if !updates0.columns.contains(sp.column) =>
+        require(!keyCols.contains(sp.column),
+          s"upsert keyed on identity column ${sp.column}: the batch " +
+            "must carry it")
+        if (candEarly.isEmpty) IdentityColumns.maybeAssign(spark, dir, updates0)
+        else {
+          // matched keys inherit their current id (one id per key —
+          // the upsert contract's key-unique table); misses read NULL
+          // and fill fresh from the ledger
+          val oldIds = TxLog.readEntries(spark, dir, candEarly)
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(col(sp.column)).as(sp.column))
+          IdentityColumns.fillNulls(spark, dir,
+            updates0.join(oldIds, keyCols, "left_outer"))
+        }
+      case Some(sp) if sp.allowExplicit =>
+        IdentityColumns.fillNulls(spark, dir, updates0)
+      case Some(sp) =>
+        require(keyCols.contains(sp.column),
+          s"identity column ${sp.column} is GENERATED ALWAYS — a MERGE " +
+            "batch may carry it only as the merge key (or omit it; " +
+            "declare GENERATED BY DEFAULT to admit explicit values)")
+        val misses =
+          if (candEarly.isEmpty) updates0.limit(1).count()
+          else updates0.select(keyCols.map(col): _*)
+            .join(TxLog.readEntries(spark, dir, candEarly)
+              .select(keyCols.map(col): _*), keyCols, "left_anti")
+            .limit(1).count()
+        require(misses == 0,
+          s"identity column ${sp.column} is GENERATED ALWAYS — a batch " +
+            "row whose key matches no existing row would land an " +
+            "explicit id; omit the column for inserts (or declare " +
+            "GENERATED BY DEFAULT)")
+        updates0
+    }
     // update-shaped write: generated columns RECOMPUTE (a changed
     // source column must move its derived value with it)
-    val updates = GeneratedColumns.fill(spark, dir, updates0,
+    val updates = GeneratedColumns.fill(spark, dir, updatesId,
       recompute = true)
     TxLog.enforceConstraints(spark, dir, updates)
-    val entries = TxLog.liveEntries(spark, dir)
     // schema discipline: an unannounced column drift would land files
     // a footer-sampled read resolves NONDETERMINISTICALLY. Width must
     // match the table exactly, or the caller opts into evolution and
@@ -230,10 +278,7 @@ object DeletionVectors {
         withMissing.select(merged.fieldNames.map(col): _*)
       }
     }
-    val cand = candidates match {
-      case Some(cs) => val c = cs.toSet; entries.filter(e => c(e.name))
-      case None => entries
-    }
+    val cand = candEarly
     val k = updates.select(keyCols.map(col): _*).distinct()
     val (hit, replacedRows, touched) =
       if (cand.isEmpty) (None, 0L, Nil)
@@ -353,9 +398,21 @@ object DeletionVectors {
         return UpsertReceipt(TxLog.liveFiles(spark, dir).size.toLong,
           0, 0, 0, None)
     }
+    // identity on MERGE images: UPDATE images carry their row's
+    // current id (the clause builder keeps unassigned columns — and
+    // [[graft.plans.GraftDml]] refuses SET/INSERT naming an ALWAYS
+    // identity), INSERT images carry NULL there — fill those from the
+    // ledger, row-granular; a batch omitting the column entirely is
+    // the plain insert shape and allocates throughout
+    val appendsId = IdentityColumns.fullSpec(spark, dir) match {
+      case None => appends0
+      case Some(sp) if !appends0.columns.contains(sp.column) =>
+        IdentityColumns.maybeAssign(spark, dir, appends0)
+      case Some(_) => IdentityColumns.fillNulls(spark, dir, appends0)
+    }
     // MERGE-built images recompute generated columns: an UPDATE whose
     // SET touched a source column would otherwise carry a stale value
-    val appends = GeneratedColumns.fill(spark, dir, appends0,
+    val appends = GeneratedColumns.fill(spark, dir, appendsId,
       recompute = true)
     TxLog.enforceConstraints(spark, dir, appends)
     val entries = TxLog.liveEntries(spark, dir)

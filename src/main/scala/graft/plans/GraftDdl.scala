@@ -172,19 +172,17 @@ object GraftDdl {
     val schema = StructType(c.columns.map(col =>
       StructField(col.name, col.dataType, col.nullable)))
     val path = targetOf(c).get
-    // `BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH s STEP x)]` —
-    // declared in the log, filled by every append surface
-    // ([[graft.ops.IdentityColumns]]). One per table; ALWAYS only
-    // (BY DEFAULT's explicit inserts would break the uniqueness claim).
+    // `BIGINT GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY [(START WITH
+    // s STEP x)]` — declared in the log, filled by every append
+    // surface ([[graft.ops.IdentityColumns]]). One per table. BY
+    // DEFAULT admits explicit inserts and re-syncs the ledger past
+    // supplied values inside the same write.
     val ids = c.columns.flatMap(cd => cd.identityColumnSpec.map(cd.name -> _))
     require(ids.size <= 1, "at most one identity column per table")
-    ids.foreach { case (name, s) =>
+    ids.foreach { case (name, _) =>
       require(c.columns.find(_.name == name).get.dataType ==
         org.apache.spark.sql.types.LongType,
         s"identity column $name must be BIGINT")
-      require(!s.isAllowExplicitInsert,
-        "GENERATED BY DEFAULT AS IDENTITY is not supported — explicit " +
-          "inserts would break the uniqueness claim; use GENERATED ALWAYS")
     }
     // `GENERATED ALWAYS AS (expr)` — log-declared, filled/validated by
     // every insert surface, recomputed by update-shaped writes
@@ -200,7 +198,7 @@ object GraftDdl {
       constraintExprs(c.tableSpec, c.columns), c.ignoreIfExists)
     ids.foreach { case (name, s) =>
       graft.ops.IdentityColumns.declare(spark, path, name,
-        s.getStart, s.getStep)
+        s.getStart, s.getStep, allowExplicit = s.isAllowExplicitInsert)
     }
     if (gens.nonEmpty) graft.ops.GeneratedColumns.declare(spark, path, gens)
     // `col TYPE DEFAULT <const>` — filled when an insert omits the
@@ -262,6 +260,16 @@ object GraftDdl {
       // committed version (old snapshots keep their own width)
       val pcols = identityCols(r.partitioning)
       if (pcols.nonEmpty) TxLog.setPartitionColumns(spark, path, pcols)
+      // REPLACE defines a fresh table shape: stale identity/generated/
+      // default declarations must not apply to the replacement frame
+      // (a carried-over GENERATED ALWAYS would refuse or ghost-fill;
+      // a stale identity name would refuse the new frame outright).
+      // RTAS has no column list to re-derive them from — clear them.
+      graft.ops.IdentityColumns.undeclare(spark, path)
+      graft.ops.GeneratedColumns.undeclare(spark, path,
+        graft.ops.GeneratedColumns.generatedNames(spark, path))
+      graft.ops.DefaultColumns.undeclare(spark, path,
+        graft.ops.DefaultColumns.defaultedNames(spark, path))
       val n = df.count()
       // a mapped table stays mapped across REPLACE: same-named columns
       // keep their physical names (overwriteAll's staged write spells
@@ -569,6 +577,8 @@ object GraftDdl {
       drop.intersect(graft.ops.DefaultColumns.defaultedNames(spark, path))
     if (defDropped.nonEmpty)
       graft.ops.DefaultColumns.undeclare(spark, path, defDropped)
+    if (graft.ops.IdentityColumns.spec(spark, path).exists(s => drop(s._1)))
+      graft.ops.IdentityColumns.undeclare(spark, path)
     receipt("drop-columns", path, 0L, 0L, v)
   }
 }

@@ -438,6 +438,50 @@ object GraftDml {
     val sCols = source.columns.toSeq
     def canon(cols: Seq[String], n: String): Option[String] =
       cols.find(_.equalsIgnoreCase(n))
+    // a GENERATED ALWAYS identity column never takes a clause-supplied
+    // value: SET/INSERT naming it refuses up front (insert images then
+    // carry NULL there and applyRowChanges fills from the ledger). The
+    // one admitted shape is the expanded `UPDATE SET *`'s no-op
+    // assignment id := s.<key> when the identity IS an ON key — equal
+    // by the join, so nothing is being supplied.
+    graft.ops.IdentityColumns.fullSpec(spark, path)
+      .filterNot(_.allowExplicit).map(_.column)
+      .filter(c => tCols.exists(_.equalsIgnoreCase(c))).foreach { idc =>
+        val keyedSrc: Set[String] = keyPairs.collect {
+          case (tk, sk) if tk.equalsIgnoreCase(idc) => sk.toLowerCase
+        }.toSet
+        def assignedName(a: Assignment): Option[String] = a.key match {
+          case UnresolvedAttribute(parts) => Some(parts.last)
+          case ar: AttributeReference => Some(ar.name)
+          case _ => None
+        }
+        def valueIsSourceKey(a: Assignment): Boolean = a.value match {
+          case ua: UnresolvedAttribute =>
+            keyedSrc(ua.nameParts.last.toLowerCase)
+          case ar: AttributeReference =>
+            sSet.contains(ar) && keyedSrc(ar.name.toLowerCase)
+          case _ => false
+        }
+        def refuse(what: String): Nothing = throw new IllegalArgumentException(
+          s"MERGE: identity column $idc is GENERATED ALWAYS — $what " +
+            "must not supply it (omit it; declare GENERATED BY DEFAULT " +
+            "to admit explicit values)")
+        (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+          case UpdateAction(_, as, _) =>
+            as.foreach(a => if (assignedName(a).exists(_.equalsIgnoreCase(idc))
+              && !valueIsSourceKey(a)) refuse("UPDATE SET"))
+          case _: UpdateStarAction if keyedSrc.isEmpty =>
+            refuse("UPDATE SET * (identity not an ON key)")
+          case _ => ()
+        }
+        m.notMatchedActions.foreach {
+          case InsertAction(_, as) =>
+            as.foreach(a => if (assignedName(a)
+              .exists(_.equalsIgnoreCase(idc))) refuse("INSERT"))
+          case _: InsertStarAction => refuse("INSERT *")
+          case _ => ()
+        }
+      }
     def ucol(prefix: String, n: String) =
       UnresolvedAttribute(Seq(prefix + n))
     // rewrite a clause expression onto the prefixed join frame; `bare`
