@@ -4791,6 +4791,169 @@ object Queries {
     graft.ops.TxLog.snapshot(s, p)
   }
 
+  /** CLONE × SCHEMA EVOLUTION ([[graft.ops.TxLog.cloneTo]] +
+    * [[graft.ops.ColumnMapping]]): a shallow clone RENAMES a column,
+    * copy-on-write DELETES a slice (localizing exactly the touched
+    * based entries) and APPENDS under the new name — while the SOURCE
+    * stays byte-identical: the output carries the source's row count
+    * and key sum as cross-joined scalars, so any leak of the clone's
+    * rename/delete into the source breaks the hash. The clone's
+    * mixed provenance (still-based source bytes + localized rewrites +
+    * fresh appends) reads as ONE logical table under the renamed pin.
+    */
+  def qCloneRename(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val src = s"$indexQueryDir/clone_rename_src"
+    val cln = s"$indexQueryDir/clone_rename_c"
+    Seq(src, cln).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    }
+    base.repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey").write.parquet(src)
+    graft.ops.TxLog.convert(s, src)
+    graft.ops.TxLog.cloneTo(s, src, cln)
+    graft.plans.GraftDml.sql(s,
+      s"ALTER TABLE parquet.`$cln` RENAME COLUMN l_extendedprice TO price")
+    graft.plans.GraftDml.sql(s,
+      s"DELETE FROM parquet.`$cln` WHERE l_quantity > 40")
+    graft.ops.TxLog.append(s, cln,
+      base.filter(col("l_orderkey") < 100)
+        .withColumn("l_orderkey", col("l_orderkey") + 80000000L)
+        .withColumnRenamed("l_extendedprice", "price"))
+    val srcAgg = graft.ops.TxLog.snapshot(s, src).agg(
+      count(lit(1)).as("src_rows"),
+      sum(col("l_orderkey")).as("src_keysum"))
+    graft.ops.TxLog.snapshot(s, cln).crossJoin(srcAgg)
+  }
+
+  /** PER-TABLE COLUMN MAPPING in a DbLog database
+    * ([[graft.ops.DbLog.renameColumn]]): one multi-table warehouse,
+    * RENAME COLUMN on table `li` only — metadata-sized, sibling `ord`
+    * untouched. Post-rename, a multi-table transaction appends to BOTH
+    * tables under the new name and a copy-on-write delete prunes `li`
+    * by a predicate on an unrenamed column; the staged files keep
+    * spelling the PHYSICAL (pre-rename) name while every query speaks
+    * the logical one. The output is a cross-table join snapshot —
+    * hash-green means the whole lifecycle (rename, mixed-era files,
+    * physical staging, per-table pins) lands exactly on DuckDB
+    * replaying the visible algebra.
+    */
+  def qDblogColmap(s: SparkSession, dir: String): DataFrame = {
+    val li0 = t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val ord0 = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = s"$indexQueryDir/dblog_colmap"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, p)
+    graft.ops.DbLog.transact(s, p, "seed") { txn =>
+      txn.append("li", li0)
+      txn.append("ord", ord0)
+    }
+    graft.ops.DbLog.renameColumn(s, p, "li", "l_extendedprice", "price")
+    graft.ops.DbLog.transact(s, p, "post-rename") { txn =>
+      txn.append("li", li0.filter(col("l_orderkey") < 200)
+        .withColumn("l_orderkey", col("l_orderkey") + 90000000L)
+        .withColumnRenamed("l_extendedprice", "price"))
+      txn.append("ord", ord0.filter(col("o_orderkey") < 200)
+        .withColumn("o_orderkey", col("o_orderkey") + 90000000L))
+    }
+    graft.ops.DbLog.transact(s, p, "prune") { txn =>
+      txn.deleteWhere("li", col("l_quantity") > 45)
+    }
+    val li = graft.ops.DbLog.snapshot(s, p, "li")
+    val ord = graft.ops.DbLog.snapshot(s, p, "ord")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+      .select(li("l_orderkey"), li("l_linenumber"), li("price"),
+        li("l_quantity"), ord("o_totalprice"))
+  }
+
+  /** ROW TRACKING ([[graft.ops.RowTracking]]): stable `_row_id`s that
+    * survive rewrites. Three sorted single-partition appends give
+    * deterministic position-derived ids (file base + row index); a
+    * copy-on-write DELETE then rewrites the files (survivors carry
+    * their ids MATERIALIZED), a compaction packs the remains (ids
+    * travel as data), and a merge-on-read upsert bumps a key slice
+    * (update images inherit their rows' ids). DuckDB replays the ids
+    * with row_number arithmetic over the ORIGINAL append order — every
+    * surviving row must still wear the id it was born with, through
+    * three generations of physical rewrites.
+    */
+  def qRowIds(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val p = s"$indexQueryDir/rowids"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.TxLog.convert(s, p)
+    graft.ops.TxLog.setTableSchema(s, p, c.schema, 0)
+    graft.ops.RowTracking.enable(s, p)
+    def sorted1(df: DataFrame) =
+      df.repartition(1).sortWithinPartitions("c_custkey")
+    graft.ops.TxLog.append(s, p,
+      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
+    graft.ops.TxLog.append(s, p,
+      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
+    graft.ops.TxLog.append(s, p,
+      sorted1(c.filter(col("c_custkey") <= 30)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)))
+    // copy-on-write delete: every file rewrites, survivors keep ids
+    graft.ops.DeleteWhere.where(s, p, pmod(col("c_custkey"), lit(7)) === 0)
+    // pack the rewritten remains — ids travel as materialized data
+    graft.ops.Compact.binPack(s, p, smallBytes = 8L << 20)
+    // merge-on-read update: images inherit their rows' ids by key
+    val upd = graft.ops.TxLog.snapshot(s, p)
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .localCheckpoint()
+    graft.ops.DeletionVectors.upsert(s, p, upd, keyCols = Seq("c_custkey"))
+    graft.ops.RowTracking.read(s, p)
+  }
+
+  /** IDENTITY `GENERATED BY DEFAULT` ([[graft.ops.IdentityColumns]]):
+    * the engine fills omitted ids exactly like ALWAYS, but a batch MAY
+    * supply the column — supplied values land verbatim and the
+    * allocation ledger RE-SYNCS past the supplied maximum inside the
+    * same write, so later engine assignments never collide (the
+    * SQL-standard BY DEFAULT contract). Three batches: engine-assigned
+    * (sorted single partition — deterministic ids), fully-explicit
+    * (1000000 + key), and MIXED — explicit on even keys, NULL on odd
+    * keys, where the NULL rows fill strictly above the batch's own
+    * supplied max because the re-sync happens before assignment.
+    * DuckDB replays all three with row_number arithmetic.
+    */
+  def qIdentityDefault(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val p = s"$indexQueryDir/identity_default"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.plans.GraftDml.sql(s,
+      s"""CREATE TABLE parquet.`$p`
+         |  (row_id BIGINT GENERATED BY DEFAULT AS IDENTITY
+         |     (START WITH 10 INCREMENT BY 5),
+         |   c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""".stripMargin)
+    // engine-assigned: the batch omits row_id
+    graft.ops.TxLog.append(s, p,
+      c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .repartition(1).sortWithinPartitions("c_custkey"))
+    // fully explicit: values land verbatim, the ledger re-syncs past max
+    graft.ops.TxLog.append(s, p,
+      c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select((lit(1000000L) + col("c_custkey")).as("row_id"),
+          col("c_custkey"), col("c_name"), col("c_acctbal")))
+    // mixed: explicit on evens, NULL (engine fills above 2000000+max
+    // even key ≤ 40, the batch's own re-synced water) on odds
+    graft.ops.TxLog.append(s, p,
+      c.filter(col("c_custkey") <= 40)
+        .repartition(1).sortWithinPartitions("c_custkey")
+        .select(
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            lit(2000000L) + col("c_custkey")).as("row_id"),
+          col("c_custkey"), col("c_name"), col("c_acctbal")))
+    graft.ops.TxLog.snapshot(s, p)
+  }
+
   /** TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`,
     * [[graft.plans.GraftDdl]]): metadata-only — the pin retypes, old
     * footers serve under the wide type natively (Spark 4 parquet

@@ -193,6 +193,10 @@ object SparkEntry {
     "q_colmap_rename" -> (Queries.qColmapRename _),
     "q_colmap_drop_readd" -> (Queries.qColmapDropReadd _),
     "q_identity" -> (Queries.qIdentity _),
+    "q_identity_default" -> (Queries.qIdentityDefault _),
+    "q_rowids" -> (Queries.qRowIds _),
+    "q_dblog_colmap" -> (Queries.qDblogColmap _),
+    "q_clone_rename" -> (Queries.qCloneRename _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
     "q_auto_columns" -> (Queries.qAutoColumns _),
@@ -2352,6 +2356,129 @@ object Oracles {
                   AS row_id,
                 c_custkey, c_name, c_acctbal
          FROM odds""",
+
+    // clone × schema evolution: the clone renames l_extendedprice →
+    // price, CoW-deletes quantity>40 (localizing touched files) and
+    // appends +80000000-shifted keys under the new name; the source's
+    // row count and key sum ride along as cross-joined scalars — a
+    // leak either direction breaks the hash
+    "q_clone_rename" ->
+      """WITH cl AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_extendedprice AS price, l_quantity
+           FROM lineitem WHERE l_quantity <= 40
+           UNION ALL
+           SELECT l_orderkey + 80000000 AS l_orderkey, l_linenumber,
+                  l_extendedprice AS price, l_quantity
+           FROM lineitem WHERE l_orderkey < 100
+         ),
+         s AS (
+           SELECT count(*) AS src_rows,
+                  CAST(sum(l_orderkey) AS BIGINT) AS src_keysum
+           FROM lineitem
+         )
+         SELECT cl.l_orderkey, cl.l_linenumber, cl.price, cl.l_quantity,
+                s.src_rows, s.src_keysum
+         FROM cl CROSS JOIN s""",
+
+    // per-table column mapping in a DbLog database: li renames
+    // l_extendedprice→price (metadata-only, sibling ord untouched), a
+    // post-rename multi-table txn appends +90000000-shifted keys to
+    // both tables, a CoW delete prunes quantity>45; output is the
+    // cross-table join snapshot under the new logical name
+    "q_dblog_colmap" ->
+      """WITH li_all AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_extendedprice AS price, l_quantity
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey + 90000000 AS l_orderkey, l_linenumber,
+                  l_extendedprice AS price, l_quantity
+           FROM lineitem WHERE l_orderkey < 200
+         ),
+         li AS (SELECT * FROM li_all WHERE l_quantity <= 45),
+         ord AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderkey + 90000000 AS o_orderkey, o_totalprice
+           FROM orders WHERE o_orderkey < 200
+         )
+         SELECT li.l_orderkey, li.l_linenumber, li.price, li.l_quantity,
+                ord.o_totalprice
+         FROM li LEFT JOIN ord ON li.l_orderkey = ord.o_orderkey""",
+
+    // row tracking: _row_id = append-order row_number arithmetic —
+    // three sorted single-partition appends (evens, odds, +1000000
+    // copies of keys ≤ 30), then a CoW delete (k%7), a compaction and
+    // a MOR update (+1000 acctbal on k%10) that must all PRESERVE the
+    // ids while the files rewrite underneath
+    "q_rowids" ->
+      """WITH evens AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         odds AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         ),
+         news AS (
+           SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey <= 30
+         ),
+         base AS (
+           SELECT c_custkey, c_name, c_acctbal, rn - 1 AS rid FROM evens
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal,
+                  (SELECT count(*) FROM evens) + rn - 1 FROM odds
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal,
+                  (SELECT count(*) FROM customer) + rn - 1 FROM news
+         )
+         SELECT c_custkey, c_name,
+                CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                     ELSE c_acctbal END AS c_acctbal,
+                rid AS "_row_id"
+         FROM base WHERE c_custkey % 7 <> 0""",
+
+    // identity GENERATED BY DEFAULT (START 10 STEP 5): batch 1 engine-
+    // assigned (sorted single partition → row_number arithmetic),
+    // batch 2 fully explicit (1000000 + key, verbatim; ledger re-syncs
+    // past its max), batch 3 mixed — explicit 2000000+key on evens,
+    // NULL on odds; the NULL rows fill from the re-synced water
+    // (2000000 + max even key ≤ 40), stepping by 5 in sorted order
+    "q_identity_default" ->
+      """WITH evens AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         mixed AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer
+           WHERE c_custkey <= 40
+         ),
+         mx AS (
+           SELECT max(c_custkey) AS m FROM mixed WHERE c_custkey % 2 = 0
+         ),
+         mixed_nulls AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM mixed WHERE c_custkey % 2 = 1
+         )
+         SELECT 10 + (rn - 1) * 5 AS row_id, c_custkey, c_name, c_acctbal
+         FROM evens
+         UNION ALL
+         SELECT 1000000 + c_custkey AS row_id, c_custkey, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 2 = 1
+         UNION ALL
+         SELECT 2000000 + c_custkey AS row_id, c_custkey, c_name, c_acctbal
+         FROM mixed WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT 2000000 + (SELECT m FROM mx) + rn * 5 AS row_id,
+                c_custkey, c_name, c_acctbal
+         FROM mixed_nulls""",
 
     // type widening: int->bigint / float->double are pin-only; the
     // mixed-era union casts explicitly on the oracle side. Values the

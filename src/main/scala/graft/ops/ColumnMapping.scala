@@ -47,9 +47,10 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, Struc
   *
   * Scope guards: partition columns (hive or hidden-transform source
   * columns) and CHECK-constrained columns refuse to rename — their
-  * names are baked into directory paths / constraint SQL; [[DbLog]]
-  * databases are out of scope (per-table pins are a different
-  * namespace). 100 TB shape: enable/rename/drop are metadata-sized
+  * names are baked into directory paths / constraint SQL. [[DbLog]]
+  * databases rename PER TABLE ([[DbLog.renameColumn]] — the mapping
+  * lives on the table's own pin namespace); the dir-wide [[enable]]
+  * refuses there. 100 TB shape: enable/rename/drop are metadata-sized
   * (one pin file + one version file), never a data pass.
   *
   * Reference anchor: the reference renames 12 CSV headers in pandas
@@ -75,6 +76,14 @@ object ColumnMapping {
   private def withPhysical(f: StructField, phys: String): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(PhysKey, phys).build())
+
+  /** Freeze every field's physical name to its current spelling — the
+    * enablement step as a pure schema transform ([[DbLog]]'s per-table
+    * pins enable through this; the dir-wide [[enable]] wraps it with
+    * the pin write). Idempotent on already-mapped schemas.
+    */
+  private[ops] def frozen(schema: StructType): StructType =
+    StructType(schema.fields.map(f => withPhysical(f, physicalName(f))))
 
   /** The schema as the data files spell it: fields renamed to their
     * physical names (metadata kept — the round trip back to logical
@@ -195,8 +204,9 @@ object ColumnMapping {
         e.name.contains('/') && !e.name.split('/').head.contains('='))
     require(!dbShaped,
       s"column mapping: $dir looks like a DbLog database (table-prefixed " +
-        "entries / per-table metadata) — per-table mapping is not " +
-        "supported; clone the table out or manage it standalone")
+        "entries / per-table metadata) — the DIR-WIDE mapping would " +
+        "claim every table's columns at once; rename per table with " +
+        "DbLog.renameColumn(db, table, from, to) instead")
     val current = TxLog.tableSchema(spark, dir).getOrElse {
       val entries = TxLog.liveEntries(spark, dir)
       require(entries.nonEmpty,

@@ -179,8 +179,22 @@ object Compact {
     val pcols: Set[String] = partition.toSeq
       .flatMap(_.split("/").toSeq.filter(_.contains("="))
         .map(_.split("=", 2)(0))).toSet
-    val df = pinnedReader(spark, dir, dropCols = pcols)
-      .parquet(small.map(_._2.getPath.toString): _*)
+    // a tracked table's pack first materializes the packed rows' ids
+    // (the pack shuffles positions — row ids must travel as data);
+    // the id-attaching read is logical, so alias back to physical for
+    // the bytes-out write. Untracked: the plain physical read.
+    val smallNames = small.map(_._1).toSet
+    val df = (if (TxLog.exists(spark, dir))
+        RowTracking.attachForRewrite(spark, dir,
+          TxLog.liveEntries(spark, dir).filter(e => smallNames(e.name)))
+      else None) match {
+      case Some(at) =>
+        TxLog.stagePhysical(spark, dir,
+          at.drop(pcols.toSeq: _*)) // partition values live in the path
+      case None =>
+        pinnedReader(spark, dir, dropCols = pcols)
+          .parquet(small.map(_._2.getPath.toString): _*)
+    }
     // the pack reads AND writes physical names (bytes in, bytes out —
     // no logical round trip); caller-supplied cluster columns are
     // logical, so translate them onto the physical frame

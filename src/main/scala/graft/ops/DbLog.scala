@@ -105,13 +105,15 @@ object DbLog {
       spark: SparkSession,
       db: String,
       table: String,
-      version: Int = Int.MaxValue): DataFrame = {
+      version: Int = Int.MaxValue,
+      schemaVersion: Int = -1): DataFrame = {
+    val schemaV = if (schemaVersion >= 0) schemaVersion else version
     val entries = entriesOf(spark, db, table, version)
     require(entries.nonEmpty,
       s"table '$table' holds no files at version $version of $db " +
         s"(have: ${tables(spark, db, version).mkString(", ")})")
-    TxLog.readEntries(spark, db, entries, schemaVersion = version,
-      pinOverride = tableSchema(spark, db, table, version))
+    TxLog.readEntries(spark, db, entries, schemaVersion = schemaV,
+      pinOverride = tableSchema(spark, db, table, schemaV))
   }
 
   def currentVersion(spark: SparkSession, db: String): Int =
@@ -210,6 +212,61 @@ object DbLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** PER-TABLE COLUMN MAPPING: `RENAME COLUMN` on ONE table of the
+    * database — the rename a multi-table warehouse actually performs.
+    * The mapping lives on the TABLE'S OWN pin namespace
+    * (`schema.<table>.<v>.json`): enabling freezes that table's
+    * physical names ([[ColumnMapping.frozen]]), the rename re-pins the
+    * new logical spelling over the unchanged physical one at a fresh
+    * (empty) commit, and no other table's pin, files or constraints
+    * are touched. Reads already resolve through the per-table pin
+    * ([[snapshot]] passes it as `pinOverride` — physical scan, logical
+    * aliasing); every [[Txn]] write path stages PHYSICAL and reads
+    * LOGICAL through the same pin, so post-rename appends/deletes/
+    * upserts keep one on-disk spelling. Earlier versions keep their
+    * own names (pins are version-keyed). Declared stats columns follow
+    * the rename; this table's CHECK constraints referencing the column
+    * refuse, exactly like the dir-wide form.
+    */
+  def renameColumn(
+      spark: SparkSession, db: String, table: String,
+      from: String, to: String): Int = {
+    requireTableName(table)
+    val pin0 = tableSchema(spark, db, table).getOrElse {
+      val es = entriesOf(spark, db, table, Int.MaxValue)
+      require(es.nonEmpty, s"renameColumn: no such table '$table' in $db")
+      TxLog.readEntries(spark, db, es).schema
+    }
+    val pin = ColumnMapping.frozen(pin0)
+    require(pin.fieldNames.contains(from),
+      s"rename: no column $from in $db/$table")
+    require(!pin.fieldNames.contains(to),
+      s"rename: $to already exists in $db/$table")
+    require(!to.startsWith("__graft_"),
+      "rename: the __graft_ prefix is reserved for positional metadata")
+    val constrained = checkConstraints(spark, db, table)
+      .filter(_.matches(
+        s"(?i).*\\b${java.util.regex.Pattern.quote(from)}\\b.*"))
+    require(constrained.isEmpty,
+      s"rename $from: CHECK constraint(s) of '$table' reference it: " +
+        s"$constrained — drop or rewrite them first (setCheckConstraints)")
+    val renamed = org.apache.spark.sql.types.StructType(pin.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // one empty commit stamps the version the renamed pin keys to —
+    // snapshots strictly before it keep the old name
+    val v = TxLog.commitEntries(spark, db, adds = Nil, removes = Nil,
+      op = Some(s"rename-column($table.$from->$to)"))
+    setTableSchema(spark, db, table, renamed, v)
+    // declared stats columns follow the rename (they speak logical)
+    TxLog.metaRead(spark, db, s"stats_cols.$table.txt").foreach { body =>
+      val cols = body.linesIterator.filter(_.nonEmpty).toSeq
+      if (cols.contains(from))
+        setStatsColumns(spark, db, table,
+          cols.map(c => if (c == from) to else c))
+    }
+    v
+  }
+
   /** The database's commit history ([[TxLog.history]] verbatim —
     * one history for all tables, because there is one log).
     */
@@ -230,15 +287,19 @@ object DbLog {
       db: String,
       table: String,
       fromVersion: Int,
-      toVersion: Int): DataFrame = {
+      toVersion: Int,
+      schemaVersion: Int = -1): DataFrame = {
     require(fromVersion <= toVersion,
       s"diff: fromVersion $fromVersion > toVersion $toVersion")
     requireTableName(table)
     val pfx = table + "/"
+    val schemaV = if (schemaVersion >= 0) schemaVersion else toVersion
     TxLog.diffOfEntries(spark, db,
       TxLog.liveEntries(spark, db, fromVersion).filter(_.name.startsWith(pfx)),
       TxLog.liveEntries(spark, db, toVersion).filter(_.name.startsWith(pfx)),
-      toVersion)
+      toVersion,
+      schemaV = schemaV,
+      pinOverride = tableSchema(spark, db, table, schemaV))
   }
 
   /** One table's row-level change feed WITH UPDATE IMAGES and
@@ -255,11 +316,17 @@ object DbLog {
       table: String,
       fromVersion: Int,
       toVersion: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String],
+      schemaVersion: Int = -1): DataFrame = {
     requireTableName(table)
     val pfx = table + "/"
+    val schemaV = if (schemaVersion >= 0) schemaVersion else toVersion
     TxLog.changesOfEntries(spark, db, fromVersion, toVersion, keyCols,
-      v => TxLog.liveEntries(spark, db, v).filter(_.name.startsWith(pfx)))
+      v => TxLog.liveEntries(spark, db, v).filter(_.name.startsWith(pfx)),
+      // the range-end per-table pin: one uniform LOGICAL feed schema
+      // even across a mid-range rename (the CDF contract)
+      pinOverride = tableSchema(spark, db, table, schemaV),
+      schemaVersion = schemaV)
   }
 
   /** Cursor advance for a multi-table consumer: the change feed of
@@ -346,6 +413,16 @@ object DbLog {
     def tableExists(name: String): Boolean =
       entriesOf(spark, db, name, baseVersion).nonEmpty
 
+    // per-table column mapping: batches and predicates speak LOGICAL,
+    // staged files spell PHYSICAL — the three helpers every write
+    // path routes through (identity when the table never renamed)
+    private def tablePin(table: String) =
+      tableSchema(spark, db, table, baseVersion)
+    private def toPhys(table: String, df: DataFrame): DataFrame =
+      tablePin(table).map(ColumnMapping.toPhysical(df, _)).getOrElse(df)
+    private def toLogical(table: String, df: DataFrame): DataFrame =
+      tablePin(table).map(ColumnMapping.toLogical(df, _)).getOrElse(df)
+
     private def stageIn(table: String, write: String => Unit): Seq[String] = {
       requireTableName(table)
       val fs = Compact.fsOf(spark, db)
@@ -372,7 +449,7 @@ object DbLog {
       enforce(spark, db, table, df)
       appended += table
       val rels = stageIn(table,
-        p => df.write.mode("overwrite").parquet(p))
+        p => toPhys(table, df).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
     }
 
@@ -384,7 +461,8 @@ object DbLog {
       // DV-carrying olds are fine here: overwrite never reads them,
       // it only drops their entries (the vectors die with them)
       val olds = entriesOf(spark, db, table, baseVersion)
-      val rels = stageIn(table, p => df.write.mode("overwrite").parquet(p))
+      val rels = stageIn(table,
+        p => toPhys(table, df).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
       removes ++= olds.map(_.name)
       seen ++= olds
@@ -413,7 +491,8 @@ object DbLog {
       // the log's positioned reader finds hit files (DV-aware: rows a
       // vector already hides cannot match, so replayed deletes are
       // no-ops) — no input_file_name() URI normalization needed
-      val hitRels = TxLog.readEntries(spark, db, entries, withPos = true)
+      val hitRels = TxLog.readEntries(spark, db, entries, withPos = true,
+          pinOverride = tablePin(table))
         .filter(cond)
         .select(col("__graft_file")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
@@ -424,10 +503,11 @@ object DbLog {
       // survivors through the same reader: a DV-carrying hit file
       // rewrites to its VISIBLE survivors only — the vector dies with
       // the replaced entry without resurrecting hidden rows
-      val survivors = TxLog.readEntries(spark, db, hitEntries)
+      val survivors = TxLog.readEntries(spark, db, hitEntries,
+          pinOverride = tablePin(table))
         .filter(not(coalesce(cond, lit(false))))
       val rels = stageIn(table,
-        p => survivors.write.mode("overwrite").parquet(p))
+        p => toPhys(table, survivors).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
       removes ++= hitRels
       seen ++= hitEntries
@@ -447,7 +527,8 @@ object DbLog {
       val entries = entriesOf(spark, db, table, baseVersion)
       require(entries.nonEmpty,
         s"deleteWhereVectored: no such table '$table'")
-      val st = DeletionVectors.stageDelete(spark, db, entries, _.filter(cond))
+      val st = DeletionVectors.stageDelete(spark, db, entries,
+        df => toLogical(table, df).filter(cond))
       if (st.deletedRows == 0) return
       markRewrite(table, "deleteWhereVectored")
       adds ++= st.adds
@@ -472,19 +553,19 @@ object DbLog {
       val entries = entriesOf(spark, db, table, baseVersion)
       val aligned =
         if (entries.isEmpty) updates
-        else updates.select(
-          TxLog.readEntries(spark, db, entries).columns.map(col): _*)
+        else updates.select(TxLog.readEntries(spark, db, entries,
+          pinOverride = tablePin(table)).columns.map(col): _*)
       markRewrite(table, "upsertKeyed")
       if (entries.nonEmpty) {
         val k = updates.select(keyCols.map(col): _*).distinct()
         val st = DeletionVectors.stageDelete(spark, db, entries,
-          _.join(k, keyCols, "left_semi"))
+          df => toLogical(table, df).join(k, keyCols, "left_semi"))
         adds ++= st.adds
         removes ++= st.removes
         seen ++= st.seen
       }
       val rels = stageIn(table,
-        p => aligned.write.mode("overwrite").parquet(p))
+        p => toPhys(table, aligned).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
     }
 

@@ -314,10 +314,12 @@ object DeleteWhere {
       // the predicate can reference them), rewrite as a partition tree,
       // swap every touched partition's entries in ONE commit.
       // readEntries also handles per-root scan groups for clones.
-      val candDf =
-        if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
-        else Compact.pinnedReader(spark, dir)
-          .option("basePath", dir).parquet(cand: _*)
+      val candDf = RowTracking.attachForRewrite(spark, dir, candEntries)
+        .getOrElse {
+          if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
+          else Compact.pinnedReader(spark, dir)
+            .option("basePath", dir).parquet(cand: _*)
+        }
       val candRows = candDf.count()
       val kept = keepRows(candDf).localCheckpoint()
       val keptPhys = TxLog.stagePhysical(spark, dir, kept)
@@ -331,9 +333,14 @@ object DeleteWhere {
         untouched = all.length - cand.length,
         deletedRows = candRows - kept.count())
     }
-    val candDf =
-      if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
-      else Compact.pinnedReader(spark, dir).parquet(cand: _*)
+    // a tracked table's copy-on-write read carries its row ids as a
+    // materialized column — survivors keep their ids in the rewritten
+    // files (updateWhere's projection passes it through untouched)
+    val candDf = RowTracking.attachForRewrite(spark, dir, candEntries)
+      .getOrElse {
+        if (candEntries.nonEmpty) TxLog.readEntries(spark, dir, candEntries)
+        else Compact.pinnedReader(spark, dir).parquet(cand: _*)
+      }
     val candRows = candDf.count()
     val keptPhys = TxLog.stagePhysical(spark, dir, keepRows(candDf))
     val newNames = Compact.stageRewrite(spark, dir, rel,

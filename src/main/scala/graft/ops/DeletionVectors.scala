@@ -293,11 +293,19 @@ object DeletionVectors {
           .collect().map(_.getString(0)).toSet
         (Some(h), n, entries.filter(e => rels(e.name)))
       }
+    // row tracking: the replacement row KEEPS the row it replaces' id
+    // (materialized by key from the candidate files); genuine inserts
+    // read NULL and resolve to the appended file's fresh position ids
+    val updatesTracked =
+      if (RowTracking.enabled(spark, dir))
+        RowTracking.inheritByKeys(spark, dir, updatesAligned, keyCols,
+          candEarly)
+      else updatesAligned
     // stage the batch as fresh files FIRST (a crash before the commit
     // leaves only age-sweepable orphans), hive-partitioned when the
     // table is
     val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
-    val newNames = stageAppend(spark, dir, updatesAligned, pcols, evolvedTo)
+    val newNames = stageAppend(spark, dir, updatesTracked, pcols, evolvedTo)
     val dvName =
       if (replacedRows == 0) None
       else {
@@ -408,7 +416,29 @@ object DeletionVectors {
       case None => appends0
       case Some(sp) if !appends0.columns.contains(sp.column) =>
         IdentityColumns.maybeAssign(spark, dir, appends0)
-      case Some(_) => IdentityColumns.fillNulls(spark, dir, appends0)
+      case Some(sp) =>
+        // trust boundary: the MERGE planner only builds images whose
+        // non-null ids the table already issued (UPDATE images carry
+        // the row's current id). For GENERATED ALWAYS, fence DIRECT
+        // callers the same way — a supplied id beyond the ledger's
+        // high water was never allocated, i.e. an explicit insert
+        // smuggled past maybeAssign's refusal. One O(batch) agg.
+        if (!sp.allowExplicit) {
+          import org.apache.spark.sql.functions.{col, max, min}
+          val ext = appends0
+            .select(col(sp.column).cast("long").as("__graft_idchk"))
+            .agg(if (sp.step > 0) max("__graft_idchk")
+                 else min("__graft_idchk")).collect()(0)
+          if (!ext.isNullAt(0)) {
+            val hw = IdentityColumns.highWater(spark, dir)
+            val v = ext.getLong(0)
+            require(if (sp.step > 0) v <= hw else v >= hw,
+              s"identity column ${sp.column} is GENERATED ALWAYS — " +
+                s"supplied id $v was never allocated (high water $hw); " +
+                "images must carry existing ids or NULL")
+          }
+        }
+        IdentityColumns.fillNulls(spark, dir, appends0)
     }
     // MERGE-built images recompute generated columns: an UPDATE whose
     // SET touched a source column would otherwise carry a stale value
@@ -434,7 +464,14 @@ object DeletionVectors {
       if (entries.nonEmpty) TxLog.read(spark, dir).columns.toSeq
       else TxLog.tableSchema(spark, dir).map(_.fieldNames.toSeq)
         .getOrElse(appends.columns.toSeq)
-    val aligned = appends.select(cols.map(col): _*)
+    // images built by a row-tracking-aware planner carry the
+    // materialized id column — keep it through the alignment so the
+    // staged files preserve the updated rows' ids
+    val alignCols =
+      if (appends.columns.contains(RowTracking.MatCol) &&
+          !cols.contains(RowTracking.MatCol)) cols :+ RowTracking.MatCol
+      else cols
+    val aligned = appends.select(alignCols.map(col): _*)
     val newNames =
       if (aligned.isEmpty) Nil else stageAppend(spark, dir, aligned, pcols)
     if (hiddenRows == 0 && newNames.isEmpty)
@@ -638,7 +675,10 @@ object DeletionVectors {
       dvd: Seq[TxLog.AddEntry]): MaterializeReceipt = {
     if (dvd.isEmpty)
       return MaterializeReceipt(0, 0, entries.size.toLong)
-    val live = TxLog.readEntries(spark, dir, dvd).localCheckpoint()
+    // folding a vector shifts positions — a tracked table materializes
+    // its row ids into the replacement files first
+    val live = RowTracking.attachForRewrite(spark, dir, dvd)
+      .getOrElse(TxLog.readEntries(spark, dir, dvd)).localCheckpoint()
     val liveRows = live.count()
     // raw (pre-vector) counts per data root — a clone's DV'd entries
     // can live under the source root and the clone root at once

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** ROW TRACKING — stable row ids that survive rewrites (the public
+  * Delta row-tracking design, re-derived on this repo's TxLog
+  * primitives): every row of a tracked table has one `_row_id` that
+  * stays with it through compaction, copy-on-write delete/update,
+  * merge-on-read upsert, SQL MERGE, deletion-vector materialization
+  * and clone localization — so downstream consumers can distinguish
+  * data change from file movement, and the change feed can pair
+  * update pre/post images WITHOUT a user-supplied key.
+  *
+  * Two pieces, mirroring how Delta splits fresh from materialized ids:
+  *
+  *   - FRESH ids are position-derived: each ADD entry carries a
+  *     `rowBase` (claimed from the kernel-atomic [[MetaLedger]],
+  *     prefix `rowhw.` — racing commits hold disjoint ranges), and a
+  *     row's id is `rowBase + row_index` straight out of the parquet
+  *     scan's `_metadata`. Zero write cost for plain appends: no
+  *     column is written, the id is arithmetic at read time.
+  *   - REWRITES materialize: any path that re-writes existing rows
+  *     (positions change) first attaches the current ids as a real
+  *     column (`__graft_rowid`) and writes it into the replacement
+  *     files. Reads resolve `coalesce(materialized, rowBase + pos)` —
+  *     the materialized value wins wherever it exists. The column is
+  *     invisible to normal reads because the pinned table schema
+  *     excludes it ([[enable]] pins one if the table never had a pin).
+  *
+  * Uniqueness, not density: a rewrite's replacement file burns the
+  * fresh range its ADD entry claimed (all its rows carry materialized
+  * ids) — the same gap-for-crash-safety trade the identity ledger
+  * makes. RESTORE is id-stable for free: it re-points the log at old
+  * entries, whose `rowBase` travels with them.
+  *
+  * 100 TB shape: assignment is one footer row-count per NEW file in a
+  * commit (metadata pages only, distributed) plus one tiny claim file;
+  * the read-side join is a broadcast of (file → rowBase) — entry-count
+  * sized, never row-sized. No shuffle is added to any write path.
+  */
+object RowTracking {
+
+  /** The exposed row-id column ([[read]], keyless CDF pairing). */
+  val Col = "_row_id"
+
+  /** The materialized physical column rewrites carry ids in — hidden
+    * from normal reads by the schema pin.
+    */
+  private[graft] val MatCol = "__graft_rowid"
+
+  private val FlagName = "rowtracking.txt"
+  private val LedgerPrefix = "rowhw."
+
+  def enabled(spark: SparkSession, dir: String): Boolean =
+    TxLog.exists(spark, dir) &&
+      TxLog.metaRead(spark, dir, FlagName).exists(_.trim == "on")
+
+  /** Turn row tracking on: pin a schema if the table never had one
+    * (the pin is what hides the materialized column from plain reads),
+    * write the flag, and BACKFILL — one metadata-only commit re-ADDs
+    * every live entry with a fresh `rowBase`, so existing rows get
+    * position-derived ids without moving a byte. Idempotent.
+    */
+  def enable(spark: SparkSession, dir: String): Unit = {
+    require(TxLog.exists(spark, dir),
+      s"row tracking: $dir is not TxLog-managed")
+    if (enabled(spark, dir)) return
+    val live = TxLog.liveEntries(spark, dir)
+    if (TxLog.tableSchema(spark, dir).isEmpty) {
+      require(live.nonEmpty,
+        s"row tracking: $dir is empty and unpinned — pin a schema " +
+          "first (CREATE TABLE, or append data before enabling)")
+      TxLog.setTableSchema(spark, dir, TxLog.snapshot(spark, dir).schema,
+        TxLog.currentVersion(spark, dir))
+    }
+    TxLog.metaWrite(spark, dir, FlagName, "on")
+    val need = live.filter(_.rowBase.isEmpty)
+    if (need.nonEmpty) {
+      val assigned = assignBases(spark, dir, need)
+      // the fold overwrites entries by name — adds alone re-point them;
+      // `seen` keeps a concurrent DV flip a detected conflict
+      TxLog.commitEntries(spark, dir, adds = assigned, removes = Nil,
+        seen = need, op = Some("rowtracking-enable"))
+    }
+  }
+
+  /** Claim `n` fresh row ids; returns the first (ids are dense within
+    * one claim: [first, first + n)).
+    */
+  private[ops] def allocate(spark: SparkSession, dir: String, n: Long): Long = {
+    require(n > 0, s"row tracking allocate: n must be positive, got $n")
+    MetaLedger.claim(spark, dir, LedgerPrefix, -1L, hw => hw + n)._1 + 1
+  }
+
+  /** Seed a fresh table's ledger at `water` — the clone hook: a
+    * clone's inherited entries carry source-range `rowBase`s, so its
+    * OWN first allocation must start past everything the source ever
+    * issued or two clone rows could share an id.
+    */
+  private[ops] def seedLedger(
+      spark: SparkSession, dir: String, water: Long): Unit =
+    MetaLedger.claim(spark, dir, LedgerPrefix, -1L, hw => math.max(hw, water))
+
+  private[ops] def currentWater(spark: SparkSession, dir: String): Long =
+    MetaLedger.highWater(spark, dir, LedgerPrefix, -1L)
+
+  /** The commit hook ([[TxLog.commitEntries]]): give every new ADD
+    * entry a `rowBase` covering its footer row count. Entries that
+    * already carry one (DV re-adds, restores, clones) keep it.
+    * Lenient on absent files (a commit may name files that are not yet
+    * present — their rows read NULL ids until a rewrite materializes
+    * real ones).
+    */
+  private[ops] def assignBases(
+      spark: SparkSession, dir: String,
+      adds: Seq[TxLog.AddEntry]): Seq[TxLog.AddEntry] = {
+    if (adds.isEmpty || !enabled(spark, dir)) return adds
+    val need = adds.filter(_.rowBase.isEmpty)
+    if (need.isEmpty) return adds
+    val counts = footerRows(spark, need.map(e => TxLog.dataPathOf(dir, e)))
+    val total = need.flatMap(e => counts.get(TxLog.dataPathOf(dir, e))).sum
+    var cur =
+      if (total > 0) allocate(spark, dir, total)
+      else currentWater(spark, dir) + 1 // only empty files: no claim
+    adds.map { e =>
+      val path = TxLog.dataPathOf(dir, e)
+      if (e.rowBase.isDefined || !counts.contains(path)) e
+      else {
+        val r = e.copy(rowBase = Some(cur))
+        cur += counts(path)
+        r
+      }
+    }
+  }
+
+  /** Footer row counts (metadata pages only), distributed like
+    * [[TxLog.filesMeta]]; absent/unreadable paths are skipped.
+    */
+  private def footerRows(
+      spark: SparkSession, paths: Seq[String]): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+      .flatMap { f =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            var n = 0L
+            r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+            Seq((f, n))
+          } finally r.close()
+        } catch { case _: Exception => Nil }
+      }.collect().toMap
+
+  /** The current snapshot with `_row_id` — DV-applied, clone-aware,
+    * column-mapping-aware (everything [[TxLog.readEntries]] gives),
+    * plus the id resolution `coalesce(materialized, rowBase + pos)`.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    require(enabled(spark, dir), s"row tracking is not enabled on $dir")
+    val entries = TxLog.liveEntries(spark, dir)
+    if (entries.isEmpty) {
+      val pin = TxLog.tableSchema(spark, dir).getOrElse(
+        throw new IllegalStateException(s"$dir: empty table without a pin"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pin)
+        .withColumn(Col, lit(null).cast("long"))
+    }
+    withIds(spark, dir, entries)
+  }
+
+  /** [[read]] over an explicit entry set at a schema version — the
+    * building block every integration seam shares. `keepPos` keeps
+    * `__graft_file`/`__graft_pos` for positioned consumers (MERGE).
+    */
+  private[ops] def withIds(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[TxLog.AddEntry],
+      schemaVersion: Int = Int.MaxValue,
+      keepPos: Boolean = false): DataFrame = {
+    val pin = TxLog.tableSchema(spark, dir, schemaVersion).getOrElse(
+      throw new IllegalStateException(
+        s"row tracking on $dir requires a pinned table schema"))
+    val pinMat =
+      if (pin.fieldNames.contains(MatCol)) pin
+      else StructType(pin.fields :+ StructField(MatCol, LongType))
+    val df = TxLog.readEntries(spark, dir, entries, withPos = true,
+      schemaVersion = schemaVersion, pinOverride = Some(pinMat))
+    import spark.implicits._
+    val baseDf = entries.map(e => (e.name, e.rowBase))
+      .toDF("__graft_file", "__graft_rowbase")
+    val out = df.join(broadcast(baseDf), Seq("__graft_file"))
+      .withColumn(Col,
+        coalesce(col(MatCol), col("__graft_rowbase") + col("__graft_pos")))
+      .drop(MatCol, "__graft_rowbase")
+    if (keepPos) out else out.drop("__graft_file", "__graft_pos")
+  }
+
+  /** The rewrite-read seam: the rows of `entries` with their current
+    * ids MATERIALIZED (as [[MatCol]]) so a rewrite that changes
+    * positions carries them into its replacement files. None when the
+    * table is untracked — callers fall back to their plain read.
+    */
+  private[ops] def attachForRewrite(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[TxLog.AddEntry]): Option[DataFrame] =
+    if (entries.isEmpty || !enabled(spark, dir)) None
+    else Some(withIds(spark, dir, entries).withColumnRenamed(Col, MatCol))
+
+  /** [[DeletionVectors.positionedSnapshot]] + materialized ids — what
+    * the SQL MERGE planner reads so UPDATE images inherit their row's
+    * id (INSERT images carry NULL there and read fresh position ids).
+    */
+  private[graft] def positionedWithIds(
+      spark: SparkSession, dir: String): DataFrame =
+    withIds(spark, dir, TxLog.liveEntries(spark, dir), keepPos = true)
+      .withColumnRenamed(Col, MatCol)
+
+  /** The keyed-upsert inheritance: attach each batch row's CURRENT id
+    * (by merge key) as [[MatCol]] — matched keys keep their row's id,
+    * misses read NULL and resolve to the appended file's fresh
+    * position ids. One aggregate over the candidate files only.
+    */
+  private[ops] def inheritByKeys(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      candEntries: Seq[TxLog.AddEntry]): DataFrame =
+    if (candEntries.isEmpty) batch.withColumn(MatCol, lit(null).cast("long"))
+    else {
+      val oldIds = withIds(spark, dir, candEntries)
+        .groupBy(keyCols.map(col): _*).agg(max(col(Col)).as(MatCol))
+      batch.join(oldIds, keyCols, "left_outer")
+    }
+
+  private[ops] def pruneLedger(spark: SparkSession, dir: String): Unit =
+    MetaLedger.prune(spark, dir, LedgerPrefix)
+}

@@ -128,9 +128,9 @@ object TxLog {
     * snapshot's names, which are unique by construction; fresh local
     * writes mint UUID names).
     *
-    * Serialized as up to five `|`-separated segments —
-    * `name|stats|dv|base|dvBase` — with trailing empties dropped, so
-    * pre-clone logs (1-3 segments) parse unchanged (stats columns
+    * Serialized as up to six `|`-separated segments —
+    * `name|stats|dv|base|dvBase|rowBase` — with trailing empties
+    * dropped, so older logs (1-5 segments) parse unchanged (stats columns
     * must avoid `|,:` — enforced at [[setStatsColumns]]; file names
     * and roots never contain `|`).
     */
@@ -139,12 +139,14 @@ object TxLog {
       stats: Seq[ColStats] = Nil,
       dv: Option[String] = None,
       base: Option[String] = None,
-      dvBase: Option[String] = None) {
+      dvBase: Option[String] = None,
+      rowBase: Option[Long] = None) {
     private[ops] def serialized: String = {
       val statsPart = stats.map(s =>
         s"${s.column}:${s.min}:${s.max}").mkString(",")
       val segs = Seq(name, statsPart, dv.getOrElse(""),
-        base.getOrElse(""), dvBase.getOrElse(""))
+        base.getOrElse(""), dvBase.getOrElse(""),
+        rowBase.map(_.toString).getOrElse(""))
       segs.take(segs.lastIndexWhere(_.nonEmpty) + 1).mkString("|")
     }
   }
@@ -160,7 +162,7 @@ object TxLog {
         val Array(c, mn, mx) = part.split(':')
         ColStats(c, mn.toDouble, mx.toDouble)
       }
-    AddEntry(parts(0), stats, opt(2), opt(3), opt(4))
+    AddEntry(parts(0), stats, opt(2), opt(3), opt(4), opt(5).map(_.toLong))
   }
 
   /** The root an entry's DATA bytes live under — the table root, or
@@ -954,19 +956,24 @@ object TxLog {
       spark: SparkSession,
       dir: String,
       version: Int = Int.MaxValue,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      schemaVersion: Int = -1): DataFrame = {
+    // data at `version`, names/width at `schemaVersion` when a caller
+    // needs a historical cut under a LATER pin (the streaming source's
+    // rate-limited replay across a mid-history evolution)
+    val schemaV = if (schemaVersion >= 0) schemaVersion else version
     val entries = liveEntries(spark, dir, version)
     if (entries.isEmpty) {
       // a created-empty or truncated table still READS — as the empty
       // relation with its pinned schema (CREATE TABLE pins one; a
       // bare convert of an empty dir has nothing to describe rows by)
-      val pin = tableSchema(spark, dir, version)
+      val pin = tableSchema(spark, dir, schemaV)
       require(pin.isDefined,
         s"version $version of $dir holds no files and no pinned schema")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pin.get)
     }
-    readEntries(spark, dir, entries, mergeSchema, schemaVersion = version)
+    readEntries(spark, dir, entries, mergeSchema, schemaVersion = schemaV)
   }
 
   private def schemaFileName(v: Int) = f"s$v%08d.json"
@@ -1288,17 +1295,28 @@ object TxLog {
           val i = n.indexOf('/')
           if (i > 0) perTable.getOrElse(n.substring(0, i), cols) else cols
         }
-        val groups = bare.groupBy(colsFor).filter(_._1.nonEmpty)
+        def tableOf(n: String): Option[String] = {
+          val i = n.indexOf('/')
+          if (i > 0 && !n.substring(0, i).contains('='))
+            Some(n.substring(0, i))
+          else None
+        }
+        val groups = bare.groupBy(n => (colsFor(n), tableOf(n)))
+          .filter(_._1._1.nonEmpty)
         if (groups.isEmpty) adds
         else {
           // under column mapping the staged files spell PHYSICAL
           // names; the declared list is logical. Stats are KEYED
           // PHYSICAL so they stay valid across any number of renames
           // (candidateFilesFromLog translates the query column back).
+          // A DbLog table translates through ITS OWN pin
+          // (DbLog.renameColumn's per-table namespace).
           val pinNow = tableSchema(spark, dir)
-          def phys(c: String): String =
-            pinNow.map(ColumnMapping.physicalOf(_, c)).getOrElse(c)
-          val byFile = groups.flatMap { case (cs, names) =>
+          val byFile = groups.flatMap { case ((cs, tbl), names) =>
+            val pinT = tbl.flatMap(t =>
+              DbLog.tableSchema(spark, dir, t)).orElse(pinNow)
+            def phys(c: String): String =
+              pinT.map(ColumnMapping.physicalOf(_, c)).getOrElse(c)
             ZoneMap.statsForFiles(
               spark, names.map(n => s"$dir/$n"), cs.map(phys),
               lenient = true)
@@ -1310,6 +1328,11 @@ object TxLog {
           }
         }
       }
+    // row tracking: every new ADD claims a rowBase covering its rows
+    // (one footer count per new file + one ledger claim; no-op when
+    // untracked). Outside the retry loop — bases don't change across
+    // attempts, and a lost race must not double-claim.
+    val entriesRb = RowTracking.assignBases(spark, dir, entries)
     var committed = -1
     var tries = 0
     while (committed < 0) {
@@ -1336,7 +1359,7 @@ object TxLog {
               s"(${(gone ++ moved.map(_.name)).take(3).mkString(", ")}…) — " +
               s"recompute against v$parent")
       }
-      if (writeVersion(spark, dir, parent + 1, entries, removes, txn, op))
+      if (writeVersion(spark, dir, parent + 1, entriesRb, removes, txn, op))
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }
@@ -1476,12 +1499,14 @@ object TxLog {
       spark: SparkSession,
       dir: String,
       fromVersion: Int,
-      toVersion: Int): DataFrame = {
+      toVersion: Int,
+      schemaVersion: Int = -1): DataFrame = {
     require(fromVersion <= toVersion,
       s"diff: fromVersion $fromVersion > toVersion $toVersion")
     diffOfEntries(spark, dir,
       liveEntries(spark, dir, fromVersion),
-      liveEntries(spark, dir, toVersion), toVersion)
+      liveEntries(spark, dir, toVersion), toVersion,
+      schemaV = schemaVersion)
   }
 
   /** [[diff]]'s core over explicit before/after entry sets — shared
@@ -1494,7 +1519,10 @@ object TxLog {
       beforeE: Seq[AddEntry],
       afterE: Seq[AddEntry],
       toVersion: Int,
-      schemaV: Int = -1): DataFrame = {
+      schemaV: Int = -1,
+      withRowIds: Boolean = false,
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     // per-commit consumers ([[changesOfEntries]]) read EVERY commit of
     // a range at the RANGE END's pin, so a mid-range rename/evolution
     // yields one uniform feed schema (Delta CDF's contract) instead of
@@ -1511,20 +1539,30 @@ object TxLog {
     val added = afterE.filterNot(e => beforeK((e.name, e.dv)))
       .sortBy(_.name)
     import org.apache.spark.sql.functions.lit
+    // withRowIds: read both sides with the stable `_row_id` attached
+    // so the keyless pairing (and exceptAll) see it — a pure
+    // compaction's rows then cancel EXACTLY (ids identical both sides)
+    def rdSide(es: Seq[AddEntry]): DataFrame =
+      if (withRowIds)
+        RowTracking.withIds(spark, dir, es, schemaVersion = schemaVersion)
+      else readEntries(spark, dir, es, schemaVersion = schemaVersion,
+        pinOverride = pinOverride)
     def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
-      if (es.nonEmpty) readEntries(spark, dir, es, schemaVersion = schemaVersion)
-      else spark.read.schema(
-        readEntries(spark, dir, schemaOf, schemaVersion = schemaVersion).schema)
+      if (es.nonEmpty) rdSide(es)
+      else spark.read.schema(rdSide(schemaOf).schema)
         .parquet() // zero paths: empty relation with the sibling schema
     if (removed.isEmpty && added.isEmpty) {
       val any = afterE
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
-      return readEntries(spark, dir, any, schemaVersion = schemaVersion).limit(0)
+      return rdSide(any).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
     val schemaDonor = if (added.nonEmpty) added else removed
     val addedDf = readOrEmpty(added, schemaDonor)
     val removedDf = readOrEmpty(removed, schemaDonor)
+    // (withRowIds: rewritten files carry MATERIALIZED ids; removed-side
+    // rows re-derive the same values from their entry's rowBase, so
+    // exceptAll matches rows across the representation change)
     addedDf.exceptAll(removedDf).withColumn("_change_type", lit("insert"))
       .unionByName(
         removedDf.exceptAll(addedDf).withColumn("_change_type", lit("delete")))
@@ -1651,9 +1689,10 @@ object TxLog {
       dir: String,
       fromVersion: Int,
       toVersion: Int,
-      keyCols: Seq[String]): DataFrame =
+      keyCols: Seq[String],
+      schemaVersion: Int = -1): DataFrame =
     changesOfEntries(spark, dir, fromVersion, toVersion, keyCols,
-      liveEntries(spark, dir, _))
+      liveEntries(spark, dir, _), schemaVersion = schemaVersion)
 
   /** [[changes]] over a caller-filtered entry view — the seam
     * [[DbLog.changes]] uses to restrict each version's entries to one
@@ -1665,9 +1704,24 @@ object TxLog {
       fromVersion: Int,
       toVersion: Int,
       keyCols: Seq[String],
-      entriesAt: Int => Seq[AddEntry]): DataFrame = {
+      entriesAt: Int => Seq[AddEntry],
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      schemaVersion: Int = -1)
+      : DataFrame = {
+    // default: the RANGE END's pin (one uniform feed schema across a
+    // mid-range evolution — the CDF contract). A caller whose own
+    // schema was frozen LATER (the streaming source after a restart)
+    // overrides with that later version so recovery batches align.
+    val schemaV = if (schemaVersion >= 0) schemaVersion else toVersion
     import org.apache.spark.sql.functions.{col, lit}
-    require(keyCols.nonEmpty, "changes: keyCols must be non-empty")
+    // keyless mode: a row-tracked table pairs delete/insert images by
+    // the stable `_row_id` — no user-supplied key needed, and the
+    // pairing is exact (a key-based one conflates same-key rewrites)
+    val rowIdKeyed = keyCols.isEmpty
+    require(!rowIdKeyed || RowTracking.enabled(spark, dir),
+      "changes: keyCols must be non-empty (or enable row tracking " +
+        "for keyless update-image pairing)")
+    val effKeys = if (rowIdKeyed) Seq(RowTracking.Col) else keyCols
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val vs = versions(spark, dir)
@@ -1686,24 +1740,26 @@ object TxLog {
           after.map(e => (e.name, e.dv)).toSet) None
       else {
         val d = diffOfEntries(spark, dir, before, after, v,
-          schemaV = toVersion) // one uniform feed schema across the range
+          schemaV = schemaV,
+          withRowIds = rowIdKeyed,
+          pinOverride = pinOverride)
           .localCheckpoint() // 4 derivations below share one read
         val del = d.filter(col("_change_type") === "delete")
           .drop("_change_type")
         val ins = d.filter(col("_change_type") === "insert")
           .drop("_change_type")
-        val updKeys = del.select(keyCols.map(col): _*)
-          .intersect(ins.select(keyCols.map(col): _*))
+        val updKeys = del.select(effKeys.map(col): _*)
+          .intersect(ins.select(effKeys.map(col): _*))
           .localCheckpoint() // metadata-sized: keys updated this commit
         def tag(df: DataFrame, t: String) =
           df.withColumn("_change_type", lit(t))
             .withColumn("_commit_version", lit(v))
-        Some(tag(del.join(updKeys, keyCols, "left_anti"), "delete")
-          .unionByName(tag(del.join(updKeys, keyCols, "left_semi"),
+        Some(tag(del.join(updKeys, effKeys, "left_anti"), "delete")
+          .unionByName(tag(del.join(updKeys, effKeys, "left_semi"),
             "update_preimage"))
-          .unionByName(tag(ins.join(updKeys, keyCols, "left_semi"),
+          .unionByName(tag(ins.join(updKeys, effKeys, "left_semi"),
             "update_postimage"))
-          .unionByName(tag(ins.join(updKeys, keyCols, "left_anti"),
+          .unionByName(tag(ins.join(updKeys, effKeys, "left_anti"),
             "insert")))
       }
     }
@@ -1712,7 +1768,12 @@ object TxLog {
       val any = entriesAt(toVersion)
       require(any.nonEmpty,
         s"changes: version $toVersion of $dir holds no files")
-      readEntries(spark, dir, any, schemaVersion = toVersion).limit(0)
+      val base =
+        if (rowIdKeyed)
+          RowTracking.withIds(spark, dir, any, schemaVersion = schemaV)
+        else readEntries(spark, dir, any, schemaVersion = schemaV,
+          pinOverride = pinOverride)
+      base.limit(0)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0))
     }
@@ -1850,6 +1911,14 @@ object TxLog {
         (n.startsWith("constraints.") && n.endsWith(".txt"))
     }.foreach(n =>
       metaRead(spark, srcDir, n).foreach(metaWrite(spark, dstDir, n, _)))
+    // row tracking travels: the clone inherits entries whose rowBase
+    // ranges the SOURCE ledger issued — seed the clone's ledger at the
+    // source's water so the clone's own allocations never collide
+    if (RowTracking.enabled(spark, srcDir)) {
+      metaWrite(spark, dstDir, "rowtracking.txt", "on")
+      RowTracking.seedLedger(spark, dstDir,
+        RowTracking.currentWater(spark, srcDir))
+    }
     // schema pins are version-keyed: re-key the pin IN EFFECT at the
     // cloned version to the clone's v0 (older source pins are source
     // history, not the clone's)
@@ -1932,8 +2001,12 @@ object TxLog {
         .getFileStatus(p).getLen
     }.sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // DVs fold in via the read; a tracked table materializes its row
+    // ids first (folding a vector shifts positions — the copied rows
+    // must carry their ids, not re-derive them)
     val df = stagePhysical(spark, dir,
-      readEntries(spark, dir, based)) // DVs fold in via the read
+      RowTracking.attachForRewrite(spark, dir, based)
+        .getOrElse(readEntries(spark, dir, based)))
     val pcols = graft.ops.DeleteWhere.partitionColsOf(based.map(_.name))
     val written =
       if (pcols.nonEmpty)
@@ -2087,9 +2160,10 @@ object TxLog {
         .filter(f => f.getPath.getName.endsWith(".tmp") &&
           f.getModificationTime < stale)
         .foreach(f => fs.delete(f.getPath, false))
-      // identity ledger: only the newest entry is ever read, and an
-      // in-flight allocator claims strictly above it
+      // identity + row-tracking ledgers: only the newest entry is ever
+      // read, and an in-flight allocator claims strictly above it
       IdentityColumns.pruneLedger(spark, dir)
+      RowTracking.pruneLedger(spark, dir)
     }
     dead.length.toLong
   }

@@ -115,9 +115,16 @@ object UpsertWhere {
     val upserts = net
       .filter(col("change_type").isin("insert", "update_postimage"))
       .drop("change_type")
-    val cols =
-      if (all.isEmpty) upserts.columns
-      else TxLog.read(spark, dir).columns
+    // REPLICATION FOLLOWS THE SOURCE'S SCHEMA: a feed that evolved a
+    // new column (the upstream ran ALTER TABLE ADD COLUMN) widens the
+    // replica in the same application — existing rows read NULL under
+    // the widened pin, post-evolution rows land with their values
+    val tableCols: Seq[String] =
+      if (all.isEmpty) upserts.columns.toSeq
+      else TxLog.read(spark, dir).columns.toSeq
+    val fresh = upserts.schema.fields
+      .filterNot(f => tableCols.contains(f.name))
+    val cols = tableCols ++ fresh.map(_.name)
     val up = upserts.select(cols.map(col): _*)
     val feedKeys = feed.select(col(keyCol)).distinct()
     val touched: Seq[String] =
@@ -126,7 +133,10 @@ object UpsertWhere {
     val (staged, updatedRows, insertedRows) =
       if (touched.isEmpty) (up, 0L, up.count())
       else {
-        val candDf = TxLog.readUris(spark, dir, touched)
+        val candDf0 = TxLog.readUris(spark, dir, touched)
+        // pre-evolution rows take NULL in the evolved-in columns
+        val candDf = fresh.foldLeft(candDf0)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -139,6 +149,17 @@ object UpsertWhere {
     if (staged.isEmpty && touched.isEmpty)
       return Receipt(all.length, 0, all.length, 0, 0)
     commitStaged(spark, dir, all, touched, staged)
+    // pin the widened schema AT the committed version so untouched
+    // files (which lack the new column) read NULL deterministically
+    if (fresh.nonEmpty && TxLog.exists(spark, dir)) {
+      val base = TxLog.tableSchema(spark, dir).getOrElse {
+        org.apache.spark.sql.types.StructType(
+          TxLog.read(spark, dir).schema.fields.filterNot(f =>
+            fresh.exists(_.name == f.name)))
+      }
+      TxLog.setTableSchema(spark, dir,
+        org.apache.spark.sql.types.StructType(base.fields ++ fresh))
+    }
     Receipt(
       filesTotal = all.length,
       candidates = touched.length,

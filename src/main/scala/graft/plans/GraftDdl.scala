@@ -264,19 +264,35 @@ object GraftDdl {
       // default declarations must not apply to the replacement frame
       // (a carried-over GENERATED ALWAYS would refuse or ghost-fill;
       // a stale identity name would refuse the new frame outright).
-      // RTAS has no column list to re-derive them from — clear them.
+      // RTAS has no column list to re-derive them from — clear them,
+      // but RESTORE them if the replacement query fails before the
+      // overwrite commits: the old data survives a failed REPLACE, so
+      // its declaration enforcement must survive with it.
+      val savedIdent = graft.ops.IdentityColumns.fullSpec(spark, path)
+      val savedGen = graft.ops.GeneratedColumns.spec(spark, path)
+      val savedDef = graft.ops.DefaultColumns.spec(spark, path)
       graft.ops.IdentityColumns.undeclare(spark, path)
       graft.ops.GeneratedColumns.undeclare(spark, path,
-        graft.ops.GeneratedColumns.generatedNames(spark, path))
+        savedGen.map(_._1).toSet)
       graft.ops.DefaultColumns.undeclare(spark, path,
-        graft.ops.DefaultColumns.defaultedNames(spark, path))
-      val n = df.count()
+        savedDef.map(_._1).toSet)
       // a mapped table stays mapped across REPLACE: same-named columns
       // keep their physical names (overwriteAll's staged write spells
       // exactly those), brand-new ones write as themselves — carryOver
       // pins physical = logical for them, consistent with the files
       val oldPin = TxLog.tableSchema(spark, path)
-      val v = TxLog.overwriteAll(spark, path, df)
+      val (n, v) =
+        try (df.count(), TxLog.overwriteAll(spark, path, df))
+        catch {
+          case t: Throwable =>
+            savedIdent.foreach(s => graft.ops.IdentityColumns.declare(
+              spark, path, s.column, s.start, s.step, s.allowExplicit))
+            if (savedGen.nonEmpty)
+              graft.ops.GeneratedColumns.declare(spark, path, savedGen)
+            if (savedDef.nonEmpty)
+              graft.ops.DefaultColumns.declare(spark, path, savedDef)
+            throw t
+        }
       val newPin = oldPin match {
         case Some(p) if graft.ops.ColumnMapping.isMapped(p) =>
           StructType(df.schema.fields.map { f =>

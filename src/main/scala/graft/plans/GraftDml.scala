@@ -457,7 +457,15 @@ object GraftDml {
         }
         def valueIsSourceKey(a: Assignment): Boolean = a.value match {
           case ua: UnresolvedAttribute =>
-            keyedSrc(ua.nameParts.last.toLowerCase)
+            // the name must resolve to the SOURCE side before the key
+            // match — `SET id = t.<srcKeyName>` is a real supply, not
+            // the join-equal no-op shape
+            val n = ua.nameParts.last.toLowerCase
+            val onSourceSide =
+              if (ua.nameParts.length > 1)
+                sAlias.exists(_.equalsIgnoreCase(ua.nameParts.head))
+              else canon(sCols, n).isDefined && canon(tCols, n).isEmpty
+            onSourceSide && keyedSrc(n)
           case ar: AttributeReference =>
             sSet.contains(ar) && keyedSrc(ar.name.toLowerCase)
           case _ => false
@@ -466,12 +474,19 @@ object GraftDml {
           s"MERGE: identity column $idc is GENERATED ALWAYS — $what " +
             "must not supply it (omit it; declare GENERATED BY DEFAULT " +
             "to admit explicit values)")
+        // UPDATE SET * assigns the SAME-NAMED source column into the
+        // identity — safe only when that source column is itself the
+        // ON key paired with the identity (equal by the join); an
+        // identity paired with a DIFFERENTLY-named key plus a stray
+        // same-named source column would silently supply it
+        val starSafe = canon(sCols, idc).map(_.toLowerCase).exists(keyedSrc)
         (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
           case UpdateAction(_, as, _) =>
             as.foreach(a => if (assignedName(a).exists(_.equalsIgnoreCase(idc))
               && !valueIsSourceKey(a)) refuse("UPDATE SET"))
-          case _: UpdateStarAction if keyedSrc.isEmpty =>
-            refuse("UPDATE SET * (identity not an ON key)")
+          case _: UpdateStarAction if !starSafe =>
+            refuse("UPDATE SET * (the same-named source column is not " +
+              "the ON key paired with the identity)")
           case _ => ()
         }
         m.notMatchedActions.foreach {
@@ -566,11 +581,26 @@ object GraftDml {
     }
     val src = source.select(sCols.map(c => col(c).as("__s_" + c)): _*)
       .localCheckpoint()
+    // row tracking: read the target positioned WITH materialized ids
+    // so every UPDATE image inherits its row's id; INSERT images carry
+    // NULL there and resolve to fresh position-derived ids
+    val tracked = graft.ops.RowTracking.enabled(spark, path)
+    val matC = graft.ops.RowTracking.MatCol
+    def trackedCols(of: DataFrame): Seq[org.apache.spark.sql.Column] =
+      if (!tracked) Nil
+      else if (of.columns.contains(matC)) Seq(col(matC))
+      else Seq(lit(null).cast("long").as(matC))
     val tgt =
       if (empty) None
-      else Some(DeletionVectors.positionedSnapshot(spark, path).select(
-        tCols.map(c => col(c).as("__t_" + c)) ++
-          Seq(col("__graft_file"), col("__graft_pos")): _*))
+      else {
+        val ps =
+          if (tracked) graft.ops.RowTracking.positionedWithIds(spark, path)
+          else DeletionVectors.positionedSnapshot(spark, path)
+        Some(ps.select(
+          tCols.map(c => col(c).as("__t_" + c)) ++
+            Seq(col("__graft_file"), col("__graft_pos")) ++
+            (if (tracked) Seq(col(matC)) else Nil): _*))
+      }
     val joinCond = keyPairs.map { case (tk, sk) =>
       col("__t_" + canon(tCols, tk).getOrElse(tk)) ===
         col("__s_" + canon(sCols, sk).getOrElse(
@@ -599,7 +629,7 @@ object GraftDml {
         case (_: DeleteAction, _) => () // position hidden, no image
         case (a, i) =>
           appends :+= matched.filter(col("__clause") === i + 1)
-            .select(image(a, "auto"): _*)
+            .select(image(a, "auto") ++ trackedCols(matched): _*)
       }
     }
     // NOT MATCHED (by target) clauses — source-only rows insert
@@ -613,7 +643,7 @@ object GraftDml {
       }).withColumn("__clause", clauseIdx(m.notMatchedActions, "s"))
       m.notMatchedActions.zipWithIndex.foreach { case (a, i) =>
         inserts :+= srcOnly.filter(col("__clause") === i + 1)
-          .select(image(a, "s"): _*)
+          .select(image(a, "s") ++ trackedCols(srcOnly): _*)
       }
     }
     // NOT MATCHED BY SOURCE clauses — target-only rows update/delete
@@ -630,12 +660,13 @@ object GraftDml {
         case (_: DeleteAction, _) => ()
         case (a, i) =>
           appends :+= tgtOnly.filter(col("__clause") === i + 1)
-            .select(image(a, "t"): _*)
+            .select(image(a, "t") ++ trackedCols(tgtOnly): _*)
       }
     }
     val allHides = hides.reduce(_ unionByName _)
     val emptyImages = src.limit(0).select(tCols.map(c =>
-      lit(null).cast(tSchema(c).dataType).as(c)): _*)
+      lit(null).cast(tSchema(c).dataType).as(c)) ++
+      (if (tracked) Seq(lit(null).cast("long").as(matC)) else Nil): _*)
     val allInserts = inserts.reduceOption(_ unionByName _)
       .getOrElse(emptyImages)
       .localCheckpoint() // one plan for the count and the staged write

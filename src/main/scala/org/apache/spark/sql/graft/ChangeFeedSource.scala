@@ -127,6 +127,15 @@ final class ChangeFeedSource(
   override val schema: StructType =
     ChangeFeedSource.feedSchema(spark, parameters)
 
+  /** The version this stream's frozen schema was derived at. Batches
+    * read their diff under `max(schemaPinnedAt, range end)`'s pin —
+    * so a RECOVERY batch (range entirely before a restart that picked
+    * up an evolution) still aligns to the restarted stream's schema:
+    * old files read NULL for added columns and renamed columns
+    * resolve through their unchanged physical names.
+    */
+  private val schemaPinnedAt: Int = TxLog.currentVersion(spark, path)
+
   private def versionOf(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt
     case s: SerializedOffset => LongOffset(s).offset.toInt
@@ -158,22 +167,50 @@ final class ChangeFeedSource(
     val from = start.map(versionOf).getOrElse(floorVersion)
     val to = versionOf(end)
     highWater = math.max(highWater, to)
+    // recovery batches (range before schemaPinnedAt) read under THIS
+    // stream's pin; live batches read at their range end — equal
+    // unless the source evolved mid-stream, which the guard below
+    // turns into an explicit restart instead of silent column loss
+    val schemaV = math.max(schemaPinnedAt, to)
     // floor below the log (startingVersion = 0): the batch is the
     // snapshot at `to` as inserts — diff against an empty before-set
     val d =
       if (from < 0) (table match {
-        case Some(t) => DbLog.snapshot(spark, path, t, to)
-        case None => TxLog.snapshot(spark, path, to)
+        case Some(t) =>
+          DbLog.snapshot(spark, path, t, to, schemaVersion = schemaV)
+        case None =>
+          TxLog.snapshot(spark, path, to, schemaVersion = schemaV)
       }).withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(to))
       else if (keyCols.nonEmpty) table match {
-        case Some(t) => DbLog.changes(spark, path, t, from, to, keyCols)
-        case None => TxLog.changes(spark, path, from, to, keyCols)
+        case Some(t) =>
+          DbLog.changes(spark, path, t, from, to, keyCols, schemaV)
+        case None =>
+          TxLog.changes(spark, path, from, to, keyCols, schemaV)
       }
       else (table match {
-        case Some(t) => DbLog.diff(spark, path, t, from, to)
-        case None => TxLog.diff(spark, path, from, to)
+        case Some(t) => DbLog.diff(spark, path, t, from, to, schemaV)
+        case None => TxLog.diff(spark, path, from, to, schemaV)
       }).withColumn("_commit_version", lit(to))
+    // MID-STREAM SCHEMA EVOLUTION: the source's schema is frozen at
+    // query start (Structured Streaming's contract). If the table
+    // evolved under the running stream — ADD COLUMN widens the diff,
+    // a mapped RENAME respells it — silently projecting back onto the
+    // frozen schema would DROP the new column's values from every
+    // batch until someone notices. Fail the batch with the fix
+    // instead: this offset range is uncommitted, so a restart from
+    // the same checkpoint redelivers it under the new schema — no
+    // loss, no gap (the Delta-source contract).
+    val want = schema.fieldNames
+    val gotCols = d.columns
+    if (gotCols.toSet != want.toSet)
+      throw new IllegalStateException(
+        s"graft-cdc: the schema of $path${table.map("/" + _).getOrElse("")} " +
+          s"changed under the running stream (batch columns: " +
+          s"${gotCols.filterNot(want.contains).mkString(", ")} new; " +
+          s"${want.filterNot(gotCols.contains).mkString(", ")} gone) — " +
+          "restart the query from its checkpoint to adopt the new " +
+          "schema; this batch redelivers after restart, nothing is lost")
     val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
     GraftShim.streamingDataFrame(spark, d.select(cols: _*))
   }

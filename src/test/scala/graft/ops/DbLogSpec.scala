@@ -341,4 +341,94 @@ class DbLogSpec extends SparkSpec {
     assert(aStats.nonEmpty && aStats.forall(_.column == "x"))
     assert(bStats.nonEmpty && bStats.forall(_.column == "y"))
   }
+
+  test("per-table rename: one table's column renames, siblings untouched, files unmoved") {
+    val db = freshDb()
+    val filesBefore = TxLog.liveFiles(spark, db).toSet
+    val custBefore = DbLog.snapshot(spark, db, "customer").columns.toSeq
+    val vPre = DbLog.currentVersion(spark, db)
+    DbLog.renameColumn(spark, db, "orders", "o_totalprice", "price")
+    // metadata-only: no file moved, sibling schema identical
+    assert(TxLog.liveFiles(spark, db).toSet == filesBefore)
+    assert(DbLog.snapshot(spark, db, "customer").columns.toSeq == custBefore)
+    val got = DbLog.snapshot(spark, db, "orders")
+    assert(got.columns.contains("price") &&
+      !got.columns.contains("o_totalprice"))
+    assert(same(got.select(col("o_orderkey"), col("price")),
+      orders.select(col("o_orderkey"), col("o_totalprice").as("price"))))
+    // time travel before the rename keeps the old name
+    assert(DbLog.snapshot(spark, db, "orders", vPre)
+      .columns.contains("o_totalprice"))
+  }
+
+  test("per-table rename: every write path speaks the new name, files spell physical") {
+    import spark.implicits._
+    val db = freshDb()
+    DbLog.renameColumn(spark, db, "orders", "o_totalprice", "price")
+    val extra = orders.filter(col("o_orderkey") <= 40)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+      .withColumnRenamed("o_totalprice", "price")
+    DbLog.transact(spark, db, "post-rename") { txn =>
+      txn.append("orders", extra)
+      txn.append("customer", customer.limit(5)
+        .withColumn("c_custkey", col("c_custkey") + 5000000L))
+    }
+    DbLog.transact(spark, db, "post-rename-delete") { txn =>
+      txn.deleteWhere("orders", col("price") < 1000.0)
+    }
+    val got = DbLog.snapshot(spark, db, "orders")
+    assert(got.filter(col("price") < 1000.0).count() == 0L)
+    assert(got.filter(col("o_orderkey") >= 5000000L).count() ==
+      extra.filter(col("price") >= 1000.0).count())
+    // no live data file spells the logical name — all spell physical
+    val files = TxLog.liveEntries(spark, db)
+      .filter(_.name.startsWith("orders/"))
+      .map(e => s"$db/${e.name}")
+    val footers = spark.read.parquet(files: _*)
+    assert(footers.columns.contains("o_totalprice") &&
+      !footers.columns.contains("price"))
+    // MOR paths under the new name (one rewrite per table per txn)
+    DbLog.transact(spark, db, "mor-dv") { txn =>
+      txn.deleteWhereVectored("orders", col("price") > 300000.0)
+    }
+    DbLog.transact(spark, db, "mor-upsert") { txn =>
+      txn.upsertKeyed("orders", Seq("o_orderkey"),
+        DbLog.snapshot(spark, db, "orders")
+          .filter(col("o_orderkey") <= 10)
+          .withColumn("price", lit(1234.5)).localCheckpoint())
+    }
+    val after = DbLog.snapshot(spark, db, "orders")
+    assert(after.filter(col("price") > 300000.0).count() == 0L)
+    assert(after.filter(col("o_orderkey") <= 10)
+      .agg(min("price"), max("price")).head() ==
+      org.apache.spark.sql.Row(1234.5, 1234.5))
+  }
+
+  test("per-table rename: CDF reads the range at the end pin (uniform logical feed)") {
+    import spark.implicits._
+    val db = freshDb()
+    val v0 = DbLog.currentVersion(spark, db)
+    DbLog.transact(spark, db, "pre") { txn =>
+      txn.append("orders", orders.limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + 6000000L))
+    }
+    DbLog.renameColumn(spark, db, "orders", "o_totalprice", "price")
+    DbLog.transact(spark, db, "post") { txn =>
+      txn.append("orders", orders.limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+        .withColumnRenamed("o_totalprice", "price"))
+    }
+    val feed = DbLog.changes(spark, db, "orders", v0,
+      DbLog.currentVersion(spark, db), keyCols = Seq("o_orderkey"))
+    assert(feed.columns.contains("price") &&
+      !feed.columns.contains("o_totalprice"))
+    assert(feed.filter(col("_change_type") === "insert").count() == 5L)
+    // constraints referencing the column refuse the rename
+    DbLog.setCheckConstraints(spark, db, "orders",
+      Seq("price >= 0"))
+    val e = intercept[IllegalArgumentException] {
+      DbLog.renameColumn(spark, db, "orders", "price", "total")
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+  }
 }

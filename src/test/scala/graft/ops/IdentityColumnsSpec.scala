@@ -120,12 +120,59 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(IdentityColumns.highWater(spark, dir) == before + 1)
   }
 
-  test("GENERATED BY DEFAULT refuses; non-BIGINT refuses") {
-    val d1 = Files.createTempDirectory("ident").toString + "/t"
+  private def freshDefault(): String = {
+    val dir = Files.createTempDirectory("ident").toString + "/t"
+    graft.plans.GraftDml.sql(spark,
+      s"""CREATE TABLE parquet.`$dir`
+         |  (id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)""".stripMargin)
+    dir
+  }
+
+  test("BY DEFAULT: explicit lands verbatim, NULLs fill, water re-syncs") {
+    import spark.implicits._
+    val dir = freshDefault()
+    TxLog.append(spark, dir, Seq("a").toDF("v")) // engine: id 1
+    // fully-explicit batch lands verbatim; ledger re-syncs past 200
+    TxLog.append(spark, dir, Seq((100L, "x"), (200L, "y")).toDF("id", "v"))
+    assert(IdentityColumns.highWater(spark, dir) == 200L)
+    TxLog.append(spark, dir, Seq("b").toDF("v")) // engine: id 201
+    assert(TxLog.snapshot(spark, dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 100L, 200L, 201L))
+    // mixed batch: explicit row verbatim, NULL row fills ABOVE the
+    // batch's own supplied max (re-sync happens before assignment)
+    TxLog.append(spark, dir,
+      Seq((java.lang.Long.valueOf(500L), "e"),
+        (null.asInstanceOf[java.lang.Long], "n")).toDF("id", "v"))
+    val all = TxLog.snapshot(spark, dir)
+    assert(all.count() == 6L)
+    assert(all.select("id").distinct().count() == 6L)
+    assert(all.filter(col("v") === "e").head().getLong(0) == 500L)
+    assert(all.filter(col("v") === "n").head().getLong(0) == 501L)
+    assert(IdentityColumns.highWater(spark, dir) == 501L)
+    // a water already past the supplied max claims nothing backward
+    TxLog.append(spark, dir, Seq((50L, "low")).toDF("id", "v"))
+    assert(IdentityColumns.highWater(spark, dir) == 501L)
+  }
+
+  test("BY DEFAULT: non-integral supplied type refuses (no silent cast)") {
+    import spark.implicits._
+    val dir = freshDefault()
+    intercept[IllegalArgumentException] { // string ids would cast to NULL
+      TxLog.append(spark, dir, Seq(("7", "s")).toDF("id", "v"))
+    }
+    intercept[IllegalArgumentException] { // fractional doubles truncate
+      TxLog.append(spark, dir, Seq((7.5, "d")).toDF("id", "v"))
+    }
+    // lossless integral widening is fine
+    TxLog.append(spark, dir, Seq((7, "i")).toDF("id", "v"))
+    assert(TxLog.snapshot(spark, dir).head().getLong(0) == 7L)
+  }
+
+  test("ALWAYS still refuses explicit; non-BIGINT identity refuses") {
+    import spark.implicits._
+    val d1 = fresh()
     intercept[IllegalArgumentException] {
-      graft.plans.GraftDml.sql(spark,
-        s"CREATE TABLE parquet.`$d1` (id BIGINT GENERATED BY DEFAULT AS " +
-          "IDENTITY, v STRING)")
+      TxLog.append(spark, d1, Seq((99L, "boom")).toDF("id", "v"))
     }
     val d2 = Files.createTempDirectory("ident").toString + "/t"
     intercept[IllegalArgumentException] {
@@ -133,6 +180,43 @@ class IdentityColumnsSpec extends SparkSpec {
         s"CREATE TABLE parquet.`$d2` (id INT GENERATED ALWAYS AS " +
           "IDENTITY, v STRING)")
     }
+    val d3 = Files.createTempDirectory("ident").toString + "/t"
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftDml.sql(spark,
+        s"CREATE TABLE parquet.`$d3` (id INT GENERATED BY DEFAULT AS " +
+          "IDENTITY, v STRING)")
+    }
+  }
+
+  test("BY DEFAULT: racing mixed writers stay globally unique") {
+    import spark.implicits._
+    val dir = freshDefault()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 explicit writers land disjoint hand-picked ranges, 4 generated
+    // writers draw from the ledger — every interleaving must keep ids
+    // globally unique and the water past every explicit value
+    Await.result(Future.sequence((0 until 8).map { i =>
+      Future {
+        if (i % 2 == 0)
+          TxLog.append(spark, dir, (0 until 50)
+            .map(j => (10000L + i * 1000L + j, s"e$i-$j")).toDF("id", "v"))
+        else
+          TxLog.append(spark, dir,
+            (0 until 50).map(j => s"g$i-$j").toDF("v"))
+      }
+    }), 180.seconds)
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.count() == 400L)
+    assert(got.select("id").distinct().count() == 400L)
+    assert(IdentityColumns.highWater(spark, dir) >= 16049L)
+    // post-race engine assignment sits above everything
+    TxLog.append(spark, dir, Seq("tail").toDF("v"))
+    val after = TxLog.snapshot(spark, dir)
+    assert(after.count() == 401L)
+    assert(after.select("id").distinct().count() == 401L)
+    assert(after.filter(col("v") === "tail").head().getLong(0) > 16049L)
   }
 
   test("streaming append sink fills ids exactly-once across epochs") {

@@ -1,0 +1,223 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row tracking ([[RowTracking]]): stable `_row_id`s assigned from the
+  * kernel-atomic ledger, position-derived for fresh files, materialized
+  * through every rewrite (compaction, CoW delete/update, MOR upsert,
+  * SQL MERGE, DV materialize, clone localize), stable across RESTORE,
+  * hidden from normal reads, and powering keyless CDF update-image
+  * pairing.
+  */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** keyed (k → _row_id) map of the current tracked snapshot */
+  private def ids(dir: String): Map[Long, Long] =
+    RowTracking.read(spark, dir)
+      .select(col("k"), col(RowTracking.Col))
+      .as[(Long, Long)].collect().toMap
+
+  private def fresh(n: Int = 20, files: Int = 2): String = {
+    val dir = Files.createTempDirectory("rowtrk").toString + "/t"
+    val df = (1L to n.toLong).map(k => (k, s"v$k")).toDF("k", "v")
+    // deterministic layout: `files` single-sorted-partition appends
+    TxLog.convert(spark, dir)
+    TxLog.setTableSchema(spark, dir, df.schema, 0)
+    RowTracking.enable(spark, dir)
+    (0 until files).foreach { i =>
+      TxLog.append(spark, dir,
+        df.filter(col("k") % files === i)
+          .repartition(1).sortWithinPartitions("k"))
+    }
+    dir
+  }
+
+  test("fresh appends: position-derived ids, dense per file, unique; hidden from plain reads") {
+    val dir = fresh(20, 2)
+    val got = RowTracking.read(spark, dir)
+    assert(got.count() == 20L)
+    assert(got.select(RowTracking.Col).distinct().count() == 20L)
+    // first file claimed [0, 10), second [10, 20)
+    assert(got.agg(min(RowTracking.Col), max(RowTracking.Col)).head() ==
+      org.apache.spark.sql.Row(0L, 19L))
+    // the id column is NOT part of the normal table surface
+    assert(!TxLog.snapshot(spark, dir).columns.contains(RowTracking.Col))
+    assert(!TxLog.snapshot(spark, dir).columns.contains(RowTracking.MatCol))
+  }
+
+  test("enable on an existing table backfills ids without moving data") {
+    val dir = Files.createTempDirectory("rowtrk").toString + "/t"
+    (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(2).write.parquet(dir)
+    TxLog.convert(spark, dir)
+    val filesBefore = TxLog.liveFiles(spark, dir).toSet
+    RowTracking.enable(spark, dir)
+    assert(TxLog.liveFiles(spark, dir).toSet == filesBefore) // no data moved
+    val got = RowTracking.read(spark, dir)
+    assert(got.count() == 10L)
+    assert(got.select(RowTracking.Col).distinct().count() == 10L)
+    RowTracking.enable(spark, dir) // idempotent
+    assert(RowTracking.read(spark, dir).count() == 10L)
+  }
+
+  test("copy-on-write delete: survivors keep their ids") {
+    val dir = fresh()
+    val before = ids(dir)
+    DeleteWhere.where(spark, dir, col("k") % 3 === 0)
+    val after = ids(dir)
+    assert(after.keySet == before.keySet.filterNot(_ % 3 == 0))
+    after.foreach { case (k, id) => assert(id == before(k)) }
+  }
+
+  test("copy-on-write update: updated rows keep their ids") {
+    val dir = fresh()
+    val before = ids(dir)
+    DeleteWhere.updateWhere(spark, dir, col("k") <= 5,
+      Seq("v" -> lit("upd")))
+    val got = RowTracking.read(spark, dir)
+    assert(got.filter(col("v") === "upd").count() == 5L)
+    ids(dir).foreach { case (k, id) => assert(id == before(k)) }
+  }
+
+  test("compaction: packed rows keep their ids; keyless CDF sees nothing") {
+    val dir = fresh(40, 4)
+    val before = ids(dir)
+    val vBefore = TxLog.currentVersion(spark, dir)
+    val r = Compact.binPack(spark, dir, smallBytes = 1L << 20)
+    assert(r.packed >= 2)
+    ids(dir).foreach { case (k, id) => assert(id == before(k)) }
+    // a pure compaction contributes NOTHING to the row-id-paired feed
+    val feed = TxLog.changes(spark, dir, vBefore,
+      TxLog.currentVersion(spark, dir), keyCols = Nil)
+    assert(feed.count() == 0L)
+  }
+
+  test("DV delete hides ids; materialize folds them as data; ids stable") {
+    val dir = fresh()
+    val before = ids(dir)
+    DeletionVectors.delete(spark, dir, col("k") > 15)
+    val mid = ids(dir)
+    assert(mid.keySet == before.keySet.filter(_ <= 15))
+    mid.foreach { case (k, id) => assert(id == before(k)) }
+    DeletionVectors.materialize(spark, dir)
+    assert(TxLog.liveEntries(spark, dir).forall(_.dv.isEmpty))
+    ids(dir).foreach { case (k, id) => assert(id == before(k)) }
+  }
+
+  test("MOR upsert: matched rows keep ids, inserts draw fresh") {
+    val dir = fresh()
+    val before = ids(dir)
+    DeletionVectors.upsert(spark, dir,
+      Seq((3L, "u3"), (7L, "u7"), (100L, "new")).toDF("k", "v"),
+      keyCols = Seq("k"))
+    val after = ids(dir)
+    assert(after(3L) == before(3L) && after(7L) == before(7L))
+    assert(after(100L) > before.values.max) // fresh, above everything
+    assert(after.values.toSeq.distinct.size == after.size)
+  }
+
+  test("SQL MERGE: update images inherit ids, inserts draw fresh") {
+    val dir = fresh()
+    val before = ids(dir)
+    Seq((2L, "m2"), (4L, "m4"), (200L, "mnew"))
+      .toDF("k", "v").createOrReplaceTempView("rowtrk_src")
+    graft.plans.GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING rowtrk_src AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ids(dir)
+    assert(after(2L) == before(2L) && after(4L) == before(4L))
+    assert(RowTracking.read(spark, dir)
+      .filter(col("k") === 2L).head().getAs[String]("v") == "m2")
+    assert(after(200L) > before.values.max)
+    assert(after.values.toSeq.distinct.size == after.size)
+  }
+
+  test("RESTORE is id-stable (bases travel with the entries)") {
+    val dir = fresh()
+    val before = ids(dir)
+    val v = TxLog.currentVersion(spark, dir)
+    DeletionVectors.upsert(spark, dir,
+      Seq((5L, "u5"), (300L, "n")).toDF("k", "v"), keyCols = Seq("k"))
+    TxLog.restore(spark, dir, v)
+    assert(ids(dir) == before)
+  }
+
+  test("clone: inherited rows keep source ids; clone allocations start past the source water; localize preserves") {
+    val dir = fresh()
+    val srcIds = ids(dir)
+    val dst = Files.createTempDirectory("rowtrk").toString + "/c"
+    TxLog.cloneTo(spark, dir, dst)
+    assert(ids(dst) == srcIds)
+    // the clone's own appends never collide with inherited ids
+    TxLog.append(spark, dst,
+      Seq((500L, "c1"), (501L, "c2")).toDF("k", "v").repartition(1))
+    val cloneIds = ids(dst)
+    assert(cloneIds.values.toSeq.distinct.size == cloneIds.size)
+    assert(cloneIds(500L) > srcIds.values.max)
+    // localize folds based entries to local files — ids travel
+    TxLog.localize(spark, dst)
+    assert(TxLog.liveEntries(spark, dst).forall(_.base.isEmpty))
+    assert(ids(dst) == cloneIds)
+  }
+
+  test("keyless CDF: update images pair by _row_id and match the keyed run") {
+    val dir = fresh()
+    val v0 = TxLog.currentVersion(spark, dir)
+    DeletionVectors.upsert(spark, dir,
+      Seq((3L, "u3"), (400L, "ins")).toDF("k", "v"), keyCols = Seq("k"))
+    DeleteWhere.where(spark, dir, col("k") === 8L)
+    val v1 = TxLog.currentVersion(spark, dir)
+    val keyless = TxLog.changes(spark, dir, v0, v1, keyCols = Nil)
+      .drop(RowTracking.Col)
+    val keyed = TxLog.changes(spark, dir, v0, v1, keyCols = Seq("k"))
+    def canon(df: DataFrame) = df
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(canon(keyless) == canon(keyed))
+    assert(canon(keyless).exists(_._3 == "update_preimage"))
+    assert(canon(keyless).exists(_._3 == "update_postimage"))
+    assert(canon(keyless).exists(_._3 == "insert"))
+    assert(canon(keyless).exists(_._3 == "delete"))
+  }
+
+  test("keyless CDF without tracking refuses with the fix") {
+    val dir = Files.createTempDirectory("rowtrk").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.changes(spark, dir, 0, 0, keyCols = Nil)
+    }
+    assert(e.getMessage.contains("row tracking"))
+  }
+
+  test("racing appends claim disjoint id ranges") {
+    val dir = fresh(4, 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until 6).map(i => Future {
+      TxLog.append(spark, dir,
+        (0 until 50).map(j => (1000L + i * 100 + j, s"r$i-$j"))
+          .toDF("k", "v"))
+    })), 180.seconds)
+    val got = RowTracking.read(spark, dir)
+    assert(got.count() == 304L)
+    assert(got.select(RowTracking.Col).distinct().count() == 304L)
+  }
+
+  test("vacuum prunes the ledger; water survives") {
+    val dir = fresh(10, 5)
+    val w = RowTracking.currentWater(spark, dir)
+    TxLog.vacuum(spark, dir, retainVersions = 1)
+    assert(RowTracking.currentWater(spark, dir) == w)
+    TxLog.append(spark, dir, Seq((900L, "p")).toDF("k", "v"))
+    assert(RowTracking.currentWater(spark, dir) == w + 1)
+  }
+}

@@ -261,6 +261,111 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("TxLog.convert"))
   }
 
+  private def identTable(mode: String): String = {
+    val dir = Files.createTempDirectory("dmlid").toString + "/t"
+    GraftDml.sql(spark,
+      s"""CREATE TABLE parquet.`$dir`
+         |  (id BIGINT GENERATED $mode AS IDENTITY,
+         |   k BIGINT, v STRING)""".stripMargin)
+    TxLog.append(spark, dir,
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k")) // ids 1..5
+    dir
+  }
+
+  test("MERGE on ALWAYS identity: matched rows keep ids, inserts draw fresh") {
+    val dir = identTable("ALWAYS")
+    val before = TxLog.snapshot(spark, dir)
+      .select("k", "id").as[(Long, Long)].collect().toMap
+    Seq((2L, "upd2"), (4L, "upd4"), (9L, "new9"), (10L, "new10"))
+      .toDF("k", "v").createOrReplaceTempView("dmlid_src")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING dmlid_src AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.count() == 7L)
+    assert(got.select("id").distinct().count() == 7L)
+    // update images inherited their rows' pre-merge ids
+    val after = got.select("k", "id").as[(Long, Long)].collect().toMap
+    assert(after(2L) == before(2L) && after(4L) == before(4L))
+    assert(got.filter(col("k") === 2L).head().getString(2) == "upd2")
+    // inserts drew fresh ids strictly above the pre-merge water
+    assert(Seq(9L, 10L).forall(k => after(k) > before.values.max))
+  }
+
+  test("MERGE identity guard: SET * with a same-named non-key source id refuses; paired-key SET * passes") {
+    val dir = identTable("ALWAYS")
+    // source carries its OWN `id` column, but the ON key is k — the
+    // star image would write arbitrary s.id values into the identity
+    Seq((2L, 777L, "x")).toDF("k", "id", "v")
+      .createOrReplaceTempView("dmlid_star")
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        s"""MERGE INTO parquet.`$dir` AS t USING dmlid_star AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // the admitted shape: identity IS the ON key, same-named — the
+    // star assignment is the join-equal no-op
+    val ids = TxLog.snapshot(spark, dir)
+      .filter(col("k") <= 2L).select("id", "k").as[(Long, Long)].collect()
+    ids.map { case (i, k) => (i, k, s"star$k") }.toSeq
+      .toDF("id", "k", "v").createOrReplaceTempView("dmlid_star2")
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING dmlid_star2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.filter(col("v").startsWith("star")).count() == 2L)
+    assert(got.select("id").distinct().count() == got.count())
+  }
+
+  test("MERGE identity guard: SET id = t.<srcKeyName> resolves target-side and refuses") {
+    val dir = identTable("ALWAYS")
+    // ON t.id = s.ext — keyedSrc = {ext}; `t.ext` is a TARGET column
+    // that happens to share the source key's name: assigning it is a
+    // real supply, not the join-equal no-op
+    GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$dir` ADD COLUMNS (ext BIGINT)")
+    Seq((1L, "x")).toDF("ext", "v").createOrReplaceTempView("dmlid_tq")
+    val e = intercept[IllegalArgumentException] {
+      GraftDml.sql(spark,
+        s"""MERGE INTO parquet.`$dir` AS t USING dmlid_tq AS s
+           |ON t.id = s.ext
+           |WHEN MATCHED THEN UPDATE SET id = t.ext""".stripMargin)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // the qualified source-side key stays admitted
+    GraftDml.sql(spark,
+      s"""MERGE INTO parquet.`$dir` AS t USING dmlid_tq AS s
+         |ON t.id = s.ext
+         |WHEN MATCHED THEN UPDATE SET id = s.ext, v = s.v""".stripMargin)
+    assert(TxLog.snapshot(spark, dir)
+      .filter(col("id") === 1L).head().getAs[String]("v") == "x")
+  }
+
+  test("applyRowChanges fences never-allocated ids on ALWAYS tables") {
+    val dir = identTable("ALWAYS")
+    val empty = spark.emptyDataFrame
+      .withColumn("__graft_file", lit(""))
+      .withColumn("__graft_pos", lit(0L)).limit(0)
+    // a direct caller smuggling an id beyond the high water refuses
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.DeletionVectors.applyRowChanges(spark, dir,
+        hides = empty,
+        appends0 = Seq((999L, 50L, "smuggled")).toDF("id", "k", "v"))
+    }
+    assert(e.getMessage.contains("never allocated"))
+    // images carrying EXISTING ids (the MERGE update shape) pass
+    graft.ops.DeletionVectors.applyRowChanges(spark, dir,
+      hides = empty,
+      appends0 = Seq((1L, 50L, "legit")).toDF("id", "k", "v"))
+    assert(TxLog.snapshot(spark, dir).count() == 6L)
+  }
+
   test("injected rule rewrites an analyzer-resolved DELETE to a runnable command") {
     val dir = freshTable()
     val parsed = org.apache.spark.sql.GraftShim.parsePlan(spark,
