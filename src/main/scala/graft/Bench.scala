@@ -114,10 +114,14 @@ object Bench {
     // queries a fixed top-N missed half the multi-second tail, and
     // their 2-sample medians drove median_total 1.36× over the
     // min-total) with SLOW_N as a wall-clock cap. SPARK_GRAFT_SLOW_N=0
-    // disables.
-    val slowN = sys.env.getOrElse("SPARK_GRAFT_SLOW_N", "25").toInt
+    // disables. Defaults (r16): the WHOLE ≥3 s tail at 3 reps — the
+    // r15 suite had 37 such queries, so the old 25-cap left a third of
+    // the tail on 2-sample medians and their 1.4× swings on untouched
+    // code were unattributable; 64 × 1 extra rep is FEWER total runs
+    // than 25 × 2 and covers every lifecycle query.
+    val slowN = sys.env.getOrElse("SPARK_GRAFT_SLOW_N", "64").toInt
     val slowSecs = sys.env.getOrElse("SPARK_GRAFT_SLOW_SECS", "3.0").toDouble
-    val slowReps = sys.env.getOrElse("SPARK_GRAFT_SLOW_REPS", "4").toInt
+    val slowReps = sys.env.getOrElse("SPARK_GRAFT_SLOW_REPS", "3").toInt
     val extra = math.max(0, slowReps - reps)
     val fnByName = queries.toMap
     if (extra > 0 && slowN > 0) {

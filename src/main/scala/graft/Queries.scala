@@ -4886,23 +4886,26 @@ object Queries {
     val p = s"$indexQueryDir/rowids"
     val fsp = new org.apache.hadoop.fs.Path(p)
     fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
-    graft.ops.TxLog.convert(s, p)
+    graft.ops.TxLog.convert(s, p) // v0
     graft.ops.TxLog.setTableSchema(s, p, c.schema, 0)
     graft.ops.RowTracking.enable(s, p)
     def sorted1(df: DataFrame) =
       df.repartition(1).sortWithinPartitions("c_custkey")
-    graft.ops.TxLog.append(s, p,
+    graft.ops.TxLog.append(s, p, // v1
       sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
-    graft.ops.TxLog.append(s, p,
+    graft.ops.TxLog.append(s, p, // v2
       sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
-    graft.ops.TxLog.append(s, p,
+    graft.ops.TxLog.append(s, p, // v3
       sorted1(c.filter(col("c_custkey") <= 30)
         .withColumn("c_custkey", col("c_custkey") + 1000000L)))
-    // copy-on-write delete: every file rewrites, survivors keep ids
-    graft.ops.DeleteWhere.where(s, p, pmod(col("c_custkey"), lit(7)) === 0)
-    // pack the rewritten remains — ids travel as materialized data
+    // pack the three appends — ids AND commit versions travel as
+    // materialized data: no row's provenance moves with its bytes (v4)
     graft.ops.Compact.binPack(s, p, smallBytes = 8L << 20)
-    // merge-on-read update: images inherit their rows' ids by key
+    // copy-on-write delete: the packed file rewrites, survivors keep
+    // both id and version (v5)
+    graft.ops.DeleteWhere.where(s, p, pmod(col("c_custkey"), lit(7)) === 0)
+    // merge-on-read update: images inherit their rows' ids by key but
+    // take the UPDATE's commit as their row version (v6)
     val upd = graft.ops.TxLog.snapshot(s, p)
       .filter(pmod(col("c_custkey"), lit(10)) === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000)

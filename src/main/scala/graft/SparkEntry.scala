@@ -2407,11 +2407,13 @@ object Oracles {
                 ord.o_totalprice
          FROM li LEFT JOIN ord ON li.l_orderkey = ord.o_orderkey""",
 
-    // row tracking: _row_id = append-order row_number arithmetic —
-    // three sorted single-partition appends (evens, odds, +1000000
-    // copies of keys ≤ 30), then a CoW delete (k%7), a compaction and
-    // a MOR update (+1000 acctbal on k%10) that must all PRESERVE the
-    // ids while the files rewrite underneath
+    // row tracking: _row_id = append-order row_number arithmetic, and
+    // _row_commit_version = the commit that last MODIFIED the row —
+    // three sorted single-partition appends (v1 evens, v2 odds, v3
+    // +1000000 copies of keys ≤ 30), then a compaction (v4 — must NOT
+    // bump any row's version), a CoW delete of k%7 (v5 — survivors
+    // keep id AND version) and a MOR update of k%10 (v6 — updated
+    // rows keep their id but take v6)
     "q_rowids" ->
       """WITH evens AS (
            SELECT c_custkey, c_name, c_acctbal,
@@ -2429,18 +2431,21 @@ object Oracles {
            FROM customer WHERE c_custkey <= 30
          ),
          base AS (
-           SELECT c_custkey, c_name, c_acctbal, rn - 1 AS rid FROM evens
+           SELECT c_custkey, c_name, c_acctbal, rn - 1 AS rid,
+                  1 AS born FROM evens
            UNION ALL
            SELECT c_custkey, c_name, c_acctbal,
-                  (SELECT count(*) FROM evens) + rn - 1 FROM odds
+                  (SELECT count(*) FROM evens) + rn - 1, 2 FROM odds
            UNION ALL
            SELECT c_custkey, c_name, c_acctbal,
-                  (SELECT count(*) FROM customer) + rn - 1 FROM news
+                  (SELECT count(*) FROM customer) + rn - 1, 3 FROM news
          )
          SELECT c_custkey, c_name,
                 CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
                      ELSE c_acctbal END AS c_acctbal,
-                rid AS "_row_id"
+                rid AS "_row_id",
+                CAST(CASE WHEN c_custkey % 10 = 0 THEN 6
+                          ELSE born END AS BIGINT) AS "_row_commit_version"
          FROM base WHERE c_custkey % 7 <> 0""",
 
     // identity GENERATED BY DEFAULT (START 10 STEP 5): batch 1 engine-

@@ -73,7 +73,7 @@ object ColumnMapping {
   def isMapped(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(PhysKey))
 
-  private def withPhysical(f: StructField, phys: String): StructField =
+  private[ops] def withPhysical(f: StructField, phys: String): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(PhysKey, phys).build())
 

@@ -232,12 +232,7 @@ object DbLog {
       spark: SparkSession, db: String, table: String,
       from: String, to: String): Int = {
     requireTableName(table)
-    val pin0 = tableSchema(spark, db, table).getOrElse {
-      val es = entriesOf(spark, db, table, Int.MaxValue)
-      require(es.nonEmpty, s"renameColumn: no such table '$table' in $db")
-      TxLog.readEntries(spark, db, es).schema
-    }
-    val pin = ColumnMapping.frozen(pin0)
+    val pin = ColumnMapping.frozen(tablePinOrInfer(spark, db, table))
     require(pin.fieldNames.contains(from),
       s"rename: no column $from in $db/$table")
     require(!pin.fieldNames.contains(to),
@@ -265,6 +260,88 @@ object DbLog {
           cols.map(c => if (c == from) to else c))
     }
     v
+  }
+
+  /** Per-table ADD COLUMN: the new column joins ONE table's pin with a
+    * FRESH physical name (`<name>__v<v>` — a later DROP + re-ADD of
+    * the same logical name maps to fresh storage, never resurrecting
+    * old footers), at one empty commit. Pre-evolution rows read NULL.
+    */
+  def addColumn(
+      spark: SparkSession, db: String, table: String,
+      field: org.apache.spark.sql.types.StructField): Int = {
+    requireTableName(table)
+    require(field.nullable, "add: new columns must be nullable " +
+      "(pre-evolution rows read NULL)")
+    val pin = ColumnMapping.frozen(tablePinOrInfer(spark, db, table))
+    require(!pin.fieldNames.contains(field.name),
+      s"add: ${field.name} already exists in $db/$table")
+    val v = TxLog.commitEntries(spark, db, adds = Nil, removes = Nil,
+      op = Some(s"add-column($table.${field.name})"))
+    val taken = tableNamesEverUsed(spark, db, table)
+    var cand = s"${field.name}__v$v"
+    while (taken(cand)) cand += "_"
+    setTableSchema(spark, db, table,
+      org.apache.spark.sql.types.StructType(
+        pin.fields :+ ColumnMapping.withPhysical(field, cand)), v)
+    v
+  }
+
+  /** Per-table DROP COLUMN: the narrowed pin forgets the logical name;
+    * the physical name stays burned in the table's pin history, so a
+    * re-ADD maps to fresh storage. This table's CHECK constraints
+    * referencing the column refuse; declared stats columns follow.
+    */
+  def dropColumn(
+      spark: SparkSession, db: String, table: String, name: String): Int = {
+    requireTableName(table)
+    val pin = ColumnMapping.frozen(tablePinOrInfer(spark, db, table))
+    require(pin.fieldNames.contains(name), s"drop: no column $name in $db/$table")
+    require(pin.fields.length > 1, "drop: cannot drop every column")
+    val constrained = checkConstraints(spark, db, table)
+      .filter(_.matches(
+        s"(?i).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"))
+    require(constrained.isEmpty,
+      s"drop $name: CHECK constraint(s) of '$table' reference it: " +
+        s"$constrained — drop or rewrite them first (setCheckConstraints)")
+    val v = TxLog.commitEntries(spark, db, adds = Nil, removes = Nil,
+      op = Some(s"drop-column($table.$name)"))
+    setTableSchema(spark, db, table,
+      org.apache.spark.sql.types.StructType(
+        pin.fields.filterNot(_.name == name)), v)
+    TxLog.metaRead(spark, db, s"stats_cols.$table.txt").foreach { body =>
+      val cols = body.linesIterator.filter(_.nonEmpty).toSeq
+      if (cols.contains(name))
+        setStatsColumns(spark, db, table, cols.filterNot(_ == name))
+    }
+    v
+  }
+
+  private def tablePinOrInfer(
+      spark: SparkSession, db: String, table: String):
+      org.apache.spark.sql.types.StructType =
+    tableSchema(spark, db, table).getOrElse {
+      val es = entriesOf(spark, db, table, Int.MaxValue)
+      require(es.nonEmpty, s"no such table '$table' in $db")
+      TxLog.readEntries(spark, db, es).schema
+    }
+
+  /** Every physical and logical name any retained pin of this TABLE
+    * ever used — the collision set a fresh physical name must avoid.
+    */
+  private def tableNamesEverUsed(
+      spark: SparkSession, db: String, table: String): Set[String] = {
+    val pfx = s"schema.$table."
+    TxLog.metaList(spark, db, pfx)
+      .filter(_.stripPrefix(pfx).stripSuffix(".json").matches("\\d{8}"))
+      .flatMap { n =>
+        TxLog.metaRead(spark, db, n).toSeq.flatMap { body =>
+          val sc = org.apache.spark.sql.types.DataType.fromJson(body)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          sc.fields.flatMap(f =>
+            Seq(f.name, ColumnMapping.physicalName(f)))
+        }
+      }.toSet
   }
 
   /** The database's commit history ([[TxLog.history]] verbatim —

@@ -226,10 +226,15 @@ object DeleteWhere {
       require(sets.forall(s => df.columns.contains(s._1)),
         s"updateWhere: unknown column in SET (${sets.map(_._1)})")
       // all-at-once: project every column in one select, so later
-      // assignments never see earlier ones' results
+      // assignments never see earlier ones' results. A row the UPDATE
+      // actually hits is a MODIFICATION: its materialized
+      // row-commit-version clears so it resolves to THIS commit
+      // (row ids still travel — identity is preserved, recency moves)
       val out = df.columns.map { c =>
         sets.find(_._1 == c) match {
           case Some((_, v)) => when(hitP, v).otherwise(col(c)).as(c)
+          case None if c == RowTracking.MatVerCol =>
+            when(hitP, lit(null)).otherwise(col(c)).as(c)
           case None => col(c)
         }
       }

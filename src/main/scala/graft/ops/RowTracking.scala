@@ -45,10 +45,25 @@ object RowTracking {
   /** The exposed row-id column ([[read]], keyless CDF pairing). */
   val Col = "_row_id"
 
+  /** The exposed row-commit-version column: the commit that last
+    * MODIFIED the row (Delta's `_metadata.row_commit_version`). Fresh
+    * and updated rows read their file's landing version (`addedV` on
+    * the ADD entry); rewrites that MOVE rows without changing them
+    * (compaction, delete survivors, DV materialize, localize)
+    * materialize the old value so the movement is invisible.
+    */
+  val VerCol = "_row_commit_version"
+
   /** The materialized physical column rewrites carry ids in — hidden
     * from normal reads by the schema pin.
     */
   private[graft] val MatCol = "__graft_rowid"
+
+  /** [[VerCol]]'s materialized twin — carried by MOVE-shaped rewrites
+    * only; update images leave it NULL so the row resolves to the
+    * update commit.
+    */
+  private[graft] val MatVerCol = "__graft_rowver"
 
   private val FlagName = "rowtracking.txt"
   private val LedgerPrefix = "rowhw."
@@ -170,8 +185,22 @@ object RowTracking {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pin)
         .withColumn(Col, lit(null).cast("long"))
+        .withColumn(VerCol, lit(null).cast("long"))
     }
-    withIds(spark, dir, entries)
+    withIds(spark, dir, entries, withVersions = true)
+  }
+
+  /** [[read]] at a retained `version` (time travel with row ids) —
+    * names/width at `schemaVersion` when a caller's schema was frozen
+    * later (the streaming source's recovery batches).
+    */
+  def readAt(
+      spark: SparkSession, dir: String, version: Int,
+      schemaVersion: Int = -1): DataFrame = {
+    require(enabled(spark, dir), s"row tracking is not enabled on $dir")
+    withIds(spark, dir, TxLog.liveEntries(spark, dir, version),
+      schemaVersion = if (schemaVersion >= 0) schemaVersion else version,
+      withVersions = true)
   }
 
   /** [[read]] over an explicit entry set at a schema version — the
@@ -183,22 +212,28 @@ object RowTracking {
       dir: String,
       entries: Seq[TxLog.AddEntry],
       schemaVersion: Int = Int.MaxValue,
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false,
+      withVersions: Boolean = false): DataFrame = {
     val pin = TxLog.tableSchema(spark, dir, schemaVersion).getOrElse(
       throw new IllegalStateException(
         s"row tracking on $dir requires a pinned table schema"))
-    val pinMat =
-      if (pin.fieldNames.contains(MatCol)) pin
-      else StructType(pin.fields :+ StructField(MatCol, LongType))
+    val hidden = Seq(StructField(MatCol, LongType),
+      StructField(MatVerCol, LongType))
+    val pinMat = StructType(pin.fields ++
+      hidden.filterNot(h => pin.fieldNames.contains(h.name)))
     val df = TxLog.readEntries(spark, dir, entries, withPos = true,
       schemaVersion = schemaVersion, pinOverride = Some(pinMat))
     import spark.implicits._
-    val baseDf = entries.map(e => (e.name, e.rowBase))
-      .toDF("__graft_file", "__graft_rowbase")
-    val out = df.join(broadcast(baseDf), Seq("__graft_file"))
+    val baseDf = entries
+      .map(e => (e.name, e.rowBase, e.addedV.map(_.toLong)))
+      .toDF("__graft_file", "__graft_rowbase", "__graft_addedv")
+    val out0 = df.join(broadcast(baseDf), Seq("__graft_file"))
       .withColumn(Col,
         coalesce(col(MatCol), col("__graft_rowbase") + col("__graft_pos")))
-      .drop(MatCol, "__graft_rowbase")
+    val out = (if (withVersions)
+        out0.withColumn(VerCol, coalesce(col(MatVerCol), col("__graft_addedv")))
+      else out0)
+      .drop(MatCol, MatVerCol, "__graft_rowbase", "__graft_addedv")
     if (keepPos) out else out.drop("__graft_file", "__graft_pos")
   }
 
@@ -212,7 +247,9 @@ object RowTracking {
       dir: String,
       entries: Seq[TxLog.AddEntry]): Option[DataFrame] =
     if (entries.isEmpty || !enabled(spark, dir)) None
-    else Some(withIds(spark, dir, entries).withColumnRenamed(Col, MatCol))
+    else Some(withIds(spark, dir, entries, withVersions = true)
+      .withColumnRenamed(Col, MatCol)
+      .withColumnRenamed(VerCol, MatVerCol))
 
   /** [[DeletionVectors.positionedSnapshot]] + materialized ids — what
     * the SQL MERGE planner reads so UPDATE images inherit their row's

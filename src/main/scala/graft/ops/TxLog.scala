@@ -128,9 +128,9 @@ object TxLog {
     * snapshot's names, which are unique by construction; fresh local
     * writes mint UUID names).
     *
-    * Serialized as up to six `|`-separated segments —
-    * `name|stats|dv|base|dvBase|rowBase` — with trailing empties
-    * dropped, so older logs (1-5 segments) parse unchanged (stats columns
+    * Serialized as up to seven `|`-separated segments —
+    * `name|stats|dv|base|dvBase|rowBase|addedV` — with trailing empties
+    * dropped, so older logs (1-6 segments) parse unchanged (stats columns
     * must avoid `|,:` — enforced at [[setStatsColumns]]; file names
     * and roots never contain `|`).
     */
@@ -140,13 +140,15 @@ object TxLog {
       dv: Option[String] = None,
       base: Option[String] = None,
       dvBase: Option[String] = None,
-      rowBase: Option[Long] = None) {
+      rowBase: Option[Long] = None,
+      addedV: Option[Int] = None) {
     private[ops] def serialized: String = {
       val statsPart = stats.map(s =>
         s"${s.column}:${s.min}:${s.max}").mkString(",")
       val segs = Seq(name, statsPart, dv.getOrElse(""),
         base.getOrElse(""), dvBase.getOrElse(""),
-        rowBase.map(_.toString).getOrElse(""))
+        rowBase.map(_.toString).getOrElse(""),
+        addedV.map(_.toString).getOrElse(""))
       segs.take(segs.lastIndexWhere(_.nonEmpty) + 1).mkString("|")
     }
   }
@@ -162,7 +164,8 @@ object TxLog {
         val Array(c, mn, mx) = part.split(':')
         ColStats(c, mn.toDouble, mx.toDouble)
       }
-    AddEntry(parts(0), stats, opt(2), opt(3), opt(4), opt(5).map(_.toLong))
+    AddEntry(parts(0), stats, opt(2), opt(3), opt(4), opt(5).map(_.toLong),
+      opt(6).map(_.toInt))
   }
 
   /** The root an entry's DATA bytes live under — the table root, or
@@ -521,6 +524,10 @@ object TxLog {
     val branchPairs = branchLive.map(e => (e.name, e.dv)).toSet
     val adds = branchLive.filterNot(e => basePairs((e.name, e.dv)))
       .sortBy(_.name)
+      // branch-landed entries carry BRANCH version numbers, which main
+      // reuses for different commits: re-stamp at the publish commit
+      // (the version these rows became visible on main)
+      .map(e => if (e.addedV.exists(_ > base)) e.copy(addedV = None) else e)
     // base entries the branch CHANGED (removed, rewrote, or
     // re-vectored) — the publish's read-set. Only these conflict with
     // concurrent main commits: a main append, or a main rewrite of a
@@ -1359,7 +1366,13 @@ object TxLog {
               s"(${(gone ++ moved.map(_.name)).take(3).mkString(", ")}…) — " +
               s"recompute against v$parent")
       }
-      if (writeVersion(spark, dir, parent + 1, entriesRb, removes, txn, op))
+      // stamp first-landing entries with THIS attempt's version —
+      // re-adds (DV attach, restore, clone, publish carry-over) keep
+      // the version their data file originally landed at, which is
+      // what `_row_commit_version` derives unmaterialized rows from
+      val stamped = entriesRb.map(e =>
+        if (e.addedV.isEmpty) e.copy(addedV = Some(parent + 1)) else e)
+      if (writeVersion(spark, dir, parent + 1, stamped, removes, txn, op))
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }

@@ -224,6 +224,31 @@ object GraftTableFunctions {
         int(v, fn, 1))
       procReceipt(spark, "export-manifest", dir, Seq(
         "files_listed" -> n, "version" -> int(v, fn, 1).toLong))
+    case ("graft_rowids", Seq(d)) =>
+      graft.ops.RowTracking.read(spark, str(d, fn, 0))
+    case ("graft_enable_rowtracking", Seq(d)) =>
+      val dir = str(d, fn, 0)
+      graft.ops.RowTracking.enable(spark, dir)
+      procReceipt(spark, "enable-rowtracking", dir, Seq(
+        "entries" -> TxLog.liveEntries(spark, dir).size.toLong,
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_db_rename_column", Seq(d, tb, f0, t1)) =>
+      val db = str(d, fn, 0)
+      val v = graft.ops.DbLog.renameColumn(spark, db,
+        str(tb, fn, 1), str(f0, fn, 2), str(t1, fn, 3))
+      procReceipt(spark, "db-rename-column", db, Seq(
+        "version" -> v.toLong))
+    case ("graft_changes", Seq(d, f, t0)) =>
+      // keyless 3-arg form: a row-tracked table pairs update images by
+      // its stable _row_id — no key list to get wrong
+      val dir = str(d, fn, 0)
+      def ver(e: Expression, pos: Int): Int =
+        if (e.dataType == org.apache.spark.sql.types.StringType) {
+          val name = str(e, fn, pos)
+          TxLog.tags(spark, dir).getOrElse(name,
+            throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
+        } else int(e, fn, pos)
+      TxLog.changes(spark, dir, ver(f, 1), ver(t0, 2), Nil)
     case ("graft_changes", Seq(d, f, t0, k)) =>
       // version numbers or tag names, mixed freely — the audit CDF
       // between two releases is graft_changes(dir, 'v1.0', 'v1.1', 'id')
@@ -457,7 +482,13 @@ object GraftTableFunctions {
       ("graft_drop_branch",
         "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"),
       ("graft_changes",
-        "graft_changes(dir, from, to, 'k1,k2') - row-level CDF with update images, per-commit"),
+        "graft_changes(dir, from, to[, 'k1,k2']) - row-level CDF with update images, per-commit (keyless form pairs by _row_id on a row-tracked table)"),
+      ("graft_rowids",
+        "graft_rowids(dir) - the snapshot with the stable _row_id column (row tracking)"),
+      ("graft_enable_rowtracking",
+        "graft_enable_rowtracking(dir) - PROCEDURE: turn on stable row ids (backfills existing entries, metadata-only)"),
+      ("graft_db_rename_column",
+        "graft_db_rename_column(db, table, from, to) - PROCEDURE: per-table RENAME COLUMN inside a DbLog database"),
       ("graft_db_changes",
         "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
       ("graft_clone",

@@ -71,7 +71,15 @@ object ChangeFeedSource {
       case Some(t) => DbLog.snapshot(spark, path, t).schema
       case None => TxLog.snapshot(spark, path).schema
     }
-    base.add("_change_type", StringType, nullable = false)
+    val withRowId = // keyless update images ride the stable _row_id
+      parameters.get("updateImages").exists(_.toBoolean) &&
+        !parameters.get("keys").exists(_.split(",").exists(_.trim.nonEmpty))
+    val b2 =
+      if (withRowId)
+        base.add(graft.ops.RowTracking.Col,
+          org.apache.spark.sql.types.LongType)
+      else base
+    b2.add("_change_type", StringType, nullable = false)
       .add("_commit_version", IntegerType, nullable = false)
   }
 }
@@ -163,6 +171,23 @@ final class ChangeFeedSource(
     parameters.get("keys").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  /** `updateImages=true` without `keys`: row-tracked tables pair
+    * update pre/post images by the stable `_row_id` — the keyless CDC
+    * fidelity feed (the batch gains a `_row_id` column). With `keys`
+    * present this flag is redundant (keys already select the
+    * images path).
+    */
+  private val rowIdImages: Boolean =
+    parameters.get("updateImages").exists(_.toBoolean) && keyCols.isEmpty
+  if (rowIdImages) {
+    require(table.isEmpty,
+      "graft-cdc: updateImages without keys needs row tracking, which " +
+        "is table-root-scoped — pass keys for a DbLog table feed")
+    require(graft.ops.RowTracking.enabled(spark, path),
+      s"graft-cdc: updateImages without keys requires row tracking on " +
+        s"$path (RowTracking.enable / graft_enable_rowtracking)")
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(floorVersion)
     val to = versionOf(end)
@@ -178,10 +203,15 @@ final class ChangeFeedSource(
       if (from < 0) (table match {
         case Some(t) =>
           DbLog.snapshot(spark, path, t, to, schemaVersion = schemaV)
+        case None if rowIdImages =>
+          graft.ops.RowTracking.readAt(spark, path, to, schemaV)
+            .drop(graft.ops.RowTracking.VerCol)
         case None =>
           TxLog.snapshot(spark, path, to, schemaVersion = schemaV)
       }).withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(to))
+      else if (rowIdImages)
+        TxLog.changes(spark, path, from, to, Nil, schemaV)
       else if (keyCols.nonEmpty) table match {
         case Some(t) =>
           DbLog.changes(spark, path, t, from, to, keyCols, schemaV)

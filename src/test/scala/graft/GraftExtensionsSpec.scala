@@ -231,4 +231,45 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SELECT count(*) FROM graft_db('$db', 'orders', $vPre)")
       .head().getLong(0) == o.count())
   }
+
+  test("graft_enable_rowtracking / graft_rowids / keyless graft_changes from SQL") {
+    import graft.ops.{DeletionVectors, TxLog}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf_rt").toString + "/t"
+    (1L to 8L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    val r = spark.sql(s"SELECT * FROM graft_enable_rowtracking('$dir')")
+    assert(r.count() == 1L)
+    val ids = spark.sql(
+      s"SELECT k, _row_id FROM graft_rowids('$dir') ORDER BY k")
+      .as[(Long, Long)].collect()
+    assert(ids.map(_._2).toSeq == (0L to 7L)) // sorted single file
+    val v0 = TxLog.currentVersion(spark, dir)
+    DeletionVectors.upsert(spark, dir,
+      Seq((3L, "u"), (99L, "n")).toDF("k", "v"), keyCols = Seq("k"))
+    // 3-arg form: update images pair by _row_id, no key list
+    val feed = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+          FROM graft_changes('$dir', $v0, ${TxLog.currentVersion(spark, dir)})
+          GROUP BY 1""").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(feed == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L))
+  }
+
+  test("graft_db_rename_column from SQL renames one table only") {
+    import graft.ops.DbLog
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("tvf_dbrn").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { t =>
+      t.append("a", Seq((1L, "x")).toDF("id", "v"))
+      t.append("b", Seq((2L, "y")).toDF("id", "v"))
+    }
+    spark.sql(s"SELECT * FROM graft_db_rename_column('$db', 'a', 'v', 'val')")
+      .collect()
+    assert(spark.sql(s"SELECT val FROM graft_db('$db', 'a')").count() == 1L)
+    assert(DbLog.snapshot(spark, db, "b").columns.toSeq == Seq("id", "v"))
+  }
 }

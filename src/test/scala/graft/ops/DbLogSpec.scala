@@ -404,6 +404,42 @@ class DbLogSpec extends SparkSpec {
       org.apache.spark.sql.Row(1234.5, 1234.5))
   }
 
+  test("per-table ADD/DROP COLUMN: fresh physical storage, no resurrection, siblings untouched") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("dblog").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { t =>
+      t.append("a", Seq((1L, "x1"), (2L, "x2")).toDF("id", "v"))
+      t.append("b", Seq((9L, "y")).toDF("id", "v"))
+    }
+    // DROP v from a, then re-ADD the same logical name: pre-drop rows
+    // must read NULL (fresh physical), not resurrect old footers
+    DbLog.dropColumn(spark, db, "a", "v")
+    assert(DbLog.snapshot(spark, db, "a").columns.toSeq == Seq("id"))
+    assert(DbLog.snapshot(spark, db, "b").columns.toSeq == Seq("id", "v"))
+    DbLog.addColumn(spark, db, "a",
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val a = DbLog.snapshot(spark, db, "a")
+    assert(a.columns.toSeq == Seq("id", "v"))
+    assert(a.filter(col("v").isNotNull).count() == 0L) // no resurrection
+    // post-add appends carry real values in the fresh physical column
+    DbLog.transact(spark, db, "post") { t =>
+      t.append("a", Seq((3L, "fresh")).toDF("id", "v"))
+    }
+    val a2 = DbLog.snapshot(spark, db, "a")
+    assert(a2.filter(col("id") === 3L).head().getString(1) == "fresh")
+    assert(a2.filter(col("id") < 3L && col("v").isNotNull).count() == 0L)
+    assert(DbLog.snapshot(spark, db, "b")
+      .head().getString(1) == "y") // sibling untouched throughout
+    // constrained columns refuse the drop
+    DbLog.setCheckConstraints(spark, db, "b", Seq("v IS NOT NULL"))
+    val e = intercept[IllegalArgumentException] {
+      DbLog.dropColumn(spark, db, "b", "v")
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+  }
+
   test("per-table rename: CDF reads the range at the end pin (uniform logical feed)") {
     import spark.implicits._
     val db = freshDb()

@@ -212,6 +212,40 @@ class RowTrackingSpec extends SparkSpec {
     assert(got.select(RowTracking.Col).distinct().count() == 304L)
   }
 
+  test("_row_commit_version: born at the landing commit, bumped only by modification") {
+    val dir = fresh(20, 2) // appends land at v1 and v2
+    def vers(): Map[Long, Long] = RowTracking.read(spark, dir)
+      .select(col("k"), col(RowTracking.VerCol))
+      .as[(Long, Long)].collect().toMap
+    val born = vers()
+    assert(born.values.toSet == Set(1L, 2L)) // two appends, two commits
+    // compaction MOVES rows without modifying them: versions frozen
+    Compact.binPack(spark, dir, smallBytes = 1L << 20) // v3
+    assert(vers() == born)
+    // CoW update: hit rows take THIS commit, others keep theirs
+    DeleteWhere.updateWhere(spark, dir, col("k") <= 5,
+      Seq("v" -> lit("upd"))) // v4
+    val afterUpd = vers()
+    afterUpd.foreach { case (k, ver) =>
+      assert(ver == (if (k <= 5) 4L else born(k)), s"k=$k ver=$ver")
+    }
+    // CoW delete: survivors are NOT modified
+    DeleteWhere.where(spark, dir, col("k") % 3 === 0) // v5
+    vers().foreach { case (k, ver) => assert(ver == afterUpd(k)) }
+    // MOR upsert: updated rows take the upsert commit, inserts born at it
+    DeletionVectors.upsert(spark, dir,
+      Seq((7L, "u7"), (500L, "new")).toDF("k", "v"),
+      keyCols = Seq("k")) // v6
+    val fin = vers()
+    assert(fin(7L) == 6L && fin(500L) == 6L)
+    fin.removedAll(Seq(7L, 500L)).foreach { case (k, ver) =>
+      assert(ver == afterUpd(k))
+    }
+    // ids never moved through any of it
+    val got = RowTracking.read(spark, dir)
+    assert(got.select(RowTracking.Col).distinct().count() == got.count())
+  }
+
   test("vacuum prunes the ledger; water survives") {
     val dir = fresh(10, 5)
     val w = RowTracking.currentWater(spark, dir)

@@ -206,4 +206,51 @@ class ChangeFeedSourceSpec extends SparkSpec {
       assert(spark.table(sink2).count() == 3)
     } finally q2.stop()
   }
+
+  test("updateImages without keys: a row-tracked table pairs pre/post images by _row_id") {
+    import graft.ops.{DeletionVectors, RowTracking}
+    val dir = Files.createTempDirectory("cdc_rid").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k").write.parquet(dir)
+    TxLog.convert(spark, dir)
+    RowTracking.enable(spark, dir)
+    // untracked tables refuse the option with the fix
+    val bare = Files.createTempDirectory("cdc_rid").toString + "/u"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(bare)
+    TxLog.convert(spark, bare)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdc").option("path", bare)
+        .option("updateImages", "true").load()
+        .writeStream.format("memory").queryName(uniq("cdc_rid_bad"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("cdc_ck").toString)
+        .outputMode("append").start()
+        .processAllAvailable()
+    }
+    assert((Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" "))
+      .contains("row tracking"))
+    val sink = uniq("cdc_rid")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("updateImages", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val preIds = RowTracking.read(spark, dir)
+        .select("k", RowTracking.Col).as[(Long, Long)].collect().toMap
+      DeletionVectors.upsert(spark, dir,
+        Seq((2L, "B2"), (9L, "i")).toDF("k", "v"), keyCols = Seq("k"))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("k", "v", "_change_type", "_row_id")
+        .as[(Long, String, String, Long)].collect().toSet
+      // the update pairs by _row_id — both images wear row 2's id
+      assert(rows.contains((2L, "b", "update_preimage", preIds(2L))))
+      assert(rows.contains((2L, "B2", "update_postimage", preIds(2L))))
+      assert(rows.exists(r => r._1 == 9L && r._3 == "insert"))
+    } finally q.stop()
+  }
 }
