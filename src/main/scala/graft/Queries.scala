@@ -1101,6 +1101,40 @@ object Queries {
         max(col("k")).as("max_k"))
   }
 
+  /** VARIANT semi-structured analytics (Spark 4's open binary JSON
+    * encoding: parse once, typed path extraction with NO declared
+    * schema — the shape lives in the data, unlike [[qJsonExtract]]'s
+    * from_json + StructType): each order renders to a nested JSON
+    * document, parses to a variant, and the query filters and
+    * aggregates ON typed extractions — `$.cust.st` two levels down,
+    * `$.price` as double, `$.k` as long, plus a missing path through
+    * try_variant_get (NULL, never an error). Scale: parse_json /
+    * variant_get are row-local expressions (no shuffle added), and
+    * the variant encoding is columnar-shreddable, so extraction obeys
+    * the same projection discipline as any flat column at 100 TB.
+    * Oracle: DuckDB replays the algebra on the flat columns —
+    * hash-green means every extraction round-tripped losslessly
+    * through JSON text → variant binary → typed value.
+    */
+  def qVariant(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v = o.select(parse_json(to_json(struct(
+      col("o_orderkey").as("k"),
+      struct(col("o_custkey").as("id"), col("o_orderstatus").as("st"))
+        .as("cust"),
+      col("o_totalprice").as("price")))).as("v"))
+    v.select(
+        variant_get(col("v"), "$.cust.st", "string").as("status"),
+        variant_get(col("v"), "$.price", "double").as("price"),
+        variant_get(col("v"), "$.k", "long").as("okey"),
+        try_variant_get(col("v"), "$.absent", "string").as("absent"))
+      .filter(pmod(col("okey"), lit(3)) === 0)
+      .groupBy("status")
+      .agg(round(sum("price"), 2).as("total_price"),
+        count(lit(1)).as("n"),
+        count(col("absent")).as("n_absent"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   def qTxtTokens(s: SparkSession, dir: String): DataFrame =
@@ -2454,6 +2488,73 @@ object Queries {
       .select(col("version"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
+  }
+
+  /** COPY INTO lifecycle ([[graft.ops.CopyInto]]): a CSV landing zone
+    * derived from nation loads in two incremental waves with a
+    * replayed (must-be-no-op) load between — the ledger-tracked
+    * replacement for the reference's move-to-archive checkpointing
+    * (`dags/emission-dag.py:41,49,59`). Hash-green means the ledger
+    * skipped every already-committed file (no row doubled across the
+    * replay and the incremental pickup) and missed none (no row
+    * lost): the final snapshot is exactly the nation relation.
+    */
+  def qCopyInto(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val src = s"$indexQueryDir/copyinto_src"
+    val path = s"$indexQueryDir/copyinto_tbl"
+    Seq(src, path).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    }
+    val opts = Map("header" -> "true")
+    n.filter(col("n_nationkey") < 12).repartition(2)
+      .write.option("header", "true").csv(src)
+    graft.ops.TxLog.convert(s, path)
+    graft.ops.TxLog.setTableSchema(s, path, n.schema, 0)
+    graft.ops.CopyInto.copyInto(s, path, src, "csv", opts) // wave 1
+    graft.ops.CopyInto.copyInto(s, path, src, "csv", opts) // replay: no-op
+    n.filter(col("n_nationkey") >= 12).repartition(2)
+      .write.option("header", "true").mode("append").csv(src)
+    graft.ops.CopyInto.copyInto(s, path, src, "csv", opts) // incremental
+    graft.ops.TxLog.snapshot(s, path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  /** Declared clustering columns ([[graft.ops.TxLog
+    * .setClusterColumns]] — Delta liquid clustering's CLUSTER BY as a
+    * table property): 24 unsorted splinter files, one bare
+    * graft_optimize (no column list anywhere at the call site), and
+    * the packed tail comes out range-clustered on the declared key —
+    * require()s pin the physical claim (median per-file key span
+    * under a quarter of the domain; unsorted splinters sit at ~full
+    * domain). Hash-green means the maintenance pass preserved every
+    * row. Scale: the pack rewrites only the small-file tail (an
+    * already-clustered 100 TB body is never rewritten to re-sort),
+    * one range shuffle over the tail's bytes.
+    */
+  def qClusterBy(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val path = s"$indexQueryDir/cluster_by"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    o.repartition(24).write.parquet(path) // unsorted splinters
+    graft.ops.TxLog.convert(s, path)
+    graft.ops.TxLog.setClusterColumns(s, path, Seq("o_orderkey"))
+    graft.ops.Compact.binPack(s, path, // bare: no cols at the call site
+      targetBytes = 32L << 10, smallBytes = 64L << 20)
+    val spans = graft.ops.TxLog.read(s, path)
+      .groupBy(input_file_name())
+      .agg((max("o_orderkey") - min("o_orderkey")).as("span"))
+      .collect().map(_.getAs[Long]("span")).sorted
+    val domain = o.agg(max("o_orderkey") - min("o_orderkey"))
+      .head().getLong(0)
+    require(spans.length > 2 && spans(spans.length / 2) < domain / 4,
+      s"declared clustering did not narrow file spans: " +
+        s"median ${spans(spans.length / 2)} of domain $domain")
+    graft.ops.TxLog.read(s, path)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
   /** Streaming append into the transaction log ([[graft.streaming

@@ -82,6 +82,7 @@ object SparkEntry {
     // SQL surface + sketches
     "q_sql_view" -> (Queries.qSqlView _),
     "q_json_extract" -> (Queries.qJsonExtract _),
+    "q_variant" -> (Queries.qVariant _),
     "q_approx_sketch" -> (Queries.qApproxSketch _),
     "q_sketch_kmv" -> (Queries.qSketchKmv _),
     // text analysis
@@ -197,6 +198,8 @@ object SparkEntry {
     "q_rowids" -> (Queries.qRowIds _),
     "q_dblog_colmap" -> (Queries.qDblogColmap _),
     "q_clone_rename" -> (Queries.qCloneRename _),
+    "q_copy_into" -> (Queries.qCopyInto _),
+    "q_cluster_by" -> (Queries.qClusterBy _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
     "q_auto_columns" -> (Queries.qAutoColumns _),
@@ -493,6 +496,15 @@ object Oracles {
                  TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS INT) AS k
                FROM events)
          GROUP BY event_type""",
+
+    // VARIANT: typed path extraction recovers the flat columns
+    // losslessly, so the oracle is the plain-column algebra
+    "q_variant" ->
+      """SELECT o_orderstatus AS status,
+         ROUND(SUM(o_totalprice), 2) AS total_price,
+         COUNT(*) AS n, CAST(0 AS BIGINT) AS n_absent
+         FROM orders WHERE o_orderkey % 3 = 0
+         GROUP BY o_orderstatus""",
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
@@ -2406,6 +2418,17 @@ object Oracles {
          SELECT li.l_orderkey, li.l_linenumber, li.price, li.l_quantity,
                 ord.o_totalprice
          FROM li LEFT JOIN ord ON li.l_orderkey = ord.o_orderkey""",
+
+    // COPY INTO: the ledger makes the replayed load a no-op and the
+    // incremental load pick up only the new files — the final
+    // snapshot is exactly nation, once
+    "q_copy_into" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // declared clustering: a maintenance pass must preserve every row
+    // (the layout claim is require()d inside the query itself)
+    "q_cluster_by" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 
     // row tracking: _row_id = append-order row_number arithmetic, and
     // _row_commit_version = the commit that last MODIFIED the row —

@@ -119,6 +119,19 @@ object Compact {
       sortCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
       partition: Option[String] = None): Receipt = {
+    // no explicit layout: the table's DECLARED clustering columns
+    // (TxLog.setClusterColumns — liquid-style CLUSTER BY) decide, so
+    // every maintenance pass (streaming sinks' compactEvery, OPTIMIZE,
+    // a bare binPack) converges the small-file tail to the declared
+    // layout with no column list at any call site
+    val (sCols, zCols) =
+      if (sortCols.nonEmpty || zorderCols.nonEmpty) (sortCols, zorderCols)
+      else if (!TxLog.exists(spark, dir)) (Nil, Nil)
+      else TxLog.clusterColumns(spark, dir) match {
+        case Nil => (Nil, Nil)
+        case one if one.sizeIs == 1 => (one, Nil) // range sort beats 1-col Morton
+        case many => (Nil, many)
+      }
     // a partitioned log table with no partition given: pack EACH
     // partition in place (one commit per partition — maintenance, not
     // a transaction). Packing across partitions would emit root-level
@@ -129,7 +142,7 @@ object Compact {
         .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
       if (prefixes.nonEmpty) {
         val receipts = prefixes.map(p =>
-          binPack(spark, dir, targetBytes, smallBytes, sortCols, zorderCols,
+          binPack(spark, dir, targetBytes, smallBytes, sCols, zCols,
             partition = Some(p)))
         return receipts.reduce((a, b) => Receipt(
           a.filesBefore + b.filesBefore, a.filesAfter + b.filesAfter,
@@ -138,7 +151,7 @@ object Compact {
       }
     }
     val receipt =
-      stage(spark, dir, targetBytes, smallBytes, sortCols, zorderCols, partition)
+      stage(spark, dir, targetBytes, smallBytes, sCols, zCols, partition)
     recover(spark, dir)
     receipt
   }

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent, ledger-tracked bulk file ingestion into a [[TxLog]]
+  * table — the declarative replacement for the reference's move-to-
+  * archive checkpointing (`dags/emission-dag.py:41,49,59`: consumed
+  * CSVs are MOVED to `*_used_data/<name>_<timestamp>.csv` to mark
+  * them loaded). Instead of mutating the landing zone, every load
+  * records the exact source files it committed in a ledger shard
+  * inside the transaction log, and the next load anti-joins the
+  * listing against the union of committed shards — a re-run (cron
+  * double-fire, retried orchestrator task, operator re-issue) loads
+  * nothing twice, and the landing zone stays append-only for every
+  * other consumer. Delta Lake's documented `COPY INTO` semantics,
+  * re-derived on the log's own txn primitives.
+  *
+  * Exactly-once anatomy (the crash windows):
+  *   1. the ledger shard (`ingest.<id>.txt`, one qualified source
+  *      path per line) writes FIRST;
+  *   2. the staged data files move in;
+  *   3. ONE commit lands carrying txn `copyinto:<id>`.
+  * A shard counts only when its txn committed, so a crash after (1)
+  * or (2) leaves an invalid shard (ignored — its files re-ingest next
+  * run, no loss) plus at worst orphan data files no snapshot
+  * references (vacuum-clears them). A crash after (3) is a completed
+  * load. Double-ingestion is impossible in every window; the probe is
+  * [[TxLog.txnCommitted]], the same one that makes streaming epoch
+  * replay a no-op — and it survives log pruning via the checkpoint's
+  * cumulative txn set.
+  *
+  * 100 TB shape: discovery is one driver-side glob — the same bound
+  * as Delta's COPY INTO (O(landing-zone files), names only, ~100 B
+  * each). The committed set folds from ledger shards (one small read
+  * per PRIOR load, not per source file), and the skip check is a set
+  * difference on names. The batch must be enumerated driver-side
+  * anyway to construct the scan, so nothing here exceeds the listing
+  * bound; the data itself streams through the same pinned-schema scan
+  * → identity/default/generated fill → CHECK enforcement → staged
+  * parquet write → rename path every other committed write uses —
+  * fully distributed, never driver-materialized. Landing zones too
+  * large to list whole are partitioned by convention (e.g. dated
+  * prefixes) and copied per-prefix via `pattern`.
+  */
+object CopyInto {
+
+  /** One load's receipt: the commit it landed (unchanged current
+    * version when nothing was new), how many files/rows it loaded,
+    * and how many listed files the ledger skipped.
+    */
+  final case class Result(
+      version: Int, filesLoaded: Int, rowsLoaded: Long, filesSkipped: Int)
+
+  private val ShardPrefix = "ingest."
+  private def txnOf(id: String) = s"copyinto:$id"
+
+  /** Source files already committed into `dir` — the union of every
+    * ledger shard whose transaction landed. Shards whose txn never
+    * committed (a crashed load) are ignored here and harmless on
+    * disk: their files simply re-ingest.
+    */
+  def ingestedFiles(spark: SparkSession, dir: String): Seq[String] =
+    TxLog.metaList(spark, dir, ShardPrefix).flatMap { n =>
+      val id = n.substring(ShardPrefix.length, n.length - 4)
+      if (TxLog.txnCommitted(spark, dir, txnOf(id)))
+        TxLog.metaRead(spark, dir, n).toSeq
+          .flatMap(_.linesIterator).filter(_.nonEmpty)
+      else Nil
+    }.distinct.sorted
+
+  /** Load every `pattern`-matching file under `source` that no prior
+    * load committed, as ONE atomic commit; return the receipt.
+    * `force` re-loads everything the listing matches (appending — the
+    * deliberate-duplication escape hatch Delta's COPY INTO FORCE
+    * documents) while still recording the shard, so later non-force
+    * runs skip those files. Formats: csv / json (parsed INTO the
+    * table's pinned logical schema — no inferSchema pass over the
+    * batch, the reference's `pd.read_csv` inference hazard SURVEY
+    * §1.1 flags), parquet (projected and cast to the pinned schema by
+    * name). Hidden files (`_`/`.` prefixes) are never candidates.
+    */
+  def copyInto(
+      spark: SparkSession,
+      dir: String,
+      source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      pattern: String = "*",
+      force: Boolean = false): Result = {
+    require(TxLog.exists(spark, dir),
+      s"copyInto: $dir is not TxLog-managed — create the table first " +
+        "(CREATE TABLE / TxLog.convert + setTableSchema)")
+    val sfs = Compact.fsOf(spark, source)
+    val listed = Option(sfs.globStatus(new Path(source, pattern)))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => sfs.makeQualified(st.getPath).toString)
+      .sorted
+    val done =
+      if (force) Set.empty[String] else ingestedFiles(spark, dir).toSet
+    val fresh = listed.filterNot(done)
+    if (fresh.isEmpty)
+      return Result(TxLog.currentVersion(spark, dir), 0, 0L, listed.size)
+
+    // the pinned LOGICAL schema drives the scan; identity columns a
+    // feed omits arrive as NULL (csv/json absent fields) and fill
+    val logical = TxLog.read(spark, dir).schema
+    val reader = spark.read.options(options)
+    val raw = format.toLowerCase match {
+      case "csv" => reader.schema(logical).csv(fresh: _*)
+      case "json" => reader.schema(logical).json(fresh: _*)
+      case "parquet" =>
+        reader.parquet(fresh: _*).select(logical.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      case other => throw new IllegalArgumentException(
+        s"copyInto: unsupported format '$other' (csv, json, parquet)")
+    }
+    // a schema-driven csv/json read MATERIALIZES a GENERATED ALWAYS
+    // identity column the feed omits (all-NULL) — that is the omitted
+    // shape, not an explicit insert, so drop it and assign fresh; any
+    // real supplied value keeps the column and maybeAssign refuses.
+    // Cost: one column-pruned count over the batch, only on ALWAYS
+    // tables whose batch carries the column.
+    val pre = IdentityColumns.fullSpec(spark, dir) match {
+      case Some(sp)
+          if !sp.allowExplicit && raw.columns.contains(sp.column) =>
+        val supplied = raw.agg(org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.col(sp.column)))
+          .collect()(0).getLong(0)
+        if (supplied == 0) raw.drop(sp.column) else raw
+      case _ => raw
+    }
+    val assigned = GeneratedColumns.fill(spark, dir,
+      DefaultColumns.fill(spark, dir,
+        IdentityColumns.maybeAssign(spark, dir, pre.toDF())))
+    TxLog.enforceConstraints(spark, dir, assigned)
+
+    val id = java.util.UUID.randomUUID.toString
+    val tfs = Compact.fsOf(spark, dir)
+    val stage = new Path(dir, s".copyinto_stage-$id")
+    tfs.delete(stage, true)
+    TxLog.stagePhysical(spark, dir, assigned)
+      .write.mode("overwrite").parquet(stage.toString)
+    val names = tfs.listStatus(stage).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
+    // loaded-row count from staged footers: metadata pages only, no
+    // second scan of the batch
+    val rows = names.map { n =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(stage, n), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var c = 0L; r.getFooter.getBlocks.forEach(b => c += b.getRowCount); c
+      } finally r.close()
+    }.sum
+    // ledger BEFORE the files move and the commit lands — see the
+    // exactly-once anatomy in the object doc
+    TxLog.metaWrite(spark, dir, s"$ShardPrefix$id.txt",
+      fresh.mkString("\n"))
+    names.foreach { n =>
+      if (!tfs.rename(new Path(stage, n), new Path(dir, n)))
+        throw new java.io.IOException(s"copyInto: cannot move $n into $dir")
+    }
+    tfs.delete(stage, true)
+    val v = TxLog.commit(spark, dir, adds = names, removes = Nil,
+      txn = Some(txnOf(id)), op = Some(s"copy-into(${fresh.size} files)"))
+    Result(v, fresh.size, rows, listed.size - fresh.size)
+  }
+}

@@ -268,6 +268,38 @@ object TxLog {
     body.filter(_.nonEmpty)
   }
 
+  private[ops] val ClusterColsName = "cluster_cols.txt"
+
+  /** Declare the table's CLUSTERING COLUMNS (Delta liquid clustering's
+    * `CLUSTER BY`, as a table property): ingest writes nothing
+    * special, and every [[Compact.binPack]] / OPTIMIZE pass with no
+    * explicit sort/z-order list range-clusters exactly the
+    * unclustered small-file tail on these columns (one column →
+    * range sort, several → Z-order) — so the table CONVERGES to
+    * clustered under its normal maintenance cadence, no call site
+    * carries a column list, and re-declaring re-clusters
+    * incrementally as files churn (already-packed files are never
+    * rewritten just to re-sort; the tail picks up the new layout).
+    * Pair with [[setStatsColumns]] on the same columns so the
+    * clustered layout actually prunes. Pass Nil to stop.
+    */
+  def setClusterColumns(
+      spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.forall(c => !c.exists("|,:".contains(_))),
+      s"cluster columns must avoid '|', ',' and ':' — got $cols")
+    tableSchema(spark, dir).foreach { pin =>
+      val have = pin.fieldNames.toSet
+      val missing = cols.filterNot(have)
+      require(missing.isEmpty,
+        s"cluster columns not in $dir's schema: ${missing.mkString(", ")}")
+    }
+    metaWrite(spark, dir, ClusterColsName, cols.mkString("\n"))
+  }
+
+  def clusterColumns(spark: SparkSession, dir: String): Seq[String] =
+    metaRead(spark, dir, ClusterColsName).toSeq
+      .flatMap(_.linesIterator).filter(_.nonEmpty)
+
   private val TagPrefix = "tag."
 
   /** Pin a NAME to a version (default: current) — Iceberg-style tags:
@@ -315,18 +347,18 @@ object TxLog {
   }
 
   /** The newest version committed at or before `tsMillis` — Delta's
-    * `TIMESTAMP AS OF`. Commit-file modification times order the
-    * retained log; a timestamp older than the retention horizon (or
-    * before the table existed) is an error naming the earliest
-    * available commit time. Metadata-only: one fs status per retained
-    * version.
+    * `TIMESTAMP AS OF`. Ordered by [[commitTimeMillis]]: the
+    * IN-COMMIT stamp (monotonic by construction, immune to the log
+    * directory being copied) when present, the commit file's mtime
+    * for pre-stamp history. A timestamp older than the retention
+    * horizon (or before the table existed) is an error naming the
+    * earliest available commit time. Metadata-only: one head-read
+    * per retained version.
     */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
-    val fs = Compact.fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
-    val times = vs.map(v =>
-      v -> fs.getFileStatus(versionFilePath(dir, v)).getModificationTime)
+    val times = vs.map(v => v -> commitTimeMillis(spark, dir, v))
     val at = times.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"no version of $dir at or before $tsMillis — earliest retained " +
@@ -337,6 +369,40 @@ object TxLog {
   /** Snapshot as of a wall-clock time ([[versionAsOf]]). */
   def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     snapshot(spark, dir, versionAsOf(spark, dir, tsMillis))
+
+  /** [[versionAsOf]] that answers -1 instead of erroring when the
+    * whole retained history is younger than `tsMillis` — the
+    * timestamp→version FLOOR the time-bounded CDF uses: a commit-time
+    * window (a, b] maps to versions (floor(a), floor(b)], and a floor
+    * of -1 replays the initial snapshot as inserts ([[changes]]'
+    * exclusive-from convention).
+    */
+  def versionFloorAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not TxLog-managed")
+    vs.filter(v => commitTimeMillis(spark, dir, v) <= tsMillis)
+      .sorted.lastOption.getOrElse(-1)
+  }
+
+  /** Commit `v`'s wall-clock time: the in-commit `TS` stamp when the
+    * commit carries one (every commit written since stamping landed),
+    * else the commit file's modification time (pre-stamp history —
+    * valid only while the log files were never copied or touched).
+    * Head-read: the stamp is the second line, so this never parses
+    * the entry body of a large commit.
+    */
+  def commitTimeMillis(spark: SparkSession, dir: String, v: Int): Long = {
+    val fs = Compact.fsOf(spark, dir)
+    val p = versionFilePath(dir, v)
+    val in = fs.open(p)
+    val head =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .take(2).toList
+      finally in.close()
+    head.collectFirst { case l if l.startsWith("TS ") =>
+      l.substring(3).toLong
+    }.getOrElse(fs.getFileStatus(p).getModificationTime)
+  }
 
   /** Snapshot read by tag name — time travel with a stable name. */
   def snapshotTag(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -1704,8 +1770,12 @@ object TxLog {
       toVersion: Int,
       keyCols: Seq[String],
       schemaVersion: Int = -1): DataFrame =
+    // a negative floor (timestamp bound before the table existed)
+    // diffs v0 against the empty before-set: the initial snapshot
+    // replays as inserts, the streaming source's convention
     changesOfEntries(spark, dir, fromVersion, toVersion, keyCols,
-      liveEntries(spark, dir, _), schemaVersion = schemaVersion)
+      v => if (v < 0) Nil else liveEntries(spark, dir, v),
+      schemaVersion = schemaVersion)
 
   /** [[changes]] over a caller-filtered entry view — the seam
     * [[DbLog.changes]] uses to restrict each version's entries to one
@@ -1800,10 +1870,12 @@ object TxLog {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val rows = versions(spark, dir).sorted.reverse.map { v =>
       val (a, r, txn) = readVersion(spark, dir, v)
-      (v, readVersionOp(spark, dir, v).orNull, a.length, r.length, txn.orNull)
+      (v, readVersionOp(spark, dir, v).orNull, a.length, r.length,
+        txn.orNull,
+        new java.sql.Timestamp(commitTimeMillis(spark, dir, v)))
     }
     import spark.implicits._
-    rows.toDF("version", "operation", "n_adds", "n_removes", "txn")
+    rows.toDF("version", "operation", "n_adds", "n_removes", "txn", "ts")
   }
 
   /** Roll the table BACK to `version`'s state — as a NEW commit (the
@@ -1918,6 +1990,7 @@ object TxLog {
     // database keeps, and PartitionTransforms' spec + history)
     metaList(spark, srcDir, "").filter { n =>
       n == StatsColsName || n == PartitionColsName ||
+        n == ClusterColsName ||
         n == ConstraintsName || n == "partitioning.txt" ||
         n == "partitioning.history.txt" ||
         (n.startsWith("stats_cols.") && n.endsWith(".txt")) ||
@@ -2070,12 +2143,12 @@ object TxLog {
       pruneLog: Boolean = true,
       sweepOrphansOlderThanMs: Long = -1L,
       dvSweepAgeMs: Long = 3600L * 1000): Long = {
-    val fs = Compact.fsOf(spark, dir)
     val cutoff = System.currentTimeMillis() - retainMs
-    val young = versions(spark, dir).count { v =>
-      fs.getFileStatus(versionFilePath(dir, v))
-        .getModificationTime >= cutoff
-    }
+    // in-commit stamps, not mtimes: a migrated/rsync'd log must not
+    // have its whole history look freshly-written (nothing would ever
+    // be reclaimable) or freshly-copied-old (everything would)
+    val young = versions(spark, dir)
+      .count(v => commitTimeMillis(spark, dir, v) >= cutoff)
     vacuum(spark, dir, retainVersions = math.max(1, young),
       pruneLog, sweepOrphansOlderThanMs, dvSweepAgeMs)
   }
@@ -2190,7 +2263,21 @@ object TxLog {
       txn: Option[String] = None,
       op: Option[String] = None): Boolean = {
     val fs = Compact.fsOf(spark, dir)
-    val body = (Seq("V1") ++
+    // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps): the commit's
+    // wall-clock time rides INSIDE the commit file, forced strictly
+    // past the parent's, so TIMESTAMP AS OF and startingTimestamp
+    // order by the log's own record — file mtimes don't survive an
+    // rsync/DistCp/object-store migration of the log directory, and
+    // a clock that ticks backward between two commits would make
+    // time travel non-monotonic. One head-read of the parent commit
+    // per attempt; pre-stamp commits fall back to mtime on read.
+    val parentTs =
+      if (v > 0)
+        try commitTimeMillis(spark, dir, v - 1)
+        catch { case _: Exception => 0L }
+      else 0L
+    val ts = math.max(System.currentTimeMillis(), parentTs + 1)
+    val body = (Seq("V1", s"TS $ts") ++
       txn.map("TXN " + _) ++
       op.map("OP " + _) ++
       adds.sortBy(_.name).map("ADD " + _.serialized) ++

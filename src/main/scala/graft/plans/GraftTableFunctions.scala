@@ -224,6 +224,33 @@ object GraftTableFunctions {
         int(v, fn, 1))
       procReceipt(spark, "export-manifest", dir, Seq(
         "files_listed" -> n, "version" -> int(v, fn, 1).toLong))
+    // COPY INTO: idempotent ledger-tracked file ingestion — re-runs
+    // load nothing twice ([[graft.ops.CopyInto]])
+    case ("graft_copy_into", rest @ Seq(d, s0, f0, _*))
+        if rest.length <= 4 =>
+      val dir = str(d, fn, 0)
+      val pat = if (rest.length == 4) str(rest(3), fn, 3) else "*"
+      val r = graft.ops.CopyInto.copyInto(spark, dir, str(s0, fn, 1),
+        str(f0, fn, 2), pattern = pat)
+      procReceipt(spark, "copy-into", dir, Seq(
+        "files_loaded" -> r.filesLoaded.toLong,
+        "rows_loaded" -> r.rowsLoaded,
+        "files_skipped" -> r.filesSkipped.toLong,
+        "version" -> r.version.toLong))
+    case ("graft_cluster_by", Seq(d, c)) =>
+      // liquid-style CLUSTER BY: declare once; every later OPTIMIZE /
+      // compactEvery pass clusters the unclustered tail on these
+      val dir = str(d, fn, 0)
+      val cols = str(c, fn, 1).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      TxLog.setClusterColumns(spark, dir, cols)
+      procReceipt(spark, s"cluster-by(${cols.mkString(",")})", dir, Seq(
+        "n_cols" -> cols.size.toLong,
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
+    case ("graft_ingested", Seq(d)) =>
+      import spark.implicits._
+      graft.ops.CopyInto.ingestedFiles(spark, str(d, fn, 0))
+        .toDF("source_file")
     case ("graft_rowids", Seq(d)) =>
       graft.ops.RowTracking.read(spark, str(d, fn, 0))
     case ("graft_enable_rowtracking", Seq(d)) =>
@@ -242,24 +269,16 @@ object GraftTableFunctions {
       // keyless 3-arg form: a row-tracked table pairs update images by
       // its stable _row_id — no key list to get wrong
       val dir = str(d, fn, 0)
-      def ver(e: Expression, pos: Int): Int =
-        if (e.dataType == org.apache.spark.sql.types.StringType) {
-          val name = str(e, fn, pos)
-          TxLog.tags(spark, dir).getOrElse(name,
-            throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
-        } else int(e, fn, pos)
-      TxLog.changes(spark, dir, ver(f, 1), ver(t0, 2), Nil)
+      TxLog.changes(spark, dir, cdcBound(spark, dir, fn, f, 1),
+        cdcBound(spark, dir, fn, t0, 2), Nil)
     case ("graft_changes", Seq(d, f, t0, k)) =>
-      // version numbers or tag names, mixed freely — the audit CDF
-      // between two releases is graft_changes(dir, 'v1.0', 'v1.1', 'id')
+      // version numbers, tag names, or TIMESTAMP literals, mixed
+      // freely — the audit CDF between two releases is
+      // graft_changes(dir, 'v1.0', 'v1.1', 'id'); between two clock
+      // times, graft_changes(dir, TIMESTAMP 'a', TIMESTAMP 'b', 'id')
       val dir = str(d, fn, 0)
-      def ver(e: Expression, pos: Int): Int =
-        if (e.dataType == org.apache.spark.sql.types.StringType) {
-          val name = str(e, fn, pos)
-          TxLog.tags(spark, dir).getOrElse(name,
-            throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
-        } else int(e, fn, pos)
-      TxLog.changes(spark, dir, ver(f, 1), ver(t0, 2),
+      TxLog.changes(spark, dir, cdcBound(spark, dir, fn, f, 1),
+        cdcBound(spark, dir, fn, t0, 2),
         str(k, fn, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case ("graft_db_changes", Seq(d, tb, f, t0, k)) =>
       graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),
@@ -375,6 +394,31 @@ object GraftTableFunctions {
   }
 
   /** One-row receipt frame: (op, target, <metric cols>…). */
+  /** A CDF range bound: an int version, a tag name, or a TIMESTAMP
+    * literal (resolved to the newest commit at-or-before it via the
+    * in-commit stamps — [[TxLog.versionFloorAt]], so a commit-time
+    * window (a, b] is exactly versions (floor(a), floor(b)]).
+    */
+  private def cdcBound(
+      spark: SparkSession,
+      dir: String,
+      fn: String,
+      e: Expression,
+      pos: Int): Int = e.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      val name = str(e, fn, pos)
+      TxLog.tags(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"$fn: no tag '$name' in $dir"))
+    case org.apache.spark.sql.types.TimestampType =>
+      anyLit(e, fn, pos) match {
+        case ts: java.sql.Timestamp =>
+          TxLog.versionFloorAt(spark, dir, ts.getTime)
+        case other => throw new IllegalArgumentException(
+          s"$fn: unsupported timestamp literal $other")
+      }
+    case _ => int(e, fn, pos)
+  }
+
   private def procReceipt(
       spark: SparkSession,
       op: String,
@@ -482,7 +526,7 @@ object GraftTableFunctions {
       ("graft_drop_branch",
         "graft_drop_branch(dir, name) - PROCEDURE: abandon the branch"),
       ("graft_changes",
-        "graft_changes(dir, from, to[, 'k1,k2']) - row-level CDF with update images, per-commit (keyless form pairs by _row_id on a row-tracked table)"),
+        "graft_changes(dir, from, to[, 'k1,k2']) - row-level CDF with update images, per-commit; bounds are versions, tag names, or TIMESTAMP literals (keyless form pairs by _row_id on a row-tracked table)"),
       ("graft_rowids",
         "graft_rowids(dir) - the snapshot with the stable _row_id column (row tracking)"),
       ("graft_enable_rowtracking",
@@ -496,7 +540,13 @@ object GraftTableFunctions {
       ("graft_clone_source",
         "graft_clone_source(dir) - clone provenance: (source, source_version), empty if never cloned"),
       ("graft_localize",
-        "graft_localize(dir) - PROCEDURE: detach a shallow clone (copy still-based entries local)"))
+        "graft_localize(dir) - PROCEDURE: detach a shallow clone (copy still-based entries local)"),
+      ("graft_copy_into",
+        "graft_copy_into(dir, source, format[, pattern]) - PROCEDURE: idempotent ledger-tracked file ingestion (COPY INTO)"),
+      ("graft_ingested",
+        "graft_ingested(dir) - source files committed by prior copy-into loads"),
+      ("graft_cluster_by",
+        "graft_cluster_by(dir, 'c1,c2') - PROCEDURE: declare clustering columns; later OPTIMIZE passes cluster the small-file tail on them"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

@@ -26,6 +26,37 @@ class CdfSpec extends SparkSpec {
     dir
   }
 
+  test("TIMESTAMP-bounded CDF: bounds resolve on in-commit stamps, mixed with versions/tags") {
+    graft.GraftExtensions.installInto(spark)
+    val dir = freshTable() // v0
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    val bump = orders.filter(pmod(col("o_orderkey"), lit(191)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    UpsertWhere.byKeys(spark, dir, "o_orderkey", bump) // v1
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val a = fmt.format(new java.util.Date(mid))
+    val b = fmt.format(new java.util.Date(System.currentTimeMillis()))
+    // (mid, now] covers exactly v1 — same rows as the version form
+    val byTs = spark.sql(s"SELECT * FROM graft_changes('$dir', " +
+      s"TIMESTAMP '$a', TIMESTAMP '$b', 'o_orderkey')")
+    val byV = TxLog.changes(spark, dir, 0, 1, Seq("o_orderkey"))
+    assert(same(byTs, byV) && byTs.count() > 0)
+    // a window before the table's first commit replays v0 as inserts
+    val pre = fmt.format(new java.util.Date(
+      TxLog.commitTimeMillis(spark, dir, 0) - 10))
+    val fromBirth = spark.sql(s"SELECT * FROM graft_changes('$dir', " +
+      s"TIMESTAMP '$pre', TIMESTAMP '$a', 'o_orderkey')")
+    assert(fromBirth.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(same(fromBirth.drop("_change_type", "_commit_version"), orders))
+    // mixed bounds: version low, timestamp high
+    assert(same(spark.sql(s"SELECT * FROM graft_changes('$dir', 0, " +
+      s"TIMESTAMP '$b', 'o_orderkey')"), byV))
+  }
+
   test("update images pair by key; one-sided rows stay insert/delete") {
     val dir = freshTable()
     val bump = orders.filter(pmod(col("o_orderkey"), lit(191)) === 0)

@@ -96,6 +96,72 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == li.count())
   }
 
+  test("declared CLUSTER BY: a bare binPack converges the tail to the declared layout") {
+    val dir = Files.createTempDirectory("compact_cb").toString + "/t"
+    orders.repartition(32).write.parquet(dir) // unsorted splinters
+    TxLog.convert(spark, dir)
+    TxLog.setClusterColumns(spark, dir, Seq("o_orderkey"))
+    // NO column list at the call site — the declaration decides
+    Compact.binPack(spark, dir, targetBytes = 16L << 10,
+      smallBytes = 64L << 20)
+    val spans = TxLog.read(spark, dir)
+      .groupBy(input_file_name())
+      .agg((max("o_orderkey") - min("o_orderkey")).as("span"))
+      .collect().map(_.getAs[Long]("span"))
+    val domain = orders.agg(max("o_orderkey") - min("o_orderkey"))
+      .head().getLong(0)
+    assert(spans.length > 2)
+    assert(spans.sorted.apply(spans.length / 2) < domain / 4)
+    assert(TxLog.read(spark, dir).exceptAll(orders).isEmpty &&
+      orders.exceptAll(TxLog.read(spark, dir)).isEmpty)
+    // two declared columns route through the Z-order path the same way
+    val li = graft.Tables.lineitem(spark, sf("lineitem"))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val dir2 = Files.createTempDirectory("compact_cb2").toString + "/t"
+    li.repartition(24).write.parquet(dir2)
+    TxLog.convert(spark, dir2)
+    TxLog.setClusterColumns(spark, dir2, Seq("l_partkey", "l_suppkey"))
+    Compact.binPack(spark, dir2, targetBytes = 8L << 10,
+      smallBytes = 64L << 20)
+    val zs = TxLog.read(spark, dir2)
+      .groupBy(input_file_name())
+      .agg((max("l_partkey") - min("l_partkey")).as("ps"),
+        (max("l_suppkey") - min("l_suppkey")).as("ss"))
+      .collect()
+    val st = li.agg(max("l_partkey") - min("l_partkey"),
+      max("l_suppkey") - min("l_suppkey")).head()
+    def median(xs: Array[Long]) = xs.sorted.apply(xs.length / 2)
+    // 4/5 bound: this test pins the ROUTING (declaration → Z path),
+    // not the interleave quality (the plain-dir z test above does
+    // that) — sf0.001's coarse domains + repartitionByRange's sampled
+    // boundaries jitter the medians; unsorted splinters sit at ~100%
+    assert(median(zs.map(_.getAs[Long]("ps"))) < st.getLong(0) * 4 / 5)
+    assert(median(zs.map(_.getAs[Long]("ss"))) < st.getLong(1) * 4 / 5)
+    // an explicit call-site list still wins over the declaration
+    // (metadata says Z on two cols; the caller asks 1-D on l_orderkey)
+    val dir3 = Files.createTempDirectory("compact_cb3").toString + "/t"
+    li.repartition(8).write.parquet(dir3)
+    TxLog.convert(spark, dir3)
+    TxLog.setClusterColumns(spark, dir3, Seq("l_partkey", "l_suppkey"))
+    Compact.binPack(spark, dir3, targetBytes = 16L << 10,
+      smallBytes = 64L << 20, sortCols = Seq("l_orderkey"))
+    val os = TxLog.read(spark, dir3)
+      .groupBy(input_file_name())
+      .agg((max("l_orderkey") - min("l_orderkey")).as("span"))
+      .collect().map(_.getAs[Long]("span"))
+    val odom = li.agg(max("l_orderkey") - min("l_orderkey")).head().getLong(0)
+    // had the DECLARATION won, files would be z-ordered on partkey/
+    // suppkey and l_orderkey spans would sit at ~the full domain
+    assert(median(os) < odom / 2)
+    // declaring a column the schema lacks refuses (pin present)
+    val dir4 = Files.createTempDirectory("compact_cb4").toString + "/t"
+    TxLog.convert(spark, dir4)
+    TxLog.setTableSchema(spark, dir4, orders.schema, 0)
+    intercept[IllegalArgumentException] {
+      TxLog.setClusterColumns(spark, dir4, Seq("nope"))
+    }
+  }
+
   test("crash after commit marker: recover finishes the move + deletes, idempotently") {
     val dir = Files.createTempDirectory("compact_crash").toString + "/t"
     orders.repartition(8).write.parquet(dir)

@@ -105,6 +105,53 @@ class TagsSpec extends SparkSpec {
       .collect().toSet == TxLog.snapshot(spark, dir, 0).collect().toSet)
   }
 
+  test("in-commit timestamps: AS OF survives mtime-scrambling log copies; stamps are monotonic") {
+    val dir = table(1) // v0
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    UpsertWhere.byKeys(spark, dir, "k", Seq((0L, "late")).toDF("k", "v")) // v1
+    // a migration (rsync/DistCp/object-store copy) rewrites mtimes —
+    // scramble them INVERTED; the in-commit stamp must still order
+    val fs = Compact.fsOf(spark, dir)
+    val log = new org.apache.hadoop.fs.Path(dir, "_txlog")
+    val now = System.currentTimeMillis()
+    fs.listStatus(log).filter(_.getPath.getName.matches("v\\d{8}\\.txt"))
+      .foreach { st =>
+        val v = st.getPath.getName.substring(1, 9).toInt
+        fs.setTimes(st.getPath, now - v * 3600L * 1000, -1) // newer v = OLDER mtime
+      }
+    assert(TxLog.versionAsOf(spark, dir, between) == 0)
+    assert(TxLog.versionAsOf(spark, dir, System.currentTimeMillis()) == 1)
+    // stamps are strictly increasing even when commits land within
+    // one clock tick (the max(now, parent+1) rule)
+    assert(TxLog.commitTimeMillis(spark, dir, 1) >
+      TxLog.commitTimeMillis(spark, dir, 0))
+    // history exposes the stamp, newest first
+    val ts = TxLog.history(spark, dir).select("ts").collect()
+      .map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == ts.sorted.reverse && ts.distinct.size == ts.size)
+  }
+
+  test("pre-stamp history: a commit without TS falls back to its file mtime") {
+    val dir = table(1)
+    val fs = Compact.fsOf(spark, dir)
+    val v0 = new org.apache.hadoop.fs.Path(dir, "_txlog/v00000000.txt")
+    // rewrite v0 as an old-format commit (no TS line)
+    val body = {
+      val in = fs.open(v0)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(_.startsWith("TS ")).mkString("\n")
+      finally in.close()
+    }
+    val out = fs.create(v0, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    val stamp = 1500000000000L // a fixed past instant
+    fs.setTimes(v0, stamp, -1)
+    assert(TxLog.commitTimeMillis(spark, dir, 0) == stamp)
+    assert(TxLog.versionAsOf(spark, dir, stamp) == 0)
+  }
+
   test("graft_optimize procedure bin-packs the small-file tail and reports it") {
     val dir = Files.createTempDirectory("tags").toString + "/t"
     Seq((0L, "a")).toDF("k", "v").write.parquet(dir)
