@@ -1101,6 +1101,30 @@ object Queries {
         max(col("k")).as("max_k"))
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`, executed as an
+    * iterated UnionLoop): each customer walks the synthetic ancestor
+    * chain custkey → custkey div 10 → … until the root band (< 10) —
+    * a data-driven hierarchy traversal (org chart / BOM explosion
+    * shape) the one-shot relational algebra can't express. Depth is
+    * log10(max key) ≈ 6 rounds, each round a distributed scan of the
+    * previous frontier — the engine-level guard is
+    * spark.sql.cteRecursionLevelLimit/RowLimit. Oracle: DuckDB's own
+    * WITH RECURSIVE over the same arithmetic.
+    */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_rc")
+    s.sql("""
+      WITH RECURSIVE chain (node, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer_rc
+        UNION ALL
+        SELECT node, anc div 10, depth + 1 FROM chain WHERE anc >= 10
+      )
+      SELECT depth, count(*) AS n, sum(node) AS sum_node,
+             sum(anc) AS sum_anc
+      FROM chain GROUP BY depth
+    """)
+  }
+
   /** VARIANT semi-structured analytics (Spark 4's open binary JSON
     * encoding: parse once, typed path extraction with NO declared
     * schema — the shape lives in the data, unlike [[qJsonExtract]]'s
@@ -2944,6 +2968,56 @@ object Queries {
     graft.ops.MvStore.read(store, "lmv")
       .select(col("o_orderstatus"), col("n"),
         round(col("sum_o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** Incremental JOIN view ([[graft.ops.JoinMv]]): revenue by
+    * customer segment — an aggregate over fact ⋈ dim — seeded once,
+    * then kept in step with BOTH transaction logs through one advance
+    * that applies Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD: the fact side
+    * re-prices and inserts rows while the dim side MOVES customers to
+    * a new segment in the same window (the group-move + cross-term
+    * shape a naive one-sided feed gets wrong). A replayed advance is
+    * stamp-recognized. Hash-green means the signed two-term delta
+    * lands exactly on DuckDB's direct aggregate of the final joined
+    * state — no row lost, doubled, or left in its old group.
+    */
+  def qJoinMv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val root = s"$indexQueryDir/joinmv"
+    val fsp = new org.apache.hadoop.fs.Path(root)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val f = s"$root/fact"; val d = s"$root/dim"
+    o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(f)
+    graft.ops.TxLog.convert(s, f)
+    c.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+      .repartition(2).write.parquet(d)
+    graft.ops.TxLog.convert(s, d)
+    val store = new graft.sources.ParquetStore(s, s"$root/state")
+    val K = Seq("o_custkey"); val G = Seq("seg"); val M = Seq("price")
+    graft.ops.JoinMv.follow(store, "rev", f, d, K, G, M) // seed
+    // fact churn: re-price %991 keys, insert 5 fresh zero-price rows
+    val bump = graft.ops.TxLog.snapshot(s, f)
+      .filter(pmod(col("o_orderkey"), lit(991)) === 0)
+      .withColumn("price", col("price") * 2)
+    val fresh = o.filter(col("o_orderkey") < 5).select(
+      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+      lit(0.0).as("price"))
+    graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
+      bump.unionByName(fresh))
+    // dim churn IN THE SAME WINDOW: %97 customers move segments
+    val moved = graft.ops.TxLog.snapshot(s, d)
+      .filter(pmod(col("o_custkey"), lit(97)) === 0)
+      .withColumn("seg", lit("MOVED"))
+    graft.ops.UpsertWhere.byKeys(s, d, "o_custkey", moved)
+    graft.ops.JoinMv.follow(store, "rev", f, d, K, G, M) // one advance
+    graft.ops.JoinMv.follow(store, "rev", f, d, K, G, M) // no-op
+    graft.ops.JoinMv.read(store, "rev").select(col("seg"), col("n"),
+      round(col("sum_price"), 2).as("sum_price"))
   }
 
   /** The log→MV loop CLOSED ([[graft.ops.MvStore.followTxLog]] over

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_sql_view" -> (Queries.qSqlView _),
     "q_json_extract" -> (Queries.qJsonExtract _),
     "q_variant" -> (Queries.qVariant _),
+    "q_recursive_cte" -> (Queries.qRecursiveCte _),
     "q_approx_sketch" -> (Queries.qApproxSketch _),
     "q_sketch_kmv" -> (Queries.qSketchKmv _),
     // text analysis
@@ -200,6 +201,7 @@ object SparkEntry {
     "q_clone_rename" -> (Queries.qCloneRename _),
     "q_copy_into" -> (Queries.qCopyInto _),
     "q_cluster_by" -> (Queries.qClusterBy _),
+    "q_joinmv" -> (Queries.qJoinMv _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
     "q_auto_columns" -> (Queries.qAutoColumns _),
@@ -505,6 +507,19 @@ object Oracles {
          COUNT(*) AS n, CAST(0 AS BIGINT) AS n_absent
          FROM orders WHERE o_orderkey % 3 = 0
          GROUP BY o_orderstatus""",
+
+    // recursive CTE: DuckDB replays the same ancestor-chain recursion
+    // (// is DuckDB's integer division; sums cast off HUGEINT)
+    "q_recursive_cte" ->
+      """WITH RECURSIVE chain (node, anc, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT node, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+         )
+         SELECT depth, count(*) AS n,
+                CAST(sum(node) AS BIGINT) AS sum_node,
+                CAST(sum(anc) AS BIGINT) AS sum_anc
+         FROM chain GROUP BY depth""",
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
@@ -2429,6 +2444,29 @@ object Oracles {
     // (the layout claim is require()d inside the query itself)
     "q_cluster_by" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    // incremental join view: DuckDB aggregates the FINAL joined state
+    // directly (fact re-priced + 5 fresh zero-price rows; %97
+    // customers moved to segment MOVED in the same advance)
+    "q_joinmv" ->
+      """WITH fact AS (
+           SELECT o_custkey,
+                  CASE WHEN o_orderkey % 991 = 0
+                       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, 0.0 AS price FROM orders WHERE o_orderkey < 5
+         ),
+         dim AS (
+           SELECT c_custkey AS o_custkey,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN 'MOVED' ELSE c_mktsegment END AS seg
+           FROM customer
+         )
+         SELECT seg, count(*) AS n,
+                ROUND(SUM(price), 2) AS sum_price
+         FROM fact JOIN dim USING (o_custkey)
+         GROUP BY seg""",
 
     // row tracking: _row_id = append-order row_number arithmetic, and
     // _row_commit_version = the commit that last MODIFIED the row —

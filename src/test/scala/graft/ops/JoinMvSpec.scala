@@ -1,0 +1,165 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.ParquetStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental join view ([[JoinMv]]): seed equality, fact-side
+  * churn, dim-side churn incl. GROUP MOVES, the cross-term case (both
+  * sides change the same key in one advance), replay no-op, retention
+  * reseed, and the pruned fact read on a stats-declared join key.
+  */
+class JoinMvSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val orders = graft.Tables.orders(spark, sf("orders"))
+  private lazy val customer = graft.Tables.customer(spark, sf("customer"))
+
+  private def same(got: DataFrame, expected: DataFrame): Boolean =
+    got.select(expected.columns.map(col): _*).exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select(expected.columns.map(col): _*)).isEmpty
+
+  /** (factDir, dimDir, store): orders-as-fact (key, price), customer-
+    * as-dim (key, seg), both TxLog-managed.
+    */
+  private def fixtures(): (String, String, ParquetStore) = {
+    val root = Files.createTempDirectory("joinmv").toString
+    val f = s"$root/fact"
+    val d = s"$root/dim"
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(f)
+    TxLog.convert(spark, f)
+    customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+      .repartition(2).write.parquet(d)
+    TxLog.convert(spark, d)
+    (f, d, new ParquetStore(spark, s"$root/state"))
+  }
+
+  private val K = Seq("o_custkey")
+  private val G = Seq("seg")
+  private val M = Seq("price")
+
+  /** Ground truth: direct aggregate of the two CURRENT snapshots
+    * (sums rounded — signed-delta double arithmetic is exact to well
+    * past cents but not bit-identical to a fresh fold).
+    */
+  private def direct(f: String, d: String): DataFrame =
+    TxLog.snapshot(spark, f).join(TxLog.snapshot(spark, d), K)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price").cast("double")), 2).as("sum_price"))
+
+  private def view(st: ParquetStore): DataFrame =
+    JoinMv.read(st, "v").select(col("seg"), col("n"),
+      round(col("sum_price"), 2).as("sum_price"))
+
+  test("seed equals the direct aggregate of the join") {
+    val (f, d, st) = fixtures()
+    assert(JoinMv.follow(st, "v", f, d, K, G, M)._1._1 ==
+      JoinMv.follow(st, "v", f, d, K, G, M)._1._2) // second call: no-op
+    assert(same(view(st), direct(f, d)))
+  }
+
+  test("fact-side churn: upsert + delete advance the view exactly") {
+    val (f, d, st) = fixtures()
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    val bump = TxLog.snapshot(spark, f)
+      .filter(pmod(col("o_orderkey"), lit(191)) === 0)
+      .withColumn("price", col("price") * 3)
+    UpsertWhere.byKeys(spark, f, "o_orderkey", bump)
+    DeleteWhere.range(spark, f, "o_orderkey", 1, 50)
+    val ((f0, f1), (d0, d1)) = JoinMv.follow(st, "v", f, d, K, G, M)
+    assert(f1 > f0 && d0 == d1)
+    assert(same(view(st), direct(f, d)))
+  }
+
+  test("dim-side churn: an attribute change MOVES groups; old facts follow") {
+    val (f, d, st) = fixtures()
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    val moved = TxLog.snapshot(spark, d)
+      .filter(pmod(col("o_custkey"), lit(7)) === 0)
+      .withColumn("seg", lit("MOVED"))
+    UpsertWhere.byKeys(spark, d, "o_custkey", moved)
+    val ((f0, f1), (d0, d1)) = JoinMv.follow(st, "v", f, d, K, G, M)
+    assert(f0 == f1 && d1 > d0)
+    val got = view(st)
+    assert(got.filter(col("seg") === "MOVED").count() == 1)
+    assert(same(got, direct(f, d)))
+  }
+
+  test("cross term: the same key churns on BOTH sides in one advance") {
+    val (f, d, st) = fixtures()
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    // pick one customer; move its segment AND add a fresh fact row
+    // for it — the fresh row must land in the NEW segment (ΔF ⋈ D_new)
+    val k = TxLog.snapshot(spark, d).select("o_custkey")
+      .orderBy("o_custkey").head().getLong(0)
+    UpsertWhere.byKeys(spark, d, "o_custkey",
+      Seq((k, "XTERM")).toDF("o_custkey", "seg"))
+    UpsertWhere.byKeys(spark, f, "o_orderkey",
+      Seq((9999991L, k, 10.0)).toDF("o_orderkey", "o_custkey", "price"))
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    val got = view(st)
+    assert(same(got, direct(f, d)))
+    // and the fresh fact row is counted once, in XTERM
+    val directX = direct(f, d).filter(col("seg") === "XTERM").head()
+    assert(got.filter(col("seg") === "XTERM").head().getLong(1) ==
+      directX.getLong(1))
+  }
+
+  test("replay: re-running the same advance is recognized, state untouched") {
+    val (f, d, st) = fixtures()
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    DeleteWhere.range(spark, f, "o_orderkey", 1, 100)
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    val before = JoinMv.read(st, "v").collect().toSet
+    // simulate the crash window: rewind the cursor, follow again —
+    // the batch stamp recognizes the replay and only the cursor moves
+    st.overwrite(Seq((0, 0)).toDF("fact_v", "dim_v"), "v__jmv_cursor")
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    assert(JoinMv.read(st, "v").collect().toSet == before)
+    assert(same(view(st), direct(f, d)))
+  }
+
+  test("retention cliff: a vacuumed-away cursor reseeds from the snapshots") {
+    val (f, d, st) = fixtures()
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    // churn the fact log past the cursor, then prune it away
+    (1 to 3).foreach { i =>
+      DeleteWhere.range(spark, f, "o_orderkey", i.toLong, i.toLong)
+      Compact.binPack(spark, f, targetBytes = 256L << 20,
+        smallBytes = 256L << 20) // no-op pack, just extra versions
+    }
+    TxLog.checkpoint(spark, f)
+    TxLog.vacuum(spark, f, retainVersions = 1)
+    val ((f0, f1), _) = JoinMv.follow(st, "v", f, d, K, G, M)
+    assert(f0 == f1) // reseed reports current==current
+    assert(same(view(st), direct(f, d)))
+  }
+
+  test("pruned dim-side term: stats on the join key bound the old-fact read") {
+    val (f, d, st) = fixtures()
+    TxLog.setStatsColumns(spark, f, Seq("o_custkey"))
+    // stats attach on commit: re-cluster so files carry o_custkey ranges
+    Compact.binPack(spark, f, targetBytes = 4L << 10,
+      smallBytes = 64L << 20, sortCols = Seq("o_custkey"))
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    val loKey = TxLog.snapshot(spark, d).agg(min("o_custkey")).head().getLong(0)
+    UpsertWhere.byKeys(spark, d, "o_custkey",
+      Seq((loKey, "PRUNED")).toDF("o_custkey", "seg"))
+    JoinMv.follow(st, "v", f, d, K, G, M)
+    assert(same(view(st), direct(f, d)))
+    // the candidate set for one low key is a strict subset of files
+    val cand = TxLog.candidateFilesFromLog(spark, f, "o_custkey",
+      loKey.toDouble, loKey.toDouble).size
+    val all = TxLog.liveEntries(spark, f).size
+    assert(cand < all, s"expected pruning: $cand of $all candidates")
+  }
+}
