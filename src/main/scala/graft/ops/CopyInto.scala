@@ -42,6 +42,12 @@ import org.apache.spark.sql.SparkSession
   * fully distributed, never driver-materialized. Landing zones too
   * large to list whole are partitioned by convention (e.g. dated
   * prefixes) and copied per-prefix via `pattern`.
+  *
+  * Concurrency bound (same as Delta's COPY INTO): two loaders racing
+  * on ONE zone can both see a file as fresh and both load it — the
+  * ledger dedupes re-RUNS, not concurrent racers. Run one loader per
+  * zone (or per disjoint `pattern`); the commit itself stays safe
+  * under any concurrency, only dedup needs the single-loader bound.
   */
 object CopyInto {
 

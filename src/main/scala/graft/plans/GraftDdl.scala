@@ -86,6 +86,8 @@ object GraftDdl {
           u.multipartIdentifier(1)
       }
       case d: DropConstraint => ident(d.table)
+      case a: org.apache.spark.sql.catalyst.plans.logical
+          .AlterTableClusterBy => ident(a.table)
       // CREATE [TABLE|TABLE AS SELECT] survive the session-catalog
       // rules only as their v1 commands; the `parquet` "database" in
       // the CatalogTable identifier is our format marker
@@ -112,6 +114,19 @@ object GraftDdl {
       case a: AlterColumns => runAlterColumns(spark, a)
       case a: AddCheckConstraint => runAddConstraint(spark, a)
       case d: DropConstraint => runDropConstraint(spark, d)
+      // ALTER TABLE … CLUSTER BY (c1, c2) / CLUSTER BY NONE —
+      // re-declare (or clear) the clustering columns; the next
+      // OPTIMIZE converges the unclustered tail to the new layout
+      case a: org.apache.spark.sql.catalyst.plans.logical
+          .AlterTableClusterBy =>
+        val path = targetOf(a).get
+        val cols = a.clusterBySpec.toSeq
+          .flatMap(_.columnNames.map(_.fieldNames.mkString(".")))
+        TxLog.setClusterColumns(spark, path, cols)
+        receipt(
+          if (cols.isEmpty) "cluster-by-none"
+          else s"cluster-by(${cols.mkString(",")})",
+          path, 0L, 0L, TxLog.currentVersion(spark, path))
       case c: CreateDataSourceTableCommand =>
         runCreateCore(spark, targetOf(c).get,
           StructType(c.table.schema.fields.toSeq),
@@ -136,7 +151,7 @@ object GraftDdl {
     }
 
   private def identityCols(partitioning: Seq[Transform]): Seq[String] =
-    partitioning.map { t =>
+    partitioning.filterNot(isClusterBy).map { t =>
       val refs = t.references
       if (t.name == "identity" && refs.length == 1 &&
           refs.head.fieldNames.length == 1) refs.head.fieldNames.head
@@ -145,6 +160,23 @@ object GraftDdl {
           "hidden transforms (days/months/bucket/truncate) go through " +
           "graft.ops.PartitionTransforms (graft_hidden_* TVFs)")
     }
+
+  private def isClusterBy(t: Transform): Boolean =
+    org.apache.spark.sql.connector.expressions.ClusterByTransform
+      .unapply(t).isDefined
+
+  /** `CLUSTER BY (c1, c2)` in CREATE/CTAS/REPLACE rides the
+    * partitioning list as a ClusterByTransform — extracted here into
+    * the table's declared clustering columns ([[graft.ops.TxLog
+    * .setClusterColumns]]): layout is a property OPTIMIZE applies
+    * incrementally, never a write-time shuffle on the ingest path.
+    */
+  private def clusterByCols(partitioning: Seq[Transform]): Seq[String] =
+    partitioning.collect {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(cols) =>
+        cols.map(_.fieldNames.mkString("."))
+    }.flatten
 
   /** CHECK constraints of a table spec, plus NOT NULL columns as
     * `c IS NOT NULL` checks — one enforcement surface for both.
@@ -211,6 +243,8 @@ object GraftDdl {
     }
     if (defaults.nonEmpty)
       graft.ops.DefaultColumns.declare(spark, path, defaults)
+    val ccols = clusterByCols(c.partitioning)
+    if (ccols.nonEmpty) TxLog.setClusterColumns(spark, path, ccols)
     receipt
   }
 
@@ -247,8 +281,11 @@ object GraftDdl {
         s"CREATE TABLE AS SELECT: $path is already log-managed " +
           "(IF NOT EXISTS to skip, or CREATE OR REPLACE to overwrite)")
     }
-    createAs(spark, path, GraftShim.ofRows(spark, c.query),
+    val rec = createAs(spark, path, GraftShim.ofRows(spark, c.query),
       identityCols(c.partitioning), "create-table-as")
+    val ccols = clusterByCols(c.partitioning)
+    if (ccols.nonEmpty) TxLog.setClusterColumns(spark, path, ccols)
+    rec
   }
 
   private def runRtas(spark: SparkSession, r: ReplaceTableAsSelect): Seq[Row] = {
@@ -304,9 +341,16 @@ object GraftDdl {
         case _ => df.schema
       }
       TxLog.setTableSchema(spark, path, newPin, version = v)
+      val cc = clusterByCols(r.partitioning)
+      if (cc.nonEmpty) TxLog.setClusterColumns(spark, path, cc)
       receipt("replace-table", path, n, 0L, v)
     } else if (r.orCreate) {
-      createAs(spark, path, df, identityCols(r.partitioning), "create-table-as")
+      val rec =
+        createAs(spark, path, df, identityCols(r.partitioning),
+          "create-table-as")
+      val cc = clusterByCols(r.partitioning)
+      if (cc.nonEmpty) TxLog.setClusterColumns(spark, path, cc)
+      rec
     } else throw new IllegalArgumentException(
       s"REPLACE TABLE: $path is not log-managed (OR REPLACE → CREATE " +
         "requires the OR CREATE form; use CREATE OR REPLACE TABLE)")

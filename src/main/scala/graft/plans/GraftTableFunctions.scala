@@ -237,6 +237,45 @@ object GraftTableFunctions {
         "rows_loaded" -> r.rowsLoaded,
         "files_skipped" -> r.filesSkipped.toLong,
         "version" -> r.version.toLong))
+    case ("graft_detail", Seq(d)) =>
+      // DESCRIBE DETAIL: the one-row operational summary a policy or
+      // a human reads first — metadata + one fs status per live file
+      val dir = str(d, fn, 0)
+      val entries = TxLog.liveEntries(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = entries.map { e =>
+        // based (shallow-clone) entries' bytes live under the source
+        // root — counted here because the SNAPSHOT reads them, even
+        // though the clone's own vacuum would not sweep them
+        try fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          e.base.getOrElse(dir), e.name)).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.foldLeft(0L)(_ + _)
+      val v = TxLog.currentVersion(spark, dir)
+      val pin = TxLog.tableSchema(spark, dir)
+      import spark.implicits._
+      Seq((dir, v,
+        new java.sql.Timestamp(TxLog.commitTimeMillis(spark, dir, v)),
+        entries.size.toLong, bytes,
+        TxLog.partitionColumns(spark, dir).mkString(","),
+        (try graft.ops.PartitionTransforms.spec(spark, dir)
+          .map(_.serialized)
+        catch { case _: IllegalArgumentException => Nil }).mkString(","),
+        TxLog.clusterColumns(spark, dir).mkString(","),
+        TxLog.statsColumns(spark, dir).mkString(","),
+        graft.ops.IdentityColumns.spec(spark, dir)
+          .map(_._1).getOrElse(""),
+        graft.ops.RowTracking.enabled(spark, dir),
+        pin.exists(graft.ops.ColumnMapping.isMapped),
+        TxLog.tags(spark, dir).size.toLong,
+        TxLog.branches(spark, dir).size.toLong,
+        TxLog.cloneSource(spark, dir).map(_._1).getOrElse("")))
+        .toDF("location", "version", "committed_at", "n_files",
+          "size_bytes", "partition_columns", "hidden_partitioning",
+          "cluster_columns", "stats_columns", "identity_column",
+          "row_tracking", "column_mapping", "n_tags", "n_branches",
+          "clone_source")
     case ("graft_cluster_by", Seq(d, c)) =>
       // liquid-style CLUSTER BY: declare once; every later OPTIMIZE /
       // compactEvery pass clusters the unclustered tail on these
@@ -546,7 +585,9 @@ object GraftTableFunctions {
       ("graft_ingested",
         "graft_ingested(dir) - source files committed by prior copy-into loads"),
       ("graft_cluster_by",
-        "graft_cluster_by(dir, 'c1,c2') - PROCEDURE: declare clustering columns; later OPTIMIZE passes cluster the small-file tail on them"))
+        "graft_cluster_by(dir, 'c1,c2') - PROCEDURE: declare clustering columns; later OPTIMIZE passes cluster the small-file tail on them"),
+      ("graft_detail",
+        "graft_detail(dir) - DESCRIBE DETAIL: one-row table summary (files, bytes, layout declarations, features, provenance)"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

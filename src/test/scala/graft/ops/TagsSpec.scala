@@ -133,6 +133,26 @@ class TagsSpec extends SparkSpec {
     assert(ts == ts.sorted.reverse && ts.distinct.size == ts.size)
   }
 
+  test("graft_detail: one-row operational summary reflects declarations and features") {
+    GraftExtensions.installInto(spark)
+    val dir = table(2)
+    TxLog.setClusterColumns(spark, dir, Seq("k"))
+    TxLog.setStatsColumns(spark, dir, Seq("k"))
+    TxLog.setTag(spark, dir, "rc")
+    val r = spark.sql(s"SELECT * FROM graft_detail('$dir')").head()
+    assert(r.getAs[String]("location") == dir)
+    assert(r.getAs[Int]("version") == TxLog.currentVersion(spark, dir))
+    assert(r.getAs[Long]("n_files") == TxLog.liveEntries(spark, dir).size)
+    assert(r.getAs[Long]("size_bytes") > 0)
+    assert(r.getAs[String]("cluster_columns") == "k")
+    assert(r.getAs[String]("stats_columns") == "k")
+    assert(!r.getAs[Boolean]("row_tracking"))
+    assert(r.getAs[Long]("n_tags") == 1)
+    assert(r.getAs[String]("clone_source") == "")
+    assert(r.getAs[java.sql.Timestamp]("committed_at").getTime ==
+      TxLog.commitTimeMillis(spark, dir, TxLog.currentVersion(spark, dir)))
+  }
+
   test("pre-stamp history: a commit without TS falls back to its file mtime") {
     val dir = table(1)
     val fs = Compact.fsOf(spark, dir)

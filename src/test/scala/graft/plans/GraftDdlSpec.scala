@@ -41,6 +41,33 @@ class GraftDdlSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dir).count() == 2)
   }
 
+  test("CLUSTER BY: CREATE declares, maintenance converges, ALTER re-points, NONE clears") {
+    val dir = freshDir()
+    GraftDml.sql(spark,
+      s"CREATE TABLE parquet.`$dir` (k BIGINT, v STRING) CLUSTER BY (k)")
+    assert(TxLog.clusterColumns(spark, dir) == Seq("k"))
+    // splinter appends, then a BARE optimize — the declaration routes
+    (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("cb_rows")
+    (0 until 8).foreach { i =>
+      GraftDml.sql(spark,
+        s"INSERT INTO parquet.`$dir` SELECT k, v FROM cb_rows WHERE k % 8 = $i")
+    }
+    graft.GraftExtensions.installInto(spark)
+    spark.sql(s"SELECT * FROM graft_optimize('$dir')").collect()
+    // the 8 splinters pack into one file; with the declaration routed
+    // it reads back fully SORTED on k (an undeclared pack shuffles —
+    // the modular splinter interleave would never come out ordered)
+    assert(TxLog.liveEntries(spark, dir).size == 1)
+    val ks = TxLog.read(spark, dir).select("k").collect().map(_.getLong(0))
+    assert(ks.length == 4000 && (ks sameElements ks.sorted))
+    // ALTER re-points, NONE clears
+    GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` CLUSTER BY (v)")
+    assert(TxLog.clusterColumns(spark, dir) == Seq("v"))
+    GraftDml.sql(spark, s"ALTER TABLE parquet.`$dir` CLUSTER BY NONE")
+    assert(TxLog.clusterColumns(spark, dir).isEmpty)
+  }
+
   test("CTAS lands the query as a log-managed v0; IF NOT EXISTS is a no-op; bare CTAS on existing errors") {
     val dir = freshDir()
     val receipt = GraftDml.sql(spark,
