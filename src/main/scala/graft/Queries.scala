@@ -3460,6 +3460,23 @@ object Queries {
     graft.similarity.SemDedup.dedup(e, cents, threshold = 0.35)
   }
 
+  /** Cluster-balanced sampling ([[graft.pipelines.TrainingDataPipeline
+    * .clusterBalancedSample]], mode `central`) under the SAME injected
+    * centroids as q_dedup_semantic: every embedding assigns to its
+    * nearest of 8 frozen centroids, each cell keeps its 5 most
+    * prototypical members (highest cosine to the own centroid, ties
+    * to the lower id) — the topic-balanced curation sample. Pure
+    * algebra under the quantizer seam; the production path trains
+    * centroids with Ivf.build (ClusterSampleSpec covers it).
+    */
+  def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    graft.pipelines.TrainingDataPipeline
+      .clusterBalancedSample(e, cents, perCluster = 5, mode = "central")
+  }
+
   /** Benchmark decontamination (TrainingDataPipeline
     * .contaminationReport): corpus docs (id >= 50) sharing any 8-token
     * shingle with the eval set (id < 50), with the shared-gram count.

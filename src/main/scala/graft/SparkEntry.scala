@@ -135,6 +135,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Queries.qDedupNgramJaccard _),
     "q_dedup_embcos" -> (Queries.qDedupEmbcos _),
     "q_dedup_semantic" -> (Queries.qDedupSemantic _),
+    "q_cluster_sample" -> (Queries.qClusterSample _),
     "q_agg_incremental" -> (Queries.qAggIncremental _),
     "q_agg_topk" -> (Queries.qAggTopk _),
     "q_agg_stream" -> (Queries.qAggStream _),
@@ -3362,6 +3363,39 @@ object Oracles {
                 (cs.vec_id NOT IN (SELECT node FROM lab)
                  OR cs.vec_id IN (SELECT keep_id FROM keepg)) AS kept
          FROM cs""",
+
+    // cluster-balanced sampling under the same injected centroids as
+    // q_dedup_semantic: argmin-L2 assignment, then each cell's 5
+    // highest-own-centroid-cosine members (ties to the lower id)
+    "q_cluster_sample" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id, c.cid,
+                  -2e0 * list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                  + list_sum(list_transform(c.cvec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s
+                FROM embeddings e, c),
+         a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM
+                 (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+                  FROM sc) r
+               WHERE rn = 1),
+         cs AS (SELECT a.vec_id, a.cell,
+                  list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(c.cvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+                FROM a JOIN embeddings e USING (vec_id)
+                       JOIN c ON c.cid = a.cell)
+         SELECT vec_id, cell FROM
+           (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY cell
+                ORDER BY csim DESC, vec_id) AS rn
+            FROM cs) k
+         WHERE rn <= 5""",
 
     "q_decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),

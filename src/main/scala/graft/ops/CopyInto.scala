@@ -93,7 +93,8 @@ object CopyInto {
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
       pattern: String = "*",
-      force: Boolean = false): Result = {
+      force: Boolean = false,
+      evolveSchema: Boolean = false): Result = {
     require(TxLog.exists(spark, dir),
       s"copyInto: $dir is not TxLog-managed — create the table first " +
         "(CREATE TABLE / TxLog.convert + setTableSchema)")
@@ -116,12 +117,49 @@ object CopyInto {
     // feed omits arrive as NULL (csv/json absent fields) and fill
     val logical = TxLog.read(spark, dir).schema
     val reader = spark.read.options(options)
+    import org.apache.spark.sql.functions.{col, lit}
+    // parquet feeds may EVOLVE the table (`evolveSchema = true`):
+    // batch-only columns widen the pin from this commit on, old rows
+    // read NULL — the COPY INTO mergeSchema contract. csv/json parse
+    // schema-DRIVEN (they cannot discover columns), so they refuse.
+    var evolvedTo: Option[org.apache.spark.sql.types.StructType] = None
     val raw = format.toLowerCase match {
       case "csv" => reader.schema(logical).csv(fresh: _*)
       case "json" => reader.schema(logical).json(fresh: _*)
       case "parquet" =>
-        reader.parquet(fresh: _*).select(logical.fields.toSeq.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+        val df = reader.parquet(fresh: _*)
+        val haveNames = logical.fieldNames.toSet
+        val freshCols = df.schema.fields.filterNot(f => haveNames(f.name))
+        val batchNames = df.columns.toSet
+        // pinned columns the batch lacks read NULL (identity/default
+        // fill then applies) — the usual narrower-feed shape, incl.
+        // a pre-evolution producer still writing the old width
+        def nullFill(base: org.apache.spark.sql.DataFrame) =
+          logical.fieldNames.filterNot(batchNames)
+            .foldLeft(base)((d, n) =>
+              d.withColumn(n, lit(null).cast(logical(n).dataType)))
+        if (freshCols.isEmpty)
+          nullFill(df).select(logical.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
+        else {
+          require(evolveSchema,
+            s"copyInto: batch carries columns the table lacks " +
+              s"(${freshCols.map(_.name).mkString(", ")}) — pass " +
+              "evolveSchema = true to widen, or align the feed")
+          val merged0 = org.apache.spark.sql.types.StructType(
+            logical.fields ++ freshCols)
+          // mapped tables give evolved-in columns FRESH physical
+          // names (a re-added dropped name must not resurrect dead
+          // values out of old footers)
+          val merged =
+            if (ColumnMapping.isMapped(logical))
+              ColumnMapping.carryOver(spark, dir, merged0, logical,
+                TxLog.currentVersion(spark, dir) + 1)
+            else merged0
+          evolvedTo = Some(merged)
+          nullFill(df).select(merged.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
+        }
       case other => throw new IllegalArgumentException(
         s"copyInto: unsupported format '$other' (csv, json, parquet)")
     }
@@ -149,7 +187,7 @@ object CopyInto {
     val tfs = Compact.fsOf(spark, dir)
     val stage = new Path(dir, s".copyinto_stage-$id")
     tfs.delete(stage, true)
-    TxLog.stagePhysical(spark, dir, assigned)
+    TxLog.stagePhysical(spark, dir, assigned, pinOverride = evolvedTo)
       .write.mode("overwrite").parquet(stage.toString)
     val names = tfs.listStatus(stage).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -175,6 +213,9 @@ object CopyInto {
     tfs.delete(stage, true)
     val v = TxLog.commit(spark, dir, adds = names, removes = Nil,
       txn = Some(txnOf(id)), op = Some(s"copy-into(${fresh.size} files)"))
+    // the widened pin moves WITH the commit that landed the wider
+    // rows; pre-evolution snapshots keep their own width
+    evolvedTo.foreach(m => TxLog.setTableSchema(spark, dir, m, v))
     Result(v, fresh.size, rows, listed.size - fresh.size)
   }
 }

@@ -110,6 +110,64 @@ object TrainingDataPipeline {
     * (level desc, doc_id asc) is a total order. If the quality
     * distribution collapses into one level, raise `buckets`.
     */
+  /** Cluster-balanced ("diversity" / topic-balanced) sampling: assign
+    * every embedding to its nearest centroid and keep at most
+    * `perCluster` rows per cell — the curation move that stops one
+    * dominant topic from crowding a sample (the cluster-equal-share
+    * counterpart of [[interleaveByWeight]]'s source mixing). Modes:
+    * `hash` = unbiased deterministic per-cell sample (seed-key hash
+    * order — [[graft.ops.RelationalOps.stratifiedSample]]);
+    * `central` = the most prototypical members (highest cosine to the
+    * own centroid, ties to the lower id); `edge` = the least
+    * prototypical (SemDeDup's informative-edge rule as a sampler).
+    * Centroids are injected (the quantizer seam shared with
+    * [[graft.similarity.SemDedup]]/[[graft.similarity.IndexStore]]):
+    * production trains them via Ivf.build; a frozen list makes the
+    * decision pure algebra an oracle can replay.
+    *
+    * 100 TB shape: assignment is the one broadcast-matrix expression
+    * per row (no shuffle), the per-cell selection is one shuffle on
+    * cell id + a rank-limited window (Spark's WindowGroupLimit keeps
+    * it map-side bounded) — no all-pairs term anywhere; output is at
+    * most nClusters × perCluster rows.
+    */
+  def clusterBalancedSample(
+      vectors: DataFrame,
+      centroids: Array[Array[Float]],
+      perCluster: Int,
+      mode: String = "hash",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      portableHash: Boolean = false): DataFrame = {
+    require(perCluster > 0, s"perCluster must be > 0, got $perCluster")
+    val assigned =
+      graft.similarity.Ivf.assign(centroids, vectors, idCol, vecCol)
+    mode match {
+      case "hash" =>
+        graft.ops.RelationalOps.stratifiedSample(
+          assigned.select("id", "cell"), Seq("cell"), perCluster,
+          Seq("id"), portableHash)
+          .select(col("id").as(idCol), col("cell"))
+      case "central" | "edge" =>
+        val spark = vectors.sparkSession
+        import spark.implicits._
+        val cdf = centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+        val scored = assigned.join(broadcast(cdf), Seq("cell"))
+          .withColumn("csim",
+            graft.similarity.Ann.cosine(col("vec"), col("cvec")))
+        val ord =
+          if (mode == "central") Seq(col("csim").desc, col("id").asc)
+          else Seq(col("csim").asc, col("id").asc)
+        graft.ops.RelationalOps
+          .topKPerGroup(scored, Seq("cell"), ord, perCluster)
+          .select(col("id").as(idCol), col("cell"))
+      case other => throw new IllegalArgumentException(
+        s"clusterBalancedSample: unknown mode '$other' " +
+          "(hash, central, edge)")
+    }
+  }
+
   def tokenBudgetSelect(
       docs: DataFrame,
       budgetTokens: Long,

@@ -157,6 +157,19 @@ object GraftTableFunctions {
       schemaMeta(spark, str(d, fn, 0), int(v, fn, 1))
     case ("graft_db", Seq(d, tbl)) =>
       graft.ops.DbLog.snapshot(spark, str(d, fn, 0), str(tbl, fn, 1))
+    case ("graft_db", Seq(d, tbl, v))
+        if v.dataType == org.apache.spark.sql.types.TimestampType =>
+      // TIMESTAMP AS OF for one table of a DbLog database — the
+      // database log's in-commit stamps resolve the version, so the
+      // cut is consistent across every table of the same database
+      val db = str(d, fn, 0)
+      val at = anyLit(v, fn, 2) match {
+        case ts: java.sql.Timestamp =>
+          TxLog.versionAsOf(spark, db, ts.getTime)
+        case other => throw new IllegalArgumentException(
+          s"$fn: unsupported timestamp literal $other")
+      }
+      graft.ops.DbLog.snapshot(spark, db, str(tbl, fn, 1), at)
     case ("graft_db", Seq(d, tbl, v)) =>
       graft.ops.DbLog.snapshot(spark, str(d, fn, 0), str(tbl, fn, 1),
         int(v, fn, 2))
@@ -227,11 +240,20 @@ object GraftTableFunctions {
     // COPY INTO: idempotent ledger-tracked file ingestion — re-runs
     // load nothing twice ([[graft.ops.CopyInto]])
     case ("graft_copy_into", rest @ Seq(d, s0, f0, _*))
-        if rest.length <= 4 =>
+        if rest.length <= 5 =>
       val dir = str(d, fn, 0)
-      val pat = if (rest.length == 4) str(rest(3), fn, 3) else "*"
+      val pat = if (rest.length >= 4) str(rest(3), fn, 3) else "*"
+      // 5th arg: comma-joined flags — 'force' (re-load everything),
+      // 'evolve' (parquet batch columns widen the table)
+      val flags = if (rest.length == 5)
+        str(rest(4), fn, 4).split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSet
+      else Set.empty[String]
+      val bad = flags -- Set("force", "evolve")
+      require(bad.isEmpty, s"$fn: unknown flags ${bad.mkString(",")}")
       val r = graft.ops.CopyInto.copyInto(spark, dir, str(s0, fn, 1),
-        str(f0, fn, 2), pattern = pat)
+        str(f0, fn, 2), pattern = pat,
+        force = flags("force"), evolveSchema = flags("evolve"))
       procReceipt(spark, "copy-into", dir, Seq(
         "files_loaded" -> r.filesLoaded.toLong,
         "rows_loaded" -> r.rowsLoaded,

@@ -230,6 +230,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM graft_db('$db', 'orders', $vPre)")
       .head().getLong(0) == o.count())
+    // TIMESTAMP AS OF on the database log: a cut between the two
+    // transactions resolves to vPre via the in-commit stamps
+    val at = graft.ops.TxLog.commitTimeMillis(spark, db, vPre)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    assert(spark.sql(s"SELECT count(*) FROM graft_db('$db', 'orders', " +
+      s"TIMESTAMP '${fmt.format(new java.util.Date(at))}')")
+      .head().getLong(0) == o.count())
   }
 
   test("graft_enable_rowtracking / graft_rowids / keyless graft_changes from SQL") {

@@ -147,6 +147,35 @@ class CopyIntoSpec extends SparkSpec {
       .head().getLong(0) == 0)
   }
 
+  test("parquet schema evolution: batch-only columns widen with evolveSchema") {
+    val dir = freshTable(nation.schema)
+    val src = Files.createTempDirectory("copyinto_ev").toString + "/in"
+    nation.withColumn("extra", col("n_nationkey") * 10)
+      .repartition(2).write.parquet(src)
+    // without the flag: refusal names the new column
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, dir, src, "parquet")
+    }
+    assert(e.getMessage.contains("extra"))
+    assert(CopyInto.ingestedFiles(spark, dir).isEmpty)
+    val r = CopyInto.copyInto(spark, dir, src, "parquet",
+      evolveSchema = true)
+    assert(r.filesLoaded == 2)
+    val got = TxLog.snapshot(spark, dir)
+    assert(got.columns.contains("extra"))
+    assert(got.filter(col("extra") =!= col("n_nationkey") * 10).count() == 0)
+    // a narrower later batch NULL-fills the evolved column
+    val src2 = Files.createTempDirectory("copyinto_ev2").toString + "/in"
+    nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 1000)
+      .repartition(1).write.parquet(src2)
+    CopyInto.copyInto(spark, dir, src2, "parquet")
+    val late = TxLog.snapshot(spark, dir)
+      .filter(col("n_nationkey") >= 1000)
+    assert(late.count() == 3 &&
+      late.filter(col("extra").isNotNull).count() == 0)
+  }
+
   test("unsupported format and unmanaged target refuse with the reason") {
     val src = landingZone(nation, 1)
     val dir = freshTable(nation.schema)
@@ -177,5 +206,13 @@ class CopyIntoSpec extends SparkSpec {
       s"SELECT * FROM graft_copy_into('$dir', '$src2', 'csv')").head()
     assert(r2.getAs[Long]("files_loaded") == 0)
     assert(r2.getAs[Long]("files_skipped") == 2)
+    // flags: 'force' re-loads; unknown flags refuse
+    val rf = spark.sql(s"SELECT * FROM graft_copy_into('$dir', '$src2', " +
+      "'csv', '*', 'force')").head()
+    assert(rf.getAs[Long]("files_loaded") == 2)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM graft_copy_into('$dir', '$src2', " +
+        "'csv', '*', 'nope')").collect()
+    }
   }
 }
