@@ -2566,8 +2566,15 @@ object Queries {
     o.repartition(24).write.parquet(path) // unsorted splinters
     graft.ops.TxLog.convert(s, path)
     graft.ops.TxLog.setClusterColumns(s, path, Seq("o_orderkey"))
+    // target = total/8 so the pack emits ~8 range-files at EVERY sf
+    // (a fixed byte target collapses tiny inputs into one file and
+    // the span assert below loses its teeth)
+    val total = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(fsp).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).sum
     graft.ops.Compact.binPack(s, path, // bare: no cols at the call site
-      targetBytes = 32L << 10, smallBytes = 64L << 20)
+      targetBytes = math.max(4L << 10, total / 8),
+      smallBytes = 64L << 20)
     val spans = graft.ops.TxLog.read(s, path)
       .groupBy(input_file_name())
       .agg((max("o_orderkey") - min("o_orderkey")).as("span"))
