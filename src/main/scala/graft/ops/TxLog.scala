@@ -300,6 +300,29 @@ object TxLog {
     metaRead(spark, dir, ClusterColsName).toSeq
       .flatMap(_.linesIterator).filter(_.nonEmpty)
 
+  private[ops] val CheckpointEveryName = "checkpoint_every.txt"
+
+  /** AUTO-CHECKPOINT policy: every N-th main commit writes a log
+    * checkpoint in-line (the Delta `checkpointInterval` table
+    * property), so a high-churn table — a streaming sink landing
+    * thousands of epochs — keeps snapshot planning at O(N + one
+    * checkpoint read) with no external maintenance loop remembering
+    * to call [[checkpoint]]. `n = 0` clears the policy. Cost per
+    * commit: one tiny metadata read; every N-th commit additionally
+    * pays the checkpoint fold it would otherwise defer.
+    */
+  def setCheckpointEvery(spark: SparkSession, dir: String, n: Int): Unit = {
+    require(n >= 0, s"checkpointEvery: n must be >= 0, got $n")
+    if (n == 0)
+      Compact.fsOf(spark, dir)
+        .delete(new Path(logPath(dir), CheckpointEveryName), false)
+    else metaWrite(spark, dir, CheckpointEveryName, n.toString)
+  }
+
+  def checkpointEvery(spark: SparkSession, dir: String): Option[Int] =
+    metaRead(spark, dir, CheckpointEveryName)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+
   private val TagPrefix = "tag."
 
   /** Pin a NAME to a version (default: current) — Iceberg-style tags:
@@ -1442,6 +1465,14 @@ object TxLog {
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }
+    // auto-checkpoint policy ([[setCheckpointEvery]]): every N-th
+    // main commit folds the log in-line. Branch commits skip (their
+    // folds ride the base's checkpoints); a racing writer may have
+    // advanced past `committed` — checkpointing at the CURRENT head
+    // is just as valid, writeCheckpointAt is idempotent per version
+    if (branchOf(dir).isEmpty)
+      checkpointEvery(spark, dir)
+        .foreach(n => if (committed % n == 0) checkpoint(spark, dir))
     committed
   }
 
@@ -1990,7 +2021,7 @@ object TxLog {
     // database keeps, and PartitionTransforms' spec + history)
     metaList(spark, srcDir, "").filter { n =>
       n == StatsColsName || n == PartitionColsName ||
-        n == ClusterColsName ||
+        n == ClusterColsName || n == CheckpointEveryName ||
         n == ConstraintsName || n == "partitioning.txt" ||
         n == "partitioning.history.txt" ||
         (n.startsWith("stats_cols.") && n.endsWith(".txt")) ||

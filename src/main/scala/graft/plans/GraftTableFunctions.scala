@@ -298,6 +298,16 @@ object GraftTableFunctions {
           "cluster_columns", "stats_columns", "identity_column",
           "row_tracking", "column_mapping", "n_tags", "n_branches",
           "clone_source")
+    case ("graft_checkpoint_every", Seq(d, n)) =>
+      // auto-checkpoint policy: every N-th commit folds the log
+      // in-line (0 clears) — Delta's checkpointInterval as a property
+      val dir = str(d, fn, 0)
+      val every = int(n, fn, 1)
+      TxLog.setCheckpointEvery(spark, dir, every)
+      procReceipt(spark,
+        if (every == 0) "checkpoint-every-cleared"
+        else s"checkpoint-every($every)", dir, Seq(
+        "version" -> TxLog.currentVersion(spark, dir).toLong))
     case ("graft_cluster_by", Seq(d, c)) =>
       // liquid-style CLUSTER BY: declare once; every later OPTIMIZE /
       // compactEvery pass clusters the unclustered tail on these
@@ -609,7 +619,9 @@ object GraftTableFunctions {
       ("graft_cluster_by",
         "graft_cluster_by(dir, 'c1,c2') - PROCEDURE: declare clustering columns; later OPTIMIZE passes cluster the small-file tail on them"),
       ("graft_detail",
-        "graft_detail(dir) - DESCRIBE DETAIL: one-row table summary (files, bytes, layout declarations, features, provenance)"))
+        "graft_detail(dir) - DESCRIBE DETAIL: one-row table summary (files, bytes, layout declarations, features, provenance)"),
+      ("graft_checkpoint_every",
+        "graft_checkpoint_every(dir, n) - PROCEDURE: auto-checkpoint every n-th commit (0 clears)"))
       .map { case (n, u) =>
         (FunctionIdentifier(n), info(n, u),
           (args: Seq[Expression]) => GraftTableRef(n, args): LogicalPlan)

@@ -133,6 +133,34 @@ class TagsSpec extends SparkSpec {
     assert(ts == ts.sorted.reverse && ts.distinct.size == ts.size)
   }
 
+  test("auto-checkpoint policy: every N-th commit folds the log in-line") {
+    GraftExtensions.installInto(spark)
+    val dir = table(1) // v0 only
+    spark.sql(s"SELECT * FROM graft_checkpoint_every('$dir', 2)").collect()
+    val fs = Compact.fsOf(spark, dir)
+    def cps: Seq[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir, "_txlog")).toSeq
+      .map(_.getPath.getName).filter(_.matches("c\\d{8}\\.txt")).sorted
+    (1 to 4).foreach { i =>
+      UpsertWhere.byKeys(spark, dir, "k",
+        Seq((0L, s"u$i")).toDF("k", "v")) // v1..v4
+    }
+    assert(cps == Seq("c00000002.txt", "c00000004.txt"))
+    // clearing stops the cadence; reads stay correct throughout
+    spark.sql(s"SELECT * FROM graft_checkpoint_every('$dir', 0)").collect()
+    UpsertWhere.byKeys(spark, dir, "k", Seq((0L, "u5")).toDF("k", "v")) // v5
+    UpsertWhere.byKeys(spark, dir, "k", Seq((0L, "u6")).toDF("k", "v")) // v6
+    assert(cps == Seq("c00000002.txt", "c00000004.txt"))
+    assert(TxLog.snapshot(spark, dir).filter(col("k") === 0)
+      .head().getString(1) == "u6")
+    // the policy travels with a clone
+    TxLog.setCheckpointEvery(spark, dir, 3)
+    val dst = java.nio.file.Files
+      .createTempDirectory("ckev_clone").toString + "/c"
+    TxLog.cloneTo(spark, dir, dst)
+    assert(TxLog.checkpointEvery(spark, dst).contains(3))
+  }
+
   test("graft_detail: one-row operational summary reflects declarations and features") {
     GraftExtensions.installInto(spark)
     val dir = table(2)
