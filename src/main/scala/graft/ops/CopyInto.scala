@@ -124,8 +124,46 @@ object CopyInto {
     // schema-DRIVEN (they cannot discover columns), so they refuse.
     var evolvedTo: Option[org.apache.spark.sql.types.StructType] = None
     val raw = format.toLowerCase match {
-      case "csv" => reader.schema(logical).csv(fresh: _*)
-      case "json" => reader.schema(logical).json(fresh: _*)
+      case "csv" =>
+        require(!evolveSchema,
+          "copyInto: csv parses schema-driven and cannot discover new " +
+            "columns — evolveSchema applies to parquet feeds only")
+        if (!options.get("header").exists(_.equalsIgnoreCase("true")))
+          // headerless: the pinned column order IS the file layout
+          // (positional by contract)
+          reader.schema(logical).csv(fresh: _*)
+        else {
+          // header mode maps by NAME, never position: Spark's
+          // user-schema csv read is POSITIONAL (enforceSchema), so
+          // naively pinning the table schema onto a feed whose file
+          // spells fewer/reordered columns would silently shift every
+          // value. Read the header (names only — no data pass), build
+          // the schema IN FILE ORDER with the pinned types, then
+          // null-fill omitted pinned columns and project pinned order.
+          val names = spark.read.options(options)
+            .csv(fresh: _*).schema.fieldNames.toSeq
+          require(names.distinct.size == names.size,
+            s"copyInto: csv header repeats a column (${names.mkString(", ")})")
+          val have = logical.fieldNames.toSet
+          val unknown = names.filterNot(have)
+          require(unknown.isEmpty,
+            s"copyInto: csv feed carries columns the table lacks " +
+              s"(${unknown.mkString(", ")}) — csv cannot evolve the " +
+              "schema; align the feed")
+          val fileSchema = org.apache.spark.sql.types.StructType(
+            names.map(n => logical(n)))
+          val df = reader.schema(fileSchema).csv(fresh: _*)
+          val batchNames = names.toSet
+          logical.fieldNames.filterNot(batchNames)
+            .foldLeft(df)((d, n) =>
+              d.withColumn(n, lit(null).cast(logical(n).dataType)))
+            .select(logical.fieldNames.toSeq.map(col): _*)
+        }
+      case "json" =>
+        require(!evolveSchema,
+          "copyInto: json parses schema-driven and cannot discover new " +
+            "columns — evolveSchema applies to parquet feeds only")
+        reader.schema(logical).json(fresh: _*)
       case "parquet" =>
         val df = reader.parquet(fresh: _*)
         val haveNames = logical.fieldNames.toSet
@@ -193,15 +231,23 @@ object CopyInto {
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(_.getPath.getName).sorted
     // loaded-row count from staged footers: metadata pages only, no
-    // second scan of the batch
-    val rows = names.map { n =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(stage, n), spark.sparkContext.hadoopConfiguration)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        var c = 0L; r.getFooter.getBlocks.forEach(b => c += b.getRowCount); c
-      } finally r.close()
-    }.sum
+    // second scan of the batch, distributed like filesMeta (a serial
+    // driver loop over hundreds of staged files would stall the load)
+    val stagedPaths = names.map(n => new Path(stage, n).toString)
+    val rows =
+      if (stagedPaths.isEmpty) 0L
+      else spark.sparkContext
+        .parallelize(stagedPaths, math.max(1, math.min(stagedPaths.length, 64)))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            var c = 0L
+            r.getFooter.getBlocks.forEach(b => c += b.getRowCount)
+            c
+          } finally r.close()
+        }.fold(0L)(_ + _)
     // ledger BEFORE the files move and the commit lands — see the
     // exactly-once anatomy in the object doc
     TxLog.metaWrite(spark, dir, s"$ShardPrefix$id.txt",

@@ -198,8 +198,21 @@ object RowTracking {
       spark: SparkSession, dir: String, version: Int,
       schemaVersion: Int = -1): DataFrame = {
     require(enabled(spark, dir), s"row tracking is not enabled on $dir")
-    withIds(spark, dir, TxLog.liveEntries(spark, dir, version),
-      schemaVersion = if (schemaVersion >= 0) schemaVersion else version,
+    val entries = TxLog.liveEntries(spark, dir, version)
+    val schemaV = if (schemaVersion >= 0) schemaVersion else version
+    if (entries.isEmpty) {
+      // a created-empty (or truncated) tracked table still reads —
+      // as the empty frame with the pin plus the tracking columns
+      // (the keyless CDC source's initial-snapshot batch hits this)
+      val pin = TxLog.tableSchema(spark, dir, schemaV)
+      require(pin.isDefined,
+        s"version $version of $dir holds no files and no pinned schema")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        pin.get.add(Col, org.apache.spark.sql.types.LongType)
+          .add(VerCol, org.apache.spark.sql.types.IntegerType))
+    }
+    withIds(spark, dir, entries, schemaVersion = schemaV,
       withVersions = true)
   }
 

@@ -379,14 +379,13 @@ object TxLog {
     * per retained version.
     */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
-    val vs = versions(spark, dir)
+    val vs = versions(spark, dir).sorted
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
-    val times = vs.map(v => v -> commitTimeMillis(spark, dir, v))
-    val at = times.filter(_._2 <= tsMillis)
-    require(at.nonEmpty,
+    val floor = floorByTime(spark, dir, vs, tsMillis)
+    require(floor >= 0,
       s"no version of $dir at or before $tsMillis — earliest retained " +
-        s"commit is v${times.minBy(_._2)._1} at ${times.minBy(_._2)._2}")
-    at.maxBy(t => (t._2, t._1))._1
+        s"commit is v${vs.head} at ${commitTimeMillis(spark, dir, vs.head)}")
+    floor
   }
 
   /** Snapshot as of a wall-clock time ([[versionAsOf]]). */
@@ -401,10 +400,44 @@ object TxLog {
     * exclusive-from convention).
     */
   def versionFloorAt(spark: SparkSession, dir: String, tsMillis: Long): Int = {
-    val vs = versions(spark, dir)
+    val vs = versions(spark, dir).sorted
     require(vs.nonEmpty, s"$dir is not TxLog-managed")
-    vs.filter(v => commitTimeMillis(spark, dir, v) <= tsMillis)
-      .sorted.lastOption.getOrElse(-1)
+    val floor = floorByTime(spark, dir, vs, tsMillis)
+    if (floor >= 0) floor
+    else {
+      // nothing retained at-or-before ts: only a table BORN after ts
+      // may replay its initial snapshot as inserts (-1). A PRUNED
+      // history (oldest retained > 0) must error — treating the
+      // horizon snapshot as "inserts since ts" would hand a CDF
+      // consumer every pre-ts row as if it changed inside the window.
+      require(vs.head == 0,
+        s"no commit of $dir at or before $tsMillis is retained — the " +
+          s"log is pruned to v${vs.head} " +
+          s"(${commitTimeMillis(spark, dir, vs.head)}); the change " +
+          "window predates the retention horizon")
+      -1
+    }
+  }
+
+  /** Largest retained version with commit time ≤ `tsMillis`, or -1.
+    * Binary search over the in-commit stamps (monotonic by
+    * construction; pre-stamp mtimes on a never-copied log are too) —
+    * O(log n) head-reads instead of one per retained version, which
+    * matters on exactly the high-churn tables AS OF serves.
+    */
+  private def floorByTime(
+      spark: SparkSession, dir: String, sorted: Seq[Int],
+      tsMillis: Long): Int = {
+    var lo = 0
+    var hi = sorted.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTimeMillis(spark, dir, sorted(mid)) <= tsMillis) {
+        ans = sorted(mid); lo = mid + 1
+      } else hi = mid - 1
+    }
+    ans
   }
 
   /** Commit `v`'s wall-clock time: the in-commit `TS` stamp when the
@@ -1446,7 +1479,10 @@ object TxLog {
         // drop the other writer's deletes (the lost update name-level
         // validation cannot see), so it conflicts too.
         val liveDv = live.map(e => e.name -> e.dv).toMap
-        val moved = seen.filter(s => liveDv.get(s.name).exists(_ != s.dv))
+        // forall: a seen name that VANISHED (a concurrent compaction
+        // packed it away) conflicts too — committing a re-ADD of it
+        // would resurrect the packed rows alongside their copies
+        val moved = seen.filter(s => liveDv.get(s.name).forall(_ != s.dv))
         if (gone.nonEmpty || moved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"txlog commit conflict in $dir: ${gone.size} of this commit's " +
@@ -1469,10 +1505,15 @@ object TxLog {
     // main commit folds the log in-line. Branch commits skip (their
     // folds ride the base's checkpoints); a racing writer may have
     // advanced past `committed` — checkpointing at the CURRENT head
-    // is just as valid, writeCheckpointAt is idempotent per version
+    // is just as valid, writeCheckpointAt is idempotent per version.
+    // BEST-EFFORT: the commit above already landed, so a checkpoint
+    // failure must not make this write look failed (a caller retrying
+    // an un-txn'd append would double its rows); the next N-th commit
+    // retries the fold.
     if (branchOf(dir).isEmpty)
-      checkpointEvery(spark, dir)
+      try checkpointEvery(spark, dir)
         .foreach(n => if (committed % n == 0) checkpoint(spark, dir))
+      catch { case scala.util.control.NonFatal(_) => () }
     committed
   }
 

@@ -148,18 +148,33 @@ object UpsertWhere {
       }
     if (staged.isEmpty && touched.isEmpty)
       return Receipt(all.length, 0, all.length, 0, 0)
-    commitStaged(spark, dir, all, touched, staged)
+    // the widened pin is derived BEFORE staging so the staged files
+    // spell the evolved columns' PHYSICAL names: on a mapped table an
+    // evolved-in column takes a FRESH physical name (a re-added
+    // dropped name mapping physical = logical would resurrect the
+    // dead column's values out of old footers — same guard as
+    // DeletionVectors.upsert / CopyInto), and the staged write must
+    // agree with the pin that lands with the commit
+    val evolvedPin: Option[org.apache.spark.sql.types.StructType] =
+      if (fresh.isEmpty || !TxLog.exists(spark, dir)) None
+      else {
+        val base = TxLog.tableSchema(spark, dir).getOrElse {
+          org.apache.spark.sql.types.StructType(
+            TxLog.read(spark, dir).schema.fields.filterNot(f =>
+              fresh.exists(_.name == f.name)))
+        }
+        val merged0 =
+          org.apache.spark.sql.types.StructType(base.fields ++ fresh)
+        Some(
+          if (ColumnMapping.isMapped(base))
+            ColumnMapping.carryOver(spark, dir, merged0, base,
+              TxLog.currentVersion(spark, dir) + 1)
+          else merged0)
+      }
+    commitStaged(spark, dir, all, touched, staged, evolvedPin)
     // pin the widened schema AT the committed version so untouched
     // files (which lack the new column) read NULL deterministically
-    if (fresh.nonEmpty && TxLog.exists(spark, dir)) {
-      val base = TxLog.tableSchema(spark, dir).getOrElse {
-        org.apache.spark.sql.types.StructType(
-          TxLog.read(spark, dir).schema.fields.filterNot(f =>
-            fresh.exists(_.name == f.name)))
-      }
-      TxLog.setTableSchema(spark, dir,
-        org.apache.spark.sql.types.StructType(base.fields ++ fresh))
-    }
+    evolvedPin.foreach(TxLog.setTableSchema(spark, dir, _))
     Receipt(
       filesTotal = all.length,
       candidates = touched.length,
@@ -181,7 +196,9 @@ object UpsertWhere {
       dir: String,
       all: Seq[String],
       cand: Seq[String],
-      staged: DataFrame): Unit = {
+      staged: DataFrame,
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     TxLog.enforceConstraints(spark, dir, staged)
     // log-managed: base-aware URI → name resolution (shallow clones'
     // candidates live under the source root); unmanaged dirs keep the
@@ -195,7 +212,7 @@ object UpsertWhere {
         (all.map(DeleteWhere.relName(spark, dir, _)),
           cand.map(DeleteWhere.relName(spark, dir, _)))
     val pcols = DeleteWhere.partitionColsOf(relAll)
-    val stagedPhys = TxLog.stagePhysical(spark, dir, staged)
+    val stagedPhys = TxLog.stagePhysical(spark, dir, staged, pinOverride)
     if (pcols.nonEmpty) {
       Compact.stageRewriteHive(spark, dir, rel, op = Some("merge"),
         writeStage = stagePath =>

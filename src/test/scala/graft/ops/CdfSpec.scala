@@ -57,6 +57,27 @@ class CdfSpec extends SparkSpec {
       s"TIMESTAMP '$b', 'o_orderkey')"), byV))
   }
 
+  test("a timestamp window behind the retention horizon errors instead of replaying the horizon as inserts") {
+    val dir = freshTable() // v0
+    (1 to 3).foreach(i =>
+      DeleteWhere.range(spark, dir, "o_orderkey", i.toLong, i.toLong))
+    val before = TxLog.commitTimeMillis(spark, dir, 1) - 1
+    TxLog.checkpoint(spark, dir)
+    TxLog.vacuum(spark, dir, retainVersions = 1) // prunes v0..v2 away
+    // `before` is older than every retained commit AND the table is
+    // older than it — the floor must refuse, not hand back the whole
+    // horizon snapshot as fresh inserts
+    val e = intercept[IllegalArgumentException] {
+      TxLog.versionFloorAt(spark, dir, before)
+    }
+    assert(e.getMessage.contains("retention horizon"))
+    // a genuinely pre-birth timestamp on an UNPRUNED log still maps
+    // to -1 (replay the initial snapshot as inserts)
+    val dir2 = freshTable()
+    assert(TxLog.versionFloorAt(spark, dir2,
+      TxLog.commitTimeMillis(spark, dir2, 0) - 10) == -1)
+  }
+
   test("update images pair by key; one-sided rows stay insert/delete") {
     val dir = freshTable()
     val bump = orders.filter(pmod(col("o_orderkey"), lit(191)) === 0)

@@ -145,6 +145,43 @@ class CopyIntoSpec extends SparkSpec {
     assert(got.select("id").distinct().count() == nation.count())
     assert(got.agg(sum(when(col("id").isNull, 1).otherwise(0)))
       .head().getLong(0) == 0)
+    // and the payload landed by NAME, not shifted into the id slot
+    assert(got.select("n_name").exceptAll(nation.select("n_name")).isEmpty)
+  }
+
+  test("csv header mode maps by NAME: reordered and narrower feeds land correctly") {
+    val dir = freshTable(nation.schema)
+    // feed spells the columns REORDERED vs the pin — positional
+    // mapping would shift every value; name mapping must not
+    val src = Files.createTempDirectory("copyinto_hdr").toString + "/in"
+    nation.select("n_name", "n_regionkey", "n_nationkey")
+      .repartition(1).write.option("header", "true").csv(src)
+    CopyInto.copyInto(spark, dir, src, "csv", csvOpts)
+    assert(same(TxLog.snapshot(spark, dir), nation))
+    // a narrower feed (key + name only) NULL-fills the omitted column
+    val dir2 = freshTable(nation.schema)
+    val src2 = Files.createTempDirectory("copyinto_hdr2").toString + "/in"
+    nation.select("n_nationkey", "n_name")
+      .repartition(1).write.option("header", "true").csv(src2)
+    CopyInto.copyInto(spark, dir2, src2, "csv", csvOpts)
+    val got = TxLog.snapshot(spark, dir2)
+    assert(same(got.select("n_nationkey", "n_name"),
+      nation.select("n_nationkey", "n_name")))
+    assert(got.filter(col("n_regionkey").isNotNull).count() == 0)
+    // an unknown header column refuses (csv cannot evolve)
+    val src3 = Files.createTempDirectory("copyinto_hdr3").toString + "/in"
+    nation.withColumn("bogus", lit(1)).repartition(1)
+      .write.option("header", "true").csv(src3)
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, dir2, src3, "csv", csvOpts)
+    }
+    assert(e.getMessage.contains("bogus"))
+    // evolveSchema on csv refuses up front (fresh table — an
+    // already-ingested source would no-op before the check)
+    intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, freshTable(nation.schema), src2, "csv",
+        csvOpts, evolveSchema = true)
+    }
   }
 
   test("parquet schema evolution: batch-only columns widen with evolveSchema") {

@@ -74,6 +74,31 @@ class RewriteSchemaPinSpec extends SparkSpec {
       (10L, "j", Some("extra")), (11L, "k", Some("extra2"))))
   }
 
+  test("applyChanges evolution on a MAPPED table: a re-added dropped name does not resurrect dead values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("evolve_mapped").toString + "/t"
+    (1L to 6L).map(k => (k, s"v$k", s"dead$k")).toDF("k", "v", "c")
+      .repartition(1).write.parquet(dir)
+    TxLog.convert(spark, dir)
+    ColumnMapping.enable(spark, dir)
+    // drop c: its physical name stays burned into the existing file
+    graft.plans.GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$dir` DROP COLUMN c")
+    assert(!TxLog.read(spark, dir).columns.contains("c"))
+    // a replication feed re-introduces a column NAMED c — the evolved
+    // pin must give it a FRESH physical name, so pre-evolution rows
+    // read NULL (not the dead 'deadN' values out of the old footer)
+    val feed = Seq((7L, "v7", "new7", "insert"))
+      .toDF("k", "v", "c", "change_type")
+    UpsertWhere.applyChanges(spark, dir, "k", feed)
+    val got = TxLog.read(spark, dir)
+    assert(got.columns.contains("c"))
+    assert(got.filter(col("k") === 7L).head().getAs[String]("c") == "new7")
+    assert(got.filter(col("k") < 7L && col("c").isNotNull).count() == 0,
+      "dead pre-drop values resurrected through the re-added name")
+  }
+
   test("schema pin lands at the committed version, after the commit") {
     val dir = freshDir("pinv")
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir)

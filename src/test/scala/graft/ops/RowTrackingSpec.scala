@@ -37,6 +37,35 @@ class RowTrackingSpec extends SparkSpec {
     dir
   }
 
+  test("a seen entry REMOVED by a concurrent commit conflicts (no resurrection via re-ADD)") {
+    val dir = fresh()
+    val entry = TxLog.liveEntries(spark, dir).head
+    // enable()'s backfill shape: re-ADD a seen entry with removes=Nil.
+    // Simulate a racing compaction landing FIRST: the seen file is
+    // gone, so committing the re-ADD would resurrect its rows beside
+    // their packed copies — it must conflict instead.
+    Compact.binPack(spark, dir,
+      targetBytes = 256L << 20, smallBytes = 256L << 20)
+    assert(!TxLog.liveEntries(spark, dir).exists(_.name == entry.name))
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitEntries(spark, dir,
+        adds = Seq(entry.copy(rowBase = Some(1000000L))),
+        removes = Nil, seen = Seq(entry), op = Some("test-backfill"))
+    }
+  }
+
+  test("readAt on a created-empty tracked table reads empty (keyless CDC's initial batch)") {
+    val dir = Files.createTempDirectory("rowtrk_empty").toString + "/t"
+    TxLog.convert(spark, dir)
+    TxLog.setTableSchema(spark, dir,
+      Seq((1L, "a")).toDF("k", "v").schema, 0)
+    RowTracking.enable(spark, dir)
+    val got = RowTracking.readAt(spark, dir, 0)
+    assert(got.isEmpty)
+    assert(got.columns.toSet ==
+      Set("k", "v", RowTracking.Col, RowTracking.VerCol))
+  }
+
   test("fresh appends: position-derived ids, dense per file, unique; hidden from plain reads") {
     val dir = fresh(20, 2)
     val got = RowTracking.read(spark, dir)
