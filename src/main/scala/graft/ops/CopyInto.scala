@@ -20,12 +20,17 @@ import org.apache.spark.sql.SparkSession
   *   1. the ledger shard (`ingest.<id>.txt`, one qualified source
   *      path per line) writes FIRST;
   *   2. the staged data files move in;
-  *   3. ONE commit lands carrying txn `copyinto:<id>`.
-  * A shard counts only when its txn committed, so a crash after (1)
-  * or (2) leaves an invalid shard (ignored — its files re-ingest next
-  * run, no loss) plus at worst orphan data files no snapshot
-  * references (vacuum-clears them). A crash after (3) is a completed
-  * load. Double-ingestion is impossible in every window; the probe is
+  *   3. an evolving load writes its widened schema pin (keyed to the
+  *      version about to land — inert until a commit reaches it);
+  *   4. ONE commit lands carrying txn `copyinto:<id>`.
+  * A shard counts only when its txn committed, so a crash after
+  * (1)–(3) leaves an invalid shard (ignored — its files re-ingest
+  * next run, no loss) plus at worst orphan data files no snapshot
+  * references (vacuum-clears them) and, after (3), a benign one-
+  * commit-early schema widen. A crash after (4) is a completed load
+  * with the pin already durable — no window leaves committed rows
+  * whose evolved column is unreadable. Double-ingestion is
+  * impossible in every window; the probe is
   * [[TxLog.txnCommitted]], the same one that makes streaming epoch
   * replay a no-op — and it survives log pruning via the checkpoint's
   * cumulative txn set.
@@ -137,27 +142,62 @@ object CopyInto {
           // user-schema csv read is POSITIONAL (enforceSchema), so
           // naively pinning the table schema onto a feed whose file
           // spells fewer/reordered columns would silently shift every
-          // value. Read the header (names only — no data pass), build
-          // the schema IN FILE ORDER with the pinned types, then
-          // null-fill omitted pinned columns and project pinned order.
-          val names = spark.read.options(options)
-            .csv(fresh: _*).schema.fieldNames.toSeq
-          require(names.distinct.size == names.size,
-            s"copyInto: csv header repeats a column (${names.mkString(", ")})")
+          // value. And a single BATCH may mix header orders (two
+          // producers, or a reorder between waves one run picks up) —
+          // one schema inferred from the first file and applied
+          // positionally to all would shift the others' values. So:
+          // GROUP the files by identical raw header line (one small
+          // distributed read per fresh file — the batch is already
+          // O(files) to list), parse names once per distinct header
+          // via Spark's own csv header resolution (honors sep/quote/
+          // charset options), run one schema-driven read per group,
+          // and union the groups in pinned column order.
+          val headerOf: Map[String, String] = spark.sparkContext
+            .parallelize(fresh,
+              math.max(1, math.min(fresh.length, 64)))
+            .map { f =>
+              val p = new Path(f)
+              val hfs = p.getFileSystem(
+                new org.apache.hadoop.conf.Configuration())
+              val in = hfs.open(p)
+              try {
+                // raw bytes to the first \n (1 MiB cap), decoded
+                // byte-preserving — an EQUIVALENCE key for grouping,
+                // not a parse; identical headers yield identical
+                // prefixes under any charset or quoting
+                val buf = new java.io.ByteArrayOutputStream()
+                var b = in.read()
+                while (b >= 0 && b != '\n' && buf.size < (1 << 20)) {
+                  buf.write(b); b = in.read()
+                }
+                f -> new String(buf.toByteArray,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+              } finally in.close()
+            }.collect().toMap
+          val groups = fresh.groupBy(headerOf).values.toSeq
+            .map(_.sorted).sortBy(_.head)
           val have = logical.fieldNames.toSet
-          val unknown = names.filterNot(have)
-          require(unknown.isEmpty,
-            s"copyInto: csv feed carries columns the table lacks " +
-              s"(${unknown.mkString(", ")}) — csv cannot evolve the " +
-              "schema; align the feed")
-          val fileSchema = org.apache.spark.sql.types.StructType(
-            names.map(n => logical(n)))
-          val df = reader.schema(fileSchema).csv(fresh: _*)
-          val batchNames = names.toSet
-          logical.fieldNames.filterNot(batchNames)
-            .foldLeft(df)((d, n) =>
-              d.withColumn(n, lit(null).cast(logical(n).dataType)))
-            .select(logical.fieldNames.toSeq.map(col): _*)
+          val parts = groups.map { files =>
+            val names = spark.read.options(options)
+              .csv(files.head).schema.fieldNames.toSeq
+            require(names.distinct.size == names.size,
+              s"copyInto: csv header of ${files.head} repeats a " +
+                s"column (${names.mkString(", ")})")
+            val unknown = names.filterNot(have)
+            require(unknown.isEmpty,
+              s"copyInto: csv feed ${files.head} carries columns the " +
+                s"table lacks (${unknown.mkString(", ")}) — csv " +
+                "cannot evolve the schema; align the feed")
+            val fileSchema = org.apache.spark.sql.types.StructType(
+              names.map(n => logical(n)))
+            val df = reader.schema(fileSchema).csv(files: _*)
+            val batchNames = names.toSet
+            logical.fieldNames.filterNot(batchNames)
+              .foldLeft(df)((d, n) =>
+                d.withColumn(n, lit(null).cast(logical(n).dataType)))
+              .select(logical.fieldNames.toSeq.map(col): _*)
+          }
+          parts.reduce(_.unionByName(_))
         }
       case "json" =>
         require(!evolveSchema,
@@ -257,11 +297,31 @@ object CopyInto {
         throw new java.io.IOException(s"copyInto: cannot move $n into $dir")
     }
     tfs.delete(stage, true)
-    val v = TxLog.commit(spark, dir, adds = names, removes = Nil,
-      txn = Some(txnOf(id)), op = Some(s"copy-into(${fresh.size} files)"))
-    // the widened pin moves WITH the commit that landed the wider
-    // rows; pre-evolution snapshots keep their own width
-    evolvedTo.foreach(m => TxLog.setTableSchema(spark, dir, m, v))
+    // the widened pin writes BEFORE the commit, keyed to the version
+    // about to land: pinning after would open a crash window where
+    // the batch's files are ledger-committed (never re-ingested) but
+    // the pin never widened — on a mapped table the evolved column's
+    // fresh physical name then reads NULL forever. A pin on a
+    // version nobody landed yet is inert for every existing snapshot;
+    // if the commit retries past it (a concurrent writer took the
+    // version), newest-pin-≤-v semantics still cover the landing
+    // commit, the interleaved versions merely show the wider schema
+    // a commit early (new column all-NULL — benign). On commit
+    // FAILURE the pin is retracted; a crash leaves at worst that
+    // same benign pre-widen, never unreadable data.
+    val pinnedAt = evolvedTo.map { m =>
+      val at = TxLog.currentVersion(spark, dir) + 1
+      TxLog.setTableSchema(spark, dir, m, at)
+      at
+    }
+    val v =
+      try TxLog.commit(spark, dir, adds = names, removes = Nil,
+        txn = Some(txnOf(id)), op = Some(s"copy-into(${fresh.size} files)"))
+      catch {
+        case e: Throwable =>
+          pinnedAt.foreach(TxLog.unsetTableSchema(spark, dir, _))
+          throw e
+      }
     Result(v, fresh.size, rows, listed.size - fresh.size)
   }
 }

@@ -107,8 +107,14 @@ object JoinMv {
         val b = feedD.agg(min(col(k).cast("double")),
           max(col(k).cast("double"))).head()
         if (b.isNullAt(0)) whole.limit(0)
+        // the double cast ROUNDS integral keys beyond 2^53 (≤½ ULP
+        // each way) — a rounded-up min / rounded-down max could prune
+        // a file holding a true changed key, silently dropping rows
+        // from the F_old term. Widening each bound a full ULP covers
+        // the rounding of both the key and the file's stored stats;
+        // at worst one extra file scans.
         else TxLog.snapshotPruned(spark, factDir, k,
-          b.getDouble(0), b.getDouble(1), fromF)
+          Math.nextDown(b.getDouble(0)), Math.nextUp(b.getDouble(1)), fromF)
       } else whole
     }
     val cols = (keep :+ "change_type").map(col)

@@ -428,6 +428,25 @@ object TxLog {
   private def floorByTime(
       spark: SparkSession, dir: String, sorted: Seq[Int],
       tsMillis: Long): Int = {
+    // the search needs MONOTONIC commit times. In-commit stamps are
+    // monotonic by construction; pre-stamp commits fall back to file
+    // mtimes, and a copied/rsync'd log resets those to the copy time
+    // — LATER than subsequent in-commit stamps, so a mixed range is
+    // not sorted and a binary search over it silently answers a wrong
+    // floor. Stamping is a cut: once the first stamped commit lands,
+    // every later one is stamped — so the oldest retained commit
+    // lacking a stamp is the one head-read that tells us pre-stamp
+    // history survives. When it does, degrade to the order-insensitive
+    // linear scan (largest version with time ≤ ts under ANY mtime
+    // shuffling); O(n) head-reads, the pre-optimization cost, and only
+    // on logs whose retention still spans the stamp cut.
+    if (sorted.nonEmpty && !commitHasStamp(spark, dir, sorted.head)) {
+      var ans = -1
+      sorted.foreach { v =>
+        if (commitTimeMillis(spark, dir, v) <= tsMillis) ans = v
+      }
+      return ans
+    }
     var lo = 0
     var hi = sorted.length - 1
     var ans = -1
@@ -438,6 +457,21 @@ object TxLog {
       } else hi = mid - 1
     }
     ans
+  }
+
+  /** Whether commit `v` carries an in-commit `TS` stamp (head-read,
+    * two lines) — the monotonicity witness [[floorByTime]] gates its
+    * binary search on.
+    */
+  private def commitHasStamp(
+      spark: SparkSession, dir: String, v: Int): Boolean = {
+    val fs = Compact.fsOf(spark, dir)
+    val in = fs.open(versionFilePath(dir, v))
+    val head =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .take(2).toList
+      finally in.close()
+    head.exists(_.startsWith("TS "))
   }
 
   /** Commit `v`'s wall-clock time: the in-commit `TS` stamp when the
@@ -1138,6 +1172,23 @@ object TxLog {
     val out = fs.create(dest, true)
     try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Remove the schema pin at exactly `version` (no-op when absent) —
+    * the cleanup half of write-pin-THEN-commit: a writer that pins
+    * its evolution at the version it is about to land can retract the
+    * pin when the commit fails, instead of leaving a pre-widened
+    * schema on a version it never created.
+    */
+  private[graft] def unsetTableSchema(
+      spark: SparkSession, dir: String, version: Int): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    val dest = branchOf(dir) match {
+      case Some((name, base)) if version > base =>
+        new Path(logPath(dir), s"$BranchPrefix$name.${schemaFileName(version)}")
+      case _ => new Path(logPath(dir), schemaFileName(version))
+    }
+    fs.delete(dest, false)
   }
 
   /** The pinned schema in effect at `version` (newest pin ≤ version);

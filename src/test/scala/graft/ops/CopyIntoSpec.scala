@@ -184,6 +184,40 @@ class CopyIntoSpec extends SparkSpec {
     }
   }
 
+  test("csv header mode: ONE batch mixing header orders groups per header, no value shift") {
+    // two producers land files with DIFFERENT column orders in the
+    // same wave — a single positional schema (inferred from whichever
+    // file lists first) would silently shift the other file's values;
+    // the per-header grouping must land both correctly in one load
+    val dir = freshTable(nation.schema)
+    val zone = Files.createTempDirectory("copyinto_mix").toString + "/in"
+    val zfs = Compact.fsOf(spark, zone)
+    zfs.mkdirs(new org.apache.hadoop.fs.Path(zone))
+    def landAs(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("copyinto_mix_part").toString + "/w"
+      df.repartition(1).write.option("header", "true").csv(tmp)
+      val part = zfs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      assert(zfs.rename(part, new org.apache.hadoop.fs.Path(zone, name)))
+    }
+    val below = nation.filter(col("n_nationkey") < 10)
+    val above = nation.filter(col("n_nationkey") >= 10)
+    landAs(below.select("n_name", "n_nationkey", "n_regionkey"),
+      "a_producer1.csv")
+    landAs(above.select("n_regionkey", "n_nationkey", "n_name"),
+      "b_producer2.csv")
+    val r = CopyInto.copyInto(spark, dir, zone, "csv", csvOpts)
+    assert(r.filesLoaded == 2)
+    assert(same(TxLog.snapshot(spark, dir), nation))
+    // one bad header among good ones refuses naming the FILE
+    landAs(below.limit(1).withColumn("bogus", lit(1)), "c_bad.csv")
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, dir, zone, "csv", csvOpts)
+    }
+    assert(e.getMessage.contains("bogus") &&
+      e.getMessage.contains("c_bad.csv"))
+  }
+
   test("parquet schema evolution: batch-only columns widen with evolveSchema") {
     val dir = freshTable(nation.schema)
     val src = Files.createTempDirectory("copyinto_ev").toString + "/in"

@@ -133,6 +133,36 @@ class TagsSpec extends SparkSpec {
     assert(ts == ts.sorted.reverse && ts.distinct.size == ts.size)
   }
 
+  test("pre-stamp commits in a copied log: AS OF degrades to the order-insensitive scan") {
+    val dir = table(4) // v0..v3, all stamped
+    val fs = Compact.fsOf(spark, dir)
+    val log = new org.apache.hadoop.fs.Path(dir, "_txlog")
+    // simulate LEGACY history that was later rsync'd: strip the
+    // in-commit stamp from v0/v1 (pre-stamp commits) and reset their
+    // mtimes to the copy time — LATER than v2/v3's stamps, so the
+    // retained range's times are NOT monotonic and a binary search
+    // over them answers a wrong floor (here -1: both midpoint probes
+    // land on the reset prefix)
+    Seq(0, 1).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(log, f"v$v%08d.txt")
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filterNot(_.startsWith("TS ")).mkString("\n")
+        finally in.close()
+      val out = fs.create(p, true)
+      out.write(body.getBytes("UTF-8")); out.close()
+      fs.setTimes(p, System.currentTimeMillis() + 3600L * 1000, -1)
+    }
+    val t2 = TxLog.commitTimeMillis(spark, dir, 2)
+    val t3 = TxLog.commitTimeMillis(spark, dir, 3)
+    assert(TxLog.versionAsOf(spark, dir, t2) == 2)
+    assert(TxLog.versionAsOf(spark, dir, t3) == 3)
+    // and a ts past everything still answers the newest version
+    assert(TxLog.versionAsOf(spark, dir,
+      System.currentTimeMillis() + 7200L * 1000) == 3)
+  }
+
   test("auto-checkpoint policy: every N-th commit folds the log in-line") {
     GraftExtensions.installInto(spark)
     val dir = table(1) // v0 only
