@@ -101,6 +101,19 @@ object Bench {
     // 2.8 s re-measured).
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // Table-creating lifecycle queries pay a first-rep cold cost
+    // (fresh TxLog dir + ledger + codegen for paths nothing else
+    // exercises) that interleaving cannot amortize — r16's one
+    // min/median escapee over the ≤1.5× spread target was q_rowids at
+    // 2.83× while its plan audits clean. One DISCARDED warm rep
+    // before timing puts every timed sample on the warm path; the
+    // warm rep's table is recreated by each timed rep anyway (the
+    // body deletes + rebuilds its own dir).
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM_QUERIES", "q_rowids")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    queries.foreach { case (name, fn) =>
+      if (warm(name)) { timeOnce(name, fn); () }
+    }
     (1 to reps).foreach { _ =>
       queries.foreach { case (name, fn) => samples(name) ::= timeOnce(name, fn) }
     }

@@ -3027,6 +3027,60 @@ object Queries {
       round(col("sum_price"), 2).as("sum_price"))
   }
 
+  /** Incremental join view with MIN/MAX measures
+    * ([[graft.ops.JoinMv.follow]] `minMaxCols`): three advances —
+    * a grow-only one (fresh high-price facts extend maxes in place,
+    * no source read), a DELETE that removes every sub-1000 fact row
+    * (grow-only state cannot answer; the hit groups recompute their
+    * extremes from the post-change JOINED rows), and a dim-side
+    * segment move (the %97 customers' facts change groups through
+    * the F_old ⋈ ΔD term, extremes following). Hash-green = the
+    * cursor-driven view equals DuckDB's direct min/max/sum/count of
+    * the final joined state.
+    */
+  def qJoinMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val root = s"$indexQueryDir/joinmv_minmax"
+    val fsp = new org.apache.hadoop.fs.Path(root)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val f = s"$root/fact"; val d = s"$root/dim"
+    o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(f)
+    graft.ops.TxLog.convert(s, f)
+    c.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+      .repartition(2).write.parquet(d)
+    graft.ops.TxLog.convert(s, d)
+    val store = new graft.sources.ParquetStore(s, s"$root/state")
+    val K = Seq("o_custkey"); val G = Seq("seg"); val M = Seq("price")
+    def follow() = graft.ops.JoinMv.follow(
+      store, "rev", f, d, K, G, M, minMaxCols = M)
+    follow() // seed
+    // grow-only advance: fresh top-price facts, no removals
+    graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
+      o.filter(col("o_orderkey") < 5).select(
+        (col("o_orderkey") + 1000000L).as("o_orderkey"),
+        col("o_custkey"), lit(1000000.0).as("price")))
+    follow()
+    // dirty advance: DELETE every sub-1000 fact row — most groups
+    // lose their stored MIN and must recompute through the join
+    graft.ops.DeleteWhere.where(s, f, col("price") < 1000.0)
+    follow()
+    // dim-side advance: %97 customers change segment
+    graft.ops.UpsertWhere.byKeys(s, d, "o_custkey",
+      graft.ops.TxLog.snapshot(s, d)
+        .filter(pmod(col("o_custkey"), lit(97)) === 0)
+        .withColumn("seg", lit("MOVEDMM")))
+    follow()
+    follow() // no-op
+    graft.ops.JoinMv.read(store, "rev").select(col("seg"), col("n"),
+      round(col("sum_price"), 2).as("sum_price"),
+      col("min_price"), col("max_price"))
+  }
+
   /** The log→MV loop CLOSED ([[graft.ops.MvStore.followTxLog]] over
     * [[graft.ops.TxLog.diffSince]]): where q_txlog_mv hand-lists its
     * version pairs, here the view carries a persisted CURSOR — seed
@@ -5069,6 +5123,67 @@ object Queries {
         li("l_quantity"), ord("o_totalprice"))
   }
 
+  /** Per-table TYPE WIDENING in a DbLog database
+    * ([[graft.ops.DbLog.alterColumnType]]): `li.l_quantity` seeds as
+    * INT, renames to `qty` (column mapping freezes the physical
+    * name), then widens INT→BIGINT — metadata-only, the sibling
+    * table `ord` keeps no pin at all. A post-widen MULTI-TABLE txn
+    * appends qty values beyond INT range to `li` and fresh keys to
+    * `ord` in one commit; a narrowing attempt must refuse; and the
+    * pre-evolution AS OF cut must read the narrow type under its old
+    * name at one consistent cross-table version. DuckDB replays the
+    * final join with explicit CASTs; the AS OF cut rides along as
+    * scalar leak detectors.
+    */
+  def qDblogWiden(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val li0 = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("l_quantity"))
+    val ord0 = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = s"$indexQueryDir/dblog_widen"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, p)
+    graft.ops.DbLog.transact(s, p, "seed") { txn =>
+      txn.append("li", li0)
+      txn.append("ord", ord0)
+    }
+    val vSeed = graft.ops.DbLog.currentVersion(s, p)
+    // rename THEN widen: the retype keeps the frozen physical name
+    graft.ops.DbLog.renameColumn(s, p, "li", "l_quantity", "qty")
+    graft.ops.DbLog.alterColumnType(s, p, "li", "qty", LongType)
+    require(scala.util.Try(graft.ops.DbLog.alterColumnType(
+        s, p, "li", "qty", IntegerType)).isFailure,
+      "dblog_widen: narrowing BIGINT -> INT must refuse")
+    require(graft.ops.DbLog.tableSchema(s, p, "ord").isEmpty,
+      "dblog_widen: the sibling table must stay unpinned (untouched)")
+    graft.ops.DbLog.transact(s, p, "post-widen") { txn =>
+      txn.append("li", li0.filter(col("l_orderkey") < 200)
+        .select((col("l_orderkey") + 90000000L).as("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_quantity").cast("long") + 3000000000L).as("qty")))
+      txn.append("ord", ord0.filter(col("o_orderkey") < 200)
+        .withColumn("o_orderkey", col("o_orderkey") + 90000000L))
+    }
+    // the pre-evolution cut: narrow type, old name, both tables at
+    // ONE shared version — the cross-table AS OF consistency claim
+    val liOld = graft.ops.DbLog.snapshot(s, p, "li", vSeed)
+    require(liOld.schema("l_quantity").dataType == IntegerType,
+      "dblog_widen: AS OF before the widen must read INT")
+    val preLi = liOld.count()
+    val preOrd = graft.ops.DbLog.snapshot(s, p, "ord", vSeed).count()
+    val li = graft.ops.DbLog.snapshot(s, p, "li")
+    require(li.schema("qty").dataType == LongType,
+      "dblog_widen: the current snapshot must read BIGINT")
+    val ord = graft.ops.DbLog.snapshot(s, p, "ord")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+      .select(li("l_orderkey"), li("l_linenumber"), li("qty"),
+        ord("o_totalprice"))
+      .withColumn("pre_li_rows", lit(preLi))
+      .withColumn("pre_ord_rows", lit(preOrd))
+  }
+
   /** ROW TRACKING ([[graft.ops.RowTracking]]): stable `_row_id`s that
     * survive rewrites. Three sorted single-partition appends give
     * deterministic position-derived ids (file base + row index); a
@@ -5111,6 +5226,72 @@ object Queries {
       .localCheckpoint()
     graft.ops.DeletionVectors.upsert(s, p, upd, keyCols = Seq("c_custkey"))
     graft.ops.RowTracking.read(s, p)
+  }
+
+  /** Row-id-keyed replication ([[graft.ops.TxLog.replicateByRowId]]):
+    * a row-tracked source replicates KEYLESSLY — the stable `_row_id`
+    * is the merge key, so no user column is chosen (or renamed out
+    * from under the pipeline). Lifecycle: three sorted appends (the
+    * deterministic-id discipline of q_rowids), full resync, CoW
+    * delete + MOR update advanced in one hop, a compaction advance
+    * that must replicate as NOTHING (identical (row, id) pairs net to
+    * an empty feed — asserted on the replica's version), then a
+    * mapped RENAME on the source mid-stream followed by a post-rename
+    * update — the replica follows the new spelling and the id key
+    * never breaks. DuckDB replays the final replica, ids included,
+    * with row_number arithmetic over the original append order.
+    */
+  def qReplicateRowid(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val src = s"$indexQueryDir/replrow_src"
+    val dst = s"$indexQueryDir/replrow_dst"
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(src, dst).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(conf).delete(fsp, true)
+    }
+    graft.ops.TxLog.convert(s, src) // v0
+    graft.ops.TxLog.setTableSchema(s, src, c.schema, 0)
+    graft.ops.RowTracking.enable(s, src)
+    def sorted1(df: DataFrame) =
+      df.repartition(1).sortWithinPartitions("c_custkey")
+    graft.ops.TxLog.append(s, src, // ids 0..nE-1
+      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
+    graft.ops.TxLog.append(s, src, // ids nE..n-1
+      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
+    graft.ops.TxLog.append(s, src, // ids n..
+      sorted1(c.filter(col("c_custkey") <= 30)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)))
+    require(graft.ops.TxLog.replicateByRowId(s, src, dst)._1 == -1)
+    // churn: CoW delete + MOR update, replicated in one cursor hop
+    graft.ops.DeleteWhere.where(s, src,
+      pmod(col("c_custkey"), lit(7)) === 0)
+    val upd = graft.ops.TxLog.snapshot(s, src)
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .localCheckpoint()
+    graft.ops.DeletionVectors.upsert(s, src, upd,
+      keyCols = Seq("c_custkey"))
+    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    // compaction must replicate as NOTHING: the replica version holds
+    val dstV = graft.ops.TxLog.currentVersion(s, dst)
+    graft.ops.Compact.binPack(s, src, smallBytes = 8L << 20)
+    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
+      "replicate_rowid: a compaction advance must commit nothing")
+    // mapped rename mid-stream + a post-rename update; the replica
+    // follows the spelling, the id key survives by construction
+    graft.ops.ColumnMapping.renameColumn(s, src, "c_acctbal", "bal")
+    val upd2 = graft.ops.TxLog.snapshot(s, src)
+      .filter(pmod(col("c_custkey"), lit(13)) === 0)
+      .withColumn("bal", col("bal") + 7)
+      .localCheckpoint()
+    graft.ops.DeletionVectors.upsert(s, src, upd2,
+      keyCols = Seq("c_custkey"))
+    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    graft.ops.TxLog.snapshot(s, dst)
+      .select(col("c_custkey"), col("c_name"), col("bal"),
+        col(graft.ops.RowTracking.Col))
   }
 
   /** IDENTITY `GENERATED BY DEFAULT` ([[graft.ops.IdentityColumns]]):

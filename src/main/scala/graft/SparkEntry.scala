@@ -198,11 +198,14 @@ object SparkEntry {
     "q_identity" -> (Queries.qIdentity _),
     "q_identity_default" -> (Queries.qIdentityDefault _),
     "q_rowids" -> (Queries.qRowIds _),
+    "q_replicate_rowid" -> (Queries.qReplicateRowid _),
     "q_dblog_colmap" -> (Queries.qDblogColmap _),
+    "q_dblog_widen" -> (Queries.qDblogWiden _),
     "q_clone_rename" -> (Queries.qCloneRename _),
     "q_copy_into" -> (Queries.qCopyInto _),
     "q_cluster_by" -> (Queries.qClusterBy _),
     "q_joinmv" -> (Queries.qJoinMv _),
+    "q_joinmv_minmax" -> (Queries.qJoinMvMinmax _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
     "q_auto_columns" -> (Queries.qAutoColumns _),
@@ -2435,6 +2438,62 @@ object Oracles {
                 ord.o_totalprice
          FROM li LEFT JOIN ord ON li.l_orderkey = ord.o_orderkey""",
 
+    // per-table type widening in a DbLog database: li.l_quantity
+    // seeds INT, renames to qty, widens to BIGINT (metadata-only,
+    // sibling ord unpinned); a post-widen multi-table txn appends
+    // beyond-INT qty values; the AS OF cut rides as scalars
+    "q_dblog_widen" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+                  CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty
+           FROM lineitem WHERE l_orderkey < 2000
+           UNION ALL
+           SELECT l_orderkey + 90000000 AS l_orderkey, l_linenumber,
+                  CAST(CAST(l_quantity AS INT) AS BIGINT) + 3000000000 AS qty
+           FROM lineitem WHERE l_orderkey < 200
+         ),
+         ord AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderkey + 90000000 AS o_orderkey, o_totalprice
+           FROM orders WHERE o_orderkey < 200
+         ),
+         pre AS (
+           SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey < 2000)
+                    AS pre_li_rows,
+                  (SELECT count(*) FROM orders) AS pre_ord_rows
+         )
+         SELECT li.l_orderkey, li.l_linenumber, li.qty,
+                ord.o_totalprice, pre.pre_li_rows, pre.pre_ord_rows
+         FROM li LEFT JOIN ord ON li.l_orderkey = ord.o_orderkey
+         CROSS JOIN pre""",
+
+    // join MV with min/max measures: grow advance (fresh 1000000.0
+    // prices), a delete of every sub-1000 fact row (dirty-group
+    // recompute through the join), then a %97 dim segment move —
+    // DuckDB aggregates the final joined state directly
+    "q_joinmv_minmax" ->
+      """WITH fact AS (
+           SELECT o_orderkey, o_custkey, o_totalprice AS price
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+                  1000000.0 AS price
+           FROM orders WHERE o_orderkey < 5
+         ),
+         f2 AS (SELECT * FROM fact WHERE NOT (price < 1000.0)),
+         dim AS (
+           SELECT c_custkey AS o_custkey,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN 'MOVEDMM' ELSE c_mktsegment END AS seg
+           FROM customer
+         )
+         SELECT seg, count(*) AS n,
+                ROUND(SUM(price), 2) AS sum_price,
+                MIN(price) AS min_price, MAX(price) AS max_price
+         FROM f2 JOIN dim USING (o_custkey)
+         GROUP BY seg""",
+
     // COPY INTO: the ledger makes the replayed load a no-op and the
     // incremental load pick up only the new files — the final
     // snapshot is exactly nation, once
@@ -2508,6 +2567,42 @@ object Oracles {
                 rid AS "_row_id",
                 CAST(CASE WHEN c_custkey % 10 = 0 THEN 6
                           ELSE born END AS BIGINT) AS "_row_commit_version"
+         FROM base WHERE c_custkey % 7 <> 0""",
+
+    // row-id-keyed replication: the replica equals the source's final
+    // state — delete %7, +1000 on %10, rename c_acctbal->bal, +7 on
+    // %13 — with every surviving row still wearing its born id
+    // (row_number arithmetic over the original append order)
+    "q_replicate_rowid" ->
+      """WITH evens AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         odds AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         ),
+         news AS (
+           SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey <= 30
+         ),
+         base AS (
+           SELECT c_custkey, c_name, c_acctbal, rn - 1 AS rid FROM evens
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal,
+                  (SELECT count(*) FROM evens) + rn - 1 FROM odds
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal,
+                  (SELECT count(*) FROM customer) + rn - 1 FROM news
+         )
+         SELECT c_custkey, c_name,
+                CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                     ELSE c_acctbal END
+                + CASE WHEN c_custkey % 13 = 0 THEN 7 ELSE 0 END AS bal,
+                rid AS "_row_id"
          FROM base WHERE c_custkey % 7 <> 0""",
 
     // identity GENERATED BY DEFAULT (START 10 STEP 5): batch 1 engine-

@@ -48,11 +48,20 @@ import org.apache.spark.sql.SparkSession
   * large to list whole are partitioned by convention (e.g. dated
   * prefixes) and copied per-prefix via `pattern`.
   *
-  * Concurrency bound (same as Delta's COPY INTO): two loaders racing
-  * on ONE zone can both see a file as fresh and both load it — the
-  * ledger dedupes re-RUNS, not concurrent racers. Run one loader per
-  * zone (or per disjoint `pattern`); the commit itself stays safe
-  * under any concurrency, only dedup needs the single-loader bound.
+  * Multi-loader concurrency (beyond Delta's single-loader bound): N
+  * loaders may split one zone. Disjoint `pattern`s never meet; on a
+  * SHARED pattern, racing loaders serialize per source file through
+  * kernel-atomic CLAIM files (`claim.<digest>.txt` beside the ledger,
+  * landed with the version files' no-overwrite primitive): each
+  * loader ingests only the files it claimed, a file claimed by a
+  * live racer is skipped (it loads exactly once, by the claim
+  * winner), and a claim whose load CRASHED is stolen after its lease
+  * expires (`claimLeaseMs` — the crashed batch's files re-ingest
+  * then, no loss). The one remaining bound is the lease itself: a
+  * load stalled past its lease can be stolen mid-flight and that
+  * file double-loads — size the lease above the slowest plausible
+  * load, the standard lease trade every claim-based loader makes.
+  * The commit stays safe under any concurrency regardless.
   */
 object CopyInto {
 
@@ -64,7 +73,78 @@ object CopyInto {
       version: Int, filesLoaded: Int, rowsLoaded: Long, filesSkipped: Int)
 
   private val ShardPrefix = "ingest."
+  private val ClaimPrefix = "claim."
   private def txnOf(id: String) = s"copyinto:$id"
+
+  private def digestOf(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The per-file multi-loader handshake: claim each candidate with
+    * the kernel-atomic no-overwrite primitive; keep the files THIS
+    * loader won. A lost claim is skipped when its holder is live
+    * (younger than `leaseMs`) or already committed (its claim is
+    * cleaned up in passing); a STALE claim — a crashed load — is
+    * stolen by deleting it and re-claiming, where the delete+claim
+    * race itself serializes on the same primitive. Driver-side,
+    * O(batch) tiny FS ops — the same bound as the listing.
+    */
+  private def claimFresh(
+      spark: SparkSession,
+      dir: String,
+      id: String,
+      fresh: Seq[String],
+      leaseMs: Long): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val logDir = new Path(dir, "_txlog")
+    val now = System.currentTimeMillis()
+    def tryClaim(dest: Path): Boolean = {
+      val tmp =
+        new Path(logDir, s".${dest.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$id\n$now".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      TxLog.atomicClaim(fs, tmp, dest)
+    }
+    fresh.filter { f =>
+      val dest = new Path(logDir, s"$ClaimPrefix${digestOf(f)}.txt")
+      if (tryClaim(dest)) true
+      else {
+        // lost: read the holder — committed loads free their claim
+        // lazily, live loads hold it, crashed loads age out
+        val holder = TxLog.metaRead(spark, dir, dest.getName)
+          .map(_.linesIterator.toList)
+        holder match {
+          case Some(hid :: ts :: _) =>
+            if (TxLog.txnCommitted(spark, dir, txnOf(hid))) {
+              fs.delete(dest, false) // committed: claim is residue
+              false // and the file is in the ledger — not fresh
+            } else if (now - ts.toLong < leaseMs) false // live racer
+            else { // stale: steal (delete + re-claim serializes)
+              fs.delete(dest, false)
+              tryClaim(dest)
+            }
+          case _ => false // vanished/garbled under us: skip this run
+        }
+      }
+    }
+  }
+
+  /** Release this load's claims (post-commit: the ledger shard now
+    * answers dedup; pre-commit failure: the files must become
+    * claimable again immediately, not after a lease).
+    */
+  private def releaseClaims(
+      spark: SparkSession, dir: String, files: Seq[String]): Unit = {
+    val fs = Compact.fsOf(spark, dir)
+    val logDir = new Path(dir, "_txlog")
+    files.foreach { f =>
+      fs.delete(new Path(logDir, s"$ClaimPrefix${digestOf(f)}.txt"), false)
+    }
+  }
 
   /** Source files already committed into `dir` — the union of every
     * ledger shard whose transaction landed. Shards whose txn never
@@ -99,7 +179,8 @@ object CopyInto {
       options: Map[String, String] = Map.empty,
       pattern: String = "*",
       force: Boolean = false,
-      evolveSchema: Boolean = false): Result = {
+      evolveSchema: Boolean = false,
+      claimLeaseMs: Long = 30L * 60 * 1000): Result = {
     require(TxLog.exists(spark, dir),
       s"copyInto: $dir is not TxLog-managed — create the table first " +
         "(CREATE TABLE / TxLog.convert + setTableSchema)")
@@ -114,9 +195,22 @@ object CopyInto {
       .sorted
     val done =
       if (force) Set.empty[String] else ingestedFiles(spark, dir).toSet
-    val fresh = listed.filterNot(done)
+    val candidates = listed.filterNot(done)
+    val id = java.util.UUID.randomUUID.toString
+    // multi-loader handshake (skipped under force — deliberate
+    // re-loading has no exactly-once story to defend): keep only the
+    // files THIS loader's claims won; a racing loader on the same
+    // pattern holds the rest and loads them itself
+    val fresh =
+      if (force) candidates
+      else claimFresh(spark, dir, id, candidates, claimLeaseMs)
     if (fresh.isEmpty)
       return Result(TxLog.currentVersion(spark, dir), 0, 0L, listed.size)
+    // claims release on EVERY exit: after a landed commit the ledger
+    // shard answers dedup (the claim is residue), and after any
+    // failure the files must be reclaimable immediately, not after a
+    // lease
+    try {
 
     // the pinned LOGICAL schema drives the scan; identity columns a
     // feed omits arrive as NULL (csv/json absent fields) and fill
@@ -261,7 +355,6 @@ object CopyInto {
         IdentityColumns.maybeAssign(spark, dir, pre.toDF())))
     TxLog.enforceConstraints(spark, dir, assigned)
 
-    val id = java.util.UUID.randomUUID.toString
     val tfs = Compact.fsOf(spark, dir)
     val stage = new Path(dir, s".copyinto_stage-$id")
     tfs.delete(stage, true)
@@ -323,5 +416,9 @@ object CopyInto {
           throw e
       }
     Result(v, fresh.size, rows, listed.size - fresh.size)
+
+    } finally {
+      if (!force) releaseClaims(spark, dir, fresh)
+    }
   }
 }

@@ -317,6 +317,41 @@ object DbLog {
     v
   }
 
+  /** Per-table ALTER COLUMN TYPE: LOSSLESS widening of ONE table's
+    * column — the missing cell of the per-table schema-evolution
+    * matrix (rename/add/drop above). Metadata-only: the retyped pin
+    * lands on the TABLE'S OWN namespace at one empty commit, old
+    * footers serve the wide type natively ([[TypeWidening.canWiden]]
+    * allowlist — the same list the single-table `ALTER TABLE … ALTER
+    * COLUMN TYPE` enforces), no file rewritten and no sibling table's
+    * pin touched. Composes with per-table column mapping: the field
+    * retypes IN PLACE keeping its physical name, so a rename-then-
+    * widen (or widen-then-rename) chain stays one on-disk spelling.
+    * Cross-table AS OF stays a consistent cut: snapshots strictly
+    * before the stamping commit read the narrow type, at-or-after
+    * read wide — version-keyed pins, same rule as rename. Declared
+    * per-table stats stay valid (min/max compare numerically under
+    * either width); CHECK constraints re-evaluate under the wide type
+    * with unchanged truth on the allowlisted casts.
+    */
+  def alterColumnType(
+      spark: SparkSession, db: String, table: String,
+      name: String, to: org.apache.spark.sql.types.DataType): Int = {
+    requireTableName(table)
+    val pin = tablePinOrInfer(spark, db, table)
+    val f = pin.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"alter type: no column $name in $db/$table"))
+    require(TypeWidening.canWiden(f.dataType, to),
+      TypeWidening.refuse(s"$table.$name", f.dataType, to))
+    val v = TxLog.commitEntries(spark, db, adds = Nil, removes = Nil,
+      op = Some(s"alter-column-type($table.$name)"))
+    setTableSchema(spark, db, table,
+      org.apache.spark.sql.types.StructType(pin.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)), v)
+    v
+  }
+
   private def tablePinOrInfer(
       spark: SparkSession, db: String, table: String):
       org.apache.spark.sql.types.StructType =

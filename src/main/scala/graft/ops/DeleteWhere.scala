@@ -150,6 +150,34 @@ object DeleteWhere {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** [[range]] ROUTED through a row-group manifest
+    * ([[ZoneMap.buildRowGroups]]) — the cost-based refinement: a file
+    * whose row groups all miss the range is skipped even when its
+    * FILE-level span admits it (the gap case), and a range no row
+    * group can hold returns without touching a footer. The estimate
+    * ([[ZoneMap.estimateRows]]) is returned alongside the receipt so
+    * a caller can route: zero → skip, small → this path, large → the
+    * rewrite is table-sized anyway and file-level [[range]] does the
+    * same work.
+    */
+  def rangeRowGroups(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      rgManifest: DataFrame): (Receipt, Long) = {
+    Compact.recover(spark, dir)
+    val all = allFiles(spark, dir)
+    val est = ZoneMap.estimateRows(rgManifest, column, lo, hi)
+    val cand =
+      ZoneMap.candidateFilesRowGroups(rgManifest, all, column, lo, hi)
+    if (cand.isEmpty)
+      return (Receipt(all.length, 0, all.length, 0), est)
+    val keep = col(column).isNull || col(column) < lo || col(column) > hi
+    (rewrite(spark, dir, all, cand, keep), est)
+  }
+
   /** Delete rows matching an ARBITRARY predicate — the general
     * `DELETE FROM t WHERE …` with caller-supplied pruning: pass the
     * candidate files a manifest lookup produced, or omit them and

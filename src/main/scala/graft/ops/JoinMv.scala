@@ -53,6 +53,15 @@ object JoinMv {
     * be unambiguous after the join. Returns ((factFrom, factTo),
     * (dimFrom, dimTo)) — from == to on a side means nothing new
     * there.
+    *
+    * `minMaxCols` opts the view into MIN/MAX measures —
+    * [[MvStore]]'s grow-only/dirty-recompute discipline carried
+    * through the join: additions grow the stored extremes in place
+    * (no source read), while a group hit by any delete/preimage row
+    * re-derives its extremes from the POST-CHANGE JOINED state
+    * (F_new ⋈ D_new, semi-join-pruned to the dirty groups inside
+    * [[MvStore.refresh]]) — the standard IVM answer for
+    * non-invertible aggregates, now over two tables.
     */
   def follow(
       store: TableStore,
@@ -61,21 +70,24 @@ object JoinMv {
       dimDir: String,
       joinKeys: Seq[String],
       groupCols: Seq[String],
-      sumCols: Seq[String]): ((Int, Int), (Int, Int)) = {
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): ((Int, Int), (Int, Int)) = {
     val spark = store.spark
     import spark.implicits._
     val cF = TxLog.currentVersion(spark, factDir)
     val cD = TxLog.currentVersion(spark, dimDir)
-    val keep = (groupCols ++ sumCols).distinct
+    val keep = (groupCols ++ sumCols ++ minMaxCols).distinct
+    def joinedAt(vf: Int, vd: Int) =
+      TxLog.snapshot(spark, factDir, vf)
+        .join(TxLog.snapshot(spark, dimDir, vd), joinKeys)
+        .select(keep.map(col): _*)
     def pin(vf: Int, vd: Int): Unit =
       store.overwrite(Seq((vf, vd)).toDF("fact_v", "dim_v"),
         cursorTable(name))
     def seed(): ((Int, Int), (Int, Int)) = {
-      MvStore.init(store, name,
-        TxLog.snapshot(spark, factDir, cF)
-          .join(TxLog.snapshot(spark, dimDir, cD), joinKeys)
-          .select(keep.map(col): _*),
-        groupCols, sumCols, batchId = s"seed_f${cF}_d$cD")
+      MvStore.init(store, name, joinedAt(cF, cD),
+        groupCols, sumCols, batchId = s"seed_f${cF}_d$cD",
+        minMaxCols = minMaxCols)
       pin(cF, cD)
       ((cF, cF), (cD, cD))
     }
@@ -98,11 +110,11 @@ object JoinMv {
     // 1-row agg); an empty dim delta skips the fact read entirely
     val fOld: DataFrame = {
       val whole = TxLog.snapshot(spark, factDir, fromF)
+      lazy val keyType = whole.schema(joinKeys.head).dataType
       if (feedD.isEmpty) whole.limit(0)
       else if (joinKeys.sizeIs == 1 &&
           TxLog.statsColumns(spark, factDir).contains(joinKeys.head) &&
-          whole.schema(joinKeys.head).dataType
-            .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+          keyType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
         val k = joinKeys.head
         val b = feedD.agg(min(col(k).cast("double")),
           max(col(k).cast("double"))).head()
@@ -115,13 +127,29 @@ object JoinMv {
         // at worst one extra file scans.
         else TxLog.snapshotPruned(spark, factDir, k,
           Math.nextDown(b.getDouble(0)), Math.nextUp(b.getDouble(1)), fromF)
+      } else if (joinKeys.sizeIs == 1 &&
+          keyType == org.apache.spark.sql.types.StringType) {
+        // STRING join key: bound the scan with a lexicographic range
+        // predicate over the changed keys — Spark pushes it to the
+        // parquet scan, whose own binary stats (unsigned UTF-8 byte
+        // order, the same total order Spark's min/max/comparisons
+        // use) skip every row group outside the span. Semantics-
+        // preserving: an F_old row outside [min, max] of the changed
+        // keys cannot equi-join any feedD row.
+        val k = joinKeys.head
+        val b = feedD.agg(min(col(k)), max(col(k))).head()
+        if (b.isNullAt(0)) whole.limit(0)
+        else whole.filter(col(k) >= lit(b.getString(0)) &&
+          col(k) <= lit(b.getString(1)))
       } else whole
     }
     val cols = (keep :+ "change_type").map(col)
     val t1 = feedF.join(dimNew, joinKeys).select(cols: _*)
     val t2 = fOld.join(feedD, joinKeys).select(cols: _*)
     MvStore.refresh(store, name, t1.unionByName(t2), groupCols, sumCols,
-      batchId = Some(s"f${fromF}_${cF}_d${fromD}_$cD"))
+      batchId = Some(s"f${fromF}_${cF}_d${fromD}_$cD"),
+      minMaxCols = minMaxCols,
+      current = if (minMaxCols.isEmpty) None else Some(joinedAt(cF, cD)))
     pin(cF, cD)
     ((fromF, cF), (fromD, cD))
   }

@@ -1860,6 +1860,128 @@ object TxLog {
     }
   }
 
+  /** [[replicateTo]] keyed on the engine's own stable `_row_id`
+    * instead of a user column — KEYLESS replication for row-tracked
+    * sources ([[RowTracking]]). What the id key buys over a user key:
+    *  - no key column to choose or get wrong (composite keys, NULLs,
+    *    non-unique "keys" all disappear — the id is unique by
+    *    construction);
+    *  - RENAME-PROOF: a mapped rename of any source column cannot
+    *    break the key (the id is not a user column), and the replica
+    *    FOLLOWS the rename — the physical-identity diff of the
+    *    source's pins over the advanced range re-spells the replica's
+    *    matching logical names before the feed applies;
+    *  - compaction movement replicates as NOTHING: a bin-pack's
+    *    delete+insert of identical (row, id) pairs nets to an empty
+    *    multiset diff, so the keyless feed is empty and the advance
+    *    is a cursor hop — a keyed replicate re-applies moved rows.
+    * The replica stores `_row_id` as a plain data column (it is not
+    * itself row-tracked — its rows' identity IS the source's).
+    * Cursor/retention semantics match [[replicateTo]]: a cursor
+    * behind the horizon falls back to one full resync, which here
+    * requires the replica to be empty or column-aligned (schema
+    * drift across a LOST range has no rename record to follow —
+    * recreate the replica instead of guessing).
+    */
+  def replicateByRowId(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(RowTracking.enabled(spark, srcDir),
+      s"replicateByRowId: row tracking is not enabled on $srcDir " +
+        "(RowTracking.enable / graft_enable_rowtracking) — use " +
+        "replicateTo(keyCol) for untracked sources")
+    val cur = currentVersion(spark, srcDir)
+    if (!exists(spark, dstDir)) convert(spark, dstDir)
+    val fs = Compact.fsOf(spark, dstDir)
+    val cpath = new Path(logPath(dstDir), "replsrc_rowid_cursor.txt")
+    val from: Option[Int] =
+      if (!fs.exists(cpath)) None
+      else {
+        val in = fs.open(cpath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt)
+        finally in.close()
+      }
+    def pin(v: Int): Unit = {
+      val out = fs.create(cpath, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    from match {
+      case Some(f) if f == cur => (f, cur)
+      case Some(f) if retainedVersions(spark, srcDir).contains(f) =>
+        // replica follows the source's renames FIRST (the feed speaks
+        // the range-END logical names); the id key itself never renames
+        followSourceRenames(spark, srcDir, dstDir, f)
+        val feed = changes(spark, srcDir, f, cur, Nil)
+          .drop(RowTracking.VerCol)
+          .withColumnRenamed("_change_type", "change_type")
+          .withColumnRenamed("_commit_version", "commit_version")
+        UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+        pin(cur)
+        (f, cur)
+      case _ =>
+        // first sync / retention cliff: one id-attached full resync
+        val src = RowTracking.readAt(spark, srcDir, cur)
+          .drop(RowTracking.VerCol)
+        val dstEmpty = liveFiles(spark, dstDir).isEmpty
+        if (!dstEmpty) {
+          val have = snapshot(spark, dstDir).columns.toSet
+          require(have == src.columns.toSet,
+            s"replicateByRowId: resync into a non-empty replica needs " +
+              s"aligned columns — replica has ${have.toSeq.sorted
+                .mkString(", ")}, source feeds ${src.columns.sorted
+                .mkString(", ")}; the lost range carries no rename " +
+              "record, recreate the replica")
+        }
+        val insert = src.withColumn("change_type", lit("insert"))
+        val feed =
+          if (dstEmpty) insert
+          else insert.unionByName(
+            snapshot(spark, dstDir)
+              .join(src.select(col(RowTracking.Col)).distinct(),
+                Seq(RowTracking.Col), "left_anti")
+              .withColumn("change_type", lit("delete")))
+        UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+        pin(cur)
+        (from.getOrElse(-1), cur)
+    }
+  }
+
+  /** Re-spell the replica's logical names to match renames the SOURCE
+    * performed over `(fromVersion, now]` — matched by PHYSICAL
+    * identity across the source's version-keyed pins: a physical name
+    * present in both pins under different logical spellings is a
+    * rename, and the replica (its own table, its own mapping) renames
+    * the same logical pair. Chains collapse (only the endpoint
+    * spelling is applied); swaps within one range refuse through
+    * [[ColumnMapping.renameColumn]]'s own exists-check.
+    */
+  private def followSourceRenames(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      fromVersion: Int): Unit = {
+    val pinNow = tableSchema(spark, srcDir).getOrElse(return)
+    if (liveFiles(spark, dstDir).isEmpty) return // nothing to re-spell
+    // pre-pin era at `from`: footer names WERE the physical names
+    val oldByPhys: Map[String, String] =
+      tableSchema(spark, srcDir, fromVersion) match {
+        case Some(pa) =>
+          pa.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+        case None =>
+          snapshot(spark, srcDir, fromVersion).schema.fieldNames
+            .map(n => n -> n).toMap
+      }
+    val dstCols = snapshot(spark, dstDir).columns.toSet
+    pinNow.fields.foreach { f =>
+      oldByPhys.get(ColumnMapping.physicalName(f)).foreach { old =>
+        if (old != f.name && dstCols(old) && !dstCols(f.name))
+          ColumnMapping.renameColumn(spark, dstDir, old, f.name)
+      }
+    }
+  }
+
   /** Adapt a [[diff]] feed to the [[Scd2.changes]]/[[MvStore]] change
     * schema, so an incremental materialized view can consume the
     * commits of ANY logged table — the diff's delete+insert pair for

@@ -417,4 +417,52 @@ object ZoneMap {
       else TxLog.readPrunedUris(spark, dir, cand, all.schema)
     src.filter(col(column) >= lo && col(column) <= hi)
   }
+
+  /** The files a ROW-GROUP-granular range probe admits: every file
+    * with at least one candidate row group, PLUS every file the
+    * manifest does not cover for `column` (unknown never prunes —
+    * same rule as [[candidateFiles]]). Strictly at most the
+    * file-level candidate set, and strictly smaller when a file's
+    * row groups leave a GAP the range falls into (file span
+    * [min-of-groups, max-of-groups] intersects, no single group
+    * does) — the case file-level stats cannot see.
+    */
+  def candidateFilesRowGroups(
+      rgManifest: DataFrame,
+      allFiles: Seq[String],
+      column: String,
+      lo: Double,
+      hi: Double): Seq[String] = {
+    val covered = rgManifest.filter(col("column") === column)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val hit = candidateRowGroups(rgManifest, column, lo, hi)
+      .map(_._1).toSet
+    allFiles.filter(f => hit(f) || !covered(f))
+  }
+
+  /** Range read ROUTED through the row-group manifest: files with no
+    * candidate row group are never opened (incl. the gap case the
+    * file-level manifest admits), and inside each opened file the
+    * pushed range predicate lets parquet's own row-group stats — the
+    * SAME statistics the manifest was built from — skip the
+    * non-candidate groups, so the groups decompressed are exactly
+    * the manifest's candidates. An [[estimateRows]] of zero returns
+    * the empty frame without touching a footer. Result identical to
+    * the unpruned filtered read.
+    */
+  def routedRead(
+      spark: SparkSession,
+      dir: String,
+      rgManifest: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val all = TxLog.read(spark, dir)
+    val cand = candidateFilesRowGroups(
+      rgManifest, TxLog.dataInputFilesOf(all), column, lo, hi)
+    val src =
+      if (cand.isEmpty) all.limit(0)
+      else TxLog.readPrunedUris(spark, dir, cand, all.schema)
+    src.filter(col(column) >= lo && col(column) <= hi)
+  }
 }

@@ -464,30 +464,13 @@ object GraftDdl {
     receipt("add-columns", path, 0L, 0L, v)
   }
 
-  /** Is `to` a LOSSLESS widening of `from` that Spark 4's parquet
-    * reader serves natively from old footers (probed: vectorized and
-    * row-based readers both; SPARK-44362 type-widening support)?
-    * Integral up-widening, integral→double, float→double,
-    * date→timestamp_ntz, and decimal growth that shrinks neither the
-    * scale nor the integer digits.
+  /** The shared lossless-widening allowlist ([[graft.ops.TypeWidening]]
+    * — one list for this single-table form and DbLog's per-table one).
     */
   private[plans] def canWiden(
       from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    (from, to) match {
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (IntegerType, LongType) => true
-      case (ByteType | ShortType | IntegerType, DoubleType) => true
-      case (FloatType, DoubleType) => true
-      case (DateType, TimestampNTZType) => true
-      case (d1: DecimalType, d2: DecimalType) =>
-        val (p, s, p2, s2) = (d1.precision, d1.scale, d2.precision, d2.scale)
-        s2 >= s && (p2 - s2) >= (p - s) && (p2 > p || s2 > s)
-      case _ => false
-    }
-  }
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    graft.ops.TypeWidening.canWiden(from, to)
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE t` — metadata-only TYPE
     * WIDENING: the pin retypes the column at a new version and every

@@ -336,6 +336,13 @@ object GraftTableFunctions {
         str(tb, fn, 1), str(f0, fn, 2), str(t1, fn, 3))
       procReceipt(spark, "db-rename-column", db, Seq(
         "version" -> v.toLong))
+    case ("graft_db_widen_column", Seq(d, tb, c0, t1)) =>
+      val db = str(d, fn, 0)
+      val v = graft.ops.DbLog.alterColumnType(spark, db,
+        str(tb, fn, 1), str(c0, fn, 2),
+        org.apache.spark.sql.types.DataType.fromDDL(str(t1, fn, 3)))
+      procReceipt(spark, "db-widen-column", db, Seq(
+        "version" -> v.toLong))
     case ("graft_changes", Seq(d, f, t0)) =>
       // keyless 3-arg form: a row-tracked table pairs update images by
       // its stable _row_id — no key list to get wrong
@@ -604,6 +611,8 @@ object GraftTableFunctions {
         "graft_enable_rowtracking(dir) - PROCEDURE: turn on stable row ids (backfills existing entries, metadata-only)"),
       ("graft_db_rename_column",
         "graft_db_rename_column(db, table, from, to) - PROCEDURE: per-table RENAME COLUMN inside a DbLog database"),
+      ("graft_db_widen_column",
+        "graft_db_widen_column(db, table, col, type) - PROCEDURE: per-table lossless ALTER COLUMN TYPE inside a DbLog database"),
       ("graft_db_changes",
         "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
       ("graft_clone",

@@ -61,6 +61,16 @@ final class ChangeFeedSourceProvider
     new ChangeFeedSource(sqlContext.sparkSession, parameters)
 }
 
+/** The mid-stream schema-evolution failure ([[ChangeFeedSource]]'s
+  * fail-with-fix contract) as a TYPE, so a supervisor can recognize
+  * it in a [[org.apache.spark.sql.streaming.StreamingQueryException]]
+  * cause chain by class instead of message-matching —
+  * [[graft.streaming.CdcSupervisor]] turns it into an automatic
+  * restart.
+  */
+final class SchemaEvolvedException(msg: String)
+    extends IllegalStateException(msg)
+
 object ChangeFeedSource {
 
   private[graft] def feedSchema(
@@ -234,7 +244,7 @@ final class ChangeFeedSource(
     val want = schema.fieldNames
     val gotCols = d.columns
     if (gotCols.toSet != want.toSet)
-      throw new IllegalStateException(
+      throw new SchemaEvolvedException(
         s"graft-cdc: the schema of $path${table.map("/" + _).getOrElse("")} " +
           s"changed under the running stream (batch columns: " +
           s"${gotCols.filterNot(want.contains).mkString(", ")} new; " +

@@ -247,6 +247,73 @@ class CopyIntoSpec extends SparkSpec {
       late.filter(col("extra").isNotNull).count() == 0)
   }
 
+  test("racing loaders: disjoint patterns split a zone; the same pattern never double-loads") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // disjoint patterns, truly concurrent: each loader ingests its
+    // half, union is exactly the source
+    val below = nation.filter(col("n_nationkey") < 10)
+    val above = nation.filter(col("n_nationkey") >= 10)
+    val zone = Files.createTempDirectory("copyinto_race").toString + "/in"
+    below.repartition(1).write.option("header", "true")
+      .csv(zone + "/a")
+    above.repartition(1).write.option("header", "true")
+      .csv(zone + "/b")
+    val zfs = Compact.fsOf(spark, zone)
+    Seq("a", "b").foreach { sub =>
+      zfs.listStatus(new org.apache.hadoop.fs.Path(s"$zone/$sub"))
+        .filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+          zfs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(zone, s"${sub}_${st.getPath.getName}"))
+        }
+      zfs.delete(new org.apache.hadoop.fs.Path(s"$zone/$sub"), true)
+    }
+    val dir = freshTable(nation.schema)
+    val r = Await.result(Future.sequence(Seq(
+      Future(CopyInto.copyInto(spark, dir, zone, "csv", csvOpts, "a_*")),
+      Future(CopyInto.copyInto(spark, dir, zone, "csv", csvOpts, "b_*")))),
+      5.minutes)
+    assert(r.map(_.filesLoaded).sum == 2)
+    assert(same(TxLog.snapshot(spark, dir), nation))
+    // SAME pattern, N concurrent loaders: the claim handshake splits
+    // the files — every file lands exactly once across all loaders
+    val dir2 = freshTable(nation.schema)
+    val zone2 = landingZone(nation, 4)
+    val rs = Await.result(Future.sequence((1 to 4).map(_ =>
+      Future(CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts)))),
+      5.minutes)
+    assert(rs.map(_.filesLoaded).sum == 4,
+      s"expected 4 files loaded once across loaders, got ${rs.map(_.filesLoaded)}")
+    assert(same(TxLog.snapshot(spark, dir2), nation))
+    // and a follow-up run sees nothing fresh (claims were released)
+    val after = CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts)
+    assert(after.filesLoaded == 0 && after.filesSkipped == 4)
+    // a STALE claim (crashed loader) is stolen after its lease: plant
+    // one by hand against a new file, then load with a tiny lease
+    nation.limit(2).repartition(1).write.option("header", "true")
+      .mode("append").csv(zone2)
+    val freshFile = Compact.fsOf(spark, zone2)
+      .globStatus(new org.apache.hadoop.fs.Path(zone2, "*"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => Compact.fsOf(spark, zone2).makeQualified(st.getPath).toString)
+      .filterNot(CopyInto.ingestedFiles(spark, dir2).toSet).head
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val digest = md.digest(freshFile.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    TxLog.metaWrite(spark, dir2, s"claim.$digest.txt",
+      s"${java.util.UUID.randomUUID}\n${System.currentTimeMillis() - 10000}")
+    // within the lease: the planted claim holds, nothing loads
+    val held = CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts,
+      claimLeaseMs = 60000L)
+    assert(held.filesLoaded == 0)
+    // past the lease: stolen and loaded
+    val stolen = CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts,
+      claimLeaseMs = 1000L)
+    assert(stolen.filesLoaded == 1)
+  }
+
   test("unsupported format and unmanaged target refuse with the reason") {
     val src = landingZone(nation, 1)
     val dir = freshTable(nation.schema)

@@ -440,6 +440,66 @@ class DbLogSpec extends SparkSpec {
     assert(e.getMessage.contains("CHECK constraint"))
   }
 
+  test("per-table ALTER COLUMN TYPE: lossless widen composes with mapping, siblings untouched") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("dblog").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { t =>
+      t.append("m", Seq((1, 10), (2, 20)).toDF("k", "v")) // both INT
+      t.append("sib", Seq((1L, "a")).toDF("id", "s"))
+    }
+    val vSeed = DbLog.currentVersion(spark, db)
+    val filesBefore = TxLog.liveFiles(spark, db).toSet
+    // rename THEN widen: the retype keeps the frozen physical name
+    DbLog.renameColumn(spark, db, "m", "v", "amount")
+    DbLog.alterColumnType(spark, db, "m", "amount",
+      org.apache.spark.sql.types.LongType)
+    assert(TxLog.liveFiles(spark, db).toSet == filesBefore) // metadata-only
+    assert(DbLog.tableSchema(spark, db, "sib").isEmpty) // sibling unpinned
+    val wide = DbLog.snapshot(spark, db, "m")
+    assert(wide.schema("amount").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(wide.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 10L), (2, 20L)))
+    // post-widen writes land beyond INT range, spelled physical on disk
+    DbLog.transact(spark, db, "post-widen") { t =>
+      t.append("m", Seq((3, 7000000000L)).toDF("k", "amount"))
+    }
+    val got = DbLog.snapshot(spark, db, "m")
+    assert(got.filter(col("amount") > Int.MaxValue.toLong).count() == 1L)
+    val files = TxLog.liveEntries(spark, db)
+      .filter(_.name.startsWith("m/")).map(e => s"$db/${e.name}")
+    // int-era and long-era footers both spell the frozen PHYSICAL name
+    // (read each alone — mergeSchema does not merge across a widen)
+    assert(files.nonEmpty && files.forall(f =>
+      spark.read.parquet(f).columns.contains("v")))
+    // narrowing and unknown columns refuse
+    intercept[IllegalArgumentException] {
+      DbLog.alterColumnType(spark, db, "m", "amount",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      DbLog.alterColumnType(spark, db, "m", "ghost",
+        org.apache.spark.sql.types.LongType)
+    }
+    // time travel before the widen reads narrow under the old name
+    assert(DbLog.snapshot(spark, db, "m", vSeed).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // CDF at the end pin serves the wide type
+    assert(DbLog.diff(spark, db, "m", vSeed,
+        DbLog.currentVersion(spark, db)).schema("amount").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // SQL procedure form (widen sib.id is a no-op type-wise — refuse
+    // check): the TVF routes through the same allowlist
+    graft.GraftExtensions.installInto(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_db_widen_column('$db', 'm', 'amount', 'int')")
+        .collect()
+    }
+    assert(e.getMessage.contains("widening"))
+  }
+
   test("per-table rename: CDF reads the range at the end pin (uniform logical feed)") {
     import spark.implicits._
     val db = freshDb()

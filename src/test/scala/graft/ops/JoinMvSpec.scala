@@ -162,4 +162,80 @@ class JoinMvSpec extends SparkSpec {
     val all = TxLog.liveEntries(spark, f).size
     assert(cand < all, s"expected pruning: $cand of $all candidates")
   }
+
+  test("string join key: the changed-key lexicographic range bounds the old-fact read, result exact") {
+    val root = Files.createTempDirectory("joinmv_str").toString
+    val f = s"$root/fact"
+    val d = s"$root/dim"
+    def ck(c: org.apache.spark.sql.Column) =
+      concat(lit("C"), lpad(c.cast("string"), 8, "0"))
+    orders.select(col("o_orderkey"), ck(col("o_custkey")).as("ck"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("ck"))
+      .sortWithinPartitions("ck").write.parquet(f)
+    TxLog.convert(spark, f)
+    customer.select(ck(col("c_custkey")).as("ck"),
+        col("c_mktsegment").as("seg"))
+      .repartition(2).write.parquet(d)
+    TxLog.convert(spark, d)
+    val st = new ParquetStore(spark, s"$root/state")
+    val Ks = Seq("ck")
+    JoinMv.follow(st, "v", f, d, Ks, G, M)
+    // ONE low changed key: the string branch filters F_old to its
+    // lexicographic point range (parquet row-group stats prune the
+    // clustered layout); the view must still advance exactly
+    val lo = TxLog.snapshot(spark, d).agg(min("ck")).head().getString(0)
+    UpsertWhere.byKeys(spark, d, "ck",
+      Seq((lo, "SMOVED")).toDF("ck", "seg"))
+    JoinMv.follow(st, "v", f, d, Ks, G, M)
+    def directS = TxLog.snapshot(spark, f)
+      .join(TxLog.snapshot(spark, d), Ks).groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price").cast("double")), 2).as("sum_price"))
+    assert(same(view(st), directS))
+    assert(view(st).filter(col("seg") === "SMOVED").count() == 1L)
+  }
+
+  test("min/max measures: adds grow in place, a delete recomputes its group through the join") {
+    val (f, d, st) = fixtures()
+    def directMm: DataFrame =
+      TxLog.snapshot(spark, f).join(TxLog.snapshot(spark, d), K)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast("double")), 2).as("sum_price"),
+          min(col("price").cast("double")).as("min_price"),
+          max(col("price").cast("double")).as("max_price"))
+    def viewMm: DataFrame =
+      JoinMv.read(st, "v").select(col("seg"), col("n"),
+        round(col("sum_price"), 2).as("sum_price"),
+        col("min_price"), col("max_price"))
+    JoinMv.follow(st, "v", f, d, K, G, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
+    // grow path: fresh fact rows extend one group's max, no deletes
+    val top = TxLog.snapshot(spark, f).agg(max("price")).head().getDouble(0)
+    TxLog.append(spark, f,
+      TxLog.snapshot(spark, f).filter(col("o_orderkey") < 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+        .withColumn("price", lit(top + 1000.0)).localCheckpoint())
+    JoinMv.follow(st, "v", f, d, K, G, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
+    assert(viewMm.agg(max("max_price")).head().getDouble(0) == top + 1000.0)
+    // dirty path: DELETE the rows holding each group's current MIN —
+    // grow-only state cannot answer; the group must recompute from
+    // the post-change JOINED rows
+    val lows = TxLog.snapshot(spark, f).join(TxLog.snapshot(spark, d), K)
+      .groupBy("seg").agg(min("price").as("mn"))
+      .select("mn").as[Double].collect().toSet
+    DeleteWhere.where(spark, f, col("price").isin(lows.toSeq: _*))
+    JoinMv.follow(st, "v", f, d, K, G, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
+    // and a DIM-side churn with min/max on: the moved group's
+    // extremes follow through the F_old ⋈ ΔD term + recompute
+    val moved = TxLog.snapshot(spark, d).limit(1)
+      .select("o_custkey").head().getLong(0)
+    UpsertWhere.byKeys(spark, d, "o_custkey",
+      Seq((moved, "MOVEDMM")).toDF("o_custkey", "seg"))
+    JoinMv.follow(st, "v", f, d, K, G, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
+  }
 }

@@ -275,6 +275,59 @@ class RowTrackingSpec extends SparkSpec {
     assert(got.select(RowTracking.Col).distinct().count() == got.count())
   }
 
+  test("replicateByRowId: keyless feed applies, compaction is a no-op hop, a source rename follows") {
+    val src = fresh(30, 3)
+    val dst = Files.createTempDirectory("rowtrk_repl").toString + "/r"
+    // first sync: full resync, ids ride as a data column
+    assert(TxLog.replicateByRowId(spark, src, dst)._1 == -1)
+    assert(TxLog.snapshot(spark, dst)
+      .select(col("k"), col(RowTracking.Col))
+      .as[(Long, Long)].collect().toMap == ids(src))
+    // churn on the source: MOR upsert + CoW delete, one advance
+    DeletionVectors.upsert(spark, src,
+      TxLog.snapshot(spark, src).filter(col("k") <= 5)
+        .withColumn("v", lit("UP")).localCheckpoint(),
+      keyCols = Seq("k"))
+    DeleteWhere.where(spark, src, col("k") % 7 === 0)
+    val (f1, t1) = TxLog.replicateByRowId(spark, src, dst)
+    assert(t1 == TxLog.currentVersion(spark, src) && f1 < t1)
+    def state(dir: String) = TxLog.snapshot(spark, dir)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(state(dst) == state(src))
+    assert(TxLog.snapshot(spark, dst)
+      .select(col("k"), col(RowTracking.Col))
+      .as[(Long, Long)].collect().toMap == ids(src)) // ids preserved
+    // compaction: identical (row, id) pairs net to an EMPTY feed —
+    // the advance is a pure cursor hop, the replica commits nothing
+    val dstV = TxLog.currentVersion(spark, dst)
+    Compact.binPack(spark, src,
+      targetBytes = 256L << 20, smallBytes = 256L << 20)
+    TxLog.replicateByRowId(spark, src, dst)
+    assert(TxLog.currentVersion(spark, dst) == dstV)
+    // a mapped RENAME on the source mid-stream: the replica follows
+    // the spelling (physical-identity diff of the source pins) and
+    // the id key is untouched by construction
+    ColumnMapping.renameColumn(spark, src, "v", "name")
+    TxLog.append(spark, src,
+      Seq((100L, "new")).toDF("k", "name").repartition(1))
+    TxLog.replicateByRowId(spark, src, dst)
+    val rep = TxLog.snapshot(spark, dst)
+    assert(rep.columns.contains("name") && !rep.columns.contains("v"))
+    assert(rep.select("k", "name").as[(Long, String)].collect().toSet ==
+      TxLog.snapshot(spark, src).select("k", "name")
+        .as[(Long, String)].collect().toSet)
+    assert(rep.select(col("k"), col(RowTracking.Col))
+      .as[(Long, Long)].collect().toMap == ids(src))
+    // untracked source refuses with the fix
+    val plain = Files.createTempDirectory("rowtrk_plain").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(plain)
+    TxLog.convert(spark, plain)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replicateByRowId(spark, plain, dst + "2")
+    }
+    assert(e.getMessage.contains("row tracking"))
+  }
+
   test("vacuum prunes the ledger; water survives") {
     val dir = fresh(10, 5)
     val w = RowTracking.currentWater(spark, dir)

@@ -66,6 +66,65 @@ class ZoneMapSpec extends SparkSpec {
     assert(ZoneMap.estimateRows(rg, "l_partkey", 1e15, 2e15) == 0L)
   }
 
+  test("row-group routing: reads and deletes consume the rg candidates — fewer groups, same answer") {
+    val dir = Files.createTempDirectory("zm_route").toString + "/t"
+    // clustered multi-row-group layout: 4 range-partitioned files,
+    // each split into many small row groups
+    val wide = (0 until 10).map(i =>
+      li.select(col("l_orderkey"),
+        (col("l_partkey") + lit(i * 1000L)).as("l_partkey"),
+        col("l_quantity")))
+      .reduce(_.unionByName(_))
+    wide.repartitionByRange(4, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.option("parquet.block.size", 32 * 1024).parquet(dir)
+    TxLog.convert(spark, dir)
+    val rg = ZoneMap.buildRowGroups(spark, dir, Seq("l_partkey"))
+    val st = wide.agg(min("l_partkey"), max("l_partkey")).head()
+    val (dLo, dHi) = (st.getLong(0).toDouble, st.getLong(1).toDouble)
+    val lo = dLo + (dHi - dLo) * 0.40
+    val hi = dLo + (dHi - dLo) * 0.45
+    // ROUTING METRIC: the rg-granular candidate set is a strict
+    // subset of the row groups the file-level plan would decompress
+    // (all groups of every candidate file)
+    val candRg = ZoneMap.candidateRowGroups(rg, "l_partkey", lo, hi)
+    val fileCand = candRg.map(_._1).distinct
+    val fileLevelRgs = rg.filter(col("file").isin(fileCand: _*)).count()
+    assert(candRg.size < fileLevelRgs,
+      s"expected fewer groups: ${candRg.size} of $fileLevelRgs")
+    // routed read == unpruned filtered read, opening only candidates
+    val routed = ZoneMap.routedRead(spark, dir, rg, "l_partkey", lo, hi)
+    val direct = TxLog.read(spark, dir)
+      .filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+    assert(routed.count() == direct.count() && direct.count() > 0)
+    assert(routed.exceptAll(direct).isEmpty)
+    // a range no row group can hold: empty frame, zero estimate
+    assert(ZoneMap.estimateRows(rg, "l_partkey", 1e15, 2e15) == 0L)
+    assert(ZoneMap.routedRead(spark, dir, rg, "l_partkey", 1e15, 2e15)
+      .count() == 0L)
+    // an UNCOVERED file never prunes: drop one file's manifest rows,
+    // its rows must still be served
+    val dropped = rg.select("file").distinct().limit(1)
+      .head().getString(0)
+    val partial = rg.filter(col("file") =!= dropped)
+    val routedPartial =
+      ZoneMap.routedRead(spark, dir, partial, "l_partkey", lo, hi)
+    assert(routedPartial.count() == direct.count())
+    // routed DELETE: only candidate files rewrite, result identical
+    val expectSurvivors = TxLog.read(spark, dir)
+      .filter(col("l_partkey").isNull ||
+        col("l_partkey") < lo || col("l_partkey") > hi).count()
+    val (receipt, est) =
+      DeleteWhere.rangeRowGroups(spark, dir, "l_partkey", lo, hi, rg)
+    assert(est >= receipt.deletedRows && receipt.deletedRows > 0)
+    assert(receipt.candidates < receipt.filesTotal,
+      s"expected pruning: ${receipt.candidates} of ${receipt.filesTotal}")
+    assert(TxLog.read(spark, dir).count() == expectSurvivors)
+    assert(TxLog.read(spark, dir)
+      .filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+      .count() == 0L)
+  }
+
   test("string manifest: lexicographic spans from footers, equality read prunes") {
     val docs = graft.Tables.table(spark, sf(""), "documents")
     val dir = Files.createTempDirectory("zm_str").toString + "/t"

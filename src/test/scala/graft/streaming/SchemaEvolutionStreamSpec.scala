@@ -74,6 +74,81 @@ class SchemaEvolutionStreamSpec extends SparkSpec {
     assert(repNow == srcNow && got.count() == srcNow.size)
   }
 
+  test("auto-restart: ADD COLUMN and a mapped RENAME heal with ZERO manual intervention") {
+    val src = Files.createTempDirectory("sevo").toString + "/src"
+    val rep = Files.createTempDirectory("sevo").toString + "/rep"
+    val ck = Files.createTempDirectory("sevo_ck").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(src)
+    TxLog.convert(spark, src)
+    val sup = new CdcSupervisor(() =>
+      spark.readStream.format("graft-cdc")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("graft").option("path", rep)
+        .option("mode", "apply").option("keys", "k")
+        .option("checkpointLocation", ck).start())
+    sup.processAllAvailable()
+    assert(sup.restarts == 0)
+    // evolution #1: ADD COLUMN + a commit carrying it — ONE drain
+    // call must fail internally, restart, and redeliver
+    graft.plans.GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$src` ADD COLUMNS (w BIGINT)")
+    TxLog.append(spark, src,
+      Seq((10L, "n1", 100L), (11L, "n2", 110L)).toDF("k", "v", "w"))
+    sup.processAllAvailable()
+    assert(sup.restarts == 1)
+    // evolution #2 in the same supervised lifetime: another widen +
+    // a keyed update flowing through the healed stream
+    graft.plans.GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$src` ADD COLUMNS (z DOUBLE)")
+    UpsertWhere.byKeys(spark, src, "k",
+      Seq((1L, "a9", 900L, 1.5)).toDF("k", "v", "w", "z"))
+    sup.processAllAvailable()
+    assert(sup.restarts == 2)
+    sup.stop()
+    // replica ≡ source under the final schema, exactly once each
+    val got = TxLog.snapshot(spark, rep)
+    assert(got.columns.sorted.toSeq == Seq("k", "v", "w", "z"))
+    val srcNow = TxLog.snapshot(spark, src)
+      .select("k", "v", "w").as[(Long, String, Option[Long])]
+      .collect().toSet
+    val repNow = got.select("k", "v", "w")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(repNow == srcNow && got.count() == srcNow.size)
+    assert(got.filter(col("k") === 1L).head().getAs[Long]("w") == 900L)
+    assert(got.filter(col("k") === 1L).head().getAs[Double]("z") == 1.5)
+    // a genuine (non-evolution) failure must RETHROW, not hot-loop:
+    // the detector is type-keyed, not message-keyed
+    assert(!CdcSupervisor.isEvolutionFailure(
+      new IllegalStateException("restart the query — impostor message")))
+    assert(CdcSupervisor.isEvolutionFailure(new RuntimeException(
+      new org.apache.spark.sql.graft.SchemaEvolvedException("x"))))
+  }
+
+  test("auto-restart: a mapped RENAME heals hands-off; the redelivered range lands under the new name") {
+    val src = Files.createTempDirectory("sevo").toString + "/src"
+    val ck = Files.createTempDirectory("sevo_ck").toString
+    val out = Files.createTempDirectory("sevo_out").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount").write.parquet(src)
+    TxLog.convert(spark, src)
+    val sup = new CdcSupervisor(() =>
+      spark.readStream.format("graft-cdc")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start())
+    sup.processAllAvailable()
+    ColumnMapping.renameColumn(spark, src, "amount", "price")
+    UpsertWhere.byKeys(spark, src, "k", Seq((3L, 30.0)).toDF("k", "price"))
+    sup.processAllAvailable() // heals internally — no intercept, no stop
+    assert(sup.restarts == 1)
+    sup.stop()
+    val feed = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(feed.columns.contains("price"))
+    assert(feed.filter(col("price").isNotNull)
+      .select("k", "price").as[(Long, Double)].collect().toSet ==
+      Set((3L, 30.0)))
+    assert(feed.filter(col("_change_type") === "insert").count() == 3L)
+  }
+
   test("mapped RENAME under a running stream: fail-with-fix; restart feeds the new name, recovery ranges included") {
     val src = Files.createTempDirectory("sevo").toString + "/src"
     val ck = Files.createTempDirectory("sevo_ck").toString
