@@ -4680,6 +4680,97 @@ object Queries {
       col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** SELF-HEALING cdc pipeline ([[graft.streaming.CdcSupervisor]]):
+    * a graft-cdc → apply replication survives ALTER TABLE ADD COLUMN
+    * on the source mid-stream with ZERO manual intervention — the
+    * evolution batch fails by contract (frozen-schema), the
+    * supervisor recreates the query from the same checkpoint (the
+    * rebuilt source re-resolves the schema at the current pin), the
+    * uncommitted range redelivers, and the apply sink widens the
+    * replica. A post-restart keyed update then flows normally.
+    * Hash-green = the replica equals DuckDB's derivation of the
+    * source's final state, pre-evolution rows NULL in the new
+    * column, exactly once each.
+    */
+  def qCdcAutorestart(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val root = s"$indexQueryDir/cdc_autorestart"
+    val fsp = new org.apache.hadoop.fs.Path(root)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val src = s"$root/src"; val rep = s"$root/rep"
+    n.repartition(2).write.parquet(src)
+    graft.ops.TxLog.convert(s, src)
+    val ck = java.nio.file.Files
+      .createTempDirectory("cdc_auto_ck").toString
+    val sup = new graft.streaming.CdcSupervisor(() =>
+      s.readStream.format("graft-cdc")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("graft").option("path", rep)
+        .option("mode", "apply").option("keys", "n_nationkey")
+        .option("checkpointLocation", ck).start())
+    try {
+      sup.processAllAvailable() // v0 snapshot applies
+      // the source evolves UNDER the running stream + a commit
+      // carrying the new column: ONE drain call heals through it
+      graft.plans.GraftDml.sql(s,
+        s"ALTER TABLE parquet.`$src` ADD COLUMNS (extra BIGINT)")
+      graft.ops.TxLog.append(s, src,
+        n.withColumn("n_nationkey",
+          (col("n_nationkey") + 100).cast(n.schema("n_nationkey").dataType))
+          .withColumn("extra", (col("n_nationkey") * 7).cast("long")))
+      sup.processAllAvailable()
+      require(sup.restarts == 1,
+        s"cdc_autorestart: expected exactly one evolution restart, " +
+          s"got ${sup.restarts}")
+      // post-restart churn flows through the healed stream
+      graft.ops.UpsertWhere.byKeys(s, src, "n_nationkey",
+        n.filter(col("n_nationkey") === 1L)
+          .withColumn("extra", lit(999L)))
+      sup.processAllAvailable()
+      require(sup.restarts == 1, "cdc_autorestart: no further restart")
+    } finally sup.stop()
+    graft.ops.TxLog.snapshot(s, rep)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("extra"))
+  }
+
+  /** Row-group-routed range DELETE ([[graft.ops.DeleteWhere
+    * .rangeRowGroups]] over [[graft.ops.ZoneMap.buildRowGroups]]):
+    * a clustered layout deletes a narrow `l_partkey` band through
+    * the row-group manifest — the receipt must show candidate files
+    * strictly under the total (routing engaged) and the estimate
+    * must bound the deleted rows; a second routed delete of an
+    * out-of-domain range must touch nothing. Hash-green = the
+    * survivors equal DuckDB's direct NOT-BETWEEN filter.
+    */
+  def qRoutedDelete(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val p = s"$indexQueryDir/routed_delete"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey").write.parquet(p)
+    graft.ops.TxLog.convert(s, p)
+    val rg = graft.ops.ZoneMap.buildRowGroups(s, p, Seq("l_partkey"))
+    val (receipt, est) = graft.ops.DeleteWhere.rangeRowGroups(
+      s, p, "l_partkey", 800.0, 900.0, rg)
+    require(receipt.candidates < receipt.filesTotal,
+      s"routed_delete: expected pruning, " +
+        s"${receipt.candidates} of ${receipt.filesTotal}")
+    require(est >= receipt.deletedRows,
+      s"routed_delete: estimate $est under-bounds ${receipt.deletedRows}")
+    // out-of-domain: the zero estimate touches nothing
+    val (r2, e2) = graft.ops.DeleteWhere.rangeRowGroups(
+      s, p, "l_partkey", 1e15, 2e15,
+      graft.ops.ZoneMap.buildRowGroups(s, p, Seq("l_partkey")))
+    require(r2.candidates == 0 && r2.deletedRows == 0 && e2 == 0L,
+      "routed_delete: out-of-domain range must be a no-op")
+    graft.ops.TxLog.read(s, p)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
   /** End-to-end log-to-log replication written ENTIRELY in standard
     * Spark streaming API — `readStream.format("graft-cdc")` tails the
     * source table's commits, `writeStream.format("graft")` mode=apply

@@ -206,6 +206,8 @@ object SparkEntry {
     "q_cluster_by" -> (Queries.qClusterBy _),
     "q_joinmv" -> (Queries.qJoinMv _),
     "q_joinmv_minmax" -> (Queries.qJoinMvMinmax _),
+    "q_cdc_autorestart" -> (Queries.qCdcAutorestart _),
+    "q_routed_delete" -> (Queries.qRoutedDelete _),
     "q_type_widen" -> (Queries.qTypeWiden _),
     "q_gencol" -> (Queries.qGencol _),
     "q_auto_columns" -> (Queries.qAutoColumns _),
@@ -2493,6 +2495,32 @@ object Oracles {
                 MIN(price) AS min_price, MAX(price) AS max_price
          FROM f2 JOIN dim USING (o_custkey)
          GROUP BY seg""",
+
+    // self-healing cdc: ADD COLUMN mid-stream heals via the
+    // supervisor (one restart, require()d); replica = source final
+    // state, pre-evolution rows NULL in the new column, the
+    // post-restart upsert (key 1 -> extra 999) applied once
+    "q_cdc_autorestart" ->
+      """WITH base AS (
+           SELECT n_nationkey, n_name, n_regionkey,
+                  CAST(NULL AS BIGINT) AS extra
+           FROM nation
+           UNION ALL
+           SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey,
+                  CAST((n_nationkey + 100) * 7 AS BIGINT) AS extra
+           FROM nation
+         )
+         SELECT n_nationkey, n_name, n_regionkey,
+                CASE WHEN n_nationkey = 1 THEN 999 ELSE extra END AS extra
+         FROM base""",
+
+    // row-group-routed range delete: survivors of the [800, 900]
+    // l_partkey band (receipt pruning + estimate bound require()d
+    // in-query; the out-of-domain re-route is a no-op)
+    "q_routed_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         WHERE l_partkey IS NULL OR l_partkey < 800 OR l_partkey > 900""",
 
     // COPY INTO: the ledger makes the replayed load a no-op and the
     // incremental load pick up only the new files — the final

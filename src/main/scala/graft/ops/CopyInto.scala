@@ -82,14 +82,59 @@ object CopyInto {
       .map("%02x".format(_)).mkString
   }
 
-  /** The per-file multi-loader handshake: claim each candidate with
-    * the kernel-atomic no-overwrite primitive; keep the files THIS
-    * loader won. A lost claim is skipped when its holder is live
-    * (younger than `leaseMs`) or already committed (its claim is
-    * cleaned up in passing); a STALE claim — a crashed load — is
-    * stolen by deleting it and re-claiming, where the delete+claim
-    * race itself serializes on the same primitive. Driver-side,
-    * O(batch) tiny FS ops — the same bound as the listing.
+  /** Try to own claim file `name`; true = this loader holds it. A
+    * lost claim is re-examined: a LIVE holder (younger than
+    * `leaseMs`) keeps it; a holder whose txn already committed, or
+    * whose lease expired (a crashed load), is STOLEN — the arbiter
+    * is an atomic RENAME of the old claim to a unique tombstone, so
+    * exactly one stealer proceeds to re-claim (a blind delete would
+    * let two stealers both delete and both land a claim, the
+    * double-load the claim exists to prevent). The tombstone ends in
+    * `.tmp` so a crash between rename and delete leaves only what
+    * vacuum's stale-tmp sweep already clears.
+    */
+  private def claimOne(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      id: String,
+      leaseMs: Long): Boolean = {
+    val fs = Compact.fsOf(spark, dir)
+    val logDir = new Path(dir, "_txlog")
+    val dest = new Path(logDir, name)
+    def tryClaim(): Boolean = {
+      val tmp =
+        new Path(logDir, s".$name.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$id\n${System.currentTimeMillis()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      TxLog.atomicClaim(fs, tmp, dest)
+    }
+    def steal(): Boolean = {
+      val tomb = new Path(logDir,
+        s".$name.stolen.${java.util.UUID.randomUUID}.tmp")
+      if (fs.rename(dest, tomb)) { fs.delete(tomb, false); tryClaim() }
+      else false // another stealer won the rename
+    }
+    if (tryClaim()) true
+    else TxLog.metaRead(spark, dir, name)
+      .map(_.linesIterator.toList) match {
+        case Some(hid :: ts :: _) =>
+          val live = System.currentTimeMillis() - ts.toLong < leaseMs
+          if (!TxLog.txnCommitted(spark, dir, txnOf(hid)) && live) false
+          else steal() // committed residue or expired lease
+        case _ => false // vanished/garbled under us: skip this run
+      }
+  }
+
+  /** The per-file multi-loader handshake: claim each candidate, keep
+    * the files THIS loader won — then RE-CHECK the committed set: a
+    * racer may have committed (and released its claim on) a file
+    * between our ledger read and our claim win, and the fresh-claim
+    * success path cannot see that. One post-claim re-read is
+    * airtight: a racer's commit precedes its release precedes our
+    * win. Driver-side, O(batch) tiny FS ops — the listing's bound.
     */
   private def claimFresh(
       spark: SparkSession,
@@ -97,40 +142,37 @@ object CopyInto {
       id: String,
       fresh: Seq[String],
       leaseMs: Long): Seq[String] = {
+    val won = fresh.filter(f =>
+      claimOne(spark, dir, s"$ClaimPrefix${digestOf(f)}.txt", id, leaseMs))
+    if (won.isEmpty) won
+    else {
+      val committed = ingestedFiles(spark, dir).toSet
+      val (dup, ok) = won.partition(committed)
+      releaseClaims(spark, dir, dup)
+      ok
+    }
+  }
+
+  private val EvolveLockName = s"${ClaimPrefix}__evolve__.txt"
+
+  /** Serialize EVOLVING loads on one table: two concurrent loaders
+    * each widening the pin would race the version-keyed pin slot
+    * (the second `setTableSchema` overwrites the first, and a
+    * failure retraction could delete the survivor's pin) — so an
+    * evolving load takes this single lock for its duration, with the
+    * same lease/steal semantics as the file claims. A live holder
+    * refuses loudly rather than queueing: the caller retries after
+    * the in-flight evolution commits.
+    */
+  private def acquireEvolveLock(
+      spark: SparkSession, dir: String, id: String, leaseMs: Long): Unit =
+    require(claimOne(spark, dir, EvolveLockName, id, leaseMs),
+      s"copyInto: another evolving load is in flight on $dir — " +
+        "retry after it commits (or after its lease expires)")
+
+  private def releaseEvolveLock(spark: SparkSession, dir: String): Unit = {
     val fs = Compact.fsOf(spark, dir)
-    val logDir = new Path(dir, "_txlog")
-    val now = System.currentTimeMillis()
-    def tryClaim(dest: Path): Boolean = {
-      val tmp =
-        new Path(logDir, s".${dest.getName}.${java.util.UUID.randomUUID}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(s"$id\n$now".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      TxLog.atomicClaim(fs, tmp, dest)
-    }
-    fresh.filter { f =>
-      val dest = new Path(logDir, s"$ClaimPrefix${digestOf(f)}.txt")
-      if (tryClaim(dest)) true
-      else {
-        // lost: read the holder — committed loads free their claim
-        // lazily, live loads hold it, crashed loads age out
-        val holder = TxLog.metaRead(spark, dir, dest.getName)
-          .map(_.linesIterator.toList)
-        holder match {
-          case Some(hid :: ts :: _) =>
-            if (TxLog.txnCommitted(spark, dir, txnOf(hid))) {
-              fs.delete(dest, false) // committed: claim is residue
-              false // and the file is in the ledger — not fresh
-            } else if (now - ts.toLong < leaseMs) false // live racer
-            else { // stale: steal (delete + re-claim serializes)
-              fs.delete(dest, false)
-              tryClaim(dest)
-            }
-          case _ => false // vanished/garbled under us: skip this run
-        }
-      }
-    }
+    fs.delete(new Path(new Path(dir, "_txlog"), EvolveLockName), false)
   }
 
   /** Release this load's claims (post-commit: the ledger shard now
@@ -210,6 +252,7 @@ object CopyInto {
     // shard answers dedup (the claim is residue), and after any
     // failure the files must be reclaimable immediately, not after a
     // lease
+    var evolveLocked = false
     try {
 
     // the pinned LOGICAL schema drives the scan; identity columns a
@@ -246,7 +289,7 @@ object CopyInto {
           // via Spark's own csv header resolution (honors sep/quote/
           // charset options), run one schema-driven read per group,
           // and union the groups in pinned column order.
-          val headerOf: Map[String, String] = spark.sparkContext
+          val headerOf: Map[String, (String, Boolean)] = spark.sparkContext
             .parallelize(fresh,
               math.max(1, math.min(fresh.length, 64)))
             .map { f =>
@@ -261,14 +304,25 @@ object CopyInto {
                 // prefixes under any charset or quoting
                 val buf = new java.io.ByteArrayOutputStream()
                 var b = in.read()
+                val empty = b < 0 // zero-byte file
                 while (b >= 0 && b != '\n' && buf.size < (1 << 20)) {
                   buf.write(b); b = in.read()
                 }
-                f -> new String(buf.toByteArray,
-                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                f -> ((new String(buf.toByteArray,
+                  java.nio.charset.StandardCharsets.ISO_8859_1), empty))
               } finally in.close()
             }.collect().toMap
-          val groups = fresh.groupBy(headerOf).values.toSeq
+          // zero-byte files (producers routinely emit them) carry no
+          // rows and no header to probe: they ingest as nothing but
+          // still enter the ledger so no later run re-lists them. A
+          // NON-empty file whose header line is empty is garbage —
+          // refuse naming it rather than let schema inference throw
+          val nonEmpty = fresh.filterNot(f => headerOf(f)._2)
+          nonEmpty.find(f => headerOf(f)._1.isEmpty).foreach { f =>
+            throw new IllegalArgumentException(
+              s"copyInto: csv file $f has an empty header line")
+          }
+          val groups = nonEmpty.groupBy(f => headerOf(f)._1).values.toSeq
             .map(_.sorted).sortBy(_.head)
           val have = logical.fieldNames.toSet
           val parts = groups.map { files =>
@@ -291,7 +345,11 @@ object CopyInto {
                 d.withColumn(n, lit(null).cast(logical(n).dataType)))
               .select(logical.fieldNames.toSeq.map(col): _*)
           }
-          parts.reduce(_.unionByName(_))
+          if (parts.isEmpty) // every fresh file was zero-byte
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              logical)
+          else parts.reduce(_.unionByName(_))
         }
       case "json" =>
         require(!evolveSchema,
@@ -318,19 +376,35 @@ object CopyInto {
             s"copyInto: batch carries columns the table lacks " +
               s"(${freshCols.map(_.name).mkString(", ")}) — pass " +
               "evolveSchema = true to widen, or align the feed")
+          // evolution serializes: without the lock, two evolving
+          // loaders would race the version-keyed pin slot (second
+          // setTableSchema overwrites the first; a failure
+          // retraction could delete the survivor's pin)
+          acquireEvolveLock(spark, dir, id, claimLeaseMs)
+          evolveLocked = true
+          // re-resolve the pin UNDER the lock: an evolution that
+          // landed between our first schema read and the lock must
+          // be widened OVER, not overwritten away
+          val logical2 = TxLog.read(spark, dir).schema
+          val have2 = logical2.fieldNames.toSet
+          val fresh2 = df.schema.fields.filterNot(f => have2(f.name))
+          val batch2 = df.columns.toSet
           val merged0 = org.apache.spark.sql.types.StructType(
-            logical.fields ++ freshCols)
+            logical2.fields ++ fresh2)
           // mapped tables give evolved-in columns FRESH physical
           // names (a re-added dropped name must not resurrect dead
           // values out of old footers)
           val merged =
-            if (ColumnMapping.isMapped(logical))
-              ColumnMapping.carryOver(spark, dir, merged0, logical,
+            if (ColumnMapping.isMapped(logical2))
+              ColumnMapping.carryOver(spark, dir, merged0, logical2,
                 TxLog.currentVersion(spark, dir) + 1)
             else merged0
           evolvedTo = Some(merged)
-          nullFill(df).select(merged.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType)): _*)
+          logical2.fieldNames.filterNot(batch2)
+            .foldLeft(df)((d, n) =>
+              d.withColumn(n, lit(null).cast(logical2(n).dataType)))
+            .select(merged.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType)): _*)
         }
       case other => throw new IllegalArgumentException(
         s"copyInto: unsupported format '$other' (csv, json, parquet)")
@@ -418,6 +492,7 @@ object CopyInto {
     Result(v, fresh.size, rows, listed.size - fresh.size)
 
     } finally {
+      if (evolveLocked) releaseEvolveLock(spark, dir)
       if (!force) releaseClaims(spark, dir, fresh)
     }
   }

@@ -167,16 +167,28 @@ object MvStore {
         if (minMaxCols.isEmpty) base
         else {
           // dirty groups re-derive their extremes from the pruned
-          // post-change source; everybody else grows in place
+          // post-change source; everybody else grows in place. A
+          // GROW-ONLY batch (no delete/preimage row — the common
+          // append advance) has no dirty group, and must not pay the
+          // post-change source read at all: the probe is one scan of
+          // the already-checkpointed delta, and the skip path feeds
+          // the merge NULL recomputes (never selected — no __dirty
+          // row exists to select them)
           val dirty = delta.filter(col("__dirty") === 1)
             .select(groupCols.map(col): _*)
-          val mmAggs = minMaxCols.flatMap(m => Seq(
-            min(col(m).cast("double")).as(s"rc_min_$m"),
-            max(col(m).cast("double")).as(s"rc_max_$m")))
-          val recomp = current.get.join(dirty, groupCols, "semi")
-            .groupBy(groupCols.map(col): _*)
-            .agg(mmAggs.head, mmAggs.tail: _*)
-          base.join(recomp, groupCols, "left")
+          if (dirty.isEmpty)
+            minMaxCols.foldLeft(base)((d, m) =>
+              d.withColumn(s"rc_min_$m", lit(null).cast("double"))
+                .withColumn(s"rc_max_$m", lit(null).cast("double")))
+          else {
+            val mmAggs = minMaxCols.flatMap(m => Seq(
+              min(col(m).cast("double")).as(s"rc_min_$m"),
+              max(col(m).cast("double")).as(s"rc_max_$m")))
+            val recomp = current.get.join(dirty, groupCols, "semi")
+              .groupBy(groupCols.map(col): _*)
+              .agg(mmAggs.head, mmAggs.tail: _*)
+            base.join(recomp, groupCols, "left")
+          }
         }
       val mmOut = minMaxCols.flatMap(m => Seq(
         when(col("__dirty") === 1, col(s"rc_min_$m"))

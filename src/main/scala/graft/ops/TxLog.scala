@@ -1956,14 +1956,19 @@ object TxLog {
     * present in both pins under different logical spellings is a
     * rename, and the replica (its own table, its own mapping) renames
     * the same logical pair. Chains collapse (only the endpoint
-    * spelling is applied); swaps within one range refuse through
-    * [[ColumnMapping.renameColumn]]'s own exists-check.
+    * spelling is applied). A SWAP (the rename's target spelling still
+    * lives in the replica under another physical) REFUSES: applying
+    * the feed over crossed spellings would silently put old-b values
+    * in touched rows' a while untouched rows keep old-a — corruption,
+    * not replication. Columns the source DROPPED in the range drop
+    * from the replica too (otherwise the feed, which lacks them,
+    * cannot apply at all and the cursor wedges).
     */
   private def followSourceRenames(
       spark: SparkSession, srcDir: String, dstDir: String,
       fromVersion: Int): Unit = {
-    val pinNow = tableSchema(spark, srcDir).getOrElse(return)
     if (liveFiles(spark, dstDir).isEmpty) return // nothing to re-spell
+    val pinNow = tableSchema(spark, srcDir)
     // pre-pin era at `from`: footer names WERE the physical names
     val oldByPhys: Map[String, String] =
       tableSchema(spark, srcDir, fromVersion) match {
@@ -1973,12 +1978,29 @@ object TxLog {
           snapshot(spark, srcDir, fromVersion).schema.fieldNames
             .map(n => n -> n).toMap
       }
-    val dstCols = snapshot(spark, dstDir).columns.toSet
-    pinNow.fields.foreach { f =>
-      oldByPhys.get(ColumnMapping.physicalName(f)).foreach { old =>
-        if (old != f.name && dstCols(old) && !dstCols(f.name))
-          ColumnMapping.renameColumn(spark, dstDir, old, f.name)
+    pinNow.foreach { pn =>
+      val dstCols = snapshot(spark, dstDir).columns.toSet
+      pn.fields.foreach { f =>
+        oldByPhys.get(ColumnMapping.physicalName(f)).foreach { old =>
+          if (old != f.name && dstCols(old)) {
+            require(!dstCols(f.name),
+              s"replicateByRowId: the source renamed $old -> ${f.name} " +
+                s"but the replica holds BOTH spellings — a swap or " +
+                "conflicting evolution inside the advanced range " +
+                "cannot be applied unambiguously; recreate the replica")
+            ColumnMapping.renameColumn(spark, dstDir, old, f.name)
+          }
+        }
       }
+    }
+    // follow DROPS: replica columns the source's current logical
+    // schema no longer spells (the feed will not carry them)
+    val srcCols: Set[String] = pinNow
+      .map(_.fieldNames.toSet)
+      .getOrElse(snapshot(spark, srcDir).schema.fieldNames.toSet)
+    val dstNow = snapshot(spark, dstDir).columns.toSet
+    (dstNow - RowTracking.Col -- srcCols).toSeq.sorted.foreach { c =>
+      ColumnMapping.dropColumn(spark, dstDir, c)
     }
   }
 

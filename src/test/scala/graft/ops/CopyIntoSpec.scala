@@ -247,6 +247,30 @@ class CopyIntoSpec extends SparkSpec {
       late.filter(col("extra").isNotNull).count() == 0)
   }
 
+  test("zero-byte files in a header-mode batch ingest as nothing, not a failure") {
+    val dir = freshTable(nation.schema)
+    val zone = landingZone(nation, 2)
+    val zfs = Compact.fsOf(spark, zone)
+    // a producer's empty flush lands beside real files
+    zfs.create(new org.apache.hadoop.fs.Path(zone, "a_empty.csv")).close()
+    val r = CopyInto.copyInto(spark, dir, zone, "csv", csvOpts)
+    assert(r.filesLoaded == 3 && r.rowsLoaded == nation.count())
+    assert(same(TxLog.snapshot(spark, dir), nation))
+    // the empty file entered the ledger: a re-run re-lists nothing
+    val r2 = CopyInto.copyInto(spark, dir, zone, "csv", csvOpts)
+    assert(r2.filesLoaded == 0 && r2.filesSkipped == 3)
+    // a batch that is ONLY empty files commits an empty load cleanly
+    val dir2 = freshTable(nation.schema)
+    val zone2 = Files.createTempDirectory("copyinto_allempty")
+      .toString + "/in"
+    zfs.mkdirs(new org.apache.hadoop.fs.Path(zone2))
+    zfs.create(new org.apache.hadoop.fs.Path(zone2, "e1.csv")).close()
+    val r3 = CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts)
+    assert(r3.filesLoaded == 1 && r3.rowsLoaded == 0L)
+    assert(CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts)
+      .filesLoaded == 0)
+  }
+
   test("racing loaders: disjoint patterns split a zone; the same pattern never double-loads") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

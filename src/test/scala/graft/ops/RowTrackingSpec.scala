@@ -328,6 +328,51 @@ class RowTrackingSpec extends SparkSpec {
     assert(e.getMessage.contains("row tracking"))
   }
 
+  test("replicateByRowId: ADD then DROP on the source follow into the replica; a swap refuses") {
+    val src = fresh(12, 2)
+    val dst = Files.createTempDirectory("rowtrk_repl2").toString + "/r"
+    TxLog.replicateByRowId(spark, src, dst)
+    // ADD COLUMN on the source + a commit carrying it: the keyless
+    // feed (range-end pin) widens the replica through applyChanges
+    ColumnMapping.addColumn(spark, src,
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    TxLog.append(spark, src,
+      Seq((50L, "n", 500L)).toDF("k", "v", "w").repartition(1))
+    TxLog.replicateByRowId(spark, src, dst)
+    assert(TxLog.snapshot(spark, dst).columns.contains("w"))
+    assert(TxLog.snapshot(spark, dst).filter(col("k") === 50L)
+      .head().getAs[Long]("w") == 500L)
+    // DROP on the source: the feed no longer carries w — the replica
+    // must drop it too instead of wedging on a missing feed column
+    ColumnMapping.dropColumn(spark, src, "w")
+    TxLog.append(spark, src,
+      Seq((51L, "m")).toDF("k", "v").repartition(1))
+    TxLog.replicateByRowId(spark, src, dst)
+    val rep = TxLog.snapshot(spark, dst)
+    assert(!rep.columns.contains("w"))
+    assert(rep.select("k", "v").as[(Long, String)].collect().toSet ==
+      TxLog.snapshot(spark, src).select("k", "v")
+        .as[(Long, String)].collect().toSet)
+    // a SWAP inside one advance (v<->u via a temp spelling) cannot
+    // apply unambiguously — it must refuse, never cross the values
+    ColumnMapping.addColumn(spark, src,
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.append(spark, src,
+      Seq((52L, "x", "ux")).toDF("k", "v", "u").repartition(1))
+    TxLog.replicateByRowId(spark, src, dst) // replica now has u
+    ColumnMapping.renameColumn(spark, src, "v", "zz_tmp")
+    ColumnMapping.renameColumn(spark, src, "u", "v")
+    ColumnMapping.renameColumn(spark, src, "zz_tmp", "u")
+    TxLog.append(spark, src,
+      Seq((53L, "sv", "su")).toDF("k", "v", "u").repartition(1))
+    val sw = intercept[IllegalArgumentException] {
+      TxLog.replicateByRowId(spark, src, dst)
+    }
+    assert(sw.getMessage.contains("BOTH spellings"))
+  }
+
   test("vacuum prunes the ledger; water survives") {
     val dir = fresh(10, 5)
     val w = RowTracking.currentWater(spark, dir)
