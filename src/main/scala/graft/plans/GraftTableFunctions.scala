@@ -336,6 +336,17 @@ object GraftTableFunctions {
         str(tb, fn, 1), str(f0, fn, 2), str(t1, fn, 3))
       procReceipt(spark, "db-rename-column", db, Seq(
         "version" -> v.toLong))
+    case ("graft_replicate", Seq(s0, d0, k0)) =>
+      val src = str(s0, fn, 0)
+      val (from, to) = TxLog.replicateTo(spark, src,
+        str(d0, fn, 1), str(k0, fn, 2))
+      procReceipt(spark, "replicate", src, Seq(
+        "from_version" -> from.toLong, "to_version" -> to.toLong))
+    case ("graft_replicate_rowid", Seq(s0, d0)) =>
+      val src = str(s0, fn, 0)
+      val (from, to) = TxLog.replicateByRowId(spark, src, str(d0, fn, 1))
+      procReceipt(spark, "replicate-rowid", src, Seq(
+        "from_version" -> from.toLong, "to_version" -> to.toLong))
     case ("graft_db_widen_column", Seq(d, tb, c0, t1)) =>
       val db = str(d, fn, 0)
       val v = graft.ops.DbLog.alterColumnType(spark, db,
@@ -613,6 +624,10 @@ object GraftTableFunctions {
         "graft_db_rename_column(db, table, from, to) - PROCEDURE: per-table RENAME COLUMN inside a DbLog database"),
       ("graft_db_widen_column",
         "graft_db_widen_column(db, table, col, type) - PROCEDURE: per-table lossless ALTER COLUMN TYPE inside a DbLog database"),
+      ("graft_replicate",
+        "graft_replicate(src, dst, key) - PROCEDURE: advance (or seed) the keyed downstream replica of a logged table"),
+      ("graft_replicate_rowid",
+        "graft_replicate_rowid(src, dst) - PROCEDURE: keyless replication of a row-tracked table by its stable _row_id"),
       ("graft_db_changes",
         "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
       ("graft_clone",

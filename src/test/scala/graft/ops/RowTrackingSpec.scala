@@ -310,7 +310,10 @@ class RowTrackingSpec extends SparkSpec {
     ColumnMapping.renameColumn(spark, src, "v", "name")
     TxLog.append(spark, src,
       Seq((100L, "new")).toDF("k", "name").repartition(1))
-    TxLog.replicateByRowId(spark, src, dst)
+    // the SQL procedure surface drives this advance
+    graft.GraftExtensions.installInto(spark)
+    spark.sql(s"SELECT * FROM graft_replicate_rowid('$src', '$dst')")
+      .collect()
     val rep = TxLog.snapshot(spark, dst)
     assert(rep.columns.contains("name") && !rep.columns.contains("v"))
     assert(rep.select("k", "name").as[(Long, String)].collect().toSet ==
