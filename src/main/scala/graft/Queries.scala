@@ -3081,6 +3081,66 @@ object Queries {
       col("min_price"), col("max_price"))
   }
 
+  /** THREE-TABLE incremental join view ([[graft.ops.JoinMv
+    * .followStar]]): orders ⋈ customer ⋈ nation maintained from all
+    * three logs by the telescoping delta algebra — and the chain is
+    * a SNOWFLAKE: nation joins `c_nationkey`, a column customer
+    * produced, not a fact column. One advance churns ALL THREE
+    * tables (facts re-price + insert, %97 customers move both
+    * segment and nation, nations 0-2 rename) and the three summands
+    * must telescope to exactly the new state; a no-op follow closes.
+    * Hash-green = the cursor-driven view equals DuckDB's direct
+    * aggregate of the final three-way join.
+    */
+  def qJoinMvStar(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val root = s"$indexQueryDir/joinmv_star"
+    val fsp = new org.apache.hadoop.fs.Path(root)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val f = s"$root/fact"; val d1 = s"$root/cust"; val d2 = s"$root/nat"
+    o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(f)
+    graft.ops.TxLog.convert(s, f)
+    c.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"), col("c_nationkey"))
+      .repartition(2).write.parquet(d1)
+    graft.ops.TxLog.convert(s, d1)
+    n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("nation_name"))
+      .repartition(1).write.parquet(d2)
+    graft.ops.TxLog.convert(s, d2)
+    val store = new graft.sources.ParquetStore(s, s"$root/state")
+    val dims = Seq((d1, Seq("o_custkey")), (d2, Seq("c_nationkey")))
+    val G = Seq("seg", "nation_name"); val M = Seq("price")
+    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // seed
+    // all three churn in ONE window
+    graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
+      graft.ops.TxLog.snapshot(s, f)
+        .filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("price", col("price") * 2)
+        .unionByName(o.filter(col("o_orderkey") < 5).select(
+          (col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), lit(0.0).as("price"))))
+    graft.ops.UpsertWhere.byKeys(s, d1, "o_custkey",
+      graft.ops.TxLog.snapshot(s, d1)
+        .filter(pmod(col("o_custkey"), lit(97)) === 0)
+        .withColumn("seg", lit("MOVED"))
+        .withColumn("c_nationkey", pmod(col("c_nationkey") + 7, lit(25))))
+    graft.ops.UpsertWhere.byKeys(s, d2, "c_nationkey",
+      graft.ops.TxLog.snapshot(s, d2).filter(col("c_nationkey") < 3)
+        .withColumn("nation_name",
+          concat(lit("REN_"), col("c_nationkey").cast("string"))))
+    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // advance
+    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // no-op
+    graft.ops.JoinMv.read(store, "rev")
+      .select(col("seg"), col("nation_name"), col("n"),
+        round(col("sum_price"), 2).as("sum_price"))
+  }
+
   /** The log→MV loop CLOSED ([[graft.ops.MvStore.followTxLog]] over
     * [[graft.ops.TxLog.diffSince]]): where q_txlog_mv hand-lists its
     * version pairs, here the view carries a persisted CURSOR — seed
@@ -4701,8 +4761,7 @@ object Queries {
     val src = s"$root/src"; val rep = s"$root/rep"
     n.repartition(2).write.parquet(src)
     graft.ops.TxLog.convert(s, src)
-    val ck = java.nio.file.Files
-      .createTempDirectory("cdc_auto_ck").toString
+    val ck = s"$root/ck" // wiped with the root at the next run
     val sup = new graft.streaming.CdcSupervisor(() =>
       s.readStream.format("graft-cdc")
         .option("path", src).option("startingVersion", "0").load()

@@ -206,6 +206,7 @@ object SparkEntry {
     "q_cluster_by" -> (Queries.qClusterBy _),
     "q_joinmv" -> (Queries.qJoinMv _),
     "q_joinmv_minmax" -> (Queries.qJoinMvMinmax _),
+    "q_joinmv_star" -> (Queries.qJoinMvStar _),
     "q_cdc_autorestart" -> (Queries.qCdcAutorestart _),
     "q_routed_delete" -> (Queries.qRoutedDelete _),
     "q_type_widen" -> (Queries.qTypeWiden _),
@@ -2495,6 +2496,40 @@ object Oracles {
                 MIN(price) AS min_price, MAX(price) AS max_price
          FROM f2 JOIN dim USING (o_custkey)
          GROUP BY seg""",
+
+    // three-table (snowflake) incremental join view: one advance
+    // churns facts (re-price %991 + 5 fresh zero-price), customers
+    // (%97 move segment AND nation via (k+7)%25) and nations (<3
+    // rename) — DuckDB aggregates the final 3-way join directly
+    "q_joinmv_star" ->
+      """WITH fact AS (
+           SELECT o_custkey,
+                  CASE WHEN o_orderkey % 991 = 0
+                       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, 0.0 AS price FROM orders WHERE o_orderkey < 5
+         ),
+         d1 AS (
+           SELECT c_custkey AS o_custkey,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN 'MOVED' ELSE c_mktsegment END AS seg,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN (c_nationkey + 7) % 25
+                       ELSE c_nationkey END AS c_nationkey
+           FROM customer
+         ),
+         d2 AS (
+           SELECT n_nationkey AS c_nationkey,
+                  CASE WHEN n_nationkey < 3
+                       THEN 'REN_' || CAST(n_nationkey AS VARCHAR)
+                       ELSE n_name END AS nation_name
+           FROM nation
+         )
+         SELECT seg, nation_name, count(*) AS n,
+                ROUND(SUM(price), 2) AS sum_price
+         FROM fact JOIN d1 USING (o_custkey) JOIN d2 USING (c_nationkey)
+         GROUP BY seg, nation_name""",
 
     // self-healing cdc: ADD COLUMN mid-stream heals via the
     // supervisor (one restart, require()d); replica = source final

@@ -148,7 +148,7 @@ object CopyInto {
     else {
       val committed = ingestedFiles(spark, dir).toSet
       val (dup, ok) = won.partition(committed)
-      releaseClaims(spark, dir, dup)
+      releaseClaims(spark, dir, dup, id)
       ok
     }
   }
@@ -170,23 +170,39 @@ object CopyInto {
       s"copyInto: another evolving load is in flight on $dir — " +
         "retry after it commits (or after its lease expires)")
 
-  private def releaseEvolveLock(spark: SparkSession, dir: String): Unit = {
+  /** Delete claim file `name` ONLY if this loader still owns it — a
+    * loader that outlived its lease (its claim stolen, the stealer's
+    * claim now under the same name) must not delete the new holder's
+    * claim on its way out, or a THIRD claimant would win while the
+    * stealer still runs. The read-then-delete window is micro-scale
+    * vs the lease's minutes and additionally requires the steal to
+    * land exactly inside it; the residual exposure is the documented
+    * lease bound, not a new one.
+    */
+  private def releaseOwned(
+      spark: SparkSession, dir: String, name: String, id: String): Unit = {
     val fs = Compact.fsOf(spark, dir)
-    fs.delete(new Path(new Path(dir, "_txlog"), EvolveLockName), false)
+    val owned = TxLog.metaRead(spark, dir, name)
+      .exists(_.linesIterator.nextOption().contains(id))
+    if (owned)
+      fs.delete(new Path(new Path(dir, "_txlog"), name), false)
   }
+
+  private def releaseEvolveLock(
+      spark: SparkSession, dir: String, id: String): Unit =
+    releaseOwned(spark, dir, EvolveLockName, id)
 
   /** Release this load's claims (post-commit: the ledger shard now
     * answers dedup; pre-commit failure: the files must become
-    * claimable again immediately, not after a lease).
+    * claimable again immediately, not after a lease). Ownership-
+    * checked per claim — see [[releaseOwned]].
     */
   private def releaseClaims(
-      spark: SparkSession, dir: String, files: Seq[String]): Unit = {
-    val fs = Compact.fsOf(spark, dir)
-    val logDir = new Path(dir, "_txlog")
+      spark: SparkSession, dir: String, files: Seq[String],
+      id: String): Unit =
     files.foreach { f =>
-      fs.delete(new Path(logDir, s"$ClaimPrefix${digestOf(f)}.txt"), false)
+      releaseOwned(spark, dir, s"$ClaimPrefix${digestOf(f)}.txt", id)
     }
-  }
 
   /** Source files already committed into `dir` — the union of every
     * ledger shard whose transaction landed. Shards whose txn never
@@ -227,14 +243,22 @@ object CopyInto {
       s"copyInto: $dir is not TxLog-managed — create the table first " +
         "(CREATE TABLE / TxLog.convert + setTableSchema)")
     val sfs = Compact.fsOf(spark, source)
-    val listed = Option(sfs.globStatus(new Path(source, pattern)))
+    val listedSt = Option(sfs.globStatus(new Path(source, pattern)))
       .map(_.toSeq).getOrElse(Nil)
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map(st => sfs.makeQualified(st.getPath).toString)
-      .sorted
+    val listed = listedSt
+      .map(st => sfs.makeQualified(st.getPath).toString).sorted
+    // zero-byte files (a producer's empty flush) are decided at the
+    // LISTING, for every format: they carry no rows and for
+    // parquet/json not even a parsable header, so they enter the
+    // ledger as consumed without ever being read — otherwise a
+    // single empty parquet file wedges the zone (unable to read
+    // schema → abort → never ledgered → re-fail every run)
+    val zeroByte: Set[String] = listedSt.filter(_.getLen == 0)
+      .map(st => sfs.makeQualified(st.getPath).toString).toSet
     val done =
       if (force) Set.empty[String] else ingestedFiles(spark, dir).toSet
     val candidates = listed.filterNot(done)
@@ -265,7 +289,13 @@ object CopyInto {
     // read NULL — the COPY INTO mergeSchema contract. csv/json parse
     // schema-DRIVEN (they cannot discover columns), so they refuse.
     var evolvedTo: Option[org.apache.spark.sql.types.StructType] = None
-    val raw = format.toLowerCase match {
+    val dataFiles = fresh.filterNot(zeroByte)
+    val raw = if (dataFiles.isEmpty)
+      // the whole batch was empty flushes: commit the (empty) load so
+      // the ledger remembers the files
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    else format.toLowerCase match {
       case "csv" =>
         require(!evolveSchema,
           "copyInto: csv parses schema-driven and cannot discover new " +
@@ -273,7 +303,7 @@ object CopyInto {
         if (!options.get("header").exists(_.equalsIgnoreCase("true")))
           // headerless: the pinned column order IS the file layout
           // (positional by contract)
-          reader.schema(logical).csv(fresh: _*)
+          reader.schema(logical).csv(dataFiles: _*)
         else {
           // header mode maps by NAME, never position: Spark's
           // user-schema csv read is POSITIONAL (enforceSchema), so
@@ -355,21 +385,25 @@ object CopyInto {
         require(!evolveSchema,
           "copyInto: json parses schema-driven and cannot discover new " +
             "columns — evolveSchema applies to parquet feeds only")
-        reader.schema(logical).json(fresh: _*)
+        reader.schema(logical).json(dataFiles: _*)
       case "parquet" =>
-        val df = reader.parquet(fresh: _*)
+        val df = reader.parquet(dataFiles: _*)
         val haveNames = logical.fieldNames.toSet
         val freshCols = df.schema.fields.filterNot(f => haveNames(f.name))
         val batchNames = df.columns.toSet
         // pinned columns the batch lacks read NULL (identity/default
         // fill then applies) — the usual narrower-feed shape, incl.
-        // a pre-evolution producer still writing the old width
-        def nullFill(base: org.apache.spark.sql.DataFrame) =
-          logical.fieldNames.filterNot(batchNames)
+        // a pre-evolution producer still writing the old width. ONE
+        // fill used by both the plain and the evolve path (which
+        // fills against the pin re-read under the lock).
+        def nullFill(
+            base: org.apache.spark.sql.DataFrame,
+            sc: org.apache.spark.sql.types.StructType) =
+          sc.fieldNames.filterNot(batchNames)
             .foldLeft(base)((d, n) =>
-              d.withColumn(n, lit(null).cast(logical(n).dataType)))
+              d.withColumn(n, lit(null).cast(sc(n).dataType)))
         if (freshCols.isEmpty)
-          nullFill(df).select(logical.fields.toSeq.map(f =>
+          nullFill(df, logical).select(logical.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType)): _*)
         else {
           require(evolveSchema,
@@ -388,7 +422,6 @@ object CopyInto {
           val logical2 = TxLog.read(spark, dir).schema
           val have2 = logical2.fieldNames.toSet
           val fresh2 = df.schema.fields.filterNot(f => have2(f.name))
-          val batch2 = df.columns.toSet
           val merged0 = org.apache.spark.sql.types.StructType(
             logical2.fields ++ fresh2)
           // mapped tables give evolved-in columns FRESH physical
@@ -400,11 +433,8 @@ object CopyInto {
                 TxLog.currentVersion(spark, dir) + 1)
             else merged0
           evolvedTo = Some(merged)
-          logical2.fieldNames.filterNot(batch2)
-            .foldLeft(df)((d, n) =>
-              d.withColumn(n, lit(null).cast(logical2(n).dataType)))
-            .select(merged.fields.toSeq.map(f =>
-              col(f.name).cast(f.dataType)): _*)
+          nullFill(df, logical2).select(merged.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
         }
       case other => throw new IllegalArgumentException(
         s"copyInto: unsupported format '$other' (csv, json, parquet)")
@@ -492,8 +522,8 @@ object CopyInto {
     Result(v, fresh.size, rows, listed.size - fresh.size)
 
     } finally {
-      if (evolveLocked) releaseEvolveLock(spark, dir)
-      if (!force) releaseClaims(spark, dir, fresh)
+      if (evolveLocked) releaseEvolveLock(spark, dir, id)
+      if (!force) releaseClaims(spark, dir, fresh, id)
     }
   }
 }

@@ -72,85 +72,202 @@ object JoinMv {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil): ((Int, Int), (Int, Int)) = {
-    val spark = store.spark
-    import spark.implicits._
-    val cF = TxLog.currentVersion(spark, factDir)
-    val cD = TxLog.currentVersion(spark, dimDir)
-    val keep = (groupCols ++ sumCols ++ minMaxCols).distinct
-    def joinedAt(vf: Int, vd: Int) =
-      TxLog.snapshot(spark, factDir, vf)
-        .join(TxLog.snapshot(spark, dimDir, vd), joinKeys)
-        .select(keep.map(col): _*)
-    def pin(vf: Int, vd: Int): Unit =
-      store.overwrite(Seq((vf, vd)).toDF("fact_v", "dim_v"),
-        cursorTable(name))
-    def seed(): ((Int, Int), (Int, Int)) = {
-      MvStore.init(store, name, joinedAt(cF, cD),
-        groupCols, sumCols, batchId = s"seed_f${cF}_d$cD",
-        minMaxCols = minMaxCols)
-      pin(cF, cD)
-      ((cF, cF), (cD, cD))
-    }
-    if (!MvStore.exists(store, name) || !store.exists(cursorTable(name)))
-      return seed()
-    val cur = store.read(cursorTable(name)).select("fact_v", "dim_v").head()
-    val (fromF, fromD) = (cur.getInt(0), cur.getInt(1))
-    if (fromF == cF && fromD == cD) return ((fromF, cF), (fromD, cD))
-    if (!TxLog.retainedVersions(spark, factDir).contains(fromF) ||
-        !TxLog.retainedVersions(spark, dimDir).contains(fromD))
-      return seed() // fell behind a retention horizon: one reseed scan
-    val feedF = TxLog.asChangeFeed(TxLog.diff(spark, factDir, fromF, cF))
-      .localCheckpoint() // read twice is never worth re-diffing
-    val feedD = TxLog.asChangeFeed(TxLog.diff(spark, dimDir, fromD, cD))
-      .localCheckpoint()
-    val dimNew = TxLog.snapshot(spark, dimDir, cD)
-    // F_old, pruned: a single numeric join key with declared stats
-    // bounds the fact scan to the changed keys' [min, max] (scattered
-    // keys widen the range back to the full scan — harmless, one
-    // 1-row agg); an empty dim delta skips the fact read entirely
-    val fOld: DataFrame = {
-      val whole = TxLog.snapshot(spark, factDir, fromF)
-      lazy val keyType = whole.schema(joinKeys.head).dataType
-      if (feedD.isEmpty) whole.limit(0)
-      else if (joinKeys.sizeIs == 1 &&
-          TxLog.statsColumns(spark, factDir).contains(joinKeys.head) &&
-          keyType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
-        val k = joinKeys.head
-        val b = feedD.agg(min(col(k).cast("double")),
+    // the two-table form IS the one-dim star — one cursor machinery,
+    // one pending-intent protocol, one delta construction
+    val rs = followStar(store, name, factDir, Seq((dimDir, joinKeys)),
+      groupCols, sumCols, minMaxCols)
+    (rs(0), rs(1))
+  }
+
+  /** The OLD-side scan of `dir` for a term whose delta is `feed`,
+    * pruned when the (single) join key is a column OF THIS TABLE
+    * with usable bounds: numeric + declared log stats → file-level
+    * [[TxLog.snapshotPruned]] over the changed keys' widened
+    * [min, max] (1 ULP out each side — the double cast rounds
+    * integral keys past 2^53); string → a lexicographic range
+    * predicate parquet's own row-group stats serve (unsigned UTF-8
+    * order, the same total order Spark compares in). A key the table
+    * does not spell (snowflake terms — the delta joins a column an
+    * earlier dim produced) reads whole; an empty delta reads
+    * nothing.
+    */
+  private def prunedOld(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      fromV: Int,
+      feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val whole = TxLog.snapshot(spark, dir, fromV)
+    if (feed.isEmpty) return whole.limit(0)
+    if (keys.sizeIs != 1 || !whole.columns.contains(keys.head))
+      return whole
+    val k = keys.head
+    whole.schema(k).dataType match {
+      case _: org.apache.spark.sql.types.NumericType
+          if TxLog.statsColumns(spark, dir).contains(k) =>
+        val b = feed.agg(min(col(k).cast("double")),
           max(col(k).cast("double"))).head()
         if (b.isNullAt(0)) whole.limit(0)
-        // the double cast ROUNDS integral keys beyond 2^53 (≤½ ULP
-        // each way) — a rounded-up min / rounded-down max could prune
-        // a file holding a true changed key, silently dropping rows
-        // from the F_old term. Widening each bound a full ULP covers
-        // the rounding of both the key and the file's stored stats;
-        // at worst one extra file scans.
-        else TxLog.snapshotPruned(spark, factDir, k,
-          Math.nextDown(b.getDouble(0)), Math.nextUp(b.getDouble(1)), fromF)
-      } else if (joinKeys.sizeIs == 1 &&
-          keyType == org.apache.spark.sql.types.StringType) {
-        // STRING join key: bound the scan with a lexicographic range
-        // predicate over the changed keys — Spark pushes it to the
-        // parquet scan, whose own binary stats (unsigned UTF-8 byte
-        // order, the same total order Spark's min/max/comparisons
-        // use) skip every row group outside the span. Semantics-
-        // preserving: an F_old row outside [min, max] of the changed
-        // keys cannot equi-join any feedD row.
-        val k = joinKeys.head
-        val b = feedD.agg(min(col(k)), max(col(k))).head()
+        else TxLog.snapshotPruned(spark, dir, k,
+          Math.nextDown(b.getDouble(0)), Math.nextUp(b.getDouble(1)),
+          fromV)
+      case org.apache.spark.sql.types.StringType =>
+        val b = feed.agg(min(col(k)), max(col(k))).head()
         if (b.isNullAt(0)) whole.limit(0)
         else whole.filter(col(k) >= lit(b.getString(0)) &&
           col(k) <= lit(b.getString(1)))
-      } else whole
+      case _ => whole
+    }
+  }
+
+  private def cursorStarTable(name: String) = s"${name}__jmvs_cursor"
+
+  /** N-TABLE incremental join view — the star/snowflake
+    * generalization of [[follow]]: a fact joined through `dims` (in
+    * order — each dim's USING keys must resolve against the
+    * ACCUMULATED join, so a snowflake chain where dim 2 joins a
+    * column dim 1 produced is expressed by listing them in chain
+    * order). The delta algebra telescopes exactly:
+    *
+    *   Δ(T₀⋈…⋈Tₙ) = Σᵢ T₀ᵒˡᵈ⋈…⋈Tᵢ₋₁ᵒˡᵈ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ⁿᵉʷ⋈…⋈Tₙⁿᵉʷ
+    *
+    * (each summand joins everything LEFT of the delta at its old
+    * version and everything RIGHT at its new one, so consecutive
+    * summands cancel pairwise and the sum is new − old — no row
+    * double-counted however many tables churned in one advance).
+    * Every summand is a signed change feed; all of them union into
+    * ONE [[MvStore.refresh]] batch, inheriting replay stamps, the
+    * writer fence and touched-shard rewrites. One cursor row per
+    * table persists in the store.
+    *
+    * 100 TB shape: term i reads ΔTᵢ (O(churn)) joined against dims
+    * (broadcast when small), and the FACT is re-read at most once
+    * per churned dim — each such read pruned by [[prunedOld]] when
+    * the dim keys on a fact column with stats; tables with no churn
+    * in the window contribute no term at all. `minMaxCols` as in
+    * [[follow]] (dirty groups recompute from the full joined NEW
+    * state, semi-pruned inside refresh).
+    */
+  def followStar(
+      store: TableStore,
+      name: String,
+      factDir: String,
+      dims: Seq[(String, Seq[String])],
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Seq[(Int, Int)] = {
+    require(dims.nonEmpty, "followStar: at least one dimension")
+    val spark = store.spark
+    import spark.implicits._
+    val dirs = factDir +: dims.map(_._1)
+    val keysFor = dims.map(_._2)
+    val keyStr: Int => String =
+      i => if (i == 0) "" else keysFor(i - 1).mkString(",")
+    val keep = (groupCols ++ sumCols ++ minMaxCols).distinct
+    def snapAt(i: Int, v: Int) = TxLog.snapshot(spark, dirs(i), v)
+    def joinedAt(vs: Seq[Int]): DataFrame =
+      dims.indices.foldLeft(snapAt(0, vs(0)))((acc, j) =>
+        acc.join(snapAt(j + 1, vs(j + 1)), keysFor(j)))
+        .select(keep.map(col): _*)
+    // the cursor pins IDENTITY alongside versions: a later call with
+    // the same arity but different tables (or keys) must refuse, not
+    // feed an unrelated table's diff into the state
+    def pin(vs: Seq[Int]): Unit =
+      store.overwrite(vs.zipWithIndex.map { case (v, i) =>
+        (i, v, dirs(i), keyStr(i)) }.toDF("idx", "ver", "tbl", "keys"),
+        cursorStarTable(name))
+    def seed(): Seq[(Int, Int)] = {
+      val curs = dirs.map(TxLog.currentVersion(spark, _))
+      MvStore.init(store, name, joinedAt(curs), groupCols, sumCols,
+        batchId = s"seed_${curs.mkString("_")}",
+        minMaxCols = minMaxCols)
+      pin(curs)
+      curs.map(v => (v, v))
+    }
+    if (!MvStore.exists(store, name) ||
+        !store.exists(cursorStarTable(name)))
+      return seed()
+    val curRows = store.read(cursorStarTable(name)).orderBy("idx")
+      .select("ver", "tbl", "keys").collect()
+    require(curRows.length == dirs.length,
+      s"followStar('$name'): cursor spans ${curRows.length} tables, " +
+        s"call names ${dirs.length} — the view was built with a " +
+        "different table list")
+    curRows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getString(1) == dirs(i) && r.getString(2) == keyStr(i),
+        s"followStar('$name'): position $i was built over " +
+          s"${r.getString(1)} [${r.getString(2)}], this call names " +
+          s"${dirs(i)} [${keyStr(i)}] — same-arity table/key drift " +
+          "would apply an unrelated diff; recreate the view or fix " +
+          "the call")
+    }
+    val from = curRows.map(_.getInt(0)).toSeq
+    // PENDING INTENT: the advance's TARGET versions persist BEFORE
+    // the refresh, so a retry after a crash resumes the EXACT window
+    // the stamped batch covered — without it, a source committing
+    // between crash and retry would change the batch id, the stamp
+    // would not recognize the replay, and the old window would apply
+    // twice. A pending row matches only while `from` still equals the
+    // window start (the pin moving makes it stale by construction, no
+    // cleanup write needed); a pending target pruned away by a racing
+    // vacuum falls back to the live versions.
+    val pendingT = s"${name}__jmvs_pending"
+    val curs: Seq[Int] = {
+      val now = dirs.map(TxLog.currentVersion(spark, _))
+      val resumed: Option[Seq[Int]] =
+        if (!store.exists(pendingT)) None
+        else {
+          val p = store.read(pendingT).orderBy("idx")
+            .select("fromv", "tov").collect()
+          if (p.length == dirs.length &&
+              p.map(_.getInt(0)).toSeq == from &&
+              p.map(_.getInt(1)).zip(dirs).forall { case (v, d) =>
+                TxLog.retainedVersions(spark, d).contains(v) })
+            Some(p.map(_.getInt(1)).toSeq)
+          else None
+        }
+      resumed.getOrElse(now)
+    }
+    if (from == curs) return from.zip(curs)
+    if (from.zip(dirs).exists { case (f, d) =>
+        !TxLog.retainedVersions(spark, d).contains(f) })
+      return seed() // fell behind a retention horizon
+    store.overwrite(from.zip(curs).zipWithIndex.map {
+      case ((f, t), i) => (i, f, t) }.toDF("idx", "fromv", "tov"),
+      pendingT)
+    val feeds: Seq[Option[DataFrame]] = dirs.indices.map { i =>
+      if (from(i) == curs(i)) None
+      else Some(TxLog.asChangeFeed(
+        TxLog.diff(spark, dirs(i), from(i), curs(i))).localCheckpoint())
     }
     val cols = (keep :+ "change_type").map(col)
-    val t1 = feedF.join(dimNew, joinKeys).select(cols: _*)
-    val t2 = fOld.join(feedD, joinKeys).select(cols: _*)
-    MvStore.refresh(store, name, t1.unionByName(t2), groupCols, sumCols,
-      batchId = Some(s"f${fromF}_${cF}_d${fromD}_$cD"),
+    val terms: Seq[DataFrame] = dirs.indices.flatMap { i =>
+      feeds(i).map { fd =>
+        if (i == 0)
+          // ΔF ⋈ every dim at its NEW version
+          dims.indices.foldLeft(fd)((acc, j) =>
+            acc.join(snapAt(j + 1, curs(j + 1)), keysFor(j)))
+            .select(cols: _*)
+        else {
+          // T₀ᵒˡᵈ…Tᵢ₋₁ᵒˡᵈ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ⁿᵉʷ…Tₙⁿᵉʷ — the fact's old
+          // read pruned by THIS dim's changed keys where possible
+          val f0 = prunedOld(spark, factDir, from(0), fd, keysFor(i - 1))
+          val left = (1 until i).foldLeft(f0)((acc, j) =>
+            acc.join(snapAt(j, from(j)), keysFor(j - 1)))
+          val mid = left.join(fd, keysFor(i - 1))
+          ((i + 1) to dims.length).foldLeft(mid)((acc, j) =>
+            acc.join(snapAt(j, curs(j)), keysFor(j - 1)))
+            .select(cols: _*)
+        }
+      }
+    }
+    MvStore.refresh(store, name, terms.reduce(_ unionByName _),
+      groupCols, sumCols,
+      batchId = Some(
+        s"star_${from.mkString("_")}__${curs.mkString("_")}"),
       minMaxCols = minMaxCols,
-      current = if (minMaxCols.isEmpty) None else Some(joinedAt(cF, cD)))
-    pin(cF, cD)
-    ((fromF, cF), (fromD, cD))
+      current = if (minMaxCols.isEmpty) None else Some(joinedAt(curs)))
+    pin(curs)
+    from.zip(curs)
   }
 }

@@ -1979,19 +1979,55 @@ object TxLog {
             .map(n => n -> n).toMap
       }
     pinNow.foreach { pn =>
-      val dstCols = snapshot(spark, dstDir).columns.toSet
-      pn.fields.foreach { f =>
-        oldByPhys.get(ColumnMapping.physicalName(f)).foreach { old =>
-          if (old != f.name && dstCols(old)) {
-            require(!dstCols(f.name),
-              s"replicateByRowId: the source renamed $old -> ${f.name} " +
-                s"but the replica holds BOTH spellings — a swap or " +
-                "conflicting evolution inside the advanced range " +
-                "cannot be applied unambiguously; recreate the replica")
-            ColumnMapping.renameColumn(spark, dstDir, old, f.name)
-          }
+      // a logical name alive in BOTH eras whose PHYSICAL identity
+      // changed is a DROP + re-ADD inside the window: the replica's
+      // untouched rows hold dead-era values the source now reads as
+      // NULL, and the keyless feed cannot say which — refuse with
+      // the same recreate guidance as the swap case, never guess
+      val nowPhysByLogical =
+        pn.fields.map(f => f.name -> ColumnMapping.physicalName(f)).toMap
+      val nowPhysSet = nowPhysByLogical.values.toSet
+      oldByPhys.foreach { case (oldPhys, oldLogical) =>
+        nowPhysByLogical.get(oldLogical).foreach { nowPhys =>
+          // the old storage surviving under a renamed spelling is the
+          // rename machinery's case; storage that VANISHED while the
+          // logical name lives on is a pure drop + re-add
+          require(nowPhys == oldPhys || nowPhysSet(oldPhys),
+            s"replicateByRowId: column $oldLogical was DROPPED and " +
+              "re-ADDED on the source inside the advanced range " +
+              s"(physical $oldPhys -> $nowPhys) — the replica's " +
+              "pre-drop values cannot be reconciled; recreate the " +
+              "replica")
         }
       }
+      // renames, in a dependency-respecting order: apply any pair
+      // whose target spelling is currently FREE, re-reading the
+      // replica's columns after each (a chain b->c then a->b is
+      // orderable; only a true cycle — a swap — is left over and
+      // refuses)
+      var pending = pn.fields.toSeq.flatMap { f =>
+        oldByPhys.get(ColumnMapping.physicalName(f)).collect {
+          case old if old != f.name => (old, f.name)
+        }
+      }
+      var progressed = true
+      while (pending.nonEmpty && progressed) {
+        val dstCols = snapshot(spark, dstDir).columns.toSet
+        pending = pending.filter { case (old, _) => dstCols(old) }
+        val (ready, blocked) =
+          pending.partition { case (_, nw) => !dstCols(nw) }
+        progressed = ready.nonEmpty
+        ready.foreach { case (old, nw) =>
+          ColumnMapping.renameColumn(spark, dstDir, old, nw)
+        }
+        pending = blocked
+      }
+      require(pending.isEmpty,
+        s"replicateByRowId: the source's renames inside the advanced " +
+          s"range form a CYCLE (${pending.map { case (a, b) =>
+            s"$a->$b" }.mkString(", ")}) — a swap cannot be applied " +
+          "unambiguously over the replica's existing spellings; " +
+          "recreate the replica")
     }
     // follow DROPS: replica columns the source's current logical
     // schema no longer spells (the feed will not carry them)

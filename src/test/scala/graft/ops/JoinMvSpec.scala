@@ -121,8 +121,10 @@ class JoinMvSpec extends SparkSpec {
     JoinMv.follow(st, "v", f, d, K, G, M)
     val before = JoinMv.read(st, "v").collect().toSet
     // simulate the crash window: rewind the cursor, follow again —
-    // the batch stamp recognizes the replay and only the cursor moves
-    st.overwrite(Seq((0, 0)).toDF("fact_v", "dim_v"), "v__jmv_cursor")
+    // the pending intent resumes the exact window and the batch
+    // stamp recognizes the replay; only the cursor moves
+    st.overwrite(Seq((0, 0, f, ""), (1, 0, d, "o_custkey"))
+      .toDF("idx", "ver", "tbl", "keys"), "v__jmvs_cursor")
     JoinMv.follow(st, "v", f, d, K, G, M)
     assert(JoinMv.read(st, "v").collect().toSet == before)
     assert(same(view(st), direct(f, d)))
@@ -194,6 +196,96 @@ class JoinMvSpec extends SparkSpec {
         round(sum(col("price").cast("double")), 2).as("sum_price"))
     assert(same(view(st), directS))
     assert(view(st).filter(col("seg") === "SMOVED").count() == 1L)
+  }
+
+  test("star/snowflake (3-table) view: every table churns in one advance, terms telescope exactly") {
+    val root = Files.createTempDirectory("joinmv_star").toString
+    val f = s"$root/fact"; val d1 = s"$root/cust"; val d2 = s"$root/nat"
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.parquet(f)
+    TxLog.convert(spark, f)
+    customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"), col("c_nationkey"))
+      .repartition(2).write.parquet(d1)
+    TxLog.convert(spark, d1)
+    graft.Tables.nation(spark, sf("nation"))
+      .select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("nation_name"))
+      .repartition(1).write.parquet(d2)
+    TxLog.convert(spark, d2)
+    val st = new ParquetStore(spark, s"$root/state")
+    // dim 2 joins c_nationkey — a column dim 1 PRODUCED (snowflake)
+    val dims = Seq((d1, Seq("o_custkey")), (d2, Seq("c_nationkey")))
+    val G2 = Seq("seg", "nation_name")
+    def directS = TxLog.snapshot(spark, f)
+      .join(TxLog.snapshot(spark, d1), Seq("o_custkey"))
+      .join(TxLog.snapshot(spark, d2), Seq("c_nationkey"))
+      .groupBy("seg", "nation_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price").cast("double")), 2).as("sum_price"))
+    def viewS = JoinMv.read(st, "vs")
+      .select(col("seg"), col("nation_name"), col("n"),
+        round(col("sum_price"), 2).as("sum_price"))
+    assert(JoinMv.followStar(st, "vs", f, dims, G2, M)
+      .forall(p => p._1 == p._2)) // seed
+    assert(same(viewS, directS))
+    // ALL THREE churn inside one advance: facts re-price + insert,
+    // customers move BOTH segment and nation (the snowflake column),
+    // and a nation renames
+    UpsertWhere.byKeys(spark, f, "o_orderkey",
+      TxLog.snapshot(spark, f)
+        .filter(col("o_orderkey") % 991 === 0)
+        .withColumn("price", col("price") * 2)
+        .unionByName(orders.filter(col("o_orderkey") < 5).select(
+          (col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), lit(0.0).as("price"))))
+    UpsertWhere.byKeys(spark, d1, "o_custkey",
+      TxLog.snapshot(spark, d1)
+        .filter(col("o_custkey") % 97 === 0)
+        .withColumn("seg", lit("MOVED"))
+        .withColumn("c_nationkey", pmod(col("c_nationkey") + 7, lit(25))))
+    UpsertWhere.byKeys(spark, d2, "c_nationkey",
+      TxLog.snapshot(spark, d2).filter(col("c_nationkey") < 3)
+        .withColumn("nation_name",
+          concat(lit("REN_"), col("c_nationkey").cast("string"))))
+    val adv = JoinMv.followStar(st, "vs", f, dims, G2, M)
+    assert(adv.forall(p => p._1 < p._2)) // every table advanced
+    assert(same(viewS, directS))
+    // a dim-2-ONLY advance: the fact term and dim-1 term are absent
+    UpsertWhere.byKeys(spark, d2, "c_nationkey",
+      TxLog.snapshot(spark, d2).filter(col("c_nationkey") === 5L)
+        .withColumn("nation_name", lit("FIVE")))
+    val adv2 = JoinMv.followStar(st, "vs", f, dims, G2, M)
+    assert(adv2(0)._1 == adv2(0)._2 && adv2(1)._1 == adv2(1)._2 &&
+      adv2(2)._1 < adv2(2)._2)
+    assert(same(viewS, directS))
+    // no-op advance
+    assert(JoinMv.followStar(st, "vs", f, dims, G2, M)
+      .forall(p => p._1 == p._2))
+    // arity drift refuses
+    intercept[IllegalArgumentException] {
+      JoinMv.followStar(st, "vs", f, dims.take(1), G2, M)
+    }
+    // min/max through the star: seed a second view, then a DELETE
+    // that wipes each group's floor — extremes recompute through the
+    // THREE-way joined post-change state
+    def directMm = TxLog.snapshot(spark, f)
+      .join(TxLog.snapshot(spark, d1), Seq("o_custkey"))
+      .join(TxLog.snapshot(spark, d2), Seq("c_nationkey"))
+      .groupBy("seg", "nation_name")
+      .agg(count(lit(1)).as("n"),
+        min(col("price").cast("double")).as("min_price"),
+        max(col("price").cast("double")).as("max_price"))
+    def viewMm = JoinMv.read(st, "vsm")
+      .select(col("seg"), col("nation_name"), col("n"),
+        col("min_price"), col("max_price"))
+    JoinMv.followStar(st, "vsm", f, dims, G2, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
+    DeleteWhere.where(spark, f, col("price") < 1000.0)
+    JoinMv.followStar(st, "vsm", f, dims, G2, M, minMaxCols = M)
+    assert(same(viewMm, directMm))
   }
 
   test("min/max measures: adds grow in place, a delete recomputes its group through the join") {

@@ -373,7 +373,22 @@ class RowTrackingSpec extends SparkSpec {
     val sw = intercept[IllegalArgumentException] {
       TxLog.replicateByRowId(spark, src, dst)
     }
-    assert(sw.getMessage.contains("BOTH spellings"))
+    assert(sw.getMessage.contains("CYCLE"))
+    // and a pure DROP + re-ADD of one name inside a fresh window
+    // refuses too (vanished storage, logical name alive)
+    val src2 = fresh(6, 1)
+    val dst2 = Files.createTempDirectory("rowtrk_repl3").toString + "/r"
+    TxLog.replicateByRowId(spark, src2, dst2)
+    ColumnMapping.dropColumn(spark, src2, "v")
+    ColumnMapping.addColumn(spark, src2,
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.append(spark, src2,
+      Seq((60L, "re")).toDF("k", "v").repartition(1))
+    val dr = intercept[IllegalArgumentException] {
+      TxLog.replicateByRowId(spark, src2, dst2)
+    }
+    assert(dr.getMessage.contains("re-ADDED"))
   }
 
   test("vacuum prunes the ledger; water survives") {
