@@ -269,9 +269,33 @@ object MvStore {
       pinCursor(cur)
       return (from, cur)
     }
-    val (feedRaw, to) = TxLog.diffSince(spark, dir, from)
-    refresh(store, name, TxLog.asChangeFeed(feedRaw), groupCols, sumCols,
-      batchId = Some(s"v${from}_to_$to"))
+    // PENDING INTENT (the JoinMv.followStar protocol): the advance's
+    // TARGET version persists BEFORE the refresh, so a retry after a
+    // crash-between-refresh-and-cursor resumes the EXACT stamped
+    // window — without it, a commit landing between crash and retry
+    // changes the batch id, the stamp is not recognized, and the old
+    // window's delta applies TWICE. A pending row is live only while
+    // `from` still equals its window start (the cursor moving makes
+    // it stale — no cleanup write); a pending target pruned by a
+    // racing vacuum falls back to the live version.
+    val pendingT = s"${name}__mv_pending"
+    val to: Int = {
+      val resumed =
+        if (!store.exists(pendingT)) None
+        else {
+          val r = store.read(pendingT).head()
+          if (r.getInt(0) == from &&
+              TxLog.retainedVersions(spark, dir).contains(r.getInt(1)))
+            Some(r.getInt(1))
+          else None
+        }
+      resumed.getOrElse(cur)
+    }
+    if (from == to) return (from, to)
+    store.overwrite(Seq((from, to)).toDF("fromv", "tov"), pendingT)
+    refresh(store, name,
+      TxLog.asChangeFeed(TxLog.diff(spark, dir, from, to)),
+      groupCols, sumCols, batchId = Some(s"v${from}_to_$to"))
     pinCursor(to)
     (from, to)
   }

@@ -193,5 +193,21 @@ class MvStoreSpec extends SparkSpec {
     DeleteWhere.byKeys(spark, dir, "o_orderkey", Seq[Any](9L), None) // v4
     assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((3, 4)))
     assert(canonMv(MvStore.read(store, "fmv")) == direct)
+
+    // THE HARD CRASH WINDOW: refresh landed (cursor still behind),
+    // and a NEW commit arrives before the retry. Without the pending
+    // intent, the retry would diff a WIDER window under a new batch
+    // id the stamp cannot recognize — double-applying the old delta.
+    // With it, the retry resumes the exact stamped window first, and
+    // the next advance picks up the new commit.
+    DeleteWhere.byKeys(spark, dir, "o_orderkey", Seq[Any](15L), None) // v5
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((4, 5)))
+    // rewind the cursor to simulate the crash; pending still says 4→5
+    import spark.implicits._
+    store.overwrite(Seq(4).toDF("version"), "fmv__mv_cursor")
+    DeleteWhere.byKeys(spark, dir, "o_orderkey", Seq[Any](21L), None) // v6
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((4, 5)))
+    assert(MvStore.followTxLog(store, "fmv", dir, g, s) == ((5, 6)))
+    assert(canonMv(MvStore.read(store, "fmv")) == direct)
   }
 }
