@@ -214,18 +214,22 @@ object JoinMv {
     val pendingT = s"${name}__jmvs_pending"
     val curs: Seq[Int] = {
       val now = dirs.map(TxLog.currentVersion(spark, _))
+      // TOLERANT read — a crash inside the pending overwrite itself
+      // must read as NO pending (that window's refresh provably had
+      // not started), never wedge on an unreadable table; same guard
+      // as MvStore.followTxLog's
       val resumed: Option[Seq[Int]] =
         if (!store.exists(pendingT)) None
-        else {
-          val p = store.read(pendingT).orderBy("idx")
-            .select("fromv", "tov").collect()
-          if (p.length == dirs.length &&
-              p.map(_.getInt(0)).toSeq == from &&
-              p.map(_.getInt(1)).zip(dirs).forall { case (v, d) =>
-                TxLog.retainedVersions(spark, d).contains(v) })
-            Some(p.map(_.getInt(1)).toSeq)
-          else None
-        }
+        else scala.util.Try(store.read(pendingT).orderBy("idx")
+            .select("fromv", "tov").collect()).toOption
+          .flatMap { p =>
+            if (p.length == dirs.length &&
+                p.map(_.getInt(0)).toSeq == from &&
+                p.map(_.getInt(1)).zip(dirs).forall { case (v, d) =>
+                  TxLog.retainedVersions(spark, d).contains(v) })
+              Some(p.map(_.getInt(1)).toSeq)
+            else None
+          }
       resumed.getOrElse(now)
     }
     if (from == curs) return from.zip(curs)

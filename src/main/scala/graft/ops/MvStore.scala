@@ -280,15 +280,20 @@ object MvStore {
     // racing vacuum falls back to the live version.
     val pendingT = s"${name}__mv_pending"
     val to: Int = {
+      // TOLERANT read: a crash inside the pending overwrite itself
+      // (Spark's overwrite is not atomic) must read as NO pending —
+      // that window's refresh provably had not started, so resuming
+      // at the live version is correct — never as a permanent wedge
+      // on an unreadable table. (Same guard in JoinMv.followStar.)
       val resumed =
         if (!store.exists(pendingT)) None
-        else {
-          val r = store.read(pendingT).head()
-          if (r.getInt(0) == from &&
-              TxLog.retainedVersions(spark, dir).contains(r.getInt(1)))
-            Some(r.getInt(1))
-          else None
-        }
+        else scala.util.Try(store.read(pendingT).head()).toOption
+          .flatMap { r =>
+            if (r.getInt(0) == from &&
+                TxLog.retainedVersions(spark, dir).contains(r.getInt(1)))
+              Some(r.getInt(1))
+            else None
+          }
       resumed.getOrElse(cur)
     }
     if (from == to) return (from, to)
