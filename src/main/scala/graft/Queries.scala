@@ -5334,6 +5334,83 @@ object Queries {
       .withColumn("pre_ord_rows", lit(preOrd))
   }
 
+  /** PER-TABLE ROW TRACKING on a [[graft.ops.DbLog]] database
+    * ([[graft.ops.RowTracking.enableTable]]): stable `_row_id`s /
+    * `_row_commit_version`s on TWO tables of one database, allocated
+    * from the shared database-wide ledger (ids unique across tables)
+    * and replayed through the full rewrite matrix: a MULTI-TABLE
+    * transaction appending both tables in one commit (ids interleave
+    * in staged order), a per-table compaction (ids and versions
+    * travel materialized), a second multi-table transaction running a
+    * copy-on-write DELETE on one table and a merge-on-read keyed
+    * upsert on the other (survivors keep id+version; update images
+    * inherit ids, take the txn's version), and a copy-on-write keyed
+    * upsert (delete + re-insert under the same id). DuckDB replays
+    * every id with row_number arithmetic over the append order and
+    * the commit-version CASE logic.
+    */
+  def qDbRowIds(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = s"$indexQueryDir/db_rowids"
+    val fsp = new org.apache.hadoop.fs.Path(p)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, p) // v0
+    graft.ops.DbLog.setTableSchema(s, p, "cust", c.schema, 0)
+    graft.ops.DbLog.setTableSchema(s, p, "ord", o.schema, 0)
+    graft.ops.RowTracking.enableTable(s, p, "cust")
+    graft.ops.RowTracking.enableTable(s, p, "ord")
+    def sorted1(df: DataFrame, k: String) =
+      df.repartition(1).sortWithinPartitions(k)
+    // v1: ONE commit, two tables — cust ids [0, nE), ord [nE, nE+nO0)
+    graft.ops.DbLog.transact(s, p, "load1") { txn =>
+      txn.append("cust",
+        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0), "c_custkey"))
+      txn.append("ord",
+        sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "o_orderkey"))
+    }
+    // v2: the second wave, same interleave
+    graft.ops.DbLog.transact(s, p, "load2") { txn =>
+      txn.append("cust",
+        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1), "c_custkey"))
+      txn.append("ord",
+        sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "o_orderkey"))
+    }
+    // v3: pack cust's two files — no id or version may move
+    require(graft.ops.DbLog.compactTable(s, p, "cust",
+      smallBytes = 8L << 20) == 3, "db_rowids: compaction must land v3")
+    // v4: multi-table churn — CoW delete on cust, MOR upsert on ord
+    val ordUpd = graft.ops.DbLog.snapshot(s, p, "ord")
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .localCheckpoint()
+    graft.ops.DbLog.transact(s, p, "churn") { txn =>
+      txn.deleteWhere("cust", pmod(col("c_custkey"), lit(7)) === 0)
+      txn.upsertKeyed("ord", Seq("o_orderkey"), ordUpd)
+    }
+    // v5: CoW keyed upsert on cust — delete + re-insert, id inherited
+    val custUpd = graft.ops.DbLog.snapshot(s, p, "cust")
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .localCheckpoint()
+    graft.ops.DbLog.transact(s, p, "bump") { txn =>
+      txn.upsert("cust", "c_custkey", custUpd)
+    }
+    val cu = graft.ops.RowTracking.readTable(s, p, "cust")
+      .select(lit("cust").as("tbl"), col("c_custkey").cast("long").as("k"),
+        col("c_acctbal").cast("double").as("v"),
+        col(graft.ops.RowTracking.Col),
+        col(graft.ops.RowTracking.VerCol).cast("long")
+          .as(graft.ops.RowTracking.VerCol))
+    val or = graft.ops.RowTracking.readTable(s, p, "ord")
+      .select(lit("ord").as("tbl"), col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("v"),
+        col(graft.ops.RowTracking.Col),
+        col(graft.ops.RowTracking.VerCol).cast("long")
+          .as(graft.ops.RowTracking.VerCol))
+    cu.unionByName(or)
+  }
+
   /** ROW TRACKING ([[graft.ops.RowTracking]]): stable `_row_id`s that
     * survive rewrites. Three sorted single-partition appends give
     * deterministic position-derived ids (file base + row index); a

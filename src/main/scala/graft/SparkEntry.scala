@@ -198,6 +198,7 @@ object SparkEntry {
     "q_identity" -> (Queries.qIdentity _),
     "q_identity_default" -> (Queries.qIdentityDefault _),
     "q_rowids" -> (Queries.qRowIds _),
+    "q_db_rowids" -> (Queries.qDbRowIds _),
     "q_replicate_rowid" -> (Queries.qReplicateRowid _),
     "q_dblog_colmap" -> (Queries.qDblogColmap _),
     "q_dblog_widen" -> (Queries.qDblogWiden _),
@@ -2631,6 +2632,64 @@ object Oracles {
                 CAST(CASE WHEN c_custkey % 10 = 0 THEN 6
                           ELSE born END AS BIGINT) AS "_row_commit_version"
          FROM base WHERE c_custkey % 7 <> 0""",
+
+    // per-table row tracking on a DbLog database: ids interleave in
+    // staged order within each multi-table commit (cust file then ord
+    // file), so row_number arithmetic with cross-table count offsets
+    // replays them exactly; versions: cust born 1/2, %10 bumped at v5
+    // (CoW upsert re-insert); ord born 1/2, %10 updated at v4 (MOR);
+    // cust %7 deleted at v4
+    "q_db_rowids" ->
+      """WITH ce AS (
+           SELECT c_custkey, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         co AS (
+           SELECT c_custkey, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         ),
+         o0 AS (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn
+           FROM orders WHERE o_orderkey % 3 = 0
+         ),
+         o1 AS (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn
+           FROM orders WHERE o_orderkey % 3 = 1
+         ),
+         cust AS (
+           SELECT c_custkey AS k, c_acctbal AS v, rn - 1 AS rid,
+                  1 AS born FROM ce
+           UNION ALL
+           SELECT c_custkey, c_acctbal,
+                  (SELECT count(*) FROM ce) + (SELECT count(*) FROM o0)
+                    + rn - 1, 2 FROM co
+         ),
+         ords AS (
+           SELECT o_orderkey AS k, o_totalprice AS v,
+                  (SELECT count(*) FROM ce) + rn - 1 AS rid, 1 AS born
+           FROM o0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice,
+                  (SELECT count(*) FROM ce) + (SELECT count(*) FROM o0)
+                    + (SELECT count(*) FROM co) + rn - 1, 2 FROM o1
+         )
+         SELECT 'cust' AS tbl, k,
+                CAST(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END
+                     AS DOUBLE) AS v,
+                rid AS "_row_id",
+                CAST(CASE WHEN k % 10 = 0 THEN 5 ELSE born END AS BIGINT)
+                  AS "_row_commit_version"
+         FROM cust WHERE k % 7 <> 0
+         UNION ALL
+         SELECT 'ord', k,
+                CAST(CASE WHEN k % 10 = 0 THEN v + 1000 ELSE v END
+                     AS DOUBLE),
+                rid, CAST(CASE WHEN k % 10 = 0 THEN 4 ELSE born END AS BIGINT)
+         FROM ords""",
 
     // row-id-keyed replication: the replica equals the source's final
     // state — delete %7, +1000 on %10, rename c_acctbal->bal, +7 on

@@ -87,7 +87,7 @@ object DbLog {
       .collect { case n if n.contains('/') => n.substring(0, n.indexOf('/')) }
       .distinct.sorted
 
-  private def entriesOf(
+  private[ops] def entriesOf(
       spark: SparkSession,
       db: String,
       table: String,
@@ -421,6 +421,11 @@ object DbLog {
     * rows stamped `_commit_version`; commits that only touched OTHER
     * tables are skipped without reading a byte (the entry-set
     * equality check sees an unchanged view).
+    *
+    * KEYLESS form: `keyCols = Nil` on a per-table row-tracked table
+    * ([[RowTracking.enableTable]]) pairs images by the stable
+    * `_row_id` — no user key, exact pairing, compaction movement
+    * nets to nothing; the feed gains the `_row_id` column.
     */
   def changes(
       spark: SparkSession,
@@ -438,7 +443,8 @@ object DbLog {
       // the range-end per-table pin: one uniform LOGICAL feed schema
       // even across a mid-range rename (the CDF contract)
       pinOverride = tableSchema(spark, db, table, schemaV),
-      schemaVersion = schemaV)
+      schemaVersion = schemaV,
+      trackedTable = Some(table))
   }
 
   /** Cursor advance for a multi-table consumer: the change feed of
@@ -474,6 +480,76 @@ object DbLog {
   def append(
       spark: SparkSession, db: String, table: String, df: DataFrame): Int =
     transact(spark, db, s"append($table)")(_.append(table, df))
+
+  /** Stage `write`'s output files under `db/<table>/` — the one move
+    * every committed table write shares (the [[Compact.stageRewrite]]
+    * discipline: files land invisible, a later commit publishes them).
+    * Returns the table-prefixed relative names.
+    */
+  private def stageInto(
+      spark: SparkSession, db: String, table: String,
+      write: String => Unit): Seq[String] = {
+    requireTableName(table)
+    val fs = Compact.fsOf(spark, db)
+    val stage = new Path(db, s".dblog_stage_${java.util.UUID.randomUUID}")
+    write(stage.toString)
+    val names = fs.listStatus(stage).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
+    fs.mkdirs(new Path(db, table))
+    names.foreach { n =>
+      if (!fs.rename(new Path(stage, n), new Path(db, s"$table/$n")))
+        throw new java.io.IOException(s"dblog: cannot move $table/$n into $db")
+    }
+    fs.delete(stage, true)
+    names.map(n => s"$table/$n")
+  }
+
+  /** Bin-pack ONE table's small files into ~`targetBytes` outputs —
+    * [[Compact.binPack]] confined to the table's prefix, as one
+    * database commit. DV-carrying entries are skipped (packing raw
+    * bytes would resurrect hidden rows — [[DeletionVectors
+    * .materialize]] folds them first, the next pack picks them up);
+    * on a row-tracked table the packed rows travel with their ids
+    * AND commit versions materialized, so the movement is invisible
+    * to every id consumer. Returns the committed version, or -1 when
+    * fewer than two small files existed (nothing committed). Cost
+    * O(small bytes of this table), never O(database).
+    */
+  def compactTable(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      targetBytes: Long = 128L << 20,
+      smallBytes: Long = 64L << 20): Int = {
+    requireTableName(table)
+    val entries = entriesOf(spark, db, table, Int.MaxValue)
+    require(entries.nonEmpty, s"compactTable: no such table '$table' in $db")
+    require(entries.forall(_.name.count(_ == '/') == 1),
+      s"compactTable: table '$table' has nested partition directories — " +
+        "DbLog rewrites support flat tables only")
+    val fs = Compact.fsOf(spark, db)
+    val smalls = entries.filter(_.dv.isEmpty).filter { e =>
+      val p = new Path(TxLog.dataPathOf(db, e))
+      fs.exists(p) && fs.getFileStatus(p).getLen < smallBytes
+    }
+    if (smalls.length < 2) return -1
+    val packedBytes = smalls
+      .map(e => fs.getFileStatus(new Path(TxLog.dataPathOf(db, e))).getLen)
+      .sum
+    val nOut =
+      math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
+    val pin = DbLog.tableSchema(spark, db, table)
+    val rows = RowTracking.attachForRewriteTable(spark, db, table, smalls)
+      .getOrElse(TxLog.readEntries(spark, db, smalls, pinOverride = pin))
+    val packed = pin.map(ColumnMapping.toPhysical(rows, _)).getOrElse(rows)
+      .repartition(nOut)
+    val rels = stageInto(spark, db, table,
+      p => packed.write.mode("overwrite").parquet(p))
+    TxLog.commitEntries(spark, db, adds = rels.map(TxLog.AddEntry(_)),
+      removes = smalls.map(_.name), seen = smalls,
+      op = Some(s"compact-table($table)"))
+  }
 
   def begin(spark: SparkSession, db: String): Txn = {
     require(exists(spark, db), s"$db is not a DbLog database — create() first")
@@ -535,22 +611,8 @@ object DbLog {
     private def toLogical(table: String, df: DataFrame): DataFrame =
       tablePin(table).map(ColumnMapping.toLogical(df, _)).getOrElse(df)
 
-    private def stageIn(table: String, write: String => Unit): Seq[String] = {
-      requireTableName(table)
-      val fs = Compact.fsOf(spark, db)
-      val stage = new Path(db, s".dblog_stage_${java.util.UUID.randomUUID}")
-      write(stage.toString)
-      val names = fs.listStatus(stage).toSeq
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        .map(_.getPath.getName).sorted
-      fs.mkdirs(new Path(db, table))
-      names.foreach { n =>
-        if (!fs.rename(new Path(stage, n), new Path(db, s"$table/$n")))
-          throw new java.io.IOException(s"dblog: cannot move $table/$n into $db")
-      }
-      fs.delete(stage, true)
-      names.map(n => s"$table/$n")
-    }
+    private def stageIn(table: String, write: String => Unit): Seq[String] =
+      DbLog.stageInto(spark, db, table, write)
 
     /** Stage an append of `df` into `table` (created on first
       * append). Append-only staging never conflicts with concurrent
@@ -614,9 +676,14 @@ object DbLog {
       val hitEntries = entries.filter(e => hitSet(e.name))
       // survivors through the same reader: a DV-carrying hit file
       // rewrites to its VISIBLE survivors only — the vector dies with
-      // the replaced entry without resurrecting hidden rows
-      val survivors = TxLog.readEntries(spark, db, hitEntries,
-          pinOverride = tablePin(table))
+      // the replaced entry without resurrecting hidden rows. On a
+      // row-tracked table the survivors carry their ids AND commit
+      // versions MATERIALIZED (this rewrite changes positions — a
+      // move must not change any row's identity or provenance)
+      val survivors = RowTracking
+        .attachForRewriteTable(spark, db, table, hitEntries)
+        .getOrElse(TxLog.readEntries(spark, db, hitEntries,
+          pinOverride = tablePin(table)))
         .filter(not(coalesce(cond, lit(false))))
       val rels = stageIn(table,
         p => toPhys(table, survivors).write.mode("overwrite").parquet(p))
@@ -667,6 +734,14 @@ object DbLog {
         if (entries.isEmpty) updates
         else updates.select(TxLog.readEntries(spark, db, entries,
           pinOverride = tablePin(table)).columns.map(col): _*)
+      // row tracking: matched keys INHERIT their row's id (written as
+      // the materialized column — the pin hides it from plain reads);
+      // fresh keys read NULL there and resolve to the new file's
+      // position ids. One aggregate over the table's entries only.
+      val toWrite =
+        if (!RowTracking.enabledTable(spark, db, table)) aligned
+        else RowTracking.inheritByKeysTable(spark, db, table, aligned,
+          keyCols, entries)
       markRewrite(table, "upsertKeyed")
       if (entries.nonEmpty) {
         val k = updates.select(keyCols.map(col): _*).distinct()
@@ -677,7 +752,7 @@ object DbLog {
         seen ++= st.seen
       }
       val rels = stageIn(table,
-        p => toPhys(table, aligned).write.mode("overwrite").parquet(p))
+        p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))
     }
 
@@ -694,9 +769,17 @@ object DbLog {
       if (tableExists(table)) {
         val keys = updates.select(col(keyCol)).distinct()
         val keySet = keys.collect().map(_.get(0)).toSeq
+        // row tracking: the copy-on-write form deletes matched rows
+        // and re-inserts them — inherit their ids FIRST (against the
+        // pre-delete entries) so an update keeps the row's identity,
+        // exactly like the merge-on-read form
+        val toAppend =
+          if (!RowTracking.enabledTable(spark, db, table)) updates
+          else RowTracking.inheritByKeysTable(spark, db, table, updates,
+            Seq(keyCol), entriesOf(spark, db, table, baseVersion))
         deleteWhere(table, col(keyCol).isInCollection(keySet))
-      }
-      append(table, updates)
+        append(table, toAppend)
+      } else append(table, updates)
     }
 
     /** Publish every staged operation as one atomic version. */

@@ -72,6 +72,67 @@ object RowTracking {
     TxLog.exists(spark, dir) &&
       TxLog.metaRead(spark, dir, FlagName).exists(_.trim == "on")
 
+  // ---- per-table tracking on a [[DbLog]] database ---------------------
+  // One database is ONE TxLog whose tables are name-prefixed entries,
+  // so the id machinery carries over whole: the flag moves to the
+  // table's namespace (`rowtracking.<table>.txt`), the pin that hides
+  // the materialized column is the table's OWN (`schema.<table>.*`),
+  // and the allocation ledger stays the database-wide `rowhw.` shards
+  // — ids come out unique across the whole database, strictly stronger
+  // than the per-table uniqueness the contract needs, with one claim
+  // per commit however many tracked tables it touches.
+
+  private def tableFlagName(table: String) = s"rowtracking.$table.txt"
+
+  /** Is per-table tracking on for `table` of database `dir`? (A
+    * dir-wide [[enabled]] flag never coexists — databases do not set
+    * the dir-wide flag, single tables have no named sub-tables.)
+    */
+  def enabledTable(spark: SparkSession, dir: String, table: String): Boolean =
+    TxLog.exists(spark, dir) &&
+      TxLog.metaRead(spark, dir, tableFlagName(table)).exists(_.trim == "on")
+
+  /** Turn tracking on for ONE table of a [[DbLog]] database: pin the
+    * table's schema if it never had one (the pin hides the
+    * materialized column from plain [[DbLog.snapshot]] reads), write
+    * the table-scoped flag, and backfill — one metadata-only commit
+    * re-ADDs the table's live entries with fresh `rowBase`s. Other
+    * tables of the database are untouched (their commits skip the
+    * ledger entirely). Idempotent.
+    */
+  def enableTable(spark: SparkSession, db: String, table: String): Unit = {
+    require(TxLog.exists(spark, db),
+      s"row tracking: $db is not a DbLog database")
+    if (enabledTable(spark, db, table)) return
+    val live = DbLog.entriesOf(spark, db, table, Int.MaxValue)
+    if (DbLog.tableSchema(spark, db, table).isEmpty) {
+      require(live.nonEmpty,
+        s"row tracking: $db/$table is empty and unpinned — pin a " +
+          "schema first (DbLog.setTableSchema, or append data before " +
+          "enabling)")
+      DbLog.setTableSchema(spark, db, table,
+        DbLog.snapshot(spark, db, table).schema)
+    }
+    TxLog.metaWrite(spark, db, tableFlagName(table), "on")
+    val need = live.filter(_.rowBase.isEmpty)
+    if (need.nonEmpty) {
+      val assigned = assignBases(spark, db, need)
+      TxLog.commitEntries(spark, db, adds = assigned, removes = Nil,
+        seen = need, op = Some(s"rowtracking-enable($table)"))
+    }
+  }
+
+  /** The DbLog table name an add entry belongs to — None for flat
+    * (single-table) names and hive-partition prefixes (`k=v/…`, which
+    * [[DbLog]] table names can never spell).
+    */
+  private def tableOf(name: String): Option[String] = {
+    val i = name.indexOf('/')
+    if (i > 0 && !name.substring(0, i).contains('='))
+      Some(name.substring(0, i))
+    else None
+  }
+
   /** Turn row tracking on: pin a schema if the table never had one
     * (the pin is what hides the materialized column from plain reads),
     * write the flag, and BACKFILL — one metadata-only commit re-ADDs
@@ -131,8 +192,21 @@ object RowTracking {
   private[ops] def assignBases(
       spark: SparkSession, dir: String,
       adds: Seq[TxLog.AddEntry]): Seq[TxLog.AddEntry] = {
-    if (adds.isEmpty || !enabled(spark, dir)) return adds
-    val need = adds.filter(_.rowBase.isEmpty)
+    if (adds.isEmpty) return adds
+    val need0 = adds.filter(_.rowBase.isEmpty)
+    if (need0.isEmpty) return adds
+    // dir-wide flag covers everything; otherwise only adds under a
+    // PER-TABLE-tracked prefix claim bases — probed once per distinct
+    // table named by this commit (untracked commits pay one flag
+    // exists-check per prefix, metadata-sized)
+    val need =
+      if (enabled(spark, dir)) need0
+      else {
+        val tracked = need0.flatMap(e => tableOf(e.name)).distinct
+          .filter(t => enabledTable(spark, dir, t)).toSet
+        if (tracked.isEmpty) return adds
+        need0.filter(e => tableOf(e.name).exists(tracked))
+      }
     if (need.isEmpty) return adds
     val counts = footerRows(spark, need.map(e => TxLog.dataPathOf(dir, e)))
     val total = need.flatMap(e => counts.get(TxLog.dataPathOf(dir, e))).sum
@@ -226,10 +300,14 @@ object RowTracking {
       entries: Seq[TxLog.AddEntry],
       schemaVersion: Int = Int.MaxValue,
       keepPos: Boolean = false,
-      withVersions: Boolean = false): DataFrame = {
-    val pin = TxLog.tableSchema(spark, dir, schemaVersion).getOrElse(
-      throw new IllegalStateException(
-        s"row tracking on $dir requires a pinned table schema"))
+      withVersions: Boolean = false,
+      pinOpt: Option[StructType] = None): DataFrame = {
+    // pinOpt: a DbLog table's own pin (the dir-wide slot is empty on
+    // databases by construction — their tables have different schemas)
+    val pin = pinOpt
+      .orElse(TxLog.tableSchema(spark, dir, schemaVersion)).getOrElse(
+        throw new IllegalStateException(
+          s"row tracking on $dir requires a pinned table schema"))
     val hidden = Seq(StructField(MatCol, LongType),
       StructField(MatVerCol, LongType))
     val pinMat = StructType(pin.fields ++
@@ -249,6 +327,68 @@ object RowTracking {
       .drop(MatCol, MatVerCol, "__graft_rowbase", "__graft_addedv")
     if (keepPos) out else out.drop("__graft_file", "__graft_pos")
   }
+
+  /** One table of a [[DbLog]] database with `_row_id` /
+    * `_row_commit_version` — [[read]]'s per-table form: same
+    * resolution, the table's own pin.
+    */
+  def readTable(spark: SparkSession, db: String, table: String): DataFrame =
+    readTableAt(spark, db, table, Int.MaxValue)
+
+  /** [[readTable]] at a retained database `version` (consistent-cut
+    * time travel with row ids); schema at `schemaVersion` when a
+    * caller froze it later (the streaming source's recovery batches).
+    */
+  def readTableAt(
+      spark: SparkSession, db: String, table: String, version: Int,
+      schemaVersion: Int = -1): DataFrame = {
+    require(enabledTable(spark, db, table),
+      s"row tracking is not enabled on $db/$table")
+    val schemaV = if (schemaVersion >= 0) schemaVersion else version
+    val entries = DbLog.entriesOf(spark, db, table, version)
+    val pin = DbLog.tableSchema(spark, db, table, schemaV)
+    if (entries.isEmpty) {
+      require(pin.isDefined,
+        s"version $version of $db/$table holds no files and no pin")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        pin.get.add(Col, LongType)
+          .add(VerCol, org.apache.spark.sql.types.IntegerType))
+    }
+    withIds(spark, db, entries, schemaVersion = schemaV,
+      withVersions = true, pinOpt = pin)
+  }
+
+  /** [[attachForRewrite]] for one table of a [[DbLog]] database —
+    * ids/versions materialized through the TABLE'S pin. None when the
+    * table is untracked.
+    */
+  private[ops] def attachForRewriteTable(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      entries: Seq[TxLog.AddEntry]): Option[DataFrame] =
+    if (entries.isEmpty || !enabledTable(spark, db, table)) None
+    else Some(withIds(spark, db, entries, withVersions = true,
+        pinOpt = DbLog.tableSchema(spark, db, table))
+      .withColumnRenamed(Col, MatCol)
+      .withColumnRenamed(VerCol, MatVerCol))
+
+  /** [[inheritByKeys]] for one table of a [[DbLog]] database. */
+  private[ops] def inheritByKeysTable(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      candEntries: Seq[TxLog.AddEntry]): DataFrame =
+    if (candEntries.isEmpty) batch.withColumn(MatCol, lit(null).cast("long"))
+    else {
+      val oldIds = withIds(spark, db, candEntries,
+          pinOpt = DbLog.tableSchema(spark, db, table))
+        .groupBy(keyCols.map(col): _*).agg(max(col(Col)).as(MatCol))
+      batch.join(oldIds, keyCols, "left_outer")
+    }
 
   /** The rewrite-read seam: the rows of `entries` with their current
     * ids MATERIALIZED (as [[MatCol]]) so a rewrite that changes

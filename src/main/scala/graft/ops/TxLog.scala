@@ -1746,7 +1746,10 @@ object TxLog {
     // compaction's rows then cancel EXACTLY (ids identical both sides)
     def rdSide(es: Seq[AddEntry]): DataFrame =
       if (withRowIds)
-        RowTracking.withIds(spark, dir, es, schemaVersion = schemaVersion)
+        // pinOverride doubles as the per-table pin for a DbLog table's
+        // keyless feed (the dir-wide pin slot is empty on databases)
+        RowTracking.withIds(spark, dir, es, schemaVersion = schemaVersion,
+          pinOpt = pinOverride)
       else readEntries(spark, dir, es, schemaVersion = schemaVersion,
         pinOverride = pinOverride)
     def readOrEmpty(es: Seq[AddEntry], schemaOf: Seq[AddEntry]): DataFrame =
@@ -2092,7 +2095,8 @@ object TxLog {
       keyCols: Seq[String],
       entriesAt: Int => Seq[AddEntry],
       pinOverride: Option[org.apache.spark.sql.types.StructType] = None,
-      schemaVersion: Int = -1)
+      schemaVersion: Int = -1,
+      trackedTable: Option[String] = None)
       : DataFrame = {
     // default: the RANGE END's pin (one uniform feed schema across a
     // mid-range evolution — the CDF contract). A caller whose own
@@ -2104,7 +2108,10 @@ object TxLog {
     // the stable `_row_id` — no user-supplied key needed, and the
     // pairing is exact (a key-based one conflates same-key rewrites)
     val rowIdKeyed = keyCols.isEmpty
-    require(!rowIdKeyed || RowTracking.enabled(spark, dir),
+    require(!rowIdKeyed || (trackedTable match {
+        case Some(t) => RowTracking.enabledTable(spark, dir, t)
+        case None => RowTracking.enabled(spark, dir)
+      }),
       "changes: keyCols must be non-empty (or enable row tracking " +
         "for keyless update-image pairing)")
     val effKeys = if (rowIdKeyed) Seq(RowTracking.Col) else keyCols
@@ -2156,7 +2163,8 @@ object TxLog {
         s"changes: version $toVersion of $dir holds no files")
       val base =
         if (rowIdKeyed)
-          RowTracking.withIds(spark, dir, any, schemaVersion = schemaV)
+          RowTracking.withIds(spark, dir, any, schemaVersion = schemaV,
+            pinOpt = pinOverride)
         else readEntries(spark, dir, any, schemaVersion = schemaV,
           pinOverride = pinOverride)
       base.limit(0)

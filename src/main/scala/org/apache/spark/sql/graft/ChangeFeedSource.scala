@@ -189,13 +189,15 @@ final class ChangeFeedSource(
     */
   private val rowIdImages: Boolean =
     parameters.get("updateImages").exists(_.toBoolean) && keyCols.isEmpty
-  if (rowIdImages) {
-    require(table.isEmpty,
-      "graft-cdc: updateImages without keys needs row tracking, which " +
-        "is table-root-scoped — pass keys for a DbLog table feed")
-    require(graft.ops.RowTracking.enabled(spark, path),
-      s"graft-cdc: updateImages without keys requires row tracking on " +
-        s"$path (RowTracking.enable / graft_enable_rowtracking)")
+  if (rowIdImages) table match {
+    case Some(t) =>
+      require(graft.ops.RowTracking.enabledTable(spark, path, t),
+        s"graft-cdc: updateImages without keys requires per-table row " +
+          s"tracking on $path/$t (RowTracking.enableTable)")
+    case None =>
+      require(graft.ops.RowTracking.enabled(spark, path),
+        s"graft-cdc: updateImages without keys requires row tracking on " +
+          s"$path (RowTracking.enable / graft_enable_rowtracking)")
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -211,6 +213,9 @@ final class ChangeFeedSource(
     // snapshot at `to` as inserts — diff against an empty before-set
     val d =
       if (from < 0) (table match {
+        case Some(t) if rowIdImages =>
+          graft.ops.RowTracking.readTableAt(spark, path, t, to, schemaV)
+            .drop(graft.ops.RowTracking.VerCol)
         case Some(t) =>
           DbLog.snapshot(spark, path, t, to, schemaVersion = schemaV)
         case None if rowIdImages =>
@@ -220,8 +225,10 @@ final class ChangeFeedSource(
           TxLog.snapshot(spark, path, to, schemaVersion = schemaV)
       }).withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(to))
-      else if (rowIdImages)
-        TxLog.changes(spark, path, from, to, Nil, schemaV)
+      else if (rowIdImages) table match {
+        case Some(t) => DbLog.changes(spark, path, t, from, to, Nil, schemaV)
+        case None => TxLog.changes(spark, path, from, to, Nil, schemaV)
+      }
       else if (keyCols.nonEmpty) table match {
         case Some(t) =>
           DbLog.changes(spark, path, t, from, to, keyCols, schemaV)

@@ -527,4 +527,117 @@ class DbLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("CHECK constraint"))
   }
+
+  test("per-table row tracking: ids survive compaction, CoW delete and MOR upsert; siblings untracked") {
+    val db = freshDb()
+    RowTracking.enableTable(spark, db, "customer")
+    assert(RowTracking.enabledTable(spark, db, "customer"))
+    assert(!RowTracking.enabledTable(spark, db, "orders"))
+    // backfill gave every existing row an id, exactly once
+    val ids0 = RowTracking.readTable(spark, db, "customer")
+    assert(ids0.count() == customer.count())
+    assert(ids0.select(RowTracking.Col).distinct().count() == customer.count())
+    // plain snapshots never see the machinery columns
+    assert(!DbLog.snapshot(spark, db, "customer").columns
+      .exists(_.startsWith("__graft_")))
+    val byKey0 = ids0.select("c_custkey", RowTracking.Col)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // churn: CoW delete + sibling append in ONE txn, then compaction,
+    // then a MOR keyed upsert — ids must never move
+    DbLog.transact(spark, db, "churn") { txn =>
+      txn.deleteWhere("customer", pmod(col("c_custkey"), lit(5)) === 0)
+      txn.append("orders", orders.limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 8000000L))
+    }
+    DbLog.compactTable(spark, db, "customer", smallBytes = 64L << 20)
+    val upd = DbLog.snapshot(spark, db, "customer")
+      .filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 5).localCheckpoint()
+    DbLog.transact(spark, db, "upd") { txn =>
+      txn.upsertKeyed("customer", Seq("c_custkey"), upd)
+    }
+    val now = RowTracking.readTable(spark, db, "customer")
+    assert(now.count() == byKey0.count { case (k, _) => k % 5 != 0 })
+    now.select("c_custkey", RowTracking.Col).collect().foreach { r =>
+      assert(byKey0(r.getLong(0)) == r.getLong(1),
+        s"row ${r.getLong(0)} changed id")
+    }
+    // the untracked sibling's commits never claimed ledger ranges:
+    // enabling it NOW backfills from the water customer left
+    RowTracking.enableTable(spark, db, "orders")
+    val oIds = RowTracking.readTable(spark, db, "orders")
+    assert(oIds.select(RowTracking.Col).distinct().count() == oIds.count())
+  }
+
+  test("keyless per-table CDF: images pair by _row_id; compaction movement nets to nothing") {
+    val db = freshDb()
+    RowTracking.enableTable(spark, db, "customer")
+    val v0 = DbLog.currentVersion(spark, db)
+    // an update via MOR upsert: the keyless feed must pair pre/post
+    // by the stable id, not by any user column
+    val upd = DbLog.snapshot(spark, db, "customer")
+      .filter(col("c_custkey") <= 5)
+      .withColumn("c_acctbal", col("c_acctbal") + 100).localCheckpoint()
+    DbLog.transact(spark, db, "upd") { txn =>
+      txn.upsertKeyed("customer", Seq("c_custkey"), upd)
+    }
+    val v1 = DbLog.currentVersion(spark, db)
+    val feed = DbLog.changes(spark, db, "customer", v0, v1, keyCols = Nil)
+      .localCheckpoint()
+    assert(feed.columns.contains(RowTracking.Col))
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.count() == upd.count() && post.count() == upd.count())
+    // every pre/post pair shares its id
+    assert(pre.select(RowTracking.Col).exceptAll(
+      post.select(RowTracking.Col)).isEmpty)
+    assert(feed.filter(col("_change_type").isin("insert", "delete"))
+      .count() == 0)
+    // a pure compaction advance: identical (row, id) pairs cancel
+    // exactly — the keyless feed over it is EMPTY
+    DbLog.compactTable(spark, db, "customer", smallBytes = 64L << 20)
+    val v2 = DbLog.currentVersion(spark, db)
+    assert(v2 == v1 + 1)
+    assert(DbLog.changes(spark, db, "customer", v1, v2, keyCols = Nil)
+      .count() == 0)
+    // untracked table refuses the keyless form with guidance
+    val e = intercept[IllegalArgumentException] {
+      DbLog.changes(spark, db, "orders", v0, v1, keyCols = Nil).count()
+    }
+    assert(e.getMessage.contains("row tracking"))
+  }
+
+  test("graft-cdc keyless streaming feed over one DbLog table pairs by _row_id") {
+    val db = freshDb()
+    RowTracking.enableTable(spark, db, "customer")
+    val out = Files.createTempDirectory("dbcdc").toString
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", db).option("table", "customer")
+        .option("updateImages", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$out/data")
+    }
+    val first = drain()
+    assert(first.columns.contains(RowTracking.Col))
+    assert(first.filter(col("_change_type") === "insert").count() ==
+      customer.count())
+    // a MOR update lands; the stream resumes and pairs it keylessly
+    val upd = DbLog.snapshot(spark, db, "customer")
+      .filter(col("c_custkey") <= 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 9).localCheckpoint()
+    DbLog.transact(spark, db, "upd") { txn =>
+      txn.upsertKeyed("customer", Seq("c_custkey"), upd)
+    }
+    val second = drain()
+    assert(second.filter(col("_change_type") === "update_postimage")
+      .count() == upd.count())
+  }
 }
