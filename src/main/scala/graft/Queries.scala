@@ -3141,6 +3141,79 @@ object Queries {
         round(col("sum_price"), 2).as("sum_price"))
   }
 
+  /** THREE-TABLE star view over ONE [[graft.ops.DbLog]] database
+    * ([[graft.ops.DbMv.refreshStar]]) — the telescoping delta algebra
+    * of q_joinmv_star PLUS the property only the shared log gives:
+    * all three tables churn in ONE database transaction (a torn read
+    * of that churn is impossible — both feeds come from the same
+    * (from, to]), and the refresh's state + cursor land in ONE atomic
+    * commit of their own. min/max measures ride along: the fact
+    * deletes (%997 keys) dirty their groups, which re-derive extremes
+    * from the NEW joined state; the fresh 1.0-price facts grow mins
+    * in place. State is maintained merge-on-read — touched groups
+    * only, never a view rewrite. Hash-green = the cursor-driven view
+    * equals DuckDB's direct aggregate of the final three-way join.
+    */
+  def qDbMvStar(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val db = s"$indexQueryDir/dbmv_star"
+    val fsp = new org.apache.hadoop.fs.Path(db)
+    fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+    graft.ops.DbLog.create(s, db)
+    graft.ops.DbLog.transact(s, db, "seed") { txn =>
+      txn.append("fact", o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price")))
+      txn.append("cust", c.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"), col("c_nationkey")))
+      txn.append("nat", n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("nation_name")))
+    }
+    val view = graft.ops.DbMv.StarView("fact",
+      Seq(("cust", Seq("o_custkey")), ("nat", Seq("c_nationkey"))),
+      groupCols = Seq("seg", "nation_name"), sumCols = Seq("price"),
+      minMaxCols = Seq("price"))
+    graft.ops.DbMv.initStar(s, db, "rev", view)
+    // ONE transaction churns all three tables: fact re-prices %991,
+    // inserts fresh 1.0-price rows AND deletes %997 (dirty min/max);
+    // %97 customers move segment and nation; nations 0-2 rename
+    val bump = graft.ops.DbLog.snapshot(s, db, "fact")
+      .filter(pmod(col("o_orderkey"), lit(991)) === 0 &&
+        pmod(col("o_orderkey"), lit(997)) =!= 0)
+      .withColumn("price", col("price") * 2)
+      .unionByName(o.filter(col("o_orderkey") < 5).select(
+        (col("o_orderkey") + 1000000L).as("o_orderkey"),
+        col("o_custkey"), lit(1.0).as("price")))
+      .localCheckpoint()
+    val dead = graft.ops.DbLog.snapshot(s, db, "fact")
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select("o_orderkey").localCheckpoint()
+    val custUpd = graft.ops.DbLog.snapshot(s, db, "cust")
+      .filter(pmod(col("o_custkey"), lit(97)) === 0)
+      .withColumn("seg", lit("MOVED"))
+      .withColumn("c_nationkey", pmod(col("c_nationkey") + 7, lit(25)))
+      .localCheckpoint()
+    val natUpd = graft.ops.DbLog.snapshot(s, db, "nat")
+      .filter(col("c_nationkey") < 3)
+      .withColumn("nation_name",
+        concat(lit("REN_"), col("c_nationkey").cast("string")))
+      .localCheckpoint()
+    graft.ops.DbLog.transact(s, db, "churn") { txn =>
+      txn.applyKeyed("fact", Seq("o_orderkey"), bump, dead)
+      txn.upsertKeyed("cust", Seq("o_custkey"), custUpd)
+      txn.upsertKeyed("nat", Seq("c_nationkey"), natUpd)
+    }
+    graft.ops.DbMv.refreshStar(s, db, "rev") // one advance, 3 summands
+    val again = graft.ops.DbMv.refreshStar(s, db, "rev")
+    require(again._1 == again._2,
+      "dbmv_star: the second refresh must recognize the fixpoint")
+    graft.ops.DbMv.readStar(s, db, "rev")
+      .select(col("seg"), col("nation_name"), col("mv_count"),
+        round(col("sum_price"), 2).as("sum_price"),
+        col("min_price"), col("max_price"))
+  }
+
   /** The log→MV loop CLOSED ([[graft.ops.MvStore.followTxLog]] over
     * [[graft.ops.TxLog.diffSince]]): where q_txlog_mv hand-lists its
     * version pairs, here the view carries a persisted CURSOR — seed

@@ -208,6 +208,7 @@ object SparkEntry {
     "q_joinmv" -> (Queries.qJoinMv _),
     "q_joinmv_minmax" -> (Queries.qJoinMvMinmax _),
     "q_joinmv_star" -> (Queries.qJoinMvStar _),
+    "q_dbmv_star" -> (Queries.qDbMvStar _),
     "q_cdc_autorestart" -> (Queries.qCdcAutorestart _),
     "q_routed_delete" -> (Queries.qRoutedDelete _),
     "q_type_widen" -> (Queries.qTypeWiden _),
@@ -2529,6 +2530,42 @@ object Oracles {
          )
          SELECT seg, nation_name, count(*) AS n,
                 ROUND(SUM(price), 2) AS sum_price
+         FROM fact JOIN d1 USING (o_custkey) JOIN d2 USING (c_nationkey)
+         GROUP BY seg, nation_name""",
+
+    // DbMv star: the same three-way shape as q_joinmv_star but inside
+    // ONE database with the churn as ONE transaction — fact deletes
+    // %997 (dirty min/max recompute), re-prices %991 (minus the
+    // deleted overlap), inserts fresh 1.0-price rows; %97 customers
+    // move segment and nation; nations <3 rename
+    "q_dbmv_star" ->
+      """WITH fact AS (
+           SELECT o_custkey,
+                  CASE WHEN o_orderkey % 991 = 0
+                       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+           FROM orders WHERE o_orderkey % 997 <> 0
+           UNION ALL
+           SELECT o_custkey, 1.0 AS price FROM orders WHERE o_orderkey < 5
+         ),
+         d1 AS (
+           SELECT c_custkey AS o_custkey,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN 'MOVED' ELSE c_mktsegment END AS seg,
+                  CASE WHEN c_custkey % 97 = 0
+                       THEN (c_nationkey + 7) % 25
+                       ELSE c_nationkey END AS c_nationkey
+           FROM customer
+         ),
+         d2 AS (
+           SELECT n_nationkey AS c_nationkey,
+                  CASE WHEN n_nationkey < 3
+                       THEN 'REN_' || CAST(n_nationkey AS VARCHAR)
+                       ELSE n_name END AS nation_name
+           FROM nation
+         )
+         SELECT seg, nation_name, count(*) AS mv_count,
+                ROUND(SUM(price), 2) AS sum_price,
+                MIN(price) AS min_price, MAX(price) AS max_price
          FROM fact JOIN d1 USING (o_custkey) JOIN d2 USING (c_nationkey)
          GROUP BY seg, nation_name""",
 

@@ -724,15 +724,33 @@ object DbLog {
       * copy-on-write form).
       */
     def upsertKeyed(
-        table: String, keyCols: Seq[String], updates: DataFrame): Unit = {
+        table: String, keyCols: Seq[String], updates: DataFrame): Unit =
+      applyKeyed(table, keyCols, updates,
+        updates.select(keyCols.map(col): _*).limit(0))
+
+    /** Stage a keyed CHANGE-BATCH application: rows of `upserts`
+      * replace same-key rows AND keys of `deleteKeys` vanish — ONE
+      * merge-on-read rewrite (one deletion vector hiding the union of
+      * both key sets, one append of `upserts`), so a consumer can
+      * apply a full change batch (updates + removals) to one table
+      * inside one multi-table transaction. [[upsertKeyed]] is the
+      * `deleteKeys`-empty special case; the table must exist when
+      * `deleteKeys` is non-empty (there is nothing to delete from
+      * otherwise). Write cost O(hidden rows + batch), never O(table).
+      */
+    def applyKeyed(
+        table: String, keyCols: Seq[String],
+        upserts: DataFrame, deleteKeys: DataFrame): Unit = {
       requireOpen()
-      checkRewrite(table, "upsertKeyed")
-      require(keyCols.nonEmpty, "upsertKeyed: keyCols must be non-empty")
-      enforce(spark, db, table, updates)
+      checkRewrite(table, "applyKeyed")
+      require(keyCols.nonEmpty, "applyKeyed: keyCols must be non-empty")
+      enforce(spark, db, table, upserts)
       val entries = entriesOf(spark, db, table, baseVersion)
+      require(entries.nonEmpty || deleteKeys.isEmpty,
+        s"applyKeyed: no such table '$table' but deleteKeys is non-empty")
       val aligned =
-        if (entries.isEmpty) updates
-        else updates.select(TxLog.readEntries(spark, db, entries,
+        if (entries.isEmpty) upserts
+        else upserts.select(TxLog.readEntries(spark, db, entries,
           pinOverride = tablePin(table)).columns.map(col): _*)
       // row tracking: matched keys INHERIT their row's id (written as
       // the materialized column — the pin hides it from plain reads);
@@ -742,14 +760,17 @@ object DbLog {
         if (!RowTracking.enabledTable(spark, db, table)) aligned
         else RowTracking.inheritByKeysTable(spark, db, table, aligned,
           keyCols, entries)
-      markRewrite(table, "upsertKeyed")
+      markRewrite(table, "applyKeyed")
       if (entries.nonEmpty) {
-        val k = updates.select(keyCols.map(col): _*).distinct()
+        val k = upserts.select(keyCols.map(col): _*)
+          .unionByName(deleteKeys.select(keyCols.map(col): _*)).distinct()
         val st = DeletionVectors.stageDelete(spark, db, entries,
           df => toLogical(table, df).join(k, keyCols, "left_semi"))
-        adds ++= st.adds
-        removes ++= st.removes
-        seen ++= st.seen
+        if (st.deletedRows > 0) {
+          adds ++= st.adds
+          removes ++= st.removes
+          seen ++= st.seen
+        }
       }
       val rels = stageIn(table,
         p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))

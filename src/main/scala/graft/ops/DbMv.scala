@@ -255,4 +255,272 @@ object DbMv {
     txn.commit(s"mv_refresh($name)")
     (from, to)
   }
+
+  // ===================================================================
+  // N-TABLE STAR/SNOWFLAKE form — [[JoinMv.followStar]]'s telescoping
+  // delta algebra carried onto the DbLog database, KEEPING this
+  // store's defining property (state, definition and cursor advance in
+  // the refresh's OWN transaction — the atomic-cursor guarantee
+  // [[JoinMv]] cannot give) and DROPPING the `repartition(1)` state
+  // economics: the state table is maintained MERGE-ON-READ through
+  // [[DbLog.Txn.applyKeyed]] — one deletion vector hides the touched
+  // groups' old rows, one append lands their new rows — so a refresh
+  // writes O(touched groups), never O(view), which is strictly tighter
+  // than shard-level rewrites (a shard rewrite repays every group that
+  // happens to share a shard with a touched one). The trade is
+  // accumulated small files + vectors, reclaimed by the ordinary table
+  // maintenance ([[DbLog.compactTable]] after
+  // [[DeletionVectors.materialize]] — the state is just a table).
+  // ===================================================================
+
+  /** An N-table star/snowflake view over tables of ONE database:
+    * `fact` joined through `dims` in chain order (each dim's
+    * USING-style keys must resolve against the accumulated join, so a
+    * snowflake where dim 2 joins a column dim 1 produced lists them
+    * in that order). Aggregates `count(*)` (as `mv_count`),
+    * `sum(<m>)` per sumCol (as `sum_<m>`, stored double) and
+    * opt-in `min_<m>`/`max_<m>` per minMaxCol.
+    */
+  final case class StarView(
+      fact: String,
+      dims: Seq[(String, Seq[String])],
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil) {
+    require(dims.nonEmpty, "StarView: at least one dimension")
+    require(groupCols.nonEmpty, "StarView: groupCols must be non-empty")
+    private[DbMv] def tables: Seq[String] = fact +: dims.map(_._1)
+    private[DbMv] def keep: Seq[String] =
+      (groupCols ++ sumCols ++ minMaxCols).distinct
+    (dims.flatMap(_._2) ++ groupCols ++ sumCols ++ minMaxCols).foreach(c =>
+      require(!c.exists(";:+".contains(_)),
+        s"StarView: column '$c' spells a definition-codec delimiter"))
+  }
+
+  private def sdefTable(name: String) = s"mv_${name}_sdef"
+
+  private def encodeDims(dims: Seq[(String, Seq[String])]): String =
+    dims.map { case (t, ks) => s"$t:${ks.mkString("+")}" }.mkString(";")
+  private def decodeDims(s: String): Seq[(String, Seq[String])] =
+    s.split(";").toSeq.map { part =>
+      val Array(t, ks) = part.split(":", 2)
+      (t, ks.split("\\+").toSeq)
+    }
+
+  private def joinedStar(
+      spark: SparkSession, db: String, v: StarView, version: Int)
+      : DataFrame =
+    v.dims.foldLeft(DbLog.snapshot(spark, db, v.fact, version)) {
+      case (acc, (t, ks)) =>
+        acc.join(DbLog.snapshot(spark, db, t, version), ks)
+    }.select(v.keep.map(col): _*)
+
+  private def starAgg(joined: DataFrame, v: StarView): DataFrame = {
+    val aggs = (count(lit(1)).as("mv_count") +:
+      v.sumCols.map(m => sum(col(m).cast("double")).as(s"sum_$m"))) ++
+      v.minMaxCols.flatMap(m => Seq(
+        min(col(m).cast("double")).as(s"min_$m"),
+        max(col(m).cast("double")).as(s"max_$m")))
+    joined.groupBy(v.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Register and seed a [[StarView]] — definition, state and cursor
+    * land in ONE transaction at one consistent cut. State files are
+    * sized to the group cardinality ([[MvStore]]'s one-shard-per-16k-
+    * groups balance); later refreshes never rewrite them whole.
+    */
+  def initStar(
+      spark: SparkSession,
+      db: String,
+      name: String,
+      view: StarView): Int = {
+    requireViewName(name)
+    val have = DbLog.tables(spark, db)
+    require(!have.contains(sdefTable(name)) && !have.contains(defTable(name)),
+      s"view '$name' already exists in $db")
+    import spark.implicits._
+    val txn = DbLog.begin(spark, db)
+    val seeded = starAgg(
+      joinedStar(spark, db, view, txn.baseVersion), view)
+      .localCheckpoint()
+    val g = seeded.count()
+    val shards = math.min(256L, java.lang.Long.highestOneBit(
+      math.max(1L, (g + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
+    txn.append(sdefTable(name),
+      Seq((view.fact, encodeDims(view.dims), view.groupCols.mkString(","),
+        view.sumCols.mkString(","), view.minMaxCols.mkString(",")))
+        .toDF("fact", "dims", "group_cols", "sum_cols", "minmax_cols"))
+    txn.append(stateTable(name), seeded.repartition(shards))
+    txn.append(cursorTable(name), Seq(txn.baseVersion).toDF("version"))
+    txn.commit(s"mv_init_star($name)")
+  }
+
+  /** The stored star definition at `version` (default current). */
+  def starDefinition(
+      spark: SparkSession, db: String, name: String,
+      version: Int = Int.MaxValue): StarView = {
+    requireViewName(name)
+    val r = DbLog.snapshot(spark, db, sdefTable(name), version).head()
+    def cols(s: String) =
+      if (s.isEmpty) Nil else s.split(",").toSeq
+    StarView(r.getString(0), decodeDims(r.getString(1)),
+      cols(r.getString(2)), cols(r.getString(3)), cols(r.getString(4)))
+  }
+
+  /** The star view's rows: `groupCols…, mv_count, sum_…, min_…,
+    * max_…` (deletion-vector-applied — hidden old group rows never
+    * surface).
+    */
+  def readStar(
+      spark: SparkSession, db: String, name: String,
+      version: Int = Int.MaxValue): DataFrame =
+    DbLog.snapshot(spark, db, stateTable(name), version)
+
+  /** The OLD-side fact scan for a dim term, bounded to the changed
+    * keys' [min, max] when the (single) key is a fact column — a
+    * plain range predicate parquet's row-group stats serve under any
+    * orderable type. Multi-key or snowflake terms (the key is a
+    * column an earlier dim produced) read whole; an empty delta reads
+    * nothing.
+    */
+  private def prunedFactOld(
+      spark: SparkSession, db: String, fact: String, from: Int,
+      feed: DataFrame, keys: Seq[String]): DataFrame = {
+    val whole = DbLog.snapshot(spark, db, fact, from)
+    if (feed.isEmpty) return whole.limit(0)
+    if (keys.sizeIs != 1 || !whole.columns.contains(keys.head)) return whole
+    val k = keys.head
+    val b = feed.agg(min(col(k)), max(col(k))).head()
+    if (b.isNullAt(0)) whole.limit(0)
+    else whole.filter(col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1)))
+  }
+
+  /** Advance the star view to the database's current version: every
+    * churned table contributes one telescoping summand (tables left
+    * of the delta at the OLD cut, right of it at the NEW — consecutive
+    * summands cancel pairwise, so the sum is exactly new − old however
+    * many tables churned in one transaction), the per-group signed
+    * delta folds into the stored state MERGE-ON-READ (touched groups
+    * only), min/max groups hit by any delete re-derive from the NEW
+    * joined state pruned to the dirty groups, and state + cursor
+    * publish in ONE commit. Returns `(from, to)`; `from == to` means
+    * nothing to do. A cursor behind the vacuum horizon reseeds from
+    * the current cut.
+    */
+  def refreshStar(spark: SparkSession, db: String, name: String): (Int, Int) = {
+    requireViewName(name)
+    import spark.implicits._
+    val txn = DbLog.begin(spark, db)
+    val to = txn.baseVersion
+    val view = starDefinition(spark, db, name, to)
+    val from = txn.table(cursorTable(name)).head().getInt(0)
+    if (from == to) return (from, to)
+
+    def changed(table: String): Boolean = {
+      def ents(v: Int) = TxLog.liveEntries(spark, db, v)
+        .filter(_.name.startsWith(table + "/")).map(e => (e.name, e.dv)).toSet
+      if (!TxLog.retainedVersions(spark, db).contains(from)) true
+      else ents(from) != ents(to)
+    }
+    val churned = view.tables.map(changed)
+    if (!churned.contains(true)) return (from, from)
+
+    if (!TxLog.retainedVersions(spark, db).contains(from)) {
+      val seeded = starAgg(joinedStar(spark, db, view, to), view)
+      txn.overwrite(stateTable(name), seeded)
+      txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
+      txn.commit(s"mv_reseed_star($name)")
+      return (from, to)
+    }
+
+    val keepCt = view.keep :+ "_change_type"
+    val feeds: Seq[Option[DataFrame]] = view.tables.zipWithIndex.map {
+      case (t, i) =>
+        if (!churned(i)) None
+        else Some(DbLog.diff(spark, db, t, from, to).localCheckpoint())
+    }
+    def snapOld(i: Int) =
+      DbLog.snapshot(spark, db, view.tables(i), from)
+    def snapNew(i: Int) =
+      DbLog.snapshot(spark, db, view.tables(i), to)
+    val keysFor = view.dims.map(_._2)
+    val terms: Seq[DataFrame] = view.tables.indices.flatMap { i =>
+      feeds(i).map { fd =>
+        if (i == 0)
+          // ΔF ⋈ every dim at its NEW cut (churn-sized: broadcast-
+          // friendly under AQE)
+          view.dims.indices.foldLeft(fd)((acc, j) =>
+            acc.join(snapNew(j + 1), keysFor(j)))
+            .select(keepCt.map(col): _*)
+        else {
+          // T₀ᵒˡᵈ…Tᵢ₋₁ᵒˡᵈ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ⁿᵉʷ…Tₙⁿᵉʷ — the fact's old
+          // read range-bounded by this dim's changed keys
+          val f0 = prunedFactOld(spark, db, view.fact, from, fd,
+            keysFor(i - 1))
+          val left = (1 until i).foldLeft(f0)((acc, j) =>
+            acc.join(snapOld(j), keysFor(j - 1)))
+          val mid = left.join(fd, keysFor(i - 1))
+          ((i + 1) until view.tables.length).foldLeft(mid)((acc, j) =>
+            acc.join(snapNew(j), keysFor(j - 1)))
+            .select(keepCt.map(col): _*)
+        }
+      }
+    }
+    val u = terms.reduce(_ unionByName _)
+    val adds = col("_change_type") === "insert"
+    val gcols = view.groupCols.map(col)
+    val aggs = (sum(when(adds, 1L).otherwise(-1L)).as("d_n") +:
+      view.sumCols.map(m => sum(when(adds, col(m).cast("double"))
+        .otherwise(-col(m).cast("double"))).as(s"d_$m"))) ++
+      view.minMaxCols.flatMap(m => Seq(
+        min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
+        max(when(adds, col(m).cast("double"))).as(s"add_max_$m"))) :+
+      max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
+    val delta = u.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // probed (dirty), keyed and merged below
+    val stored = txn.table(stateTable(name))
+      .join(delta.select(gcols: _*), view.groupCols, "left_semi")
+    val base = stored.join(delta, view.groupCols, "full_outer")
+    val recomputed =
+      if (view.minMaxCols.isEmpty) base
+      else {
+        val dirty = delta.filter(col("__dirty") === 1)
+          .select(gcols: _*)
+        if (dirty.isEmpty)
+          view.minMaxCols.foldLeft(base)((d, m) =>
+            d.withColumn(s"rc_min_$m", lit(null).cast("double"))
+              .withColumn(s"rc_max_$m", lit(null).cast("double")))
+        else {
+          val mmAggs = view.minMaxCols.flatMap(m => Seq(
+            min(col(m).cast("double")).as(s"rc_min_$m"),
+            max(col(m).cast("double")).as(s"rc_max_$m")))
+          val recomp = joinedStar(spark, db, view, to)
+            .join(dirty, view.groupCols, "semi")
+            .groupBy(gcols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+          base.join(recomp, view.groupCols, "left")
+        }
+      }
+    val mmOut = view.minMaxCols.flatMap(m => Seq(
+      when(col("__dirty") === 1, col(s"rc_min_$m"))
+        .otherwise(least(col(s"min_$m"), col(s"add_min_$m")))
+        .as(s"min_$m"),
+      when(col("__dirty") === 1, col(s"rc_max_$m"))
+        .otherwise(greatest(col(s"max_$m"), col(s"add_max_$m")))
+        .as(s"max_$m")))
+    val merged = recomputed
+      .select(((gcols :+
+        (coalesce(col("mv_count"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("mv_count")) ++
+        view.sumCols.map(m =>
+          (coalesce(col(s"sum_$m"), lit(0.0)) +
+            coalesce(col(s"d_$m"), lit(0.0))).as(s"sum_$m")) ++ mmOut): _*)
+      .localCheckpoint()
+    txn.applyKeyed(stateTable(name), view.groupCols,
+      upserts = merged.filter(col("mv_count") > 0L),
+      deleteKeys = merged.filter(col("mv_count") <= 0L)
+        .select(gcols: _*))
+    txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
+    txn.commit(s"mv_refresh_star($name)")
+    (from, to)
+  }
 }

@@ -154,4 +154,130 @@ class DbMvSpec extends SparkSpec {
     checkView(db, "after reseed")
     assert(DbLog.history(spark, db).head().getString(1).startsWith("mv_reseed"))
   }
+
+  // ---- N-table star form ---------------------------------------------
+
+  private val starView = DbMv.StarView("orders",
+    Seq(("customer", Seq("o_custkey"))),
+    groupCols = Seq("c_nationkey"), sumCols = Seq("rev"),
+    minMaxCols = Seq("rev"))
+
+  private lazy val dimStar = customerRaw.select(
+    col("c_custkey").as("o_custkey"), col("c_nationkey"),
+    col("c_mktsegment"))
+
+  // incremental double sums drift from a direct recompute by ulps
+  // (signed-delta fold order) — the house convention compares them
+  // ROUND(,2); counts and min/max are exact either way
+  private def rounded(df: DataFrame): DataFrame =
+    df.withColumn("sum_rev", round(col("sum_rev"), 2))
+
+  private def recomputeStar(db: String): DataFrame =
+    rounded(DbLog.snapshot(spark, db, "orders")
+      .join(DbLog.snapshot(spark, db, "customer"), Seq("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("mv_count"),
+        sum(col("rev").cast("double")).as("sum_rev"),
+        min(col("rev").cast("double")).as("min_rev"),
+        max(col("rev").cast("double")).as("max_rev")))
+
+  private def checkStar(db: String, step: String): Unit =
+    assert(same(rounded(DbMv.readStar(spark, db, "srev")), recomputeStar(db)),
+      s"$step: star mv != recompute")
+
+  private def freshStarDb(): String = {
+    val db = Files.createTempDirectory("dbmvs").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", fact.repartition(4))
+      txn.append("customer", dimStar.repartition(2))
+    }
+    db
+  }
+
+  test("star: init seeds exactly; a refresh is state+cursor in ONE commit, touched groups only") {
+    val db = freshStarDb()
+    DbMv.initStar(spark, db, "srev", starView)
+    checkStar(db, "seed")
+    assert(DbMv.starDefinition(spark, db, "srev") == starView)
+    // fact churn confined to one nation's customers: only its groups
+    // may be touched — assert with the state files' content
+    val keys = dimStar.filter(col("c_nationkey") === 5)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    DbLog.transact(spark, db, "drop-n5")(
+      _.deleteWhere("orders", col("o_custkey").isInCollection(keys)))
+    val vPre = DbLog.currentVersion(spark, db)
+    val (f1, t1) = DbMv.refreshStar(spark, db, "srev")
+    assert(f1 < t1)
+    assert(DbLog.currentVersion(spark, db) == vPre + 1) // ONE commit
+    checkStar(db, "after fact delete")
+    assert(DbMv.readStar(spark, db, "srev")
+      .filter(col("c_nationkey") === 5).isEmpty) // group emptied, left
+    // fixpoint: a refresh over only the view's own commits no-ops
+    val (f2, t2) = DbMv.refreshStar(spark, db, "srev")
+    assert(f2 == t2 && DbLog.currentVersion(spark, db) == vPre + 1)
+  }
+
+  test("star: three tables churned in ONE transaction telescope exactly (torn-feed case)") {
+    val db = freshStarDb()
+    // snowflake: nation joins a column customer produced
+    import spark.implicits._
+    DbLog.transact(spark, db, "nations")(_.append("nation",
+      (0L until 25L).map(i => (i, s"N$i")).toDF("c_nationkey", "nname")))
+    val snow = DbMv.StarView("orders",
+      Seq(("customer", Seq("o_custkey")), ("nation", Seq("c_nationkey"))),
+      groupCols = Seq("nname"), sumCols = Seq("rev"),
+      minMaxCols = Seq("rev"))
+    DbMv.initStar(spark, db, "srev", snow)
+    // one txn: fact deletes + re-prices, customers move nation,
+    // nations rename — the advance must see it whole or not at all
+    val bump = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .withColumn("rev", (col("rev") * 2).cast("decimal(12,2)"))
+      .localCheckpoint()
+    val dead = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select("o_orderkey").localCheckpoint()
+    val moved = DbLog.snapshot(spark, db, "customer")
+      .filter(col("o_custkey") % 10 === 0)
+      .withColumn("c_nationkey", (col("c_nationkey") + lit(7)) % 25)
+      .localCheckpoint()
+    val renamed = DbLog.snapshot(spark, db, "nation")
+      .filter(col("c_nationkey") < 4)
+      .withColumn("nname", concat(lit("R"), col("nname")))
+      .localCheckpoint()
+    DbLog.transact(spark, db, "churn") { txn =>
+      txn.applyKeyed("orders", Seq("o_orderkey"), bump, dead)
+      txn.upsertKeyed("customer", Seq("o_custkey"), moved)
+      txn.upsertKeyed("nation", Seq("c_nationkey"), renamed)
+    }
+    DbMv.refreshStar(spark, db, "srev")
+    val direct = rounded(DbLog.snapshot(spark, db, "orders")
+      .join(DbLog.snapshot(spark, db, "customer"), Seq("o_custkey"))
+      .join(DbLog.snapshot(spark, db, "nation"), Seq("c_nationkey"))
+      .groupBy("nname")
+      .agg(count(lit(1)).as("mv_count"),
+        sum(col("rev").cast("double")).as("sum_rev"),
+        min(col("rev").cast("double")).as("min_rev"),
+        max(col("rev").cast("double")).as("max_rev")))
+    assert(same(rounded(DbMv.readStar(spark, db, "srev")), direct),
+      "three-table one-txn churn must telescope exactly")
+  }
+
+  test("star: behind the vacuum horizon the view reseeds atomically") {
+    val db = freshStarDb()
+    DbMv.initStar(spark, db, "srev", starView)
+    (0 until 4).foreach { i =>
+      DbLog.transact(spark, db, s"wave-$i")(
+        _.append("orders",
+          fact.filter(col("o_orderkey") % 4 === i)
+            .withColumn("o_orderkey", col("o_orderkey") + 9000000L)))
+    }
+    TxLog.vacuum(spark, db, retainVersions = 2)
+    val (from, to) = DbMv.refreshStar(spark, db, "srev")
+    assert(from < to)
+    checkStar(db, "after star reseed")
+    assert(DbLog.history(spark, db).head().getString(1)
+      .startsWith("mv_reseed_star"))
+  }
 }
