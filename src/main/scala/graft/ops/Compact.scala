@@ -68,6 +68,62 @@ object Compact {
   private[ops] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The session's hadoop configuration as PLAIN serializable entries
+    * — a Configuration is not serializable, and a writeObject wrapper
+    * silently breaks under Kryo (which ignores Java serialization
+    * hooks). Executor-side closures rebuild with [[confFrom]], so
+    * credentials and fs bindings (s3a keys, endpoints, custom
+    * schemes) survive the ship; a bare `new Configuration()` on the
+    * executor would silently drop them and fail on any non-default
+    * filesystem.
+    */
+  private[graft] def confEntries(
+      spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toArray
+  }
+
+  private[graft] def confFrom(
+      entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Per-file parquet footer ROW COUNTS — metadata pages only,
+    * distributed over executors with the session conf shipped (the
+    * one footer-probe loop every caller shares: commit row bases,
+    * filesMeta, DV materialize picks, COPY INTO receipts). `lenient`
+    * skips absent/unreadable paths instead of failing the job.
+    */
+  private[graft] def footerRowCounts(
+      spark: SparkSession,
+      paths: Seq[String],
+      lenient: Boolean = false): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else {
+      val ce = confEntries(spark)
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+        .mapPartitions { it =>
+          val conf = confFrom(ce)
+          it.flatMap { f =>
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                var n = 0L
+                r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+                Seq((f, n))
+              } finally r.close()
+            } catch { case e: Exception => if (lenient) Nil else throw e }
+          }
+        }.collect().toMap
+    }
+
   /** Visible data files of `dir`: what Spark's own listing would read
     * (top-level files not `_`/`.`-prefixed).
     */

@@ -83,8 +83,9 @@ object CopyInto {
   }
 
   /** Try to own claim file `name`; true = this loader holds it. A
-    * lost claim is re-examined: a LIVE holder (younger than
-    * `leaseMs`) keeps it; a holder whose txn already committed, or
+    * lost claim is re-examined: a LIVE holder (claim-file mtime
+    * younger than `leaseMs` on the shared filesystem's own clock —
+    * see [[fsAge]]) keeps it; a holder whose txn already committed, or
     * whose lease expired (a crashed load), is STOLEN — the arbiter
     * is an atomic RENAME of the old claim to a unique tombstone, so
     * exactly one stealer proceeds to re-claim (a blind delete would
@@ -117,11 +118,36 @@ object CopyInto {
       if (fs.rename(dest, tomb)) { fs.delete(tomb, false); tryClaim() }
       else false // another stealer won the rename
     }
+    // lease age measured on ONE clock — the shared filesystem's: the
+    // claim's mtime vs a fresh probe file's mtime. Comparing the
+    // holder's embedded wall-clock against a stealer's local clock
+    // would let cross-node skew shrink (steal a live claim → double
+    // load) or extend the lease; fs mtimes come from the same
+    // authority for every loader. Cost: one tiny create+stat+delete,
+    // only on a CONTESTED claim.
+    def fsAge(): Option[Long] = {
+      val probe = new Path(logDir,
+        s".clock.${java.util.UUID.randomUUID}.tmp")
+      try {
+        val out = fs.create(probe, true)
+        try out.write('.') finally out.close()
+        val now = fs.getFileStatus(probe).getModificationTime
+        Some(now - fs.getFileStatus(dest).getModificationTime)
+      } catch {
+        case _: java.io.IOException => None // claim vanished under us
+      } finally {
+        try fs.delete(probe, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
     if (tryClaim()) true
     else TxLog.metaRead(spark, dir, name)
       .map(_.linesIterator.toList) match {
-        case Some(hid :: ts :: _) =>
-          val live = System.currentTimeMillis() - ts.toLong < leaseMs
+        case Some(hid :: _ :: _) =>
+          val live = fsAge() match {
+            case Some(age) => age < leaseMs
+            case None => return false // vanished under us: skip this run
+          }
           if (!TxLog.txnCommitted(spark, dir, txnOf(hid)) && live) false
           else steal() // committed residue or expired lease
         case _ => false // vanished/garbled under us: skip this run
@@ -319,13 +345,16 @@ object CopyInto {
           // via Spark's own csv header resolution (honors sep/quote/
           // charset options), run one schema-driven read per group,
           // and union the groups in pinned column order.
+          // ship the session conf: a bare executor-side Configuration
+          // would drop credentials/fs bindings and fail header-mode
+          // COPY INTO on any non-default filesystem
+          val confEnts = Compact.confEntries(spark)
           val headerOf: Map[String, (String, Boolean)] = spark.sparkContext
             .parallelize(fresh,
               math.max(1, math.min(fresh.length, 64)))
             .map { f =>
               val p = new Path(f)
-              val hfs = p.getFileSystem(
-                new org.apache.hadoop.conf.Configuration())
+              val hfs = p.getFileSystem(Compact.confFrom(confEnts))
               val in = hfs.open(p)
               try {
                 // raw bytes to the first \n (1 MiB cap), decoded
@@ -471,20 +500,7 @@ object CopyInto {
     // second scan of the batch, distributed like filesMeta (a serial
     // driver loop over hundreds of staged files would stall the load)
     val stagedPaths = names.map(n => new Path(stage, n).toString)
-    val rows =
-      if (stagedPaths.isEmpty) 0L
-      else spark.sparkContext
-        .parallelize(stagedPaths, math.max(1, math.min(stagedPaths.length, 64)))
-        .map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(f), new org.apache.hadoop.conf.Configuration())
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            var c = 0L
-            r.getFooter.getBlocks.forEach(b => c += b.getRowCount)
-            c
-          } finally r.close()
-        }.fold(0L)(_ + _)
+    val rows = Compact.footerRowCounts(spark, stagedPaths).values.sum
     // ledger BEFORE the files move and the commit lands — see the
     // exactly-once anatomy in the object doc
     TxLog.metaWrite(spark, dir, s"$ShardPrefix$id.txt",
@@ -516,7 +532,11 @@ object CopyInto {
         txn = Some(txnOf(id)), op = Some(s"copy-into(${fresh.size} files)"))
       catch {
         case e: Throwable =>
-          pinnedAt.foreach(TxLog.unsetTableSchema(spark, dir, _))
+          // content-guarded retraction: delete the slot only if it
+          // still holds OUR schema — a concurrent DDL's pin landing
+          // at the same version must survive this rollback
+          pinnedAt.foreach(at => TxLog.unsetTableSchema(spark, dir, at,
+            expected = evolvedTo))
           throw e
       }
     Result(v, fresh.size, rows, listed.size - fresh.size)

@@ -648,18 +648,7 @@ object DeletionVectors {
     val deleted = stats(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val files = dvd.map(e => TxLog.dataPathOf(dir, e))
-    val rowsOf = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.length, 64)))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(f), new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          var n = 0L
-          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
-          (f, n)
-        } finally r.close()
-      }.collect().toMap
+    val rowsOf = Compact.footerRowCounts(spark, files)
     val pick = dvd.filter { e =>
       val total = rowsOf.getOrElse(TxLog.dataPathOf(dir, e), Long.MaxValue)
       total > 0 &&

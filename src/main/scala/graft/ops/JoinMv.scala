@@ -41,7 +41,11 @@ import graft.sources.TableStore
   */
 object JoinMv {
 
-  private def cursorTable(name: String) = s"${name}__jmv_cursor"
+  /** The pre-star two-table cursor's table name — kept only so
+    * [[follow]] can ADOPT a surviving view built before the star
+    * generalization instead of silently full-reseeding it.
+    */
+  private def legacyCursorTable(name: String) = s"${name}__jmv_cursor"
 
   /** The view (same state as any [[MvStore]] view). */
   def read(store: TableStore, name: String): DataFrame =
@@ -72,6 +76,25 @@ object JoinMv {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil): ((Int, Int), (Int, Int)) = {
+    // MIGRATION: a view built by the pre-star follow persists its
+    // cursor as `__jmv_cursor` (fact_v, dim_v). Adopt it into the
+    // star cursor ONCE — identity columns take this call's tables and
+    // keys, the same trust the legacy cursor carried (it stored none)
+    // — so the view advances incrementally instead of full-reseeding.
+    // The legacy table is left in place, inert (the star cursor's
+    // existence gates this branch off forever after).
+    if (MvStore.exists(store, name) &&
+        !store.exists(cursorStarTable(name)) &&
+        store.exists(legacyCursorTable(name))) {
+      val spark = store.spark
+      import spark.implicits._
+      val r = store.read(legacyCursorTable(name))
+        .select("fact_v", "dim_v").head()
+      store.overwrite(Seq(
+        (0, r.getInt(0), factDir, ""),
+        (1, r.getInt(1), dimDir, joinKeys.mkString(",")))
+        .toDF("idx", "ver", "tbl", "keys"), cursorStarTable(name))
+    }
     // the two-table form IS the one-dim star — one cursor machinery,
     // one pending-intent protocol, one delta construction
     val rs = followStar(store, name, factDir, Seq((dimDir, joinKeys)),
@@ -84,9 +107,11 @@ object JoinMv {
     * with usable bounds: numeric + declared log stats → file-level
     * [[TxLog.snapshotPruned]] over the changed keys' widened
     * [min, max] (1 ULP out each side — the double cast rounds
-    * integral keys past 2^53); string → a lexicographic range
-    * predicate parquet's own row-group stats serve (unsigned UTF-8
-    * order, the same total order Spark compares in). A key the table
+    * integral keys past 2^53); string → FILE-level skipping from the
+    * footers' lexicographic manifest ([[TxLog.snapshotPrunedString]],
+    * unsigned UTF-8 order, the same total order Spark compares in)
+    * plus the residual range predicate row-group stats serve inside
+    * the surviving files. A key the table
     * does not spell (snowflake terms — the delta joins a column an
     * earlier dim produced) reads whole; an empty delta reads
     * nothing.
@@ -114,8 +139,14 @@ object JoinMv {
       case org.apache.spark.sql.types.StringType =>
         val b = feed.agg(min(col(k)), max(col(k))).head()
         if (b.isNullAt(0)) whole.limit(0)
-        else whole.filter(col(k) >= lit(b.getString(0)) &&
-          col(k) <= lit(b.getString(1)))
+        else
+          // FILE-level skipping from the footers' lexicographic
+          // manifest (unsigned UTF-8 order — Spark's own string
+          // order), then the residual range predicate row-group stats
+          // serve inside the survivors: an unclustered fact skips
+          // whole files, not just row groups
+          TxLog.snapshotPrunedString(spark, dir, k,
+            b.getString(0), b.getString(1), fromV)
       case _ => whole
     }
   }

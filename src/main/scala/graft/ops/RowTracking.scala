@@ -224,27 +224,13 @@ object RowTracking {
     }
   }
 
-  /** Footer row counts (metadata pages only), distributed like
-    * [[TxLog.filesMeta]]; absent/unreadable paths are skipped.
+  /** Footer row counts (metadata pages only), distributed with the
+    * session conf shipped; absent/unreadable paths are skipped (a
+    * commit may name files not yet present).
     */
   private def footerRows(
       spark: SparkSession, paths: Seq[String]): Map[String, Long] =
-    if (paths.isEmpty) Map.empty
-    else spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.length, 64)))
-      .flatMap { f =>
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f),
-            new org.apache.hadoop.conf.Configuration())
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            var n = 0L
-            r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
-            Seq((f, n))
-          } finally r.close()
-        } catch { case _: Exception => Nil }
-      }.collect().toMap
+    Compact.footerRowCounts(spark, paths, lenient = true)
 
   /** The current snapshot with `_row_id` — DV-applied, clone-aware,
     * column-mapping-aware (everything [[TxLog.readEntries]] gives),

@@ -1180,15 +1180,30 @@ object TxLog {
     * pin when the commit fails, instead of leaving a pre-widened
     * schema on a version it never created.
     */
+  /** Retract the pin at `version` — with `expected`, ONLY if the slot
+    * still holds that exact schema: a failure-path retraction (COPY
+    * INTO's evolve rollback) must not delete a pin a concurrent DDL
+    * landed in the same slot after this writer's commit lost.
+    */
   private[graft] def unsetTableSchema(
-      spark: SparkSession, dir: String, version: Int): Unit = {
+      spark: SparkSession, dir: String, version: Int,
+      expected: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val fs = Compact.fsOf(spark, dir)
     val dest = branchOf(dir) match {
       case Some((name, base)) if version > base =>
         new Path(logPath(dir), s"$BranchPrefix$name.${schemaFileName(version)}")
       case _ => new Path(logPath(dir), schemaFileName(version))
     }
-    fs.delete(dest, false)
+    val mine = expected.forall { sc =>
+      try {
+        val in = fs.open(dest)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body == sc.json
+      } catch { case _: java.io.IOException => false }
+    }
+    if (mine) fs.delete(dest, false)
   }
 
   /** The pinned schema in effect at `version` (newest pin ≤ version);
@@ -1415,6 +1430,69 @@ object TxLog {
     src.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Files at `version` whose lexicographic [min, max] on STRING
+    * `column` can intersect [lo, hi] — decided in unsigned UTF-8 byte
+    * order (parquet's binary-stats order, which is also Spark's
+    * string order), from footer METADATA PAGES only, distributed with
+    * the session conf shipped ([[ZoneMap.stringStatsRows]]). The log
+    * carries no string stats (entry stats are numeric), so the footer
+    * manifest is the file-level authority; a file whose stats were
+    * omitted never prunes. Column mapping: the probe speaks logical,
+    * footers spell physical. Returns RELATIVE names — the plan
+    * receipt file-skipping tests assert on.
+    */
+  def candidateFilesStringRange(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: String,
+      hi: String,
+      version: Int = Int.MaxValue): Seq[String] = {
+    val all = liveEntries(spark, dir, version)
+    if (all.isEmpty) return Nil
+    val phys = tableSchema(spark, dir, version)
+      .map(ColumnMapping.physicalOf(_, column)).getOrElse(column)
+    val stats = ZoneMap.stringStatsRows(spark,
+        all.map(e => dataPathOf(dir, e)), Seq(phys))
+      .select("file", "min_str", "max_str").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    all.filter { e =>
+      stats.get(dataPathOf(dir, e)) match {
+        case Some((mn, mx)) =>
+          ZoneMap.leUtf8(mn, hi) && ZoneMap.leUtf8(lo, mx)
+        case None => true // unknown never prunes
+      }
+    }.map(_.name)
+  }
+
+  /** [[snapshotPruned]]'s STRING form: read only the files whose
+    * lexicographic span can intersect [lo, hi], then the residual
+    * range predicate (row-group stats serve it inside the survivors).
+    * Result identical to the unpruned filtered snapshot; planning
+    * cost is the footers the unpruned read would touch anyway, and
+    * skipped files never read a data page.
+    */
+  def snapshotPrunedString(
+      spark: SparkSession,
+      dir: String,
+      column: String,
+      lo: String,
+      hi: String,
+      version: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = liveEntries(spark, dir, version)
+    require(all.nonEmpty, s"version $version of $dir holds no files")
+    val cand = candidateFilesStringRange(spark, dir, column, lo, hi,
+      version).toSet
+    val candEntries = all.filter(e => cand(e.name))
+    val src =
+      if (candEntries.isEmpty)
+        readEntries(spark, dir, all, schemaVersion = version).limit(0)
+      else readEntries(spark, dir, candEntries, schemaVersion = version)
+    src.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Append a commit (called by the file-surgery operators after their
     * staged files are in place). Optimistic: claims `current + 1`,
     * retrying past a racing committer — and on every (re)attempt
@@ -1607,18 +1685,7 @@ object TxLog {
     val entries = liveEntries(spark, dir, version)
     val fs = Compact.fsOf(spark, dir)
     val paths = entries.map(e => dataPathOf(dir, e))
-    val footer = spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.length, 64)))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(f), new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          var n = 0L
-          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
-          (f, n)
-        } finally r.close()
-      }.collect().toMap
+    val footer = Compact.footerRowCounts(spark, paths)
     // stats are keyed physical in the log — surface them under the
     // version's LOGICAL names (what the user's queries speak)
     val pinV = tableSchema(spark, dir, version)

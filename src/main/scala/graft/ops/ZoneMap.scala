@@ -103,12 +103,14 @@ object ZoneMap {
       cols: Seq[String],
       lenient: Boolean = false): DataFrame = {
     val want = cols.toSet
+    val confEnts = Compact.confEntries(spark)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
         val opened =
           try Some(ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(f), new Configuration())))
+            HadoopInputFile.fromPath(new Path(f),
+              Compact.confFrom(confEnts))))
           catch { case _: Exception if lenient => None }
         opened.toSeq.flatMap { r =>
           try {
@@ -163,10 +165,12 @@ object ZoneMap {
       cols: Seq[String]): DataFrame = {
     val want = cols.toSet
     val files = TxLog.dataInputFiles(spark, dir)
+    val confEnts = Compact.confEntries(spark)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val in = HadoopInputFile.fromPath(new Path(f),
+          Compact.confFrom(confEnts))
         val r = ParquetFileReader.open(in)
         try {
           val out = scala.collection.mutable.ArrayBuffer
@@ -239,13 +243,25 @@ object ZoneMap {
   def buildString(
       spark: SparkSession,
       dir: String,
+      cols: Seq[String]): DataFrame =
+    stringStatsRows(spark, TxLog.dataInputFiles(spark, dir), cols)
+
+  /** [[buildString]]'s core over an EXPLICIT file list — the seam
+    * version-scoped consumers ([[TxLog.snapshotPrunedString]]) use.
+    * Session conf ships to the executors (credentials/fs bindings
+    * survive); one footer metadata read per file, distributed.
+    */
+  private[ops] def stringStatsRows(
+      spark: SparkSession,
+      files: Seq[String],
       cols: Seq[String]): DataFrame = {
     val want = cols.toSet
-    val files = TxLog.dataInputFiles(spark, dir)
+    val confEnts = Compact.confEntries(spark)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val in = HadoopInputFile.fromPath(new Path(f),
+          Compact.confFrom(confEnts))
         val r = ParquetFileReader.open(in)
         try {
           val blocks = r.getFooter.getBlocks
@@ -311,7 +327,7 @@ object ZoneMap {
     a.length <= b.length
   }
 
-  private def leUtf8(a: String, b: String): Boolean =
+  private[ops] def leUtf8(a: String, b: String): Boolean =
     leUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
 
   /** Files whose lexicographic [min,max] on `column` can contain

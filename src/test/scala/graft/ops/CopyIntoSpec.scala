@@ -328,6 +328,12 @@ class CopyIntoSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     TxLog.metaWrite(spark, dir2, s"claim.$digest.txt",
       s"${java.util.UUID.randomUUID}\n${System.currentTimeMillis() - 10000}")
+    // liveness is the claim FILE's age on the filesystem's own clock
+    // (clock-skew-proof) — backdate its mtime to simulate the crash
+    Compact.fsOf(spark, dir2).setTimes(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir2, "_txlog"), s"claim.$digest.txt"),
+      System.currentTimeMillis() - 10000, -1)
     // within the lease: the planted claim holds, nothing loads
     val held = CopyInto.copyInto(spark, dir2, zone2, "csv", csvOpts,
       claimLeaseMs = 60000L)
