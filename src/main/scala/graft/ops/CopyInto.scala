@@ -46,7 +46,9 @@ import org.apache.spark.sql.SparkSession
   * parquet write → rename path every other committed write uses —
   * fully distributed, never driver-materialized. Landing zones too
   * large to list whole are partitioned by convention (e.g. dated
-  * prefixes) and copied per-prefix via `pattern`.
+  * prefixes) and loaded via [[copyIntoByPrefix]]: prefixes enumerate
+  * driver-side, per-prefix file listings happen on the EXECUTORS,
+  * and the driver's peak listing is one prefix, never the zone.
   *
   * Multi-loader concurrency (beyond Delta's single-loader bound): N
   * loaders may split one zone. Disjoint `pattern`s never meet; on a
@@ -243,6 +245,77 @@ object CopyInto {
           .flatMap(_.linesIterator).filter(_.nonEmpty)
       else Nil
     }.distinct.sorted
+
+  /** [[copyInto]] over a landing zone too large to list whole: the
+    * zone's FIRST-LEVEL prefixes (dated dirs, producer shards) are
+    * enumerated driver-side — O(prefixes), names only — then each
+    * prefix's files are counted ON THE EXECUTORS in parallel (session
+    * conf shipped; the driver holds one (prefix, count) pair per
+    * prefix, never the zone's file list), and each non-empty prefix
+    * loads as its own [[copyInto]] call — one commit per prefix, so
+    * the driver's peak listing is ONE prefix's files, not the zone's.
+    * Top-level files outside any prefix load in one final call.
+    *
+    * Exactly-once and multi-loader semantics are [[copyInto]]'s own
+    * (the ledger and per-file claims are per-TABLE, not per-prefix);
+    * racing loaders walk the prefixes in loader-specific order, so N
+    * loaders on one zone mostly claim disjoint prefixes and serialize
+    * per-file only where they collide. Returns the aggregate receipt
+    * (version = the table's version after the last commit).
+    */
+  def copyIntoByPrefix(
+      spark: SparkSession,
+      dir: String,
+      source: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      pattern: String = "*",
+      force: Boolean = false,
+      evolveSchema: Boolean = false,
+      claimLeaseMs: Long = 30L * 60 * 1000): Result = {
+    val sfs = Compact.fsOf(spark, source)
+    val top = sfs.listStatus(new Path(source)).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .filterNot(_.getPath.getName.startsWith("."))
+    val prefixes = top.filter(_.isDirectory)
+      .map(st => sfs.makeQualified(st.getPath).toString).sorted
+    // executor-side candidate counts: the ONLY zone-wide pass, and it
+    // returns one long per prefix — the file names stay distributed
+    val confEnts = Compact.confEntries(spark)
+    val counts: Map[String, Long] =
+      if (prefixes.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(prefixes, math.max(1, math.min(prefixes.length, 256)))
+        .mapPartitions { it =>
+          val conf = Compact.confFrom(confEnts)
+          it.map { p =>
+            val fs = new Path(p).getFileSystem(conf)
+            val n = Option(fs.globStatus(new Path(p, pattern)))
+              .map(_.count { st =>
+                val nm = st.getPath.getName
+                st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+              }).getOrElse(0)
+            (p, n.toLong)
+          }
+        }.collect().toMap
+    // loader-specific walk order spreads racing loaders across
+    // prefixes (correctness never depends on it — claims do that)
+    val order = scala.util.Random.shuffle(
+      prefixes.filter(p => counts.getOrElse(p, 0L) > 0L))
+    val hasTopFiles = top.exists(_.isFile)
+    val parts = order.map(p =>
+      copyInto(spark, dir, p, format, options, pattern, force,
+        evolveSchema, claimLeaseMs)) ++
+      (if (hasTopFiles)
+        Seq(copyInto(spark, dir, source, format, options, pattern, force,
+          evolveSchema, claimLeaseMs))
+      else Nil)
+    Result(
+      version = TxLog.currentVersion(spark, dir),
+      filesLoaded = parts.map(_.filesLoaded).sum,
+      rowsLoaded = parts.map(_.rowsLoaded).sum,
+      filesSkipped = parts.map(_.filesSkipped).sum)
+  }
 
   /** Load every `pattern`-matching file under `source` that no prior
     * load committed, as ONE atomic commit; return the receipt.

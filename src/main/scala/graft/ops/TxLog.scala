@@ -1952,11 +1952,19 @@ object TxLog {
     * requires the replica to be empty or column-aligned (schema
     * drift across a LOST range has no rename record to follow —
     * recreate the replica instead of guessing).
+    *
+    * `autoRecreate = true` performs that documented recreate ITSELF
+    * when a refusal path fires (swap/cycle renames, drop + re-add
+    * inside one window, misaligned resync): the replica is DELETED
+    * and rebuilt from the source's current id-attached snapshot — a
+    * deterministic, hash-stable outcome, opt-in because it discards
+    * the replica's on-disk history (the data is re-derived whole).
     */
   def replicateByRowId(
       spark: SparkSession,
       srcDir: String,
-      dstDir: String): (Int, Int) = {
+      dstDir: String,
+      autoRecreate: Boolean = false): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     require(RowTracking.enabled(spark, srcDir),
       s"replicateByRowId: row tracking is not enabled on $srcDir " +
@@ -1979,44 +1987,71 @@ object TxLog {
       try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    // the documented heal: drop the replica whole, rebuild from the
+    // source's current id-attached snapshot, re-pin. Deterministic —
+    // the result equals a first sync into an empty replica.
+    def recreate(): (Int, Int) = {
+      fs.delete(new Path(dstDir), true)
+      convert(spark, dstDir)
+      val src = RowTracking.readAt(spark, srcDir, cur)
+        .drop(RowTracking.VerCol)
+      UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col,
+        src.withColumn("change_type", lit("insert")))
+      pin(cur)
+      (from.getOrElse(-1), cur)
+    }
+    // refusal paths carry "recreate the replica" guidance; under the
+    // flag, do exactly that instead of paging an operator
+    def orRecreate(body: => (Int, Int)): (Int, Int) =
+      try body
+      catch {
+        case e: IllegalArgumentException
+            if autoRecreate &&
+              String.valueOf(e.getMessage).contains("recreate the replica") =>
+          recreate()
+      }
     from match {
       case Some(f) if f == cur => (f, cur)
       case Some(f) if retainedVersions(spark, srcDir).contains(f) =>
-        // replica follows the source's renames FIRST (the feed speaks
-        // the range-END logical names); the id key itself never renames
-        followSourceRenames(spark, srcDir, dstDir, f)
-        val feed = changes(spark, srcDir, f, cur, Nil)
-          .drop(RowTracking.VerCol)
-          .withColumnRenamed("_change_type", "change_type")
-          .withColumnRenamed("_commit_version", "commit_version")
-        UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
-        pin(cur)
-        (f, cur)
-      case _ =>
-        // first sync / retention cliff: one id-attached full resync
-        val src = RowTracking.readAt(spark, srcDir, cur)
-          .drop(RowTracking.VerCol)
-        val dstEmpty = liveFiles(spark, dstDir).isEmpty
-        if (!dstEmpty) {
-          val have = snapshot(spark, dstDir).columns.toSet
-          require(have == src.columns.toSet,
-            s"replicateByRowId: resync into a non-empty replica needs " +
-              s"aligned columns — replica has ${have.toSeq.sorted
-                .mkString(", ")}, source feeds ${src.columns.sorted
-                .mkString(", ")}; the lost range carries no rename " +
-              "record, recreate the replica")
+        orRecreate {
+          // replica follows the source's renames FIRST (the feed speaks
+          // the range-END logical names); the id key itself never renames
+          followSourceRenames(spark, srcDir, dstDir, f)
+          val feed = changes(spark, srcDir, f, cur, Nil)
+            .drop(RowTracking.VerCol)
+            .withColumnRenamed("_change_type", "change_type")
+            .withColumnRenamed("_commit_version", "commit_version")
+          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+          pin(cur)
+          (f, cur)
         }
-        val insert = src.withColumn("change_type", lit("insert"))
-        val feed =
-          if (dstEmpty) insert
-          else insert.unionByName(
-            snapshot(spark, dstDir)
-              .join(src.select(col(RowTracking.Col)).distinct(),
-                Seq(RowTracking.Col), "left_anti")
-              .withColumn("change_type", lit("delete")))
-        UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
-        pin(cur)
-        (from.getOrElse(-1), cur)
+      case _ =>
+        orRecreate {
+          // first sync / retention cliff: one id-attached full resync
+          val src = RowTracking.readAt(spark, srcDir, cur)
+            .drop(RowTracking.VerCol)
+          val dstEmpty = liveFiles(spark, dstDir).isEmpty
+          if (!dstEmpty) {
+            val have = snapshot(spark, dstDir).columns.toSet
+            require(have == src.columns.toSet,
+              s"replicateByRowId: resync into a non-empty replica needs " +
+                s"aligned columns — replica has ${have.toSeq.sorted
+                  .mkString(", ")}, source feeds ${src.columns.sorted
+                  .mkString(", ")}; the lost range carries no rename " +
+                "record, recreate the replica")
+          }
+          val insert = src.withColumn("change_type", lit("insert"))
+          val feed =
+            if (dstEmpty) insert
+            else insert.unionByName(
+              snapshot(spark, dstDir)
+                .join(src.select(col(RowTracking.Col)).distinct(),
+                  Seq(RowTracking.Col), "left_anti")
+                .withColumn("change_type", lit("delete")))
+          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+          pin(cur)
+          (from.getOrElse(-1), cur)
+        }
     }
   }
 

@@ -98,7 +98,8 @@ object UpsertWhere {
       dir: String,
       keyCol: String,
       feed: DataFrame,
-      manifest: Option[DataFrame] = None): Receipt = {
+      manifest: Option[DataFrame] = None,
+      followDrops: Boolean = false): Receipt = {
     Compact.recover(spark, dir)
     val all = DeleteWhere.allFiles(spark, dir)
     // a feed spanning several versions can carry several events per
@@ -119,13 +120,49 @@ object UpsertWhere {
     // new column (the upstream ran ALTER TABLE ADD COLUMN) widens the
     // replica in the same application — existing rows read NULL under
     // the widened pin, post-evolution rows land with their values
+    // REPLICATION FOLLOWS DROPS (opt-in — the streaming apply sink
+    // sets it): table columns the feed no longer carries are dropped
+    // from the replica's pin first, because the source's current
+    // schema no longer spells them and the feed cannot apply over
+    // them. The key column never drops; a caller-side projection
+    // mistake under the DEFAULT (false) still fails loudly below.
+    if (followDrops && all.nonEmpty) {
+      TxLog.read(spark, dir).schema.fieldNames
+        .filterNot(upserts.columns.contains)
+        .filterNot(_ == keyCol)
+        .foreach(c => ColumnMapping.dropColumn(spark, dir, c))
+    }
+    val tableSc: Option[org.apache.spark.sql.types.StructType] =
+      if (all.isEmpty) None else Some(TxLog.read(spark, dir).schema)
     val tableCols: Seq[String] =
-      if (all.isEmpty) upserts.columns.toSeq
-      else TxLog.read(spark, dir).columns.toSeq
+      tableSc.map(_.fieldNames.toSeq).getOrElse(upserts.columns.toSeq)
     val fresh = upserts.schema.fields
       .filterNot(f => tableCols.contains(f.name))
+    // TYPE drift follows the source too: a feed column the upstream
+    // WIDENED (ALTER COLUMN TYPE — lossless allowlist) retypes the
+    // replica's pin with the commit below, old footers serving the
+    // wide type natively; a feed still NARROW (a pre-evolution
+    // producer) casts up to the table's width before staging
+    val widenTo: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      tableSc.toSeq.flatMap(_.fields.flatMap { f =>
+        upserts.schema.fields.find(_.name == f.name).collect {
+          case g if g.dataType != f.dataType &&
+              TypeWidening.canWiden(f.dataType, g.dataType) =>
+            f.name -> g.dataType
+        }
+      })
+    val narrowFeed: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      tableSc.toSeq.flatMap(_.fields.flatMap { f =>
+        upserts.schema.fields.find(_.name == f.name).collect {
+          case g if g.dataType != f.dataType &&
+              TypeWidening.canWiden(g.dataType, f.dataType) =>
+            f.name -> f.dataType
+        }
+      })
     val cols = tableCols ++ fresh.map(_.name)
-    val up = upserts.select(cols.map(col): _*)
+    val up = narrowFeed.foldLeft(upserts.select(cols.map(col): _*)) {
+      case (d, (n, t)) => d.withColumn(n, col(n).cast(t))
+    }
     val feedKeys = feed.select(col(keyCol)).distinct()
     val touched: Seq[String] =
       if (all.isEmpty) Nil
@@ -134,9 +171,15 @@ object UpsertWhere {
       if (touched.isEmpty) (up, 0L, up.count())
       else {
         val candDf0 = TxLog.readUris(spark, dir, touched)
-        // pre-evolution rows take NULL in the evolved-in columns
-        val candDf = fresh.foldLeft(candDf0)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        // pre-evolution rows take NULL in the evolved-in columns and
+        // cast up to the widened types (the pin retype lands with
+        // this commit; survivors must stage wide so one schema reads
+        // the whole table back)
+        val candDf = widenTo.foldLeft(
+          fresh.foldLeft(candDf0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))) {
+          case (d, (n, t)) => d.withColumn(n, col(n).cast(t))
+        }
         val replaced = candDf
           .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
         val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
@@ -156,13 +199,20 @@ object UpsertWhere {
     // DeletionVectors.upsert / CopyInto), and the staged write must
     // agree with the pin that lands with the commit
     val evolvedPin: Option[org.apache.spark.sql.types.StructType] =
-      if (fresh.isEmpty || !TxLog.exists(spark, dir)) None
+      if ((fresh.isEmpty && widenTo.isEmpty) || !TxLog.exists(spark, dir))
+        None
       else {
-        val base = TxLog.tableSchema(spark, dir).getOrElse {
+        val base0 = TxLog.tableSchema(spark, dir).getOrElse {
           org.apache.spark.sql.types.StructType(
             TxLog.read(spark, dir).schema.fields.filterNot(f =>
               fresh.exists(_.name == f.name)))
         }
+        // widened types retype IN PLACE (physical names kept — the
+        // mapped-table rename machinery stays intact)
+        val wide = widenTo.toMap
+        val base = org.apache.spark.sql.types.StructType(
+          base0.fields.map(f =>
+            wide.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
         val merged0 =
           org.apache.spark.sql.types.StructType(base.fields ++ fresh)
         Some(

@@ -259,7 +259,23 @@ final class ChangeFeedSource(
           "restart the query from its checkpoint to adopt the new " +
           "schema; this batch redelivers after restart, nothing is lost")
     val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
-    GraftShim.streamingDataFrame(spark, d.select(cols: _*))
+    val out = d.select(cols: _*)
+    // TYPE evolution (ALTER COLUMN TYPE widening) changes no name, so
+    // the set check above cannot see it — but serving a LONG batch
+    // under a frozen INT schema corrupts or crashes downstream.
+    // Same fail-with-fix contract: restart re-resolves the wide type.
+    val retyped = schema.fields.zip(out.schema.fields).collect {
+      case (w, g) if w.dataType != g.dataType =>
+        s"${w.name}: ${w.dataType.simpleString} -> ${g.dataType.simpleString}"
+    }
+    if (retyped.nonEmpty)
+      throw new SchemaEvolvedException(
+        s"graft-cdc: column type(s) of $path${table.map("/" + _)
+          .getOrElse("")} changed under the running stream " +
+          s"(${retyped.mkString("; ")}) — restart the query from its " +
+          "checkpoint to adopt the new types; this batch redelivers " +
+          "after restart, nothing is lost")
+    GraftShim.streamingDataFrame(spark, out)
   }
 
   override def stop(): Unit = ()

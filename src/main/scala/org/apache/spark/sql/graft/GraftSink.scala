@@ -118,7 +118,13 @@ final class GraftSink(parameters: Map[String, String]) extends Sink {
             .withColumnsRenamed(Map(
               "_change_type" -> "change_type",
               "_commit_version" -> "commit_version"))
-          graft.ops.UpsertWhere.applyChanges(spark, path, key, renamed)
+          // a replication sink follows the source's schema WHOLE:
+          // evolved-in columns widen the replica (applyChanges's
+          // default) and dropped columns leave it (followDrops) —
+          // otherwise a mid-stream DROP COLUMN wedges every
+          // redelivery after the supervisor's restart
+          graft.ops.UpsertWhere.applyChanges(spark, path, key, renamed,
+            followDrops = true)
           ()
         }
       case "route" =>

@@ -344,6 +344,49 @@ class CopyIntoSpec extends SparkSpec {
     assert(stolen.filesLoaded == 1)
   }
 
+  test("per-prefix loading: a many-prefix zone ingests exactly once, one bounded listing at a time") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 6 dated prefixes + stray top-level files — the shape a zone too
+    // large for one driver-side glob is partitioned into
+    val root = Files.createTempDirectory("copyinto_pfx").toString + "/zone"
+    val slices = (0 until 6).map { i =>
+      val df = nation.filter(col("n_nationkey") % 6 === i)
+      df.repartition(2).write.option("header", "true")
+        .csv(s"$root/day=2026-08-1$i")
+      df
+    }
+    val stray = nation.limit(3)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    stray.repartition(1).write.option("header", "true")
+      .mode("append").csv(root) // lands part files at the top level
+    val expected = slices.reduce(_ unionByName _).unionByName(stray)
+    val dir = freshTable(nation.schema)
+    val r1 = CopyInto.copyIntoByPrefix(spark, dir, root, "csv", csvOpts)
+    assert(r1.filesLoaded >= 13, s"got ${r1.filesLoaded}") // 6×2 + stray
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // one commit PER NON-EMPTY PREFIX (+1 for the top-level files):
+    // the driver never built a zone-wide batch
+    val ops = TxLog.history(spark, dir)
+      .filter(col("operation").startsWith("copy-into")).count()
+    assert(ops == 7L, s"expected 7 per-prefix commits, got $ops")
+    // re-run: the ledger remembers everything, nothing new commits
+    val r2 = CopyInto.copyIntoByPrefix(spark, dir, root, "csv", csvOpts)
+    assert(r2.filesLoaded == 0)
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // racing loaders over the same zone: prefixes split via claims,
+    // every file lands exactly once across all of them
+    val dir2 = freshTable(nation.schema)
+    val rs = Await.result(Future.sequence((1 to 3).map(_ => Future(
+      CopyInto.copyIntoByPrefix(spark, dir2, root, "csv", csvOpts)))),
+      5.minutes)
+    assert(rs.map(_.filesLoaded).sum == r1.filesLoaded,
+      s"expected ${r1.filesLoaded} loaded once across loaders, " +
+        s"got ${rs.map(_.filesLoaded)}")
+    assert(same(TxLog.snapshot(spark, dir2), expected))
+  }
+
   test("unsupported format and unmanaged target refuse with the reason") {
     val src = landingZone(nation, 1)
     val dir = freshTable(nation.schema)

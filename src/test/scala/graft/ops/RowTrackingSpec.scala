@@ -391,6 +391,72 @@ class RowTrackingSpec extends SparkSpec {
     assert(dr.getMessage.contains("re-ADDED"))
   }
 
+  test("replicateByRowId autoRecreate: every refusal path heals to the source's exact state") {
+    def srcState(src: String) = RowTracking.read(spark, src)
+      .drop(RowTracking.VerCol)
+    def dstState(dst: String) = TxLog.snapshot(spark, dst)
+    def healed(src: String, dst: String): Unit = {
+      val s = srcState(src)
+      val d = dstState(dst).select(s.columns.map(col): _*)
+      assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+        "healed replica must equal the source's id-attached snapshot")
+    }
+    // 1) swap (rename cycle) inside one window
+    val src = fresh(8, 1)
+    val dst = Files.createTempDirectory("rowtrk_heal").toString + "/r"
+    TxLog.replicateByRowId(spark, src, dst)
+    ColumnMapping.addColumn(spark, src,
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.append(spark, src,
+      Seq((70L, "x", "ux")).toDF("k", "v", "u").repartition(1))
+    TxLog.replicateByRowId(spark, src, dst)
+    ColumnMapping.renameColumn(spark, src, "v", "zz_tmp")
+    ColumnMapping.renameColumn(spark, src, "u", "v")
+    ColumnMapping.renameColumn(spark, src, "zz_tmp", "u")
+    TxLog.append(spark, src,
+      Seq((71L, "sv", "su")).toDF("k", "v", "u").repartition(1))
+    intercept[IllegalArgumentException] { // without the flag: refuses
+      TxLog.replicateByRowId(spark, src, dst)
+    }
+    TxLog.replicateByRowId(spark, src, dst, autoRecreate = true)
+    healed(src, dst)
+    // the healed cursor advances incrementally afterwards
+    TxLog.append(spark, src,
+      Seq((72L, "post", "heal")).toDF("k", "v", "u").repartition(1))
+    val (f2, t2) = TxLog.replicateByRowId(spark, src, dst)
+    assert(f2 + 1 == t2)
+    healed(src, dst)
+    // 2) drop + re-add of one logical name inside one window
+    val src2 = fresh(6, 1)
+    val dst2 = Files.createTempDirectory("rowtrk_heal2").toString + "/r"
+    TxLog.replicateByRowId(spark, src2, dst2)
+    ColumnMapping.dropColumn(spark, src2, "v")
+    ColumnMapping.addColumn(spark, src2,
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.append(spark, src2,
+      Seq((80L, "re")).toDF("k", "v").repartition(1))
+    TxLog.replicateByRowId(spark, src2, dst2, autoRecreate = true)
+    healed(src2, dst2)
+    // 3) misaligned resync after a retention cliff: rename past the
+    // horizon so the lost range carries no rename record
+    val src3 = fresh(6, 1)
+    val dst3 = Files.createTempDirectory("rowtrk_heal3").toString + "/r"
+    TxLog.replicateByRowId(spark, src3, dst3)
+    ColumnMapping.renameColumn(spark, src3, "v", "w")
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, src3,
+        Seq((90L + i, s"t$i")).toDF("k", "w").repartition(1))
+    }
+    TxLog.vacuum(spark, src3, retainVersions = 2)
+    intercept[IllegalArgumentException] { // without the flag: refuses
+      TxLog.replicateByRowId(spark, src3, dst3)
+    }
+    TxLog.replicateByRowId(spark, src3, dst3, autoRecreate = true)
+    healed(src3, dst3)
+  }
+
   test("vacuum prunes the ledger; water survives") {
     val dir = fresh(10, 5)
     val w = RowTracking.currentWater(spark, dir)

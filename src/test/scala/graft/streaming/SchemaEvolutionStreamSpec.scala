@@ -124,6 +124,76 @@ class SchemaEvolutionStreamSpec extends SparkSpec {
       new org.apache.spark.sql.graft.SchemaEvolvedException("x"))))
   }
 
+  test("auto-restart: TYPE WIDENING mid-stream heals; old and new rows read wide in the replica") {
+    val src = Files.createTempDirectory("sevo").toString + "/src"
+    val rep = Files.createTempDirectory("sevo").toString + "/rep"
+    val ck = Files.createTempDirectory("sevo_ck").toString
+    Seq((1L, 10), (2L, 20)).toDF("k", "q").write.parquet(src)
+    TxLog.convert(spark, src)
+    val sup = new CdcSupervisor(() =>
+      spark.readStream.format("graft-cdc")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("graft").option("path", rep)
+        .option("mode", "apply").option("keys", "k")
+        .option("checkpointLocation", ck).start())
+    sup.processAllAvailable()
+    assert(sup.restarts == 0)
+    // the column widens INT -> BIGINT under the running stream, and a
+    // commit lands values past INT range: serving them under the
+    // frozen INT schema would corrupt — the batch must fail typed,
+    // the supervisor restart, the redelivery read wide
+    graft.plans.GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$src` ALTER COLUMN q TYPE BIGINT")
+    TxLog.append(spark, src,
+      Seq((3L, 5000000000L)).toDF("k", "q"))
+    sup.processAllAvailable()
+    assert(sup.restarts == 1)
+    sup.stop()
+    val got = TxLog.snapshot(spark, rep)
+    assert(got.schema("q").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.filter(col("k") === 3L).head().getAs[Long]("q") ==
+      5000000000L)
+    // pre-evolution rows read wide natively, values intact
+    assert(got.filter(col("k") === 1L).head().getAs[Long]("q") == 10L)
+    assert(got.count() == 3L)
+  }
+
+  test("auto-restart: widen then DROP COLUMN through ONE supervisor — every legal pin change heals") {
+    val src = Files.createTempDirectory("sevo").toString + "/src"
+    val rep = Files.createTempDirectory("sevo").toString + "/rep"
+    val ck = Files.createTempDirectory("sevo_ck").toString
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "q", "v").write.parquet(src)
+    TxLog.convert(spark, src)
+    val sup = new CdcSupervisor(() =>
+      spark.readStream.format("graft-cdc")
+        .option("path", src).option("startingVersion", "0").load()
+        .writeStream.format("graft").option("path", rep)
+        .option("mode", "apply").option("keys", "k")
+        .option("checkpointLocation", ck).start())
+    sup.processAllAvailable()
+    // evolution #1: widen
+    graft.plans.GraftDml.sql(spark,
+      s"ALTER TABLE parquet.`$src` ALTER COLUMN q TYPE BIGINT")
+    TxLog.append(spark, src, Seq((3L, 6000000000L, "c")).toDF("k", "q", "v"))
+    sup.processAllAvailable()
+    assert(sup.restarts == 1)
+    // evolution #2 in the same supervised lifetime: DROP COLUMN — the
+    // feed loses v, the replica must follow (the apply sink drops it)
+    ColumnMapping.dropColumn(spark, src, "v")
+    TxLog.append(spark, src, Seq((4L, 40L)).toDF("k", "q"))
+    sup.processAllAvailable()
+    assert(sup.restarts == 2)
+    sup.stop()
+    val got = TxLog.snapshot(spark, rep)
+    assert(!got.columns.contains("v"), "replica must follow the drop")
+    assert(got.schema("q").dataType ==
+      org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    assert(got.select("k", "q").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 6000000000L), (4L, 40L)))
+  }
+
   test("auto-restart: a mapped RENAME heals hands-off; the redelivered range lands under the new name") {
     val src = Files.createTempDirectory("sevo").toString + "/src"
     val ck = Files.createTempDirectory("sevo_ck").toString
