@@ -53,9 +53,17 @@ object Bench {
     // would otherwise masquerade as a fast, healthy query under min-over-
     // reps. Failures return NaN, are dropped before the min, and surface
     // on stderr plus a "failed" list in the JSON line.
+    // per-advance receipts ([[Phases]]): lifecycle queries record
+    // each advance's seconds; keep the MINIMUM per (query, advance)
+    // across reps, exactly like the headline min — emitted as
+    // "advances" so a regression in one commit of a 5-commit
+    // lifecycle is attributable without hand re-measuring
+    val advances = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
     def timeOnce(
         name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      Phases.reset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -66,6 +74,14 @@ object Bench {
             false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      val ph = Phases.drain()
+      if (ok && ph.nonEmpty) {
+        val slot = advances.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty[String, Double])
+        ph.foreach { case (label, s) =>
+          slot.update(label, math.min(slot.getOrElse(label, Double.MaxValue), s))
+        }
+      }
       // drop caches a pipeline operator registered (tokenBudget's scored
       // frame): a second rep must time the operator's plan, not a cache
       // read, and the cache must not occupy storage memory for the rest
@@ -170,8 +186,12 @@ object Bench {
     val medianTotal = medians.map(_._2).filter(_ >= 0).sum
     val medsFull = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val advFull = advances.map { case (q, ph) =>
+      "\"" + q + "\":" + ph.map { case (l, s) => "\"" + l + "\":" + fmt(s) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries":$qsFull,"queries_median":$medsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries_valid":$validCount,"partial_total":${fmt(partialTotal)},"median_total":${fmt(medianTotal)},"queries":$qsFull,"queries_median":$medsFull,"advances":$advFull,"sf":"$sfDir"}"""
 
     // Self-defense against the driver's bounded stdout tail (r2: the
     // 2000-char tail cut the ~2.2 KB JSON line mid-stream → parsed:

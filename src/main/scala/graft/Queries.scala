@@ -3058,24 +3058,27 @@ object Queries {
     val K = Seq("o_custkey"); val G = Seq("seg"); val M = Seq("price")
     def follow() = graft.ops.JoinMv.follow(
       store, "rev", f, d, K, G, M, minMaxCols = M)
-    follow() // seed
+    graft.Phases.timed("seed")(follow())
     // grow-only advance: fresh top-price facts, no removals
-    graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
-      o.filter(col("o_orderkey") < 5).select(
-        (col("o_orderkey") + 1000000L).as("o_orderkey"),
-        col("o_custkey"), lit(1000000.0).as("price")))
-    follow()
+    graft.Phases.timed("grow_write")(
+      graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
+        o.filter(col("o_orderkey") < 5).select(
+          (col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1000000.0).as("price"))))
+    graft.Phases.timed("grow_advance")(follow())
     // dirty advance: DELETE every sub-1000 fact row — most groups
     // lose their stored MIN and must recompute through the join
-    graft.ops.DeleteWhere.where(s, f, col("price") < 1000.0)
-    follow()
+    graft.Phases.timed("delete_write")(
+      graft.ops.DeleteWhere.where(s, f, col("price") < 1000.0))
+    graft.Phases.timed("dirty_advance")(follow())
     // dim-side advance: %97 customers change segment
-    graft.ops.UpsertWhere.byKeys(s, d, "o_custkey",
-      graft.ops.TxLog.snapshot(s, d)
-        .filter(pmod(col("o_custkey"), lit(97)) === 0)
-        .withColumn("seg", lit("MOVEDMM")))
-    follow()
-    follow() // no-op
+    graft.Phases.timed("dim_write")(
+      graft.ops.UpsertWhere.byKeys(s, d, "o_custkey",
+        graft.ops.TxLog.snapshot(s, d)
+          .filter(pmod(col("o_custkey"), lit(97)) === 0)
+          .withColumn("seg", lit("MOVEDMM"))))
+    graft.Phases.timed("dim_advance")(follow())
+    graft.Phases.timed("noop_advance")(follow())
     graft.ops.JoinMv.read(store, "rev").select(col("seg"), col("n"),
       round(col("sum_price"), 2).as("sum_price"),
       col("min_price"), col("max_price"))
@@ -3116,26 +3119,31 @@ object Queries {
     val store = new graft.sources.ParquetStore(s, s"$root/state")
     val dims = Seq((d1, Seq("o_custkey")), (d2, Seq("c_nationkey")))
     val G = Seq("seg", "nation_name"); val M = Seq("price")
-    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // seed
+    graft.Phases.timed("seed")(
+      graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M))
     // all three churn in ONE window
-    graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
-      graft.ops.TxLog.snapshot(s, f)
-        .filter(pmod(col("o_orderkey"), lit(991)) === 0)
-        .withColumn("price", col("price") * 2)
-        .unionByName(o.filter(col("o_orderkey") < 5).select(
-          (col("o_orderkey") + 1000000L).as("o_orderkey"),
-          col("o_custkey"), lit(0.0).as("price"))))
-    graft.ops.UpsertWhere.byKeys(s, d1, "o_custkey",
-      graft.ops.TxLog.snapshot(s, d1)
-        .filter(pmod(col("o_custkey"), lit(97)) === 0)
-        .withColumn("seg", lit("MOVED"))
-        .withColumn("c_nationkey", pmod(col("c_nationkey") + 7, lit(25))))
-    graft.ops.UpsertWhere.byKeys(s, d2, "c_nationkey",
-      graft.ops.TxLog.snapshot(s, d2).filter(col("c_nationkey") < 3)
-        .withColumn("nation_name",
-          concat(lit("REN_"), col("c_nationkey").cast("string"))))
-    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // advance
-    graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M) // no-op
+    graft.Phases.timed("churn_writes") {
+      graft.ops.UpsertWhere.byKeys(s, f, "o_orderkey",
+        graft.ops.TxLog.snapshot(s, f)
+          .filter(pmod(col("o_orderkey"), lit(991)) === 0)
+          .withColumn("price", col("price") * 2)
+          .unionByName(o.filter(col("o_orderkey") < 5).select(
+            (col("o_orderkey") + 1000000L).as("o_orderkey"),
+            col("o_custkey"), lit(0.0).as("price"))))
+      graft.ops.UpsertWhere.byKeys(s, d1, "o_custkey",
+        graft.ops.TxLog.snapshot(s, d1)
+          .filter(pmod(col("o_custkey"), lit(97)) === 0)
+          .withColumn("seg", lit("MOVED"))
+          .withColumn("c_nationkey", pmod(col("c_nationkey") + 7, lit(25))))
+      graft.ops.UpsertWhere.byKeys(s, d2, "c_nationkey",
+        graft.ops.TxLog.snapshot(s, d2).filter(col("c_nationkey") < 3)
+          .withColumn("nation_name",
+            concat(lit("REN_"), col("c_nationkey").cast("string"))))
+    }
+    graft.Phases.timed("star_advance")(
+      graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M))
+    graft.Phases.timed("noop_advance")(
+      graft.ops.JoinMv.followStar(store, "rev", f, dims, G, M))
     graft.ops.JoinMv.read(store, "rev")
       .select(col("seg"), col("nation_name"), col("n"),
         round(col("sum_price"), 2).as("sum_price"))
@@ -3174,7 +3182,8 @@ object Queries {
       Seq(("cust", Seq("o_custkey")), ("nat", Seq("c_nationkey"))),
       groupCols = Seq("seg", "nation_name"), sumCols = Seq("price"),
       minMaxCols = Seq("price"))
-    graft.ops.DbMv.initStar(s, db, "rev", view)
+    graft.Phases.timed("seed")(
+      graft.ops.DbMv.initStar(s, db, "rev", view))
     // ONE transaction churns all three tables: fact re-prices %991,
     // inserts fresh 1.0-price rows AND deletes %997 (dirty min/max);
     // %97 customers move segment and nation; nations 0-2 rename
@@ -3199,13 +3208,16 @@ object Queries {
       .withColumn("nation_name",
         concat(lit("REN_"), col("c_nationkey").cast("string")))
       .localCheckpoint()
-    graft.ops.DbLog.transact(s, db, "churn") { txn =>
-      txn.applyKeyed("fact", Seq("o_orderkey"), bump, dead)
-      txn.upsertKeyed("cust", Seq("o_custkey"), custUpd)
-      txn.upsertKeyed("nat", Seq("c_nationkey"), natUpd)
-    }
-    graft.ops.DbMv.refreshStar(s, db, "rev") // one advance, 3 summands
-    val again = graft.ops.DbMv.refreshStar(s, db, "rev")
+    graft.Phases.timed("churn_txn")(
+      graft.ops.DbLog.transact(s, db, "churn") { txn =>
+        txn.applyKeyed("fact", Seq("o_orderkey"), bump, dead)
+        txn.upsertKeyed("cust", Seq("o_custkey"), custUpd)
+        txn.upsertKeyed("nat", Seq("c_nationkey"), natUpd)
+      })
+    graft.Phases.timed("star_advance")(
+      graft.ops.DbMv.refreshStar(s, db, "rev")) // one advance, 3 summands
+    val again = graft.Phases.timed("noop_advance")(
+      graft.ops.DbMv.refreshStar(s, db, "rev"))
     require(again._1 == again._2,
       "dbmv_star: the second refresh must recognize the fixpoint")
     graft.ops.DbMv.readStar(s, db, "rev")
@@ -3450,28 +3462,38 @@ object Queries {
       val fsp = new org.apache.hadoop.fs.Path(p)
       fsp.getFileSystem(conf).delete(fsp, true)
     }
-    o.repartitionByRange(16, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey").write.parquet(srcPath)
-    graft.ops.TxLog.convert(s, srcPath) // v0
-    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
-      == ((-1, 0)))
-    val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
-    val fresh = o.filter(col("o_orderkey") < 5).select(
-      (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
-      lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
-      lit("2000-01-01").cast("timestamp").as("o_orderdate"),
-      lit("9-NEW").as("o_orderpriority"))
-    graft.ops.UpsertWhere.byKeys(s, srcPath, "o_orderkey",
-      bump.unionByName(fresh), None) // v1
-    val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, srcPath, 1)
-      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
-      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
-    graft.ops.DeleteWhere.byKeys(s, srcPath, "o_orderkey", dead) // v2
-    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
-      == ((0, 2)))
-    require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
-      == ((2, 2))) // nothing new
+    graft.Phases.timed("seed_write") {
+      o.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey").write.parquet(srcPath)
+      graft.ops.TxLog.convert(s, srcPath) // v0
+    }
+    graft.Phases.timed("resync") {
+      require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+        == ((-1, 0)))
+    }
+    graft.Phases.timed("churn_writes") {
+      val bump = o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val fresh = o.filter(col("o_orderkey") < 5).select(
+        (col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+        lit("2000-01-01").cast("timestamp").as("o_orderdate"),
+        lit("9-NEW").as("o_orderpriority"))
+      graft.ops.UpsertWhere.byKeys(s, srcPath, "o_orderkey",
+        bump.unionByName(fresh), None) // v1
+      val dead: Seq[Any] = graft.ops.TxLog.snapshot(s, srcPath, 1)
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      graft.ops.DeleteWhere.byKeys(s, srcPath, "o_orderkey", dead) // v2
+    }
+    graft.Phases.timed("churn_advance") {
+      require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+        == ((0, 2)))
+    }
+    graft.Phases.timed("noop_advance") {
+      require(graft.ops.TxLog.replicateTo(s, srcPath, dstPath, "o_orderkey")
+        == ((2, 2))) // nothing new
+    }
     graft.ops.TxLog.snapshot(s, dstPath).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
@@ -4934,18 +4956,22 @@ object Queries {
         java.nio.file.Files.createTempDirectory("pipe_ck").toString)
       .start()
     try {
-      q.processAllAvailable() // the v0 snapshot replicates as inserts
-      graft.ops.UpsertWhere.byKeys(s, src, "o_orderkey",
-        o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
-          .withColumn("o_totalprice", col("o_totalprice") * 2)
-          .unionByName(o.filter(col("o_orderkey") < 50)
-            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
-            .withColumn("o_totalprice", lit(0.0)))) // v1
-      graft.ops.DeleteWhere.byKeysDistributed(s, src, "o_orderkey",
-        graft.ops.TxLog.snapshot(s, src)
-          .filter(pmod(col("o_orderkey"), lit(997)) === 0)
-          .select("o_orderkey")) // v2
-      q.processAllAvailable() // both commits flow through the pipe
+      graft.Phases.timed("snapshot_epoch")(
+        q.processAllAvailable()) // the v0 snapshot replicates as inserts
+      graft.Phases.timed("churn_writes") {
+        graft.ops.UpsertWhere.byKeys(s, src, "o_orderkey",
+          o.filter(pmod(col("o_orderkey"), lit(991)) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .unionByName(o.filter(col("o_orderkey") < 50)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+              .withColumn("o_totalprice", lit(0.0)))) // v1
+        graft.ops.DeleteWhere.byKeysDistributed(s, src, "o_orderkey",
+          graft.ops.TxLog.snapshot(s, src)
+            .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+            .select("o_orderkey")) // v2
+      }
+      graft.Phases.timed("churn_epoch")(
+        q.processAllAvailable()) // both commits flow through the pipe
     } finally q.stop()
     graft.ops.TxLog.snapshot(s, dst)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -5435,39 +5461,46 @@ object Queries {
     graft.ops.RowTracking.enableTable(s, p, "ord")
     def sorted1(df: DataFrame, k: String) =
       df.repartition(1).sortWithinPartitions(k)
-    // v1: ONE commit, two tables — cust ids [0, nE), ord [nE, nE+nO0)
-    graft.ops.DbLog.transact(s, p, "load1") { txn =>
-      txn.append("cust",
-        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0), "c_custkey"))
-      txn.append("ord",
-        sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "o_orderkey"))
-    }
-    // v2: the second wave, same interleave
-    graft.ops.DbLog.transact(s, p, "load2") { txn =>
-      txn.append("cust",
-        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1), "c_custkey"))
-      txn.append("ord",
-        sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "o_orderkey"))
+    // v1/v2: two multi-table commits — cust ids [0, nE), ord
+    // [nE, nE+nO0), then the second wave at the moved water
+    graft.Phases.timed("loads") {
+      graft.ops.DbLog.transact(s, p, "load1") { txn =>
+        txn.append("cust",
+          sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0), "c_custkey"))
+        txn.append("ord",
+          sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "o_orderkey"))
+      }
+      graft.ops.DbLog.transact(s, p, "load2") { txn =>
+        txn.append("cust",
+          sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1), "c_custkey"))
+        txn.append("ord",
+          sorted1(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "o_orderkey"))
+      }
     }
     // v3: pack cust's two files — no id or version may move
-    require(graft.ops.DbLog.compactTable(s, p, "cust",
-      smallBytes = 8L << 20) == 3, "db_rowids: compaction must land v3")
+    graft.Phases.timed("compact")(
+      require(graft.ops.DbLog.compactTable(s, p, "cust",
+        smallBytes = 8L << 20) == 3, "db_rowids: compaction must land v3"))
     // v4: multi-table churn — CoW delete on cust, MOR upsert on ord
-    val ordUpd = graft.ops.DbLog.snapshot(s, p, "ord")
-      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000)
-      .localCheckpoint()
-    graft.ops.DbLog.transact(s, p, "churn") { txn =>
-      txn.deleteWhere("cust", pmod(col("c_custkey"), lit(7)) === 0)
-      txn.upsertKeyed("ord", Seq("o_orderkey"), ordUpd)
+    graft.Phases.timed("churn_txn") {
+      val ordUpd = graft.ops.DbLog.snapshot(s, p, "ord")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .localCheckpoint()
+      graft.ops.DbLog.transact(s, p, "churn") { txn =>
+        txn.deleteWhere("cust", pmod(col("c_custkey"), lit(7)) === 0)
+        txn.upsertKeyed("ord", Seq("o_orderkey"), ordUpd)
+      }
     }
     // v5: CoW keyed upsert on cust — delete + re-insert, id inherited
-    val custUpd = graft.ops.DbLog.snapshot(s, p, "cust")
-      .filter(pmod(col("c_custkey"), lit(10)) === 0)
-      .withColumn("c_acctbal", col("c_acctbal") + 1000)
-      .localCheckpoint()
-    graft.ops.DbLog.transact(s, p, "bump") { txn =>
-      txn.upsert("cust", "c_custkey", custUpd)
+    graft.Phases.timed("bump_txn") {
+      val custUpd = graft.ops.DbLog.snapshot(s, p, "cust")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .localCheckpoint()
+      graft.ops.DbLog.transact(s, p, "bump") { txn =>
+        txn.upsert("cust", "c_custkey", custUpd)
+      }
     }
     val cu = graft.ops.RowTracking.readTable(s, p, "cust")
       .select(lit("cust").as("tbl"), col("c_custkey").cast("long").as("k"),
@@ -5555,40 +5588,52 @@ object Queries {
     graft.ops.RowTracking.enable(s, src)
     def sorted1(df: DataFrame) =
       df.repartition(1).sortWithinPartitions("c_custkey")
-    graft.ops.TxLog.append(s, src, // ids 0..nE-1
-      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
-    graft.ops.TxLog.append(s, src, // ids nE..n-1
-      sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
-    graft.ops.TxLog.append(s, src, // ids n..
-      sorted1(c.filter(col("c_custkey") <= 30)
-        .withColumn("c_custkey", col("c_custkey") + 1000000L)))
-    require(graft.ops.TxLog.replicateByRowId(s, src, dst)._1 == -1)
+    graft.Phases.timed("appends") {
+      graft.ops.TxLog.append(s, src, // ids 0..nE-1
+        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
+      graft.ops.TxLog.append(s, src, // ids nE..n-1
+        sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
+      graft.ops.TxLog.append(s, src, // ids n..
+        sorted1(c.filter(col("c_custkey") <= 30)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)))
+    }
+    graft.Phases.timed("resync") {
+      require(graft.ops.TxLog.replicateByRowId(s, src, dst)._1 == -1)
+    }
     // churn: CoW delete + MOR update, replicated in one cursor hop
-    graft.ops.DeleteWhere.where(s, src,
-      pmod(col("c_custkey"), lit(7)) === 0)
-    val upd = graft.ops.TxLog.snapshot(s, src)
-      .filter(pmod(col("c_custkey"), lit(10)) === 0)
-      .withColumn("c_acctbal", col("c_acctbal") + 1000)
-      .localCheckpoint()
-    graft.ops.DeletionVectors.upsert(s, src, upd,
-      keyCols = Seq("c_custkey"))
-    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    graft.Phases.timed("churn_writes") {
+      graft.ops.DeleteWhere.where(s, src,
+        pmod(col("c_custkey"), lit(7)) === 0)
+      val upd = graft.ops.TxLog.snapshot(s, src)
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .localCheckpoint()
+      graft.ops.DeletionVectors.upsert(s, src, upd,
+        keyCols = Seq("c_custkey"))
+    }
+    graft.Phases.timed("churn_advance")(
+      graft.ops.TxLog.replicateByRowId(s, src, dst))
     // compaction must replicate as NOTHING: the replica version holds
     val dstV = graft.ops.TxLog.currentVersion(s, dst)
-    graft.ops.Compact.binPack(s, src, smallBytes = 8L << 20)
-    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    graft.Phases.timed("compact")(
+      graft.ops.Compact.binPack(s, src, smallBytes = 8L << 20))
+    graft.Phases.timed("compact_advance")(
+      graft.ops.TxLog.replicateByRowId(s, src, dst))
     require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
       "replicate_rowid: a compaction advance must commit nothing")
     // mapped rename mid-stream + a post-rename update; the replica
     // follows the spelling, the id key survives by construction
-    graft.ops.ColumnMapping.renameColumn(s, src, "c_acctbal", "bal")
-    val upd2 = graft.ops.TxLog.snapshot(s, src)
-      .filter(pmod(col("c_custkey"), lit(13)) === 0)
-      .withColumn("bal", col("bal") + 7)
-      .localCheckpoint()
-    graft.ops.DeletionVectors.upsert(s, src, upd2,
-      keyCols = Seq("c_custkey"))
-    graft.ops.TxLog.replicateByRowId(s, src, dst)
+    graft.Phases.timed("rename_writes") {
+      graft.ops.ColumnMapping.renameColumn(s, src, "c_acctbal", "bal")
+      val upd2 = graft.ops.TxLog.snapshot(s, src)
+        .filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .withColumn("bal", col("bal") + 7)
+        .localCheckpoint()
+      graft.ops.DeletionVectors.upsert(s, src, upd2,
+        keyCols = Seq("c_custkey"))
+    }
+    graft.Phases.timed("rename_advance")(
+      graft.ops.TxLog.replicateByRowId(s, src, dst))
     graft.ops.TxLog.snapshot(s, dst)
       .select(col("c_custkey"), col("c_name"), col("bal"),
         col(graft.ops.RowTracking.Col))

@@ -75,6 +75,47 @@ class MvIngestSpec extends SparkSpec {
     assert(graft.ops.TxLog.currentVersion(spark, dir) == 2) // v0 + 2 epochs… not 3
   }
 
+  test("followSink: crash between the follower's refresh and the epoch commit replays exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = newStore()
+    val dir = Files.createTempDirectory("mv_crash_sink").toString + "/t"
+    val sink = MvIngest.followSink(store, "fmv", dir, Seq("seg"), Seq("bal"))
+    def live() = graft.ops.TxLog.snapshot(spark, dir).groupBy("seg")
+      .agg(count(lit(1)), round(sum("bal"), 2)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    sink(Seq(DimRow(1, "A", 10.0), DimRow(2, "B", 20.0)).toDF(), 0L)
+    val b1 = Seq(DimRow(3, "A", 5.0), DimRow(4, "C", 7.0)).toDF()
+    // CRASH WINDOW 1: the whole sink ran for epoch 1 (append landed,
+    // follower refreshed, cursor pinned) but the CHECKPOINT never
+    // committed the epoch. The restart redelivers epoch 1 — and in
+    // between, an EXTERNAL writer commits to the table. The epoch's
+    // append is recognized by its txn id (never re-lands); the
+    // follower's advance covers exactly the external commit's window
+    // — epoch 1's rows must not apply twice through the wider window.
+    sink(b1, 1L)
+    graft.ops.TxLog.append(spark, dir,
+      Seq(DimRow(9, "B", 100.0)).toDF()) // the interleaved external commit
+    sink(b1, 1L) // redelivery
+    assert(canon(store, "fmv") == live(),
+      "redelivery over an interleaved commit must net to the live aggregate")
+    assert(canon(store, "fmv") ==
+      Map("A" -> ((2L, 15.0)), "B" -> ((2L, 120.0)), "C" -> ((1L, 7.0))))
+    // CRASH WINDOW 2: the epoch's APPEND landed but the crash hit
+    // before the follower's refresh — redelivery completes the
+    // follower exactly once
+    val b2 = Seq(DimRow(5, "C", 3.0)).toDF()
+    TxLogIngest.appendSink(dir)(b2, 2L) // first half only = the crash
+    sink(b2, 2L) // redelivery runs the whole sink
+    assert(canon(store, "fmv") == live())
+    assert(canon(store, "fmv")("C") == ((2L, 10.0)))
+    // and a full replay after recovery stays a no-op
+    val v = graft.ops.TxLog.currentVersion(spark, dir)
+    sink(b2, 2L)
+    assert(graft.ops.TxLog.currentVersion(spark, dir) == v)
+    assert(canon(store, "fmv") == live())
+  }
+
   test("seed epoch re-delivered before advancing: the init stamp catches it") {
     import spark.implicits._
     val store = newStore()
