@@ -302,7 +302,11 @@ object CopyInto {
     // prefixes (correctness never depends on it — claims do that)
     val order = scala.util.Random.shuffle(
       prefixes.filter(p => counts.getOrElse(p, 0L) > 0L))
-    val hasTopFiles = top.exists(_.isFile)
+    // pattern-aware: a stray README at the root must not buy a whole
+    // extra listing + ledger + claim pass on every invocation
+    val topGlob = new org.apache.hadoop.fs.GlobPattern(pattern)
+    val hasTopFiles =
+      top.exists(st => st.isFile && topGlob.matches(st.getPath.getName))
     val parts = order.map(p =>
       copyInto(spark, dir, p, format, options, pattern, force,
         evolveSchema, claimLeaseMs)) ++

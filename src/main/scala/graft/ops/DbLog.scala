@@ -529,14 +529,19 @@ object DbLog {
       s"compactTable: table '$table' has nested partition directories — " +
         "DbLog rewrites support flat tables only")
     val fs = Compact.fsOf(spark, db)
-    val smalls = entries.filter(_.dv.isEmpty).filter { e =>
+    // one stat per file: the status is captured with the filter (a
+    // second getFileStatus pass would double the metadata RPCs and
+    // reopen a TOCTOU window against a concurrent vacuum)
+    val smallsWithLen = entries.filter(_.dv.isEmpty).flatMap { e =>
       val p = new Path(TxLog.dataPathOf(db, e))
-      fs.exists(p) && fs.getFileStatus(p).getLen < smallBytes
+      try {
+        val len = fs.getFileStatus(p).getLen
+        if (len < smallBytes) Some((e, len)) else None
+      } catch { case _: java.io.FileNotFoundException => None }
     }
-    if (smalls.length < 2) return -1
-    val packedBytes = smalls
-      .map(e => fs.getFileStatus(new Path(TxLog.dataPathOf(db, e))).getLen)
-      .sum
+    if (smallsWithLen.length < 2) return -1
+    val smalls = smallsWithLen.map(_._1)
+    val packedBytes = smallsWithLen.map(_._2).sum
     val nOut =
       math.max(1L, (packedBytes + targetBytes - 1) / targetBytes).toInt
     val pin = DbLog.tableSchema(spark, db, table)
@@ -740,7 +745,8 @@ object DbLog {
       */
     def applyKeyed(
         table: String, keyCols: Seq[String],
-        upserts: DataFrame, deleteKeys: DataFrame): Unit = {
+        upserts: DataFrame, deleteKeys: DataFrame,
+        nullSafeKeys: Boolean = false): Unit = {
       requireOpen()
       checkRewrite(table, "applyKeyed")
       require(keyCols.nonEmpty, "applyKeyed: keyCols must be non-empty")
@@ -764,13 +770,25 @@ object DbLog {
       if (entries.nonEmpty) {
         val k = upserts.select(keyCols.map(col): _*)
           .unionByName(deleteKeys.select(keyCols.map(col): _*)).distinct()
+        // nullSafeKeys: a NULL key value names a real group for state-
+        // maintenance consumers (DbMv star views group rows under
+        // NULL dim attributes) — SQL's null-never-equals semi join
+        // would leave the old null-keyed row unhidden, duplicating it
+        // on every application. <=> matches it; plain keyed upserts
+        // keep SQL semantics (a NULL merge key pairs nothing).
         val st = DeletionVectors.stageDelete(spark, db, entries,
-          df => toLogical(table, df).join(k, keyCols, "left_semi"))
-        if (st.deletedRows > 0) {
-          adds ++= st.adds
-          removes ++= st.removes
-          seen ++= st.seen
-        }
+          df => {
+            val rows = toLogical(table, df)
+            if (!nullSafeKeys) rows.join(k, keyCols, "left_semi")
+            else {
+              val ka = k.toDF(keyCols.map(c => s"__k_$c"): _*)
+              rows.join(ka, keyCols.map(c =>
+                rows(c) <=> ka(s"__k_$c")).reduce(_ && _), "left_semi")
+            }
+          })
+        adds ++= st.adds
+        removes ++= st.removes
+        seen ++= st.seen
       }
       val rels = stageIn(table,
         p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))

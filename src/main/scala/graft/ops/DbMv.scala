@@ -315,6 +315,14 @@ object DbMv {
         acc.join(DbLog.snapshot(spark, db, t, version), ks)
     }.select(v.keep.map(col): _*)
 
+  /** State files sized to the group cardinality — one per ~16k
+    * groups ([[MvStore]]'s measured file-overhead balance), power of
+    * two, capped.
+    */
+  private def shardsFor(groups: Long): Int =
+    math.min(256L, java.lang.Long.highestOneBit(
+      math.max(1L, (groups + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
+
   private def starAgg(joined: DataFrame, v: StarView): DataFrame = {
     val aggs = (count(lit(1)).as("mv_count") +:
       v.sumCols.map(m => sum(col(m).cast("double")).as(s"sum_$m"))) ++
@@ -343,9 +351,7 @@ object DbMv {
     val seeded = starAgg(
       joinedStar(spark, db, view, txn.baseVersion), view)
       .localCheckpoint()
-    val g = seeded.count()
-    val shards = math.min(256L, java.lang.Long.highestOneBit(
-      math.max(1L, (g + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
+    val shards = shardsFor(seeded.count())
     txn.append(sdefTable(name),
       Seq((view.fact, encodeDims(view.dims), view.groupCols.mkString(","),
         view.sumCols.mkString(","), view.minMaxCols.mkString(",")))
@@ -426,8 +432,13 @@ object DbMv {
     if (!churned.contains(true)) return (from, from)
 
     if (!TxLog.retainedVersions(spark, db).contains(from)) {
+      // the reseed re-sizes the state layout exactly like initStar —
+      // an unpartitioned overwrite would hand every later merge-on-
+      // read refresh whatever skew the aggregate's plan ended with
       val seeded = starAgg(joinedStar(spark, db, view, to), view)
-      txn.overwrite(stateTable(name), seeded)
+        .localCheckpoint()
+      txn.overwrite(stateTable(name),
+        seeded.repartition(shardsFor(seeded.count())))
       txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
       txn.commit(s"mv_reseed_star($name)")
       return (from, to)
@@ -478,26 +489,53 @@ object DbMv {
       max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
     val delta = u.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
       .localCheckpoint() // probed (dirty), keyed and merged below
-    val stored = txn.table(stateTable(name))
-      .join(delta.select(gcols: _*), view.groupCols, "left_semi")
-    val base = stored.join(delta, view.groupCols, "full_outer")
+    // every group-key join below is NULL-SAFE (<=>): a NULL dim
+    // attribute names a real group (groupBy put it there), and SQL's
+    // null-never-equals would leave its stored row unmatched — the
+    // merge would append a duplicate null-group row per refresh
+    // string-qualified aliases throughout: `stored` embeds a
+    // projection OF `delta` (the semi join), so df("col") references
+    // trip Spark's ambiguous-self-join detection on the outer join
+    def nsCondQ(l: String, r: String) =
+      view.groupCols.map(c => col(s"$l.$c") <=> col(s"$r.$c"))
+        .reduce(_ && _)
+    val stored = txn.table(stateTable(name)).alias("st0")
+      .join(delta.select(gcols: _*).alias("dk"), nsCondQ("st0", "dk"),
+        "left_semi")
+    // full-outer with coalesced group keys: the USING form would emit
+    // null-group rows from BOTH sides unpaired
+    val base = stored.alias("s")
+      .join(delta.alias("dl"), nsCondQ("s", "dl"), "full_outer")
+      .select((view.groupCols.map(c =>
+        coalesce(col(s"s.$c"), col(s"dl.$c")).as(c)) :+
+        col("s.mv_count")) ++
+        view.sumCols.map(m => col(s"s.sum_$m")) ++
+        view.minMaxCols.flatMap(m =>
+          Seq(col(s"s.min_$m"), col(s"s.max_$m"))) ++
+        (col("dl.d_n") +: view.sumCols.map(m => col(s"dl.d_$m"))) ++
+        view.minMaxCols.flatMap(m =>
+          Seq(col(s"dl.add_min_$m"), col(s"dl.add_max_$m"))) :+
+        col("dl.__dirty"): _*)
     val recomputed =
       if (view.minMaxCols.isEmpty) base
       else {
         val dirty = delta.filter(col("__dirty") === 1)
-          .select(gcols: _*)
+          .select(gcols: _*).localCheckpoint()
         if (dirty.isEmpty)
           view.minMaxCols.foldLeft(base)((d, m) =>
             d.withColumn(s"rc_min_$m", lit(null).cast("double"))
               .withColumn(s"rc_max_$m", lit(null).cast("double")))
         else {
           val mmAggs = view.minMaxCols.flatMap(m => Seq(
-            min(col(m).cast("double")).as(s"rc_min_$m"),
-            max(col(m).cast("double")).as(s"rc_max_$m")))
-          val recomp = joinedStar(spark, db, view, to)
-            .join(dirty, view.groupCols, "semi")
-            .groupBy(gcols: _*).agg(mmAggs.head, mmAggs.tail: _*)
-          base.join(recomp, view.groupCols, "left")
+            min(col(s"rcj.$m").cast("double")).as(s"rc_min_$m"),
+            max(col(s"rcj.$m").cast("double")).as(s"rc_max_$m")))
+          val recomp = joinedStar(spark, db, view, to).alias("rcj")
+            .join(dirty.alias("dty"), nsCondQ("rcj", "dty"), "left_semi")
+            .groupBy(view.groupCols.map(c => col(s"rcj.$c")): _*)
+            .agg(mmAggs.head, mmAggs.tail: _*)
+          val withRc = base.alias("b")
+            .join(recomp.alias("rc"), nsCondQ("b", "rc"), "left")
+          view.groupCols.foldLeft(withRc)((d, c) => d.drop(col(s"rc.$c")))
         }
       }
     val mmOut = view.minMaxCols.flatMap(m => Seq(
@@ -518,7 +556,8 @@ object DbMv {
     txn.applyKeyed(stateTable(name), view.groupCols,
       upserts = merged.filter(col("mv_count") > 0L),
       deleteKeys = merged.filter(col("mv_count") <= 0L)
-        .select(gcols: _*))
+        .select(gcols: _*),
+      nullSafeKeys = true)
     txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
     txn.commit(s"mv_refresh_star($name)")
     (from, to)

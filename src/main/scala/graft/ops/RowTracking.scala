@@ -267,10 +267,13 @@ object RowTracking {
       val pin = TxLog.tableSchema(spark, dir, schemaV)
       require(pin.isDefined,
         s"version $version of $dir holds no files and no pinned schema")
+      // both tracking columns LONG, matching the non-empty path
+      // (withIds coalesces two LongType columns) — an int-typed empty
+      // frame would flip the API's schema on the first append
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         pin.get.add(Col, org.apache.spark.sql.types.LongType)
-          .add(VerCol, org.apache.spark.sql.types.IntegerType))
+          .add(VerCol, org.apache.spark.sql.types.LongType))
     }
     withIds(spark, dir, entries, schemaVersion = schemaV,
       withVersions = true)
@@ -338,8 +341,7 @@ object RowTracking {
         s"version $version of $db/$table holds no files and no pin")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        pin.get.add(Col, LongType)
-          .add(VerCol, org.apache.spark.sql.types.IntegerType))
+        pin.get.add(Col, LongType).add(VerCol, LongType))
     }
     withIds(spark, db, entries, schemaVersion = schemaV,
       withVersions = true, pinOpt = pin)

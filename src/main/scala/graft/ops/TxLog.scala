@@ -827,6 +827,17 @@ object TxLog {
   final class ConstraintViolation(msg: String)
       extends IllegalArgumentException(msg)
 
+  /** A replica that can no longer follow its source incrementally
+    * (rename cycle, drop + re-add inside one window, misaligned
+    * post-cliff resync) — typed so [[replicateByRowId]]'s
+    * `autoRecreate` heal dispatches on the CLASS, never on message
+    * wording (the heal deletes the replica). Extends
+    * IllegalArgumentException so manual callers' handling is
+    * unchanged.
+    */
+  final class ReplicaDiverged(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Enforce the table's constraints on `staged` (the rows a write is
     * about to land). One `filter(NOT expr)` probe per constraint over
     * the delta only.
@@ -2000,15 +2011,12 @@ object TxLog {
       pin(cur)
       (from.getOrElse(-1), cur)
     }
-    // refusal paths carry "recreate the replica" guidance; under the
-    // flag, do exactly that instead of paging an operator
+    // refusals are TYPED ([[ReplicaDiverged]]) — a destructive
+    // full-replica delete must never dispatch on message wording
     def orRecreate(body: => (Int, Int)): (Int, Int) =
       try body
       catch {
-        case e: IllegalArgumentException
-            if autoRecreate &&
-              String.valueOf(e.getMessage).contains("recreate the replica") =>
-          recreate()
+        case _: ReplicaDiverged if autoRecreate => recreate()
       }
     from match {
       case Some(f) if f == cur => (f, cur)
@@ -2033,12 +2041,13 @@ object TxLog {
           val dstEmpty = liveFiles(spark, dstDir).isEmpty
           if (!dstEmpty) {
             val have = snapshot(spark, dstDir).columns.toSet
-            require(have == src.columns.toSet,
-              s"replicateByRowId: resync into a non-empty replica needs " +
-                s"aligned columns — replica has ${have.toSeq.sorted
-                  .mkString(", ")}, source feeds ${src.columns.sorted
-                  .mkString(", ")}; the lost range carries no rename " +
-                "record, recreate the replica")
+            if (have != src.columns.toSet)
+              throw new ReplicaDiverged(
+                s"replicateByRowId: resync into a non-empty replica needs " +
+                  s"aligned columns — replica has ${have.toSeq.sorted
+                    .mkString(", ")}, source feeds ${src.columns.sorted
+                    .mkString(", ")}; the lost range carries no rename " +
+                  "record, recreate the replica (autoRecreate = true)")
           }
           val insert = src.withColumn("change_type", lit("insert"))
           val feed =
@@ -2097,12 +2106,13 @@ object TxLog {
           // the old storage surviving under a renamed spelling is the
           // rename machinery's case; storage that VANISHED while the
           // logical name lives on is a pure drop + re-add
-          require(nowPhys == oldPhys || nowPhysSet(oldPhys),
-            s"replicateByRowId: column $oldLogical was DROPPED and " +
-              "re-ADDED on the source inside the advanced range " +
-              s"(physical $oldPhys -> $nowPhys) — the replica's " +
-              "pre-drop values cannot be reconciled; recreate the " +
-              "replica")
+          if (!(nowPhys == oldPhys || nowPhysSet(oldPhys)))
+            throw new ReplicaDiverged(
+              s"replicateByRowId: column $oldLogical was DROPPED and " +
+                "re-ADDED on the source inside the advanced range " +
+                s"(physical $oldPhys -> $nowPhys) — the replica's " +
+                "pre-drop values cannot be reconciled; recreate the " +
+                "replica (autoRecreate = true)")
         }
       }
       // renames, in a dependency-respecting order: apply any pair
@@ -2127,12 +2137,13 @@ object TxLog {
         }
         pending = blocked
       }
-      require(pending.isEmpty,
-        s"replicateByRowId: the source's renames inside the advanced " +
-          s"range form a CYCLE (${pending.map { case (a, b) =>
-            s"$a->$b" }.mkString(", ")}) — a swap cannot be applied " +
-          "unambiguously over the replica's existing spellings; " +
-          "recreate the replica")
+      if (pending.nonEmpty)
+        throw new ReplicaDiverged(
+          s"replicateByRowId: the source's renames inside the advanced " +
+            s"range form a CYCLE (${pending.map { case (a, b) =>
+              s"$a->$b" }.mkString(", ")}) — a swap cannot be applied " +
+            "unambiguously over the replica's existing spellings; " +
+            "recreate the replica (autoRecreate = true)")
     }
     // follow DROPS: replica columns the source's current logical
     // schema no longer spells (the feed will not carry them)

@@ -264,6 +264,51 @@ class DbMvSpec extends SparkSpec {
       "three-table one-txn churn must telescope exactly")
   }
 
+  test("star: NULL group keys merge as ONE group across refreshes (null-safe state keys)") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("dbmvn").toString + "/db"
+    DbLog.create(spark, db)
+    // a dim whose attribute is NULL for some keys — the joined rows
+    // group under the NULL attribute, a real group
+    val dim0 = customerRaw.select(col("c_custkey").as("o_custkey"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", fact.drop("o_orderstatus"))
+      txn.append("customer", dim0)
+    }
+    val v = DbMv.StarView("orders", Seq(("customer", Seq("o_custkey"))),
+      groupCols = Seq("seg"), sumCols = Seq("rev"),
+      minMaxCols = Seq("rev"))
+    DbMv.initStar(spark, db, "srev", v)
+    def nullRows() = DbMv.readStar(spark, db, "srev")
+      .filter(col("seg").isNull)
+    assert(nullRows().count() == 1L)
+    // two refreshes that TOUCH the null group (facts of %3 customers
+    // churn): without null-safe keys each one appends a duplicate
+    (0 until 2).foreach { i =>
+      val upd = DbLog.snapshot(spark, db, "orders")
+        .filter(col("o_custkey") % 3 === 0 && col("o_orderkey") % 5 === i)
+        .withColumn("rev", (col("rev") + lit(1)).cast("decimal(12,2)"))
+        .localCheckpoint()
+      DbLog.transact(spark, db, s"bump$i")(
+        _.upsertKeyed("orders", Seq("o_orderkey"), upd))
+      DbMv.refreshStar(spark, db, "srev")
+      assert(nullRows().count() == 1L,
+        s"refresh $i duplicated the NULL group")
+    }
+    // and the single row carries the right merged numbers
+    val direct = rounded(DbLog.snapshot(spark, db, "orders")
+      .join(DbLog.snapshot(spark, db, "customer"), Seq("o_custkey"))
+      .filter(col("seg").isNull)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("mv_count"),
+        sum(col("rev").cast("double")).as("sum_rev"),
+        min(col("rev").cast("double")).as("min_rev"),
+        max(col("rev").cast("double")).as("max_rev")))
+    assert(same(rounded(nullRows()), direct))
+  }
+
   test("star: behind the vacuum horizon the view reseeds atomically") {
     val db = freshStarDb()
     DbMv.initStar(spark, db, "srev", starView)
