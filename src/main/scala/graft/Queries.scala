@@ -5517,6 +5517,99 @@ object Queries {
     cu.unionByName(or)
   }
 
+  /** KEYLESS replication of ONE TABLE of a [[graft.ops.DbLog]]
+    * database ([[graft.ops.DbLog.replicateTableByRowId]]): the
+    * per-table `_row_id` feed replicates `db/cust` into a standalone
+    * replica while a sibling table churns alongside — a multi-table
+    * transaction applying a keyed change batch to cust AND appending
+    * to the sibling replicates in one hop, a SIBLING-ONLY commit
+    * advances the cursor without committing anything to the replica,
+    * a compaction of cust nets to nothing (asserted on the replica's
+    * version both times), and a per-table RENAME mid-stream followed
+    * by a post-rename update re-spells the replica through the
+    * table's own pins. DuckDB replays the final replica, ids
+    * included, with row_number arithmetic.
+    */
+  def qDbReplicate(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val db = s"$indexQueryDir/db_replicate"
+    val dst = s"$indexQueryDir/db_replicate_dst"
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(db, dst).foreach { p =>
+      val fsp = new org.apache.hadoop.fs.Path(p)
+      fsp.getFileSystem(conf).delete(fsp, true)
+    }
+    graft.ops.DbLog.create(s, db) // v0
+    graft.ops.DbLog.setTableSchema(s, db, "cust", c.schema, 0)
+    graft.ops.RowTracking.enableTable(s, db, "cust")
+    def sorted1(df: DataFrame) =
+      df.repartition(1).sortWithinPartitions("c_custkey")
+    def meta(tag: String) = {
+      import s.implicits._
+      Seq(tag).toDF("note")
+    }
+    graft.Phases.timed("loads") {
+      graft.ops.DbLog.transact(s, db, "load1") { txn => // cust ids 0..nE-1
+        txn.append("cust",
+          sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 0)))
+        txn.append("meta", meta("w1"))
+      }
+      graft.ops.DbLog.transact(s, db, "load2") { txn => // ids nE..n-1
+        txn.append("cust",
+          sorted1(c.filter(pmod(col("c_custkey"), lit(2)) === 1)))
+        txn.append("meta", meta("w2"))
+      }
+    }
+    graft.Phases.timed("resync")(
+      graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
+    // one multi-table txn: keyed changes on cust (delete %7 minus the
+    // %10 overlap, bump %10 by 1000) + a sibling append
+    graft.Phases.timed("churn_txn") {
+      val bump = graft.ops.DbLog.snapshot(s, db, "cust")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .localCheckpoint()
+      val dead = graft.ops.DbLog.snapshot(s, db, "cust")
+        .filter(pmod(col("c_custkey"), lit(7)) === 0 &&
+          pmod(col("c_custkey"), lit(10)) =!= 0)
+        .select("c_custkey").localCheckpoint()
+      graft.ops.DbLog.transact(s, db, "churn") { txn =>
+        txn.applyKeyed("cust", Seq("c_custkey"), bump, dead)
+        txn.append("meta", meta("churn"))
+      }
+    }
+    graft.Phases.timed("churn_advance")(
+      graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
+    // a sibling-only commit: the advance is a pure cursor hop
+    val dstV = graft.ops.TxLog.currentVersion(s, dst)
+    graft.ops.DbLog.append(s, db, "meta", meta("sibling"))
+    graft.Phases.timed("sibling_advance")(
+      graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
+    require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
+      "db_replicate: a sibling-table advance must commit nothing")
+    // compaction movement nets to nothing too
+    graft.Phases.timed("compact")(
+      graft.ops.DbLog.compactTable(s, db, "cust", smallBytes = 8L << 20))
+    graft.Phases.timed("compact_advance")(
+      graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
+    require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
+      "db_replicate: a compaction advance must commit nothing")
+    // per-table rename mid-stream + a post-rename update
+    graft.Phases.timed("rename_writes") {
+      graft.ops.DbLog.renameColumn(s, db, "cust", "c_acctbal", "bal")
+      val upd2 = graft.ops.DbLog.snapshot(s, db, "cust")
+        .filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .withColumn("bal", col("bal") + 7).localCheckpoint()
+      graft.ops.DbLog.transact(s, db, "post-rename")(
+        _.upsertKeyed("cust", Seq("c_custkey"), upd2))
+    }
+    graft.Phases.timed("rename_advance")(
+      graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
+    graft.ops.TxLog.snapshot(s, dst)
+      .select(col("c_custkey"), col("c_name"), col("bal"),
+        col(graft.ops.RowTracking.Col))
+  }
+
   /** ROW TRACKING ([[graft.ops.RowTracking]]): stable `_row_id`s that
     * survive rewrites. Three sorted single-partition appends give
     * deterministic position-derived ids (file base + row index); a

@@ -199,6 +199,7 @@ object SparkEntry {
     "q_identity_default" -> (Queries.qIdentityDefault _),
     "q_rowids" -> (Queries.qRowIds _),
     "q_db_rowids" -> (Queries.qDbRowIds _),
+    "q_db_replicate" -> (Queries.qDbReplicate _),
     "q_replicate_rowid" -> (Queries.qReplicateRowid _),
     "q_dblog_colmap" -> (Queries.qDblogColmap _),
     "q_dblog_widen" -> (Queries.qDblogWiden _),
@@ -2727,6 +2728,35 @@ object Oracles {
                      AS DOUBLE),
                 rid, CAST(CASE WHEN k % 10 = 0 THEN 4 ELSE born END AS BIGINT)
          FROM ords""",
+
+    // keyless replication of one DATABASE table: cust ids are
+    // row_number arithmetic over the two sorted appends (the sibling
+    // table is untracked — it claims no ids); delete %7 (minus the
+    // %10 overlap), +1000 on %10, rename c_acctbal->bal, +7 on %13
+    "q_db_replicate" ->
+      """WITH evens AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 0
+         ),
+         odds AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  row_number() OVER (ORDER BY c_custkey) AS rn
+           FROM customer WHERE c_custkey % 2 = 1
+         ),
+         base AS (
+           SELECT c_custkey, c_name, c_acctbal, rn - 1 AS rid FROM evens
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal,
+                  (SELECT count(*) FROM evens) + rn - 1 FROM odds
+         )
+         SELECT c_custkey, c_name,
+                c_acctbal
+                + CASE WHEN c_custkey % 10 = 0 THEN 1000 ELSE 0 END
+                + CASE WHEN c_custkey % 13 = 0 THEN 7 ELSE 0 END AS bal,
+                rid AS "_row_id"
+         FROM base
+         WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)""",
 
     // row-id-keyed replication: the replica equals the source's final
     // state — delete %7, +1000 on %10, rename c_acctbal->bal, +7 on

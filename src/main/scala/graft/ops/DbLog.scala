@@ -461,6 +461,116 @@ object DbLog {
     (tables.map(t => t -> diff(spark, db, t, sinceVersion, cur)).toMap, cur)
   }
 
+  /** [[TxLog.replicateByRowId]] for ONE table of a database: the
+    * keyless `_row_id` feed ([[changes]] with `keyCols = Nil` over a
+    * [[RowTracking.enableTable]]-tracked table) replicates
+    * `db/<table>` into a standalone TxLog replica. Everything the
+    * single-table form buys carries over — no key column to choose,
+    * RENAME-PROOF through the TABLE's own pins (the physical-identity
+    * diff re-spells the replica before the feed applies), compaction
+    * advances net to an empty feed — plus the database property: the
+    * cursor is a DATABASE version, so advances taken per-table from
+    * one shared version are consistent cuts across replicas of
+    * sibling tables. Commits that touched only OTHER tables skip
+    * without reading a byte and move the cursor. `autoRecreate` as in
+    * the single-table form (refusals are [[TxLog.ReplicaDiverged]]).
+    */
+  def replicateTableByRowId(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      dstDir: String,
+      autoRecreate: Boolean = false): (Int, Int) = {
+    requireTableName(table)
+    require(RowTracking.enabledTable(spark, db, table),
+      s"replicateTableByRowId: per-table row tracking is not enabled " +
+        s"on $db/$table (RowTracking.enableTable)")
+    val cur = currentVersion(spark, db)
+    if (!TxLog.exists(spark, dstDir)) TxLog.convert(spark, dstDir)
+    val fs = Compact.fsOf(spark, dstDir)
+    val cpath = new Path(new Path(dstDir, "_txlog"),
+      "replsrc_dbrowid_cursor.txt")
+    val from: Option[Int] =
+      if (!fs.exists(cpath)) None
+      else {
+        val in = fs.open(cpath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt)
+        finally in.close()
+      }
+    def pin(v: Int): Unit = {
+      val out = fs.create(cpath, true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def resync(): Unit = {
+      val src = RowTracking.readTableAt(spark, db, table, cur)
+        .drop(RowTracking.VerCol)
+      val insert = src.withColumn("change_type",
+        org.apache.spark.sql.functions.lit("insert"))
+      val dstEmpty = TxLog.liveEntries(spark, dstDir).isEmpty
+      if (!dstEmpty) {
+        val have = TxLog.snapshot(spark, dstDir).columns.toSet
+        if (have != src.columns.toSet)
+          throw new TxLog.ReplicaDiverged(
+            s"replicateTableByRowId: resync into a non-empty replica " +
+              s"needs aligned columns — replica has ${have.toSeq.sorted
+                .mkString(", ")}, source feeds ${src.columns.sorted
+                .mkString(", ")}; the lost range carries no rename " +
+              "record, recreate the replica (autoRecreate = true)")
+      }
+      val feed =
+        if (dstEmpty) insert
+        else insert.unionByName(TxLog.snapshot(spark, dstDir)
+          .join(src.select(col(RowTracking.Col)).distinct(),
+            Seq(RowTracking.Col), "left_anti")
+          .withColumn("change_type",
+            org.apache.spark.sql.functions.lit("delete")))
+      UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+      pin(cur)
+    }
+    def recreate(): (Int, Int) = {
+      fs.delete(new Path(dstDir), true)
+      TxLog.convert(spark, dstDir)
+      resync()
+      (from.getOrElse(-1), cur)
+    }
+    def orRecreate(body: => (Int, Int)): (Int, Int) =
+      try body
+      catch { case _: TxLog.ReplicaDiverged if autoRecreate => recreate() }
+    from match {
+      case Some(f) if f == cur => (f, cur)
+      case Some(f) if TxLog.retainedVersions(spark, db).contains(f) =>
+        orRecreate {
+          // the replica follows the TABLE's renames first (feed speaks
+          // the range-END logical names); physical identity comes from
+          // the per-table pins
+          val pinNow = tableSchema(spark, db, table)
+          val oldByPhys: Map[String, String] =
+            tableSchema(spark, db, table, f) match {
+              case Some(pa) => pa.fields
+                .map(x => ColumnMapping.physicalName(x) -> x.name).toMap
+              case None => snapshot(spark, db, table, f).schema.fieldNames
+                .map(n => n -> n).toMap
+            }
+          val srcColsNow = pinNow.map(_.fieldNames.toSet).getOrElse(
+            snapshot(spark, db, table).schema.fieldNames.toSet)
+          TxLog.followRenamesOnto(spark, dstDir, pinNow, oldByPhys,
+            srcColsNow)
+          val feed = changes(spark, db, table, f, cur, Nil)
+            .drop(RowTracking.VerCol)
+            .withColumnRenamed("_change_type", "change_type")
+            .withColumnRenamed("_commit_version", "commit_version")
+          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+          pin(cur)
+          (f, cur)
+        }
+      case _ =>
+        orRecreate { resync(); (from.getOrElse(-1), cur) }
+    }
+  }
+
   /** Open a transaction, run `body`, commit everything it staged as
     * ONE atomic version. Returns the committed version. Any throw
     * from `body` abandons the staged files uncommitted (invisible;
@@ -712,7 +822,8 @@ object DbLog {
       require(entries.nonEmpty,
         s"deleteWhereVectored: no such table '$table'")
       val st = DeletionVectors.stageDelete(spark, db, entries,
-        df => toLogical(table, df).filter(cond))
+        df => toLogical(table, df).filter(cond),
+        pinOverride = tablePin(table))
       if (st.deletedRows == 0) return
       markRewrite(table, "deleteWhereVectored")
       adds ++= st.adds
@@ -785,7 +896,7 @@ object DbLog {
               rows.join(ka, keyCols.map(c =>
                 rows(c) <=> ka(s"__k_$c")).reduce(_ && _), "left_semi")
             }
-          })
+          }, pinOverride = tablePin(table))
         adds ++= st.adds
         removes ++= st.removes
         seen ++= st.seen

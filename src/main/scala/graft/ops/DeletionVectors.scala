@@ -547,11 +547,18 @@ object DeletionVectors {
       spark: SparkSession,
       dir: String,
       cand: Seq[TxLog.AddEntry],
-      matchRows: DataFrame => DataFrame): StagedDv = {
+      matchRows: DataFrame => DataFrame,
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : StagedDv = {
     if (cand.isEmpty) return StagedDv(Nil, Nil, Nil, 0, None)
     // the SNAPSHOT with positions: already-deleted rows are invisible,
-    // so a replayed predicate deletes 0 and position sets never dup
-    val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
+    // so a replayed predicate deletes 0 and position sets never dup.
+    // pinOverride carries a DbLog table's OWN pin (the dir-wide slot
+    // is empty on databases): without it the footer-sampled read
+    // breaks once row tracking leaves SOME files carrying the
+    // materialized id column and others not
+    val withPos = TxLog.readEntries(spark, dir, cand, withPos = true,
+      pinOverride = pinOverride)
     val newDel = matchRows(withPos)
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
       .localCheckpoint() // pin: the plan below re-reads it twice

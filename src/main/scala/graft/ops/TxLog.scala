@@ -2081,7 +2081,6 @@ object TxLog {
   private def followSourceRenames(
       spark: SparkSession, srcDir: String, dstDir: String,
       fromVersion: Int): Unit = {
-    if (liveFiles(spark, dstDir).isEmpty) return // nothing to re-spell
     val pinNow = tableSchema(spark, srcDir)
     // pre-pin era at `from`: footer names WERE the physical names
     val oldByPhys: Map[String, String] =
@@ -2092,6 +2091,25 @@ object TxLog {
           snapshot(spark, srcDir, fromVersion).schema.fieldNames
             .map(n => n -> n).toMap
       }
+    val srcColsNow: Set[String] = pinNow
+      .map(_.fieldNames.toSet)
+      .getOrElse(snapshot(spark, srcDir).schema.fieldNames.toSet)
+    followRenamesOnto(spark, dstDir, pinNow, oldByPhys, srcColsNow)
+  }
+
+  /** [[followSourceRenames]]'s core against EXPLICIT source pins —
+    * the seam the per-table database replication shares: `pinNow` is
+    * the source's current pin (None = unmapped), `oldByPhys` maps the
+    * source's physical names to their logical spellings AT the cursor
+    * version, `srcColsNow` is the source's current logical column
+    * set (drops follow it). All mutations land on the REPLICA.
+    */
+  private[ops] def followRenamesOnto(
+      spark: SparkSession, dstDir: String,
+      pinNow: Option[org.apache.spark.sql.types.StructType],
+      oldByPhys: Map[String, String],
+      srcColsNow: Set[String]): Unit = {
+    if (liveFiles(spark, dstDir).isEmpty) return // nothing to re-spell
     pinNow.foreach { pn =>
       // a logical name alive in BOTH eras whose PHYSICAL identity
       // changed is a DROP + re-ADD inside the window: the replica's
@@ -2147,11 +2165,8 @@ object TxLog {
     }
     // follow DROPS: replica columns the source's current logical
     // schema no longer spells (the feed will not carry them)
-    val srcCols: Set[String] = pinNow
-      .map(_.fieldNames.toSet)
-      .getOrElse(snapshot(spark, srcDir).schema.fieldNames.toSet)
     val dstNow = snapshot(spark, dstDir).columns.toSet
-    (dstNow - RowTracking.Col -- srcCols).toSeq.sorted.foreach { c =>
+    (dstNow - RowTracking.Col -- srcColsNow).toSeq.sorted.foreach { c =>
       ColumnMapping.dropColumn(spark, dstDir, c)
     }
   }

@@ -607,6 +607,72 @@ class DbLogSpec extends SparkSpec {
     assert(e.getMessage.contains("row tracking"))
   }
 
+  test("replicateTableByRowId: one table of a database replicates keylessly, renames and drops follow") {
+    import spark.implicits._
+    val db = freshDb()
+    val dst = Files.createTempDirectory("dbrepl").toString + "/r"
+    RowTracking.enableTable(spark, db, "customer")
+    def srcNow() = RowTracking.readTable(spark, db, "customer")
+      .drop(RowTracking.VerCol)
+    def dstNow() = TxLog.snapshot(spark, dst)
+    def inSync(step: String): Unit = {
+      val s = srcNow()
+      val d = dstNow().select(s.columns.map(col): _*)
+      assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+        s"$step: replica != source")
+    }
+    DbLog.replicateTableByRowId(spark, db, "customer", dst) // resync
+    inSync("resync")
+    // a multi-table txn churning customer AND orders: one advance
+    val upd = DbLog.snapshot(spark, db, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 3).localCheckpoint()
+    DbLog.transact(spark, db, "churn") { txn =>
+      txn.upsertKeyed("customer", Seq("c_custkey"), upd)
+      txn.append("orders", orders.limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000L))
+    }
+    DbLog.replicateTableByRowId(spark, db, "customer", dst)
+    inSync("churn advance")
+    // a SIBLING-ONLY commit: the advance is a cursor hop, the replica
+    // version must not move
+    val dstV = TxLog.currentVersion(spark, dst)
+    DbLog.transact(spark, db, "sibling")(
+      _.append("orders", orders.limit(1)
+        .withColumn("o_orderkey", col("o_orderkey") + 8000000L)))
+    val (f1, t1) = DbLog.replicateTableByRowId(spark, db, "customer", dst)
+    assert(f1 < t1 && TxLog.currentVersion(spark, dst) == dstV,
+      "a sibling-table commit must advance the cursor and commit nothing")
+    // a compaction of the replicated table nets to nothing too
+    DbLog.compactTable(spark, db, "customer", smallBytes = 64L << 20)
+    DbLog.replicateTableByRowId(spark, db, "customer", dst)
+    assert(TxLog.currentVersion(spark, dst) == dstV)
+    // per-table RENAME mid-stream + a post-rename update: the replica
+    // follows the spelling through the table's own pins
+    DbLog.renameColumn(spark, db, "customer", "c_acctbal", "bal")
+    val upd2 = DbLog.snapshot(spark, db, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .withColumn("bal", col("bal") + 7).localCheckpoint()
+    DbLog.transact(spark, db, "post-rename")(
+      _.upsertKeyed("customer", Seq("c_custkey"), upd2))
+    DbLog.replicateTableByRowId(spark, db, "customer", dst)
+    assert(dstNow().columns.contains("bal") &&
+      !dstNow().columns.contains("c_acctbal"))
+    inSync("post-rename advance")
+    // a swap refuses typed; autoRecreate heals to the source state
+    DbLog.renameColumn(spark, db, "customer", "c_name", "tmp_x")
+    DbLog.renameColumn(spark, db, "customer", "bal", "c_name")
+    DbLog.renameColumn(spark, db, "customer", "tmp_x", "bal")
+    DbLog.append(spark, db, "customer", DbLog.snapshot(spark, db, "customer")
+      .limit(1).withColumn("c_custkey", col("c_custkey") + 9000000L))
+    intercept[TxLog.ReplicaDiverged] {
+      DbLog.replicateTableByRowId(spark, db, "customer", dst)
+    }
+    DbLog.replicateTableByRowId(spark, db, "customer", dst,
+      autoRecreate = true)
+    inSync("healed after swap")
+  }
+
   test("graft-cdc keyless streaming feed over one DbLog table pairs by _row_id") {
     val db = freshDb()
     RowTracking.enableTable(spark, db, "customer")
