@@ -142,13 +142,27 @@ object MvStore {
         min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
         max(when(adds, col(m).cast("double"))).as(s"add_max_$m")))
       val dirtyFlag = max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
+      // every group-key join in the merge is NULL-SAFE (<=>): a NULL
+      // group value names a real group (groupBy put it there); SQL's
+      // null-never-equals would split it across unpaired rows — one
+      // stored + one delta row per refresh instead of one merged group
+      def nsQ(l: String, r: String) =
+        groupCols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
       val deltaBase = Scd2.mvDelta(feed, groupCols, sumCols)
       val delta =
         (if (minMaxCols.isEmpty) deltaBase
          else {
            val extras = feed.groupBy(groupCols.map(col): _*)
              .agg(growAggs.head, (growAggs.tail :+ dirtyFlag): _*)
-           deltaBase.join(extras, groupCols)
+           // null-safe inner: both sides group the SAME feed, so the
+           // null group exists on both — a plain USING join drops it
+           deltaBase.alias("db").join(extras.alias("ex"),
+               nsQ("db", "ex"), "inner")
+             .select(groupCols.map(c => col(s"db.$c").as(c)) ++
+               deltaBase.columns.filterNot(groupCols.contains)
+                 .map(c => col(s"db.$c")) ++
+               extras.columns.filterNot(groupCols.contains)
+                 .map(c => col(s"ex.$c")): _*)
          })
           .withColumn("cell", cellOf(groupCols, nShards))
           .localCheckpoint() // pinned: probed, keyed, and merged below
@@ -161,8 +175,18 @@ object MvStore {
         .filter(col("cell").cast("string").isin(touched: _*))
       if (stored.filter(col("last_batch") === bk).limit(1).count() > 0)
         return -1L
-      val base = stored.drop("cell", "last_batch")
-        .join(delta.drop("cell"), groupCols, "full_outer")
+      // full-outer with coalesced group keys (null-safe condition —
+      // the USING form emits null-group rows from BOTH sides unpaired)
+      val storedT = stored.drop("cell", "last_batch")
+      val deltaT = delta.drop("cell")
+      val base = storedT.alias("s")
+        .join(deltaT.alias("dl"), nsQ("s", "dl"), "full_outer")
+        .select(groupCols.map(c =>
+          coalesce(col(s"s.$c"), col(s"dl.$c")).as(c)) ++
+          storedT.columns.filterNot(groupCols.contains)
+            .map(c => col(s"s.$c")) ++
+          deltaT.columns.filterNot(groupCols.contains)
+            .map(c => col(s"dl.$c")): _*)
       val recomputed =
         if (minMaxCols.isEmpty) base
         else {
@@ -182,12 +206,15 @@ object MvStore {
                 .withColumn(s"rc_max_$m", lit(null).cast("double")))
           else {
             val mmAggs = minMaxCols.flatMap(m => Seq(
-              min(col(m).cast("double")).as(s"rc_min_$m"),
-              max(col(m).cast("double")).as(s"rc_max_$m")))
-            val recomp = current.get.join(dirty, groupCols, "semi")
-              .groupBy(groupCols.map(col): _*)
+              min(col(s"cur.$m").cast("double")).as(s"rc_min_$m"),
+              max(col(s"cur.$m").cast("double")).as(s"rc_max_$m")))
+            val recomp = current.get.alias("cur")
+              .join(dirty.alias("dty"), nsQ("cur", "dty"), "left_semi")
+              .groupBy(groupCols.map(c => col(s"cur.$c")): _*)
               .agg(mmAggs.head, mmAggs.tail: _*)
-            base.join(recomp, groupCols, "left")
+            val withRc = base.alias("b")
+              .join(recomp.alias("rc"), nsQ("b", "rc"), "left")
+            groupCols.foldLeft(withRc)((d, c) => d.drop(col(s"rc.$c")))
           }
         }
       val mmOut = minMaxCols.flatMap(m => Seq(

@@ -373,6 +373,29 @@ object GraftTableFunctions {
       graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),
         int(f, fn, 2), int(t0, fn, 3),
         str(k, fn, 4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ("graft_db_changes", Seq(d, tb, f, t0)) =>
+      // keyless 4-arg form: a per-table row-tracked database table
+      // pairs update images by its stable _row_id
+      graft.ops.DbLog.changes(spark, str(d, fn, 0), str(tb, fn, 1),
+        int(f, fn, 2), int(t0, fn, 3), Nil)
+    case ("graft_db_rowids", Seq(d, tb)) =>
+      graft.ops.RowTracking.readTable(spark, str(d, fn, 0), str(tb, fn, 1))
+    case ("graft_db_enable_rowtracking", Seq(d, tb)) =>
+      val db = str(d, fn, 0)
+      val table = str(tb, fn, 1)
+      graft.ops.RowTracking.enableTable(spark, db, table)
+      procReceipt(spark, s"db-enable-rowtracking($table)", db, Seq(
+        "version" -> TxLog.currentVersion(spark, db).toLong))
+    case ("graft_db_replicate_rowid", Seq(d, tb, d0)) =>
+      val db = str(d, fn, 0)
+      val (from, to) = graft.ops.DbLog.replicateTableByRowId(spark, db,
+        str(tb, fn, 1), str(d0, fn, 2))
+      procReceipt(spark, "db-replicate-rowid", db, Seq(
+        "from_version" -> from.toLong, "to_version" -> to.toLong))
+    case ("graft_db_compact", Seq(d, tb)) =>
+      val db = str(d, fn, 0)
+      val v = graft.ops.DbLog.compactTable(spark, db, str(tb, fn, 1))
+      procReceipt(spark, "db-compact", db, Seq("version" -> v.toLong))
     case ("graft_clone", rest @ Seq(s0, d0, _*)) if rest.length <= 4 =>
       val src = str(s0, fn, 0)
       val dst = str(d0, fn, 1)
@@ -629,7 +652,15 @@ object GraftTableFunctions {
       ("graft_replicate_rowid",
         "graft_replicate_rowid(src, dst) - PROCEDURE: keyless replication of a row-tracked table by its stable _row_id"),
       ("graft_db_changes",
-        "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images"),
+        "graft_db_changes(db, table, from, to, 'k1,k2') - one table's CDF with update images; omit keys on a row-tracked table for keyless _row_id pairing"),
+      ("graft_db_rowids",
+        "graft_db_rowids(db, table) - one database table's rows with stable _row_id / _row_commit_version"),
+      ("graft_db_enable_rowtracking",
+        "graft_db_enable_rowtracking(db, table) - PROCEDURE: turn on per-table stable row ids (backfills existing entries, metadata-only)"),
+      ("graft_db_replicate_rowid",
+        "graft_db_replicate_rowid(db, table, dst) - PROCEDURE: keyless replication of one database table by its stable _row_id"),
+      ("graft_db_compact",
+        "graft_db_compact(db, table) - PROCEDURE: bin-pack one table's small files (ids travel materialized on tracked tables)"),
       ("graft_clone",
         "graft_clone(src, dst[, version|tag[, 'pin']]) - PROCEDURE: zero-copy shallow clone (metadata-only; 'pin' tags the source so vacuum keeps the cloned version)"),
       ("graft_clone_source",

@@ -563,10 +563,18 @@ class DbLogSpec extends SparkSpec {
         s"row ${r.getLong(0)} changed id")
     }
     // the untracked sibling's commits never claimed ledger ranges:
-    // enabling it NOW backfills from the water customer left
-    RowTracking.enableTable(spark, db, "orders")
-    val oIds = RowTracking.readTable(spark, db, "orders")
+    // enabling it NOW backfills from the water customer left — via
+    // the SQL procedure, and the TVF reads the ids back
+    graft.GraftExtensions.installInto(spark)
+    spark.sql(s"SELECT * FROM graft_db_enable_rowtracking('$db', 'orders')")
+      .collect()
+    val oIds = spark.sql(s"SELECT * FROM graft_db_rowids('$db', 'orders')")
     assert(oIds.select(RowTracking.Col).distinct().count() == oIds.count())
+    // keyless CDF through SQL: the 4-arg form pairs by _row_id
+    val v = DbLog.currentVersion(spark, db)
+    assert(spark.sql(
+      s"SELECT * FROM graft_db_changes('$db', 'customer', 1, $v)")
+      .columns.contains(RowTracking.Col))
   }
 
   test("keyless per-table CDF: images pair by _row_id; compaction movement nets to nothing") {

@@ -135,6 +135,47 @@ class MvStoreSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys merge as ONE group across refreshes (null-safe state keys)") {
+    val store = tmpStore()
+    // a source whose segment is NULL for every 3rd key: the NULL
+    // group is real, and each refresh touching it must MERGE into the
+    // stored row, never emit a second one
+    def nulled(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          lit(null).cast("string")).otherwise(col("c_mktsegment")))
+    val v1 = nulled(cust)
+    val v2 = v1.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(6)) === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")))
+    val v3 = v2.withColumn("c_acctbal",
+      when(pmod(col("c_custkey"), lit(9)) === 0, col("c_acctbal") - 5)
+        .otherwise(col("c_acctbal")))
+    Scd2.merge(store, "dn", v1, keys, attrs, version = 1, nShards = 4)
+    Scd2.merge(store, "dn", v2, keys, attrs, version = 2)
+    Scd2.merge(store, "dn", v3, keys, attrs, version = 3)
+    // min/max included: the dirty-recompute joins must be null-safe too
+    MvStore.init(store, "mvn", Scd2.asOf(store, "dn", 1), groups, sums,
+      nShards = 4, minMaxCols = sums)
+    def nullRows() = MvStore.read(store, "mvn")
+      .filter(col("c_mktsegment").isNull)
+    assert(nullRows().count() == 1L)
+    (2 to 3).foreach { v =>
+      MvStore.refresh(store, "mvn",
+        Scd2.changes(store, "dn", keys, v - 1, v), groups, sums,
+        minMaxCols = sums, current = Some(Scd2.asOf(store, "dn", v)))
+      assert(nullRows().count() == 1L, s"refresh to v$v split the NULL group")
+    }
+    val want = v3.filter(col("c_mktsegment").isNull)
+      .agg(count(lit(1)), round(sum(col("c_acctbal").cast("double")), 2),
+        min(col("c_acctbal").cast("double")),
+        max(col("c_acctbal").cast("double"))).head()
+    val got = nullRows().select(col("n"),
+      round(col("sum_c_acctbal"), 2), col("min_c_acctbal"),
+      col("max_c_acctbal")).head()
+    assert(got == want, s"null group numbers: $got != $want")
+  }
+
   test("second writer hits the fence; clearWriterFence recovers") {
     val store = tmpStore()
     MvStore.init(store, "f_mv", cust, groups, sums, nShards = 2)
