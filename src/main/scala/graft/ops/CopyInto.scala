@@ -273,7 +273,15 @@ object CopyInto {
       force: Boolean = false,
       evolveSchema: Boolean = false,
       claimLeaseMs: Long = 30L * 60 * 1000): Result = {
+    // same contract as copyInto: the target must be a table, and a
+    // zone the producer has not created yet reads as empty (a
+    // scheduled loader must not crash on the race)
+    require(TxLog.exists(spark, dir),
+      s"copyIntoByPrefix: $dir is not TxLog-managed — create the " +
+        "table first (CREATE TABLE / TxLog.convert + setTableSchema)")
     val sfs = Compact.fsOf(spark, source)
+    if (!sfs.exists(new Path(source)))
+      return Result(TxLog.currentVersion(spark, dir), 0, 0L, 0)
     val top = sfs.listStatus(new Path(source)).toSeq
       .filterNot(_.getPath.getName.startsWith("_"))
       .filterNot(_.getPath.getName.startsWith("."))

@@ -486,89 +486,36 @@ object DbLog {
       s"replicateTableByRowId: per-table row tracking is not enabled " +
         s"on $db/$table (RowTracking.enableTable)")
     val cur = currentVersion(spark, db)
-    if (!TxLog.exists(spark, dstDir)) TxLog.convert(spark, dstDir)
-    val fs = Compact.fsOf(spark, dstDir)
-    val cpath = new Path(new Path(dstDir, "_txlog"),
-      "replsrc_dbrowid_cursor.txt")
-    val from: Option[Int] =
-      if (!fs.exists(cpath)) None
-      else {
-        val in = fs.open(cpath)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt)
-        finally in.close()
+    TxLog.replicateRowIdScaffold(spark, dstDir,
+      "replsrc_dbrowid_cursor.txt", "replicateTableByRowId", cur,
+      retainedAt = f => TxLog.retainedVersions(spark, db).contains(f),
+      srcAtCur = () => RowTracking.readTableAt(spark, db, table, cur)
+        .drop(RowTracking.VerCol),
+      feedOver = f => changes(spark, db, table, f, cur, Nil),
+      // the replica follows the TABLE's renames (feed speaks the
+      // range-END logical names); physical identity comes from the
+      // per-table pins. Empty replica: nothing to re-spell, and the
+      // pin resolution is not worth paying for nothing.
+      followRenames = f =>
+        if (TxLog.liveEntries(spark, dstDir).nonEmpty)
+          followTableRenames(spark, db, table, dstDir, f),
+      autoRecreate = autoRecreate)
+  }
+
+  private def followTableRenames(
+      spark: SparkSession, db: String, table: String, dstDir: String,
+      f: Int): Unit = {
+    val pinNow = tableSchema(spark, db, table)
+    val oldByPhys: Map[String, String] =
+      tableSchema(spark, db, table, f) match {
+        case Some(pa) => pa.fields
+          .map(x => ColumnMapping.physicalName(x) -> x.name).toMap
+        case None => snapshot(spark, db, table, f).schema.fieldNames
+          .map(n => n -> n).toMap
       }
-    def pin(v: Int): Unit = {
-      val out = fs.create(cpath, true)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    def resync(): Unit = {
-      val src = RowTracking.readTableAt(spark, db, table, cur)
-        .drop(RowTracking.VerCol)
-      val insert = src.withColumn("change_type",
-        org.apache.spark.sql.functions.lit("insert"))
-      val dstEmpty = TxLog.liveEntries(spark, dstDir).isEmpty
-      if (!dstEmpty) {
-        val have = TxLog.snapshot(spark, dstDir).columns.toSet
-        if (have != src.columns.toSet)
-          throw new TxLog.ReplicaDiverged(
-            s"replicateTableByRowId: resync into a non-empty replica " +
-              s"needs aligned columns — replica has ${have.toSeq.sorted
-                .mkString(", ")}, source feeds ${src.columns.sorted
-                .mkString(", ")}; the lost range carries no rename " +
-              "record, recreate the replica (autoRecreate = true)")
-      }
-      val feed =
-        if (dstEmpty) insert
-        else insert.unionByName(TxLog.snapshot(spark, dstDir)
-          .join(src.select(col(RowTracking.Col)).distinct(),
-            Seq(RowTracking.Col), "left_anti")
-          .withColumn("change_type",
-            org.apache.spark.sql.functions.lit("delete")))
-      UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
-      pin(cur)
-    }
-    def recreate(): (Int, Int) = {
-      fs.delete(new Path(dstDir), true)
-      TxLog.convert(spark, dstDir)
-      resync()
-      (from.getOrElse(-1), cur)
-    }
-    def orRecreate(body: => (Int, Int)): (Int, Int) =
-      try body
-      catch { case _: TxLog.ReplicaDiverged if autoRecreate => recreate() }
-    from match {
-      case Some(f) if f == cur => (f, cur)
-      case Some(f) if TxLog.retainedVersions(spark, db).contains(f) =>
-        orRecreate {
-          // the replica follows the TABLE's renames first (feed speaks
-          // the range-END logical names); physical identity comes from
-          // the per-table pins
-          val pinNow = tableSchema(spark, db, table)
-          val oldByPhys: Map[String, String] =
-            tableSchema(spark, db, table, f) match {
-              case Some(pa) => pa.fields
-                .map(x => ColumnMapping.physicalName(x) -> x.name).toMap
-              case None => snapshot(spark, db, table, f).schema.fieldNames
-                .map(n => n -> n).toMap
-            }
-          val srcColsNow = pinNow.map(_.fieldNames.toSet).getOrElse(
-            snapshot(spark, db, table).schema.fieldNames.toSet)
-          TxLog.followRenamesOnto(spark, dstDir, pinNow, oldByPhys,
-            srcColsNow)
-          val feed = changes(spark, db, table, f, cur, Nil)
-            .drop(RowTracking.VerCol)
-            .withColumnRenamed("_change_type", "change_type")
-            .withColumnRenamed("_commit_version", "commit_version")
-          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
-          pin(cur)
-          (f, cur)
-        }
-      case _ =>
-        orRecreate { resync(); (from.getOrElse(-1), cur) }
-    }
+    val srcColsNow = pinNow.map(_.fieldNames.toSet).getOrElse(
+      snapshot(spark, db, table).schema.fieldNames.toSet)
+    TxLog.followRenamesOnto(spark, dstDir, pinNow, oldByPhys, srcColsNow)
   }
 
   /** Open a transaction, run `body`, commit everything it staged as

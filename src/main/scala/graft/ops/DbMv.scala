@@ -493,29 +493,15 @@ object DbMv {
     // attribute names a real group (groupBy put it there), and SQL's
     // null-never-equals would leave its stored row unmatched — the
     // merge would append a duplicate null-group row per refresh
-    // string-qualified aliases throughout: `stored` embeds a
-    // projection OF `delta` (the semi join), so df("col") references
-    // trip Spark's ambiguous-self-join detection on the outer join
-    def nsCondQ(l: String, r: String) =
-      view.groupCols.map(c => col(s"$l.$c") <=> col(s"$r.$c"))
-        .reduce(_ && _)
-    val stored = txn.table(stateTable(name)).alias("st0")
-      .join(delta.select(gcols: _*).alias("dk"), nsCondQ("st0", "dk"),
-        "left_semi")
+    // every group-key join below is NULL-SAFE
+    // ([[RelationalOps.nullSafeMerge]]): a NULL dim attribute names a
+    // real group, and null-never-equals joins would append a
+    // duplicate null-group state row per refresh
+    val stored = RelationalOps.nullSafeSemi(
+      txn.table(stateTable(name)), delta, view.groupCols)
     // full-outer with coalesced group keys: the USING form would emit
     // null-group rows from BOTH sides unpaired
-    val base = stored.alias("s")
-      .join(delta.alias("dl"), nsCondQ("s", "dl"), "full_outer")
-      .select((view.groupCols.map(c =>
-        coalesce(col(s"s.$c"), col(s"dl.$c")).as(c)) :+
-        col("s.mv_count")) ++
-        view.sumCols.map(m => col(s"s.sum_$m")) ++
-        view.minMaxCols.flatMap(m =>
-          Seq(col(s"s.min_$m"), col(s"s.max_$m"))) ++
-        (col("dl.d_n") +: view.sumCols.map(m => col(s"dl.d_$m"))) ++
-        view.minMaxCols.flatMap(m =>
-          Seq(col(s"dl.add_min_$m"), col(s"dl.add_max_$m"))) :+
-        col("dl.__dirty"): _*)
+    val base = RelationalOps.nullSafeMerge(stored, delta, view.groupCols)
     val recomputed =
       if (view.minMaxCols.isEmpty) base
       else {
@@ -527,15 +513,12 @@ object DbMv {
               .withColumn(s"rc_max_$m", lit(null).cast("double")))
         else {
           val mmAggs = view.minMaxCols.flatMap(m => Seq(
-            min(col(s"rcj.$m").cast("double")).as(s"rc_min_$m"),
-            max(col(s"rcj.$m").cast("double")).as(s"rc_max_$m")))
-          val recomp = joinedStar(spark, db, view, to).alias("rcj")
-            .join(dirty.alias("dty"), nsCondQ("rcj", "dty"), "left_semi")
-            .groupBy(view.groupCols.map(c => col(s"rcj.$c")): _*)
-            .agg(mmAggs.head, mmAggs.tail: _*)
-          val withRc = base.alias("b")
-            .join(recomp.alias("rc"), nsCondQ("b", "rc"), "left")
-          view.groupCols.foldLeft(withRc)((d, c) => d.drop(col(s"rc.$c")))
+            min(col(m).cast("double")).as(s"rc_min_$m"),
+            max(col(m).cast("double")).as(s"rc_max_$m")))
+          val recomp = RelationalOps.nullSafeSemi(
+              joinedStar(spark, db, view, to), dirty, view.groupCols)
+            .groupBy(gcols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+          RelationalOps.nullSafeMerge(base, recomp, view.groupCols, "left")
         }
       }
     val mmOut = view.minMaxCols.flatMap(m => Seq(

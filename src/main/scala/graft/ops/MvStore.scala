@@ -142,12 +142,11 @@ object MvStore {
         min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
         max(when(adds, col(m).cast("double"))).as(s"add_max_$m")))
       val dirtyFlag = max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
-      // every group-key join in the merge is NULL-SAFE (<=>): a NULL
-      // group value names a real group (groupBy put it there); SQL's
-      // null-never-equals would split it across unpaired rows — one
-      // stored + one delta row per refresh instead of one merged group
-      def nsQ(l: String, r: String) =
-        groupCols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+      // every group-key join in the merge is NULL-SAFE
+      // ([[RelationalOps.nullSafeMerge]]): a NULL group value names a
+      // real group (groupBy put it there); SQL's null-never-equals
+      // would split it across unpaired rows — one stored + one delta
+      // row per refresh instead of one merged group
       val deltaBase = Scd2.mvDelta(feed, groupCols, sumCols)
       val delta =
         (if (minMaxCols.isEmpty) deltaBase
@@ -156,13 +155,8 @@ object MvStore {
              .agg(growAggs.head, (growAggs.tail :+ dirtyFlag): _*)
            // null-safe inner: both sides group the SAME feed, so the
            // null group exists on both — a plain USING join drops it
-           deltaBase.alias("db").join(extras.alias("ex"),
-               nsQ("db", "ex"), "inner")
-             .select(groupCols.map(c => col(s"db.$c").as(c)) ++
-               deltaBase.columns.filterNot(groupCols.contains)
-                 .map(c => col(s"db.$c")) ++
-               extras.columns.filterNot(groupCols.contains)
-                 .map(c => col(s"ex.$c")): _*)
+           RelationalOps.nullSafeMerge(deltaBase, extras, groupCols,
+             "inner")
          })
           .withColumn("cell", cellOf(groupCols, nShards))
           .localCheckpoint() // pinned: probed, keyed, and merged below
@@ -175,18 +169,10 @@ object MvStore {
         .filter(col("cell").cast("string").isin(touched: _*))
       if (stored.filter(col("last_batch") === bk).limit(1).count() > 0)
         return -1L
-      // full-outer with coalesced group keys (null-safe condition —
-      // the USING form emits null-group rows from BOTH sides unpaired)
-      val storedT = stored.drop("cell", "last_batch")
-      val deltaT = delta.drop("cell")
-      val base = storedT.alias("s")
-        .join(deltaT.alias("dl"), nsQ("s", "dl"), "full_outer")
-        .select(groupCols.map(c =>
-          coalesce(col(s"s.$c"), col(s"dl.$c")).as(c)) ++
-          storedT.columns.filterNot(groupCols.contains)
-            .map(c => col(s"s.$c")) ++
-          deltaT.columns.filterNot(groupCols.contains)
-            .map(c => col(s"dl.$c")): _*)
+      // full-outer with coalesced group keys (null-safe — the USING
+      // form emits null-group rows from BOTH sides unpaired)
+      val base = RelationalOps.nullSafeMerge(
+        stored.drop("cell", "last_batch"), delta.drop("cell"), groupCols)
       val recomputed =
         if (minMaxCols.isEmpty) base
         else {
@@ -206,15 +192,13 @@ object MvStore {
                 .withColumn(s"rc_max_$m", lit(null).cast("double")))
           else {
             val mmAggs = minMaxCols.flatMap(m => Seq(
-              min(col(s"cur.$m").cast("double")).as(s"rc_min_$m"),
-              max(col(s"cur.$m").cast("double")).as(s"rc_max_$m")))
-            val recomp = current.get.alias("cur")
-              .join(dirty.alias("dty"), nsQ("cur", "dty"), "left_semi")
-              .groupBy(groupCols.map(c => col(s"cur.$c")): _*)
+              min(col(m).cast("double")).as(s"rc_min_$m"),
+              max(col(m).cast("double")).as(s"rc_max_$m")))
+            val recomp = RelationalOps
+              .nullSafeSemi(current.get, dirty, groupCols)
+              .groupBy(groupCols.map(col): _*)
               .agg(mmAggs.head, mmAggs.tail: _*)
-            val withRc = base.alias("b")
-              .join(recomp.alias("rc"), nsQ("b", "rc"), "left")
-            groupCols.foldLeft(withRc)((d, c) => d.drop(col(s"rc.$c")))
+            RelationalOps.nullSafeMerge(base, recomp, groupCols, "left")
           }
         }
       val mmOut = minMaxCols.flatMap(m => Seq(

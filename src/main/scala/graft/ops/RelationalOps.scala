@@ -417,4 +417,36 @@ object RelationalOps {
           col("__e.id").as(idName),
           col("__e.score").as(scoreName)): _*)
   }
+
+  /** NULL-SAFE keyed merge for incremental-state maintenance: join
+    * `l` and `r` on `keys` with `<=>` (a NULL key value names a real
+    * group — SQL's null-never-equals would leave it unpaired and a
+    * state merge would split one group across rows), emit the keys
+    * COALESCED from both sides followed by every non-key column of
+    * `l` then `r`. String-qualified aliases keep Spark's
+    * ambiguous-self-join detector quiet when one side's plan embeds
+    * the other (the semi-filtered-stored-vs-delta shape). Shared by
+    * [[MvStore.refresh]] and [[DbMv.refreshStar]].
+    */
+  def nullSafeMerge(
+      l: DataFrame,
+      r: DataFrame,
+      keys: Seq[String],
+      joinType: String = "full_outer"): DataFrame =
+    l.alias("__nsl").join(r.alias("__nsr"),
+        keys.map(c => col(s"__nsl.$c") <=> col(s"__nsr.$c")).reduce(_ && _),
+        joinType)
+      .select(keys.map(c =>
+        coalesce(col(s"__nsl.$c"), col(s"__nsr.$c")).as(c)) ++
+        l.columns.filterNot(keys.contains).map(c => col(s"__nsl.$c")) ++
+        r.columns.filterNot(keys.contains).map(c => col(s"__nsr.$c")): _*)
+
+  /** NULL-SAFE left-semi on `keys`: `l`'s rows whose key tuple —
+    * NULLs matching NULLs — appears in `r`. Output is `l` unchanged.
+    */
+  def nullSafeSemi(l: DataFrame, r: DataFrame, keys: Seq[String])
+      : DataFrame =
+    l.alias("__nsl").join(r.select(keys.map(col): _*).alias("__nsr"),
+      keys.map(c => col(s"__nsl.$c") <=> col(s"__nsr.$c")).reduce(_ && _),
+      "left_semi")
 }

@@ -1976,15 +1976,47 @@ object TxLog {
       srcDir: String,
       dstDir: String,
       autoRecreate: Boolean = false): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(RowTracking.enabled(spark, srcDir),
       s"replicateByRowId: row tracking is not enabled on $srcDir " +
         "(RowTracking.enable / graft_enable_rowtracking) — use " +
         "replicateTo(keyCol) for untracked sources")
     val cur = currentVersion(spark, srcDir)
+    replicateRowIdScaffold(spark, dstDir, "replsrc_rowid_cursor.txt",
+      "replicateByRowId", cur,
+      retainedAt = f => retainedVersions(spark, srcDir).contains(f),
+      srcAtCur = () => RowTracking.readAt(spark, srcDir, cur)
+        .drop(RowTracking.VerCol),
+      feedOver = f => changes(spark, srcDir, f, cur, Nil),
+      // replica follows the source's renames FIRST (the feed speaks
+      // the range-END logical names); the id key itself never renames
+      followRenames = f => followSourceRenames(spark, srcDir, dstDir, f),
+      autoRecreate = autoRecreate)
+  }
+
+  /** The keyless-replication scaffold [[replicateByRowId]] and
+    * [[DbLog.replicateTableByRowId]] share: cursor file IO in the
+    * REPLICA's log dir, the rename-follow + feed advance, the
+    * resync's insert + left-anti-delete feed with the typed
+    * [[ReplicaDiverged]] alignment refusal, and the deterministic
+    * `autoRecreate` heal (delete the replica whole, rebuild from the
+    * source's current id-attached snapshot, re-pin). The two callers
+    * differ only in WHERE the source lives — lambdas carry that.
+    */
+  private[ops] def replicateRowIdScaffold(
+      spark: SparkSession,
+      dstDir: String,
+      cursorFile: String,
+      opName: String,
+      cur: Int,
+      retainedAt: Int => Boolean,
+      srcAtCur: () => DataFrame,
+      feedOver: Int => DataFrame,
+      followRenames: Int => Unit,
+      autoRecreate: Boolean): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
     if (!exists(spark, dstDir)) convert(spark, dstDir)
     val fs = Compact.fsOf(spark, dstDir)
-    val cpath = new Path(logPath(dstDir), "replsrc_rowid_cursor.txt")
+    val cpath = new Path(logPath(dstDir), cursorFile)
     val from: Option[Int] =
       if (!fs.exists(cpath)) None
       else {
@@ -1998,17 +2030,38 @@ object TxLog {
       try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    // first sync / retention cliff: one id-attached full resync
+    def resync(): Unit = {
+      val src = srcAtCur()
+      val dstEmpty = liveEntries(spark, dstDir).isEmpty
+      if (!dstEmpty) {
+        val have = snapshot(spark, dstDir).columns.toSet
+        if (have != src.columns.toSet)
+          throw new ReplicaDiverged(
+            s"$opName: resync into a non-empty replica needs " +
+              s"aligned columns — replica has ${have.toSeq.sorted
+                .mkString(", ")}, source feeds ${src.columns.sorted
+                .mkString(", ")}; the lost range carries no rename " +
+              "record, recreate the replica (autoRecreate = true)")
+      }
+      val insert = src.withColumn("change_type", lit("insert"))
+      val feed =
+        if (dstEmpty) insert
+        else insert.unionByName(
+          snapshot(spark, dstDir)
+            .join(src.select(col(RowTracking.Col)).distinct(),
+              Seq(RowTracking.Col), "left_anti")
+            .withColumn("change_type", lit("delete")))
+      UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+      pin(cur)
+    }
     // the documented heal: drop the replica whole, rebuild from the
     // source's current id-attached snapshot, re-pin. Deterministic —
     // the result equals a first sync into an empty replica.
     def recreate(): (Int, Int) = {
       fs.delete(new Path(dstDir), true)
       convert(spark, dstDir)
-      val src = RowTracking.readAt(spark, srcDir, cur)
-        .drop(RowTracking.VerCol)
-      UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col,
-        src.withColumn("change_type", lit("insert")))
-      pin(cur)
+      resync()
       (from.getOrElse(-1), cur)
     }
     // refusals are TYPED ([[ReplicaDiverged]]) — a destructive
@@ -2020,12 +2073,10 @@ object TxLog {
       }
     from match {
       case Some(f) if f == cur => (f, cur)
-      case Some(f) if retainedVersions(spark, srcDir).contains(f) =>
+      case Some(f) if retainedAt(f) =>
         orRecreate {
-          // replica follows the source's renames FIRST (the feed speaks
-          // the range-END logical names); the id key itself never renames
-          followSourceRenames(spark, srcDir, dstDir, f)
-          val feed = changes(spark, srcDir, f, cur, Nil)
+          followRenames(f)
+          val feed = feedOver(f)
             .drop(RowTracking.VerCol)
             .withColumnRenamed("_change_type", "change_type")
             .withColumnRenamed("_commit_version", "commit_version")
@@ -2034,33 +2085,7 @@ object TxLog {
           (f, cur)
         }
       case _ =>
-        orRecreate {
-          // first sync / retention cliff: one id-attached full resync
-          val src = RowTracking.readAt(spark, srcDir, cur)
-            .drop(RowTracking.VerCol)
-          val dstEmpty = liveFiles(spark, dstDir).isEmpty
-          if (!dstEmpty) {
-            val have = snapshot(spark, dstDir).columns.toSet
-            if (have != src.columns.toSet)
-              throw new ReplicaDiverged(
-                s"replicateByRowId: resync into a non-empty replica needs " +
-                  s"aligned columns — replica has ${have.toSeq.sorted
-                    .mkString(", ")}, source feeds ${src.columns.sorted
-                    .mkString(", ")}; the lost range carries no rename " +
-                  "record, recreate the replica (autoRecreate = true)")
-          }
-          val insert = src.withColumn("change_type", lit("insert"))
-          val feed =
-            if (dstEmpty) insert
-            else insert.unionByName(
-              snapshot(spark, dstDir)
-                .join(src.select(col(RowTracking.Col)).distinct(),
-                  Seq(RowTracking.Col), "left_anti")
-                .withColumn("change_type", lit("delete")))
-          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
-          pin(cur)
-          (from.getOrElse(-1), cur)
-        }
+        orRecreate { resync(); (from.getOrElse(-1), cur) }
     }
   }
 
@@ -2081,6 +2106,7 @@ object TxLog {
   private def followSourceRenames(
       spark: SparkSession, srcDir: String, dstDir: String,
       fromVersion: Int): Unit = {
+    if (liveFiles(spark, dstDir).isEmpty) return // nothing to re-spell
     val pinNow = tableSchema(spark, srcDir)
     // pre-pin era at `from`: footer names WERE the physical names
     val oldByPhys: Map[String, String] =

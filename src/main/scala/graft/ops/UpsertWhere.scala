@@ -221,10 +221,28 @@ object UpsertWhere {
               TxLog.currentVersion(spark, dir) + 1)
           else merged0)
       }
-    commitStaged(spark, dir, all, touched, staged, evolvedPin)
-    // pin the widened schema AT the committed version so untouched
-    // files (which lack the new column) read NULL deterministically
-    evolvedPin.foreach(TxLog.setTableSchema(spark, dir, _))
+    // the evolved pin writes BEFORE the commit, keyed to the version
+    // about to land (the COPY INTO discipline): pinning after would
+    // open a crash window where WIDE-typed committed footers sit
+    // under the old narrow pin — unreadable until someone re-pins
+    // (the fresh-column direction is benign, the widened-type one is
+    // not). A pin on a version nobody landed yet is inert; if the
+    // commit retries past it, newest-pin-≤-v still covers the landing
+    // commit (interleaved versions read the wider schema one commit
+    // early — narrow footers under a wide pin are the SUPPORTED
+    // direction). On failure the slot retracts content-guarded.
+    val pinnedAt = evolvedPin.map { m =>
+      val at = TxLog.currentVersion(spark, dir) + 1
+      TxLog.setTableSchema(spark, dir, m, at)
+      at
+    }
+    try commitStaged(spark, dir, all, touched, staged, evolvedPin)
+    catch {
+      case e: Throwable =>
+        pinnedAt.foreach(at => TxLog.unsetTableSchema(spark, dir, at,
+          expected = evolvedPin))
+        throw e
+    }
     Receipt(
       filesTotal = all.length,
       candidates = touched.length,

@@ -19,6 +19,8 @@ import org.apache.spark.sql.streaming.OutputMode
   *   .option("tableCol", "t")                // route: discriminator
   *   .option("compactEvery", "16")           // epochs between binPacks
   *   .option("materializeEvery", "8")        // merge: DV fold cadence
+  *   .option("followDrops", "true")          // apply: replica follows
+  *                                           //   source DROP COLUMNs
   *   .option("branch", "staging")            // land epochs on a branch
   *   .option("checkpointLocation", cp)
   *   .start()
@@ -118,13 +120,15 @@ final class GraftSink(parameters: Map[String, String]) extends Sink {
             .withColumnsRenamed(Map(
               "_change_type" -> "change_type",
               "_commit_version" -> "commit_version"))
-          // a replication sink follows the source's schema WHOLE:
-          // evolved-in columns widen the replica (applyChanges's
-          // default) and dropped columns leave it (followDrops) —
-          // otherwise a mid-stream DROP COLUMN wedges every
-          // redelivery after the supervisor's restart
+          // followDrops=true opts the replica into following source
+          // DROP COLUMNs (otherwise a mid-stream drop wedges every
+          // redelivery after the supervisor's restart). OPT-IN, never
+          // forced: under the default a feed that merely PROJECTS a
+          // subset still fails loudly instead of silently destroying
+          // replica columns.
           graft.ops.UpsertWhere.applyChanges(spark, path, key, renamed,
-            followDrops = true)
+            followDrops =
+              parameters.get("followDrops").exists(_.toBoolean))
           ()
         }
       case "route" =>

@@ -170,6 +170,7 @@ class SchemaEvolutionStreamSpec extends SparkSpec {
         .option("path", src).option("startingVersion", "0").load()
         .writeStream.format("graft").option("path", rep)
         .option("mode", "apply").option("keys", "k")
+        .option("followDrops", "true") // opt-in: replica follows drops
         .option("checkpointLocation", ck).start())
     sup.processAllAvailable()
     // evolution #1: widen
