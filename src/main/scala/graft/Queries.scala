@@ -5524,8 +5524,9 @@ object Queries {
     * transaction applying a keyed change batch to cust AND appending
     * to the sibling replicates in one hop, a SIBLING-ONLY commit
     * advances the cursor without committing anything to the replica,
-    * a compaction of cust nets to nothing (asserted on the replica's
-    * version both times), and a per-table RENAME mid-stream followed
+    * table MAINTENANCE (deletion-vector fold + bin-pack) nets to
+    * nothing (asserted on the replica's version each time), and a
+    * per-table RENAME mid-stream followed
     * by a post-rename update re-spells the replica through the
     * table's own pins. DuckDB replays the final replica, ids
     * included, with row_number arithmetic.
@@ -5587,13 +5588,19 @@ object Queries {
       graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
     require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
       "db_replicate: a sibling-table advance must commit nothing")
-    // compaction movement nets to nothing too
+    // maintenance movement nets to nothing too: fold the churn txn's
+    // deletion vectors (visible rows only, ids materialized), then
+    // pack the smalls — both must replicate as empty feeds
+    graft.Phases.timed("materialize")(
+      require(graft.ops.DbLog.materializeTable(s, db, "cust") > 0,
+        "db_replicate: the churn left vectors to fold"))
     graft.Phases.timed("compact")(
-      graft.ops.DbLog.compactTable(s, db, "cust", smallBytes = 8L << 20))
-    graft.Phases.timed("compact_advance")(
+      require(graft.ops.DbLog.compactTable(s, db, "cust",
+        smallBytes = 8L << 20) > 0, "db_replicate: smalls to pack"))
+    graft.Phases.timed("maintain_advance")(
       graft.ops.DbLog.replicateTableByRowId(s, db, "cust", dst))
     require(graft.ops.TxLog.currentVersion(s, dst) == dstV,
-      "db_replicate: a compaction advance must commit nothing")
+      "db_replicate: a maintenance advance must commit nothing")
     // per-table rename mid-stream + a post-rename update
     graft.Phases.timed("rename_writes") {
       graft.ops.DbLog.renameColumn(s, db, "cust", "c_acctbal", "bal")

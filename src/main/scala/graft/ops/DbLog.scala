@@ -562,6 +562,40 @@ object DbLog {
     names.map(n => s"$table/$n")
   }
 
+  /** Fold ONE table's deletion vectors into its data files — the
+    * per-table form of [[DeletionVectors.materialize]] (which reads
+    * every DV-carrying entry of a dir TOGETHER and therefore cannot
+    * run on a database: sibling tables' schemas differ). Each
+    * DV-carrying entry of `table` rewrites to its VISIBLE rows (ids
+    * and commit versions materialized on a tracked table — the fold
+    * moves rows without changing any row's identity or provenance)
+    * and the vector dies with the replaced entry. Returns the
+    * committed version, or -1 when the table carries no vectors.
+    * Composes with [[compactTable]] (which SKIPS DV-carrying files):
+    * materialize first, then pack — the maintenance pair
+    * [[DbMv.maintainStar]] runs on merge-on-read view state. A
+    * row-id replica sees the fold as NOTHING (identical (row, id)
+    * pairs net to an empty keyless feed).
+    */
+  def materializeTable(
+      spark: SparkSession, db: String, table: String): Int = {
+    requireTableName(table)
+    val entries = entriesOf(spark, db, table, Int.MaxValue)
+    require(entries.nonEmpty,
+      s"materializeTable: no such table '$table' in $db")
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return -1
+    val pin = tableSchema(spark, db, table)
+    val rows = RowTracking.attachForRewriteTable(spark, db, table, dvd)
+      .getOrElse(TxLog.readEntries(spark, db, dvd, pinOverride = pin))
+    val out = pin.map(ColumnMapping.toPhysical(rows, _)).getOrElse(rows)
+    val rels = stageInto(spark, db, table,
+      p => out.write.mode("overwrite").parquet(p))
+    TxLog.commitEntries(spark, db, adds = rels.map(TxLog.AddEntry(_)),
+      removes = dvd.map(_.name), seen = dvd,
+      op = Some(s"materialize-table($table)"))
+  }
+
   /** Bin-pack ONE table's small files into ~`targetBytes` outputs —
     * [[Compact.binPack]] confined to the table's prefix, as one
     * database commit. DV-carrying entries are skipped (packing raw

@@ -401,6 +401,29 @@ object DbMv {
     else whole.filter(col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1)))
   }
 
+  /** MAINTENANCE for a star view's merge-on-read state: every refresh
+    * hides touched groups behind a deletion vector and appends a
+    * small file, so the state table accumulates both — fold the
+    * vectors ([[DbLog.materializeTable]]), then pack the smalls
+    * ([[DbLog.compactTable]]). Two ordinary table commits; the view's
+    * VALUE is untouched (both moves preserve visible rows exactly),
+    * and a refresh races them safely (the log's conflict rule — the
+    * loser recomputes). Run on whatever cadence the refresh volume
+    * suggests; cost is O(state), which is ndv-of-groups sized.
+    * Returns (materialize version, compact version), -1 where the
+    * step had nothing to do.
+    */
+  def maintainStar(
+      spark: SparkSession, db: String, name: String,
+      targetBytes: Long = 128L << 20,
+      smallBytes: Long = 64L << 20): (Int, Int) = {
+    requireViewName(name)
+    val m = DbLog.materializeTable(spark, db, stateTable(name))
+    val c = DbLog.compactTable(spark, db, stateTable(name),
+      targetBytes, smallBytes)
+    (m, c)
+  }
+
   /** Advance the star view to the database's current version: every
     * churned table contributes one telescoping summand (tables left
     * of the delta at the OLD cut, right of it at the NEW — consecutive

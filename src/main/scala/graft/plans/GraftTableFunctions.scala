@@ -396,6 +396,10 @@ object GraftTableFunctions {
       val db = str(d, fn, 0)
       val v = graft.ops.DbLog.compactTable(spark, db, str(tb, fn, 1))
       procReceipt(spark, "db-compact", db, Seq("version" -> v.toLong))
+    case ("graft_db_materialize", Seq(d, tb)) =>
+      val db = str(d, fn, 0)
+      val v = graft.ops.DbLog.materializeTable(spark, db, str(tb, fn, 1))
+      procReceipt(spark, "db-materialize", db, Seq("version" -> v.toLong))
     case ("graft_clone", rest @ Seq(s0, d0, _*)) if rest.length <= 4 =>
       val src = str(s0, fn, 0)
       val dst = str(d0, fn, 1)
@@ -661,6 +665,8 @@ object GraftTableFunctions {
         "graft_db_replicate_rowid(db, table, dst) - PROCEDURE: keyless replication of one database table by its stable _row_id"),
       ("graft_db_compact",
         "graft_db_compact(db, table) - PROCEDURE: bin-pack one table's small files (ids travel materialized on tracked tables)"),
+      ("graft_db_materialize",
+        "graft_db_materialize(db, table) - PROCEDURE: fold one table's deletion vectors into its data files"),
       ("graft_clone",
         "graft_clone(src, dst[, version|tag[, 'pin']]) - PROCEDURE: zero-copy shallow clone (metadata-only; 'pin' tags the source so vacuum keeps the cloned version)"),
       ("graft_clone_source",

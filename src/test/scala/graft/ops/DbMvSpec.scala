@@ -309,6 +309,45 @@ class DbMvSpec extends SparkSpec {
     assert(same(rounded(nullRows()), direct))
   }
 
+  test("star: maintainStar folds state vectors and packs smalls; the view's value is untouched") {
+    val db = freshStarDb()
+    DbMv.initStar(spark, db, "srev", starView)
+    // several touched-group refreshes: each hides old group rows
+    // behind a DV and appends a small file
+    (0 until 3).foreach { i =>
+      val upd = DbLog.snapshot(spark, db, "orders")
+        .filter(col("o_orderkey") % 11 === i)
+        .withColumn("rev", (col("rev") + lit(1)).cast("decimal(12,2)"))
+        .localCheckpoint()
+      DbLog.transact(spark, db, s"bump$i")(
+        _.upsertKeyed("orders", Seq("o_orderkey"), upd))
+      DbMv.refreshStar(spark, db, "srev")
+    }
+    checkStar(db, "pre-maintenance")
+    val stateEntries = TxLog.liveEntries(spark, db)
+      .filter(_.name.startsWith("mv_srev_state/"))
+    assert(stateEntries.exists(_.dv.isDefined),
+      "refreshes should have left deletion vectors on the state")
+    val before = stateEntries.size
+    val (m, c) = DbMv.maintainStar(spark, db, "srev",
+      smallBytes = 64L << 20)
+    assert(m > 0 && c > 0, s"both steps should commit, got ($m, $c)")
+    val after = TxLog.liveEntries(spark, db)
+      .filter(_.name.startsWith("mv_srev_state/"))
+    assert(after.forall(_.dv.isEmpty), "no vector survives the fold")
+    assert(after.size < before, s"pack should shrink $before files")
+    checkStar(db, "post-maintenance") // value untouched
+    // and the next refresh lands normally on the maintained state
+    val upd = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .withColumn("rev", (col("rev") * 2).cast("decimal(12,2)"))
+      .localCheckpoint()
+    DbLog.transact(spark, db, "post")(
+      _.upsertKeyed("orders", Seq("o_orderkey"), upd))
+    DbMv.refreshStar(spark, db, "srev")
+    checkStar(db, "post-maintenance refresh")
+  }
+
   test("star: behind the vacuum horizon the view reseeds atomically") {
     val db = freshStarDb()
     DbMv.initStar(spark, db, "srev", starView)
