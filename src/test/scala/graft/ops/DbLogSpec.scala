@@ -713,5 +713,25 @@ class DbLogSpec extends SparkSpec {
     val second = drain()
     assert(second.filter(col("_change_type") === "update_postimage")
       .count() == upd.count())
+    // startingTimestamp floor on the db feed: a bound before the
+    // database existed replays the whole history — the initial
+    // snapshot arrives as keyless inserts carrying ids
+    val out2 = Files.createTempDirectory("dbcdc_ts").toString
+    val q2 = spark.readStream.format("graft-cdc")
+      .option("path", db).option("table", "customer")
+      .option("updateImages", "true")
+      .option("startingTimestamp", "1990-01-01T00:00:00")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out2/data")
+      .option("checkpointLocation", s"$out2/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val replay = spark.read.parquet(s"$out2/data")
+    assert(replay.filter(col("_change_type") === "insert").count() ==
+      DbLog.snapshot(spark, db, "customer").count())
+    assert(replay.select(RowTracking.Col).na.drop().distinct().count() ==
+      replay.count())
   }
 }
