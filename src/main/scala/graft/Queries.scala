@@ -3216,10 +3216,25 @@ object Queries {
       })
     graft.Phases.timed("star_advance")(
       graft.ops.DbMv.refreshStar(s, db, "rev")) // one advance, 3 summands
+    // SECOND, purely SCATTERED merge-on-read churn: %983 keys hit
+    // every fact file, so every entry's deletion vector grows — the
+    // shape whose feed degenerated to two full scans before the
+    // DV-delta positional path. Its advance receipt (scat_advance)
+    // holds the win in the suite: the removed side serves from the
+    // churn-sized _cdc sidecars, never a base-file re-read.
+    val bump2 = graft.ops.DbLog.snapshot(s, db, "fact")
+      .filter(pmod(col("o_orderkey"), lit(983)) === 0)
+      .withColumn("price", col("price") * 2).localCheckpoint()
+    graft.Phases.timed("scat_churn_txn")(
+      graft.ops.DbLog.transact(s, db, "scat") { txn =>
+        txn.upsertKeyed("fact", Seq("o_orderkey"), bump2)
+      })
+    graft.Phases.timed("scat_advance")(
+      graft.ops.DbMv.refreshStar(s, db, "rev"))
     val again = graft.Phases.timed("noop_advance")(
       graft.ops.DbMv.refreshStar(s, db, "rev"))
     require(again._1 == again._2,
-      "dbmv_star: the second refresh must recognize the fixpoint")
+      "dbmv_star: the final refresh must recognize the fixpoint")
     graft.ops.DbMv.readStar(s, db, "rev")
       .select(col("seg"), col("nation_name"), col("mv_count"),
         round(col("sum_price"), 2).as("sum_price"),

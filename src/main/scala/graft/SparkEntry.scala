@@ -2542,11 +2542,16 @@ object Oracles {
     "q_dbmv_star" ->
       """WITH fact AS (
            SELECT o_custkey,
-                  CASE WHEN o_orderkey % 991 = 0
-                       THEN o_totalprice * 2 ELSE o_totalprice END AS price
+                  (CASE WHEN o_orderkey % 991 = 0
+                        THEN o_totalprice * 2 ELSE o_totalprice END)
+                  * (CASE WHEN o_orderkey % 983 = 0 THEN 2 ELSE 1 END)
+                    AS price
            FROM orders WHERE o_orderkey % 997 <> 0
            UNION ALL
-           SELECT o_custkey, 1.0 AS price FROM orders WHERE o_orderkey < 5
+           SELECT o_custkey,
+                  1.0 * (CASE WHEN (o_orderkey + 1000000) % 983 = 0
+                              THEN 2 ELSE 1 END) AS price
+           FROM orders WHERE o_orderkey < 5
          ),
          d1 AS (
            SELECT c_custkey AS o_custkey,

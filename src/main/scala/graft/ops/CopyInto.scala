@@ -290,7 +290,12 @@ object CopyInto {
     // executor-side candidate counts: the ONLY zone-wide pass, and it
     // returns one long per prefix — the file names stay distributed
     val confEnts = Compact.confEntries(spark)
-    val counts: Map[String, Long] =
+    // per prefix: (direct pattern-matching files, non-hidden subdirs).
+    // The subdir count exists so a zone nested one level deeper than
+    // expected (day=X/hour=Y/part.parquet) RECURSES instead of
+    // silently counting 0 files and returning a success receipt that
+    // loaded nothing — the scheduled-loader trap
+    val counts: Map[String, (Long, Long)] =
       if (prefixes.isEmpty) Map.empty
       else spark.sparkContext
         .parallelize(prefixes, math.max(1, math.min(prefixes.length, 256)))
@@ -303,21 +308,36 @@ object CopyInto {
                 val nm = st.getPath.getName
                 st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
               }).getOrElse(0)
-            (p, n.toLong)
+            val dirs = fs.listStatus(new Path(p)).count { st =>
+              val nm = st.getPath.getName
+              st.isDirectory && !nm.startsWith("_") && !nm.startsWith(".")
+            }
+            (p, (n.toLong, dirs.toLong))
           }
         }.collect().toMap
     // loader-specific walk order spreads racing loaders across
     // prefixes (correctness never depends on it — claims do that)
     val order = scala.util.Random.shuffle(
-      prefixes.filter(p => counts.getOrElse(p, 0L) > 0L))
+      prefixes.filter { p =>
+        val (n, d) = counts.getOrElse(p, (0L, 0L))
+        n > 0L || d > 0L
+      })
     // pattern-aware: a stray README at the root must not buy a whole
     // extra listing + ledger + claim pass on every invocation
     val topGlob = new org.apache.hadoop.fs.GlobPattern(pattern)
     val hasTopFiles =
       top.exists(st => st.isFile && topGlob.matches(st.getPath.getName))
-    val parts = order.map(p =>
-      copyInto(spark, dir, p, format, options, pattern, force,
-        evolveSchema, claimLeaseMs)) ++
+    val parts = order.map { p =>
+      // a prefix holding subdirectories recurses (one level per call —
+      // finite tree, peak driver listing still one prefix's names per
+      // level; the recursion's own top-files branch loads p's direct
+      // files); a flat prefix loads as its own commit
+      if (counts.getOrElse(p, (0L, 0L))._2 > 0L)
+        copyIntoByPrefix(spark, dir, p, format, options, pattern, force,
+          evolveSchema, claimLeaseMs)
+      else copyInto(spark, dir, p, format, options, pattern, force,
+        evolveSchema, claimLeaseMs)
+    } ++
       (if (hasTopFiles)
         Seq(copyInto(spark, dir, source, format, options, pattern, force,
           evolveSchema, claimLeaseMs))

@@ -59,6 +59,14 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not}
   */
 object DbLog {
 
+  /** A driver-collecting in-transaction upsert refused its key batch
+    * as data-sized; the message names the safe alternatives
+    * ([[Txn.applyKeyed]] in-txn, [[UpsertWhere.byKeysDistributed]]
+    * outside).
+    */
+  final class UpsertTooLarge(msg: String)
+      extends IllegalArgumentException(msg)
+
   private val TableName = "[A-Za-z_][A-Za-z0-9_]*".r
 
   private def requireTableName(t: String): Unit =
@@ -175,6 +183,75 @@ object DbLog {
       s"stats columns must avoid '|', ',' and ':' — got $cols")
     TxLog.metaWrite(spark, db, s"stats_cols.$table.txt",
       cols.mkString("\n"))
+  }
+
+  /** Candidate files of ONE table at `version` under a CONJUNCTION of
+    * per-column numeric [lo, hi] bounds, decided from the ADD-carried
+    * log stats alone ([[TxLog.candidateFilesFromLog]]'s per-table
+    * form — no footer reads at plan time). Columns speak the table's
+    * logical names (stats are keyed physical; the table pin
+    * translates); an entry without stats for a bound's column is
+    * always a candidate — unknown never prunes.
+    */
+  def candidateTableFiles(
+      spark: SparkSession, db: String, table: String,
+      bounds: Seq[(String, Double, Double)],
+      version: Int = Int.MaxValue): Seq[String] = {
+    val pin = tableSchema(spark, db, table, version)
+    val phys = bounds.map { case (c, lo, hi) =>
+      (pin.map(ColumnMapping.physicalOf(_, c)).getOrElse(c), lo, hi)
+    }
+    entriesOf(spark, db, table, version).collect {
+      case e if phys.forall { case (pc, lo, hi) =>
+        e.stats.find(_.column == pc).forall(s => s.max >= lo && s.min <= hi)
+      } => e.name
+    }
+  }
+
+  /** [[TxLog.candidateFilesStringRange]]'s per-table form: files of
+    * `table` whose footer lexicographic [min, max] on STRING `column`
+    * can intersect [lo, hi], in unsigned UTF-8 byte order, manifests
+    * read distributed with the session conf shipped. A file whose
+    * stats were omitted never prunes.
+    */
+  def candidateTableFilesString(
+      spark: SparkSession, db: String, table: String,
+      column: String, lo: String, hi: String,
+      version: Int = Int.MaxValue): Seq[String] = {
+    val entries = entriesOf(spark, db, table, version)
+    if (entries.isEmpty) return Nil
+    val pc = tableSchema(spark, db, table, version)
+      .map(ColumnMapping.physicalOf(_, column)).getOrElse(column)
+    val stats = ZoneMap.stringStatsRows(spark,
+        entries.map(e => TxLog.dataPathOf(db, e)), Seq(pc))
+      .select("file", "min_str", "max_str").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    entries.filter { e =>
+      stats.get(TxLog.dataPathOf(db, e)) match {
+        case Some((mn, mx)) =>
+          ZoneMap.leUtf8(mn, hi) && ZoneMap.leUtf8(lo, mx)
+        case None => true // unknown never prunes
+      }
+    }.map(_.name)
+  }
+
+  /** One table's rows at `version` restricted to an EXPLICIT live-file
+    * subset (names from the candidate routines above) — the per-table
+    * seam selective readers ([[DbMv]]'s dim-term fact scan) build on.
+    * An empty subset reads nothing but keeps the table's schema.
+    */
+  private[ops] def snapshotOfFiles(
+      spark: SparkSession, db: String, table: String,
+      names: Set[String], version: Int = Int.MaxValue): DataFrame = {
+    val entries = entriesOf(spark, db, table, version)
+    val keep = entries.filter(e => names(e.name))
+    if (keep.isEmpty)
+      TxLog.readEntries(spark, db, entries, schemaVersion = version,
+        pinOverride = tableSchema(spark, db, table, version)).limit(0)
+    else
+      TxLog.readEntries(spark, db, keep, schemaVersion = version,
+        pinOverride = tableSchema(spark, db, table, version))
   }
 
   /** Pin ONE table's schema at `version` (default: the database's
@@ -411,7 +488,11 @@ object DbLog {
       TxLog.liveEntries(spark, db, toVersion).filter(_.name.startsWith(pfx)),
       toVersion,
       schemaV = schemaV,
-      pinOverride = tableSchema(spark, db, table, schemaV))
+      pinOverride = tableSchema(spark, db, table, schemaV),
+      // the commits' sidecars may span SIBLING tables (one txn, many
+      // applyKeyed) — the (file, pos) join scopes to this table's
+      // prefix, foreign rows never pair
+      cdcNames = TxLog.cdcNamesInRange(spark, db, fromVersion, toVersion))
   }
 
   /** One table's row-level change feed WITH UPDATE IMAGES and
@@ -665,6 +746,7 @@ object DbLog {
     private val adds = Seq.newBuilder[TxLog.AddEntry]
     private val removes = Seq.newBuilder[String]
     private val seen = Seq.newBuilder[TxLog.AddEntry]
+    private val cdcs = Seq.newBuilder[String]
     private var done = false
     // a second rewrite of the same table would re-apply against the
     // BASE version and double the first rewrite's replacements — the
@@ -810,6 +892,7 @@ object DbLog {
       adds ++= st.adds
       removes ++= st.removes
       seen ++= st.seen
+      cdcs ++= st.cdcFile
     }
 
     /** Stage a keyed MERGE-ON-READ upsert: same-key rows are hidden
@@ -857,7 +940,7 @@ object DbLog {
       val toWrite =
         if (!RowTracking.enabledTable(spark, db, table)) aligned
         else RowTracking.inheritByKeysTable(spark, db, table, aligned,
-          keyCols, entries)
+          keyCols, entries, nullSafe = nullSafeKeys)
       markRewrite(table, "applyKeyed")
       if (entries.nonEmpty) {
         val k = upserts.select(keyCols.map(col): _*)
@@ -881,6 +964,7 @@ object DbLog {
         adds ++= st.adds
         removes ++= st.removes
         seen ++= st.seen
+        cdcs ++= st.cdcFile
       }
       val rels = stageIn(table,
         p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))
@@ -891,14 +975,27 @@ object DbLog {
       * (copy-on-write of only the files holding those keys) and
       * new keys append. Composes [[deleteWhere]] + [[append]] inside
       * the same atomic commit. The key set is driver-collected —
-      * sized for command-batch upserts (the [[UpsertWhere
-      * .byKeysDistributed]] shape covers data-sized batches, outside
-      * a multi-table transaction).
+      * sized for command-batch upserts, and GUARDED: a batch beyond
+      * `maxKeys` distinct keys refuses with [[UpsertTooLarge]] before
+      * anything collects, naming the two safe paths — [[applyKeyed]]
+      * (merge-on-read, keys never collected, works INSIDE this
+      * transaction) or [[UpsertWhere.byKeysDistributed]] (outside
+      * one). The default bound (1M keys ≈ 8–32 MB of driver heap) is
+      * the command/data boundary the round-10 probe measured.
       */
-    def upsert(table: String, keyCol: String, updates: DataFrame): Unit = {
+    def upsert(table: String, keyCol: String, updates: DataFrame,
+        maxKeys: Long = 1L << 20): Unit = {
       requireOpen()
       if (tableExists(table)) {
         val keys = updates.select(col(keyCol)).distinct()
+        // bounded probe: one limit-scan, never a full count
+        if (keys.limit((maxKeys + 1).toInt).count() > maxKeys)
+          throw new DbLog.UpsertTooLarge(
+            s"upsert($table): more than $maxKeys distinct keys — a " +
+              "data-sized batch must not collect to the driver. Use " +
+              "txn.applyKeyed (merge-on-read, in-transaction) or " +
+              "UpsertWhere.byKeysDistributed (single-table, outside " +
+              "a transaction).")
         val keySet = keys.collect().map(_.get(0)).toSeq
         // row tracking: the copy-on-write form deletes matched rows
         // and re-inserts them — inherit their ids FIRST (against the
@@ -913,13 +1010,16 @@ object DbLog {
       } else append(table, updates)
     }
 
-    /** Publish every staged operation as one atomic version. */
-    def commit(op: String = "txn"): Int = {
+    /** Publish every staged operation as one atomic version. `txn`
+      * stamps the commit with a transaction id ([[TxLog.txnCommitted]]
+      * answers replays — the streaming epoch contract).
+      */
+    def commit(op: String = "txn", txn: Option[String] = None): Int = {
       requireOpen()
       done = true
       TxLog.commitEntries(spark, db,
-        adds = adds.result(), removes = removes.result(),
-        seen = seen.result(), op = Some(op))
+        adds = adds.result(), removes = removes.result(), txn = txn,
+        seen = seen.result(), op = Some(op), cdc = cdcs.result())
     }
   }
 }

@@ -199,7 +199,23 @@ object DbMv {
       if (!TxLog.retainedVersions(spark, db).contains(from)) true
       else ents(from) != ents(to)
     }
-    if (!changed(view.fact) && !changed(view.dim)) return (from, from)
+    if (!changed(view.fact) && !changed(view.dim)) {
+      // same quiet-view cursor hop as [[refreshStar]]: sibling-table
+      // commits in the window move the cursor (one metadata commit)
+      // so the view never reseeds for zero relevant churn; a window
+      // of purely own commits no-ops without committing
+      val own = Set(stateTable(name), cursorTable(name),
+        sdefTable(name), defTable(name))
+      def prefixes(v: Int) = TxLog.liveEntries(spark, db, v)
+        .map(e => (e.name, e.dv)).toSet
+      val (pf, pt) = (prefixes(from), prefixes(to))
+      val touched = ((pf diff pt) ++ (pt diff pf))
+        .map(_._1.takeWhile(_ != '/'))
+      if (touched.forall(own)) return (from, from)
+      txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
+      txn.commit(s"mv_cursor($name)")
+      return (from, from)
+    }
 
     if (!TxLog.retainedVersions(spark, db).contains(from)) {
       // behind the vacuum horizon: the feed from `from` is gone —
@@ -307,6 +323,22 @@ object DbMv {
       (t, ks.split("\\+").toSeq)
     }
 
+  /** The definition codec's public face for the SQL surface
+    * (`graft_dbmv_star_init`): `"dim:k1+k2;dim2:k3"` — per-dim
+    * `table:keys`, keys joined with `+`.
+    */
+  def parseDims(s: String): Seq[(String, Seq[String])] = decodeDims(s)
+
+  /** Whether `name` names the N-table STAR form (vs the two-table
+    * join form) — the SQL refresh/read dispatch probe.
+    */
+  def isStar(
+      spark: SparkSession, db: String, name: String,
+      version: Int = Int.MaxValue): Boolean = {
+    requireViewName(name)
+    DbLog.tables(spark, db, version).contains(sdefTable(name))
+  }
+
   private def joinedStar(
       spark: SparkSession, db: String, v: StarView, version: Int)
       : DataFrame =
@@ -382,23 +414,58 @@ object DbMv {
       version: Int = Int.MaxValue): DataFrame =
     DbLog.snapshot(spark, db, stateTable(name), version)
 
-  /** The OLD-side fact scan for a dim term, bounded to the changed
-    * keys' [min, max] when the (single) key is a fact column — a
-    * plain range predicate parquet's row-group stats serve under any
-    * orderable type. Multi-key or snowflake terms (the key is a
-    * column an earlier dim produced) read whole; an empty delta reads
-    * nothing.
+  /** The OLD-side fact scan for a dim term, bounded two ways by the
+    * churn-sized feed's per-key [min, max]: FILE level through the
+    * log-carried per-table stats manifests (numeric keys —
+    * [[DbLog.candidateTableFiles]], a conjunction across every key
+    * that is a fact column) or the footer string manifests (string
+    * keys — [[DbLog.candidateTableFilesString]]), then a residual
+    * per-key range predicate row-group stats serve inside the
+    * survivors. Over-inclusion is harmless — the ⋈ ΔD that follows
+    * is exact — so a key no manifest serves simply doesn't prune.
+    * An empty delta (or one whose key column is all-NULL — an
+    * equi-join key no row can match) reads nothing; a term whose
+    * keys are all snowflake columns (produced by an earlier dim,
+    * absent on the fact) reads whole.
     */
   private def prunedFactOld(
       spark: SparkSession, db: String, fact: String, from: Int,
       feed: DataFrame, keys: Seq[String]): DataFrame = {
     val whole = DbLog.snapshot(spark, db, fact, from)
     if (feed.isEmpty) return whole.limit(0)
-    if (keys.sizeIs != 1 || !whole.columns.contains(keys.head)) return whole
-    val k = keys.head
-    val b = feed.agg(min(col(k)), max(col(k))).head()
-    if (b.isNullAt(0)) whole.limit(0)
-    else whole.filter(col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1)))
+    val factFields = whole.schema.fields.map(f => f.name -> f.dataType).toMap
+    val factKeys = keys.filter(factFields.contains)
+    if (factKeys.isEmpty) return whole
+    // one churn-sized pass over the feed: per-key [min, max]
+    val aggs = factKeys.flatMap(k =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+    val b = feed.agg(aggs.head, aggs.tail: _*).head()
+    def lo(i: Int) = b.get(2 * i)
+    def hi(i: Int) = b.get(2 * i + 1)
+    if (factKeys.indices.exists(i => b.isNullAt(2 * i)))
+      return whole.limit(0)
+    val numeric = factKeys.zipWithIndex.collect {
+      case (k, i) if lo(i).isInstanceOf[java.lang.Number] =>
+        (k, lo(i).asInstanceOf[java.lang.Number].doubleValue,
+          hi(i).asInstanceOf[java.lang.Number].doubleValue)
+    }
+    val strings = factKeys.zipWithIndex.collect {
+      case (k, i) if lo(i).isInstanceOf[String] =>
+        (k, lo(i).asInstanceOf[String], hi(i).asInstanceOf[String])
+    }
+    val all = DbLog.candidateTableFiles(spark, db, fact, Nil, from).toSet
+    val cand = strings.foldLeft(
+      DbLog.candidateTableFiles(spark, db, fact, numeric, from).toSet) {
+        case (acc, (k, l, h)) =>
+          acc intersect DbLog.candidateTableFilesString(
+            spark, db, fact, k, l, h, from).toSet
+      }
+    val src =
+      if (cand == all) whole // nothing pruned: keep the plain-read plan
+      else DbLog.snapshotOfFiles(spark, db, fact, cand, from)
+    factKeys.zipWithIndex.foldLeft(src) { case (d, (k, i)) =>
+      d.filter(col(k) >= lit(lo(i)) && col(k) <= lit(hi(i)))
+    }
   }
 
   /** MAINTENANCE for a star view's merge-on-read state: every refresh
@@ -452,7 +519,28 @@ object DbMv {
       else ents(from) != ents(to)
     }
     val churned = view.tables.map(changed)
-    if (!churned.contains(true)) return (from, from)
+    if (!churned.contains(true)) {
+      // nothing RELEVANT churned. If the only commits in (from, to]
+      // are this view's OWN (state/cursor rewrites), no-op WITHOUT
+      // committing — the fixpoint gate, or refresh chases its own
+      // tail forever. But when sibling tables of the database did
+      // commit, hop the cursor to `to` (state untouched, one
+      // metadata-sized commit): a quiet view must not fall behind
+      // the vacuum horizon and pay a full O(view) reseed for zero
+      // relevant churn. The hop itself is an own-commit, so the next
+      // refresh over it no-ops without committing.
+      val own = Set(stateTable(name), cursorTable(name),
+        sdefTable(name), defTable(name))
+      def prefixes(v: Int) = TxLog.liveEntries(spark, db, v)
+        .map(e => (e.name, e.dv)).toSet
+      val (pf, pt) = (prefixes(from), prefixes(to))
+      val touched = ((pf diff pt) ++ (pt diff pf))
+        .map(_._1.takeWhile(_ != '/'))
+      if (touched.forall(own)) return (from, from)
+      txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
+      txn.commit(s"mv_cursor_star($name)")
+      return (from, from)
+    }
 
     if (!TxLog.retainedVersions(spark, db).contains(from)) {
       // the reseed re-sizes the state layout exactly like initStar —

@@ -280,18 +280,23 @@ object DeletionVectors {
     }
     val cand = candEarly
     val k = updates.select(keyCols.map(col): _*).distinct()
-    val (hit, replacedRows, touched) =
-      if (cand.isEmpty) (None, 0L, Nil)
+    // matched rows checkpointed WITH CONTENT (and `_row_id` on a
+    // tracked table): positions, counts and the change-data sidecar
+    // below share one candidate scan
+    val (hit, replacedRows, touched, matchedRows) =
+      if (cand.isEmpty) (None, 0L, Nil, None)
       else {
-        val withPos = TxLog.readEntries(spark, dir, cand, withPos = true)
-        val h = withPos.join(k, keyCols, "left_semi")
-          .select(col("__graft_file").as("file"),
-            col("__graft_pos").as("pos"))
-          .localCheckpoint()
+        val withPos =
+          if (cand.forall(_.rowBase.isDefined))
+            RowTracking.withIds(spark, dir, cand, keepPos = true)
+          else TxLog.readEntries(spark, dir, cand, withPos = true)
+        val m = withPos.join(k, keyCols, "left_semi").localCheckpoint()
+        val h = m.select(col("__graft_file").as("file"),
+          col("__graft_pos").as("pos"))
         val n = h.count()
         val rels = h.select("file").distinct()
           .collect().map(_.getString(0)).toSet
-        (Some(h), n, entries.filter(e => rels(e.name)))
+        (Some(h), n, entries.filter(e => rels(e.name)), Some(m))
       }
     // row tracking: the replacement row KEEPS the row it replaces' id
     // (materialized by key from the candidate files); genuine inserts
@@ -306,12 +311,14 @@ object DeletionVectors {
     // table is
     val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
     val newNames = stageAppend(spark, dir, updatesTracked, pcols, evolvedTo)
-    val dvName =
-      if (replacedRows == 0) None
+    val (dvName, cdcName) =
+      if (replacedRows == 0) (None, None)
       else {
         val prior = priorDvRows(spark, dir, touched)
         val allRows = prior.map(_.unionByName(hit.get)).getOrElse(hit.get)
-        Some(writeSidecar(spark, dir, allRows))
+        (Some(writeSidecar(spark, dir, allRows)),
+          Some(writeCdcSidecar(spark, dir, matchedRows.get,
+            TxLog.tableSchema(spark, dir))))
       }
     val committedV = TxLog.commitEntries(spark, dir,
       // the merged sidecar is LOCAL (dvBase cleared) even when the
@@ -322,7 +329,8 @@ object DeletionVectors {
       removes = touched.map(_.name).sorted,
       txn = txn,
       seen = touched,
-      op = Some("mor-merge"))
+      op = Some("mor-merge"),
+      cdc = cdcName.toSeq)
     // pin AFTER the commit succeeds, keyed to the version it actually
     // landed at: pinning currentVersion+1 up front would retroactively
     // widen intermediate snapshots when the commit retries past that
@@ -523,7 +531,8 @@ object DeletionVectors {
       adds = st.adds,
       removes = st.removes,
       seen = st.seen,
-      op = Some("dv-delete"))
+      op = Some("dv-delete"),
+      cdc = st.cdcFile.toSeq)
     Receipt(entries.size.toLong, st.seen.size.toLong, st.deletedRows,
       st.dvFile)
   }
@@ -541,7 +550,8 @@ object DeletionVectors {
       removes: Seq[String],
       seen: Seq[TxLog.AddEntry],
       deletedRows: Long,
-      dvFile: Option[String])
+      dvFile: Option[String],
+      cdcFile: Option[String] = None)
 
   private[ops] def stageDelete(
       spark: SparkSession,
@@ -556,12 +566,24 @@ object DeletionVectors {
     // pinOverride carries a DbLog table's OWN pin (the dir-wide slot
     // is empty on databases): without it the footer-sampled read
     // breaks once row tracking leaves SOME files carrying the
-    // materialized id column and others not
-    val withPos = TxLog.readEntries(spark, dir, cand, withPos = true,
-      pinOverride = pinOverride)
-    val newDel = matchRows(withPos)
+    // materialized id column and others not.
+    // Tracked tables (every entry claims a rowBase) read WITH the
+    // stable `_row_id` attached, so the change-data sidecar below
+    // records each hidden row's identity — the keyless feed's pairing
+    // key — without a second resolution pass.
+    val tracked = cand.forall(_.rowBase.isDefined)
+    val withPos =
+      if (tracked)
+        RowTracking.withIds(spark, dir, cand, keepPos = true,
+          pinOpt = pinOverride)
+      else TxLog.readEntries(spark, dir, cand, withPos = true,
+        pinOverride = pinOverride)
+    // checkpoint the MATCHED ROWS (content, not just positions): the
+    // sidecar write, the position projections and the counts below
+    // all share one candidate scan
+    val matched = matchRows(withPos).localCheckpoint()
+    val newDel = matched
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
-      .localCheckpoint() // pin: the plan below re-reads it twice
     val deletedRows = newDel.count()
     if (deletedRows == 0) return StagedDv(Nil, Nil, Nil, 0, None)
     val touchedRels = newDel.select("file").distinct()
@@ -572,6 +594,12 @@ object DeletionVectors {
     val prior = priorDvRows(spark, dir, touched)
     val allRows = prior.map(_.unionByName(newDel)).getOrElse(newDel)
     val dvName = writeSidecar(spark, dir, allRows)
+    // change-data sidecar: the hidden rows' CONTENT, so the feed's
+    // removed side costs churn bytes, never a base-file re-scan —
+    // written eagerly like the vector (invisible until the commit's
+    // CDC line references it; orphans are vacuum-swept)
+    val cdcName = writeCdcSidecar(spark, dir, matched,
+      pinOverride.orElse(TxLog.tableSchema(spark, dir)))
     StagedDv(
       // the merged sidecar is LOCAL (dvBase cleared); cloned data
       // bytes keep their base untouched
@@ -580,7 +608,8 @@ object DeletionVectors {
       removes = touched.map(_.name).sorted,
       seen = touched,
       deletedRows = deletedRows,
-      dvFile = Some(dvName))
+      dvFile = Some(dvName),
+      cdcFile = Some(cdcName))
   }
 
   /** Range-delete with log-stats pruning: only files whose ADD-carried
@@ -733,20 +762,47 @@ object DeletionVectors {
   private def writeSidecar(
       spark: SparkSession,
       dir: String,
+      rows: DataFrame): String =
+    landSidecar(spark, dir, TxLog.DvDirName, "dv",
+      rows.select(col("file").cast("string"), col("pos").cast("long")))
+
+  /** Write a change-data sidecar: the hidden rows' content under the
+    * table's PHYSICAL names (rename-stable, like data files), keeping
+    * `__graft_file`/`__graft_pos` as the feed's join key and renaming
+    * a tracked read's `_row_id` to `__graft_rid`. One file per
+    * delete, O(deleted rows) — the same order as the vector itself.
+    */
+  private def writeCdcSidecar(
+      spark: SparkSession,
+      dir: String,
+      rows: DataFrame,
+      pin: Option[org.apache.spark.sql.types.StructType]): String = {
+    val withRid =
+      if (rows.columns.contains(RowTracking.Col))
+        rows.withColumnRenamed(RowTracking.Col, "__graft_rid")
+      else rows
+    val phys = pin.map(ColumnMapping.toPhysical(withRid, _))
+      .getOrElse(withRid)
+    landSidecar(spark, dir, TxLog.CdcDirName, "cdc", phys)
+  }
+
+  private def landSidecar(
+      spark: SparkSession,
+      dir: String,
+      sub: String,
+      kind: String,
       rows: DataFrame): String = {
     val fs = Compact.fsOf(spark, dir)
-    val name = s"dv-${java.util.UUID.randomUUID}.parquet"
-    val tmpDir = new Path(dir, s".dv_stage-${java.util.UUID.randomUUID}")
-    rows.select(col("file").cast("string"), col("pos").cast("long"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmpDir.toString)
+    val name = s"$kind-${java.util.UUID.randomUUID}.parquet"
+    val tmpDir = new Path(dir, s".${kind}_stage-${java.util.UUID.randomUUID}")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
     val part = fs.listStatus(tmpDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    require(part.size == 1, s"dv sidecar stage produced ${part.size} files")
-    fs.mkdirs(new Path(dir, TxLog.DvDirName))
-    val dest = new Path(TxLog.dvFilePath(dir, name))
+    require(part.size == 1, s"$kind sidecar stage produced ${part.size} files")
+    fs.mkdirs(new Path(dir, sub))
+    val dest = new Path(s"$dir/$sub/$name")
     if (!fs.rename(part.head.getPath, dest))
-      throw new java.io.IOException(s"cannot land dv sidecar $dest")
+      throw new java.io.IOException(s"cannot land $kind sidecar $dest")
     fs.delete(tmpDir, true)
     name
   }

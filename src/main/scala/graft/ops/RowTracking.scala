@@ -290,7 +290,8 @@ object RowTracking {
       schemaVersion: Int = Int.MaxValue,
       keepPos: Boolean = false,
       withVersions: Boolean = false,
-      pinOpt: Option[StructType] = None): DataFrame = {
+      pinOpt: Option[StructType] = None,
+      atPositions: Option[DataFrame] = None): DataFrame = {
     // pinOpt: a DbLog table's own pin (the dir-wide slot is empty on
     // databases by construction — their tables have different schemas)
     val pin = pinOpt
@@ -302,7 +303,8 @@ object RowTracking {
     val pinMat = StructType(pin.fields ++
       hidden.filterNot(h => pin.fieldNames.contains(h.name)))
     val df = TxLog.readEntries(spark, dir, entries, withPos = true,
-      schemaVersion = schemaVersion, pinOverride = Some(pinMat))
+      schemaVersion = schemaVersion, pinOverride = Some(pinMat),
+      atPositions = atPositions)
     import spark.implicits._
     val baseDf = entries
       .map(e => (e.name, e.rowBase, e.addedV.map(_.toLong)))
@@ -362,20 +364,32 @@ object RowTracking {
       .withColumnRenamed(Col, MatCol)
       .withColumnRenamed(VerCol, MatVerCol))
 
-  /** [[inheritByKeys]] for one table of a [[DbLog]] database. */
+  /** [[inheritByKeys]] for one table of a [[DbLog]] database. The key
+    * pairing MIRRORS the hide semantics of the rewrite it serves
+    * (`nullSafe` = the caller's `nullSafeKeys`): under null-safe
+    * hides a null-keyed group names a real row (e.g. row tracking on
+    * an mv state table whose group key is NULL), and a null-unequal
+    * inherit would mint that row a fresh id on EVERY application —
+    * spurious delete+insert churn on every keyless feed downstream.
+    * Under plain SQL hides the old null-keyed row stays LIVE, so its
+    * id must NOT be inherited (two live rows, one id) — the
+    * null-unequal join is the correct one there.
+    */
   private[ops] def inheritByKeysTable(
       spark: SparkSession,
       db: String,
       table: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      candEntries: Seq[TxLog.AddEntry]): DataFrame =
+      candEntries: Seq[TxLog.AddEntry],
+      nullSafe: Boolean = false): DataFrame =
     if (candEntries.isEmpty) batch.withColumn(MatCol, lit(null).cast("long"))
     else {
       val oldIds = withIds(spark, db, candEntries,
           pinOpt = DbLog.tableSchema(spark, db, table))
         .groupBy(keyCols.map(col): _*).agg(max(col(Col)).as(MatCol))
-      batch.join(oldIds, keyCols, "left_outer")
+      if (nullSafe) RelationalOps.nullSafeMerge(batch, oldIds, keyCols, "left")
+      else batch.join(oldIds, keyCols, "left_outer")
     }
 
   /** The rewrite-read seam: the rows of `entries` with their current

@@ -1259,6 +1259,20 @@ object TxLog {
   private[ops] def dvFilePath(dir: String, name: String) =
     s"$dir/$DvDirName/$name"
 
+  /** Change-data sidecars (`_cdc/`): the full content of the rows a
+    * merge-on-read delete hid, written by the DELETING commit and
+    * referenced by its `CDC` log lines — so a change feed serves the
+    * removed side from churn-sized sidecar bytes instead of
+    * re-scanning the base files (Delta's `_change_data` economics).
+    * Columns: the table's PHYSICAL data columns (rename-stable, like
+    * data files) + `__graft_file`/`__graft_pos` (the hidden position,
+    * the feed's join key) + `__graft_rid` (the row's stable id when
+    * the table was row-tracked at delete time; NULL otherwise).
+    */
+  private[ops] val CdcDirName = "_cdc"
+  private[ops] def cdcFilePath(dir: String, name: String) =
+    s"$dir/$CdcDirName/$name"
+
   private[ops] def qualifyAbs(spark: SparkSession, p: String): String = {
     val path = new Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1297,7 +1311,8 @@ object TxLog {
       mergeSchema: Boolean = false,
       withPos: Boolean = false,
       schemaVersion: Int = Int.MaxValue,
-      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      atPositions: Option[DataFrame] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
@@ -1328,6 +1343,15 @@ object TxLog {
           .withColumn("__graft_pos", col("_metadata.row_index"))
           .join(broadcast(mapping), Seq("__graft_abs"))
           .drop("__graft_abs")
+      }
+      // RAW positional read: the caller names the exact physical row
+      // positions it wants (a DV-delta consumer — [[diffOfEntries]]'s
+      // grown-vector path), so sidecars are NOT applied: the position
+      // set already encodes the delta the caller is after
+      if (atPositions.isDefined) {
+        val j = metaRead(ge).join(broadcast(atPositions.get),
+          Seq("__graft_file", "__graft_pos"))
+        return if (withPos) j else j.drop("__graft_file", "__graft_pos")
       }
       val dvd = ge.filter(_.dv.isDefined)
       if (dvd.isEmpty && !withPos)
@@ -1537,7 +1561,8 @@ object TxLog {
       removes: Seq[String],
       txn: Option[String] = None,
       seen: Seq[AddEntry] = Nil,
-      op: Option[String] = None): Int = {
+      op: Option[String] = None,
+      cdc: Seq[String] = Nil): Int = {
     // when the table declares stats columns, footer-read the added
     // files ONCE (outside the retry loop — stats don't change across
     // attempts) and embed their bounds in the ADD entries. Lenient:
@@ -1637,7 +1662,7 @@ object TxLog {
       // what `_row_commit_version` derives unmaterialized rows from
       val stamped = entriesRb.map(e =>
         if (e.addedV.isEmpty) e.copy(addedV = Some(parent + 1)) else e)
-      if (writeVersion(spark, dir, parent + 1, stamped, removes, txn, op))
+      if (writeVersion(spark, dir, parent + 1, stamped, removes, txn, op, cdc))
         committed = parent + 1
       // lost the race: loop re-reads the parent and re-validates
     }
@@ -1786,7 +1811,43 @@ object TxLog {
     diffOfEntries(spark, dir,
       liveEntries(spark, dir, fromVersion),
       liveEntries(spark, dir, toVersion), toVersion,
-      schemaV = schemaVersion)
+      schemaV = schemaVersion,
+      cdcNames = cdcNamesInRange(spark, dir, fromVersion, toVersion))
+  }
+
+  /** The change-data sidecars recorded by the retained commits in
+    * `(from, to]` — one metadata-sized log read per commit in range.
+    */
+  private[ops] def cdcNamesInRange(
+      spark: SparkSession, dir: String, from: Int, to: Int): Seq[String] =
+    versions(spark, dir).filter(v => v > from && v <= to)
+      .flatMap(v => readVersionCdc(spark, dir, v))
+
+  /** The (file, position) rows one side's deletion vectors hide,
+    * scoped per entry to ITS file name — a sidecar may carry other
+    * files' positions (one purge touches many files), and only the
+    * given entries' own rows count. Churn-sized: sidecars list
+    * deleted positions, never data.
+    */
+  private[ops] def dvPositionsOf(
+      spark: SparkSession,
+      dir: String,
+      entries: Seq[AddEntry]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty)
+      return Seq.empty[(String, Long)].toDF("__graft_file", "__graft_pos")
+    val dvPaths = dvd.map(e => dvPathOf(dir, e)).distinct
+    val dvAbs = dvPaths.map(p => p -> qualifyAbs(spark, p)).toMap
+    val rows = spark.read.parquet(dvPaths: _*)
+      .select(col("_metadata.file_path").as("__graft_dv_src"),
+        col("file").as("__graft_file"),
+        col("pos").cast("long").as("__graft_pos"))
+    val assoc = dvd.map(e => (dvAbs(dvPathOf(dir, e)), e.name))
+      .toDF("__graft_dv_src", "__graft_file")
+    rows.join(broadcast(assoc), Seq("__graft_dv_src", "__graft_file"))
+      .drop("__graft_dv_src")
   }
 
   /** [[diff]]'s core over explicit before/after entry sets — shared
@@ -1801,7 +1862,8 @@ object TxLog {
       toVersion: Int,
       schemaV: Int = -1,
       withRowIds: Boolean = false,
-      pinOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      pinOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      cdcNames: Seq[String] = Nil)
       : DataFrame = {
     // per-commit consumers ([[changesOfEntries]]) read EVERY commit of
     // a range at the RANGE END's pin, so a mid-range rename/evolution
@@ -1814,10 +1876,33 @@ object TxLog {
     // so exactly the newly-hidden rows surface as deletes
     val beforeK = beforeE.map(e => (e.name, e.dv)).toSet
     val afterK = afterE.map(e => (e.name, e.dv)).toSet
-    val removed = beforeE.filterNot(e => afterK((e.name, e.dv)))
+    val removedAll = beforeE.filterNot(e => afterK((e.name, e.dv)))
       .sortBy(_.name)
-    val added = afterE.filterNot(e => beforeK((e.name, e.dv)))
+    val addedAll = afterE.filterNot(e => beforeK((e.name, e.dv)))
       .sortBy(_.name)
+    // entries live on BOTH sides under the same name whose only
+    // change is the deletion vector: their contribution to the
+    // multiset difference is EXACTLY the sidecars' position delta
+    // (the file's surviving rows appear identical on both sides and
+    // cancel), so serve those rows positionally instead of re-reading
+    // the file whole on both sides. This is what keeps a SCATTERED
+    // merge-on-read churn O(churn): when every file gains a vector,
+    // the whole-read shape re-reads 2× the table per advance; here
+    // each touched file is read once, raw, with only the delta
+    // positions surviving the join.
+    val beforeByName = beforeE.map(e => e.name -> e).toMap
+    // content-identity fields only: base (where the bytes live) and
+    // rowBase (what ids derive from). addedV is provenance, not
+    // content — and a DV re-add of a pre-stamp entry gets freshly
+    // stamped, so comparing it would silently reject the pair
+    def dvOnly(b: AddEntry, a: AddEntry): Boolean =
+      b.base == a.base && b.rowBase == a.rowBase
+    val dvPairs = addedAll.flatMap { a =>
+      beforeByName.get(a.name).filter(b => dvOnly(b, a)).map(b => (b, a))
+    }
+    val pairNames = dvPairs.map(_._2.name).toSet
+    val removed = removedAll.filterNot(e => pairNames(e.name))
+    val added = addedAll.filterNot(e => pairNames(e.name))
     import org.apache.spark.sql.functions.lit
     // withRowIds: read both sides with the stable `_row_id` attached
     // so the keyless pairing (and exceptAll) see it — a pure
@@ -1834,15 +1919,141 @@ object TxLog {
       if (es.nonEmpty) rdSide(es)
       else spark.read.schema(rdSide(schemaOf).schema)
         .parquet() // zero paths: empty relation with the sibling schema
-    if (removed.isEmpty && added.isEmpty) {
+    if (removedAll.isEmpty && addedAll.isEmpty) {
       val any = afterE
       require(any.nonEmpty, s"diff: version $toVersion of $dir holds no files")
       return rdSide(any).limit(0)
         .withColumn("_change_type", lit("insert"))
     }
-    val schemaDonor = if (added.nonEmpty) added else removed
-    val addedDf = readOrEmpty(added, schemaDonor)
-    val removedDf = readOrEmpty(removed, schemaDonor)
+    // position sets per side of the DV-only pairs: newly HIDDEN
+    // positions (grown vector → delete rows) and newly VISIBLE ones
+    // (a RESTORE shrank a vector → insert rows). Checkpointed —
+    // churn-sized — so the emptiness probe and the read share one
+    // sidecar scan.
+    val (hiddenPos, revivedPos) =
+      if (dvPairs.isEmpty) (None, None)
+      else {
+        val posK = Seq("__graft_file", "__graft_pos")
+        val afterPos = dvPositionsOf(spark, dir, dvPairs.map(_._2))
+        val beforePos = dvPositionsOf(spark, dir, dvPairs.map(_._1))
+        val h = afterPos.join(beforePos, posK, "left_anti").localCheckpoint()
+        val r = beforePos.join(afterPos, posK, "left_anti").localCheckpoint()
+        (if (h.isEmpty) None else Some(h), if (r.isEmpty) None else Some(r))
+      }
+    // raw read of ONLY the files the position set touches (a pair
+    // whose delta is one-sided never scans for the other side); the
+    // file-name collect is touched-files-sized, like the entries
+    def rdSideAt(pos: DataFrame): DataFrame = {
+      val names = pos.select("__graft_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val es = dvPairs.map(_._2).filter(e => names(e.name))
+      val r =
+        if (withRowIds)
+          RowTracking.withIds(spark, dir, es, schemaVersion = schemaVersion,
+            pinOpt = pinOverride, atPositions = Some(pos))
+        else readEntries(spark, dir, es, schemaVersion = schemaVersion,
+          pinOverride = pinOverride, atPositions = Some(pos))
+      // churn-sized by construction (the position set bounds it):
+      // checkpoint so the two exceptAll branches below share ONE
+      // scan of the touched files instead of re-running it
+      r.localCheckpoint()
+    }
+    def withPiece(whole: DataFrame, pos: Option[DataFrame]): DataFrame =
+      pos.map(p => whole.unionByName(rdSideAt(p))).getOrElse(whole)
+    // change-data sidecars: positions the range's DELETING commits
+    // recorded content for are served from the sidecars — ZERO base-
+    // file bytes — and only the uncovered remainder (pre-CDC commits,
+    // MERGE-planner hides) falls back to the positional read. Split
+    // returns (covered content rows, uncovered positions).
+    def cdcContent(pos: DataFrame)
+        : (Option[DataFrame], Option[DataFrame]) = {
+      if (cdcNames.isEmpty) return (None, Some(pos))
+      val pin = pinOverride.orElse(tableSchema(spark, dir, schemaVersion))
+      if (withRowIds && pin.isEmpty) return (None, Some(pos))
+      val posK = Seq("__graft_file", "__graft_pos")
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      // scope to the sidecars that cover THIS side's files: a database
+      // txn stages one sidecar per table, and sibling tables' sidecars
+      // can carry same-named columns with DIFFERENT physical types —
+      // unreadable in one scan (merged or pinned) and never joinable
+      // anyway. One explicit-schema probe of the `__graft_file` column
+      // (no footer merging) names the relevant files; churn-sized.
+      val allPaths = cdcNames.distinct.map(n => cdcFilePath(dir, n))
+      val paths =
+        if (allPaths.size <= 1) allPaths
+        else {
+          import spark.implicits._
+          val pairNamesDf = dvPairs.map(_._2.name).toDF("__graft_file")
+          val probe = spark.read
+            .schema(StructType(Seq(StructField("__graft_file", StringType))))
+            .parquet(allPaths: _*)
+            .select(col("_metadata.file_path").as("__graft_cdc_src"),
+              col("__graft_file"))
+            .join(broadcast(pairNamesDf), Seq("__graft_file"), "left_semi")
+            .select("__graft_cdc_src").distinct()
+            .collect().map(_.getString(0)).toSet
+          allPaths.filter(p => probe(qualifyAbs(spark, p)))
+        }
+      if (paths.isEmpty) return (None, Some(pos))
+      val raw = pin match {
+        case Some(sc) =>
+          // the pin's PHYSICAL names + the sidecar plumbing columns:
+          // a sidecar written before a column ADD reads NULL there, a
+          // foreign table's sidecar columns are ignored — the data-
+          // file contract exactly
+          val phys = ColumnMapping.physicalSchema(sc)
+          val extras = Seq(
+            StructField("__graft_file", StringType),
+            StructField("__graft_pos", LongType),
+            StructField("__graft_rid", LongType))
+            .filterNot(f => phys.fieldNames.contains(f.name))
+          spark.read.schema(StructType(phys.fields ++ extras))
+            .parquet(paths: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
+      // a restore + re-delete can record one position twice across the
+      // range; content is identical (a (file, pos) names fixed bytes)
+      val cdc = raw.dropDuplicates(posK)
+      val covered = pos.join(cdc, posK).localCheckpoint()
+      val uncov = pos.join(covered.select(posK.map(col): _*), posK,
+        "left_anti").localCheckpoint()
+      val covOut =
+        if (covered.isEmpty) None
+        else {
+          val logical = pin.map(ColumnMapping.toLogical(covered, _))
+            .getOrElse(covered)
+          val withId =
+            if (!withRowIds) logical
+            else {
+              // stored rid when tracked at delete time; pre-tracking
+              // sidecars derive from the BEFORE entry's rowBase
+              import spark.implicits._
+              val baseDf = dvPairs.map(p => (p._1.name, p._1.rowBase))
+                .toDF("__graft_file", "__graft_rowbase")
+              logical.join(broadcast(baseDf), Seq("__graft_file"), "left")
+                .withColumn(RowTracking.Col, coalesce(col("__graft_rid"),
+                  col("__graft_rowbase") + col("__graft_pos")))
+                .drop("__graft_rowbase")
+            }
+          Some(withId.drop("__graft_rid", "__graft_file", "__graft_pos"))
+        }
+      (covOut, if (uncov.isEmpty) None else Some(uncov))
+    }
+    val schemaDonor =
+      if (added.nonEmpty) added
+      else if (removed.nonEmpty) removed
+      else dvPairs.map(_._2)
+    val addedDf = withPiece(readOrEmpty(added, schemaDonor), revivedPos)
+    val removedDf = hiddenPos match {
+      case None => readOrEmpty(removed, schemaDonor)
+      case Some(h) =>
+        val (cov, uncov) = cdcContent(h)
+        val base = cov.map(readOrEmpty(removed, schemaDonor).unionByName(_))
+          .getOrElse(readOrEmpty(removed, schemaDonor))
+        withPiece(base, uncov)
+    }
     // (withRowIds: rewritten files carry MATERIALIZED ids; removed-side
     // rows re-derive the same values from their entry's rowBase, so
     // exceptAll matches rows across the representation change)
@@ -2289,7 +2500,8 @@ object TxLog {
         val d = diffOfEntries(spark, dir, before, after, v,
           schemaV = schemaV,
           withRowIds = rowIdKeyed,
-          pinOverride = pinOverride)
+          pinOverride = pinOverride,
+          cdcNames = readVersionCdc(spark, dir, v))
           .localCheckpoint() // 4 derivations below share one read
         val del = d.filter(col("_change_type") === "delete")
           .drop("_change_type")
@@ -2693,6 +2905,24 @@ object TxLog {
           f.getModificationTime < dvStale)
         .foreach(f => fs.delete(f.getPath, false))
     }
+    // change-data sidecars: referenced by the CDC lines of commits
+    // that will SURVIVE the prune (≥ the horizon) — everything else
+    // (pre-horizon feeds, crashed writers' orphans) is dead, with the
+    // same age gate protecting an in-flight writer's seconds-old file
+    val cdcDirPath = new Path(dir, CdcDirName)
+    if (fs.exists(cdcDirPath)) {
+      val horizon = keep.min
+      val referencedCdc =
+        vs.filter(_ >= horizon).flatMap(v => readVersionCdc(spark, dir, v))
+          .toSet ++
+        bs.keys.toSeq.flatMap(n => withBranch(spark, dir, n)(
+          versions(spark, dir).flatMap(v => readVersionCdc(spark, dir, v))))
+      val cdcStale = System.currentTimeMillis() - dvSweepAgeMs
+      fs.listStatus(cdcDirPath).toSeq
+        .filter(f => f.isFile && !referencedCdc(f.getPath.getName) &&
+          f.getModificationTime < cdcStale)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
     val h = keep.min
     if (pruneLog && vs.exists(_ < h)) {
       // the horizon checkpoint makes every older log entry redundant —
@@ -2726,7 +2956,8 @@ object TxLog {
       adds: Seq[AddEntry],
       removes: Seq[String],
       txn: Option[String] = None,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      cdc: Seq[String] = Nil): Boolean = {
     val fs = Compact.fsOf(spark, dir)
     // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps): the commit's
     // wall-clock time rides INSIDE the commit file, forced strictly
@@ -2745,6 +2976,7 @@ object TxLog {
     val body = (Seq("V1", s"TS $ts") ++
       txn.map("TXN " + _) ++
       op.map("OP " + _) ++
+      cdc.sorted.map("CDC " + _) ++
       adds.sortBy(_.name).map("ADD " + _.serialized) ++
       removes.sorted.map("REMOVE " + _) ++
       Seq("END")).mkString("\n")
@@ -2798,6 +3030,20 @@ object TxLog {
       v: Int): (Seq[String], Seq[String], Option[String]) = {
     val (adds, removes, txn) = readVersionEntries(spark, dir, v)
     (adds.map(_.name), removes, txn)
+  }
+
+  /** The change-data sidecar names commit `v` recorded (empty for
+    * pre-CDC commits and commits that hid nothing) — the feed's
+    * removed-side source for DV-grown entries.
+    */
+  private[ops] def readVersionCdc(
+      spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val fs = Compact.fsOf(spark, dir)
+    val in = fs.open(versionFilePath(dir, v))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.collect { case l if l.startsWith("CDC ") => l.substring(4) }
   }
 
   private def readVersionOp(

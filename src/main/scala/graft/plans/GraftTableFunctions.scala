@@ -73,6 +73,10 @@ object GraftTableFunctions {
       s"$fn: argument ${pos + 1} must be a literal, got $other")
   }
 
+  /** A comma-separated column list argument; empty string = Nil. */
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def int(e: Expression, fn: String, pos: Int): Int = e match {
     case lit if lit.foldable => lit.eval() match {
       case i: Int => i
@@ -400,6 +404,75 @@ object GraftTableFunctions {
       val db = str(d, fn, 0)
       val v = graft.ops.DbLog.materializeTable(spark, db, str(tb, fn, 1))
       procReceipt(spark, "db-materialize", db, Seq("version" -> v.toLong))
+    case ("graft_dbmv_init", Seq(d, n, f0, dm, fk, dk, g, s0)) =>
+      val db = str(d, fn, 0)
+      val name = str(n, fn, 1)
+      val v = graft.ops.DbMv.init(spark, db, name,
+        graft.ops.DbMv.JoinView(str(f0, fn, 2), str(dm, fn, 3),
+          str(fk, fn, 4), str(dk, fn, 5), csv(str(g, fn, 6)),
+          str(s0, fn, 7)))
+      procReceipt(spark, s"dbmv-init($name)", db, Seq("version" -> v.toLong))
+    case ("graft_dbmv_star_init", rest @ Seq(d, n, f0, dm, g, s0, _*))
+        if rest.length <= 7 =>
+      val db = str(d, fn, 0)
+      val name = str(n, fn, 1)
+      val mm = rest.lift(6).map(e => csv(str(e, fn, 6))).getOrElse(Nil)
+      val v = graft.ops.DbMv.initStar(spark, db, name,
+        graft.ops.DbMv.StarView(str(f0, fn, 2),
+          graft.ops.DbMv.parseDims(str(dm, fn, 3)),
+          csv(str(g, fn, 4)), csv(str(s0, fn, 5)), mm))
+      procReceipt(spark, s"dbmv-star-init($name)", db,
+        Seq("version" -> v.toLong))
+    case ("graft_dbmv_refresh", Seq(d, n)) =>
+      // one verb for both forms: the stored definition says which
+      val db = str(d, fn, 0)
+      val name = str(n, fn, 1)
+      val (from, to) =
+        if (graft.ops.DbMv.isStar(spark, db, name))
+          graft.ops.DbMv.refreshStar(spark, db, name)
+        else graft.ops.DbMv.refresh(spark, db, name)
+      procReceipt(spark, s"dbmv-refresh($name)", db, Seq(
+        "from_version" -> from.toLong, "to_version" -> to.toLong))
+    case ("graft_dbmv_read", rest @ Seq(d, n, _*)) if rest.length <= 3 =>
+      val db = str(d, fn, 0)
+      val name = str(n, fn, 1)
+      val v = rest.lift(2).map(int(_, fn, 2)).getOrElse(Int.MaxValue)
+      if (graft.ops.DbMv.isStar(spark, db, name, v))
+        graft.ops.DbMv.readStar(spark, db, name, v)
+      else graft.ops.DbMv.read(spark, db, name, v)
+    case ("graft_mv_follow", Seq(s0, n, src, g, m)) =>
+      val storeDir = str(s0, fn, 0)
+      val name = str(n, fn, 1)
+      val (from, to) = graft.ops.MvStore.followTxLog(
+        new graft.sources.ParquetStore(spark, storeDir), name,
+        str(src, fn, 2), csv(str(g, fn, 3)), csv(str(m, fn, 4)))
+      procReceipt(spark, s"mv-follow($name)", storeDir, Seq(
+        "from_version" -> from.toLong, "to_version" -> to.toLong))
+    case ("graft_mv_read", Seq(s0, n)) =>
+      graft.ops.MvStore.read(
+        new graft.sources.ParquetStore(spark, str(s0, fn, 0)),
+        str(n, fn, 1))
+    case ("graft_joinmv_follow", rest @ Seq(s0, n, f0, dm, g, m, _*))
+        if rest.length <= 7 =>
+      // dims spell `dir:k1+k2;dir2:k3` — the split takes the LAST
+      // colon of each part, so scheme-qualified dirs (file:/x,
+      // s3://b/p) pass through; join keys must not contain ':'
+      val storeDir = str(s0, fn, 0)
+      val name = str(n, fn, 1)
+      val dims = str(dm, fn, 3).split(";").toSeq.map { part =>
+        val cut = part.lastIndexOf(':')
+        require(cut > 0, s"$fn: malformed dim '$part' (want dir:k1+k2)")
+        (part.substring(0, cut),
+          part.substring(cut + 1).split("\\+").toSeq)
+      }
+      val mm = rest.lift(6).map(e => csv(str(e, fn, 6))).getOrElse(Nil)
+      val rs = graft.ops.JoinMv.followStar(
+        new graft.sources.ParquetStore(spark, storeDir), name,
+        str(f0, fn, 2), dims, csv(str(g, fn, 4)), csv(str(m, fn, 5)), mm)
+      import spark.implicits._
+      (str(f0, fn, 2) +: dims.map(_._1)).zip(rs).zipWithIndex
+        .map { case ((t, (from, to)), i) => (i, t, from, to) }
+        .toDF("idx", "table", "from_version", "to_version")
     case ("graft_clone", rest @ Seq(s0, d0, _*)) if rest.length <= 4 =>
       val src = str(s0, fn, 0)
       val dst = str(d0, fn, 1)
@@ -667,6 +740,20 @@ object GraftTableFunctions {
         "graft_db_compact(db, table) - PROCEDURE: bin-pack one table's small files (ids travel materialized on tracked tables)"),
       ("graft_db_materialize",
         "graft_db_materialize(db, table) - PROCEDURE: fold one table's deletion vectors into its data files"),
+      ("graft_dbmv_init",
+        "graft_dbmv_init(db, name, fact, dim, fact_key, dim_key, 'g1,g2', sum_col) - PROCEDURE: register + seed a two-table incremental view inside the database"),
+      ("graft_dbmv_star_init",
+        "graft_dbmv_star_init(db, name, fact, 'dim:k1+k2;dim2:k3', 'g1,g2', 's1,s2'[, 'mm1']) - PROCEDURE: register + seed an N-table star/snowflake incremental view"),
+      ("graft_dbmv_refresh",
+        "graft_dbmv_refresh(db, name) - PROCEDURE: advance the view to the database's current version (state + cursor in ONE commit)"),
+      ("graft_dbmv_read",
+        "graft_dbmv_read(db, name[, version]) - the incremental view's rows (join or star form)"),
+      ("graft_mv_follow",
+        "graft_mv_follow(store_dir, name, src_dir, 'g1,g2', 's1,s2') - PROCEDURE: seed/advance a single-table MV following a TxLog table's change feed"),
+      ("graft_mv_read",
+        "graft_mv_read(store_dir, name) - a followed MV's rows (group cols, n, sum_*)"),
+      ("graft_joinmv_follow",
+        "graft_joinmv_follow(store_dir, name, fact_dir, 'dim_dir:k1+k2;...', 'g1,g2', 's1,s2'[, 'mm1']) - PROCEDURE: seed/advance a cross-directory star MV; one row per table with its cursor window"),
       ("graft_clone",
         "graft_clone(src, dst[, version|tag[, 'pin']]) - PROCEDURE: zero-copy shallow clone (metadata-only; 'pin' tags the source so vacuum keeps the cloned version)"),
       ("graft_clone_source",

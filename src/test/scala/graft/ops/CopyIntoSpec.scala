@@ -387,6 +387,36 @@ class CopyIntoSpec extends SparkSpec {
     assert(same(TxLog.snapshot(spark, dir2), expected))
   }
 
+  test("per-prefix loading recurses into nested zones instead of silently loading nothing") {
+    // day=X/hour=Y/part.csv — nested one level deeper than the
+    // loader's first-level prefix walk expects
+    val root = Files.createTempDirectory("copyinto_nest").toString + "/zone"
+    val slices = (0 until 4).map { i =>
+      val df = nation.filter(col("n_nationkey") % 4 === i)
+      df.repartition(1).write.option("header", "true")
+        .csv(s"$root/day=2026-08-1${i / 2}/hour=${i % 2}")
+      df
+    }
+    // one MIXED prefix: direct files AND a nested hour dir
+    val extra = nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 200)
+    extra.repartition(1).write.option("header", "true")
+      .csv(s"$root/day=2026-08-12")
+    val extra2 = nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 300)
+    extra2.repartition(1).write.option("header", "true")
+      .csv(s"$root/day=2026-08-12/hour=5")
+    val expected = (slices :+ extra :+ extra2).reduce(_ unionByName _)
+    val dir = freshTable(nation.schema)
+    val r = CopyInto.copyIntoByPrefix(spark, dir, root, "csv", csvOpts)
+    assert(r.filesLoaded == 6, s"got ${r.filesLoaded}")
+    assert(same(TxLog.snapshot(spark, dir), expected))
+    // replay stays a no-op through the recursion
+    assert(CopyInto.copyIntoByPrefix(spark, dir, root, "csv", csvOpts)
+      .filesLoaded == 0)
+    assert(same(TxLog.snapshot(spark, dir), expected))
+  }
+
   test("unsupported format and unmanaged target refuse with the reason") {
     val src = landingZone(nation, 1)
     val dir = freshTable(nation.schema)

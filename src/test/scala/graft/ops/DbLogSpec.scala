@@ -577,6 +577,82 @@ class DbLogSpec extends SparkSpec {
       .columns.contains(RowTracking.Col))
   }
 
+  test("in-txn driver-collecting upsert refuses data-sized key batches; applyKeyed takes them") {
+    val db = freshDb()
+    val vPre = DbLog.currentVersion(spark, db)
+    val batch = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .localCheckpoint()
+    assert(batch.count() > 100)
+    val e = intercept[DbLog.UpsertTooLarge] {
+      DbLog.transact(spark, db, "big") { txn =>
+        txn.upsert("orders", "o_orderkey", batch, maxKeys = 100)
+      }
+    }
+    assert(e.getMessage.contains("applyKeyed") &&
+      e.getMessage.contains("byKeysDistributed"))
+    assert(DbLog.currentVersion(spark, db) == vPre, "refusal must not commit")
+    // the SAME batch lands through the merge-on-read path (keys never
+    // collected) inside a transaction
+    import spark.implicits._
+    DbLog.transact(spark, db, "mor") { txn =>
+      txn.applyKeyed("orders", Seq("o_orderkey"), batch,
+        Seq.empty[Long].toDF("o_orderkey"))
+    }
+    val expected = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    assert(same(DbLog.snapshot(spark, db, "orders"), expected))
+    // a command-sized batch keeps the CoW path unchanged
+    DbLog.transact(spark, db, "small") { txn =>
+      txn.upsert("orders", "o_orderkey",
+        batch.limit(10).withColumn("o_totalprice", lit(1.0)))
+    }
+  }
+
+  test("null-safe applyKeyed on a tracked table: the null-keyed group keeps ONE stable id") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("dbnulltrack").toString + "/db"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed")(_.append("state",
+      Seq((Some("a"), 1L), (None, 5L), (Some("b"), 2L))
+        .toDF("grp", "n")))
+    RowTracking.enableTable(spark, db, "state")
+    def idOfNull(): Long = RowTracking.readTable(spark, db, "state")
+      .filter(col("grp").isNull).select(RowTracking.Col)
+      .head().getLong(0)
+    val nullId = idOfNull()
+    // two successive null-safe keyed applications touching the null
+    // group: it must keep the SAME id both times (the hide is <=>, so
+    // the inherit must pair <=> too — or every application mints a
+    // fresh id and keyless feeds see phantom delete+insert churn)
+    (1 to 2).foreach { i =>
+      DbLog.transact(spark, db, s"apply$i") { txn =>
+        txn.applyKeyed("state", Seq("grp"),
+          Seq((None: Option[String], 5L + i)).toDF("grp", "n"),
+          Seq.empty[String].toDF("grp"), nullSafeKeys = true)
+      }
+      assert(idOfNull() == nullId, s"null group id moved on apply $i")
+    }
+    // exactly one live null-group row survived the applications
+    assert(DbLog.snapshot(spark, db, "state")
+      .filter(col("grp").isNull).count() == 1L)
+    // and under PLAIN SQL keys (null never matches) the old null row
+    // stays live while the new one gets a FRESH id — no shared ids
+    DbLog.transact(spark, db, "plain") { txn =>
+      txn.applyKeyed("state", Seq("grp"),
+        Seq((None: Option[String], 99L)).toDF("grp", "n"),
+        Seq.empty[String].toDF("grp"))
+    }
+    val nullRows = RowTracking.readTable(spark, db, "state")
+      .filter(col("grp").isNull).select(RowTracking.Col)
+      .collect().map(_.getLong(0))
+    assert(nullRows.length == 2 && nullRows.distinct.length == 2,
+      s"plain-key apply must append with a fresh id, got ${nullRows.toSeq}")
+    assert(nullRows.contains(nullId))
+  }
+
   test("keyless per-table CDF: images pair by _row_id; compaction movement nets to nothing") {
     val db = freshDb()
     RowTracking.enableTable(spark, db, "customer")

@@ -264,6 +264,48 @@ class DbMvSpec extends SparkSpec {
       "three-table one-txn churn must telescope exactly")
   }
 
+  test("star: a clustered dim-term advance skips fact FILES via the log manifest (plan receipt)") {
+    val db = Files.createTempDirectory("dbmvp").toString + "/db"
+    DbLog.create(spark, db)
+    // stats declared BEFORE the data lands — the ADD entries carry the
+    // per-file [min, max] the candidate routine prunes by
+    DbLog.setStatsColumns(spark, db, "orders", Seq("o_custkey"))
+    DbLog.transact(spark, db, "seed") { txn =>
+      txn.append("orders", fact.repartitionByRange(6, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+      txn.append("customer", dimStar.repartition(2))
+    }
+    DbMv.initStar(spark, db, "srev", starView)
+    val total = DbLog.candidateTableFiles(spark, db, "orders", Nil).size
+    assert(total >= 6)
+    // dim churn confined to a narrow key range: the dim term's fact
+    // old read must name a strict subset of the files as candidates
+    val ks = dimStar.select("o_custkey").agg(min("o_custkey")).head().getLong(0)
+    val moved = DbLog.snapshot(spark, db, "customer")
+      .filter(col("o_custkey").between(ks, ks + 50))
+      .withColumn("c_nationkey", lit(99)).localCheckpoint()
+    assert(moved.count() > 0)
+    DbLog.transact(spark, db, "dimchurn")(
+      _.upsertKeyed("customer", Seq("o_custkey"), moved))
+    val b = moved.agg(min("o_custkey"), max("o_custkey")).head()
+    val cand = DbLog.candidateTableFiles(spark, db, "orders",
+      Seq(("o_custkey", b.getLong(0).toDouble, b.getLong(1).toDouble)))
+    assert(cand.nonEmpty && cand.size < total,
+      s"expected file-level skipping, got ${cand.size}/$total candidates")
+    // the explicit-subset read is exact against the filtered snapshot
+    assert(same(
+      DbLog.snapshotOfFiles(spark, db, "orders", cand.toSet)
+        .filter(col("o_custkey").between(b.getLong(0), b.getLong(1))),
+      DbLog.snapshot(spark, db, "orders")
+        .filter(col("o_custkey").between(b.getLong(0), b.getLong(1)))))
+    // and the advance riding the pruned path stays exact
+    val (f1, t1) = DbMv.refreshStar(spark, db, "srev")
+    assert(f1 < t1)
+    checkStar(db, "after clustered dim churn")
+    assert(DbMv.readStar(spark, db, "srev")
+      .filter(col("c_nationkey") === 99).count() == 1L)
+  }
+
   test("star: NULL group keys merge as ONE group across refreshes (null-safe state keys)") {
     import spark.implicits._
     val db = Files.createTempDirectory("dbmvn").toString + "/db"
@@ -346,6 +388,71 @@ class DbMvSpec extends SparkSpec {
       _.upsertKeyed("orders", Seq("o_orderkey"), upd))
     DbMv.refreshStar(spark, db, "srev")
     checkStar(db, "post-maintenance refresh")
+  }
+
+  test("quiet view: sibling-table churn hops the cursor (one metadata commit); own commits never do") {
+    import spark.implicits._
+    val db = freshStarDb()
+    DbMv.initStar(spark, db, "srev", starView)
+    // sibling-only commit: a table the view never reads
+    DbLog.transact(spark, db, "sibling")(
+      _.append("audit", Seq((1L, "x")).toDF("id", "v")))
+    val v1 = DbLog.currentVersion(spark, db)
+    val st0 = DbLog.snapshot(spark, db, "mv_srev_state").collect().toSet
+    val (f1, t1) = DbMv.refreshStar(spark, db, "srev")
+    assert(f1 == t1) // nothing relevant churned
+    assert(DbLog.currentVersion(spark, db) == v1 + 1,
+      "sibling churn must hop the cursor in one commit")
+    assert(DbLog.snapshot(spark, db, "mv_srev_state").collect().toSet == st0,
+      "state files untouched by a cursor hop")
+    checkStar(db, "after cursor hop")
+    // the hop is an own commit: the next refresh no-ops WITHOUT one
+    val (f2, t2) = DbMv.refreshStar(spark, db, "srev")
+    assert(f2 == t2 && DbLog.currentVersion(spark, db) == v1 + 1,
+      "a window of purely own commits must not commit")
+    // join form: same contract
+    val db2 = freshDb()
+    DbMv.init(spark, db2, "rev", view)
+    DbLog.transact(spark, db2, "sibling")(
+      _.append("audit", Seq((1L, "x")).toDF("id", "v")))
+    val w1 = DbLog.currentVersion(spark, db2)
+    assert(DbMv.refresh(spark, db2, "rev") == (w1 - 1, w1 - 1) ||
+      DbLog.currentVersion(spark, db2) == w1 + 1)
+    checkView(db2, "join-form after hop")
+    val before = DbLog.currentVersion(spark, db2)
+    DbMv.refresh(spark, db2, "rev")
+    assert(DbLog.currentVersion(spark, db2) == before)
+  }
+
+  test("SQL TVFs drive the full view lifecycle, hash-stable vs the Scala path") {
+    graft.GraftExtensions.installInto(spark)
+    // star form: init → churn → refresh → read, the view verbs all SQL
+    val db = freshStarDb()
+    spark.sql(s"SELECT * FROM graft_dbmv_star_init('$db', 'srev', " +
+      "'orders', 'customer:o_custkey', 'c_nationkey', 'rev', 'rev')")
+      .collect()
+    checkStar(db, "SQL star init")
+    DbLog.transact(spark, db, "churn")(
+      _.deleteWhere("orders", col("o_orderkey") % 11 === 0))
+    val r = spark.sql(s"SELECT * FROM graft_dbmv_refresh('$db', 'srev')")
+      .head()
+    assert(r.getLong(2) < r.getLong(3)) // from_version < to_version
+    val viaSql = spark.sql(s"SELECT * FROM graft_dbmv_read('$db', 'srev')")
+    assert(same(viaSql, DbMv.readStar(spark, db, "srev")),
+      "SQL read != Scala read")
+    checkStar(db, "SQL star refresh")
+    // two-table join form through the same verbs (dispatch probe)
+    val db2 = freshDb()
+    spark.sql(s"SELECT * FROM graft_dbmv_init('$db2', 'rev', 'orders', " +
+      "'customer', 'o_custkey', 'c_custkey', 'c_nationkey', 'rev')")
+      .collect()
+    DbLog.transact(spark, db2, "churn")(
+      _.deleteWhere("orders", col("o_orderkey") % 7 === 0))
+    spark.sql(s"SELECT * FROM graft_dbmv_refresh('$db2', 'rev')").collect()
+    assert(same(
+      spark.sql(s"SELECT * FROM graft_dbmv_read('$db2', 'rev')"),
+      DbMv.read(spark, db2, "rev")))
+    checkView(db2, "SQL join-form refresh")
   }
 
   test("star: behind the vacuum horizon the view reseeds atomically") {

@@ -226,6 +226,49 @@ class JoinMvSpec extends SparkSpec {
       .size == total)
   }
 
+  test("SQL TVFs drive the cross-directory follow lifecycle, hash-stable vs the Scala path") {
+    graft.GraftExtensions.installInto(spark)
+    val root = Files.createTempDirectory("joinmv_sql").toString
+    val f = s"$root/fact"
+    val d = s"$root/dim"
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .repartition(4).write.parquet(f)
+    TxLog.convert(spark, f)
+    customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg"))
+      .repartition(2).write.parquet(d)
+    TxLog.convert(spark, d)
+    val st = s"$root/state"
+    def follow() = spark.sql("SELECT * FROM graft_joinmv_follow(" +
+      s"'$st', 'v', '$f', '$d:o_custkey', 'seg', 'price')").collect()
+    val seed = follow()
+    assert(seed.length == 2 && seed.map(_.getString(1)).toSeq == Seq(f, d))
+    DeleteWhere.range(spark, f, "o_orderkey", 1, 500)
+    val adv = follow()
+    assert(adv(0).getInt(2) < adv(0).getInt(3)) // fact advanced
+    val viaSql = spark.sql(s"SELECT * FROM graft_mv_read('$st', 'v')")
+    assert(same(viaSql, JoinMv.read(new ParquetStore(spark, st), "v")),
+      "SQL read != Scala read")
+    assert(same(viaSql.select(col("seg"), col("n"),
+      round(col("sum_price"), 2).as("sum_price")), direct(f, d)))
+    // single-table follower through its own verbs
+    val st2 = s"$root/state2"
+    spark.sql(s"SELECT * FROM graft_mv_follow('$st2', 'm', '$f', " +
+      "'o_custkey', 'price')").collect()
+    DeleteWhere.range(spark, f, "o_orderkey", 501, 900)
+    val r = spark.sql(s"SELECT * FROM graft_mv_follow('$st2', 'm', '$f', " +
+      "'o_custkey', 'price')").head()
+    assert(r.getLong(2) < r.getLong(3))
+    assert(same(
+      spark.sql(s"SELECT * FROM graft_mv_read('$st2', 'm')")
+        .select(col("o_custkey"), col("n"),
+          round(col("sum_price"), 2).as("sum_price")),
+      TxLog.snapshot(spark, f).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast("double")), 2).as("sum_price"))))
+  }
+
   test("a pre-star view's legacy cursor is adopted, not reseeded") {
     val (f, d, st) = fixtures()
     JoinMv.follow(st, "v", f, d, K, G, M)

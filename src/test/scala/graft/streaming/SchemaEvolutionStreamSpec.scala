@@ -124,6 +124,52 @@ class SchemaEvolutionStreamSpec extends SparkSpec {
       new org.apache.spark.sql.graft.SchemaEvolvedException("x"))))
   }
 
+  test("auto-restart: ADD COLUMN on a DATABASE table heals a KEYLESS (_row_id) feed") {
+    import graft.ops.{DbLog, RowTracking}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val root = Files.createTempDirectory("sevo_db").toString
+    val db = s"$root/db"
+    val rep = s"$root/rep"
+    DbLog.create(spark, db)
+    DbLog.transact(spark, db, "seed")(_.append("t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+    RowTracking.enableTable(spark, db, "t")
+    // keyless per-table feed (no business keys — images pair by the
+    // stable _row_id, which is also the apply sink's merge key)
+    val sup = new CdcSupervisor(() =>
+      spark.readStream.format("graft-cdc")
+        .option("path", db).option("table", "t")
+        .option("updateImages", "true")
+        .option("startingVersion", "0").load()
+        .writeStream.format("graft").option("path", rep)
+        .option("mode", "apply").option("keys", RowTracking.Col)
+        .option("checkpointLocation", s"$root/ck").start())
+    sup.processAllAvailable()
+    assert(sup.restarts == 0)
+    // per-table ADD COLUMN mid-stream + a commit carrying it: ONE
+    // drain must fail internally, restart, redeliver under the pin
+    DbLog.addColumn(spark, db, "t", StructField("w", LongType))
+    DbLog.transact(spark, db, "post-add")(_.append("t",
+      Seq((10L, "n", 100L)).toDF("k", "v", "w")))
+    sup.processAllAvailable()
+    assert(sup.restarts == 1)
+    // a MOR update through the healed stream still pairs by _row_id
+    val upd = DbLog.snapshot(spark, db, "t").filter(col("k") === 1L)
+      .withColumn("w", lit(7L)).localCheckpoint()
+    DbLog.transact(spark, db, "upd")(_.upsertKeyed("t", Seq("k"), upd))
+    sup.processAllAvailable()
+    sup.stop()
+    // replica ≡ tracked source rows — same ids, same values, once each
+    val srcNow = RowTracking.readTable(spark, db, "t")
+      .drop(RowTracking.VerCol)
+    val got = TxLog.snapshot(spark, rep)
+      .select(srcNow.columns.map(col): _*)
+    assert(got.exceptAll(srcNow).isEmpty && srcNow.exceptAll(got).isEmpty,
+      "replica != source after keyless evolution healing")
+    assert(TxLog.snapshot(spark, rep).filter(col("k") === 1L)
+      .head().getAs[Long]("w") == 7L)
+  }
+
   test("auto-restart: TYPE WIDENING mid-stream heals; old and new rows read wide in the replica") {
     val src = Files.createTempDirectory("sevo").toString + "/src"
     val rep = Files.createTempDirectory("sevo").toString + "/rep"
