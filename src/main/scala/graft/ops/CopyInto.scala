@@ -301,18 +301,22 @@ object CopyInto {
         .parallelize(prefixes, math.max(1, math.min(prefixes.length, 256)))
         .mapPartitions { it =>
           val conf = Compact.confFrom(confEnts)
+          // ONE listing per prefix: file and subdir counts both come
+          // from it (the pattern matches child NAMES, same contract
+          // as the top-level hasTopFiles glob)
+          val glob = new org.apache.hadoop.fs.GlobPattern(pattern)
           it.map { p =>
             val fs = new Path(p).getFileSystem(conf)
-            val n = Option(fs.globStatus(new Path(p, pattern)))
-              .map(_.count { st =>
-                val nm = st.getPath.getName
-                st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-              }).getOrElse(0)
-            val dirs = fs.listStatus(new Path(p)).count { st =>
+            var n = 0L
+            var dirs = 0L
+            fs.listStatus(new Path(p)).foreach { st =>
               val nm = st.getPath.getName
-              st.isDirectory && !nm.startsWith("_") && !nm.startsWith(".")
+              if (!nm.startsWith("_") && !nm.startsWith(".")) {
+                if (st.isDirectory) dirs += 1
+                else if (st.isFile && glob.matches(nm)) n += 1
+              }
             }
-            (p, (n.toLong, dirs.toLong))
+            (p, (n, dirs))
           }
         }.collect().toMap
     // loader-specific walk order spreads racing loaders across

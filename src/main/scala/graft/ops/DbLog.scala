@@ -892,7 +892,7 @@ object DbLog {
       adds ++= st.adds
       removes ++= st.removes
       seen ++= st.seen
-      cdcs ++= st.cdcFile
+      cdcs ++= st.cdcFiles
     }
 
     /** Stage a keyed MERGE-ON-READ upsert: same-key rows are hidden
@@ -964,7 +964,7 @@ object DbLog {
         adds ++= st.adds
         removes ++= st.removes
         seen ++= st.seen
-        cdcs ++= st.cdcFile
+        cdcs ++= st.cdcFiles
       }
       val rels = stageIn(table,
         p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))
@@ -988,8 +988,11 @@ object DbLog {
       requireOpen()
       if (tableExists(table)) {
         val keys = updates.select(col(keyCol)).distinct()
-        // bounded probe: one limit-scan, never a full count
-        if (keys.limit((maxKeys + 1).toInt).count() > maxKeys)
+        // bounded probe: one limit-scan, never a full count. A bound
+        // at or past Int.MaxValue disables the guard (limit takes an
+        // Int; the +1 must not overflow into limit(negative))
+        if (maxKeys < Int.MaxValue &&
+            keys.limit((maxKeys + 1).toInt).count() > maxKeys)
           throw new DbLog.UpsertTooLarge(
             s"upsert($table): more than $maxKeys distinct keys — a " +
               "data-sized batch must not collect to the driver. Use " +

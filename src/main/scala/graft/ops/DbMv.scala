@@ -199,23 +199,8 @@ object DbMv {
       if (!TxLog.retainedVersions(spark, db).contains(from)) true
       else ents(from) != ents(to)
     }
-    if (!changed(view.fact) && !changed(view.dim)) {
-      // same quiet-view cursor hop as [[refreshStar]]: sibling-table
-      // commits in the window move the cursor (one metadata commit)
-      // so the view never reseeds for zero relevant churn; a window
-      // of purely own commits no-ops without committing
-      val own = Set(stateTable(name), cursorTable(name),
-        sdefTable(name), defTable(name))
-      def prefixes(v: Int) = TxLog.liveEntries(spark, db, v)
-        .map(e => (e.name, e.dv)).toSet
-      val (pf, pt) = (prefixes(from), prefixes(to))
-      val touched = ((pf diff pt) ++ (pt diff pf))
-        .map(_._1.takeWhile(_ != '/'))
-      if (touched.forall(own)) return (from, from)
-      txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
-      txn.commit(s"mv_cursor($name)")
-      return (from, from)
-    }
+    if (!changed(view.fact) && !changed(view.dim))
+      return hopOrNoop(spark, db, name, txn, from, to)
 
     if (!TxLog.retainedVersions(spark, db).contains(from)) {
       // behind the vacuum horizon: the feed from `from` is gone —
@@ -322,6 +307,36 @@ object DbMv {
       val Array(t, ks) = part.split(":", 2)
       (t, ks.split("\\+").toSeq)
     }
+
+  /** The quiet-view branch of a refresh: nothing RELEVANT churned in
+    * `(from, to]`. If the window's churn is confined to MV machinery
+    * tables (`mv_*` — this view's own state/cursor rewrites AND any
+    * sibling view's), no-op WITHOUT committing: that's the fixpoint
+    * gate, and it must also swallow OTHER views' cursor hops or two
+    * quiet views ping-pong hop commits forever (each one's hop is
+    * sibling churn to the other). When a NON-MV table did commit,
+    * hop the cursor to `to` (state untouched, one metadata-sized
+    * commit) so the view never falls behind the vacuum horizon and
+    * pays a full O(view) reseed for zero relevant churn — the hop
+    * converges because hops themselves touch only `mv_*` tables.
+    * (A view defined OVER another view's state table is served by the
+    * relevant-churn gate before this branch, never starved by it.)
+    */
+  private def hopOrNoop(
+      spark: SparkSession, db: String, name: String,
+      txn: DbLog.Txn, from: Int, to: Int,
+      star: Boolean = false): (Int, Int) = {
+    import spark.implicits._
+    def entries(v: Int) = TxLog.liveEntries(spark, db, v)
+      .map(e => (e.name, e.dv)).toSet
+    val (pf, pt) = (entries(from), entries(to))
+    val touched = ((pf diff pt) ++ (pt diff pf))
+      .map(_._1.takeWhile(_ != '/'))
+    if (touched.forall(_.startsWith("mv_"))) return (from, from)
+    txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
+    txn.commit(if (star) s"mv_cursor_star($name)" else s"mv_cursor($name)")
+    (from, from)
+  }
 
   /** The definition codec's public face for the SQL surface
     * (`graft_dbmv_star_init`): `"dim:k1+k2;dim2:k3"` — per-dim
@@ -519,28 +534,8 @@ object DbMv {
       else ents(from) != ents(to)
     }
     val churned = view.tables.map(changed)
-    if (!churned.contains(true)) {
-      // nothing RELEVANT churned. If the only commits in (from, to]
-      // are this view's OWN (state/cursor rewrites), no-op WITHOUT
-      // committing — the fixpoint gate, or refresh chases its own
-      // tail forever. But when sibling tables of the database did
-      // commit, hop the cursor to `to` (state untouched, one
-      // metadata-sized commit): a quiet view must not fall behind
-      // the vacuum horizon and pay a full O(view) reseed for zero
-      // relevant churn. The hop itself is an own-commit, so the next
-      // refresh over it no-ops without committing.
-      val own = Set(stateTable(name), cursorTable(name),
-        sdefTable(name), defTable(name))
-      def prefixes(v: Int) = TxLog.liveEntries(spark, db, v)
-        .map(e => (e.name, e.dv)).toSet
-      val (pf, pt) = (prefixes(from), prefixes(to))
-      val touched = ((pf diff pt) ++ (pt diff pf))
-        .map(_._1.takeWhile(_ != '/'))
-      if (touched.forall(own)) return (from, from)
-      txn.overwrite(cursorTable(name), Seq(to).toDF("version"))
-      txn.commit(s"mv_cursor_star($name)")
-      return (from, from)
-    }
+    if (!churned.contains(true))
+      return hopOrNoop(spark, db, name, txn, from, to, star = true)
 
     if (!TxLog.retainedVersions(spark, db).contains(from)) {
       // the reseed re-sizes the state layout exactly like initStar —

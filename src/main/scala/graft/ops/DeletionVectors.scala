@@ -311,14 +311,14 @@ object DeletionVectors {
     // table is
     val pcols = DeleteWhere.partitionColsOf(entries.map(_.name))
     val newNames = stageAppend(spark, dir, updatesTracked, pcols, evolvedTo)
-    val (dvName, cdcName) =
-      if (replacedRows == 0) (None, None)
+    val (dvName, cdcNames) =
+      if (replacedRows == 0) (None, Nil)
       else {
         val prior = priorDvRows(spark, dir, touched)
         val allRows = prior.map(_.unionByName(hit.get)).getOrElse(hit.get)
         (Some(writeSidecar(spark, dir, allRows)),
-          Some(writeCdcSidecar(spark, dir, matchedRows.get,
-            TxLog.tableSchema(spark, dir))))
+          writeCdcSidecar(spark, dir, matchedRows.get, replacedRows,
+            TxLog.tableSchema(spark, dir)))
       }
     val committedV = TxLog.commitEntries(spark, dir,
       // the merged sidecar is LOCAL (dvBase cleared) even when the
@@ -330,7 +330,7 @@ object DeletionVectors {
       txn = txn,
       seen = touched,
       op = Some("mor-merge"),
-      cdc = cdcName.toSeq)
+      cdc = cdcNames)
     // pin AFTER the commit succeeds, keyed to the version it actually
     // landed at: pinning currentVersion+1 up front would retroactively
     // widen intermediate snapshots when the commit retries past that
@@ -532,7 +532,7 @@ object DeletionVectors {
       removes = st.removes,
       seen = st.seen,
       op = Some("dv-delete"),
-      cdc = st.cdcFile.toSeq)
+      cdc = st.cdcFiles)
     Receipt(entries.size.toLong, st.seen.size.toLong, st.deletedRows,
       st.dvFile)
   }
@@ -551,7 +551,7 @@ object DeletionVectors {
       seen: Seq[TxLog.AddEntry],
       deletedRows: Long,
       dvFile: Option[String],
-      cdcFile: Option[String] = None)
+      cdcFiles: Seq[String] = Nil)
 
   private[ops] def stageDelete(
       spark: SparkSession,
@@ -598,7 +598,7 @@ object DeletionVectors {
     // removed side costs churn bytes, never a base-file re-scan —
     // written eagerly like the vector (invisible until the commit's
     // CDC line references it; orphans are vacuum-swept)
-    val cdcName = writeCdcSidecar(spark, dir, matched,
+    val cdcNames = writeCdcSidecar(spark, dir, matched, deletedRows,
       pinOverride.orElse(TxLog.tableSchema(spark, dir)))
     StagedDv(
       // the merged sidecar is LOCAL (dvBase cleared); cloned data
@@ -609,7 +609,7 @@ object DeletionVectors {
       seen = touched,
       deletedRows = deletedRows,
       dvFile = Some(dvName),
-      cdcFile = Some(cdcName))
+      cdcFiles = cdcNames)
   }
 
   /** Range-delete with log-stats pruning: only files whose ADD-carried
@@ -762,48 +762,77 @@ object DeletionVectors {
   private def writeSidecar(
       spark: SparkSession,
       dir: String,
-      rows: DataFrame): String =
-    landSidecar(spark, dir, TxLog.DvDirName, "dv",
-      rows.select(col("file").cast("string"), col("pos").cast("long")))
+      rows: DataFrame): String = {
+    val landed = landSidecars(spark, dir, TxLog.DvDirName, "dv",
+      rows.select(col("file").cast("string"), col("pos").cast("long"))
+        .coalesce(1))
+    require(landed.size == 1,
+      s"dv sidecar stage produced ${landed.size} files")
+    landed.head
+  }
+
+  /** Rows beyond this many deleted rows skip the change-data sidecar:
+    * a massive purge (retention sweeps hiding a large table fraction)
+    * must not double its write bytes for a feed that would cost the
+    * same to read positionally — the uncovered positions fall back to
+    * [[TxLog.diffOfEntries]]'s raw positional read, still O(churn).
+    */
+  private[ops] val CdcMaxRows = 1L << 24
+
+  /** Per-sidecar-file target: content sidecars write DISTRIBUTED
+    * (several tasks for a wide churn), sized so a typical delete
+    * still lands one file.
+    */
+  private val CdcRowsPerFile = 1L << 21
 
   /** Write a change-data sidecar: the hidden rows' content under the
     * table's PHYSICAL names (rename-stable, like data files), keeping
     * `__graft_file`/`__graft_pos` as the feed's join key and renaming
-    * a tracked read's `_row_id` to `__graft_rid`. One file per
-    * delete, O(deleted rows) — the same order as the vector itself.
+    * a tracked read's `_row_id` to `__graft_rid`. O(deleted rows) —
+    * written distributed (row-count-sized file fan-out), skipped
+    * entirely past [[CdcMaxRows]]. Returns the landed file names
+    * (empty = no sidecar; the feed serves those positions raw).
     */
   private def writeCdcSidecar(
       spark: SparkSession,
       dir: String,
       rows: DataFrame,
-      pin: Option[org.apache.spark.sql.types.StructType]): String = {
+      deletedRows: Long,
+      pin: Option[org.apache.spark.sql.types.StructType]): Seq[String] = {
+    if (deletedRows > CdcMaxRows) return Nil
     val withRid =
       if (rows.columns.contains(RowTracking.Col))
         rows.withColumnRenamed(RowTracking.Col, "__graft_rid")
       else rows
     val phys = pin.map(ColumnMapping.toPhysical(withRid, _))
       .getOrElse(withRid)
-    landSidecar(spark, dir, TxLog.CdcDirName, "cdc", phys)
+    val nFiles = math.max(1L, math.min(64L,
+      (deletedRows + CdcRowsPerFile - 1) / CdcRowsPerFile)).toInt
+    landSidecars(spark, dir, TxLog.CdcDirName, "cdc",
+      phys.coalesce(nFiles))
   }
 
-  private def landSidecar(
+  private def landSidecars(
       spark: SparkSession,
       dir: String,
       sub: String,
       kind: String,
-      rows: DataFrame): String = {
+      rows: DataFrame): Seq[String] = {
     val fs = Compact.fsOf(spark, dir)
-    val name = s"$kind-${java.util.UUID.randomUUID}.parquet"
     val tmpDir = new Path(dir, s".${kind}_stage-${java.util.UUID.randomUUID}")
-    rows.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir).toSeq
+    rows.write.mode("overwrite").parquet(tmpDir.toString)
+    val parts = fs.listStatus(tmpDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    require(part.size == 1, s"$kind sidecar stage produced ${part.size} files")
+    require(parts.nonEmpty, s"$kind sidecar stage produced no files")
     fs.mkdirs(new Path(dir, sub))
-    val dest = new Path(s"$dir/$sub/$name")
-    if (!fs.rename(part.head.getPath, dest))
-      throw new java.io.IOException(s"cannot land $kind sidecar $dest")
+    val names = parts.map { p =>
+      val name = s"$kind-${java.util.UUID.randomUUID}.parquet"
+      val dest = new Path(s"$dir/$sub/$name")
+      if (!fs.rename(p.getPath, dest))
+        throw new java.io.IOException(s"cannot land $kind sidecar $dest")
+      name
+    }
     fs.delete(tmpDir, true)
-    name
+    names
   }
 }

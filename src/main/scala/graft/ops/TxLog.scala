@@ -1980,21 +1980,22 @@ object TxLog {
       // anyway. One explicit-schema probe of the `__graft_file` column
       // (no footer merging) names the relevant files; churn-sized.
       val allPaths = cdcNames.distinct.map(n => cdcFilePath(dir, n))
-      val paths =
-        if (allPaths.size <= 1) allPaths
-        else {
-          import spark.implicits._
-          val pairNamesDf = dvPairs.map(_._2.name).toDF("__graft_file")
-          val probe = spark.read
-            .schema(StructType(Seq(StructField("__graft_file", StringType))))
-            .parquet(allPaths: _*)
-            .select(col("_metadata.file_path").as("__graft_cdc_src"),
-              col("__graft_file"))
-            .join(broadcast(pairNamesDf), Seq("__graft_file"), "left_semi")
-            .select("__graft_cdc_src").distinct()
-            .collect().map(_.getString(0)).toSet
-          allPaths.filter(p => probe(qualifyAbs(spark, p)))
-        }
+      val paths = {
+        // no shortcut for a lone sidecar: it may belong to a SIBLING
+        // table (the only CDC line of the range), and a pinned read
+        // of it is exactly the heterogeneous hazard above
+        import spark.implicits._
+        val pairNamesDf = dvPairs.map(_._2.name).toDF("__graft_file")
+        val probe = spark.read
+          .schema(StructType(Seq(StructField("__graft_file", StringType))))
+          .parquet(allPaths: _*)
+          .select(col("_metadata.file_path").as("__graft_cdc_src"),
+            col("__graft_file"))
+          .join(broadcast(pairNamesDf), Seq("__graft_file"), "left_semi")
+          .select("__graft_cdc_src").distinct()
+          .collect().map(_.getString(0)).toSet
+        allPaths.filter(p => probe(qualifyAbs(spark, p)))
+      }
       if (paths.isEmpty) return (None, Some(pos))
       val raw = pin match {
         case Some(sc) =>

@@ -410,6 +410,19 @@ class DbMvSpec extends SparkSpec {
     val (f2, t2) = DbMv.refreshStar(spark, db, "srev")
     assert(f2 == t2 && DbLog.currentVersion(spark, db) == v1 + 1,
       "a window of purely own commits must not commit")
+    // TWO quiet views on one database: hops must converge, not
+    // ping-pong (each view's hop commit is mv_-machinery churn the
+    // other's fixpoint gate swallows)
+    DbMv.initStar(spark, db, "srev2", starView.copy(sumCols = Seq("rev")))
+    DbLog.transact(spark, db, "sibling2")(
+      _.append("audit", Seq((2L, "y")).toDF("id", "v")))
+    val h0 = DbLog.currentVersion(spark, db)
+    (1 to 3).foreach { _ =>
+      DbMv.refreshStar(spark, db, "srev")
+      DbMv.refreshStar(spark, db, "srev2")
+    }
+    assert(DbLog.currentVersion(spark, db) <= h0 + 2,
+      "quiet views must hop at most once each per foreign commit")
     // join form: same contract
     val db2 = freshDb()
     DbMv.init(spark, db2, "rev", view)
