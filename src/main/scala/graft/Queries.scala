@@ -3178,10 +3178,13 @@ object Queries {
       txn.append("nat", n.select(col("n_nationkey").as("c_nationkey"),
         col("n_name").as("nation_name")))
     }
+    // reserveK: min/max ride bounded extreme reserves — a scattered
+    // churn advances without the post-change source recompute (only
+    // a drained prefix falls back to it), and the values stay exact
     val view = graft.ops.DbMv.StarView("fact",
       Seq(("cust", Seq("o_custkey")), ("nat", Seq("c_nationkey"))),
       groupCols = Seq("seg", "nation_name"), sumCols = Seq("price"),
-      minMaxCols = Seq("price"))
+      minMaxCols = Seq("price"), reserveK = 8)
     graft.Phases.timed("seed")(
       graft.ops.DbMv.initStar(s, db, "rev", view))
     // ONE transaction churns all three tables: fact re-prices %991,

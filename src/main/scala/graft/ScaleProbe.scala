@@ -69,6 +69,11 @@ object ScaleProbe {
     // O(rows-of-dirty-groups) term by design) from the feed costs
     timed("init_star_sumonly")(graft.ops.DbMv.initStar(spark, db, "revs",
       view.copy(minMaxCols = Nil)))
+    // reserve twin: min/max maintained through bounded extreme
+    // reserves — a scattered churn should advance at sum-only speed
+    // (no prefix drains, no source recompute)
+    timed("init_star_reserve")(graft.ops.DbMv.initStar(spark, db, "revr",
+      view.copy(reserveK = 8)))
     // 0.1% scattered fact churn: %997 keys hit every one of the 32
     // files, so every entry gains a DV — the whole-read killer shape
     val bump = graft.ops.DbLog.snapshot(spark, db, "fact")
@@ -90,6 +95,8 @@ object ScaleProbe {
       graft.ops.DbMv.refreshStar(spark, db, "rev"))
     timed("star_adv_scat_sumonly")(
       graft.ops.DbMv.refreshStar(spark, db, "revs"))
+    timed("star_adv_scat_reserve")(
+      graft.ops.DbMv.refreshStar(spark, db, "revr"))
     timed("star_noop")(graft.ops.DbMv.refreshStar(spark, db, "rev"))
     // dim-term advance: churn ONLY the cust dim (scattered keys), the
     // fact_old read is the term this probe watches

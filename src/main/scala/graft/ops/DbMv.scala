@@ -287,15 +287,111 @@ object DbMv {
       dims: Seq[(String, Seq[String])],
       groupCols: Seq[String],
       sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil) {
+      minMaxCols: Seq[String] = Nil,
+      reserveK: Int = 0) {
     require(dims.nonEmpty, "StarView: at least one dimension")
     require(groupCols.nonEmpty, "StarView: groupCols must be non-empty")
+    require(reserveK >= 0 && reserveK <= 4096,
+      s"StarView: reserveK must be in [0, 4096], got $reserveK")
     private[DbMv] def tables: Seq[String] = fact +: dims.map(_._1)
     private[DbMv] def keep: Seq[String] =
       (groupCols ++ sumCols ++ minMaxCols).distinct
     (dims.flatMap(_._2) ++ groupCols ++ sumCols ++ minMaxCols).foreach(c =>
       require(!c.exists(";:+".contains(_)),
         s"StarView: column '$c' spells a definition-codec delimiter"))
+  }
+
+  /** Post-merge reserve state of one measure: the two extreme
+    * prefixes, the non-null value count, and whether the group must
+    * recompute (a reserve drained while values remain).
+    */
+  final case class ReserveState(
+      minres: Seq[Double], maxres: Seq[Double], nn: Long, dirty: Boolean)
+
+  /** BOUNDED EXTREME RESERVES — the IVM answer that makes MIN/MAX
+    * maintenance O(churn) instead of O(rows-of-dirty-groups) for the
+    * overwhelmingly common churn: alongside `min_m`/`max_m` the state
+    * stores the K SMALLEST and K LARGEST live values of each group
+    * (`minres_m` ascending / `maxres_m` descending, exact multiset
+    * prefixes of the group's ordered values). A delete of a value
+    * INSIDE a prefix pops it from the array; a delete beyond the
+    * prefix cannot affect the extreme and is a no-op; an add merges
+    * in (truncated back to K). Only when a prefix DRAINS while the
+    * group still has values — at least K deletes all hitting the same
+    * extreme end — does the group fall back to the source recompute.
+    * A scattered churn deleting random rows almost never drains a
+    * prefix, so the advance skips the post-change source join
+    * entirely. The algebra is conservative: any inconsistency
+    * (a within-prefix delete whose value is absent) marks the group
+    * dirty rather than guessing.
+    */
+  private[ops] object ExtremeReserve {
+
+    /** One side's algebra over ASCENDING arrays (the max side negates
+      * in and out). `res0` is the stored prefix, `nnOld` the group's
+      * non-null count before the batch, `dels` the batch's ≤ K+1
+      * smallest deleted values (ascending), `adds` its ≤ K smallest
+      * added values (ascending), `nnNew` the post-batch count.
+      * Returns the new prefix and the dirty flag.
+      *
+      * Soundness sketch: the prefix invariant — `res` equals the
+      * first `res.length` elements of the group's sorted live
+      * multiset — is preserved by every step. Removing an instance
+      * of a value ≤ res.last shortens the prefix by one and keeps it
+      * a prefix (multiset identity makes WHICH equal instance was
+      * physically deleted irrelevant); removing a value beyond
+      * res.last cannot change the first elements; an add enters only
+      * when provably inside the prefix (≤ res.last, or the reserve is
+      * COMPLETE — length == live count — so everything is inside).
+      * Carrying only the K+1 smallest deletes is enough: if more
+      * fall inside the prefix, the prefix drains on those alone and
+      * the group recomputes anyway.
+      */
+    def applySide(
+        res0: Seq[Double], nnOld: Long, dels: Seq[Double],
+        adds: Seq[Double], nnNew: Long, k: Int): (Seq[Double], Boolean) = {
+      val r = scala.collection.mutable.ArrayBuffer(res0: _*)
+      val complete = r.length.toLong == nnOld
+      var dirty = false
+      val dIt = dels.iterator
+      while (dIt.hasNext && !dirty) {
+        val d = dIt.next()
+        if (r.isEmpty) dirty = true
+        else if (complete || d <= r.last) {
+          val i = r.indexOf(d)
+          if (i < 0) dirty = true else r.remove(i)
+        } // beyond the prefix: the extreme end is unaffected
+      }
+      if (!dirty) {
+        adds.foreach { a =>
+          if (complete || (r.nonEmpty && a <= r.last)) {
+            val i = {
+              val j = r.indexWhere(_ > a)
+              if (j < 0) r.length else j
+            }
+            r.insert(i, a)
+          }
+        }
+        if (r.length > k) r.remove(k, r.length - k)
+      }
+      if (!dirty && r.isEmpty && nnNew > 0) dirty = true
+      (r.toSeq, dirty)
+    }
+
+    /** Both sides at once — what the refresh's per-group UDF calls.
+      * Max side runs the same ascending algebra on negated values.
+      */
+    def apply(
+        minres: Seq[Double], maxres: Seq[Double], nnOld: Long,
+        delMin: Seq[Double], addMin: Seq[Double],
+        delMax: Seq[Double], addMax: Seq[Double],
+        dNn: Long, k: Int): ReserveState = {
+      val nnNew = nnOld + dNn
+      val (mn, dirtyMin) = applySide(minres, nnOld, delMin, addMin, nnNew, k)
+      val (mxNeg, dirtyMax) = applySide(
+        maxres.map(-_), nnOld, delMax.map(-_), addMax.map(-_), nnNew, k)
+      ReserveState(mn, mxNeg.map(-_), nnNew, dirtyMin || dirtyMax)
+    }
   }
 
   private def sdefTable(name: String) = s"mv_${name}_sdef"
@@ -370,12 +466,41 @@ object DbMv {
     math.min(256L, java.lang.Long.highestOneBit(
       math.max(1L, (groups + (1L << 14) - 1) / (1L << 14)) * 2 - 1)).toInt
 
+  /** Bounded k-smallest / k-largest VALUE collection as aggregates —
+    * [[graft.functions.TopKNeighbors]] with a constant id, so the
+    * map-side partial keeps an O(k) heap per group and the shuffle
+    * never carries a group's full value list (no `collect_list`, no
+    * window sort — the 100 TB seed shape).
+    */
+  private def kSmallest(c: Column, k: Int): Column =
+    transform(graft.functions.TopKFunctions
+      .topKNeighbors(c, lit(0L), k, scoreAscending = true),
+      x => x.getField("score"))
+  private def kLargest(c: Column, k: Int): Column =
+    transform(graft.functions.TopKFunctions
+      .topKNeighbors(c, lit(0L), k, scoreAscending = false),
+      x => x.getField("score"))
+
+  /** The per-measure reserve aggregates ([[ExtremeReserve]]) a source
+    * scan seeds or rebuilds: ascending min-prefix, descending
+    * max-prefix, non-null count.
+    */
+  private def reserveAggs(v: StarView, prefix: String = ""): Seq[Column] =
+    if (v.reserveK <= 0) Nil
+    else v.minMaxCols.flatMap(m => Seq(
+      kSmallest(col(m).cast("double"), v.reserveK)
+        .as(s"${prefix}minres_$m"),
+      kLargest(col(m).cast("double"), v.reserveK)
+        .as(s"${prefix}maxres_$m"),
+      count(col(m)).as(s"${prefix}nn_$m")))
+
   private def starAgg(joined: DataFrame, v: StarView): DataFrame = {
-    val aggs = (count(lit(1)).as("mv_count") +:
+    val aggs = ((count(lit(1)).as("mv_count") +:
       v.sumCols.map(m => sum(col(m).cast("double")).as(s"sum_$m"))) ++
       v.minMaxCols.flatMap(m => Seq(
         min(col(m).cast("double")).as(s"min_$m"),
-        max(col(m).cast("double")).as(s"max_$m")))
+        max(col(m).cast("double")).as(s"max_$m")))) ++
+      reserveAggs(v)
     joined.groupBy(v.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -401,23 +526,31 @@ object DbMv {
     val shards = shardsFor(seeded.count())
     txn.append(sdefTable(name),
       Seq((view.fact, encodeDims(view.dims), view.groupCols.mkString(","),
-        view.sumCols.mkString(","), view.minMaxCols.mkString(",")))
-        .toDF("fact", "dims", "group_cols", "sum_cols", "minmax_cols"))
+        view.sumCols.mkString(","), view.minMaxCols.mkString(","),
+        view.reserveK))
+        .toDF("fact", "dims", "group_cols", "sum_cols", "minmax_cols",
+          "reserve_k"))
     txn.append(stateTable(name), seeded.repartition(shards))
     txn.append(cursorTable(name), Seq(txn.baseVersion).toDF("version"))
     txn.commit(s"mv_init_star($name)")
   }
 
-  /** The stored star definition at `version` (default current). */
+  /** The stored star definition at `version` (default current).
+    * Pre-reserve definitions (5-column sdef) read back with
+    * `reserveK = 0` — their state carries no reserve columns.
+    */
   def starDefinition(
       spark: SparkSession, db: String, name: String,
       version: Int = Int.MaxValue): StarView = {
     requireViewName(name)
-    val r = DbLog.snapshot(spark, db, sdefTable(name), version).head()
+    val df = DbLog.snapshot(spark, db, sdefTable(name), version)
+    val r = df.head()
     def cols(s: String) =
       if (s.isEmpty) Nil else s.split(",").toSeq
+    val k =
+      if (df.columns.contains("reserve_k")) r.getAs[Int]("reserve_k") else 0
     StarView(r.getString(0), decodeDims(r.getString(1)),
-      cols(r.getString(2)), cols(r.getString(3)), cols(r.getString(4)))
+      cols(r.getString(2)), cols(r.getString(3)), cols(r.getString(4)), k)
   }
 
   /** The star view's rows: `groupCols…, mv_count, sum_…, min_…,
@@ -426,8 +559,13 @@ object DbMv {
     */
   def readStar(
       spark: SparkSession, db: String, name: String,
-      version: Int = Int.MaxValue): DataFrame =
-    DbLog.snapshot(spark, db, stateTable(name), version)
+      version: Int = Int.MaxValue): DataFrame = {
+    val df = DbLog.snapshot(spark, db, stateTable(name), version)
+    // reserve machinery columns ([[ExtremeReserve]]) are maintenance
+    // state, not view output
+    df.drop(df.columns.filter(c => c.startsWith("minres_") ||
+      c.startsWith("maxres_") || c.startsWith("nn_")): _*)
+  }
 
   /** The OLD-side fact scan for a dim term, bounded two ways by the
     * churn-sized feed's per-key [min, max]: FILE level through the
@@ -586,19 +724,35 @@ object DbMv {
     val u = terms.reduce(_ unionByName _)
     val adds = col("_change_type") === "insert"
     val gcols = view.groupCols.map(col)
-    val aggs = (sum(when(adds, 1L).otherwise(-1L)).as("d_n") +:
+    val k = view.reserveK
+    val baseAggs = sum(when(adds, 1L).otherwise(-1L)).as("d_n") +:
       view.sumCols.map(m => sum(when(adds, col(m).cast("double"))
-        .otherwise(-col(m).cast("double"))).as(s"d_$m"))) ++
-      view.minMaxCols.flatMap(m => Seq(
-        min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
-        max(when(adds, col(m).cast("double"))).as(s"add_max_$m"))) :+
+        .otherwise(-col(m).cast("double"))).as(s"d_$m"))
+    val mmAggsD: Seq[Column] =
+      if (k > 0)
+        // reserve feeds: per measure, the bounded add/delete extreme
+        // arrays ([[ExtremeReserve]]) + the signed non-null count —
+        // O(k) per group on the map side, never a full value list
+        view.minMaxCols.flatMap(m => Seq(
+          kSmallest(when(adds, col(m).cast("double")), k)
+            .as(s"addmin_$m"),
+          kLargest(when(adds, col(m).cast("double")), k)
+            .as(s"addmax_$m"),
+          kSmallest(when(!adds, col(m).cast("double")), k + 1)
+            .as(s"delmin_$m"),
+          kLargest(when(!adds, col(m).cast("double")), k + 1)
+            .as(s"delmax_$m"),
+          sum(when(col(m).cast("double").isNotNull,
+            when(adds, 1L).otherwise(-1L)).otherwise(0L))
+            .as(s"d_nn_$m")))
+      else
+        view.minMaxCols.flatMap(m => Seq(
+          min(when(adds, col(m).cast("double"))).as(s"add_min_$m"),
+          max(when(adds, col(m).cast("double"))).as(s"add_max_$m")))
+    val aggs = (baseAggs ++ mmAggsD) :+
       max(when(!adds, lit(1)).otherwise(lit(0))).as("__dirty")
     val delta = u.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
       .localCheckpoint() // probed (dirty), keyed and merged below
-    // every group-key join below is NULL-SAFE (<=>): a NULL dim
-    // attribute names a real group (groupBy put it there), and SQL's
-    // null-never-equals would leave its stored row unmatched — the
-    // merge would append a duplicate null-group row per refresh
     // every group-key join below is NULL-SAFE
     // ([[RelationalOps.nullSafeMerge]]): a NULL dim attribute names a
     // real group, and null-never-equals joins would append a
@@ -608,32 +762,84 @@ object DbMv {
     // full-outer with coalesced group keys: the USING form would emit
     // null-group rows from BOTH sides unpaired
     val base = RelationalOps.nullSafeMerge(stored, delta, view.groupCols)
-    val recomputed =
-      if (view.minMaxCols.isEmpty) base
+    // WITHOUT reserves a group is dirty whenever any delete touched
+    // it (a removal can invalidate a stored extreme); WITH them only
+    // a DRAINED prefix forces the source recompute — the dirtiness is
+    // decided per group by the reserve algebra, post-merge
+    val (preRc, dirtyCol) =
+      if (k <= 0 || view.minMaxCols.isEmpty) (base, col("__dirty") === 1)
       else {
-        val dirty = delta.filter(col("__dirty") === 1)
+        val resUdf = udf((minres: Seq[Double], maxres: Seq[Double],
+            nn: Long, delMin: Seq[Double], addMin: Seq[Double],
+            delMax: Seq[Double], addMax: Seq[Double], dNn: Long) =>
+          ExtremeReserve(minres, maxres, nn, delMin, addMin,
+            delMax, addMax, dNn, k))
+        def arr(c: String) =
+          coalesce(col(c), array().cast("array<double>"))
+        val withRes = view.minMaxCols.foldLeft(base)((d, m) =>
+          d.withColumn(s"__res_$m", resUdf(
+            arr(s"minres_$m"), arr(s"maxres_$m"),
+            coalesce(col(s"nn_$m"), lit(0L)),
+            arr(s"delmin_$m"), arr(s"addmin_$m"),
+            arr(s"delmax_$m"), arr(s"addmax_$m"),
+            coalesce(col(s"d_nn_$m"), lit(0L)))))
+        (withRes.withColumn("__rdirty",
+          view.minMaxCols.map(m => col(s"__res_$m").getField("dirty"))
+            .reduce(_ || _)).localCheckpoint(),
+          col("__rdirty"))
+      }
+    val recomputed =
+      if (view.minMaxCols.isEmpty) preRc
+      else {
+        val dirty = preRc.filter(dirtyCol)
           .select(gcols: _*).localCheckpoint()
         if (dirty.isEmpty)
-          view.minMaxCols.foldLeft(base)((d, m) =>
-            d.withColumn(s"rc_min_$m", lit(null).cast("double"))
-              .withColumn(s"rc_max_$m", lit(null).cast("double")))
+          view.minMaxCols.foldLeft(preRc)((d, m) => {
+            val d2 = d
+              .withColumn(s"rc_min_$m", lit(null).cast("double"))
+              .withColumn(s"rc_max_$m", lit(null).cast("double"))
+            if (k <= 0) d2
+            else d2
+              .withColumn(s"rc_minres_$m",
+                lit(null).cast("array<double>"))
+              .withColumn(s"rc_maxres_$m",
+                lit(null).cast("array<double>"))
+              .withColumn(s"rc_nn_$m", lit(null).cast("long"))
+          })
         else {
           val mmAggs = view.minMaxCols.flatMap(m => Seq(
             min(col(m).cast("double")).as(s"rc_min_$m"),
-            max(col(m).cast("double")).as(s"rc_max_$m")))
+            max(col(m).cast("double")).as(s"rc_max_$m"))) ++
+            reserveAggs(view, "rc_")
           val recomp = RelationalOps.nullSafeSemi(
               joinedStar(spark, db, view, to), dirty, view.groupCols)
             .groupBy(gcols: _*).agg(mmAggs.head, mmAggs.tail: _*)
-          RelationalOps.nullSafeMerge(base, recomp, view.groupCols, "left")
+          RelationalOps.nullSafeMerge(preRc, recomp, view.groupCols, "left")
         }
       }
-    val mmOut = view.minMaxCols.flatMap(m => Seq(
-      when(col("__dirty") === 1, col(s"rc_min_$m"))
-        .otherwise(least(col(s"min_$m"), col(s"add_min_$m")))
-        .as(s"min_$m"),
-      when(col("__dirty") === 1, col(s"rc_max_$m"))
-        .otherwise(greatest(col(s"max_$m"), col(s"add_max_$m")))
-        .as(s"max_$m")))
+    val mmOut = view.minMaxCols.flatMap(m =>
+      if (k > 0) Seq(
+        when(dirtyCol, col(s"rc_min_$m"))
+          .otherwise(get(col(s"__res_$m").getField("minres"), lit(0)))
+          .as(s"min_$m"),
+        when(dirtyCol, col(s"rc_max_$m"))
+          .otherwise(get(col(s"__res_$m").getField("maxres"), lit(0)))
+          .as(s"max_$m"),
+        when(dirtyCol, col(s"rc_minres_$m"))
+          .otherwise(col(s"__res_$m").getField("minres"))
+          .as(s"minres_$m"),
+        when(dirtyCol, col(s"rc_maxres_$m"))
+          .otherwise(col(s"__res_$m").getField("maxres"))
+          .as(s"maxres_$m"),
+        when(dirtyCol, col(s"rc_nn_$m"))
+          .otherwise(col(s"__res_$m").getField("nn")).as(s"nn_$m"))
+      else Seq(
+        when(dirtyCol, col(s"rc_min_$m"))
+          .otherwise(least(col(s"min_$m"), col(s"add_min_$m")))
+          .as(s"min_$m"),
+        when(dirtyCol, col(s"rc_max_$m"))
+          .otherwise(greatest(col(s"max_$m"), col(s"add_max_$m")))
+          .as(s"max_$m")))
     val merged = recomputed
       .select(((gcols :+
         (coalesce(col("mv_count"), lit(0L)) + coalesce(col("d_n"), lit(0L)))

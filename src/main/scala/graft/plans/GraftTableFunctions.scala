@@ -413,14 +413,15 @@ object GraftTableFunctions {
           str(s0, fn, 7)))
       procReceipt(spark, s"dbmv-init($name)", db, Seq("version" -> v.toLong))
     case ("graft_dbmv_star_init", rest @ Seq(d, n, f0, dm, g, s0, _*))
-        if rest.length <= 7 =>
+        if rest.length <= 8 =>
       val db = str(d, fn, 0)
       val name = str(n, fn, 1)
       val mm = rest.lift(6).map(e => csv(str(e, fn, 6))).getOrElse(Nil)
+      val rk = rest.lift(7).map(int(_, fn, 7)).getOrElse(0)
       val v = graft.ops.DbMv.initStar(spark, db, name,
         graft.ops.DbMv.StarView(str(f0, fn, 2),
           graft.ops.DbMv.parseDims(str(dm, fn, 3)),
-          csv(str(g, fn, 4)), csv(str(s0, fn, 5)), mm))
+          csv(str(g, fn, 4)), csv(str(s0, fn, 5)), mm, rk))
       procReceipt(spark, s"dbmv-star-init($name)", db,
         Seq("version" -> v.toLong))
     case ("graft_dbmv_refresh", Seq(d, n)) =>
@@ -743,7 +744,7 @@ object GraftTableFunctions {
       ("graft_dbmv_init",
         "graft_dbmv_init(db, name, fact, dim, fact_key, dim_key, 'g1,g2', sum_col) - PROCEDURE: register + seed a two-table incremental view inside the database"),
       ("graft_dbmv_star_init",
-        "graft_dbmv_star_init(db, name, fact, 'dim:k1+k2;dim2:k3', 'g1,g2', 's1,s2'[, 'mm1']) - PROCEDURE: register + seed an N-table star/snowflake incremental view"),
+        "graft_dbmv_star_init(db, name, fact, 'dim:k1+k2;dim2:k3', 'g1,g2', 's1,s2'[, 'mm1'[, reserve_k]]) - PROCEDURE: register + seed an N-table star/snowflake incremental view (reserve_k > 0 maintains min/max through bounded extreme reserves)"),
       ("graft_dbmv_refresh",
         "graft_dbmv_refresh(db, name) - PROCEDURE: advance the view to the database's current version (state + cursor in ONE commit)"),
       ("graft_dbmv_read",

@@ -390,6 +390,58 @@ class DbMvSpec extends SparkSpec {
     checkStar(db, "post-maintenance refresh")
   }
 
+  test("star: bounded extreme reserves keep min/max exact; drains heal through the recompute") {
+    val db = freshStarDb()
+    DbMv.initStar(spark, db, "srev", starView.copy(reserveK = 8))
+    assert(DbMv.starDefinition(spark, db, "srev").reserveK == 8)
+    checkStar(db, "reserve seed")
+    // machinery columns never surface in the read
+    assert(!DbMv.readStar(spark, db, "srev").columns
+      .exists(c => c.startsWith("minres_") || c.startsWith("nn_")))
+    // scattered churn: re-prices + interior deletes — the reserves
+    // absorb it (no prefix drains), values stay exact
+    val bump = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .withColumn("rev", (col("rev") * 2).cast("decimal(12,2)"))
+      .localCheckpoint()
+    val dead = DbLog.snapshot(spark, db, "orders")
+      .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select("o_orderkey").localCheckpoint()
+    DbLog.transact(spark, db, "churn") { txn =>
+      txn.applyKeyed("orders", Seq("o_orderkey"), bump, dead)
+    }
+    DbMv.refreshStar(spark, db, "srev")
+    checkStar(db, "scattered churn through reserves")
+    // ADVERSARIAL: delete MORE than k of one nation's cheapest rows —
+    // the min prefix drains, the dirty recompute must heal exactly
+    val n5 = DbLog.snapshot(spark, db, "orders")
+      .join(DbLog.snapshot(spark, db, "customer")
+        .filter(col("c_nationkey") === 5), Seq("o_custkey"))
+    val cheapest = n5.orderBy(col("rev").asc).limit(12)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(cheapest.size > 8)
+    DbLog.transact(spark, db, "drain")(
+      _.deleteWhere("orders", col("o_orderkey").isInCollection(cheapest)))
+    DbMv.refreshStar(spark, db, "srev")
+    checkStar(db, "min-prefix drain healed")
+    // dim-side group move (rows leave one group, join another)
+    val moved = DbLog.snapshot(spark, db, "customer")
+      .filter(col("o_custkey") % 9 === 0)
+      .withColumn("c_nationkey", (col("c_nationkey") + lit(3)) % 25)
+      .localCheckpoint()
+    DbLog.transact(spark, db, "dim")(
+      _.upsertKeyed("customer", Seq("o_custkey"), moved))
+    DbMv.refreshStar(spark, db, "srev")
+    checkStar(db, "dim move through reserves")
+    // and the whole lifecycle matches a reserve-free twin (sums
+    // ROUND(,2) — the incremental fold differs from a fresh seed by
+    // ulps; counts and min/max must be bit-exact)
+    DbMv.initStar(spark, db, "plain", starView)
+    assert(same(rounded(DbMv.readStar(spark, db, "srev")),
+      rounded(DbMv.readStar(spark, db, "plain"))),
+      "reserve view != reserve-free view")
+  }
+
   test("quiet view: sibling-table churn hops the cursor (one metadata commit); own commits never do") {
     import spark.implicits._
     val db = freshStarDb()
