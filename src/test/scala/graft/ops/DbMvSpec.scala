@@ -433,6 +433,15 @@ class DbMvSpec extends SparkSpec {
       _.upsertKeyed("customer", Seq("o_custkey"), moved))
     DbMv.refreshStar(spark, db, "srev")
     checkStar(db, "dim move through reserves")
+    // maintenance folds the state's vectors and packs its smalls with
+    // the reserve arrays traveling intact; the next churn still
+    // advances through them exactly
+    DbMv.maintainStar(spark, db, "srev", smallBytes = 64L << 20)
+    checkStar(db, "after maintainStar")
+    DbLog.transact(spark, db, "post-maint")(
+      _.deleteWhere("orders", col("o_orderkey") % 23 === 0))
+    DbMv.refreshStar(spark, db, "srev")
+    checkStar(db, "post-maintenance churn through reserves")
     // and the whole lifecycle matches a reserve-free twin (sums
     // ROUND(,2) — the incremental fold differs from a fresh seed by
     // ulps; counts and min/max must be bit-exact)
