@@ -1933,11 +1933,24 @@ object TxLog {
     val (hiddenPos, revivedPos) =
       if (dvPairs.isEmpty) (None, None)
       else {
+        import org.apache.spark.sql.functions.{col, lit}
         val posK = Seq("__graft_file", "__graft_pos")
+        // ONE full-outer pass computes both direction deltas (grown =
+        // after-only, revived = before-only) — the per-advance fixed
+        // job count is what a small churn actually pays here, so the
+        // two anti-joins fuse into one join + one churn-sized
+        // checkpoint; the emptiness probes scan the checkpoint
         val afterPos = dvPositionsOf(spark, dir, dvPairs.map(_._2))
+          .withColumn("__in_after", lit(1))
         val beforePos = dvPositionsOf(spark, dir, dvPairs.map(_._1))
-        val h = afterPos.join(beforePos, posK, "left_anti").localCheckpoint()
-        val r = beforePos.join(afterPos, posK, "left_anti").localCheckpoint()
+          .withColumn("__in_before", lit(1))
+        val delta = afterPos.join(beforePos, posK, "full_outer")
+          .filter(col("__in_after").isNull || col("__in_before").isNull)
+          .localCheckpoint()
+        val h = delta.filter(col("__in_before").isNull)
+          .select(posK.map(col): _*)
+        val r = delta.filter(col("__in_after").isNull)
+          .select(posK.map(col): _*)
         (if (h.isEmpty) None else Some(h), if (r.isEmpty) None else Some(r))
       }
     // raw read of ONLY the files the position set touches (a pair
@@ -2015,11 +2028,18 @@ object TxLog {
           spark.read.option("mergeSchema", "true").parquet(paths: _*)
       }
       // a restore + re-delete can record one position twice across the
-      // range; content is identical (a (file, pos) names fixed bytes)
+      // range; content is identical (a (file, pos) names fixed bytes).
+      // ONE left join splits covered from uncovered (the dedup makes
+      // it 1:1): a null hit marker means no sidecar carried the
+      // position — fused so the split costs one churn-sized
+      // checkpoint, not a join + an anti-join
       val cdc = raw.dropDuplicates(posK)
-      val covered = pos.join(cdc, posK).localCheckpoint()
-      val uncov = pos.join(covered.select(posK.map(col): _*), posK,
-        "left_anti").localCheckpoint()
+        .withColumn("__cdc_hit", org.apache.spark.sql.functions.lit(1))
+      val split = pos.join(cdc, posK, "left_outer").localCheckpoint()
+      val covered = split.filter(col("__cdc_hit").isNotNull)
+        .drop("__cdc_hit")
+      val uncov = split.filter(col("__cdc_hit").isNull)
+        .select(posK.map(col): _*)
       val covOut =
         if (covered.isEmpty) None
         else {
