@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, not}
 
 /** Multi-table ATOMIC transactions — the one lakehouse property a
   * per-table log cannot give (Delta has no multi-table commit;
@@ -933,15 +933,8 @@ object DbLog {
         if (entries.isEmpty) upserts
         else upserts.select(TxLog.readEntries(spark, db, entries,
           pinOverride = tablePin(table)).columns.map(col): _*)
-      // row tracking: matched keys INHERIT their row's id (written as
-      // the materialized column — the pin hides it from plain reads);
-      // fresh keys read NULL there and resolve to the new file's
-      // position ids. One aggregate over the table's entries only.
-      val toWrite =
-        if (!RowTracking.enabledTable(spark, db, table)) aligned
-        else RowTracking.inheritByKeysTable(spark, db, table, aligned,
-          keyCols, entries, nullSafe = nullSafeKeys)
       markRewrite(table, "applyKeyed")
+      var matchedOpt: Option[DataFrame] = None
       if (entries.nonEmpty) {
         val k = upserts.select(keyCols.map(col): _*)
           .unionByName(deleteKeys.select(keyCols.map(col): _*)).distinct()
@@ -961,11 +954,40 @@ object DbLog {
                 rows(c) <=> ka(s"__k_$c")).reduce(_ && _), "left_semi")
             }
           }, pinOverride = tablePin(table))
+        matchedOpt = st.matched
         adds ++= st.adds
         removes ++= st.removes
         seen ++= st.seen
         cdcs ++= st.cdcFiles
       }
+      // row tracking: matched keys INHERIT their row's id (written as
+      // the materialized column — the pin hides it from plain reads);
+      // fresh keys read NULL there and resolve to the new file's
+      // position ids. The DV staging above already checkpointed the
+      // matched rows WITH their ids (its key semi-join mirrors the
+      // inheritance's pairing, null-safe and plain alike), so the
+      // inheritance aggregates that churn-sized checkpoint instead of
+      // re-scanning the whole table — the former inheritByKeysTable
+      // pass here was the one O(table) term of an applyKeyed commit.
+      val toWrite =
+        if (!RowTracking.enabledTable(spark, db, table)) aligned
+        else matchedOpt match {
+          case Some(m) if m.columns.contains(RowTracking.Col) =>
+            val oldIds = m.groupBy(keyCols.map(col): _*)
+              .agg(max(col(RowTracking.Col)).as(RowTracking.MatCol))
+            if (nullSafeKeys)
+              RelationalOps.nullSafeMerge(aligned, oldIds, keyCols, "left")
+            else aligned.join(oldIds, keyCols, "left_outer")
+          case Some(_) =>
+            // a mixed-era candidate read carried no ids — the full
+            // aggregate remains correct (and rare: pre-tracking files)
+            RowTracking.inheritByKeysTable(spark, db, table, aligned,
+              keyCols, entries, nullSafe = nullSafeKeys)
+          case None =>
+            // nothing matched (or empty table): every batch key is
+            // fresh — same all-NULL inherit column, zero passes
+            aligned.withColumn(RowTracking.MatCol, lit(null).cast("long"))
+        }
       val rels = stageIn(table,
         p => toPhys(table, toWrite).write.mode("overwrite").parquet(p))
       adds ++= rels.map(TxLog.AddEntry(_))

@@ -300,12 +300,24 @@ object DeletionVectors {
       }
     // row tracking: the replacement row KEEPS the row it replaces' id
     // (materialized by key from the candidate files); genuine inserts
-    // read NULL and resolve to the appended file's fresh position ids
+    // read NULL and resolve to the appended file's fresh position ids.
+    // The matched-rows checkpoint above already carries every matched
+    // key's id (the tracked positioned read attaches it), so the
+    // inheritance aggregates THAT instead of re-scanning the candidate
+    // files — one full candidate pass saved per tracked upsert, same
+    // mapping (per-key max over rows whose key is in the batch ≡ the
+    // whole-candidate aggregate restricted to batch keys).
     val updatesTracked =
-      if (RowTracking.enabled(spark, dir))
-        RowTracking.inheritByKeys(spark, dir, updatesAligned, keyCols,
-          candEarly)
-      else updatesAligned
+      if (!RowTracking.enabled(spark, dir)) updatesAligned
+      else matchedRows match {
+        case Some(m) if m.columns.contains(RowTracking.Col) =>
+          val oldIds = m.groupBy(keyCols.map(col): _*)
+            .agg(max(col(RowTracking.Col)).as(RowTracking.MatCol))
+          updatesAligned.join(oldIds, keyCols, "left_outer")
+        case _ =>
+          RowTracking.inheritByKeys(spark, dir, updatesAligned, keyCols,
+            candEarly)
+      }
     // stage the batch as fresh files FIRST (a crash before the commit
     // leaves only age-sweepable orphans), hive-partitioned when the
     // table is
@@ -551,7 +563,12 @@ object DeletionVectors {
       seen: Seq[TxLog.AddEntry],
       deletedRows: Long,
       dvFile: Option[String],
-      cdcFiles: Seq[String] = Nil)
+      cdcFiles: Seq[String] = Nil,
+      // the checkpointed matched rows (content + `_row_id` when every
+      // candidate read tracked) — callers that need the hidden rows
+      // again (keyed id inheritance) read THIS instead of re-scanning
+      // the table; None when nothing matched
+      matched: Option[DataFrame] = None)
 
   private[ops] def stageDelete(
       spark: SparkSession,
@@ -609,7 +626,8 @@ object DeletionVectors {
       seen = touched,
       deletedRows = deletedRows,
       dvFile = Some(dvName),
-      cdcFiles = cdcNames)
+      cdcFiles = cdcNames,
+      matched = Some(matched))
   }
 
   /** Range-delete with log-stats pruning: only files whose ADD-carried

@@ -2153,7 +2153,8 @@ object TxLog {
       case Some(f) if f == cur => (f, cur)
       case Some(f) if retainedVersions(spark, srcDir).contains(f) =>
         val (d, to) = diffSince(spark, srcDir, f)
-        UpsertWhere.applyChanges(spark, dstDir, keyCol, asChangeFeed(d))
+        UpsertWhere.applyChanges(spark, dstDir, keyCol, asChangeFeed(d),
+          materializeFeed = true)
         pin(to)
         (f, to)
       case _ =>
@@ -2312,7 +2313,8 @@ object TxLog {
             .drop(RowTracking.VerCol)
             .withColumnRenamed("_change_type", "change_type")
             .withColumnRenamed("_commit_version", "commit_version")
-          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed)
+          UpsertWhere.applyChanges(spark, dstDir, RowTracking.Col, feed,
+            materializeFeed = true)
           pin(cur)
           (f, cur)
         }

@@ -65,9 +65,7 @@ object UpsertWhere {
       if (cand.isEmpty) (up, 0L, up.count())
       else {
         val candDf = TxLog.readUris(spark, dir, cand)
-        val replaced = candDf
-          .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
-        val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
+        val (replaced, inserted) = replacedInserted(candDf, up, keyCol)
         (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol))
           .select(cols.map(col): _*).unionByName(up),
           replaced, inserted)
@@ -97,10 +95,20 @@ object UpsertWhere {
       spark: SparkSession,
       dir: String,
       keyCol: String,
-      feed: DataFrame,
+      feed0: DataFrame,
       manifest: Option[DataFrame] = None,
-      followDrops: Boolean = false): Receipt = {
+      followDrops: Boolean = false,
+      materializeFeed: Boolean = false): Receipt = {
     Compact.recover(spark, dir)
+    // a CDC feed's LINEAGE is the expensive half of an advance (a
+    // positional diff: sidecar joins + pruned base reads), and below
+    // it feeds the touched-file probe, the receipt counts and the
+    // staging write — each its own action re-running that lineage.
+    // Callers with churn-sized feeds (cursor advances, streaming
+    // micro-batches) opt into ONE materialization here; table-sized
+    // resync feeds keep the lazy plan (a full resync must not
+    // checkpoint the whole table through executor storage).
+    val feed = if (materializeFeed) feed0.localCheckpoint() else feed0
     val all = DeleteWhere.allFiles(spark, dir)
     // a feed spanning several versions can carry several events per
     // key; with a commit_version the LAST event wins (the SEQUENCE BY
@@ -180,9 +188,7 @@ object UpsertWhere {
             d.withColumn(f.name, lit(null).cast(f.dataType)))) {
           case (d, (n, t)) => d.withColumn(n, col(n).cast(t))
         }
-        val replaced = candDf
-          .join(up.select(keyCol).distinct(), Seq(keyCol), "left_semi").count()
-        val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
+        val (replaced, inserted) = replacedInserted(candDf, up, keyCol)
         // every feed-touched key leaves the old state; upserted keys
         // re-enter with their postimage, delete-only keys just leave
         (candDf.join(feedKeys, Seq(keyCol), "left_anti")
@@ -249,6 +255,34 @@ object UpsertWhere {
       untouched = all.length - touched.length,
       updatedRows = updatedRows,
       insertedRows = insertedRows)
+  }
+
+  /** The receipt's (updatedRows, insertedRows) in ONE key-only job.
+    * The separate semi/anti count actions re-scanned the candidate
+    * files' key column twice more after the probe (guide §1.2: don't
+    * spend passes on bookkeeping); one union-aggregate reproduces
+    * both numbers exactly, null-key corners included — `updated`
+    * counts candidate rows whose key matches a batch key under SQL
+    * equality (NULL matches nothing), `inserted` counts batch rows
+    * with no candidate key under [[RelationalOps.antiJoinNew]]'s
+    * null-safe semantics (a NULL batch key is "present" when the
+    * candidates hold a NULL key). Numeric type drift between the
+    * sides coerces exactly as the former joins did (union widening).
+    */
+  private def replacedInserted(
+      candDf: DataFrame, up: DataFrame, keyCol: String): (Long, Long) = {
+    val r = candDf.select(col(keyCol).as("__k"),
+        lit(1L).as("__c"), lit(0L).as("__u"))
+      .unionByName(up.select(col(keyCol).as("__k"),
+        lit(0L).as("__c"), lit(1L).as("__u")))
+      .groupBy("__k")
+      .agg(sum("__c").as("c"), sum("__u").as("u"))
+      .agg(
+        coalesce(sum(when(col("c") > 0 && col("u") > 0 &&
+          col("__k").isNotNull, col("c"))), lit(0L)),
+        coalesce(sum(when(col("c") === 0, col("u"))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Publish a staged replacement for `cand`'s rows, layout-aware: a
@@ -343,9 +377,7 @@ object UpsertWhere {
       if (touched.isEmpty) (up, 0L, up.count())
       else {
         val candDf = TxLog.readUris(spark, dir, touched)
-        val replaced = candDf
-          .join(keys, Seq(keyCol), "left_semi").count()
-        val inserted = RelationalOps.antiJoinNew(up, candDf, Seq(keyCol)).count()
+        val (replaced, inserted) = replacedInserted(candDf, up, keyCol)
         (RelationalOps.antiJoinNew(candDf, up, Seq(keyCol))
           .select(cols.map(col): _*).unionByName(up),
           replaced, inserted)

@@ -128,7 +128,10 @@ final class GraftSink(parameters: Map[String, String]) extends Sink {
           // replica columns.
           graft.ops.UpsertWhere.applyChanges(spark, path, key, renamed,
             followDrops =
-              parameters.get("followDrops").exists(_.toBoolean))
+              parameters.get("followDrops").exists(_.toBoolean),
+            // a micro-batch is churn-sized by construction: pin it
+            // once instead of re-running the source plan per action
+            materializeFeed = true)
           ()
         }
       case "route" =>
