@@ -324,10 +324,15 @@ object Compact {
       spark: SparkSession,
       dir: String,
       paths: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val df = pinnedReader(spark, dir).parquet(paths: _*)
     TxLog.tableSchema(spark, dir) match {
-      case Some(sc) => ColumnMapping.toLogical(df, sc)
-      case None => df
+      case Some(sc) =>
+        ColumnMapping.toLogical(
+          pinnedReader(spark, dir).parquet(paths: _*), sc)
+      case None =>
+        // unpinned: memoized footer schema — the sampling job ran
+        // once for this exact immutable path set
+        spark.read.schema(TxLog.inferSchemaCached(spark, paths))
+          .parquet(paths: _*)
     }
   }
 

@@ -765,7 +765,9 @@ object DeletionVectors {
     import spark.implicits._
     val assoc = dvd.map(e => (dvAbs(TxLog.dvPathOf(dir, e)), e.name))
       .toDF("__dv_src", "file")
-    Some(spark.read.parquet(dvPaths: _*)
+    Some(spark.read
+      .schema(TxLog.inferSchemaCached(spark, dvPaths))
+      .parquet(dvPaths: _*)
       .select(col("_metadata.file_path").as("__dv_src"),
         col("file"), col("pos"))
       .join(broadcast(assoc), Seq("__dv_src", "file"))

@@ -147,16 +147,25 @@ object MvStore {
       // real group (groupBy put it there); SQL's null-never-equals
       // would split it across unpaired rows — one stored + one delta
       // row per refresh instead of one merged group
-      val deltaBase = Scd2.mvDelta(feed, groupCols, sumCols)
       val delta =
-        (if (minMaxCols.isEmpty) deltaBase
+        (if (minMaxCols.isEmpty) Scd2.mvDelta(feed, groupCols, sumCols)
          else {
-           val extras = feed.groupBy(groupCols.map(col): _*)
-             .agg(growAggs.head, (growAggs.tail :+ dirtyFlag): _*)
-           // null-safe inner: both sides group the SAME feed, so the
-           // null group exists on both — a plain USING join drops it
-           RelationalOps.nullSafeMerge(deltaBase, extras, groupCols,
-             "inner")
+           // ONE groupBy carries the signed sums AND the grow/dirty
+           // aggregates: the former two-aggregate shape (mvDelta +
+           // extras, null-safe-joined) evaluated the feed's join
+           // lineage twice inside this checkpoint for byte-identical
+           // output (both sides grouped the same feed by the same
+           // keys, so the join paired groups 1:1, null group included)
+           val sign = when(
+             col("change_type").isin("insert", "update_postimage"),
+             lit(1L)).otherwise(lit(-1L))
+           val aggs = (sum(col("__sign")).as("d_n") +:
+             sumCols.map(m =>
+               sum(col("__sign") * col(m)).as(s"d_$m"))) ++
+             growAggs :+ dirtyFlag
+           feed.withColumn("__sign", sign)
+             .groupBy(groupCols.map(col): _*)
+             .agg(aggs.head, aggs.tail: _*)
          })
           .withColumn("cell", cellOf(groupCols, nShards))
           .localCheckpoint() // pinned: probed, keyed, and merged below

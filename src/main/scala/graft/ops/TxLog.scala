@@ -1279,6 +1279,43 @@ object TxLog {
       .makeQualified(path).toString
   }
 
+  /** Footer-schema memo for UNPINNED explicit-path reads. Every
+    * `spark.read.parquet(paths…)` without a user schema runs a footer-
+    * sampling Spark JOB at plan time; a keyed commit paid four of
+    * them per advance (candidate read, table-schema probe, sidecar
+    * reads). Parquet files here are immutable and never rewritten in
+    * place (staged writes land FRESH uuid names; rewrites commit new
+    * entries), so the inferred schema of an exact path set is a pure
+    * function of the paths — memoized, the job runs once per set.
+    * Schemas only (bytes-tiny), bounded LRU, keyed by (basePath,
+    * mergeSchema, sorted paths). NOT result caching: every read still
+    * scans the files; only plan-time schema discovery is reused.
+    */
+  private val inferredSchemas =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+          : Boolean = size > 512
+    }
+  private[ops] def inferSchemaCached(
+      spark: SparkSession,
+      paths: Seq[String],
+      basePath: Option[String] = None,
+      mergeSchema: Boolean = false): org.apache.spark.sql.types.StructType = {
+    val key = basePath.getOrElse("") + "\n" + mergeSchema + "\n" +
+      paths.sorted.mkString("\n")
+    inferredSchemas.synchronized {
+      val got = inferredSchemas.get(key)
+      if (got != null) return got
+    }
+    val r0 = basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+    val sc = (if (mergeSchema) r0.option("mergeSchema", "true") else r0)
+      .parquet(paths: _*).schema
+    inferredSchemas.synchronized { inferredSchemas.put(key, sc) }
+    sc
+  }
+
   /** Read exactly `entries`, applying each entry's deletion vector —
     * the one reader [[snapshot]], [[snapshotPruned]] and [[diff]]
     * share, so every path agrees on what a DV-carrying file's rows
@@ -1333,12 +1370,20 @@ object TxLog {
         case None => if (mergeSchema) r.option("mergeSchema", "true") else r
       }
     }
+    // unpinned: resolve the footer schema ONCE through the memo so the
+    // plan-time sampling job doesn't re-run per action on the same set
+    def rdPaths(root: String, paths: Seq[String]): DataFrame = pin match {
+      case Some(_) => rd(root).parquet(paths: _*)
+      case None => spark.read.option("basePath", root)
+        .schema(inferSchemaCached(spark, paths, Some(root), mergeSchema))
+        .parquet(paths: _*)
+    }
     def readGroup(root: String, ge: Seq[AddEntry]): DataFrame = {
       def metaRead(es: Seq[AddEntry]): DataFrame = {
         val mapping = es
           .map(e => (qualifyAbs(spark, dataPathOf(dir, e)), e.name))
           .toDF("__graft_abs", "__graft_file")
-        rd(root).parquet(es.map(e => dataPathOf(dir, e)): _*)
+        rdPaths(root, es.map(e => dataPathOf(dir, e)))
           .withColumn("__graft_abs", col("_metadata.file_path"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
           .join(broadcast(mapping), Seq("__graft_abs"))
@@ -1355,7 +1400,7 @@ object TxLog {
       }
       val dvd = ge.filter(_.dv.isDefined)
       if (dvd.isEmpty && !withPos)
-        return rd(root).parquet(ge.map(e => dataPathOf(dir, e)): _*)
+        return rdPaths(root, ge.map(e => dataPathOf(dir, e)))
       val plain = ge.filter(_.dv.isEmpty)
       val dvdDf =
         if (dvd.isEmpty) None
@@ -1369,6 +1414,7 @@ object TxLog {
           val dvBytes = dvPaths
             .map(p => fs.getFileStatus(new Path(p)).getLen).sum
           val dvRows = spark.read
+            .schema(inferSchemaCached(spark, dvPaths))
             .parquet(dvPaths: _*)
             .select(col("_metadata.file_path").as("__graft_dv_src"),
               col("file").as("__graft_file"), col("pos").as("__graft_pos"))
@@ -1388,7 +1434,7 @@ object TxLog {
       val plainDf =
         if (plain.isEmpty) None
         else if (withPos) Some(metaRead(plain))
-        else Some(rd(root).parquet(plain.map(e => dataPathOf(dir, e)): _*))
+        else Some(rdPaths(root, plain.map(e => dataPathOf(dir, e))))
       (plainDf, dvdDf) match {
         case (Some(p), Some(d)) =>
           // align: the plain fast path has no positional columns
@@ -1758,8 +1804,12 @@ object TxLog {
     if (exists(spark, dir))
       readEntries(spark, dir,
         entriesForUris(spark, dir, uris, liveEntries(spark, dir)))
-    else Compact.pinnedReader(spark, dir)
-      .option("basePath", dir).parquet(uris: _*)
+    else if (tableSchema(spark, dir).isDefined)
+      Compact.pinnedReader(spark, dir)
+        .option("basePath", dir).parquet(uris: _*)
+    else spark.read.option("basePath", dir)
+      .schema(inferSchemaCached(spark, uris, Some(dir)))
+      .parquet(uris: _*)
 
   /** Read a pruned candidate subset given by inputFiles-form URIs —
     * applying deletion vectors where the candidates carry them. The
@@ -1840,7 +1890,8 @@ object TxLog {
       return Seq.empty[(String, Long)].toDF("__graft_file", "__graft_pos")
     val dvPaths = dvd.map(e => dvPathOf(dir, e)).distinct
     val dvAbs = dvPaths.map(p => p -> qualifyAbs(spark, p)).toMap
-    val rows = spark.read.parquet(dvPaths: _*)
+    val rows = spark.read.schema(inferSchemaCached(spark, dvPaths))
+      .parquet(dvPaths: _*)
       .select(col("_metadata.file_path").as("__graft_dv_src"),
         col("file").as("__graft_file"),
         col("pos").cast("long").as("__graft_pos"))
@@ -1947,11 +1998,18 @@ object TxLog {
         val delta = afterPos.join(beforePos, posK, "full_outer")
           .filter(col("__in_after").isNull || col("__in_before").isNull)
           .localCheckpoint()
+        // ONE aggregate answers both direction-emptiness probes (the
+        // two isEmpty limit-scans were two more jobs per advance)
+        import org.apache.spark.sql.functions.{count, when}
+        val cnt = delta.agg(
+          count(when(col("__in_before").isNull, 1)),
+          count(when(col("__in_after").isNull, 1))).head()
         val h = delta.filter(col("__in_before").isNull)
           .select(posK.map(col): _*)
         val r = delta.filter(col("__in_after").isNull)
           .select(posK.map(col): _*)
-        (if (h.isEmpty) None else Some(h), if (r.isEmpty) None else Some(r))
+        (if (cnt.getLong(0) == 0) None else Some(h),
+          if (cnt.getLong(1) == 0) None else Some(r))
       }
     // raw read of ONLY the files the position set touches (a pair
     // whose delta is one-sided never scans for the other side); the
@@ -2025,7 +2083,9 @@ object TxLog {
           spark.read.schema(StructType(phys.fields ++ extras))
             .parquet(paths: _*)
         case None =>
-          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          spark.read
+            .schema(inferSchemaCached(spark, paths, mergeSchema = true))
+            .parquet(paths: _*)
       }
       // a restore + re-delete can record one position twice across the
       // range; content is identical (a (file, pos) names fixed bytes).
@@ -2036,12 +2096,19 @@ object TxLog {
       val cdc = raw.dropDuplicates(posK)
         .withColumn("__cdc_hit", org.apache.spark.sql.functions.lit(1))
       val split = pos.join(cdc, posK, "left_outer").localCheckpoint()
+      // ONE aggregate answers both coverage-emptiness probes (the two
+      // isEmpty limit-scans were two more jobs per advance)
+      val sc2 = split.agg(
+        org.apache.spark.sql.functions.count(col("__cdc_hit")),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(col("__cdc_hit").isNull, 1)))
+        .head()
       val covered = split.filter(col("__cdc_hit").isNotNull)
         .drop("__cdc_hit")
       val uncov = split.filter(col("__cdc_hit").isNull)
         .select(posK.map(col): _*)
       val covOut =
-        if (covered.isEmpty) None
+        if (sc2.getLong(0) == 0) None
         else {
           val logical = pin.map(ColumnMapping.toLogical(covered, _))
             .getOrElse(covered)
@@ -2060,7 +2127,7 @@ object TxLog {
             }
           Some(withId.drop("__graft_rid", "__graft_file", "__graft_pos"))
         }
-      (covOut, if (uncov.isEmpty) None else Some(uncov))
+      (covOut, if (sc2.getLong(1) == 0) None else Some(uncov))
     }
     val schemaDonor =
       if (added.nonEmpty) added

@@ -44,10 +44,14 @@ object DbMvIngest {
       if (!TxLog.exists(spark, db)) DbLog.create(spark, db)
       val txnId = s"dbmv_epoch_${table}_$epoch"
       if (!TxLog.txnCommitted(spark, db, txnId)) {
+        // churn-sized by construction: one materialization instead of
+        // re-running the source scan for the key probe, the DV semi
+        // join and the staged append inside the keyed application
+        val b = batch.toDF().localCheckpoint()
         val txn = DbLog.begin(spark, db)
         if (keyCols.isEmpty || !txn.tableExists(table))
-          txn.append(table, batch.toDF())
-        else txn.upsertKeyed(table, keyCols, batch.toDF())
+          txn.append(table, b)
+        else txn.upsertKeyed(table, keyCols, b)
         txn.commit(s"stream-epoch-$epoch", txn = Some(txnId))
       }
       if (!DbMv.isStar(spark, db, viewName))

@@ -110,14 +110,19 @@ object TxLogIngest {
       if (!TxLog.exists(spark, dir)) TxLog.convert(spark, dir)
       import org.apache.spark.sql.functions.{col, row_number, desc}
       import org.apache.spark.sql.expressions.Window
-      val netted = seqCol match {
+      // one materialization: the netted batch feeds the key probe,
+      // the id inheritance and the staged append inside the upsert —
+      // each its own action re-running the source scan (+ the netting
+      // window) on a plan Spark cannot cache across jobs. A micro-
+      // batch is churn-sized by construction, so pinning it is cheap.
+      val netted = (seqCol match {
         case None => batch.toDF()
         case Some(sc) =>
           val w = Window.partitionBy(keyCols.map(col): _*)
             .orderBy(desc(sc))
           batch.toDF().withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn", sc)
-      }
+      }).localCheckpoint()
       if (TxLog.liveFiles(spark, dir).isEmpty) {
         // first data: nothing to merge against — the plain append
         // path is the epoch (still stamped)
